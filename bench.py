@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "ctr_per_user",
+    "top3_orders_per_customer",
+    "parse_event_props",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from de4ml_spark.queries import catalog
+    from de4ml_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = catalog.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm the JVM/session so timings measure the queries, not startup
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if df.isStreaming is False else -1
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

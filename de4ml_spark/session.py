@@ -1,0 +1,79 @@
+"""SparkSession factory and testdata loaders.
+
+Scale notes (100 TB design):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  dynamic broadcast decisions replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE coalesces.
+  On a real cluster set it to ~2-3x total cores and let AQE shrink.
+- Timestamps: session timezone pinned to UTC so event-time semantics do not
+  depend on cluster locale. Parquet NANOS timestamps (the ``events`` table)
+  are read as raw int64 ns (``nanosAsLong``) and normalized to microsecond
+  TIMESTAMP_NTZ by ``load_table`` — identical truncation to DuckDB's
+  TIMESTAMP_NS -> TIMESTAMP cast, so oracles agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "de4ml_spark", cpus: int | None = None) -> SparkSession:
+    """Build a local session with scale-ready defaults.
+
+    On a real cluster the master/deploy settings come from spark-submit; every
+    config here is cluster-safe (AQE, broadcast threshold, Arrow).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if "spark.master" not in os.environ.get("SPARK_CONF", ""):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing types for engine-portable semantics.
+
+    ``events.ts`` arrives as int64 nanoseconds (legacy nanosAsLong); we floor-
+    divide to micros — the same truncation DuckDB applies casting
+    TIMESTAMP_NS -> TIMESTAMP — and expose TIMESTAMP_NTZ.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
