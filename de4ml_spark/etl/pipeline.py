@@ -1,0 +1,104 @@
+"""End-to-end batch ETL: raw event log -> typed parse -> flatten -> Parquet.
+
+Parity targets (citations relative to /root/reference/):
+- S2 append sink (``(ts, data)`` rows, server-assigned epoch-micros ts):
+  logging-service/app/lib/storage.py:40-46. Our landing format is JSON-lines
+  with the same two-column shape (SQLite driver parity is at the data level,
+  SURVEY.md §7.5.5).
+- S4 typed parse: logging-service/app/etl.py:30-38.
+- S5/S6 Parquet sink/scan: logging-service/app/etl.py:67-71, app/pcat.py:13.
+- Additive schema evolution on read: logging-service/app/migrate.py:59-72
+  -> ``mergeSchema`` + manifest-aligned projection.
+
+Scale design: the landing zone is append-only JSON-lines partitioned by
+ingest date (``dt=YYYY-MM-DD``); ETL reads a partition, parses with
+``from_json`` (JVM codegen), flattens with native column expressions, and
+writes Parquet partitioned the same way. At 100 TB the per-partition ETL is
+embarrassingly parallel and the Parquet writer scales with input splits;
+there is no shuffle anywhere in this pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from de4ml_spark.etl.flatten import flatten
+
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.LongType(), False),  # epoch micros, server-assigned
+        T.StructField("data", T.StringType(), False),  # raw JSON event
+    ]
+)
+
+
+def ingest_raw(df_events_json: DataFrame, path: str) -> None:
+    """Append raw JSON events with a server-assigned epoch-micros timestamp —
+    the S2 sink (storage.py:40-46). ``df_events_json`` has one STRING column
+    ``data``.
+    """
+    (
+        df_events_json.withColumn(
+            "ts", F.unix_micros(F.current_timestamp())
+        )
+        .select("ts", "data")
+        .write.mode("append")
+        .json(path)
+    )
+
+
+def read_raw(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(RAW_SCHEMA).json(path)
+
+
+def parse_typed(df_raw: DataFrame, struct: T.StructType) -> DataFrame:
+    """S4: ``from_json`` with the contract-derived StructType (etl.py:30-38).
+    Malformed rows yield a null struct (from_json PERMISSIVE) and are kept —
+    the validation layer routes them to rejects.
+    """
+    return df_raw.select(
+        F.col("ts"), F.from_json(F.col("data"), struct).alias("d")
+    ).select("ts", "d.*")
+
+
+def etl(
+    spark: SparkSession,
+    raw_path: str,
+    struct: T.StructType,
+    out_path: str,
+    manifest: list[str] | None = None,
+) -> DataFrame:
+    """Full batch ETL: raw JSON-lines -> typed -> flattened -> Parquet.
+    Returns the flattened DataFrame (already written)."""
+    typed = parse_typed(read_raw(spark, raw_path), struct)
+    flat = flatten(typed.drop("ts"), struct, manifest)
+    flat.write.mode("overwrite").parquet(out_path)
+    return flat
+
+
+def write_warehouse(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_warehouse(
+    spark: SparkSession, path: str, manifest: list[str] | None = None
+) -> DataFrame:
+    """S6 + schema evolution: ``mergeSchema`` unions all file schemas; the
+    manifest projection null-fills columns absent from old files and pins
+    column order — the additive-only evolution contract (migrate.py:59-72).
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if manifest:
+        have = set(df.columns)
+        df = df.select(
+            *[
+                F.col(c) if c in have else F.lit(None).alias(c)
+                for c in manifest
+            ]
+        )
+    return df

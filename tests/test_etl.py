@@ -1,0 +1,104 @@
+"""Golden end-to-end ETL test mirroring the reference's
+logging-service/tests/test_searches.py:25-68: known event JSON -> typed parse
+-> __-flatten -> Parquet -> read back -> exact value asserts, including the
+parallel-array flattening shape (test_searches.py:64-67)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from de4ml_spark.contracts import flatten_manifest, struct_from_json_schema
+from de4ml_spark.etl import parse_typed, read_warehouse
+from de4ml_spark.etl.flatten import flatten
+from de4ml_spark.etl.pipeline import RAW_SCHEMA, etl
+from tests.test_contracts import SEARCH_SCHEMA
+
+EVENT = {
+    "timestamp_micros": 1700000000000000,
+    "user": {"id": 1},
+    "query_id": "123",
+    "raw_query": "test",
+    "results": [{"document_id": 1, "position": 1, "score": 1.0}],
+}
+
+
+def _write_raw(spark, tmp_path, events):
+    rows = [(1700000000000000 + i, json.dumps(e)) for i, e in enumerate(events)]
+    df = spark.createDataFrame(rows, schema=RAW_SCHEMA)
+    path = str(tmp_path / "raw")
+    df.write.json(path)
+    return path
+
+
+def test_searches_etl_golden(spark, tmp_path):
+    raw = _write_raw(spark, tmp_path, [EVENT])
+    struct = struct_from_json_schema(SEARCH_SCHEMA)
+    out = str(tmp_path / "wh")
+    etl(spark, raw, struct, out)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    # exact golden values incl. parallel-array shape (test_searches.py:60-67)
+    assert r["timestamp_micros"] == 1700000000000000
+    assert r["user__id"] == 1
+    assert r["query_id"] == "123"
+    assert r["raw_query"] == "test"
+    assert r["results__document_id"] == [1]
+    assert r["results__position"] == [1]
+    assert r["results__score"] == [1.0]
+
+
+def test_parse_malformed_yields_nulls(spark, tmp_path):
+    raw = _write_raw(spark, tmp_path, [EVENT])
+    struct = struct_from_json_schema(SEARCH_SCHEMA)
+    bad = spark.createDataFrame([(1, "{not json")], schema=RAW_SCHEMA)
+    typed = parse_typed(bad, struct)
+    row = typed.collect()[0]
+    assert row["query_id"] is None  # permissive parse -> nulls, rejected later
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """v1 files + v2 files (new leaf) read together: union schema, nulls for
+    v1 rows — migrate.py:42-72 append-only contract."""
+    struct_v1 = struct_from_json_schema(SEARCH_SCHEMA)
+    schema_v2 = json.loads(json.dumps(SEARCH_SCHEMA))
+    schema_v2["$defs"]["User"]["properties"]["locale"] = {"type": "string"}
+    struct_v2 = struct_from_json_schema(schema_v2)
+
+    m1 = flatten_manifest(struct_v1)
+    m2 = flatten_manifest(struct_v2)
+    from de4ml_spark.contracts import merge_manifests
+
+    manifest = merge_manifests(m1, m2)
+    assert "user__locale" in manifest
+
+    wh = str(tmp_path / "wh2")
+    raw1 = _write_raw(spark, tmp_path / "r1", [EVENT])
+    typed1 = parse_typed(spark.read.schema(RAW_SCHEMA).json(raw1), struct_v1)
+    flatten(typed1.drop("ts"), struct_v1, m1).write.mode("append").parquet(wh)
+
+    ev2 = dict(EVENT, user={"id": 2, "locale": "en"}, query_id="456")
+    raw2 = _write_raw(spark, tmp_path / "r2", [ev2])
+    typed2 = parse_typed(spark.read.schema(RAW_SCHEMA).json(raw2), struct_v2)
+    flatten(typed2.drop("ts"), struct_v2, m2).write.mode("append").parquet(wh)
+
+    merged = read_warehouse(spark, wh, manifest)
+    assert merged.columns == manifest
+    got = {r["query_id"]: r for r in merged.collect()}
+    assert got["123"]["user__locale"] is None  # old file null-filled
+    assert got["456"]["user__locale"] == "en"
+
+
+def test_flatten_plan_is_pure_projection(spark, tmp_path):
+    """The flatten plan must be a single Project over the scan — no shuffle,
+    no UDF (scale contract: ETL is embarrassingly parallel)."""
+    raw = _write_raw(spark, tmp_path, [EVENT])
+    struct = struct_from_json_schema(SEARCH_SCHEMA)
+    typed = parse_typed(spark.read.schema(RAW_SCHEMA).json(raw), struct)
+    flat = flatten(typed.drop("ts"), struct)
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no Python UDFs in the ETL hot path

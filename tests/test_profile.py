@@ -1,0 +1,54 @@
+"""Profile battery tests (parity: DuckDB SUMMARIZE consumption at
+dataops/app/profile.py:26-48 and rule derivation profile.py:21-39)."""
+
+from __future__ import annotations
+
+import math
+
+from de4ml_spark.contracts.validation import rules_from_profile
+from de4ml_spark.profile import profile
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y"), (3, None, "y"), (4, 40.0, None)],
+        "id BIGINT, v DOUBLE, s STRING",
+    )
+
+
+def test_battery_values(spark):
+    rows = {r["column_name"]: r.asDict() for r in profile(_df(spark), exact=True).collect()}
+    v = rows["v"]
+    assert v["count"] == 4 and v["nulls"] == 1
+    assert v["null_percentage"] == 25.0
+    assert v["min"] == "10.0" and v["max"] == "40.0"
+    assert abs(v["avg"] - 70.0 / 3) < 1e-9
+    assert v["distinct"] == 3
+    assert v["q50"] == 20.0
+    assert v["is_numeric"] is True
+
+    s = rows["s"]
+    assert s["is_numeric"] is False
+    assert s["distinct"] == 2
+    assert s["min"] == "x" and s["max"] == "y"
+    assert s["avg"] is None
+
+    i = rows["id"]
+    assert i["q25"] == 1.75 and i["q75"] == 3.25  # exact interpolation
+
+
+def test_single_job_single_row_reduction(spark):
+    # one scan, no shuffle beyond the final single-row aggregate
+    p = profile(_df(spark), exact=False)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_rules_from_profile(spark):
+    prof = [r.asDict() for r in profile(_df(spark), exact=True).collect()]
+    rules = rules_from_profile(prof)
+    by = {(r.loc, r.kind): r for r in rules}
+    assert ("id", "required") in by  # 0% nulls
+    assert ("v", "required") not in by  # has nulls
+    b = by[("v", "bounds")]
+    assert b.lo == 10.0 and b.hi == 40.0

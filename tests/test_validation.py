@@ -1,0 +1,79 @@
+"""Validation rules-as-data tests (parity: reject path of
+logging-service/tests/test_searches.py:71-79 + dataops counter labels
+dataops/app/api.py:65-67)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from de4ml_spark.contracts import Rule, violation_counts
+from de4ml_spark.contracts.validation import split_valid
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 0.5, "a"),     # valid
+            (2, 1.5, "b"),     # probability out of bounds
+            (3, None, "c"),    # probability missing
+            (4, 0.1, None),    # action missing
+        ],
+        "id BIGINT, probability DOUBLE, action STRING",
+    )
+
+
+RULES = [
+    Rule(loc="probability", kind="required"),
+    Rule(loc="probability", kind="bounds", lo=0.0, hi=1.0),
+    Rule(loc="action", kind="required"),
+]
+
+
+def test_split_valid_rejects(spark):
+    valid, rejects = split_valid(_df(spark), RULES)
+    assert sorted(r["id"] for r in valid.collect()) == [1]
+    rej = {r["id"]: [ (v["loc"], v["type"]) for v in r["_violations"]] for r in rejects.collect()}
+    assert rej[2] == [("probability", "bounds")]
+    assert rej[3] == [("probability", "required")]
+    assert rej[4] == [("action", "required")]
+
+
+def test_violation_counts_labels(spark):
+    counts = {
+        (r["loc"], r["type"]): r["n_violations"]
+        for r in violation_counts(_df(spark), RULES).collect()
+    }
+    assert counts == {
+        ("probability", "bounds"): 1,
+        ("probability", "required"): 1,
+        ("action", "required"): 1,
+    }
+
+
+def test_null_passes_bounds_but_fails_required(spark):
+    # bounds rules ignore nulls; required-ness is its own rule
+    only_bounds = [Rule(loc="probability", kind="bounds", lo=0.0, hi=1.0)]
+    valid, rejects = split_valid(_df(spark), only_bounds)
+    assert sorted(r["id"] for r in valid.collect()) == [1, 3, 4]
+
+
+def test_custom_predicate_rule(spark):
+    rules = [
+        Rule(loc="action", kind="custom", predicate=F.col("action").isin("a", "b"))
+    ]
+    valid, _ = split_valid(_df(spark), rules)
+    assert sorted(r["id"] for r in valid.collect()) == [1, 2]
+
+
+def test_single_pass_no_shuffle(spark):
+    """N rules must compile to one projection — no Exchange, no Python."""
+    from de4ml_spark.contracts.validation import apply_rules
+
+    plan = (
+        apply_rules(_df(spark), RULES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
