@@ -1,0 +1,135 @@
+"""Streaming tests for the delayed-emission join (SURVEY §5.2.4): file-source
+micro-batches -> watermarked stream-stream left outer join -> memory sink.
+Asserts the J1 contract: matched rows, unmatched-default-0 emission after the
+watermark passes d_ts + W, multi-reward multiplicity, out-of-window exclusion.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from de4ml_spark.streaming import delayed_emission_join
+
+D_SCHEMA = "key STRING, context STRING, action STRING, probability DOUBLE, d_ts TIMESTAMP"
+R_SCHEMA = "key STRING, reward DOUBLE, r_ts TIMESTAMP"
+
+T0 = "2024-01-01 00:00:00"
+
+
+def _ts(offset_s: float) -> str:
+    base = 1704067200.0  # 2024-01-01 00:00:00 UTC
+    t = base + offset_s
+    frac = f"{t % 1:.3f}"[1:]
+    return time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(t)) + frac
+
+
+def _write(path, rows):
+    path.mkdir(parents=True, exist_ok=True)
+    f = path / f"batch_{time.time_ns()}.json"
+    f.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+@pytest.mark.slow
+def test_delayed_emission_join_streaming(spark, tmp_path):
+    d_dir, r_dir = tmp_path / "d", tmp_path / "r"
+    # batch 1: k1 matched (+5s), k2 unmatched, k4 two in-window rewards,
+    # k5's reward at +15s is OUTSIDE the 10s window
+    _write(
+        d_dir,
+        [
+            {"key": "k1", "context": "{}", "action": "a", "probability": 0.5, "d_ts": _ts(0)},
+            {"key": "k2", "context": "{}", "action": "b", "probability": 0.6, "d_ts": _ts(1)},
+            {"key": "k4", "context": "{}", "action": "c", "probability": 0.7, "d_ts": _ts(2)},
+            {"key": "k5", "context": "{}", "action": "d", "probability": 0.8, "d_ts": _ts(3)},
+        ],
+    )
+    _write(
+        r_dir,
+        [
+            {"key": "k1", "reward": 1.0, "r_ts": _ts(5)},
+            {"key": "k4", "reward": 2.0, "r_ts": _ts(4)},
+            {"key": "k4", "reward": 3.0, "r_ts": _ts(6)},
+            {"key": "k5", "reward": 9.0, "r_ts": _ts(18)},
+        ],
+    )
+
+    d = spark.readStream.schema(D_SCHEMA).json(str(d_dir))
+    r = spark.readStream.schema(R_SCHEMA).json(str(r_dir))
+    joined = delayed_emission_join(d, r, window_ms=10_000)
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("joined_decisions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark well past every d_ts + W so unmatched rows emit
+        _write(d_dir, [{"key": "zz", "context": "{}", "action": "z", "probability": 0.0, "d_ts": _ts(600)}])
+        _write(r_dir, [{"key": "zz_r", "reward": 0.0, "r_ts": _ts(600)}])
+        q.processAllAvailable()
+        _write(d_dir, [{"key": "zz2", "context": "{}", "action": "z", "probability": 0.0, "d_ts": _ts(1200)}])
+        _write(r_dir, [{"key": "zz2_r", "reward": 0.0, "r_ts": _ts(1200)}])
+        q.processAllAvailable()
+
+        rows = spark.sql(
+            "SELECT * FROM joined_decisions WHERE key NOT LIKE 'zz%'"
+        ).collect()
+    finally:
+        q.stop()
+
+    by_key: dict[str, list] = {}
+    for row in rows:
+        by_key.setdefault(row["key"], []).append(row)
+
+    assert [r_["reward"] for r_ in by_key["k1"]] == [1.0]
+    assert [r_["reward"] for r_ in by_key["k2"]] == [0.0]  # delayed default fill
+    assert sorted(r_["reward"] for r_ in by_key["k4"]) == [2.0, 3.0]  # multiplicity
+    assert [r_["reward"] for r_ in by_key["k5"]] == [0.0]  # +15s outside window
+    # reward_delta_ms parity: r.insert_ms - d.insert_ms (main.py:90)
+    assert by_key["k1"][0]["reward_delta_ms"] == pytest.approx(5000.0)
+    assert by_key["k2"][0]["reward_delta_ms"] is None
+
+
+@pytest.mark.slow
+def test_streaming_violation_rate_alert(spark, tmp_path):
+    """A3 streaming twin: per-minute violation counts over a stream
+    (dataops/app/profile.py:61-75 PromQL rate alert)."""
+    src = tmp_path / "src"
+    _write(
+        src,
+        [
+            {"key": "a", "reward": 500.0, "r_ts": _ts(10)},
+            {"key": "b", "reward": 600.0, "r_ts": _ts(20)},
+            {"key": "c", "reward": 5.0, "r_ts": _ts(30)},
+            {"key": "d", "reward": 700.0, "r_ts": _ts(90)},
+        ],
+    )
+    stream = spark.readStream.schema(R_SCHEMA).json(str(src))
+    alerts = (
+        stream.filter(F.col("reward") > 450.0)
+        .withWatermark("r_ts", "1 minute")
+        .groupBy(F.window("r_ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("alerts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["w"]["start"].isoformat(): r["n_violations"]
+            for r in spark.sql("SELECT * FROM alerts").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {"2024-01-01T00:00:00": 2, "2024-01-01T00:01:00": 1}
