@@ -21,6 +21,12 @@ HEADLINE = [
     "ctr_per_user",
     "top3_orders_per_customer",
     "parse_event_props",
+    "delayed_join_events",
+    "profile_lineitem",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "text_stats_docs",
 ]
 
 

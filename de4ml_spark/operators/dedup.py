@@ -1,0 +1,303 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup.
+
+Scale design per operator:
+- exact_dedup: md5-fingerprint then hash-groupBy — the shuffle key is a
+  32-char digest, not the document; min(doc_id) picks the survivor.
+- ngram_jaccard_pairs: shingle -> explode -> equi-join on shingle ->
+  count-intersections. The shingle join is the scalable way to compute set
+  intersections without a cross join: cost is Σ_shingle freq², so ultra-hot
+  shingles are capped (``max_shingle_freq``) exactly like stop-shingle
+  filtering in web dedup pipelines.
+- minhash_lsh: per-doc signature of ``num_hashes`` min-hashes (one scan,
+  xxhash64 with seed mixing), banded into ``bands``; docs sharing a band
+  bucket become candidates (equi-join on band hash — no cross join), then
+  candidates are verified with exact Jaccard. At 100 TB only the banded
+  join shuffles, and its key space is uniform by construction.
+- simhash: 64-bit signature via per-token hash bit-majority; near-dup
+  candidates via band equality on 4x16-bit chunks (Hamming<=3 guarantee by
+  pigeonhole), verified by exact Hamming distance — all bitwise Column math.
+- embedding near-dup: exact cosine over candidate pairs; candidates from a
+  cheap blocking key at scale (see similarity.py LSH); brute-force pairs at
+  test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from de4ml_spark.operators.text import fingerprint, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One survivor row (min id) per normalized-text fingerprint."""
+    return (
+        fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the document."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def _pair_jaccard(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, inter, n_a, n_b, jaccard) for every pair sharing >=1
+    shingle, via explode + equi-join (no cross join)."""
+    ex = df.select(id_col, F.explode(shingle_col).alias("shingle"))
+    if max_shingle_freq is not None:
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") > max_shingle_freq)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = df.select(
+        F.col(id_col), F.size(shingle_col).alias("n_sh")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs with exact word-n-gram Jaccard >= threshold."""
+    sh = df.select(id_col, shingles(text_col, n).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    return _pair_jaccard(sh, id_col, "sh", max_shingle_freq).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: for seed s, min over shingles of
+    xxhash64(shingle, seed=s). One scan, no shuffle."""
+    sh = df.select(id_col, shingles(text_col, n).alias("sh")).filter(F.size("sh") > 0)
+
+    def _minhash(seed: int) -> Column:
+        # NB: the inner lambda must take exactly one arg — a two-arg lambda is
+        # treated as transform's (element, index) form and the index would
+        # silently replace the seed, collapsing all hash functions into one.
+        return F.array_min(F.transform("sh", lambda e: F.xxhash64(e, F.lit(seed))))
+
+    sig = F.array(*[_minhash(s) for s in range(num_hashes)])
+    return sh.select(id_col, F.size("sh").alias("n_sh"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with exact Jaccard.
+
+    bands=16 over 32 hashes (rows/band=2) -> candidate P(match) at j=0.8 is
+    1-(1-0.8^2)^16 ≈ 1.0; at j=0.3 it is ≈ 0.78 of a much smaller pair set —
+    verified by exact Jaccard afterwards, so extra candidates cost compute,
+    not correctness (the classic S-curve tradeoff).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b2 = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact jaccard (exact-rescore pass over the
+    # candidate set only — tiny compared to the corpus)
+    sh = df.select(id_col, shingles(text_col, n).alias("sh"))
+    verified = (
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per-token xxhash64; signature bit j is the majority
+    vote of token-hash bits j.
+
+    Shape: explode tokens -> one groupBy(id) with 64 conditional SUMs ->
+    assemble the signature from the vote signs. Everything stays in
+    whole-stage codegen (higher-order-function lambdas are interpreted in
+    Spark and were ~50x slower here); one shuffle on the doc id.
+    """
+    hashed = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftrightunsigned(h, {j}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    voted = hashed.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0, F.expr(f"shiftleft(1L, {j})")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return voted.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates via
+    4x16-bit band equality (pigeonhole: hamming<=3 ⇒ >=1 band equal), then
+    exact Hamming verify via bit_count — no cross join."""
+    sigs = simhash(df, text_col, id_col)
+    bandcol = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), b * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("bucket"),
+                )
+                for b in range(4)
+            ]
+        )
+    ).alias("bb")
+    banded = sigs.select(id_col, "simhash", bandcol).select(
+        id_col, "simhash", "bb.band", "bb.bucket"
+    )
+    a, b2 = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold, exact arithmetic.
+
+    Test-scale path: full pair join (O(n²) — fine at sf). At 100 TB the
+    candidate generation swaps to LSH bucketing (similarity.py
+    random_hyperplane_buckets) with this same exact rescoring afterwards.
+    """
+    from de4ml_spark.operators.similarity import cosine
+
+    v = df.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("e"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.e"), F.col("b.e")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,110 @@
+"""Text analysis operators over a document corpus: tokenization, token
+counting, quality scoring, language-ID (n-gram/marker heuristic), and
+document fingerprinting.
+
+All operators are pure Column expressions (whole-stage codegen, no Python in
+the hot path) — at 100 TB these run as a single embarrassingly-parallel scan
+with no shuffle. Engine-portability: only arithmetic (+ - * / min),
+string_split-equivalent tokenization, and md5 are used, all of which are
+bit-reproducible in DuckDB for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker vocabularies for the language-ID heuristic. With real corpora these
+# are per-language stopword/character-n-gram tables; the scoring machinery
+# (weighted marker hits -> argmax) is identical.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "key", "row"],
+    "de": ["table", "hash", "vector", "window"],
+    "es": ["data", "group", "scan", "stream"],
+    "fr": ["query", "order", "small", "line"],
+    "zh": ["spark", "join", "merge", "batch"],
+}
+
+STOPWORDS = ["the", "a", "of", "and"]
+
+
+def tokens(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def marker_hits(toks: Column, markers: list[str]) -> Column:
+    """Count of tokens (with multiplicity) in the marker set."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(toks: Column, markers: dict[str, list[str]] | None = None) -> list[Column]:
+    markers = markers or LANG_MARKERS
+    return [
+        marker_hits(toks, words).alias(f"score_{lang}")
+        for lang, words in sorted(markers.items())
+    ]
+
+
+def predict_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID: argmax over marker-hit scores, ties broken by language
+    code ascending (deterministic)."""
+    toks = tokens(text_col)
+    scored = df.select("*", *lang_scores(toks))
+    langs = sorted(LANG_MARKERS)
+    # argmax with lexicographic tiebreak: pick first lang with maximal score
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lg}") == best, F.lit(lg)) for lg in langs]
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish piece count (alpha runs,
+    digit runs, and isolated punctuation as separate pieces)."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(tokens(text_col)),
+            "n_pieces": F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")),
+            "n_alpha": F.regexp_count(t, F.lit(r"[A-Za-z]+")),
+            "n_chars_nospace": F.length(F.regexp_replace(t, r"\s", "")),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: rewards length (saturating at 100
+    tokens), penalizes stopword share, rewards longer average word length
+    (saturating at 8 chars). Pure arithmetic — engine-reproducible.
+    """
+    t = F.col(text_col)
+    n_tok = F.size(tokens(text_col)).cast("double")
+    n_stop = marker_hits(tokens(text_col), STOPWORDS).cast("double")
+    nospace = F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+    avg_len = nospace / n_tok
+    stop_ratio = n_stop / n_tok
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * F.least(avg_len / F.lit(8.0), F.lit(1.0))
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "stop_ratio": stop_ratio,
+            "avg_word_len": avg_len,
+            "quality": score,
+        }
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 over the normalized text
+    (lowercased, whitespace collapsed). Identical normalization -> identical
+    fingerprint; used for exact dedup at scale (hash-groupBy on a 32-char
+    key instead of the full document)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm))

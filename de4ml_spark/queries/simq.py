@@ -1,0 +1,56 @@
+"""Similarity-search queries over ``embeddings`` (extension tier): exact
+brute-force cosine top-k (oracled) and LSH-bucketed approximate top-k
+(rows-only; recall gated in tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de4ml_spark.operators.similarity import topk_bruteforce, topk_lsh
+from de4ml_spark.session import load_table
+
+K = 5
+N_QUERIES = 10
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return topk_bruteforce(queries, emb, k=K).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qe, e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+               6) AS cos_sim
+  FROM q JOIN v ON q.query_id <> v.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {K}
+"""
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return topk_lsh(queries, emb, k=K, bits=6).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+REGISTRY: dict[str, dict] = {
+    "knn_bruteforce": {"fn": knn_bruteforce, "sql": KNN_BRUTEFORCE_SQL},
+    "knn_lsh": {"fn": knn_lsh, "sql": None},
+}

@@ -1,0 +1,152 @@
+"""Text-analysis queries over the ``documents`` table (extension tier M5):
+token counting, quality scoring, language-ID, fingerprinting, sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de4ml_spark.operators.sessions import sessionize
+from de4ml_spark.operators.text import (
+    LANG_MARKERS,
+    fingerprint,
+    predict_lang,
+    quality_score,
+    token_stats,
+)
+from de4ml_spark.session import load_table
+
+
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs).select(
+        "doc_id", "n_tokens", "n_pieces", "n_alpha", "n_chars_nospace"
+    )
+
+
+TEXT_STATS_SQL = r"""
+SELECT
+  doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
+  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha,
+  length(regexp_replace(text, '\s', '', 'g')) AS n_chars_nospace
+FROM documents
+"""
+
+
+def quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id",
+        F.round("stop_ratio", 6).alias("stop_ratio_r"),
+        F.round("avg_word_len", 6).alias("avg_word_len_r"),
+        F.round("quality", 6).alias("quality_r"),
+    )
+
+
+QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '),
+                  x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) AS n_stop,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nospace
+  FROM documents
+)
+SELECT
+  doc_id,
+  ROUND(n_stop / n_tok, 6) AS stop_ratio_r,
+  ROUND(nospace / n_tok, 6) AS avg_word_len_r,
+  ROUND(0.4 * LEAST(n_tok / 100.0, 1.0)
+      + 0.3 * (1.0 - n_stop / n_tok)
+      + 0.3 * LEAST((nospace / n_tok) / 8.0, 1.0), 6) AS quality_r
+FROM t
+"""
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return predict_lang(docs).select(
+        "doc_id",
+        *[f"score_{lg}" for lg in sorted(LANG_MARKERS)],
+        "pred_lang",
+    )
+
+
+def _lang_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ",\n  ".join(
+        "len(list_filter(string_split(text, ' '), x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_MARKERS[lg])
+        + f"], x))) AS score_{lg}"
+        for lg in langs
+    )
+    greatest = "GREATEST(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = " ".join(
+        f"WHEN score_{lg} = {greatest} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+  {score_exprs}
+  FROM documents
+)
+SELECT doc_id, {', '.join('score_' + lg for lg in langs)},
+       CASE {case} END AS pred_lang
+FROM s
+"""
+
+
+LANG_ID_SQL = _lang_sql()
+
+
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, key="user_id", ts_col="ts", gap="30 minutes")
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, value
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+REGISTRY: dict[str, dict] = {
+    "text_stats_docs": {"fn": text_stats_docs, "sql": TEXT_STATS_SQL},
+    "quality_docs": {"fn": quality_docs, "sql": QUALITY_SQL},
+    "lang_id_docs": {"fn": lang_id_docs, "sql": LANG_ID_SQL},
+    "fingerprint_docs": {"fn": fingerprint_docs, "sql": FINGERPRINT_SQL},
+    "sessionize_events": {"fn": sessionize_events, "sql": SESSIONIZE_SQL},
+}

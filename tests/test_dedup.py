@@ -1,0 +1,96 @@
+"""Dedup operator tests: exact-dedup semantics, MinHash-LSH recall against
+exact Jaccard, SimHash candidate completeness against exact Hamming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from de4ml_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from de4ml_spark.session import load_table
+
+
+def test_exact_dedup_normalization(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),   # same after normalization
+            (3, " HELLO world "),
+            (4, "different doc"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert out == {1: 3, 4: 1}  # min-id survivor, 3 copies collapsed
+
+
+def test_minhash_lsh_recall_equals_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact, "testdata should contain planted near-duplicates"
+    # exact-verify step guarantees precision; bands tuned for full recall here
+    assert lsh == exact
+
+
+def test_minhash_signature_seeds_differ(spark):
+    """Regression: per-seed hash functions must actually differ (a two-arg
+    lambda in transform() silently becomes the (element, index) form)."""
+    from de4ml_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p")], "doc_id BIGINT, text STRING"
+    )
+    sig = minhash_signatures(df, num_hashes=8).collect()[0]["sig"]
+    assert len(set(sig)) > 1
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark, sf_dir):
+    """Band candidates must recover every pair with Hamming <= 3 (pigeonhole
+    guarantee) — verified against a brute-force signature cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]) for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert banded == brute
+    assert banded, "planted near-dups should collide at Hamming <= 3"
+
+
+def test_simhash_near_dups_have_close_signatures(spark, sf_dir):
+    """Planted Jaccard≈0.99 near-dups should be within small Hamming."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.95).collect()
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    close = sum(
+        1
+        for r in exact
+        if bin(sigs[r["id_a"]] ^ sigs[r["id_b"]]).count("1") <= 8
+    )
+    assert exact and close / len(exact) >= 0.8
