@@ -119,17 +119,27 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash signature per doc: for seed s, min over shingles of
-    xxhash64(shingle, seed=s). One scan, no shuffle."""
+    xxhash64(shingle, seed=s).
+
+    Shape: explode shingles -> ONE groupBy(id) computing all ``num_hashes``
+    MINs as codegen'd aggregates (higher-order-function lambdas are
+    interpreted in Spark and ~10x slower here). One shuffle on the doc id
+    with full map-side partial aggregation — the shuffled rows are already
+    one signature per doc, not one per shingle.
+
+    NB: xxhash64(e, lit(seed)) hashes the (shingle, seed) pair — the seed
+    column must be a distinct literal per aggregate, never a lambda index
+    (a two-arg transform lambda binds the element index instead).
+    """
     sh = df.select(id_col, shingles(text_col, n).alias("sh")).filter(F.size("sh") > 0)
-
-    def _minhash(seed: int) -> Column:
-        # NB: the inner lambda must take exactly one arg — a two-arg lambda is
-        # treated as transform's (element, index) form and the index would
-        # silently replace the seed, collapsing all hash functions into one.
-        return F.array_min(F.transform("sh", lambda e: F.xxhash64(e, F.lit(seed))))
-
-    sig = F.array(*[_minhash(s) for s in range(num_hashes)])
-    return sh.select(id_col, F.size("sh").alias("n_sh"), sig.alias("sig"))
+    ex = sh.select(F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    agg = ex.groupBy(id_col).agg(F.first("n_sh").alias("n_sh"), *mins)
+    sig = F.array(*[F.col(f"h{s}") for s in range(num_hashes)])
+    return agg.select(id_col, "n_sh", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(

@@ -1,0 +1,57 @@
+"""Physical-plan audits — the scale contracts, enforced as tests.
+
+These assert the *shape* of the executed plan (pushdown, pruning, broadcast,
+no Python in hot paths), which is what survives a 1000-executor scale-up —
+not timings, which don't.
+"""
+
+from __future__ import annotations
+
+from de4ml_spark.queries.dedupq import dedup_minhash_lsh
+from de4ml_spark.queries.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_region_revenue,
+)
+from de4ml_spark.queries.textq import text_stats_docs
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_column_pruning_and_pushdown(spark, sf_dir):
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # only the 7 referenced columns reach the scan — not all 11
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+    assert "l_shipdate" in scan
+    assert "DataFilters: [isnotnull(l_shipdate" in plan
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(q3_shipping_priority(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan  # AQE/broadcast at test scale
+    assert "(c_mktsegment" in plan  # filter pushed to the customer scan
+    assert "PythonUDF" not in plan
+
+
+def test_q5_star_join_no_python(spark, sf_dir):
+    plan = _plan(q5_region_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # nation/region/customer dims
+    assert "PythonUDF" not in plan
+
+
+def test_text_ops_single_scan_no_shuffle(spark, sf_dir):
+    plan = _plan(text_stats_docs(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_minhash_partial_aggregation(spark, sf_dir):
+    """The signature aggregation must have a map-side partial phase so the
+    shuffle carries one signature per doc, not one row per shingle."""
+    plan = _plan(dedup_minhash_lsh(spark, sf_dir))
+    assert "partial_min" in plan.lower() or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan  # candidates come from band joins
