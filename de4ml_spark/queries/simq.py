@@ -50,7 +50,19 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.ivf import fit_centroids, topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fit_centroids(emb, k_cells=16, sample_n=2000)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return topk_ivf(queries, emb, cents, k=K, nprobe=4).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
 REGISTRY: dict[str, dict] = {
     "knn_bruteforce": {"fn": knn_bruteforce, "sql": KNN_BRUTEFORCE_SQL},
     "knn_lsh": {"fn": knn_lsh, "sql": None},
+    "knn_ivf": {"fn": knn_ivf, "sql": None},
 }

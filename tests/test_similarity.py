@@ -58,3 +58,23 @@ def test_lsh_subset_and_recall(spark, sf_dir):
     # 4-bit LSH on 64-dim random-ish vectors: weak but far above zero;
     # exact recall quality is data-dependent, the gate is structural
     assert recall >= 0.15, f"recall@5 = {recall}"
+
+
+def test_ivf_recall(spark, sf_dir):
+    """IVF probing 4/16 cells should recover most exact neighbors."""
+    from de4ml_spark.operators.ivf import fit_centroids, topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fit_centroids(emb, k_cells=8, sample_n=500)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    q = emb.filter(F.col("vec_id") < 5)
+    brute_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(q, emb, k=5).collect()
+    }
+    ivf_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_ivf(q, emb, cents, k=5, nprobe=4).collect()
+    }
+    recall = len(brute_pairs & ivf_pairs) / len(brute_pairs)
+    assert recall >= 0.5, f"recall@5 = {recall}"
