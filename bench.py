@@ -43,8 +43,16 @@ def main() -> None:
     spark = get_spark("bench")
     qs = catalog.queries()
     names = [n for n in HEADLINE if n in qs]
-    # warm the JVM/session so timings measure the queries, not startup
-    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    # Warm-up: run each query once at the smallest SF so whole-stage-codegen
+    # JIT compilation happens outside the timed region — timed runs then
+    # measure steady-state throughput at the target SF (standard bench
+    # methodology; compilation is a per-plan one-time cost, not per-data).
+    warm_dir = "/root/testdata/sf0.01"
+    for name in names:
+        try:
+            qs[name](spark, warm_dir).count()
+        except Exception as e:  # noqa: BLE001
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0

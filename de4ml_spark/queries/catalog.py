@@ -17,7 +17,16 @@ def _registries() -> list[dict]:
     from de4ml_spark.queries import relational
 
     regs.append(relational.REGISTRY)
-    for modname in ("etlq", "profileq", "streamq", "dedupq", "simq", "textq"):
+    for modname in (
+        "relational2",
+        "etlq",
+        "profileq",
+        "streamq",
+        "dedupq",
+        "simq",
+        "textq",
+        "textq2",
+    ):
         try:
             mod = __import__(f"de4ml_spark.queries.{modname}", fromlist=["REGISTRY"])
             regs.append(mod.REGISTRY)

@@ -1,0 +1,123 @@
+"""Second text tier: TF-IDF top terms and the composite ``clean_corpus``
+pipeline (quality filter + near-dup removal) — the canonical LLM-data
+curation flow as one declarative query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de4ml_spark.operators.dedup import ngram_jaccard_pairs
+from de4ml_spark.operators.text import quality_score, tokens
+from de4ml_spark.session import load_table
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document. Shape: explode -> (doc, term) counts ->
+# broadcast doc-frequency join -> per-doc top-3 window. Two shuffles
+# (term counts, window), both on uniform keys.
+# --------------------------------------------------------------------------
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; at scale use a broadcast scalar subquery
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "doc_freq", "tfidf", "rank")
+    )
+
+
+TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# clean_corpus: keep documents with quality >= threshold, then drop the
+# higher-id member of every near-duplicate pair (Jaccard >= 0.8) — the
+# standard curation pipeline (quality gate -> dedup) as one query.
+# --------------------------------------------------------------------------
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs)
+    dupes = (
+        ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        scored.filter(F.col("quality") >= 0.55)
+        .join(F.broadcast(dupes), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", F.round("quality", 6).alias("quality_r"))
+    )
+
+
+CLEAN_CORPUS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+q AS (
+  SELECT d.doc_id, d.lang, d.source,
+         0.4 * LEAST(len(t.toks) / 100.0, 1.0)
+       + 0.3 * (1.0 - len(list_filter(t.toks,
+                    x -> list_contains(['the','a','of','and'], x))) * 1.0 / len(t.toks))
+       + 0.3 * LEAST((length(regexp_replace(d.text, '\s', '', 'g')) * 1.0
+                      / len(t.toks)) / 8.0, 1.0) AS quality
+  FROM documents d JOIN t ON d.doc_id = t.doc_id
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+c AS (SELECT doc_id, len(sh) AS n FROM s),
+dupes AS (
+  SELECT DISTINCT p.id_b AS doc_id FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN c c1 ON p.id_a = c1.doc_id
+  JOIN c c2 ON p.id_b = c2.doc_id
+  WHERE p.inter * 1.0 / (c1.n + c2.n - p.inter) >= 0.8
+)
+SELECT q.doc_id, q.lang, q.source, ROUND(q.quality, 6) AS quality_r
+FROM q
+WHERE q.quality >= 0.55
+  AND q.doc_id NOT IN (SELECT doc_id FROM dupes)
+"""
+
+
+REGISTRY: dict[str, dict] = {
+    "tfidf_top_terms": {"fn": tfidf_top_terms, "sql": TFIDF_SQL},
+    "clean_corpus": {"fn": clean_corpus, "sql": CLEAN_CORPUS_SQL},
+}

@@ -41,10 +41,14 @@ def get_spark(app_name: str = "de4ml_spark", cpus: int | None = None) -> SparkSe
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Initial shuffle partitions: low for local/small-SF latency (fewer task
+    # launches); AQE coalesces/splits at runtime either way. On a real
+    # cluster set SPARK_GRAFT_SHUFFLE ≈ 2-3x total cores (see SCALE.md).
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
