@@ -174,7 +174,7 @@ def minhash_signatures(
     """
     ex = shingle_rows(df, n, text_col, id_col)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}")
+        F.expr(f"min(xxhash64(shingle, {s}))").alias(f"h{s}")
         for s in range(num_hashes)
     ]
     agg = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"), *mins)
@@ -199,10 +199,18 @@ def minhash_lsh_pairs(
     not correctness (the classic S-curve tradeoff).
     """
     rows_per_band = num_hashes // bands
-    # persist signatures: the banded self-join consumes this plan on BOTH
-    # sides (exchange reuse is not guaranteed), and the verify step walks it
-    # again — one signature row per doc, tiny relative to the corpus.
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col).persist()
+    # Persist the exploded shingle rows ONCE: signatures, shingle-set sizes,
+    # and the exact-Jaccard verify all derive from this single (id, shingle
+    # BIGINT) relation — one corpus scan + one window sort total, and every
+    # downstream op joins/aggregates 8-byte longs in whole-stage codegen.
+    ex = shingle_rows(df, n, text_col, id_col).persist()
+    mins = [
+        F.expr(f"min(xxhash64(shingle, {s}))").alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    sigs = ex.groupBy(id_col).agg(*mins).select(
+        id_col, F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
+    )
     banded = sigs.select(
         id_col,
         F.explode(
@@ -232,30 +240,34 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # verify candidates with exact jaccard — shingles recomputed ONLY for
-    # docs that appear in a candidate pair (semi-join prune: the candidate
-    # set is tiny compared to the corpus, so this re-shingling is ~free)
+    # Verify candidates with exact Jaccard, reusing the persisted shingle
+    # rows: prune to docs in a candidate pair (broadcast semi-join — the
+    # candidate set is tiny compared to the corpus), count intersections via
+    # the shingle equi-join, keep only candidate pairs, then the size join.
+    cand = cand.persist()
     cand_ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
-    sh = hashed_shingle_frame(
-        df.join(F.broadcast(cand_ids), id_col), n, text_col, id_col
+    exc = ex.join(F.broadcast(cand_ids), id_col)
+    ca, cb = exc.alias("a"), exc.alias("b")
+    inter = (
+        ca.join(
+            cb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(F.broadcast(cand), ["id_a", "id_b"])
     )
-    verified = (
-        cand.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn(
-            "inter", F.size(F.array_intersect("sh_a", "sh_b"))
-        )
-        .withColumn(
-            "jaccard",
-            F.col("inter")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
-        )
+    sizes = _shingle_sizes(ex, id_col)
+    return (
+        _jaccard_for_pairs(inter, sizes, id_col)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -270,20 +282,22 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     hashed = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
+    # Aggregates and the signature assembly are emitted as SQL strings (one
+    # F.expr each) — building 64 vote columns from Column operators costs
+    # hundreds of Py4J round trips of pure plan-construction latency.
     votes = [
-        F.sum(
-            F.when(F.expr(f"(shiftrightunsigned(h, {j}) & 1) = 1"), 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftrightunsigned(h, {j}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END)"
         ).alias(f"v{j}")
         for j in range(64)
     ]
     voted = hashed.groupBy(id_col).agg(*votes)
-    sig = None
-    for j in range(64):
-        bit = F.when(F.col(f"v{j}") > 0, F.expr(f"shiftleft(1L, {j})")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return voted.select(F.col(id_col), sig.alias("simhash"))
+    sig_sql = " | ".join(
+        f"(CASE WHEN v{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j in range(64)
+    )
+    return voted.select(F.col(id_col), F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_pairs(
@@ -337,18 +351,27 @@ def embedding_neardup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = 64,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold, exact arithmetic.
 
-    Test-scale path: full pair join (O(n²) — fine at sf). At 100 TB the
-    candidate generation swaps to LSH bucketing (similarity.py
-    random_hyperplane_buckets) with this same exact rescoring afterwards.
+    Norms precompute once per vector in the (codegen'd) pre-join
+    projection, so each pair costs one dot instead of three. The non-equi
+    pair join executes as BroadcastNestedLoopJoin — no codegen — so the
+    per-pair dot uses the HOF fold (inside an interpreted operator the
+    fold's tight loop beats a deep unrolled tree). Test-scale path: full
+    pair join (O(n²) — fine at sf). At 100 TB the candidate generation
+    swaps to LSH bucketing (similarity.py random_hyperplane_buckets) with
+    this same exact rescoring afterwards.
     """
-    from de4ml_spark.operators.similarity import cosine
+    from de4ml_spark.operators.similarity import dot, norm, norm_sql
 
     v = df.select(
         F.col(id_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias("e"),
+    ).withColumn(
+        "nrm",
+        F.expr(norm_sql("e", dim)) if dim is not None else norm(F.col("e")),
     )
     a, b = v.alias("a"), v.alias("b")
     return (
@@ -356,7 +379,11 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("a.e"), F.col("b.e")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("a.e"), F.col("b.e"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

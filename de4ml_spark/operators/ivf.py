@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from de4ml_spark.operators.similarity import cosine, dot
+from de4ml_spark.operators.similarity import dot_sql, norm_sql
 
 
 def fit_centroids(
@@ -49,25 +49,44 @@ def fit_centroids(
     return [[float(v) for v in c] for c in cents]
 
 
-def _centroid_lits(centroids: list[list[float]]) -> list[Column]:
-    return [F.array(*[F.lit(v) for v in c]) for c in centroids]
+def _sq_l2_sql(vec: str, cent: list[float]) -> str:
+    """SQL text of the unrolled Σ_d (vec[d] - c_d)² with centroid coords as
+    double literals. Emitted as ONE string/F.expr call — building it from
+    PySpark Column operators would cost dim*2 Py4J round trips per centroid
+    at plan-build time (measured tens of seconds for 16x64 plans)."""
+    return "(" + " + ".join(
+        f"({vec}[{d}] - {v!r}D) * ({vec}[{d}] - {v!r}D)" for d, v in enumerate(cent)
+    ) + ")"
 
 
-def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
-    """Array of the n nearest cell ids by squared L2 (ascending, id tiebreak)."""
-    cells = F.array(
+def _with_nearest_cells(
+    df: DataFrame, vec: str, centroids: list[list[float]], n: int, out: str
+) -> DataFrame:
+    """Adds ``out`` = array of the n nearest cell ids by squared L2
+    (ascending, id tiebreak — array_sort on (d2, cell) structs orders by d2
+    then cell).
+
+    Two projections on purpose: the per-centroid d2 sums land in SEPARATE
+    columns first, then a tiny sort-slice combines them. One fused
+    expression (k_cells * dim * 2 nodes) exceeds the JVM's 64 KB method
+    limit, which aborts whole-stage codegen for the stage and drops every
+    row into interpreted expression evaluation — measured ~10x slower.
+    Separate columns split into separate codegen methods."""
+    with_d2 = df.select(
+        "*",
         *[
-            F.struct(
-                dot(
-                    F.zip_with(vec, lit_c, lambda a, b: a - b),
-                    F.zip_with(vec, lit_c, lambda a, b: a - b),
-                ).alias("d2"),
-                F.lit(i).alias("cell"),
-            )
-            for i, lit_c in enumerate(_centroid_lits(centroids))
-        ]
+            F.expr(_sq_l2_sql(vec, cent)).alias(f"__d2_{i}")
+            for i, cent in enumerate(centroids)
+        ],
     )
-    return F.slice(F.array_sort(cells), 1, n).getField("cell")
+    structs = ", ".join(
+        f"named_struct('d2', __d2_{i}, 'cell', {i})"
+        for i in range(len(centroids))
+    )
+    return with_d2.select(
+        *df.columns,
+        F.expr(f"slice(array_sort(array({structs})), 1, {n}).cell").alias(out),
+    )
 
 
 def ivf_assign(
@@ -76,11 +95,12 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    e = F.transform(vec_col, lambda x: x.cast("double"))
-    return df.select(
+    e = df.select(
         F.col(id_col),
-        e.alias("e"),
-        _nearest_cells(e, centroids, 1).getItem(0).alias("cell"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("e"),
+    )
+    return _with_nearest_cells(e, "e", centroids, 1, "__cells").select(
+        F.col(id_col), F.col("e"), F.expr("element_at(__cells, 1)").alias("cell")
     )
 
 
@@ -95,14 +115,31 @@ def topk_ivf(
 ) -> DataFrame:
     """Approximate top-k: probe the query's ``nprobe`` nearest cells, exact
     cosine rescore within them. Output: query_id, neighbor_id, cos_sim, rank."""
-    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("e").alias("ce"), "cell"
+    dim = len(centroids[0]) if centroids else 0
+    # Materialize the assigned corpus: this IS the IVF index (in production
+    # it would be written out partitioned/bucketed by cell). Persisting also
+    # stops Catalyst from inlining the k_cells*dim assignment expression
+    # into both the join's null-filter and the projection (CollapseProject +
+    # predicate pushdown re-fuse split columns), which made the giant
+    # expression evaluate twice per row in interpreted (non-codegen) stages.
+    c = (
+        ivf_assign(corpus, centroids, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"), F.col("e").alias("ce"), "cell"
+        )
+        .withColumn("cn", F.expr(norm_sql("ce", dim)))
+        .persist()
     )
-    qe = F.transform(vec_col, lambda x: x.cast("double"))
-    q = queries.select(
+    qbase = queries.select(
         F.col(id_col).alias("query_id"),
-        qe.alias("qe"),
-        F.explode(_nearest_cells(qe, centroids, nprobe)).alias("cell"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qe"),
+    )
+    q = (
+        _with_nearest_cells(qbase, "qe", centroids, nprobe, "__cells")
+        .select(
+            "query_id", "qe", F.expr("explode(__cells)").alias("cell")
+        )
+        .withColumn("qn", F.expr(norm_sql("qe", dim)))
     )
     scored = (
         F.broadcast(q)
@@ -111,7 +148,10 @@ def topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+            F.round(
+                F.expr(dot_sql("qe", "ce", dim)) / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

