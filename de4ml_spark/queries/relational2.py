@@ -141,9 +141,142 @@ GROUP BY CAST(ts AS DATE)
 """
 
 
+# --------------------------------------------------------------------------
+# Q4 shape: EXISTS semi-join — orders with at least one late-shipped item.
+# LEFT SEMI join never multiplies rows and ships only the join key; at
+# scale the orderkey-partitioned shuffle is the whole cost.
+# --------------------------------------------------------------------------
+
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate").isNotNull()).select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10 shape: returned-item revenue per customer, top 20. The two fact
+# tables shuffle-join on orderkey; customer/nation dims broadcast. LIMIT
+# is deterministic via (revenue DESC, custkey ASC) total order.
+# --------------------------------------------------------------------------
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2)
+    revenue = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"))
+    )
+    return (
+        revenue.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey", "c_name", F.col("n_name").alias("nation"), "revenue"
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Q14 shape: promo revenue share — conditional aggregate over a broadcast
+# dim join; the part table broadcasts, so the only shuffle is the single-row
+# final reduction.
+# --------------------------------------------------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2)
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), disc_price).otherwise(
+                        F.lit(0).cast("decimal(12,2)")
+                    )
+                ).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+       AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "q6_forecast_revenue": {"fn": q6_forecast_revenue, "sql": Q6_SQL},
     "sliding_window_events": {"fn": sliding_window_events, "sql": SLIDING_WINDOW_SQL},
     "part_type_stats": {"fn": part_type_stats, "sql": PART_TYPE_SQL},
     "events_dau": {"fn": events_dau, "sql": EVENTS_DAU_SQL},
+    "q4_late_orders": {"fn": q4_late_orders, "sql": Q4_SQL},
+    "q10_returned_revenue": {"fn": q10_returned_revenue, "sql": Q10_SQL},
+    "q14_promo_revenue": {"fn": q14_promo_revenue, "sql": Q14_SQL},
 }

@@ -117,7 +117,62 @@ WHERE q.quality >= 0.55
 """
 
 
+# --------------------------------------------------------------------------
+# Winnowing (rolling-hash) fingerprints, MOSS-style: hash every word
+# k-gram, slide a w-window over the hash sequence, keep each window's min,
+# emit the distinct selected hashes per doc. Guarantees any shared run of
+# >= k+w-1 tokens between two docs shares >= 1 fingerprint. The hash is a
+# 16-hex-char md5 prefix — reproducible in DuckDB, so this is oracled
+# (xxhash64 would not be). One shuffle (per-doc window sort).
+# --------------------------------------------------------------------------
+
+def winnow_fingerprint_docs(
+    spark: SparkSession, sf_dir: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    ex = docs.select("doc_id", F.posexplode(grams).alias("pos", "g")).withColumn(
+        "h", F.substring(F.md5("g"), 1, 16)
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    part = Window.partitionBy("doc_id")
+    return (
+        ex.withColumn("mh", F.min("h").over(win))
+        .withColumn("maxp", F.max("pos").over(part))
+        .filter(F.col("pos") <= F.col("maxp") - (w - 1))
+        .select("doc_id", F.col("mh").alias("fp"))
+        .distinct()
+    )
+
+
+WINNOW_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g0 AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS pos
+  FROM t WHERE len(toks) >= 3
+),
+g AS (
+  SELECT doc_id, pos,
+         substr(md5(array_to_string(toks[pos:pos+2], ' ')), 1, 16) AS h
+  FROM g0
+),
+w AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+         MAX(pos) OVER (PARTITION BY doc_id) AS maxp
+  FROM g
+)
+SELECT DISTINCT doc_id, mh AS fp FROM w WHERE pos <= maxp - 3
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "tfidf_top_terms": {"fn": tfidf_top_terms, "sql": TFIDF_SQL},
     "clean_corpus": {"fn": clean_corpus, "sql": CLEAN_CORPUS_SQL},
+    "winnow_fingerprint_docs": {"fn": winnow_fingerprint_docs, "sql": WINNOW_SQL},
 }
