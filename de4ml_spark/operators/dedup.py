@@ -270,6 +270,87 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_neardup_blocked(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via block-matrix multiply in
+    Arrow-batched ``applyInPandas`` — the scale path for exact pair scoring.
+
+    The interpreted pair-join path (embedding_neardup_pairs) evaluates one
+    HOF fold per pair inside BroadcastNestedLoopJoin: ~2 us/pair, 25 s for
+    12.5M pairs at sf0.1. Here each vector is replicated to its n_blocks
+    block-pair groups (shuffle volume x n_blocks), and each group computes
+    a dense numpy/BLAS similarity matrix (~GFLOP/s): same O(n²) flops,
+    orders of magnitude faster per flop, and work is spread over
+    n_blocks*(n_blocks+1)/2 independent tasks. Choose n_blocks so a block
+    fits executor memory: block_rows ≈ corpus/n_blocks, matrix bytes ≈
+    block_rows² * 8.
+
+    Output pairs are exact; cos_sim is rounded to 6 decimals. BLAS
+    summation order differs from the sequential fold, so last-bit
+    differences are possible pre-round — tests gate set-equality of pairs
+    against the fold path, not bit-equality of the raw doubles.
+    """
+    blocks = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("e"),
+        (F.col(id_col) % n_blocks).alias("blk"),
+    )
+    partner = blocks.select(
+        "vid",
+        "e",
+        "blk",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(n_blocks)])
+        ).alias("pb"),
+    ).select(
+        "vid",
+        "e",
+        "blk",
+        F.least("blk", "pb").alias("ga"),
+        F.greatest("blk", "pb").alias("gb"),
+    ).distinct()
+
+    out_schema = "id_a BIGINT, id_b BIGINT, cos_sim DOUBLE"
+
+    def score_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ga, gb = int(pdf["ga"].iloc[0]), int(pdf["gb"].iloc[0])
+        mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+        ids = pdf["vid"].to_numpy()
+        blks = pdf["blk"].to_numpy()
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        if ga == gb:
+            sims = (mat @ mat.T) / np.outer(norms, norms)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            id_a, id_b, cs = ids[ia], ids[ib], sims[ia, ib]
+        else:
+            a_mask, b_mask = blks == ga, blks == gb
+            ma, mb = mat[a_mask], mat[b_mask]
+            sims = (ma @ mb.T) / np.outer(norms[a_mask], norms[b_mask])
+            ia, ib = np.nonzero(np.ones_like(sims, dtype=bool))
+            id_a, id_b, cs = ids[a_mask][ia], ids[b_mask][ib], sims[ia, ib]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        cs = np.round(cs, 6)
+        keep = (lo < hi) & (cs >= threshold)
+        return pd.DataFrame(
+            {"id_a": lo[keep], "id_b": hi[keep], "cos_sim": cs[keep]}
+        )
+
+    return (
+        partner.groupBy("ga", "gb")
+        .applyInPandas(score_group, out_schema)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash: per-token xxhash64; signature bit j is the majority
     vote of token-hash bits j.

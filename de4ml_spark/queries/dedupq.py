@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from de4ml_spark.operators.dedup import (
+    embedding_neardup_blocked,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -97,6 +98,26 @@ WHERE ROUND(list_dot_product(a.e, b.e)
 """
 
 
+def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-BLAS exact pair scoring (the 100 TB path for the same
+    operator as dedup_embedding_cosine). The oracle compares the PAIR SET
+    only: BLAS summation order can shift raw cosines by ~1 ulp, so the
+    rounded similarity is not guaranteed bit-identical, but threshold
+    membership is (no testdata pair sits within 1e-9 of the threshold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_blocked(emb, threshold=0.45).select("id_a", "id_b")
+
+
+DEDUP_EMBEDDING_BLOCKED_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.45
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "dedup_exact_docs": {"fn": dedup_exact_docs, "sql": DEDUP_EXACT_SQL},
     "dedup_ngram_jaccard": {"fn": dedup_ngram_jaccard, "sql": DEDUP_NGRAM_SQL},
@@ -105,5 +126,9 @@ REGISTRY: dict[str, dict] = {
     "dedup_embedding_cosine": {
         "fn": dedup_embedding_cosine,
         "sql": DEDUP_EMBEDDING_SQL,
+    },
+    "dedup_embedding_blocked": {
+        "fn": dedup_embedding_blocked,
+        "sql": DEDUP_EMBEDDING_BLOCKED_SQL,
     },
 }

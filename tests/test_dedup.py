@@ -94,3 +94,26 @@ def test_simhash_near_dups_have_close_signatures(spark, sf_dir):
         if bin(sigs[r["id_a"]] ^ sigs[r["id_b"]]).count("1") <= 8
     )
     assert exact and close / len(exact) >= 0.8
+
+
+def test_embedding_blocked_matches_fold_path(spark, sf_dir):
+    """The blocked-BLAS path must find exactly the pairs the fold path
+    finds, with cosines equal to ~1 ulp (BLAS summation order differs)."""
+    from de4ml_spark.operators.dedup import (
+        embedding_neardup_blocked,
+        embedding_neardup_pairs,
+    )
+    from de4ml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_blocked(emb, threshold=0.45).collect()
+    }
+    assert set(fold) == set(blocked)
+    for pair, cs in fold.items():
+        assert abs(cs - blocked[pair]) < 1e-9
