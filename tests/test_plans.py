@@ -55,3 +55,33 @@ def test_minhash_partial_aggregation(spark, sf_dir):
     plan = _plan(dedup_minhash_lsh(spark, sf_dir))
     assert "partial_min" in plan.lower() or "HashAggregate" in plan
     assert "CartesianProduct" not in plan  # candidates come from band joins
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Scale contract: two tables bucketed on the join key with equal
+    bucket counts join with ZERO Exchange (the shuffle happened once, at
+    write time). This is the 100 TB fact-join layout from SCALE.md."""
+    from de4ml_spark.etl.layout import read_table, write_bucketed
+    from de4ml_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_b", "o_orderkey", 4, sort_col="o_orderkey")
+    write_bucketed(li, "lineitem_b", "l_orderkey", 4, sort_col="l_orderkey")
+    try:
+        o, l = read_table(spark, "orders_b"), read_table(spark, "lineitem_b")
+        # disable broadcast so the join must consider co-location
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+            "o_orderpriority", "l_quantity"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
