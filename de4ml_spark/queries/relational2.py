@@ -271,8 +271,116 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+# --------------------------------------------------------------------------
+# Q7 shape: bidirectional nation-pair trade volume — two broadcast joins of
+# the SAME dim under different aliases, fact⋈fact shuffle join on orderkey.
+# --------------------------------------------------------------------------
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2)
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# ROLLUP: subtotal lattice over (priority, status) — Spark expands to a
+# grouping-set union in one pass (Expand operator), not one scan per level.
+# --------------------------------------------------------------------------
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# PIVOT: per-day event-type counts as columns. Spark's pivot with an
+# explicit value list compiles to conditional aggregates — one scan, one
+# shuffle, no per-value scans.
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'error') AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "q6_forecast_revenue": {"fn": q6_forecast_revenue, "sql": Q6_SQL},
+    "q7_nation_volume": {"fn": q7_nation_volume, "sql": Q7_SQL},
+    "orders_rollup": {"fn": orders_rollup, "sql": ORDERS_ROLLUP_SQL},
+    "events_pivot": {"fn": events_pivot, "sql": EVENTS_PIVOT_SQL},
     "sliding_window_events": {"fn": sliding_window_events, "sql": SLIDING_WINDOW_SQL},
     "part_type_stats": {"fn": part_type_stats, "sql": PART_TYPE_SQL},
     "events_dau": {"fn": events_dau, "sql": EVENTS_DAU_SQL},

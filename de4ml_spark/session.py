@@ -72,18 +72,31 @@ def get_spark(app_name: str = "de4ml_spark", cpus: int | None = None) -> SparkSe
     return builder.getOrCreate()
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing types for engine-portable semantics.
 
     ``events.ts`` arrives as int64 nanoseconds (legacy nanosAsLong); we floor-
     divide to micros — the same truncation DuckDB applies casting
     TIMESTAMP_NS -> TIMESTAMP — and expose TIMESTAMP_NTZ.
+
+    The analyzed DataFrame is memoized per (session, sf_dir, table):
+    DataFrames are immutable plan handles, and re-creating one repeats file
+    listing + parquet schema read (~50-100 ms of driver latency per call) —
+    pure overhead when the catalog runs many queries over the same tables.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    _TABLE_CACHE[key] = df
     return df
 
 

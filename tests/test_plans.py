@@ -85,3 +85,35 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_join_matches_unsalted(spark):
+    """Salting must not change row-level results, and must spread a hot key
+    across n_salts shuffle keys (the skew escape hatch from SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.operators.skew import salted_join
+
+    # 10k rows, 99% on one hot key
+    big = spark.range(10_000).select(
+        F.when(F.col("id") % 100 == 0, F.col("id") % 7).otherwise(F.lit(1))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim_{i}") for i in range(7)], "k BIGINT, name STRING"
+    )
+    expected = sorted(
+        (r["v"], r["name"])
+        for r in big.join(small, "k", "left").collect()
+    )
+    got = sorted(
+        (r["v"], r["name"])
+        for r in salted_join(big, small, "k", n_salts=4, how="left").collect()
+    )
+    assert got == expected
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", how="full")
