@@ -1,0 +1,172 @@
+"""Property-based tests (hypothesis) for the pure plan-construction logic,
+plus randomized single-DataFrame checks of operators against plain-Python
+reference implementations.
+
+The hypothesis targets are driver-side pure functions (no Spark jobs), so
+hundreds of examples run in milliseconds; the Spark-side randomized tests
+batch all cases into ONE DataFrame so the whole property costs one job.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from de4ml_spark.contracts.jsonschema import (
+    flatten_manifest,
+    merge_manifests,
+    struct_from_json_schema,
+)
+
+# ---------------------------------------------------------------------------
+# JSON Schema -> StructType -> manifest round-trip properties
+# ---------------------------------------------------------------------------
+
+_prim = st.sampled_from(["string", "integer", "number", "boolean"])
+_name = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8
+)
+
+
+@st.composite
+def json_schemas(draw, depth=2):
+    """Random object schema: primitives, nested objects, arrays of
+    primitives, arrays of flat objects (the reference's full type surface)."""
+    n = draw(st.integers(1, 4))
+    names = draw(
+        st.lists(_name, min_size=n, max_size=n, unique=True)
+    )
+    props = {}
+    for nm in names:
+        kind = draw(st.integers(0, 3 if depth > 0 else 1))
+        if kind == 0:
+            props[nm] = {"type": draw(_prim)}
+        elif kind == 1:
+            props[nm] = {"type": "array", "items": {"type": draw(_prim)}}
+        elif kind == 2:
+            props[nm] = draw(json_schemas(depth=depth - 1))
+        else:
+            # array<struct> fields must be primitive-only (the reference
+            # flattens exactly one level; flatten_manifest rejects deeper)
+            k = draw(st.integers(1, 3))
+            leaf_names = draw(st.lists(_name, min_size=k, max_size=k, unique=True))
+            flat = {
+                "type": "object",
+                "properties": {
+                    ln: {"type": draw(_prim)} for ln in leaf_names
+                },
+            }
+            props[nm] = {"type": "array", "items": flat}
+    return {"type": "object", "properties": props}
+
+
+@given(json_schemas())
+@settings(max_examples=200, deadline=None)
+def test_manifest_paths_unique_and_ordered(schema):
+    struct = struct_from_json_schema(schema)
+    manifest = flatten_manifest(struct)
+    # every leaf yields exactly one path; paths unique; order deterministic
+    assert len(manifest) == len(set(manifest))
+    assert manifest == flatten_manifest(struct_from_json_schema(schema))
+    # __ appears only as a nesting separator: splitting on __ re-yields
+    # non-empty components
+    for path in manifest:
+        assert all(part for part in path.split("__"))
+
+
+@given(json_schemas(), json_schemas())
+@settings(max_examples=200, deadline=None)
+def test_manifest_merge_is_additive_prefix(a, b):
+    ma = flatten_manifest(struct_from_json_schema(a))
+    mb = flatten_manifest(struct_from_json_schema(b))
+    combined = sorted(set(ma) | set(mb))
+    merged = merge_manifests(ma, combined)
+    # old columns keep their exact positions (old files stay readable)
+    assert merged[: len(ma)] == ma
+    # nothing is lost and nothing duplicated
+    assert sorted(merged) == combined
+
+
+# ---------------------------------------------------------------------------
+# Operator vs plain-Python reference, batched into one DataFrame
+# ---------------------------------------------------------------------------
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_ngram_jaccard_matches_python_reference(spark):
+    """300 random doc pairs (some near-dup, some disjoint): the operator's
+    (inter, jaccard) must equal the plain-Python set computation."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(0, 300, 2):
+        base = [rng.choice(vocab) for _ in range(rng.randint(3, 30))]
+        mutated = list(base)
+        if rng.random() < 0.5 and len(mutated) > 4:
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+        else:
+            mutated = [rng.choice(vocab) for _ in range(rng.randint(3, 30))]
+        docs.append((i, " ".join(base)))
+        docs.append((i + 1, " ".join(mutated)))
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+
+    from de4ml_spark.operators.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    py_sh = {i: _py_shingles(t) for i, t in docs}
+    for (ia, ib), (inter, jac) in got.items():
+        expect_inter = len(py_sh[ia] & py_sh[ib])
+        expect_union = len(py_sh[ia] | py_sh[ib])
+        assert inter == expect_inter, (ia, ib)
+        assert jac == round(expect_inter / expect_union, 9), (ia, ib)
+    # completeness: every python pair with inter>0 must appear
+    ids = sorted(py_sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if py_sh[a] and py_sh[b] and py_sh[a] & py_sh[b]:
+                assert (a, b) in got, (a, b)
+
+
+def test_validation_rules_match_python_reference(spark):
+    """Random rows against bounds/required rules: the split must equal the
+    plain-Python predicate on every row."""
+    from de4ml_spark.contracts.validation import Rule, split_valid
+
+    rng = random.Random(13)
+    rows = [
+        (
+            i,
+            None if rng.random() < 0.2 else rng.uniform(-2, 2),
+            None if rng.random() < 0.1 else rng.randint(-5, 15),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, p DOUBLE, n BIGINT")
+    rules = [
+        Rule(loc="p", kind="required"),
+        Rule(loc="p", kind="bounds", lo=0.0, hi=1.0),
+        Rule(loc="n", kind="bounds", lo=0, hi=10),
+    ]
+    valid, rejects = split_valid(df, rules)
+    got_valid = {r["id"] for r in valid.collect()}
+
+    def ok(p, n):
+        if p is None or not (0.0 <= p <= 1.0):
+            return False
+        return n is None or 0 <= n <= 10
+
+    want_valid = {i for i, p, n in rows if ok(p, n)}
+    assert got_valid == want_valid
+    assert {r["id"] for r in rejects.collect()} == {
+        i for i, _, _ in rows
+    } - want_valid

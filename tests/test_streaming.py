@@ -133,3 +133,53 @@ def test_streaming_violation_rate_alert(spark, tmp_path):
     finally:
         q.stop()
     assert got == {"2024-01-01T00:00:00": 2, "2024-01-01T00:01:00": 1}
+
+
+@pytest.mark.slow
+def test_streaming_session_window(spark, tmp_path):
+    """Session windows over an event-time stream (SURVEY §2.7: available
+    beyond reference parity): events within a 60s gap coalesce into one
+    session; a > gap pause starts a new one. Streaming result must equal
+    the batch session_window over the same rows."""
+    src = tmp_path / "ev"
+    rows = [
+        {"user_id": 1, "ts": _ts(0)},
+        {"user_id": 1, "ts": _ts(30)},     # same session (gap 30s < 60s)
+        {"user_id": 1, "ts": _ts(200)},    # new session (gap 170s)
+        {"user_id": 2, "ts": _ts(10)},
+    ]
+    _write(src, rows)
+    schema = "user_id BIGINT, ts TIMESTAMP"
+    stream = (
+        spark.readStream.schema(schema).json(str(src))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.session_window("ts", "60 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("start"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], str(r["start"]), r["n"])
+            for r in spark.sql("select * from sessions").collect()
+        }
+    finally:
+        q.stop()
+    batch = (
+        spark.read.schema(schema).json(str(src))
+        .groupBy(F.session_window("ts", "60 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("start"), "n")
+    )
+    want = {(r["user_id"], str(r["start"]), r["n"]) for r in batch.collect()}
+    assert got == want
+    # structural: user 1 has exactly two sessions, sized 2 and 1
+    u1 = sorted(n for (u, _, n) in got if u == 1)
+    assert u1 == [1, 2]
