@@ -183,3 +183,50 @@ def test_streaming_session_window(spark, tmp_path):
     # structural: user 1 has exactly two sessions, sized 2 and 1
     u1 = sorted(n for (u, _, n) in got if u == 1)
     assert u1 == [1, 2]
+
+
+@pytest.mark.slow
+def test_streaming_observed_violation_metrics(spark, tmp_path):
+    """A2 streaming parity: violation counters ride the streaming query as
+    observed metrics, surfaced per micro-batch in query progress — the
+    Prometheus-scrape analog (dataops/promconfig/prometheus.yml:5) with no
+    second pass over the stream."""
+    from de4ml_spark.contracts.validation import Rule
+    from de4ml_spark.profile.observe import observed_violation_counts
+
+    src = tmp_path / "ev"
+    _write(
+        src,
+        [
+            {"key": "a", "probability": 0.5},
+            {"key": "b", "probability": 1.5},   # bounds violation
+            {"key": "c", "probability": None},  # required violation
+        ],
+    )
+    stream = spark.readStream.schema("key STRING, probability DOUBLE").json(
+        str(src)
+    )
+    rules = [
+        Rule(loc="probability", kind="required"),
+        Rule(loc="probability", kind="bounds", lo=0.0, hi=1.0),
+    ]
+    observed, _obs = observed_violation_counts(stream, rules, name="dq")
+    q = (
+        observed.writeStream.format("memory")
+        .queryName("dq_rows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        metrics = None
+        for p in reversed(q.recentProgress):
+            if p["observedMetrics"].get("dq"):
+                metrics = p["observedMetrics"]["dq"]
+                break
+        assert metrics is not None, "no observed metrics in progress"
+        assert metrics["probability__required"] == 1
+        assert metrics["probability__bounds"] == 1
+    finally:
+        q.stop()
