@@ -1,0 +1,108 @@
+"""CLI entry points mirroring the reference's operational surface.
+
+Reference commands (relative to /root/reference/):
+- ``bin/etl.sh <db> <table> <outdir>`` (logging-service/app/etl.py:76-90)
+  -> ``python -m de4ml_spark etl --raw <json_dir> --schema <schema.json>
+     --out <out.parquet>``
+- ``bin/profile.sh`` (dataops/app/profile.py:42-78)
+  -> ``python -m de4ml_spark profile --table <file.parquet> [--rules]``
+- ``app/pcat.py`` (parquet cat, logging-service/app/pcat.py:1-17)
+  -> ``python -m de4ml_spark pcat <file.parquet> [--limit N]``
+
+The reference's ETL reads a SQLite event log; ours reads the JSON-lines
+landing zone (SURVEY §7.5.5 — parity at the data level). For true SQLite
+files use ``--sqlite <db> --sqlite-table <t>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(cpus: int = 8):
+    from de4ml_spark.session import get_spark
+
+    return get_spark("de4ml-cli", cpus=cpus)
+
+
+def cmd_etl(args: argparse.Namespace) -> int:
+    from de4ml_spark.contracts.jsonschema import (
+        flatten_manifest,
+        struct_from_json_schema,
+    )
+    from de4ml_spark.etl.flatten import flatten
+    from de4ml_spark.etl.pipeline import etl, parse_typed
+
+    with open(args.schema) as fh:
+        struct = struct_from_json_schema(json.load(fh))
+    spark = _spark()
+    if args.sqlite:
+        from de4ml_spark.sources.sqlite import read_sqlite_table
+
+        raw = read_sqlite_table(spark, args.sqlite, args.sqlite_table)
+        flat = flatten(parse_typed(raw, struct).drop("ts"), struct)
+        flat.write.mode("overwrite").parquet(args.out)
+    else:
+        flat = etl(spark, args.raw, struct, args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"wrote {n} rows x {len(flatten_manifest(struct))} cols -> {args.out}")
+    return 0
+
+
+def cmd_profile(args: argparse.Namespace) -> int:
+    from de4ml_spark.contracts.validation import rules_from_profile
+    from de4ml_spark.profile.battery import profile
+
+    spark = _spark()
+    df = spark.read.parquet(args.table)
+    prof = profile(df, exact=args.exact)
+    rows = [r.asDict() for r in prof.collect()]
+    for r in rows:
+        print(json.dumps(r, default=str))
+    if args.rules:
+        for rule in rules_from_profile(rows):
+            print(f"# rule: {rule}")
+    return 0
+
+
+def cmd_pcat(args: argparse.Namespace) -> int:
+    spark = _spark()
+    df = spark.read.parquet(args.file)
+    print(df.columns)
+    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    for row in rows:
+        print(tuple(row))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="de4ml_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("etl", help="raw events -> typed, flattened parquet")
+    pe.add_argument("--raw", help="JSON-lines landing dir (ts,data rows)")
+    pe.add_argument("--sqlite", help="SQLite db path (alternative to --raw)")
+    pe.add_argument("--sqlite-table", default="events")
+    pe.add_argument("--schema", required=True, help="JSON Schema file")
+    pe.add_argument("--out", required=True, help="output parquet path")
+    pe.set_defaults(fn=cmd_etl)
+
+    pp = sub.add_parser("profile", help="per-column stats battery")
+    pp.add_argument("--table", required=True, help="parquet path")
+    pp.add_argument("--exact", action="store_true")
+    pp.add_argument("--rules", action="store_true", help="derive quality rules")
+    pp.set_defaults(fn=cmd_profile)
+
+    pc = sub.add_parser("pcat", help="print a parquet file")
+    pc.add_argument("file")
+    pc.add_argument("--limit", type=int, default=0)
+    pc.set_defaults(fn=cmd_pcat)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,53 @@
+"""CLI surface tests (reference parity: bin/etl.sh, bin/profile.sh, pcat)."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_cli_etl_and_pcat(spark, tmp_path, capsys):
+    from de4ml_spark.__main__ import main
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    events = [
+        {"ts": 1, "data": json.dumps({"query_id": "q1", "user": {"id": 7}})},
+        {"ts": 2, "data": json.dumps({"query_id": "q2", "user": {"id": 8}})},
+    ]
+    (raw / "part.json").write_text("\n".join(json.dumps(e) for e in events))
+    schema = {
+        "type": "object",
+        "properties": {
+            "query_id": {"type": "string"},
+            "user": {
+                "type": "object",
+                "properties": {"id": {"type": "integer"}},
+            },
+        },
+    }
+    sf = tmp_path / "schema.json"
+    sf.write_text(json.dumps(schema))
+    out = str(tmp_path / "out.parquet")
+
+    assert main(["etl", "--raw", str(raw), "--schema", str(sf), "--out", out]) == 0
+    got = {r["query_id"]: r["user__id"] for r in spark.read.parquet(out).collect()}
+    assert got == {"q1": 7, "q2": 8}
+
+    assert main(["pcat", out, "--limit", "1"]) == 0
+    printed = capsys.readouterr().out
+    assert "user__id" in printed
+
+
+def test_cli_profile_rules(tmp_path, spark, capsys):
+    from de4ml_spark.__main__ import main
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.1)], "id BIGINT, p DOUBLE"
+    ).write.parquet(p)
+    assert main(["profile", "--table", p, "--exact", "--rules"]) == 0
+    out = capsys.readouterr().out
+    lines = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    byname = {l["column_name"]: l for l in lines}
+    assert byname["p"]["min"] == "0.1" and byname["p"]["max"] == "0.9"
+    assert "# rule:" in out
