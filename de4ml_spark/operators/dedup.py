@@ -468,3 +468,65 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup cluster assignment: (id, component) where component is the
+    MIN id reachable through the pair graph; singletons map to themselves.
+
+    Min-label propagation: each round every vertex takes the min of its own
+    label and its neighbors' labels; stop when a round changes nothing.
+    Rounds needed = graph diameter — near-dup clusters are tiny cliques/
+    chains (2-4 hops), so this converges in a handful of rounds even at
+    100 TB corpus scale; each round is one shuffle join on the edge list
+    plus a groupBy-min. The edge list (near-dup pairs) is orders of
+    magnitude smaller than the corpus, so rounds are cheap; labels persist
+    each round and the previous round unpersists (bounded memory).
+
+    The iteration is driver-controlled (non-SQL-expressible per round), but
+    the FIXPOINT equals the transitive closure — the DuckDB oracle computes
+    it with a recursive CTE.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    ).persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))

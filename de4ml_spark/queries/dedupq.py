@@ -118,8 +118,58 @@ WHERE ROUND(list_dot_product(a.e, b.e)
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over the exact n-gram near-dup graph (Jaccard >=
+    0.8): every document labeled with the min doc_id reachable through near-
+    dup pairs (singletons label themselves) — the survivor-selection step of
+    a dedup pipeline. Iterative min-label propagation; oracle = recursive
+    CTE transitive closure."""
+    from de4ml_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3).select("id_a", "id_b")
+    return connected_components(pairs, docs, id_col="doc_id")
+
+
+DEDUP_COMPONENTS_SQL = """
+WITH RECURSIVE
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+c AS (SELECT doc_id, len(sh) AS n FROM s),
+p AS (
+  SELECT q.id_a, q.id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) q
+  JOIN c c1 ON q.id_a = c1.doc_id
+  JOIN c c2 ON q.id_b = c2.doc_id
+  WHERE q.inter * 1.0 / (c1.n + c2.n - q.inter) >= 0.8
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach(n, m) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.n, e2.b FROM reach r JOIN edges e2 ON r.m = e2.a
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.m), d.doc_id)) AS component
+FROM documents d
+LEFT JOIN reach r ON d.doc_id = r.n
+GROUP BY d.doc_id
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "dedup_exact_docs": {"fn": dedup_exact_docs, "sql": DEDUP_EXACT_SQL},
+    "dedup_components": {"fn": dedup_components, "sql": DEDUP_COMPONENTS_SQL},
     "dedup_ngram_jaccard": {"fn": dedup_ngram_jaccard, "sql": DEDUP_NGRAM_SQL},
     "dedup_minhash_lsh": {"fn": dedup_minhash_lsh, "sql": None},
     "dedup_simhash": {"fn": dedup_simhash, "sql": None},

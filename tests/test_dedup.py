@@ -117,3 +117,21 @@ def test_embedding_blocked_matches_fold_path(spark, sf_dir):
     assert set(fold) == set(blocked)
     for pair, cs in fold.items():
         assert abs(cs - blocked[pair]) < 1e-9
+
+
+def test_connected_components_chain(spark):
+    """A chain a-b, b-c, plus an isolated pair and a singleton: labels
+    propagate transitively to the min id in >1 round."""
+    from de4ml_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21)], "id_a BIGINT, id_b BIGINT"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 5, 9, 20, 21, 99)], "doc_id BIGINT"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, verts).collect()
+    }
+    assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 99: 99}
