@@ -117,3 +117,40 @@ def test_salted_join_matches_unsalted(spark):
 
     with pytest.raises(ValueError):
         salted_join(big, small, "k", how="full")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date-partitioned warehouse layout: a day filter must reach the scan
+    as PartitionFilters (directory pruning — irrelevant partitions are
+    never listed, the I/O win that matters most at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.etl.pipeline import write_warehouse
+    from de4ml_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_warehouse(ev, path, partition_by=["day"])
+    got = (
+        spark.read.parquet(path)
+        .filter(F.col("day") == "2024-01-03")
+        .select("event_id")
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters" in plan
+    # the partition predicate must be in PartitionFilters, not DataFilters
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "day" in pf
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    """The LSH candidate join must be an equi hash join on (band, bucket) —
+    never a cartesian/nested-loop pair enumeration."""
+    from de4ml_spark.queries.dedupq import dedup_minhash_lsh
+
+    plan = _plan(dedup_minhash_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -170,3 +170,55 @@ def test_validation_rules_match_python_reference(spark):
     assert {r["id"] for r in rejects.collect()} == {
         i for i, _, _ in rows
     } - want_valid
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a run of >= k+w-1 consecutive
+    tokens (k=3, w=4 -> 6 tokens) share at least one fingerprint; identical
+    docs share ALL fingerprints."""
+    rng = random.Random(99)
+    vocab = [f"t{i}" for i in range(40)]
+    shared = [rng.choice(vocab) for _ in range(8)]  # 8-token shared run
+    docs = []
+    for i in range(0, 60, 2):
+        pre = [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+        post = [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+        pre2 = [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+        docs.append((i, " ".join(pre + shared + post)))
+        docs.append((i + 1, " ".join(pre2 + shared)))
+    docs.append((1000, " ".join(shared)))
+    docs.append((1001, " ".join(shared)))
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+
+    # reuse the query fn's plan on an in-memory table via a temp view swap:
+    # simplest is to call the operator logic directly through the query by
+    # writing parquet, but the query takes sf_dir — so inline the same plan
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.operators.text import tokens
+
+    k, w = 3, 4
+    toks = tokens("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    ex = df.select("doc_id", F.posexplode(grams).alias("pos", "g")).withColumn(
+        "h", F.substring(F.md5("g"), 1, 16)
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    part = Window.partitionBy("doc_id")
+    fps = (
+        ex.withColumn("mh", F.min("h").over(win))
+        .withColumn("maxp", F.max("pos").over(part))
+        .filter(F.col("pos") <= F.col("maxp") - (w - 1))
+        .select("doc_id", F.col("mh").alias("fp"))
+        .distinct()
+    )
+    by_doc: dict[int, set] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i in range(0, 60, 2):
+        assert by_doc[i] & by_doc[i + 1], f"docs {i},{i+1} share no fingerprint"
+    assert by_doc[1000] == by_doc[1001]

@@ -230,3 +230,47 @@ def test_streaming_observed_violation_metrics(spark, tmp_path):
         assert metrics["probability__bounds"] == 1
     finally:
         q.stop()
+
+
+@pytest.mark.slow
+def test_streaming_checkpoint_recovery(spark, tmp_path):
+    """Exactly-once across restart (SURVEY §2.7: durability the reference
+    concedes it lacks — join-service/README.md:66-68): stop a query, add
+    data, restart from the SAME checkpoint — already-processed rows are not
+    re-emitted, new rows are."""
+    src, ckpt = tmp_path / "src", str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write(src, [{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+    schema = "k STRING, v BIGINT"
+
+    def start():
+        return (
+            spark.readStream.schema(schema).json(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def sink_rows():
+        return sorted(
+            (r["k"], r["v"]) for r in spark.read.parquet(out).collect()
+        )
+
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert sink_rows() == [("a", 1), ("b", 2)]
+
+    _write(src, [{"k": "c", "v": 3}])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # restart from the same checkpoint: already-committed rows appear
+    # exactly once, the new batch is appended (no replay, no loss)
+    assert sink_rows() == [("a", 1), ("b", 2), ("c", 3)]
