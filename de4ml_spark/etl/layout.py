@@ -44,3 +44,29 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table with its bucket spec (spark.table keeps the
     output partitioning; spark.read.parquet on the files would not)."""
     return spark.table(table)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_bytes) files. Streaming sinks and per-batch
+    appends accumulate KB-sized files whose per-file open/footer cost
+    dominates scans at scale; warehouse maintenance compacts them to
+    scan-efficient sizes. Returns the output file count."""
+    import math
+
+    # real on-disk bytes via the Hadoop FS API (works for any scheme);
+    # optimizer size ESTIMATES inflate compressed parquet and would
+    # over-split
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    size = fs.getContentSummary(jpath).getLength()
+    n = max(1, math.ceil(size / target_bytes))
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(
+        out_path
+    )
+    return n

@@ -26,6 +26,7 @@ def _registries() -> list[dict]:
         "simq",
         "textq",
         "textq2",
+        "samplingq",
     ):
         try:
             mod = __import__(f"de4ml_spark.queries.{modname}", fromlist=["REGISTRY"])

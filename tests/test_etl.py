@@ -102,3 +102,58 @@ def test_flatten_plan_is_pure_projection(spark, tmp_path):
     plan = flat._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan  # no Python UDFs in the ETL hot path
+
+
+def test_compact_small_files(spark, tmp_path):
+    from de4ml_spark.etl.layout import compact
+
+    src = str(tmp_path / "frag")
+    # 40 tiny files
+    spark.range(4000).repartition(40).write.parquet(src)
+    out = str(tmp_path / "compacted")
+    n = compact(spark, src, out, target_bytes=10 * 1024 * 1024)
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == n <= 4
+    assert spark.read.parquet(out).count() == 4000
+
+
+def test_sampling_deterministic_and_leakage_safe(spark, sf_dir):
+    from de4ml_spark.operators.sampling import (
+        deterministic_sample,
+        group_split,
+        mix_sources,
+    )
+    from de4ml_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, 0.2, "doc_id").collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(docs, 0.2, "doc_id").collect()}
+    assert s1 == s2  # reproducible
+    n = docs.count()
+    assert 0.1 * n < len(s1) < 0.3 * n  # near the target rate
+    # monotone: a larger fraction strictly contains a smaller one
+    s3 = {r["doc_id"] for r in deterministic_sample(docs, 0.5, "doc_id").collect()}
+    assert s1 < s3
+
+    ev = load_table(spark, sf_dir, "events")
+    split = group_split(ev, "user_id", test_fraction=0.25)
+    per_user = (
+        split.groupBy("user_id")
+        .agg({"split": "collect_set"})
+        .withColumnRenamed("collect_set(split)", "splits")
+    )
+    # leakage-safe: every user is wholly train or wholly test
+    assert per_user.filter("size(splits) > 1").count() == 0
+
+    mixed = mix_sources(docs, {"src1": 0.5, "src2": 1.0, "src3": 0.0})
+    by_src = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert by_src.get("src3", 0) == 0
+    full = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["src2"] == full["src2"]
