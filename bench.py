@@ -27,6 +27,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "knn_bruteforce",
     "text_stats_docs",
+    "q6_forecast_revenue",
+    "events_pivot",
+    "sample_docs",
 ]
 
 

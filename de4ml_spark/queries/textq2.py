@@ -171,8 +171,64 @@ SELECT DISTINCT doc_id, mh AS fp FROM w WHERE pos <= maxp - 3
 """
 
 
+# --------------------------------------------------------------------------
+# Training-sequence packing (GPT-style concat-and-chunk): concatenate docs
+# in doc_id order, chunk the token stream into fixed-budget sequences, and
+# report each doc's starting sequence and token offset. A running-total
+# window over token counts — one sort-shuffle.
+#
+# Scale note: a single global cumsum serializes into one partition. At
+# 100 TB packing is done per shard (partitionBy(shard) in the window — each
+# shard packs independently, offsets are shard-local), which is exactly how
+# training data is sharded anyway; the global variant here keeps the oracle
+# comparable.
+# --------------------------------------------------------------------------
+
+SEQ_BUDGET = 512
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    toks = F.size(tokens("text"))
+    return (
+        docs.select("doc_id", toks.alias("n_tokens"))
+        .withColumn("offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "offset",
+            (F.col("offset") / SEQ_BUDGET).cast("bigint").alias("seq_start"),
+            ((F.col("offset") + F.col("n_tokens") - 1) / SEQ_BUDGET)
+            .cast("bigint")
+            .alias("seq_end"),
+        )
+    )
+
+
+PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+  FROM t
+)
+SELECT doc_id, n_tokens, "offset",
+       CAST(FLOOR("offset" / {SEQ_BUDGET}) AS BIGINT) AS seq_start,
+       CAST(FLOOR(("offset" + n_tokens - 1) / {SEQ_BUDGET}) AS BIGINT) AS seq_end
+FROM o
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "tfidf_top_terms": {"fn": tfidf_top_terms, "sql": TFIDF_SQL},
     "clean_corpus": {"fn": clean_corpus, "sql": CLEAN_CORPUS_SQL},
     "winnow_fingerprint_docs": {"fn": winnow_fingerprint_docs, "sql": WINNOW_SQL},
+    "pack_training_sequences": {
+        "fn": pack_training_sequences,
+        "sql": PACK_SQL,
+    },
 }
