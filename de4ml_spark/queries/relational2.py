@@ -376,8 +376,56 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# As-of (point-in-time) join: each click gets the most recent prior view's
+# value for the same user — the no-future-leakage feature join. Spark path:
+# union + carry-forward window (ONE shuffle, linear, operators/asof.py);
+# oracle: DuckDB's native ASOF JOIN.
+# --------------------------------------------------------------------------
+
+def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # right side unique per (user, ts): keep the max event_id's value
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    return asof_join(
+        clicks, views, on="user_id", payload=["view_value"]
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("view_ts"),
+        F.round("view_value_asof", 6).alias("view_value"),
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts,
+       v.ts AS view_ts, ROUND(v.view_value, 6) AS view_value
+FROM clicks c
+ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "q6_forecast_revenue": {"fn": q6_forecast_revenue, "sql": Q6_SQL},
+    "asof_click_view": {"fn": asof_click_view, "sql": ASOF_SQL},
     "q7_nation_volume": {"fn": q7_nation_volume, "sql": Q7_SQL},
     "orders_rollup": {"fn": orders_rollup, "sql": ORDERS_ROLLUP_SQL},
     "events_pivot": {"fn": events_pivot, "sql": EVENTS_PIVOT_SQL},

@@ -154,3 +154,36 @@ def test_minhash_lsh_no_cartesian(spark, sf_dir):
     plan = _plan(dedup_minhash_lsh(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_semantics_and_single_shuffle(spark):
+    """As-of edge cases: same-instant right row IS matched (<=), no prior
+    right row yields nulls, later right rows never leak backward. Plan
+    contract: exactly one hash-partitioning Exchange (the union shuffle)."""
+    from de4ml_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 5, "l0"), (2, 7, "l3")],
+        "k BIGINT, ts BIGINT, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 9, 900.0)],
+        "k BIGINT, ts BIGINT, v DOUBLE",
+    )
+    got = {
+        r["tag"]: (r["ts_asof"], r["v_asof"])
+        for r in asof_join(left, right, on="k", payload=["v"]).collect()
+    }
+    assert got["l1"] == (10, 100.0)   # same instant matches
+    assert got["l2"] == (15, 150.0)   # latest earlier row
+    assert got["l0"] == (None, None)  # nothing earlier
+    assert got["l3"] == (None, None)  # right at ts=9 is in the future
+
+    plan = (
+        asof_join(left, right, on="k", payload=["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # no join operator at all — union + window
