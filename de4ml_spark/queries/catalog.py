@@ -21,6 +21,7 @@ def _registries() -> list[dict]:
         "relational2",
         "etlq",
         "profileq",
+        "profileq2",
         "streamq",
         "dedupq",
         "simq",

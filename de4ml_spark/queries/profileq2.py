@@ -1,0 +1,128 @@
+"""Second profiling tier: equi-width histograms, exact top-k frequent
+values, and a correlation battery — the profile surface beyond SUMMARIZE
+(A1) that real data-quality tooling adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de4ml_spark.session import load_table
+
+# --------------------------------------------------------------------------
+# Equi-width histogram: fixed domain bounds -> bin = floor((x-lo)/w),
+# clamped to [0, bins-1]. One scan + one tiny shuffle on the bin id. At
+# 100 TB this is the map-side-combine-friendly histogram (each task emits
+# <= bins partial counts).
+# --------------------------------------------------------------------------
+
+QTY_LO, QTY_HI, QTY_BINS = 0.0, 50.0, 10
+
+
+def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (QTY_HI - QTY_LO) / QTY_BINS
+    bin_id = F.least(
+        F.greatest(
+            F.floor((F.col("l_quantity") - QTY_LO) / w).cast("int"), F.lit(0)
+        ),
+        F.lit(QTY_BINS - 1),
+    )
+    return (
+        li.groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lo", F.lit(QTY_LO) + F.col("bin") * w)
+        .withColumn("hi", F.lit(QTY_LO) + (F.col("bin") + 1) * w)
+    )
+
+
+HISTOGRAM_SQL = f"""
+SELECT LEAST(GREATEST(CAST(FLOOR((l_quantity - {QTY_LO}) / 5.0) AS INT), 0),
+             {QTY_BINS - 1}) AS bin,
+       COUNT(*) AS n,
+       {QTY_LO} + LEAST(GREATEST(CAST(FLOOR((l_quantity - {QTY_LO}) / 5.0)
+             AS INT), 0), {QTY_BINS - 1}) * 5.0 AS lo,
+       {QTY_LO} + (LEAST(GREATEST(CAST(FLOOR((l_quantity - {QTY_LO}) / 5.0)
+             AS INT), 0), {QTY_BINS - 1}) + 1) * 5.0 AS hi
+FROM lineitem
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact top-k most frequent values per (string) column: unpivot -> count ->
+# per-column rank. The unpivot multiplies rows by the column count, but
+# map-side partial aggregation collapses to (col, value) cardinality before
+# the shuffle.
+# --------------------------------------------------------------------------
+
+TOPK_COLS = ["o_orderpriority", "o_orderstatus"]
+TOPK = 3
+
+
+def topk_values_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    stacked = orders.select(
+        F.expr(
+            "stack({n}, {args}) as (col_name, value)".format(
+                n=len(TOPK_COLS),
+                args=", ".join(f"'{c}', {c}" for c in TOPK_COLS),
+            )
+        )
+    )
+    counts = stacked.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("col_name").orderBy(F.desc("n"), F.asc("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+    )
+
+
+TOPK_SQL = f"""
+WITH stacked AS (
+  SELECT 'o_orderpriority' AS col_name, o_orderpriority AS value FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus FROM orders
+),
+counts AS (
+  SELECT col_name, value, COUNT(*) AS n FROM stacked GROUP BY 1, 2
+)
+SELECT col_name, value, n,
+       ROW_NUMBER() OVER (PARTITION BY col_name
+                          ORDER BY n DESC, value ASC) AS rank
+FROM counts
+QUALIFY rank <= {TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# Correlation battery: pairwise Pearson correlations in ONE aggregate pass
+# (co-moment aggregates are order-sensitive in the last ulps, so values are
+# rounded to 6 before compare).
+# --------------------------------------------------------------------------
+
+def corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
+    )
+
+
+CORR_SQL = """
+SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+       ROUND(corr(l_quantity, l_discount), 6) AS qty_disc,
+       ROUND(corr(l_extendedprice, l_tax), 6) AS price_tax
+FROM lineitem
+"""
+
+
+REGISTRY: dict[str, dict] = {
+    "histogram_quantity": {"fn": histogram_quantity, "sql": HISTOGRAM_SQL},
+    "topk_values_orders": {"fn": topk_values_orders, "sql": TOPK_SQL},
+    "corr_lineitem": {"fn": corr_lineitem, "sql": CORR_SQL},
+}
