@@ -72,3 +72,111 @@ def decode_image(payload: bytes):  # pragma: no cover - stub
             "payload plumbing is tested with fake_payload instead"
         ) from e
     raise NotImplementedError("real decoder goes here")
+
+
+RESIZED_SCHEMA = (
+    "doc_id BIGINT, payload BINARY, out_w INT, out_h INT, byte_len BIGINT"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 48,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Binary-in/binary-out batch transform: re-encode each payload at a
+    target size. The resize kernel is a STUB (no imaging library here): it
+    deterministically truncates/pads the payload to target_w*target_h bytes
+    after the MAGIC header, so output sizes — and therefore downstream
+    partition/memory behavior — are exactly what a real resize produces.
+    Plug cv2/PIL into ``_resize_bytes`` in production."""
+
+    def _resize_bytes(b: bytes) -> bytes:
+        body = bytes(b[len(MAGIC):])
+        want = target_w * target_h
+        body = (body * (want // max(1, len(body)) + 1))[:want]
+        return MAGIC + body
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            out = pdf[bin_col].map(_resize_bytes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": out,
+                    "out_w": target_w,
+                    "out_h": target_h,
+                    "byte_len": out.map(len),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id BIGINT, frame_idx INT, frame BINARY"
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 16,
+    every_n: int = 4,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """One-to-many batch transform (the video frame-sampling shape): split
+    each payload into fixed-size frames, keep every ``every_n``-th. STUB
+    framing — a real decoder yields actual frames; the Spark-side contract
+    (exploded rows, stable frame_idx, binary column) is identical."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for did, b in zip(pdf[id_col], pdf[bin_col]):
+                body = bytes(b[len(MAGIC):])
+                n = len(body) // frame_bytes
+                for i in range(0, n, every_n):
+                    ids.append(did)
+                    idxs.append(i)
+                    frames.append(body[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, FRAMES_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id BIGINT, feature ARRAY<FLOAT>"
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Binary -> fixed-dim feature vector (the embedding-extraction shape).
+    STUB kernel: deterministic bytes->float hashing via numpy so the
+    vectorized batch path, output schema, and downstream ANN compatibility
+    (array<float>, like the embeddings table) are real."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            feats = []
+            for b in pdf[bin_col]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.float32)
+                pad = (-len(arr)) % dim
+                if pad:
+                    arr = np.pad(arr, (0, pad))
+                feats.append((arr.reshape(-1, dim).mean(axis=0) / 255.0).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "feature": feats})
+
+    return df.select(id_col, bin_col).mapInPandas(batches, FEATURE_SCHEMA)
