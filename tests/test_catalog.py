@@ -1,0 +1,67 @@
+"""Catalog integrity: the registry loader must never silently shrink.
+
+catalog._registries() guards module imports with try/except ImportError so
+an optional module can't break the whole surface — but that means a typo'd
+import inside a query module would SILENTLY drop its registry. These tests
+pin the full expected surface.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+MODULES = [
+    "relational",
+    "relational2",
+    "etlq",
+    "profileq",
+    "profileq2",
+    "streamq",
+    "dedupq",
+    "simq",
+    "textq",
+    "textq2",
+    "samplingq",
+]
+
+EXPECTED = {
+    # one sentinel per registry module
+    "q1_pricing_summary",
+    "asof_click_view",
+    "multimodal_meta",
+    "profile_lineitem",
+    "corr_lineitem",
+    "delayed_join_events",
+    "dedup_components",
+    "knn_ivf",
+    "text_stats_docs",
+    "pack_training_sequences",
+    "mix_docs",
+}
+
+
+def test_all_query_modules_import():
+    for m in MODULES:
+        importlib.import_module(f"de4ml_spark.queries.{m}")
+
+
+def test_catalog_surface_complete():
+    from de4ml_spark.queries import catalog
+
+    qs = catalog.queries()
+    missing = EXPECTED - set(qs)
+    assert not missing, f"catalog lost entries: {missing}"
+    assert len(qs) >= 53, f"catalog shrank to {len(qs)} entries"
+    # every oracle has a query; every oracle is non-empty SQL
+    osql = catalog.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
+
+
+def test_entry_contract_shapes():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    osql = e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert all(callable(f) for f in qs.values())
