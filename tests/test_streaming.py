@@ -274,3 +274,42 @@ def test_streaming_checkpoint_recovery(spark, tmp_path):
     # restart from the same checkpoint: already-committed rows appear
     # exactly once, the new batch is appended (no replay, no loss)
     assert sink_rows() == [("a", 1), ("b", 2), ("c", 3)]
+
+
+@pytest.mark.slow
+def test_streaming_ingest_dedup(spark, tmp_path):
+    """At-least-once delivery -> exactly-once downstream: duplicate
+    event_ids across micro-batches inside the watermark emit once."""
+    from de4ml_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "ev"
+    _write(src, [
+        {"event_id": 1, "ts": _ts(0), "v": 10},
+        {"event_id": 2, "ts": _ts(1), "v": 20},
+        {"event_id": 1, "ts": _ts(0), "v": 10},   # same-batch dupe
+    ])
+    schema = "event_id BIGINT, ts TIMESTAMP, v BIGINT"
+    stream = dedup_stream(
+        spark.readStream.schema(schema).json(str(src)),
+        keys=["event_id"],
+        watermark="10 minutes",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(src, [
+            {"event_id": 2, "ts": _ts(1), "v": 20},  # cross-batch dupe
+            {"event_id": 3, "ts": _ts(2), "v": 30},
+        ])
+        q.processAllAvailable()
+        rows = spark.sql("select event_id from dedup_sink").collect()
+    finally:
+        q.stop()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3], ids
