@@ -42,11 +42,19 @@ OUTPUT_COLUMNS = [
 ]
 
 
-def _join_cond(d: DataFrame, r: DataFrame, key: str, window_ms: int) -> Column:
+def _join_cond(
+    d: DataFrame,
+    r: DataFrame,
+    key: str,
+    window_ms: int,
+    include_earlier: bool = False,
+) -> Column:
+    w = F.expr(f"INTERVAL {window_ms} MILLISECONDS")
+    lo = d["d_ts"] - w if include_earlier else d["d_ts"]
     return (
         (d["key"] == r["r_key"])
-        & (r["r_ts"] >= d["d_ts"])
-        & (r["r_ts"] <= d["d_ts"] + F.expr(f"INTERVAL {window_ms} MILLISECONDS"))
+        & (r["r_ts"] >= lo)
+        & (r["r_ts"] <= d["d_ts"] + w)
     )
 
 
@@ -55,10 +63,19 @@ def delayed_emission_join(
     rewards: DataFrame,
     window_ms: int = 10_000,
     default_reward: float = 0.0,
+    include_earlier_rewards: bool = False,
 ) -> DataFrame:
     """J1. ``decisions``: key, context, action, probability, d_ts (timestamp).
     ``rewards``: key, reward, r_ts (timestamp). Works on streaming inputs
     (watermarks applied) and batch inputs (deterministic twin) alike.
+
+    ``include_earlier_rewards`` selects the README's documented variant
+    (join-service/README.md:121-124): a reward up to W BEFORE the decision
+    also matches (``r_ts ∈ [d_ts - W, d_ts + W]``). Default pins the
+    code-derived semantics (``r_ts ∈ [d_ts, d_ts + W]`` — SURVEY §4.3);
+    the README itself asks whether the earlier-reward behavior is correct,
+    so both are explicit here. Streaming note: the variant widens the
+    rewards watermark to 2W so pre-decision rewards are still in state.
 
     Output schema mirrors join-service/app/main.py:83-96 with millisecond
     epoch columns derived from the event-time timestamps.
@@ -73,8 +90,14 @@ def delayed_emission_join(
     )
     if streaming:
         d = d.withWatermark("d_ts", wm)
-        r = r.withWatermark("r_ts", wm)
-    joined = d.join(r, _join_cond(d, r, "key", window_ms), "leftOuter")
+        r = r.withWatermark(
+            "r_ts", f"{2 * window_ms} milliseconds" if include_earlier_rewards else wm
+        )
+    joined = d.join(
+        r,
+        _join_cond(d, r, "key", window_ms, include_earlier_rewards),
+        "leftOuter",
+    )
     ms = lambda c: (F.unix_micros(F.col(c).cast("timestamp")) / 1000).cast("double")  # noqa: E731
     return joined.select(
         d["key"],

@@ -313,3 +313,26 @@ def test_streaming_ingest_dedup(spark, tmp_path):
         q.stop()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [1, 2, 3], ids
+
+
+def test_delayed_join_earlier_reward_variant(spark):
+    """Batch twin of the README variant (join-service/README.md:121-124):
+    a reward W/2 BEFORE the decision matches only with
+    include_earlier_rewards=True; default pins code semantics."""
+    d = spark.createDataFrame(
+        [("k1", "{}", "a", 0.5, "2024-01-01 00:00:10.000")],
+        "key STRING, context STRING, action STRING, probability DOUBLE, d_ts STRING",
+    ).withColumn("d_ts", F.col("d_ts").cast("timestamp"))
+    r = spark.createDataFrame(
+        [("k1", 7.0, "2024-01-01 00:00:05.000")],
+        "key STRING, reward DOUBLE, r_ts STRING",
+    ).withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+
+    strict = delayed_emission_join(d, r, window_ms=10_000).collect()
+    assert [x["reward"] for x in strict] == [0.0]  # default fill, no match
+
+    variant = delayed_emission_join(
+        d, r, window_ms=10_000, include_earlier_rewards=True
+    ).collect()
+    assert [x["reward"] for x in variant] == [7.0]
+    assert variant[0]["reward_delta_ms"] == -5000.0
