@@ -77,3 +77,32 @@ def test_single_pass_no_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_custom_rule_with_pandas_udf(spark):
+    """SURVEY §2.8: arbitrary Python validators plug in as Arrow-vectorized
+    pandas_udf predicates when a rule isn't expressible as a Column — the
+    'any custom validation rules you can imagine' capability
+    (logging-service/README.md:23-26)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from de4ml_spark.contracts.validation import Rule, split_valid
+
+    # no type hints: this module uses `from __future__ import annotations`,
+    # which stringifies them and breaks pandas_udf signature inference
+    def _pred(s):
+        return s.map(lambda x: x is None or x != x[::-1])
+
+    is_palindrome_free = pandas_udf(_pred, "boolean")
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "aba"), (3, "xy"), (4, None)],
+        "id BIGINT, code STRING",
+    )
+    rules = [
+        Rule(loc="code", kind="custom", predicate=is_palindrome_free("code")),
+    ]
+    valid, rejects = split_valid(df, rules)
+    assert {r["id"] for r in valid.collect()} == {1, 3, 4}
+    assert {r["id"] for r in rejects.collect()} == {2}
