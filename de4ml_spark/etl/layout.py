@@ -70,3 +70,59 @@ def compact(
         out_path
     )
     return n
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally range-sorted parquet layout: repartitionByRange assigns
+    contiguous key ranges to files, sortWithinPartitions orders inside.
+    Each file then covers a narrow key range, so parquet row-group min/max
+    stats prune scans for key predicates — the sorted-layout analog of
+    partition pruning, without directory explosion for high-cardinality
+    keys."""
+    part = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    part.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def with_zorder(
+    df: DataFrame, col_a: str, col_b: str, bits: int = 16, out: str = "zkey"
+) -> DataFrame:
+    """Adds a Morton (Z-order) key interleaving two rank-normalized columns
+    — cluster a table on TWO dimensions at once so parquet min/max stats
+    prune on either. Columns are rank-normalized to [0, 2^bits) with
+    percent_rank (arbitrary distributions interleave uniformly), then
+    bit-interleaved (one F.expr — see SCALE.md on expression building).
+    Write with ``write_sorted(df, path, ["zkey"])`` for the Delta
+    OPTIMIZE ZORDER layout on plain parquet.
+
+    Scale note: the rank windows here are global (single-partition sort) —
+    fine for a layout/maintenance job; at 100 TB rank against a sampled
+    quantile table (approxQuantile -> broadcast bucket lookup) instead.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def norm(c: str) -> "object":
+        pr = F.percent_rank().over(Window.orderBy(F.col(c)))
+        return (pr * ((1 << bits) - 1)).cast("long")
+
+    interleaved = " | ".join(
+        f"(shiftleft(shiftrightunsigned(__za, {i}) & 1, {2 * i + 1}) | "
+        f"shiftleft(shiftrightunsigned(__zb, {i}) & 1, {2 * i}))"
+        for i in range(bits)
+    )
+    return (
+        df.withColumn("__za", norm(col_a))
+        .withColumn("__zb", norm(col_b))
+        .withColumn(out, F.expr(interleaved))
+        .drop("__za", "__zb")
+    )

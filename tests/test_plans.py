@@ -187,3 +187,60 @@ def test_asof_join_semantics_and_single_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan  # no join operator at all — union + window
+
+
+def test_sorted_layout_narrows_file_stats(spark, sf_dir, tmp_path):
+    """write_sorted: each output file covers a narrow key range (parquet
+    footer min/max spans shrink vs the unsorted layout) — the stat-pruning
+    contract for sorted/Z-ordered layouts, checked on the real footers."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.etl.layout import with_zorder, write_sorted
+    from de4ml_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lo, hi = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey")
+    ).collect()[0]
+    domain = hi - lo
+
+    path = str(tmp_path / "sorted")
+    write_sorted(orders, path, ["o_custkey"], n_files=8)
+    spans = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)  # o_custkey
+            assert col.path_in_schema == "o_custkey"
+            st = col.statistics
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        spans.append((fmax - fmin) / domain)
+    assert len(spans) == 8
+    # each range-partitioned file covers ~1/8 of the domain, not all of it
+    assert max(spans) < 0.35, spans
+
+    # z-order: key exists, is non-negative, and sorting by it clusters BOTH
+    # dims (per-file bounding boxes shrink on average)
+    z = with_zorder(orders, "o_custkey", "o_totalprice", bits=8)
+    zpath = str(tmp_path / "zsorted")
+    write_sorted(z, zpath, ["zkey"], n_files=8)
+    boxes = []
+    for f in os.listdir(zpath):
+        if not f.endswith(".parquet"):
+            continue
+        pf = pq.read_table(os.path.join(zpath, f), columns=["o_custkey", "o_totalprice"])
+        ck = pf.column("o_custkey").to_pylist()
+        tp = pf.column("o_totalprice").to_pylist()
+        boxes.append(
+            ((max(ck) - min(ck)) / domain)
+            * ((max(tp) - min(tp)) / (max(tp) + 1))
+        )
+    # average normalized bounding-box area well under the full domain (=1)
+    assert sum(boxes) / len(boxes) < 0.5, boxes
