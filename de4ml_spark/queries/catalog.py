@@ -27,6 +27,7 @@ def _registries() -> list[dict]:
         "simq",
         "textq",
         "textq2",
+        "textq3",
         "samplingq",
     ):
         try:

@@ -1,0 +1,136 @@
+"""Third text tier: benchmark decontamination and PII scrubbing — two named
+curation steps every production LLM data pipeline runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de4ml_spark.session import load_table
+
+# --------------------------------------------------------------------------
+# Decontamination: fraction of each "benchmark" document's n-gram shingles
+# that appear anywhere else in the corpus. Docs with high containment are
+# benchmark leaks and must be dropped from training data. Shape: shingle
+# rows for benchmark docs LEFT SEMI join corpus shingle rows (id differs)
+# -> per-doc containment ratio. The corpus side is the big relation; the
+# join key is an 8-byte hash — the same scalable shingle equi-join as the
+# dedup family (no cross join).
+#
+# Here the "benchmark" is doc_id < 20 (a stand-in eval set); in production
+# it's the actual eval suites.
+# --------------------------------------------------------------------------
+
+N_BENCH = 20
+DECON_N = 3
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # hashed shingles are engine-local (xxhash64) — for ORACLE parity this
+    # query uses the string-shingle path on the small benchmark side and
+    # corpus side alike (strings only as join keys; still an equi-join)
+    from de4ml_spark.operators.dedup import shingles
+
+    bench = docs.filter(F.col("doc_id") < N_BENCH).select(
+        "doc_id", F.explode(shingles("text", DECON_N)).alias("sh")
+    )
+    corpus = docs.select(
+        F.col("doc_id").alias("c_id"), F.explode(shingles("text", DECON_N)).alias("sh")
+    )
+    hits = (
+        bench.join(
+            corpus, (bench["sh"] == corpus["sh"]) & (bench["doc_id"] != corpus["c_id"])
+        )
+        .select("doc_id", bench["sh"])
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = bench.distinct().groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+DECON_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+bench AS (
+  SELECT doc_id, unnest(sh) AS sh FROM s WHERE doc_id < {N_BENCH}
+),
+corpus AS (SELECT doc_id AS c_id, unnest(sh) AS sh FROM s),
+hits AS (
+  SELECT DISTINCT b.doc_id, b.sh
+  FROM bench b JOIN corpus c ON b.sh = c.sh AND b.doc_id <> c.c_id
+),
+hit_counts AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated FROM hits GROUP BY 1
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM bench GROUP BY 1)
+SELECT t2.doc_id, t2.n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       ROUND(COALESCE(h.n_contaminated, 0) * 1.0 / t2.n_shingles, 6)
+         AS containment
+FROM totals t2 LEFT JOIN hit_counts h ON t2.doc_id = h.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: redact email-like and long-digit-run tokens; report
+# per-doc redaction counts. Pure regexp (JVM-side codegen) — dialect-simple
+# patterns shared verbatim with the oracle.
+# --------------------------------------------------------------------------
+
+EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+DIGITS_RE = "[0-9]{7,}"
+
+
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+        DIGITS_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(DIGITS_RE)).alias("n_digit_runs"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
+PII_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{DIGITS_RE}')) AS n_digit_runs,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{DIGITS_RE}', '<NUM>', 'g')) AS scrubbed_md5,
+       length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{DIGITS_RE}', '<NUM>', 'g')) AS scrubbed_len
+FROM documents
+"""
+
+
+REGISTRY: dict[str, dict] = {
+    "decontaminate_docs": {"fn": decontaminate_docs, "sql": DECON_SQL},
+    "pii_scrub_docs": {"fn": pii_scrub_docs, "sql": PII_SQL},
+}
