@@ -88,3 +88,46 @@ def stream_etl(
             batch.unpersist()
 
     return foreach_batch_sink(checked, handle, checkpoint, "stream_etl")
+
+
+def incremental_agg_view(
+    spark,
+    stream: DataFrame,
+    group_cols: list[str],
+    aggs: list,
+    view_path: str,
+    checkpoint: str,
+    query_name: str = "agg_view",
+) -> StreamingQuery:
+    """Incrementally-maintained materialized aggregate view — the
+    Materialize CREATE MATERIALIZED VIEW analog (join-service/app/main.py:
+    59-96) on plain parquet.
+
+    The streaming aggregation runs in UPDATE mode: each epoch emits only
+    the groups whose aggregates changed (the TAIL delta stream, retractions
+    folded into updated rows); foreachBatch upserts those groups into the
+    view table. Readers see the view as an ordinary parquet table. State is
+    the running aggregate per group (no watermark: the view covers all
+    time, exactly like the reference's views until window filters apply).
+    """
+    from de4ml_spark.etl.pipeline import upsert_parquet
+
+    agged = stream.groupBy(*group_cols).agg(*aggs)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        import os
+
+        if not batch.columns:
+            return
+        if os.path.exists(view_path):
+            upsert_parquet(spark, view_path, batch, group_cols[0])
+        else:
+            batch.write.mode("overwrite").parquet(view_path)
+
+    return (
+        agged.writeStream.foreachBatch(handle)
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -65,3 +65,54 @@ def test_stream_etl_e2e(spark, tmp_path):
     rej = dlq.collect()
     assert len(rej) == 1
     assert "query_id" in rej[0]["violations"]
+
+
+def test_incremental_agg_view(spark, tmp_path):
+    """Materialized-view parity: per-key running aggregates upserted into a
+    parquet view as epochs arrive — changed groups only (update mode)."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.streaming.sinks import incremental_agg_view
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(rows):
+        (src / f"b{_time.time_ns()}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+
+    write_batch([
+        {"key": "a", "reward": 1.0},
+        {"key": "a", "reward": 2.0},
+        {"key": "b", "reward": 5.0},
+    ])
+    stream = spark.readStream.schema("key STRING, reward DOUBLE").json(str(src))
+    q = incremental_agg_view(
+        spark,
+        stream,
+        ["key"],
+        [F.count(F.lit(1)).alias("n"), F.sum("reward").alias("total")],
+        view_path=str(tmp_path / "view"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        v1 = {
+            r["key"]: (r["n"], r["total"])
+            for r in spark.read.parquet(str(tmp_path / "view")).collect()
+        }
+        assert v1 == {"a": (2, 3.0), "b": (1, 5.0)}
+
+        write_batch([{"key": "a", "reward": 4.0}, {"key": "c", "reward": 7.0}])
+        q.processAllAvailable()
+        v2 = {
+            r["key"]: (r["n"], r["total"])
+            for r in spark.read.parquet(str(tmp_path / "view")).collect()
+        }
+        assert v2 == {"a": (3, 7.0), "b": (1, 5.0), "c": (1, 7.0)}
+    finally:
+        q.stop()
