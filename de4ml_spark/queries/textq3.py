@@ -130,7 +130,59 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Unigram LM quality score (KenLM-lite): train corpus unigram
+# log-probabilities, score each document by its mean token log-prob
+# (~negative perplexity). Low scorers are gibberish/outliers. Two passes:
+# term counts (one shuffle on term), then a broadcast join of the (small)
+# vocabulary back onto exploded tokens. Decimal-exact mean for the oracle.
+# --------------------------------------------------------------------------
+
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf")).collect()[0][0]
+    scored = terms.join(F.broadcast(vocab), "term").withColumn(
+        "logp",
+        F.round(F.log(F.col("tf") / F.lit(float(total))), 6).cast(
+            "decimal(12,6)"
+        ),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("logp").cast("double") / F.count(F.lit(1))).alias(
+                "mean_logp"
+            ),
+        )
+        .withColumn("mean_logp", F.round("mean_logp", 6))
+    )
+
+
+UNIGRAM_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS tf FROM terms GROUP BY 1),
+total AS (SELECT SUM(tf) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(ln(v.tf / CAST(tot.n AS DOUBLE)), 6) AS DECIMAL(12,6))
+           AS logp
+  FROM terms t JOIN vocab v USING (term) CROSS JOIN total tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS mean_logp
+FROM scored GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "decontaminate_docs": {"fn": decontaminate_docs, "sql": DECON_SQL},
     "pii_scrub_docs": {"fn": pii_scrub_docs, "sql": PII_SQL},
+    "unigram_logprob_docs": {"fn": unigram_logprob_docs, "sql": UNIGRAM_SQL},
 }
