@@ -244,3 +244,30 @@ def test_sorted_layout_narrows_file_stats(spark, sf_dir, tmp_path):
         )
     # average normalized bounding-box area well under the full domain (=1)
     assert sum(boxes) / len(boxes) < 0.5, boxes
+
+
+def test_operator_edge_cases(spark):
+    """Empty/degenerate inputs: no near-dup pairs -> identity components;
+    empty right side -> all-null as-of matches; fraction 0/1 sampling."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.operators.asof import asof_join
+    from de4ml_spark.operators.dedup import connected_components
+    from de4ml_spark.operators.sampling import deterministic_sample
+
+    verts = spark.createDataFrame([(1,), (2,)], "doc_id BIGINT")
+    no_pairs = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(no_pairs, verts).collect()
+    }
+    assert comp == {1: 1, 2: 2}
+
+    left = spark.createDataFrame([(1, 10)], "k BIGINT, ts BIGINT")
+    empty_right = spark.createDataFrame([], "k BIGINT, ts BIGINT, v DOUBLE")
+    rows = asof_join(left, empty_right, on="k", payload=["v"]).collect()
+    assert len(rows) == 1 and rows[0]["v_asof"] is None
+
+    df = spark.range(100).withColumnRenamed("id", "key")
+    assert deterministic_sample(df, 0.0, "key").count() == 0
+    assert deterministic_sample(df, 1.0, "key").count() == 100
