@@ -19,6 +19,7 @@ def _registries() -> list[dict]:
     regs.append(relational.REGISTRY)
     for modname in (
         "relational2",
+        "relational3",
         "etlq",
         "profileq",
         "profileq2",
