@@ -271,3 +271,69 @@ def test_operator_edge_cases(spark):
     df = spark.range(100).withColumnRenamed("id", "key")
     assert deterministic_sample(df, 0.0, "key").count() == 0
     assert deterministic_sample(df, 1.0, "key").count() == 100
+
+
+def test_sketch_estimates_partition_invariant(spark, sf_dir):
+    """Sketch aggregates (HLL distinct, approx percentiles) must merge
+    associatively: estimates are identical whatever the partitioning —
+    the property that makes the profile battery safe at 1000 executors."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+    def battery(df):
+        return df.agg(
+            F.approx_count_distinct("l_orderkey").alias("d"),
+            F.percentile_approx("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q"),
+        ).collect()[0]
+
+    a = battery(li.coalesce(1))
+    b = battery(li.repartition(32))
+    assert a["d"] == b["d"]
+    assert list(a["q"]) == list(b["q"])
+
+
+def test_aqe_skew_join_splits(spark):
+    """With AQE on and thresholds lowered, a skewed sort-merge join is
+    split at runtime (the final adaptive plan marks the skew side) — the
+    mechanism SCALE.md relies on for hot-key fact joins."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 200k rows, ~99% on one key; right side big enough to stay SMJ
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 100 == 0, F.col("id") % 50)
+            .otherwise(F.lit(1)).alias("k"),
+            F.concat(F.lit("padpadpadpadpadpad_"), F.col("id")).alias("pad"),
+        )
+        right = spark.range(50).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        # global (ungrouped) aggregate downstream: a KEYED aggregate after
+        # the join would require the join's hash partitioning, and AQE
+        # declines to split skewed partitions when the output partitioning
+        # is load-bearing — itself a useful fact: keyed-agg-after-join skew
+        # needs salting (operators/skew.py), not AQE.
+        joined = big.join(right, "k").groupBy().count()
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
