@@ -124,8 +124,130 @@ FROM d GROUP BY decile
 """
 
 
+# --------------------------------------------------------------------------
+# Q13 shape: distribution of orders-per-customer including zero — LEFT
+# OUTER join + double aggregation (per-customer count, then histogram of
+# counts). The zero bucket only exists because the join is outer.
+# --------------------------------------------------------------------------
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS n_customers FROM per_cust GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# Q18 shape: large-volume orders — HAVING over a fact aggregation, joined
+# back to dimensions. The HAVING filter runs before the dimension joins so
+# only qualifying orders (a tiny set) join.
+# --------------------------------------------------------------------------
+
+QTY_THRESHOLD = 300
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec2("l_quantity")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > QTY_THRESHOLD)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty"
+        )
+    )
+
+
+Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > {QTY_THRESHOLD}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: disjunctive multi-range predicates across a join — the
+# pushdown stress case (each OR branch mixes part and lineitem columns, so
+# only the common-column residue can push to either scan).
+# --------------------------------------------------------------------------
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = _dec2("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("l_quantity").between(1, 11)
+        & (F.col("p_size") <= 5)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("l_quantity").between(10, 20)
+        & (F.col("p_size") <= 10)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+"""
+
+
+def _dec2(col: str):
+    return F.col(col).cast("decimal(12,2)")
+
+
 REGISTRY: dict[str, dict] = {
     "funnel_events": {"fn": funnel_events, "sql": FUNNEL_SQL},
     "retention_cohorts": {"fn": retention_cohorts, "sql": RETENTION_SQL},
     "price_decile_stats": {"fn": price_decile_stats, "sql": DECILE_SQL},
+    "q13_customer_distribution": {
+        "fn": q13_customer_distribution,
+        "sql": Q13_SQL,
+    },
+    "q18_large_orders": {"fn": q18_large_orders, "sql": Q18_SQL},
+    "q19_disjunctive_revenue": {"fn": q19_disjunctive_revenue, "sql": Q19_SQL},
 }
