@@ -251,3 +251,101 @@ REGISTRY: dict[str, dict] = {
     "q18_large_orders": {"fn": q18_large_orders, "sql": Q18_SQL},
     "q19_disjunctive_revenue": {"fn": q19_disjunctive_revenue, "sql": Q19_SQL},
 }
+
+
+# --------------------------------------------------------------------------
+# Reconciliation: FULL OUTER join of decision keys vs reward keys from the
+# events stream — the match-status audit (both / decision-only /
+# reward-only) every pipeline handoff needs.
+# --------------------------------------------------------------------------
+
+def reconcile_decisions_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("d_key"))
+        .agg(F.count(F.lit(1)).alias("n_decisions"))
+    )
+    r = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("r_key"))
+        .agg(F.count(F.lit(1)).alias("n_rewards"))
+    )
+    status = (
+        F.when(F.col("d_key").isNotNull() & F.col("r_key").isNotNull(), "both")
+        .when(F.col("d_key").isNotNull(), "decision_only")
+        .otherwise("reward_only")
+    )
+    return (
+        d.join(r, F.col("d_key") == F.col("r_key"), "full_outer")
+        .select(
+            status.alias("status"),
+            F.coalesce("n_decisions", F.lit(0)).alias("n_decisions"),
+            F.coalesce("n_rewards", F.lit(0)).alias("n_rewards"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_decisions").alias("total_decisions"),
+            F.sum("n_rewards").alias("total_rewards"),
+        )
+    )
+
+
+RECONCILE_SQL = """
+WITH d AS (
+  SELECT user_id AS d_key, COUNT(*) AS n_decisions FROM events
+  WHERE event_type = 'click' GROUP BY 1
+),
+r AS (
+  SELECT user_id AS r_key, COUNT(*) AS n_rewards FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+),
+j AS (
+  SELECT CASE WHEN d_key IS NOT NULL AND r_key IS NOT NULL THEN 'both'
+              WHEN d_key IS NOT NULL THEN 'decision_only'
+              ELSE 'reward_only' END AS status,
+         COALESCE(n_decisions, 0) AS n_decisions,
+         COALESCE(n_rewards, 0) AS n_rewards
+  FROM d FULL OUTER JOIN r ON d_key = r_key
+)
+SELECT status, COUNT(*) AS n_keys,
+       SUM(n_decisions) AS total_decisions,
+       SUM(n_rewards) AS total_rewards
+FROM j GROUP BY status
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operation (EXCEPT): day-over-day purchaser churn — users active on
+# day 1 who did not return on day 2. subtract() is Spark's EXCEPT
+# DISTINCT; at sf0.01 this selects 40 of 150 users (non-vacuous).
+# --------------------------------------------------------------------------
+
+def churned_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    day = F.col("ts").cast("date")
+    d1 = ev.filter(day == F.lit("2024-01-01").cast("date")).select("user_id").distinct()
+    d2 = ev.filter(day == F.lit("2024-01-02").cast("date")).select("user_id").distinct()
+    return d1.subtract(d2)
+
+
+CHURNED_SQL = """
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-01'
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-02'
+"""
+
+
+REGISTRY["reconcile_decisions_rewards"] = {
+    "fn": reconcile_decisions_rewards,
+    "sql": RECONCILE_SQL,
+}
+REGISTRY["churned_purchasers"] = {
+    "fn": churned_purchasers,
+    "sql": CHURNED_SQL,
+}
