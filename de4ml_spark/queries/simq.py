@@ -61,8 +61,43 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std across the corpus — the fit step of vector
+    standardization (normalize-then-index pipelines). posexplode keeps the
+    dimension index; one shuffle on the (64-value) dim key with map-side
+    partial aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "v"
+        )
+    )
+    return (
+        ex.groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean"),
+            F.round(F.stddev_samp("v"), 6).alias("std"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = """
+SELECT i AS dim,
+       ROUND(AVG(embedding[i]), 6) AS mean,
+       ROUND(STDDEV_SAMP(embedding[i]), 6) AS std,
+       COUNT(*) AS n
+FROM embeddings, generate_series(1, 64) AS s(i)
+GROUP BY i
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "knn_bruteforce": {"fn": knn_bruteforce, "sql": KNN_BRUTEFORCE_SQL},
     "knn_lsh": {"fn": knn_lsh, "sql": None},
     "knn_ivf": {"fn": knn_ivf, "sql": None},
+    "embedding_dim_stats": {
+        "fn": embedding_dim_stats,
+        "sql": EMBEDDING_DIM_STATS_SQL,
+    },
 }
