@@ -121,8 +121,65 @@ FROM lineitem
 """
 
 
+# --------------------------------------------------------------------------
+# Profile drift: day-over-day comparison of the events value profile — the
+# monitoring surface on top of profiling (dataops' feedback loop compares
+# fresh traffic against the profiled contract; this compares two profile
+# snapshots directly). One scan, conditional aggregates per day, drift
+# deltas in the projection.
+# --------------------------------------------------------------------------
+
+DRIFT_D1, DRIFT_D2 = "2024-01-01", "2024-01-02"
+
+
+def profile_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    d1 = day == F.lit(DRIFT_D1).cast("date")
+    d2 = day == F.lit(DRIFT_D2).cast("date")
+
+    def stats(cond, suffix):
+        return [
+            F.count(F.when(cond, 1)).alias(f"n_{suffix}"),
+            F.round(F.avg(F.when(cond, F.col("value"))), 6).alias(
+                f"mean_{suffix}"
+            ),
+            F.round(
+                F.avg(F.when(cond, F.col("value").isNull().cast("double"))), 6
+            ).alias(f"null_rate_{suffix}"),
+        ]
+
+    agged = ev.agg(*stats(d1, "d1"), *stats(d2, "d2"))
+    return agged.select(
+        "*",
+        F.round(F.col("mean_d2") - F.col("mean_d1"), 6).alias("mean_shift"),
+        F.round(F.col("null_rate_d2") - F.col("null_rate_d1"), 6).alias(
+            "null_rate_shift"
+        ),
+    )
+
+
+DRIFT_SQL = f"""
+WITH a AS (
+  SELECT COUNT(CASE WHEN CAST(ts AS DATE) = DATE '{DRIFT_D1}' THEN 1 END) AS n_d1,
+         ROUND(AVG(CASE WHEN CAST(ts AS DATE) = DATE '{DRIFT_D1}' THEN value END), 6) AS mean_d1,
+         ROUND(AVG(CASE WHEN CAST(ts AS DATE) = DATE '{DRIFT_D1}'
+                        THEN CAST(value IS NULL AS DOUBLE) END), 6) AS null_rate_d1,
+         COUNT(CASE WHEN CAST(ts AS DATE) = DATE '{DRIFT_D2}' THEN 1 END) AS n_d2,
+         ROUND(AVG(CASE WHEN CAST(ts AS DATE) = DATE '{DRIFT_D2}' THEN value END), 6) AS mean_d2,
+         ROUND(AVG(CASE WHEN CAST(ts AS DATE) = DATE '{DRIFT_D2}'
+                        THEN CAST(value IS NULL AS DOUBLE) END), 6) AS null_rate_d2
+  FROM events
+)
+SELECT *, ROUND(mean_d2 - mean_d1, 6) AS mean_shift,
+       ROUND(null_rate_d2 - null_rate_d1, 6) AS null_rate_shift
+FROM a
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "histogram_quantity": {"fn": histogram_quantity, "sql": HISTOGRAM_SQL},
     "topk_values_orders": {"fn": topk_values_orders, "sql": TOPK_SQL},
     "corr_lineitem": {"fn": corr_lineitem, "sql": CORR_SQL},
+    "profile_drift_events": {"fn": profile_drift_events, "sql": DRIFT_SQL},
 }

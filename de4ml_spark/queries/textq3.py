@@ -181,8 +181,37 @@ FROM scored GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix: the n-gram heuristic's predictions against
+# the labeled lang column — operator EVALUATION as a query (precision per
+# language is the number a curation pipeline actually monitors).
+# --------------------------------------------------------------------------
+
+def lang_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.text import predict_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        predict_lang(docs)
+        .groupBy(F.col("lang").alias("true_lang"), "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _confusion_sql() -> str:
+    from de4ml_spark.queries.textq import LANG_ID_SQL
+
+    return f"""
+WITH preds AS ({LANG_ID_SQL})
+SELECT d.lang AS true_lang, p.pred_lang, COUNT(*) AS n
+FROM documents d JOIN preds p ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "decontaminate_docs": {"fn": decontaminate_docs, "sql": DECON_SQL},
     "pii_scrub_docs": {"fn": pii_scrub_docs, "sql": PII_SQL},
     "unigram_logprob_docs": {"fn": unigram_logprob_docs, "sql": UNIGRAM_SQL},
+    "lang_confusion_docs": {"fn": lang_confusion_docs, "sql": _confusion_sql()},
 }
