@@ -215,3 +215,66 @@ REGISTRY: dict[str, dict] = {
     "unigram_logprob_docs": {"fn": unigram_logprob_docs, "sql": UNIGRAM_SQL},
     "lang_confusion_docs": {"fn": lang_confusion_docs, "sql": _confusion_sql()},
 }
+
+
+# --------------------------------------------------------------------------
+# Cluster-size distribution over the near-dup component graph, and session
+# duration stats — second-order analytics on operator outputs.
+# --------------------------------------------------------------------------
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3).select("id_a", "id_b")
+    comp = connected_components(pairs, docs, id_col="doc_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+def _cluster_sizes_sql() -> str:
+    from de4ml_spark.queries.dedupq import DEDUP_COMPONENTS_SQL
+
+    return f"""
+WITH comp AS ({DEDUP_COMPONENTS_SQL}),
+sizes AS (SELECT component, COUNT(*) AS size FROM comp GROUP BY component)
+SELECT size, COUNT(*) AS n_clusters FROM sizes GROUP BY size
+"""
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize(ev, key="user_id", ts_col="ts", gap="30 minutes")
+    dur_s = (
+        F.unix_micros(F.col("session_end").cast("timestamp")) - F.unix_micros(F.col("session_start").cast("timestamp"))
+    ) / 1_000_000.0
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+        F.round(F.avg(dur_s), 6).alias("avg_duration_s"),
+        F.round(F.max(dur_s), 6).alias("max_duration_s"),
+    )
+
+
+def _session_stats_sql() -> str:
+    from de4ml_spark.queries.textq import SESSIONIZE_SQL
+
+    return f"""
+WITH sessions AS ({SESSIONIZE_SQL})
+SELECT COUNT(*) AS n_sessions,
+       ROUND(AVG(n_events), 6) AS avg_events,
+       ROUND(AVG(epoch(session_end) - epoch(session_start)), 6)
+         AS avg_duration_s,
+       ROUND(MAX(epoch(session_end) - epoch(session_start)), 6)
+         AS max_duration_s
+FROM sessions
+"""
+
+
+REGISTRY["dedup_cluster_sizes"] = {
+    "fn": dedup_cluster_sizes,
+    "sql": _cluster_sizes_sql(),
+}
+REGISTRY["session_stats"] = {"fn": session_stats, "sql": _session_stats_sql()}
