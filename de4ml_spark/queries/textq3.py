@@ -278,3 +278,94 @@ REGISTRY["dedup_cluster_sizes"] = {
     "sql": _cluster_sizes_sql(),
 }
 REGISTRY["session_stats"] = {"fn": session_stats, "sql": _session_stats_sql()}
+
+
+# --------------------------------------------------------------------------
+# Bigram LM scoring with add-1 smoothing: p(w2|w1) = (c(w1 w2) + 1) /
+# (c(w1) + V). Mean bigram log-prob per doc approximates perplexity — the
+# KenLM-style fluency filter one step up from the unigram score. Shape:
+# bigrams via per-doc LEAD window; counts via two groupBys; scoring via a
+# broadcast join of the bigram table (vocab ≪ corpus at any scale — n-gram
+# count tables grow sublinearly). Decimal-exact mean for the oracle.
+# --------------------------------------------------------------------------
+
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from de4ml_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.withColumn("w2", F.lead("w1").over(w)).filter(
+        F.col("w2").isNotNull()
+    )
+    uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab_size = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    model = bi.join(F.broadcast(uni), "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.log((F.col("c12") + 1) / (F.col("c1") + F.lit(int(vocab_size)))),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .alias("logp"),
+    )
+    return (
+        bigrams.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("logp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_logp"),
+        )
+    )
+
+
+BIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(ts) AS w1,
+         generate_subscripts(ts, 1) AS pos, len(ts) AS n
+  FROM toks
+),
+bigrams AS (
+  SELECT p.doc_id, p.w1,
+         LEAD(p.w1) OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS w2
+  FROM pos p
+  QUALIFY w2 IS NOT NULL
+),
+uni AS (SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY 1),
+bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2),
+v AS (
+  SELECT COUNT(DISTINCT t) AS vocab
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+),
+model AS (
+  SELECT bi.w1, bi.w2,
+         CAST(ROUND(ln((bi.c12 + 1) * 1.0 / (uni.c1 + v.vocab)), 6)
+              AS DECIMAL(12,6)) AS logp
+  FROM bi JOIN uni USING (w1) CROSS JOIN v
+)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(m.logp) AS DOUBLE) / COUNT(*), 6) AS mean_logp
+FROM bigrams b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+GROUP BY b.doc_id
+"""
+
+
+REGISTRY["bigram_logprob_docs"] = {
+    "fn": bigram_logprob_docs,
+    "sql": BIGRAM_SQL,
+}
