@@ -81,3 +81,21 @@ def test_ivf_recall(spark, sf_dir):
     }
     recall = len(brute_pairs & ivf_pairs) / len(brute_pairs)
     assert recall >= 0.5, f"recall@5 = {recall}"
+
+
+def test_int8_quantization_error_bound(spark, sf_dir):
+    """Quantize-dequantize error must be <= scale/2 per element, codes must
+    span the int8 range direction correctly, and memory shrinks 4x+
+    (tinyint vs float)."""
+    from de4ml_spark.operators.similarity import quantize_int8
+    from de4ml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    q = quantize_int8(emb)
+    joined = emb.join(q, "vec_id").collect()
+    assert len(joined) == 100
+    for r in joined:
+        scale = r["scale"]
+        for orig, code in zip(r["embedding"], r["codes"]):
+            assert -127 <= code <= 127
+            assert abs(float(orig) - code * scale) <= scale / 2 + 1e-12
