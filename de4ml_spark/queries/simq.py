@@ -92,8 +92,104 @@ GROUP BY i
 """
 
 
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion (RRF): combine two retrieval rankings (cosine and
+# raw inner product here; in production typically dense + BM25) with
+# score = sum 1/(60 + rank). The standard hybrid-retrieval merge — rank
+# computation per scorer, one join on (query, neighbor), re-rank.
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+
+
+def knn_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from de4ml_spark.operators.similarity import dot_sql, norm_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
+    ).withColumn("cn", F.expr(norm_sql("ce", 64)))
+    scored = (
+        F.broadcast(q.withColumn("qn", F.expr(norm_sql("qe", 64))))
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(dot_sql("qe", "ce", 64)) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+            F.round(F.expr(dot_sql("qe", "ce", 64)), 6).alias("ip"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    w_ip = Window.partitionBy("query_id").orderBy(
+        F.desc("ip"), F.asc("neighbor_id")
+    )
+    fused = (
+        scored.withColumn("r_cos", F.row_number().over(w_cos))
+        .withColumn("r_ip", F.row_number().over(w_ip))
+        .withColumn(
+            "rrf",
+            F.round(
+                1.0 / (RRF_K + F.col("r_cos")) + 1.0 / (RRF_K + F.col("r_ip")),
+                9,
+            ),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", "rrf", "rank")
+    )
+
+
+KNN_RRF_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qe, e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+               6) AS cos_sim,
+         ROUND(list_dot_product(qe, e), 6) AS ip
+  FROM q JOIN v ON q.query_id <> v.vec_id
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS r_cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, neighbor_id ASC) AS r_ip
+  FROM scored
+),
+fused AS (
+  SELECT query_id, neighbor_id,
+         ROUND(1.0 / ({RRF_K} + r_cos) + 1.0 / ({RRF_K} + r_ip), 9) AS rrf
+  FROM ranked
+)
+SELECT query_id, neighbor_id, rrf,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY rrf DESC, neighbor_id ASC) AS rank
+FROM fused
+QUALIFY rank <= {K}
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "knn_bruteforce": {"fn": knn_bruteforce, "sql": KNN_BRUTEFORCE_SQL},
+    "knn_rrf_fusion": {"fn": knn_rrf_fusion, "sql": KNN_RRF_SQL},
     "knn_lsh": {"fn": knn_lsh, "sql": None},
     "knn_ivf": {"fn": knn_ivf, "sql": None},
     "embedding_dim_stats": {
