@@ -369,3 +369,95 @@ REGISTRY["bigram_logprob_docs"] = {
     "fn": bigram_logprob_docs,
     "sql": BIGRAM_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# BM25 lexical search: score all documents for a fixed term query, top 20.
+# Standard Okapi BM25 (k1=1.2, b=0.75): idf(t) * tf*(k1+1)/(tf + k1*(1-b+
+# b*dl/avgdl)). Shape: explode -> (doc, term) tf -> filter to query terms
+# (broadcastable tiny set) -> join df/avgdl scalars -> per-doc sum.
+# The sparse-retrieval half of the hybrid stack (knn_rrf_fusion is the
+# fusion; knn_* the dense half).
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ["data", "model", "learning"]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    lengths = docs.select("doc_id", F.size(tokens("text")).alias("dl"))
+    avgdl = lengths.agg(F.avg("dl")).collect()[0][0]
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term")).filter(
+        F.col("term").isin(BM25_TERMS)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lengths, "doc_id")
+        .withColumn("s", idf * F.col("tf") * (BM25_K1 + 1) / denom)
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 20)
+    )
+    return ranked
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH lengths AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, (SELECT AVG(dl) FROM lengths) AS avgdl
+  FROM documents
+),
+t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * tf.tf * ({BM25_K1} + 1)
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+           AS sc
+  FROM tf
+  JOIN dfreq d USING (term)
+  JOIN lengths l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, ROUND(SUM(sc), 6) AS bm25,
+       ROW_NUMBER() OVER (ORDER BY ROUND(SUM(sc), 6) DESC, doc_id ASC) AS rank
+FROM scored
+GROUP BY doc_id
+QUALIFY rank <= 20
+"""
+
+
+REGISTRY["bm25_search_docs"] = {"fn": bm25_search_docs, "sql": _bm25_sql()}
