@@ -183,3 +183,54 @@ REGISTRY: dict[str, dict] = {
     "corr_lineitem": {"fn": corr_lineitem, "sql": CORR_SQL},
     "profile_drift_events": {"fn": profile_drift_events, "sql": DRIFT_SQL},
 }
+
+
+# --------------------------------------------------------------------------
+# Anomaly detection: daily purchase-volume z-scores — flag days deviating
+# > 2 sigma from the corpus mean. Two-level aggregate (daily totals, then
+# global moments via a window over the tiny daily table) — the monitoring
+# query that sits on top of the A3 alert stream.
+# --------------------------------------------------------------------------
+
+def anomalous_days_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+    w = Window.partitionBy()
+    scored = daily.select(
+        "day",
+        "total",
+        F.round(
+            (F.col("total") - F.avg("total").over(w))
+            / F.stddev_samp("total").over(w),
+            6,
+        ).alias("z"),
+    )
+    return scored.withColumn("is_anomaly", F.abs(F.col("z")) > 2)
+
+
+ANOMALY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+scored AS (
+  SELECT day, total,
+         ROUND((total - AVG(total) OVER ()) / STDDEV_SAMP(total) OVER (), 6)
+           AS z
+  FROM daily
+)
+SELECT *, ABS(z) > 2 AS is_anomaly FROM scored
+"""
+
+
+REGISTRY["anomalous_days_events"] = {
+    "fn": anomalous_days_events,
+    "sql": ANOMALY_SQL,
+}
