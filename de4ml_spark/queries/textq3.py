@@ -461,3 +461,81 @@ QUALIFY rank <= 20
 
 
 REGISTRY["bm25_search_docs"] = {"fn": bm25_search_docs, "sql": _bm25_sql()}
+
+
+# --------------------------------------------------------------------------
+# Sparse TF-IDF document similarity: top-3 nearest docs per query doc by
+# tf-idf inner product — the text-side counterpart of the embedding knn.
+# Shape: (doc, term, w) weights -> equi-join on term restricted to query
+# docs on the left (the scalable sparse dot product: cost is sum over
+# shared terms, never |D|^2) -> per-pair sum -> top-k window.
+# --------------------------------------------------------------------------
+
+N_TFIDF_QUERIES = 10
+TFIDF_TOPK = 3
+
+
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from de4ml_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    wts = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    q = wts.filter(F.col("doc_id") < N_TFIDF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("w").alias("qw")
+    )
+    sims = (
+        q.join(wts, "term")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.round(F.sum(F.col("qw") * F.col("w")), 6).alias("sim"))
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+    )
+
+
+TFIDF_SIM_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+wts AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS w
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+),
+sims AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         ROUND(SUM(q.w * c.w), 6) AS sim
+  FROM wts q JOIN wts c ON q.term = c.term AND q.doc_id <> c.doc_id
+  WHERE q.doc_id < {N_TFIDF_QUERIES}
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, sim,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id ASC) AS rank
+FROM sims
+QUALIFY rank <= {TFIDF_TOPK}
+"""
+
+
+REGISTRY["tfidf_doc_similarity"] = {
+    "fn": tfidf_doc_similarity,
+    "sql": TFIDF_SIM_SQL,
+}
