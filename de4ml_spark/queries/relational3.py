@@ -349,3 +349,37 @@ REGISTRY["churned_purchasers"] = {
     "fn": churned_purchasers,
     "sql": CHURNED_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Hour-of-day seasonality: event volume and value by hour x type — the
+# time-dimension profile (date_part extraction + two-key aggregate).
+# --------------------------------------------------------------------------
+
+def hourly_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.hour("ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+HOURLY_SQL = """
+SELECT EXTRACT(hour FROM ts) AS hour, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+REGISTRY["hourly_seasonality_events"] = {
+    "fn": hourly_seasonality_events,
+    "sql": HOURLY_SQL,
+}
