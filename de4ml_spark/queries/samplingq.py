@@ -74,8 +74,52 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Weighted deterministic sampling: keep probability proportional to a
+# per-row weight (token count here — length-weighted corpus sampling).
+# Membership: uniform hash u in [0,1) from the md5 prefix; keep iff
+# u < weight / max_weight * base_rate. Deterministic, engine-auditable,
+# skew-free like the unweighted sampler.
+# --------------------------------------------------------------------------
+
+WEIGHTED_BASE = 0.3
+MAX_TOKENS = 120.0  # documents cap ~100 tokens; headroom for the ratio
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    hex8 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("wsamp"))), 1, 8
+    )
+    p = F.size(tokens("text")) / F.lit(MAX_TOKENS) * F.lit(WEIGHTED_BASE)
+    # per-row hex threshold: p in [0, 0.3] so no >= 1.0 clamp needed;
+    # lexicographic compare on lowercase hex equals numeric order
+    thr = F.format_string(
+        "%08x", F.round(p * (0xFFFFFFFF + 1)).cast("bigint")
+    )
+    return docs.filter(hex8 < thr).select("doc_id", "lang", "source")
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         substr(md5(CAST(doc_id AS VARCHAR) || 'wsamp'), 1, 8) AS hex8,
+         printf('%08x', CAST(round(len(string_split(text, ' '))
+               / {MAX_TOKENS} * {WEIGHTED_BASE} * 4294967296) AS BIGINT)) AS thr
+  FROM documents
+)
+SELECT doc_id, lang, source FROM t WHERE hex8 < thr
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "sample_docs": {"fn": sample_docs, "sql": SAMPLE_DOCS_SQL},
     "mix_docs": {"fn": mix_docs, "sql": MIX_DOCS_SQL},
     "split_events": {"fn": split_events, "sql": SPLIT_EVENTS_SQL},
+    "weighted_sample_docs": {
+        "fn": weighted_sample_docs,
+        "sql": WEIGHTED_SAMPLE_SQL,
+    },
 }
