@@ -383,3 +383,78 @@ REGISTRY["hourly_seasonality_events"] = {
     "fn": hourly_seasonality_events,
     "sql": HOURLY_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Global-sort band (keyset pagination shape): rows 1001-1020 of the full
+# price ordering. Exercises range-partitioned global sort + row_number
+# banding — at scale, prefer keyset predicates (WHERE price < last_seen)
+# over OFFSET, which this banding emulates deterministically.
+# --------------------------------------------------------------------------
+
+def orders_price_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(1001, 1020))
+        .select("rn", "o_orderkey", "o_totalprice")
+    )
+
+
+PRICE_PAGE_SQL = """
+WITH r AS (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT rn, o_orderkey, o_totalprice FROM r WHERE rn BETWEEN 1001 AND 1020
+"""
+
+
+REGISTRY["orders_price_page"] = {
+    "fn": orders_price_page,
+    "sql": PRICE_PAGE_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Monthly revenue with a 3-month trailing moving average — the rolling
+# window-frame aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) over a
+# tiny monthly series; the heavy lifting is the month aggregation.
+# --------------------------------------------------------------------------
+
+def monthly_revenue_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month").rowsBetween(-2, 0)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.avg("revenue").over(w), 6).alias("ma3"),
+    )
+
+
+MONTHLY_MA_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       ROUND(AVG(revenue) OVER (ORDER BY month
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+FROM monthly
+"""
+
+
+REGISTRY["monthly_revenue_ma"] = {
+    "fn": monthly_revenue_ma,
+    "sql": MONTHLY_MA_SQL,
+}
