@@ -234,3 +234,40 @@ REGISTRY["anomalous_days_events"] = {
     "fn": anomalous_days_events,
     "sql": ANOMALY_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Per-group exact quantiles: value quartiles per event type. Spark's exact
+# percentile uses the same linear interpolation as DuckDB's quantile_cont,
+# so the arrays compare bit-stable after rounding. At 100 TB the default
+# is percentile_approx (mergeable sketch); exact here for the oracle.
+# --------------------------------------------------------------------------
+
+def value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    qs = F.percentile(
+        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(qs[0], 6).alias("q25"),
+        F.round(qs[1], 6).alias("q50"),
+        F.round(qs[2], 6).alias("q75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUARTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS q25,
+       ROUND(quantile_cont(value, 0.50), 6) AS q50,
+       ROUND(quantile_cont(value, 0.75), 6) AS q75,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+REGISTRY["value_quartiles_by_type"] = {
+    "fn": value_quartiles_by_type,
+    "sql": QUARTILES_SQL,
+}
