@@ -334,7 +334,7 @@ SELECT
   COUNT(CAST(props->>'k' AS BIGINT)) AS n_parsed,
   MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
   MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
-  SUM(CAST(props->>'k' AS BIGINT)) AS sum_k
+  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 """

@@ -310,8 +310,8 @@ j AS (
   FROM d FULL OUTER JOIN r ON d_key = r_key
 )
 SELECT status, COUNT(*) AS n_keys,
-       SUM(n_decisions) AS total_decisions,
-       SUM(n_rewards) AS total_rewards
+       CAST(SUM(n_decisions) AS BIGINT) AS total_decisions,
+       CAST(SUM(n_rewards) AS BIGINT) AS total_rewards
 FROM j GROUP BY status
 """
 
