@@ -1,0 +1,52 @@
+"""Cache lifecycle helper for operators that persist() intermediates.
+
+Several operators persist an intermediate as a load-bearing barrier (it
+stops CollapseProject/pushdown from re-inlining giant expressions — see
+SCALE.md "Vector-math execution notes") and as a shared-scan index. The
+returned DataFrame is lazy, so the function itself cannot unpersist —
+but leaving the blocks cached accumulates storage across repeated catalog
+runs in one session.
+
+``release_after`` resolves this: eagerly materialize the (small) result
+with ``localCheckpoint`` — truncating lineage so the result no longer
+references the cached plans — then unpersist the intermediates. The
+checkpoint blocks themselves are reference-tracked by Spark's
+ContextCleaner and freed when the returned DataFrame is garbage
+collected, so nothing outlives its consumer.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+from pyspark.sql import DataFrame
+
+_RELEASE_ENABLED = True
+
+
+def release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize ``result``, then unpersist every ``cached`` input.
+
+    Use when ``result`` is orders of magnitude smaller than the cached
+    intermediates (top-k lists, near-dup pair sets, component labels):
+    the eager materialization costs one extra write of a small relation
+    and buys back the intermediates' cache space immediately.
+    """
+    if not _RELEASE_ENABLED:
+        return result
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist(blocking=False)
+    return out
+
+
+@contextlib.contextmanager
+def no_release():
+    """Disable the checkpoint-and-release step (plan audits need to see the
+    interior physical plan, which localCheckpoint truncates to a scan)."""
+    global _RELEASE_ENABLED
+    _RELEASE_ENABLED = False
+    try:
+        yield
+    finally:
+        _RELEASE_ENABLED = True

@@ -20,6 +20,8 @@ there is no shuffle anywhere in this pipeline.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -108,23 +110,38 @@ def upsert_parquet(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
-    key: str,
+    key: str | list[str],
 ) -> None:
     """Poor-man's MERGE for plain parquet (no table format): rows in
-    ``updates`` replace existing rows with the same key; new keys append.
-    Implemented as anti-join + union + atomic-ish rewrite (write to a temp
-    dir, then swap). At 100 TB this is what a Delta/Iceberg MERGE does
+    ``updates`` replace existing rows with the same (composite) key; new
+    keys append. Implemented as anti-join + union + rewrite (write to a
+    temp dir, then swap). At 100 TB this is what a Delta/Iceberg MERGE does
     under the hood minus the transaction log — the repo standardizes on
     plain parquet because the driver environment has no table-format
     package; the call site is the seam where Delta's ``MERGE INTO`` slots
-    in."""
+    in.
+
+    The swap parks the old directory at ``<path>.bak`` before moving the
+    new one in and deletes the backup last, so a crash mid-swap leaves
+    either the old table (restorable from .bak) or the new one — never
+    nothing. Stale ``.bak`` from a previous crash is cleared first.
+    """
     import shutil
     import tempfile
 
+    keys = [key] if isinstance(key, str) else list(key)
     current = spark.read.parquet(path)
-    merged = current.join(updates, key, "left_anti").unionByName(updates)
+    merged = current.join(updates, keys, "left_anti").unionByName(updates)
     tmp = tempfile.mkdtemp(prefix="upsert_") + "/data"
     merged.write.mode("overwrite").parquet(tmp)
-    # re-read from tmp to release the reader on `path`, then swap
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    # Swap: park old aside, move new in, delete backup last (crash-safe).
+    bak = path.rstrip("/") + ".bak"
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    os.rename(path, bak)
+    try:
+        shutil.move(tmp, path)
+    except BaseException:
+        os.rename(bak, path)  # restore the old table on failure
+        raise
+    shutil.rmtree(bak)

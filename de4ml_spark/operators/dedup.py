@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from de4ml_spark.cache import release_after
 from de4ml_spark.operators.text import fingerprint, tokens
 
 
@@ -263,11 +264,12 @@ def minhash_lsh_pairs(
         .join(F.broadcast(cand), ["id_a", "id_b"])
     )
     sizes = _shingle_sizes(ex, id_col)
-    return (
+    result = (
         _jaccard_for_pairs(inter, sizes, id_col)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return release_after(result, ex, cand)
 
 
 def embedding_neardup_blocked(
@@ -528,5 +530,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
-    return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))
+    result = labels.select(
+        F.col("node").alias(id_col), F.col("comp").alias("component")
+    )
+    return release_after(result, edges, labels)

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from de4ml_spark.cache import release_after
+
 
 def dot_sql(a: str, b: str, dim: int) -> str:
     """SQL text of the unrolled dot product a·b (left-to-right order —
@@ -142,10 +144,11 @@ def topk_bruteforce(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
-    return (
+    result = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    return release_after(result, with_cos)
 
 
 def _topk_join_path(

@@ -14,7 +14,9 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import itertools
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,6 +76,28 @@ def get_spark(app_name: str = "de4ml_spark", cpus: int | None = None) -> SparkSe
 
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
+# Session identity tokens: id(spark) can be reused after a stopped session
+# is garbage-collected, which would hand a new session stale DataFrames
+# bound to the dead one. A WeakKeyDictionary maps each live session to a
+# unique monotonic token (int values — no ref cycle); a GC'd session's
+# mapping vanishes and a new session always gets a fresh token.
+_SESSION_TOKENS: "weakref.WeakKeyDictionary[SparkSession, int]" = (
+    weakref.WeakKeyDictionary()
+)
+_TOKEN_COUNTER = itertools.count()
+
+
+def _session_token(spark: SparkSession) -> int:
+    tok = _SESSION_TOKENS.get(spark)
+    if tok is None:
+        tok = next(_TOKEN_COUNTER)
+        _SESSION_TOKENS[spark] = tok
+        # Prune cache entries from dead sessions while we're here.
+        live = set(_SESSION_TOKENS.values())
+        for k in [k for k in _TABLE_CACHE if k[0] not in live]:
+            del _TABLE_CACHE[k]
+    return tok
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing types for engine-portable semantics.
@@ -87,7 +111,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     listing + parquet schema read (~50-100 ms of driver latency per call) —
     pure overhead when the catalog runs many queries over the same tables.
     """
-    key = (id(spark), sf_dir, name)
+    key = (_session_token(spark), sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

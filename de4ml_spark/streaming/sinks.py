@@ -120,7 +120,7 @@ def incremental_agg_view(
         if not batch.columns:
             return
         if os.path.exists(view_path):
-            upsert_parquet(spark, view_path, batch, group_cols[0])
+            upsert_parquet(spark, view_path, batch, group_cols)
         else:
             batch.write.mode("overwrite").parquet(view_path)
 

@@ -174,6 +174,24 @@ def test_upsert_parquet(spark, tmp_path):
     assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
 
 
+def test_upsert_parquet_composite_key(spark, tmp_path):
+    """Multi-column key: only the exact (k1, k2) match is replaced — rows
+    sharing just the first key component must survive."""
+    from de4ml_spark.etl.pipeline import upsert_parquet
+
+    path = str(tmp_path / "t2")
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)],
+        "k1 STRING, k2 BIGINT, v BIGINT",
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [("a", 2, 99), ("c", 1, 40)], "k1 STRING, k2 BIGINT, v BIGINT"
+    )
+    upsert_parquet(spark, path, updates, ["k1", "k2"])
+    got = {(r["k1"], r["k2"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 10, ("a", 2): 99, ("b", 1): 30, ("c", 1): 40}
+
+
 def test_sql_surface(spark, sf_dir):
     from de4ml_spark.sql import sql
 

@@ -52,7 +52,10 @@ def test_text_ops_single_scan_no_shuffle(spark, sf_dir):
 def test_minhash_partial_aggregation(spark, sf_dir):
     """The signature aggregation must have a map-side partial phase so the
     shuffle carries one signature per doc, not one row per shingle."""
-    plan = _plan(dedup_minhash_lsh(spark, sf_dir))
+    from de4ml_spark.cache import no_release
+
+    with no_release():  # keep the interior plan visible (no checkpoint scan)
+        plan = _plan(dedup_minhash_lsh(spark, sf_dir))
     assert "partial_min" in plan.lower() or "HashAggregate" in plan
     assert "CartesianProduct" not in plan  # candidates come from band joins
 
