@@ -28,6 +28,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from de4ml_spark.cache import release_after
+from de4ml_spark.operators.portable_hash import (
+    BAND_RADIX,
+    P31,
+    hash_family,
+    phash_spark_sql,
+)
 from de4ml_spark.operators.text import fingerprint, tokens
 
 
@@ -183,6 +189,129 @@ def minhash_signatures(
     return agg.select(id_col, "n_sh", sig.alias("sig"))
 
 
+def portable_shingle_rows(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct engine-portable 32-bit shingle ids: (id, shingle BIGINT).
+
+    String n-gram shingles hashed with the md5-derived portable hash
+    (portable_hash.py) so the DuckDB oracle reproduces the ids exactly
+    (``md5_number_lower(shingle) & 0xFFFFFFFF``). 32-bit ids keep every
+    seeded-family product ``a * x`` below 2^63 — exact in both engines'
+    BIGINT. Hash collisions merge shingles identically on both engines, so
+    intersection/size counts still agree bit-for-bit; quality impact is the
+    usual |shingles|^2 / 2^32 birthday term. One corpus scan, no window
+    (string shingles assemble per-row via slice/concat)."""
+    toks = tokens(text_col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    )
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ex = df.select(F.col(id_col), F.explode(sh).alias("s"))
+    return ex.select(
+        F.col(id_col), F.expr(phash_spark_sql("s", 32)).alias("shingle")
+    ).distinct()
+
+
+def _band_candidates(banded: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any (band, bucket)."""
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def _verify_candidates(
+    ex: DataFrame, cand: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the shingle
+    rows ``ex``: prune the corpus to candidate docs (broadcast semi-join —
+    the candidate set is tiny compared to the corpus), count intersections
+    via the shingle equi-join, keep only candidate pairs, then the size
+    join. Returns (id_a, id_b, jaccard)."""
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    exc = ex.join(F.broadcast(cand_ids), id_col)
+    ca, cb = exc.alias("a"), exc.alias("b")
+    inter = (
+        ca.join(
+            cb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(F.broadcast(cand), ["id_a", "id_b"])
+    )
+    sizes = _shingle_sizes(ex, id_col)
+    return (
+        _jaccard_for_pairs(inter, sizes, id_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 24,
+    bands: int = 12,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with an engine-portable hash family —
+    same banding/verify pipeline as ``minhash_lsh_pairs`` but every hash is
+    reproducible in ANSI SQL (DuckDB oracle: ``dedupq.minhash_oracle_sql``).
+
+    Signature hash s of a doc = min over shingles x of (a_s*x + b_s) mod
+    (2^31-1); band buckets pack the band's two signature values into one
+    BIGINT (h0 * 2^31 + h1) — pure integer math, exact on both engines.
+    Restricted to rows_per_band == 2 so bucket packing stays below 2^62."""
+    rows_per_band = num_hashes // bands
+    if rows_per_band != 2 or num_hashes % bands:
+        raise ValueError("portable variant requires num_hashes == 2 * bands")
+    ex = portable_shingle_rows(df, n, text_col, id_col).persist()
+    fam = hash_family(num_hashes)
+    mins = [
+        F.expr(f"min((shingle * {a}L + {b}L) % {P31}L)").alias(f"h{s}")
+        for s, (a, b) in enumerate(fam)
+    ]
+    sigs = ex.groupBy(id_col).agg(*mins)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.col(f"h{2 * b}") * F.lit(BAND_RADIX)
+                            + F.col(f"h{2 * b + 1}")
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    cand = _band_candidates(banded, id_col).persist()
+    result = _verify_candidates(ex, cand, id_col, threshold)
+    return release_after(result, ex, cand)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -228,47 +357,8 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a, b2 = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    # Verify candidates with exact Jaccard, reusing the persisted shingle
-    # rows: prune to docs in a candidate pair (broadcast semi-join — the
-    # candidate set is tiny compared to the corpus), count intersections via
-    # the shingle equi-join, keep only candidate pairs, then the size join.
-    cand = cand.persist()
-    cand_ids = cand.select(
-        F.explode(F.array("id_a", "id_b")).alias(id_col)
-    ).distinct()
-    exc = ex.join(F.broadcast(cand_ids), id_col)
-    ca, cb = exc.alias("a"), exc.alias("b")
-    inter = (
-        ca.join(
-            cb,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(F.broadcast(cand), ["id_a", "id_b"])
-    )
-    sizes = _shingle_sizes(ex, id_col)
-    result = (
-        _jaccard_for_pairs(inter, sizes, id_col)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    cand = _band_candidates(banded, id_col).persist()
+    result = _verify_candidates(ex, cand, id_col, threshold)
     return release_after(result, ex, cand)
 
 
@@ -353,18 +443,44 @@ def embedding_neardup_blocked(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: per-token xxhash64; signature bit j is the majority
-    vote of token-hash bits j.
+def simhash_bands(bits: int, n_bands: int = 4) -> list[tuple[int, int]]:
+    """(shift, width) per band: ``bits`` split into ``n_bands`` contiguous
+    chunks, widths differing by at most 1 (e.g. 59 -> 15/15/15/14)."""
+    base, extra = divmod(bits, n_bands)
+    out, shift = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        out.append((shift, width))
+        shift += width
+    return out
 
-    Shape: explode tokens -> one groupBy(id) with 64 conditional SUMs ->
-    assemble the signature from the vote signs. Everything stays in
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_sql=None,
+) -> DataFrame:
+    """``bits``-bit SimHash: signature bit j is the majority vote of
+    per-token hash bits j.
+
+    The token hash defaults to xxhash64 (raw-throughput path); passing
+    ``hash_sql`` (a SQL-fragment builder like portable_hash.phash_spark_sql)
+    swaps in an engine-portable hash so a DuckDB oracle can replay the
+    signature bit-for-bit (then ``bits`` must be <= 59 to stay in positive
+    BIGINT on both engines).
+
+    Shape: explode tokens -> one groupBy(id) with ``bits`` conditional SUMs
+    -> assemble the signature from the vote signs. Everything stays in
     whole-stage codegen (higher-order-function lambdas are interpreted in
     Spark and were ~50x slower here); one shuffle on the doc id.
     """
     hashed = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h", F.expr(hash_sql("tok")) if hash_sql else F.xxhash64("tok")
+    )
     # Aggregates and the signature assembly are emitted as SQL strings (one
     # F.expr each) — building 64 vote columns from Column operators costs
     # hundreds of Py4J round trips of pure plan-construction latency.
@@ -373,12 +489,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             f"sum(CASE WHEN (shiftrightunsigned(h, {j}) & 1) = 1 "
             f"THEN 1 ELSE -1 END)"
         ).alias(f"v{j}")
-        for j in range(64)
+        for j in range(bits)
     ]
     voted = hashed.groupBy(id_col).agg(*votes)
     sig_sql = " | ".join(
         f"(CASE WHEN v{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
-        for j in range(64)
+        for j in range(bits)
     )
     return voted.select(F.col(id_col), F.expr(sig_sql).alias("simhash"))
 
@@ -388,21 +504,24 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = 64,
+    hash_sql=None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates via
-    4x16-bit band equality (pigeonhole: hamming<=3 ⇒ >=1 band equal), then
-    exact Hamming verify via bit_count — no cross join."""
-    sigs = simhash(df, text_col, id_col)
+    4-band equality (pigeonhole: hamming<=3 ⇒ >=1 band equal), then exact
+    Hamming verify via bit_count — no cross join. ``bits``/``hash_sql``
+    select the portable signature (see ``simhash``)."""
+    sigs = simhash(df, text_col, id_col, bits, hash_sql)
     bandcol = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftrightunsigned(F.col("simhash"), b * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col("simhash"), shift)
+                    .bitwiseAND(F.lit((1 << width) - 1))
                     .alias("bucket"),
                 )
-                for b in range(4)
+                for b, (shift, width) in enumerate(simhash_bands(bits))
             ]
         )
     ).alias("bb")

@@ -1,0 +1,72 @@
+"""Engine-portable deterministic string hashing (Spark <-> DuckDB).
+
+The correctness gate runs every catalog query on Spark AND its oracle SQL on
+DuckDB and compares values exactly, so hash-based operators (MinHash,
+SimHash, LSH) need a hash function BOTH engines compute bit-identically.
+Spark's ``xxhash64`` has no DuckDB twin, but md5 does: DuckDB's
+``md5_number_lower(s)`` is the little-endian integer of the digest's last 8
+bytes, and Spark can assemble the same integer from hex-substring byte
+arithmetic (``conv(substr(md5(x), pos, 2), 16, 10)``) inside whole-stage
+codegen. Values are masked to < 2^59 so every downstream bit op stays in
+non-negative BIGINT range on both engines (DuckDB's ``&`` result casts to
+BIGINT; Spark longs never go negative).
+
+Seeded hash families (MinHash) come from exact integer arithmetic over the
+base hash — ``(a_s * x + b_s) mod (2^31 - 1)`` with x < 2^32 and a_s < 2^31,
+so products stay below 2^63: exact in Spark longs and DuckDB BIGINTs alike,
+no decimal/HUGEINT promotion needed.
+
+This is the *portability* tier: md5 costs a few x more than xxhash64 per
+call, but it is computed once per shingle/token and amortizes over the
+seeded family, which is pure integer math. The xxhash64-based variants in
+``operators/dedup.py`` remain for raw-throughput pipelines that do not need
+an engine-independent replay.
+"""
+
+from __future__ import annotations
+
+P31 = 2_147_483_647  # Mersenne prime 2^31 - 1: modulus of the seeded family
+BAND_RADIX = 2_147_483_648  # 2^31: band-bucket packing radix (h < P31)
+
+
+def phash_spark_sql(expr: str, bits: int = 59) -> str:
+    """Spark SQL fragment: low ``bits`` bits (<= 59) of the little-endian
+    integer of md5(expr)'s last 8 digest bytes — equals DuckDB's
+    ``md5_number_lower(expr) & mask``. ``expr`` is a SQL string expression."""
+    if not 1 <= bits <= 59:
+        raise ValueError("bits must be in [1, 59] to stay in positive BIGINT")
+    h = f"md5(cast(({expr}) as binary))"
+    nbytes = (bits + 7) // 8
+    terms = []
+    for i in range(nbytes):
+        # digest byte 8+i lives at hex chars [17 + 2i, 18 + 2i] (1-indexed)
+        byte = f"CAST(conv(substr({h}, {17 + 2 * i}, 2), 16, 10) AS BIGINT)"
+        rem = bits - 8 * i
+        if rem < 8:
+            byte = f"({byte} % {1 << rem})"
+        terms.append(byte if i == 0 else f"{byte} * {1 << (8 * i)}L")
+    return "(" + " + ".join(terms) + ")"
+
+
+def phash_duck_sql(expr: str, bits: int = 59) -> str:
+    """DuckDB SQL fragment computing the same value as ``phash_spark_sql``."""
+    if not 1 <= bits <= 59:
+        raise ValueError("bits must be in [1, 59] to stay in positive BIGINT")
+    mask = (1 << bits) - 1
+    return f"CAST(md5_number_lower({expr}) & {mask} AS BIGINT)"
+
+
+def hash_family(num: int, salt: int = 0x5DEECE66D) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the seeded family
+    h_s(x) = (a_s * x + b_s) mod P31, with a_s odd in [1, 2^31) and
+    b_s in [0, P31). Plain LCG — fixed constants, no runtime entropy, so the
+    Spark plan and the DuckDB oracle inline identical literals."""
+    state = salt % (1 << 31) or 1
+    out = []
+    for _ in range(num):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = state | 1
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = state % P31
+        out.append((a, b))
+    return out

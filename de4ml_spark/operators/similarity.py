@@ -186,16 +186,24 @@ def _topk_join_path(
     )
 
 
-def _plane_proj_sql(e: str, p: int, dim: int) -> str:
-    """SQL text of hyperplane p's projection. The coefficient for dimension
-    d is ±1 from xxhash64(p, d) parity — the hash call has two int literals,
-    so Catalyst constant-folds every coefficient at plan time and the
-    projection codegens to a flat ±e[d] sum."""
-    return " + ".join(
-        f"{e}[{d}] * (CASE WHEN xxhash64({p}, {d}) % 2 = 0 "
-        f"THEN 1.0D ELSE -1.0D END)"
+def plane_coeffs(p: int, dim: int) -> list[float]:
+    """±1 coefficients of hyperplane p: parity of md5(f"{p}:{d}") byte 0.
+    Deterministic and engine-independent (plain Python, fixed constants), so
+    the same literals embed in both the Spark plan and the DuckDB oracle —
+    no stored model, identical across executors."""
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"{p}:{d}".encode()).digest()[0] % 2 == 0 else -1.0
         for d in range(dim)
-    )
+    ]
+
+
+def _plane_proj_sql(e: str, p: int, dim: int) -> str:
+    """SQL text of hyperplane p's projection: a flat codegen'd ±e[d] sum
+    with the ±1 coefficients inlined as double literals (exact multiply)."""
+    cs = plane_coeffs(p, dim)
+    return " + ".join(f"{e}[{d}] * {cs[d]!r}D" for d in range(dim))
 
 
 def random_hyperplane_buckets(

@@ -1,10 +1,13 @@
 """Deduplication queries over ``documents`` / ``embeddings`` (extension tier):
 exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
 
-MinHash and SimHash signatures are built on Spark's xxhash64, which DuckDB
-cannot reproduce — those two are registered without an oracle (rows-only
-check); their correctness gate is tests/test_dedup.py, which asserts the LSH
-candidate sets recover the exact-Jaccard / exact-Hamming pair sets.
+The catalog MinHash and SimHash entries use the engine-portable hash tier
+(operators/portable_hash.py): signatures are md5-arithmetic values that
+DuckDB reproduces bit-for-bit (``md5_number_lower``), so both pipelines are
+fully oracle-gated — banding, candidate join, and exact verify replay
+identically on both engines. The xxhash64-based variants remain in
+operators/dedup.py for raw-throughput pipelines; tests/test_dedup.py gates
+those against the exact-Jaccard / exact-Hamming pair sets.
 """
 
 from __future__ import annotations
@@ -16,9 +19,17 @@ from de4ml_spark.operators.dedup import (
     embedding_neardup_blocked,
     embedding_neardup_pairs,
     exact_dedup,
-    minhash_lsh_pairs,
+    minhash_lsh_pairs_portable,
     ngram_jaccard_pairs,
+    simhash_bands,
     simhash_pairs,
+)
+from de4ml_spark.operators.portable_hash import (
+    BAND_RADIX,
+    P31,
+    hash_family,
+    phash_duck_sql,
+    phash_spark_sql,
 )
 from de4ml_spark.session import load_table
 
@@ -73,14 +84,106 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 24 hashes / 12 bands (r=2): P(candidate | j=0.8) = 1-(1-0.64)^12
     # ≈ 1 - 5e-6 — recall indistinguishable from 32/16 (pair sets verified
     # identical at sf0.01 and sf0.1) at ~25% less signature work.
-    return minhash_lsh_pairs(docs, threshold=0.8, num_hashes=24, bands=12).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
+    return minhash_lsh_pairs_portable(
+        docs, threshold=0.8, num_hashes=24, bands=12
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def minhash_oracle_sql(
+    num_hashes: int = 24, bands: int = 12, threshold: float = 0.8
+) -> str:
+    """DuckDB twin of ``minhash_lsh_pairs_portable`` — same seeded family
+    constants, band packing, and exact-Jaccard verify, replayed in SQL."""
+    fam = hash_family(num_hashes)
+    mins = ",\n       ".join(
+        f"MIN((x * {a} + {b}) % {P31}) AS h{s}" for s, (a, b) in enumerate(fam)
     )
+    band_sel = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"h{2 * b} * {BAND_RADIX} + h{2 * b + 1} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS s
+  FROM t WHERE len(toks) >= 3
+),
+e AS (SELECT DISTINCT doc_id, {phash_duck_sql('s', 32)} AS x FROM sh),
+c AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
+sig AS (SELECT doc_id, {mins}
+        FROM e GROUP BY doc_id),
+bnd AS (
+  {band_sel}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id
+),
+i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM e a JOIN e b ON a.x = b.x AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT cand.id_a, cand.id_b,
+       ROUND(i.inter * 1.0 / (c1.n + c2.n - i.inter), 6) AS jaccard_r
+FROM cand
+JOIN i ON cand.id_a = i.id_a AND cand.id_b = i.id_b
+JOIN c c1 ON cand.id_a = c1.doc_id
+JOIN c c2 ON cand.id_b = c2.doc_id
+WHERE i.inter * 1.0 / (c1.n + c2.n - i.inter) >= {threshold}
+"""
+
+
+SIMHASH_BITS = 59  # top portable-hash width: bit ops stay in positive BIGINT
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=3)
+    return simhash_pairs(
+        docs,
+        max_hamming=3,
+        bits=SIMHASH_BITS,
+        hash_sql=lambda e: phash_spark_sql(e, SIMHASH_BITS),
+    )
+
+
+def simhash_oracle_sql(max_hamming: int = 3, bits: int = SIMHASH_BITS) -> str:
+    """DuckDB twin of the portable ``simhash_pairs``: per-token portable
+    hash, bit-majority votes, band candidates, exact Hamming verify."""
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    sig = "\n     | ".join(
+        f"(CASE WHEN v{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(bits)
+    )
+    band_sel = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, sh, {b} AS band, "
+        f"(sh >> {shift}) & {(1 << width) - 1} AS bucket FROM sig"
+        for b, (shift, width) in enumerate(simhash_bands(bits))
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+h AS (SELECT doc_id, {phash_duck_sql('tok', bits)} AS h FROM tk),
+v AS (SELECT doc_id, {votes}
+      FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig} AS sh FROM v),
+bnd AS (
+  {band_sel}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,8 +277,8 @@ REGISTRY: dict[str, dict] = {
     "dedup_exact_docs": {"fn": dedup_exact_docs, "sql": DEDUP_EXACT_SQL},
     "dedup_components": {"fn": dedup_components, "sql": DEDUP_COMPONENTS_SQL},
     "dedup_ngram_jaccard": {"fn": dedup_ngram_jaccard, "sql": DEDUP_NGRAM_SQL},
-    "dedup_minhash_lsh": {"fn": dedup_minhash_lsh, "sql": None},
-    "dedup_simhash": {"fn": dedup_simhash, "sql": None},
+    "dedup_minhash_lsh": {"fn": dedup_minhash_lsh, "sql": minhash_oracle_sql()},
+    "dedup_simhash": {"fn": dedup_simhash, "sql": simhash_oracle_sql()},
     "dedup_embedding_cosine": {
         "fn": dedup_embedding_cosine,
         "sql": DEDUP_EMBEDDING_SQL,

@@ -1,6 +1,9 @@
 """Similarity-search queries over ``embeddings`` (extension tier): exact
-brute-force cosine top-k (oracled) and LSH-bucketed approximate top-k
-(rows-only; recall gated in tests/test_similarity.py).
+brute-force cosine top-k, LSH-bucketed approximate top-k (both fully
+oracle-gated — the LSH hyperplanes are Python-deterministic ±1 literals that
+inline identically into the DuckDB twin), IVF centroid-probing (rows-only:
+k-means is iterative), RRF fusion, and per-dimension stats. Recall is gated
+in tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -42,12 +45,59 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {K}
 """
 
 
+LSH_BITS = 6
+
+
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return topk_lsh(queries, emb, k=K, bits=6).select(
+    return topk_lsh(queries, emb, k=K, bits=LSH_BITS).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
     )
+
+
+def knn_lsh_oracle_sql(
+    k: int = K, bits: int = LSH_BITS, n_queries: int = N_QUERIES, dim: int = 64
+) -> str:
+    """DuckDB twin of ``topk_lsh``: the ±1 hyperplane coefficients come from
+    plain-Python md5 parity (similarity.plane_coeffs), so the exact same
+    literals inline here — identical sign bits, buckets, candidate sets, and
+    exact-cosine rescoring on both engines (±1.0 multiplies are exact)."""
+    from de4ml_spark.operators.similarity import plane_coeffs
+
+    projs = ",\n         ".join(
+        "list_dot_product(e, CAST(["
+        + ", ".join(repr(c) for c in plane_coeffs(p, dim))
+        + f"] AS DOUBLE[])) AS p{p}"
+        for p in range(bits)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN p{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(bits)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+prj AS (
+  SELECT vec_id, e,
+         {projs}
+  FROM v
+),
+b AS (SELECT vec_id, e, {bucket} AS bucket FROM prj),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b
+      WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qe, c.e)
+               / (sqrt(list_dot_product(qe, qe))
+                  * sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
+  FROM q JOIN b c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,7 +240,9 @@ QUALIFY rank <= {K}
 REGISTRY: dict[str, dict] = {
     "knn_bruteforce": {"fn": knn_bruteforce, "sql": KNN_BRUTEFORCE_SQL},
     "knn_rrf_fusion": {"fn": knn_rrf_fusion, "sql": KNN_RRF_SQL},
-    "knn_lsh": {"fn": knn_lsh, "sql": None},
+    "knn_lsh": {"fn": knn_lsh, "sql": knn_lsh_oracle_sql()},
+    # k-means is genuinely iterative (Lloyd refinement on a driver-side
+    # sample) — not SQL-expressible; gate = rows-only + recall tests.
     "knn_ivf": {"fn": knn_ivf, "sql": None},
     "embedding_dim_stats": {
         "fn": embedding_dim_stats,

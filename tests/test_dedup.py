@@ -135,3 +135,75 @@ def test_connected_components_chain(spark):
         for r in connected_components(pairs, verts).collect()
     }
     assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 99: 99}
+
+
+def test_portable_hash_matches_duckdb(spark):
+    """The portability guarantee itself: Spark's md5-byte-arithmetic hash
+    equals DuckDB's md5_number_lower for arbitrary strings and bit widths."""
+    import duckdb
+
+    from de4ml_spark.operators.portable_hash import (
+        phash_duck_sql,
+        phash_spark_sql,
+    )
+
+    vals = ["abc", "hello world", "", "τεστ unicode", "a b c", "7:63"]
+    con = duckdb.connect()
+    for bits in (32, 59):
+        got = {
+            r["s"]: r["ph"]
+            for r in spark.createDataFrame([(v,) for v in vals], "s STRING")
+            .selectExpr("s", f"{phash_spark_sql('s', bits)} AS ph")
+            .collect()
+        }
+        for v in vals:
+            want = con.execute(
+                f"SELECT {phash_duck_sql('?', bits)}", [v]
+            ).fetchone()[0]
+            assert got[v] == want, (v, bits)
+
+
+def test_portable_minhash_recall_equals_exact(spark, sf_dir):
+    """The engine-portable MinHash variant (catalog entry) must recover the
+    exact-Jaccard pair set just like the xxhash64 variant."""
+    from de4ml_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_portable(docs, threshold=0.8).collect()
+    }
+    assert exact and lsh == exact
+
+
+def test_portable_simhash_pairs_complete(spark, sf_dir):
+    """Portable 59-bit SimHash banding must recover every pair with
+    Hamming <= 3 (pigeonhole over 4 bands), like the 64-bit variant."""
+    from de4ml_spark.operators.portable_hash import phash_spark_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    hs = lambda e: phash_spark_sql(e, 59)  # noqa: E731
+    sigs = simhash(docs, bits=59, hash_sql=hs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, max_hamming=3, bits=59, hash_sql=hs).collect()
+    }
+    assert banded == brute and banded
