@@ -75,7 +75,7 @@ def shingle_rows(
     """
     from pyspark.sql import Window
 
-    ex = df.select(
+    ex = _spread(df, id_col).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     ).withColumn("h", F.xxhash64("tok"))
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -189,6 +189,19 @@ def minhash_signatures(
     return agg.select(id_col, "n_sh", sig.alias("sig"))
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition to the session's default parallelism when the input has
+    fewer partitions. Hash/shingle extraction is CPU-heavy per row; a small
+    corpus often arrives as ONE parquet split (measured: the whole md5 pass
+    on one core), which serializes the scan stage. At 100 TB scans split
+    naturally and this is a no-op; the guard keeps it from ever *reducing*
+    parallelism."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, id_col)
+    return df
+
+
 def portable_shingle_rows(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -207,7 +220,7 @@ def portable_shingle_rows(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     )
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    ex = df.select(F.col(id_col), F.explode(sh).alias("s"))
+    ex = _spread(df, id_col).select(F.col(id_col), F.explode(sh).alias("s"))
     return ex.select(
         F.col(id_col), F.expr(phash_spark_sql("s", 32)).alias("shingle")
     ).distinct()
@@ -476,7 +489,7 @@ def simhash(
     whole-stage codegen (higher-order-function lambdas are interpreted in
     Spark and were ~50x slower here); one shuffle on the doc id.
     """
-    hashed = df.select(
+    hashed = _spread(df, id_col).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).withColumn(
         "h", F.expr(hash_sql("tok")) if hash_sql else F.xxhash64("tok")

@@ -68,6 +68,13 @@ def get_spark(app_name: str = "de4ml_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # FAIR lets concurrently submitted jobs share executor slots instead
+        # of queueing whole jobs FIFO — the right mode for multi-query
+        # serving (bench.py's workload pass sets this; default stays FIFO).
+        .config(
+            "spark.scheduler.mode",
+            os.environ.get("SPARK_GRAFT_SCHEDULER", "FIFO"),
+        )
     )
     if "spark.master" not in os.environ.get("SPARK_CONF", ""):
         builder = builder.master(f"local[{cpus}]")
