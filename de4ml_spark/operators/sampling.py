@@ -83,3 +83,45 @@ def group_split(
     return df.withColumn(
         "split", F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-adjusted mixture rates (multilingual/pretraining
+    standard): resample sources toward share q_s ∝ p_s^alpha, flattening
+    the natural distribution p_s. Returns one row per source with the
+    deterministic sampling ``rate`` to hand to ``mix_sources`` (largest
+    upweighted source pinned at rate 1.0).
+
+    alpha is fixed at 0.5 so p^alpha is ``sqrt`` — IEEE-exact and
+    bit-identical across engines (generic ``pow`` may differ in the last
+    ulp between libm implementations). The cross-source Σ sqrt(p) is summed
+    as DECIMAL over 12-decimal roundings, making the reduction
+    order-independent; every other step is counts, divisions, and
+    comparisons — exact on both engines, so the DuckDB oracle reproduces
+    rates bit-for-bit.
+
+    Scale: one groupBy(source) count (map-side combined), then window math
+    over the per-source summary (rows = |sources|, trivially small)."""
+    if alpha != 0.5:
+        raise ValueError("alpha fixed at 0.5 (sqrt) for engine portability")
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    p = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    wgt = F.round(F.sqrt(p), 12).cast("decimal(24,12)")
+    q = wgt.cast("double") / F.sum(wgt).over(w_all).cast("double")
+    rate_raw = q / p
+    rate = rate_raw / F.max(rate_raw).over(w_all)
+    return counts.select(
+        F.col(source_col),
+        F.col("n_docs"),
+        F.round(p, 6).alias("p"),
+        F.round(q, 6).alias("q"),
+        F.round(rate, 6).alias("rate"),
+        F.round(rate * F.col("n_docs"), 2).alias("expected_docs"),
+    )

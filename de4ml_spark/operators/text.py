@@ -108,3 +108,60 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     key instead of the full document)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def ngram_rows(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """All word n-gram occurrences (with multiplicity) as rows (id, gram).
+    Docs with fewer than n tokens contribute no rows. String grams assemble
+    per row via slice/concat_ws — one codegen'd scan, no window."""
+    toks = tokens(text_col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    ns: tuple[int, ...] = (2, 3),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher/MassiveText-style intra-document repetition metrics — the
+    standard pretraining filter for looping/boilerplate text. Per doc and
+    n-gram order n: ``dup{n}_frac`` = fraction of n-gram occurrences that
+    are repeats (1 - distinct/total), ``top{n}_frac`` = share of the most
+    frequent n-gram. Rounded to 6 decimals (exact integer ratios — engine
+    reproducible).
+
+    Scale: per n, one shuffle keyed (doc, gram) with map-side combine, then
+    a per-doc rollup; docs never cross-join and the gram key space is
+    corpus-wide uniform. Output keeps only docs with >= max(ns) tokens
+    (inner join across orders)."""
+    out = None
+    for n in ns:
+        per = (
+            ngram_rows(df, n, text_col, id_col)
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(id_col)
+            .agg(
+                F.sum("c").alias("total"),
+                F.count(F.lit(1)).alias("dist"),
+                F.max("c").alias("top"),
+            )
+            .select(
+                F.col(id_col),
+                F.round(
+                    F.lit(1.0) - F.col("dist") / F.col("total"), 6
+                ).alias(f"dup{n}_frac"),
+                F.round(F.col("top") / F.col("total"), 6).alias(
+                    f"top{n}_frac"
+                ),
+            )
+        )
+        out = per if out is None else out.join(per, id_col)
+    return out

@@ -30,6 +30,7 @@ def _registries() -> list[dict]:
         "textq2",
         "textq3",
         "samplingq",
+        "mldataq",
     ):
         try:
             mod = __import__(f"de4ml_spark.queries.{modname}", fromlist=["REGISTRY"])
@@ -79,6 +80,9 @@ PRIORITY = [
     "mix_docs",
     "split_events",
     "weighted_sample_docs",
+    # -- new in round 2 --
+    "repetition_docs",
+    "temperature_mix_rates",
     # -- changed since round 1 (new oracle / fixed hash) or high-signal --
     "dedup_minhash_lsh",
     "parse_event_props",

@@ -1,0 +1,93 @@
+"""ML-training-data queries (extension tier, round 2): intra-document
+repetition filtering (Gopher/MassiveText-style) and temperature-adjusted
+mixture rates. Both fully oracle-gated — every step is exact integer math,
+IEEE-exact sqrt, or order-free decimal summation (see operator docstrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de4ml_spark.operators.sampling import temperature_rates
+from de4ml_spark.operators.text import repetition_stats
+from de4ml_spark.session import load_table
+
+# Flag thresholds sit at ~p90 of the corpus distribution (measured at
+# sf0.01: dup2 p90 = 0.065, top2 p90 = 0.069) — non-vacuous on testdata.
+DUP2_FLAG = 0.06
+TOP2_FLAG = 0.08
+
+
+def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repeated-n-gram fractions (n=2,3) + the pretraining filter
+    flag — the standard screen for looping/boilerplate documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = repetition_stats(docs, ns=(2, 3))
+    return stats.withColumn(
+        "flagged",
+        (F.col("dup2_frac") >= DUP2_FLAG) | (F.col("top2_frac") >= TOP2_FLAG),
+    )
+
+
+REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+             i -> array_to_string(toks[i:i+1], ' '))) AS gram
+       FROM t WHERE len(toks) >= 2),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+s2 AS (SELECT doc_id,
+              ROUND(1.0 - COUNT(*) / SUM(c), 6) AS dup2_frac,
+              ROUND(MAX(c) / SUM(c), 6) AS top2_frac
+       FROM c2 GROUP BY doc_id),
+g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' '))) AS gram
+       FROM t WHERE len(toks) >= 3),
+c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+s3 AS (SELECT doc_id,
+              ROUND(1.0 - COUNT(*) / SUM(c), 6) AS dup3_frac,
+              ROUND(MAX(c) / SUM(c), 6) AS top3_frac
+       FROM c3 GROUP BY doc_id)
+SELECT s2.doc_id, dup2_frac, top2_frac, dup3_frac, top3_frac,
+       (dup2_frac >= {DUP2_FLAG} OR top2_frac >= {TOP2_FLAG}) AS flagged
+FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+"""
+
+
+def temperature_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature (alpha=0.5) mixture rates over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_rates(docs, source_col="source")
+
+
+TEMPERATURE_SQL = """
+WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+x AS (
+  SELECT source, n_docs,
+         n_docs / SUM(n_docs) OVER () AS p,
+         CAST(ROUND(sqrt(n_docs / SUM(n_docs) OVER ()), 12)
+              AS DECIMAL(24,12)) AS wgt
+  FROM counts
+),
+y AS (
+  SELECT source, n_docs, p,
+         CAST(wgt AS DOUBLE) / CAST(SUM(wgt) OVER () AS DOUBLE) AS q
+  FROM x
+),
+z AS (SELECT source, n_docs, p, q, q / p AS rate_raw FROM y),
+fin AS (SELECT source, n_docs, p, q,
+               rate_raw / MAX(rate_raw) OVER () AS rate
+        FROM z)
+SELECT source, n_docs, ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+       ROUND(rate, 6) AS rate, ROUND(rate * n_docs, 2) AS expected_docs
+FROM fin
+"""
+
+
+REGISTRY: dict[str, dict] = {
+    "repetition_docs": {"fn": repetition_docs, "sql": REPETITION_SQL},
+    "temperature_mix_rates": {
+        "fn": temperature_mix_rates,
+        "sql": TEMPERATURE_SQL,
+    },
+}

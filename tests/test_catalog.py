@@ -22,6 +22,7 @@ MODULES = [
     "textq",
     "textq2",
     "samplingq",
+    "mldataq",
 ]
 
 EXPECTED = {
@@ -37,6 +38,7 @@ EXPECTED = {
     "text_stats_docs",
     "pack_training_sequences",
     "mix_docs",
+    "repetition_docs",
 }
 
 

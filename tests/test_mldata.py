@@ -1,0 +1,60 @@
+"""Round-2 ML-data operators: intra-document repetition metrics and
+temperature-adjusted mixture rates — hand-computable fixtures."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from de4ml_spark.operators.sampling import temperature_rates
+from de4ml_spark.operators.text import ngram_rows, repetition_stats
+
+
+def test_ngram_rows_counts_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a"), (3, "x y")], "doc_id BIGINT, text STRING"
+    )
+    rows = ngram_rows(df, n=2).collect()
+    got = {(r["doc_id"], r["gram"]) for r in rows}
+    # doc 2 has < 2 tokens -> no rows; multiplicity preserved elsewhere
+    assert got == {(1, "a b"), (1, "b c"), (1, "c d"), (3, "x y")}
+    assert len(rows) == 4
+
+
+def test_repetition_stats_exact_fractions(spark):
+    # doc 1: tokens a a a a -> bigrams [aa, aa, aa]: total 3, distinct 1,
+    # top 3 -> dup2 = 1 - 1/3, top2 = 1. trigrams: total 2, distinct 1.
+    # doc 2: a b c a b -> bigrams [ab, bc, ca, ab]: total 4, distinct 3,
+    # top 2 -> dup2 = 0.25, top2 = 0.5; trigrams [abc, bca, cab]: all
+    # distinct -> dup3 = 0, top3 = 1/3.
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c a b")], "doc_id BIGINT, text STRING"
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, ns=(2, 3)).collect()}
+    assert math.isclose(out[1]["dup2_frac"], round(1 - 1 / 3, 6))
+    assert out[1]["top2_frac"] == 1.0
+    assert math.isclose(out[1]["dup3_frac"], 0.5)
+    assert out[2]["dup2_frac"] == 0.25
+    assert out[2]["top2_frac"] == 0.5
+    assert out[2]["dup3_frac"] == 0.0
+    assert math.isclose(out[2]["top3_frac"], round(1 / 3, 6))
+
+
+def test_temperature_rates_flatten_distribution(spark):
+    # 80/20 split at alpha=0.5: q ∝ sqrt(p) -> q = (2/3, 1/3); the minority
+    # source upsamples relative to p, majority pins at rate 1.0 downweighted.
+    df = spark.range(100).select(
+        F.when(F.col("id") < 80, "big").otherwise("small").alias("source")
+    )
+    out = {r["source"]: r for r in temperature_rates(df).collect()}
+    assert out["big"]["n_docs"] == 80 and out["small"]["n_docs"] == 20
+    assert math.isclose(out["big"]["q"], round(2 / 3, 6), abs_tol=1e-6)
+    assert math.isclose(out["small"]["q"], round(1 / 3, 6), abs_tol=1e-6)
+    # rate ratio: (q/p) small vs big = (1/3 / 0.2) / (2/3 / 0.8) = 2 -> big
+    # is the max? No: q/p big = 0.833, small = 1.667 -> small pins at 1.0.
+    assert out["small"]["rate"] == 1.0
+    assert math.isclose(out["big"]["rate"], 0.5, abs_tol=1e-6)
+    # expected_docs = rate * n
+    assert math.isclose(out["big"]["expected_docs"], 40.0, abs_tol=0.01)
+    assert math.isclose(out["small"]["expected_docs"], 20.0, abs_tol=0.01)
