@@ -83,6 +83,7 @@ PRIORITY = [
     # -- new in round 2 --
     "repetition_docs",
     "temperature_mix_rates",
+    "scd2_user_event_type",
     # -- changed since round 1 (new oracle / fixed hash) or high-signal --
     "dedup_minhash_lsh",
     "parse_event_props",

@@ -496,3 +496,81 @@ REGISTRY["latest_event_per_user"] = {
     "fn": latest_event_per_user,
     "sql": LATEST_EVENT_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# SCD2 interval build: compress a keyed event stream into type-2 dimension
+# rows — one row per run of consecutive equal attribute values, with
+# [valid_from, valid_to) validity and is_current. The standard warehouse
+# dimension-history operator (gaps-and-islands via window functions).
+# Scale: two window passes over the same (key, ts) sort order — one
+# shuffle; no self-joins.
+# --------------------------------------------------------------------------
+
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "event_type", "ts", "event_id"
+    ).withColumn(
+        "is_start",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    grouped = marked.withColumn(
+        "grp", F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = grouped.groupBy("user_id", "grp").agg(
+        # event_type is constant within a run; MIN is the deterministic pick
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+SCD2_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grouped AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+),
+runs AS (
+  SELECT user_id, grp, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM grouped GROUP BY user_id, grp
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER w2 AS valid_to,
+       LEAD(valid_from) OVER w2 IS NULL AS is_current,
+       n_events
+FROM runs
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+"""
+
+
+REGISTRY["scd2_user_event_type"] = {
+    "fn": scd2_user_event_type,
+    "sql": SCD2_SQL,
+}

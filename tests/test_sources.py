@@ -43,3 +43,45 @@ def test_observe_counts_no_extra_pass(spark):
     observed, obs = observed_violation_counts(df, rules)
     assert observed.count() == 3  # the "real" job; metrics ride along
     assert obs.get == {"probability__required": 1, "probability__bounds": 1}
+
+
+def test_jsonl_roundtrip_and_corrupt_policy(spark, tmp_path):
+    """JSONL: explicit-schema roundtrip; PERMISSIVE captures the raw bad
+    line; DROPMALFORMED drops it; valid/reject split matches."""
+    from de4ml_spark.sources.files import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    p = str(tmp_path / "land")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id BIGINT, name STRING, v DOUBLE"
+    )
+    write_jsonl(df, p)
+    # inject a malformed line alongside Spark's output
+    (tmp_path / "land" / "bad.json").write_text('{"id": broken!!\n')
+    got = read_jsonl(spark, p, "id BIGINT, name STRING, v DOUBLE")
+    valid, rejects = split_corrupt(got)
+    assert {tuple(r) for r in valid.collect()} == {(1, "a", 1.5), (2, "b", 2.5)}
+    assert rejects.count() == 1
+    assert "broken" in rejects.collect()[0]["_corrupt_record"]
+    dropped = read_jsonl(
+        spark, p, "id BIGINT, name STRING, v DOUBLE", mode="DROPMALFORMED"
+    )
+    assert dropped.count() == 2
+
+
+def test_csv_roundtrip_and_corrupt_policy(spark, tmp_path):
+    from de4ml_spark.sources.files import read_csv, split_corrupt, write_csv
+
+    p = str(tmp_path / "land_csv")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id BIGINT, name STRING, v DOUBLE"
+    )
+    write_csv(df, p)
+    (tmp_path / "land_csv" / "bad.csv").write_text("id,name,v\nnope,x\n")
+    got = read_csv(spark, p, "id BIGINT, name STRING, v DOUBLE")
+    valid, rejects = split_corrupt(got)
+    assert {tuple(r) for r in valid.collect()} == {(1, "a", 1.5), (2, "b", 2.5)}
+    assert rejects.count() == 1
