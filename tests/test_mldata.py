@@ -58,3 +58,56 @@ def test_temperature_rates_flatten_distribution(spark):
     # expected_docs = rate * n
     assert math.isclose(out["big"]["expected_docs"], 40.0, abs_tol=0.01)
     assert math.isclose(out["small"]["expected_docs"], 20.0, abs_tol=0.01)
+
+
+def test_portable_hash_fuzz_against_duckdb(spark):
+    """Batch fuzz: 200 pseudo-random strings (unicode, whitespace, empties,
+    long runs) hashed identically by Spark and DuckDB at both bit widths."""
+    import random
+
+    import duckdb
+
+    from de4ml_spark.operators.portable_hash import (
+        phash_duck_sql,
+        phash_spark_sql,
+    )
+
+    rng = random.Random(1729)
+    alphabet = "abz 019._-/é中ж\U0001f600"
+    vals = [""] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 40)))
+        for _ in range(199)
+    ]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s STRING").selectExpr(
+        "s",
+        f"{phash_spark_sql('s', 32)} AS h32",
+        f"{phash_spark_sql('s', 59)} AS h59",
+    )
+    got = {r["s"]: (r["h32"], r["h59"]) for r in sdf.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT s, {phash_duck_sql('s', 32)}, {phash_duck_sql('s', 59)} FROM t"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_operators_tolerate_empty_and_tiny_corpora(spark):
+    """Dedup/similarity/text operators must return empty results (same
+    schema), not crash, on empty or sub-n-gram corpora."""
+    from de4ml_spark.operators.dedup import (
+        minhash_lsh_pairs_portable,
+        simhash_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    tiny = spark.createDataFrame([(1, "one"), (2, "two wds")],
+                                 "doc_id BIGINT, text STRING")
+    for df in (empty, tiny):
+        assert minhash_lsh_pairs_portable(df).count() == 0
+        assert simhash_pairs(df).count() == 0
+        assert repetition_stats(df, ns=(2, 3)).count() == 0
