@@ -137,31 +137,60 @@ def repetition_stats(
     frequent n-gram. Rounded to 6 decimals (exact integer ratios — engine
     reproducible).
 
-    Scale: per n, one shuffle keyed (doc, gram) with map-side combine, then
-    a per-doc rollup; docs never cross-join and the gram key space is
-    corpus-wide uniform. Output keeps only docs with >= max(ns) tokens
-    (inner join across orders)."""
-    out = None
-    for n in ns:
-        per = (
-            ngram_rows(df, n, text_col, id_col)
-            .groupBy(id_col, "gram")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy(id_col)
-            .agg(
-                F.sum("c").alias("total"),
-                F.count(F.lit(1)).alias("dist"),
-                F.max("c").alias("top"),
-            )
-            .select(
-                F.col(id_col),
-                F.round(
-                    F.lit(1.0) - F.col("dist") / F.col("total"), 6
-                ).alias(f"dup{n}_frac"),
-                F.round(F.col("top") / F.col("total"), 6).alias(
-                    f"top{n}_frac"
-                ),
-            )
+    Scale: ONE corpus scan — every order's grams explode together tagged
+    with n — then one (doc, n, gram) shuffle with map-side combine, a
+    (doc, n) rollup, and a conditional-aggregation widen to one row per
+    doc (no joins at all). Output keeps only docs with >= max(ns) tokens
+    (docs missing any order are filtered, matching inner-join semantics)."""
+    toks = tokens(text_col)
+
+    def _gram_structs(n: int):
+        # factory keeps the transform lambda single-argument: a two-param
+        # lambda silently becomes the (element, index) form and binds n to
+        # the ELEMENT INDEX (same trap as minhash_signatures' seed NB).
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
         )
-        out = per if out is None else out.join(per, id_col)
-    return out
+
+    tagged = []
+    for n in ns:
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        tagged.append(F.transform(idx, _gram_structs(n)))
+    ex = df.select(
+        F.col(id_col), F.explode(F.flatten(F.array(*tagged))).alias("g")
+    ).select(id_col, "g.n", "g.gram")
+    per = (
+        ex.groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "n")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("dist"),
+            F.max("c").alias("top"),
+        )
+    )
+    frac_cols = []
+    for n in ns:
+        is_n = F.col("n") == n
+        frac_cols += [
+            F.round(
+                F.lit(1.0)
+                - F.max(F.when(is_n, F.col("dist")))
+                / F.max(F.when(is_n, F.col("total"))),
+                6,
+            ).alias(f"dup{n}_frac"),
+            F.round(
+                F.max(F.when(is_n, F.col("top")))
+                / F.max(F.when(is_n, F.col("total"))),
+                6,
+            ).alias(f"top{n}_frac"),
+        ]
+    return (
+        per.groupBy(id_col)
+        .agg(F.count_distinct("n").alias("__orders"), *frac_cols)
+        .filter(F.col("__orders") == len(ns))
+        .drop("__orders")
+    )
