@@ -1,0 +1,84 @@
+"""Versioned-table layer: snapshot commits, time travel, crash orphans,
+vacuum retention, keyed upsert."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from de4ml_spark.etl import versioned as vt
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k BIGINT, val STRING")
+
+
+def test_commit_read_time_travel_history(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v0 = vt.commit(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    v1 = vt.commit(spark, root, _df(spark, [(1, "a2"), (3, "c")]))
+    assert (v0, v1) == (0, 1)
+    assert vt.latest_version(root) == 1
+    assert {tuple(r) for r in vt.read(spark, root).collect()} == {
+        (1, "a2"),
+        (3, "c"),
+    }
+    # time travel to the first snapshot
+    assert {tuple(r) for r in vt.read(spark, root, version=0).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    hist = vt.history(root)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[1]["is_current"] and not hist[0]["is_current"]
+
+
+def test_crashed_commit_leaves_orphan_and_reader_unaffected(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    vt.commit(spark, root, _df(spark, [(1, "a")]))
+    # simulate a crash mid-commit: snapshot dir written, pointer never moved
+    _df(spark, [(9, "half")]).write.parquet(os.path.join(root, "v=1"))
+    assert vt.latest_version(root) == 0
+    assert {tuple(r) for r in vt.read(spark, root).collect()} == {(1, "a")}
+    # next commit skips past the orphan; vacuum removes it
+    v = vt.commit(spark, root, _df(spark, [(2, "b")]))
+    assert v == 2
+    removed = vt.vacuum(root, keep=10)
+    assert removed == [1]
+    assert {tuple(r) for r in vt.read(spark, root).collect()} == {(2, "b")}
+
+
+def test_vacuum_retention_and_time_travel_window(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    for i in range(4):
+        vt.commit(spark, root, _df(spark, [(i, f"v{i}")]))
+    removed = vt.vacuum(root, keep=2)
+    assert removed == [0, 1]
+    assert {h["version"] for h in vt.history(root)} == {2, 3}
+    with pytest.raises(FileNotFoundError):
+        vt.read(spark, root, version=0)
+    assert {tuple(r) for r in vt.read(spark, root, version=2).collect()} == {
+        (2, "v2")
+    }
+
+
+def test_upsert_composite_key_new_snapshot(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "x", 10.0), (1, "y", 20.0), (2, "x", 30.0)],
+        "a BIGINT, b STRING, v DOUBLE",
+    )
+    vt.commit(spark, root, base)
+    updates = spark.createDataFrame(
+        [(1, "y", 99.0), (3, "z", 40.0)], "a BIGINT, b STRING, v DOUBLE"
+    )
+    v = vt.upsert(spark, root, updates, key=["a", "b"])
+    assert v == 1
+    got = {tuple(r) for r in vt.read(spark, root).collect()}
+    # composite key: only (1, y) replaced — (1, x) must survive (the
+    # single-key bug class ADVICE.md flagged)
+    assert got == {(1, "x", 10.0), (1, "y", 99.0), (2, "x", 30.0), (3, "z", 40.0)}
+    # previous snapshot untouched
+    pre = {tuple(r) for r in vt.read(spark, root, version=0).collect()}
+    assert pre == {(1, "x", 10.0), (1, "y", 20.0), (2, "x", 30.0)}
