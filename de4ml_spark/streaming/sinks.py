@@ -131,3 +131,38 @@ def incremental_agg_view(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def versioned_snapshot_sink(
+    df: DataFrame,
+    root: str,
+    checkpoint: str,
+    mode: str = "append",
+    query_name: str = "versioned_sink",
+) -> StreamingQuery:
+    """Stream -> versioned table: each non-empty epoch commits ONE immutable
+    snapshot of the epoch's rows (append mode) via etl/versioned.py, so
+    downstream batch readers get atomic visibility (never a half-written
+    epoch), time travel across epochs, and crash-orphan isolation. With
+    ``mode='complete'`` (aggregation streams) each epoch's full result
+    replaces the current snapshot instead — an incrementally-maintained
+    materialized view whose history is the epoch sequence.
+
+    Exactly-once: the streaming checkpoint replays an epoch after a crash;
+    a replayed commit that previously half-finished left only an orphan dir
+    (never published in the commit log), so the replay publishes the rows
+    exactly once."""
+    from de4ml_spark.etl import versioned as vt
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        vt.commit(batch.sparkSession, root, batch)
+
+    return (
+        df.writeStream.foreachBatch(handle)
+        .queryName(query_name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

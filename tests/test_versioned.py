@@ -82,3 +82,34 @@ def test_upsert_composite_key_new_snapshot(spark, tmp_path):
     # previous snapshot untouched
     pre = {tuple(r) for r in vt.read(spark, root, version=0).collect()}
     assert pre == {(1, "x", 10.0), (1, "y", 20.0), (2, "x", 30.0)}
+
+
+def test_versioned_snapshot_sink_streaming(spark, tmp_path):
+    """File stream -> versioned sink: each epoch lands as a committed
+    snapshot; the latest read sees the newest epoch, history keeps all."""
+    import json
+
+    from de4ml_spark.streaming.sinks import versioned_snapshot_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "tbl")
+    (src / "a.json").write_text(json.dumps({"k": 1, "val": "a"}) + "\n")
+    stream = (
+        spark.readStream.schema("k BIGINT, val STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = versioned_snapshot_sink(stream, root, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        (src / "b.json").write_text(json.dumps({"k": 2, "val": "b"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    versions = vt.committed_versions(root)
+    assert len(versions) == 2
+    latest = {tuple(r) for r in vt.read(spark, root).collect()}
+    assert latest == {(2, "b")}
+    first = {tuple(r) for r in vt.read(spark, root, version=versions[0]).collect()}
+    assert first == {(1, "a")}
