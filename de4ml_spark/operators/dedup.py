@@ -244,13 +244,20 @@ def _band_candidates(banded: DataFrame, id_col: str) -> DataFrame:
 
 
 def _verify_candidates(
-    ex: DataFrame, cand: DataFrame, id_col: str, threshold: float
+    ex: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    threshold: float,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against the shingle
     rows ``ex``: prune the corpus to candidate docs (broadcast semi-join —
     the candidate set is tiny compared to the corpus), count intersections
     via the shingle equi-join, keep only candidate pairs, then the size
-    join. Returns (id_a, id_b, jaccard)."""
+    join. ``sizes`` (id, n_sh) can be passed when the caller already
+    computed per-doc shingle counts in another aggregate (the signature
+    groupBy) — saves a full groupBy pass over ``ex``. Returns
+    (id_a, id_b, jaccard)."""
     cand_ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
@@ -268,7 +275,8 @@ def _verify_candidates(
         .agg(F.count(F.lit(1)).alias("inter"))
         .join(F.broadcast(cand), ["id_a", "id_b"])
     )
-    sizes = _shingle_sizes(ex, id_col)
+    if sizes is None:
+        sizes = _shingle_sizes(ex, id_col)
     return (
         _jaccard_for_pairs(inter, sizes, id_col)
         .filter(F.col("jaccard") >= threshold)
@@ -302,7 +310,15 @@ def minhash_lsh_pairs_portable(
         F.expr(f"min((shingle * {a}L + {b}L) % {P31}L)").alias(f"h{s}")
         for s, (a, b) in enumerate(fam)
     ]
-    sigs = ex.groupBy(id_col).agg(*mins)
+    # n_sh rides along in the signature aggregate — the Jaccard verify's
+    # size join then reuses it instead of re-aggregating ``ex``. The
+    # signature relation is persisted because two consumers read it
+    # (band explode + size join); it is one small row per doc.
+    sigs = (
+        ex.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"), *mins)
+        .persist()
+    )
     banded = sigs.select(
         id_col,
         F.explode(
@@ -321,8 +337,9 @@ def minhash_lsh_pairs_portable(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     cand = _band_candidates(banded, id_col).persist()
-    result = _verify_candidates(ex, cand, id_col, threshold)
-    return release_after(result, ex, cand)
+    sizes = sigs.select(id_col, "n_sh")
+    result = _verify_candidates(ex, cand, id_col, threshold, sizes=sizes)
+    return release_after(result, ex, sigs, cand)
 
 
 def minhash_lsh_pairs(
