@@ -111,3 +111,37 @@ def test_operators_tolerate_empty_and_tiny_corpora(spark):
         assert minhash_lsh_pairs_portable(df).count() == 0
         assert simhash_pairs(df).count() == 0
         assert repetition_stats(df, ns=(2, 3)).count() == 0
+
+
+def test_quality_gate_composes_into_streaming(spark, tmp_path):
+    """The batch text operators are pure projections, so the same functions
+    drive a streaming corpus gate unchanged — one continuous quality filter
+    with no state store."""
+    import json
+
+    from de4ml_spark.operators.text import predict_lang, quality_score
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "the a of and the a of and"},      # stopwordy
+        {"doc_id": 2, "text": "spark join merge batch window table vector"},
+    ]
+    (src / "d.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").json(str(src))
+    gated = quality_score(predict_lang(stream)).filter("stop_ratio < 0.5")
+    q = (
+        gated.select("doc_id", "pred_lang", "quality")
+        .writeStream.format("memory")
+        .queryName("quality_gate")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r["doc_id"]: r for r in spark.sql("SELECT * FROM quality_gate").collect()}
+    assert set(out) == {2}  # stopword-heavy doc rejected
+    assert out[2]["pred_lang"] == "zh"  # marker vocabulary argmax
+    assert 0.0 < out[2]["quality"] <= 1.0

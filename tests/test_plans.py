@@ -340,3 +340,39 @@ def test_aqe_skew_join_splits(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_repetition_single_scan_three_exchanges(spark, sf_dir):
+    """All n-gram orders must flow through ONE corpus scan (the tagged
+    explode) and at most 3 exchanges — the round-2 rewrite's contract."""
+    from de4ml_spark.queries.mldataq import repetition_docs
+
+    plan = _plan(repetition_docs(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") <= 3
+    assert "PythonUDF" not in plan
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """Gaps-and-islands SCD2: everything after the events scan shares the
+    per-user partitioning — exactly one exchange, no joins."""
+    from de4ml_spark.queries.relational3 import scd2_user_event_type
+
+    plan = _plan(scd2_user_event_type(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_portable_minhash_no_cartesian_and_partial_agg(spark, sf_dir):
+    """The portable catalog MinHash keeps the xxhash variant's contracts:
+    banded equi-joins only (no cartesian/BNLJ) and map-side partial
+    aggregation on the signature groupBy."""
+    from de4ml_spark.queries.dedupq import dedup_minhash_lsh as q
+
+    from de4ml_spark.cache import no_release
+
+    with no_release():
+        plan = _plan(q(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
