@@ -84,6 +84,7 @@ PRIORITY = [
     "repetition_docs",
     "temperature_mix_rates",
     "scd2_user_event_type",
+    "events_cube",
     # -- changed since round 1 (new oracle / fixed hash) or high-signal --
     "dedup_minhash_lsh",
     "parse_event_props",

@@ -574,3 +574,44 @@ REGISTRY["scd2_user_event_type"] = {
     "fn": scd2_user_event_type,
     "sql": SCD2_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# CUBE grouping-sets: event volume/value over every combination of
+# (event_type, day) including marginals and the grand total — one pass,
+# partial-aggregated per grouping set. GROUPING() markers disambiguate
+# rolled-up NULLs (matches ANSI semantics in both engines).
+# --------------------------------------------------------------------------
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            # grouping() must be computed IN the cube aggregate (the
+            # grouping metadata does not survive into later projections)
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select("event_type", "day", "g_type", "g_day", "n", "total_value")
+    )
+
+
+EVENTS_CUBE_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(CAST(ts AS DATE)) AS INTEGER) AS g_day,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE(event_type, CAST(ts AS DATE))
+"""
+
+
+REGISTRY["events_cube"] = {"fn": events_cube, "sql": EVENTS_CUBE_SQL}

@@ -52,3 +52,42 @@ def test_rules_from_profile(spark):
     assert ("v", "required") not in by  # has nulls
     b = by[("v", "bounds")]
     assert b.lo == 10.0 and b.hi == 40.0
+
+
+def test_hll_sketches_rollup_matches_direct(spark, sf_dir):
+    """Mergeable HLL sketches: daily-grain sketches rolled up to a total
+    must give EXACTLY the estimate of sketching the whole column directly
+    (union of HLL registers is lossless w.r.t. the direct sketch), and the
+    estimate must be within ~2% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.profile.sketches import (
+        distinct_sketches,
+        rollup_sketches,
+        with_estimate,
+    )
+    from de4ml_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    daily = distinct_sketches(ev, "user_id", by=["day", "event_type"])
+    # rollup over a SUBSET of keys and to the grand total
+    per_type = with_estimate(rollup_sketches(daily, ["event_type"]))
+    total = with_estimate(rollup_sketches(daily, []))
+    direct = with_estimate(distinct_sketches(ev, "user_id", by=[]))
+    assert total.collect()[0]["n_distinct"] == direct.collect()[0]["n_distinct"]
+    exact = ev.select("user_id").distinct().count()
+    est = total.collect()[0]["n_distinct"]
+    assert abs(est - exact) / exact < 0.02
+    # per-type estimates close to exact per-type counts
+    exact_pt = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in per_type.collect():
+        assert abs(r["n_distinct"] - exact_pt[r["event_type"]]) / max(
+            exact_pt[r["event_type"]], 1
+        ) < 0.05
