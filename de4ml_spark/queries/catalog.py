@@ -85,6 +85,7 @@ PRIORITY = [
     "temperature_mix_rates",
     "scd2_user_event_type",
     "events_cube",
+    "lineitem_measure_stats",
     # -- changed since round 1 (new oracle / fixed hash) or high-signal --
     "dedup_minhash_lsh",
     "parse_event_props",

@@ -615,3 +615,61 @@ GROUP BY CUBE(event_type, CAST(ts AS DATE))
 
 
 REGISTRY["events_cube"] = {"fn": events_cube, "sql": EVENTS_CUBE_SQL}
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (melt) + robust stats: lineitem's measure columns to long form
+# (measure, value), then per-measure median/min/max/avg. The standard
+# wide->long reshape for metric tables; unpivot is a zero-shuffle
+# projection (each row emits |measures| rows), stats are one groupBy over
+# a 4-value key. Median = exact percentile_cont 0.5 (matches DuckDB
+# MEDIAN on DOUBLE).
+# --------------------------------------------------------------------------
+
+def lineitem_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).select("measure", F.col("value").cast("double").alias("value"))
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)"), 6).alias(
+            "median"
+        ),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean"),
+    )
+
+
+MEASURE_STATS_SQL = """
+WITH long AS (
+  SELECT measure, CAST(value AS DOUBLE) AS value
+  FROM (
+    SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+    UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+  )
+)
+SELECT measure, COUNT(*) AS n,
+       ROUND(MEDIAN(value), 6) AS median,
+       ROUND(MIN(value), 6) AS lo,
+       ROUND(MAX(value), 6) AS hi,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean
+FROM long GROUP BY measure
+"""
+
+
+REGISTRY["lineitem_measure_stats"] = {
+    "fn": lineitem_measure_stats,
+    "sql": MEASURE_STATS_SQL,
+}
