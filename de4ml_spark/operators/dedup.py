@@ -280,7 +280,7 @@ def _verify_candidates(
     return (
         _jaccard_for_pairs(inter, sizes, id_col)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
     )
 
 

@@ -70,3 +70,18 @@ def hash_family(num: int, salt: int = 0x5DEECE66D) -> list[tuple[int, int]]:
         b = state % P31
         out.append((a, b))
     return out
+
+
+def exact_round_div_sql(p: str, q: str, div: str, decimals: int = 6) -> str:
+    """SQL text for engine-exact ROUND(p/q, decimals) where p, q are
+    non-negative INTEGER expressions: half-up rounding computed in pure
+    integer arithmetic — ``(2*p*10^d + q) intdiv (2*q) / 10^d``. ROUND on a
+    double is NOT engine-stable at half-way boundaries (Spark rounds the
+    decimal expansion half-up, DuckDB differs in the last digit — observed
+    on the quality score at sf0.001); this form is bit-identical anywhere.
+    ``div`` is the integer-division operator: "DIV" (Spark) or "//" (DuckDB).
+    """
+    scale = 10**decimals
+    return (
+        f"((({p}) * {2 * scale} + ({q})) {div} (2 * ({q}))) / {scale}.0"
+    )

@@ -172,25 +172,32 @@ def repetition_stats(
             F.max("c").alias("top"),
         )
     )
-    frac_cols = []
+    aggs = []
     for n in ns:
         is_n = F.col("n") == n
-        frac_cols += [
-            F.round(
-                F.lit(1.0)
-                - F.max(F.when(is_n, F.col("dist")))
-                / F.max(F.when(is_n, F.col("total"))),
-                6,
-            ).alias(f"dup{n}_frac"),
-            F.round(
-                F.max(F.when(is_n, F.col("top")))
-                / F.max(F.when(is_n, F.col("total"))),
-                6,
-            ).alias(f"top{n}_frac"),
+        aggs += [
+            F.max(F.when(is_n, F.col("total"))).alias(f"_t{n}"),
+            F.max(F.when(is_n, F.col("dist"))).alias(f"_d{n}"),
+            F.max(F.when(is_n, F.col("top"))).alias(f"_p{n}"),
         ]
-    return (
+    wide = (
         per.groupBy(id_col)
-        .agg(F.count_distinct("n").alias("__orders"), *frac_cols)
+        .agg(F.count_distinct("n").alias("__orders"), *aggs)
         .filter(F.col("__orders") == len(ns))
-        .drop("__orders")
     )
+    # Fractions round in exact integer arithmetic (engine-stable at
+    # half-way boundaries — portable_hash.exact_round_div_sql):
+    # dup = (total - dist) / total, top_frac = top / total.
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    out_cols = [F.col(id_col)]
+    for n in ns:
+        out_cols += [
+            F.expr(
+                exact_round_div_sql(f"_t{n} - _d{n}", f"_t{n}", "DIV")
+            ).alias(f"dup{n}_frac"),
+            F.expr(exact_round_div_sql(f"_p{n}", f"_t{n}", "DIV")).alias(
+                f"top{n}_frac"
+            ),
+        ]
+    return wide.select(*out_cols)

@@ -27,6 +27,7 @@ from de4ml_spark.operators.dedup import (
 from de4ml_spark.operators.portable_hash import (
     BAND_RADIX,
     P31,
+    exact_round_div_sql,
     hash_family,
     phash_duck_sql,
     phash_spark_sql,
@@ -48,10 +49,23 @@ GROUP BY 1
 """
 
 
+# Engine-exact jaccard rounding: inter and the set sizes are integers, so
+# round(inter/union, 6) computes in pure integer arithmetic on both
+# engines (ROUND on doubles can differ in the last digit at half-way
+# boundaries — portable_hash.exact_round_div_sql).
+_JACCARD_SPARK = exact_round_div_sql("inter", "n_a + n_b - inter", "DIV")
+_JACCARD_DUCK = exact_round_div_sql("i.inter", "c1.n + c2.n - i.inter", "//")
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, threshold=0.8, n=3).select(
-        "id_a", "id_b", "inter", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard_r")
+        "id_a",
+        "id_b",
+        "inter",
+        "n_a",
+        "n_b",
+        F.expr(_JACCARD_SPARK).alias("jaccard_r"),
     )
 
 
@@ -71,12 +85,14 @@ p AS (
   GROUP BY 1, 2
 )
 SELECT p.id_a, p.id_b, p.inter, c1.n AS n_a, c2.n AS n_b,
-       ROUND(p.inter * 1.0 / (c1.n + c2.n - p.inter), 6) AS jaccard_r
+       {jac} AS jaccard_r
 FROM p
 JOIN c c1 ON p.id_a = c1.doc_id
 JOIN c c2 ON p.id_b = c2.doc_id
 WHERE p.inter * 1.0 / (c1.n + c2.n - p.inter) >= 0.8
-"""
+""".format(
+    jac=exact_round_div_sql("p.inter", "c1.n + c2.n - p.inter", "//")
+)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +102,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical at sf0.01 and sf0.1) at ~25% less signature work.
     return minhash_lsh_pairs_portable(
         docs, threshold=0.8, num_hashes=24, bands=12
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+    ).select("id_a", "id_b", F.expr(_JACCARD_SPARK).alias("jaccard_r"))
 
 
 def minhash_oracle_sql(
@@ -128,7 +144,7 @@ i AS (
   GROUP BY 1, 2
 )
 SELECT cand.id_a, cand.id_b,
-       ROUND(i.inter * 1.0 / (c1.n + c2.n - i.inter), 6) AS jaccard_r
+       {_JACCARD_DUCK} AS jaccard_r
 FROM cand
 JOIN i ON cand.id_a = i.id_a AND cand.id_b = i.id_b
 JOIN c c1 ON cand.id_a = c1.doc_id

@@ -30,28 +30,43 @@ def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REPETITION_SQL = f"""
+def _rep_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    def r(p: str, q: str) -> str:
+        return exact_round_div_sql(p, q, "//")
+
+    return f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
              i -> array_to_string(toks[i:i+1], ' '))) AS gram
        FROM t WHERE len(toks) >= 2),
 c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
-s2 AS (SELECT doc_id,
-              ROUND(1.0 - COUNT(*) / SUM(c), 6) AS dup2_frac,
-              ROUND(MAX(c) / SUM(c), 6) AS top2_frac
+s2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS d,
+              MAX(c) AS p
        FROM c2 GROUP BY doc_id),
 g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
              i -> array_to_string(toks[i:i+2], ' '))) AS gram
        FROM t WHERE len(toks) >= 3),
 c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
-s3 AS (SELECT doc_id,
-              ROUND(1.0 - COUNT(*) / SUM(c), 6) AS dup3_frac,
-              ROUND(MAX(c) / SUM(c), 6) AS top3_frac
-       FROM c3 GROUP BY doc_id)
-SELECT s2.doc_id, dup2_frac, top2_frac, dup3_frac, top3_frac,
+s3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS d,
+              MAX(c) AS p
+       FROM c3 GROUP BY doc_id),
+f AS (
+  SELECT s2.doc_id,
+         {r('s2.t - s2.d', 's2.t')} AS dup2_frac,
+         {r('s2.p', 's2.t')} AS top2_frac,
+         {r('s3.t - s3.d', 's3.t')} AS dup3_frac,
+         {r('s3.p', 's3.t')} AS top3_frac
+  FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+)
+SELECT doc_id, dup2_frac, top2_frac, dup3_frac, top3_frac,
        (dup2_frac >= {DUP2_FLAG} OR top2_frac >= {TOP2_FLAG}) AS flagged
-FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+FROM f
 """
+
+
+REPETITION_SQL = _rep_sql()
 
 
 def temperature_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:

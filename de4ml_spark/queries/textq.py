@@ -12,7 +12,6 @@ from de4ml_spark.operators.text import (
     LANG_MARKERS,
     fingerprint,
     predict_lang,
-    quality_score,
     token_stats,
 )
 from de4ml_spark.session import load_table
@@ -36,34 +35,78 @@ FROM documents
 """
 
 
+# Exact rational rounding: every reported value here is a ratio of
+# integers, and ROUND(double, 6) is NOT engine-stable when the true value
+# sits at a half-way boundary (observed at sf0.001: Spark 0.518688 vs
+# DuckDB 0.518687 for the same score) — see
+# portable_hash.exact_round_div_sql. The quality score itself is the
+# rational
+#   N / D,  N = 32*min(n_tok,100)*n_tok + 2400*(n_tok - n_stop)
+#                + 300*min(nospace, 8*n_tok),      D = 8000*n_tok
+# (common-denominator form of 0.4*min(n_tok/100,1) + 0.3*(1-stop_ratio)
+# + 0.3*min(avg_len/8,1)).
+
+from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+
+def _round6_div(p: str, q: str) -> str:
+    return exact_round_div_sql(p, q, "{div}")
+
+
+_QN = (
+    "(32 * least(n_tok, 100) * n_tok + 2400 * (n_tok - n_stop)"
+    " + 300 * least(nospace, 8 * n_tok))"
+)
+_QD = "(8000 * n_tok)"
+
+
 def quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.text import STOPWORDS, marker_hits, tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    return quality_score(docs).select(
+    toks = tokens("text")
+    ints = docs.select(
         "doc_id",
-        F.round("stop_ratio", 6).alias("stop_ratio_r"),
-        F.round("avg_word_len", 6).alias("avg_word_len_r"),
-        F.round("quality", 6).alias("quality_r"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+        marker_hits(toks, STOPWORDS).cast("bigint").alias("n_stop"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+        .cast("bigint")
+        .alias("nospace"),
+    )
+    d = {"div": "DIV"}
+    return ints.select(
+        "doc_id",
+        F.expr(_round6_div("n_stop", "n_tok").format(**d)).alias(
+            "stop_ratio_r"
+        ),
+        F.expr(_round6_div("nospace", "n_tok").format(**d)).alias(
+            "avg_word_len_r"
+        ),
+        F.expr(_round6_div(_QN, _QD).format(**d)).alias("quality_r"),
     )
 
 
 QUALITY_SQL = r"""
 WITH t AS (
   SELECT doc_id,
-         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
          CAST(len(list_filter(string_split(text, ' '),
-                  x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) AS n_stop,
-         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nospace
+                  x -> list_contains(['the','a','of','and'], x)))
+              AS BIGINT) AS n_stop,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nospace
   FROM documents
 )
 SELECT
   doc_id,
-  ROUND(n_stop / n_tok, 6) AS stop_ratio_r,
-  ROUND(nospace / n_tok, 6) AS avg_word_len_r,
-  ROUND(0.4 * LEAST(n_tok / 100.0, 1.0)
-      + 0.3 * (1.0 - n_stop / n_tok)
-      + 0.3 * LEAST((nospace / n_tok) / 8.0, 1.0), 6) AS quality_r
+  {sr} AS stop_ratio_r,
+  {awl} AS avg_word_len_r,
+  {q} AS quality_r
 FROM t
-"""
+""".format(
+    sr=_round6_div("n_stop", "n_tok").format(div="//"),
+    awl=_round6_div("nospace", "n_tok").format(div="//"),
+    q=_round6_div(_QN, _QD).format(div="//"),
+)
 
 
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
