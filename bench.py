@@ -43,6 +43,8 @@ HEADLINE = [
     "q6_forecast_revenue",
     "events_pivot",
     "sample_docs",
+    "repetition_docs",
+    "scd2_user_event_type",
 ]
 
 

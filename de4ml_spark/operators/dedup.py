@@ -190,16 +190,12 @@ def minhash_signatures(
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
-    """Repartition to the session's default parallelism when the input has
-    fewer partitions. Hash/shingle extraction is CPU-heavy per row; a small
-    corpus often arrives as ONE parquet split (measured: the whole md5 pass
-    on one core), which serializes the scan stage. At 100 TB scans split
-    naturally and this is a no-op; the guard keeps it from ever *reducing*
-    parallelism."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, id_col)
-    return df
+    """See :func:`de4ml_spark.session.spread` — hash/shingle extraction is
+    CPU-heavy per row, and a small corpus often arrives as ONE parquet split
+    (measured: the whole md5 pass on one core)."""
+    from de4ml_spark.session import spread
+
+    return spread(df, id_col)
 
 
 def portable_shingle_rows(

@@ -142,6 +142,9 @@ def repetition_stats(
     (doc, n) rollup, and a conditional-aggregation widen to one row per
     doc (no joins at all). Output keeps only docs with >= max(ns) tokens
     (docs missing any order are filtered, matching inner-join semantics)."""
+    from de4ml_spark.session import spread
+
+    df = spread(df, id_col)
     toks = tokens(text_col)
 
     def _gram_structs(n: int):

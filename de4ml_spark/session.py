@@ -133,3 +133,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition to the session's default parallelism when the input has
+    fewer partitions. CPU-heavy per-row work (hashing, shingling, n-gram
+    explode) serializes when a small corpus arrives as ONE parquet split;
+    at real scale scans split naturally and this is a no-op. Never reduces
+    parallelism."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key_col)
+    return df
