@@ -32,7 +32,8 @@ from de4ml_spark.operators.portable_hash import (
     BAND_RADIX,
     P31,
     hash_family,
-    phash_spark_sql,
+    md5_hex_sql,
+    phash_from_hex_sql,
 )
 from de4ml_spark.operators.text import fingerprint, tokens
 
@@ -210,15 +211,20 @@ def portable_shingle_rows(
     BIGINT. Hash collisions merge shingles identically on both engines, so
     intersection/size counts still agree bit-for-bit; quality impact is the
     usual |shingles|^2 / 2^32 birthday term. One corpus scan, no window
-    (string shingles assemble per-row via slice/concat)."""
+    (string shingles assemble per-row via slice/concat).
+
+    The hash is TWO projections — md5 digest first, byte arithmetic second —
+    because Catalyst does not CSE the repeated md5 inside the byte terms
+    (measured ~1.7x warm / ~4x cold on the sf0.1 shingle pass)."""
     toks = tokens(text_col)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     )
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     ex = _spread(df, id_col).select(F.col(id_col), F.explode(sh).alias("s"))
-    return ex.select(
-        F.col(id_col), F.expr(phash_spark_sql("s", 32)).alias("shingle")
+    digest = ex.select(F.col(id_col), F.expr(md5_hex_sql("s")).alias("m"))
+    return digest.select(
+        F.col(id_col), F.expr(phash_from_hex_sql("m", 32)).alias("shingle")
     ).distinct()
 
 
@@ -486,27 +492,34 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
-    hash_sql=None,
+    portable: bool = False,
 ) -> DataFrame:
     """``bits``-bit SimHash: signature bit j is the majority vote of
     per-token hash bits j.
 
-    The token hash defaults to xxhash64 (raw-throughput path); passing
-    ``hash_sql`` (a SQL-fragment builder like portable_hash.phash_spark_sql)
-    swaps in an engine-portable hash so a DuckDB oracle can replay the
-    signature bit-for-bit (then ``bits`` must be <= 59 to stay in positive
-    BIGINT on both engines).
+    The token hash defaults to xxhash64 (raw-throughput path);
+    ``portable=True`` swaps in the engine-portable md5 hash so a DuckDB
+    oracle can replay the signature bit-for-bit (then ``bits`` must be
+    <= 59 to stay in positive BIGINT on both engines). The portable hash
+    is a two-step projection — digest once, then byte arithmetic — since
+    Catalyst does not CSE the md5 repeated inside the 8 byte terms.
 
     Shape: explode tokens -> one groupBy(id) with ``bits`` conditional SUMs
     -> assemble the signature from the vote signs. Everything stays in
     whole-stage codegen (higher-order-function lambdas are interpreted in
     Spark and were ~50x slower here); one shuffle on the doc id.
     """
-    hashed = _spread(df, id_col).select(
+    ex = _spread(df, id_col).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn(
-        "h", F.expr(hash_sql("tok")) if hash_sql else F.xxhash64("tok")
     )
+    if portable:
+        hashed = ex.select(
+            F.col(id_col), F.expr(md5_hex_sql("tok")).alias("m")
+        ).select(
+            F.col(id_col), F.expr(phash_from_hex_sql("m", bits)).alias("h")
+        )
+    else:
+        hashed = ex.withColumn("h", F.xxhash64("tok"))
     # Aggregates and the signature assembly are emitted as SQL strings (one
     # F.expr each) — building 64 vote columns from Column operators costs
     # hundreds of Py4J round trips of pure plan-construction latency.
@@ -531,13 +544,13 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
-    hash_sql=None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates via
     4-band equality (pigeonhole: hamming<=3 ⇒ >=1 band equal), then exact
-    Hamming verify via bit_count — no cross join. ``bits``/``hash_sql``
+    Hamming verify via bit_count — no cross join. ``bits``/``portable``
     select the portable signature (see ``simhash``)."""
-    sigs = simhash(df, text_col, id_col, bits, hash_sql)
+    sigs = simhash(df, text_col, id_col, bits, portable)
     bandcol = F.explode(
         F.array(
             *[

@@ -29,23 +29,46 @@ P31 = 2_147_483_647  # Mersenne prime 2^31 - 1: modulus of the seeded family
 BAND_RADIX = 2_147_483_648  # 2^31: band-bucket packing radix (h < P31)
 
 
-def phash_spark_sql(expr: str, bits: int = 59) -> str:
+def phash_from_hex_sql(hex_expr: str, bits: int = 59) -> str:
     """Spark SQL fragment: low ``bits`` bits (<= 59) of the little-endian
-    integer of md5(expr)'s last 8 digest bytes — equals DuckDB's
-    ``md5_number_lower(expr) & mask``. ``expr`` is a SQL string expression."""
+    integer of the last 8 digest bytes of an md5 HEX STRING expression.
+
+    ``hex_expr`` is substituted once per extracted byte (4-8x), so hot
+    paths must pass a plain column name holding a pre-computed digest —
+    Catalyst does NOT common-subexpression-eliminate repeated md5 calls
+    (measured ~4x on the sf0.1 shingle pass). CollapseProject keeps the
+    two-step projection intact because the digest alias is multi-use."""
     if not 1 <= bits <= 59:
         raise ValueError("bits must be in [1, 59] to stay in positive BIGINT")
-    h = f"md5(cast(({expr}) as binary))"
     nbytes = (bits + 7) // 8
     terms = []
     for i in range(nbytes):
         # digest byte 8+i lives at hex chars [17 + 2i, 18 + 2i] (1-indexed)
-        byte = f"CAST(conv(substr({h}, {17 + 2 * i}, 2), 16, 10) AS BIGINT)"
+        byte = (
+            f"CAST(conv(substr({hex_expr}, {17 + 2 * i}, 2), 16, 10) AS BIGINT)"
+        )
         rem = bits - 8 * i
         if rem < 8:
             byte = f"({byte} % {1 << rem})"
         terms.append(byte if i == 0 else f"{byte} * {1 << (8 * i)}L")
     return "(" + " + ".join(terms) + ")"
+
+
+def md5_hex_sql(expr: str) -> str:
+    """Spark SQL fragment for the md5 hex digest of a string expression —
+    the first step of the two-step portable hash projection."""
+    return f"md5(cast(({expr}) as binary))"
+
+
+def phash_spark_sql(expr: str, bits: int = 59) -> str:
+    """Spark SQL fragment: low ``bits`` bits (<= 59) of the little-endian
+    integer of md5(expr)'s last 8 digest bytes — equals DuckDB's
+    ``md5_number_lower(expr) & mask``. ``expr`` is a SQL string expression.
+
+    Convenience single-expression form: it inlines the md5 call once per
+    extracted byte, so per-row hot paths should use
+    ``md5_hex_sql`` + ``phash_from_hex_sql`` in two projections instead."""
+    return phash_from_hex_sql(md5_hex_sql(expr), bits)
 
 
 def phash_duck_sql(expr: str, bits: int = 59) -> str:

@@ -30,7 +30,6 @@ from de4ml_spark.operators.portable_hash import (
     exact_round_div_sql,
     hash_family,
     phash_duck_sql,
-    phash_spark_sql,
 )
 from de4ml_spark.session import load_table
 
@@ -162,7 +161,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         max_hamming=3,
         bits=SIMHASH_BITS,
-        hash_sql=lambda e: phash_spark_sql(e, SIMHASH_BITS),
+        portable=True,
     )
 
 

@@ -183,11 +183,8 @@ def test_portable_minhash_recall_equals_exact(spark, sf_dir):
 def test_portable_simhash_pairs_complete(spark, sf_dir):
     """Portable 59-bit SimHash banding must recover every pair with
     Hamming <= 3 (pigeonhole over 4 bands), like the 64-bit variant."""
-    from de4ml_spark.operators.portable_hash import phash_spark_sql
-
     docs = load_table(spark, sf_dir, "documents")
-    hs = lambda e: phash_spark_sql(e, 59)  # noqa: E731
-    sigs = simhash(docs, bits=59, hash_sql=hs)
+    sigs = simhash(docs, bits=59, portable=True)
     a, b = sigs.alias("a"), sigs.alias("b")
     brute = {
         (r["id_a"], r["id_b"])
@@ -204,6 +201,6 @@ def test_portable_simhash_pairs_complete(spark, sf_dir):
     }
     banded = {
         (r["id_a"], r["id_b"])
-        for r in simhash_pairs(docs, max_hamming=3, bits=59, hash_sql=hs).collect()
+        for r in simhash_pairs(docs, max_hamming=3, bits=59, portable=True).collect()
     }
     assert banded == brute and banded
