@@ -20,6 +20,7 @@ def _registries() -> list[dict]:
     for modname in (
         "relational2",
         "relational3",
+        "tpch2",
         "etlq",
         "profileq",
         "profileq2",
@@ -86,6 +87,12 @@ PRIORITY = [
     "scd2_user_event_type",
     "events_cube",
     "lineitem_measure_stats",
+    "q8_market_share",
+    "q12_ship_delay_priority",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
     # -- changed since round 1 (new oracle / fixed hash) or high-signal --
     "dedup_minhash_lsh",
     "parse_event_props",
