@@ -124,6 +124,41 @@ def ngram_rows(
     return df.select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
+def chunk_rows(
+    df: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window splitting step
+    of a pretraining/RAG pipeline. Each doc yields chunks of up to
+    ``chunk_size`` tokens starting every ``stride`` tokens (overlap =
+    chunk_size - stride); a doc shorter than one window yields one chunk.
+
+    One narrow scan, no shuffle, no UDF: token starts come from
+    ``sequence``, each chunk is a ``slice`` + ``array_join`` in the same
+    projection. Chunk counts scale rows by ~len/stride — at 100 TB this is
+    a map-only explode that parallelizes with the scan splits. chunk_id is
+    the 0-based window index ((start-1) DIV stride — reproducible in ANSI
+    SQL, unlike a session-local monotonic id)."""
+    overlap = chunk_size - stride
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(stride)
+    )
+    ex = df.select(
+        F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("__st")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__st"), chunk_size)
+    return ex.select(
+        F.col(id_col),
+        ((F.col("__st") - 1) / stride).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     ns: tuple[int, ...] = (2, 3),

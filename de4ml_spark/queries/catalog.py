@@ -93,6 +93,7 @@ PRIORITY = [
     "q17_small_quantity_revenue",
     "q21_waiting_supplier",
     "q22_idle_customers",
+    "chunk_docs",
     # -- changed since round 1 (new oracle / fixed hash) or high-signal --
     "dedup_minhash_lsh",
     "parse_event_props",

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from de4ml_spark.operators.sampling import temperature_rates
-from de4ml_spark.operators.text import repetition_stats
+from de4ml_spark.operators.text import chunk_rows, repetition_stats
 from de4ml_spark.session import load_table
 
 # Flag thresholds sit at ~p90 of the corpus distribution (measured at
@@ -99,8 +99,54 @@ FROM fin
 """
 
 
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, stride 48) — summarized
+    per doc so the graded result stays small while still pinning every
+    chunk boundary: chunk count, total/ min/max chunk token counts, and an
+    md5 over the concatenated chunk texts in chunk order."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_rows(docs, chunk_size=64, stride=48)
+    return ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.md5(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text")))
+                .getField("chunk_text")
+            )
+        ).alias("chunks_md5"),
+    )
+
+
+CHUNK_DOCS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS st
+  FROM t
+),
+ch AS (
+  SELECT doc_id,
+         CAST((st - 1) // 48 AS INTEGER) AS chunk_id,
+         CAST(len(toks[st:st+63]) AS INTEGER) AS n_tokens,
+         array_to_string(toks[st:st+63], ' ') AS chunk_text
+  FROM s
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens,
+       md5(string_agg(chunk_text, chr(1) ORDER BY chunk_id)) AS chunks_md5
+FROM ch
+GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "repetition_docs": {"fn": repetition_docs, "sql": REPETITION_SQL},
+    "chunk_docs": {"fn": chunk_docs, "sql": CHUNK_DOCS_SQL},
     "temperature_mix_rates": {
         "fn": temperature_mix_rates,
         "sql": TEMPERATURE_SQL,

@@ -145,3 +145,31 @@ def test_quality_gate_composes_into_streaming(spark, tmp_path):
     assert set(out) == {2}  # stopword-heavy doc rejected
     assert out[2]["pred_lang"] == "zh"  # marker vocabulary argmax
     assert 0.0 < out[2]["quality"] <= 1.0
+
+
+def test_chunk_rows_boundaries(spark):
+    """Sliding-window chunking: starts every `stride` tokens, last chunk
+    clamps at the doc end, short/empty docs yield exactly one chunk."""
+    from de4ml_spark.operators.text import chunk_rows
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(1, 12))),  # 11 tokens
+            (2, "a b"),                                    # shorter than one window
+            (3, ""),                                       # empty -> [''] token
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_rows(df, chunk_size=4, stride=3).collect()
+    }
+    # doc 1: overlap 1 -> starts 1,4,7,10 -> sizes 4,4,4,2
+    assert [rows[(1, i)]["n_tokens"] for i in range(4)] == [4, 4, 4, 2]
+    assert rows[(1, 0)]["chunk_text"] == "t1 t2 t3 t4"
+    assert rows[(1, 1)]["chunk_text"] == "t4 t5 t6 t7"   # one-token overlap
+    assert rows[(1, 3)]["chunk_text"] == "t10 t11"
+    assert rows[(2, 0)]["chunk_text"] == "a b" and len(
+        [k for k in rows if k[0] == 2]
+    ) == 1
+    assert rows[(3, 0)]["n_tokens"] == 1  # split('') -> one empty token
