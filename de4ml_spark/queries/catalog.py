@@ -94,6 +94,8 @@ PRIORITY = [
     "q21_waiting_supplier",
     "q22_idle_customers",
     "chunk_docs",
+    "gapfill_user_daily",
+    "repeat_purchasers",
     # -- changed since round 1 (new oracle / fixed hash) or high-signal --
     "dedup_minhash_lsh",
     "parse_event_props",

@@ -673,3 +673,118 @@ REGISTRY["lineitem_measure_stats"] = {
     "fn": lineitem_measure_stats,
     "sql": MEASURE_STATS_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Time-series gap filling: dense per-user daily purchase series over the
+# corpus date range — a date spine (broadcast 1-row min/max -> sequence ->
+# explode) LEFT-joined to the sparse daily aggregate, missing counts
+# zero-filled and the last observed daily value carried forward (LOCF via
+# last_value IGNORE NULLS). The spine is |users| x |days| rows built
+# map-side; the only shuffles are the daily aggregate and the per-user
+# window sort. Days before a user's first purchase stay NULL (nothing to
+# carry) — pinned by the oracle.
+# --------------------------------------------------------------------------
+
+def gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "value"
+    )
+    daily = purchases.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("v"),
+    )
+    minmax = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(minmax))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases"),
+            F.last("v", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
+
+
+GAPFILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT u.user_id, CAST(d.day AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (
+    SELECT unnest(generate_series(MIN(CAST(ts AS DATE)),
+                                  MAX(CAST(ts AS DATE)),
+                                  INTERVAL 1 DAY)) AS day
+    FROM events
+  ) d
+)
+SELECT s.user_id, s.day,
+       COALESCE(daily.n, 0) AS n_purchases,
+       LAST_VALUE(daily.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_value
+FROM spine s
+LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day
+"""
+
+
+REGISTRY["gapfill_user_daily"] = {
+    "fn": gapfill_user_daily,
+    "sql": GAPFILL_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# INTERSECT set op (the one relational set operator the catalog had not
+# exercised; EXCEPT is churned_purchasers): users who purchased in BOTH
+# halves of the observed month. Spark plans INTERSECT as a distinct +
+# left-semi hash join — no row explosion, shuffle on the user key only.
+# --------------------------------------------------------------------------
+
+def repeat_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    day = F.col("ts").cast("date")
+    cut = F.lit("2024-01-16").cast("date")
+    h1 = ev.filter(day < cut).select("user_id").distinct()
+    h2 = ev.filter(day >= cut).select("user_id").distinct()
+    return h1.intersect(h2)
+
+
+REPEAT_SQL = """
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND CAST(ts AS DATE) < DATE '2024-01-16'
+INTERSECT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND CAST(ts AS DATE) >= DATE '2024-01-16'
+"""
+
+
+REGISTRY["repeat_purchasers"] = {"fn": repeat_purchasers, "sql": REPEAT_SQL}
