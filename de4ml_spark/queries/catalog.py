@@ -96,6 +96,7 @@ PRIORITY = [
     "chunk_docs",
     "gapfill_user_daily",
     "repeat_purchasers",
+    "trailing_7d_revenue",
     # -- changed since round 1 (new oracle / fixed hash) or high-signal --
     "dedup_minhash_lsh",
     "parse_event_props",

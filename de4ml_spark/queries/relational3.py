@@ -788,3 +788,53 @@ WHERE event_type = 'purchase' AND CAST(ts AS DATE) >= DATE '2024-01-16'
 
 
 REGISTRY["repeat_purchasers"] = {"fn": repeat_purchasers, "sql": REPEAT_SQL}
+
+
+# --------------------------------------------------------------------------
+# RANGE-frame trailing window: 7-day trailing revenue per order day. The
+# frame is RANGE over a numeric day key (days since epoch — identical
+# arithmetic in both engines), so days missing from the data still bound
+# the frame correctly — a ROWS frame would silently span gaps. One daily
+# aggregate shuffle + one global-ordered window (fine: one row per day; at
+# 100 TB the window would partition by month/tenant first).
+# --------------------------------------------------------------------------
+
+def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(day_num.alias("day_num")).rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("rev_dec").cast("double").alias("day_revenue"),
+        "n_orders",
+        F.sum("rev_dec").over(w).cast("double").alias("trailing_7d_revenue"),
+        F.sum("n_orders").over(w).alias("trailing_7d_orders"),
+    )
+
+
+TRAILING_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       CAST(rev_dec AS DOUBLE) AS day_revenue,
+       n_orders,
+       CAST(SUM(rev_dec) OVER w AS DOUBLE) AS trailing_7d_revenue,
+       SUM(n_orders) OVER w AS trailing_7d_orders
+FROM daily
+WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', day)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+REGISTRY["trailing_7d_revenue"] = {
+    "fn": trailing_7d_revenue,
+    "sql": TRAILING_SQL,
+}
