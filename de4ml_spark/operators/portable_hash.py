@@ -108,3 +108,23 @@ def exact_round_div_sql(p: str, q: str, div: str, decimals: int = 6) -> str:
     return (
         f"((({p}) * {2 * scale} + ({q})) {div} (2 * ({q}))) / {scale}.0"
     )
+
+
+def exact_round_neg_mean_sql(
+    sum_expr: str, cnt_expr: str, div: str, decimals: int = 6
+) -> str:
+    """SQL text for engine-exact ROUND(sum/cnt, decimals) where ``sum_expr``
+    is a NEGATIVE DECIMAL sum with scale <= decimals and ``cnt_expr`` a
+    positive integer count (the mean-log-prob shape). The naive
+    round(double) form sits EXACTLY on a half boundary whenever
+    2*sum*10^d ≡ cnt (mod 2*cnt) — common, since the sum lives on a 10^-d
+    grid — and Spark (rounds the shortest decimal repr, half-up away from
+    zero) disagrees with DuckDB (rounds the binary value) there; observed
+    on bigram means at sf0.1. This form is pure integer arithmetic:
+    negate to positive, scale to an exact BIGINT, half-up integer divide,
+    negate back. ``div`` is "DIV" (Spark) or "//" (DuckDB)."""
+    scale = 10**decimals
+    p = f"CAST((-({sum_expr})) * {scale} AS BIGINT)"
+    return (
+        f"(-(({p} * 2 + ({cnt_expr})) {div} (2 * ({cnt_expr}))) / {scale}.0)"
+    )

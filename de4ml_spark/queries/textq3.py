@@ -151,19 +151,19 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decimal(12,6)"
         ),
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            (F.sum("logp").cast("double") / F.count(F.lit(1))).alias(
-                "mean_logp"
-            ),
-        )
-        .withColumn("mean_logp", F.round("mean_logp", 6))
+    from de4ml_spark.operators.portable_hash import exact_round_neg_mean_sql
+
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr(
+            exact_round_neg_mean_sql("SUM(logp)", "COUNT(*)", "DIV")
+        ).alias("mean_logp"),
     )
 
 
-UNIGRAM_SQL = """
+from de4ml_spark.operators.portable_hash import exact_round_neg_mean_sql as _ernm
+
+UNIGRAM_SQL = f"""
 WITH terms AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
@@ -176,7 +176,7 @@ scored AS (
   FROM terms t JOIN vocab v USING (term) CROSS JOIN total tot
 )
 SELECT doc_id, COUNT(*) AS n_tokens,
-       ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS mean_logp
+       {_ernm('SUM(logp)', 'COUNT(*)', '//')} AS mean_logp
 FROM scored GROUP BY doc_id
 """
 
@@ -243,33 +243,49 @@ SELECT size, COUNT(*) AS n_clusters FROM sizes GROUP BY size
 
 
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Means use the engine-exact integer rounding (portable_hash
+    docstrings): event counts and micro-grid durations are integers, so
+    ROUND(AVG(...)) on the double quotient sits exactly on half
+    boundaries for a large fraction of inputs — the seconds mean rounds
+    in integer MICROS then scales (round(avg_us)/1e6 == round(avg_s, 6))."""
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
     from de4ml_spark.operators.sessions import sessionize
 
     ev = load_table(spark, sf_dir, "events")
     sessions = sessionize(ev, key="user_id", ts_col="ts", gap="30 minutes")
-    dur_s = (
-        F.unix_micros(F.col("session_end").cast("timestamp")) - F.unix_micros(F.col("session_start").cast("timestamp"))
-    ) / 1_000_000.0
-    return sessions.agg(
+    dur_us = F.unix_micros(
+        F.col("session_end").cast("timestamp")
+    ) - F.unix_micros(F.col("session_start").cast("timestamp"))
+    return sessions.select("n_events", dur_us.alias("dur_us")).agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        F.round(F.avg("n_events"), 6).alias("avg_events"),
-        F.round(F.avg(dur_s), 6).alias("avg_duration_s"),
-        F.round(F.max(dur_s), 6).alias("max_duration_s"),
+        F.expr(
+            exact_round_div_sql("SUM(n_events)", "COUNT(*)", "DIV")
+        ).alias("avg_events"),
+        F.expr(
+            "((SUM(dur_us) * 2 + COUNT(*)) DIV (2 * COUNT(*))) / 1000000.0"
+        ).alias("avg_duration_s"),
+        (F.max("dur_us") / F.lit(1_000_000.0)).alias("max_duration_s"),
     )
 
 
 def _session_stats_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
     from de4ml_spark.queries.textq import SESSIONIZE_SQL
 
+    avg_events = exact_round_div_sql("SUM(n_events)", "COUNT(*)", "//")
     return f"""
-WITH sessions AS ({SESSIONIZE_SQL})
+WITH sessions AS ({SESSIONIZE_SQL}),
+d AS (
+  SELECT n_events,
+         epoch_us(session_end) - epoch_us(session_start) AS dur_us
+  FROM sessions
+)
 SELECT COUNT(*) AS n_sessions,
-       ROUND(AVG(n_events), 6) AS avg_events,
-       ROUND(AVG(epoch(session_end) - epoch(session_start)), 6)
+       {avg_events} AS avg_events,
+       ((SUM(dur_us) * 2 + COUNT(*)) // (2 * COUNT(*))) / 1000000.0
          AS avg_duration_s,
-       ROUND(MAX(epoch(session_end) - epoch(session_start)), 6)
-         AS max_duration_s
-FROM sessions
+       MAX(dur_us) / 1000000.0 AS max_duration_s
+FROM d
 """
 
 
@@ -324,14 +340,14 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.sum("logp").cast("double") / F.count(F.lit(1)), 6
+            F.expr(
+                _ernm("SUM(logp)", "COUNT(*)", "DIV")
             ).alias("mean_logp"),
         )
     )
 
 
-BIGRAM_SQL = """
+BIGRAM_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents
 ),
@@ -359,7 +375,7 @@ model AS (
   FROM bi JOIN uni USING (w1) CROSS JOIN v
 )
 SELECT b.doc_id, COUNT(*) AS n_bigrams,
-       ROUND(CAST(SUM(m.logp) AS DOUBLE) / COUNT(*), 6) AS mean_logp
+       {_ernm('SUM(m.logp)', 'COUNT(*)', '//')} AS mean_logp
 FROM bigrams b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
 GROUP BY b.doc_id
 """

@@ -376,3 +376,49 @@ def test_portable_minhash_no_cartesian_and_partial_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_q17_decorrelated_brand_join_all_broadcast(spark, sf_dir):
+    """Q17's correlated AVG subquery decorrelates to broadcast joins only —
+    one brand's lineitems fit any executor; no sort-merge, no cartesian."""
+    from de4ml_spark.queries.tpch2 import q17_small_quantity_revenue
+
+    plan = _plan(q17_small_quantity_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "(p_brand" in plan  # brand filter pushed to the part scan
+
+
+def test_q21_window_fixpoint_single_window(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair must collapse to ONE window over the
+    per-(order, supplier) aggregate — no self-joins of lineitem."""
+    from de4ml_spark.queries.tpch2 import q21_waiting_supplier
+
+    plan = _plan(q21_waiting_supplier(spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    # one lineitem scan only — the correlated probes must not rescan
+    assert sum("FileScan parquet" in l and "lineitem" in l
+               for l in plan.splitlines()) == 1
+
+
+def test_chunk_rows_map_only(spark, sf_dir):
+    """Chunking is a map-only explode: no shuffle, no UDF, pruned scan."""
+    from de4ml_spark.operators.text import chunk_rows
+    from de4ml_spark.session import load_table
+
+    plan = _plan(chunk_rows(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_gapfill_spine_is_map_side(spark, sf_dir):
+    """The date spine must come from a broadcast 1-row min/max (nested-loop
+    with a 1-row build side), never a shuffled cross join."""
+    from de4ml_spark.queries.relational3 import gapfill_user_daily
+
+    plan = _plan(gapfill_user_daily(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row min/max broadcast
+    assert plan.count("Window") == 1  # LOCF is one window pass
