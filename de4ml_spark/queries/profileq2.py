@@ -138,18 +138,40 @@ def profile_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = day == F.lit(DRIFT_D1).cast("date")
     d2 = day == F.lit(DRIFT_D2).cast("date")
 
-    def stats(cond, suffix):
+    # Means use engine-exact integer rounding: value sits on a 2-decimal
+    # grid, so ROUND(AVG(value), 6) on the double quotient lands exactly on
+    # half boundaries at material rates (see portable_hash.
+    # exact_round_div_sql) — sum exact cents, half-up integer divide.
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    flagged = ev.select(
+        "value", d1.alias("is_d1"), d2.alias("is_d2")
+    )
+
+    def stats(flag, suffix):
         return [
-            F.count(F.when(cond, 1)).alias(f"n_{suffix}"),
-            F.round(F.avg(F.when(cond, F.col("value"))), 6).alias(
-                f"mean_{suffix}"
+            F.expr(f"COUNT(CASE WHEN {flag} THEN 1 END)").alias(
+                f"n_{suffix}"
             ),
-            F.round(
-                F.avg(F.when(cond, F.col("value").isNull().cast("double"))), 6
+            F.expr(
+                exact_round_div_sql(
+                    f"CAST(SUM(CASE WHEN {flag} THEN "
+                    "CAST(value AS DECIMAL(14,2)) END) * 100 AS BIGINT)",
+                    f"COUNT(CASE WHEN {flag} AND value IS NOT NULL "
+                    "THEN 1 END) * 100",
+                    "DIV",
+                )
+            ).alias(f"mean_{suffix}"),
+            F.expr(
+                exact_round_div_sql(
+                    f"COUNT(CASE WHEN {flag} AND value IS NULL THEN 1 END)",
+                    f"COUNT(CASE WHEN {flag} THEN 1 END)",
+                    "DIV",
+                )
             ).alias(f"null_rate_{suffix}"),
         ]
 
-    agged = ev.agg(*stats(d1, "d1"), *stats(d2, "d2"))
+    agged = flagged.agg(*stats("is_d1", "d1"), *stats("is_d2", "d2"))
     return agged.select(
         "*",
         F.round(F.col("mean_d2") - F.col("mean_d1"), 6).alias("mean_shift"),
@@ -159,16 +181,32 @@ def profile_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drift_stats_duck(day: str, suffix: str) -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    flag = f"CAST(ts AS DATE) = DATE '{day}'"
+    mean = exact_round_div_sql(
+        f"CAST(SUM(CASE WHEN {flag} THEN CAST(value AS DECIMAL(14,2)) END)"
+        " * 100 AS BIGINT)",
+        f"COUNT(CASE WHEN {flag} AND value IS NOT NULL THEN 1 END) * 100",
+        "//",
+    )
+    null_rate = exact_round_div_sql(
+        f"COUNT(CASE WHEN {flag} AND value IS NULL THEN 1 END)",
+        f"COUNT(CASE WHEN {flag} THEN 1 END)",
+        "//",
+    )
+    return (
+        f"COUNT(CASE WHEN {flag} THEN 1 END) AS n_{suffix},\n"
+        f"         {mean} AS mean_{suffix},\n"
+        f"         {null_rate} AS null_rate_{suffix}"
+    )
+
+
 DRIFT_SQL = f"""
 WITH a AS (
-  SELECT COUNT(CASE WHEN CAST(ts AS DATE) = DATE '{DRIFT_D1}' THEN 1 END) AS n_d1,
-         ROUND(AVG(CASE WHEN CAST(ts AS DATE) = DATE '{DRIFT_D1}' THEN value END), 6) AS mean_d1,
-         ROUND(AVG(CASE WHEN CAST(ts AS DATE) = DATE '{DRIFT_D1}'
-                        THEN CAST(value IS NULL AS DOUBLE) END), 6) AS null_rate_d1,
-         COUNT(CASE WHEN CAST(ts AS DATE) = DATE '{DRIFT_D2}' THEN 1 END) AS n_d2,
-         ROUND(AVG(CASE WHEN CAST(ts AS DATE) = DATE '{DRIFT_D2}' THEN value END), 6) AS mean_d2,
-         ROUND(AVG(CASE WHEN CAST(ts AS DATE) = DATE '{DRIFT_D2}'
-                        THEN CAST(value IS NULL AS DOUBLE) END), 6) AS null_rate_d2
+  SELECT {_drift_stats_duck(DRIFT_D1, 'd1')},
+         {_drift_stats_duck(DRIFT_D2, 'd2')}
   FROM events
 )
 SELECT *, ROUND(mean_d2 - mean_d1, 6) AS mean_shift,

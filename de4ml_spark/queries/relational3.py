@@ -641,10 +641,12 @@ def lineitem_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+        # engine-exact mean: the measures sit on coarse decimal grids, so
+        # ROUND(sum/count, 6) on the double quotient hits exact half
+        # boundaries at material rates — integer micros, half-up divide
+        F.expr(
+            "((CAST(SUM(CAST(value AS DECIMAL(24,6))) * 1000000 AS BIGINT)"
+            " * 2 + COUNT(*)) DIV (2 * COUNT(*))) / 1000000.0"
         ).alias("mean"),
     )
 
@@ -663,8 +665,8 @@ SELECT measure, COUNT(*) AS n,
        ROUND(MEDIAN(value), 6) AS median,
        ROUND(MIN(value), 6) AS lo,
        ROUND(MAX(value), 6) AS hi,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*), 6)
-         AS mean
+       ((CAST(SUM(CAST(value AS DECIMAL(24,6))) * 1000000 AS BIGINT)
+         * 2 + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS mean
 FROM long GROUP BY measure
 """
 
