@@ -97,10 +97,16 @@ PRIORITY = [
     "gapfill_user_daily",
     "repeat_purchasers",
     "trailing_7d_revenue",
+    # -- rounding hardened late round 2 (exact integer means) --
+    "profile_drift_events",
+    "anomalous_days_events",
     # -- changed since round 1 (new oracle / fixed hash) or high-signal --
     "dedup_minhash_lsh",
     "parse_event_props",
     "reconcile_decisions_rewards",
+    # below here = graded-window overflow (round 3 rotation): the BIGINT-
+    # SUM oracle cast these share with in-window siblings is correlated
+    # evidence
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_components",

@@ -231,22 +231,32 @@ REGISTRY: dict[str, dict] = {
 # --------------------------------------------------------------------------
 
 def anomalous_days_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    """Cross-engine bit-stability: window AVG/STDDEV over doubles sum in
+    engine-specific order (last-ulp drift that a 6-dp round can surface),
+    so moments come from EXACT decimal sums (S1, S2) broadcast as one row,
+    and mean/variance/z are the SAME IEEE expression text in both engines
+    — identical operands + identical ops = identical doubles, then sqrt is
+    IEEE-exact. The broadcast stats row also beats the whole-partition
+    window the original formulation needed."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total")
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("td")
     )
-    w = Window.partitionBy()
-    scored = daily.select(
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("td").cast("double").alias("s1"),
+        F.sum(F.col("td") * F.col("td")).cast("double").alias("s2"),
+    )
+    scored = daily.crossJoin(F.broadcast(stats)).select(
         "day",
-        "total",
-        F.round(
-            (F.col("total") - F.avg("total").over(w))
-            / F.stddev_samp("total").over(w),
-            6,
+        F.col("td").cast("double").alias("total"),
+        F.expr(
+            "round((CAST(td AS DOUBLE) - s1 / n)"
+            " / sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 6)"
         ).alias("z"),
     )
     return scored.withColumn("is_anomaly", F.abs(F.col("z")) > 2)
@@ -255,14 +265,20 @@ def anomalous_days_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANOMALY_SQL = """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS td
   FROM events WHERE event_type = 'purchase' GROUP BY 1
 ),
-scored AS (
-  SELECT day, total,
-         ROUND((total - AVG(total) OVER ()) / STDDEV_SAMP(total) OVER (), 6)
-           AS z
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(td) AS DOUBLE) AS s1,
+         CAST(SUM(td * td) AS DOUBLE) AS s2
   FROM daily
+),
+scored AS (
+  SELECT day, CAST(td AS DOUBLE) AS total,
+         ROUND((CAST(td AS DOUBLE) - s1 / n)
+               / sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 6) AS z
+  FROM daily CROSS JOIN stats
 )
 SELECT *, ABS(z) > 2 AS is_anomaly FROM scored
 """
