@@ -106,7 +106,8 @@ PRIORITY = [
     "reconcile_decisions_rewards",
     # below here = graded-window overflow (round 3 rotation): the BIGINT-
     # SUM oracle cast these share with in-window siblings is correlated
-    # evidence
+    # evidence; session_alert_overlap verifies locally at sf0.01+sf0.1
+    "session_alert_overlap",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_components",

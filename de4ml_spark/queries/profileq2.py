@@ -325,3 +325,82 @@ REGISTRY["value_quartiles_by_type"] = {
     "fn": value_quartiles_by_type,
     "sql": QUARTILES_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap join, binned: which user sessions overlap alert windows
+# (the "incident attribution" query). Spark has no native range join — the
+# naive predicate join executes as BroadcastNestedLoopJoin, O(|S| x |W|)
+# with no codegen. The scale decomposition: explode each interval into the
+# fixed-width time bins it spans (a session of length L yields ~L/width
+# rows), equi-join on the bin key (shuffle hash join — linear, skew-free
+# when bins are time-uniform), de-duplicate pairs, then verify the EXACT
+# overlap predicate (here the verify is provably a no-op — windows are
+# exactly one bin — but the filter stays: it is the load-bearing step
+# whenever bin width < interval length on both sides). The DuckDB oracle
+# is the textbook range join (IEJoin) over the same intervals.
+# --------------------------------------------------------------------------
+
+def session_alert_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize(ev, key="user_id", ts_col="ts", gap="30 minutes")
+    alerts = (
+        ev.filter(F.col("value") > 100.0)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("win_start"))
+    )
+    minute = lambda c: (  # noqa: E731 — epoch-minute bin
+        F.unix_micros(F.col(c).cast("timestamp")) / F.lit(60_000_000)
+    ).cast("bigint")
+    s_bins = sessions.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(minute("session_start"), minute("session_end"))
+        ).alias("bin"),
+    )
+    a_bins = alerts.select("win_start", minute("win_start").alias("bin"))
+    pairs = (
+        s_bins.join(a_bins, "bin")
+        .filter(  # exact-overlap verify (general pattern; no-op here)
+            (
+                F.col("session_start")
+                < F.col("win_start") + F.expr("INTERVAL 1 MINUTE")
+            )
+            & (F.col("session_end") >= F.col("win_start"))
+        )
+        .select("user_id", "session_start", "win_start")
+        .distinct()
+    )
+    return pairs.groupBy("user_id", "session_start").agg(
+        F.count(F.lit(1)).alias("n_alert_windows")
+    )
+
+
+def _session_alert_sql() -> str:
+    from de4ml_spark.queries.textq import SESSIONIZE_SQL
+
+    return f"""
+WITH sessions AS ({SESSIONIZE_SQL}),
+alerts AS (
+  SELECT date_trunc('minute', ts) AS win_start
+  FROM events WHERE value > 100.0
+  GROUP BY 1
+)
+SELECT s.user_id, s.session_start, COUNT(*) AS n_alert_windows
+FROM sessions s
+JOIN alerts a
+  ON s.session_start < a.win_start + INTERVAL 1 MINUTE
+ AND s.session_end >= a.win_start
+GROUP BY 1, 2
+"""
+
+
+REGISTRY["session_alert_overlap"] = {
+    "fn": session_alert_overlap,
+    "sql": _session_alert_sql(),
+}

@@ -422,3 +422,15 @@ def test_gapfill_spine_is_map_side(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row min/max broadcast
     assert plan.count("Window") == 1  # LOCF is one window pass
+
+
+def test_interval_overlap_join_is_hash_not_bnlj(spark, sf_dir):
+    """The binned range-join decomposition must plan as an equi hash join
+    on the bin key — never the BroadcastNestedLoopJoin a naive range
+    predicate would get."""
+    from de4ml_spark.queries.profileq2 import session_alert_overlap
+
+    plan = _plan(session_alert_overlap(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
