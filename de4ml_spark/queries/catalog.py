@@ -108,6 +108,7 @@ PRIORITY = [
     # SUM oracle cast these share with in-window siblings is correlated
     # evidence; session_alert_overlap verifies locally at sf0.01+sf0.1
     "session_alert_overlap",
+    "key_skew_orders",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_components",

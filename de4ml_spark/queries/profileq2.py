@@ -404,3 +404,52 @@ REGISTRY["session_alert_overlap"] = {
     "fn": session_alert_overlap,
     "sql": _session_alert_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Join-key skew diagnostic: the frequency profile of a join key — the
+# planning input that decides between plain shuffle join, AQE skew split,
+# and salting (operators/skew.py). One groupBy on the key (map-side
+# combine), then a 1-row aggregate over the frequency distribution.
+# top1_share uses the engine-exact integer rounding; the p99 is an exact
+# interpolated percentile over integer frequencies (same IEEE ops both
+# engines).
+# --------------------------------------------------------------------------
+
+def key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    orders = load_table(spark, sf_dir, "orders")
+    freqs = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("freq"))
+    return freqs.agg(
+        F.sum("freq").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("freq").alias("max_freq"),
+        F.expr(
+            exact_round_div_sql("MAX(freq)", "SUM(freq)", "DIV")
+        ).alias("top1_share"),
+        F.expr(
+            "round(percentile_cont(0.99) WITHIN GROUP (ORDER BY freq), 6)"
+        ).alias("p99_freq"),
+    )
+
+
+KEY_SKEW_SQL = f"""
+WITH freqs AS (
+  SELECT o_custkey, COUNT(*) AS freq FROM orders GROUP BY 1
+)
+SELECT CAST(SUM(freq) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_keys,
+       MAX(freq) AS max_freq,
+       {{top1}} AS top1_share,
+       ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY freq), 6)
+         AS p99_freq
+FROM freqs
+""".format(
+    top1=__import__(
+        "de4ml_spark.operators.portable_hash", fromlist=["exact_round_div_sql"]
+    ).exact_round_div_sql("MAX(freq)", "SUM(freq)", "//")
+)
+
+
+REGISTRY["key_skew_orders"] = {"fn": key_skew_orders, "sql": KEY_SKEW_SQL}
