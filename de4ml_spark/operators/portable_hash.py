@@ -103,10 +103,19 @@ def exact_round_div_sql(p: str, q: str, div: str, decimals: int = 6) -> str:
     decimal expansion half-up, DuckDB differs in the last digit — observed
     on the quality score at sf0.001); this form is bit-identical anywhere.
     ``div`` is the integer-division operator: "DIV" (Spark) or "//" (DuckDB).
+
+    The scaled integer is CAST to DOUBLE before the final scale division:
+    a bare ``/ 1000000.0`` parses as a DECIMAL literal in Spark, silently
+    typing the whole result DECIMAL(30,9) where the DuckDB twin produces
+    DOUBLE (caught by the cross-engine rounding fuzz). The cast form is
+    engine-identical: the numerator is an exact integer double (all our
+    domains stay far below 2^53) and IEEE division is correctly rounded,
+    so both engines produce the same nearest double to the rational.
     """
     scale = 10**decimals
     return (
-        f"((({p}) * {2 * scale} + ({q})) {div} (2 * ({q}))) / {scale}.0"
+        f"(CAST((({p}) * {2 * scale} + ({q})) {div} (2 * ({q})) AS DOUBLE)"
+        f" / {scale}.0)"
     )
 
 
@@ -122,9 +131,12 @@ def exact_round_neg_mean_sql(
     zero) disagrees with DuckDB (rounds the binary value) there; observed
     on bigram means at sf0.1. This form is pure integer arithmetic:
     negate to positive, scale to an exact BIGINT, half-up integer divide,
-    negate back. ``div`` is "DIV" (Spark) or "//" (DuckDB)."""
+    negate back. ``div`` is "DIV" (Spark) or "//" (DuckDB). The DOUBLE
+    cast before the scale division keeps the result type (and value)
+    engine-identical — see ``exact_round_div_sql``."""
     scale = 10**decimals
     p = f"CAST((-({sum_expr})) * {scale} AS BIGINT)"
     return (
-        f"(-(({p} * 2 + ({cnt_expr})) {div} (2 * ({cnt_expr}))) / {scale}.0)"
+        f"(-(CAST(({p} * 2 + ({cnt_expr})) {div} (2 * ({cnt_expr}))"
+        f" AS DOUBLE)) / {scale}.0)"
     )

@@ -645,8 +645,9 @@ def lineitem_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ROUND(sum/count, 6) on the double quotient hits exact half
         # boundaries at material rates — integer micros, half-up divide
         F.expr(
-            "((CAST(SUM(CAST(value AS DECIMAL(24,6))) * 1000000 AS BIGINT)"
-            " * 2 + COUNT(*)) DIV (2 * COUNT(*))) / 1000000.0"
+            "CAST((CAST(SUM(CAST(value AS DECIMAL(24,6))) * 1000000 AS"
+            " BIGINT) * 2 + COUNT(*)) DIV (2 * COUNT(*)) AS DOUBLE)"
+            " / 1000000.0"
         ).alias("mean"),
     )
 

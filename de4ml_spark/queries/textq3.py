@@ -262,7 +262,8 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_round_div_sql("SUM(n_events)", "COUNT(*)", "DIV")
         ).alias("avg_events"),
         F.expr(
-            "((SUM(dur_us) * 2 + COUNT(*)) DIV (2 * COUNT(*))) / 1000000.0"
+            "CAST((SUM(dur_us) * 2 + COUNT(*)) DIV (2 * COUNT(*))"
+            " AS DOUBLE) / 1000000.0"
         ).alias("avg_duration_s"),
         (F.max("dur_us") / F.lit(1_000_000.0)).alias("max_duration_s"),
     )

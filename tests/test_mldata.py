@@ -173,3 +173,64 @@ def test_chunk_rows_boundaries(spark):
         [k for k in rows if k[0] == 2]
     ) == 1
     assert rows[(3, 0)]["n_tokens"] == 1  # split('') -> one empty token
+
+
+def test_exact_rounding_fuzz_spark_duckdb_fraction(spark):
+    """The exact integer-rounding helpers are load-bearing for every
+    rounded-mean oracle: fuzz random (p, q) pairs — biased toward exact
+    half boundaries, where the naive double ROUND diverges — and require
+    Spark, DuckDB, and Fraction-based half-up rounding to agree exactly."""
+    import random
+    from fractions import Fraction
+
+    import duckdb
+
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql,
+        exact_round_neg_mean_sql,
+    )
+
+    # domain contract: p * 2e6 must fit a BIGINT, i.e. p <= ~4.6e12
+    rng = random.Random(42)
+    pairs = []
+    for _ in range(150):
+        q = rng.randint(1, 10**6)
+        if rng.random() < 0.5:  # force an exact half boundary: p/q = k + 1/2
+            if q % 2:  # odd q cannot hit the boundary; make q even
+                q *= 2
+            p = rng.randint(0, 10**6) * q + q // 2
+        else:
+            p = rng.randint(0, 10**12)
+        pairs.append((p, q))
+
+    def frac_half_up(p, q, d=6):
+        scale = 10**d
+        num = Fraction(p * scale, q)
+        k = num.numerator // num.denominator
+        rem = Fraction(p * scale, q) - k
+        return (k + (1 if rem >= Fraction(1, 2) else 0)) / scale
+
+    neg_sum = "CAST(-p AS DECIMAL(20,6)) / 1000000"
+    sdf = spark.createDataFrame(pairs, "p LONG, q LONG").selectExpr(
+        "p",
+        "q",
+        f"{exact_round_div_sql('p', 'q', 'DIV')} AS r",
+        f"{exact_round_neg_mean_sql(neg_sum, 'q', 'DIV')} AS rn",
+    )
+    got = {(r["p"], r["q"]): (r["r"], r["rn"]) for r in sdf.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(p BIGINT, q BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            f"SELECT p, q, {exact_round_div_sql('p', 'q', '//')},"
+            f" {exact_round_neg_mean_sql(neg_sum, 'q', '//')}"
+            " FROM t"
+        ).fetchall()
+    }
+    assert got == want
+    for (p, q), (r, rn) in got.items():
+        assert r == frac_half_up(p, q), (p, q, r)
+        # the neg-mean input sum is -p/1e6, so its true quotient is p/(q*1e6)
+        assert rn == -frac_half_up(p, q * 10**6), (p, q, rn)
