@@ -830,7 +830,7 @@ SELECT day,
        CAST(rev_dec AS DOUBLE) AS day_revenue,
        n_orders,
        CAST(SUM(rev_dec) OVER w AS DOUBLE) AS trailing_7d_revenue,
-       SUM(n_orders) OVER w AS trailing_7d_orders
+       CAST(SUM(n_orders) OVER w AS BIGINT) AS trailing_7d_orders
 FROM daily
 WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', day)
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)

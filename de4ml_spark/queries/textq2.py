@@ -216,7 +216,7 @@ o AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
   FROM t
 )
-SELECT doc_id, n_tokens, "offset",
+SELECT doc_id, n_tokens, CAST("offset" AS BIGINT) AS "offset",
        CAST(FLOOR("offset" / {SEQ_BUDGET}) AS BIGINT) AS seq_start,
        CAST(FLOOR(("offset" + n_tokens - 1) / {SEQ_BUDGET}) AS BIGINT) AS seq_end
 FROM o
