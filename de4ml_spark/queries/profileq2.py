@@ -41,10 +41,10 @@ HISTOGRAM_SQL = f"""
 SELECT LEAST(GREATEST(CAST(FLOOR((l_quantity - {QTY_LO}) / 5.0) AS INT), 0),
              {QTY_BINS - 1}) AS bin,
        COUNT(*) AS n,
-       {QTY_LO} + LEAST(GREATEST(CAST(FLOOR((l_quantity - {QTY_LO}) / 5.0)
-             AS INT), 0), {QTY_BINS - 1}) * 5.0 AS lo,
-       {QTY_LO} + (LEAST(GREATEST(CAST(FLOOR((l_quantity - {QTY_LO}) / 5.0)
-             AS INT), 0), {QTY_BINS - 1}) + 1) * 5.0 AS hi
+       CAST({QTY_LO} + LEAST(GREATEST(CAST(FLOOR((l_quantity - {QTY_LO}) / 5.0)
+             AS INT), 0), {QTY_BINS - 1}) * 5.0 AS DOUBLE) AS lo,
+       CAST({QTY_LO} + (LEAST(GREATEST(CAST(FLOOR((l_quantity - {QTY_LO}) / 5.0)
+             AS INT), 0), {QTY_BINS - 1}) + 1) * 5.0 AS DOUBLE) AS hi
 FROM lineitem
 GROUP BY 1
 """
