@@ -109,6 +109,7 @@ PRIORITY = [
     # evidence; session_alert_overlap verifies locally at sf0.01+sf0.1
     "session_alert_overlap",
     "key_skew_orders",
+    "fuzzy_name_pairs",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_components",

@@ -303,3 +303,102 @@ REGISTRY: dict[str, dict] = {
         "sql": DEDUP_EMBEDDING_BLOCKED_SQL,
     },
 }
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy match (entity resolution): near-identical part names by
+# edit distance. The naive formulation is an all-pairs levenshtein cross
+# join — quadratic in distinct names. The scale shape is multi-pass
+# BLOCKING: a candidate pair must share its first OR last token and sit in
+# a +/-3 length band (two equi-join passes on cheap keys, unioned and
+# de-duplicated), then the exact levenshtein <= 3 verify runs on the
+# surviving candidates only. The blocking predicate is part of the
+# operator contract (standard ER practice — recall is governed by the
+# blocking design), so the DuckDB oracle applies the same predicate; both
+# engines' levenshtein is the unit-cost insert/delete/substitute distance.
+# Support counts (parts per name) ride along from the distinct-name
+# aggregate.
+# --------------------------------------------------------------------------
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    toks = F.split(F.col("p_name"), " ")
+    keyed = names.select(
+        "p_name",
+        "n_parts",
+        F.length("p_name").alias("len"),
+        toks.getItem(0).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+    )
+    blocks = (
+        keyed.select("p_name", F.col("first_tok").alias("blk"))
+        .unionByName(keyed.select("p_name", F.col("last_tok").alias("blk")))
+        .distinct()
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b")
+        )
+        .distinct()
+    )
+    ka = keyed.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_a"),
+        F.col("len").alias("len_a"),
+    )
+    kb = keyed.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+        F.col("len").alias("len_b"),
+    )
+    return (
+        cand.join(F.broadcast(ka), "name_a")
+        .join(F.broadcast(kb), "name_b")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 3)
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )
+
+
+FUZZY_SQL = """
+WITH names AS (
+  SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1
+),
+keyed AS (
+  SELECT p_name, n_parts, length(p_name) AS len,
+         string_split(p_name, ' ')[1] AS first_tok,
+         string_split(p_name, ' ')[-1] AS last_tok
+  FROM names
+),
+blocks AS (
+  SELECT DISTINCT p_name, blk FROM (
+    SELECT p_name, first_tok AS blk FROM keyed
+    UNION ALL
+    SELECT p_name, last_tok FROM keyed
+  )
+),
+cand AS (
+  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.p_name < b.p_name
+)
+SELECT name_a, name_b,
+       levenshtein(name_a, name_b) AS dist,
+       ka.n_parts AS n_a, kb.n_parts AS n_b
+FROM cand
+JOIN keyed ka ON cand.name_a = ka.p_name
+JOIN keyed kb ON cand.name_b = kb.p_name
+WHERE abs(ka.len - kb.len) <= 3
+  AND levenshtein(name_a, name_b) <= 3
+"""
+
+
+REGISTRY["fuzzy_name_pairs"] = {"fn": fuzzy_name_pairs, "sql": FUZZY_SQL}
