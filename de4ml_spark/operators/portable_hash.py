@@ -79,6 +79,29 @@ def phash_duck_sql(expr: str, bits: int = 59) -> str:
     return f"CAST(md5_number_lower({expr}) & {mask} AS BIGINT)"
 
 
+def phash_col(c, bits: int = 59):
+    """Column form of ``phash_spark_sql`` for use inside higher-order-function
+    lambdas (where SQL-text fragments can't be spliced): low ``bits`` bits of
+    the little-endian integer of md5(c)'s last 8 digest bytes. Inlines one
+    md5 call per extracted byte, so keep ``bits`` small in per-element hot
+    paths (bits<=8 -> exactly one md5 call)."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= bits <= 59:
+        raise ValueError("bits must be in [1, 59] to stay in positive BIGINT")
+    hexd = F.md5(c.cast("binary"))
+    nbytes = (bits + 7) // 8
+    total = None
+    for i in range(nbytes):
+        byte = F.conv(F.substring(hexd, 17 + 2 * i, 2), 16, 10).cast("bigint")
+        rem = bits - 8 * i
+        if rem < 8:
+            byte = byte % (1 << rem)
+        term = byte if i == 0 else byte * (1 << (8 * i))
+        total = term if total is None else total + term
+    return total
+
+
 def hash_family(num: int, salt: int = 0x5DEECE66D) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the seeded family
     h_s(x) = (a_s * x + b_s) mod P31, with a_s odd in [1, 2^31) and

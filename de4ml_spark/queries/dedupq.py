@@ -252,7 +252,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, docs, id_col="doc_id")
 
 
-DEDUP_COMPONENTS_SQL = """
+# CTE chain shared with dedup_canonicalize's oracle (queries/pipelineq.py):
+# everything up to and including the transitive closure `reach`.
+COMPONENTS_CTES = """
 WITH RECURSIVE
 t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 s AS (
@@ -279,13 +281,16 @@ reach(n, m) AS (
   SELECT a, b FROM edges
   UNION
   SELECT r.n, e2.b FROM reach r JOIN edges e2 ON r.m = e2.a
-)
+)"""
+
+COMPONENTS_SELECT = """
 SELECT d.doc_id,
        LEAST(d.doc_id, COALESCE(MIN(r.m), d.doc_id)) AS component
 FROM documents d
 LEFT JOIN reach r ON d.doc_id = r.n
-GROUP BY d.doc_id
-"""
+GROUP BY d.doc_id"""
+
+DEDUP_COMPONENTS_SQL = COMPONENTS_CTES + COMPONENTS_SELECT + "\n"
 
 
 REGISTRY: dict[str, dict] = {

@@ -1,0 +1,129 @@
+"""Semantic tests for the round-4 pipeline operators (pipelineq.py) —
+properties the oracle compare can't see: CDC shift-robustness, reservoir
+determinism across partitionings, canonicalize survivorship invariants,
+pattern-count ground truth on crafted sequences."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_cdc_shift_robustness(spark):
+    """Content-defined boundaries re-align after an insertion: chunks
+    after the edit point are unchanged (the whole point of CDC vs fixed
+    windows). We compare per-chunk text multisets of a doc and the same
+    doc with one token prepended: all but O(1) chunks are shared."""
+    from de4ml_spark.operators.portable_hash import phash_col
+    from de4ml_spark.operators.text import tokens
+
+    text = " ".join(f"w{i % 23}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "zq " + text)], "doc_id BIGINT, text STRING"
+    )
+    toks = tokens("text")
+    bnds = F.filter(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: phash_col(F.element_at(toks, i), 3) == 0,
+    )
+    rows = docs.select("doc_id", toks.alias("toks"), bnds.alias("b")).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # boundary POSITIONS shift by exactly 1 (the inserted token), i.e. the
+    # boundary TOKENS are identical — content-defined, not offset-defined.
+    b1 = by_id[1]["b"]
+    b2 = by_id[2]["b"]
+    assert [x + 1 for x in b1] == [x for x in b2 if x > 1]
+
+
+def test_reservoir_partitioning_invariance(spark):
+    """The k-per-group sample is a pure function of the data — identical
+    under different partitionings (the failure mode of rand()-based
+    sampling)."""
+    from de4ml_spark.queries.pipelineq import RESERVOIR_K
+
+    data = [(i, f"s{i % 5}") for i in range(200)]
+    a = spark.createDataFrame(data, "doc_id BIGINT, source STRING")
+    b = spark.createDataFrame(data, "doc_id BIGINT, source STRING").repartition(13)
+
+    def sample(df):
+        from pyspark.sql import Window
+
+        h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+        w = Window.partitionBy("source").orderBy(h.asc())
+        return (
+            df.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= RESERVOIR_K)
+        )
+
+    ra = {(r["source"], r["doc_id"], r["rk"]) for r in sample(a).collect()}
+    rb = {(r["source"], r["doc_id"], r["rk"]) for r in sample(b).collect()}
+    assert ra == rb
+    assert len({s for s, _, _ in ra}) == 5
+    for s in {s for s, _, _ in ra}:
+        assert sum(1 for x, _, _ in ra if x == s) == RESERVOIR_K
+
+
+def test_canonicalize_invariants(spark, sf_dir):
+    """Exactly one canonical doc per component; the canonical doc has the
+    component's max n_chars (ties to min doc_id); n_members sums to the
+    corpus size."""
+    from de4ml_spark.queries.pipelineq import dedup_canonicalize
+
+    out = dedup_canonicalize(spark, sf_dir).collect()
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    total = 0
+    for comp, rows in by_comp.items():
+        total += len(rows)
+        canon = [r for r in rows if r["is_canonical"]]
+        assert len(canon) == 1, f"component {comp}: {len(canon)} canonicals"
+        assert all(r["n_members"] == len(rows) for r in rows)
+    assert total == len(out)
+
+
+def test_pattern_match_ground_truth(spark):
+    """Crafted sequence: v e c p v p s v c -> two conversions (v..p twice,
+    the trailing v never converts)."""
+    t0 = datetime.datetime(2024, 1, 1)
+    types = {"v": "view", "c": "click", "p": "purchase", "e": "error", "s": "signup"}
+    syms = "vecpvpsvc"
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), 1, types[s], 0.0)
+        for i, s in enumerate(syms)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    sym = F.substring("event_type", 1, 1)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), sym.alias("s")))
+            ),
+            lambda r: r["s"],
+        ),
+        "",
+    )
+    got = (
+        ev.groupBy("user_id")
+        .agg(F.regexp_count(seq, F.lit("v[^vp]*p")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert got == 2
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    """cum_share_r is nondecreasing in rank and ends at the top-K coverage
+    (<= 1); counts are nonincreasing."""
+    from de4ml_spark.queries.pipelineq import vocab_top_terms
+
+    rows = sorted(
+        vocab_top_terms(spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    assert rows, "vocabulary must be non-empty"
+    for a, b in zip(rows, rows[1:]):
+        assert a["cnt"] >= b["cnt"]
+        assert a["cum_share_r"] <= b["cum_share_r"] + 1e-9
+    assert rows[-1]["cum_share_r"] <= 1.0 + 1e-9
