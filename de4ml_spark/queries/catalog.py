@@ -57,6 +57,10 @@ PRIORITY = [
     "pattern_match_events",
     "dedup_canonicalize",
     "cdc_chunk_docs",
+    "dedup_incremental",
+    "pack_sequence_report",
+    "stratified_split_docs",
+    "knn_lsh_recall",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

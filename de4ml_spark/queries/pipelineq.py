@@ -309,10 +309,323 @@ FROM e
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental (continuous-ingest) dedup: screen a NEW batch of documents
+# against the existing corpus — exact fingerprint hit => drop; n-gram
+# Jaccard >= 0.8 against an existing doc => drop as near-dup; else keep.
+# The batch/corpus split is doc_id % 10 (>= 8 => batch) so it is scale-
+# factor-independent and engine-reproducible.
+# --------------------------------------------------------------------------
+
+_BATCH_MOD = 10
+_BATCH_MIN = 8  # doc_id % 10 in {8, 9} -> the incoming batch (~20%)
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus dedup decision per incoming doc.
+
+    Scale: the exact screen is a broadcast-able semi-join on 32-char
+    fingerprints (the batch side is small by definition); the near-dup
+    screen reuses the hashed-shingle inverted index with the batch as the
+    probe side — the standard continuous-ingest shape where the corpus
+    index is precomputed and only the batch explodes per arrival."""
+    from de4ml_spark.operators.dedup import ngram_jaccard_pairs
+    from de4ml_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % _BATCH_MOD) >= _BATCH_MIN
+    fp = fingerprint(docs, "text").select("doc_id", "fingerprint")
+    batch_fp = fp.filter(is_batch)
+    exist_fp = fp.filter(~is_batch)
+    exact = (
+        batch_fp.join(
+            exist_fp.select("fingerprint").distinct(), "fingerprint", "left_semi"
+        )
+        .select("doc_id")
+        .withColumn("__exact", F.lit(True))
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3).select("id_a", "id_b")
+    a_batch = (F.col("id_a") % _BATCH_MOD) >= _BATCH_MIN
+    b_batch = (F.col("id_b") % _BATCH_MOD) >= _BATCH_MIN
+    cross = pairs.filter(a_batch != b_batch).select(
+        F.when(a_batch, F.col("id_a")).otherwise(F.col("id_b")).alias("doc_id"),
+        F.when(a_batch, F.col("id_b")).otherwise(F.col("id_a")).alias("exist_id"),
+    )
+    near = cross.groupBy("doc_id").agg(F.min("exist_id").alias("near_dup_of"))
+    out = (
+        docs.filter(is_batch)
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+    )
+    is_exact = F.coalesce(F.col("__exact"), F.lit(False))
+    return out.select(
+        "doc_id",
+        is_exact.alias("is_exact_dup"),
+        "near_dup_of",
+        F.when(is_exact, F.lit("drop_exact"))
+        .when(F.col("near_dup_of").isNotNull(), F.lit("drop_near"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+
+
+DEDUP_INCREMENTAL_SQL = rf"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+c AS (SELECT doc_id, len(sh) AS n FROM s),
+p AS (
+  SELECT q.id_a, q.id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) q
+  JOIN c c1 ON q.id_a = c1.doc_id
+  JOIN c c2 ON q.id_b = c2.doc_id
+  WHERE q.inter * 1.0 / (c1.n + c2.n - q.inter) >= 0.8
+),
+fp AS (SELECT doc_id,
+              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+       FROM documents),
+exact AS (
+  SELECT DISTINCT b.doc_id FROM fp b
+  JOIN fp a ON b.f = a.f
+  WHERE b.doc_id % {_BATCH_MOD} >= {_BATCH_MIN}
+    AND a.doc_id % {_BATCH_MOD} < {_BATCH_MIN}
+),
+cross_pairs AS (
+  SELECT CASE WHEN id_a % {_BATCH_MOD} >= {_BATCH_MIN} THEN id_a ELSE id_b END
+           AS doc_id,
+         CASE WHEN id_a % {_BATCH_MOD} >= {_BATCH_MIN} THEN id_b ELSE id_a END
+           AS exist_id
+  FROM p
+  WHERE (id_a % {_BATCH_MOD} >= {_BATCH_MIN})
+        <> (id_b % {_BATCH_MOD} >= {_BATCH_MIN})
+),
+near AS (SELECT doc_id, MIN(exist_id) AS near_dup_of
+         FROM cross_pairs GROUP BY doc_id)
+SELECT d.doc_id,
+       (x.doc_id IS NOT NULL) AS is_exact_dup,
+       near.near_dup_of,
+       CASE WHEN x.doc_id IS NOT NULL THEN 'drop_exact'
+            WHEN near.near_dup_of IS NOT NULL THEN 'drop_near'
+            ELSE 'keep' END AS action
+FROM documents d
+LEFT JOIN exact x ON d.doc_id = x.doc_id
+LEFT JOIN near ON d.doc_id = near.doc_id
+WHERE d.doc_id % {_BATCH_MOD} >= {_BATCH_MIN}
+"""
+
+
+# --------------------------------------------------------------------------
+# Packing-efficiency report: per fixed-budget training sequence, how many
+# docs overlap it / start in it and how full it is — the observability twin
+# of pack_training_sequences (same concat-and-chunk layout).
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+def pack_sequence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence stats of the concat-and-chunk packing: docs overlapping,
+    docs starting, and tokens filled (== budget everywhere but the tail).
+
+    Scale: one cumsum window (per shard at 100 TB — see
+    pack_training_sequences' note) + an interval explode bounded by
+    docs-per-sequence, then a map-side-combined groupBy on seq_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    toks = F.size(tokens("text"))
+    packed = (
+        docs.select("doc_id", toks.cast("bigint").alias("n_tokens"))
+        .withColumn("offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "offset",
+            (F.col("offset") / _PACK_BUDGET).cast("bigint").alias("seq_start"),
+            ((F.col("offset") + F.col("n_tokens") - 1) / _PACK_BUDGET)
+            .cast("bigint")
+            .alias("seq_end"),
+        )
+    )
+    ex = packed.select(
+        "*", F.explode(F.sequence("seq_start", "seq_end")).alias("seq_id")
+    )
+    b = F.lit(_PACK_BUDGET)
+    overlap = F.least(
+        (F.col("seq_id") + 1) * b, F.col("offset") + F.col("n_tokens")
+    ) - F.greatest(F.col("seq_id") * b, F.col("offset"))
+    return ex.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("seq_start") == F.col("seq_id"), 1)).alias(
+            "n_docs_start"
+        ),
+        F.sum(overlap).alias("tokens_filled"),
+    )
+
+
+PACK_REPORT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+o AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS "offset"
+  FROM t
+),
+packed AS (
+  SELECT doc_id, n_tokens, "offset",
+         CAST(FLOOR("offset" / {_PACK_BUDGET}) AS BIGINT) AS seq_start,
+         CAST(FLOOR(("offset" + n_tokens - 1) / {_PACK_BUDGET}) AS BIGINT)
+           AS seq_end
+  FROM o
+),
+ex AS (
+  SELECT *, unnest(generate_series(seq_start, seq_end)) AS seq_id FROM packed
+)
+SELECT seq_id,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE seq_start = seq_id) AS n_docs_start,
+       CAST(SUM(LEAST((seq_id + 1) * {_PACK_BUDGET}, "offset" + n_tokens)
+                - GREATEST(seq_id * {_PACK_BUDGET}, "offset")) AS BIGINT)
+         AS tokens_filled
+FROM ex
+GROUP BY seq_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified train/val/test split: deterministic per-doc hash bucket
+# (80/10/10) with per-source accounting — leakage-free, engine-identical.
+# --------------------------------------------------------------------------
+
+
+def stratified_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, split) doc counts and within-source shares for the
+    md5-bucket 80/10/10 assignment.
+
+    Scale: one map-only hash projection + a two-key groupBy; shares come
+    from a window over the 3 split rows per source."""
+    from de4ml_spark.operators.portable_hash import phash_spark_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(phash_spark_sql("CAST(doc_id AS STRING)", bits=16)) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    counts = (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    cum = (
+        "CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)"
+    )
+    return counts.select(
+        "source",
+        "split",
+        "n_docs",
+        F.expr(exact_round_div_sql("n_docs", cum, "DIV")).alias("share_r"),
+    )
+
+
+def _stratified_sql() -> str:
+    from de4ml_spark.operators.portable_hash import phash_duck_sql
+
+    bucket = f"({phash_duck_sql('CAST(doc_id AS VARCHAR)', bits=16)} % 100)"
+    return f"""
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN {bucket} < 80 THEN 'train'
+              WHEN {bucket} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+counts AS (
+  SELECT source, split, COUNT(*) AS n_docs FROM assigned GROUP BY 1, 2
+)
+SELECT source, split, n_docs,
+       {exact_round_div_sql(
+           'n_docs',
+           'CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)',
+           '//')} AS share_r
+FROM counts
+"""
+
+
+# --------------------------------------------------------------------------
+# ANN recall evaluation: recall@K of the LSH index against brute-force
+# ground truth, per query — the acceptance gate of an approximate index.
+# --------------------------------------------------------------------------
+
+
+def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@K per query: |LSH top-K ∩ exact top-K| / K.
+
+    Scale: both sides are the already-catalogued top-K operators; the
+    intersection is a join on (query, neighbor) — K rows per query."""
+    from de4ml_spark.queries.simq import knn_bruteforce, knn_lsh
+
+    bf = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ls = knn_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(ls, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    from de4ml_spark.queries.simq import K as _K
+
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(
+                exact_round_div_sql("COALESCE(n_hits, 0)", str(_K), "DIV")
+            ).alias("recall_r"),
+        )
+    )
+
+
+def _lsh_recall_sql() -> str:
+    from de4ml_spark.queries.simq import K, KNN_BRUTEFORCE_SQL, knn_lsh_oracle_sql
+
+    return f"""
+SELECT bf.query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       {exact_round_div_sql('COALESCE(h.n_hits, 0)', str(K), '//')} AS recall_r
+FROM (SELECT DISTINCT query_id FROM ({KNN_BRUTEFORCE_SQL})) bf
+LEFT JOIN (
+  SELECT b.query_id, COUNT(*) AS n_hits
+  FROM ({KNN_BRUTEFORCE_SQL}) b
+  JOIN ({knn_lsh_oracle_sql()}) l
+    ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+  GROUP BY b.query_id
+) h ON bf.query_id = h.query_id
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "vocab_top_terms": {"fn": vocab_top_terms, "sql": VOCAB_SQL},
     "reservoir_docs": {"fn": reservoir_docs, "sql": RESERVOIR_SQL},
     "pattern_match_events": {"fn": pattern_match_events, "sql": PATTERN_SQL},
     "dedup_canonicalize": {"fn": dedup_canonicalize, "sql": _canonicalize_sql()},
     "cdc_chunk_docs": {"fn": cdc_chunk_docs, "sql": CDC_SQL},
+    "dedup_incremental": {"fn": dedup_incremental, "sql": DEDUP_INCREMENTAL_SQL},
+    "pack_sequence_report": {"fn": pack_sequence_report, "sql": PACK_REPORT_SQL},
+    "stratified_split_docs": {"fn": stratified_split_docs, "sql": _stratified_sql()},
+    "knn_lsh_recall": {"fn": knn_lsh_recall, "sql": _lsh_recall_sql()},
 }

@@ -114,6 +114,85 @@ def test_pattern_match_ground_truth(spark):
     assert got == 2
 
 
+def test_incremental_dedup_decisions(spark, sf_dir):
+    """Every batch doc gets exactly one decision row; exact dups are
+    labeled drop_exact regardless of near-dup status; near_dup_of always
+    points into the existing corpus."""
+    from de4ml_spark.queries.pipelineq import (
+        _BATCH_MIN,
+        _BATCH_MOD,
+        dedup_incremental,
+    )
+    from de4ml_spark.session import load_table
+
+    rows = dedup_incremental(spark, sf_dir).collect()
+    n_batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % _BATCH_MOD) >= _BATCH_MIN)
+        .count()
+    )
+    assert len(rows) == n_batch
+    for r in rows:
+        assert (r["doc_id"] % _BATCH_MOD) >= _BATCH_MIN
+        if r["is_exact_dup"]:
+            assert r["action"] == "drop_exact"
+        elif r["near_dup_of"] is not None:
+            assert r["action"] == "drop_near"
+            assert (r["near_dup_of"] % _BATCH_MOD) < _BATCH_MIN
+        else:
+            assert r["action"] == "keep"
+
+
+def test_pack_report_conservation(spark, sf_dir):
+    """Every sequence but the last is exactly full; doc starts partition
+    the corpus; filled tokens sum to the corpus token count."""
+    from de4ml_spark.queries.pipelineq import _PACK_BUDGET, pack_sequence_report
+    from de4ml_spark.operators.text import tokens as _tokens
+    from de4ml_spark.session import load_table
+
+    rows = sorted(
+        pack_sequence_report(spark, sf_dir).collect(), key=lambda r: r["seq_id"]
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    total_tokens = docs.select(
+        F.sum(F.size(_tokens("text"))).alias("t")
+    ).collect()[0]["t"]
+    assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+    assert all(r["tokens_filled"] == _PACK_BUDGET for r in rows[:-1])
+    assert sum(r["n_docs_start"] for r in rows) == docs.count()
+    assert sum(r["tokens_filled"] for r in rows) == total_tokens
+
+
+def test_stratified_split_accounting(spark, sf_dir):
+    """Counts cover the corpus; within-source shares sum to 1."""
+    from de4ml_spark.queries.pipelineq import stratified_split_docs
+    from de4ml_spark.session import load_table
+
+    rows = stratified_split_docs(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    by_src: dict[str, float] = {}
+    for r in rows:
+        assert r["split"] in ("train", "val", "test")
+        by_src[r["source"]] = by_src.get(r["source"], 0.0) + r["share_r"]
+    for src, s in by_src.items():
+        assert abs(s - 1.0) < 1e-5, (src, s)
+
+
+def test_lsh_recall_bounds(spark, sf_dir):
+    from de4ml_spark.queries.pipelineq import knn_lsh_recall
+
+    rows = knn_lsh_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["recall_r"] <= 1.0
+        assert 0 <= r["n_hits"] <= 5
+    # per-row consistency (recall quality itself is gated at larger SF in
+    # tests/test_similarity.py; sf0.001 has too few vectors for a floor)
+    for r in rows:
+        assert abs(r["recall_r"] - r["n_hits"] / 5.0) < 1e-9
+
+
 def test_vocab_coverage_monotone(spark, sf_dir):
     """cum_share_r is nondecreasing in rank and ends at the top-K coverage
     (<= 1); counts are nonincreasing."""
