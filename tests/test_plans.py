@@ -342,14 +342,60 @@ def test_aqe_skew_join_splits(spark):
                 spark.conf.set(k, v)
 
 
-def test_repetition_single_scan_three_exchanges(spark, sf_dir):
-    """All n-gram orders must flow through ONE corpus scan (the tagged
-    explode) and at most 3 exchanges — the round-2 rewrite's contract."""
+def test_repetition_map_only(spark, sf_dir):
+    """Round-4 contract: intra-doc repetition is row-local — ONE corpus
+    scan, no aggregate/join shuffle at all (the only Exchange allowed is
+    the small-file spread repartition, which disappears at real scale),
+    no Python."""
     from de4ml_spark.queries.mldataq import repetition_docs
 
     plan = _plan(repetition_docs(spark, sf_dir))
     assert plan.count("FileScan") == 1
-    assert plan.count("Exchange") <= 3
+    assert plan.count("Exchange") <= 1
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_exact_profile_histogram_shape(spark, sf_dir):
+    """The exact battery must be histogram-based: per-column groupBy with
+    a partial (map-side) aggregation phase, and NO buffer-everything
+    percentile aggregate."""
+    from de4ml_spark.queries.profileq import profile_lineitem
+
+    plan = _plan(profile_lineitem(spark, sf_dir))
+    assert "percentile(" not in plan  # the non-scalable exact aggregate
+    assert "partial" in plan.lower()  # map-side combine on the histograms
+    assert "PythonUDF" not in plan
+
+
+def test_reservoir_window_group_limit(spark, sf_dir):
+    """rank<=k filter must push into the window as WindowGroupLimit so
+    each partition keeps only k rows per group before the final sort."""
+    from de4ml_spark.queries.pipelineq import reservoir_docs
+
+    plan = _plan(reservoir_docs(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_vocab_topk_no_global_sort(spark, sf_dir):
+    """Top-K selection must be TakeOrderedAndProject (per-partition top-K
+    + merge of K), never a full Sort of the vocabulary."""
+    from de4ml_spark.queries.pipelineq import vocab_top_terms
+
+    plan = _plan(vocab_top_terms(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_cdc_chunking_map_only(spark, sf_dir):
+    """Content-defined chunking is row-local: single scan, zero Exchange."""
+    from de4ml_spark.queries.pipelineq import cdc_chunk_docs
+
+    plan = _plan(cdc_chunk_docs(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Exchange" not in plan
     assert "PythonUDF" not in plan
 
 
