@@ -45,6 +45,14 @@ HEADLINE = [
     "sample_docs",
     "repetition_docs",
     "scd2_user_event_type",
+    # round-4 additions: corpus-prep operators
+    "vocab_top_terms",
+    "reservoir_docs",
+    "pattern_match_events",
+    "cdc_chunk_docs",
+    "stratified_split_docs",
+    "pack_sequence_report",
+    "knn_lsh_recall",
 ]
 
 

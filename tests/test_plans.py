@@ -389,14 +389,19 @@ def test_vocab_topk_no_global_sort(spark, sf_dir):
     assert "PythonUDF" not in plan
 
 
-def test_cdc_chunking_map_only(spark, sf_dir):
-    """Content-defined chunking is row-local: single scan, zero Exchange."""
+def test_cdc_chunking_codegen_hash(spark, sf_dir):
+    """The per-token boundary md5 must run in whole-stage codegen over
+    exploded rows (HOF-interpreted md5 measured 18x slower); only boundary
+    positions shuffle back — the corpus text itself never re-shuffles
+    beyond the small-file spread."""
     from de4ml_spark.queries.pipelineq import cdc_chunk_docs
 
     plan = _plan(cdc_chunk_docs(spark, sf_dir))
-    assert plan.count("FileScan") == 1
-    assert "Exchange" not in plan
     assert "PythonUDF" not in plan
+    # no md5 inside an interpreted higher-order lambda: the only md5s are
+    # the codegen'd boundary digest and the final chunk digest projection
+    assert "lambdafunction(md5" not in plan.replace(" ", "").lower()
+    assert plan.count("Exchange") <= 4
 
 
 def test_scd2_single_shuffle(spark, sf_dir):
