@@ -46,7 +46,10 @@ PROFILE_COLUMNS = [
 ]
 
 
-def _battery(field: T.StructField, exact: bool, with_distinct: bool = True) -> list[Column]:
+def _battery(field: T.StructField) -> list[Column]:
+    """Sketch-based (approx) single-pass aggregates for one column — the
+    100 TB default path; the exact path is histogram-based
+    (``_exact_column_profile``)."""
     c = F.col(field.name)
     name = field.name
     numeric = isinstance(field.dataType, _NUMERIC)
@@ -54,29 +57,18 @@ def _battery(field: T.StructField, exact: bool, with_distinct: bool = True) -> l
     pcts = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
     if not numeric:
         qs = F.lit(None).cast("array<double>")
-    elif exact:
-        qs = F.percentile(double_c, pcts)
     else:
         qs = F.percentile_approx(double_c, pcts)
-    if exact and numeric:
-        # decimal-exact mean: reproducible across engines/partition orders
-        # for inputs with <= 6 decimal digits (cf. queries/relational.py note)
-        avg = F.sum(c.cast("decimal(30,6)")).cast("double") / F.count(c)
-    else:
-        avg = F.avg(double_c)
-    out = [
+    return [
         F.count(c).alias(f"{name}__count"),
         F.count(F.when(c.isNull(), 1)).alias(f"{name}__nulls"),
         F.min(c).cast("string").alias(f"{name}__min"),
         F.max(c).cast("string").alias(f"{name}__max"),
-        avg.alias(f"{name}__avg"),
+        F.avg(double_c).alias(f"{name}__avg"),
         F.stddev_samp(double_c).alias(f"{name}__std"),
         qs.alias(f"{name}__qs"),
+        F.approx_count_distinct(c).alias(f"{name}__distinct"),
     ]
-    if with_distinct:
-        distinct = F.count_distinct(c) if exact else F.approx_count_distinct(c)
-        out.append(distinct.alias(f"{name}__distinct"))
-    return out
 
 
 def _row_struct(f_: T.StructField) -> Column:
@@ -183,6 +175,51 @@ def _exact_column_profile(df: DataFrame, f_: T.StructField) -> DataFrame:
     return stats.crossJoin(qrow).select(_row_struct(f_).alias("p"))
 
 
+def grouped_exact_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ps: list[float],
+    names: list[str] | None = None,
+) -> DataFrame:
+    """Exact interpolated (percentile_cont) quantiles PER GROUP, histogram-
+    based: groupBy (keys, value) with map-side combine, a cumulative-count
+    window per key over distinct values, and conditional-min interpolation
+    in one final aggregate. Nothing ever buffers raw rows — the same
+    scalability argument as ``_exact_column_profile``, generalized to
+    grouped quantiles. Output: keys + one DOUBLE column per p (named
+    ``names`` or ``q<100p>``) + ``n`` (non-null count)."""
+    names = names or [f"q{int(p * 100)}" for p in ps]
+    v = F.col(value_col)
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*keys)
+    cum = hist.select(
+        *keys,
+        F.col("__v").cast("double").alias("__vf"),
+        F.sum("__cnt").over(wcum).alias("__cum"),
+        F.sum("__cnt").over(wall).alias("__n"),
+    )
+    aggs = []
+    for p, nm in zip(ps, names):
+        rank = (F.col("__n") - F.lit(1)).cast("double") * F.lit(p)
+        v_lo = F.min(F.when(F.col("__cum") >= F.floor(rank) + 1, F.col("__vf")))
+        v_hi = F.min(
+            F.when(F.col("__cum") >= F.ceiling(rank) + 1, F.col("__vf"))
+        )
+        frac = F.first(rank - F.floor(rank).cast("double"))
+        aggs.append((v_lo + frac * (v_hi - v_lo)).alias(nm))
+    return cum.groupBy(*keys).agg(*aggs, F.first("__n").alias("n"))
+
+
 def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = False) -> DataFrame:
     """One row per column: the SUMMARIZE-shaped profile table."""
     fields = [f for f in df.schema.fields if columns is None or f.name in columns]
@@ -197,7 +234,7 @@ def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = False
 
     aggs: list[Column] = []
     for f_ in fields:
-        aggs.extend(_battery(f_, exact))
+        aggs.extend(_battery(f_))
     wide = df.agg(*aggs)
     rows = [_row_struct(f_) for f_ in fields]
     return (

@@ -291,22 +291,25 @@ REGISTRY["anomalous_days_events"] = {
 
 
 # --------------------------------------------------------------------------
-# Per-group exact quantiles: value quartiles per event type. Spark's exact
-# percentile uses the same linear interpolation as DuckDB's quantile_cont,
-# so the arrays compare bit-stable after rounding. At 100 TB the default
-# is percentile_approx (mergeable sketch); exact here for the oracle.
+# Per-group exact quantiles: value quartiles per event type, histogram-
+# based (profile/battery.py: grouped_exact_quantiles) — the cumulative-
+# count interpolation matches DuckDB's quantile_cont exactly and never
+# buffers raw rows (the F.percentile formulation it replaced does).
 # --------------------------------------------------------------------------
 
 def value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.profile.battery import grouped_exact_quantiles
+
     ev = load_table(spark, sf_dir, "events")
-    qs = F.percentile(
-        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    q = grouped_exact_quantiles(
+        ev, ["event_type"], "value", [0.25, 0.5, 0.75]
     )
-    return ev.groupBy("event_type").agg(
-        F.round(qs[0], 6).alias("q25"),
-        F.round(qs[1], 6).alias("q50"),
-        F.round(qs[2], 6).alias("q75"),
-        F.count(F.lit(1)).alias("n"),
+    return q.select(
+        "event_type",
+        F.round("q25", 6).alias("q25"),
+        F.round("q50", 6).alias("q50"),
+        F.round("q75", 6).alias("q75"),
+        "n",
     )
 
 
@@ -315,7 +318,7 @@ SELECT event_type,
        ROUND(quantile_cont(value, 0.25), 6) AS q25,
        ROUND(quantile_cont(value, 0.50), 6) AS q50,
        ROUND(quantile_cont(value, 0.75), 6) AS q75,
-       COUNT(*) AS n
+       COUNT(value) AS n
 FROM events
 GROUP BY event_type
 """
