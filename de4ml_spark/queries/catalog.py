@@ -61,6 +61,8 @@ PRIORITY = [
     "pack_sequence_report",
     "stratified_split_docs",
     "knn_lsh_recall",
+    "iqr_outliers_events",
+    "length_bucket_batches",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

@@ -633,6 +633,127 @@ LEFT JOIN (
 """
 
 
+# --------------------------------------------------------------------------
+# IQR outlier fences per group: the classic data-quality screen (Tukey
+# fences), built on the grouped histogram-quantile operator — no raw-row
+# buffering at any group size.
+# --------------------------------------------------------------------------
+
+
+def iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: exact q1/q3, Tukey fences (1.5 IQR), and the count
+    of values outside them.
+
+    Scale: quantiles come from grouped_exact_quantiles (histogram +
+    per-group cumulative window); the outlier count is one more aggregate
+    over the same scan joined to the 5-row fence table (broadcast)."""
+    from de4ml_spark.profile.battery import grouped_exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    q = grouped_exact_quantiles(ev, ["event_type"], "value", [0.25, 0.75])
+    fences = q.select(
+        "event_type",
+        F.round("q25", 6).alias("q1_r"),
+        F.round("q75", 6).alias("q3_r"),
+        (F.col("q25") - 1.5 * (F.col("q75") - F.col("q25"))).alias("__lo"),
+        (F.col("q75") + 1.5 * (F.col("q75") - F.col("q25"))).alias("__hi"),
+    )
+    joined = ev.join(F.broadcast(fences), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.first("q1_r").alias("q1_r"),
+        F.first("q3_r").alias("q3_r"),
+        F.count(
+            F.when(
+                (F.col("value") < F.col("__lo")) | (F.col("value") > F.col("__hi")),
+                1,
+            )
+        ).alias("n_outliers"),
+        F.count("value").alias("n"),
+    )
+
+
+IQR_SQL = """
+WITH f AS (
+  SELECT event_type,
+         ROUND(quantile_cont(value, 0.25), 6) AS q1_r,
+         ROUND(quantile_cont(value, 0.75), 6) AS q3_r,
+         quantile_cont(value, 0.25)
+           - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25))
+           AS lo,
+         quantile_cont(value, 0.75)
+           + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25))
+           AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, f.q1_r, f.q3_r,
+       COUNT(*) FILTER (WHERE e.value < f.lo OR e.value > f.hi) AS n_outliers,
+       COUNT(e.value) AS n
+FROM events e JOIN f ON e.event_type = f.event_type
+GROUP BY e.event_type, f.q1_r, f.q3_r
+"""
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batching: group docs into token-length buckets (pad-to-
+# bucket inference batching) and report the padding waste per bucket — the
+# standard efficiency screen before serving/eval runs.
+# --------------------------------------------------------------------------
+
+_LEN_BUCKET = 32  # bucket width in tokens (pad each doc up to the next edge)
+
+
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per length bucket: doc count, real tokens, padded tokens (every doc
+    pads to the bucket's upper edge), and the exact waste fraction.
+
+    Scale: map-only token count + integer bucketing, then a groupBy on
+    the (few-hundred) bucket keys with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("bigint")
+    bucket_hi = (
+        (F.floor((n_tok - 1) / _LEN_BUCKET) + 1) * _LEN_BUCKET
+    ).alias("bucket_hi")
+    g = (
+        docs.select(n_tok.alias("n_tok"), bucket_hi)
+        .groupBy("bucket_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("real_tokens"),
+        )
+    )
+    padded = F.col("bucket_hi") * F.col("n_docs")
+    return g.select(
+        "bucket_hi",
+        "n_docs",
+        "real_tokens",
+        padded.alias("padded_tokens"),
+        F.expr(
+            exact_round_div_sql(
+                "bucket_hi * n_docs - real_tokens", "bucket_hi * n_docs", "DIV"
+            )
+        ).alias("waste_r"),
+    )
+
+
+LENGTH_BUCKET_SQL = f"""
+WITH t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents
+),
+g AS (
+  SELECT (FLOOR((n_tok - 1) / {_LEN_BUCKET}) + 1) * {_LEN_BUCKET} AS bucket_hi,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS real_tokens
+  FROM t GROUP BY 1
+)
+SELECT CAST(bucket_hi AS BIGINT) AS bucket_hi, n_docs, real_tokens,
+       CAST(bucket_hi * n_docs AS BIGINT) AS padded_tokens,
+       {exact_round_div_sql(
+           'CAST(bucket_hi * n_docs - real_tokens AS BIGINT)',
+           'CAST(bucket_hi * n_docs AS BIGINT)', '//')} AS waste_r
+FROM g
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "vocab_top_terms": {"fn": vocab_top_terms, "sql": VOCAB_SQL},
     "reservoir_docs": {"fn": reservoir_docs, "sql": RESERVOIR_SQL},
@@ -643,4 +764,9 @@ REGISTRY: dict[str, dict] = {
     "pack_sequence_report": {"fn": pack_sequence_report, "sql": PACK_REPORT_SQL},
     "stratified_split_docs": {"fn": stratified_split_docs, "sql": _stratified_sql()},
     "knn_lsh_recall": {"fn": knn_lsh_recall, "sql": _lsh_recall_sql()},
+    "iqr_outliers_events": {"fn": iqr_outliers_events, "sql": IQR_SQL},
+    "length_bucket_batches": {
+        "fn": length_bucket_batches,
+        "sql": LENGTH_BUCKET_SQL,
+    },
 }
