@@ -77,6 +77,31 @@ def cmd_pcat(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run a catalog query by name against a testdata directory — the
+    ad-hoc query surface (list names with --list)."""
+    from de4ml_spark.queries import catalog
+
+    qs = catalog.queries()
+    if args.list or not args.name:
+        for name in qs:
+            print(name)
+        return 0
+    if args.name not in qs:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+    spark = _spark()
+    df = qs[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    print(df.columns)
+    for row in rows:
+        print(json.dumps([*row], default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="de4ml_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -99,6 +124,16 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("file")
     pc.add_argument("--limit", type=int, default=0)
     pc.set_defaults(fn=cmd_pcat)
+
+    pq = sub.add_parser("query", help="run a catalog query by name")
+    pq.add_argument("name", nargs="?", help="catalog query name")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pq.add_argument("--limit", type=int, default=20)
+    pq.add_argument("--list", action="store_true", help="list query names")
+    pq.add_argument(
+        "--explain", action="store_true", help="print the physical plan"
+    )
+    pq.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -38,6 +38,17 @@ def test_cli_etl_and_pcat(spark, tmp_path, capsys):
     assert "user__id" in printed
 
 
+def test_cli_query(spark, capsys):
+    from de4ml_spark.__main__ import main
+
+    assert main(["query", "--list"]) == 0
+    assert "q1_pricing_summary" in capsys.readouterr().out.splitlines()
+    assert main(["query", "q1_pricing_summary", "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "l_returnflag" in out
+    assert main(["query", "no_such_query"]) == 2
+
+
 def test_cli_profile_rules(tmp_path, spark, capsys):
     from de4ml_spark.__main__ import main
 
