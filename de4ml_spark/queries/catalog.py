@@ -33,6 +33,7 @@ def _registries() -> list[dict]:
         "samplingq",
         "mldataq",
         "pipelineq",
+        "searchq",
     ):
         try:
             mod = __import__(f"de4ml_spark.queries.{modname}", fromlist=["REGISTRY"])
@@ -63,6 +64,8 @@ PRIORITY = [
     "knn_lsh_recall",
     "iqr_outliers_events",
     "length_bucket_batches",
+    "phrase_search_docs",
+    "pmi_bigrams",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",
