@@ -66,6 +66,7 @@ PRIORITY = [
     "length_bucket_batches",
     "phrase_search_docs",
     "pmi_bigrams",
+    "ewma_user_daily",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

@@ -165,7 +165,85 @@ FROM scored ORDER BY score_r DESC, bigram LIMIT {PMI_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# EWMA (exponential smoothing) — a RECURSIVE statistic (y_i depends on
+# y_{i-1}), normally inexpressible as a window function. With alpha = 1/2
+# it has an exact integer closed form: y_i = T_i / 2^(i-1) where
+# T_i = X_1 + Σ_{j=2..i} 2^(j-2) X_j over micro-unit integer daily totals.
+# Integer window sums are order-independent (bit-exact at any
+# parallelism), powers of two are exact in binary floating point, and the
+# final casts/divisions are single correctly-rounded IEEE ops — so the
+# unrounded DOUBLE output is engine-identical with no rounding hedge.
+# Constraint: the series length per key must stay < 63 (2^(i-2) in
+# BIGINT); the events table spans 30 days. At longer horizons, restart
+# the recurrence per calendar month (the carry-in is one number per key).
+# --------------------------------------------------------------------------
+
+
+def ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily purchase totals with alpha=1/2 EWMA over observed
+    days (day index = row_number per user)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("date").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(24,6)")) * 1000000)
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    i = F.row_number().over(w)
+    term = F.when(i == 1, F.col("x")).otherwise(
+        F.col("x") * F.expr("shiftleft(CAST(1 AS BIGINT), i - 2)")
+    )
+    staged = daily.withColumn("i", i).withColumn("t", term)
+    return staged.select(
+        "user_id",
+        "day",
+        (F.col("x").cast("double") / F.lit(1000000.0)).alias("daily_total"),
+        (
+            F.sum("t").over(wcum).cast("double")
+            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), i - 1) AS DOUBLE)")
+            / F.lit(1000000.0)
+        ).alias("ewma"),
+    )
+
+
+EWMA_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(24,6))) * 1000000 AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+idx AS (
+  SELECT user_id, day, x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS i
+  FROM daily
+),
+terms AS (
+  SELECT *, CASE WHEN i = 1 THEN x
+                 ELSE x * (CAST(1 AS BIGINT) << (i - 2)) END AS t
+  FROM idx
+)
+SELECT user_id, day,
+       CAST(x AS DOUBLE) / 1000000.0 AS daily_total,
+       CAST(CAST(SUM(t) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS DOUBLE)
+         / CAST(CAST(1 AS BIGINT) << (i - 1) AS DOUBLE) / 1000000.0 AS ewma
+FROM terms
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "phrase_search_docs": {"fn": phrase_search_docs, "sql": _phrase_sql()},
     "pmi_bigrams": {"fn": pmi_bigrams, "sql": PMI_SQL},
+    "ewma_user_daily": {"fn": ewma_user_daily, "sql": EWMA_SQL},
 }
