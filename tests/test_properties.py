@@ -222,3 +222,153 @@ def test_winnowing_shared_run_guarantee(spark):
     for i in range(0, 60, 2):
         assert by_doc[i] & by_doc[i + 1], f"docs {i},{i+1} share no fingerprint"
     assert by_doc[1000] == by_doc[1001]
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operators vs plain-Python references (one DataFrame, one job each)
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_python_reference(spark):
+    """alpha=1/2 EWMA closed form == the literal recurrence, bit-exact on
+    6-decimal-grid inputs across random per-key series."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = []
+    for key in range(40):
+        for i in range(rng.randint(1, 30)):
+            rows.append((key, i, round(rng.uniform(0, 2000), 6)))
+    df = spark.createDataFrame(rows, "k BIGINT, i INT, x DOUBLE")
+    w = Window.partitionBy("k").orderBy("i")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    xi = (F.col("x").cast("decimal(24,6)") * 1000000).cast("bigint")
+    staged = df.withColumn("xi", xi).withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn(
+        "t",
+        F.when(F.col("rn") == 1, F.col("xi")).otherwise(
+            F.col("xi") * F.expr("shiftleft(CAST(1 AS BIGINT), rn - 2)")
+        ),
+    )
+    got = {
+        (r["k"], r["i"]): r["ewma"]
+        for r in staged.select(
+            "k",
+            "i",
+            (
+                F.sum("t").over(wcum).cast("double")
+                / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rn - 1) AS DOUBLE)")
+                / F.lit(1000000.0)
+            ).alias("ewma"),
+        ).collect()
+    }
+    by_key: dict[int, list] = {}
+    for k, i, x in rows:
+        by_key.setdefault(k, []).append((i, x))
+    for k, series in by_key.items():
+        y = None
+        for i, x in sorted(series):
+            # the reference recurrence, in exact integer micro-units
+            xi_int = int(round(x * 1000000))
+            y = xi_int if y is None else (xi_int + y) / 2.0
+            assert got[(k, i)] == y / 1000000.0, (k, i)
+
+
+def test_cdc_chunks_reassemble_lossless(spark):
+    """CDC chunking must be a partition of the token stream: chunk texts
+    joined by a single space reproduce the original text exactly."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.operators.portable_hash import phash_col
+    from de4ml_spark.operators.text import tokens
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 300))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    toks = tokens("text")
+    n = F.size(toks)
+    bnds = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: phash_col(F.element_at(toks, i), 3) == 0,
+    )
+    base = docs.select(
+        "doc_id", "text", toks.alias("toks"), n.alias("n"), bnds.alias("bnds")
+    )
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(
+            F.filter(F.col("bnds"), lambda b: b < F.col("n")), lambda b: b + 1
+        ),
+    )
+    s2 = base.select("doc_id", "text", "toks", "n", "bnds", starts.alias("starts"))
+    ends = F.transform(
+        F.col("starts"),
+        lambda s: F.coalesce(
+            F.array_min(F.filter(F.col("bnds"), lambda b: b >= s)), F.col("n")
+        ),
+    )
+    s3 = s2.select("doc_id", "text", "starts", ends.alias("ends"), "toks")
+    chunks = F.zip_with(
+        F.col("starts"),
+        F.col("ends"),
+        lambda s, e: F.concat_ws(" ", F.slice(F.col("toks"), s, e - s + 1)),
+    )
+    out = s3.select("doc_id", "text", F.array_join(chunks, " ").alias("re"))
+    for r in out.collect():
+        assert r["re"] == r["text"], r["doc_id"]
+
+
+def test_grouped_quantiles_match_numpy(spark):
+    """Histogram-based grouped quantiles == numpy's linear interpolation
+    on random per-group samples (including duplicate-heavy groups)."""
+    import numpy as np
+
+    from de4ml_spark.profile.battery import grouped_exact_quantiles
+
+    rng = random.Random(13)
+    rows = []
+    for g in range(12):
+        size = rng.randint(1, 200)
+        # duplicate-heavy: values drawn from a small grid
+        grid = rng.randint(2, 25)
+        for _ in range(size):
+            rows.append((g, round(rng.randint(0, grid) * 0.5, 1)))
+    df = spark.createDataFrame(rows, "g BIGINT, v DOUBLE")
+    got = {
+        r["g"]: (r["q25"], r["q50"], r["q75"], r["n"])
+        for r in grouped_exact_quantiles(df, ["g"], "v", [0.25, 0.5, 0.75]).collect()
+    }
+    by_g: dict[int, list] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        q25, q50, q75 = np.percentile(np.array(vs), [25, 50, 75], method="linear")
+        gq25, gq50, gq75, n = got[g]
+        assert n == len(vs)
+        assert abs(gq25 - q25) < 1e-12 and abs(gq50 - q50) < 1e-12
+        assert abs(gq75 - q75) < 1e-12, g
+
+
+def test_pattern_automaton_matches_regex(spark):
+    """The streaming automaton's transition function == regex count on
+    random symbol strings (single-batch equivalence; cross-batch is
+    covered in test_streaming_patterns)."""
+    import re
+
+    rng = random.Random(17)
+    for _ in range(300):
+        s = "".join(rng.choice("vcpes") for _ in range(rng.randint(0, 40)))
+        open_, conv = False, 0
+        for ch in s:
+            if ch == "v":
+                open_ = True
+            elif ch == "p" and open_:
+                conv += 1
+                open_ = False
+        assert conv == len(re.findall("v[^vp]*p", s)), s
