@@ -67,6 +67,8 @@ PRIORITY = [
     "phrase_search_docs",
     "pmi_bigrams",
     "ewma_user_daily",
+    "timed_funnel_events",
+    "equidepth_price_histogram",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

@@ -331,6 +331,72 @@ REGISTRY["value_quartiles_by_type"] = {
 
 
 # --------------------------------------------------------------------------
+# Equi-DEPTH histogram (quantile bins) on l_extendedprice — the adaptive
+# counterpart of the fixed-width histogram above: bin edges are the exact
+# deciles (histogram-based, no raw-row buffering), bin populations are
+# ~equal by construction. The edge table is 1 row broadcast; assignment is
+# a map-only comparison sum.
+# --------------------------------------------------------------------------
+
+_ED_BINS = 10
+
+
+def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.profile.battery import grouped_exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = [i / _ED_BINS for i in range(1, _ED_BINS)]
+    edges = grouped_exact_quantiles(
+        li.withColumn("__g", F.lit(1)), ["__g"], "l_extendedprice", ps
+    ).select(*[F.col(f"q{int(p * 100)}").alias(f"e{k}") for k, p in enumerate(ps)])
+    binexpr = F.lit(1)
+    for k in range(len(ps)):
+        binexpr = binexpr + F.when(
+            F.col("l_extendedprice") > F.col(f"e{k}"), 1
+        ).otherwise(0)
+    return (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(edges))
+        .groupBy(binexpr.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+def _equidepth_sql() -> str:
+    ps = [i / _ED_BINS for i in range(1, _ED_BINS)]
+    edges = ",\n         ".join(
+        f"quantile_cont(l_extendedprice, {p}) AS e{k}"
+        for k, p in enumerate(ps)
+    )
+    bins = " + ".join(
+        f"(CASE WHEN l_extendedprice > e{k} THEN 1 ELSE 0 END)"
+        for k in range(len(ps))
+    )
+    return f"""
+WITH edges AS (
+  SELECT {edges}
+  FROM lineitem
+)
+SELECT 1 + {bins} AS bin,
+       COUNT(*) AS n,
+       ROUND(MIN(l_extendedprice), 2) AS lo,
+       ROUND(MAX(l_extendedprice), 2) AS hi
+FROM lineitem CROSS JOIN edges
+GROUP BY 1
+"""
+
+
+REGISTRY["equidepth_price_histogram"] = {
+    "fn": equidepth_price_histogram,
+    "sql": _equidepth_sql(),
+}
+
+
+# --------------------------------------------------------------------------
 # Interval-overlap join, binned: which user sessions overlap alert windows
 # (the "incident attribution" query). Spark has no native range join — the
 # naive predicate join executes as BroadcastNestedLoopJoin, O(|S| x |W|)

@@ -58,6 +58,101 @@ FROM first
 
 
 # --------------------------------------------------------------------------
+# Timed funnel: stage transitions must happen within a conversion window
+# (click within 1h of the first view, purchase within 1h of that click).
+# Unlike the unconstrained funnel above, each stage's time depends on the
+# PREVIOUS stage's aggregate, so the stages are stacked window aggregates
+# over the same user partition — one shuffle, no self-joins, no sort
+# (plain MIN-over-partition windows).
+# --------------------------------------------------------------------------
+
+CONVERT_WINDOW = "INTERVAL 1 HOUR"
+
+
+def timed_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(w)
+        .alias("t_view"),
+    )
+    s2 = s1.select(
+        "*",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t_view"))
+                & (F.col("ts") <= F.col("t_view") + F.expr(CONVERT_WINDOW)),
+                F.col("ts"),
+            )
+        )
+        .over(w)
+        .alias("t_click"),
+    )
+    s3 = s2.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_click"))
+                & (F.col("ts") <= F.col("t_click") + F.expr(CONVERT_WINDOW)),
+                F.col("ts"),
+            )
+        )
+        .over(w)
+        .alias("t_purchase"),
+    ).dropDuplicates(["user_id"])
+    return s3.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("reached_view"),
+        F.count(F.when(F.col("t_click").isNotNull(), 1)).alias(
+            "converted_click_1h"
+        ),
+        F.count(F.when(F.col("t_purchase").isNotNull(), 1)).alias(
+            "converted_purchase_1h"
+        ),
+    )
+
+
+TIMED_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+),
+s2 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click' AND ts >= t_view
+                   AND ts <= t_view + INTERVAL 1 HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS t_click
+  FROM s1
+),
+s3 AS (
+  SELECT DISTINCT user_id, t_view, t_click,
+         MIN(CASE WHEN event_type = 'purchase' AND ts >= t_click
+                   AND ts <= t_click + INTERVAL 1 HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS reached_view,
+       COUNT(CASE WHEN t_click IS NOT NULL THEN 1 END) AS converted_click_1h,
+       COUNT(CASE WHEN t_purchase IS NOT NULL THEN 1 END)
+         AS converted_purchase_1h
+FROM s3
+"""
+
+
+# --------------------------------------------------------------------------
 # Retention cohorts: users grouped by first-seen day; for each (cohort,
 # day-offset) the count of distinct active users. Two shuffles (first-seen
 # per user, then cohort cells) — the standard retention matrix.
@@ -250,6 +345,7 @@ REGISTRY: dict[str, dict] = {
     },
     "q18_large_orders": {"fn": q18_large_orders, "sql": Q18_SQL},
     "q19_disjunctive_revenue": {"fn": q19_disjunctive_revenue, "sql": Q19_SQL},
+    "timed_funnel_events": {"fn": timed_funnel_events, "sql": TIMED_FUNNEL_SQL},
 }
 
 
