@@ -206,3 +206,80 @@ def test_vocab_coverage_monotone(spark, sf_dir):
         assert a["cnt"] >= b["cnt"]
         assert a["cum_share_r"] <= b["cum_share_r"] + 1e-9
     assert rows[-1]["cum_share_r"] <= 1.0 + 1e-9
+
+
+def test_timed_funnel_window_exclusion(spark):
+    """A click 2h after the first view must NOT count as a 1h conversion;
+    a click 30min after must."""
+    import datetime
+
+    from de4ml_spark.queries.relational3 import timed_funnel_events  # noqa: F401
+    from pyspark.sql import Window
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(uid, etype, mins, eid):
+        return (eid, t0 + datetime.timedelta(minutes=mins), uid, etype, 1.0, "{}")
+
+    rows = [
+        # u1: view -> click@30min -> purchase@50min  => full conversion
+        ev(1, "view", 0, 1), ev(1, "click", 30, 2), ev(1, "purchase", 50, 3),
+        # u2: view -> click@120min => no click conversion
+        ev(2, "view", 0, 4), ev(2, "click", 120, 5),
+        # u3: view -> click@10min -> purchase@200min => click only
+        ev(3, "view", 0, 6), ev(3, "click", 10, 7), ev(3, "purchase", 200, 8),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id")
+    s1 = df.select(
+        "user_id", "event_type", "ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias("t_view"),
+    )
+    s2 = s1.select(
+        "*",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t_view"))
+                & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 1 HOUR")),
+                F.col("ts"),
+            )
+        ).over(w).alias("t_click"),
+    )
+    s3 = s2.select(
+        "user_id", "t_view", "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_click"))
+                & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 1 HOUR")),
+                F.col("ts"),
+            )
+        ).over(w).alias("t_purchase"),
+    ).dropDuplicates(["user_id"])
+    got = {r["user_id"]: (r["t_click"] is not None, r["t_purchase"] is not None)
+           for r in s3.collect()}
+    assert got == {1: (True, True), 2: (False, False), 3: (True, False)}
+
+
+def test_equidepth_bins_balanced(spark, sf_dir):
+    """Equi-depth bins must each hold ~n/10 rows (within the slack that
+    duplicate values force) and cover the full value range in order."""
+    from de4ml_spark.queries.profileq2 import equidepth_price_histogram
+
+    rows = sorted(
+        equidepth_price_histogram(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    n = sum(r["n"] for r in rows)
+    assert [r["bin"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["n"] <= 0.25 * n  # no bin hoards the distribution
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
