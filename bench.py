@@ -53,6 +53,12 @@ HEADLINE = [
     "stratified_split_docs",
     "pack_sequence_report",
     "knn_lsh_recall",
+    "ewma_user_daily",
+    "phrase_search_docs",
+    "pmi_bigrams",
+    "equidepth_price_histogram",
+    "timed_funnel_events",
+    "iqr_outliers_events",
 ]
 
 
