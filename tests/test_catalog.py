@@ -67,3 +67,23 @@ def test_entry_contract_shapes():
     osql = e.oracle_sql()
     assert set(osql) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+def test_register_query_views_composable(spark, sf_dir):
+    """Catalog queries registered as temp views are queryable and
+    composable from pure SQL, with pushdown into the registered plan."""
+    from de4ml_spark.sql import register_query_views
+
+    register_query_views(
+        spark, sf_dir, ["vocab_top_terms", "quality_docs"]
+    )
+    top = spark.sql(
+        "SELECT token, cnt FROM vocab_top_terms WHERE rank <= 3"
+    ).collect()
+    assert 0 < len(top) <= 3
+    joined = spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM quality_docs WHERE quality_r > 0
+        """
+    ).collect()
+    assert joined[0]["n"] > 0
