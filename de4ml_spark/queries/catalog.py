@@ -69,6 +69,8 @@ PRIORITY = [
     "ewma_user_daily",
     "timed_funnel_events",
     "equidepth_price_histogram",
+    "cdc_dedup_chunks",
+    "pack_sharded",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

@@ -226,10 +226,10 @@ FROM q
 CDC_MASK_BITS = 3  # boundary after tokens whose hash % 8 == 0 (~8-token chunks)
 
 
-def cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-level content-defined chunking, summarized per doc: chunk
-    count, total tokens, max chunk length, and an md5 over the chunk texts
-    in order (pins every boundary for the oracle compare).
+def _cdc_stage(spark: SparkSession, sf_dir: str):
+    """Shared CDC pipeline: (doc_id, toks, n, starts, ends) stage plus the
+    chunk-texts Column. Consumed by the per-doc summary (cdc_chunk_docs)
+    and the chunk-level dedup (cdc_dedup_chunks).
 
     Scale/plan: the boundary hash runs in WHOLE-STAGE CODEGEN over exploded
     (doc, pos, token) rows — Spark evaluates higher-order-function lambdas
@@ -277,6 +277,11 @@ def cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ends"),
         lambda s, e: F.concat_ws(" ", F.slice(F.col("toks"), s, e - s + 1)),
     )
+    return stage3, chunk_texts
+
+
+def cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage3, chunk_texts = _cdc_stage(spark, sf_dir)
     return stage3.select(
         "doc_id",
         F.size("starts").alias("n_chunks"),
@@ -321,6 +326,54 @@ SELECT doc_id,
                         i -> array_to_string(toks[starts[i]:ends[i]], ' ')),
          '|')) AS chunks_md5
 FROM e
+"""
+
+
+def cdc_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over the CDC chunks — the payoff of content-
+    defined boundaries: shifted/duplicated passages hash to the SAME
+    chunks across documents. One-row corpus report: total chunk
+    instances, distinct chunks, duplicate instances, exact dup ratio, and
+    the most-copied chunk's multiplicity.
+
+    Scale: chunks explode map-side off the shared CDC stage; the dedup is
+    a groupBy on the 32-char chunk digest (map-side combine) and a single-
+    row rollup — the exact-dedup shape at chunk grain."""
+    stage3, chunk_texts = _cdc_stage(spark, sf_dir)
+    chunks = stage3.select(
+        F.explode(chunk_texts).alias("chunk_text")
+    ).select(F.md5(F.col("chunk_text").cast("binary")).alias("h"))
+    per = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return per.agg(
+        F.sum("c").alias("total_chunks"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        (F.sum("c") - F.count(F.lit(1))).alias("dup_instances"),
+        F.expr(
+            exact_round_div_sql(
+                "CAST(SUM(c) AS BIGINT) - COUNT(*)", "CAST(SUM(c) AS BIGINT)", "DIV"
+            )
+        ).alias("dup_ratio_r"),
+        F.max("c").alias("max_copies"),
+    )
+
+
+def _cdc_dedup_sql() -> str:
+    # reuse the CDC chunking CTEs up to the chunk-text list, then unnest
+    head = CDC_SQL.rsplit("\nSELECT doc_id,", 1)[0].rstrip() + ","
+    return f"""{head}
+chunks AS (
+  SELECT md5(array_to_string(toks[starts[i]:ends[i]], ' ')) AS h
+  FROM e, LATERAL unnest(generate_series(1, len(starts))) AS u(i)
+),
+per AS (SELECT h, COUNT(*) AS c FROM chunks GROUP BY h)
+SELECT CAST(SUM(c) AS BIGINT) AS total_chunks,
+       COUNT(*) AS distinct_chunks,
+       CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_instances,
+       {exact_round_div_sql(
+           'CAST(SUM(c) AS BIGINT) - COUNT(*)',
+           'CAST(SUM(c) AS BIGINT)', '//')} AS dup_ratio_r,
+       MAX(c) AS max_copies
+FROM per
 """
 
 
@@ -760,6 +813,7 @@ REGISTRY: dict[str, dict] = {
     "pattern_match_events": {"fn": pattern_match_events, "sql": PATTERN_SQL},
     "dedup_canonicalize": {"fn": dedup_canonicalize, "sql": _canonicalize_sql()},
     "cdc_chunk_docs": {"fn": cdc_chunk_docs, "sql": CDC_SQL},
+    "cdc_dedup_chunks": {"fn": cdc_dedup_chunks, "sql": _cdc_dedup_sql()},
     "dedup_incremental": {"fn": dedup_incremental, "sql": DEDUP_INCREMENTAL_SQL},
     "pack_sequence_report": {"fn": pack_sequence_report, "sql": PACK_REPORT_SQL},
     "stratified_split_docs": {"fn": stratified_split_docs, "sql": _stratified_sql()},

@@ -223,8 +223,67 @@ FROM o
 """
 
 
+N_SHARDS = 8
+
+
+def pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB packing path made executable: docs hash into
+    ``N_SHARDS`` shards, each shard packs INDEPENDENTLY (shard-local
+    cumsum window + shard-local sequence ids). The global variant above
+    keeps one serial cumsum for oracle simplicity; this one is how
+    training data is actually laid out — shards pack in parallel, and
+    the only cross-shard artifact is the shard id in the sequence key."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = F.size(tokens("text"))
+    return (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % N_SHARDS).alias("shard"),
+            toks.cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            "offset",
+            (F.col("offset") / SEQ_BUDGET).cast("bigint").alias("seq_start"),
+            ((F.col("offset") + F.col("n_tokens") - 1) / SEQ_BUDGET)
+            .cast("bigint")
+            .alias("seq_end"),
+        )
+    )
+
+
+PACK_SHARDED_SQL = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS "offset"
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, "offset",
+       CAST(FLOOR("offset" / {SEQ_BUDGET}) AS BIGINT) AS seq_start,
+       CAST(FLOOR(("offset" + n_tokens - 1) / {SEQ_BUDGET}) AS BIGINT)
+         AS seq_end
+FROM o
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "tfidf_top_terms": {"fn": tfidf_top_terms, "sql": TFIDF_SQL},
+    "pack_sharded": {"fn": pack_sharded, "sql": PACK_SHARDED_SQL},
     "clean_corpus": {"fn": clean_corpus, "sql": CLEAN_CORPUS_SQL},
     "winnow_fingerprint_docs": {"fn": winnow_fingerprint_docs, "sql": WINNOW_SQL},
     "pack_training_sequences": {

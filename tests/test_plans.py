@@ -485,3 +485,13 @@ def test_interval_overlap_join_is_hash_not_bnlj(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pack_sharded_parallel_window(spark, sf_dir):
+    """The sharded packing variant must partition its cumsum window by
+    shard (parallel packing) — no global single-partition window."""
+    from de4ml_spark.queries.textq2 import pack_sharded
+
+    plan = _plan(pack_sharded(spark, sf_dir))
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
