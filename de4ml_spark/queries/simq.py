@@ -100,14 +100,128 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
 """
 
 
+IVF_CELLS = 16
+IVF_SAMPLE = 2000
+IVF_ITERS = 5
+IVF_NPROBE = 4
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from de4ml_spark.operators.ivf import fit_centroids, topk_ivf
+    """IVF top-k with the INTEGER-GRID exact quantizer: the k-means fit is
+    pure integer arithmetic (operators/ivf.py: fit_centroids_exact), so
+    the DuckDB oracle replays the SAME Lloyd iterations bit-for-bit as
+    unrolled SQL — upgrading this entry from rows-only to a full
+    value-hash oracle. Assignment/probe compare integer squared-L2 with
+    lowest-cell tiebreaks; the final rescore is the exact cosine the
+    other knn entries use."""
+    from de4ml_spark.operators.ivf import fit_centroids_exact, topk_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = fit_centroids(emb, k_cells=16, sample_n=2000)
+    cents = fit_centroids_exact(
+        emb, k_cells=IVF_CELLS, sample_n=IVF_SAMPLE, iters=IVF_ITERS
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return topk_ivf(queries, emb, cents, k=K, nprobe=4).select(
-        "query_id", "neighbor_id", "cos_sim", "rank"
+    return topk_ivf(
+        queries, emb, cents, k=K, nprobe=IVF_NPROBE, integer_grid=True
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+def knn_ivf_oracle_sql(
+    k: int = K,
+    k_cells: int = IVF_CELLS,
+    sample_n: int = IVF_SAMPLE,
+    iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+    dim: int = 64,
+    n_queries: int = N_QUERIES,
+) -> str:
+    """DuckDB replay of the integer-grid IVF: quantize -> ``iters``
+    unrolled Lloyd iterations (integer d2 assignment with lowest-cell
+    tiebreak; round-half-up integer means in the shifted non-negative
+    domain; empty cells carry the previous centroid) -> corpus assign ->
+    probe -> exact cosine rescore. Every intermediate is integer, so this
+    is bit-identical to fit_centroids_exact's numpy int64 computation."""
+    from de4ml_spark.operators.ivf import _OFF
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    qint = (
+        "list_transform(embedding, x -> "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    )
+    ctes = [
+        f"""s AS (
+  SELECT vec_id, {qint} AS e
+  FROM embeddings ORDER BY vec_id LIMIT {sample_n}
+)""",
+        f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e
+  FROM (SELECT * FROM s ORDER BY vec_id LIMIT {k_cells})
+)""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT s.vec_id, s.e, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY {d2('s.e', 'c.e')}, c.cell) AS rn
+    FROM s, {prev} c
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""c{t} AS (
+  SELECT p.cell, COALESCE(n.e, p.e) AS e
+  FROM {prev} p LEFT JOIN (
+    SELECT cell, list(val ORDER BY dim) AS e FROM (
+      SELECT a.cell, u.i AS dim,
+             CAST((2 * (SUM(a.e[u.i]) + COUNT(*) * {_OFF}) + COUNT(*))
+                  // (2 * COUNT(*)) - {_OFF} AS BIGINT) AS val
+      FROM a{t} a, generate_series(1, {dim}) AS u(i)
+      GROUP BY a.cell, u.i
+    ) GROUP BY cell
+  ) n ON p.cell = n.cell
+)""")
+    final = f"c{iters}"
+    ctes.append(f"""v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ed, {qint} AS ei FROM embeddings
+)""")
+    ctes.append(f"""cass AS (
+  SELECT vec_id, ed, cell FROM (
+    SELECT v.vec_id, v.ed, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2('v.ei', 'c.e')}, c.cell) AS rn
+    FROM v, {final} c
+  ) WHERE rn = 1
+)""")
+    ctes.append(f"""qprobe AS (
+  SELECT query_id, qd, cell FROM (
+    SELECT v.vec_id AS query_id, v.ed AS qd, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2('v.ei', 'c.e')}, c.cell) AS rn
+    FROM v, {final} c WHERE v.vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+)""")
+    ctes.append("""scored AS (
+  SELECT q.query_id, t.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qd, t.ed)
+               / (sqrt(list_dot_product(q.qd, q.qd))
+                  * sqrt(list_dot_product(t.ed, t.ed))), 6) AS cos_sim
+  FROM qprobe q JOIN cass t
+    ON q.cell = t.cell AND q.query_id <> t.vec_id
+)""")
+    ctes.append("""ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT query_id, neighbor_id, cos_sim, rank FROM ranked"
+        + f" WHERE rank <= {k}\n"
     )
 
 
@@ -241,9 +355,9 @@ REGISTRY: dict[str, dict] = {
     "knn_bruteforce": {"fn": knn_bruteforce, "sql": KNN_BRUTEFORCE_SQL},
     "knn_rrf_fusion": {"fn": knn_rrf_fusion, "sql": KNN_RRF_SQL},
     "knn_lsh": {"fn": knn_lsh, "sql": knn_lsh_oracle_sql()},
-    # k-means is genuinely iterative (Lloyd refinement on a driver-side
-    # sample) — not SQL-expressible; gate = rows-only + recall tests.
-    "knn_ivf": {"fn": knn_ivf, "sql": None},
+    # round 4: the integer-grid exact quantizer makes the Lloyd fit
+    # bit-replayable as unrolled SQL — full value-hash oracle.
+    "knn_ivf": {"fn": knn_ivf, "sql": knn_ivf_oracle_sql()},
     "embedding_dim_stats": {
         "fn": embedding_dim_stats,
         "sql": EMBEDDING_DIM_STATS_SQL,
