@@ -71,6 +71,7 @@ PRIORITY = [
     "equidepth_price_histogram",
     "cdc_dedup_chunks",
     "pack_sharded",
+    "knn_ivf",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",
@@ -126,7 +127,6 @@ PRIORITY = [
     "knn_bruteforce",
     "knn_rrf_fusion",
     "knn_lsh",
-    "knn_ivf",
     "embedding_dim_stats",
     "text_stats_docs",
     "quality_docs",
