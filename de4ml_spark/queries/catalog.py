@@ -46,10 +46,12 @@ def _registries() -> list[dict]:
 # Catalog iteration order. The driver's correctness harness grades a
 # 50-entry PREFIX of this list per round, so ordering decides which
 # queries get fresh cross-engine evidence each round. Round-4 rotation:
-# (1) the five operators new this round, (2) the three entries never yet
-# graded, (3) the three whose implementation changed this round
-# (histogram profile battery, shuffle-free repetition), then (4) every
-# entry whose last grading was round 1/2 (stale first), and finally the
+# (1) the nineteen entries new or oracle-upgraded this round (the
+# corpus-prep/search/time-series tier plus knn_ivf, whose Lloyd fit is
+# now bit-replayable SQL), (2) the three entries never yet graded,
+# (3) the three whose implementation changed this round (histogram
+# profile battery, shuffle-free repetition), then (4) every entry whose
+# last grading was round 1/2 (stale first), and finally the
 # round-3-graded block (freshest evidence). Everything re-greens locally
 # via tools/verify_oracle.py regardless of order.
 PRIORITY = [
