@@ -74,6 +74,7 @@ PRIORITY = [
     "cdc_dedup_chunks",
     "pack_sharded",
     "knn_ivf",
+    "corpus_pipeline_report",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

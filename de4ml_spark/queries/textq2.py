@@ -223,6 +223,123 @@ FROM o
 """
 
 
+# --------------------------------------------------------------------------
+# End-to-end corpus-pipeline accounting: the flagship composition — raw ->
+# quality gate -> near-dup drop -> benchmark-decontamination drop, with
+# per-stage surviving doc and token counts. Each stage reuses the exact
+# semantics of its standalone catalog entry (clean_corpus, dedup_ngram,
+# decontaminate), so the report is the pipeline's audit trail.
+# --------------------------------------------------------------------------
+
+
+def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage (docs_kept, tokens_kept) for the standard cleaning chain.
+
+    Scale: one corpus scan feeds all stage predicates; the dedup and
+    contamination drop-lists are DISTINCT doc-id relations (broadcast-
+    able — they are bounded by pair/bench cardinality, not the corpus);
+    the four stage aggregates union into one job."""
+    from de4ml_spark.operators.text import quality_score
+    from de4ml_spark.queries.textq3 import DECON_N, N_BENCH
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("bigint")
+    scored = quality_score(docs).select(
+        "doc_id", n_tok.alias("n_tok"), "quality"
+    )
+    dupes = (
+        ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    from de4ml_spark.operators.dedup import shingles
+
+    bench_sh = docs.filter(F.col("doc_id") < N_BENCH).select(
+        F.explode(shingles("text", DECON_N)).alias("sh")
+    ).distinct()
+    contaminated = (
+        docs.filter(F.col("doc_id") >= N_BENCH)
+        .select("doc_id", F.explode(shingles("text", DECON_N)).alias("sh"))
+        .join(F.broadcast(bench_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    s1 = scored.filter(F.col("quality") >= 0.55)
+    s2 = s1.join(F.broadcast(dupes), "doc_id", "left_anti")
+    s3 = s2.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    def stage(df, idx: int, name: str):
+        return df.agg(
+            F.lit(idx).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).alias("tokens_kept"),
+        )
+
+    out = stage(scored, 0, "raw")
+    for i, (df, name) in enumerate(
+        [(s1, "quality"), (s2, "dedup"), (s3, "decontaminated")], start=1
+    ):
+        out = out.unionByName(stage(df, i, name))
+    return out
+
+
+def _pipeline_report_sql() -> str:
+    from de4ml_spark.queries.textq3 import N_BENCH
+
+    return rf"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+q AS (
+  SELECT d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+         0.4 * LEAST(len(t.toks) / 100.0, 1.0)
+       + 0.3 * (1.0 - len(list_filter(t.toks,
+                    x -> list_contains(['the','a','of','and'], x))) * 1.0 / len(t.toks))
+       + 0.3 * LEAST((length(regexp_replace(d.text, '\s', '', 'g')) * 1.0
+                      / len(t.toks)) / 8.0, 1.0) AS quality
+  FROM documents d JOIN t ON d.doc_id = t.doc_id
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+c AS (SELECT doc_id, len(sh) AS n FROM s),
+dupes AS (
+  SELECT DISTINCT p.id_b AS doc_id FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN c c1 ON p.id_a = c1.doc_id
+  JOIN c c2 ON p.id_b = c2.doc_id
+  WHERE p.inter * 1.0 / (c1.n + c2.n - p.inter) >= 0.8
+),
+bench_sh AS (
+  SELECT DISTINCT shingle FROM e WHERE doc_id < {N_BENCH}
+),
+contaminated AS (
+  SELECT DISTINCT e.doc_id FROM e
+  JOIN bench_sh b ON e.shingle = b.shingle
+  WHERE e.doc_id >= {N_BENCH}
+),
+s1 AS (SELECT * FROM q WHERE quality >= 0.55),
+s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM dupes)),
+s3 AS (SELECT * FROM s2
+       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT 0 AS stage_id, 'raw' AS stage, COUNT(*) AS docs_kept,
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS tokens_kept FROM q
+UNION ALL
+SELECT 1, 'quality', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s1
+UNION ALL
+SELECT 2, 'dedup', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'decontaminated', COUNT(*),
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s3
+"""
+
+
 N_SHARDS = 8
 
 
@@ -284,6 +401,10 @@ FROM o
 REGISTRY: dict[str, dict] = {
     "tfidf_top_terms": {"fn": tfidf_top_terms, "sql": TFIDF_SQL},
     "pack_sharded": {"fn": pack_sharded, "sql": PACK_SHARDED_SQL},
+    "corpus_pipeline_report": {
+        "fn": corpus_pipeline_report,
+        "sql": _pipeline_report_sql(),
+    },
     "clean_corpus": {"fn": clean_corpus, "sql": CLEAN_CORPUS_SQL},
     "winnow_fingerprint_docs": {"fn": winnow_fingerprint_docs, "sql": WINNOW_SQL},
     "pack_training_sequences": {

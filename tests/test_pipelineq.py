@@ -283,3 +283,23 @@ def test_equidepth_bins_balanced(spark, sf_dir):
         assert r["n"] <= 0.25 * n  # no bin hoards the distribution
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"]
+
+
+def test_corpus_pipeline_monotone(spark, sf_dir):
+    """Stage survivors decrease monotonically, raw covers the corpus, and
+    every stage keeps a nonzero corpus on testdata."""
+    from de4ml_spark.queries.textq2 import corpus_pipeline_report
+    from de4ml_spark.session import load_table
+
+    rows = sorted(
+        corpus_pipeline_report(spark, sf_dir).collect(),
+        key=lambda r: r["stage_id"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "raw", "quality", "dedup", "decontaminated"
+    ]
+    assert rows[0]["docs_kept"] == load_table(spark, sf_dir, "documents").count()
+    for a, b in zip(rows, rows[1:]):
+        assert a["docs_kept"] >= b["docs_kept"]
+        assert a["tokens_kept"] >= b["tokens_kept"]
+    assert rows[-1]["docs_kept"] > 0
