@@ -75,6 +75,8 @@ PRIORITY = [
     "pack_sharded",
     "knn_ivf",
     "corpus_pipeline_report",
+    "dedup_source_matrix",
+    "quality_rank_normalized",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

@@ -293,8 +293,76 @@ GROUP BY d.doc_id"""
 DEDUP_COMPONENTS_SQL = COMPONENTS_CTES + COMPONENTS_SELECT + "\n"
 
 
+# --------------------------------------------------------------------------
+# Cross-source duplicate leakage matrix: near-dup PAIRS bucketed by the
+# (source_a, source_b) combination — the diagnostic that catches
+# train/eval splits leaking through near-duplicates that live in
+# different sources. Canonicalized source ordering so (A,B) == (B,A).
+# --------------------------------------------------------------------------
+
+
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts per unordered source pair, plus how many are
+    cross-source (the leakage risk).
+
+    Scale: two broadcast joins of the (already bounded) pair relation
+    against the doc->source projection; the matrix is |sources|^2 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    j = pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    lo = F.least("sa", "sb")
+    hi = F.greatest("sa", "sb")
+    return (
+        j.groupBy(lo.alias("source_lo"), hi.alias("source_hi"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.when(F.col("sa") != F.col("sb"), 1)).alias(
+                "n_cross_source"
+            ),
+        )
+    )
+
+
+DEDUP_SOURCE_MATRIX_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+c AS (SELECT doc_id, len(sh) AS n FROM s),
+p AS (
+  SELECT q.id_a, q.id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) q
+  JOIN c c1 ON q.id_a = c1.doc_id
+  JOIN c c2 ON q.id_b = c2.doc_id
+  WHERE q.inter * 1.0 / (c1.n + c2.n - q.inter) >= 0.8
+)
+SELECT LEAST(da.source, db.source) AS source_lo,
+       GREATEST(da.source, db.source) AS source_hi,
+       COUNT(*) AS n_pairs,
+       COUNT(*) FILTER (WHERE da.source <> db.source) AS n_cross_source
+FROM p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "dedup_exact_docs": {"fn": dedup_exact_docs, "sql": DEDUP_EXACT_SQL},
+    "dedup_source_matrix": {
+        "fn": dedup_source_matrix,
+        "sql": DEDUP_SOURCE_MATRIX_SQL,
+    },
     "dedup_components": {"fn": dedup_components, "sql": DEDUP_COMPONENTS_SQL},
     "dedup_ngram_jaccard": {"fn": dedup_ngram_jaccard, "sql": DEDUP_NGRAM_SQL},
     "dedup_minhash_lsh": {"fn": dedup_minhash_lsh, "sql": minhash_oracle_sql()},

@@ -186,7 +186,52 @@ GROUP BY user_id, session_id
 """
 
 
+def quality_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank normalization of the quality score (percent_rank in
+    [0,1]) — the scale-free form curricula and mixture policies consume
+    (absolute score distributions differ per source; ranks don't).
+    percent_rank = (rank-1)/(n-1) is a single integer division, so the
+    raw doubles are engine-identical with no rounding hedge; ties share a
+    rank by definition.
+
+    Scale: one shuffle on source + a per-partition sort — the plain
+    ranking-window shape."""
+    from pyspark.sql import Window
+
+    from de4ml_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("quality").asc())
+    return quality_score(docs).select(
+        "doc_id",
+        "source",
+        F.percent_rank().over(w).alias("quality_pct_rank"),
+    )
+
+
+QUALITY_RANK_SQL = r"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+q AS (
+  SELECT d.doc_id, d.source,
+         0.4 * LEAST(len(t.toks) / 100.0, 1.0)
+       + 0.3 * (1.0 - len(list_filter(t.toks,
+                    x -> list_contains(['the','a','of','and'], x))) * 1.0 / len(t.toks))
+       + 0.3 * LEAST((length(regexp_replace(d.text, '\s', '', 'g')) * 1.0
+                      / len(t.toks)) / 8.0, 1.0) AS quality
+  FROM documents d JOIN t ON d.doc_id = t.doc_id
+)
+SELECT doc_id, source,
+       PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality ASC)
+         AS quality_pct_rank
+FROM q
+"""
+
+
 REGISTRY: dict[str, dict] = {
+    "quality_rank_normalized": {
+        "fn": quality_rank_normalized,
+        "sql": QUALITY_RANK_SQL,
+    },
     "text_stats_docs": {"fn": text_stats_docs, "sql": TEXT_STATS_SQL},
     "quality_docs": {"fn": quality_docs, "sql": QUALITY_SQL},
     "lang_id_docs": {"fn": lang_id_docs, "sql": LANG_ID_SQL},
