@@ -32,6 +32,7 @@ def _registries() -> list[dict]:
         "textq3",
         "samplingq",
         "mldataq",
+        "mldataq2",
         "pipelineq",
         "searchq",
     ):
@@ -77,6 +78,9 @@ PRIORITY = [
     "corpus_pipeline_report",
     "dedup_source_matrix",
     "quality_rank_normalized",
+    "novelty_docs",
+    "winsorized_price_stats",
+    "label_balance_embeddings",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

@@ -1,0 +1,192 @@
+"""ML-data queries, round 4 late tier: corpus novelty scoring, winsorized
+robust statistics, and class-balance reporting. All fully oracle-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de4ml_spark.operators.portable_hash import exact_round_div_sql
+from de4ml_spark.operators.text import tokens
+from de4ml_spark.session import load_table
+
+# --------------------------------------------------------------------------
+# Corpus novelty: per doc, the fraction of its trigram occurrences whose
+# trigram appears NOWHERE else in the corpus — high novelty = unique
+# content, low novelty = boilerplate/memorized text. The complement of the
+# repetition/dup screens: those look within/between docs, this against the
+# whole corpus gram distribution.
+# --------------------------------------------------------------------------
+
+NOVELTY_N = 3
+
+
+def novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, n_grams, n_novel (corpus-frequency-1 occurrences),
+    novelty_r (exact integer rounding).
+
+    Scale: wordcount over grams (map-side combine) + a broadcast-able
+    join of per-doc gram counts against the corpus-unique gram set; one
+    corpus scan feeds both sides and Spark reuses the exploded relation's
+    shuffle across the two aggregations."""
+    from de4ml_spark.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = tokens("text")
+    idx = F.when(
+        F.size(toks) >= NOVELTY_N,
+        F.sequence(F.lit(1), F.size(toks) - (NOVELTY_N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, NOVELTY_N)))
+        ).alias("g"),
+    )
+    per_doc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    corpus = per_doc.groupBy("g").agg(F.sum("c").alias("cf"))
+    joined = per_doc.join(corpus.filter(F.col("cf") == 1).select("g"), "g", "left_semi")
+    novel = joined.groupBy("doc_id").agg(F.sum("c").alias("n_novel"))
+    totals = per_doc.groupBy("doc_id").agg(F.sum("c").alias("n_grams"))
+    return (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.expr(
+                exact_round_div_sql("COALESCE(n_novel, 0)", "n_grams", "DIV")
+            ).alias("novelty_r"),
+        )
+    )
+
+
+NOVELTY_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - {NOVELTY_N - 1}),
+                i -> array_to_string(toks[i:i+{NOVELTY_N - 1}], ' '))) AS g
+  FROM t WHERE len(toks) >= {NOVELTY_N}
+),
+per_doc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+corpus AS (SELECT g, SUM(c) AS cf FROM per_doc GROUP BY 1),
+novel AS (
+  SELECT p.doc_id, CAST(SUM(p.c) AS BIGINT) AS n_novel
+  FROM per_doc p JOIN corpus u ON p.g = u.g AND u.cf = 1
+  GROUP BY 1
+),
+totals AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams
+           FROM per_doc GROUP BY 1)
+SELECT t2.doc_id, t2.n_grams,
+       COALESCE(n.n_novel, 0) AS n_novel,
+       {exact_round_div_sql('COALESCE(n.n_novel, 0)', 't2.n_grams', '//')}
+         AS novelty_r
+FROM totals t2 LEFT JOIN novel n ON t2.doc_id = n.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Winsorized statistics: clip l_extendedprice at the exact p01/p99 fences
+# and report the clipped counts and the winsorized (decimal-exact) mean —
+# the robust-mean screen for long-tailed measures.
+# --------------------------------------------------------------------------
+
+
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row report: p01/p99 fences (histogram-exact), rows clipped
+    low/high, raw vs winsorized decimal-exact means.
+
+    Scale: quantiles via the histogram operator (no raw-row buffering);
+    the clip+mean is one more scan with the 1-row fence table broadcast."""
+    from de4ml_spark.profile.battery import grouped_exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fences = grouped_exact_quantiles(
+        li.withColumn("__g", F.lit(1)), ["__g"], "l_extendedprice", [0.01, 0.99]
+    ).select(F.col("q1").alias("lo"), F.col("q99").alias("hi"))
+    v = F.col("l_extendedprice")
+    clipped = F.when(v < F.col("lo"), F.col("lo")).when(
+        v > F.col("hi"), F.col("hi")
+    ).otherwise(v)
+    j = li.select("l_extendedprice").crossJoin(F.broadcast(fences))
+    return j.agg(
+        F.round(F.first("lo"), 6).alias("p01_r"),
+        F.round(F.first("hi"), 6).alias("p99_r"),
+        F.count(F.when(v < F.col("lo"), 1)).alias("n_clipped_low"),
+        F.count(F.when(v > F.col("hi"), 1)).alias("n_clipped_high"),
+        (F.sum(v.cast("decimal(30,6)")).cast("double") / F.count(v)).alias(
+            "mean_raw"
+        ),
+        (
+            F.sum(clipped.cast("decimal(30,6)")).cast("double")
+            / F.count(clipped)
+        ).alias("mean_winsorized"),
+    )
+
+
+WINSORIZE_SQL = """
+WITH fences AS (
+  SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+         quantile_cont(l_extendedprice, 0.99) AS hi
+  FROM lineitem
+)
+SELECT ROUND(MIN(lo), 6) AS p01_r,
+       ROUND(MIN(hi), 6) AS p99_r,
+       COUNT(*) FILTER (WHERE l_extendedprice < lo) AS n_clipped_low,
+       COUNT(*) FILTER (WHERE l_extendedprice > hi) AS n_clipped_high,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(l_extendedprice) AS mean_raw,
+       CAST(SUM(CAST(CASE WHEN l_extendedprice < lo THEN lo
+                          WHEN l_extendedprice > hi THEN hi
+                          ELSE l_extendedprice END AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(l_extendedprice) AS mean_winsorized
+FROM lineitem CROSS JOIN fences
+"""
+
+
+# --------------------------------------------------------------------------
+# Class balance: per-label counts and shares over embeddings.label with
+# the imbalance ratio vs the majority class — the standard skew screen
+# before training/eval splits.
+# --------------------------------------------------------------------------
+
+
+def label_balance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    total = "CAST(SUM(n) OVER () AS BIGINT)"
+    majority = "CAST(MAX(n) OVER () AS BIGINT)"
+    return counts.select(
+        "label",
+        "n",
+        F.expr(exact_round_div_sql("n", total, "DIV")).alias("share_r"),
+        F.expr(exact_round_div_sql("n", majority, "DIV")).alias(
+            "vs_majority_r"
+        ),
+    )
+
+
+LABEL_BALANCE_SQL = f"""
+WITH counts AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1)
+SELECT label, n,
+       {exact_round_div_sql('n', 'CAST(SUM(n) OVER () AS BIGINT)', '//')}
+         AS share_r,
+       {exact_round_div_sql('n', 'CAST(MAX(n) OVER () AS BIGINT)', '//')}
+         AS vs_majority_r
+FROM counts
+"""
+
+
+REGISTRY: dict[str, dict] = {
+    "novelty_docs": {"fn": novelty_docs, "sql": NOVELTY_SQL},
+    "winsorized_price_stats": {
+        "fn": winsorized_price_stats,
+        "sql": WINSORIZE_SQL,
+    },
+    "label_balance_embeddings": {
+        "fn": label_balance_embeddings,
+        "sql": LABEL_BALANCE_SQL,
+    },
+}
