@@ -81,6 +81,7 @@ PRIORITY = [
     "novelty_docs",
     "winsorized_price_stats",
     "label_balance_embeddings",
+    "dedup_minhash_recall",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

@@ -294,6 +294,75 @@ DEDUP_COMPONENTS_SQL = COMPONENTS_CTES + COMPONENTS_SELECT + "\n"
 
 
 # --------------------------------------------------------------------------
+# LSH recall evaluation: the MinHash-LSH candidate pipeline vs the
+# EXHAUSTIVE exact-Jaccard pair set — the acceptance gate for the
+# approximate dedup index (sibling of knn_lsh_recall on the ANN side).
+# --------------------------------------------------------------------------
+
+
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row report: exhaustive near-dup pairs (Jaccard >= 0.8), pairs
+    the banded MinHash-LSH pipeline surfaced, the intersection, and the
+    exact recall ratio.
+
+    Scale: both pair relations are bounded by near-dup density, not the
+    corpus; the compare is a join on (id_a, id_b)."""
+    exact = ngram_jaccard_pairs(docs := load_table(spark, sf_dir, "documents"),
+                                threshold=0.8, n=3).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs_portable(
+        docs, threshold=0.8, num_hashes=24, bands=12
+    ).select("id_a", "id_b")
+    hits = exact.join(lsh, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hits)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hits",
+            F.expr(exact_round_div_sql("n_hits", "n_exact", "DIV")).alias(
+                "recall_r"
+            ),
+        )
+    )
+
+
+def _minhash_recall_sql() -> str:
+    exact_pairs = """
+SELECT q.id_a, q.id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM (SELECT doc_id, unnest(sh) AS shingle FROM s2) a
+    JOIN (SELECT doc_id, unnest(sh) AS shingle FROM s2) b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) q
+  JOIN (SELECT doc_id, len(sh) AS n FROM s2) c1 ON q.id_a = c1.doc_id
+  JOIN (SELECT doc_id, len(sh) AS n FROM s2) c2 ON q.id_b = c2.doc_id
+  WHERE q.inter * 1.0 / (c1.n + c2.n - q.inter) >= 0.8"""
+    return f"""
+WITH t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s2 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t2 WHERE len(toks) >= 3
+),
+exact_p AS ({exact_pairs}),
+lsh_p AS (SELECT id_a, id_b FROM ({minhash_oracle_sql()})),
+n_e AS (SELECT COUNT(*) AS n_exact FROM exact_p),
+n_l AS (SELECT COUNT(*) AS n_lsh FROM lsh_p),
+n_h AS (SELECT COUNT(*) AS n_hits
+        FROM exact_p JOIN lsh_p USING (id_a, id_b))
+SELECT n_exact, n_lsh, n_hits,
+       {exact_round_div_sql('n_hits', 'n_exact', '//')} AS recall_r
+FROM n_e, n_l, n_h
+"""
+
+
+# --------------------------------------------------------------------------
 # Cross-source duplicate leakage matrix: near-dup PAIRS bucketed by the
 # (source_a, source_b) combination — the diagnostic that catches
 # train/eval splits leaking through near-duplicates that live in
@@ -362,6 +431,10 @@ REGISTRY: dict[str, dict] = {
     "dedup_source_matrix": {
         "fn": dedup_source_matrix,
         "sql": DEDUP_SOURCE_MATRIX_SQL,
+    },
+    "dedup_minhash_recall": {
+        "fn": dedup_minhash_recall,
+        "sql": _minhash_recall_sql(),
     },
     "dedup_components": {"fn": dedup_components, "sql": DEDUP_COMPONENTS_SQL},
     "dedup_ngram_jaccard": {"fn": dedup_ngram_jaccard, "sql": DEDUP_NGRAM_SQL},
