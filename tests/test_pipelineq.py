@@ -303,3 +303,37 @@ def test_corpus_pipeline_monotone(spark, sf_dir):
         assert a["docs_kept"] >= b["docs_kept"]
         assert a["tokens_kept"] >= b["tokens_kept"]
     assert rows[-1]["docs_kept"] > 0
+
+
+def test_novelty_bounds_and_totals(spark, sf_dir):
+    from de4ml_spark.queries.mldataq2 import novelty_docs
+
+    rows = novelty_docs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_grams"]
+        assert 0.0 <= r["novelty_r"] <= 1.0
+
+
+def test_winsorized_mean_is_robust(spark, sf_dir):
+    """The winsorized mean must lie within the fences, and clipping must
+    touch at most ~2% of rows (p01/p99 fences)."""
+    from de4ml_spark.queries.mldataq2 import winsorized_price_stats
+    from de4ml_spark.session import load_table
+
+    r = winsorized_price_stats(spark, sf_dir).collect()[0]
+    n = load_table(spark, sf_dir, "lineitem").count()
+    assert r["p01_r"] <= r["mean_winsorized"] <= r["p99_r"]
+    assert r["n_clipped_low"] + r["n_clipped_high"] <= 0.03 * n
+
+
+def test_minhash_recall_perfect_at_this_banding(spark, sf_dir):
+    """24 hashes / 12 bands at j>=0.8: candidate-miss probability ~5e-6 —
+    recall must be exactly 1.0 on testdata (and LSH never UNDER-reports
+    exact pairs it surfaced)."""
+    from de4ml_spark.queries.dedupq import dedup_minhash_recall
+
+    r = dedup_minhash_recall(spark, sf_dir).collect()[0]
+    assert r["n_hits"] == r["n_exact"]
+    assert r["recall_r"] == 1.0
+    assert r["n_lsh"] == r["n_hits"]  # verify step keeps only true pairs
