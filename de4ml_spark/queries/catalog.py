@@ -82,6 +82,8 @@ PRIORITY = [
     "winsorized_price_stats",
     "label_balance_embeddings",
     "dedup_minhash_recall",
+    "kfold_events",
+    "temporal_split_leakage",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

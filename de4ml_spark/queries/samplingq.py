@@ -114,7 +114,100 @@ SELECT doc_id, lang, source FROM t WHERE hex8 < thr
 """
 
 
+# --------------------------------------------------------------------------
+# K-fold CV accounting: leakage-safe folds (fold = function of the GROUP
+# key) with per-fold row/user counts — every user's rows land wholly in
+# one fold, the group_split invariant generalized to k folds.
+# --------------------------------------------------------------------------
+
+N_FOLDS = 5
+
+
+def kfold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold (n_rows, n_users) for md5-bucketed ``N_FOLDS`` folds.
+
+    Scale: map-only fold assignment + one two-key-free groupBy; the
+    count_distinct is per-fold (bounded group count)."""
+    from de4ml_spark.operators.portable_hash import phash_spark_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    fold = F.expr(phash_spark_sql("CAST(user_id AS STRING)", bits=16)) % N_FOLDS
+    return (
+        ev.select(fold.alias("fold"), "user_id")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _kfold_sql() -> str:
+    from de4ml_spark.operators.portable_hash import phash_duck_sql
+
+    fold = f"({phash_duck_sql('CAST(user_id AS VARCHAR)', bits=16)} % {N_FOLDS})"
+    return f"""
+SELECT {fold} AS fold,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Temporal split with leakage diagnostic: train = events before the
+# cutoff, test = after; the diagnostic counts users present on BOTH sides
+# (their test rows are "seen users" — fine for forecasting, leakage for
+# user-level generalization claims) — the check every temporal split
+# needs before results are believed.
+# --------------------------------------------------------------------------
+
+TEMPORAL_CUTOFF = "2024-01-22 00:00:00"
+
+
+def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(TEMPORAL_CUTOFF).cast("timestamp_ntz")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < cutoff, 1)).alias("n_train"),
+        F.count(F.when(F.col("ts") >= cutoff, 1)).alias("n_test"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("n_train") > 0, 1)).alias("train_users"),
+        F.count(F.when(F.col("n_test") > 0, 1)).alias("test_users"),
+        F.count(
+            F.when((F.col("n_train") > 0) & (F.col("n_test") > 0), 1)
+        ).alias("overlap_users"),
+        F.sum("n_train").alias("train_rows"),
+        F.sum("n_test").alias("test_rows"),
+    )
+
+
+TEMPORAL_SPLIT_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE ts < TIMESTAMP '{TEMPORAL_CUTOFF}')
+           AS n_train,
+         COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{TEMPORAL_CUTOFF}')
+           AS n_test
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) FILTER (WHERE n_train > 0) AS train_users,
+       COUNT(*) FILTER (WHERE n_test > 0) AS test_users,
+       COUNT(*) FILTER (WHERE n_train > 0 AND n_test > 0) AS overlap_users,
+       CAST(SUM(n_train) AS BIGINT) AS train_rows,
+       CAST(SUM(n_test) AS BIGINT) AS test_rows
+FROM per_user
+"""
+
+
 REGISTRY: dict[str, dict] = {
+    "kfold_events": {"fn": kfold_events, "sql": _kfold_sql()},
+    "temporal_split_leakage": {
+        "fn": temporal_split_leakage,
+        "sql": TEMPORAL_SPLIT_SQL,
+    },
     "sample_docs": {"fn": sample_docs, "sql": SAMPLE_DOCS_SQL},
     "mix_docs": {"fn": mix_docs, "sql": MIX_DOCS_SQL},
     "split_events": {"fn": split_events, "sql": SPLIT_EVENTS_SQL},
