@@ -84,6 +84,7 @@ PRIORITY = [
     "dedup_minhash_recall",
     "kfold_events",
     "temporal_split_leakage",
+    "mad_price",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

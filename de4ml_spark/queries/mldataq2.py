@@ -179,8 +179,58 @@ FROM counts
 """
 
 
+# --------------------------------------------------------------------------
+# MAD (median absolute deviation): the robust scale estimate — median of
+# |x - median(x)| — two nested exact medians, both histogram-based (the
+# outlier-resistant sibling of std; 1.4826*MAD ~ sigma for normal data).
+# --------------------------------------------------------------------------
+
+
+def mad_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single row: exact median and MAD of l_extendedprice.
+
+    Scale: two histogram-quantile passes (groupBy value + cumulative
+    window — no raw-row buffering); the scalar median broadcasts into the
+    deviation scan."""
+    from de4ml_spark.profile.battery import grouped_exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    med = grouped_exact_quantiles(
+        li.withColumn("__g", F.lit(1)), ["__g"], "l_extendedprice", [0.5]
+    ).select(F.col("q50").alias("med"))
+    dev = (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+            "med",
+        )
+    )
+    mad = grouped_exact_quantiles(
+        dev.withColumn("__g", F.lit(1)), ["__g"], "adev", [0.5]
+    ).select(F.col("q50").alias("mad"), F.col("n").alias("n"))
+    return (
+        med.crossJoin(mad)
+        .select(
+            F.round("med", 6).alias("median_r"),
+            F.round("mad", 6).alias("mad_r"),
+            "n",
+        )
+    )
+
+
+MAD_SQL = """
+WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem)
+SELECT ROUND(MIN(med), 6) AS median_r,
+       ROUND(quantile_cont(ABS(l_extendedprice - med), 0.5), 6) AS mad_r,
+       COUNT(l_extendedprice) AS n
+FROM lineitem CROSS JOIN m
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "novelty_docs": {"fn": novelty_docs, "sql": NOVELTY_SQL},
+    "mad_price": {"fn": mad_price, "sql": MAD_SQL},
     "winsorized_price_stats": {
         "fn": winsorized_price_stats,
         "sql": WINSORIZE_SQL,
