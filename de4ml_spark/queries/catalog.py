@@ -85,6 +85,7 @@ PRIORITY = [
     "kfold_events",
     "temporal_split_leakage",
     "mad_price",
+    "categorical_drift_tvd",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

@@ -228,9 +228,85 @@ FROM lineitem CROSS JOIN m
 """
 
 
+# --------------------------------------------------------------------------
+# Distributional drift via total variation distance: TVD between the
+# per-event-type distribution of the first and second half of the event
+# window — 0.5 * Σ|p_i - q_i| computed as EXACT integer rationals
+# (|n1_i*N2 - n2_i*N1| / (2*N1*N2)), so it is engine-identical with no
+# log/float hazards (the PSI/KL alternatives need logs, which are not
+# bit-portable). Complements profile_drift (mean/std) with a full-shape
+# test.
+# --------------------------------------------------------------------------
+
+DRIFT_CUTOFF = "2024-01-16 00:00:00"
+
+
+def categorical_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: event counts per window and the exact TVD between the two
+    event_type distributions.
+
+    Scale: one scan with conditional counts per category (map-side
+    combine on the tiny type key), then integer arithmetic on the 5-row
+    result — the drift monitor shape for any categorical column."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(DRIFT_CUTOFF).cast("timestamp_ntz")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") < cutoff, 1)).alias("n1"),
+        F.count(F.when(F.col("ts") >= cutoff, 1)).alias("n2"),
+    )
+    tot = per.agg(
+        F.sum("n1").alias("t1"),
+        F.sum("n2").alias("t2"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    num = F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1"))
+    agg = j.agg(
+        F.first("t1").alias("rows_before"),
+        F.first("t2").alias("rows_after"),
+        F.first("n_categories").alias("n_categories"),
+        F.sum(num).alias("__num"),
+        F.first(F.col("t1") * F.col("t2")).alias("__den"),
+    )
+    return agg.select(
+        "rows_before",
+        "rows_after",
+        "n_categories",
+        F.expr(exact_round_div_sql("__num", "2 * __den", "DIV")).alias(
+            "tvd_r"
+        ),
+    )
+
+
+DRIFT_TVD_SQL = f"""
+WITH per AS (
+  SELECT event_type,
+         COUNT(*) FILTER (WHERE ts < TIMESTAMP '{DRIFT_CUTOFF}') AS n1,
+         COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{DRIFT_CUTOFF}') AS n2
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2,
+         COUNT(*) AS n_categories
+  FROM per
+)
+SELECT MIN(t1) AS rows_before,
+       MIN(t2) AS rows_after,
+       MIN(n_categories) AS n_categories,
+       {exact_round_div_sql(
+           'CAST(SUM(ABS(n1 * t2 - n2 * t1)) AS BIGINT)',
+           '2 * MIN(t1) * MIN(t2)', '//')} AS tvd_r
+FROM per CROSS JOIN tot
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "novelty_docs": {"fn": novelty_docs, "sql": NOVELTY_SQL},
     "mad_price": {"fn": mad_price, "sql": MAD_SQL},
+    "categorical_drift_tvd": {
+        "fn": categorical_drift_tvd,
+        "sql": DRIFT_TVD_SQL,
+    },
     "winsorized_price_stats": {
         "fn": winsorized_price_stats,
         "sql": WINSORIZE_SQL,
