@@ -86,6 +86,7 @@ PRIORITY = [
     "temporal_split_leakage",
     "mad_price",
     "categorical_drift_tvd",
+    "conversion_latency_stats",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

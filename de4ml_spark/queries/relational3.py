@@ -152,6 +152,85 @@ FROM s3
 """
 
 
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the view->click conversion latency (seconds,
+    within the 1h window): converting-user count, exact median and p90 —
+    the SLA readout on top of the timed funnel.
+
+    Scale: the funnel window stages (one shuffle) + the histogram
+    quantile operator over integer second latencies (no raw-row
+    buffering)."""
+    from pyspark.sql import Window
+
+    from de4ml_spark.profile.battery import grouped_exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(w)
+        .alias("t_view"),
+    )
+    s2 = (
+        s1.select(
+            "user_id",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("t_view"))
+                    & (F.col("ts") <= F.col("t_view") + F.expr(CONVERT_WINDOW)),
+                    F.col("ts"),
+                )
+            )
+            .over(w)
+            .alias("t_click"),
+            "t_view",
+        )
+        .dropDuplicates(["user_id"])
+        .filter(F.col("t_click").isNotNull())
+        .select(
+            (
+                F.unix_timestamp("t_click") - F.unix_timestamp("t_view")
+            ).alias("latency_s")
+        )
+        .withColumn("__g", F.lit(1))
+    )
+    q = grouped_exact_quantiles(s2, ["__g"], "latency_s", [0.5, 0.9])
+    return q.select(
+        F.col("n").alias("n_conversions"),
+        F.round("q50", 6).alias("median_s_r"),
+        F.round("q90", 6).alias("p90_s_r"),
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+),
+s2 AS (
+  SELECT DISTINCT user_id, t_view,
+         MIN(CASE WHEN event_type = 'click' AND ts >= t_view
+                   AND ts <= t_view + INTERVAL 1 HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS t_click
+  FROM s1
+),
+lat AS (
+  SELECT date_diff('second', t_view, t_click) AS latency_s
+  FROM s2 WHERE t_click IS NOT NULL
+)
+SELECT COUNT(*) AS n_conversions,
+       ROUND(quantile_cont(latency_s, 0.5), 6) AS median_s_r,
+       ROUND(quantile_cont(latency_s, 0.9), 6) AS p90_s_r
+FROM lat
+"""
+
+
 # --------------------------------------------------------------------------
 # Retention cohorts: users grouped by first-seen day; for each (cohort,
 # day-offset) the count of distinct active users. Two shuffles (first-seen
@@ -346,6 +425,10 @@ REGISTRY: dict[str, dict] = {
     "q18_large_orders": {"fn": q18_large_orders, "sql": Q18_SQL},
     "q19_disjunctive_revenue": {"fn": q19_disjunctive_revenue, "sql": Q19_SQL},
     "timed_funnel_events": {"fn": timed_funnel_events, "sql": TIMED_FUNNEL_SQL},
+    "conversion_latency_stats": {
+        "fn": conversion_latency_stats,
+        "sql": CONVERSION_LATENCY_SQL,
+    },
 }
 
 
