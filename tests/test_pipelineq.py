@@ -337,3 +337,40 @@ def test_minhash_recall_perfect_at_this_banding(spark, sf_dir):
     assert r["n_hits"] == r["n_exact"]
     assert r["recall_r"] == 1.0
     assert r["n_lsh"] == r["n_hits"]  # verify step keeps only true pairs
+
+
+def test_kfold_partitions_users(spark, sf_dir):
+    """Folds partition the user set: per-fold user counts sum to the
+    distinct user count, rows sum to the table size, all folds nonempty."""
+    from de4ml_spark.queries.samplingq import N_FOLDS, kfold_events
+    from de4ml_spark.session import load_table
+
+    rows = kfold_events(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    # tiny fixtures may leave a fold empty (15 users at sf0.001); folds
+    # never exceed N_FOLDS and the partition invariants below always hold
+    assert 1 <= len(rows) <= N_FOLDS
+    assert all(0 <= r["fold"] < N_FOLDS for r in rows)
+    assert sum(r["n_rows"] for r in rows) == ev.count()
+    assert (
+        sum(r["n_users"] for r in rows)
+        == ev.select("user_id").distinct().count()
+    )  # fold is a function of user_id -> no user is counted twice
+
+
+def test_temporal_split_accounting(spark, sf_dir):
+    from de4ml_spark.queries.samplingq import temporal_split_leakage
+    from de4ml_spark.session import load_table
+
+    r = temporal_split_leakage(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    assert r["train_rows"] + r["test_rows"] == ev.count()
+    assert r["overlap_users"] <= min(r["train_users"], r["test_users"])
+
+
+def test_drift_tvd_bounds(spark, sf_dir):
+    from de4ml_spark.queries.mldataq2 import categorical_drift_tvd
+
+    r = categorical_drift_tvd(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["tvd_r"] <= 1.0
+    assert r["rows_before"] > 0 and r["rows_after"] > 0
