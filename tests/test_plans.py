@@ -495,3 +495,41 @@ def test_pack_sharded_parallel_window(spark, sf_dir):
     plan = _plan(pack_sharded(spark, sf_dir))
     assert "hashpartitioning(shard" in plan
     assert "SinglePartition" not in plan
+
+
+def test_phrase_search_no_nested_loop(spark, sf_dir):
+    """Posting-list adjacency joins must be hash equi-joins with the term
+    filters applied below the join — never BNLJ/cartesian."""
+    from de4ml_spark.queries.searchq import phrase_search_docs
+
+    plan = _plan(phrase_search_docs(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_kfold_single_aggregation(spark, sf_dir):
+    """Fold assignment is a map-only hash projection; the only shuffle is
+    the fold groupBy (plus its distinct-user expand)."""
+    from de4ml_spark.queries.samplingq import kfold_events
+
+    plan = _plan(kfold_events(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_drift_tvd_conditional_counts(spark, sf_dir):
+    """Both drift windows come from conditional counts over the events
+    scan (never two filtered subqueries joined on category): no
+    sort-merge join anywhere, and every scan reads ONLY (ts, event_type).
+    (AQE's pre-execution plan prints the per-branch scans before
+    ReuseExchange collapses them, so scan COUNT is not asserted.)"""
+    from de4ml_spark.queries.mldataq2 import categorical_drift_tvd
+
+    plan = _plan(categorical_drift_tvd(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "PythonUDF" not in plan
+    for line in plan.splitlines():
+        if "FileScan" in line:
+            assert "event_id" not in line and "value" not in line
