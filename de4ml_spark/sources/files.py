@@ -124,3 +124,16 @@ def write_csv(
     if compression:
         w = w.option("compression", compression)
     w.csv(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zlib") -> None:
+    """ORC sink — the columnar alternative when the downstream stack is
+    Hive/Trino-centric. Same predicate-pushdown/column-pruning story as
+    parquet (ORC carries min/max/bloom indexes natively)."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (schema from file metadata; filters and projections push
+    down exactly as with parquet — asserted in tests/test_sources.py)."""
+    return spark.read.orc(path)

@@ -85,3 +85,28 @@ def test_csv_roundtrip_and_corrupt_policy(spark, tmp_path):
     valid, rejects = split_corrupt(got)
     assert {tuple(r) for r in valid.collect()} == {(1, "a", 1.5), (2, "b", 2.5)}
     assert rejects.count() == 1
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/scan roundtrip preserves values; a filter on the scan
+    reaches the ORC reader as a pushed filter with pruned columns."""
+    from de4ml_spark.session import load_table
+    from de4ml_spark.sources.files import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    a = sorted(tuple(r) for r in orders.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+    filtered = back.filter(back["o_totalprice"] > 1000.0).select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan orc" in l)
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split(
+        "PushedFilters:"
+    )[1].split("]")[0]
+    assert "o_orderpriority" not in scan  # column pruning
