@@ -87,6 +87,8 @@ PRIORITY = [
     "mad_price",
     "categorical_drift_tvd",
     "conversion_latency_stats",
+    "embedding_norm_outliers",
+    "max_event_gap_users",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

@@ -300,9 +300,127 @@ FROM per CROSS JOIN tot
 """
 
 
+# --------------------------------------------------------------------------
+# Embedding-norm outlier screen: vectors whose L2 norm falls outside the
+# Tukey fences — the degenerate-embedding check (zero / exploding vectors
+# from failed encoders) every vector pipeline runs before indexing.
+# Norms are the SAME left-to-right double dot products the knn oracles
+# already bit-match, so the quantile fences are engine-identical.
+# --------------------------------------------------------------------------
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: exact q1/q3 of the vector L2 norms, Tukey-fence outlier
+    count, min/max norm."""
+    from de4ml_spark.operators.similarity import norm_sql
+    from de4ml_spark.profile.battery import grouped_exact_quantiles
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    ).select(F.expr(norm_sql("e", 64)).alias("nrm"))
+    q = grouped_exact_quantiles(
+        norms.withColumn("__g", F.lit(1)), ["__g"], "nrm", [0.25, 0.75]
+    ).select(
+        F.col("q25").alias("lo_q"),
+        F.col("q75").alias("hi_q"),
+        (F.col("q25") - 1.5 * (F.col("q75") - F.col("q25"))).alias("__lo"),
+        (F.col("q75") + 1.5 * (F.col("q75") - F.col("q25"))).alias("__hi"),
+    )
+    j = norms.crossJoin(F.broadcast(q))
+    return j.agg(
+        F.round(F.first("lo_q"), 6).alias("q1_r"),
+        F.round(F.first("hi_q"), 6).alias("q3_r"),
+        F.round(F.min("nrm"), 6).alias("min_norm_r"),
+        F.round(F.max("nrm"), 6).alias("max_norm_r"),
+        F.count(
+            F.when((F.col("nrm") < F.col("__lo")) | (F.col("nrm") > F.col("__hi")), 1)
+        ).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+def _norm_outliers_sql() -> str:
+    return """
+WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT sqrt(list_dot_product(e, e)) AS nrm FROM v),
+f AS (
+  SELECT quantile_cont(nrm, 0.25) AS lo_q, quantile_cont(nrm, 0.75) AS hi_q,
+         quantile_cont(nrm, 0.25)
+           - 1.5 * (quantile_cont(nrm, 0.75) - quantile_cont(nrm, 0.25)) AS lo,
+         quantile_cont(nrm, 0.75)
+           + 1.5 * (quantile_cont(nrm, 0.75) - quantile_cont(nrm, 0.25)) AS hi
+  FROM n
+)
+SELECT ROUND(MIN(lo_q), 6) AS q1_r,
+       ROUND(MIN(hi_q), 6) AS q3_r,
+       ROUND(MIN(nrm), 6) AS min_norm_r,
+       ROUND(MAX(nrm), 6) AS max_norm_r,
+       COUNT(*) FILTER (WHERE nrm < lo OR nrm > hi) AS n_outliers,
+       COUNT(*) AS n_vectors
+FROM n CROSS JOIN f
+"""
+
+
+# --------------------------------------------------------------------------
+# Heartbeat / silent-gap diagnostic: per user, the LARGEST gap between
+# consecutive events — top-20 by gap (the instrumentation-outage and
+# churn-risk readout).
+# --------------------------------------------------------------------------
+
+
+def max_event_gap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by largest silent gap (seconds), deterministic
+    (gap desc, user asc) order with rank.
+
+    Scale: one per-user window sort (lag) + max aggregate +
+    TakeOrdered top-K — never a global sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    agg = gaps.groupBy("user_id").agg(F.max("gap_s").alias("max_gap_s"))
+    w2 = Window.orderBy(F.desc("max_gap_s"), F.asc("user_id"))
+    return (
+        agg.orderBy(F.desc("max_gap_s"), F.asc("user_id"))
+        .limit(20)
+        .select("user_id", "max_gap_s", F.row_number().over(w2).alias("rank"))
+    )
+
+
+MAX_GAP_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+),
+agg AS (
+  SELECT user_id, MAX(gap_s) AS max_gap_s
+  FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, max_gap_s,
+       ROW_NUMBER() OVER (ORDER BY max_gap_s DESC, user_id ASC) AS rank
+FROM agg
+ORDER BY max_gap_s DESC, user_id LIMIT 20
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "novelty_docs": {"fn": novelty_docs, "sql": NOVELTY_SQL},
     "mad_price": {"fn": mad_price, "sql": MAD_SQL},
+    "embedding_norm_outliers": {
+        "fn": embedding_norm_outliers,
+        "sql": _norm_outliers_sql(),
+    },
+    "max_event_gap_users": {"fn": max_event_gap_users, "sql": MAX_GAP_SQL},
     "categorical_drift_tvd": {
         "fn": categorical_drift_tvd,
         "sql": DRIFT_TVD_SQL,
