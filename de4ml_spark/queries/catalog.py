@@ -89,6 +89,7 @@ PRIORITY = [
     "conversion_latency_stats",
     "embedding_norm_outliers",
     "max_event_gap_users",
+    "adaptive_alert_windows",
     "session_alert_overlap",
     "key_skew_orders",
     "fuzzy_name_pairs",

@@ -166,8 +166,66 @@ GROUP BY date_trunc('minute', ts)
 """
 
 
+# --------------------------------------------------------------------------
+# A3 adaptive variant: alert on minutes whose violation count exceeds the
+# exact p95 of per-minute counts — the self-calibrating threshold that
+# replaces the fixed `> 0` rule when baseline noise is nonzero (the
+# PromQL-rule analog with a data-derived threshold).
+# --------------------------------------------------------------------------
+
+
+def adaptive_alert_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minutes whose violation count > exact p95 of all minute counts,
+    with the threshold echoed (engine-identical interpolation).
+
+    Scale: the per-minute counts (one windowed groupBy) feed the
+    histogram quantile operator; the 1-row threshold broadcasts back."""
+    from de4ml_spark.profile.battery import grouped_exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("value") > 100.0)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_violations",
+        )
+    )
+    thr = grouped_exact_quantiles(
+        counts.withColumn("__g", F.lit(1)), ["__g"], "n_violations", [0.95]
+    ).select(F.col("q95").alias("__thr"))
+    return (
+        counts.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_violations") > F.col("__thr"))
+        .select(
+            "window_start",
+            "n_violations",
+            F.round("__thr", 6).alias("threshold_r"),
+        )
+    )
+
+
+ADAPTIVE_ALERT_SQL = """
+WITH counts AS (
+  SELECT date_trunc('minute', ts) AS window_start, COUNT(*) AS n_violations
+  FROM events WHERE value > 100.0
+  GROUP BY 1
+),
+thr AS (SELECT quantile_cont(n_violations, 0.95) AS t FROM counts)
+SELECT window_start, n_violations, ROUND(MIN(t), 6) AS threshold_r
+FROM counts CROSS JOIN thr
+WHERE n_violations > t
+GROUP BY window_start, n_violations
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "profile_lineitem": {"fn": profile_lineitem, "sql": PROFILE_LINEITEM_SQL},
+    "adaptive_alert_windows": {
+        "fn": adaptive_alert_windows,
+        "sql": ADAPTIVE_ALERT_SQL,
+    },
     "validation_counts_lineitem": {
         "fn": validation_counts_lineitem,
         "sql": VALIDATION_COUNTS_SQL,
