@@ -164,6 +164,23 @@ def main() -> None:
                 list(pool.map(_run, names))
             walls.append(time.time() - t0)
         batch_wall = min(walls)
+
+        # Optional full-catalog drain (SPARK_GRAFT_BENCH_CATALOG=1): every
+        # catalog query submitted concurrently, one rep (includes cold
+        # plan builds — the whole-surface serving figure recorded in
+        # BASELINE.md; off by default to keep the per-round bench fast).
+        catalog_wall = None
+        if os.environ.get("SPARK_GRAFT_BENCH_CATALOG") == "1":
+            all_names = list(qs)
+            t0 = time.time()
+            with ThreadPoolExecutor(max_workers=32) as pool:
+                list(pool.map(_run, all_names))
+            catalog_wall = time.time() - t0
+            print(
+                f"# catalog: {len(all_names)} queries drained in "
+                f"{catalog_wall:.2f}s",
+                file=sys.stderr,
+            )
         print(
             f"# workload: {len(names)} queries drained in {batch_wall:.2f}s "
             f"(min of {[round(w, 2) for w in walls]}; sequential: {total:.2f}s)",
@@ -171,19 +188,19 @@ def main() -> None:
         )
     spark.stop()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_workload_wall_clock",
-                "value": round(batch_wall, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sequential_total": round(total, 3),
-                "concurrent_workers": len(names),
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_workload_wall_clock",
+        "value": round(batch_wall, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sequential_total": round(total, 3),
+        "concurrent_workers": len(names),
+        "sf": sf,
+    }
+    if catalog_wall is not None:
+        out["catalog_queries"] = len(qs)
+        out["catalog_drain_wall"] = round(catalog_wall, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

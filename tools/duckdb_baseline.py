@@ -29,8 +29,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     oracles = catalog.oracle_sql()
-    names = [n for n in bench.HEADLINE if n in oracles]
-    skipped = [n for n in bench.HEADLINE if n not in oracles]
+    if os.environ.get("SPARK_GRAFT_BENCH_CATALOG") == "1":
+        names, skipped = list(oracles), []
+    else:
+        names = [n for n in bench.HEADLINE if n in oracles]
+        skipped = [n for n in bench.HEADLINE if n not in oracles]
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
