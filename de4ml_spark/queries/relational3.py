@@ -682,8 +682,14 @@ REGISTRY["latest_event_per_user"] = {
 # rows — one row per run of consecutive equal attribute values, with
 # [valid_from, valid_to) validity and is_current. The standard warehouse
 # dimension-history operator (gaps-and-islands via window functions).
-# Scale: two window passes over the same (key, ts) sort order — one
-# shuffle; no self-joins.
+# Scale/fusion: ONE shuffle and TWO WindowExec passes total. Pass 1
+# computes lag + row_number + partition count in a single WindowExec
+# (identical partition/order spec, so Catalyst groups all three frames
+# into one operator); run-start rows are then filtered — the second
+# lead() pass runs over only the (much smaller) start-row set, and its
+# Sort/Exchange are elided because the filter preserves the pass-1
+# partitioning and ordering. n_events falls out of row_number deltas,
+# replacing the groupBy aggregate entirely.
 # --------------------------------------------------------------------------
 
 def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,61 +697,50 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = ev.select(
-        "user_id", "event_type", "ts", "event_id"
-    ).withColumn(
-        "is_start",
-        F.when(
-            F.lag("event_type").over(w).isNull()
-            | (F.lag("event_type").over(w) != F.col("event_type")),
-            1,
-        ).otherwise(0),
-    )
-    grouped = marked.withColumn(
-        "grp", F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    runs = grouped.groupBy("user_id", "grp").agg(
-        # event_type is constant within a run; MIN is the deterministic pick
-        F.min("event_type").alias("event_type"),
-        F.min("ts").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
-    return runs.select(
+    wp = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    marked = ev.select("user_id", "event_type", "ts", "event_id").select(
         "user_id",
         "event_type",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
-        F.lead("valid_from").over(w2).isNull().alias("is_current"),
-        "n_events",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_rows"),
+    )
+    starts = marked.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "rn")
+    return starts.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+        (F.coalesce(F.lead("rn").over(w2), F.col("n_rows") + F.lit(1)) - F.col("rn"))
+        .cast("bigint")
+        .alias("n_events"),
     )
 
 
 SCD2_SQL = """
 WITH marked AS (
-  SELECT user_id, event_type, ts, event_id,
-         CASE WHEN LAG(event_type) OVER w IS NULL
-                OR LAG(event_type) OVER w <> event_type
-              THEN 1 ELSE 0 END AS is_start
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER w AS prev_type,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_rows
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
-grouped AS (
-  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS grp
-  FROM marked
-),
-runs AS (
-  SELECT user_id, grp, MIN(event_type) AS event_type,
-         MIN(ts) AS valid_from, COUNT(*) AS n_events
-  FROM grouped GROUP BY user_id, grp
+starts AS (
+  SELECT * FROM marked
+  WHERE prev_type IS NULL OR prev_type <> event_type
 )
-SELECT user_id, event_type, valid_from,
-       LEAD(valid_from) OVER w2 AS valid_to,
-       LEAD(valid_from) OVER w2 IS NULL AS is_current,
-       n_events
-FROM runs
-WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER w2 AS valid_to,
+       LEAD(ts) OVER w2 IS NULL AS is_current,
+       CAST(COALESCE(LEAD(rn) OVER w2, n_rows + 1) - rn AS BIGINT) AS n_events
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, rn)
 """
 
 

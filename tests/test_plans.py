@@ -406,12 +406,17 @@ def test_cdc_chunking_codegen_hash(spark, sf_dir):
 
 def test_scd2_single_shuffle(spark, sf_dir):
     """Gaps-and-islands SCD2: everything after the events scan shares the
-    per-user partitioning — exactly one exchange, no joins."""
+    per-user partitioning — exactly one exchange, no joins, and the fused
+    formulation plans exactly two WindowExecs (lag/row_number/count fused
+    into pass 1; lead pass 2 runs over run-start rows only) with no
+    intermediate aggregate."""
     from de4ml_spark.queries.relational3 import scd2_user_event_type
 
     plan = _plan(scd2_user_event_type(spark, sf_dir))
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+    assert plan.count("Window") == 2
+    assert "Aggregate" not in plan
 
 
 def test_portable_minhash_no_cartesian_and_partial_agg(spark, sf_dir):
