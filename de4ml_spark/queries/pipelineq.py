@@ -494,27 +494,44 @@ WHERE d.doc_id % {_BATCH_MOD} >= {_BATCH_MIN}
 # --------------------------------------------------------------------------
 # Packing-efficiency report: per fixed-budget training sequence, how many
 # docs overlap it / start in it and how full it is — the observability twin
-# of pack_training_sequences (same concat-and-chunk layout).
+# of the SHARD-LOCAL packing layout (textq2.pack_sharded): docs hash into
+# N_SHARDS shards and each shard packs independently, so sequence ids are
+# (shard, seq_id) pairs. This is the layout training data actually uses at
+# 100 TB; the global-cumsum variant (textq2.pack_training_sequences) is
+# kept only as the oracle-parity twin of the serial formulation.
 # --------------------------------------------------------------------------
 
 _PACK_BUDGET = 512
 
 
 def pack_sequence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-sequence stats of the concat-and-chunk packing: docs overlapping,
-    docs starting, and tokens filled (== budget everywhere but the tail).
+    """Per-(shard, sequence) stats of the shard-local concat-and-chunk
+    packing: docs overlapping, docs starting, and tokens filled (== budget
+    everywhere but each shard's tail).
 
-    Scale: one cumsum window (per shard at 100 TB — see
-    pack_training_sequences' note) + an interval explode bounded by
-    docs-per-sequence, then a map-side-combined groupBy on seq_id."""
+    Scale: the cumsum window is PARTITIONED BY shard — shards pack in
+    parallel and no row-grain single-partition window appears anywhere in
+    the plan; the interval explode is bounded by docs-per-sequence, then a
+    map-side-combined groupBy on (shard, seq_id)."""
+    from de4ml_spark.queries.textq2 import N_SHARDS
+
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     toks = F.size(tokens("text"))
     packed = (
-        docs.select("doc_id", toks.cast("bigint").alias("n_tokens"))
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % N_SHARDS).alias("shard"),
+            toks.cast("bigint").alias("n_tokens"),
+        )
         .withColumn("offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
         .select(
             "doc_id",
+            "shard",
             "n_tokens",
             "offset",
             (F.col("offset") / _PACK_BUDGET).cast("bigint").alias("seq_start"),
@@ -523,14 +540,19 @@ def pack_sequence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("seq_end"),
         )
     )
-    ex = packed.select(
+    # 0-token docs (null text) occupy no sequence: F.sequence emits a
+    # DESCENDING range when seq_end < seq_start while DuckDB's
+    # generate_series returns empty — filter them out before the explode.
+    # They still pass through the cumsum (contributing nothing), so
+    # offsets are unaffected.
+    ex = packed.filter(F.col("n_tokens") >= 1).select(
         "*", F.explode(F.sequence("seq_start", "seq_end")).alias("seq_id")
     )
     b = F.lit(_PACK_BUDGET)
     overlap = F.least(
         (F.col("seq_id") + 1) * b, F.col("offset") + F.col("n_tokens")
     ) - F.greatest(F.col("seq_id") * b, F.col("offset"))
-    return ex.groupBy("seq_id").agg(
+    return ex.groupBy("shard", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(F.col("seq_start") == F.col("seq_id"), 1)).alias(
             "n_docs_start"
@@ -539,36 +561,45 @@ def pack_sequence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PACK_REPORT_SQL = f"""
+def _pack_report_sql() -> str:
+    from de4ml_spark.queries.textq2 import N_SHARDS
+
+    return f"""
 WITH t AS (
-  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+  SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
 ),
 o AS (
-  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+  SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS "offset"
   FROM t
 ),
 packed AS (
-  SELECT doc_id, n_tokens, "offset",
+  SELECT doc_id, shard, n_tokens, "offset",
          CAST(FLOOR("offset" / {_PACK_BUDGET}) AS BIGINT) AS seq_start,
          CAST(FLOOR(("offset" + n_tokens - 1) / {_PACK_BUDGET}) AS BIGINT)
            AS seq_end
   FROM o
 ),
 ex AS (
-  SELECT *, unnest(generate_series(seq_start, seq_end)) AS seq_id FROM packed
+  SELECT *, unnest(generate_series(seq_start, seq_end)) AS seq_id
+  FROM packed WHERE n_tokens >= 1
 )
-SELECT seq_id,
+SELECT shard, seq_id,
        COUNT(*) AS n_docs,
        COUNT(*) FILTER (WHERE seq_start = seq_id) AS n_docs_start,
        CAST(SUM(LEAST((seq_id + 1) * {_PACK_BUDGET}, "offset" + n_tokens)
                 - GREATEST(seq_id * {_PACK_BUDGET}, "offset")) AS BIGINT)
          AS tokens_filled
 FROM ex
-GROUP BY seq_id
+GROUP BY shard, seq_id
 """
+
+
+PACK_REPORT_SQL = _pack_report_sql()
 
 
 # --------------------------------------------------------------------------

@@ -180,8 +180,10 @@ SELECT DISTINCT doc_id, mh AS fp FROM w WHERE pos <= maxp - 3
 # Scale note: a single global cumsum serializes into one partition. At
 # 100 TB packing is done per shard (partitionBy(shard) in the window — each
 # shard packs independently, offsets are shard-local), which is exactly how
-# training data is sharded anyway; the global variant here keeps the oracle
-# comparable.
+# training data is sharded anyway. pack_sharded below IS that default
+# layout, and the packing observability entry (pipelineq.
+# pack_sequence_report) reports on it; this global variant is kept only as
+# the oracle-parity twin of the serial formulation.
 # --------------------------------------------------------------------------
 
 SEQ_BUDGET = 512

