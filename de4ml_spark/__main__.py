@@ -64,6 +64,12 @@ def cmd_profile(args: argparse.Namespace) -> int:
     if args.rules:
         for rule in rules_from_profile(rows):
             print(f"# rule: {rule}")
+    if args.promql:
+        from de4ml_spark.profile.promexport import rules_to_promql
+
+        with open(args.promql, "w") as fh:
+            fh.write(rules_to_promql(rules_from_profile(rows)))
+        print(f"# wrote alert rules -> {args.promql}")
     return 0
 
 
@@ -118,6 +124,11 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--table", required=True, help="parquet path")
     pp.add_argument("--exact", action="store_true")
     pp.add_argument("--rules", action="store_true", help="derive quality rules")
+    pp.add_argument(
+        "--promql",
+        help="write the Prometheus alert-rules YAML artifact here "
+        "(mirrors bin/profile.sh -> promconfig/data_quality_rules.yml)",
+    )
     pp.set_defaults(fn=cmd_profile)
 
     pc = sub.add_parser("pcat", help="print a parquet file")

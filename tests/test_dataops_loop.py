@@ -60,6 +60,80 @@ def test_profile_rules_violations_loop(spark):
     assert counts[("loan", "required")] == 30
 
 
+def test_rules_to_promql_golden(spark):
+    """The alert-rules YAML artifact matches the reference's generated
+    shape exactly (dataops/app/profile.py:61-78 ->
+    promconfig/data_quality_rules.yml): one alert per bounded field with
+    the increase(...[1m]) > 0 expression, for: 0m, severity warning, and
+    the DQ summary/description annotations, under groups[0] named
+    'agrawal'."""
+    import yaml
+
+    from de4ml_spark.profile.promexport import rules_to_promql
+
+    clean = agrawal_frame(spark, 500)
+    prof = [r.asDict() for r in profile(clean, exact=True).collect()]
+    rules = rules_from_profile(prof)
+    doc = yaml.safe_load(rules_to_promql(rules))
+
+    assert list(doc) == ["groups"]
+    assert len(doc["groups"]) == 1
+    group = doc["groups"][0]
+    assert group["name"] == "agrawal"
+    bounded = [r.loc for r in rules if r.kind == "bounds"]
+    assert sorted(a["alert"] for a in group["rules"]) == sorted(
+        f"AgrawalRequest_{loc}" for loc in bounded
+    )
+    salary = next(a for a in group["rules"] if a["alert"] == "AgrawalRequest_salary")
+    assert salary == {
+        "alert": "AgrawalRequest_salary",
+        "expr": 'increase(agrawal_validation_checks_total{loc="salary"}[1m]) > 0',
+        "for": "0m",
+        "labels": {"severity": "warning"},
+        "annotations": {
+            "summary": "DQ Violation salary",
+            "description": "Data quality rule violation for salary",
+        },
+    }
+
+
+def test_counters_to_openmetrics_golden(spark):
+    """Counter exposition matches prometheus_client's text format for the
+    reference counter (dataops/app/api.py:15-19): HELP/TYPE preamble plus
+    one ``<name>_total{loc=...,type=...} <float>`` sample per label pair,
+    deterministically sorted."""
+    from de4ml_spark.profile.promexport import counters_to_openmetrics
+
+    clean = agrawal_frame(spark, 500)
+    prof = [r.asDict() for r in profile(clean, exact=True).collect()]
+    rules = rules_from_profile(prof)
+    dirty = agrawal_frame(spark, 300, seed=7, dirty_fraction=0.3)
+    counts = [r.asDict() for r in violation_counts(dirty, rules).collect()]
+    text = counters_to_openmetrics(counts)
+
+    # exact preamble + exactly one sorted sample line per (loc, type);
+    # the three engineered dirty families are pinned at 30 (other columns
+    # may contribute a handful of sampling-edge bounds trips — the clean
+    # profile's min/max come from a finite sample)
+    preamble = (
+        "# HELP agrawal_validation_checks_total Data quality validation"
+        " error counter\n"
+        "# TYPE agrawal_validation_checks_total counter\n"
+    )
+    expected_body = "".join(
+        f'agrawal_validation_checks_total{{loc="{r["loc"]}",'
+        f'type="{r["type"]}"}} {float(r["n_violations"])}\n'
+        for r in sorted(counts, key=lambda r: (r["loc"], r["type"]))
+    )
+    assert text == preamble + expected_body
+    for line in (
+        'agrawal_validation_checks_total{loc="age",type="bounds"} 30.0\n',
+        'agrawal_validation_checks_total{loc="loan",type="required"} 30.0\n',
+        'agrawal_validation_checks_total{loc="salary",type="bounds"} 30.0\n',
+    ):
+        assert line in text
+
+
 def test_pandas_udf_custom_validator(spark):
     """Arbitrary-Python row predicate as a rule — the reference's custom
     Pydantic validator capability, as an Arrow-batched pandas_udf."""
