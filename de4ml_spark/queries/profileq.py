@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from de4ml_spark.contracts.validation import (
     Rule,
-    rules_from_profile,
     violation_counts,
 )
 from de4ml_spark.profile.battery import profile
@@ -105,18 +104,56 @@ SELECT loc, type, n_violations FROM (
 # P11 end-to-end: profile a training slice -> derive bounds/required rules ->
 # count violations on the rest (the dataops feedback loop,
 # dataops/app/profile.py:21-39 + api.py:54-76, as one batch query).
-# The rules table is tiny driver-side metadata compiled into broadcast-able
-# literal predicates — at 100 TB the validated scan stays a single pass.
+# Formulated as ONE lazy DAG: the training bounds/null-count are a
+# single-row broadcast scalar frame joined into the serving scan, so the
+# whole loop is one job with no driver round-trip. The materialized
+# rules-as-data path (profile -> rules_from_profile -> violation_counts,
+# the operational API) computes the identical result and is pinned
+# equivalent by tests/test_dataops_loop.py + tests/test_profile.py; at
+# 100 TB both shapes validate with a single pass over the serving data.
 # --------------------------------------------------------------------------
 
 def profile_to_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-03 00:00:00").cast("timestamp_ntz")
     train = ev.filter(F.col("ts") < cutoff)
-    prof_rows = [r.asDict() for r in profile(train, columns=["value"], exact=True).collect()]
-    rules = rules_from_profile(prof_rows)
-    serve = ev.filter(F.col("ts") >= cutoff)
-    return violation_counts(serve, rules)
+    bounds = train.agg(
+        F.min("value").alias("_lo"),
+        F.max("value").alias("_hi"),
+        (F.count(F.lit(1)) - F.count("value")).alias("_train_nulls"),
+    )
+    serve = ev.filter(F.col("ts") >= cutoff).crossJoin(F.broadcast(bounds))
+    v = F.col("value")
+    viol = serve.agg(
+        F.count(
+            F.when(
+                v.isNotNull() & ~((v >= F.col("_lo")) & (v <= F.col("_hi"))), 1
+            )
+        ).alias("_bounds_v"),
+        F.count(
+            F.when((F.col("_train_nulls") == 0) & v.isNull(), 1)
+        ).alias("_required_v"),
+    )
+    return (
+        viol.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("value").alias("loc"),
+                        F.lit("bounds").alias("type"),
+                        F.col("_bounds_v").alias("n_violations"),
+                    ),
+                    F.struct(
+                        F.lit("value").alias("loc"),
+                        F.lit("required").alias("type"),
+                        F.col("_required_v").alias("n_violations"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .filter(F.col("n_violations") > 0)
+    )
 
 
 PROFILE_TO_RULES_SQL = """

@@ -144,12 +144,18 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    total = vocab.agg(F.sum("tf")).collect()[0][0]
-    scored = terms.join(F.broadcast(vocab), "term").withColumn(
-        "logp",
-        F.round(F.log(F.col("tf") / F.lit(float(total))), 6).cast(
-            "decimal(12,6)"
-        ),
+    # corpus token total as a single-row broadcast scalar (the standard
+    # scalar-join shape, one lazy DAG) — not a driver collect()
+    total = vocab.agg(F.sum("tf").alias("_total"))
+    scored = (
+        terms.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "logp",
+            F.round(
+                F.log(F.col("tf") / F.col("_total").cast("double")), 6
+            ).cast("decimal(12,6)"),
+        )
     )
     from de4ml_spark.operators.portable_hash import exact_round_neg_mean_sql
 
@@ -321,20 +327,22 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    vocab_size = (
-        docs.select(F.explode(tokens("text")).alias("t"))
-        .agg(F.count_distinct("t"))
-        .collect()[0][0]
+    vocab_size = docs.select(F.explode(tokens("text")).alias("t")).agg(
+        F.count_distinct("t").alias("_vocab")
     )
-    model = bi.join(F.broadcast(uni), "w1").select(
-        "w1",
-        "w2",
-        F.round(
-            F.log((F.col("c12") + 1) / (F.col("c1") + F.lit(int(vocab_size)))),
-            6,
+    model = (
+        bi.join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("c12") + 1) / (F.col("c1") + F.col("_vocab"))),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("logp"),
         )
-        .cast("decimal(12,6)")
-        .alias("logp"),
     )
     return (
         bigrams.join(F.broadcast(model), ["w1", "w2"])
@@ -405,23 +413,28 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
     lengths = docs.select("doc_id", F.size(tokens("text")).alias("dl"))
-    avgdl = lengths.agg(F.avg("dl")).collect()[0][0]
+    # corpus-level n_docs/avgdl as one single-row broadcast scalar frame
+    # (exact: long-sum/count average) — keeps the entry one lazy DAG
+    stats = lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("dl").alias("_avgdl"),
+    )
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("term")).filter(
         F.col("term").isin(BM25_TERMS)
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
     denom = F.col("tf") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl))
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("_avgdl")
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .withColumn("s", idf * F.col("tf") * (BM25_K1 + 1) / denom)
     )
     from pyspark.sql import Window
@@ -498,14 +511,18 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    wts = tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    wts = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("_n_docs") / F.col("df"))).alias("w"),
+        )
     )
     q = wts.filter(F.col("doc_id") < N_TFIDF_QUERIES).select(
         F.col("doc_id").alias("query_id"), "term", F.col("w").alias("qw")
