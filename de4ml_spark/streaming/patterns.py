@@ -82,3 +82,65 @@ def streaming_pattern_counts(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_pattern_counts_tws(events: DataFrame) -> DataFrame:
+    """The same automaton on the Spark 4 stateful API:
+    ``transformWithStateInPandas`` with a ``StatefulProcessor`` holding the
+    3-scalar automaton in a named ValueState. Functionally identical to
+    ``streaming_pattern_counts`` (same output schema, same cross-batch
+    semantics); transformWithState is the forward path
+    (applyInPandasWithState's successor) and additionally supports
+    timers/TTL if the pattern ever needs session expiry.
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` Python package (the Spark 4 Python state-server protocol
+    is protobuf-framed). The cross-batch equivalence test runs wherever
+    protobuf is available and skips (with the reason recorded) where the
+    environment does not ship it; plan construction and output schema are
+    tested unconditionally."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _PatternProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("automaton", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            open_, n_events, n_conv = (
+                self._state.get() if self._state.exists() else (False, 0, 0)
+            )
+            batch = pd.concat(list(rows), ignore_index=True)
+            if len(batch):
+                batch = batch.sort_values(["ts", "event_id"])
+                for et in batch["event_type"]:
+                    s = et[0]
+                    n_events += 1
+                    if s == "v":
+                        open_ = True
+                    elif s == "p" and open_:
+                        n_conv += 1
+                        open_ = False
+            self._state.update((bool(open_), int(n_events), int(n_conv)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [int(n_events)],
+                    "n_conversions": [int(n_conv)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_PatternProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

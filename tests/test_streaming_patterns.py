@@ -43,18 +43,17 @@ def _write(path, rows):
     )
 
 
-@pytest.mark.slow
-def test_streaming_pattern_counts_cross_batch(spark, tmp_path):
+def _run_cross_batch(spark, tmp_path, op, queryname):
     src = tmp_path / "ev"
     # batch 1: u1 "vc" (open, no conversion yet), u2 "vp" (1 conversion)
     _write(src, _rows(1, "vc", 0) + _rows(2, "vp", 100))
     stream = (
         spark.readStream.schema(SCHEMA).json(str(src))
     )
-    out = streaming_pattern_counts(stream)
+    out = op(stream)
     q = (
         out.writeStream.format("memory")
-        .queryName("pattern_counts")
+        .queryName(queryname)
         .outputMode("update")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
@@ -66,11 +65,17 @@ def test_streaming_pattern_counts_cross_batch(spark, tmp_path):
         # open v -> no conversion)
         _write(src, _rows(1, "pvvp", 10) + _rows(2, "p", 110))
         q.processAllAvailable()
-        rows = spark.sql(
-            "SELECT * FROM pattern_counts"
-        ).collect()
+        rows = spark.sql(f"SELECT * FROM {queryname}").collect()
     finally:
         q.stop()
+    return src, rows
+
+
+@pytest.mark.slow
+def test_streaming_pattern_counts_cross_batch(spark, tmp_path):
+    src, rows = _run_cross_batch(
+        spark, tmp_path, streaming_pattern_counts, "pattern_counts"
+    )
     # latest update per user
     latest: dict[int, tuple[int, int]] = {}
     for r in rows:
@@ -106,3 +111,67 @@ def test_streaming_pattern_counts_cross_batch(spark, tmp_path):
         .collect()
     }
     assert {u: v for u, v in latest.items()} == batch
+
+
+def _has_protobuf() -> bool:
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def test_streaming_pattern_counts_tws_plan(spark, tmp_path):
+    """The transformWithStateInPandas variant wires up (plan construction +
+    output schema) regardless of environment: the StatefulProcessor is
+    serialized into the plan without starting the state-server protocol."""
+    from de4ml_spark.streaming.patterns import streaming_pattern_counts_tws
+
+    src = tmp_path / "ev"
+    _write(src, _rows(1, "vp", 0))
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    out = streaming_pattern_counts_tws(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "n_events",
+        "n_conversions",
+    ]
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python state-server protocol requires the "
+    "protobuf package, which this environment does not ship",
+)
+def test_streaming_pattern_counts_tws_cross_batch(spark, tmp_path):
+    """The transformWithStateInPandas variant carries identical automaton
+    state across micro-batches (Spark 4 stateful API; needs the RocksDB
+    state store provider)."""
+    from de4ml_spark.streaming.patterns import streaming_pattern_counts_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        _, rows = _run_cross_batch(
+            spark, tmp_path, streaming_pattern_counts_tws, "pattern_counts_tws"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    latest: dict[int, tuple[int, int]] = {}
+    for r in rows:
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_events"] >= cur[0]:
+            latest[r["user_id"]] = (r["n_events"], r["n_conversions"])
+    assert latest[1] == (6, 2)
+    assert latest[2] == (3, 1)
