@@ -38,9 +38,15 @@ def _to_datatype(schema: dict[str, Any], defs: dict[str, Any]) -> T.DataType:
     if "$ref" in schema:
         return _to_datatype(_resolve_ref(schema["$ref"], defs), defs)
     # escape hatch mirroring the reference's `duckdb_type` passthrough
-    # (jsonschema.py:121-122): a verbatim Spark DDL type string.
+    # (jsonschema.py:121-122): a Spark type string — either the JSON
+    # type-name form ("integer", "decimal(12,2)"; parsed pure-Python, no
+    # JVM needed) or any DDL string ("int", "map<string,int>"; needs an
+    # active SparkContext for the DDL parser).
     if "spark_type" in schema:
-        return T._parse_datatype_string(schema["spark_type"])
+        try:
+            return T._parse_datatype_json_value(schema["spark_type"])
+        except Exception:
+            return T._parse_datatype_string(schema["spark_type"])
     typ = schema.get("type")
     if typ == "array":
         return T.ArrayType(_to_datatype(schema.get("items", {}), defs))
@@ -97,6 +103,61 @@ def flatten_manifest(struct: T.StructType, prefix: str = "") -> list[str]:
         else:
             cols.append(path)
     return cols
+
+
+_PRIMITIVES_INV: dict[type, str] = {
+    T.LongType: "integer",
+    T.DoubleType: "number",
+    T.StringType: "string",
+    T.BooleanType: "boolean",
+}
+
+
+def _from_datatype(dt: T.DataType) -> dict[str, Any]:
+    if type(dt) in _PRIMITIVES_INV:
+        return {"type": _PRIMITIVES_INV[type(dt)]}
+    if isinstance(dt, T.ArrayType):
+        return {"type": "array", "items": _from_datatype(dt.elementType)}
+    if isinstance(dt, T.StructType):
+        out: dict[str, Any] = {
+            "type": "object",
+            "properties": {
+                f.name: _from_datatype(f.dataType) for f in dt.fields
+            },
+        }
+        required = [f.name for f in dt.fields if not f.nullable]
+        if required:
+            out["required"] = required
+        return out
+    # types outside the reference's JSON-Schema surface (decimal, date,
+    # timestamp, map, binary, narrow ints, ...) round-trip through the
+    # ``spark_type`` escape hatch — the export-side mirror of the
+    # reference's verbatim `duckdb_type` passthrough (jsonschema.py:121-122).
+    # Atomic types export in JSON type-name form (parses back without a
+    # JVM); anything else falls back to the DDL string.
+    import json as _json
+
+    jval = _json.loads(dt.json())
+    return {"spark_type": jval if isinstance(jval, str) else dt.simpleString()}
+
+
+def to_json_schema(struct: T.StructType, title: str | None = None) -> dict[str, Any]:
+    """Export a ``StructType`` contract as a JSON Schema dict — the reverse
+    of ``struct_from_json_schema``, mirroring the reference's contract ->
+    JSON Schema export direction (Pydantic models exported through OpenAPI,
+    logging-service/app/lib/jsonschema.py:59-89, driven by migrate.py:33-35).
+
+    Nested structs are inlined (the importer accepts both inline objects
+    and ``$ref``s, so inlining keeps the artifact self-contained);
+    non-nullable fields become ``required``. Round-trip contract (pinned by
+    property tests): ``struct_from_json_schema(to_json_schema(s)) == s``
+    for every StructType, and re-export is a fixpoint."""
+    out = _from_datatype(struct)
+    if not isinstance(struct, T.StructType):
+        raise ValueError("top-level contract must be a StructType")
+    if title is not None:
+        out = {"title": title, **out}
+    return out
 
 
 def merge_manifests(old: list[str], new: list[str]) -> list[str]:

@@ -18,6 +18,7 @@ from de4ml_spark.contracts.jsonschema import (
     flatten_manifest,
     merge_manifests,
     struct_from_json_schema,
+    to_json_schema,
 )
 
 # ---------------------------------------------------------------------------
@@ -87,6 +88,71 @@ def test_manifest_merge_is_additive_prefix(a, b):
     assert merged[: len(ma)] == ma
     # nothing is lost and nothing duplicated
     assert sorted(merged) == combined
+
+
+# ---------------------------------------------------------------------------
+# StructType -> JSON Schema -> StructType round trip (export direction)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+_canon = st.sampled_from(
+    [T.LongType(), T.DoubleType(), T.StringType(), T.BooleanType()]
+)
+# types outside the reference's JSON surface: exported via the spark_type
+# escape hatch, must still round-trip exactly
+_exotic = st.sampled_from(
+    [
+        T.IntegerType(),
+        T.FloatType(),
+        T.DateType(),
+        T.TimestampType(),
+        T.DecimalType(12, 2),
+        T.BinaryType(),
+    ]
+)
+
+
+@st.composite
+def struct_types(draw, depth=2):
+    n = draw(st.integers(1, 4))
+    names = draw(st.lists(_name, min_size=n, max_size=n, unique=True))
+    fields = []
+    for nm in names:
+        kind = draw(st.integers(0, 4 if depth > 0 else 2))
+        if kind == 0:
+            dt = draw(_canon)
+        elif kind == 1:
+            dt = draw(_exotic)
+        elif kind == 2:
+            dt = T.ArrayType(draw(st.one_of(_canon, _exotic)))
+        elif kind == 3:
+            dt = draw(struct_types(depth=depth - 1))
+        else:
+            dt = T.ArrayType(draw(struct_types(depth=depth - 1)))
+        fields.append(T.StructField(nm, dt, nullable=draw(st.booleans())))
+    return T.StructType(fields)
+
+
+@given(struct_types())
+@settings(max_examples=200, deadline=None)
+def test_to_json_schema_round_trip_fixpoint(struct):
+    """Export -> import is the identity on StructTypes (including
+    nullability-as-required and escape-hatch types), and re-export of the
+    imported struct is a schema fixpoint."""
+    schema = to_json_schema(struct)
+    assert struct_from_json_schema(schema) == struct
+    assert to_json_schema(struct_from_json_schema(schema)) == schema
+
+
+@given(json_schemas())
+@settings(max_examples=200, deadline=None)
+def test_import_export_import_fixpoint(schema):
+    """For any schema in the reference's surface, import -> export ->
+    import lands on the same StructType (export loses only syntactic
+    variation, never structure)."""
+    struct = struct_from_json_schema(schema)
+    assert struct_from_json_schema(to_json_schema(struct)) == struct
 
 
 # ---------------------------------------------------------------------------
