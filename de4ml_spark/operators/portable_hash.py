@@ -142,6 +142,25 @@ def exact_round_div_sql(p: str, q: str, div: str, decimals: int = 6) -> str:
     )
 
 
+def exact_round_div_sql_wide(
+    p: str, q: str, div: str, decimals: int = 6
+) -> str:
+    """128-bit-capable variant of ``exact_round_div_sql`` for rationals
+    whose scaled numerator ``p * 2*10^d`` can exceed int64 (e.g. the drift
+    TVD's sum of count cross-products once per-window totals approach
+    ~1.5e6 rows at d=6 — and the cross-products alone overflow near 3e9
+    rows/window). The intermediate is DECIMAL(38,0) on Spark ("DIV") and
+    HUGEINT on DuckDB ("//") — both exact integer arithmetic to ~1e38,
+    i.e. safe past 1e16-row windows; the final nearest-double conversion
+    is identical to the narrow variant."""
+    scale = 10**decimals
+    big = "DECIMAL(38,0)" if div.upper() == "DIV" else "HUGEINT"
+    return (
+        f"(CAST((CAST(({p}) AS {big}) * {2 * scale} + ({q}))"
+        f" {div} (2 * ({q})) AS DOUBLE) / {scale}.0)"
+    )
+
+
 def exact_round_neg_mean_sql(
     sum_expr: str, cnt_expr: str, div: str, decimals: int = 6
 ) -> str:

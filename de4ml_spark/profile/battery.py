@@ -121,14 +121,8 @@ def _exact_column_profile(df: DataFrame, f_: T.StructField) -> DataFrame:
         # for inputs with <= 6 decimal digits (cf. queries/relational.py)
         s1 = F.sum(vd * cnt)
         avg = s1.cast("double") / F.sum(F.when(v.isNotNull(), cnt))
-        # std from exact-count weighted double moments; round-stable at 4dp
-        n_ = F.sum(F.when(v.isNotNull(), cnt)).cast("double")
-        s2 = F.sum(F.when(v.isNotNull(), vf * vf * cnt.cast("double")))
-        m1 = s1.cast("double")
-        std = F.sqrt((s2 - m1 * m1 / n_) / (n_ - F.lit(1.0)))
     else:
         avg = F.lit(None).cast("double")
-        std = F.lit(None).cast("double")
     stats = hist.agg(
         F.coalesce(F.sum(F.when(v.isNotNull(), cnt)), F.lit(0)).alias(
             f"{name}__count"
@@ -140,8 +134,36 @@ def _exact_column_profile(df: DataFrame, f_: T.StructField) -> DataFrame:
         F.min(v).cast("string").alias(f"{name}__min"),
         F.max(v).cast("string").alias(f"{name}__max"),
         avg.alias(f"{name}__avg"),
-        std.alias(f"{name}__std"),
     )
+    if numeric:
+        # std via SHIFTED moments: sum cnt*(v-mean)^2 over the histogram
+        # with the exact mean broadcast back in — the two-pass formulation
+        # (cancellation-safe for large-mean/low-variance columns, unlike
+        # E[x^2]-mean^2), matching the stable algorithms DuckDB/NumPy use.
+        # n=1 and n=0 yield NULL, matching STDDEV_SAMP.
+        dev = vf - F.col(f"{name}__avg")
+        sq = (
+            hist.filter(v.isNotNull())
+            .crossJoin(
+                F.broadcast(
+                    stats.select(f"{name}__avg", f"{name}__count")
+                )
+            )
+            .agg(
+                F.sum(dev * dev * cnt.cast("double")).alias("_ssq"),
+                F.first(F.col(f"{name}__count")).cast("double").alias("_n"),
+            )
+        )
+        stdrow = sq.select(
+            F.when(
+                F.col("_n") > 1, F.sqrt(F.col("_ssq") / (F.col("_n") - 1))
+            ).alias(f"{name}__std")
+        )
+    else:
+        stdrow = stats.sparkSession.range(1).select(
+            F.lit(None).cast("double").alias(f"{name}__std")
+        )
+    stats = stats.crossJoin(F.broadcast(stdrow))
     if not numeric:
         qrow = stats.sparkSession.range(1).select(
             F.lit(None).cast("array<double>").alias(f"{name}__qs")

@@ -7,7 +7,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de4ml_spark.operators.portable_hash import exact_round_div_sql
+from de4ml_spark.operators.portable_hash import (
+    exact_round_div_sql,
+    exact_round_div_sql_wide,
+)
 from de4ml_spark.operators.text import tokens
 from de4ml_spark.session import load_table
 
@@ -260,19 +263,27 @@ def categorical_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_categories"),
     )
     j = per.crossJoin(F.broadcast(tot))
-    num = F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1"))
+    # count cross-products and their sum are DECIMAL(38,0) (HUGEINT on the
+    # oracle side): n1*t2 alone exceeds int64 near ~3e9 rows/window, and
+    # the 2e6-scaled rounding numerator near ~1.5e6 — the wide rounding
+    # helper keeps the whole TVD rational exact to ~1e16-row windows
+    wide = "decimal(38,0)"
+    num = F.abs(
+        F.col("n1").cast(wide) * F.col("t2")
+        - F.col("n2").cast(wide) * F.col("t1")
+    )
     agg = j.agg(
         F.first("t1").alias("rows_before"),
         F.first("t2").alias("rows_after"),
         F.first("n_categories").alias("n_categories"),
         F.sum(num).alias("__num"),
-        F.first(F.col("t1") * F.col("t2")).alias("__den"),
+        F.first(F.col("t1").cast(wide) * F.col("t2")).alias("__den"),
     )
     return agg.select(
         "rows_before",
         "rows_after",
         "n_categories",
-        F.expr(exact_round_div_sql("__num", "2 * __den", "DIV")).alias(
+        F.expr(exact_round_div_sql_wide("__num", "2 * __den", "DIV")).alias(
             "tvd_r"
         ),
     )
@@ -293,9 +304,9 @@ tot AS (
 SELECT MIN(t1) AS rows_before,
        MIN(t2) AS rows_after,
        MIN(n_categories) AS n_categories,
-       {exact_round_div_sql(
-           'CAST(SUM(ABS(n1 * t2 - n2 * t1)) AS BIGINT)',
-           '2 * MIN(t1) * MIN(t2)', '//')} AS tvd_r
+       {exact_round_div_sql_wide(
+           'SUM(ABS(CAST(n1 AS HUGEINT) * t2 - CAST(n2 AS HUGEINT) * t1))',
+           '2 * CAST(MIN(t1) AS HUGEINT) * MIN(t2)', '//')} AS tvd_r
 FROM per CROSS JOIN tot
 """
 

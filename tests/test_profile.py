@@ -37,6 +37,26 @@ def test_battery_values(spark):
     assert i["q25"] == 1.75 and i["q75"] == 3.25  # exact interpolation
 
 
+def test_std_edge_cases_match_stddev_samp(spark):
+    """Shifted-moment std: n=1 and all-null columns yield NULL (matching
+    STDDEV_SAMP, where the old E[x^2]-mean^2 form gave NaN), and a
+    large-mean/low-variance column survives without catastrophic
+    cancellation."""
+    df = spark.createDataFrame(
+        [(1.0, None, 1e9 + 0.1), (None, None, 1e9 + 0.2), (None, None, 1e9 + 0.3)],
+        "one DOUBLE, all_null DOUBLE, shifted DOUBLE",
+    )
+    rows = {
+        r["column_name"]: r.asDict()
+        for r in profile(df, exact=True).collect()
+    }
+    assert rows["one"]["std"] is None
+    assert rows["all_null"]["std"] is None
+    # exact sample std of {0.1, 0.2, 0.3} around 1e9 is 0.1; the naive
+    # single-pass form loses every significant digit here
+    assert abs(rows["shifted"]["std"] - 0.1) < 1e-6
+
+
 def test_single_job_single_row_reduction(spark):
     # one scan, no shuffle beyond the final single-row aggregate
     p = profile(_df(spark), exact=False)
