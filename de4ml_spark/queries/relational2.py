@@ -423,9 +423,76 @@ ASOF LEFT JOIN views v
 """
 
 
+# --------------------------------------------------------------------------
+# Feature-store point-in-time join ACROSS tables: each order probes the
+# event stream for its customer's latest feature values as of the order
+# instant — the training-set assembly join every feature store performs
+# (no future leakage by construction). The orders clock (1995-2001) is
+# deterministically aligned into the events window (Jan 2024) so probes
+# interleave with features; customers with no event stream keep NULL
+# features (LEFT semantics). Spark path: the same union + carry-forward
+# shape as asof_click_view — ONE shuffle of |probes|+|features| rows, no
+# O(|L|*|R|) range join; oracle: DuckDB native ASOF LEFT JOIN.
+# --------------------------------------------------------------------------
+
+PIT_USER_CAP = 300  # probe orders of users 0..299: half have event streams
+
+
+def pit_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    feats = ev.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("feat_value"),
+        F.max_by("event_type", "event_id").alias("feat_type"),
+    )
+    probe_ts = F.expr(
+        "timestampadd(MINUTE, CAST(o_orderkey % 43200 AS INT),"
+        " TIMESTAMP'2024-01-01 00:00:00')"
+    ).cast("timestamp_ntz")
+    probes = orders.filter(F.col("o_custkey") < PIT_USER_CAP).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        probe_ts.alias("ts"),
+    )
+    return asof_join(
+        probes, feats, on="user_id", payload=["feat_value", "feat_type"]
+    ).select(
+        "o_orderkey",
+        "user_id",
+        F.col("ts").alias("probe_ts"),
+        F.col("ts_asof").alias("feat_ts"),
+        F.round("feat_value_asof", 6).alias("feat_value"),
+        F.col("feat_type_asof").alias("feat_type"),
+    )
+
+
+PIT_SQL = f"""
+WITH feats AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS feat_value,
+         arg_max(event_type, event_id) AS feat_type
+  FROM events GROUP BY user_id, ts
+),
+probes AS (
+  SELECT o_orderkey, o_custkey AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 43200) * INTERVAL 1 MINUTE AS ts
+  FROM orders WHERE o_custkey < {PIT_USER_CAP}
+)
+SELECT p.o_orderkey, p.user_id, p.ts AS probe_ts,
+       f.ts AS feat_ts, ROUND(f.feat_value, 6) AS feat_value,
+       f.feat_type
+FROM probes p
+ASOF LEFT JOIN feats f
+  ON p.user_id = f.user_id AND f.ts <= p.ts
+"""
+
+
 REGISTRY: dict[str, dict] = {
     "q6_forecast_revenue": {"fn": q6_forecast_revenue, "sql": Q6_SQL},
     "asof_click_view": {"fn": asof_click_view, "sql": ASOF_SQL},
+    "pit_features_orders": {"fn": pit_features_orders, "sql": PIT_SQL},
     "q7_nation_volume": {"fn": q7_nation_volume, "sql": Q7_SQL},
     "orders_rollup": {"fn": orders_rollup, "sql": ORDERS_ROLLUP_SQL},
     "events_pivot": {"fn": events_pivot, "sql": EVENTS_PIVOT_SQL},

@@ -93,6 +93,87 @@ FROM totals t2 LEFT JOIN hit_counts h ON t2.doc_id = h.doc_id
 
 
 # --------------------------------------------------------------------------
+# Fraction-thresholded decontamination: per CORPUS doc, what fraction of
+# its shingles appear in ANY benchmark doc, with the drop decision at
+# >= 20% overlap — the doc-level screen real pipelines act on (the
+# any-overlap variant above reports from the benchmark's perspective).
+# Scale: the benchmark shingle set is bounded by benchmark size (always
+# broadcastable); the corpus side is one explode + broadcast-hash join +
+# map-side-combined groupBy — no shuffle of corpus text.
+# --------------------------------------------------------------------------
+
+DECON_FRAC_NUM, DECON_FRAC_DEN = 1, 5  # drop at overlap >= 1/5
+
+
+def decontaminate_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.dedup import shingles
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_sh = (
+        docs.filter(F.col("doc_id") < N_BENCH)
+        .select(F.explode(shingles("text", DECON_N)).alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = docs.filter(F.col("doc_id") >= N_BENCH).select(
+        "doc_id", F.explode(shingles("text", DECON_N)).alias("sh")
+    )
+    per = (
+        corpus.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_overlap"),
+        )
+    )
+    # the drop decision compares the RATIONAL (integer cross-multiply) so
+    # the threshold is exact in both engines, never a rounded double
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.expr(exact_round_div_sql("n_overlap", "n_shingles", "DIV")).alias(
+            "overlap_r"
+        ),
+        (
+            F.col("n_overlap") * DECON_FRAC_DEN
+            >= F.col("n_shingles") * DECON_FRAC_NUM
+        ).alias("drop"),
+    )
+
+
+def _decon_frac_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+bench AS (
+  SELECT DISTINCT unnest(sh) AS sh FROM s WHERE doc_id < {N_BENCH}
+),
+corpus AS (
+  SELECT doc_id, unnest(sh) AS sh FROM s WHERE doc_id >= {N_BENCH}
+),
+per AS (
+  SELECT c.doc_id, COUNT(*) AS n_shingles,
+         COUNT(b.sh) AS n_overlap
+  FROM corpus c LEFT JOIN bench b ON c.sh = b.sh
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_overlap,
+       {exact_round_div_sql('n_overlap', 'n_shingles', '//')} AS overlap_r,
+       n_overlap * {DECON_FRAC_DEN} >= n_shingles * {DECON_FRAC_NUM} AS drop
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
 # PII scrubbing: redact email-like and long-digit-run tokens; report
 # per-doc redaction counts. Pure regexp (JVM-side codegen) — dialect-simple
 # patterns shared verbatim with the oracle.
@@ -217,6 +298,10 @@ GROUP BY 1, 2
 
 REGISTRY: dict[str, dict] = {
     "decontaminate_docs": {"fn": decontaminate_docs, "sql": DECON_SQL},
+    "decontaminate_fraction_docs": {
+        "fn": decontaminate_fraction_docs,
+        "sql": _decon_frac_sql(),
+    },
     "pii_scrub_docs": {"fn": pii_scrub_docs, "sql": PII_SQL},
     "unigram_logprob_docs": {"fn": unigram_logprob_docs, "sql": UNIGRAM_SQL},
     "lang_confusion_docs": {"fn": lang_confusion_docs, "sql": _confusion_sql()},

@@ -419,6 +419,29 @@ def test_scd2_single_shuffle(spark, sf_dir):
     assert "Aggregate" not in plan
 
 
+def test_pit_features_no_range_join(spark, sf_dir):
+    """Cross-table point-in-time join plans as union + carry-forward: no
+    join operator at all (hence no O(L*R) range explosion) — just the
+    feature-dedup aggregate exchange plus the union window's key exchange."""
+    from de4ml_spark.queries.relational2 import pit_features_orders
+
+    plan = _plan(pit_features_orders(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_decontaminate_fraction_broadcasts_bench(spark, sf_dir):
+    """The benchmark shingle set joins broadcast (bounded by bench size);
+    corpus text never shuffles through a sort-merge join."""
+    from de4ml_spark.queries.textq3 import decontaminate_fraction_docs
+
+    plan = _plan(decontaminate_fraction_docs(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_portable_minhash_no_cartesian_and_partial_agg(spark, sf_dir):
     """The portable catalog MinHash keeps the xxhash variant's contracts:
     banded equi-joins only (no cartesian/BNLJ) and map-side partial
