@@ -46,147 +46,149 @@ def _registries() -> list[dict]:
 
 # Catalog iteration order. The driver's correctness harness grades a
 # 50-entry PREFIX of this list per round, so ordering decides which
-# queries get fresh cross-engine evidence each round. Round-4 rotation:
-# (1) the nineteen entries new or oracle-upgraded this round (the
-# corpus-prep/search/time-series tier plus knn_ivf, whose Lloyd fit is
-# now bit-replayable SQL), (2) the three entries never yet graded,
-# (3) the three whose implementation changed this round (histogram
-# profile battery, shuffle-free repetition), then (4) every entry whose
-# last grading was round 1/2 (stale first), and finally the
-# round-3-graded block (freshest evidence). Everything re-greens locally
-# via tools/verify_oracle.py regardless of order.
+# queries get fresh cross-engine evidence each round. Round-5 rotation:
+# (1) the thirteen entries new or implementation-changed this round
+# (SCD2 fusion, shard-local packing report, lazy scalar-join rewrites,
+# shifted-moment profile std, wide-integer drift TVD, the PIT feature
+# join and fraction decontamination), then (2) every remaining entry in
+# ascending last-graded-round order (the 33 round-1-graded entries all
+# land inside the prefix, so after this round no entry's driver evidence
+# is older than round 3). Everything re-greens locally via
+# tools/verify_oracle.py regardless of order.
 PRIORITY = [
-    "vocab_top_terms",
-    "reservoir_docs",
-    "pattern_match_events",
-    "dedup_canonicalize",
-    "cdc_chunk_docs",
-    "dedup_incremental",
+    "scd2_user_event_type",
     "pack_sequence_report",
-    "stratified_split_docs",
-    "knn_lsh_recall",
-    "iqr_outliers_events",
-    "length_bucket_batches",
-    "phrase_search_docs",
-    "pmi_bigrams",
-    "ewma_user_daily",
-    "timed_funnel_events",
-    "equidepth_price_histogram",
-    "cdc_dedup_chunks",
-    "pack_sharded",
-    "knn_ivf",
-    "corpus_pipeline_report",
-    "dedup_source_matrix",
-    "quality_rank_normalized",
-    "novelty_docs",
-    "winsorized_price_stats",
-    "label_balance_embeddings",
-    "dedup_minhash_recall",
-    "kfold_events",
-    "temporal_split_leakage",
-    "mad_price",
-    "categorical_drift_tvd",
-    "conversion_latency_stats",
-    "embedding_norm_outliers",
-    "max_event_gap_users",
-    "adaptive_alert_windows",
-    "session_alert_overlap",
-    "key_skew_orders",
-    "fuzzy_name_pairs",
-    "profile_lineitem",
     "profile_to_rules_events",
-    "repetition_docs",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "ctr_per_user",
-    "top3_orders_per_customer",
-    "asof_click_view",
-    "delayed_join_events",
-    "last_reward_events",
-    "override_anti_events",
-    "validation_counts_lineitem",
-    "alert_windows_events",
-    "multimodal_meta",
-    "suppliers_per_region",
-    "orders_priority_counts",
-    "limit_fetch_events",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "orders_rollup",
-    "events_pivot",
-    "sliding_window_events",
-    "part_type_stats",
-    "events_dau",
-    "q4_late_orders",
-    "q10_returned_revenue",
-    "q14_promo_revenue",
-    "funnel_events",
-    "retention_cohorts",
-    "price_decile_stats",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "churned_purchasers",
-    "hourly_seasonality_events",
-    "orders_price_page",
-    "monthly_revenue_ma",
-    "latest_event_per_user",
-    "histogram_quantity",
-    "topk_values_orders",
-    "corr_lineitem",
-    "value_quartiles_by_type",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_blocked",
-    "knn_bruteforce",
-    "knn_rrf_fusion",
-    "knn_lsh",
-    "embedding_dim_stats",
-    "text_stats_docs",
-    "quality_docs",
-    "lang_id_docs",
-    "fingerprint_docs",
-    "sessionize_events",
-    "tfidf_top_terms",
-    "clean_corpus",
-    "winnow_fingerprint_docs",
-    "pack_training_sequences",
-    "decontaminate_docs",
-    "pii_scrub_docs",
     "unigram_logprob_docs",
-    "lang_confusion_docs",
-    "dedup_cluster_sizes",
-    "session_stats",
     "bigram_logprob_docs",
     "bm25_search_docs",
     "tfidf_doc_similarity",
-    "sample_docs",
-    "mix_docs",
-    "split_events",
-    "weighted_sample_docs",
-    "temperature_mix_rates",
-    "scd2_user_event_type",
+    "tfidf_top_terms",
+    "categorical_drift_tvd",
+    "iqr_outliers_events",
+    "profile_lineitem",
+    "pit_features_orders",
+    "decontaminate_fraction_docs",
+    "alert_windows_events",
+    "churned_purchasers",
+    "corr_lineitem",
+    "events_dau",
+    "events_pivot",
+    "funnel_events",
+    "histogram_quantity",
+    "hourly_seasonality_events",
+    "last_reward_events",
+    "latest_event_per_user",
+    "limit_fetch_events",
+    "monthly_revenue_ma",
+    "multimodal_meta",
+    "orders_price_page",
+    "orders_priority_counts",
+    "orders_rollup",
+    "override_anti_events",
+    "part_type_stats",
+    "price_decile_stats",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q4_late_orders",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "retention_cohorts",
+    "sliding_window_events",
+    "suppliers_per_region",
+    "topk_values_orders",
+    "validation_counts_lineitem",
+    "value_quartiles_by_type",
+    "anomalous_days_events",
+    "chunk_docs",
+    "clean_corpus",
+    "decontaminate_docs",
+    "dedup_cluster_sizes",
+    "dedup_embedding_blocked",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_dim_stats",
     "events_cube",
+    "fingerprint_docs",
+    "gapfill_user_daily",
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_rrf_fusion",
+    "lang_confusion_docs",
+    "lang_id_docs",
     "lineitem_measure_stats",
-    "q8_market_share",
+    "mix_docs",
+    "pack_training_sequences",
+    "parse_event_props",
+    "pii_scrub_docs",
+    "profile_drift_events",
     "q12_ship_delay_priority",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_waiting_supplier",
     "q22_idle_customers",
-    "chunk_docs",
-    "gapfill_user_daily",
-    "repeat_purchasers",
-    "trailing_7d_revenue",
-    "profile_drift_events",
-    "anomalous_days_events",
-    "dedup_minhash_lsh",
-    "parse_event_props",
+    "q8_market_share",
+    "quality_docs",
     "reconcile_decisions_rewards",
+    "repeat_purchasers",
+    "sample_docs",
+    "session_stats",
+    "sessionize_events",
+    "split_events",
+    "temperature_mix_rates",
+    "text_stats_docs",
+    "trailing_7d_revenue",
+    "weighted_sample_docs",
+    "winnow_fingerprint_docs",
+    "adaptive_alert_windows",
+    "asof_click_view",
+    "cdc_chunk_docs",
+    "cdc_dedup_chunks",
+    "conversion_latency_stats",
+    "corpus_pipeline_report",
+    "ctr_per_user",
+    "dedup_canonicalize",
+    "dedup_components",
+    "dedup_exact_docs",
+    "dedup_incremental",
+    "dedup_minhash_recall",
+    "dedup_ngram_jaccard",
+    "dedup_source_matrix",
+    "delayed_join_events",
+    "embedding_norm_outliers",
+    "equidepth_price_histogram",
+    "ewma_user_daily",
+    "fuzzy_name_pairs",
+    "key_skew_orders",
+    "kfold_events",
+    "knn_ivf",
+    "knn_lsh_recall",
+    "label_balance_embeddings",
+    "length_bucket_batches",
+    "mad_price",
+    "max_event_gap_users",
+    "novelty_docs",
+    "pack_sharded",
+    "pattern_match_events",
+    "phrase_search_docs",
+    "pmi_bigrams",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "quality_rank_normalized",
+    "repetition_docs",
+    "reservoir_docs",
+    "session_alert_overlap",
+    "stratified_split_docs",
+    "temporal_split_leakage",
+    "timed_funnel_events",
+    "top3_orders_per_customer",
+    "vocab_top_terms",
+    "winsorized_price_stats",
 ]
 
 
