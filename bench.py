@@ -59,6 +59,9 @@ HEADLINE = [
     "equidepth_price_histogram",
     "timed_funnel_events",
     "iqr_outliers_events",
+    # round-5 additions: feature-store PIT join, fraction decontamination
+    "pit_features_orders",
+    "decontaminate_fraction_docs",
 ]
 
 

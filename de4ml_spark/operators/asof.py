@@ -31,19 +31,26 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     payload: list[str] | None = None,
+    right_tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """Left as-of join. Right rows must be unique per (key, ts) — dedupe
-    upstream if needed (ties would otherwise be carry-order dependent).
+    """Left as-of join. Right rows must be unique per (key, ts) — either
+    dedupe upstream, or pass ``right_tiebreak`` columns: the carry-forward
+    sort then orders equal-instant right rows by them and ``last`` picks
+    the greatest (argmax-by-tiebreak semantics, e.g. ``["event_id"]`` for
+    latest-writer-wins) WITHOUT a pre-aggregation — saving the dedupe's
+    extra shuffle; the whole join stays ONE exchange on the key.
     Returns all left columns plus ``<c>_asof`` for each payload column and
     ``ts_asof`` (the matched right timestamp; null if no earlier right row).
     """
     payload = payload if payload is not None else [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    tiebreak = right_tiebreak or []
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__src"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tiebreak)],
         F.struct(
             F.col(right_ts).alias("ts_asof"),
             *[F.col(c).alias(f"{c}_asof") for c in payload],
@@ -54,18 +61,25 @@ def asof_join(
         "*",
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__src"),
+        *[
+            F.lit(None).cast(r.schema[f"__tb{i}"].dataType).alias(f"__tb{i}")
+            for i in range(len(tiebreak))
+        ],
         F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
     )
     # align schemas for the union: right side gets null left columns
     for c in l_cols:
         if c != on:
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    unioned = l.select(on, "__t", "__src", "__p", *[c for c in l_cols if c != on]).unionByName(
-        r.select(on, "__t", "__src", "__p", *[c for c in l_cols if c != on])
-    )
+    tb_cols = [f"__tb{i}" for i in range(len(tiebreak))]
+    proj = [on, "__t", "__src", *tb_cols, "__p", *[c for c in l_cols if c != on]]
+    unioned = l.select(*proj).unionByName(r.select(*proj))
+    # order: instant, then right-before-left (matches <=), then the right
+    # tiebreak (left rows hold NULL there, which cannot reorder them past
+    # the src separation)
     w = (
         Window.partitionBy(on)
-        .orderBy("__t", "__src")
+        .orderBy("__t", "__src", *tb_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn(

@@ -390,14 +390,20 @@ def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    # right side unique per (user, ts): keep the max event_id's value
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max_by("value", "event_id").alias("view_value"))
+    # equal-instant views resolve via the event_id tiebreak inside the
+    # carry-forward sort (same result as a max_by pre-agg, one less shuffle)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
     )
     return asof_join(
-        clicks, views, on="user_id", payload=["view_value"]
+        clicks,
+        views,
+        on="user_id",
+        payload=["view_value"],
+        right_tiebreak=["view_event_id"],
     ).select(
         "event_id",
         "user_id",
@@ -443,9 +449,15 @@ def pit_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
-    feats = ev.groupBy("user_id", "ts").agg(
-        F.max_by("value", "event_id").alias("feat_value"),
-        F.max_by("event_type", "event_id").alias("feat_type"),
+    # no pre-aggregation: equal-instant ties resolve inside the carry-
+    # forward sort via the event_id tiebreak (latest writer wins), so the
+    # whole PIT join is ONE exchange of |probes|+|events| rows
+    feats = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").alias("feat_value"),
+        F.col("event_type").alias("feat_type"),
     )
     probe_ts = F.expr(
         "timestampadd(MINUTE, CAST(o_orderkey % 43200 AS INT),"
@@ -457,7 +469,11 @@ def pit_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_ts.alias("ts"),
     )
     return asof_join(
-        probes, feats, on="user_id", payload=["feat_value", "feat_type"]
+        probes,
+        feats,
+        on="user_id",
+        payload=["feat_value", "feat_type"],
+        right_tiebreak=["event_id"],
     ).select(
         "o_orderkey",
         "user_id",

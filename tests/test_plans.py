@@ -421,15 +421,16 @@ def test_scd2_single_shuffle(spark, sf_dir):
 
 def test_pit_features_no_range_join(spark, sf_dir):
     """Cross-table point-in-time join plans as union + carry-forward: no
-    join operator at all (hence no O(L*R) range explosion) — just the
-    feature-dedup aggregate exchange plus the union window's key exchange."""
+    join operator at all (hence no O(L*R) range explosion), and the
+    event_id tiebreak replaces the feature-dedup pre-aggregation — ONE
+    exchange total."""
     from de4ml_spark.queries.relational2 import pit_features_orders
 
     plan = _plan(pit_features_orders(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("Exchange") <= 2
+    assert plan.count("Exchange") == 1
 
 
 def test_decontaminate_fraction_broadcasts_bench(spark, sf_dir):
