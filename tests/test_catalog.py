@@ -69,6 +69,33 @@ def test_entry_contract_shapes():
     assert all(callable(f) for f in qs.values())
 
 
+def test_asof_tiebreak_equals_preagg(spark, sf_dir):
+    """asof_join's right_tiebreak path (argmax inside the carry-forward
+    sort, one shuffle) must produce exactly the rows of the explicit
+    max_by pre-aggregation path it replaced."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.operators.asof import asof_join
+    from de4ml_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    raw = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("vid"),
+        F.col("value").alias("v"),
+    )
+    via_tb = asof_join(
+        probes, raw, on="user_id", payload=["v"], right_tiebreak=["vid"]
+    )
+    agg = raw.groupBy("user_id", "ts").agg(F.max_by("v", "vid").alias("v"))
+    via_agg = asof_join(probes, agg, on="user_id", payload=["v"])
+    a = sorted(map(tuple, via_tb.collect()))
+    b = sorted(map(tuple, via_agg.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_register_query_views_composable(spark, sf_dir):
     """Catalog queries registered as temp views are queryable and
     composable from pure SQL, with pushdown into the registered plan."""
