@@ -392,24 +392,28 @@ REGISTRY["session_stats"] = {"fn": session_stats, "sql": _session_stats_sql()}
 # Bigram LM scoring with add-1 smoothing: p(w2|w1) = (c(w1 w2) + 1) /
 # (c(w1) + V). Mean bigram log-prob per doc approximates perplexity — the
 # KenLM-style fluency filter one step up from the unigram score. Shape:
-# bigrams via per-doc LEAD window; counts via two groupBys; scoring via a
-# broadcast join of the bigram table (vocab ≪ corpus at any scale — n-gram
-# count tables grow sublinearly). Decimal-exact mean for the oracle.
+# bigrams form MAP-ONLY (arrays_zip of the token array against its own
+# 1-shifted slice — adjacency is row-local, so no posexplode + per-doc
+# LEAD window and no token-row shuffle); counts via two groupBys; scoring
+# via a broadcast join of the bigram table (vocab ≪ corpus at any scale —
+# n-gram count tables grow sublinearly). Decimal-exact mean for the oracle.
 # --------------------------------------------------------------------------
 
 def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from de4ml_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "w1")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = toks.withColumn("w2", F.lead("w1").over(w)).filter(
-        F.col("w2").isNotNull()
-    )
+    toks = tokens("text")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n1).alias("w1"),
+                F.slice(toks, 2, n1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     vocab_size = docs.select(F.explode(tokens("text")).alias("t")).agg(
