@@ -678,8 +678,11 @@ def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bf = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     ls = knn_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    # both sides are K rows per curated query — broadcast the index side
+    # (size estimation can't see through the top-K windows, so without the
+    # hint this planned a sort-merge join of two tiny sets)
     hits = (
-        bf.join(ls, ["query_id", "neighbor_id"])
+        bf.join(F.broadcast(ls), ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -688,7 +691,7 @@ def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bf.select("query_id")
         .distinct()
-        .join(hits, "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
