@@ -695,10 +695,17 @@ REGISTRY["latest_event_per_user"] = {
 def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from de4ml_spark.session import spread
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wp = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    marked = ev.select("user_id", "event_type", "ts", "event_id").select(
+    # spread: the window pass is the whole cost of this query — widen the
+    # key exchange to full parallelism when a small-file scan would
+    # otherwise leave most cores idle (no-op on naturally-split scans)
+    marked = spread(
+        ev.select("user_id", "event_type", "ts", "event_id"), "user_id"
+    ).select(
         "user_id",
         "event_type",
         "ts",

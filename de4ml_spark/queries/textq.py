@@ -18,7 +18,12 @@ from de4ml_spark.session import load_table
 
 
 def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from de4ml_spark.session import spread
+
+    # spread: row-local regexp work — widen a small-file scan to full
+    # parallelism (no-op on naturally-split scans; still zero aggregate
+    # or join shuffles)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return token_stats(docs).select(
         "doc_id", "n_tokens", "n_pieces", "n_alpha", "n_chars_nospace"
     )
@@ -158,7 +163,13 @@ FROM documents
 
 
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    from de4ml_spark.session import spread
+
+    # spread: the session-window merge is this query's whole cost — widen
+    # the key exchange to full parallelism when a small-file scan would
+    # leave cores idle (no-op on naturally-split scans; batch-only, the
+    # streaming path uses the sessionize operator directly)
+    ev = spread(load_table(spark, sf_dir, "events"), "user_id")
     return sessionize(ev, key="user_id", ts_col="ts", gap="30 minutes")
 
 

