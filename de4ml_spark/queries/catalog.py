@@ -69,6 +69,7 @@ PRIORITY = [
     "profile_lineitem",
     "pit_features_orders",
     "decontaminate_fraction_docs",
+    "rate_limit_events",
     "alert_windows_events",
     "churned_purchasers",
     "corr_lineitem",

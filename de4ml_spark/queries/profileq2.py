@@ -522,3 +522,54 @@ FROM freqs
 
 
 REGISTRY["key_skew_orders"] = {"fn": key_skew_orders, "sql": KEY_SKEW_SQL}
+
+
+# --------------------------------------------------------------------------
+# Trailing-window rate-limit screen: per user, the trailing-60 s event
+# count at every event (row-grain event-time RANGE frame), rolled up to
+# per-user peak rate and violation count — the abuse/ingest-burst monitor
+# (the bucketed alert_windows entry counts per fixed minute; this one is
+# the sliding-window rate a real limiter enforces).
+# Scale: one shuffle on user_id; the RANGE frame is evaluated within each
+# user's sorted run (Spark's sliding-frame window keeps only the frame in
+# memory); the rollup reuses the same partitioning (no second exchange).
+# --------------------------------------------------------------------------
+
+RATE_WINDOW_US = 60_000_000  # 60 s in microseconds
+RATE_LIMIT = 10  # violations are instants with > 10 events in the window
+
+
+def rate_limit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-RATE_WINDOW_US, 0)
+    )
+    rated = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("rate")
+    )
+    return rated.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("rate").alias("max_rate_60s"),
+        F.count(F.when(F.col("rate") > RATE_LIMIT, 1)).alias("n_violations"),
+    )
+
+
+RATE_LIMIT_SQL = f"""
+WITH r AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN {RATE_WINDOW_US} PRECEDING
+                              AND CURRENT ROW) AS rate
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       MAX(rate) AS max_rate_60s,
+       COUNT(*) FILTER (WHERE rate > {RATE_LIMIT}) AS n_violations
+FROM r GROUP BY user_id
+"""
+
+
+REGISTRY["rate_limit_events"] = {"fn": rate_limit_events, "sql": RATE_LIMIT_SQL}
