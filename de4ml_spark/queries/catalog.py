@@ -35,6 +35,7 @@ def _registries() -> list[dict]:
         "mldataq2",
         "pipelineq",
         "searchq",
+        "tsq",
     ):
         try:
             mod = __import__(f"de4ml_spark.queries.{modname}", fromlist=["REGISTRY"])
@@ -70,6 +71,8 @@ PRIORITY = [
     "pit_features_orders",
     "decontaminate_fraction_docs",
     "rate_limit_events",
+    "twap_user_value",
+    "ohlc_daily_value",
     "alert_windows_events",
     "churned_purchasers",
     "corr_lineitem",
