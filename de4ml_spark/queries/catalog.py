@@ -73,6 +73,7 @@ PRIORITY = [
     "rate_limit_events",
     "twap_user_value",
     "ohlc_daily_value",
+    "nearest_view_per_click",
     "alert_windows_events",
     "churned_purchasers",
     "corr_lineitem",

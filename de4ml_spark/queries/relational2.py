@@ -484,6 +484,91 @@ def pit_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Nearest-event join: each click matches the view with the smallest
+# |ts delta| within a 10-minute tolerance — the BIDIRECTIONAL as-of
+# (sensor reading nearest a label instant, either side). Equidistant ties
+# prefer the earlier view; equal-instant views resolve via the event_id
+# tiebreak. Same union + carry-forward machinery as the as-of join (ONE
+# key exchange, no range join); the oracle replays the identical
+# prev/next window formulation (DuckDB has no native nearest join).
+# --------------------------------------------------------------------------
+
+NEAREST_TOL_US = 600_000_000  # 10 minutes
+
+
+def nearest_view_per_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.asof import nearest_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    return nearest_join(
+        clicks,
+        views,
+        on="user_id",
+        tolerance_us=NEAREST_TOL_US,
+        payload=["view_value"],
+        right_tiebreak=["view_event_id"],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ts_near",
+        F.round("view_value_near", 6).alias("view_value"),
+        "dist_us",
+    )
+
+
+NEAREST_SQL = f"""
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS t, 1 AS src, event_id,
+         CAST(NULL AS BIGINT) AS tb, ts AS l_ts,
+         CAST(NULL AS BIGINT) AS rt, CAST(NULL AS DOUBLE) AS rv
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, epoch_us(ts), 0, NULL, event_id, NULL,
+         epoch_us(ts), value
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT *,
+         last_value((CASE WHEN src = 0 THEN struct_pack(rt := rt, rv := rv) END) IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, src, tb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         first_value((CASE WHEN src = 0 THEN struct_pack(rt := rt, rv := rv) END) IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, src, tb
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next
+  FROM u
+),
+p AS (
+  SELECT event_id, user_id, l_ts AS ts, t,
+         prev, next,
+         t - prev.rt AS d_prev, next.rt - t AS d_next,
+         (prev IS NOT NULL AND t - prev.rt <= {NEAREST_TOL_US}) AS prev_ok,
+         (next IS NOT NULL AND next.rt - t <= {NEAREST_TOL_US}) AS next_ok
+  FROM c WHERE src = 1
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN prev_ok AND (NOT next_ok OR d_prev <= d_next)
+            THEN make_timestamp(prev.rt)
+            WHEN next_ok THEN make_timestamp(next.rt) END AS ts_near,
+       ROUND(CASE WHEN prev_ok AND (NOT next_ok OR d_prev <= d_next)
+                  THEN prev.rv
+                  WHEN next_ok THEN next.rv END, 6) AS view_value,
+       CASE WHEN prev_ok AND (NOT next_ok OR d_prev <= d_next) THEN d_prev
+            WHEN next_ok THEN d_next END AS dist_us
+FROM p
+"""
+
+
 PIT_SQL = f"""
 WITH feats AS (
   SELECT user_id, ts, arg_max(value, event_id) AS feat_value,
@@ -509,6 +594,10 @@ REGISTRY: dict[str, dict] = {
     "q6_forecast_revenue": {"fn": q6_forecast_revenue, "sql": Q6_SQL},
     "asof_click_view": {"fn": asof_click_view, "sql": ASOF_SQL},
     "pit_features_orders": {"fn": pit_features_orders, "sql": PIT_SQL},
+    "nearest_view_per_click": {
+        "fn": nearest_view_per_click,
+        "sql": NEAREST_SQL,
+    },
     "q7_nation_volume": {"fn": q7_nation_volume, "sql": Q7_SQL},
     "orders_rollup": {"fn": orders_rollup, "sql": ORDERS_ROLLUP_SQL},
     "events_pivot": {"fn": events_pivot, "sql": EVENTS_PIVOT_SQL},

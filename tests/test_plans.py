@@ -436,6 +436,19 @@ def test_pit_features_no_range_join(spark, sf_dir):
     assert plan.count("Exchange") == 1
 
 
+def test_nearest_join_no_range_join(spark, sf_dir):
+    """The bidirectional nearest-event join keeps the as-of cost model:
+    union + two carry windows over ONE key exchange — no join operator,
+    no range explosion."""
+    from de4ml_spark.queries.relational2 import nearest_view_per_click
+
+    plan = _plan(nearest_view_per_click(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") == 1
+
+
 def test_decontaminate_fraction_broadcasts_bench(spark, sf_dir):
     """The benchmark shingle set joins broadcast (bounded by bench size);
     corpus text never shuffles through a sort-merge join."""
