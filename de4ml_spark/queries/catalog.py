@@ -74,6 +74,8 @@ PRIORITY = [
     "twap_user_value",
     "ohlc_daily_value",
     "nearest_view_per_click",
+    "fk_integrity_orders_lineitem",
+    "weighted_median_price",
     "alert_windows_events",
     "churned_purchasers",
     "corr_lineitem",

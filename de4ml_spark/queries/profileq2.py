@@ -573,3 +573,164 @@ FROM r GROUP BY user_id
 
 
 REGISTRY["rate_limit_events"] = {"fn": rate_limit_events, "sql": RATE_LIMIT_SQL}
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit: the FK health check every warehouse runs
+# before trusting a join — orphan child rows (fact keys missing from the
+# dimension), childless parents, and exact coverage ratios, as ONE row.
+# Scale: two left-anti joins on the key (the dimension side of each is
+# whichever is smaller — Catalyst/AQE picks broadcast when it fits) + a
+# key-grain distinct; counts union into a single-row report.
+# --------------------------------------------------------------------------
+
+
+def fk_integrity_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    orphan_rows = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    )
+    childless = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"], "left_anti"
+    )
+    tot = li.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.count_distinct("l_orderkey").alias("n_fact_keys"),
+    )
+    return (
+        tot.crossJoin(
+            F.broadcast(orders.agg(F.count(F.lit(1)).alias("n_orders")))
+        )
+        .crossJoin(
+            F.broadcast(
+                orphan_rows.agg(F.count(F.lit(1)).alias("n_orphan_rows"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                childless.agg(F.count(F.lit(1)).alias("n_childless_orders"))
+            )
+        )
+        .select(
+            "n_lineitems",
+            "n_fact_keys",
+            "n_orders",
+            "n_orphan_rows",
+            "n_childless_orders",
+            F.expr(
+                exact_round_div_sql(
+                    "n_lineitems - n_orphan_rows", "n_lineitems", "DIV"
+                )
+            ).alias("row_coverage_r"),
+            F.expr(
+                exact_round_div_sql(
+                    "n_orders - n_childless_orders", "n_orders", "DIV"
+                )
+            ).alias("parent_use_r"),
+        )
+    )
+
+
+def _fk_integrity_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    return f"""
+WITH t AS (
+  SELECT COUNT(*) AS n_lineitems,
+         COUNT(DISTINCT l_orderkey) AS n_fact_keys
+  FROM lineitem
+),
+o AS (SELECT COUNT(*) AS n_orders FROM orders),
+orphan AS (
+  SELECT COUNT(*) AS n_orphan_rows FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders x WHERE x.o_orderkey = l.l_orderkey)
+),
+childless AS (
+  SELECT COUNT(*) AS n_childless_orders FROM orders x
+  WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = x.o_orderkey)
+)
+SELECT n_lineitems, n_fact_keys, n_orders, n_orphan_rows, n_childless_orders,
+       {exact_round_div_sql('n_lineitems - n_orphan_rows', 'n_lineitems', '//')}
+         AS row_coverage_r,
+       {exact_round_div_sql('n_orders - n_childless_orders', 'n_orders', '//')}
+         AS parent_use_r
+FROM t CROSS JOIN o CROSS JOIN orphan CROSS JOIN childless
+"""
+
+
+REGISTRY["fk_integrity_orders_lineitem"] = {
+    "fn": fk_integrity_orders_lineitem,
+    "sql": _fk_integrity_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Weighted median: the quantity-weighted median extended price per return
+# flag — the weighted-quantile shape (neither engine has a builtin; both
+# replay the histogram + cumulative-weight formulation). Lower weighted
+# median: smallest value whose cumulative weight reaches half the total.
+# Weights move to exact integer centiquantities so the halving compare is
+# integer in both engines.
+# Scale: histogram groupBy on (flag, value) shrinks the data to distinct
+# values before the per-flag cumulative window — the same no-raw-row-
+# buffering discipline as the exact profile battery.
+# --------------------------------------------------------------------------
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wgt = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    hist = (
+        li.select("l_returnflag", F.col("l_extendedprice").alias("v"), wgt.alias("w"))
+        .groupBy("l_returnflag", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(win).alias("cum"),
+        F.sum("w").over(tot).alias("total"),
+    )
+    return (
+        cum.filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("wmedian"),
+            F.first("total").alias("total_centiqty"),
+        )
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH hist AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, v,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS total
+  FROM hist
+)
+SELECT l_returnflag, MIN(v) AS wmedian,
+       CAST(MIN(total) AS BIGINT) AS total_centiqty
+FROM cum WHERE cum * 2 >= total
+GROUP BY l_returnflag
+"""
+
+
+REGISTRY["weighted_median_price"] = {
+    "fn": weighted_median_price,
+    "sql": WEIGHTED_MEDIAN_SQL,
+}
