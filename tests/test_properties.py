@@ -203,6 +203,75 @@ def test_ngram_jaccard_matches_python_reference(spark):
                 assert (a, b) in got, (a, b)
 
 
+def test_nearest_join_matches_python_reference(spark):
+    """Random probe/feature streams (with equal-instant collisions): the
+    union + prev/next carry-window nearest join must equal the brute-force
+    Python nearest computation on every probe — including tolerance
+    cutoffs, equidistant prefer-earlier ties, and equal-instant
+    max-tiebreak resolution."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.operators.asof import nearest_join
+
+    rng = random.Random(23)
+    TOL = 50  # microseconds, in a 0..400 range so cutoffs actually bite
+    probes, feats = [], []
+    fid = 0
+    for key in range(12):
+        for i in range(rng.randint(0, 12)):
+            probes.append((key * 1000 + i, key, rng.randint(0, 400)))
+        for _ in range(rng.randint(0, 12)):
+            fid += 1
+            # coarse grid forces equal-instant collisions
+            feats.append((key, rng.randint(0, 40) * 10, fid, rng.random()))
+    left = spark.createDataFrame(
+        [(pid, k, t) for pid, k, t in probes],
+        "probe_id BIGINT, k BIGINT, tus BIGINT",
+    ).select(
+        "probe_id", "k", F.timestamp_micros(F.col("tus")).alias("ts")
+    )
+    right = spark.createDataFrame(
+        feats, "k BIGINT, tus BIGINT, fid BIGINT, v DOUBLE"
+    ).select(
+        "k", F.timestamp_micros(F.col("tus")).alias("ts"), "fid", "v"
+    )
+    got = {
+        r["probe_id"]: (r["v_near"], r["dist_us"])
+        for r in nearest_join(
+            left,
+            right,
+            on="k",
+            tolerance_us=TOL,
+            payload=["v"],
+            right_tiebreak=["fid"],
+        ).collect()
+    }
+
+    by_key: dict[int, list] = {}
+    for k, t, fid_, v in feats:
+        by_key.setdefault(k, []).append((t, fid_, v))
+    for pid, k, t in probes:
+        cands = by_key.get(k, [])
+        # backward: greatest t' <= t (break equal t' by max fid);
+        # forward: smallest t' > t... forward frame includes t'==t rows?
+        # they sort BEFORE the probe, so equal-instant rows are backward
+        prev = max(
+            ((tp, f, v) for tp, f, v in cands if tp <= t), default=None
+        )
+        nxt = min(
+            ((tp, f, v) for tp, f, v in cands if tp > t), default=None
+        )
+        prev_ok = prev is not None and t - prev[0] <= TOL
+        next_ok = nxt is not None and nxt[0] - t <= TOL
+        if prev_ok and (not next_ok or t - prev[0] <= nxt[0] - t):
+            want = (prev[2], t - prev[0])
+        elif next_ok:
+            want = (nxt[2], nxt[0] - t)
+        else:
+            want = (None, None)
+        assert got[pid] == want, (pid, k, t, got[pid], want)
+
+
 def test_validation_rules_match_python_reference(spark):
     """Random rows against bounds/required rules: the split must equal the
     plain-Python predicate on every row."""
