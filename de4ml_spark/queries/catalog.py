@@ -80,6 +80,7 @@ PRIORITY = [
     "nearest_view_per_click",
     "fk_integrity_orders_lineitem",
     "weighted_median_price",
+    "knn_ivf_recall",
     "validation_counts_lineitem",
     "alert_windows_events",
     "churned_purchasers",

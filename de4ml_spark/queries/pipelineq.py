@@ -862,3 +862,60 @@ REGISTRY: dict[str, dict] = {
         "sql": LENGTH_BUCKET_SQL,
     },
 }
+
+
+# --------------------------------------------------------------------------
+# ANN recall evaluation for the IVF index: same acceptance-gate shape as
+# knn_lsh_recall, against the same brute-force ground truth — together
+# the two recalls compare the index families' accuracy under one metric.
+# --------------------------------------------------------------------------
+
+
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@K per query of the IVF index: |IVF top-K ∩ exact top-K| / K.
+
+    Scale: both sides are the already-catalogued top-K operators (K rows
+    per curated query — broadcast); the recall join is O(K · queries)."""
+    from de4ml_spark.queries.simq import K as _K
+    from de4ml_spark.queries.simq import knn_bruteforce, knn_ivf
+
+    bf = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    iv = knn_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(F.broadcast(iv), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(
+                exact_round_div_sql("COALESCE(n_hits, 0)", str(_K), "DIV")
+            ).alias("recall_r"),
+        )
+    )
+
+
+def _ivf_recall_sql() -> str:
+    from de4ml_spark.queries.simq import K, KNN_BRUTEFORCE_SQL, knn_ivf_oracle_sql
+
+    return f"""
+SELECT bf.query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       {exact_round_div_sql('COALESCE(h.n_hits, 0)', str(K), '//')} AS recall_r
+FROM (SELECT DISTINCT query_id FROM ({KNN_BRUTEFORCE_SQL})) bf
+LEFT JOIN (
+  SELECT b.query_id, COUNT(*) AS n_hits
+  FROM ({KNN_BRUTEFORCE_SQL}) b
+  JOIN ({knn_ivf_oracle_sql()}) i
+    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+  GROUP BY b.query_id
+) h ON bf.query_id = h.query_id
+"""
+
+
+REGISTRY["knn_ivf_recall"] = {"fn": knn_ivf_recall, "sql": _ivf_recall_sql()}
