@@ -36,6 +36,7 @@ def _registries() -> list[dict]:
         "pipelineq",
         "searchq",
         "tsq",
+        "tsq2",
     ):
         try:
             mod = __import__(f"de4ml_spark.queries.{modname}", fromlist=["REGISTRY"])

@@ -1,0 +1,362 @@
+"""Time-series tier 2: exact sliding distinct counts, Markov transition
+matrices, multi-grain rollup cascades, and bucketed interval joins.
+
+Four operator shapes a metrics warehouse needs beyond tsq.py's TWAP/OHLC:
+
+- ``rolling_7d_active_users``: exact sliding-window COUNT DISTINCT (the
+  WAU curve) WITHOUT per-window row duplication — user-day coverage
+  intervals merged per user, then interval-stabbing (+1/-1 deltas) and a
+  day-grain cumulative sum. The naive formulation replicates every
+  user-day into 7 windows; this one shuffles each user-day once.
+- ``event_transition_matrix``: per-user event-type bigram transition
+  counts + row-normalized probabilities (Markov chain estimate) — the
+  sequence-model readout over clickstreams.
+- ``rollup_cascade_events``: continuous-aggregate cascade (raw -> hour ->
+  day) where the day grain is computed FROM the hour grain, never from
+  raw — the TimescaleDB/Materialize continuous-aggregate pattern. All
+  re-aggregatable statistics (count/sum/min/max), DECIMAL sums so the
+  cascade is bit-identical to a direct day-grain pass (the oracle computes
+  day directly from raw; the value-hash match IS the re-aggregation
+  proof).
+- ``incident_window_events``: derive incident intervals from hot hours
+  (count > 1.1x the mean, exact integer compare), merge overlapping
+  windows (gaps-and-islands), then INTERVAL-JOIN raw events to the merged
+  windows via hour-bucket equi-join + exact containment filter — the
+  scalable range-join pattern (Spark has no native IEJoin; a theta join
+  would plan BroadcastNestedLoop over every event x window pair).
+
+Reference scope: the reference's Materialize tier computes windowed
+aggregates over event streams (join-service delayed emission, dataops
+alert windows); these are the batch-warehouse generalizations of that
+surface, exact and DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de4ml_spark.operators.portable_hash import exact_round_div_sql
+from de4ml_spark.session import load_table
+
+REGISTRY: dict[str, dict] = {}
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day active users (exact sliding COUNT DISTINCT).
+#
+# Scale: the classic formulations are (a) explode each user-day into the 7
+# window-days it serves (7x shuffle volume) or (b) COUNT(DISTINCT) over a
+# RANGE frame (unsupported in Spark windows, and a full re-count per
+# window elsewhere). Here:
+#   1. distinct user-days                       (1 shuffle, the only
+#      row-grain exchange)
+#   2. per-user merged coverage intervals: a user active on day d covers
+#      [d, d+6]; consecutive active days <= 7 apart produce overlapping /
+#      adjacent coverage, merged via gaps-and-islands on the SAME user
+#      partitioning (no new shuffle)
+#   3. interval stabbing: +1 at interval start, -1 at end+1, summed per
+#      day (day-grain agg, bounded cardinality)
+#   4. one cumulative sum over the day spine — a single-partition window
+#      over #days rows (bounded by the calendar, ~30 here; 36,500 rows
+#      for a century — never row-grain).
+# --------------------------------------------------------------------------
+
+
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    user_days = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", day.alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    gap_start = (
+        F.lag("day").over(w).isNull()
+        | (F.datediff(F.col("day"), F.lag("day").over(w)) > 7)
+    ).cast("int")
+    seg = user_days.withColumn(
+        "grp", F.sum(gap_start).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    intervals = seg.groupBy("user_id", "grp").agg(
+        F.min("day").alias("s"), F.date_add(F.max("day"), 6).alias("e")
+    )
+    deltas = (
+        intervals.select(F.col("s").alias("day"), F.lit(1).alias("d"))
+        .unionAll(
+            intervals.select(
+                F.date_add(F.col("e"), 1).alias("day"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    bounds = ev.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    joined = spine.join(deltas, "day", "left").select(
+        "day", F.coalesce("delta", F.lit(0)).alias("delta")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "day",
+        F.sum("delta").over(wc).cast("bigint").alias("active_users_7d"),
+    )
+
+
+ROLLING_7D_SQL = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+)
+SELECT s.day, COUNT(DISTINCT e.user_id) AS active_users_7d
+FROM spine s
+LEFT JOIN events e
+  ON CAST(e.ts AS DATE) BETWEEN s.day - 6 AND s.day
+GROUP BY s.day
+"""
+
+REGISTRY["rolling_7d_active_users"] = {
+    "fn": rolling_7d_active_users,
+    "sql": ROLLING_7D_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov estimate).
+# Scale: ONE shuffle on user_id for the per-user LAG; the (from, to)
+# count groupBy map-side combines down to n_types^2 rows; the
+# row-normalizing total is a window over that bounded frame. Probability
+# is the exact integer rational (engine-identical rounding).
+# --------------------------------------------------------------------------
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    return counts.withColumn("row_total", F.sum("n").over(wt)).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr(exact_round_div_sql("n", "row_total", "DIV")).alias("prob_r"),
+    )
+
+
+TRANSITION_SQL = f"""
+WITH p AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM p WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+t AS (
+  SELECT from_type, to_type, n,
+         SUM(n) OVER (PARTITION BY from_type) AS row_total
+  FROM c
+)
+SELECT from_type, to_type, n,
+       {exact_round_div_sql("n", "row_total", "//")} AS prob_r
+FROM t
+"""
+
+REGISTRY["event_transition_matrix"] = {
+    "fn": event_transition_matrix,
+    "sql": TRANSITION_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Continuous-aggregate rollup cascade: hour grain from raw, day grain FROM
+# the hour grain. At 100 TB you never recompute coarse grains from raw —
+# each grain re-aggregates the one below (counts/sums add, min/max nest,
+# avg derives from sum/count at read time). DECIMAL(18,2) value sums make
+# the cascade exact: the oracle aggregates day-from-raw directly and the
+# value hash must agree, which is precisely the re-aggregability claim.
+# Scale: two groupBys, the second over the already-tiny hour frame.
+# --------------------------------------------------------------------------
+
+
+def rollup_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    daily = hourly.groupBy(F.col("h").cast("date").alias("day")).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sv").cast("decimal(38,2)").alias("sum_value"),
+        F.round(F.min("mn"), 2).alias("min_value"),
+        F.round(F.max("mx"), 2).alias("max_value"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    return daily.withColumn(
+        "avg_r",
+        F.expr(
+            exact_round_div_sql(
+                "CAST(sum_value * 100 AS DECIMAL(38,0))",
+                "CAST(n_events AS DECIMAL(38,0)) * 100",
+                "DIV",
+            )
+        ),
+    )
+
+
+ROLLUP_CASCADE_SQL = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+         ROUND(MIN(value), 2) AS min_value,
+         ROUND(MAX(value), 2) AS max_value,
+         COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours
+  FROM events
+  GROUP BY CAST(ts AS DATE)
+)
+SELECT day, n_events, sum_value, min_value, max_value, n_hours,
+       {exact_round_div_sql(
+           "CAST(sum_value * 100 AS HUGEINT)",
+           "CAST(n_events AS HUGEINT) * 100", "//")} AS avg_r
+FROM d
+"""
+
+REGISTRY["rollup_cascade_events"] = {
+    "fn": rollup_cascade_events,
+    "sql": ROLLUP_CASCADE_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Incident-window interval join.
+# Hot hour: hourly count n with n * n_hours * 10 > 11 * total (exact
+# integer form of n > 1.1 * mean — no float compare). Each hot hour
+# yields window [h - 30min, h + 90min]; windows <= 2h apart merge
+# (gaps-and-islands over the tiny hot-hour frame). Events then join to
+# the merged windows on the HOUR BUCKET (every window's covered hours are
+# exploded — bounded by window length), with an exact half-open
+# [w_start, w_end) containment filter after the equi-join.
+# Scale: the equi-join on the bucket is a hash join Catalyst can
+# broadcast (windows are rare); a direct ts-range theta join would plan
+# BroadcastNestedLoopJoin with every event tested against every window.
+# --------------------------------------------------------------------------
+
+
+def incident_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = hourly.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_hours")
+    )
+    hot = (
+        hourly.crossJoin(F.broadcast(totals))
+        .filter(F.col("n") * F.col("n_hours") * 10 > 11 * F.col("total"))
+        .select("h")
+    )
+    wh = Window.orderBy("h")  # bounded: hot hours only
+    grp_start = (
+        F.lag("h").over(wh).isNull()
+        | (
+            F.col("h").cast("long") - F.lag("h").over(wh).cast("long")
+            > 2 * 3600
+        )
+    ).cast("int")
+    islands = hot.withColumn(
+        "grp",
+        F.sum(grp_start).over(wh.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    windows = islands.groupBy("grp").agg(
+        (F.min("h") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+        (F.max("h") + F.expr("INTERVAL 90 MINUTES")).alias("w_end"),
+        F.count(F.lit(1)).alias("n_hot_hours"),
+    )
+    buckets = windows.select(
+        "w_start",
+        "w_end",
+        "n_hot_hours",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("w_start")),
+                F.date_trunc("hour", F.col("w_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    joined = ev.withColumn(
+        "bucket", F.date_trunc("hour", F.col("ts"))
+    ).join(
+        F.broadcast(buckets),
+        ["bucket"],
+    ).filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    )
+    return joined.groupBy("w_start", "w_end", "n_hot_hours").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+INCIDENT_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_hours FROM hourly),
+hot AS (
+  SELECT h FROM hourly, tot WHERE n * n_hours * 10 > 11 * total
+),
+flagged AS (
+  SELECT h,
+         CASE WHEN LAG(h) OVER (ORDER BY h) IS NULL
+                OR epoch(h) - epoch(LAG(h) OVER (ORDER BY h)) > 7200
+              THEN 1 ELSE 0 END AS gs
+  FROM hot
+),
+islands AS (
+  SELECT h, SUM(gs) OVER (ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS grp
+  FROM flagged
+),
+windows AS (
+  SELECT MIN(h) - INTERVAL 30 MINUTE AS w_start,
+         MAX(h) + INTERVAL 90 MINUTE AS w_end,
+         COUNT(*) AS n_hot_hours
+  FROM islands GROUP BY grp
+)
+SELECT w.w_start, w.w_end, w.n_hot_hours,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM windows w
+JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.w_start, w.w_end, w.n_hot_hours
+"""
+
+REGISTRY["incident_window_events"] = {
+    "fn": incident_window_events,
+    "sql": INCIDENT_SQL,
+}
