@@ -33,6 +33,7 @@ def _registries() -> list[dict]:
         "samplingq",
         "mldataq",
         "mldataq2",
+        "mldataq3",
         "pipelineq",
         "searchq",
         "tsq",
