@@ -50,19 +50,30 @@ def _registries() -> list[dict]:
 # Catalog iteration order. The driver's correctness harness grades a
 # 50-entry PREFIX of this list per round, so ordering decides which
 # queries get fresh cross-engine evidence each round. Round-5 rotation:
-# (1) the twenty entries new or implementation-changed this round
-# (SCD2 fusion, shard-local packing report, lazy scalar-join rewrites,
-# shifted-moment profile std, wide-integer drift TVD, the PIT/nearest
-# feature joins, fraction decontamination, rate-limit/TWAP/OHLC/FK-audit/
-# weighted-median tier, plus validation_counts_lineitem promoted for its
-# multi-ID coverage evidence), then (2) every remaining entry in
-# ascending last-graded-round order — 31 of the 33 round-1-graded entries
-# land inside the prefix (topk_values_orders and value_quartiles_by_type
-# carry r1 driver evidence one more round; both re-green locally), so
-# after this round no other entry's driver evidence is older than
-# round 3. Everything re-greens locally via tools/verify_oracle.py
-# regardless of order.
+# (1) the eight never-graded entries added late in round 5 (sliding-
+# distinct WAU, Markov transitions, rollup cascade, incident interval
+# join, Gopher rule battery, epoch mix plan, split-leakage audit,
+# unpivot stats), then (2) the twenty entries new or implementation-
+# changed earlier this round (SCD2 fusion, shard-local packing report,
+# lazy scalar-join rewrites, shifted-moment profile std, wide-integer
+# drift TVD, the PIT/nearest feature joins, fraction decontamination,
+# rate-limit/TWAP/OHLC/FK-audit/weighted-median tier, plus
+# validation_counts_lineitem promoted for its multi-ID coverage
+# evidence), then (3) every remaining entry in ascending last-graded-
+# round order — the 22 stalest round-1-graded entries fill the rest of
+# the prefix; the r1 entries that no longer fit (topk_values_orders,
+# value_quartiles_by_type, and eight more) carry r1 driver evidence one
+# more round and re-green locally. Everything re-greens locally via
+# tools/verify_oracle.py regardless of order.
 PRIORITY = [
+    "rolling_7d_active_users",
+    "event_transition_matrix",
+    "rollup_cascade_events",
+    "incident_window_events",
+    "gopher_rules_docs",
+    "epoch_mix_plan",
+    "split_leakage_embeddings",
+    "unpivot_part_metrics",
     "scd2_user_event_type",
     "pack_sequence_report",
     "profile_to_rules_events",

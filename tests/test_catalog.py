@@ -23,6 +23,8 @@ MODULES = [
     "textq2",
     "samplingq",
     "mldataq",
+    "tsq2",
+    "mldataq3",
 ]
 
 EXPECTED = {
@@ -39,6 +41,8 @@ EXPECTED = {
     "pack_training_sequences",
     "mix_docs",
     "repetition_docs",
+    "rolling_7d_active_users",
+    "gopher_rules_docs",
 }
 
 
