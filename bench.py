@@ -62,6 +62,12 @@ HEADLINE = [
     # round-5 additions: feature-store PIT join, fraction decontamination
     "pit_features_orders",
     "decontaminate_fraction_docs",
+    # late-round-5 additions: sliding-distinct WAU, interval join,
+    # Markov transitions, Gopher rule battery
+    "rolling_7d_active_users",
+    "incident_window_events",
+    "event_transition_matrix",
+    "gopher_rules_docs",
 ]
 
 
