@@ -63,24 +63,33 @@ REGISTRY: dict[str, dict] = {}
 # --------------------------------------------------------------------------
 
 
-def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    day = F.col("ts").cast("date")
+def rolling_active_users(
+    ev: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """(day, active_users) where active = distinct users with >= 1 event
+    in the trailing ``window_days``-day window ending at ``day`` —
+    reusable DataFrame-level builder (see module docstring for the
+    interval-stabbing derivation)."""
+    span = window_days - 1
+    day = F.col(ts_col).cast("date")
     user_days = (
-        ev.filter(F.col("user_id").isNotNull())
-        .select("user_id", day.alias("day"))
+        ev.filter(F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("u"), day.alias("day"))
         .distinct()
     )
-    w = Window.partitionBy("user_id").orderBy("day")
+    w = Window.partitionBy("u").orderBy("day")
     gap_start = (
         F.lag("day").over(w).isNull()
-        | (F.datediff(F.col("day"), F.lag("day").over(w)) > 7)
+        | (F.datediff(F.col("day"), F.lag("day").over(w)) > window_days)
     ).cast("int")
     seg = user_days.withColumn(
         "grp", F.sum(gap_start).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
-    intervals = seg.groupBy("user_id", "grp").agg(
-        F.min("day").alias("s"), F.date_add(F.max("day"), 6).alias("e")
+    intervals = seg.groupBy("u", "grp").agg(
+        F.min("day").alias("s"), F.date_add(F.max("day"), span).alias("e")
     )
     deltas = (
         intervals.select(F.col("s").alias("day"), F.lit(1).alias("d"))
@@ -92,9 +101,7 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("d").alias("delta"))
     )
-    bounds = ev.agg(
-        F.min(day).alias("lo"), F.max(day).alias("hi")
-    )
+    bounds = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
     spine = bounds.select(
         F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
     )
@@ -106,6 +113,10 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.sum("delta").over(wc).cast("bigint").alias("active_users_7d"),
     )
+
+
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_active_users(load_table(spark, sf_dir, "events"))
 
 
 ROLLING_7D_SQL = """
@@ -138,13 +149,20 @@ REGISTRY["rolling_7d_active_users"] = {
 # --------------------------------------------------------------------------
 
 
-def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+def transition_matrix(
+    ev: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key symbol-bigram transition counts + exact rational row
+    probabilities — reusable DataFrame-level builder."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(us, id_col)
     pairs = ev.select(
-        F.lag("event_type").over(w).alias("from_type"),
-        F.col("event_type").alias("to_type"),
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
     ).filter(F.col("from_type").isNotNull())
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
@@ -156,6 +174,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr(exact_round_div_sql("n", "row_total", "DIV")).alias("prob_r"),
     )
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transition_matrix(load_table(spark, sf_dir, "events"))
 
 
 TRANSITION_SQL = f"""

@@ -507,3 +507,110 @@ def test_pattern_automaton_matches_regex(spark):
                 conv += 1
                 open_ = False
         assert conv == len(re.findall("v[^vp]*p", s)), s
+
+
+def test_rolling_active_users_matches_python_reference(spark):
+    """Interval-stabbing sliding distinct == brute-force per-day distinct
+    count on random sparse user-day activity — including merge boundaries
+    (gaps of exactly window_days and window_days+1), duplicate events per
+    day, and days with zero active users (must appear with 0)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.queries.tsq2 import rolling_active_users
+
+    rng = random.Random(41)
+    base = datetime.date(2024, 3, 1)
+    rows = []
+    eid = 0
+    for user in range(15):
+        for _ in range(rng.randint(0, 10)):
+            off = rng.choice(
+                # cluster around merge-critical gaps: dense runs plus
+                # offsets that land exactly 7 and 8 days apart
+                [rng.randint(0, 5), rng.randint(0, 60), 7 * rng.randint(0, 8)]
+            )
+            for _ in range(rng.randint(1, 2)):  # duplicate same-day events
+                eid += 1
+                rows.append((eid, user, off))
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, off INT"
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_add(F.lit(base), F.col("off")).cast("timestamp").alias("ts"),
+    )
+    for window_days in (1, 7):
+        got = {
+            r["day"]: r["active_users_7d"]
+            for r in rolling_active_users(ev, window_days=window_days).collect()
+        }
+        by_user_days = {}
+        for _, user, off in rows:
+            by_user_days.setdefault(user, set()).add(off)
+        lo, hi = (
+            min(o for _, _, o in rows),
+            max(o for _, _, o in rows),
+        )
+        assert set(got) == {
+            base + datetime.timedelta(days=d) for d in range(lo, hi + 1)
+        }
+        for d in range(lo, hi + 1):
+            want = sum(
+                1
+                for days in by_user_days.values()
+                if any(d - (window_days - 1) <= a <= d for a in days)
+            )
+            day = base + datetime.timedelta(days=d)
+            assert got[day] == want, (window_days, day, got[day], want)
+
+
+def test_transition_matrix_matches_python_reference(spark):
+    """LAG-bigram transition counts and probabilities == brute force on
+    random per-user symbol sequences with equal-timestamp collisions
+    (resolved by the event_id tiebreak in both)."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.queries.tsq2 import transition_matrix
+
+    rng = random.Random(43)
+    rows = []
+    eid = 0
+    for user in range(12):
+        for _ in range(rng.randint(0, 15)):
+            eid += 1
+            # coarse time grid forces equal-ts ties broken by event_id
+            rows.append((eid, user, rng.randint(0, 5), rng.choice("abcd")))
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, tus BIGINT, event_type STRING"
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.col("tus")).alias("ts"),
+        "event_type",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob_r"])
+        for r in transition_matrix(ev).collect()
+    }
+    seqs = {}
+    for eid_, user, t, sym in rows:
+        seqs.setdefault(user, []).append((t, eid_, sym))
+    counts = {}
+    for user, seq in seqs.items():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    row_tot = {}
+    for (a, _), n in counts.items():
+        row_tot[a] = row_tot.get(a, 0) + n
+    assert set(got) == set(counts)
+    for (a, b), n in counts.items():
+        frac = Fraction(n, row_tot[a])
+        # half-up rounding at 6 decimals, exactly as exact_round_div_sql
+        want_r = float((2 * frac.numerator * 10**6 + frac.denominator)
+                       // (2 * frac.denominator)) / 10**6
+        assert got[(a, b)] == (n, want_r), (a, b, got[(a, b)], (n, want_r))
