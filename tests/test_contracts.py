@@ -90,3 +90,94 @@ def test_merge_manifests_append_only():
     assert merge_manifests(v1, v2) == ["a", "b__c", "b__d", "e"]
     with pytest.raises(ValueError):
         merge_manifests(["a", "gone"], ["a"])
+
+
+def test_diff_contracts_classifies_and_emits_alter(spark):
+    from pyspark.sql import types as T
+
+    from de4ml_spark.contracts.ddl import alter_table_sql, diff_contracts
+
+    old = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "user",
+                T.StructType([T.StructField("name", T.StringType())]),
+            ),
+            T.StructField(
+                "results",
+                T.ArrayType(
+                    T.StructType([T.StructField("score", T.DoubleType())])
+                ),
+            ),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "user",
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("age", T.IntegerType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "results",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("score", T.DoubleType()),
+                            T.StructField("rank", T.IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    d = diff_contracts(old, new)
+    assert d["compatible"]
+    assert d["added"] == {
+        "user__age": "int",
+        "results__rank": "array<int>",
+        "ts": "timestamp",
+    }
+    sql = alter_table_sql("events_flat", d)
+    assert sql == (
+        "ALTER TABLE events_flat ADD COLUMNS "
+        "(results__rank ARRAY<INT>, ts TIMESTAMP, user__age INT)"
+    )
+    # the emitted DDL must actually run against a real table
+    spark.sql("CREATE TABLE IF NOT EXISTS events_flat (id BIGINT, user__name STRING, results__score ARRAY<DOUBLE>) USING PARQUET")
+    try:
+        spark.sql(sql)
+        assert set(spark.table("events_flat").columns) == {
+            "id", "user__name", "results__score",
+            "results__rank", "ts", "user__age",
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_flat")
+
+
+def test_diff_contracts_rejects_non_additive():
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from de4ml_spark.contracts.ddl import alter_table_sql, diff_contracts
+
+    old = T.StructType([T.StructField("a", T.LongType())])
+    dropped = diff_contracts(old, T.StructType([T.StructField("b", T.LongType())]))
+    assert not dropped["compatible"] and dropped["removed"] == {"a": "bigint"}
+    retyped = diff_contracts(
+        old, T.StructType([T.StructField("a", T.StringType())])
+    )
+    assert retyped["retyped"] == {"a": ("bigint", "string")}
+    for d in (dropped, retyped):
+        with _pytest.raises(ValueError):
+            alter_table_sql("t", d)
+    # no-op diff emits nothing
+    assert alter_table_sql("t", diff_contracts(old, old)) is None
