@@ -1,0 +1,86 @@
+"""Trailing throttle (true debounce): keep an event iff it is at least
+``min_gap_us`` after the previously KEPT event of the same key.
+
+This is the rate-limiter/dedup-burst shape whose recurrence makes it
+inexpressible in plain window functions: whether an event is kept depends
+on the previous KEPT event, not the previous event (events at t=0,3,6
+with a 5-gap keep {0, 6}; a lag-vs-previous-event filter would keep only
+{0}). The reference's Materialize tier handles such stateful per-key
+logic in its streaming layer; here the batch twin is a per-key sequential
+scan inside ``applyInPandas`` — Arrow-batched, partitioned by key, the
+only shuffle the key exchange itself. Per-key state is O(1) (the last
+kept timestamp), so group size is bounded only by per-key event volume,
+same as every windowed per-key operator.
+
+The DuckDB oracle replays the identical recurrence as a recursive CTE
+(each kept row joins to the first event >= min_gap later), so the kept
+SET is cross-engine verified, not just the count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def throttle(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gap_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Kept rows (key_cols + id_col) under the trailing-throttle
+    recurrence; ties at equal timestamps resolve by ascending id."""
+    import pandas as pd
+
+    out_cols = [*key_cols, id_col]
+    src = df.select(
+        *key_cols,
+        id_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
+    )
+    schema = src.select(*out_cols).schema
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__t", id_col])
+        ts = pdf["__t"].to_numpy()
+        kept = []
+        last = None
+        for i, t in enumerate(ts):
+            if last is None or t - last >= min_gap_us:
+                kept.append(i)
+                last = t
+        return pdf.iloc[kept][out_cols]
+
+    return src.groupBy(*key_cols).applyInPandas(scan, schema)
+
+
+def throttle_oracle_sql(min_gap_us: int = 86_400_000_000) -> str:
+    """Recursive-CTE twin over the ``events`` table: from each kept row,
+    the next kept row is the earliest (t, event_id) at least
+    ``min_gap_us`` later."""
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+kept AS (
+  SELECT user_id, event_type, event_id, t FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.event_id, e.t
+  FROM kept k
+  JOIN ev e
+    ON e.user_id = k.user_id AND e.event_type = k.event_type
+   AND e.t >= k.t + {min_gap_us}
+   AND NOT EXISTS (
+     SELECT 1 FROM ev e2
+     WHERE e2.user_id = k.user_id AND e2.event_type = k.event_type
+       AND e2.t >= k.t + {min_gap_us}
+       AND (e2.t < e.t OR (e2.t = e.t AND e2.event_id < e.event_id))
+   )
+)
+SELECT user_id, event_type, event_id FROM kept
+"""

@@ -382,3 +382,31 @@ REGISTRY["incident_window_events"] = {
     "fn": incident_window_events,
     "sql": INCIDENT_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Trailing throttle (true debounce): see operators/throttle.py — the
+# recurrence (kept depends on previous KEPT) is inexpressible in plain
+# windows; Spark side is a per-key Arrow applyInPandas scan, oracle side
+# a recursive CTE replaying the identical recurrence.
+# --------------------------------------------------------------------------
+
+THROTTLE_GAP_US = 86_400_000_000  # 1 day
+
+
+def throttle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.throttle import throttle
+
+    ev = load_table(spark, sf_dir, "events")
+    return throttle(
+        ev, ["user_id", "event_type"], min_gap_us=THROTTLE_GAP_US
+    )
+
+
+def _throttle_sql() -> str:
+    from de4ml_spark.operators.throttle import throttle_oracle_sql
+
+    return throttle_oracle_sql(THROTTLE_GAP_US)
+
+
+REGISTRY["throttle_events"] = {"fn": throttle_events, "sql": _throttle_sql()}

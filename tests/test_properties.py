@@ -614,3 +614,44 @@ def test_transition_matrix_matches_python_reference(spark):
         want_r = float((2 * frac.numerator * 10**6 + frac.denominator)
                        // (2 * frac.denominator)) / 10**6
         assert got[(a, b)] == (n, want_r), (a, b, got[(a, b)], (n, want_r))
+
+
+def test_throttle_matches_python_reference(spark):
+    """The applyInPandas trailing-throttle == the brute-force recurrence
+    (keep iff >= gap after previous KEPT) on random bursty streams,
+    including equal-timestamp ties (id order) and gap-exactly-equal
+    boundaries — the case a lag-vs-previous-EVENT filter gets wrong."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.operators.throttle import throttle
+
+    rng = random.Random(47)
+    GAP = 10
+    rows = []
+    eid = 0
+    for key in range(10):
+        t = 0
+        for _ in range(rng.randint(0, 20)):
+            eid += 1
+            # increments cluster around the gap boundary (0 = ties)
+            t += rng.choice([0, 1, 3, GAP - 1, GAP, GAP + 1])
+            rows.append((eid, key, t))
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, k BIGINT, tus BIGINT"
+    ).select("event_id", "k", F.timestamp_micros(F.col("tus")).alias("ts"))
+    got = {
+        r["event_id"]
+        for r in throttle(ev, ["k"], min_gap_us=GAP).collect()
+    }
+    want = set()
+    by_key = {}
+    for eid_, key, t in rows:
+        by_key.setdefault(key, []).append((t, eid_))
+    for seq in by_key.values():
+        seq.sort()
+        last = None
+        for t, eid_ in seq:
+            if last is None or t - last >= GAP:
+                want.add(eid_)
+                last = t
+    assert got == want
