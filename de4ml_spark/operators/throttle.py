@@ -84,3 +84,48 @@ kept AS (
 )
 SELECT user_id, event_type, event_id FROM kept
 """
+
+
+def streaming_throttle(
+    events: DataFrame, min_gap_us: int = 86_400_000_000
+) -> DataFrame:
+    """Streaming twin of ``throttle`` over the events shape
+    (user_id, event_type, event_id, ts) via ``applyInPandasWithState``:
+    cross-batch state is the last KEPT timestamp per key — O(1) per key,
+    never a buffer — so the recurrence continues exactly where the
+    previous micro-batch left off. Contract: rows must arrive in
+    event-time order across batches (the replay/backfill ordering; the
+    batch twin is the arbiter for out-of-order history). Equivalence
+    with the batch operator on ordered batches is pinned in
+    tests/test_stateful_streaming.py.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__t"),
+    )
+
+    def fn(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["__t", "event_id"])
+        kept = []
+        for i, t in enumerate(batch["__t"].to_numpy()):
+            if last is None or t - last >= min_gap_us:
+                kept.append(i)
+                last = int(t)
+        state.update((last,))
+        yield batch.iloc[kept][["user_id", "event_type", "event_id"]]
+
+    return src.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        "user_id BIGINT, event_type STRING, event_id BIGINT",
+        "last BIGINT",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

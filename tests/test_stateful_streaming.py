@@ -79,3 +79,72 @@ def test_streaming_last_reward(spark, tmp_path):
     assert rows["k1"]["reward_delta_ms"] == pytest.approx(6000.0)
     assert rows["k2"]["reward"] == 0.0  # unmatched default fill
     assert rows["k2"]["reward_delta_ms"] is None
+
+
+@pytest.mark.slow
+def test_streaming_throttle_equals_batch(spark, tmp_path):
+    """Cross-batch throttle state: batches fed in event-time order must
+    reproduce the batch operator's kept set exactly — including a burst
+    that STRADDLES the batch boundary (the second batch's first event is
+    within the gap of a kept event from the first batch)."""
+    from de4ml_spark.operators.throttle import streaming_throttle, throttle
+
+    GAP = 10_000_000  # 10 s
+    base = 1704067200.0
+
+    def ev(eid, uid, et, off_s):
+        return {
+            "event_id": eid,
+            "user_id": uid,
+            "event_type": et,
+            "ts": _ts(off_s),
+        }
+
+    batch1 = [
+        ev(1, 1, "c", 0.0),    # kept (first)
+        ev(2, 1, "c", 3.0),    # dropped
+        ev(3, 1, "c", 11.0),   # kept (>= 10s after t=0)
+        ev(4, 2, "c", 5.0),    # kept (other key)
+    ]
+    batch2 = [
+        ev(5, 1, "c", 15.0),   # dropped: within 10s of kept t=11
+        ev(6, 1, "c", 21.0),   # kept (>= 10s after 11)
+        ev(7, 2, "c", 14.9),   # dropped: within 10s of kept t=5
+        ev(8, 2, "c", 15.0),   # kept: exactly 10s after kept t=5
+    ]
+    src = tmp_path / "ev"
+    _write(src, batch1)
+
+    SCHEMA = "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP"
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = (
+        streaming_throttle(stream, min_gap_us=GAP)
+        .writeStream.format("memory")
+        .queryName("throttled")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(src, batch2)
+        q.processAllAvailable()
+        got = {
+            r["event_id"] for r in spark.sql("SELECT * FROM throttled").collect()
+        }
+    finally:
+        q.stop()
+
+    from pyspark.sql import functions as F
+
+    batch_df = spark.createDataFrame(
+        [tuple(e.values()) for e in batch1 + batch2],
+        "event_id BIGINT, user_id BIGINT, event_type STRING, ts STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = {
+        r["event_id"]
+        for r in throttle(
+            batch_df, ["user_id", "event_type"], min_gap_us=GAP
+        ).collect()
+    }
+    assert got == want == {1, 3, 4, 6, 8}
