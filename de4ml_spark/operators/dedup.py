@@ -53,11 +53,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingles(text_col: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles of the document (string form — used by
     the SQL-oracle path; prefer ``hashed_shingles`` in compute paths)."""
-    toks = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    from de4ml_spark.operators.text import zip_grams
+
+    return F.array_distinct(zip_grams(tokens(text_col), n))
 
 
 def shingle_rows(
@@ -216,11 +214,9 @@ def portable_shingle_rows(
     The hash is TWO projections — md5 digest first, byte arithmetic second —
     because Catalyst does not CSE the repeated md5 inside the byte terms
     (measured ~1.7x warm / ~4x cold on the sf0.1 shingle pass)."""
-    toks = tokens(text_col)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    )
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    from de4ml_spark.operators.text import zip_grams
+
+    sh = zip_grams(tokens(text_col), n)
     ex = _spread(df, id_col).select(F.col(id_col), F.explode(sh).alias("s"))
     digest = ex.select(F.col(id_col), F.expr(md5_hex_sql("s")).alias("m"))
     return digest.select(

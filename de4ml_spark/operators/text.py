@@ -33,6 +33,22 @@ def tokens(col: str | Column = "text") -> Column:
     return F.split(c, " ")
 
 
+def zip_grams(toks: Column, n: int) -> Column:
+    """Word n-grams via n bulk slices stitched with ``arrays_zip`` —
+    2.3x faster than one O(n) ``slice`` per gram position (each
+    per-position slice re-copies its token window; the zip form
+    materializes n full-length slices once). Docs shorter than n yield
+    an EMPTY array (greatest(...,0) guard), also fixing the latent
+    ``sequence(1, 0) -> [1, 0]`` descending-index hazard of the
+    per-position form."""
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, length) for i in range(n)]
+    return F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
+    )
+
+
 def marker_hits(toks: Column, markers: list[str]) -> Column:
     """Count of tokens (with multiplicity) in the marker set."""
     arr = F.array(*[F.lit(m) for m in markers])
@@ -190,19 +206,10 @@ def repetition_stats(
     toks = tokens(text_col)
 
     def _grams(n: int) -> Column:
-        # n bulk slices zipped shift-by-shift, instead of one O(n) slice
-        # per gram position: the per-position form re-copies the token
-        # window for every gram (O(tokens * n) slice calls); the zip form
-        # materializes n full-length slices once and stitches them —
-        # measured 2.3x faster at sf0.1, bit-identical output (docs
-        # shorter than n produce empty slices, hence zero grams, matching
-        # the old size>=n guard).
-        length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-        parts = [F.slice(toks, i + 1, length) for i in range(n)]
-        return F.transform(
-            F.arrays_zip(*parts),
-            lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
-        )
+        # zip-stitched gram build: measured 2.3x faster at sf0.1 than the
+        # per-position slice form, bit-identical output (docs shorter
+        # than n produce zero grams, matching the old size>=n guard).
+        return zip_grams(toks, n)
 
     def _top_run(sorted_grams: Column) -> Column:
         # longest run of equal adjacent values in a sorted array == the

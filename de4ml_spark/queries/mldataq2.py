@@ -37,15 +37,11 @@ def novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens("text")
-    idx = F.when(
-        F.size(toks) >= NOVELTY_N,
-        F.sequence(F.lit(1), F.size(toks) - (NOVELTY_N - 1)),
-    ).otherwise(F.array().cast("array<int>"))
+    from de4ml_spark.operators.text import zip_grams
+
     grams = docs.select(
         "doc_id",
-        F.explode(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, NOVELTY_N)))
-        ).alias("g"),
+        F.explode(zip_grams(toks, NOVELTY_N)).alias("g"),
     )
     per_doc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     corpus = per_doc.groupBy("g").agg(F.sum("c").alias("cf"))

@@ -142,10 +142,9 @@ def winnow_fingerprint_docs(
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    from de4ml_spark.operators.text import zip_grams
+
+    grams = zip_grams(toks, k)
     ex = docs.select("doc_id", F.posexplode(grams).alias("pos", "g")).withColumn(
         "h", F.substring(F.md5("g"), 1, 16)
     )
