@@ -68,6 +68,7 @@ HEADLINE = [
     "incident_window_events",
     "event_transition_matrix",
     "gopher_rules_docs",
+    "throttle_events",
 ]
 
 
