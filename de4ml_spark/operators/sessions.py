@@ -37,3 +37,131 @@ def sessionize(
             "total_value",
         )
     )
+
+
+def capped_sessions(
+    df: "DataFrame",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_us: int = 86_400_000_000,
+    max_len_us: int = 172_800_000_000,
+    n_shards: int = 64,
+) -> "DataFrame":
+    """Sessionization with BOTH an inactivity gap and a max-duration cap
+    (the web-analytics visit definition: a session breaks after
+    ``gap_us`` of silence OR once it has run ``max_len_us`` from its
+    first event). The cap makes the split RECURSIVE — whether an event
+    starts a session depends on the current session's start, not on any
+    fixed window — so, like the trailing throttle, it is inexpressible
+    in plain window functions; plain gap-only sessionization
+    (``sessionize``) stays the one-window fast path.
+
+    Execution: keys hash into ``n_shards`` shards, one Arrow batch per
+    shard (per-key grouping pays an Arrow round trip per key — measured
+    ~1.5 ms each); per shard, one sort + key-boundary mask + a single
+    linear pass emits (key, session_start_us, session_end_us, n_events)
+    per session. The oracle twin replays the recurrence as a recursive
+    CTE (see ``capped_sessions_oracle_sql``).
+    """
+    import pandas as pd
+
+    src = df.select(
+        key_col,
+        id_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
+        (F.abs(F.hash(key_col)) % n_shards).alias("__shard"),
+    )
+    out_schema = (
+        f"{key_col} BIGINT, session_start_us BIGINT, "
+        "session_end_us BIGINT, n_events BIGINT"
+    )
+
+    def scan_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values([key_col, "__t", id_col], ignore_index=True)
+        keys = pdf[key_col].to_numpy()
+        ts = pdf["__t"].to_numpy()
+        n = len(pdf)
+        out_k, out_s, out_e, out_c = [], [], [], []
+
+        def emit(k, s, e, c):
+            out_k.append(k)
+            out_s.append(s)
+            out_e.append(e)
+            out_c.append(c)
+
+        i = 0
+        while i < n:
+            k = keys[i]
+            start = prev = ts[i]
+            count = 1
+            i += 1
+            while i < n and keys[i] == k:
+                t = ts[i]
+                if t - prev > gap_us or t - start > max_len_us:
+                    emit(k, start, prev, count)
+                    start = t
+                    count = 0
+                prev = t
+                count += 1
+                i += 1
+            emit(k, start, prev, count)
+        return pd.DataFrame(
+            {
+                key_col: pd.array(out_k, dtype="int64"),
+                "session_start_us": pd.array(out_s, dtype="int64"),
+                "session_end_us": pd.array(out_e, dtype="int64"),
+                "n_events": pd.array(out_c, dtype="int64"),
+            }
+        )
+
+    return (
+        src.repartition(n_shards, "__shard")
+        .groupBy("__shard")
+        .applyInPandas(scan_shard, out_schema)
+    )
+
+
+def capped_sessions_oracle_sql(
+    gap_us: int = 86_400_000_000, max_len_us: int = 172_800_000_000
+) -> str:
+    """Recursive-CTE twin over ``events``: from each session start, the
+    next start is the first later event breaking either rule relative to
+    the current session."""
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+),
+starts AS (
+  SELECT user_id, t, rn FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.t, e.rn
+  FROM starts s
+  JOIN ev e ON e.user_id = s.user_id AND e.rn > s.rn
+   AND (e.gap > {gap_us} OR e.t - s.t > {max_len_us})
+   AND NOT EXISTS (
+     SELECT 1 FROM ev e2
+     WHERE e2.user_id = s.user_id AND e2.rn > s.rn AND e2.rn < e.rn
+       AND (e2.gap > {gap_us} OR e2.t - s.t > {max_len_us})
+   )
+),
+bounded AS (
+  SELECT user_id, t, rn,
+         LEAD(rn) OVER (PARTITION BY user_id ORDER BY rn) AS next_rn
+  FROM starts
+)
+SELECT b.user_id, b.t AS session_start_us,
+       MAX(e.t) AS session_end_us,
+       COUNT(*) AS n_events
+FROM bounded b
+JOIN ev e ON e.user_id = b.user_id AND e.rn >= b.rn
+         AND (b.next_rn IS NULL OR e.rn < b.next_rn)
+GROUP BY b.user_id, b.t
+"""

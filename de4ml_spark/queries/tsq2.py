@@ -410,3 +410,37 @@ def _throttle_sql() -> str:
 
 
 REGISTRY["throttle_events"] = {"fn": throttle_events, "sql": _throttle_sql()}
+
+
+# --------------------------------------------------------------------------
+# Capped sessionization: inactivity gap OR max-duration cap (the web-
+# analytics visit definition). The cap makes the split recursive — same
+# class as the throttle — so it runs as the sharded per-key Arrow scan;
+# the oracle replays the recurrence as a recursive CTE. Gap-only
+# sessionize (operators/sessions.py sessionize) remains the native
+# one-window fast path for the uncapped case.
+# --------------------------------------------------------------------------
+
+CAP_GAP_US = 86_400_000_000  # 1 day of silence breaks the session
+CAP_MAX_US = 172_800_000_000  # 2 days from session start force-breaks
+
+
+def capped_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.sessions import capped_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    return capped_sessions(
+        ev, gap_us=CAP_GAP_US, max_len_us=CAP_MAX_US
+    )
+
+
+def _capped_sql() -> str:
+    from de4ml_spark.operators.sessions import capped_sessions_oracle_sql
+
+    return capped_sessions_oracle_sql(CAP_GAP_US, CAP_MAX_US)
+
+
+REGISTRY["capped_sessions_events"] = {
+    "fn": capped_sessions_events,
+    "sql": _capped_sql(),
+}

@@ -655,3 +655,49 @@ def test_throttle_matches_python_reference(spark):
                 want.add(eid_)
                 last = t
     assert got == want
+
+
+def test_capped_sessions_match_python_reference(spark):
+    """Gap-OR-cap sessionization == brute-force recurrence on random
+    bursty streams: cap firing mid-burst, gap-exactly-equal and
+    cap-exactly-equal boundaries (both use strict >), equal-ts ties."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.operators.sessions import capped_sessions
+
+    rng = random.Random(53)
+    GAP, CAP = 10, 25
+    rows = []
+    eid = 0
+    for key in range(12):
+        t = 0
+        for _ in range(rng.randint(0, 25)):
+            eid += 1
+            t += rng.choice([0, 2, 4, GAP, GAP + 1, CAP, CAP + 1])
+            rows.append((eid, key, t))
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, tus BIGINT"
+    ).select(
+        "event_id", "user_id", F.timestamp_micros(F.col("tus")).alias("ts")
+    )
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in capped_sessions(ev, gap_us=GAP, max_len_us=CAP).collect()
+    }
+    want = set()
+    by_key = {}
+    for eid_, key, t in rows:
+        by_key.setdefault(key, []).append((t, eid_))
+    for key, seq in by_key.items():
+        seq.sort()
+        start = prev = seq[0][0]
+        count = 0
+        for t, _ in seq:
+            if count and (t - prev > GAP or t - start > CAP):
+                want.add((key, start, prev, count))
+                start = t
+                count = 0
+            prev = t
+            count += 1
+        want.add((key, start, prev, count))
+    assert got == want
