@@ -287,8 +287,9 @@ REGISTRY["rollup_cascade_events"] = {
 # --------------------------------------------------------------------------
 
 
-def incident_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+def incident_windows(ev: DataFrame) -> DataFrame:
+    """DataFrame-level builder for ``incident_window_events`` (see the
+    section comment above for the derivation)."""
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -341,6 +342,10 @@ def incident_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+def incident_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incident_windows(load_table(spark, sf_dir, "events"))
 
 
 INCIDENT_SQL = """

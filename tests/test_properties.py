@@ -701,3 +701,67 @@ def test_capped_sessions_match_python_reference(spark):
             count += 1
         want.add((key, start, prev, count))
     assert got == want
+
+
+def test_incident_windows_match_python_reference(spark):
+    """Hot-hour detection, gaps-and-islands window merging, and the
+    bucketed interval join == brute force on random spiky hour loads —
+    including windows merged across exactly-2h spacing and events at the
+    half-open [w_start, w_end) boundaries."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.queries.tsq2 import incident_windows
+
+    rng = random.Random(59)
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for hour in range(72):
+        # spiky load: most hours 1-2 events, some 8-12
+        n = rng.choice([1, 1, 1, 2, 2, 9, 12])
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, rng.randint(0, 20), hour, rng.randint(0, 3599))
+            )
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, hr INT, sec INT"
+    ).select(
+        "event_id",
+        "user_id",
+        (
+            F.lit(base).cast("timestamp")
+            + F.make_interval(secs=F.col("hr") * 3600 + F.col("sec"))
+        ).alias("ts"),
+    )
+    got = {
+        (r["w_start"], r["w_end"], r["n_hot_hours"], r["n_events"], r["n_users"])
+        for r in incident_windows(ev).collect()
+    }
+
+    # brute force
+    by_hour = {}
+    for _, _, hr, _ in rows:
+        by_hour[hr] = by_hour.get(hr, 0) + 1
+    total, n_hours = len(rows), len(by_hour)
+    hot = sorted(h for h, n in by_hour.items() if n * n_hours * 10 > 11 * total)
+    islands = []
+    for h in hot:
+        if islands and h - islands[-1][-1] <= 2:
+            islands[-1].append(h)
+        else:
+            islands.append([h])
+    want = set()
+    for isl in islands:
+        s = base + datetime.timedelta(hours=isl[0], minutes=-30)
+        e = base + datetime.timedelta(hours=isl[-1], minutes=90)
+        evs = [
+            (eid_, uid)
+            for eid_, uid, hr, sec in rows
+            if s <= base + datetime.timedelta(seconds=hr * 3600 + sec) < e
+        ]
+        want.add((s, e, len(isl), len(evs), len({u for _, u in evs})))
+    assert hot, "degenerate test data: no hot hours"
+    assert got == want
