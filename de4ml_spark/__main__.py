@@ -108,6 +108,38 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    """Run the HTTP ingest service (logging-service parity): each
+    ``--table name=schema.json`` pair becomes a validate-then-persist
+    ``POST /name`` endpoint appending RAW_SCHEMA JSON lines under
+    ``<raw_root>/name`` for the etl subcommand to consume."""
+    from de4ml_spark.contracts.jsonschema import struct_from_json_schema
+    from de4ml_spark.service import IngestService, TableSink
+    from pathlib import Path
+
+    tables = {}
+    for spec in args.table:
+        name, _, schema_path = spec.partition("=")
+        if not schema_path:
+            print(f"--table expects name=schema.json, got {spec!r}", file=sys.stderr)
+            return 2
+        with open(schema_path) as fh:
+            contract = struct_from_json_schema(json.load(fh))
+        tables[name] = TableSink(contract, Path(args.raw_root) / name)
+    svc = IngestService(tables, host=args.host, port=args.port)
+    svc.start()
+    print(f"serving {sorted(tables)} on {args.host}:{svc.port}")
+    try:
+        import threading
+
+        threading.Event().wait()  # run until interrupted
+    except KeyboardInterrupt:
+        pass
+    finally:
+        svc.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="de4ml_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -145,6 +177,20 @@ def main(argv: list[str] | None = None) -> int:
         "--explain", action="store_true", help="print the physical plan"
     )
     pq.set_defaults(fn=cmd_query)
+
+    ps = sub.add_parser(
+        "serve", help="HTTP ingest service (validate-then-persist endpoints)"
+    )
+    ps.add_argument(
+        "--table",
+        action="append",
+        required=True,
+        help="name=schema.json (repeatable; one POST endpoint per table)",
+    )
+    ps.add_argument("--raw-root", required=True, help="landing-zone root dir")
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8080)
+    ps.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

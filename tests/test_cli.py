@@ -62,3 +62,61 @@ def test_cli_profile_rules(tmp_path, spark, capsys):
     byname = {l["column_name"]: l for l in lines}
     assert byname["p"]["min"] == "0.1" and byname["p"]["max"] == "0.9"
     assert "# rule:" in out
+
+
+def test_cli_serve_roundtrip(tmp_path):
+    """serve subcommand: spins up the ingest endpoint from a schema file,
+    accepts a valid POST, rejects an invalid one, lands RAW_SCHEMA lines."""
+    import json
+    import subprocess
+    import sys
+    import time
+    import urllib.error
+    import urllib.request
+
+    schema = {
+        "type": "object",
+        "properties": {"q": {"type": "string"}, "n": {"type": "integer"}},
+        "required": ["q"],
+    }
+    sf = tmp_path / "search.json"
+    sf.write_text(json.dumps(schema))
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "de4ml_spark", "serve",
+            "--table", f"searches={sf}",
+            "--raw-root", str(tmp_path / "raw"),
+            "--port", "0",
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        cwd="/root/repo",
+    )
+    try:
+        line = proc.stdout.readline()
+        assert "serving ['searches'] on 127.0.0.1:" in line, line
+        port = int(line.rsplit(":", 1)[1])
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/searches",
+            data=json.dumps({"q": "hello", "n": 3}).encode(),
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert json.loads(resp.read()) == {"ok": True}
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/searches", data=json.dumps({"n": 3}).encode()
+        )
+        try:
+            urllib.request.urlopen(bad)
+            raise AssertionError("expected 422")
+        except urllib.error.HTTPError as e:
+            assert e.code == 422
+        files = list((tmp_path / "raw" / "searches").glob("*.json"))
+        assert len(files) == 1
+        row = json.loads(files[0].read_text().strip())
+        assert json.loads(row["data"]) == {"q": "hello", "n": 3}
+        assert isinstance(row["ts"], int)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
