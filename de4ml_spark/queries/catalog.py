@@ -66,6 +66,7 @@ def _registries() -> list[dict]:
 # more round and re-green locally. Everything re-greens locally via
 # tools/verify_oracle.py regardless of order.
 PRIORITY = [
+    "source_vocab_overlap",
     "capped_sessions_events",
     "throttle_events",
     "rolling_7d_active_users",

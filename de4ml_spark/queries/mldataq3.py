@@ -326,3 +326,82 @@ REGISTRY["unpivot_part_metrics"] = {
     "fn": unpivot_part_metrics,
     "sql": UNPIVOT_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Cross-source vocabulary overlap: Jaccard similarity of the DISTINCT
+# token vocabularies of every source pair — the corpus-composition
+# diagnostic behind "are these two crawls the same content?" decisions
+# (complement of dedup_source_matrix, which compares near-dup DOCUMENTS;
+# this compares aggregate vocabularies).
+# Scale: one distinct (source, token) shuffle; the token self-join emits
+# at most C(n_sources, 2) pairs PER TOKEN — bounded by the source count,
+# not data volume — and the final matrix is n_sources^2-bounded.
+# Jaccard as the exact integer rational.
+# --------------------------------------------------------------------------
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .distinct()
+    )
+    vocab = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s_a"), F.col("b.source").alias("s_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    va = vocab.select(F.col("source").alias("s_a"), F.col("v").alias("v_a"))
+    vb = vocab.select(F.col("source").alias("s_b"), F.col("v").alias("v_b"))
+    return (
+        inter.join(F.broadcast(va), "s_a")
+        .join(F.broadcast(vb), "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            "v_a",
+            "v_b",
+            "n_common",
+            F.expr(
+                exact_round_div_sql(
+                    "n_common", "v_a + v_b - n_common", "DIV"
+                )
+            ).alias("jaccard_r"),
+        )
+    )
+
+
+SOURCE_VOCAB_SQL = f"""
+WITH st AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+vocab AS (SELECT source, COUNT(*) AS v FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS s_a, b.source AS s_b, COUNT(*) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.s_a, i.s_b, va.v AS v_a, vb.v AS v_b, i.n_common,
+       {exact_round_div_sql("i.n_common", "va.v + vb.v - i.n_common", "//")}
+         AS jaccard_r
+FROM inter i
+JOIN vocab va ON va.source = i.s_a
+JOIN vocab vb ON vb.source = i.s_b
+"""
+
+REGISTRY["source_vocab_overlap"] = {
+    "fn": source_vocab_overlap,
+    "sql": SOURCE_VOCAB_SQL,
+}
