@@ -40,6 +40,10 @@ PROBE = [
     "gopher_rules_docs",
     "pack_sharded",
     "q1_pricing_summary",
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivf",
+    "dedup_embedding_blocked",
 ]
 
 BASE = "/root/testdata/sf0.1"
@@ -109,9 +113,38 @@ def synthesize(spark) -> None:
         u.repartition(32).write.mode("overwrite").parquet(
             os.path.join(OUT, "lineitem.parquet")
         )
-    for t in (
-        "region nation customer supplier part orders embeddings".split()
-    ):
+    if not os.path.exists(os.path.join(OUT, "embeddings.parquet")):
+        # per-copy sign scramble (deterministic per (copy, dim)) keeps
+        # copies mutually dissimilar — near-dup pair density stays that
+        # of the base corpus instead of every vector gaining 9 clones
+        emb = load_table(spark, BASE, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        parts = []
+        for k in range(COPIES):
+            signs = F.array(
+                *[
+                    F.lit(1.0 if k == 0 or ((i * 31 + k * 17) % 7) < 4 else -1.0)
+                    for i in range(dim)
+                ]
+            )
+            parts.append(
+                emb.select(
+                    (F.col("vec_id") + k * OFF).alias("vec_id"),
+                    F.zip_with(
+                        "embedding",
+                        signs,
+                        lambda x, s: (x * s).cast("float"),
+                    ).alias("embedding"),
+                    "label",
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        u.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(OUT, "embeddings.parquet")
+        )
+    for t in "region nation customer supplier part orders".split():
         dst = os.path.join(OUT, f"{t}.parquet")
         if not os.path.exists(dst):
             load_table(spark, BASE, t).write.mode("overwrite").parquet(dst)
