@@ -1,0 +1,129 @@
+"""Quota-capped admission: per (user, day), walk events in time order and
+accept each iff the day's accepted total stays within the quota —
+rejected events do NOT consume budget, which is what makes the running
+total a recurrence (state = total of previously ACCEPTED values, not a
+window sum): the third member of the repo's recursive per-key family
+(trailing throttle = time recurrence, capped sessions = session-start
+recurrence, quota admission = value recurrence).
+
+Arithmetic is integer cents (CAST(ROUND(value*100) AS BIGINT)) so the
+running compare is exact and engine-identical — a double accumulator
+would drift between engines after a few thousand adds.
+
+Execution: the sharded per-key Arrow scan (one batch per hash shard,
+sort + boundary mask + linear pass — see operators/throttle.py for the
+overhead measurements that motivated sharding). Oracle: a linear
+recursive CTE that carries the accumulator through an rn+1 self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+US_PER_DAY = 86_400_000_000
+
+
+def quota_admission(
+    df: DataFrame,
+    quota_cents: int = 10_000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n_shards: int = 64,
+) -> DataFrame:
+    """(key, day, n_accepted, n_rejected, consumed_c) per key-day under
+    the admission recurrence; ties at equal timestamps resolve by id."""
+    import pandas as pd
+
+    src = df.select(
+        key_col,
+        id_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("__vc"),
+        (F.abs(F.hash(key_col)) % n_shards).alias("__shard"),
+    ).withColumn("__day", (F.col("__t") / US_PER_DAY).cast("bigint"))
+
+    def scan_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            [key_col, "__day", "__t", id_col], ignore_index=True
+        )
+        keys = pdf[key_col].to_numpy()
+        days = pdf["__day"].to_numpy()
+        vcs = pdf["__vc"].to_numpy()
+        n = len(pdf)
+        out = {k: [] for k in (key_col, "day_num", "n_accepted", "n_rejected", "consumed_c")}
+        i = 0
+        while i < n:
+            k, d = keys[i], days[i]
+            total = acc = rej = 0
+            while i < n and keys[i] == k and days[i] == d:
+                if total + vcs[i] <= quota_cents:
+                    total += vcs[i]
+                    acc += 1
+                else:
+                    rej += 1
+                i += 1
+            out[key_col].append(k)
+            out["day_num"].append(d)
+            out["n_accepted"].append(acc)
+            out["n_rejected"].append(rej)
+            out["consumed_c"].append(total)
+        return pd.DataFrame(
+            {c: pd.array(v, dtype="int64") for c, v in out.items()}
+        )
+
+    scanned = (
+        src.repartition(n_shards, "__shard")
+        .groupBy("__shard")
+        .applyInPandas(
+            scan_shard,
+            f"{key_col} BIGINT, day_num BIGINT, n_accepted BIGINT, "
+            "n_rejected BIGINT, consumed_c BIGINT",
+        )
+    )
+    return scanned.select(
+        key_col,
+        F.date_from_unix_date(F.col("day_num").cast("int")).alias("day"),
+        "n_accepted",
+        "n_rejected",
+        "consumed_c",
+    )
+
+
+def quota_admission_oracle_sql(quota_cents: int = 10_000) -> str:
+    """Linear recursive-CTE twin over ``events``: the accumulator rides
+    the recursion through an rn+1 self-join (depth = max events per
+    key-day)."""
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+walk AS (
+  SELECT user_id, day, rn,
+         CASE WHEN vc <= {quota_cents} THEN vc ELSE CAST(0 AS BIGINT) END
+           AS total,
+         CASE WHEN vc <= {quota_cents} THEN 1 ELSE 0 END AS acc
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.day, e.rn,
+         CASE WHEN w.total + e.vc <= {quota_cents}
+              THEN w.total + e.vc ELSE w.total END,
+         CASE WHEN w.total + e.vc <= {quota_cents} THEN 1 ELSE 0 END
+  FROM walk w
+  JOIN ev e ON e.user_id = w.user_id AND e.day = w.day AND e.rn = w.rn + 1
+)
+SELECT user_id, day,
+       CAST(SUM(acc) AS BIGINT) AS n_accepted,
+       CAST(COUNT(*) - SUM(acc) AS BIGINT) AS n_rejected,
+       MAX(total) AS consumed_c
+FROM walk
+GROUP BY user_id, day
+"""

@@ -449,3 +449,33 @@ REGISTRY["capped_sessions_events"] = {
     "fn": capped_sessions_events,
     "sql": _capped_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Quota-capped admission: per (user, day), accept events while the day's
+# ACCEPTED total stays within the quota — rejected events consume no
+# budget, making the running total a value recurrence (state = total of
+# accepted, not a window sum). Third member of the recursive per-key
+# family; integer-cent arithmetic keeps the compare engine-exact.
+# --------------------------------------------------------------------------
+
+QUOTA_CENTS = 10_000  # 100.00 per user-day
+
+
+def quota_admission_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.quota import quota_admission
+
+    ev = load_table(spark, sf_dir, "events")
+    return quota_admission(ev, quota_cents=QUOTA_CENTS)
+
+
+def _quota_sql() -> str:
+    from de4ml_spark.operators.quota import quota_admission_oracle_sql
+
+    return quota_admission_oracle_sql(QUOTA_CENTS)
+
+
+REGISTRY["quota_admission_events"] = {
+    "fn": quota_admission_events,
+    "sql": _quota_sql(),
+}

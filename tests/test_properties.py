@@ -765,3 +765,58 @@ def test_incident_windows_match_python_reference(spark):
         want.add((s, e, len(isl), len(evs), len({u for _, u in evs})))
     assert hot, "degenerate test data: no hot hours"
     assert got == want
+
+
+def test_quota_admission_matches_python_reference(spark):
+    """Quota-capped admission == brute-force recurrence on random bursty
+    values: rejected events must NOT consume budget (a later smaller
+    event can still be admitted after a rejection), exact quota-boundary
+    admits (<=), day-boundary resets, equal-ts ties by id."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.operators.quota import quota_admission
+
+    rng = random.Random(61)
+    Q = 1000  # cents
+    rows = []
+    eid = 0
+    for key in range(10):
+        for day in range(3):
+            for _ in range(rng.randint(0, 12)):
+                eid += 1
+                # cents chosen so rejections + later-admits both occur,
+                # including exact-boundary values
+                cents = rng.choice([100, 250, 400, 500, 1000, 900])
+                rows.append((eid, key, day, rng.randint(0, 86399), cents))
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, d INT, sec INT, cents BIGINT"
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(
+            F.col("d") * 86400 + F.col("sec")
+        ).alias("ts"),
+        (F.col("cents") / 100.0).alias("value"),
+    )
+    got = {
+        (r["user_id"], r["day"].isoformat(), r["n_accepted"], r["n_rejected"], r["consumed_c"])
+        for r in quota_admission(ev, quota_cents=Q).collect()
+    }
+    import datetime
+
+    by_kd = {}
+    for eid_, key, day, sec, cents in rows:
+        by_kd.setdefault((key, day), []).append((sec, eid_, cents))
+    want = set()
+    for (key, day), seq in by_kd.items():
+        seq.sort()
+        total = acc = rej = 0
+        for _, _, cents in seq:
+            if total + cents <= Q:
+                total += cents
+                acc += 1
+            else:
+                rej += 1
+        d = (datetime.date(1970, 1, 1) + datetime.timedelta(days=day)).isoformat()
+        want.add((key, d, acc, rej, total))
+    assert got == want
