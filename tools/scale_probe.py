@@ -40,6 +40,8 @@ PROBE = [
     "gopher_rules_docs",
     "pack_sharded",
     "q1_pricing_summary",
+    "capped_sessions_events",
+    "quota_admission_events",
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
