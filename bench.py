@@ -69,6 +69,10 @@ HEADLINE = [
     "event_transition_matrix",
     "gopher_rules_docs",
     "throttle_events",
+    "capped_sessions_events",
+    "quota_admission_events",
+    "rollup_cascade_events",
+    "source_vocab_overlap",
 ]
 
 
