@@ -578,3 +578,37 @@ def test_drift_tvd_conditional_counts(spark, sf_dir):
     for line in plan.splitlines():
         if "FileScan" in line:
             assert "event_id" not in line and "value" not in line
+
+
+def test_recursive_scans_single_exchange(spark, sf_dir):
+    """The sharded per-key scans must plan exactly one exchange (the
+    shard repartition) feeding one Arrow stage — no extra sort/agg
+    shuffles, no row-at-a-time Python."""
+    from de4ml_spark.operators.quota import quota_admission
+    from de4ml_spark.operators.sessions import capped_sessions
+    from de4ml_spark.operators.throttle import throttle
+    from de4ml_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    for df in (
+        throttle(ev, ["user_id", "event_type"]),
+        capped_sessions(ev),
+        quota_admission(ev),
+    ):
+        plan = _plan(df)
+        assert plan.count("Exchange") == 1, plan
+        assert "FlatMapGroupsInPandas" in plan
+        assert "BatchEvalPython" not in plan  # no per-row Python
+
+
+def test_incident_window_buckets_broadcast(spark, sf_dir):
+    """The interval join must be a broadcast hash join on the hour
+    bucket, never a ts-range BroadcastNestedLoop over events."""
+    from de4ml_spark.queries.tsq2 import incident_windows
+    from de4ml_spark.session import load_table
+
+    plan = _plan(incident_windows(load_table(spark, sf_dir, "events")))
+    assert "BroadcastHashJoin" in plan
+    # the only BNL allowed is the single-row totals scalar join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "PythonUDF" not in plan
