@@ -127,3 +127,50 @@ SELECT user_id, day,
 FROM walk
 GROUP BY user_id, day
 """
+
+
+def streaming_quota_admission(
+    events: DataFrame, quota_cents: int = 10_000
+) -> DataFrame:
+    """Streaming twin over the events shape via
+    ``applyInPandasWithState`` keyed by user: cross-batch state is
+    (current day, accepted total) — O(1) per key; a new day resets the
+    budget. Emits one row PER EVENT with its admission decision (the
+    streaming surface is the admit/reject signal itself; the batch twin
+    aggregates per day). Contract: event-time-ordered arrival across
+    batches, as with streaming_throttle."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__t"),
+        F.round(F.col("value") * 100).cast("bigint").alias("__vc"),
+    ).withColumn("__day", (F.col("__t") / US_PER_DAY).cast("bigint"))
+
+    def fn(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        day, total = state.get if state.exists else (None, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["__day", "__t", "event_id"])
+        accepted = []
+        for d, vc in zip(batch["__day"].to_numpy(), batch["__vc"].to_numpy()):
+            if day is None or d != day:
+                day, total = int(d), 0
+            ok = total + vc <= quota_cents
+            if ok:
+                total += int(vc)
+            accepted.append(ok)
+        state.update((day, int(total)))
+        out = batch[["user_id", "event_id"]].copy()
+        out["accepted"] = accepted
+        yield out
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id BIGINT, event_id BIGINT, accepted BOOLEAN",
+        "day BIGINT, total BIGINT",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -50,10 +50,11 @@ def _registries() -> list[dict]:
 # Catalog iteration order. The driver's correctness harness grades a
 # 50-entry PREFIX of this list per round, so ordering decides which
 # queries get fresh cross-engine evidence each round. Round-5 rotation:
-# (1) the eight never-graded entries added late in round 5 (sliding-
+# (1) the thirteen never-graded entries added late in round 5 (sliding-
 # distinct WAU, Markov transitions, rollup cascade, incident interval
 # join, Gopher rule battery, epoch mix plan, split-leakage audit,
-# unpivot stats), then (2) the twenty entries new or implementation-
+# unpivot stats, trailing throttle, capped sessions, quota admission,
+# vocab overlap), then (2) the twenty entries new or implementation-
 # changed earlier this round (SCD2 fusion, shard-local packing report,
 # lazy scalar-join rewrites, shifted-moment profile std, wide-integer
 # drift TVD, the PIT/nearest feature joins, fraction decontamination,

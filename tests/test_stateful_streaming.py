@@ -148,3 +148,74 @@ def test_streaming_throttle_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want == {1, 3, 4, 6, 8}
+
+
+@pytest.mark.slow
+def test_streaming_quota_equals_batch(spark, tmp_path):
+    """Cross-batch quota state: a day's budget partially consumed in
+    batch 1 must carry into batch 2 (admits continue against the
+    remaining budget), and a new day resets it. Per-event decisions must
+    aggregate to exactly the batch operator's day rows."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.operators.quota import (
+        quota_admission,
+        streaming_quota_admission,
+    )
+
+    Q = 1000  # cents
+
+    def ev(eid, uid, day_off, sec, cents):
+        return {
+            "event_id": eid,
+            "user_id": uid,
+            "ts": _ts(day_off * 86400 + sec),
+            "value": cents / 100.0,
+        }
+
+    batch1 = [
+        ev(1, 1, 0, 10, 600),   # accept (600)
+        ev(2, 1, 0, 20, 500),   # reject (would be 1100)
+    ]
+    batch2 = [
+        ev(3, 1, 0, 30, 400),   # accept (1000 exactly — boundary)
+        ev(4, 1, 0, 40, 1),     # reject (budget full)
+        ev(5, 1, 1, 10, 900),   # accept (new day resets)
+    ]
+    src = tmp_path / "ev"
+    _write(src, batch1)
+    SCHEMA = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = (
+        streaming_quota_admission(stream, quota_cents=Q)
+        .writeStream.format("memory")
+        .queryName("quota_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(src, batch2)
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: r["accepted"]
+            for r in spark.sql("SELECT * FROM quota_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: True}
+
+    batch_df = spark.createDataFrame(
+        [tuple(e.values()) for e in batch1 + batch2],
+        "event_id BIGINT, user_id BIGINT, ts STRING, value DOUBLE",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    day_rows = {
+        (r["user_id"], str(r["day"]), r["n_accepted"], r["n_rejected"], r["consumed_c"])
+        for r in quota_admission(batch_df, quota_cents=Q).collect()
+    }
+    # per-event stream decisions roll up to the batch day rows
+    assert {(u, a, rj, c) for u, _, a, rj, c in day_rows} == {
+        (1, 2, 2, 1000),
+        (1, 1, 0, 900),
+    }
