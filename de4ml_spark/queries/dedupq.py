@@ -548,3 +548,34 @@ WHERE abs(ka.len - kb.len) <= 3
 
 
 REGISTRY["fuzzy_name_pairs"] = {"fn": fuzzy_name_pairs, "sql": FUZZY_SQL}
+
+
+def dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph degree per document (0 for singletons) — the
+    cluster diagnostic that separates 'a few giant templates' from
+    'many small near-pairs' before choosing canonicalization strategy.
+    Scale: the pair set is the banded/verified near-dup graph (never
+    all-pairs); the degree count is one groupBy over its edges."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3).select("id_a", "id_b")
+    edges = pairs.unionAll(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = edges.groupBy("id_a").agg(F.count(F.lit(1)).alias("degree"))
+    return docs.select("doc_id").join(
+        deg.withColumnRenamed("id_a", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree")
+    )
+
+
+DEDUP_DEGREES_SQL = COMPONENTS_CTES + """
+SELECT d.doc_id, CAST(COUNT(e2.b) AS BIGINT) AS degree
+FROM documents d LEFT JOIN edges e2 ON d.doc_id = e2.a
+GROUP BY d.doc_id
+"""
+
+REGISTRY["dedup_graph_degrees"] = {
+    "fn": dedup_graph_degrees,
+    "sql": DEDUP_DEGREES_SQL,
+}
