@@ -145,3 +145,19 @@ def upsert_parquet(
         os.rename(bak, path)  # restore the old table on failure
         raise
     shutil.rmtree(bak)
+
+
+def with_provenance(df: DataFrame) -> DataFrame:
+    """Append lineage columns: ``__source_file`` (the parquet/json split
+    the row came from, via input_file_name — resolved at scan time, so
+    it survives joins/filters as long as the row maps to one scan) and
+    ``__row_md5`` (md5 over the canonical JSON of all current columns —
+    a content fingerprint for cross-snapshot diffing and audit trails).
+    Both are map-only; the fingerprint intentionally excludes the
+    provenance columns themselves so re-application is idempotent."""
+    cols = [c for c in df.columns if not c.startswith("__")]
+    return df.withColumn(
+        "__source_file", F.input_file_name()
+    ).withColumn(
+        "__row_md5", F.md5(F.to_json(F.struct(*cols)))
+    )
