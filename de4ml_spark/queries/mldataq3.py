@@ -405,3 +405,91 @@ REGISTRY["source_vocab_overlap"] = {
     "fn": source_vocab_overlap,
     "sql": SOURCE_VOCAB_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov drift test: value distribution of
+# the month's first half vs second half. D = max |ECDF1 - ECDF2| computed
+# ENTIRELY in integers: on the cents grid, D = max |c1*n2 - c2*n1| /
+# (n1*n2), so the statistic is exact and engine-identical (float ECDFs
+# would disagree in the last ulp). The cumulative window runs over the
+# cents grid — bounded by the VALUE DOMAIN (<= ~49k cells here), not row
+# count, same class as the histogram-quantile windows.
+# --------------------------------------------------------------------------
+
+KS_SPLIT_DAY = 16  # days 1-15 vs 16-30
+
+
+def ks_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    half = F.when(F.dayofmonth("ts") < KS_SPLIT_DAY, 1).otherwise(2)
+    cells = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+            half.alias("half"),
+        )
+        .groupBy("vc")
+        .agg(
+            F.count(F.when(F.col("half") == 1, 1)).alias("c1"),
+            F.count(F.when(F.col("half") == 2, 1)).alias("c2"),
+        )
+    )
+    totals = cells.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    from pyspark.sql import Window as W
+
+    wc = W.orderBy("vc").rowsBetween(W.unboundedPreceding, 0)
+    cum = cells.select(
+        "vc",
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c2").over(wc).alias("cum2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "n1",
+            "n2",
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            .alias("dnum"),
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("dnum").alias("max_d_num"))
+        .select(
+            "n1",
+            "n2",
+            "max_d_num",
+            F.expr(
+                exact_round_div_sql("max_d_num", "n1 * n2", "DIV")
+            ).alias("ks_d_r"),
+        )
+    )
+
+
+KS_DRIFT_SQL = f"""
+WITH cells AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc,
+         COUNT(*) FILTER (WHERE date_part('day', ts) < {KS_SPLIT_DAY}) AS c1,
+         COUNT(*) FILTER (WHERE date_part('day', ts) >= {KS_SPLIT_DAY}) AS c2
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM cells),
+cum AS (
+  SELECT vc,
+         SUM(c1) OVER (ORDER BY vc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum1,
+         SUM(c2) OVER (ORDER BY vc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum2
+  FROM cells
+)
+SELECT t.n1, t.n2,
+       MAX(ABS(cum1 * t.n2 - cum2 * t.n1)) AS max_d_num,
+       {exact_round_div_sql("MAX(ABS(cum1 * t.n2 - cum2 * t.n1))",
+                            "t.n1 * t.n2", "//")} AS ks_d_r
+FROM cum, tot t
+GROUP BY t.n1, t.n2
+"""
+
+REGISTRY["ks_drift_value"] = {"fn": ks_drift_value, "sql": KS_DRIFT_SQL}
