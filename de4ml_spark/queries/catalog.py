@@ -67,6 +67,7 @@ def _registries() -> list[dict]:
 # more round and re-green locally. Everything re-greens locally via
 # tools/verify_oracle.py regardless of order.
 PRIORITY = [
+    "daily_heavy_hitters",
     "ks_drift_value",
     "dedup_graph_degrees",
     "quota_admission_events",

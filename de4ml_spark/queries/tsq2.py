@@ -479,3 +479,43 @@ REGISTRY["quota_admission_events"] = {
     "fn": quota_admission_events,
     "sql": _quota_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Daily heavy hitters: top-3 users by event count per day, RANK semantics
+# (ties all kept, so the result set is deterministic without a tiebreak
+# column). Scale: day+user groupBy map-side combines; the ranking window
+# is partitioned by day over per-day user counts.
+# --------------------------------------------------------------------------
+
+
+def daily_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("day").orderBy(F.desc("n_events"))
+    return (
+        per.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("day", "user_id", "n_events", "rnk")
+    )
+
+
+HEAVY_HITTERS_SQL = """
+WITH per AS (
+  SELECT CAST(ts AS DATE) AS day, user_id, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT day, user_id, n_events, rnk FROM (
+  SELECT day, user_id, n_events,
+         RANK() OVER (PARTITION BY day ORDER BY n_events DESC) AS rnk
+  FROM per
+)
+WHERE rnk <= 3
+"""
+
+REGISTRY["daily_heavy_hitters"] = {
+    "fn": daily_heavy_hitters,
+    "sql": HEAVY_HITTERS_SQL,
+}
