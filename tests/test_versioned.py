@@ -113,3 +113,54 @@ def test_versioned_snapshot_sink_streaming(spark, tmp_path):
     assert latest == {(2, "b")}
     first = {tuple(r) for r in vt.read(spark, root, version=versions[0]).collect()}
     assert first == {(1, "a")}
+
+
+def test_snapshot_diff_cdf(spark, tmp_path):
+    """CDF between snapshots: insert/delete/update classified per key,
+    unchanged rows absent, payload taken from the correct side."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.etl.versioned import commit, snapshot_diff, upsert
+
+    root = str(tmp_path / "vt")
+    v1 = commit(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id BIGINT, name STRING, score DOUBLE",
+        ),
+    )
+    # update id=2, insert id=4; then delete id=3 via a fresh commit
+    upsert(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(2, "b", 25.0), (4, "d", 40.0)],
+            "id BIGINT, name STRING, score DOUBLE",
+        ),
+        key="id",
+    )
+    from de4ml_spark.etl.versioned import latest_version, read
+
+    v2 = latest_version(root)
+    v3 = commit(spark, root, read(spark, root).filter(F.col("id") != 3))
+
+    d12 = {
+        (r["id"], r["_change"], r["score"])
+        for r in snapshot_diff(spark, root, v1, v2, key="id").collect()
+    }
+    assert d12 == {(2, "update", 25.0), (4, "insert", 40.0)}
+
+    d23 = {
+        (r["id"], r["_change"], r["score"])
+        for r in snapshot_diff(spark, root, v2, v3, key="id").collect()
+    }
+    assert d23 == {(3, "delete", 30.0)}
+
+    # full span: unchanged id=1 never appears
+    d13 = {
+        (r["id"], r["_change"])
+        for r in snapshot_diff(spark, root, v1, v3, key="id").collect()
+    }
+    assert d13 == {(2, "update"), (4, "insert"), (3, "delete")}
