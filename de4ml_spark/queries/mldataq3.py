@@ -191,11 +191,12 @@ def epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 EPOCH_MIX_SQL = f"""
 WITH per_src AS (
   SELECT source, COUNT(*) AS n_docs,
-         SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ),
 tot AS (
-  SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_src
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_sources FROM per_src
 )
 SELECT source, n_docs, n_tokens,
        CAST({exact_round_div_sql(
@@ -423,9 +424,15 @@ KS_SPLIT_DAY = 16  # days 1-15 vs 16-30
 def ks_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     half = F.when(F.dayofmonth("ts") < KS_SPLIT_DAY, 1).otherwise(2)
+    # Cents grid via DECIMAL(18,2) cast, not ROUND(double): double-ROUND is
+    # not engine-stable at half boundaries (portable_hash.py:121-127); the
+    # decimal cast rounds the decimal expansion identically on both engines
+    # and *100 on the decimal is exact integer arithmetic.
     cells = (
         ev.select(
-            F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("vc"),
             half.alias("half"),
         )
         .groupBy("vc")
@@ -468,20 +475,21 @@ def ks_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KS_DRIFT_SQL = f"""
 WITH cells AS (
-  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc,
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
          COUNT(*) FILTER (WHERE date_part('day', ts) < {KS_SPLIT_DAY}) AS c1,
          COUNT(*) FILTER (WHERE date_part('day', ts) >= {KS_SPLIT_DAY}) AS c2
   FROM events GROUP BY 1
 ),
-tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM cells),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2 FROM cells),
 cum AS (
   SELECT vc,
-         SUM(c1) OVER (ORDER BY vc
+         CAST(SUM(c1) OVER (ORDER BY vc
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cum1,
-         SUM(c2) OVER (ORDER BY vc
+           AS BIGINT) AS cum1,
+         CAST(SUM(c2) OVER (ORDER BY vc
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cum2
+           AS BIGINT) AS cum2
   FROM cells
 )
 SELECT t.n1, t.n2,

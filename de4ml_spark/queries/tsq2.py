@@ -221,19 +221,23 @@ REGISTRY["event_transition_matrix"] = {
 
 def rollup_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # min/max nest over the DECIMAL(18,2)-cast value: ROUND(double, 2) is
+    # not engine-stable at half boundaries (portable_hash.py:121-127), and
+    # the decimal min/max re-aggregates exactly through the cascade.
+    vdec = F.col("value").cast("decimal(18,2)")
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
-        F.min("value").alias("mn"),
-        F.max("value").alias("mx"),
+        F.sum(vdec).alias("sv"),
+        F.min(vdec).alias("mn"),
+        F.max(vdec).alias("mx"),
     )
     daily = hourly.groupBy(F.col("h").cast("date").alias("day")).agg(
         F.sum("n").alias("n_events"),
         F.sum("sv").cast("decimal(38,2)").alias("sum_value"),
-        F.round(F.min("mn"), 2).alias("min_value"),
-        F.round(F.max("mx"), 2).alias("max_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
         F.count(F.lit(1)).alias("n_hours"),
     )
     return daily.withColumn(
@@ -253,8 +257,8 @@ WITH d AS (
   SELECT CAST(ts AS DATE) AS day,
          COUNT(*) AS n_events,
          SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
-         ROUND(MIN(value), 2) AS min_value,
-         ROUND(MAX(value), 2) AS max_value,
+         MIN(CAST(value AS DECIMAL(18,2))) AS min_value,
+         MAX(CAST(value AS DECIMAL(18,2))) AS max_value,
          COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours
   FROM events
   GROUP BY CAST(ts AS DATE)

@@ -18,6 +18,78 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 
+# --------------------------------------------------------------------------
+# Cross-engine type parity: the driver's hasher preserves Arrow-level types,
+# so a DuckDB HUGEINT (decimal128) against a Spark BIGINT (int64) hash-
+# mismatches on IDENTICAL values. The round-5 driver failures (ks_drift,
+# epoch_mix, rollup_cascade) all passed the value compare below while
+# carrying exactly that drift. Canonicalize both engines' result types and
+# fail on any pair outside the explicit allowed-widening map.
+# --------------------------------------------------------------------------
+
+_DUCK_CANON = {
+    "BIGINT": "bigint", "INT64": "bigint", "LONG": "bigint",
+    "INTEGER": "int", "INT32": "int", "INT": "int",
+    "SMALLINT": "smallint", "TINYINT": "tinyint",
+    "UBIGINT": "hugeint", "HUGEINT": "hugeint", "UHUGEINT": "hugeint",
+    "UINTEGER": "bigint", "USMALLINT": "int", "UTINYINT": "smallint",
+    "DOUBLE": "double", "FLOAT": "float", "REAL": "float",
+    "VARCHAR": "string", "BOOLEAN": "boolean", "DATE": "date",
+    "BLOB": "binary", "INTERVAL": "interval",
+}
+
+# Pairs (spark, duck) that hash identically at the driver's compare layer
+# despite different engine names. Keep this SMALL and explicit, and only
+# add a pair with DRIVER EVIDENCE: (int, bigint) is proven benign by 26
+# catalog entries (daily_heavy_hitters, bm25_search_docs, tfidf_*, knn_*,
+# ...) that carry int32 rank/bin columns against BIGINT oracles and have
+# driver-green hash_match; HUGEINT and decimal-vs-double drift are exactly
+# what failed in round 5, so they are NOT widened.
+_ALLOWED_WIDENING = {
+    ("timestamp", "timestamp"),
+    ("timestamp_ntz", "timestamp"),
+    ("int", "bigint"),
+    ("array<int>", "array<bigint>"),
+}
+
+
+def canon_duck_type(t: str) -> str:
+    t = str(t).strip().upper()
+    if t.endswith("[]"):
+        return f"array<{canon_duck_type(t[:-2])}>"
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return _DUCK_CANON.get(t, t.lower())
+
+
+def canon_spark_type(t: str) -> str:
+    t = t.strip().lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{canon_spark_type(t[6:-1])}>"
+    return {"integer": "int", "long": "bigint"}.get(t, t)
+
+
+def type_parity_errors(sdf_dtypes, duck_cols, duck_types) -> list[str]:
+    """Compare Spark dtypes vs DuckDB relation types by column NAME
+    (the driver sorts columns by name before hashing). Returns a list of
+    human-readable drift descriptions; empty means parity."""
+    spark_map = {c: canon_spark_type(t) for c, t in sdf_dtypes}
+    errs = []
+    for col, dt in zip(duck_cols, duck_types):
+        dcanon = canon_duck_type(dt)
+        scanon = spark_map.get(col)
+        if scanon is None:
+            continue  # column-name mismatch is reported separately
+        if scanon == dcanon:
+            continue
+        if (scanon, dcanon) in _ALLOWED_WIDENING:
+            continue
+        errs.append(f"{col}: spark={scanon} duck={dcanon}({dt})")
+    return errs
+
+
 def norm_cell(v):
     import datetime
     import math
@@ -82,14 +154,19 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
         ok = True
+        terrs = type_parity_errors(sdf.dtypes, ocols, otypes)
+        if terrs:
+            print(f"FAIL  {name}: type drift: {'; '.join(terrs)}")
+            ok = False
         if len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
             ok = False
