@@ -48,32 +48,63 @@ def quota_admission(
     def scan_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        from de4ml_spark.operators.throttle import partition_boundary_mask
+
         pdf = pdf.sort_values(
             [key_col, "__day", "__t", id_col], ignore_index=True
         )
-        keys = pdf[key_col].to_numpy()
-        days = pdf["__day"].to_numpy()
-        vcs = pdf["__vc"].to_numpy()
         n = len(pdf)
-        out = {k: [] for k in (key_col, "day_num", "n_accepted", "n_rejected", "consumed_c")}
-        i = 0
-        while i < n:
-            k, d = keys[i], days[i]
-            total = acc = rej = 0
-            while i < n and keys[i] == k and days[i] == d:
-                if total + vcs[i] <= quota_cents:
-                    total += vcs[i]
-                    acc += 1
-                else:
-                    rej += 1
-                i += 1
-            out[key_col].append(k)
-            out["day_num"].append(d)
-            out["n_accepted"].append(acc)
-            out["n_rejected"].append(rej)
-            out["consumed_c"].append(total)
+        # boundary mask, not a keys[i] == k scan loop: a NaN key
+        # (nullable int64 -> float64) makes that loop spin forever
+        # (NaN == NaN is False so the inner while never advances); the
+        # mask gives SQL PARTITION BY null semantics and cannot hang.
+        new_grp = partition_boundary_mask(pdf, [key_col, "__day"])
+        vcs = pdf["__vc"].to_numpy(dtype="float64")
+        starts = np.flatnonzero(new_grp)
+        n_grp = len(starts)
+        sizes = np.diff(np.append(starts, n))
+        acc_a = np.empty(n_grp, dtype=np.int64)
+        rej_a = np.empty(n_grp, dtype=np.int64)
+        tot_a = np.empty(n_grp, dtype=np.int64)
+        if n:
+            # fast path: a group whose values are all non-negative and
+            # whose plain sum fits the quota accepts everything — no
+            # walk needed (cents are exact in float64 far past 2^53/1e2,
+            # and NaN values poison their own group's sum/min, routing
+            # it to the walk). Only quota-crossing groups pay Python.
+            gsum = np.add.reduceat(vcs, starts)
+            gmin = np.minimum.reduceat(vcs, starts)
+            with np.errstate(invalid="ignore"):
+                fast = (gmin >= 0) & (gsum <= quota_cents)
+            acc_a[fast] = sizes[fast]
+            rej_a[fast] = 0
+            tot_a[fast] = gsum[fast].astype(np.int64)
+            for g in np.flatnonzero(~fast):
+                total = 0
+                acc = 0
+                lo, hi = starts[g], starts[g] + sizes[g]
+                for i in range(lo, hi):
+                    v = vcs[i]
+                    if total + v <= quota_cents:
+                        total += v
+                        acc += 1
+                acc_a[g] = acc
+                rej_a[g] = sizes[g] - acc
+                tot_a[g] = int(total)
         return pd.DataFrame(
-            {c: pd.array(v, dtype="int64") for c, v in out.items()}
+            {
+                key_col: pdf[key_col]
+                .iloc[starts]
+                .reset_index(drop=True)
+                .astype("Int64"),
+                "day_num": pdf["__day"]
+                .iloc[starts]
+                .reset_index(drop=True)
+                .astype("Int64"),
+                "n_accepted": acc_a,
+                "n_rejected": rej_a,
+                "consumed_c": tot_a,
+            }
         )
 
     scanned = (

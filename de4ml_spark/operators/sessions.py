@@ -78,39 +78,49 @@ def capped_sessions(
     )
 
     def scan_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+        from de4ml_spark.operators.throttle import partition_boundary_mask
 
         pdf = pdf.sort_values([key_col, "__t", id_col], ignore_index=True)
-        keys = pdf[key_col].to_numpy()
+        # boundary mask, not a keys[i] == k scan: NaN keys (nullable
+        # int64 -> float64) never compare equal, which would split every
+        # null row into its own session; the mask gives SQL PARTITION BY
+        # null semantics (all nulls = one key) and cannot hang.
+        new_key = partition_boundary_mask(pdf, [key_col])
         ts = pdf["__t"].to_numpy()
         n = len(pdf)
-        out_k, out_s, out_e, out_c = [], [], [], []
-
-        def emit(k, s, e, c):
-            out_k.append(k)
-            out_s.append(s)
-            out_e.append(e)
-            out_c.append(c)
-
-        i = 0
-        while i < n:
-            k = keys[i]
-            start = prev = ts[i]
-            count = 1
-            i += 1
-            while i < n and keys[i] == k:
-                t = ts[i]
-                if t - prev > gap_us or t - start > max_len_us:
-                    emit(k, start, prev, count)
-                    start = t
-                    count = 0
+        key_idx, out_s, out_e, out_c = [], [], [], []
+        start = prev = 0
+        count = 0
+        cur = 0
+        for i in range(n):
+            t = ts[i]
+            if new_key[i]:
+                if count:
+                    key_idx.append(cur)
+                    out_s.append(start)
+                    out_e.append(prev)
+                    out_c.append(count)
+                cur, start, prev, count = i, t, t, 1
+            elif t - prev > gap_us or t - start > max_len_us:
+                key_idx.append(cur)
+                out_s.append(start)
+                out_e.append(prev)
+                out_c.append(count)
+                cur, start, prev, count = i, t, t, 1
+            else:
                 prev = t
                 count += 1
-                i += 1
-            emit(k, start, prev, count)
+        if count:
+            key_idx.append(cur)
+            out_s.append(start)
+            out_e.append(prev)
+            out_c.append(count)
         return pd.DataFrame(
             {
-                key_col: pd.array(out_k, dtype="int64"),
+                key_col: pdf[key_col]
+                .iloc[key_idx]
+                .reset_index(drop=True)
+                .astype("Int64"),
                 "session_start_us": pd.array(out_s, dtype="int64"),
                 "session_end_us": pd.array(out_e, dtype="int64"),
                 "n_events": pd.array(out_c, dtype="int64"),

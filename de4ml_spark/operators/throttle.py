@@ -23,6 +23,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def partition_boundary_mask(pdf, key_cols):
+    """Boolean array marking where a new key group starts in a sorted
+    pandas frame, with SQL ``PARTITION BY`` null semantics: all-null keys
+    form ONE group. applyInPandas delivers nullable int64 keys as float64
+    with NaN, and ``NaN != NaN`` is True — a naive ``v[1:] != v[:-1]``
+    mask splits every null row into its own group (and a naive
+    ``keys[i] == k`` scan loop never advances past a null, hanging
+    forever). Here two consecutive nulls compare EQUAL and a null next to
+    a non-null is always a boundary, matching the oracle's window
+    partitioning. pandas sort_values groups NaN/None together (na_position
+    uniform), so nulls are contiguous after the shard sort."""
+    import numpy as np
+
+    n = len(pdf)
+    mask = np.zeros(n, dtype=bool)
+    if not n:
+        return mask
+    mask[0] = True
+    for k in key_cols:
+        col = pdf[k]
+        v = col.to_numpy()
+        isna = col.isna().to_numpy()
+        with np.errstate(invalid="ignore"):
+            neq = v[1:] != v[:-1]
+        mask[1:] |= neq & ~(isna[1:] & isna[:-1])
+        mask[1:] |= isna[1:] != isna[:-1]
+    return mask
+
+
 def throttle(
     df: DataFrame,
     key_cols: list[str],
@@ -61,12 +90,7 @@ def throttle(
         # pandas groupby loop (per-group slicing overhead ~0.5 ms x
         # thousands of keys); the recurrence itself is one linear pass.
         pdf = pdf.sort_values([*key_cols, "__t", id_col], ignore_index=True)
-        new_key = np.zeros(len(pdf), dtype=bool)
-        if len(pdf):
-            new_key[0] = True
-            for k in key_cols:
-                v = pdf[k].to_numpy()
-                new_key[1:] |= v[1:] != v[:-1]
+        new_key = partition_boundary_mask(pdf, key_cols)
         ts = pdf["__t"].to_numpy()
         keep = np.zeros(len(pdf), dtype=bool)
         last = 0
