@@ -190,7 +190,12 @@ def snapshot_diff(
     keys = [key] if isinstance(key, str) else list(key)
     old = read(spark, root, from_version)
     new = read(spark, root, to_version)
-    payload = [c for c in new.columns if c not in keys]
+    # provenance columns (__-prefixed, e.g. __source_file) differ per
+    # commit by construction — including them would report every key as
+    # an update, defeating the churn-bounded contract above
+    payload = [
+        c for c in new.columns if c not in keys and not c.startswith("__")
+    ]
 
     def fp(df: DataFrame, name: str) -> DataFrame:
         return df.select(

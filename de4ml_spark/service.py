@@ -98,6 +98,8 @@ class TableSink:
                 fh.write(line + "\n")
 
     def fetch(self, limit: int) -> list[dict]:
+        if limit <= 0:  # lines[-0:] would return EVERYTHING
+            return []
         with self._lock:
             if self._file is None or not self._file.exists():
                 return []
@@ -132,7 +134,11 @@ class IngestService:
                 if url.path == "/fetch":
                     q = parse_qs(url.query)
                     table = (q.get("table") or [""])[0]
-                    limit = int((q.get("limit") or ["10"])[0])
+                    try:
+                        limit = int((q.get("limit") or ["10"])[0])
+                    except ValueError:
+                        self._reply(422, {"detail": "limit must be an integer"})
+                        return
                     sink = service.tables.get(table)
                     if sink is None:
                         self._reply(404, {"detail": f"unknown table {table!r}"})

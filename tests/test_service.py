@@ -132,3 +132,18 @@ def test_nested_contract_validation(tmp_path):
         )
     finally:
         svc.stop()
+
+
+def test_fetch_limit_edge_cases(service):
+    """limit=0 must return zero rows (lines[-0:] is the WHOLE file), a
+    negative limit likewise, and a non-integer limit is a 422, not an
+    unhandled 500."""
+    svc, _ = service
+    ok = {"query_id": "q1", "document_id": 7, "position": 1}
+    assert _post(svc.port, "/clicks", ok)[0] == 200
+    assert _get(svc.port, "/fetch?table=clicks&limit=0") == (200, [])
+    assert _get(svc.port, "/fetch?table=clicks&limit=-3") == (200, [])
+    code, _body = _get(svc.port, "/fetch?table=clicks&limit=abc")
+    assert code == 422
+    code, rows = _get(svc.port, "/fetch?table=clicks&limit=5")
+    assert code == 200 and len(rows) == 1

@@ -164,3 +164,33 @@ def test_snapshot_diff_cdf(spark, tmp_path):
         for r in snapshot_diff(spark, root, v1, v3, key="id").collect()
     }
     assert d13 == {(2, "update"), (4, "insert"), (3, "delete")}
+
+
+def test_snapshot_diff_ignores_provenance_columns(spark, tmp_path):
+    """__-prefixed provenance columns (e.g. __source_file) differ per
+    commit by construction; the change fingerprint must exclude them or
+    every key reports as an update, defeating the churn-bounded CDF
+    contract."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.etl.versioned import commit, snapshot_diff
+
+    root = str(tmp_path / "vtp")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id BIGINT, name STRING, score DOUBLE"
+    )
+    v1 = commit(spark, root, base.withColumn("__source_file", F.lit("f1")))
+    v2 = commit(
+        spark,
+        root,
+        base.withColumn("__source_file", F.lit("f2")).withColumn(
+            "score", F.when(F.col("id") == 2, 25.0).otherwise(F.col("score"))
+        ),
+    )
+    d = {
+        (r["id"], r["_change"])
+        for r in snapshot_diff(spark, root, v1, v2, key="id").collect()
+    }
+    # only the real content change surfaces; id=1 (provenance-only churn)
+    # is absent
+    assert d == {(2, "update")}
