@@ -161,6 +161,117 @@ def exact_round_div_sql_wide(
     )
 
 
+LN2 = 0.6931471805599453  # nearest double to ln 2
+
+# --------------------------------------------------------------------------
+# Portable natural log: ln(p/q) for integer p >= q >= 1 computed ONLY from
+# operations that IEEE 754 requires to be correctly rounded (+, -, *, / on
+# doubles) plus exact integer/string ops for range reduction — so Spark and
+# DuckDB produce the BIT-IDENTICAL double, unlike libm ln (JVM Math.log vs
+# glibc log), whose last-ulp disagreement can flip a 6-decimal ROUND at a
+# half boundary and fail the driver's value hash (the open tfidf ADVICE
+# item). Range reduction: p/q = m * 2^k with m in [1, 2), k from the exact
+# bit length of p intdiv q (Spark conv-to-binary / DuckDB to_base — pure
+# integer/string, no libm); then ln m = 2 atanh(z), z = (m-1)/(m+1) in
+# [0, 1/3], via a FIXED 19-term Horner polynomial with literal double
+# coefficients. Both engines parse the same decimal literals to the same
+# nearest double and evaluate the same correctly-rounded op sequence, so
+# the results agree to the bit; accuracy vs true ln is ~2 ulp (measured
+# worst 3e-16 relative over random ratios), which is immaterial — the
+# score DEFINITION is this function, on both sides.
+# --------------------------------------------------------------------------
+
+
+def _ln_horner(var: str, n_terms: int = 19) -> str:
+    """Horner text for poly(w) = sum_{i<n} w^i/(2i+1): atanh(z)/z with
+    w = z^2. z <= 1/3 so terms decay 9x; 19 terms reach < 1e-18."""
+    coefs = [repr(1.0 / (2 * i + 1)) for i in range(n_terms)]
+    acc = f"CAST({coefs[-1]} AS DOUBLE)"
+    for c in reversed(coefs[:-1]):
+        acc = f"({acc} * {var} + CAST({c} AS DOUBLE))"
+    return acc
+
+
+def with_portable_ln(df, p: str, q: str, out: str):
+    """Append double column ``out`` = portable ln(p/q) to a Spark frame;
+    ``p``/``q`` are SQL texts of integer expressions with p >= q >= 1.
+    Staged through named temp columns so the expression tree stays linear
+    (no text blow-up) and whole-stage codegen keeps it JVM-side."""
+    from pyspark.sql import functions as F
+
+    t = "__pl_"
+    return (
+        df.withColumn(
+            f"{t}k",
+            F.expr(
+                f"length(conv(CAST(({p}) DIV ({q}) AS BIGINT), 10, 2)) - 1"
+            ),
+        )
+        .withColumn(
+            f"{t}m",
+            F.expr(
+                f"CAST(({p}) AS DOUBLE) / CAST(({q}) * "
+                f"shiftleft(CAST(1 AS BIGINT), {t}k) AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            f"{t}z",
+            F.expr(
+                f"({t}m - CAST(1.0 AS DOUBLE)) / ({t}m + CAST(1.0 AS DOUBLE))"
+            ),
+        )
+        .withColumn(
+            out,
+            F.expr(
+                f"CAST(2.0 AS DOUBLE) * {t}z * {_ln_horner(f'({t}z * {t}z)')}"
+                f" + CAST({t}k AS DOUBLE) * CAST({LN2!r} AS DOUBLE)"
+            ),
+        )
+        .drop(f"{t}k", f"{t}m", f"{t}z")
+    )
+
+
+def portable_ln_duck_ctes(
+    src: str, passthrough: str, p: str, q: str, out: str, tag: str
+) -> str:
+    """DuckDB twin of ``with_portable_ln`` as a chain of CTEs (same staged
+    shape, same op order — the CTE names are ``{tag}_1..3`` and the final
+    one ``{tag}_out`` carries ``passthrough`` columns plus ``out``).
+    Returns the CTE text to splice after a WITH; select FROM {tag}_out."""
+    return f"""{tag}_1 AS (
+  SELECT {passthrough}, ({p}) AS pl_p, ({q}) AS pl_q,
+         length(to_base(CAST(({p}) // ({q}) AS BIGINT), 2)) - 1 AS pl_k
+  FROM {src}
+),
+{tag}_2 AS (
+  SELECT *, CAST(pl_p AS DOUBLE)
+            / CAST(pl_q * (CAST(1 AS BIGINT) << pl_k) AS DOUBLE) AS pl_m
+  FROM {tag}_1
+),
+{tag}_3 AS (
+  SELECT *, (pl_m - CAST(1.0 AS DOUBLE)) / (pl_m + CAST(1.0 AS DOUBLE)) AS pl_z
+  FROM {tag}_2
+),
+{tag}_out AS (
+  SELECT {passthrough},
+         CAST(2.0 AS DOUBLE) * pl_z * {_ln_horner("(pl_z * pl_z)")}
+         + CAST(pl_k AS DOUBLE) * CAST({LN2!r} AS DOUBLE) AS {out}
+  FROM {tag}_3
+)"""
+
+
+def round6_floor_sql(x: str) -> str:
+    """Engine-exact ROUND(x, 6) for a NON-NEGATIVE double expression whose
+    value both engines already agree on bitwise: floor(x*1e6 + 0.5) uses
+    only correctly-rounded multiply/add and the exact floor, unlike
+    ROUND(double, 6) which Spark applies to the decimal expansion and
+    DuckDB to the binary value (divergent at half boundaries)."""
+    return (
+        f"(CAST(CAST(floor(({x}) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)"
+        " / 1000000.0)"
+    )
+
+
 def exact_round_neg_mean_sql(
     sum_expr: str, cnt_expr: str, div: str, decimals: int = 6
 ) -> str:

@@ -17,28 +17,30 @@ from de4ml_spark.session import load_table
 # TF-IDF top terms per document. Shape: explode -> (doc, term) counts ->
 # broadcast doc-frequency join -> per-doc top-3 window. Two shuffles
 # (term counts, window), both on uniform keys.
+#
+# The idf is the PORTABLE ln (operators/portable_hash.py): ln(N/df)
+# computed from correctly-rounded IEEE ops only, bit-identical between
+# Spark and DuckDB — no catalog dependence on libm ln agreement (JVM
+# Math.log vs glibc log can differ in the last ulp, flipping a 6dp ROUND
+# at a half boundary). The final rounding is the exact floor form for the
+# same reason.
 # --------------------------------------------------------------------------
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        round6_floor_sql,
+        with_portable_ln,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    n = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    # Cross-engine note: tf * ln(n/df) rounds to 6dp BEFORE ranking, so the
-    # rank comparator sees identical keys in both engines unless libm ln
-    # diverges by >= 1 ulp exactly at a 0.5e-6 half boundary — not observed
-    # across the graded SFs; if it ever trips, switch the idf to the
-    # integer-rational formulation (portable_hash) like the LM scores do.
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "tfidf",
-            F.round(
-                F.col("tf") * F.log(F.col("_n_docs") / F.col("doc_freq")), 6
-            ),
-        )
+    joined = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(n))
+    scored = with_portable_ln(joined, "_n_docs", "doc_freq", "__idf").withColumn(
+        "tfidf",
+        F.expr(round6_floor_sql("CAST(tf AS DOUBLE) * __idf")),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -48,17 +50,29 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TFIDF_SQL = """
+def _tfidf_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+        round6_floor_sql,
+    )
+
+    return f"""
 WITH terms AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
 dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
-scored AS (
-  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
-         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 6) AS tfidf
+j AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq, n.n_docs
   FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+{portable_ln_duck_ctes(
+    "j", "doc_id, term, tf, doc_freq", "n_docs", "doc_freq", "idf", "pl")},
+scored AS (
+  SELECT doc_id, term, tf, doc_freq,
+         {round6_floor_sql("CAST(tf AS DOUBLE) * idf")} AS tfidf
+  FROM pl_out
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (
@@ -67,6 +81,9 @@ ranked AS (
 )
 SELECT doc_id, term, tf, doc_freq, tfidf, rank FROM ranked WHERE rank <= 3
 """
+
+
+TFIDF_SQL = _tfidf_sql()
 
 
 # --------------------------------------------------------------------------

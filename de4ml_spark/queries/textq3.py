@@ -220,6 +220,16 @@ FROM documents
 # --------------------------------------------------------------------------
 
 def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logp = -portable_ln(total/tf) rounded by the exact floor form:
+    ln(tf/total) with tf <= total is the negated ln of an integer ratio,
+    so the whole model is libm-free and bit-identical across engines
+    (portable_hash.with_portable_ln). The ln runs once per VOCAB entry
+    (small frame), not per token — the token-level join only looks up
+    the finished logp."""
+    from de4ml_spark.operators.portable_hash import (
+        round6_floor_sql,
+        with_portable_ln,
+    )
     from de4ml_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -228,16 +238,15 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus token total as a single-row broadcast scalar (the standard
     # scalar-join shape, one lazy DAG) — not a driver collect()
     total = vocab.agg(F.sum("tf").alias("_total"))
-    scored = (
-        terms.join(F.broadcast(vocab), "term")
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "logp",
-            F.round(
-                F.log(F.col("tf") / F.col("_total").cast("double")), 6
-            ).cast("decimal(12,6)"),
-        )
+    model = with_portable_ln(
+        vocab.crossJoin(F.broadcast(total)), "_total", "tf", "__pln"
+    ).select(
+        "term",
+        F.expr(f"CAST(-{round6_floor_sql('__pln')} AS DECIMAL(12,6))").alias(
+            "logp"
+        ),
     )
+    scored = terms.join(F.broadcast(model), "term")
     from de4ml_spark.operators.portable_hash import exact_round_neg_mean_sql
 
     return scored.groupBy("doc_id").agg(
@@ -250,22 +259,32 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from de4ml_spark.operators.portable_hash import exact_round_neg_mean_sql as _ernm
 
-UNIGRAM_SQL = f"""
+
+def _unigram_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+        round6_floor_sql,
+    )
+
+    return f"""
 WITH terms AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
 vocab AS (SELECT term, COUNT(*) AS tf FROM terms GROUP BY 1),
-total AS (SELECT SUM(tf) AS n FROM vocab),
-scored AS (
-  SELECT t.doc_id,
-         CAST(ROUND(ln(v.tf / CAST(tot.n AS DOUBLE)), 6) AS DECIMAL(12,6))
-           AS logp
-  FROM terms t JOIN vocab v USING (term) CROSS JOIN total tot
+total AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM vocab),
+vt AS (SELECT v.term, v.tf, t.n FROM vocab v CROSS JOIN total t),
+{portable_ln_duck_ctes("vt", "term", "n", "tf", "pln", "pl")},
+model AS (
+  SELECT term, CAST(-{round6_floor_sql('pln')} AS DECIMAL(12,6)) AS logp
+  FROM pl_out
 )
-SELECT doc_id, COUNT(*) AS n_tokens,
-       {_ernm('SUM(logp)', 'COUNT(*)', '//')} AS mean_logp
-FROM scored GROUP BY doc_id
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       {_ernm('SUM(m.logp)', 'COUNT(*)', '//')} AS mean_logp
+FROM terms t JOIN model m USING (term) GROUP BY t.doc_id
 """
+
+
+UNIGRAM_SQL = _unigram_sql()
 
 
 # --------------------------------------------------------------------------
@@ -419,19 +438,25 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab_size = docs.select(F.explode(tokens("text")).alias("t")).agg(
         F.count_distinct("t").alias("_vocab")
     )
-    model = (
-        bi.join(F.broadcast(uni), "w1")
-        .crossJoin(F.broadcast(vocab_size))
-        .select(
-            "w1",
-            "w2",
-            F.round(
-                F.log((F.col("c12") + 1) / (F.col("c1") + F.col("_vocab"))),
-                6,
-            )
-            .cast("decimal(12,6)")
-            .alias("logp"),
-        )
+    # add-one smoothing: ln((c12+1)/(c1+V)) with c12+1 <= c1+V is the
+    # negated portable ln of an integer ratio — libm-free, bit-identical
+    # across engines; runs once per distinct bigram, not per instance
+    from de4ml_spark.operators.portable_hash import (
+        round6_floor_sql,
+        with_portable_ln,
+    )
+
+    model = with_portable_ln(
+        bi.join(F.broadcast(uni), "w1").crossJoin(F.broadcast(vocab_size)),
+        "c1 + _vocab",
+        "c12 + 1",
+        "__pln",
+    ).select(
+        "w1",
+        "w2",
+        F.expr(f"CAST(-{round6_floor_sql('__pln')} AS DECIMAL(12,6))").alias(
+            "logp"
+        ),
     )
     return (
         bigrams.join(F.broadcast(model), ["w1", "w2"])
@@ -445,7 +470,13 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BIGRAM_SQL = f"""
+def _bigram_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+        round6_floor_sql,
+    )
+
+    return f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents
 ),
@@ -466,17 +497,23 @@ v AS (
   SELECT COUNT(DISTINCT t) AS vocab
   FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
 ),
-model AS (
-  SELECT bi.w1, bi.w2,
-         CAST(ROUND(ln((bi.c12 + 1) * 1.0 / (uni.c1 + v.vocab)), 6)
-              AS DECIMAL(12,6)) AS logp
+m0 AS (
+  SELECT bi.w1, bi.w2, bi.c12, uni.c1, v.vocab
   FROM bi JOIN uni USING (w1) CROSS JOIN v
+),
+{portable_ln_duck_ctes("m0", "w1, w2", "c1 + vocab", "c12 + 1", "pln", "pl")},
+model AS (
+  SELECT w1, w2, CAST(-{round6_floor_sql('pln')} AS DECIMAL(12,6)) AS logp
+  FROM pl_out
 )
 SELECT b.doc_id, COUNT(*) AS n_bigrams,
        {_ernm('SUM(m.logp)', 'COUNT(*)', '//')} AS mean_logp
 FROM bigrams b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
 GROUP BY b.doc_id
 """
+
+
+BIGRAM_SQL = _bigram_sql()
 
 
 REGISTRY["bigram_logprob_docs"] = {
@@ -498,39 +535,72 @@ BM25_TERMS = ["data", "model", "learning"]
 BM25_K1, BM25_B = 1.2, 0.75
 
 
+def _bm25_score_sql(idf: str, n: str, td: str) -> str:
+    """Per-(doc, term) Okapi BM25 score as engine-portable SQL text: the
+    idf is the portable ln of (2N+2)/(2df+1) — algebraically equal to the
+    standard ln((N-df+0.5)/(df+0.5) + 1) — and dl/avgdl is the exact
+    rational dl*N/total_dl as one correctly-rounded division, so given
+    the same column values both engines produce bit-identical doubles.
+    Constant literals come from repr() so both parsers see the same text."""
+    k1p1, k1, one_b, b = (
+        repr(BM25_K1 + 1.0),
+        repr(BM25_K1),
+        repr(1.0 - BM25_B),
+        repr(BM25_B),
+    )
+    return (
+        f"(({idf} * CAST(tf AS DOUBLE) * CAST({k1p1} AS DOUBLE))"
+        f" / (CAST(tf AS DOUBLE) + CAST({k1} AS DOUBLE)"
+        f" * (CAST({one_b} AS DOUBLE) + CAST({b} AS DOUBLE)"
+        f" * (CAST(dl * {n} AS DOUBLE) / CAST({td} AS DOUBLE)))))"
+    )
+
+
 def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term scores quantize to integer micro-units before the per-doc
+    sum, so the aggregate is exact integer arithmetic (a double SUM's
+    addition order is engine- and partitioning-dependent); the idf is the
+    portable ln — no libm in the ranking path."""
+    from de4ml_spark.operators.portable_hash import with_portable_ln
     from de4ml_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     lengths = docs.select("doc_id", F.size(tokens("text")).alias("dl"))
-    # corpus-level n_docs/avgdl as one single-row broadcast scalar frame
-    # (exact: long-sum/count average) — keeps the entry one lazy DAG
+    # corpus-level totals as one single-row broadcast scalar frame —
+    # keeps the entry one lazy DAG, not a driver collect()
     stats = lengths.agg(
-        F.count(F.lit(1)).cast("double").alias("_n_docs"),
-        F.avg("dl").alias("_avgdl"),
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("dl").cast("bigint").alias("_total_dl"),
     )
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("term")).filter(
         F.col("term").isin(BM25_TERMS)
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    denom = F.col("tf") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("dl") / F.col("_avgdl")
-    )
-    scored = (
+    joined = (
         tf.join(F.broadcast(dfreq), "term")
         .join(lengths, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .withColumn("s", idf * F.col("tf") * (BM25_K1 + 1) / denom)
+    )
+    scored = with_portable_ln(
+        joined, "2 * _n_docs + 2", "2 * df + 1", "__idf"
+    ).withColumn(
+        "__sm",
+        F.expr(
+            "CAST(floor("
+            + _bm25_score_sql("__idf", "_n_docs", "_total_dl")
+            + " * 1000000.0 + 0.5) AS BIGINT)"
+        ),
     )
     from pyspark.sql import Window
 
     ranked = (
         scored.groupBy("doc_id")
-        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(__sm) AS BIGINT) AS DOUBLE) / 1000000.0"
+            ).alias("bm25")
+        )
         .withColumn(
             "rank",
             F.row_number().over(
@@ -543,13 +613,16 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_sql() -> str:
+    from de4ml_spark.operators.portable_hash import portable_ln_duck_ctes
+
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     return f"""
 WITH lengths AS (
   SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
 ),
 stats AS (
-  SELECT COUNT(*) AS n_docs, (SELECT AVG(dl) FROM lengths) AS avgdl
+  SELECT COUNT(*) AS n_docs,
+         CAST((SELECT SUM(dl) FROM lengths) AS BIGINT) AS total_dl
   FROM documents
 ),
 t AS (
@@ -560,19 +633,26 @@ tf AS (
   WHERE term IN ({terms}) GROUP BY 1, 2
 ),
 dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-scored AS (
-  SELECT tf.doc_id,
-         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-           * tf.tf * ({BM25_K1} + 1)
-           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
-           AS sc
+j AS (
+  SELECT tf.doc_id, tf.tf, d.df, l.dl, s.n_docs, s.total_dl
   FROM tf
   JOIN dfreq d USING (term)
   JOIN lengths l USING (doc_id)
   CROSS JOIN stats s
+),
+{portable_ln_duck_ctes(
+    "j", "doc_id, tf, dl, n_docs, total_dl",
+    "2 * n_docs + 2", "2 * df + 1", "idf", "pl")},
+scored AS (
+  SELECT doc_id,
+         CAST(floor({_bm25_score_sql("idf", "n_docs", "total_dl")}
+              * 1000000.0 + 0.5) AS BIGINT) AS sm
+  FROM pl_out
 )
-SELECT doc_id, ROUND(SUM(sc), 6) AS bm25,
-       ROW_NUMBER() OVER (ORDER BY ROUND(SUM(sc), 6) DESC, doc_id ASC) AS rank
+SELECT doc_id, CAST(CAST(SUM(sm) AS BIGINT) AS DOUBLE) / 1000000.0 AS bm25,
+       ROW_NUMBER() OVER (
+           ORDER BY CAST(CAST(SUM(sm) AS BIGINT) AS DOUBLE) / 1000000.0 DESC,
+                    doc_id ASC) AS rank
 FROM scored
 GROUP BY doc_id
 QUALIFY rank <= 20
@@ -595,32 +675,50 @@ TFIDF_TOPK = 3
 
 
 def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weights are the portable-ln idf quantized to integer MICRO units
+    before the dot product, so the similarity sum is exact DECIMAL
+    integer arithmetic — a double SUM's addition order differs between
+    engines (and between Spark partitionings), which made the old form
+    hash-stable only by luck; the micro-unit sum is order-independent."""
     from pyspark.sql import Window
 
+    from de4ml_spark.operators.portable_hash import with_portable_ln
     from de4ml_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    n = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    wts = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            (F.col("tf") * F.log(F.col("_n_docs") / F.col("df"))).alias("w"),
-        )
+    joined = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(n))
+    wts = with_portable_ln(joined, "_n_docs", "df", "__idf").select(
+        "doc_id",
+        "term",
+        F.expr(
+            "CAST(floor(CAST(tf AS DOUBLE) * __idf * 1000000.0 + 0.5)"
+            " AS BIGINT)"
+        ).alias("wm"),
     )
     q = wts.filter(F.col("doc_id") < N_TFIDF_QUERIES).select(
-        F.col("doc_id").alias("query_id"), "term", F.col("w").alias("qw")
+        F.col("doc_id").alias("query_id"), "term", F.col("wm").alias("qwm")
     )
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql_wide
+
     sims = (
         q.join(wts, "term")
         .filter(F.col("query_id") != F.col("doc_id"))
         .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
-        .agg(F.round(F.sum(F.col("qw") * F.col("w")), 6).alias("sim"))
+        .agg(
+            F.sum(
+                F.col("qwm").cast("decimal(19,0)")
+                * F.col("wm").cast("decimal(19,0)")
+            ).alias("__s")
+        )
+        .withColumn(
+            "sim",
+            F.expr(exact_round_div_sql_wide("__s", "1000000000000", "DIV")),
+        )
+        .drop("__s")
     )
     wnd = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
@@ -631,31 +729,49 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TFIDF_SIM_SQL = f"""
+def _tfidf_sim_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql_wide,
+        portable_ln_duck_ctes,
+    )
+
+    return f"""
 WITH terms AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
 dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
-wts AS (
-  SELECT tf.doc_id, tf.term,
-         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS w
+j AS (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df, n.n_docs
   FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+),
+{portable_ln_duck_ctes("j", "doc_id, term, tf", "n_docs", "df", "idf", "pl")},
+wts AS (
+  SELECT doc_id, term,
+         CAST(floor(CAST(tf AS DOUBLE) * idf * 1000000.0 + 0.5) AS BIGINT)
+           AS wm
+  FROM pl_out
 ),
 sims AS (
   SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
-         ROUND(SUM(q.w * c.w), 6) AS sim
+         SUM(CAST(q.wm AS DECIMAL(19,0)) * CAST(c.wm AS DECIMAL(19,0))) AS s
   FROM wts q JOIN wts c ON q.term = c.term AND q.doc_id <> c.doc_id
   WHERE q.doc_id < {N_TFIDF_QUERIES}
   GROUP BY 1, 2
 )
-SELECT query_id, neighbor_id, sim,
+SELECT query_id, neighbor_id,
+       {exact_round_div_sql_wide("s", "1000000000000", "//")} AS sim,
        ROW_NUMBER() OVER (PARTITION BY query_id
-                          ORDER BY sim DESC, neighbor_id ASC) AS rank
+                          ORDER BY {exact_round_div_sql_wide(
+                              "s", "1000000000000", "//")} DESC,
+                          neighbor_id ASC) AS rank
 FROM sims
 QUALIFY rank <= {TFIDF_TOPK}
 """
+
+
+TFIDF_SIM_SQL = _tfidf_sim_sql()
 
 
 REGISTRY["tfidf_doc_similarity"] = {
