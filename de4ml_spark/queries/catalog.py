@@ -49,74 +49,35 @@ def _registries() -> list[dict]:
 
 # Catalog iteration order. The driver's correctness harness grades a
 # 50-entry PREFIX of this list per round, so ordering decides which
-# queries get fresh cross-engine evidence each round. Round-5 rotation:
-# (1) the thirteen never-graded entries added late in round 5 (sliding-
-# distinct WAU, Markov transitions, rollup cascade, incident interval
-# join, Gopher rule battery, epoch mix plan, split-leakage audit,
-# unpivot stats, trailing throttle, capped sessions, quota admission,
-# vocab overlap), then (2) the twenty entries new or implementation-
-# changed earlier this round (SCD2 fusion, shard-local packing report,
-# lazy scalar-join rewrites, shifted-moment profile std, wide-integer
-# drift TVD, the PIT/nearest feature joins, fraction decontamination,
-# rate-limit/TWAP/OHLC/FK-audit/weighted-median tier, plus
-# validation_counts_lineitem promoted for its multi-ID coverage
-# evidence), then (3) every remaining entry in ascending last-graded-
-# round order — the 22 stalest round-1-graded entries fill the rest of
-# the prefix; the r1 entries that no longer fit (topk_values_orders,
-# value_quartiles_by_type, and eight more) carry r1 driver evidence one
-# more round and re-green locally. Everything re-greens locally via
-# tools/verify_oracle.py regardless of order.
+# queries get fresh cross-engine evidence each round. Round-6 rotation:
+# (1) the eleven entries whose implementation or oracle changed this
+# round and MUST be re-graded — the three round-5 hash failures with
+# their type-parity fixes (ks_drift_value, epoch_mix_plan,
+# rollup_cascade_events), the three recursive scans after the null-key
+# boundary-mask rework, and the five portable-ln conversions (tfidf x2,
+# unigram/bigram logprob, BM25); then (2) the stale queue exactly where
+# the round-5 rotation left off: the 18 entries at positions 51-68 last
+# round (orders_priority_counts .. value_quartiles_by_type, including
+# the ten that have carried round-1 evidence longest) and the next 21 of
+# the ascending last-graded-round queue (anomalous_days_events ..
+# pack_training_sequences). The 39 entries freshly graded in round 5
+# move to the back. Everything re-greens locally via
+# tools/verify_oracle.py (now with the cross-engine type-parity
+# preflight) regardless of order.
 PRIORITY = [
-    "daily_heavy_hitters",
+    # -- (1) changed this round: re-grade first
     "ks_drift_value",
-    "dedup_graph_degrees",
+    "epoch_mix_plan",
+    "rollup_cascade_events",
     "quota_admission_events",
-    "source_vocab_overlap",
     "capped_sessions_events",
     "throttle_events",
-    "rolling_7d_active_users",
-    "event_transition_matrix",
-    "rollup_cascade_events",
-    "incident_window_events",
-    "gopher_rules_docs",
-    "epoch_mix_plan",
-    "split_leakage_embeddings",
-    "unpivot_part_metrics",
-    "scd2_user_event_type",
-    "pack_sequence_report",
-    "profile_to_rules_events",
+    "tfidf_top_terms",
+    "tfidf_doc_similarity",
     "unigram_logprob_docs",
     "bigram_logprob_docs",
     "bm25_search_docs",
-    "tfidf_doc_similarity",
-    "tfidf_top_terms",
-    "categorical_drift_tvd",
-    "iqr_outliers_events",
-    "profile_lineitem",
-    "pit_features_orders",
-    "decontaminate_fraction_docs",
-    "rate_limit_events",
-    "twap_user_value",
-    "ohlc_daily_value",
-    "nearest_view_per_click",
-    "fk_integrity_orders_lineitem",
-    "weighted_median_price",
-    "knn_ivf_recall",
-    "validation_counts_lineitem",
-    "alert_windows_events",
-    "churned_purchasers",
-    "corr_lineitem",
-    "events_dau",
-    "events_pivot",
-    "funnel_events",
-    "histogram_quantity",
-    "hourly_seasonality_events",
-    "last_reward_events",
-    "latest_event_per_user",
-    "limit_fetch_events",
-    "monthly_revenue_ma",
-    "multimodal_meta",
-    "orders_price_page",
+    # -- (2) stale queue, resumed from the round-5 cutoff
     "orders_priority_counts",
     "orders_rollup",
     "override_anti_events",
@@ -156,6 +117,7 @@ PRIORITY = [
     "lineitem_measure_stats",
     "mix_docs",
     "pack_training_sequences",
+    # -- 50-entry prefix boundary is here
     "parse_event_props",
     "pii_scrub_docs",
     "profile_drift_events",
@@ -222,6 +184,46 @@ PRIORITY = [
     "top3_orders_per_customer",
     "vocab_top_terms",
     "winsorized_price_stats",
+    # -- (3) freshly graded in round 5: carry the newest evidence
+    "daily_heavy_hitters",
+    "dedup_graph_degrees",
+    "source_vocab_overlap",
+    "rolling_7d_active_users",
+    "event_transition_matrix",
+    "incident_window_events",
+    "gopher_rules_docs",
+    "split_leakage_embeddings",
+    "unpivot_part_metrics",
+    "scd2_user_event_type",
+    "pack_sequence_report",
+    "profile_to_rules_events",
+    "categorical_drift_tvd",
+    "iqr_outliers_events",
+    "profile_lineitem",
+    "pit_features_orders",
+    "decontaminate_fraction_docs",
+    "rate_limit_events",
+    "twap_user_value",
+    "ohlc_daily_value",
+    "nearest_view_per_click",
+    "fk_integrity_orders_lineitem",
+    "weighted_median_price",
+    "knn_ivf_recall",
+    "validation_counts_lineitem",
+    "alert_windows_events",
+    "churned_purchasers",
+    "corr_lineitem",
+    "events_dau",
+    "events_pivot",
+    "funnel_events",
+    "histogram_quantity",
+    "hourly_seasonality_events",
+    "last_reward_events",
+    "latest_event_per_user",
+    "limit_fetch_events",
+    "monthly_revenue_ma",
+    "multimodal_meta",
+    "orders_price_page",
 ]
 
 
@@ -239,7 +241,14 @@ def _ordered(items: dict) -> dict:
 # a serving session then pay execution only, not re-analysis of a plan
 # that can take 0.3-2.7 s of driver time to rebuild. Keyed on the session
 # token (weakref-based, survives session-id reuse — see session.py).
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# LRU-bounded: a long-lived serving session cycling many (session, sf)
+# combinations must not grow the driver-side plan map without limit —
+# 512 comfortably holds 3 sf dirs x the full catalog; eviction just costs
+# a rebuild on the next call.
+from collections import OrderedDict
+
+_PLAN_CACHE_MAX = 512
+_PLAN_CACHE: "OrderedDict[tuple[int, str, str], DataFrame]" = OrderedDict()
 
 
 def _prepared(name: str, fn: Callable) -> Callable:
@@ -251,6 +260,10 @@ def _prepared(name: str, fn: Callable) -> Callable:
         if df is None:
             df = fn(spark, sf_dir)
             _PLAN_CACHE[key] = df
+            while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+                _PLAN_CACHE.popitem(last=False)
+        else:
+            _PLAN_CACHE.move_to_end(key)
         return df
 
     wrapper.__name__ = getattr(fn, "__name__", name)

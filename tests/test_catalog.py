@@ -118,3 +118,49 @@ def test_register_query_views_composable(spark, sf_dir):
         """
     ).collect()
     assert joined[0]["n"] > 0
+
+
+def test_plan_cache_lru_eviction():
+    """The prepared-plan cache is LRU-bounded: filling past the cap
+    evicts the oldest entry, and a cache hit refreshes recency."""
+    from de4ml_spark.queries import catalog
+
+    saved, saved_max = dict(catalog._PLAN_CACHE), catalog._PLAN_CACHE_MAX
+    catalog._PLAN_CACHE.clear()
+    catalog._PLAN_CACHE_MAX = 3
+    try:
+        calls = []
+
+        def mk(name):
+            def fn(spark, sf_dir):
+                calls.append(name)
+                return f"plan:{name}"
+
+            return fn
+
+        class FakeSession:
+            pass
+
+        import de4ml_spark.session as sess
+
+        fake = FakeSession()
+        tok = sess._session_token(fake)
+        assert isinstance(tok, int)
+
+        wrapped = {n: catalog._prepared(n, mk(n)) for n in "abcd"}
+        for n in "abc":
+            wrapped[n](fake, "/sf")
+        assert calls == list("abc")
+        wrapped["a"](fake, "/sf")  # hit refreshes 'a'
+        assert calls == list("abc")
+        wrapped["d"](fake, "/sf")  # evicts 'b' (oldest), not 'a'
+        assert calls == list("abcd")
+        wrapped["a"](fake, "/sf")
+        assert calls == list("abcd")  # 'a' survived
+        wrapped["b"](fake, "/sf")
+        assert calls == list("abcdb")  # 'b' was evicted -> rebuild
+        assert len(catalog._PLAN_CACHE) <= 3
+    finally:
+        catalog._PLAN_CACHE_MAX = saved_max
+        catalog._PLAN_CACHE.clear()
+        catalog._PLAN_CACHE.update(saved)
