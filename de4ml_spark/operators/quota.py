@@ -31,12 +31,16 @@ def quota_admission(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
-    n_shards: int = 64,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """(key, day, n_accepted, n_rejected, consumed_c) per key-day under
-    the admission recurrence; ties at equal timestamps resolve by id."""
+    the admission recurrence; ties at equal timestamps resolve by id.
+    ``n_shards`` defaults to the session's defaultParallelism (see
+    operators/throttle.py)."""
     import pandas as pd
 
+    if n_shards is None:
+        n_shards = df.sparkSession.sparkContext.defaultParallelism or 32
     src = df.select(
         key_col,
         id_col,

@@ -46,7 +46,7 @@ def capped_sessions(
     id_col: str = "event_id",
     gap_us: int = 86_400_000_000,
     max_len_us: int = 172_800_000_000,
-    n_shards: int = 64,
+    n_shards: int | None = None,
 ) -> "DataFrame":
     """Sessionization with BOTH an inactivity gap and a max-duration cap
     (the web-analytics visit definition: a session breaks after
@@ -62,10 +62,13 @@ def capped_sessions(
     ~1.5 ms each); per shard, one sort + key-boundary mask + a single
     linear pass emits (key, session_start_us, session_end_us, n_events)
     per session. The oracle twin replays the recurrence as a recursive
-    CTE (see ``capped_sessions_oracle_sql``).
+    CTE (see ``capped_sessions_oracle_sql``). ``n_shards`` defaults to
+    the session's defaultParallelism (see operators/throttle.py).
     """
     import pandas as pd
 
+    if n_shards is None:
+        n_shards = df.sparkSession.sparkContext.defaultParallelism or 32
     src = df.select(
         key_col,
         id_col,

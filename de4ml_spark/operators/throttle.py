@@ -58,7 +58,7 @@ def throttle(
     ts_col: str = "ts",
     id_col: str = "event_id",
     min_gap_us: int = 86_400_000_000,
-    n_shards: int = 64,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Kept rows (key_cols + id_col) under the trailing-throttle
     recurrence; ties at equal timestamps resolve by ascending id.
@@ -71,9 +71,18 @@ def throttle(
     groupby loop — Arrow overhead becomes O(n_shards), the per-key scan
     stays Python-cheap. Measured 13.7 s -> ~1 s at sf0.1, identical
     output. Same shape at 100 TB: big Arrow batches, per-key state O(1).
+
+    ``n_shards`` defaults to the session's defaultParallelism: shards
+    are the Python-exchange task count, so they should track cluster
+    cores, not a constant — a fixed 64 doubled wall-clock on a 32-core
+    local run (per-task Python round-trip ~10 ms) while underfanning a
+    1000-executor cluster. Pass an explicit value to oversubscribe for
+    skewed key distributions.
     """
     import pandas as pd
 
+    if n_shards is None:
+        n_shards = df.sparkSession.sparkContext.defaultParallelism or 32
     out_cols = [*key_cols, id_col]
     src = df.select(
         *key_cols,
