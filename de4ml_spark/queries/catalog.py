@@ -38,6 +38,7 @@ def _registries() -> list[dict]:
         "searchq",
         "tsq",
         "tsq2",
+        "graphq",
     ):
         try:
             mod = __import__(f"de4ml_spark.queries.{modname}", fromlist=["REGISTRY"])
@@ -77,6 +78,7 @@ PRIORITY = [
     "unigram_logprob_docs",
     "bigram_logprob_docs",
     "bm25_search_docs",
+    "pagerank_copurchase_parts",
     # -- (2) stale queue, resumed from the round-5 cutoff
     "orders_priority_counts",
     "orders_rollup",

@@ -612,3 +612,19 @@ def test_incident_window_buckets_broadcast(spark, sf_dir):
     # the only BNL allowed is the single-row totals scalar join
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "PythonUDF" not in plan
+
+
+def test_pagerank_plan_no_cartesian_and_pruned(spark, sf_dir):
+    """PageRank's co-occurrence self-join must be an equi-join on
+    l_orderkey (never a nested-loop/cartesian), the whole iteration
+    chain stays JVM-side (no Python), and the lineitem scan reads only
+    the two needed columns."""
+    from de4ml_spark.queries.graphq import pagerank_copurchase
+
+    plan = _plan(pagerank_copurchase(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan and "InPandas" not in plan
+    for line in plan.splitlines():
+        if "FileScan" in line and "lineitem" in line:
+            assert "l_quantity" not in line and "l_extendedprice" not in line
