@@ -39,6 +39,7 @@ def _registries() -> list[dict]:
         "tsq",
         "tsq2",
         "graphq",
+        "tpch3",
     ):
         try:
             mod = __import__(f"de4ml_spark.queries.{modname}", fromlist=["REGISTRY"])
@@ -51,17 +52,19 @@ def _registries() -> list[dict]:
 # Catalog iteration order. The driver's correctness harness grades a
 # 50-entry PREFIX of this list per round, so ordering decides which
 # queries get fresh cross-engine evidence each round. Round-6 rotation:
-# (1) the eleven entries whose implementation or oracle changed this
-# round and MUST be re-graded — the three round-5 hash failures with
+# (1) the seventeen entries that are new or whose implementation or
+# oracle changed this round and MUST be (re-)graded — the three round-5 hash failures with
 # their type-parity fixes (ks_drift_value, epoch_mix_plan,
 # rollup_cascade_events), the three recursive scans after the null-key
 # boundary-mask rework, and the five portable-ln conversions (tfidf x2,
-# unigram/bigram logprob, BM25); then (2) the stale queue exactly where
+# unigram/bigram logprob, BM25), the new PageRank entry, and the five
+# TPC-H completion entries (Q2/Q9/Q11/Q16/Q20); then (2) the stale queue exactly where
 # the round-5 rotation left off: the 18 entries at positions 51-68 last
 # round (orders_priority_counts .. value_quartiles_by_type, including
-# the ten that have carried round-1 evidence longest) and the next 21 of
+# the ten that have carried round-1 evidence longest) and the next 15 of
 # the ascending last-graded-round queue (anomalous_days_events ..
-# pack_training_sequences). The 39 entries freshly graded in round 5
+# knn_lsh); six stale entries (knn_rrf_fusion .. pack_training_sequences)
+# overflow to just past the boundary and lead the round-7 queue. The 39 entries freshly graded in round 5
 # move to the back. Everything re-greens locally via
 # tools/verify_oracle.py (now with the cross-engine type-parity
 # preflight) regardless of order.
@@ -79,6 +82,11 @@ PRIORITY = [
     "bigram_logprob_docs",
     "bm25_search_docs",
     "pagerank_copurchase_parts",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_cnt",
+    "q20_potential_promo",
     # -- (2) stale queue, resumed from the round-5 cutoff
     "orders_priority_counts",
     "orders_rollup",
@@ -113,13 +121,13 @@ PRIORITY = [
     "gapfill_user_daily",
     "knn_bruteforce",
     "knn_lsh",
+    # -- 50-entry prefix boundary is here
     "knn_rrf_fusion",
     "lang_confusion_docs",
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",
     "pack_training_sequences",
-    # -- 50-entry prefix boundary is here
     "parse_event_props",
     "pii_scrub_docs",
     "profile_drift_events",
