@@ -73,6 +73,10 @@ HEADLINE = [
     "quota_admission_events",
     "rollup_cascade_events",
     "source_vocab_overlap",
+    # round-6 additions: graph tier + TPC-H completion
+    "pagerank_copurchase_parts",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
 ]
 
 
