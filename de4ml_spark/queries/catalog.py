@@ -40,6 +40,7 @@ def _registries() -> list[dict]:
         "tsq2",
         "graphq",
         "tpch3",
+        "sketchq",
     ):
         try:
             mod = __import__(f"de4ml_spark.queries.{modname}", fromlist=["REGISTRY"])
@@ -57,14 +58,17 @@ def _registries() -> list[dict]:
 # their type-parity fixes (ks_drift_value, epoch_mix_plan,
 # rollup_cascade_events), the three recursive scans after the null-key
 # boundary-mask rework, and the five portable-ln conversions (tfidf x2,
-# unigram/bigram logprob, BM25), the new PageRank entry, and the five
-# TPC-H completion entries (Q2/Q9/Q11/Q16/Q20); then (2) the stale queue exactly where
+# unigram/bigram logprob, BM25), the new PageRank entry, the five
+# TPC-H completion entries (Q2/Q9/Q11/Q16/Q20), and the five sketch/
+# info-theory/SPC entries (KMV, CountMin, KL drift, entropy, CUSUM);
+# then (2) the stale queue exactly where
 # the round-5 rotation left off: the 18 entries at positions 51-68 last
 # round (orders_priority_counts .. value_quartiles_by_type, including
-# the ten that have carried round-1 evidence longest) and the next 15 of
+# the ten that have carried round-1 evidence longest) and the next 10 of
 # the ascending last-graded-round queue (anomalous_days_events ..
-# knn_lsh); six stale entries (knn_rrf_fusion .. pack_training_sequences)
-# overflow to just past the boundary and lead the round-7 queue. The 39 entries freshly graded in round 5
+# embedding_dim_stats); eleven stale entries (events_cube ..
+# pack_training_sequences) overflow to just past the boundary and lead
+# the round-7 queue. The 39 entries freshly graded in round 5
 # move to the back. Everything re-greens locally via
 # tools/verify_oracle.py (now with the cross-engine type-parity
 # preflight) regardless of order.
@@ -87,6 +91,11 @@ PRIORITY = [
     "q11_important_stock",
     "q16_supplier_cnt",
     "q20_potential_promo",
+    "kmv_distinct_users",
+    "countmin_event_types",
+    "kl_drift_event_type",
+    "entropy_by_source",
+    "cusum_alarm_value",
     # -- (2) stale queue, resumed from the round-5 cutoff
     "orders_priority_counts",
     "orders_rollup",
@@ -116,12 +125,12 @@ PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_dim_stats",
+    # -- 50-entry prefix boundary is here
     "events_cube",
     "fingerprint_docs",
     "gapfill_user_daily",
     "knn_bruteforce",
     "knn_lsh",
-    # -- 50-entry prefix boundary is here
     "knn_rrf_fusion",
     "lang_confusion_docs",
     "lang_id_docs",

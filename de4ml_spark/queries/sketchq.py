@@ -1,0 +1,434 @@
+"""Sketches, information-theoretic drift, and statistical process
+control — all ENGINE-EXACT by construction.
+
+Classic sketch implementations (HLL, t-digest) are not cross-engine
+verifiable: Spark's HLL++ and DuckDB's approx_count_distinct build
+different summaries from different hashes. Here every sketch runs on
+the repo's portable md5 hash and seeded integer family
+(operators/portable_hash.py), and every log-domain statistic on the
+portable ln — so the SKETCH ITSELF is deterministic and the oracle
+verifies the estimate bit-for-bit, not just "close". That is the right
+posture for a data-engineering engine: an estimator whose value depends
+on which engine (or which partitioning) computed it cannot be used in a
+regression gate.
+
+- KMV distinct sketch: k minimum hash values; estimate (k-1)*2^B / h_k.
+  The k-smallest selection is a per-group window rank — at 100 TB the
+  same shape as every top-k (shuffle bounded by distinct hashes, which
+  the DISTINCT pre-aggregates map-side).
+- CountMin: depth-4, width-256 integer counter matrix from the seeded
+  affine family; estimate = min over rows. Counters are plain
+  integer aggregates — the sketch build is two groupBys.
+- KL drift / token entropy: Σ p ln(p/q) and -Σ p ln p with the portable
+  ln quantized to integer micro-units BEFORE the weighted sum, so the
+  aggregate is addition-order-independent; the final value is one
+  correctly-rounded division of exact integers.
+- CUSUM: the recurrence s_i = max(0, s_{i-1} + x_i) has the closed form
+  s_i = P_i - min(0, running_min(P_i)) over the prefix sums P — pure
+  window functions, NO recursive scan needed. Worth contrasting with
+  throttle/quota (operators/): know the prefix-scan algebra before
+  reaching for a stateful Python walk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de4ml_spark.operators.portable_hash import (
+    P31,
+    hash_family,
+    phash_duck_sql,
+    phash_spark_sql,
+)
+from de4ml_spark.session import load_table
+
+REGISTRY: dict = {}
+
+
+# --------------------------------------------------------------------------
+# KMV distinct sketch: per-day distinct users, estimated from the k-th
+# smallest 40-bit portable hash vs the exact count. Days with fewer than
+# k distinct hashes fall back to the exact count (the standard KMV rule:
+# below k the sketch IS the exact set). +1 on the divisor guards the
+# (2^-40-probability) zero hash without changing the estimate.
+# --------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_BITS = 40
+_KMV_NUM = (KMV_K - 1) * (1 << KMV_BITS)
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("day")
+    hashes = (
+        ev.select(day, "user_id")
+        .distinct()
+        .selectExpr(
+            "day",
+            f"{phash_spark_sql('CAST(user_id AS STRING)', KMV_BITS)} AS h",
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("day").orderBy(F.asc("h"))
+    kth = (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == KMV_K)
+        .select("day", F.col("h").alias("hk"))
+    )
+    exact = (
+        ev.select(day, "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return exact.join(kth, "day", "left").select(
+        "day",
+        "exact_distinct",
+        F.coalesce(
+            F.expr(f"{_KMV_NUM} DIV (hk + 1)"), F.col("exact_distinct")
+        ).alias("kmv_est"),
+    )
+
+
+KMV_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         {phash_duck_sql("CAST(user_id AS VARCHAR)", KMV_BITS)} AS h
+  FROM (SELECT DISTINCT CAST(ts AS DATE) AS ts, user_id FROM events)
+),
+kth AS (
+  SELECT day, h AS hk
+  FROM (SELECT day, h,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h ASC) AS rk
+        FROM hashes)
+  WHERE rk = {KMV_K}
+),
+exact AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT e.day, e.exact_distinct,
+       COALESCE({_KMV_NUM} // (k.hk + 1), e.exact_distinct) AS kmv_est
+FROM exact e LEFT JOIN kth k USING (day)
+"""
+
+REGISTRY["kmv_distinct_users"] = {"fn": kmv_distinct_users, "sql": KMV_SQL}
+
+
+# --------------------------------------------------------------------------
+# CountMin sketch of event_type frequencies: depth 4 x width 256 from
+# the seeded affine family over the 31-bit portable hash (inputs < 2^32
+# keep a*x+b below 2^63 — exact in both engines). Estimate = min over
+# rows of the bucket totals; always >= exact, equality when no
+# collision. Build = one exact count + one union-groupBy; the estimate
+# join is broadcast-size.
+# --------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+_CM_FAMILY = hash_family(CM_DEPTH)
+
+
+def countmin_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .selectExpr(
+            "event_type",
+            "exact_count",
+            f"{phash_spark_sql('event_type', 31)} AS x",
+        )
+    )
+    rows = None
+    for s, (a, b) in enumerate(_CM_FAMILY):
+        r = exact.selectExpr(
+            "event_type",
+            "exact_count",
+            f"{s} AS row",
+            f"(({a} * x + {b}) % {P31}) % {CM_WIDTH} AS bucket",
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    totals = rows.groupBy("row", "bucket").agg(
+        F.sum("exact_count").alias("bucket_total")
+    )
+    return (
+        rows.join(totals, ["row", "bucket"])
+        .groupBy("event_type")
+        .agg(
+            F.max("exact_count").alias("exact_count"),
+            F.min("bucket_total").alias("cm_est"),
+        )
+    )
+
+
+def _countmin_sql() -> str:
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT event_type, exact_count, {s} AS row,"
+        f" (({a} * x + {b}) % {P31}) % {CM_WIDTH} AS bucket FROM exact"
+        for s, (a, b) in enumerate(_CM_FAMILY)
+    )
+    return f"""
+WITH exact AS (
+  SELECT event_type, COUNT(*) AS exact_count,
+         {phash_duck_sql("event_type", 31)} AS x
+  FROM events GROUP BY 1
+),
+rows_ AS (
+{arms}
+),
+totals AS (
+  SELECT row, bucket, CAST(SUM(exact_count) AS BIGINT) AS bucket_total
+  FROM rows_ GROUP BY 1, 2
+)
+SELECT r.event_type,
+       CAST(MAX(r.exact_count) AS BIGINT) AS exact_count,
+       CAST(MIN(t.bucket_total) AS BIGINT) AS cm_est
+FROM rows_ r JOIN totals t USING (row, bucket)
+GROUP BY 1
+"""
+
+
+REGISTRY["countmin_event_types"] = {
+    "fn": countmin_event_types,
+    "sql": _countmin_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# KL-divergence drift of the event_type distribution, first half of the
+# month (P) vs second half (Q), over the common support. Each term
+# p_i ln(p_i/q_i) = (c1_i/n1) ln((c1_i n2)/(c2_i n1)): the log ratio is
+# the portable ln of an integer ratio (GREATEST/LEAST + sign, since the
+# builder needs p >= q), quantized to micro units; the weighted sum is
+# exact integer arithmetic; the final value is ONE correctly-rounded
+# division of exact integers (< 2^53) — engine-identical without any
+# explicit rounding step.
+# --------------------------------------------------------------------------
+
+KL_SPLIT_DAY = 16
+
+
+def kl_drift_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.dayofmonth("ts") < KL_SPLIT_DAY, 1)).alias("c1"),
+            F.count(F.when(F.dayofmonth("ts") >= KL_SPLIT_DAY, 1)).alias("c2"),
+        )
+        .filter((F.col("c1") > 0) & (F.col("c2") > 0))
+    )
+    tot = cnt.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    j = cnt.crossJoin(F.broadcast(tot)).selectExpr(
+        "event_type", "c1", "n1", "n2",
+        "c1 * n2 AS pa", "c2 * n1 AS qa",
+    )
+    terms = with_portable_ln(
+        j, "GREATEST(pa, qa)", "LEAST(pa, qa)", "__lnr"
+    ).selectExpr(
+        "n1",
+        "n2",
+        "c1 * (CASE WHEN pa >= qa THEN 1 ELSE -1 END)"
+        " * CAST(floor(__lnr * 1000000.0 + 0.5) AS BIGINT) AS term",
+    )
+    return (
+        terms.groupBy("n1", "n2")
+        .agg(F.sum("term").alias("kl_micro_sum"))
+        .selectExpr(
+            "n1",
+            "n2",
+            "kl_micro_sum",
+            "CAST(kl_micro_sum AS DOUBLE)"
+            " / CAST(n1 * 1000000 AS DOUBLE) AS kl_r",
+        )
+    )
+
+
+def _kl_sql() -> str:
+    from de4ml_spark.operators.portable_hash import portable_ln_duck_ctes
+
+    return f"""
+WITH cnt AS (
+  SELECT event_type,
+         COUNT(*) FILTER (WHERE date_part('day', ts) < {KL_SPLIT_DAY}) AS c1,
+         COUNT(*) FILTER (WHERE date_part('day', ts) >= {KL_SPLIT_DAY}) AS c2
+  FROM events GROUP BY 1
+),
+cnt2 AS (SELECT * FROM cnt WHERE c1 > 0 AND c2 > 0),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM cnt2
+),
+j AS (
+  SELECT c.event_type, c.c1, t.n1, t.n2,
+         c.c1 * t.n2 AS pa, c.c2 * t.n1 AS qa
+  FROM cnt2 c CROSS JOIN tot t
+),
+{portable_ln_duck_ctes(
+    "j", "event_type, c1, n1, n2, pa, qa",
+    "GREATEST(pa, qa)", "LEAST(pa, qa)", "lnr", "pl")},
+terms AS (
+  SELECT n1, n2,
+         c1 * (CASE WHEN pa >= qa THEN 1 ELSE -1 END)
+            * CAST(floor(lnr * 1000000.0 + 0.5) AS BIGINT) AS term
+  FROM pl_out
+)
+SELECT n1, n2, CAST(SUM(term) AS BIGINT) AS kl_micro_sum,
+       CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
+         / CAST(n1 * 1000000 AS DOUBLE) AS kl_r
+FROM terms GROUP BY n1, n2
+"""
+
+
+REGISTRY["kl_drift_event_type"] = {
+    "fn": kl_drift_event_type,
+    "sql": _kl_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Shannon entropy of the token distribution per document source:
+# H = (1/T) Σ tf * ln(T/tf) with the portable ln per VOCAB entry,
+# micro-quantized before the weighted sum — same exactness scheme as the
+# KL drift. Ranks sources by lexical diversity (a curation signal:
+# collapsed-entropy sources are templated/boilerplate).
+# --------------------------------------------------------------------------
+
+def entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+    from de4ml_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("source", F.explode(tokens("text")).alias("term"))
+    vocab = terms.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    totals = vocab.groupBy("source").agg(F.sum("tf").alias("t_tokens"))
+    j = vocab.join(totals, "source")
+    terms_q = with_portable_ln(j, "t_tokens", "tf", "__pln").selectExpr(
+        "source",
+        "t_tokens",
+        "tf * CAST(floor(__pln * 1000000.0 + 0.5) AS BIGINT) AS term",
+    )
+    return (
+        terms_q.groupBy("source")
+        .agg(
+            F.max("t_tokens").alias("n_tokens"),
+            F.sum("term").alias("h_micro_sum"),
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "h_micro_sum",
+            "CAST(h_micro_sum AS DOUBLE)"
+            " / CAST(n_tokens * 1000000 AS DOUBLE) AS entropy_r",
+        )
+    )
+
+
+def _entropy_sql() -> str:
+    from de4ml_spark.operators.portable_hash import portable_ln_duck_ctes
+
+    return f"""
+WITH terms AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (SELECT source, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+totals AS (
+  SELECT source, CAST(SUM(tf) AS BIGINT) AS t_tokens FROM vocab GROUP BY 1
+),
+j AS (
+  SELECT v.source, v.tf, t.t_tokens FROM vocab v JOIN totals t USING (source)
+),
+{portable_ln_duck_ctes("j", "source, tf, t_tokens",
+                       "t_tokens", "tf", "pln", "pl")},
+terms_q AS (
+  SELECT source, t_tokens,
+         tf * CAST(floor(pln * 1000000.0 + 0.5) AS BIGINT) AS term
+  FROM pl_out
+)
+SELECT source, MAX(t_tokens) AS n_tokens,
+       CAST(SUM(term) AS BIGINT) AS h_micro_sum,
+       CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
+         / CAST(MAX(t_tokens) * 1000000 AS DOUBLE) AS entropy_r
+FROM terms_q GROUP BY source
+"""
+
+
+REGISTRY["entropy_by_source"] = {
+    "fn": entropy_by_source,
+    "sql": _entropy_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint alarms on per-user daily spend: the one-sided upper
+# CUSUM s_i = max(0, s_{i-1} + (x_i - K)) with allowance K and alarm
+# threshold H, in integer cents. The recurrence has the prefix-scan
+# closed form s_i = P_i - min(0, min_{j<=i} P_j) over the running sums
+# P — TWO window functions, one shuffle on user, no recursive scan.
+# Emits alarm rows only (output bounded by alarms, not days).
+# --------------------------------------------------------------------------
+
+CUSUM_K = 5_000  # allowance: cents/day considered "in control"
+CUSUM_H = 20_000  # alarm threshold, cents
+
+
+def cusum_alarm_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("dc")
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # two projection stages: the running min is a window OVER the prefix
+    # sum column, which must already be materialized in the plan (nested
+    # window calls are illegal in one SELECT on both engines)
+    staged = daily.withColumn("p", F.sum(F.col("dc") - CUSUM_K).over(wrun))
+    scanned = staged.withColumn(
+        "m", F.min(F.least(F.lit(0).cast("bigint"), F.col("p"))).over(wrun)
+    ).withColumn("cusum_c", F.col("p") - F.col("m"))
+    return scanned.filter(F.col("cusum_c") > CUSUM_H).select(
+        "user_id", "day", "dc", "cusum_c"
+    )
+
+
+CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS dc
+  FROM events GROUP BY 1, 2
+),
+staged AS (
+  SELECT user_id, day, dc,
+         CAST(SUM(dc - {CUSUM_K}) OVER w AS BIGINT) AS p
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scanned AS (
+  SELECT user_id, day, dc, p,
+         MIN(LEAST(CAST(0 AS BIGINT), p)) OVER w2 AS m
+  FROM staged
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, day, dc, CAST(p - m AS BIGINT) AS cusum_c
+FROM scanned
+WHERE p - m > {CUSUM_H}
+"""
+
+REGISTRY["cusum_alarm_value"] = {"fn": cusum_alarm_value, "sql": CUSUM_SQL}
