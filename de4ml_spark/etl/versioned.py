@@ -163,6 +163,35 @@ def upsert(
     return commit(spark, root, merged)
 
 
+def compact(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE: rewrite the current snapshot bin-packed into files of
+    ~``target_file_bytes`` and commit the result as a NEW snapshot —
+    readers on the old version are untouched (snapshot isolation), and
+    vacuum reclaims the fragmented one later. This is the small-files
+    fix for streaming/epoch-append tables: thousands of KB-scale epoch
+    files make every scan pay per-file open + listing + task-launch
+    costs; at 100 TB the same call maps onto Delta OPTIMIZE / Iceberg
+    rewrite_data_files. File count = ceil(bytes / target) via coalesce
+    (no shuffle — pure read-merge-write). Returns the new version."""
+    import math
+
+    cur = latest_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    d = _version_dir(root, cur)
+    size = sum(
+        os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d)
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    return commit(spark, root, read(spark, root).coalesce(n_files))
+
+
 def snapshot_diff(
     spark: SparkSession,
     root: str,

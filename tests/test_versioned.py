@@ -194,3 +194,21 @@ def test_snapshot_diff_ignores_provenance_columns(spark, tmp_path):
     # only the real content change surfaces; id=1 (provenance-only churn)
     # is absent
     assert d == {(2, "update")}
+
+
+def test_compact_optimize(spark, tmp_path):
+    """compact() rewrites the fragmented current snapshot into few files
+    as a NEW snapshot; data identical, old version still readable."""
+    from de4ml_spark.etl.versioned import commit, compact, history, read
+
+    root = str(tmp_path / "vtc")
+    frag = spark.range(0, 1000).repartition(16)
+    v1 = commit(spark, root, frag)
+    h1 = {h["version"]: h for h in history(root)}
+    assert h1[v1]["n_files"] >= 16
+    v2 = compact(spark, root, target_file_bytes=1 << 30)
+    h2 = {h["version"]: h for h in history(root)}
+    assert h2[v2]["n_files"] == 1
+    assert {r["id"] for r in read(spark, root).collect()} == set(range(1000))
+    # snapshot isolation: the fragmented version is still time-travelable
+    assert read(spark, root, v1).count() == 1000
