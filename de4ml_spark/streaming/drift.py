@@ -92,3 +92,73 @@ def streaming_drift_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming CUSUM: per-user changepoint alarm on daily spend, the
+# streaming twin of queries/sketchq.py:cusum_alarm_value. State is ONE
+# (current_day, day_total, cusum) triple per user — O(1), never a
+# buffer; a day rollover folds the finished day into the recurrence
+# s = max(0, s + (day_total - K)) and emits an alarm row when s crosses
+# H. Contract: event-time-ordered arrival per key across batches (the
+# replay ordering; the batch twin is the arbiter for unordered
+# history), matching streaming_throttle.
+# --------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = "user_id BIGINT, day_num BIGINT, cusum_c BIGINT"
+CUSUM_STATE_SCHEMA = "day BIGINT, total BIGINT, s BIGINT"
+
+US_PER_DAY = 86_400_000_000
+
+
+def streaming_cusum(
+    events: DataFrame, k_cents: int = 5_000, h_cents: int = 20_000
+) -> DataFrame:
+    """Alarm rows (user, day, cusum) for COMPLETED days whose folded
+    CUSUM exceeds ``h_cents``. A day is folded when a later day's first
+    event arrives for that user."""
+
+    src = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__t"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("__vc"),
+    ).withColumn("__day", (F.col("__t") / US_PER_DAY).cast("bigint"))
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        day, total, s = state.get if state.exists else (None, 0, 0)
+        out_days, out_s = [], []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["__day", "__t"])
+        for d, vc in zip(
+            batch["__day"].to_numpy(), batch["__vc"].to_numpy()
+        ):
+            if day is not None and d != day:
+                s = max(0, s + (int(total) - k_cents))
+                if s > h_cents:
+                    out_days.append(int(day))
+                    out_s.append(int(s))
+                total = 0
+            day = int(d)
+            total = int(total) + int(vc)
+        state.update((day, int(total), int(s)))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array(
+                    [key[0]] * len(out_days), dtype="int64"
+                ),
+                "day_num": pd.array(out_days, dtype="int64"),
+                "cusum_c": pd.array(out_s, dtype="int64"),
+            }
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        CUSUM_OUTPUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
