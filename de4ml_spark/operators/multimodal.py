@@ -45,33 +45,37 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        from de4ml_spark.operators.imagecodec import probe_dims
+
+        def dims(b, n):
+            real = probe_dims(bytes(b))
+            return real if real is not None else (n % 640, n % 480)
+
         for pdf in it:
             payloads = pdf[bin_col]
             blen = payloads.map(len)
+            wh = [dims(b, n) for b, n in zip(payloads, blen)]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "byte_len": blen,
                     "magic": payloads.map(lambda b: bytes(b[:4]).decode("ascii", "replace")),
-                    "width": (blen % 640).astype("int32"),
-                    "height": (blen % 480).astype("int32"),
+                    "width": pd.array([w for w, _ in wh], dtype="int32"),
+                    "height": pd.array([h for _, h in wh], dtype="int32"),
                 }
             )
 
     return df.select(id_col, bin_col).mapInPandas(batches, META_SCHEMA)
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Decode an image payload to HxWxC array. STUB: no imaging library is
-    available in this container; plug in cv2/PIL in production."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decoding requires an imaging library (PIL/cv2); "
-            "payload plumbing is tested with fake_payload instead"
-        ) from e
-    raise NotImplementedError("real decoder goes here")
+def decode_image(payload: bytes):
+    """Decode an image payload to an HxWx3 array. PPM (P6) and 24-bit BMP
+    decode NATIVELY via the pure-numpy codec (operators/imagecodec.py);
+    other formats need PIL/cv2 — absent in this container — and raise
+    NotImplementedError (the documented environment gate)."""
+    from de4ml_spark.operators.imagecodec import decode_image as _decode
+
+    return _decode(payload)
 
 
 RESIZED_SCHEMA = (
@@ -87,14 +91,28 @@ def resize_images(
     bin_col: str = "payload",
 ) -> DataFrame:
     """Binary-in/binary-out batch transform: re-encode each payload at a
-    target size. The resize kernel is a STUB (no imaging library here): it
-    deterministically truncates/pads the payload to target_w*target_h bytes
-    after the MAGIC header, so output sizes — and therefore downstream
-    partition/memory behavior — are exactly what a real resize produces.
-    Plug cv2/PIL into ``_resize_bytes`` in production."""
+    target size. Decodable payloads (PPM P6 / 24-bit BMP) take the REAL
+    path — numpy decode, nearest-neighbor resize, PPM re-encode
+    (operators/imagecodec.py); anything else falls back to the
+    deterministic stub (truncate/pad to target_w*target_h bytes after
+    the MAGIC header) so output sizes — and downstream partition/memory
+    behavior — match a real resize for formats whose decoder (PIL/cv2)
+    is absent here."""
 
     def _resize_bytes(b: bytes) -> bytes:
-        body = bytes(b[len(MAGIC):])
+        from de4ml_spark.operators.imagecodec import (
+            encode_ppm,
+            probe_dims,
+            resize_nearest,
+        )
+        from de4ml_spark.operators.imagecodec import (
+            decode_image as _decode,
+        )
+
+        b = bytes(b)
+        if probe_dims(b) is not None:
+            return encode_ppm(resize_nearest(_decode(b), target_w, target_h))
+        body = b[len(MAGIC):]
         want = target_w * target_h
         body = (body * (want // max(1, len(body)) + 1))[:want]
         return MAGIC + body
