@@ -137,6 +137,70 @@ def capped_sessions(
     )
 
 
+def streaming_capped_sessions(
+    events: "DataFrame",
+    gap_us: int = 86_400_000_000,
+    max_len_us: int = 172_800_000_000,
+) -> "DataFrame":
+    """Streaming twin of ``capped_sessions`` via
+    ``applyInPandasWithState`` keyed by user: cross-batch state is the
+    OPEN session's (start, prev, count) — O(1) per key, never a buffer.
+    A gap or duration break emits the closed session and opens a new
+    one; the final still-open session per key is emitted only when a
+    later event closes it (append-mode semantics, like
+    streaming_throttle's contract: event-time-ordered arrival across
+    batches; the batch twin is the arbiter for out-of-order history).
+    Completes the recursive-scan family's streaming coverage (throttle
+    and quota already ship twins)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__t"),
+    )
+
+    def fn(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        start, prev, count = state.get if state.exists else (None, None, 0)
+        out_s, out_e, out_c = [], [], []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["__t", "event_id"])
+        for t in batch["__t"].to_numpy():
+            t = int(t)
+            if start is None:
+                start, prev, count = t, t, 1
+            elif t - prev > gap_us or t - start > max_len_us:
+                out_s.append(start)
+                out_e.append(prev)
+                out_c.append(count)
+                start, prev, count = t, t, 1
+            else:
+                prev = t
+                count += 1
+        state.update((start, prev, int(count)))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array(
+                    [key[0]] * len(out_s), dtype="int64"
+                ),
+                "session_start_us": pd.array(out_s, dtype="int64"),
+                "session_end_us": pd.array(out_e, dtype="int64"),
+                "n_events": pd.array(out_c, dtype="int64"),
+            }
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id BIGINT, session_start_us BIGINT, "
+        "session_end_us BIGINT, n_events BIGINT",
+        "start BIGINT, prev BIGINT, count BIGINT",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def capped_sessions_oracle_sql(
     gap_us: int = 86_400_000_000, max_len_us: int = 172_800_000_000
 ) -> str:

@@ -219,3 +219,80 @@ def test_streaming_quota_equals_batch(spark, tmp_path):
         (1, 2, 2, 1000),
         (1, 1, 0, 900),
     }
+
+
+@pytest.mark.slow
+def test_streaming_capped_sessions_equals_batch(spark, tmp_path):
+    """Cross-batch session state: a session OPEN at the batch boundary
+    must continue (not split), and gap/cap breaks across batches must
+    match the batch operator's CLOSED sessions exactly."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.operators.sessions import (
+        capped_sessions,
+        streaming_capped_sessions,
+    )
+
+    GAP = 10_000_000       # 10 s inactivity
+    CAP = 25_000_000       # 25 s max duration
+
+    def ev(eid, uid, off_s):
+        return {"event_id": eid, "user_id": uid, "ts": _ts(off_s)}
+
+    batch1 = [
+        ev(1, 1, 0.0),
+        ev(2, 1, 5.0),     # same session (gap 5 < 10)
+        ev(3, 2, 0.0),
+    ]
+    batch2 = [
+        ev(4, 1, 9.0),     # continues session OPEN across the boundary
+        ev(5, 1, 30.0),    # gap 21 > 10 -> closes session {1,2,4}
+        ev(6, 1, 38.0),    # same session as 5
+        ev(7, 1, 58.0),    # cap: 58-30=28 > 25 -> closes {5,6}
+        ev(8, 2, 40.0),    # gap -> closes {3}
+    ]
+    src = tmp_path / "ev"
+    _write(src, batch1)
+
+    SCHEMA = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = (
+        streaming_capped_sessions(stream, gap_us=GAP, max_len_us=CAP)
+        .writeStream.format("memory")
+        .queryName("capped_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cs"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(src, batch2)
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+            for r in spark.sql("SELECT * FROM capped_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(
+        [tuple(e.values()) for e in batch1 + batch2],
+        "event_id BIGINT, user_id BIGINT, ts STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    all_sessions = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in capped_sessions(
+            batch_df, gap_us=GAP, max_len_us=CAP
+        ).collect()
+    }
+    # the stream emits CLOSED sessions only; the batch set additionally
+    # contains each key's final (still-open) session
+    open_sessions = all_sessions - got
+    assert got <= all_sessions
+    assert len(open_sessions) == 2  # one open tail per user
+    assert {u for u, *_ in open_sessions} == {1, 2}
+    # the closed sessions match exactly
+    assert got == {
+        s for s in all_sessions
+        if s not in open_sessions
+    } and len(got) == 3
