@@ -96,3 +96,50 @@ def test_round6_floor_engine_exact(spark):
         con.sql(f"SELECT id, {round6_floor_sql('x')} FROM v").fetchall()
     )
     assert got_s == got_d
+
+
+def _py_reference_ln(p: int, q: int) -> float:
+    """Pure-Python replay of the EXACT op sequence the SQL builders emit.
+    CPython floats are IEEE doubles with correctly rounded + - * /, so
+    this must be bit-identical to both engines — a cheap determinism
+    pin that needs no Spark session."""
+    from de4ml_spark.operators.portable_hash import LN2
+
+    k = (p // q).bit_length() - 1
+    m = float(p) / float(q * (1 << k))
+    z = (m - 1.0) / (m + 1.0)
+    w = z * z
+    coefs = [1.0 / (2 * i + 1) for i in range(19)]
+    acc = coefs[-1]
+    for c in reversed(coefs[:-1]):
+        acc = acc * w + c
+    return 2.0 * z * acc + float(k) * LN2
+
+
+def test_python_reference_matches_duck_hypothesis():
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from de4ml_spark.operators.portable_hash import portable_ln_duck_ctes
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        q=st.integers(min_value=1, max_value=10**9),
+        mult=st.integers(min_value=1, max_value=10**9),
+        rem=st.integers(min_value=0, max_value=10**9),
+    )
+    def check(q, mult, rem):
+        p = q * mult + min(rem, q - 1)
+        sql = (
+            "WITH r AS (SELECT 1 AS id, "
+            f"CAST({p} AS BIGINT) AS p, CAST({q} AS BIGINT) AS q), "
+            + portable_ln_duck_ctes("r", "id", "p", "q", "pln", "pl")
+            + " SELECT pln FROM pl_out"
+        )
+        got = con.sql(sql).fetchone()[0]
+        assert got == _py_reference_ln(p, q), (p, q)
+
+    check()
