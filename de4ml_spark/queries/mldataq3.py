@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de4ml_spark.operators.portable_hash import exact_round_div_sql
+from de4ml_spark.operators.portable_hash import (
+    exact_round_div_sql,
+    exact_round_div_sql_wide,
+)
 from de4ml_spark.operators.sampling import key_hex_sql
 from de4ml_spark.session import load_table
 
@@ -467,7 +470,11 @@ def ks_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n2",
             "max_d_num",
             F.expr(
-                exact_round_div_sql("max_d_num", "n1 * n2", "DIV")
+                # wide variant: the scaled numerator max_d_num * 2e6 can
+                # pass int64 once halves reach ~2e6 rows (n1*n2 ~ 4e12);
+                # DECIMAL(38,0)/HUGEINT intermediates keep it exact to
+                # ~1e16-row halves
+                exact_round_div_sql_wide("max_d_num", "n1 * n2", "DIV")
             ).alias("ks_d_r"),
         )
     )
@@ -494,8 +501,8 @@ cum AS (
 )
 SELECT t.n1, t.n2,
        MAX(ABS(cum1 * t.n2 - cum2 * t.n1)) AS max_d_num,
-       {exact_round_div_sql("MAX(ABS(cum1 * t.n2 - cum2 * t.n1))",
-                            "t.n1 * t.n2", "//")} AS ks_d_r
+       {exact_round_div_sql_wide("MAX(ABS(cum1 * t.n2 - cum2 * t.n1))",
+                                 "t.n1 * t.n2", "//")} AS ks_d_r
 FROM cum, tot t
 GROUP BY t.n1, t.n2
 """
