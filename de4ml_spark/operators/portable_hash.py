@@ -293,3 +293,20 @@ def exact_round_neg_mean_sql(
         f"(-(CAST(({p} * 2 + ({cnt_expr})) {div} (2 * ({cnt_expr}))"
         f" AS DOUBLE)) / {scale}.0)"
     )
+
+
+def portable_ln_const(p: int, q: int = 1) -> float:
+    """Driver-side replay of the EXACT op sequence ``with_portable_ln``
+    emits, for inlining a constant like ln(10) as a literal that equals
+    what either engine would compute (CPython floats are IEEE doubles
+    with correctly rounded + - * /). Pinned against DuckDB by the
+    hypothesis test in tests/test_portable_ln.py."""
+    k = (p // q).bit_length() - 1
+    m = float(p) / float(q * (1 << k))
+    z = (m - 1.0) / (m + 1.0)
+    w = z * z
+    coefs = [1.0 / (2 * i + 1) for i in range(19)]
+    acc = coefs[-1]
+    for c in reversed(coefs[:-1]):
+        acc = acc * w + c
+    return 2.0 * z * acc + float(k) * LN2

@@ -96,6 +96,7 @@ PRIORITY = [
     "kl_drift_event_type",
     "entropy_by_source",
     "cusum_alarm_value",
+    "benford_audit_totalprice",
     # -- (2) stale queue, resumed from the round-5 cutoff
     "orders_priority_counts",
     "orders_rollup",
@@ -124,8 +125,8 @@ PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "embedding_dim_stats",
     # -- 50-entry prefix boundary is here
+    "embedding_dim_stats",
     "events_cube",
     "fingerprint_docs",
     "gapfill_user_daily",

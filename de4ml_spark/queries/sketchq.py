@@ -432,3 +432,129 @@ WHERE p - m > {CUSUM_H}
 """
 
 REGISTRY["cusum_alarm_value"] = {"fn": cusum_alarm_value, "sql": CUSUM_SQL}
+
+
+# --------------------------------------------------------------------------
+# Benford's-law audit of order totals: first-digit distribution vs the
+# Benford expectation P(d) = ln(1+1/d)/ln(10), chi-square statistic. A
+# standard forensic data-quality screen (fabricated or capped monetary
+# columns fail it). Exactness: the first digit comes from the DECIMAL's
+# string form (no float log10); expected probabilities are portable-ln
+# ratios; per-digit chi-square terms quantize to micro units before the
+# total, so the statistic is engine- and order-exact. A digit spine
+# guarantees all 9 rows even for digits with zero observations.
+# --------------------------------------------------------------------------
+
+_LN10_LIT = None  # filled lazily from portable_ln_const(10)
+
+
+def benford_audit_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_const,
+        with_portable_ln,
+    )
+
+    ln10 = repr(portable_ln_const(10))
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.select(
+            F.substring(
+                F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+                1,
+                1,
+            ).alias("d")
+        )
+        .filter(F.col("d").between("1", "9"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    spine = spark.range(1, 10).select(
+        F.col("id").alias("digit"), F.col("id").cast("string").alias("d")
+    )
+    n = obs.agg(F.sum("observed").alias("_n"))
+    j = (
+        spine.join(obs, "d", "left")
+        .withColumn("observed", F.coalesce("observed", F.lit(0)))
+        .crossJoin(F.broadcast(n))
+    )
+    terms = with_portable_ln(j, "digit + 1", "digit", "__lnr").selectExpr(
+        "digit",
+        "observed",
+        f"CAST(_n AS DOUBLE) * __lnr / CAST({ln10} AS DOUBLE) AS __e",
+    )
+    terms = terms.selectExpr(
+        "digit",
+        "observed",
+        "CAST(floor(__e * 1000000.0 + 0.5) AS BIGINT) AS expected_micro",
+        "CAST(floor((CAST(observed AS DOUBLE) - __e)"
+        " * (CAST(observed AS DOUBLE) - __e) / __e"
+        " * 1000000.0 + 0.5) AS BIGINT) AS term_micro",
+    )
+    from pyspark.sql import Window
+
+    return terms.select(
+        "digit",
+        "observed",
+        "expected_micro",
+        "term_micro",
+        (
+            F.sum("term_micro")
+            .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .cast("double")
+            / 1_000_000.0
+        ).alias("chi2_r"),
+    )
+
+
+def _benford_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_const,
+        portable_ln_duck_ctes,
+    )
+
+    ln10 = repr(portable_ln_const(10))
+    return f"""
+WITH obs AS (
+  SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+                   1, 1) AS d,
+         COUNT(*) AS observed
+  FROM orders
+  WHERE substring(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+                  1, 1) BETWEEN '1' AND '9'
+  GROUP BY 1
+),
+spine AS (
+  SELECT CAST(x AS BIGINT) AS digit, CAST(x AS VARCHAR) AS d
+  FROM generate_series(1, 9) t(x)
+),
+n AS (SELECT CAST(SUM(observed) AS BIGINT) AS _n FROM obs),
+j AS (
+  SELECT s.digit, COALESCE(o.observed, 0) AS observed, n._n
+  FROM spine s LEFT JOIN obs o USING (d) CROSS JOIN n
+),
+{portable_ln_duck_ctes("j", "digit, observed, _n",
+                       "digit + 1", "digit", "lnr", "pl")},
+terms AS (
+  SELECT digit, observed,
+         CAST(_n AS DOUBLE) * lnr / CAST({ln10} AS DOUBLE) AS e
+  FROM pl_out
+),
+q AS (
+  SELECT digit, observed,
+         CAST(floor(e * 1000000.0 + 0.5) AS BIGINT) AS expected_micro,
+         CAST(floor((CAST(observed AS DOUBLE) - e)
+              * (CAST(observed AS DOUBLE) - e) / e
+              * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+  FROM terms
+)
+SELECT digit, observed, expected_micro, term_micro,
+       CAST(CAST(SUM(term_micro) OVER () AS BIGINT) AS DOUBLE)
+         / 1000000.0 AS chi2_r
+FROM q
+"""
+
+
+REGISTRY["benford_audit_totalprice"] = {
+    "fn": benford_audit_totalprice,
+    "sql": _benford_sql(),
+}

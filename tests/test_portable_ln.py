@@ -99,21 +99,12 @@ def test_round6_floor_engine_exact(spark):
 
 
 def _py_reference_ln(p: int, q: int) -> float:
-    """Pure-Python replay of the EXACT op sequence the SQL builders emit.
-    CPython floats are IEEE doubles with correctly rounded + - * /, so
-    this must be bit-identical to both engines — a cheap determinism
-    pin that needs no Spark session."""
-    from de4ml_spark.operators.portable_hash import LN2
+    """Pure-Python replay of the EXACT op sequence the SQL builders emit
+    (shared with the driver-side constant helper) — bit-identical to
+    both engines; a cheap determinism pin that needs no Spark session."""
+    from de4ml_spark.operators.portable_hash import portable_ln_const
 
-    k = (p // q).bit_length() - 1
-    m = float(p) / float(q * (1 << k))
-    z = (m - 1.0) / (m + 1.0)
-    w = z * z
-    coefs = [1.0 / (2 * i + 1) for i in range(19)]
-    acc = coefs[-1]
-    for c in reversed(coefs[:-1]):
-        acc = acc * w + c
-    return 2.0 * z * acc + float(k) * LN2
+    return portable_ln_const(p, q)
 
 
 def test_python_reference_matches_duck_hypothesis():
