@@ -59,16 +59,14 @@ def _registries() -> list[dict]:
 # rollup_cascade_events), the three recursive scans after the null-key
 # boundary-mask rework, and the five portable-ln conversions (tfidf x2,
 # unigram/bigram logprob, BM25), the new PageRank entry, the five
-# TPC-H completion entries (Q2/Q9/Q11/Q16/Q20), and the five sketch/
-# info-theory/SPC entries (KMV, CountMin, KL drift, entropy, CUSUM);
-# then (2) the stale queue exactly where
-# the round-5 rotation left off: the 18 entries at positions 51-68 last
-# round (orders_priority_counts .. value_quartiles_by_type, including
-# the ten that have carried round-1 evidence longest) and the next 10 of
-# the ascending last-graded-round queue (anomalous_days_events ..
-# embedding_dim_stats); eleven stale entries (events_cube ..
-# pack_training_sequences) overflow to just past the boundary and lead
-# the round-7 queue. The 39 entries freshly graded in round 5
+# TPC-H completion entries (Q2/Q9/Q11/Q16/Q20), the six sketch/
+# info-theory/SPC entries (KMV, CountMin, KL drift, entropy, CUSUM,
+# Benford), and the OLS trend entry — 24 in all; then (2) the stale
+# queue exactly where the round-5 rotation left off, filling the
+# remaining 26 slots (orders_priority_counts .. dedup_minhash_lsh,
+# including the ten entries that have carried round-1 evidence
+# longest); the overflow (dedup_simhash .. pack_training_sequences)
+# sits just past the boundary and leads the round-7 queue. The 39 entries freshly graded in round 5
 # move to the back. Everything re-greens locally via
 # tools/verify_oracle.py (now with the cross-engine type-parity
 # preflight) regardless of order.
@@ -97,6 +95,7 @@ PRIORITY = [
     "entropy_by_source",
     "cusum_alarm_value",
     "benford_audit_totalprice",
+    "trend_by_event_type",
     # -- (2) stale queue, resumed from the round-5 cutoff
     "orders_priority_counts",
     "orders_rollup",
@@ -124,8 +123,8 @@ PRIORITY = [
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     # -- 50-entry prefix boundary is here
+    "dedup_simhash",
     "embedding_dim_stats",
     "events_cube",
     "fingerprint_docs",

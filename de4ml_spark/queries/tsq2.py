@@ -523,3 +523,114 @@ REGISTRY["daily_heavy_hitters"] = {
     "fn": daily_heavy_hitters,
     "sql": HEAVY_HITTERS_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Per-group OLS trend: regress each event type's daily total (cents)
+# on the day index. The normal equations are EXACT INTEGER arithmetic —
+# slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) with x = epoch-day int and
+# y = cents — and the reported doubles are ONE correctly-rounded IEEE
+# division of exact integers each (slope, intercept, and r2 as a
+# product/quotient of exact doubles), so no ROUND hedge is needed and
+# partitioning cannot change a bit. Day indexes are re-based per group
+# (x - min x) to keep Sxx small. Scale: one groupBy to daily totals,
+# one map-side-combined groupBy to the five moment sums per group.
+# --------------------------------------------------------------------------
+
+
+def trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_date(F.col("ts").cast("date")).alias("day_num"),
+    ).agg(
+        F.sum(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("y")
+    )
+    rebased = daily.withColumn(
+        "x",
+        F.col("day_num")
+        - F.min("day_num").over(Window.partitionBy("event_type")),
+    )
+    moments = rebased.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    return moments.selectExpr(
+        "event_type",
+        "n",
+        "CAST(n * sxy - sx * sy AS BIGINT) AS slope_num",
+        "CAST(n * sxx - sx * sx AS BIGINT) AS slope_den",
+        "CAST(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope_r",
+        # intercept = (Sy - slope*Sx)/n computed on the exact rational:
+        # (Sy*den - num*Sx) / (n*den)
+        "CAST(CAST(sy * CAST(n * sxx - sx * sx AS BIGINT)"
+        " - CAST(n * sxy - sx * sy AS BIGINT) * sx AS DOUBLE)"
+        " / CAST(n * CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)"
+        " AS DOUBLE) AS intercept_r",
+        # r2 = num^2 / (den_x * den_y), den_y = n*Syy - Sy^2 (decimal-
+        # exact; cast to double once each)
+        "CAST((CAST(n * sxy - sx * sy AS DOUBLE)"
+        " * CAST(n * sxy - sx * sy AS DOUBLE))"
+        " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+        " * CAST(CAST(n AS DECIMAL(38,0)) * syy"
+        " - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))"
+        " AS DOUBLE)) AS DOUBLE) AS r2_r",
+    )
+
+
+TREND_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day_num,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+rebased AS (
+  SELECT event_type,
+         day_num - MIN(day_num) OVER (PARTITION BY event_type) AS x,
+         y
+  FROM daily
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+  FROM rebased GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope_r,
+       CAST(CAST(sy * CAST(n * sxx - sx * sx AS BIGINT)
+            - CAST(n * sxy - sx * sy AS BIGINT) * sx AS DOUBLE)
+            / CAST(n * CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)
+            AS DOUBLE) AS intercept_r,
+       CAST((CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE))
+            / (CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(CAST(n AS DECIMAL(38,0)) * syy
+                 - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                 AS DOUBLE)) AS DOUBLE) AS r2_r
+FROM m
+"""
+
+REGISTRY["trend_by_event_type"] = {
+    "fn": trend_by_event_type,
+    "sql": TREND_SQL,
+}
