@@ -216,3 +216,127 @@ REGISTRY: dict[str, dict] = {
         "sql": WEIGHTED_SAMPLE_SQL,
     },
 }
+
+
+# --------------------------------------------------------------------------
+# Neyman (variance-proportional) stratified sample allocation: allocate
+# a fixed budget across event-type strata proportional to N_h * sigma_h
+# — the survey-sampling optimum for estimating the overall mean. The
+# exactness chain extends the repo playbook with one more primitive:
+# IEEE-754 REQUIRES sqrt to be correctly rounded (like + - * /), so
+# sigma_h = sqrt of an exactly-derived double is engine-identical. The
+# variance itself is the exact integer rational (n*Sxx - Sx^2)/n^2 in
+# cents^2 (decimal-exact sums), weights quantize to integer micro units,
+# and the final seats come from the largest-remainder (Hamilton) method
+# — pure integer arithmetic with a deterministic tie order, so the
+# ALLOCATION (not just the weights) is bit-identical across engines.
+# Scale: one map-side-combined groupBy to per-stratum moments; the
+# allocation runs on the n_strata-row frame.
+# --------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 1_000
+
+
+def neyman_allocation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("sx"),
+        F.sum(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .cast("decimal(38,0)")
+            * (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .cast("decimal(38,0)")
+        ).alias("sxx"),
+    )
+    w = m.selectExpr(
+        "event_type",
+        "n",
+        # population variance in cents^2: (n*Sxx - Sx^2)/n^2, exact
+        # integer numerator -> one double division -> one sqrt, all
+        # correctly rounded
+        "CAST(floor(CAST(n AS DOUBLE) * sqrt("
+        " CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+        "      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"
+        " AS DOUBLE)"
+        " / CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+        " AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w_micro",
+    )
+    tot = w.agg(F.sum("w_micro").alias("_tw"))
+    alloc = (
+        w.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "event_type",
+            "n",
+            "w_micro",
+            f"CAST(({NEYMAN_BUDGET} * w_micro) DIV _tw AS BIGINT) AS base",
+            f"CAST(({NEYMAN_BUDGET} * w_micro) % _tw AS BIGINT) AS rem",
+        )
+    )
+    wt = Window.orderBy(F.desc("rem"), F.asc("event_type"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        alloc.withColumn("leftover", NEYMAN_BUDGET - F.sum("base").over(wall))
+        .withColumn("rk", F.row_number().over(wt))
+        .selectExpr(
+            "event_type",
+            "n",
+            "w_micro",
+            "CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"
+            " AS BIGINT) AS n_alloc",
+        )
+    )
+
+
+NEYMAN_SQL = f"""
+WITH m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS sx,
+         SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS DECIMAL(38,0))
+             * CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS DECIMAL(38,0))) AS sxx
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT event_type, n,
+         CAST(floor(CAST(n AS DOUBLE) * sqrt(
+           CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+           AS DOUBLE)
+           / CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+           AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+  FROM m
+),
+tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM w),
+alloc AS (
+  SELECT w.event_type, w.n, w.w_micro,
+         CAST(({NEYMAN_BUDGET} * w.w_micro) // t.tw AS BIGINT) AS base,
+         CAST(({NEYMAN_BUDGET} * w.w_micro) % t.tw AS BIGINT) AS rem
+  FROM w CROSS JOIN tot t
+),
+ranked AS (
+  SELECT *,
+         CAST({NEYMAN_BUDGET} - SUM(base) OVER () AS BIGINT) AS leftover,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, event_type ASC) AS rk
+  FROM alloc
+)
+SELECT event_type, n, w_micro,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS n_alloc
+FROM ranked
+"""
+
+REGISTRY["neyman_allocation_events"] = {
+    "fn": neyman_allocation_events,
+    "sql": NEYMAN_SQL,
+}
