@@ -340,3 +340,87 @@ REGISTRY["neyman_allocation_events"] = {
     "fn": neyman_allocation_events,
     "sql": NEYMAN_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Weighted reservoir sampling WITHOUT replacement (Efraimidis-Spirakis
+# A-ES): each doc draws u = (h+1)/2^40 from the portable hash and the
+# sample is the top-k by key u^(1/w) — equivalently by ln(u)/w
+# descending, which is how it is computed here: ln(u) = -ln(2^40/(h+1))
+# is a portable-ln of an integer ratio quantized to micro units, and the
+# per-doc key is ONE correctly-rounded division by the integer weight —
+# so the SAMPLE SET is deterministic and cross-engine exact, unlike any
+# rand()-based reservoir. Weight = token count (longer docs
+# proportionally likelier, the corpus-sampling norm). Top-k is a plain
+# rank window: at 100 TB this is the same TakeOrdered shape as every
+# top-k, with the hash/ln map-side.
+# --------------------------------------------------------------------------
+
+AES_K = 64
+_AES_DOMAIN = 1 << 40
+
+
+def weighted_reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from de4ml_spark.operators.portable_hash import (
+        phash_spark_sql,
+        with_portable_ln,
+    )
+    from de4ml_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("w"),
+    ).filter(F.col("w") > 0)
+    hexpr = phash_spark_sql("CAST(doc_id AS STRING) || 'aes'", 40)
+    hashed = base.selectExpr("doc_id", "w", f"{hexpr} + 1 AS hp")
+    keyed = with_portable_ln(
+        hashed, str(_AES_DOMAIN), "hp", "__lnr"
+    ).selectExpr(
+        "doc_id",
+        "w",
+        "CAST(-CAST(floor(__lnr * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)"
+        " / CAST(w AS DOUBLE) AS aes_key",
+    )
+    wnd = Window.orderBy(F.desc("aes_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= AES_K)
+        .select("doc_id", "w", "aes_key", "rank")
+    )
+
+
+def _weighted_reservoir_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        phash_duck_sql,
+        portable_ln_duck_ctes,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         {phash_duck_sql("CAST(doc_id AS VARCHAR) || 'aes'", 40)} + 1 AS hp
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+),
+{portable_ln_duck_ctes("base", "doc_id, w",
+                       str(_AES_DOMAIN), "hp", "lnr", "pl")},
+keyed AS (
+  SELECT doc_id, w,
+         CAST(-CAST(floor(lnr * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+           / CAST(w AS DOUBLE) AS aes_key
+  FROM pl_out
+)
+SELECT doc_id, w, aes_key,
+       ROW_NUMBER() OVER (ORDER BY aes_key DESC, doc_id ASC) AS rank
+FROM keyed
+QUALIFY rank <= {AES_K}
+"""
+
+
+REGISTRY["weighted_reservoir_docs"] = {
+    "fn": weighted_reservoir_docs,
+    "sql": _weighted_reservoir_sql(),
+}
