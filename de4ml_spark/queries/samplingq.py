@@ -275,8 +275,8 @@ def neyman_allocation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n",
             "w_micro",
-            f"CAST(({NEYMAN_BUDGET} * w_micro) DIV _tw AS BIGINT) AS base",
-            f"CAST(({NEYMAN_BUDGET} * w_micro) % _tw AS BIGINT) AS rem",
+            f"CAST(({NEYMAN_BUDGET} * w_micro) DIV NULLIF(_tw, 0) AS BIGINT) AS base",
+            f"CAST(({NEYMAN_BUDGET} * w_micro) % NULLIF(_tw, 0) AS BIGINT) AS rem",
         )
     )
     wt = Window.orderBy(F.desc("rem"), F.asc("event_type"))
@@ -320,8 +320,8 @@ w AS (
 tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM w),
 alloc AS (
   SELECT w.event_type, w.n, w.w_micro,
-         CAST(({NEYMAN_BUDGET} * w.w_micro) // t.tw AS BIGINT) AS base,
-         CAST(({NEYMAN_BUDGET} * w.w_micro) % t.tw AS BIGINT) AS rem
+         CAST(({NEYMAN_BUDGET} * w.w_micro) // NULLIF(t.tw, 0) AS BIGINT) AS base,
+         CAST(({NEYMAN_BUDGET} * w.w_micro) % NULLIF(t.tw, 0) AS BIGINT) AS rem
   FROM w CROSS JOIN tot t
 ),
 ranked AS (

@@ -487,7 +487,7 @@ def benford_audit_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         "observed",
         "CAST(floor(__e * 1000000.0 + 0.5) AS BIGINT) AS expected_micro",
         "CAST(floor((CAST(observed AS DOUBLE) - __e)"
-        " * (CAST(observed AS DOUBLE) - __e) / __e"
+        " * (CAST(observed AS DOUBLE) - __e) / NULLIF(__e, 0.0)"
         " * 1000000.0 + 0.5) AS BIGINT) AS term_micro",
     )
     from pyspark.sql import Window
@@ -543,7 +543,7 @@ q AS (
   SELECT digit, observed,
          CAST(floor(e * 1000000.0 + 0.5) AS BIGINT) AS expected_micro,
          CAST(floor((CAST(observed AS DOUBLE) - e)
-              * (CAST(observed AS DOUBLE) - e) / e
+              * (CAST(observed AS DOUBLE) - e) / NULLIF(e, 0.0)
               * 1000000.0 + 0.5) AS BIGINT) AS term_micro
   FROM terms
 )

@@ -569,21 +569,22 @@ def trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n * sxy - sx * sy AS BIGINT) AS slope_num",
         "CAST(n * sxx - sx * sx AS BIGINT) AS slope_den",
         "CAST(CAST(n * sxy - sx * sy AS DOUBLE)"
-        " / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope_r",
+        " / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS DOUBLE)"
+        " AS slope_r",
         # intercept = (Sy - slope*Sx)/n computed on the exact rational:
         # (Sy*den - num*Sx) / (n*den)
         "CAST(CAST(sy * CAST(n * sxx - sx * sx AS BIGINT)"
         " - CAST(n * sxy - sx * sy AS BIGINT) * sx AS DOUBLE)"
-        " / CAST(n * CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)"
-        " AS DOUBLE) AS intercept_r",
+        " / CAST(NULLIF(n * CAST(n * sxx - sx * sx AS BIGINT), 0)"
+        " AS DOUBLE) AS DOUBLE) AS intercept_r",
         # r2 = num^2 / (den_x * den_y), den_y = n*Syy - Sy^2 (decimal-
         # exact; cast to double once each)
         "CAST((CAST(n * sxy - sx * sy AS DOUBLE)"
         " * CAST(n * sxy - sx * sy AS DOUBLE))"
-        " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+        " / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE)"
         " * CAST(CAST(n AS DECIMAL(38,0)) * syy"
         " - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))"
-        " AS DOUBLE)) AS DOUBLE) AS r2_r",
+        " AS DOUBLE), 0.0) AS DOUBLE) AS r2_r",
     )
 
 
@@ -616,17 +617,18 @@ SELECT event_type, n,
        CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
        CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
        CAST(CAST(n * sxy - sx * sy AS DOUBLE)
-            / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope_r,
+            / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS DOUBLE)
+         AS slope_r,
        CAST(CAST(sy * CAST(n * sxx - sx * sx AS BIGINT)
             - CAST(n * sxy - sx * sy AS BIGINT) * sx AS DOUBLE)
-            / CAST(n * CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)
-            AS DOUBLE) AS intercept_r,
+            / CAST(NULLIF(n * CAST(n * sxx - sx * sx AS BIGINT), 0)
+              AS DOUBLE) AS DOUBLE) AS intercept_r,
        CAST((CAST(n * sxy - sx * sy AS DOUBLE)
             * CAST(n * sxy - sx * sy AS DOUBLE))
-            / (CAST(n * sxx - sx * sx AS DOUBLE)
+            / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE)
                * CAST(CAST(n AS DECIMAL(38,0)) * syy
                  - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
-                 AS DOUBLE)) AS DOUBLE) AS r2_r
+                 AS DOUBLE), 0.0) AS DOUBLE) AS r2_r
 FROM m
 """
 

@@ -113,6 +113,31 @@ def decode_kafka_json(raw: DataFrame, struct: T.StructType) -> DataFrame:
     ).select("ts", "topic", "partition", "offset", "d.*")
 
 
+def exactly_once_dedupe(
+    decoded: DataFrame,
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """At-least-once -> exactly-once: drop redelivered records by their
+    (topic, partition, offset) identity — the key ``decode_kafka_json``
+    carries precisely for this. Kafka redelivers on consumer restart /
+    rebalance inside the retention window; ``dropDuplicates`` with a
+    watermark holds seen keys only ``delay`` past the event-time
+    high-water mark, so state is bounded by redelivery distance, not
+    topic history. ``ts_col`` is the broker-append micros column from
+    the decode (converted to timestamp for the watermark)."""
+    from pyspark.sql import functions as F
+
+    return (
+        decoded.withColumn(
+            "__evt", F.timestamp_micros(F.col(ts_col).cast("bigint"))
+        )
+        .withWatermark("__evt", delay)
+        .dropDuplicates(["topic", "partition", "offset"])
+        .drop("__evt")
+    )
+
+
 def kafka_raw_stream(spark, options: dict[str, str]) -> DataFrame:
     """``readStream.format("kafka")`` with the validated option map.
     Needs the connector jar; without it Spark raises DATA_SOURCE_NOT_FOUND

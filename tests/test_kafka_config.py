@@ -104,3 +104,64 @@ def test_decode_kafka_json_schema_and_values(spark):
     # malformed payload -> null columns, row retained with its exactly-once
     # key intact (the dead-letter filter downstream decides its fate)
     assert got[18]["query_id"] is None and got[18]["partition"] == 1
+
+
+def test_exactly_once_dedupe_drops_redelivery(spark, tmp_path):
+    """A record redelivered in a later micro-batch (same topic,
+    partition, offset) must be emitted exactly once; distinct offsets
+    all pass."""
+    import json as _json
+    import time as _time
+
+    from de4ml_spark.streaming.kafka import exactly_once_dedupe
+
+    src = tmp_path / "k"
+    src.mkdir()
+    sch = (
+        "ts BIGINT, topic STRING, partition INT, offset BIGINT, "
+        "query_id STRING"
+    )
+
+    def rec(off, qid, ts_s):
+        return {
+            "ts": int(ts_s * 1_000_000),
+            "topic": "events",
+            "partition": 0,
+            "offset": off,
+            "query_id": qid,
+        }
+
+    base = 1704067200
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [rec(1, "a", base), rec(2, "b", base + 1)]
+        )
+    )
+    stream = spark.readStream.schema(sch).json(str(src))
+    q = (
+        exactly_once_dedupe(stream)
+        .writeStream.format("memory")
+        .queryName("eo_dedupe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 redelivers offset 2 and adds offset 3
+        (src / f"b2_{_time.time_ns()}.json").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [rec(2, "b", base + 1), rec(3, "c", base + 2)]
+            )
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT offset, query_id FROM eo_dedupe").collect()
+    finally:
+        q.stop()
+    assert sorted((r["offset"], r["query_id"]) for r in rows) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
