@@ -61,12 +61,13 @@ def _registries() -> list[dict]:
 # unigram/bigram logprob, BM25), the new PageRank entry, the five
 # TPC-H completion entries (Q2/Q9/Q11/Q16/Q20), the six sketch/
 # info-theory/SPC entries (KMV, CountMin, KL drift, entropy, CUSUM,
-# Benford), the OLS trend entry, the Neyman allocation, and the
-# Efraimidis-Spirakis weighted reservoir — 26 in all; then (2) the stale
+# Benford), the OLS trend entry, the Neyman allocation, the
+# Efraimidis-Spirakis weighted reservoir, and the rolling bivariate
+# correlation — 27 in all; then (2) the stale
 # queue exactly where the round-5 rotation left off, filling the
-# remaining 24 slots (orders_priority_counts .. dedup_embedding_blocked,
+# remaining 23 slots (orders_priority_counts .. dedup_cluster_sizes,
 # including the ten entries that have carried round-1 evidence
-# longest); the overflow (dedup_embedding_cosine .. pack_training_sequences)
+# longest); the overflow (dedup_embedding_blocked .. pack_training_sequences)
 # sits just past the boundary and leads the round-7 queue. The 39 entries freshly graded in round 5
 # move to the back. Everything re-greens locally via
 # tools/verify_oracle.py (now with the cross-engine type-parity
@@ -99,6 +100,7 @@ PRIORITY = [
     "trend_by_event_type",
     "neyman_allocation_events",
     "weighted_reservoir_docs",
+    "rolling_corr_view_click",
     # -- (2) stale queue, resumed from the round-5 cutoff
     "orders_priority_counts",
     "orders_rollup",
@@ -123,8 +125,8 @@ PRIORITY = [
     "clean_corpus",
     "decontaminate_docs",
     "dedup_cluster_sizes",
-    "dedup_embedding_blocked",
     # -- 50-entry prefix boundary is here
+    "dedup_embedding_blocked",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -636,3 +636,81 @@ REGISTRY["trend_by_event_type"] = {
     "fn": trend_by_event_type,
     "sql": TREND_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day Pearson correlation between two event streams' daily
+# counts (views vs clicks) — the rolling bivariate statistic a metrics
+# warehouse needs for "did these two series decouple this week?".
+# Exactness: all five moment sums are INTEGER window sums over the day
+# spine; the correlation numerator/denominator are exact integers cast
+# to double once, combined with one multiply, one sqrt (IEEE correctly
+# rounded), and one division — engine-identical with no ROUND hedge.
+# Scale: day-grain frame (calendar-bounded); the windows never touch
+# row-grain data.
+# --------------------------------------------------------------------------
+
+ROLL_CORR_DAYS = 7
+
+
+def rolling_corr_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(ROLL_CORR_DAYS - 1), 0)
+    m = daily.select(
+        "day",
+        "v",
+        "c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v").over(w).alias("sv"),
+        F.sum("c").over(w).alias("sc"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("svv"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("scc"),
+        F.sum(F.col("v") * F.col("c")).over(w).alias("svc"),
+    )
+    return m.selectExpr(
+        "day",
+        "v",
+        "c",
+        "n",
+        "CAST(CAST(n * svc - sv * sc AS DOUBLE)"
+        " / NULLIF(sqrt(CAST(n * svv - sv * sv AS DOUBLE)"
+        "               * CAST(n * scc - sc * sc AS DOUBLE)), 0.0)"
+        " AS DOUBLE) AS corr_r",
+    )
+
+
+ROLL_CORR_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS v,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS c
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT day, v, c,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(v) OVER w AS BIGINT) AS sv,
+         CAST(SUM(c) OVER w AS BIGINT) AS sc,
+         CAST(SUM(v * v) OVER w AS BIGINT) AS svv,
+         CAST(SUM(c * c) OVER w AS BIGINT) AS scc,
+         CAST(SUM(v * c) OVER w AS BIGINT) AS svc
+  FROM daily
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {ROLL_CORR_DAYS - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day, v, c, n,
+       CAST(CAST(n * svc - sv * sc AS DOUBLE)
+            / NULLIF(sqrt(CAST(n * svv - sv * sv AS DOUBLE)
+                          * CAST(n * scc - sc * sc AS DOUBLE)), 0.0)
+            AS DOUBLE) AS corr_r
+FROM m
+"""
+
+REGISTRY["rolling_corr_view_click"] = {
+    "fn": rolling_corr_view_click,
+    "sql": ROLL_CORR_SQL,
+}
