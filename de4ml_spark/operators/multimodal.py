@@ -102,7 +102,6 @@ def resize_images(
     def _resize_bytes(b: bytes) -> bytes:
         from de4ml_spark.operators.imagecodec import (
             encode_ppm,
-            probe_dims,
             resize_nearest,
         )
         from de4ml_spark.operators.imagecodec import (
@@ -110,8 +109,13 @@ def resize_images(
         )
 
         b = bytes(b)
-        if probe_dims(b) is not None:
+        # gate on the DECODE, not the header probe: a probe-able but
+        # undecodable payload (32-bpp or RLE BMP, 16-bit PPM, truncated
+        # pixel data) must fall back to the stub, not kill the job
+        try:
             return encode_ppm(resize_nearest(_decode(b), target_w, target_h))
+        except (NotImplementedError, ValueError):
+            pass
         body = b[len(MAGIC):]
         want = target_w * target_h
         body = (body * (want // max(1, len(body)) + 1))[:want]

@@ -180,10 +180,12 @@ def streaming_capped_sessions(
                 prev = t
                 count += 1
         state.update((start, prev, int(count)))
+        # nullable Int64: key[0] is None for the NULL-key group (the
+        # same partition the batch twin handles), and int64 would raise
         yield pd.DataFrame(
             {
                 "user_id": pd.array(
-                    [key[0]] * len(out_s), dtype="int64"
+                    [key[0]] * len(out_s), dtype="Int64"
                 ),
                 "session_start_us": pd.array(out_s, dtype="int64"),
                 "session_end_us": pd.array(out_e, dtype="int64"),

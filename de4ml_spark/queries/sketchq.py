@@ -122,8 +122,8 @@ REGISTRY["kmv_distinct_users"] = {"fn": kmv_distinct_users, "sql": KMV_SQL}
 # the seeded affine family over the 31-bit portable hash (inputs < 2^32
 # keep a*x+b below 2^63 — exact in both engines). Estimate = min over
 # rows of the bucket totals; always >= exact, equality when no
-# collision. Build = one exact count + one union-groupBy; the estimate
-# join is broadcast-size.
+# collision. Build = one exact count + a literal depth explode + one
+# groupBy; the estimate join is broadcast-size.
 # --------------------------------------------------------------------------
 
 CM_DEPTH = 4
@@ -142,15 +142,30 @@ def countmin_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{phash_spark_sql('event_type', 31)} AS x",
         )
     )
-    rows = None
-    for s, (a, b) in enumerate(_CM_FAMILY):
-        r = exact.selectExpr(
+    # one scan + one aggregation: the depth dimension comes from
+    # exploding a LITERAL (row, a, b) array over the finished exact
+    # frame — a union of per-row branches would re-run the events
+    # scan+groupBy once per hash row (the heaviest stage, paid
+    # CM_DEPTH times at scale)
+    fam = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("row"),
+                F.lit(a).alias("a"),
+                F.lit(b).alias("b"),
+            )
+            for s, (a, b) in enumerate(_CM_FAMILY)
+        ]
+    )
+    rows = (
+        exact.withColumn("f", F.explode(fam))
+        .selectExpr(
             "event_type",
             "exact_count",
-            f"{s} AS row",
-            f"(({a} * x + {b}) % {P31}) % {CM_WIDTH} AS bucket",
+            "f.row AS row",
+            f"((f.a * x + f.b) % {P31}) % {CM_WIDTH} AS bucket",
         )
-        rows = r if rows is None else rows.unionByName(r)
+    )
     totals = rows.groupBy("row", "bucket").agg(
         F.sum("exact_count").alias("bucket_total")
     )
@@ -165,10 +180,8 @@ def countmin_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _countmin_sql() -> str:
-    arms = "\n  UNION ALL\n".join(
-        f"  SELECT event_type, exact_count, {s} AS row,"
-        f" (({a} * x + {b}) % {P31}) % {CM_WIDTH} AS bucket FROM exact"
-        for s, (a, b) in enumerate(_CM_FAMILY)
+    vals = ", ".join(
+        f"({s}, {a}, {b})" for s, (a, b) in enumerate(_CM_FAMILY)
     )
     return f"""
 WITH exact AS (
@@ -177,7 +190,9 @@ WITH exact AS (
   FROM events GROUP BY 1
 ),
 rows_ AS (
-{arms}
+  SELECT e.event_type, e.exact_count, f.row,
+         ((f.a * e.x + f.b) % {P31}) % {CM_WIDTH} AS bucket
+  FROM exact e CROSS JOIN (VALUES {vals}) f(row, a, b)
 ),
 totals AS (
   SELECT row, bucket, CAST(SUM(exact_count) AS BIGINT) AS bucket_total
@@ -444,9 +459,6 @@ REGISTRY["cusum_alarm_value"] = {"fn": cusum_alarm_value, "sql": CUSUM_SQL}
 # total, so the statistic is engine- and order-exact. A digit spine
 # guarantees all 9 rows even for digits with zero observations.
 # --------------------------------------------------------------------------
-
-_LN10_LIT = None  # filled lazily from portable_ln_const(10)
-
 
 def benford_audit_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.operators.portable_hash import (

@@ -646,6 +646,10 @@ REGISTRY["trend_by_event_type"] = {
 # spine; the correlation numerator/denominator are exact integers cast
 # to double once, combined with one multiply, one sqrt (IEEE correctly
 # rounded), and one division — engine-identical with no ROUND hedge.
+# The day SPINE is explicit (min..max calendar, zero-filled): a
+# ROWS-frame over observed days alone would silently stretch across
+# calendar gaps and drop (0,0) days from the moments — the same bug
+# class trailing_7d_revenue's RANGE frame exists to avoid.
 # Scale: day-grain frame (calendar-bounded); the windows never touch
 # row-grain data.
 # --------------------------------------------------------------------------
@@ -655,9 +659,21 @@ ROLL_CORR_DAYS = 7
 
 def rolling_corr_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+    counts = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
         F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+    )
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    daily = spine.join(counts, "day", "left").select(
+        "day",
+        F.coalesce("v", F.lit(0)).alias("v"),
+        F.coalesce("c", F.lit(0)).alias("c"),
     )
     w = Window.orderBy("day").rowsBetween(-(ROLL_CORR_DAYS - 1), 0)
     m = daily.select(
@@ -684,11 +700,23 @@ def rolling_corr_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROLL_CORR_SQL = f"""
-WITH daily AS (
+WITH counts AS (
   SELECT CAST(ts AS DATE) AS day,
          COUNT(*) FILTER (WHERE event_type = 'view') AS v,
          COUNT(*) FILTER (WHERE event_type = 'click') AS c
   FROM events GROUP BY 1
+),
+bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+daily AS (
+  SELECT s.day, COALESCE(c.v, 0) AS v, COALESCE(c.c, 0) AS c
+  FROM spine s LEFT JOIN counts c USING (day)
 ),
 m AS (
   SELECT day, v, c,

@@ -145,10 +145,11 @@ def streaming_cusum(
             day = int(d)
             total = int(total) + int(vc)
         state.update((day, int(total), int(s)))
+        # nullable Int64: key[0] is None for the NULL-key group
         yield pd.DataFrame(
             {
                 "user_id": pd.array(
-                    [key[0]] * len(out_days), dtype="int64"
+                    [key[0]] * len(out_days), dtype="Int64"
                 ),
                 "day_num": pd.array(out_days, dtype="int64"),
                 "cusum_c": pd.array(out_s, dtype="int64"),

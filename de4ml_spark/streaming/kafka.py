@@ -125,7 +125,13 @@ def exactly_once_dedupe(
     watermark holds seen keys only ``delay`` past the event-time
     high-water mark, so state is bounded by redelivery distance, not
     topic history. ``ts_col`` is the broker-append micros column from
-    the decode (converted to timestamp for the watermark)."""
+    the decode (converted to timestamp for the watermark). Uses
+    ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates`` on a
+    subset that omits the event-time column NEVER evicts its state (one
+    entry per record forever — the state store dies on a busy topic);
+    the within-watermark variant expires each seen key once the
+    watermark passes it, which is exactly the bounded-by-redelivery-
+    distance contract."""
     from pyspark.sql import functions as F
 
     return (
@@ -133,7 +139,7 @@ def exactly_once_dedupe(
             "__evt", F.timestamp_micros(F.col(ts_col).cast("bigint"))
         )
         .withWatermark("__evt", delay)
-        .dropDuplicates(["topic", "partition", "offset"])
+        .dropDuplicatesWithinWatermark(["topic", "partition", "offset"])
         .drop("__evt")
     )
 
