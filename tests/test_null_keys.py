@@ -113,3 +113,56 @@ def test_quota_fast_path_matches_walk(spark):
     assert (out[1]["n_accepted"], out[1]["consumed_c"]) == (3, 9_000)
     assert (out[2]["n_accepted"], out[2]["n_rejected"]) == (2, 1)
     assert out[2]["consumed_c"] == 10_000
+
+
+def test_streaming_capped_sessions_null_key_group(spark, tmp_path):
+    """The NULL-key group must flow through the streaming twin (nullable
+    Int64 key emission), matching the batch null-partition semantics."""
+    import json
+    import time
+
+    from de4ml_spark.operators.sessions import streaming_capped_sessions
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def ev(eid, uid, off_s):
+        base = 1704067200.0
+        ts = time.strftime(
+            "%Y-%m-%d %H:%M:%S", time.gmtime(base + off_s)
+        )
+        return {"event_id": eid, "user_id": uid, "ts": ts}
+
+    # null-key events 5s apart (one session), then a 100s gap closes it
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [ev(1, None, 0.0), ev(2, None, 5.0), ev(3, 7, 1.0)]
+        )
+    )
+    stream = spark.readStream.schema(
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+    ).json(str(src))
+    q = (
+        streaming_capped_sessions(stream, gap_us=10_000_000)
+        .writeStream.format("memory")
+        .queryName("null_key_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.json").write_text(
+            json.dumps(ev(4, None, 100.0)) + "\n" + json.dumps(ev(5, 7, 100.0))
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM null_key_sessions"
+        ).collect()
+    finally:
+        q.stop()
+    closed = {(r["user_id"], r["n_events"]) for r in rows}
+    # the null-key pair closed as ONE session of 2; user 7's singleton
+    # also closed
+    assert (None, 2) in closed and (7, 1) in closed
