@@ -73,10 +73,13 @@ HEADLINE = [
     "quota_admission_events",
     "rollup_cascade_events",
     "source_vocab_overlap",
-    # round-6 additions: graph tier + TPC-H completion
+    # round-6 additions: graph tier + TPC-H completion + sketch/SPC
     "pagerank_copurchase_parts",
     "q2_min_cost_supplier",
     "q9_product_profit",
+    "kmv_distinct_users",
+    "cusum_alarm_value",
+    "trend_by_event_type",
 ]
 
 
