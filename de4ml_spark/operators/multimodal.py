@@ -69,10 +69,11 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
 
 
 def decode_image(payload: bytes):
-    """Decode an image payload to an HxWx3 array. PPM (P6) and 24-bit BMP
-    decode NATIVELY via the pure-numpy codec (operators/imagecodec.py);
-    other formats need PIL/cv2 — absent in this container — and raise
-    NotImplementedError (the documented environment gate)."""
+    """Decode an image payload to an HxWx3 array. PPM (P6), 24-bit BMP,
+    and baseline PNG decode NATIVELY via the pure-numpy codec
+    (operators/imagecodec.py — PNG is stdlib zlib + numpy unfiltering);
+    other formats (JPEG, WebP) need PIL/cv2 — absent in this container —
+    and raise NotImplementedError (the documented environment gate)."""
     from de4ml_spark.operators.imagecodec import decode_image as _decode
 
     return _decode(payload)
@@ -91,8 +92,8 @@ def resize_images(
     bin_col: str = "payload",
 ) -> DataFrame:
     """Binary-in/binary-out batch transform: re-encode each payload at a
-    target size. Decodable payloads (PPM P6 / 24-bit BMP) take the REAL
-    path — numpy decode, nearest-neighbor resize, PPM re-encode
+    target size. Decodable payloads (PPM P6 / 24-bit BMP / baseline PNG)
+    take the REAL path — numpy decode, nearest-neighbor resize, PPM re-encode
     (operators/imagecodec.py); anything else falls back to the
     deterministic stub (truncate/pad to target_w*target_h bytes after
     the MAGIC header) so output sizes — and downstream partition/memory

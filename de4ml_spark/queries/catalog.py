@@ -52,80 +52,29 @@ def _registries() -> list[dict]:
 
 # Catalog iteration order. The driver's correctness harness grades a
 # 50-entry PREFIX of this list per round, so ordering decides which
-# queries get fresh cross-engine evidence each round. Round-6 rotation:
-# (1) the seventeen entries that are new or whose implementation or
-# oracle changed this round and MUST be (re-)graded — the three round-5 hash failures with
-# their type-parity fixes (ks_drift_value, epoch_mix_plan,
-# rollup_cascade_events), the three recursive scans after the null-key
-# boundary-mask rework, and the five portable-ln conversions (tfidf x2,
-# unigram/bigram logprob, BM25), the new PageRank entry, the five
-# TPC-H completion entries (Q2/Q9/Q11/Q16/Q20), the six sketch/
-# info-theory/SPC entries (KMV, CountMin, KL drift, entropy, CUSUM,
-# Benford), the OLS trend entry, the Neyman allocation, the
-# Efraimidis-Spirakis weighted reservoir, and the rolling bivariate
-# correlation — 27 in all; then (2) the stale
-# queue exactly where the round-5 rotation left off, filling the
-# remaining 23 slots (orders_priority_counts .. dedup_cluster_sizes,
-# including the ten entries that have carried round-1 evidence
-# longest); the overflow (dedup_embedding_blocked .. pack_training_sequences)
-# sits just past the boundary and leads the round-7 queue. The 39 entries freshly graded in round 5
-# move to the back. Everything re-greens locally via
-# tools/verify_oracle.py (now with the cross-engine type-parity
-# preflight) regardless of order.
+# queries get fresh cross-engine evidence each round. Round-7 rotation:
+# (1) the entries whose implementation or oracle changed this round and
+# MUST be (re-)graded — the two round-6 hash failures with their
+# driver-safe result types (q9_product_profit now emits sum_profit_e4 as
+# BIGINT ten-thousandths, rollup_cascade_events emits integer cents
+# BIGINT; the only two decimal-typed results in the whole catalog, and
+# exactly the two red rows — see VERDICT r6) and q16_supplier_cnt
+# (oracle NOT IN -> NOT EXISTS, NULL-semantics parity with the anti-join
+# twin); new round-7 entries join this section as they land; then
+# (2) the stale queue exactly where the round-6 rotation left off
+# (dedup_embedding_blocked .. dedup_exact_docs fills the 50 slots; the
+# overflow dedup_incremental .. winsorized_price_stats leads the round-8
+# queue); then (3) round-5-graded evidence, then (4) the 47 entries
+# freshly graded in round 6 at the very back. Everything re-greens
+# locally via tools/verify_oracle.py (cross-engine type-parity preflight
+# now enforces the driver-proven safe-type whitelist — no DECIMAL or
+# HUGEINT result columns in either engine).
 PRIORITY = [
     # -- (1) changed this round: re-grade first
-    "ks_drift_value",
-    "epoch_mix_plan",
-    "rollup_cascade_events",
-    "quota_admission_events",
-    "capped_sessions_events",
-    "throttle_events",
-    "tfidf_top_terms",
-    "tfidf_doc_similarity",
-    "unigram_logprob_docs",
-    "bigram_logprob_docs",
-    "bm25_search_docs",
-    "pagerank_copurchase_parts",
-    "q2_min_cost_supplier",
     "q9_product_profit",
-    "q11_important_stock",
+    "rollup_cascade_events",
     "q16_supplier_cnt",
-    "q20_potential_promo",
-    "kmv_distinct_users",
-    "countmin_event_types",
-    "kl_drift_event_type",
-    "entropy_by_source",
-    "cusum_alarm_value",
-    "benford_audit_totalprice",
-    "trend_by_event_type",
-    "neyman_allocation_events",
-    "weighted_reservoir_docs",
-    "rolling_corr_view_click",
-    # -- (2) stale queue, resumed from the round-5 cutoff
-    "orders_priority_counts",
-    "orders_rollup",
-    "override_anti_events",
-    "part_type_stats",
-    "price_decile_stats",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q4_late_orders",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "retention_cohorts",
-    "sliding_window_events",
-    "suppliers_per_region",
-    "topk_values_orders",
-    "value_quartiles_by_type",
-    "anomalous_days_events",
-    "chunk_docs",
-    "clean_corpus",
-    "decontaminate_docs",
-    "dedup_cluster_sizes",
-    # -- 50-entry prefix boundary is here
+    # -- (2) stale queue, resumed from the round-6 cutoff
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
@@ -173,6 +122,7 @@ PRIORITY = [
     "dedup_canonicalize",
     "dedup_components",
     "dedup_exact_docs",
+    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "dedup_incremental",
     "dedup_minhash_recall",
     "dedup_ngram_jaccard",
@@ -208,7 +158,7 @@ PRIORITY = [
     "top3_orders_per_customer",
     "vocab_top_terms",
     "winsorized_price_stats",
-    # -- (3) freshly graded in round 5: carry the newest evidence
+    # -- (3) graded in round 5
     "daily_heavy_hitters",
     "dedup_graph_degrees",
     "source_vocab_overlap",
@@ -248,6 +198,54 @@ PRIORITY = [
     "monthly_revenue_ma",
     "multimodal_meta",
     "orders_price_page",
+    # -- (4) freshly graded in round 6: carry the newest evidence
+    "ks_drift_value",
+    "epoch_mix_plan",
+    "quota_admission_events",
+    "capped_sessions_events",
+    "throttle_events",
+    "tfidf_top_terms",
+    "tfidf_doc_similarity",
+    "unigram_logprob_docs",
+    "bigram_logprob_docs",
+    "bm25_search_docs",
+    "pagerank_copurchase_parts",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promo",
+    "kmv_distinct_users",
+    "countmin_event_types",
+    "kl_drift_event_type",
+    "entropy_by_source",
+    "cusum_alarm_value",
+    "benford_audit_totalprice",
+    "trend_by_event_type",
+    "neyman_allocation_events",
+    "weighted_reservoir_docs",
+    "rolling_corr_view_click",
+    "orders_priority_counts",
+    "orders_rollup",
+    "override_anti_events",
+    "part_type_stats",
+    "price_decile_stats",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q4_late_orders",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "retention_cohorts",
+    "sliding_window_events",
+    "suppliers_per_region",
+    "topk_values_orders",
+    "value_quartiles_by_type",
+    "anomalous_days_events",
+    "chunk_docs",
+    "clean_corpus",
+    "decontaminate_docs",
+    "dedup_cluster_sizes",
 ]
 
 

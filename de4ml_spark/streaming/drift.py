@@ -136,6 +136,12 @@ def streaming_cusum(
         for d, vc in zip(
             batch["__day"].to_numpy(), batch["__vc"].to_numpy()
         ):
+            if day is not None and d < day:
+                # Ordered-arrival contract violation (a day already folded
+                # would reopen): drop the regressor instead of corrupting
+                # the recurrence — the batch twin is the arbiter for
+                # unordered history.
+                continue
             if day is not None and d != day:
                 s = max(0, s + (int(total) - k_cents))
                 if s > h_cents:

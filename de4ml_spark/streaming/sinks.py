@@ -166,3 +166,67 @@ def versioned_snapshot_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def tail_changelog_sink(
+    spark,
+    stream: DataFrame,
+    group_cols: list[str],
+    aggs: list,
+    view_path: str,
+    log_path: str,
+    checkpoint: str,
+    query_name: str = "tail_view",
+) -> StreamingQuery:
+    """Update-mode aggregate view that ALSO materializes the explicit
+    TAIL delta stream — ``(*cols, diff, epoch)`` rows with diff=-1
+    retracting the group's previous aggregate and diff=+1 inserting the
+    new one (join-service/app/main.py:114-120: the reference consumer
+    receives exactly these pairs and keeps diff>0).
+
+    Spark's update mode folds retract(old)+insert(new) into one upserted
+    row per changed group; this sink reconstructs the pairing by
+    semi-joining the epoch's changed groups against the pre-upsert view
+    (a key-partitioned join bounded by churn, never a view scan per
+    group). Invariants the delta algebra guarantees — pinned by
+    tests/test_streaming_tail.py:
+      * every retraction is preceded by an identical insert;
+      * the changelog folds (multiset sum of diffs) to the final view;
+      * inserts-only consumption at latest epoch == the view (the
+        reference consumer's read).
+    """
+    from de4ml_spark.etl.pipeline import upsert_parquet
+
+    agged = stream.groupBy(*group_cols).agg(*aggs)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        import os
+
+        if not batch.columns or batch.isEmpty():
+            return
+        batch = batch.localCheckpoint(eager=True)  # reused below
+        delta = batch.withColumn("diff", F.lit(1))
+        have_view = os.path.exists(view_path)
+        if have_view:
+            view = spark.read.parquet(view_path)
+            retracts = view.join(
+                batch.select(*group_cols), group_cols, "left_semi"
+            ).withColumn("diff", F.lit(-1))
+            delta = retracts.unionByName(delta)
+        # Changelog FIRST: the upsert rewrites the view files the lazy
+        # retract scan reads, so the delta must materialize before it.
+        delta.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(log_path)
+        if have_view:
+            upsert_parquet(spark, view_path, batch, group_cols)
+        else:
+            batch.write.mode("overwrite").parquet(view_path)
+
+    return (
+        agged.writeStream.foreachBatch(handle)
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

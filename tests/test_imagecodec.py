@@ -78,8 +78,9 @@ def test_resize_nearest_exact():
 
 
 def test_unknown_format_gated():
+    # PNG decodes natively now; JPEG remains the documented env gate
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"\xff\xd8\xff\xe0....")
 
 
 def test_real_path_in_spark_pipeline(spark):
@@ -101,3 +102,116 @@ def test_real_path_in_spark_pipeline(spark):
         dec = decode_ppm(bytes(out[i]["payload"]))
         assert dec.shape == (4, 8, 3)
         assert np.array_equal(dec, resize_nearest(a, 8, 4))
+
+
+# --------------------------------------------------------------------------
+# PNG: the forward filters below are an independent test-side
+# implementation of the PNG spec's predictors (Sub/Up/Average/Paeth);
+# the decoder must invert every one of them. zlib is stdlib on both
+# sides, so the container's zero-image-lib constraint holds.
+# --------------------------------------------------------------------------
+
+
+def _png_forward_filter(img: np.ndarray, filters: list[int]) -> bytes:
+    """Reference PNG writer applying a GIVEN filter per scanline."""
+    import struct as st
+    import zlib
+
+    h, w = img.shape[:2]
+    bpp = img.shape[2]
+    flat = img.reshape(h, w * bpp).astype(np.int16)
+    out = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * bpp, dtype=np.int16)
+        line = np.empty(w * bpp, dtype=np.int16)
+        for i in range(w * bpp):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            x = int(cur[i])
+            if f == 0:
+                line[i] = x
+            elif f == 1:
+                line[i] = (x - a) % 256
+            elif f == 2:
+                line[i] = (x - b) % 256
+            elif f == 3:
+                line[i] = (x - ((a + b) >> 1)) % 256
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (x - pred) % 256
+        out += bytes([f]) + line.astype(np.uint8).tobytes()
+
+    def chunk(ctype, data):
+        return (
+            st.pack(">I", len(data)) + ctype + data
+            + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ctype_map = {1: 0, 3: 2, 4: 6, 2: 4}
+    color_type = ctype_map[bpp]
+    ihdr = st.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_png_decode_inverts_each_filter(filt):
+    from de4ml_spark.operators.imagecodec import decode_png
+
+    img = _img(11, 7, seed=filt + 1)
+    assert np.array_equal(decode_png(_png_forward_filter(img, [filt])), img)
+
+
+def test_png_decode_mixed_filters_and_probe():
+    from de4ml_spark.operators.imagecodec import decode_png
+
+    img = _img(16, 5, seed=42)
+    raw = _png_forward_filter(img, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(raw), img)
+    assert probe_dims(raw) == (5, 16)
+
+
+def test_png_rgba_and_gray_channel_policy():
+    from de4ml_spark.operators.imagecodec import decode_png
+
+    rng = np.random.default_rng(3)
+    rgba = rng.integers(0, 256, size=(6, 4, 4), dtype=np.uint8)
+    out = decode_png(_png_forward_filter(rgba, [4]))
+    assert np.array_equal(out, rgba[:, :, :3])  # alpha dropped
+    gray = rng.integers(0, 256, size=(6, 4, 1), dtype=np.uint8)
+    gout = decode_png(_png_forward_filter(gray, [1]))
+    assert np.array_equal(gout, np.repeat(gray, 3, axis=2))
+
+
+def test_png_roundtrip_resize():
+    """decode -> resize -> re-encode -> decode: the multimodal kernel
+    chain on real PNG bytes."""
+    from de4ml_spark.operators.imagecodec import decode_png, encode_png
+
+    img = _img(20, 14, seed=9)
+    small = resize_nearest(decode_png(encode_png(img)), 7, 10)
+    again = decode_png(encode_png(small))
+    assert again.shape == (10, 7, 3)
+    assert np.array_equal(again, small)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+
+
+def test_png_rejects_unsupported():
+    from de4ml_spark.operators.imagecodec import decode_png
+
+    img = _img(4, 4)
+    raw = bytearray(_png_forward_filter(img, [0]))
+    raw[24] = 16  # bit depth byte inside IHDR
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(raw))
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")

@@ -165,3 +165,31 @@ def test_exactly_once_dedupe_drops_redelivery(spark, tmp_path):
         (2, "b"),
         (3, "c"),
     ]
+
+
+def test_kafka_plan_construction_jar_gated(spark):
+    """Construct the ACTUAL format("kafka") readStream plan when the
+    connector jar is on the classpath; skip (with the exact gate message)
+    otherwise. The moment the environment ships spark-sql-kafka, this
+    test exercises the prod path end-to-end up to the analyzed plan —
+    including the connector's fixed wire schema, which decode_kafka_json
+    assumes (key/value BINARY + topic/partition/offset/timestamp)."""
+    from de4ml_spark.streaming.kafka import kafka_raw_stream
+
+    opts = kafka_source_options("localhost:9092", topic="events")
+    try:
+        raw = kafka_raw_stream(spark, opts)
+    except RuntimeError as e:
+        assert "Kafka connector not on the classpath" in str(e)
+        pytest.skip("spark-sql-kafka connector jar absent in this env")
+    # Jar present: the analyzed schema IS the documented wire schema.
+    got = {f.name: f.dataType.simpleString() for f in raw.schema.fields}
+    for name, typ in {
+        "key": "binary",
+        "value": "binary",
+        "topic": "string",
+        "partition": "int",
+        "offset": "bigint",
+    }.items():
+        assert got[name] == typ
+    assert raw.isStreaming
