@@ -80,6 +80,14 @@ HEADLINE = [
     "kmv_distinct_users",
     "cusum_alarm_value",
     "trend_by_event_type",
+    # round-7 additions: HLL, M4 downsample, blocked Bloom, PPJoin,
+    # mutual information, interpolation gap-fill
+    "hll_distinct_users",
+    "m4_downsample_value",
+    "bloom_decontaminate_docs",
+    "ppjoin_docs",
+    "mutual_info_events",
+    "gapfill_interp_user_daily",
 ]
 
 
@@ -221,6 +229,54 @@ def main() -> None:
     if catalog_wall is not None:
         out["catalog_queries"] = len(qs)
         out["catalog_drain_wall"] = round(catalog_wall, 3)
+
+    # Isolated lane: queries whose in-fleet number is dominated by
+    # shared-session overhead (GC alignment, plan-registry-heavy job
+    # floor) get a fresh-JVM measurement recorded ALONGSIDE the fleet
+    # number, so the bench neither hides nor over-reports the artifact.
+    # sessionize_events: round-6/7 finding — ~0.19 s isolated vs ~0.32 s
+    # in a 47-plan shared session, both far under DuckDB-parity risk;
+    # the delta is session state, not plan shape.
+    iso_names = [
+        n
+        for n in os.environ.get(
+            "SPARK_GRAFT_BENCH_ISOLATED", "sessionize_events"
+        ).split(",")
+        if n.strip() and n.strip() in qs
+    ]
+    if iso_names:
+        import subprocess
+
+        code = (
+            "import sys, time, json; sys.path.insert(0, %r); "
+            "from de4ml_spark.session import get_spark; "
+            "from de4ml_spark.queries import catalog; "
+            "spark = get_spark('bench_iso'); qs = catalog.queries(); "
+            "out = {}\n"
+            "for n in %r:\n"
+            "    fn = qs[n]\n"
+            "    fn(spark, '/root/testdata/sf0.01').toArrow()\n"
+            "    ts = []\n"
+            "    for _ in range(7):\n"
+            "        t0 = time.time(); fn(spark, %r).toArrow(); "
+            "ts.append(time.time() - t0)\n"
+            "    out[n] = round(min(ts[1:]), 3)\n"
+            "print(json.dumps(out))"
+        ) % (os.path.dirname(os.path.abspath(__file__)), iso_names, sf_dir)
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=300,
+                env=os.environ,
+            )
+            out["isolated_queries"] = json.loads(
+                res.stdout.strip().splitlines()[-1]
+            )
+        except Exception as e:  # noqa: BLE001 — lane is advisory
+            print(f"# isolated lane failed: {e}", file=sys.stderr)
+
     print(json.dumps(out))
 
 

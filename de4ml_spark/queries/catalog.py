@@ -60,11 +60,13 @@ def _registries() -> list[dict]:
 # BIGINT; the only two decimal-typed results in the whole catalog, and
 # exactly the two red rows — see VERDICT r6) and q16_supplier_cnt
 # (oracle NOT IN -> NOT EXISTS, NULL-semantics parity with the anti-join
-# twin); new round-7 entries join this section as they land; then
-# (2) the stale queue exactly where the round-6 rotation left off
-# (dedup_embedding_blocked .. dedup_exact_docs fills the 50 slots; the
-# overflow dedup_incremental .. winsorized_price_stats leads the round-8
-# queue); then (3) round-5-graded evidence, then (4) the 47 entries
+# twin), plus the six NEW round-7 entries (HLL, M4, interpolation
+# gap-fill, chi-square A/B, calibration bins, blocked-Bloom decon); then
+# (2) the stale queue exactly where the round-6 rotation left off —
+# section 1's 9 entries plus dedup_embedding_blocked .. cdc_dedup_chunks
+# fill the 50 graded slots; the overflow (conversion_latency_stats ..
+# winsorized_price_stats) leads the round-8 queue; then
+# (3) round-5-graded evidence, then (4) the 47 entries
 # freshly graded in round 6 at the very back. Everything re-greens
 # locally via tools/verify_oracle.py (cross-engine type-parity preflight
 # now enforces the driver-proven safe-type whitelist — no DECIMAL or
@@ -74,6 +76,14 @@ PRIORITY = [
     "q9_product_profit",
     "rollup_cascade_events",
     "q16_supplier_cnt",
+    "hll_distinct_users",
+    "m4_downsample_value",
+    "gapfill_interp_user_daily",
+    "chi2_ab_events",
+    "calibration_bins_events",
+    "bloom_decontaminate_docs",
+    "mutual_info_events",
+    "ppjoin_docs",
     # -- (2) stale queue, resumed from the round-6 cutoff
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",

@@ -12,7 +12,7 @@ those against the exact-Jaccard / exact-Hamming pair sets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from de4ml_spark.operators.dedup import (
@@ -579,3 +579,154 @@ REGISTRY["dedup_graph_degrees"] = {
     "fn": dedup_graph_degrees,
     "sql": DEDUP_DEGREES_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# PPJoin-style prefix-filtered set-similarity self-join (Xiao et al.,
+# WWW 2008): EXACT Jaccard >= 0.7 pairs over distinct-token sets WITHOUT
+# minhash probabilism and WITHOUT the all-pairs join. Tokens order by
+# ascending document frequency (rare first, ties by token text); a doc
+# of n tokens need only expose its first n - ceil(t*n) + 1 tokens — two
+# sets with Jaccard >= t MUST share a prefix token — so the candidate
+# join is an equi-join on prefix tokens whose fan-out is governed by
+# RARE tokens. The length filter t*|a| <= |b| <= |a|/t prunes inside the
+# join; the verify stage computes the exact intersection only for
+# surviving candidate pairs (integer cross-multiplied threshold — no
+# float compare). All ranks are per-doc windows on the (df, token)
+# order: NO global rank, so nothing single-partitions at 100 TB.
+# Complements MinHash-LSH (probabilistic recall) with the exact-recall
+# prefix algorithm the dedup literature pairs it with.
+# --------------------------------------------------------------------------
+
+PPJOIN_T_NUM, PPJOIN_T_DEN = 7, 10  # Jaccard threshold 0.7
+# The synthetic corpus is CLONE-HEAVY (~40% of all pairs exceed 0.7
+# Jaccard at sf0.1), so the qualifying-pair set itself is quadratic in
+# the doc count — a data property no candidate algorithm can bound. The
+# catalog entry therefore verifies on the first PPJOIN_DOC_CAP docs
+# (covering every doc at sf<=0.01); on a real 100 TB corpus near-dup
+# density is low and the prefix filter is what bounds the join, after
+# exact dedup removes the clone mass first (the documented ordering).
+PPJOIN_DOC_CAP = 600
+
+
+def ppjoin_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PPJOIN_DOC_CAP
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(dfreq, "tok").select(
+        "doc_id",
+        "tok",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy("df", "tok")
+        )
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("doc_id"))
+        .alias("n"),
+    )
+    # prefix length n - ceil(t*n) + 1; ceil(7n/10) = (7n + 9) DIV 10
+    prefix = ranked.filter(
+        F.expr(
+            f"rn <= n - (({PPJOIN_T_NUM} * n + {PPJOIN_T_DEN - 1})"
+            f" DIV {PPJOIN_T_DEN}) + 1"
+        )
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tok").alias("tok"),
+        F.col("n").alias("na"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tok").alias("tok"),
+        F.col("n").alias("nb"),
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.col("nb") * PPJOIN_T_DEN
+                >= F.col("na") * PPJOIN_T_NUM
+            )
+            & (
+                F.col("na") * PPJOIN_T_DEN
+                >= F.col("nb") * PPJOIN_T_NUM
+            )
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return inter.filter(
+        F.col("n_inter") * PPJOIN_T_DEN
+        >= (F.col("na") + F.col("nb") - F.col("n_inter")) * PPJOIN_T_NUM
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+        F.expr(
+            exact_round_div_sql(
+                "n_inter", "na + nb - n_inter", "DIV"
+            )
+        ).alias("jaccard_r"),
+    )
+
+
+PPJOIN_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < {PPJOIN_DOC_CAP}
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.tok,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY d.df, t.tok) AS rn,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+  FROM toks t JOIN dfreq d USING (tok)
+),
+prefix AS (
+  SELECT * FROM ranked
+  WHERE rn <= n - (({PPJOIN_T_NUM} * n + {PPJOIN_T_DEN - 1})
+                   // {PPJOIN_T_DEN}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.n AS na, b.n AS nb
+  FROM prefix a JOIN prefix b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE b.n * {PPJOIN_T_DEN} >= a.n * {PPJOIN_T_NUM}
+    AND a.n * {PPJOIN_T_DEN} >= b.n * {PPJOIN_T_NUM}
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.na, c.nb,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, n_inter,
+       na + nb - n_inter AS n_union,
+       {exact_round_div_sql("n_inter", "na + nb - n_inter", "//")}
+         AS jaccard_r
+FROM inter
+WHERE n_inter * {PPJOIN_T_DEN}
+      >= (na + nb - n_inter) * {PPJOIN_T_NUM}
+"""
+
+REGISTRY["ppjoin_docs"] = {"fn": ppjoin_docs, "sql": PPJOIN_SQL}

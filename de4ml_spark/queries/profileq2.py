@@ -734,3 +734,181 @@ REGISTRY["weighted_median_price"] = {
     "fn": weighted_median_price,
     "sql": WEIGHTED_MEDIAN_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence statistic for A/B readouts: variant =
+# user_id % 2 (the deterministic hash-bucket assignment every
+# experimentation system uses), outcome = event_type. The statistic
+# sum (O - E)^2 / E is computed per cell as the exact rational
+# (O*N - r*c)^2 / (N*r*c), half-up-rounded to integer micro-units in
+# 128-bit arithmetic (DECIMAL(38,0) / HUGEINT — (O*N - r*c)^2 reaches
+# ~1e24 at sf0.1 and the micro-scaling adds 1e6), SUMMED as integers
+# (order-independent), and converted to a double by one final division —
+# so both engines emit the identical chi2_r. At extreme corpus sizes
+# (N >~ 1e9 per table) the cross-products approach the 128-bit ceiling;
+# the standard practice there is computing the statistic on per-shard
+# subsamples — documented, not silently wrong (the cast would error).
+# Scale: one groupBy for cells (map-side combined to
+# |variants| x |types| rows); totals via windows over that tiny frame.
+# --------------------------------------------------------------------------
+
+
+def chi2_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 2).alias("variant"),
+            F.col("event_type").alias("outcome"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    wr = Window.partitionBy("variant")
+    wc = Window.partitionBy("outcome")
+    wn = Window.partitionBy()
+    with_tot = cells.select(
+        "variant",
+        "outcome",
+        "o",
+        F.sum("o").over(wr).alias("r"),
+        F.sum("o").over(wc).alias("c"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    # per-cell term in micro-units: round(1e6 * (ON - rc)^2 / (N r c))
+    term = (
+        "CAST((num * 2000000 + den) DIV (2 * den) AS BIGINT)"
+    )
+    terms = with_tot.selectExpr(
+        "variant",
+        "outcome",
+        "o",
+        "CAST(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c"
+        " AS DECIMAL(38,0)) AS dev",
+        "CAST(CAST(n AS DECIMAL(38,0)) * r * c AS DECIMAL(38,0)) AS den",
+    ).selectExpr(
+        "variant", "outcome", "o",
+        "CAST(dev * dev AS DECIMAL(38,0)) AS num", "den",
+    ).selectExpr("variant", "outcome", "o", f"{term} AS t_micro")
+    return (
+        terms.groupBy()
+        .agg(
+            F.expr("CAST(SUM(t_micro) AS BIGINT)").alias("chi2_micro"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .selectExpr(
+            "n_cells",
+            "CAST(n_cells - 1 AS BIGINT) AS dof",  # (2-1)*(k-1) w/ 2 variants
+            "chi2_micro",
+            "CAST(chi2_micro AS DOUBLE) / 1000000.0 AS chi2_r",
+        )
+    )
+
+
+CHI2_SQL = """
+WITH cells AS (
+  SELECT user_id % 2 AS variant, event_type AS outcome,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT variant, outcome, o,
+         CAST(SUM(o) OVER (PARTITION BY variant) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY outcome) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cells
+),
+terms AS (
+  SELECT variant, outcome, o,
+         CAST(CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c
+                   AS HUGEINT)
+              * CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c
+                     AS HUGEINT) AS HUGEINT) AS num,
+         CAST(CAST(n AS HUGEINT) * r * c AS HUGEINT) AS den
+  FROM tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+       CAST(SUM(CAST((num * 2000000 + den) // (2 * den) AS BIGINT))
+            AS BIGINT) AS chi2_micro,
+       CAST(CAST(SUM(CAST((num * 2000000 + den) // (2 * den) AS BIGINT))
+                 AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2_r
+FROM terms
+"""
+
+REGISTRY["chi2_ab_events"] = {"fn": chi2_ab_events, "sql": CHI2_SQL}
+
+
+# --------------------------------------------------------------------------
+# Model-calibration curve: bucket a deterministic pseudo-score (portable
+# hash of event_id -> [0, 1000) millis — the stand-in for a model score
+# column, keeping the plumbing fully cross-engine-verifiable) into 10
+# bins and compare mean predicted probability vs observed positive rate
+# (outcome = click). Means are exact half-up rationals via
+# exact_round_div_sql. Scale: one scan, one tiny groupBy on the bin id —
+# the reliability-diagram readout every model-quality dashboard runs
+# over full-corpus predictions.
+# --------------------------------------------------------------------------
+
+
+def calibration_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql,
+        phash_spark_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.selectExpr(
+        f"{phash_spark_sql('CAST(event_id AS STRING)', 40)} % 1000"
+        " AS score_milli",
+        "CAST(event_type = 'click' AS INT) AS pos",
+    )
+    binned = scored.groupBy(
+        F.expr("score_milli DIV 100").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(pos) AS BIGINT)").alias("n_pos"),
+        F.expr("CAST(SUM(score_milli) AS BIGINT)").alias("s_milli"),
+    )
+    return binned.selectExpr(
+        "bin",
+        "n",
+        "n_pos",
+        f"{exact_round_div_sql('s_milli', 'n * 1000', 'DIV')}"
+        " AS mean_pred_r",
+        f"{exact_round_div_sql('n_pos', 'n', 'DIV')} AS frac_pos_r",
+    )
+
+
+def _calibration_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql,
+        phash_duck_sql,
+    )
+
+    return f"""
+WITH scored AS (
+  SELECT {phash_duck_sql("CAST(event_id AS VARCHAR)", 40)} % 1000
+           AS score_milli,
+         CAST(event_type = 'click' AS INT) AS pos
+  FROM events
+),
+binned AS (
+  SELECT score_milli // 100 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(score_milli) AS BIGINT) AS s_milli
+  FROM scored GROUP BY 1
+)
+SELECT bin, n, n_pos,
+       {exact_round_div_sql("s_milli", "n * 1000", "//")} AS mean_pred_r,
+       {exact_round_div_sql("n_pos", "n", "//")} AS frac_pos_r
+FROM binned
+"""
+
+
+REGISTRY["calibration_bins_events"] = {
+    "fn": calibration_bins_events,
+    "sql": _calibration_sql(),
+}

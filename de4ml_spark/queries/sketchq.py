@@ -570,3 +570,257 @@ REGISTRY["benford_audit_totalprice"] = {
     "fn": benford_audit_totalprice,
     "sql": _benford_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct sketch, ENGINE-EXACT: per-event-type distinct
+# users from m=64 registers over the portable 58-bit hash (low 6 bits
+# bucket, high 52 bits w; rho = leading-zero rank of w via the exact
+# bit length — conv-to-binary / to_base, no libm). The harmonic sum is
+# computed in scaled INTEGERS (floor(2^40 * 2^-M) per register — exact
+# for M <= 40, a deterministic 0 beyond), so SUM is order-independent;
+# the estimate is alpha * (2^52 / S) with one correctly-rounded double
+# division + one multiply by the inlined alpha literal. Small-range
+# correction (V empty registers, raw <= 2.5m): linear counting
+# m * ln(m/V) on the portable ln — ln scaled by m=2^6, an exact double
+# op. Both engines therefore emit BIT-IDENTICAL estimates.
+# Scale: DISTINCT (type, user) pre-aggregates map-side; the register
+# table is |types| x 64 rows and registers MERGE by max — the actual
+# 100 TB posture (shard registers, max-combine), unlike engine-native
+# HLLs whose summaries can't be cross-verified.
+# --------------------------------------------------------------------------
+
+HLL_M = 64  # 2^6 registers
+HLL_WBITS = 52  # hash bits feeding the leading-zero rank
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # inlined as a double literal
+_HLL_NUM = 1 << 52  # alpha numerator scale: m^2 * 2^40 = 2^52
+
+
+def _hll_rho_sql(w: str, conv: str) -> str:
+    """rho = 53 - bitlen(w) (w in [1, 2^52); 53 when w = 0)."""
+    bitlen = (
+        f"length(conv(CAST({w} AS BIGINT), 10, 2))"
+        if conv == "spark"
+        else f"length(to_base(CAST({w} AS BIGINT), 2))"
+    )
+    return f"CASE WHEN {w} = 0 THEN 53 ELSE 53 - {bitlen} END"
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .selectExpr(
+            "event_type",
+            f"{phash_spark_sql('CAST(user_id AS STRING)', 58)} AS h",
+        )
+        .selectExpr(
+            "event_type",
+            f"h % {HLL_M} AS bucket",
+            f"h DIV {HLL_M} AS w",
+        )
+        .selectExpr(
+            "event_type", "bucket", f"{_hll_rho_sql('w', 'spark')} AS rho"
+        )
+    )
+    regs = hashed.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("m_reg")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(HLL_M).select(F.col("id").alias("bucket"))
+        )
+    )
+    full = grid.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce("m_reg", F.lit(0)).alias("m_reg")
+    )
+    per_type = full.groupBy("event_type").agg(
+        F.expr(
+            "CAST(SUM(CAST(floor(power(2, 40 - m_reg)) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("s_scaled"),
+        F.expr(
+            "CAST(SUM(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("v_zero"),
+    )
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    both = exact.join(per_type, "event_type")
+    both = with_portable_ln(
+        both, str(HLL_M), f"greatest(v_zero, CAST(1 AS BIGINT))", "__lnv"
+    )
+    raw = (
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE)"
+        f" * (CAST({_HLL_NUM} AS DOUBLE) / CAST(s_scaled AS DOUBLE))"
+    )
+    return both.selectExpr(
+        "event_type",
+        "exact_distinct",
+        "s_scaled",
+        "v_zero",
+        f"CASE WHEN v_zero > 0 AND {raw} <= {2.5 * HLL_M!r}"
+        f" THEN CAST({HLL_M} AS DOUBLE) * __lnv ELSE {raw} END"
+        " AS hll_est",
+    )
+
+
+def _hll_sql() -> str:
+    from de4ml_spark.operators.portable_hash import portable_ln_duck_ctes
+
+    raw = (
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE)"
+        f" * (CAST({_HLL_NUM} AS DOUBLE) / CAST(s_scaled AS DOUBLE))"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT event_type,
+         {phash_duck_sql("CAST(user_id AS VARCHAR)", 58)} AS h
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+),
+rhos AS (
+  SELECT event_type, h % {HLL_M} AS bucket,
+         {_hll_rho_sql(f"(h // {HLL_M})", "duck")} AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS m_reg
+  FROM rhos GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, b.range AS bucket
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN range({HLL_M}) b
+),
+full_regs AS (
+  SELECT g.event_type, COALESCE(r.m_reg, 0) AS m_reg
+  FROM grid g LEFT JOIN regs r
+    ON g.event_type = r.event_type AND g.bucket = r.bucket
+),
+per_type AS (
+  SELECT event_type,
+         CAST(SUM(CAST(floor(power(2, 40 - m_reg)) AS BIGINT))
+              AS BIGINT) AS s_scaled,
+         CAST(SUM(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_zero
+  FROM full_regs GROUP BY 1
+),
+joined AS (
+  SELECT e.event_type, e.exact_distinct, p.s_scaled, p.v_zero
+  FROM (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1) e
+  JOIN per_type p USING (event_type)
+),
+{portable_ln_duck_ctes(
+    "joined", "event_type, exact_distinct, s_scaled, v_zero",
+    str(HLL_M), "greatest(v_zero, CAST(1 AS BIGINT))", "lnv", "pl")}
+SELECT event_type, exact_distinct, s_scaled, v_zero,
+       CASE WHEN v_zero > 0 AND {raw} <= {2.5 * HLL_M!r}
+            THEN CAST({HLL_M} AS DOUBLE) * lnv ELSE {raw} END AS hll_est
+FROM pl_out
+"""
+
+
+REGISTRY["hll_distinct_users"] = {
+    "fn": hll_distinct_users,
+    "sql": _hll_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Mutual information I(event_type; hour-of-day) — the dependence readout
+# between a categorical column and a derived time feature (feature-
+# selection / leakage screening staple). Same exactness scheme as the KL
+# entry: each term n_xy * ln(n_xy*N / (n_x*n_y)) uses the portable ln on
+# the integer rational (sign via GREATEST/LEAST swap), is quantized to
+# integer micro-units BEFORE the sum (order-independent), and the final
+# value is one double division. Integer products n_xy*N stay within
+# BIGINT to ~3e9 rows per table; beyond that the same expressions lift
+# to DECIMAL(38,0)/HUGEINT (the ln builder is type-agnostic on its
+# integer inputs).
+# Scale: one groupBy to the |types| x 24 joint frame; marginals and N
+# are windows over that bounded frame, never a second scan.
+# --------------------------------------------------------------------------
+
+
+def mutual_info_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    ev = load_table(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.hour("ts").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wn = Window.partitionBy()
+    j = joint.select(
+        "x",
+        "y",
+        "nxy",
+        F.sum("nxy").over(wx).alias("nx"),
+        F.sum("nxy").over(wy).alias("ny"),
+        F.sum("nxy").over(wn).alias("n"),
+    ).selectExpr("x", "y", "nxy", "n", "nxy * n AS pa", "nx * ny AS qa")
+    terms = with_portable_ln(
+        j, "GREATEST(pa, qa)", "LEAST(pa, qa)", "__lnr"
+    ).selectExpr(
+        "n",
+        "nxy * (CASE WHEN pa >= qa THEN 1 ELSE -1 END)"
+        " * CAST(floor(__lnr * 1000000.0 + 0.5) AS BIGINT) AS term",
+    )
+    return (
+        terms.groupBy("n")
+        .agg(F.expr("CAST(SUM(term) AS BIGINT)").alias("mi_micro_sum"))
+        .selectExpr(
+            "n",
+            "mi_micro_sum",
+            "CAST(mi_micro_sum AS DOUBLE)"
+            " / CAST(n * 1000000 AS DOUBLE) AS mi_r",
+        )
+    )
+
+
+def _mi_sql() -> str:
+    from de4ml_spark.operators.portable_hash import portable_ln_duck_ctes
+
+    return f"""
+WITH joint AS (
+  SELECT event_type AS x, date_part('hour', ts) AS y,
+         CAST(COUNT(*) AS BIGINT) AS nxy
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT x, y, nxy,
+         CAST(SUM(nxy) OVER () AS BIGINT) AS n,
+         nxy * CAST(SUM(nxy) OVER () AS BIGINT) AS pa,
+         CAST(SUM(nxy) OVER (PARTITION BY x) AS BIGINT)
+           * CAST(SUM(nxy) OVER (PARTITION BY y) AS BIGINT) AS qa
+  FROM joint
+),
+{portable_ln_duck_ctes(
+    "j", "x, y, nxy, n, pa, qa",
+    "GREATEST(pa, qa)", "LEAST(pa, qa)", "lnr", "pl")},
+terms AS (
+  SELECT n,
+         nxy * (CASE WHEN pa >= qa THEN 1 ELSE -1 END)
+            * CAST(floor(lnr * 1000000.0 + 0.5) AS BIGINT) AS term
+  FROM pl_out
+)
+SELECT n, CAST(SUM(term) AS BIGINT) AS mi_micro_sum,
+       CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
+         / CAST(n * 1000000 AS DOUBLE) AS mi_r
+FROM terms GROUP BY n
+"""
+
+
+REGISTRY["mutual_info_events"] = {
+    "fn": mutual_info_events,
+    "sql": _mi_sql(),
+}

@@ -778,3 +778,115 @@ REGISTRY["tfidf_doc_similarity"] = {
     "fn": tfidf_doc_similarity,
     "sql": TFIDF_SIM_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Blocked-Bloom decontamination: the benchmark shingle set compiled into
+# a 256-block x 62-bit Bloom filter (two portable-hash bit positions per
+# shingle, block masks built with the BIT_OR aggregate), then every
+# corpus doc probed against the broadcast filter. This is the
+# constant-size alternative to shipping the full benchmark shingle set
+# (textq3.decontaminate_*): at 100 TB the filter is 2 KB regardless of
+# benchmark size, the probe is a broadcast join on the block id followed
+# by two AND-mask tests, and filters from different benchmark shards
+# merge by OR — the sketch algebra. False positives overcount
+# contamination (safe direction for a drop-screen); the exact semi-join
+# variants remain for the final pass. All hashes are the portable md5
+# family, so the filter bits — and therefore every count — are
+# bit-identical across engines.
+# --------------------------------------------------------------------------
+
+BLOOM_BLOCKS = 256
+BLOOM_BITS = 62  # keep bit 63 clear: masks stay positive BIGINT
+
+
+def bloom_decontaminate_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.dedup import shingles
+    from de4ml_spark.operators.portable_hash import phash_spark_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles("text", DECON_N)).alias("sh")
+    ).distinct()
+    h_blk = phash_spark_sql("concat(sh, '_blk')", 20)
+    h_b1 = phash_spark_sql("concat(sh, '_b1')", 20)
+    h_b2 = phash_spark_sql("concat(sh, '_b2')", 20)
+    keyed = sh.selectExpr(
+        "doc_id",
+        f"{h_blk} % {BLOOM_BLOCKS} AS blk",
+        f"shiftleft(CAST(1 AS BIGINT), CAST({h_b1} % {BLOOM_BITS} AS INT))"
+        f" | shiftleft(CAST(1 AS BIGINT), CAST({h_b2} % {BLOOM_BITS} AS INT))"
+        " AS bits",
+    )
+    bloom = (
+        keyed.filter(F.col("doc_id") < N_BENCH)
+        .groupBy("blk")
+        .agg(F.expr("bit_or(bits)").alias("mask"))
+    )
+    probed = keyed.join(F.broadcast(bloom), "blk", "left").select(
+        "doc_id",
+        (
+            F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(F.col("bits"))
+            == F.col("bits")
+        ).cast("int").alias("hit"),
+    )
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.expr("CAST(SUM(hit) AS BIGINT)").alias("n_hits"),
+        F.expr(
+            f"SUM(hit) * {DECON_FRAC_DEN} >="
+            f" COUNT(1) * {DECON_FRAC_NUM}"
+        ).alias("flagged"),
+    )
+
+
+def _bloom_decon_sql() -> str:
+    from de4ml_spark.operators.portable_hash import phash_duck_sql
+
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(generate_series(1, len(toks) - {DECON_N - 1}),
+                          i -> array_to_string(toks[i:i+{DECON_N - 1}], ' '))))
+           AS sh
+  FROM t WHERE len(toks) >= {DECON_N}
+),
+keyed AS (
+  SELECT doc_id,
+         {phash_duck_sql("sh || '_blk'", 20)} % {BLOOM_BLOCKS} AS blk,
+         (CAST(1 AS BIGINT)
+            << CAST({phash_duck_sql("sh || '_b1'", 20)}
+                    % {BLOOM_BITS} AS INT))
+         | (CAST(1 AS BIGINT)
+            << CAST({phash_duck_sql("sh || '_b2'", 20)}
+                    % {BLOOM_BITS} AS INT)) AS bits
+  FROM s
+),
+bloom AS (
+  SELECT blk, bit_or(bits) AS mask
+  FROM keyed WHERE doc_id < {N_BENCH}
+  GROUP BY 1
+),
+probed AS (
+  SELECT k.doc_id,
+         CAST((COALESCE(b.mask, 0) & k.bits) = k.bits AS INT) AS hit
+  FROM keyed k LEFT JOIN bloom b USING (blk)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       SUM(hit) * {DECON_FRAC_DEN} >= COUNT(*) * {DECON_FRAC_NUM}
+         AS flagged
+FROM probed
+GROUP BY 1
+"""
+
+
+REGISTRY["bloom_decontaminate_docs"] = {
+    "fn": bloom_decontaminate_docs,
+    "sql": _bloom_decon_sql(),
+}

@@ -755,3 +755,242 @@ REGISTRY["rolling_corr_view_click"] = {
     "fn": rolling_corr_view_click,
     "sql": ROLL_CORR_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# M4 time-series downsampling: the standard pixel-perfect reduction for
+# plotting/thumbnailing huge series (Jugel et al., VLDB 2014) — per time
+# bucket emit FIRST, LAST, MIN, MAX of the value. First/last resolve by
+# the unique (ts, event_id) order via per-bucket row_number windows (a
+# min_by on a possibly-duplicated ts would be engine-nondeterministic);
+# value min/max are plain picks (no arithmetic, doubles pass through
+# exactly). Bucket = 6-hour offsets from the fixed corpus origin, so the
+# bucketing is a pure projection (no global-extent scalar subquery).
+# Scale: ONE shuffle on the bucket id; the two windows share the
+# partitioning, and buckets are the parallel unit — the classic
+# downsample-before-transfer pattern for dashboards over 100 TB.
+# --------------------------------------------------------------------------
+
+M4_ORIGIN = "TIMESTAMP '2024-01-01 00:00:00'"
+M4_WIDTH_US = 6 * 3600 * 1_000_000  # 6-hour buckets
+
+
+def m4_downsample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.selectExpr(
+        "event_id",
+        "ts",
+        "value",
+        f"CAST((unix_micros(CAST(ts AS TIMESTAMP))"
+        f" - unix_micros(CAST({M4_ORIGIN} AS TIMESTAMP)))"
+        f" DIV {M4_WIDTH_US} AS BIGINT) AS bucket",
+    )
+    asc = Window.partitionBy("bucket").orderBy("ts", "event_id")
+    desc = Window.partitionBy("bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    flagged = src.select(
+        "bucket",
+        "ts",
+        "value",
+        F.row_number().over(asc).alias("__ra"),
+        F.row_number().over(desc).alias("__rd"),
+    )
+    return flagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("__ra") == 1, F.col("ts"))).alias("t_first"),
+        F.max(F.when(F.col("__ra") == 1, F.col("value"))).alias("v_first"),
+        F.max(F.when(F.col("__rd") == 1, F.col("ts"))).alias("t_last"),
+        F.max(F.when(F.col("__rd") == 1, F.col("value"))).alias("v_last"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+
+
+M4_SQL = f"""
+WITH src AS (
+  SELECT event_id, ts, value,
+         CAST((epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us({M4_ORIGIN})) // {M4_WIDTH_US} AS BIGINT)
+           AS bucket
+  FROM events
+),
+flagged AS (
+  SELECT bucket, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+                            ORDER BY ts ASC, event_id ASC) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM src
+)
+SELECT bucket,
+       COUNT(*) AS n,
+       MAX(CASE WHEN ra = 1 THEN ts END) AS t_first,
+       MAX(CASE WHEN ra = 1 THEN value END) AS v_first,
+       MAX(CASE WHEN rd = 1 THEN ts END) AS t_last,
+       MAX(CASE WHEN rd = 1 THEN value END) AS v_last,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max
+FROM flagged
+GROUP BY bucket
+"""
+
+REGISTRY["m4_downsample_value"] = {
+    "fn": m4_downsample_value,
+    "sql": M4_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Linear-interpolation gap-fill: per (user, day) grid over each user's
+# observed span, filling missing days by exact linear interpolation
+# between the neighbouring observations — the feature-store-grade
+# upgrade over LOCF (gapfill_user_daily). All arithmetic is integer:
+# daily values quantized to cents, the interpolation
+# v_prev + (v_next - v_prev) * (d - d_prev) / (d_next - d_prev)
+# computed as one half-up integer rounding of an exact rational
+# (numerator/denominator in cents x days — exact_round_div_sql_wide for
+# the 128-bit headroom), so both engines emit identical doubles.
+# Scale: the grid explodes day spans per user (bounded by the retention
+# window, not the corpus), then two carry-forward windows per user —
+# one exchange on user_id.
+# --------------------------------------------------------------------------
+
+
+def gapfill_interp_user_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql_wide,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("user_id") < 40)
+        .groupBy(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+            .alias("v_c")
+        )
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "v_c",
+        F.datediff(F.col("day"), F.lit("2024-01-01")).alias("dnum"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    stitched = joined.select(
+        "user_id",
+        "day",
+        "v_c",
+        "dnum",
+        F.last(
+            F.when(F.col("v_c").isNotNull(), F.struct("dnum", "v_c")),
+            ignorenulls=True,
+        ).over(wp).alias("pv"),
+        F.first(
+            F.when(F.col("v_c").isNotNull(), F.struct("dnum", "v_c")),
+            ignorenulls=True,
+        ).over(wn).alias("nv"),
+    )
+    # exact rational: v = pv + (nv - pv) * (d - pd) / (nd - pd), in cents
+    num = (
+        "CAST(pv.v_c AS DECIMAL(38,0)) * (nv.dnum - pv.dnum)"
+        " + CAST(nv.v_c - pv.v_c AS DECIMAL(38,0)) * (dnum - pv.dnum)"
+    )
+    den = "(nv.dnum - pv.dnum)"
+    interp = exact_round_div_sql_wide(num, f"{den} * 100", "DIV")
+    return stitched.selectExpr(
+        "user_id",
+        "day",
+        "CAST(v_c IS NOT NULL AS BOOLEAN) AS observed",
+        f"""CASE
+             WHEN v_c IS NOT NULL
+               THEN CAST(v_c AS DOUBLE) / 100.0
+             WHEN pv.dnum IS NOT NULL AND nv.dnum IS NOT NULL
+               THEN {interp}
+           END AS value_filled""",
+    )
+
+
+def _gapfill_interp_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql_wide,
+    )
+
+    num = (
+        "CAST(pv.v_c AS HUGEINT) * (nv.dnum - pv.dnum)"
+        " + CAST(nv.v_c - pv.v_c AS HUGEINT) * (dnum - pv.dnum)"
+    )
+    interp = exact_round_div_sql_wide(num, "(nv.dnum - pv.dnum) * 100", "//")
+    return f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS v_c
+  FROM events WHERE user_id < 40
+  GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+),
+grid AS (
+  SELECT s.user_id, CAST(g.d AS DATE) AS day
+  FROM span s, LATERAL (
+    SELECT unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS d
+  ) g
+),
+joined AS (
+  SELECT g.user_id, g.day, d.v_c,
+         datediff('day', DATE '2024-01-01', g.day) AS dnum
+  FROM grid g LEFT JOIN daily d USING (user_id, day)
+),
+stitched AS (
+  SELECT user_id, day, v_c, dnum,
+         last_value(CASE WHEN v_c IS NOT NULL
+                         THEN struct_pack(dnum := dnum, v_c := v_c) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(CASE WHEN v_c IS NOT NULL
+                          THEN struct_pack(dnum := dnum, v_c := v_c) END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM joined
+)
+SELECT user_id, day,
+       v_c IS NOT NULL AS observed,
+       CASE
+         WHEN v_c IS NOT NULL THEN CAST(v_c AS DOUBLE) / 100.0
+         WHEN pv.dnum IS NOT NULL AND nv.dnum IS NOT NULL
+           THEN {interp}
+       END AS value_filled
+FROM stitched
+"""
+
+
+REGISTRY["gapfill_interp_user_daily"] = {
+    "fn": gapfill_interp_user_daily,
+    "sql": _gapfill_interp_sql(),
+}

@@ -1,0 +1,116 @@
+"""Streaming HyperLogLog: per-key distinct-count registers maintained
+across micro-batches via ``applyInPandasWithState``.
+
+Batch twin: ``queries/sketchq.py: hll_distinct_users`` — SAME portable
+58-bit hash, SAME m=64 register derivation, SAME estimate arithmetic
+(scaled-integer harmonic sum, inlined alpha literal, portable-ln linear
+counting), so after draining identical events the streaming registers
+EQUAL the batch registers and the emitted estimate EQUALS the batch
+``hll_est`` bit-for-bit (pinned in tests/test_streaming_hll.py; the
+Python replica relies on CPython floats being IEEE doubles with
+correctly rounded + - * / — the same contract portable_ln_const uses).
+
+State: 64 small ints per key — O(1), never a user set. That is the whole
+point of the sketch: the streaming distinct counter over 100 TB of
+replay holds ~512 bytes per key, and registers from parallel shards (or
+a batch backfill) merge into the stream state by element-wise max.
+
+Scale: one groupBy exchange on the key; batches update registers in
+numpy. The NULL-key group flows through like any other (key[0] None).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from de4ml_spark.queries.sketchq import HLL_M, _HLL_ALPHA, _HLL_NUM
+
+HLL_OUTPUT_SCHEMA = (
+    "event_type STRING, n_rows BIGINT, s_scaled BIGINT, v_zero BIGINT,"
+    " hll_est DOUBLE"
+)
+HLL_STATE_SCHEMA = "regs ARRAY<INT>, n_rows BIGINT"
+
+_MASK58 = (1 << 58) - 1
+
+
+def phash58_py(s: str) -> int:
+    """Python replica of ``phash_spark_sql(expr, 58)``: low 58 bits of
+    the little-endian integer of md5(s)'s LAST 8 digest bytes (matches
+    operators/portable_hash.py:40-54 byte-by-byte)."""
+    d = hashlib.md5(s.encode()).digest()
+    return int.from_bytes(d[8:16], "little") & _MASK58
+
+
+def hll_update(regs: list[int], member: str) -> None:
+    """Fold one set member into the register array, in place."""
+    h = phash58_py(member)
+    bucket = h % HLL_M
+    w = h // HLL_M
+    rho = 53 if w == 0 else 53 - w.bit_length()
+    if rho > regs[bucket]:
+        regs[bucket] = rho
+
+
+def hll_estimate(regs: list[int]) -> tuple[int, int, float]:
+    """(s_scaled, v_zero, estimate) — the IDENTICAL op sequence the
+    batch entry's SQL emits, replayed on Python doubles."""
+    from de4ml_spark.operators.portable_hash import portable_ln_const
+
+    s_scaled = sum((1 << (40 - m)) if m <= 40 else 0 for m in regs)
+    v_zero = sum(1 for m in regs if m == 0)
+    raw = _HLL_ALPHA * (float(_HLL_NUM) / float(s_scaled))
+    if v_zero > 0 and raw <= 2.5 * HLL_M:
+        return s_scaled, v_zero, float(HLL_M) * portable_ln_const(
+            HLL_M, v_zero
+        )
+    return s_scaled, v_zero, raw
+
+
+def streaming_hll(events: DataFrame) -> DataFrame:
+    """Per-event-type running distinct-user estimate, one row per key
+    per batch (update mode)."""
+
+    # NULL members contribute nothing in the batch twin (NULL hash ->
+    # NULL bucket, dropped by the register grid; COUNT(DISTINCT) skips
+    # NULLs) — filter here so stream == batch holds exactly.
+    src = events.filter(F.col("user_id").isNotNull()).select(
+        "event_type", F.col("user_id").cast("bigint").alias("user_id")
+    )
+
+    def fn(key, pdfs, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        if state.exists:
+            regs, n_rows = state.get
+            regs = list(regs)
+        else:
+            regs, n_rows = [0] * HLL_M, 0
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                n_rows += 1
+                hll_update(regs, str(int(uid)))
+        state.update((regs, int(n_rows)))
+        s_scaled, v_zero, est = hll_estimate(regs)
+        yield pd.DataFrame(
+            {
+                "event_type": pd.array([key[0]], dtype=object),
+                "n_rows": pd.array([int(n_rows)], dtype="int64"),
+                "s_scaled": pd.array([int(s_scaled)], dtype="int64"),
+                "v_zero": pd.array([int(v_zero)], dtype="int64"),
+                "hll_est": pd.array([float(est)], dtype="float64"),
+            }
+        )
+
+    return src.groupBy("event_type").applyInPandasWithState(
+        fn,
+        HLL_OUTPUT_SCHEMA,
+        HLL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
