@@ -70,6 +70,16 @@ def cmd_profile(args: argparse.Namespace) -> int:
         with open(args.promql, "w") as fh:
             fh.write(rules_to_promql(rules_from_profile(rows)))
         print(f"# wrote alert rules -> {args.promql}")
+    if args.contracts_out:
+        from de4ml_spark.contracts.codegen import write_contract_module
+
+        write_contract_module(
+            args.contracts_out,
+            args.contracts_name,
+            df.schema,
+            rules_from_profile(rows),
+        )
+        print(f"# wrote contract module -> {args.contracts_out}")
     return 0
 
 
@@ -160,6 +170,16 @@ def main(argv: list[str] | None = None) -> int:
         "--promql",
         help="write the Prometheus alert-rules YAML artifact here "
         "(mirrors bin/profile.sh -> promconfig/data_quality_rules.yml)",
+    )
+    pp.add_argument(
+        "--contracts-out",
+        help="regenerate the typed contract module artifact here "
+        "(mirrors dataops/app/profile.py:50-59 -> app/contracts.py)",
+    )
+    pp.add_argument(
+        "--contracts-name",
+        default="GeneratedContract",
+        help="class name for the regenerated contract dataclass",
     )
     pp.set_defaults(fn=cmd_profile)
 

@@ -120,3 +120,36 @@ def test_cli_serve_roundtrip(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_cli_profile_contracts_out(tmp_path, spark, capsys):
+    """profile --contracts-out regenerates the typed contract artifact
+    (dataops/app/profile.py:50-59 parity) and the artifact validates."""
+    from de4ml_spark.__main__ import main
+    from de4ml_spark.contracts.codegen import load_module
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.1)], "id BIGINT, p DOUBLE"
+    ).write.parquet(p)
+    out_mod = str(tmp_path / "contracts_gen.py")
+    assert (
+        main(
+            [
+                "profile",
+                "--table",
+                p,
+                "--exact",
+                "--contracts-out",
+                out_mod,
+                "--contracts-name",
+                "TRequest",
+            ]
+        )
+        == 0
+    )
+    mod = load_module(out_mod, modname="cli_generated_contract")
+    assert mod.CONSTRAINTS["p"]["minimum"] == 0.1
+    assert mod.CONSTRAINTS["p"]["maximum"] == 0.9
+    assert mod.validate({"id": 1, "p": 0.5}) == []
+    assert mod.validate({"id": None, "p": 2.0}) != []

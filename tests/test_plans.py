@@ -628,3 +628,50 @@ def test_pagerank_plan_no_cartesian_and_pruned(spark, sf_dir):
     for line in plan.splitlines():
         if "FileScan" in line and "lineitem" in line:
             assert "l_quantity" not in line and "l_extendedprice" not in line
+
+
+def test_ppjoin_no_cartesian(spark, sf_dir):
+    """PPJoin's candidate stage must be an equi join on the prefix token
+    — never pair enumeration — and the length filter must sit inside the
+    join, not in a post-join Filter over the full candidate product."""
+    from de4ml_spark.queries.dedupq import ppjoin_docs
+
+    plan = _plan(ppjoin_docs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    """The Bloom probe must broadcast the 256-row filter (constant-size
+    build side), never shuffle the corpus shingles against it."""
+    from de4ml_spark.queries.textq3 import bloom_decontaminate_docs
+
+    plan = _plan(bloom_decontaminate_docs(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_m4_single_shuffle(spark, sf_dir):
+    """M4 is ONE exchange on the bucket id; the two windows and the final
+    aggregate must reuse that partitioning."""
+    from de4ml_spark.queries.tsq2 import m4_downsample_value
+
+    plan = _plan(m4_downsample_value(spark, sf_dir))
+    n_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    )
+    assert n_exchanges == 1, plan
+
+
+def test_hll_register_frame_bounded(spark, sf_dir):
+    """The HLL plan's post-register stages operate on the types x 64
+    grid; the raw-row exchange is the distinct — no row-grain exchange
+    after it, and the grid cross join is broadcast (64 rows)."""
+    from de4ml_spark.queries.sketchq import hll_distinct_users
+
+    plan = _plan(hll_distinct_users(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the broadcast 64-row bucket grid
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
