@@ -84,6 +84,9 @@ PRIORITY = [
     "bloom_decontaminate_docs",
     "mutual_info_events",
     "ppjoin_docs",
+    "assoc_rules_parts",
+    "audience_overlap_events",
+    "nelson_aalen_retention",
     # -- (2) stale queue, resumed from the round-6 cutoff
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",

@@ -138,3 +138,95 @@ REGISTRY["pagerank_copurchase_parts"] = {
     "fn": pagerank_copurchase,
     "sql": _pagerank_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules (Apriori's readout tier for 2-item
+# sets): support / confidence / lift over the order baskets, all exact
+# integer rationals. Pair counts come from the within-order self-join
+# (bounded by sum(basket^2), the same edge bound as the co-purchase
+# graph — never an all-pairs over the catalog); item counts and the
+# order total are map-side-combined aggregates. A minimum-support
+# integer threshold prunes the long tail BEFORE the rational division.
+# Scale: the pair groupBy shuffles the basket-square rows once; every
+# output ratio is one exact_round_div of exact counts.
+# --------------------------------------------------------------------------
+
+ASSOC_MINSUP = 3  # pairs must appear in >= 3 baskets
+
+
+def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    item = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= ASSOC_MINSUP)
+    )
+    ca = item.select(F.col("p").alias("pa"), F.col("cnt").alias("cnt_a"))
+    cb = item.select(F.col("p").alias("pb"), F.col("cnt").alias("cnt_b"))
+    j = pairs.join(ca, "pa").join(cb, "pb")
+    return j.selectExpr(
+        "pa",
+        "pb",
+        "cnt_ab",
+        "cnt_a",
+        "cnt_b",
+        f"{exact_round_div_sql('cnt_ab', str(n_orders), 'DIV')}"
+        " AS support_r",
+        f"{exact_round_div_sql('cnt_ab', 'cnt_a', 'DIV')}"
+        " AS conf_a_to_b_r",
+        f"{exact_round_div_sql('cnt_ab', 'cnt_b', 'DIV')}"
+        " AS conf_b_to_a_r",
+        f"{exact_round_div_sql(f'cnt_ab * {n_orders}', 'cnt_a * cnt_b', 'DIV')}"
+        " AS lift_r",
+    )
+
+
+def _assoc_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+item AS (SELECT l_partkey AS p, COUNT(*) AS cnt FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS cnt_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {ASSOC_MINSUP}
+)
+SELECT p.pa, p.pb, p.cnt_ab,
+       CAST(ca.cnt AS BIGINT) AS cnt_a,
+       CAST(cb.cnt AS BIGINT) AS cnt_b,
+       {exact_round_div_sql("p.cnt_ab", "t.n", "//")} AS support_r,
+       {exact_round_div_sql("p.cnt_ab", "ca.cnt", "//")} AS conf_a_to_b_r,
+       {exact_round_div_sql("p.cnt_ab", "cb.cnt", "//")} AS conf_b_to_a_r,
+       {exact_round_div_sql("p.cnt_ab * t.n", "ca.cnt * cb.cnt", "//")}
+         AS lift_r
+FROM pairs p
+JOIN item ca ON p.pa = ca.p
+JOIN item cb ON p.pb = cb.p
+CROSS JOIN tot t
+"""
+
+
+REGISTRY["assoc_rules_parts"] = {
+    "fn": assoc_rules_parts,
+    "sql": _assoc_sql(),
+}

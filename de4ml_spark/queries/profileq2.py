@@ -912,3 +912,93 @@ REGISTRY["calibration_bins_events"] = {
     "fn": calibration_bins_events,
     "sql": _calibration_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Audience-overlap matrix: for every pair of event types, how many users
+# do both (the segment-overlap readout every growth/ads dashboard runs).
+# The pair join is keyed on user_id with each user contributing at most
+# |types| rows — fan-out bounded by C(|types|, 2) per user, never an
+# all-pairs over users. Jaccard and lift are exact integer rationals;
+# lift > 1 means the segments co-occur more than independence predicts
+# (cnt_both * n_users vs cnt_a * cnt_b, integer cross-multiply inside
+# the rational).
+# --------------------------------------------------------------------------
+
+
+def audience_overlap_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    seg = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    n_users = seg.select("user_id").distinct().count()
+    sizes = seg.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a, b = seg.alias("a"), seg.alias("b")
+    both = (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("t").alias("type_a"), F.col("cnt").alias("n_a"))
+    sb = sizes.select(F.col("t").alias("type_b"), F.col("cnt").alias("n_b"))
+    return both.join(sa, "type_a").join(sb, "type_b").selectExpr(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        f"{exact_round_div_sql('n_both', 'n_a + n_b - n_both', 'DIV')}"
+        " AS jaccard_r",
+        f"{exact_round_div_sql(f'n_both * {n_users}', 'n_a * n_b', 'DIV')}"
+        " AS lift_r",
+    )
+
+
+def _audience_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    return f"""
+WITH seg AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL
+),
+tot AS (SELECT COUNT(DISTINCT user_id) AS n FROM seg),
+sizes AS (SELECT event_type AS t, COUNT(*) AS cnt FROM seg GROUP BY 1),
+ov AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM seg a JOIN seg b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT b.type_a, b.type_b,
+       CAST(sa.cnt AS BIGINT) AS n_a,
+       CAST(sb.cnt AS BIGINT) AS n_b,
+       b.n_both,
+       {exact_round_div_sql("b.n_both", "sa.cnt + sb.cnt - b.n_both", "//")}
+         AS jaccard_r,
+       {exact_round_div_sql("b.n_both * t.n", "sa.cnt * sb.cnt", "//")}
+         AS lift_r
+FROM ov b
+JOIN sizes sa ON b.type_a = sa.t
+JOIN sizes sb ON b.type_b = sb.t
+CROSS JOIN tot t
+"""
+
+
+REGISTRY["audience_overlap_events"] = {
+    "fn": audience_overlap_events,
+    "sql": _audience_sql(),
+}

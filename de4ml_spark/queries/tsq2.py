@@ -994,3 +994,122 @@ REGISTRY["gapfill_interp_user_daily"] = {
     "fn": gapfill_interp_user_daily,
     "sql": _gapfill_interp_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative-hazard retention curve: survival analysis over
+# user lifetimes WITH right-censoring handled correctly — a user whose
+# span reaches the corpus horizon is censored (still alive), not
+# churned; a user last seen earlier churned at duration = last - first.
+# At each duration t: n_risk = users whose OBSERVABLE window reaches t
+# (min(duration, horizon - first) >= t), d_churn = uncensored users
+# with duration exactly t. The hazard d/n is half-up micro-quantized
+# per step and the cumulative hazard is an integer running sum over the
+# duration spine (bounded by the calendar, ~31 rows) — so the curve is
+# bit-identical across engines. (Kaplan-Meier's product form needs exp;
+# Nelson-Aalen is the sum-form estimator built for integer exactness.)
+# Scale: one groupBy to per-user (first, last); everything after is
+# calendar-bounded.
+# --------------------------------------------------------------------------
+
+
+def nelson_aalen_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("d0"),
+            F.max(F.col("ts").cast("date")).alias("d1"),
+        )
+    )
+    horizon = spans.agg(F.max("d1").alias("hmax"))
+    per_user = spans.crossJoin(F.broadcast(horizon)).selectExpr(
+        "user_id",
+        "datediff(d1, d0) AS dur",
+        "datediff(hmax, d0) AS obs",
+        "CAST(d1 < hmax AS INT) AS churned",
+    )
+    # each user explodes into the durations it is AT RISK for —
+    # bounded by the calendar window (<= ~31 rows/user), a pure
+    # map-side explode + groupBy: no theta join, nothing nested-loop
+    at_risk = per_user.selectExpr(
+        "churned", "dur", "explode(sequence(0, least(dur, obs))) AS t"
+    ).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_risk"),
+        F.expr(
+            "CAST(SUM(CASE WHEN churned = 1 AND dur = t THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("d_churn"),
+    )
+    hazard = at_risk.filter(F.col("n_risk") > 0).selectExpr(
+        "t",
+        "n_risk",
+        "d_churn",
+        "CAST((d_churn * 2000000 + n_risk) DIV (2 * n_risk) AS BIGINT)"
+        " AS h_micro",
+    )
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return hazard.select(
+        "t",
+        "n_risk",
+        "d_churn",
+        "h_micro",
+        F.sum("h_micro").over(wc).cast("bigint").alias("cumhaz_micro"),
+    ).withColumn(
+        "cumhaz_r",
+        F.expr("CAST(cumhaz_micro AS DOUBLE) / 1000000.0"),
+    )
+
+
+NELSON_AALEN_SQL = """
+WITH spans AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1
+),
+horizon AS (SELECT MAX(d1) AS hmax FROM spans),
+per_user AS (
+  SELECT user_id,
+         datediff('day', d0, d1) AS dur,
+         datediff('day', d0, h.hmax) AS obs,
+         CAST(d1 < h.hmax AS INT) AS churned
+  FROM spans CROSS JOIN horizon h
+),
+exploded AS (
+  SELECT churned, dur,
+         unnest(generate_series(0, least(dur, obs))) AS t
+  FROM per_user
+),
+at_risk AS (
+  SELECT t,
+         CAST(COUNT(*) AS BIGINT) AS n_risk,
+         CAST(SUM(CASE WHEN churned = 1 AND dur = t
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d_churn
+  FROM exploded
+  GROUP BY 1
+),
+hazard AS (
+  SELECT t, n_risk, d_churn,
+         CAST((d_churn * 2000000 + n_risk) // (2 * n_risk) AS BIGINT)
+           AS h_micro
+  FROM at_risk WHERE n_risk > 0
+)
+SELECT t, n_risk, d_churn, h_micro,
+       CAST(SUM(h_micro) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumhaz_micro,
+       CAST(CAST(SUM(h_micro) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS cumhaz_r
+FROM hazard
+"""
+
+REGISTRY["nelson_aalen_retention"] = {
+    "fn": nelson_aalen_retention,
+    "sql": NELSON_AALEN_SQL,
+}
