@@ -63,9 +63,10 @@ def _registries() -> list[dict]:
 # twin), plus the six NEW round-7 entries (HLL, M4, interpolation
 # gap-fill, chi-square A/B, calibration bins, blocked-Bloom decon); then
 # (2) the stale queue exactly where the round-6 rotation left off —
-# section 1's 9 entries plus dedup_embedding_blocked .. cdc_dedup_chunks
-# fill the 50 graded slots; the overflow (conversion_latency_stats ..
-# winsorized_price_stats) leads the round-8 queue; then
+# section 1's 14 entries plus dedup_embedding_blocked ..
+# weighted_sample_docs fill the 50 graded slots; the overflow
+# (winnow_fingerprint_docs .. winsorized_price_stats) leads the
+# round-8 queue; then
 # (3) round-5-graded evidence, then (4) the 47 entries
 # freshly graded in round 6 at the very back. Everything re-greens
 # locally via tools/verify_oracle.py (cross-engine type-parity preflight

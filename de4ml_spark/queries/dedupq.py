@@ -610,12 +610,17 @@ PPJOIN_DOC_CAP = 600
 
 
 def ppjoin_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < PPJOIN_DOC_CAP
     )
+    # three consumers (dfreq, ranked, the verify arrays) read the token
+    # relation; persist it once as the shared index — the same
+    # shared-scan pattern as the MinHash shingle relation
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).distinct()
+    ).distinct().persist()
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = toks.join(dfreq, "tok").select(
         "doc_id",
@@ -662,15 +667,28 @@ def ppjoin_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "na", "nb")
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    # verify: per-doc token SETS as array columns, one hash join per
+    # side, JVM array_intersect — no second token explode (the exploded
+    # verify joined |cand| x |tokens| rows; this joins |cand| rows).
+    arrs = toks.groupBy("doc_id").agg(F.collect_set("tok").alias("arr"))
     inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        cand.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint").alias("n_inter"),
+        )
     )
-    return inter.filter(
+    out = inter.filter(
         F.col("n_inter") * PPJOIN_T_DEN
         >= (F.col("na") + F.col("nb") - F.col("n_inter")) * PPJOIN_T_NUM
     ).select(
@@ -684,6 +702,7 @@ def ppjoin_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("jaccard_r"),
     )
+    return release_after(out, toks)
 
 
 PPJOIN_SQL = f"""
@@ -712,13 +731,15 @@ cand AS (
   WHERE b.n * {PPJOIN_T_DEN} >= a.n * {PPJOIN_T_NUM}
     AND a.n * {PPJOIN_T_DEN} >= b.n * {PPJOIN_T_NUM}
 ),
+arrs AS (
+  SELECT doc_id, list(tok) AS arr FROM toks GROUP BY 1
+),
 inter AS (
   SELECT c.doc_a, c.doc_b, c.na, c.nb,
-         CAST(COUNT(*) AS BIGINT) AS n_inter
+         CAST(len(list_intersect(aa.arr, ab.arr)) AS BIGINT) AS n_inter
   FROM cand c
-  JOIN toks ta ON ta.doc_id = c.doc_a
-  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-  GROUP BY 1, 2, 3, 4
+  JOIN arrs aa ON aa.doc_id = c.doc_a
+  JOIN arrs ab ON ab.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, n_inter,
        na + nb - n_inter AS n_union,

@@ -820,3 +820,34 @@ def test_quota_admission_matches_python_reference(spark):
         d = (datetime.date(1970, 1, 1) + datetime.timedelta(days=day)).isoformat()
         want.add((key, d, acc, rej, total))
     assert got == want
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=40, unique=True))
+@settings(max_examples=20, deadline=None)
+def test_hll_replica_matches_engine_rho(spark, members):
+    """Fuzz: for arbitrary member values, the Python HLL replica's
+    (bucket, rho) pairs must equal the engine's SQL derivation — the
+    contract that makes streaming state mergeable into batch registers."""
+    from de4ml_spark.queries.sketchq import HLL_M, _hll_rho_sql
+    from de4ml_spark.operators.portable_hash import phash_spark_sql
+    from de4ml_spark.streaming.sketches import phash58_py
+
+    df = spark.createDataFrame([(str(m),) for m in members], "s STRING")
+    got = {
+        r["s"]: (r["bucket"], r["rho"])
+        for r in df.selectExpr(
+            "s", f"{phash_spark_sql('s', 58)} AS h"
+        )
+        .selectExpr(
+            "s",
+            f"h % {HLL_M} AS bucket",
+            f"{_hll_rho_sql(f'(h DIV {HLL_M})', 'spark')} AS rho",
+        )
+        .collect()
+    }
+    for m in members:
+        h = phash58_py(str(m))
+        w = h // HLL_M
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        assert got[str(m)] == (h % HLL_M, rho), m
