@@ -77,7 +77,13 @@ def generate_contract_module(
     ]
     if not struct.fields:
         lines.append("    pass")
-    for f in struct.fields:
+    # dataclass rule: non-default fields cannot follow defaulted ones —
+    # emit required fields first (a required column after a nullable one
+    # in struct order would otherwise make the artifact unimportable)
+    ordered = [f for f in struct.fields if f.name in required] + [
+        f for f in struct.fields if f.name not in required
+    ]
+    for f in ordered:
         py = _py_type(f.dataType)
         ann = py if f.name in required else f"Optional[{py}]"
         default = "" if f.name in required else " = None"

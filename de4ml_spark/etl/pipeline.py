@@ -131,7 +131,15 @@ def upsert_parquet(
 
     keys = [key] if isinstance(key, str) else list(key)
     current = spark.read.parquet(path)
-    merged = current.join(updates, keys, "left_anti").unionByName(updates)
+    # NULL-SAFE key match: a groupBy-derived view legitimately carries a
+    # NULL group key, and plain name-list equality would never match it —
+    # the stale row would survive every upsert (duplicate NULL-key rows).
+    cu, uu = current.alias("c"), updates.alias("u")
+    cond = None
+    for k in keys:
+        c = F.col(f"c.{k}").eqNullSafe(F.col(f"u.{k}"))
+        cond = c if cond is None else cond & c
+    merged = cu.join(uu, cond, "left_anti").unionByName(updates)
     tmp = tempfile.mkdtemp(prefix="upsert_") + "/data"
     merged.write.mode("overwrite").parquet(tmp)
     # Swap: park old aside, move new in, delete backup last (crash-safe).

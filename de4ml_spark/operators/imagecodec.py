@@ -150,9 +150,22 @@ def _avg_row(cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
 def decode_png(b: bytes) -> np.ndarray:
     """Baseline PNG -> HxWx3 uint8 RGB (gray replicated to 3 channels,
     palette expanded, alpha dropped — the corpus convention: alpha is
-    metadata for compositing, not signal for the feature kernels)."""
+    metadata for compositing, not signal for the feature kernels).
+    Every corruption raises ValueError — the single exception class the
+    multimodal quarantine fallback catches (truncated IDAT would raise
+    zlib.error, short chunks struct.error, bad palette indexes
+    IndexError; `_png_guard` folds them all)."""
     if b[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG")
+    try:
+        return _decode_png_inner(b)
+    except ValueError:
+        raise
+    except (zlib.error, struct.error, IndexError, OverflowError) as e:
+        raise ValueError(f"corrupt PNG: {type(e).__name__}: {e}") from e
+
+
+def _decode_png_inner(b: bytes) -> np.ndarray:
     w = h = None
     color_type = None
     palette = None

@@ -125,6 +125,7 @@ PRIORITY = [
     "text_stats_docs",
     "trailing_7d_revenue",
     "weighted_sample_docs",
+    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "winnow_fingerprint_docs",
     "adaptive_alert_windows",
     "asof_click_view",
@@ -136,7 +137,6 @@ PRIORITY = [
     "dedup_canonicalize",
     "dedup_components",
     "dedup_exact_docs",
-    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "dedup_incremental",
     "dedup_minhash_recall",
     "dedup_ngram_jaccard",

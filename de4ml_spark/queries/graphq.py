@@ -161,7 +161,13 @@ def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     ).distinct()
-    n_orders = li.select("l_orderkey").distinct().count()
+    # the basket total stays IN-PLAN (1-row broadcast cross join, the
+    # kl_drift tot pattern) — an eager .count() here would run a full
+    # scan at plan-construction time and bake a stale literal into the
+    # prepared plan
+    tot = li.agg(
+        F.count_distinct("l_orderkey").alias("_n_orders")
+    )
     item = li.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -178,20 +184,20 @@ def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = item.select(F.col("p").alias("pa"), F.col("cnt").alias("cnt_a"))
     cb = item.select(F.col("p").alias("pb"), F.col("cnt").alias("cnt_b"))
-    j = pairs.join(ca, "pa").join(cb, "pb")
+    j = pairs.join(ca, "pa").join(cb, "pb").crossJoin(F.broadcast(tot))
     return j.selectExpr(
         "pa",
         "pb",
         "cnt_ab",
         "cnt_a",
         "cnt_b",
-        f"{exact_round_div_sql('cnt_ab', str(n_orders), 'DIV')}"
+        f"{exact_round_div_sql('cnt_ab', '_n_orders', 'DIV')}"
         " AS support_r",
         f"{exact_round_div_sql('cnt_ab', 'cnt_a', 'DIV')}"
         " AS conf_a_to_b_r",
         f"{exact_round_div_sql('cnt_ab', 'cnt_b', 'DIV')}"
         " AS conf_b_to_a_r",
-        f"{exact_round_div_sql(f'cnt_ab * {n_orders}', 'cnt_a * cnt_b', 'DIV')}"
+        f"{exact_round_div_sql('cnt_ab * _n_orders', 'cnt_a * cnt_b', 'DIV')}"
         " AS lift_r",
     )
 

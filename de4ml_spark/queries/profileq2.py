@@ -756,13 +756,24 @@ REGISTRY["weighted_median_price"] = {
 
 def chi2_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    cells = (
+    observed = (
         ev.filter(F.col("user_id").isNotNull())
         .groupBy(
             (F.col("user_id") % 2).alias("variant"),
             F.col("event_type").alias("outcome"),
         )
         .agg(F.count(F.lit(1)).alias("o"))
+    )
+    # FULL grid: an observed-zero cell still contributes (0-E)^2/E = rc/N
+    # to the statistic; dropping it (groupBy only materializes non-empty
+    # cells) understates chi2
+    grid = (
+        observed.select("variant")
+        .distinct()
+        .crossJoin(observed.select("outcome").distinct())
+    )
+    cells = grid.join(observed, ["variant", "outcome"], "left").select(
+        "variant", "outcome", F.coalesce("o", F.lit(0)).alias("o")
     )
     wr = Window.partitionBy("variant")
     wc = Window.partitionBy("outcome")
@@ -795,10 +806,13 @@ def chi2_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("CAST(SUM(t_micro) AS BIGINT)").alias("chi2_micro"),
             F.count(F.lit(1)).alias("n_cells"),
+            F.count_distinct("variant").alias("_nv"),
+            F.count_distinct("outcome").alias("_no"),
         )
         .selectExpr(
             "n_cells",
-            "CAST(n_cells - 1 AS BIGINT) AS dof",  # (2-1)*(k-1) w/ 2 variants
+            # independence-test dof: (|variants|-1) * (|outcomes|-1)
+            "CAST((_nv - 1) * (_no - 1) AS BIGINT) AS dof",
             "chi2_micro",
             "CAST(chi2_micro AS DOUBLE) / 1000000.0 AS chi2_r",
         )
@@ -806,11 +820,19 @@ def chi2_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CHI2_SQL = """
-WITH cells AS (
+WITH observed AS (
   SELECT user_id % 2 AS variant, event_type AS outcome,
          CAST(COUNT(*) AS BIGINT) AS o
   FROM events WHERE user_id IS NOT NULL
   GROUP BY 1, 2
+),
+cells AS (
+  SELECT g.variant, g.outcome, COALESCE(ob.o, 0) AS o
+  FROM (SELECT DISTINCT v.variant, oc.outcome
+        FROM (SELECT DISTINCT variant FROM observed) v
+        CROSS JOIN (SELECT DISTINCT outcome FROM observed) oc) g
+  LEFT JOIN observed ob
+    ON g.variant = ob.variant AND g.outcome = ob.outcome
 ),
 tot AS (
   SELECT variant, outcome, o,
@@ -829,7 +851,8 @@ terms AS (
   FROM tot
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
-       CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+       CAST((COUNT(DISTINCT variant) - 1) * (COUNT(DISTINCT outcome) - 1)
+            AS BIGINT) AS dof,
        CAST(SUM(CAST((num * 2000000 + den) // (2 * den) AS BIGINT))
             AS BIGINT) AS chi2_micro,
        CAST(CAST(SUM(CAST((num * 2000000 + den) // (2 * den) AS BIGINT))
@@ -937,7 +960,9 @@ def audience_overlap_events(
         .select("event_type", "user_id")
         .distinct()
     )
-    n_users = seg.select("user_id").distinct().count()
+    # in-plan scalar (1-row broadcast), not an eager .count() — see
+    # assoc_rules_parts
+    tot = seg.agg(F.count_distinct("user_id").alias("_n_users"))
     sizes = seg.groupBy(F.col("event_type").alias("t")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -953,16 +978,21 @@ def audience_overlap_events(
     )
     sa = sizes.select(F.col("t").alias("type_a"), F.col("cnt").alias("n_a"))
     sb = sizes.select(F.col("t").alias("type_b"), F.col("cnt").alias("n_b"))
-    return both.join(sa, "type_a").join(sb, "type_b").selectExpr(
-        "type_a",
-        "type_b",
-        "n_a",
-        "n_b",
-        "n_both",
-        f"{exact_round_div_sql('n_both', 'n_a + n_b - n_both', 'DIV')}"
-        " AS jaccard_r",
-        f"{exact_round_div_sql(f'n_both * {n_users}', 'n_a * n_b', 'DIV')}"
-        " AS lift_r",
+    return (
+        both.join(sa, "type_a")
+        .join(sb, "type_b")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            f"{exact_round_div_sql('n_both', 'n_a + n_b - n_both', 'DIV')}"
+            " AS jaccard_r",
+            f"{exact_round_div_sql('n_both * _n_users', 'n_a * n_b', 'DIV')}"
+            " AS lift_r",
+        )
     )
 
 

@@ -777,6 +777,11 @@ M4_WIDTH_US = 6 * 3600 * 1_000_000  # 6-hour buckets
 
 def m4_downsample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Pre-origin offsets: Spark DIV and DuckDB's integer // BOTH
+    # truncate toward zero (measured: -1 // 21600000000 = 0 on each), so
+    # negative offsets bucket identically across engines; the two
+    # half-buckets adjacent to the origin merge into bucket 0 on both
+    # sides equally — deterministic, and absent from this corpus anyway.
     src = ev.selectExpr(
         "event_id",
         "ts",

@@ -86,3 +86,22 @@ def test_validate_agrees_with_spark_split(spark, tmp_path):
         assert ok == (r["age"] in spark_valid_ages), r
     assert sum(py_valid) == valid_df.count()
     assert len(rows) - sum(py_valid) == rejects_df.count()
+
+
+def test_required_after_optional_field_order(tmp_path):
+    """A required column AFTER a nullable one in struct order must still
+    produce an importable dataclass (non-default args cannot follow
+    defaulted ones — the generator reorders required-first)."""
+    struct = T.StructType(
+        [
+            T.StructField("note", T.StringType()),   # optional
+            T.StructField("id", T.LongType()),       # required, later
+        ]
+    )
+    rules = [Rule(loc="id", kind=REQUIRED)]
+    path = str(tmp_path / "c4.py")
+    write_contract_module(path, "M4", struct, rules)
+    mod = load_module(path, modname="generated_contract_c4")
+    inst = mod.M4(7)  # positional: required field leads
+    assert inst.id == 7 and inst.note is None
+    assert mod.CONSTRAINTS["note"]["required"] is False

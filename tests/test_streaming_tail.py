@@ -55,12 +55,23 @@ def test_tail_retraction_pairing_and_fold(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        # epoch B: u1 again (update -> retract+insert), u3 new (insert only)
+        # epoch B: u1 again (update -> retract+insert), u3 new (insert
+        # only), and a NULL-key event opening the NULL group
         _write(
             src,
             [
                 {"user_id": 1, "value": 1.0, "ts": "2024-01-01 00:01:00"},
                 {"user_id": 3, "value": 2.0, "ts": "2024-01-01 00:01:01"},
+                {"user_id": None, "value": 4.0, "ts": "2024-01-01 00:01:02"},
+            ],
+        )
+        q.processAllAvailable()
+        # epoch C: the NULL group updates — must retract its epoch-B row
+        # (null-safe key match in both the semi join and the upsert)
+        _write(
+            src,
+            [
+                {"user_id": None, "value": 6.0, "ts": "2024-01-01 00:02:00"},
             ],
         )
         q.processAllAvailable()
@@ -78,8 +89,19 @@ def test_tail_retraction_pairing_and_fold(spark, tmp_path):
         for r in spark.read.parquet(view_path).collect()
     }
 
-    # Final view is the batch recompute (the IVM arbiter).
-    assert view == {1: (3, 1600), 2: (1, 700), 3: (1, 200)}
+    # Final view is the batch recompute (the IVM arbiter) — exactly one
+    # row per key including the NULL group (no stale duplicate).
+    assert view == {
+        1: (3, 1600),
+        2: (1, 700),
+        3: (1, 200),
+        None: (2, 1000),
+    }
+    null_rows = [r for r in log if r["user_id"] is None]
+    assert (
+        sorted((r["n"], r["sum_c"], r["diff"]) for r in null_rows)
+        == [(1, 400, -1), (1, 400, 1), (2, 1000, 1)]
+    )
 
     # (1) Pairing: every retraction is preceded by an identical insert.
     seen_inserts: Counter = Counter()
