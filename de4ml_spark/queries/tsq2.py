@@ -775,8 +775,10 @@ M4_ORIGIN = "TIMESTAMP '2024-01-01 00:00:00'"
 M4_WIDTH_US = 6 * 3600 * 1_000_000  # 6-hour buckets
 
 
-def m4_downsample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+def m4_downsample(ev: DataFrame) -> DataFrame:
+    """(bucket, n, t_first, v_first, t_last, v_last, v_min, v_max) —
+    reusable DataFrame-level builder (streaming twin:
+    streaming/sketches.py: streaming_m4, batch==stream pinned)."""
     # Pre-origin offsets: Spark DIV and DuckDB's integer // BOTH
     # truncate toward zero (measured: -1 // 21600000000 = 0 on each), so
     # negative offsets bucket identically across engines; the two
@@ -810,6 +812,10 @@ def m4_downsample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
     )
+
+
+def m4_downsample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return m4_downsample(load_table(spark, sf_dir, "events"))
 
 
 M4_SQL = f"""

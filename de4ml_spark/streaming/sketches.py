@@ -114,3 +114,79 @@ def streaming_hll(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming M4 downsampler: per-bucket (first, last, min, max) state
+# maintained across micro-batches — the live dashboard's reduction,
+# O(1) state per bucket (7 scalars), ties resolved by the same unique
+# (ts, event_id) order as the batch twin (queries/tsq2.py:
+# m4_downsample; equality pinned in tests/test_streaming_m4.py).
+# --------------------------------------------------------------------------
+
+M4_OUTPUT_SCHEMA = (
+    "bucket BIGINT, n BIGINT, t_first TIMESTAMP_NTZ, v_first DOUBLE,"
+    " t_last TIMESTAMP_NTZ, v_last DOUBLE, v_min DOUBLE, v_max DOUBLE"
+)
+M4_STATE_SCHEMA = (
+    "n BIGINT, tf BIGINT, idf BIGINT, vf DOUBLE,"
+    " tl BIGINT, idl BIGINT, vl DOUBLE, vmin DOUBLE, vmax DOUBLE"
+)
+
+_M4_ORIGIN_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
+
+
+def streaming_m4(events: DataFrame, width_us: int) -> DataFrame:
+    """Per-bucket running M4 tuple, one row per touched bucket per
+    batch (update mode). ``events`` needs (event_id, ts, value)."""
+
+    src = events.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__t"),
+        F.col("value").cast("double").alias("value"),
+    ).withColumn(
+        "__bucket",
+        F.expr(f"CAST((__t - {_M4_ORIGIN_US}) DIV {width_us} AS BIGINT)"),
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            n, tf, idf, vf, tl, idl, vl, vmin, vmax = state.get
+        else:
+            n = 0
+            tf = idf = vf = tl = idl = vl = vmin = vmax = None
+        for pdf in pdfs:
+            for eid, t, v in zip(
+                pdf["event_id"], pdf["__t"], pdf["value"]
+            ):
+                eid, t, v = int(eid), int(t), float(v)
+                n += 1
+                if tf is None or (t, eid) < (tf, idf):
+                    tf, idf, vf = t, eid, v
+                if tl is None or (t, eid) > (tl, idl):
+                    tl, idl, vl = t, eid, v
+                vmin = v if vmin is None else min(vmin, v)
+                vmax = v if vmax is None else max(vmax, v)
+        state.update((n, tf, idf, vf, tl, idl, vl, vmin, vmax))
+        yield pd.DataFrame(
+            {
+                "bucket": pd.array([key[0]], dtype="int64"),
+                "n": pd.array([n], dtype="int64"),
+                "t_first": pd.to_datetime([tf], unit="us"),
+                "v_first": pd.array([vf], dtype="float64"),
+                "t_last": pd.to_datetime([tl], unit="us"),
+                "v_last": pd.array([vl], dtype="float64"),
+                "v_min": pd.array([vmin], dtype="float64"),
+                "v_max": pd.array([vmax], dtype="float64"),
+            }
+        )
+
+    return src.groupBy("__bucket").applyInPandasWithState(
+        fn,
+        M4_OUTPUT_SCHEMA,
+        M4_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
