@@ -633,12 +633,18 @@ def test_pagerank_plan_no_cartesian_and_pruned(spark, sf_dir):
 def test_ppjoin_no_cartesian(spark, sf_dir):
     """PPJoin's candidate stage must be an equi join on the prefix token
     — never pair enumeration — and the length filter must sit inside the
-    join, not in a post-join Filter over the full candidate product."""
+    join, not in a post-join Filter over the full candidate product.
+    Built under no_release() so the REAL plan is asserted, not the
+    localCheckpoint scan release_after would truncate it to."""
+    from de4ml_spark.cache import no_release
     from de4ml_spark.queries.dedupq import ppjoin_docs
 
-    plan = _plan(ppjoin_docs(spark, sf_dir))
+    with no_release():
+        plan = _plan(ppjoin_docs(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
 
 
 def test_bloom_probe_broadcasts_filter(spark, sf_dir):
