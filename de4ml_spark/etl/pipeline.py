@@ -106,6 +106,18 @@ def read_warehouse(
     return df
 
 
+def null_safe_key_cond(left_alias: str, right_alias: str, keys):
+    """AND-of-eqNullSafe join condition over aliased key columns — the
+    MERGE key match where a NULL key is a real (matchable) value."""
+    cond = None
+    for k in keys:
+        c = F.col(f"{left_alias}.{k}").eqNullSafe(
+            F.col(f"{right_alias}.{k}")
+        )
+        cond = c if cond is None else cond & c
+    return cond
+
+
 def upsert_parquet(
     spark: SparkSession,
     path: str,
@@ -134,12 +146,11 @@ def upsert_parquet(
     # NULL-SAFE key match: a groupBy-derived view legitimately carries a
     # NULL group key, and plain name-list equality would never match it —
     # the stale row would survive every upsert (duplicate NULL-key rows).
-    cu, uu = current.alias("c"), updates.alias("u")
-    cond = None
-    for k in keys:
-        c = F.col(f"c.{k}").eqNullSafe(F.col(f"u.{k}"))
-        cond = c if cond is None else cond & c
-    merged = cu.join(uu, cond, "left_anti").unionByName(updates)
+    merged = current.alias("c").join(
+        updates.alias("u"),
+        null_safe_key_cond("c", "u", keys),
+        "left_anti",
+    ).unionByName(updates)
     tmp = tempfile.mkdtemp(prefix="upsert_") + "/data"
     merged.write.mode("overwrite").parquet(tmp)
     # Swap: park old aside, move new in, delete backup last (crash-safe).

@@ -793,14 +793,13 @@ def chi2_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = with_tot.selectExpr(
         "variant",
         "outcome",
-        "o",
         "CAST(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c"
         " AS DECIMAL(38,0)) AS dev",
         "CAST(CAST(n AS DECIMAL(38,0)) * r * c AS DECIMAL(38,0)) AS den",
     ).selectExpr(
-        "variant", "outcome", "o",
+        "variant", "outcome",
         "CAST(dev * dev AS DECIMAL(38,0)) AS num", "den",
-    ).selectExpr("variant", "outcome", "o", f"{term} AS t_micro")
+    ).selectExpr("variant", "outcome", f"{term} AS t_micro")
     return (
         terms.groupBy()
         .agg(

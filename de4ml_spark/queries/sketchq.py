@@ -610,10 +610,11 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.operators.portable_hash import with_portable_ln
 
     ev = load_table(spark, sf_dir, "events")
+    # one distinct (type, user) frame feeds BOTH the registers and the
+    # exact comparison count — no second events scan
+    du = ev.select("event_type", "user_id").distinct()
     hashed = (
-        ev.select("event_type", "user_id")
-        .distinct()
-        .selectExpr(
+        du.selectExpr(
             "event_type",
             f"{phash_spark_sql('CAST(user_id AS STRING)', 58)} AS h",
         )
@@ -649,8 +650,9 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_zero"),
     )
     exact = (
-        ev.groupBy("event_type")
-        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+        du.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
     )
     both = exact.join(per_type, "event_type")
     both = with_portable_ln(

@@ -772,6 +772,7 @@ REGISTRY["rolling_corr_view_click"] = {
 # --------------------------------------------------------------------------
 
 M4_ORIGIN = "TIMESTAMP '2024-01-01 00:00:00'"
+M4_ORIGIN_US = 1_704_067_200_000_000  # the same instant in micros
 M4_WIDTH_US = 6 * 3600 * 1_000_000  # 6-hour buckets
 
 

@@ -208,16 +208,19 @@ def tail_changelog_sink(
         delta = batch.withColumn("diff", F.lit(1))
         have_view = os.path.exists(view_path)
         if have_view:
-            view = spark.read.parquet(view_path).alias("v")
-            keys = batch.select(*group_cols).alias("k")
+            from de4ml_spark.etl.pipeline import null_safe_key_cond
+
             # NULL-SAFE semi join: a NULL group key is a real group in an
             # aggregate view and must retract like any other
-            cond = None
-            for k in group_cols:
-                c = F.col(f"v.{k}").eqNullSafe(F.col(f"k.{k}"))
-                cond = c if cond is None else cond & c
-            retracts = view.join(keys, cond, "left_semi").withColumn(
-                "diff", F.lit(-1)
+            retracts = (
+                spark.read.parquet(view_path)
+                .alias("v")
+                .join(
+                    batch.select(*group_cols).alias("k"),
+                    null_safe_key_cond("v", "k", group_cols),
+                    "left_semi",
+                )
+                .withColumn("diff", F.lit(-1))
             )
             delta = retracts.unionByName(delta)
         # Changelog FIRST: the upsert rewrites the view files the lazy

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from de4ml_spark.queries.sketchq import HLL_M, _HLL_ALPHA, _HLL_NUM
+from de4ml_spark.queries.tsq2 import M4_ORIGIN_US
 
 HLL_OUTPUT_SCHEMA = (
     "event_type STRING, n_rows BIGINT, s_scaled BIGINT, v_zero BIGINT,"
@@ -133,9 +134,6 @@ M4_STATE_SCHEMA = (
     " tl BIGINT, idl BIGINT, vl DOUBLE, vmin DOUBLE, vmax DOUBLE"
 )
 
-_M4_ORIGIN_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
-
-
 def streaming_m4(events: DataFrame, width_us: int) -> DataFrame:
     """Per-bucket running M4 tuple, one row per touched bucket per
     batch (update mode). ``events`` needs (event_id, ts, value)."""
@@ -146,7 +144,7 @@ def streaming_m4(events: DataFrame, width_us: int) -> DataFrame:
         F.col("value").cast("double").alias("value"),
     ).withColumn(
         "__bucket",
-        F.expr(f"CAST((__t - {_M4_ORIGIN_US}) DIV {width_us} AS BIGINT)"),
+        F.expr(f"CAST((__t - {M4_ORIGIN_US}) DIV {width_us} AS BIGINT)"),
     )
 
     def fn(key, pdfs, state: GroupState):
