@@ -88,6 +88,8 @@ HEADLINE = [
     "ppjoin_docs",
     "mutual_info_events",
     "gapfill_interp_user_daily",
+    "ltv_triangle_orders",
+    "label_centroid_distances",
 ]
 
 

@@ -88,6 +88,9 @@ PRIORITY = [
     "assoc_rules_parts",
     "audience_overlap_events",
     "nelson_aalen_retention",
+    "triangle_count_parts",
+    "ltv_triangle_orders",
+    "label_centroid_distances",
     # -- (2) stale queue, resumed from the round-6 cutoff
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",

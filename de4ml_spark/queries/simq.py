@@ -363,3 +363,106 @@ REGISTRY: dict[str, dict] = {
         "sql": EMBEDDING_DIM_STATS_SQL,
     },
 }
+
+
+# --------------------------------------------------------------------------
+# Label-centroid distance matrix: per-label mean embedding and the
+# pairwise Euclidean distances between class centroids — the class-
+# separation audit run before training on labeled embeddings (collapsed
+# or overlapping centroids flag label noise / leakage). Exactness: each
+# float32 component quantizes to integer micro-units FIRST (floor(v*1e6
+# + 0.5) — float32 -> double is exact, floor is exact, so the integer is
+# engine-identical even for negative components), per-(label, dim) sums
+# and centroid components stay integers, squared-difference sums stay
+# integers, and the final distance is ONE exact integer -> double cast +
+# IEEE-correctly-rounded sqrt and division — bit-identical across
+# engines, unlike a double AVG whose summation order differs.
+# Scale: posexplode to (label, dim) integer sums (map-side combined,
+# |labels| x 64 output rows); the pairwise join runs over that bounded
+# centroid frame, never over rows.
+# --------------------------------------------------------------------------
+
+
+def label_centroid_distances(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "v"),
+    ).selectExpr(
+        "label",
+        "dim",
+        "CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS v_micro",
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.expr("CAST(SUM(v_micro) AS BIGINT)").alias("s_micro"),
+        F.count(F.lit(1)).alias("n"),
+    ).selectExpr(
+        "label",
+        "dim",
+        "n",
+        # centroid component in micro-units, half-up integer division
+        "CAST((s_micro * 2 + n) DIV (2 * n) AS BIGINT) AS c_micro",
+    )
+    a = cent.selectExpr(
+        "label AS label_a", "dim", "c_micro AS ca", "n AS n_a"
+    )
+    b = cent.selectExpr(
+        "label AS label_b", "dim", "c_micro AS cb", "n AS n_b"
+    )
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b", "n_a", "n_b")
+        .agg(
+            F.expr(
+                "CAST(SUM((ca - cb) * (ca - cb)) AS BIGINT)"
+            ).alias("sq_micro")
+        )
+    )
+    return pairs.selectExpr(
+        "label_a",
+        "label_b",
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        "sq_micro",
+        "sqrt(CAST(sq_micro AS DOUBLE)) / 1000000.0 AS dist_r",
+    )
+
+
+def _label_centroid_sql() -> str:
+    return """
+WITH ex AS (
+  SELECT label, s.i AS dim,
+         CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS v_micro
+  FROM embeddings, generate_series(1, 64) AS s(i)
+),
+cent AS (
+  SELECT label, dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST((CAST(SUM(v_micro) AS BIGINT) * 2 + COUNT(*))
+              // (2 * COUNT(*)) AS BIGINT) AS c_micro
+  FROM ex GROUP BY 1, 2
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       a.n AS n_a, b.n AS n_b,
+       CAST(SUM((a.c_micro - b.c_micro) * (a.c_micro - b.c_micro))
+            AS BIGINT) AS sq_micro,
+       sqrt(CAST(CAST(SUM((a.c_micro - b.c_micro)
+                          * (a.c_micro - b.c_micro)) AS BIGINT)
+                 AS DOUBLE)) / 1000000.0 AS dist_r
+FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+GROUP BY 1, 2, 3, 4
+"""
+
+
+REGISTRY["label_centroid_distances"] = {
+    "fn": label_centroid_distances,
+    "sql": _label_centroid_sql(),
+}

@@ -1125,3 +1125,115 @@ REGISTRY["nelson_aalen_retention"] = {
     "fn": nelson_aalen_retention,
     "sql": NELSON_AALEN_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV triangle: customers grouped by FIRST-order month (the
+# acquisition cohort), revenue accumulated by months-since-acquisition —
+# the cumulative lifetime-value readout every growth team maintains.
+# Revenue is exact integer cents; the cumulative sum runs per cohort
+# over the bounded age axis (a window over |cohorts| x |ages| rows,
+# never row-grain). ltv_per_user_r divides cumulative cents by cohort
+# size once, half-up.
+# Scale: one groupBy to per-customer first month (min), one broadcast-
+# joinable cohort map back onto orders, one groupBy to the triangle
+# frame. The cohort map is |customers| rows — at 100 TB it shuffles
+# once on custkey and the triangle itself is tiny.
+# --------------------------------------------------------------------------
+
+
+def ltv_triangle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("om"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("om").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    aged = o.join(first, "o_custkey").select(
+        "cohort",
+        (
+            (F.year("om") - F.year("cohort")) * 12
+            + (F.month("om") - F.month("cohort"))
+        ).alias("age_months"),
+        "cents",
+    )
+    tri = aged.groupBy("cohort", "age_months").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("CAST(SUM(cents) AS BIGINT)").alias("revenue_c"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tri.withColumn(
+            "cum_revenue_c",
+            F.sum("revenue_c").over(w).cast("bigint"),
+        )
+        .join(sizes, "cohort")
+        .selectExpr(
+            "cohort",
+            "age_months",
+            "n_orders",
+            "revenue_c",
+            "cum_revenue_c",
+            "CAST(cohort_users AS BIGINT) AS cohort_users",
+            f"{exact_round_div_sql('cum_revenue_c', 'cohort_users * 100', 'DIV')}"
+            " AS ltv_per_user_r",
+        )
+    )
+
+
+LTV_SQL = f"""
+WITH o AS (
+  SELECT o_custkey,
+         date_trunc('month', CAST(o_orderdate AS DATE)) AS om,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders
+),
+first AS (
+  SELECT o_custkey, MIN(om) AS cohort FROM o GROUP BY 1
+),
+sizes AS (
+  SELECT cohort, COUNT(*) AS cohort_users FROM first GROUP BY 1
+),
+aged AS (
+  SELECT f.cohort,
+         (date_part('year', o.om) - date_part('year', f.cohort)) * 12
+           + (date_part('month', o.om) - date_part('month', f.cohort))
+           AS age_months,
+         o.cents
+  FROM o JOIN first f USING (o_custkey)
+),
+tri AS (
+  SELECT cohort, age_months,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS revenue_c
+  FROM aged GROUP BY 1, 2
+)
+SELECT t.cohort, t.age_months, t.n_orders, t.revenue_c,
+       CAST(SUM(t.revenue_c) OVER (PARTITION BY t.cohort
+            ORDER BY t.age_months
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_revenue_c,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       {exact_round_div_sql(
+           "CAST(SUM(t.revenue_c) OVER (PARTITION BY t.cohort"
+           " ORDER BY t.age_months"
+           " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+           "s.cohort_users * 100", "//")} AS ltv_per_user_r
+FROM tri t JOIN sizes s USING (cohort)
+"""
+
+REGISTRY["ltv_triangle_orders"] = {
+    "fn": ltv_triangle_orders,
+    "sql": LTV_SQL,
+}
