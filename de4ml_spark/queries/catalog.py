@@ -60,12 +60,15 @@ def _registries() -> list[dict]:
 # BIGINT; the only two decimal-typed results in the whole catalog, and
 # exactly the two red rows — see VERDICT r6) and q16_supplier_cnt
 # (oracle NOT IN -> NOT EXISTS, NULL-semantics parity with the anti-join
-# twin), plus the six NEW round-7 entries (HLL, M4, interpolation
-# gap-fill, chi-square A/B, calibration bins, blocked-Bloom decon); then
+# twin), plus the fourteen NEW round-7 entries (HLL, M4, interpolation
+# gap-fill, chi-square A/B, calibration bins, blocked-Bloom decon,
+# mutual information, PPJoin, association rules, audience overlap,
+# Nelson-Aalen retention, triangle counting, LTV triangle,
+# label-centroid distances); then
 # (2) the stale queue exactly where the round-6 rotation left off —
-# section 1's 14 entries plus dedup_embedding_blocked ..
-# weighted_sample_docs fill the 50 graded slots; the overflow
-# (winnow_fingerprint_docs .. winsorized_price_stats) leads the
+# section 1's 17 entries plus dedup_embedding_blocked ..
+# temperature_mix_rates fill the 50 graded slots; the overflow
+# (text_stats_docs .. winsorized_price_stats) leads the
 # round-8 queue; then
 # (3) round-5-graded evidence, then (4) the 47 entries
 # freshly graded in round 6 at the very back. Everything re-greens
@@ -125,10 +128,10 @@ PRIORITY = [
     "sessionize_events",
     "split_events",
     "temperature_mix_rates",
+    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "text_stats_docs",
     "trailing_7d_revenue",
     "weighted_sample_docs",
-    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "winnow_fingerprint_docs",
     "adaptive_alert_windows",
     "asof_click_view",
