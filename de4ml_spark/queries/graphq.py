@@ -255,6 +255,7 @@ REGISTRY["assoc_rules_parts"] = {
 
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.cache import release_after
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
@@ -327,8 +328,17 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("_total")
     )
     out = (
-        per_node.crossJoin(F.broadcast(total))
-        .selectExpr("node", "n_triangles", "_total AS total_triangles")
+        per_node.join(deg, "node")
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "node",
+            "n_triangles",
+            "CAST(deg AS BIGINT) AS degree",
+            # local clustering coefficient 2T / (d(d-1)), exact half-up
+            f"{exact_round_div_sql('2 * n_triangles', 'deg * (deg - 1)', 'DIV')}"
+            " AS clustering_r",
+            "_total AS total_triangles",
+        )
     )
     return release_after(out, edges)
 
@@ -358,9 +368,19 @@ per_node AS (
   )
   GROUP BY 1
 ),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY 1
+),
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tris)
-SELECT p.node, p.n_triangles, t.total AS total_triangles
-FROM per_node p CROSS JOIN tot t
+SELECT p.node, p.n_triangles,
+       CAST(d.deg AS BIGINT) AS degree,
+       (CAST(((2 * p.n_triangles) * 2000000 + (d.deg * (d.deg - 1))) // (2 * (d.deg * (d.deg - 1))) AS DOUBLE) / 1000000.0) AS clustering_r,
+       t.total AS total_triangles
+FROM per_node p
+JOIN deg d USING (node)
+CROSS JOIN tot t
 """
 
 REGISTRY["triangle_count_parts"] = {
