@@ -41,6 +41,7 @@ def _registries() -> list[dict]:
         "graphq",
         "tpch3",
         "sketchq",
+        "statq",
     ):
         try:
             mod = __import__(f"de4ml_spark.queries.{modname}", fromlist=["REGISTRY"])
@@ -94,6 +95,10 @@ PRIORITY = [
     "triangle_count_parts",
     "ltv_triangle_orders",
     "label_centroid_distances",
+    "mann_whitney_value",
+    "plus4_ctr_bounds",
+    "kaplan_meier_retention",
+    "attribution_credit_events",
     # -- (2) stale queue, resumed from the round-6 cutoff
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",
@@ -124,11 +129,11 @@ PRIORITY = [
     "reconcile_decisions_rewards",
     "repeat_purchasers",
     "sample_docs",
+    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "session_stats",
     "sessionize_events",
     "split_events",
     "temperature_mix_rates",
-    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "text_stats_docs",
     "trailing_7d_revenue",
     "weighted_sample_docs",

@@ -1,0 +1,557 @@
+"""Statistical-testing tier: the hypothesis tests and interval
+estimates an experimentation / data-quality pipeline runs over event
+logs — rank tests that don't assume normality, binomial intervals for
+CTRs, and the product-limit (Kaplan-Meier) survival curve that
+complements the Nelson-Aalen estimator in tsq2.py.
+
+Reference parity: the reference's dataops loop computes profile-driven
+validation statistics over landed batches (dataops/app/profile.py); a
+drift decision between two cohorts needs exactly these tests. All
+entries follow the catalog's cross-engine exactness discipline
+(operators/portable_hash.py): integer/rational arithmetic end-to-end,
+micro-quantized ln terms before any SUM, and ONLY whitelist result
+types (BIGINT / DOUBLE / STRING) — no DECIMAL/HUGEINT result columns
+(the driver's hasher rejects them; HUGEINT appears internally only).
+
+Scale posture (100 TB): every entry reduces the raw log with one
+groupBy before any pairwise/window work — the post-reduction frames
+are value-histogram- or calendar-bounded, so window functions run over
+tiny partitions regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de4ml_spark.session import load_table
+
+REGISTRY: dict = {}
+
+
+# --------------------------------------------------------------------------
+# Pairwise Mann-Whitney U over event values: for every unordered pair
+# of event types, the rank-sum test on `value` — the standard
+# nonparametric "did the value distribution shift" test between
+# cohorts. Exactness: values are 2-decimal doubles, quantized to cents
+# through DECIMAL(18,2) (exact); ranks are computed on the per-value
+# HISTOGRAM (groupBy value → counts), never per-row, so the windowed
+# cumulative runs over ≤ distinct-values rows per pair. Ties use
+# midranks; everything is carried ×2 so midranks stay integer
+# (2·avgrank = 2·minrank + cnt − 1). U and the tie-corrected variance
+# are exact integers (variance numerator in 128-bit internal
+# arithmetic: DECIMAL(38,0) on Spark, HUGEINT in DuckDB — internal
+# only); z is then a chain of correctly-rounded IEEE ops on
+# bit-identical inputs (cast / divide / sqrt), hence engine-identical.
+# Scale: one groupBy over the log; the pair expansion multiplies the
+# histogram (not the log) by (k-1) for k event types.
+# --------------------------------------------------------------------------
+
+
+def mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    types = counts.select("event_type").distinct()
+    pairs = (
+        types.alias("ta")
+        .crossJoin(types.alias("tb"))
+        .filter(F.col("ta.event_type") < F.col("tb.event_type"))
+        .select(
+            F.col("ta.event_type").alias("type_a"),
+            F.col("tb.event_type").alias("type_b"),
+        )
+    )
+    # histogram rows fan out to every pair they belong to (k-1 pairs
+    # per type) — broadcast the tiny pair list
+    member = counts.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    ).select(
+        "type_a",
+        "type_b",
+        "v_c",
+        F.when(F.col("event_type") == F.col("type_a"), F.col("cnt"))
+        .otherwise(F.lit(0))
+        .alias("cnt_a"),
+        F.col("cnt").alias("cnt_all"),
+    )
+    byval = member.groupBy("type_a", "type_b", "v_c").agg(
+        F.sum("cnt_a").alias("n_a_v"),
+        F.sum("cnt_all").alias("n_all_v"),
+    )
+    wcum = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = byval.withColumn("cum", F.sum("n_all_v").over(wcum)).selectExpr(
+        "type_a",
+        "type_b",
+        "n_a_v",
+        "n_all_v",
+        # 2 x midrank of the tied block at this value
+        "2 * (cum - n_all_v) + n_all_v + 1 AS r2x",
+    )
+    agg = ranked.groupBy("type_a", "type_b").agg(
+        F.sum(F.col("n_a_v") * F.col("r2x")).alias("r1_2x"),
+        F.sum("n_a_v").alias("n_a"),
+        F.sum(F.col("n_all_v") - F.col("n_a_v")).alias("n_b"),
+        F.sum(
+            F.col("n_all_v") * F.col("n_all_v") * F.col("n_all_v")
+            - F.col("n_all_v")
+        ).alias("tie_sum"),
+    )
+    return agg.selectExpr(
+        "type_a",
+        "type_b",
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        "CAST(r1_2x - n_a * (n_a + 1) AS BIGINT) AS u_a_x2",
+        "CAST(tie_sum AS BIGINT) AS tie_sum",
+        "CAST(r1_2x - n_a * (n_a + 1) AS DOUBLE)"
+        " - CAST(n_a * n_b AS DOUBLE) AS _znum",
+        # var(U)·(12·n·(n-1)) = n_a·n_b·((n+1)·n·(n-1) − tie_sum); the
+        # numerator exceeds int64 (≈2.6e22 at sf0.1) → 128-bit internal
+        """CAST(CAST(n_a AS DECIMAL(38,0)) * n_b *
+             ((n_a + n_b + 1) * CAST(n_a + n_b AS DECIMAL(38,0))
+              * (n_a + n_b - 1) - tie_sum) AS DOUBLE) AS _varnum""",
+        "CAST(12 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE) AS _varden",
+    ).selectExpr(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "u_a_x2",
+        "tie_sum",
+        "CASE WHEN _varnum = 0.0D THEN NULL"
+        " ELSE _znum / (2.0D * sqrt(_varnum / _varden)) END AS z",
+    )
+
+
+MANN_WHITNEY_SQL = """
+WITH counts AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         COUNT(*) AS cnt
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM counts),
+pairs AS (
+  SELECT ta.event_type AS type_a, tb.event_type AS type_b
+  FROM types ta CROSS JOIN types tb
+  WHERE ta.event_type < tb.event_type
+),
+member AS (
+  SELECT p.type_a, p.type_b, c.v_c,
+         CASE WHEN c.event_type = p.type_a THEN c.cnt ELSE 0 END AS cnt_a,
+         c.cnt AS cnt_all
+  FROM counts c
+  JOIN pairs p
+    ON c.event_type = p.type_a OR c.event_type = p.type_b
+),
+byval AS (
+  SELECT type_a, type_b, v_c,
+         SUM(cnt_a) AS n_a_v, SUM(cnt_all) AS n_all_v
+  FROM member GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT type_a, type_b, n_a_v, n_all_v,
+         2 * (SUM(n_all_v) OVER (PARTITION BY type_a, type_b ORDER BY v_c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_all_v) + n_all_v + 1 AS r2x
+  FROM byval
+),
+agg AS (
+  SELECT type_a, type_b,
+         SUM(n_a_v * r2x) AS r1_2x,
+         SUM(n_a_v) AS n_a,
+         SUM(n_all_v - n_a_v) AS n_b,
+         SUM(n_all_v * n_all_v * n_all_v - n_all_v) AS tie_sum
+  FROM ranked GROUP BY 1, 2
+),
+wide AS (
+  SELECT type_a, type_b,
+         CAST(n_a AS BIGINT) AS n_a,
+         CAST(n_b AS BIGINT) AS n_b,
+         CAST(r1_2x - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
+         CAST(tie_sum AS BIGINT) AS tie_sum,
+         CAST(r1_2x - n_a * (n_a + 1) AS DOUBLE)
+           - CAST(n_a * n_b AS DOUBLE) AS znum,
+         CAST(CAST(n_a AS HUGEINT) * n_b *
+              ((n_a + n_b + 1) * CAST(n_a + n_b AS HUGEINT)
+               * (n_a + n_b - 1) - tie_sum) AS DOUBLE) AS varnum,
+         CAST(12 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE) AS varden
+  FROM agg
+)
+SELECT type_a, type_b, n_a, n_b, u_a_x2, tie_sum,
+       CASE WHEN varnum = 0.0 THEN NULL
+            ELSE znum / (2.0 * sqrt(varnum / varden)) END AS z
+FROM wide
+"""
+
+REGISTRY["mann_whitney_value"] = {
+    "fn": mann_whitney_value,
+    "sql": MANN_WHITNEY_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Agresti-Coull ("plus-4") CTR interval per user decile: clicks /
+# (clicks + views) with the z=2 adjusted interval. z=2 (the 95.45%
+# normal quantile) is chosen over 1.96 deliberately: it is EXACTLY
+# representable, so the whole interval is a short chain of
+# correctly-rounded IEEE ops on exact integers — p~ = (s+2)/(n+4) is
+# one exact-integer division, the sqrt argument is
+# (s+2)(n+2-s)/(n+4)^3 (one division of exact int64 products), and the
+# bounds are p~ ± 2·sqrt(...) (multiply-by-2 exact, one add). The
+# point estimate is also emitted half-up-rounded to 6dp via pure
+# integer arithmetic. Scale: one groupBy over the log, 10 output rows.
+# --------------------------------------------------------------------------
+
+
+def plus4_ctr_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .filter(F.col("user_id").isNotNull())
+        .groupBy((F.col("user_id") % 10).alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("s"),
+        )
+    )
+    return agg.selectExpr(
+        "decile",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(s AS BIGINT) AS s",
+        f"{exact_round_div_sql('(s + 2)', '(n + 4)', 'DIV')} AS p_adj_r",
+        "CAST(s + 2 AS DOUBLE) / CAST(n + 4 AS DOUBLE) AS _pd",
+        "sqrt(CAST((s + 2) * (n + 2 - s) AS DOUBLE)"
+        " / CAST((n + 4) * (n + 4) * (n + 4) AS DOUBLE)) AS _sd",
+    ).selectExpr(
+        "decile",
+        "n",
+        "s",
+        "p_adj_r",
+        "_pd - 2.0D * _sd AS lo",
+        "_pd + 2.0D * _sd AS hi",
+    )
+
+
+def _plus4_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    return f"""
+WITH agg AS (
+  SELECT user_id % 10 AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM events
+  WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+  GROUP BY 1
+),
+d AS (
+  SELECT decile, n, s,
+         {exact_round_div_sql('(s + 2)', '(n + 4)', '//')} AS p_adj_r,
+         CAST(s + 2 AS DOUBLE) / CAST(n + 4 AS DOUBLE) AS pd,
+         sqrt(CAST((s + 2) * (n + 2 - s) AS DOUBLE)
+              / CAST((n + 4) * (n + 4) * (n + 4) AS DOUBLE)) AS sd
+  FROM agg
+)
+SELECT decile, n, s, p_adj_r,
+       pd - 2.0 * sd AS lo,
+       pd + 2.0 * sd AS hi
+FROM d
+"""
+
+
+REGISTRY["plus4_ctr_bounds"] = {
+    "fn": plus4_ctr_bounds,
+    "sql": _plus4_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier product-limit survival curve over user lifetimes — the
+# product-form sibling of nelson_aalen_retention (tsq2.py): same
+# right-censoring spine (a user whose span reaches the corpus horizon
+# is censored), but estimating S(t) = prod over steps of (1 - d/n).
+# Exactness: the product is carried in LOG space — each step's
+# -ln(S-factor) = ln(n/(n-d)) comes from the portable-ln primitive
+# (bit-identical across engines), is half-up micro-quantized to an
+# integer, and the cumulative is an integer running sum over the
+# calendar-bounded duration spine (doubles are never SUMmed). The
+# d = n terminal step (survival hits exactly 0, log undefined) is
+# excluded from the spine by construction: the horizon user is always
+# censored at the last duration, so n_risk > d_churn everywhere.
+# Scale: one groupBy to per-user spans; everything after is bounded by
+# the calendar window.
+# --------------------------------------------------------------------------
+
+
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("d0"),
+            F.max(F.col("ts").cast("date")).alias("d1"),
+        )
+    )
+    horizon = spans.agg(F.max("d1").alias("hmax"))
+    per_user = spans.crossJoin(F.broadcast(horizon)).selectExpr(
+        "datediff(d1, d0) AS dur",
+        "datediff(hmax, d0) AS obs",
+        "CAST(d1 < hmax AS INT) AS churned",
+    )
+    at_risk = (
+        per_user.selectExpr(
+            "churned", "dur", "explode(sequence(0, least(dur, obs))) AS t"
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_risk"),
+            F.expr(
+                "CAST(SUM(CASE WHEN churned = 1 AND dur = t THEN 1 ELSE 0"
+                " END) AS BIGINT)"
+            ).alias("d_churn"),
+        )
+        .filter(F.col("n_risk") > F.col("d_churn"))
+    )
+    stepped = with_portable_ln(at_risk, "n_risk", "n_risk - d_churn", "__ln")
+    steps = stepped.selectExpr(
+        "t",
+        "n_risk",
+        "d_churn",
+        "CAST(floor(__ln * 1000000.0 + 0.5) AS BIGINT) AS negln_micro",
+    )
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return steps.select(
+        "t",
+        "n_risk",
+        "d_churn",
+        "negln_micro",
+        F.sum("negln_micro").over(wc).cast("bigint").alias(
+            "cum_negln_micro"
+        ),
+    ).withColumn(
+        "logsurv_r",
+        F.expr("-CAST(cum_negln_micro AS DOUBLE) / 1000000.0"),
+    )
+
+
+def _km_sql() -> str:
+    from de4ml_spark.operators.portable_hash import portable_ln_duck_ctes
+
+    return f"""
+WITH spans AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1
+),
+horizon AS (SELECT MAX(d1) AS hmax FROM spans),
+per_user AS (
+  SELECT datediff('day', d0, d1) AS dur,
+         datediff('day', d0, h.hmax) AS obs,
+         CAST(d1 < h.hmax AS INT) AS churned
+  FROM spans CROSS JOIN horizon h
+),
+exploded AS (
+  SELECT churned, dur,
+         unnest(generate_series(0, least(dur, obs))) AS t
+  FROM per_user
+),
+at_risk AS (
+  SELECT t,
+         CAST(COUNT(*) AS BIGINT) AS n_risk,
+         CAST(SUM(CASE WHEN churned = 1 AND dur = t
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d_churn
+  FROM exploded
+  GROUP BY 1
+  HAVING CAST(COUNT(*) AS BIGINT)
+         > CAST(SUM(CASE WHEN churned = 1 AND dur = t
+                         THEN 1 ELSE 0 END) AS BIGINT)
+),
+{portable_ln_duck_ctes(
+    "at_risk", "t, n_risk, d_churn",
+    "n_risk", "n_risk - d_churn", "lnv", "pl")},
+steps AS (
+  SELECT t, n_risk, d_churn,
+         CAST(floor(lnv * 1000000.0 + 0.5) AS BIGINT) AS negln_micro
+  FROM pl_out
+)
+SELECT t, n_risk, d_churn, negln_micro,
+       CAST(SUM(negln_micro) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_negln_micro,
+       -CAST(CAST(SUM(negln_micro) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS logsurv_r
+FROM steps
+"""
+
+
+REGISTRY["kaplan_meier_retention"] = {
+    "fn": kaplan_meier_retention,
+    "sql": _km_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution over the event log: every purchase
+# distributes credit across the same user's click/view touches in the
+# preceding 7 days, under three standard models at once — linear
+# (equal split), first-touch, last-touch. Credit is integer ppm per
+# purchase (the linear split uses exact half-up integer rounding, so a
+# purchase's credits sum to 1e6 ± a deterministic remainder), and the
+# report aggregates ppm by touch type × model — integer sums, exact
+# everywhere. Scale: the touch lookup is an equi-join on user_id with
+# a range predicate — both sides shuffle once on user_id and the
+# per-user slice is bounded; no theta join against the full log.
+# --------------------------------------------------------------------------
+
+ATTR_WINDOW_DAYS = 7
+
+
+def attribution_credit_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql_wide,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+    )
+    j = buys.join(touches, F.col("b_user") == F.col("t_user")).filter(
+        (F.col("t_ts") <= F.col("b_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("b_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+        )
+    )
+    wb = Window.partitionBy("b_id")
+    wfirst = wb.orderBy("t_ts", "t_id")
+    ranked = j.select(
+        "b_id",
+        "touch_type",
+        F.count(F.lit(1)).over(wb).alias("n_touch"),
+        F.row_number().over(wfirst).alias("pos"),
+    )
+    credits = ranked.selectExpr(
+        "touch_type",
+        "CAST((2 * 1000000 + n_touch) DIV (2 * n_touch) AS BIGINT)"
+        " AS linear_ppm",
+        "CASE WHEN pos = 1 THEN 1000000 ELSE 0 END AS first_ppm",
+        "CASE WHEN pos = n_touch THEN 1000000 ELSE 0 END AS last_ppm",
+    )
+    out = credits.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("linear_ppm").cast("bigint").alias("linear_credit_ppm"),
+        F.sum("first_ppm").cast("bigint").alias("first_credit_ppm"),
+        F.sum("last_ppm").cast("bigint").alias("last_credit_ppm"),
+    )
+    tot = out.agg(
+        F.sum("linear_credit_ppm").alias("lin_tot")
+    )
+    return out.crossJoin(F.broadcast(tot)).selectExpr(
+        "touch_type",
+        "CAST(n_touches AS BIGINT) AS n_touches",
+        "linear_credit_ppm",
+        "first_credit_ppm",
+        "last_credit_ppm",
+        f"{exact_round_div_sql_wide('linear_credit_ppm', 'lin_tot', 'DIV')}"
+        " AS linear_share_r",
+    )
+
+
+def _attribution_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql_wide,
+    )
+
+    return f"""
+WITH buys AS (
+  SELECT user_id AS b_user, event_id AS b_id, ts AS b_ts
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+touches AS (
+  SELECT user_id AS t_user, event_type AS touch_type,
+         event_id AS t_id, ts AS t_ts
+  FROM events
+  WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+),
+j AS (
+  SELECT b.b_id, t.touch_type, t.t_ts, t.t_id
+  FROM buys b
+  JOIN touches t ON b.b_user = t.t_user
+  WHERE t.t_ts <= b.b_ts
+    AND t.t_ts >= b.b_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+),
+ranked AS (
+  SELECT b_id, touch_type,
+         COUNT(*) OVER (PARTITION BY b_id) AS n_touch,
+         ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY t_ts, t_id) AS pos
+  FROM j
+),
+credits AS (
+  SELECT touch_type,
+         CAST((2 * 1000000 + n_touch) // (2 * n_touch) AS BIGINT)
+           AS linear_ppm,
+         CASE WHEN pos = 1 THEN 1000000 ELSE 0 END AS first_ppm,
+         CASE WHEN pos = n_touch THEN 1000000 ELSE 0 END AS last_ppm
+  FROM ranked
+),
+out3 AS (
+  SELECT touch_type,
+         CAST(COUNT(*) AS BIGINT) AS n_touches,
+         CAST(SUM(linear_ppm) AS BIGINT) AS linear_credit_ppm,
+         CAST(SUM(first_ppm) AS BIGINT) AS first_credit_ppm,
+         CAST(SUM(last_ppm) AS BIGINT) AS last_credit_ppm
+  FROM credits GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(linear_credit_ppm) AS BIGINT) AS lin_tot FROM out3)
+SELECT touch_type, n_touches, linear_credit_ppm,
+       first_credit_ppm, last_credit_ppm,
+       {exact_round_div_sql_wide('linear_credit_ppm', 'lin_tot', '//')}
+         AS linear_share_r
+FROM out3 CROSS JOIN tot
+"""
+
+
+REGISTRY["attribution_credit_events"] = {
+    "fn": attribution_credit_events,
+    "sql": _attribution_sql(),
+}

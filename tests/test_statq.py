@@ -1,0 +1,152 @@
+"""Statistical-test tier: invariants beyond the DuckDB value-hash gate —
+Mann-Whitney U identities against a pure-Python midrank recompute,
+Agresti-Coull bounds bit-equal to Python's IEEE ops, Kaplan-Meier vs
+Nelson-Aalen ordering, and attribution credit conservation."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_mann_whitney_matches_python_midranks(spark):
+    """U for (click, view) must equal a driver-side midrank recompute,
+    and every pair must satisfy the U-range identity 0 <= U <= n_a*n_b."""
+    from de4ml_spark.queries.statq import mann_whitney_value
+    from de4ml_spark.session import load_table
+
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in mann_whitney_value(spark, SF).collect()
+    }
+    assert len(out) == 10  # 5 choose 2 event-type pairs
+
+    ev = load_table(spark, SF, "events")
+    vals = {
+        t: [
+            int(r["v_c"])
+            for r in ev.filter(F.col("event_type") == t)
+            .selectExpr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c"
+            )
+            .collect()
+        ]
+        for t in ("click", "view")
+    }
+    a, b = vals["click"], vals["view"]
+    pooled = sorted(a + b)
+    # midrank ×2 per value: 2*minrank + cnt - 1
+    first = {}
+    cnt = {}
+    for i, v in enumerate(pooled):
+        first.setdefault(v, i + 1)
+        cnt[v] = cnt.get(v, 0) + 1
+    r1_2x = sum(2 * first[v] + cnt[v] - 1 for v in a)
+    u_2x = r1_2x - len(a) * (len(a) + 1)
+
+    row = out[("click", "view")]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["u_a_x2"] == u_2x
+    for r in out.values():
+        assert 0 <= r["u_a_x2"] <= 2 * r["n_a"] * r["n_b"]
+        # z recompute (same IEEE op chain) — exact float equality
+        n = r["n_a"] + r["n_b"]
+        varnum = float(
+            r["n_a"]
+            * r["n_b"]
+            * ((n + 1) * n * (n - 1) - r["tie_sum"])
+        )
+        varden = float(12 * n * (n - 1))
+        znum = float(r["u_a_x2"]) - float(r["n_a"] * r["n_b"])
+        assert r["z"] == znum / (2.0 * math.sqrt(varnum / varden))
+
+
+def test_plus4_bounds_bit_equal_python(spark):
+    """The z=2 Agresti-Coull bounds are a chain of correctly-rounded
+    IEEE ops, so Python must reproduce them bit-for-bit."""
+    from de4ml_spark.queries.statq import plus4_ctr_bounds
+
+    rows = plus4_ctr_bounds(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        n, s = r["n"], r["s"]
+        pd = (s + 2) / (n + 4)
+        sd = math.sqrt((s + 2) * (n + 2 - s) / ((n + 4) ** 3))
+        assert r["lo"] == pd - 2.0 * sd
+        assert r["hi"] == pd + 2.0 * sd
+        assert r["lo"] <= r["p_adj_r"] <= r["hi"]
+
+
+def test_kaplan_meier_dominates_nelson_aalen(spark):
+    """-ln S_KM(t) >= H_NA(t) pointwise (ln(n/(n-d)) >= d/n per step),
+    and both curves are nondecreasing; the spines agree."""
+    from de4ml_spark.queries.statq import kaplan_meier_retention
+    from de4ml_spark.queries.tsq2 import nelson_aalen_retention
+
+    km = {r["t"]: r for r in kaplan_meier_retention(spark, SF).collect()}
+    na = {r["t"]: r for r in nelson_aalen_retention(spark, SF).collect()}
+    assert set(km) == set(na)
+    prev = -1
+    for t in sorted(km):
+        assert km[t]["n_risk"] == na[t]["n_risk"]
+        assert km[t]["d_churn"] == na[t]["d_churn"]
+        # per-step micro-rounding can differ by 1 each way
+        slack = len(km)
+        assert (
+            km[t]["cum_negln_micro"] + slack >= na[t]["cumhaz_micro"]
+        ), t
+        assert km[t]["cum_negln_micro"] >= prev
+        prev = km[t]["cum_negln_micro"]
+        # ln step vs an independent Python portable-ln-free recompute:
+        # within 2e-6 of math.log (quantization + ~2ulp primitive)
+        n, d = km[t]["n_risk"], km[t]["d_churn"]
+        ref = math.log(n / (n - d))
+        assert abs(km[t]["negln_micro"] / 1e6 - ref) < 2e-6
+
+
+def test_attribution_credit_conservation(spark):
+    """Every purchase with >=1 touch hands out exactly 1e6 ppm of
+    first-touch and last-touch credit, and linear credit within
+    n_touch/2 ppm of 1e6 (half-up rounding remainder)."""
+    from de4ml_spark.queries.statq import (
+        ATTR_WINDOW_DAYS,
+        attribution_credit_events,
+    )
+    from de4ml_spark.session import load_table
+
+    out = attribution_credit_events(spark, SF).collect()
+    tot_first = sum(r["first_credit_ppm"] for r in out)
+    tot_last = sum(r["last_credit_ppm"] for r in out)
+    tot_linear = sum(r["linear_credit_ppm"] for r in out)
+
+    ev = load_table(spark, SF, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("b_ts")
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(F.col("user_id").alias("u"), F.col("ts").alias("t_ts"))
+    per_buy = (
+        buys.join(touches, "u")
+        .filter(
+            (F.col("t_ts") <= F.col("b_ts"))
+            & (
+                F.col("t_ts")
+                >= F.col("b_ts")
+                - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+            )
+        )
+        .groupBy("u", "b_ts")
+        .count()
+        .collect()
+    )
+    n_attributed = len(per_buy)
+    assert tot_first == 1_000_000 * n_attributed
+    assert tot_last == 1_000_000 * n_attributed
+    max_remainder = sum(r["count"] // 2 + 1 for r in per_buy)
+    assert abs(tot_linear - 1_000_000 * n_attributed) <= max_remainder
