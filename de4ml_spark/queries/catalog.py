@@ -99,6 +99,8 @@ PRIORITY = [
     "plus4_ctr_bounds",
     "kaplan_meier_retention",
     "attribution_credit_events",
+    "kcore_parts",
+    "jaccard_copurchase_parts",
     # -- (2) stale queue, resumed from the round-6 cutoff
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",
@@ -127,9 +129,9 @@ PRIORITY = [
     "q8_market_share",
     "quality_docs",
     "reconcile_decisions_rewards",
+    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "repeat_purchasers",
     "sample_docs",
-    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "session_stats",
     "sessionize_events",
     "split_events",

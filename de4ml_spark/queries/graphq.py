@@ -27,7 +27,7 @@ src (join) and once on dst (aggregate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from de4ml_spark.session import load_table
@@ -386,4 +386,336 @@ CROSS JOIN tot t
 REGISTRY["triangle_count_parts"] = {
     "fn": triangle_count_parts,
     "sql": TRIANGLE_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition of the co-purchase graph — the standard "dense
+# cohesive subgraph" extraction (peel nodes of degree < k until a fixed
+# point). Threshold choice matters on this topology: co-purchase
+# degrees are tightly concentrated (random-graph-like), so any
+# percentile-of-degree threshold unravels the WHOLE graph in a cascade
+# (measured: k = 60th pctile empties 2000 nodes in 2 rounds at sf0.01).
+# k = (min_degree + median_degree) DIV 2 sits below the concentration
+# band and peels only the sparse tail — nonempty, convergent in <= 3
+# rounds at every test SF (median via deterministic row_number, not an
+# engine-specific quantile); `converged` reports whether the node set
+# was a fixed point at the KCORE_ROUNDS budget. Unlike PageRank's
+# one-join rounds (linear plan growth, safe to leave lazy), each peel
+# round consumes the previous adjacency THREE times (degree agg + two
+# semi-joins), so a lazy unroll grows the logical plan 3^r-fold —
+# measured 42 s of Catalyst analysis for 4 rounds on a 200-node graph.
+# Each round therefore materializes via eager localCheckpoint (the
+# standard checkpoint-interval cure for iterative graph algorithms):
+# plan depth stays one round, and the per-round write is of a frame
+# that only shrinks. Scale: each round shuffles the (shrinking)
+# adjacency once on node id; the surviving-node semi-join sides are
+# node-sets, broadcastable at any corpus size.
+# --------------------------------------------------------------------------
+
+KCORE_ROUNDS = 4
+
+
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    adj = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg0 = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n_nodes = deg0.agg(F.count(F.lit(1)).alias("nn"))
+    wd = Window.orderBy("deg", "u")
+    med = (
+        deg0.withColumn("rn", F.row_number().over(wd))
+        .crossJoin(F.broadcast(n_nodes))
+        .filter(F.expr("rn = CAST((nn + 1) DIV 2 AS INT)"))
+        .select(F.col("deg").alias("med_deg"))
+    )
+    kdf = (
+        deg0.agg(F.min("deg").alias("min_deg"))
+        .crossJoin(F.broadcast(med))
+        .selectExpr("(min_deg + med_deg) DIV 2 AS k_val")
+        .localCheckpoint(eager=True)
+    )
+    cur = adj
+    rounds = []
+    for _ in range(KCORE_ROUNDS):
+        degr = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = (
+            degr.crossJoin(F.broadcast(kdf))
+            .filter(F.col("deg") >= F.col("k_val"))
+            .select("u")
+        )
+        cur = (
+            cur.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(cur)
+    conv = (
+        rounds[-2]
+        .select("u")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("nk_prev"))
+        .crossJoin(
+            rounds[-1]
+            .select("u")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("nk"))
+        )
+        .selectExpr("nk_prev = nk AS converged")
+    )
+    final_deg = cur.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_deg")
+    )
+    out = (
+        final_deg.join(
+            deg0.select("u", F.col("deg").cast("bigint").alias("deg0")),
+            "u",
+        )
+        .crossJoin(F.broadcast(kdf))
+        .crossJoin(F.broadcast(conv))
+        .selectExpr(
+            "u AS node",
+            "deg0",
+            "core_deg",
+            "CAST(k_val AS BIGINT) AS k_val",
+            "converged",
+        )
+    )
+    return release_after(out, adj, deg0)
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    prev = "adj"
+    for r in range(KCORE_ROUNDS):
+        rounds.append(
+            f"""deg{r} AS (
+  SELECT u, COUNT(*) AS deg FROM {prev} GROUP BY 1
+),
+keep{r} AS MATERIALIZED (
+  SELECT u FROM deg{r} CROSS JOIN kdf WHERE deg >= k_val
+),
+adj{r} AS MATERIALIZED (
+  SELECT a.u, a.v FROM {prev} a
+  JOIN keep{r} ku ON a.u = ku.u
+  JOIN keep{r} kv ON a.v = kv.u
+)"""
+        )
+        prev = f"adj{r}"
+    body = ",\n".join(rounds)
+    second, last = f"adj{KCORE_ROUNDS - 2}", f"adj{KCORE_ROUNDS - 1}"
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+adj AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg_init AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM adj GROUP BY 1),
+nn AS (SELECT COUNT(*) AS nn FROM deg_init),
+med AS (
+  SELECT deg AS med_deg FROM (
+    SELECT deg, ROW_NUMBER() OVER (ORDER BY deg, u) AS rn FROM deg_init
+  ) CROSS JOIN nn
+  WHERE rn = CAST((nn + 1) // 2 AS INT)
+),
+kdf AS (
+  SELECT (min_deg + med_deg) // 2 AS k_val
+  FROM (SELECT MIN(deg) AS min_deg FROM deg_init) CROSS JOIN med
+),
+{body},
+conv AS (
+  SELECT (SELECT COUNT(DISTINCT u) FROM {second})
+         = (SELECT COUNT(DISTINCT u) FROM {last}) AS converged
+)
+SELECT f.u AS node,
+       CAST(d.deg AS BIGINT) AS deg0,
+       CAST(f.core_deg AS BIGINT) AS core_deg,
+       CAST(k.k_val AS BIGINT) AS k_val,
+       c.converged
+FROM (SELECT u, COUNT(*) AS core_deg FROM {prev} GROUP BY 1) f
+JOIN deg_init d USING (u)
+CROSS JOIN kdf k
+CROSS JOIN conv c
+"""
+
+
+REGISTRY["kcore_parts"] = {
+    "fn": kcore_parts,
+    "sql": _kcore_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Per-edge Jaccard neighbourhood similarity — link-prediction's
+# canonical score: for each co-purchase edge (u,v), |N(u) ∩ N(v)| /
+# |N(u) ∪ N(v) \ {u,v}|. The intersection count is the number of
+# triangles THROUGH the edge, so the plan reuses the degree-orientation
+# wedge machinery from triangle_count_parts (each triangle explodes
+# into its three canonical edges, grouped per edge) — O(m^1.5) wedge
+# work, no per-pair set materialization. The union size follows from
+# degrees: (du - 1) + (dv - 1) - common. Top JACCARD_TOPK edges by
+# exact half-up ppm score with deterministic (u, v) tie-break.
+# Scale: same posture as triangle counting (the only new stage is a
+# groupBy over triangle corners, bounded by triangle count).
+# --------------------------------------------------------------------------
+
+JACCARD_TOPK = 50
+
+
+def jaccard_copurchase_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.cache import release_after
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+    from de4ml_spark.session import spread
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.selectExpr("u AS node")
+        .unionAll(edges.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .selectExpr(
+            "CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src",
+            "CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst",
+        )
+    )
+    neigh = spread(oriented, "src").groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("ns")
+    )
+    wedges = neigh.select(
+        F.col("src").alias("a"),
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) ->"
+                " transform(slice(ns, i + 2, size(ns)), y ->"
+                " struct(x AS b, y AS c))))"
+            )
+        ).alias("p"),
+    ).select("a", F.col("p.b").alias("b"), F.col("p.c").alias("c"))
+    tris = wedges.join(
+        F.broadcast(edges),
+        (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
+    ).select("a", "b", "c")
+    # each triangle contributes one common-neighbour to each of its
+    # three edges (canonicalized u < v)
+    tri_edges = (
+        tris.selectExpr("least(a, b) AS u", "greatest(a, b) AS v")
+        .unionAll(tris.selectExpr("least(a, c) AS u", "greatest(a, c) AS v"))
+        .unionAll(tris.selectExpr("least(b, c) AS u", "greatest(b, c) AS v"))
+    )
+    common = tri_edges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common")
+    )
+    scored = (
+        edges.join(common, ["u", "v"], "left")
+        .na.fill({"common": 0})
+        .join(du, "u")
+        .join(dv, "v")
+        .selectExpr(
+            "u",
+            "v",
+            "CAST(common AS BIGINT) AS common_neighbors",
+            "CAST(du + dv - 2 - common AS BIGINT) AS union_size",
+            f"""{exact_round_div_sql(
+                'common', 'GREATEST(du + dv - 2 - common, 1)', 'DIV'
+            )} AS jaccard_r""",
+        )
+    )
+    out = scored.orderBy(
+        F.desc("jaccard_r"), F.col("u"), F.col("v")
+    ).limit(JACCARD_TOPK)
+    return release_after(out, edges)
+
+
+def _jaccard_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY 1
+),
+tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tri_edges AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM tris
+  UNION ALL SELECT least(a, c), greatest(a, c) FROM tris
+  UNION ALL SELECT least(b, c), greatest(b, c) FROM tris
+),
+common AS (
+  SELECT u, v, COUNT(*) AS common FROM tri_edges GROUP BY 1, 2
+),
+scored AS (
+  SELECT e.u, e.v,
+         CAST(COALESCE(c.common, 0) AS BIGINT) AS common_neighbors,
+         CAST(d1.deg + d2.deg - 2 - COALESCE(c.common, 0) AS BIGINT)
+           AS union_size,
+         {exact_round_div_sql(
+             'COALESCE(c.common, 0)',
+             'GREATEST(d1.deg + d2.deg - 2 - COALESCE(c.common, 0), 1)',
+             '//',
+         )} AS jaccard_r
+  FROM edges e
+  LEFT JOIN common c ON e.u = c.u AND e.v = c.v
+  JOIN deg d1 ON e.u = d1.node
+  JOIN deg d2 ON e.v = d2.node
+)
+SELECT * FROM scored
+ORDER BY jaccard_r DESC, u, v
+LIMIT {JACCARD_TOPK}
+"""
+
+
+REGISTRY["jaccard_copurchase_parts"] = {
+    "fn": jaccard_copurchase_parts,
+    "sql": _jaccard_sql(),
 }
