@@ -87,7 +87,12 @@ def cmd_pcat(args: argparse.Namespace) -> int:
     spark = _spark()
     df = spark.read.parquet(args.file)
     print(df.columns)
-    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    if args.limit:
+        rows = df.limit(args.limit).collect()
+    else:
+        # full cat streams one partition at a time through the driver
+        # (toLocalIterator) — never an unbounded collect()
+        rows = df.toLocalIterator()
     for row in rows:
         print(tuple(row))
     return 0

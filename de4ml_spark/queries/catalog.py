@@ -42,6 +42,7 @@ def _registries() -> list[dict]:
         "tpch3",
         "sketchq",
         "statq",
+        "mldataq4",
     ):
         try:
             mod = __import__(f"de4ml_spark.queries.{modname}", fromlist=["REGISTRY"])
@@ -101,6 +102,10 @@ PRIORITY = [
     "attribution_credit_events",
     "kcore_parts",
     "jaccard_copurchase_parts",
+    "degree_assortativity_parts",
+    "oof_target_encode_events",
+    "feature_hash_docs",
+    "negative_samples_orders",
     # -- (2) stale queue, resumed from the round-6 cutoff
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",
@@ -125,11 +130,11 @@ PRIORITY = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_waiting_supplier",
+    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "q22_idle_customers",
     "q8_market_share",
     "quality_docs",
     "reconcile_decisions_rewards",
-    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "repeat_purchasers",
     "sample_docs",
     "session_stats",

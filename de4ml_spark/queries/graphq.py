@@ -719,3 +719,113 @@ REGISTRY["jaccard_copurchase_parts"] = {
     "fn": jaccard_copurchase_parts,
     "sql": _jaccard_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph — Pearson correlation
+# of endpoint degrees over the (symmetrized) edge list, the standard
+# "do hubs attach to hubs?" mixing statistic. All five moment sums are
+# exact integers over the directed edge list (each undirected edge
+# counted in both orientations, the textbook convention); the Pearson
+# numerator/denominators are assembled in 128-bit internal arithmetic
+# (m·Σxy overflows int64 once edges × deg² passes ~1e18) and the final
+# r is one correctly-rounded divide of two nearest-double conversions
+# — engine-identical. Scale: the degree join shuffles edges once per
+# endpoint on node id; the moments are a map-side-combinable global
+# aggregate. Single-row result.
+# --------------------------------------------------------------------------
+
+
+def degree_assortativity_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    adj = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u"), F.col("deg").alias("x"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("y"))
+    moments = (
+        adj.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+    )
+    return moments.selectExpr(
+        "m",
+        "sx",
+        "sxy",
+        "sxx",
+        """CAST(CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy
+           AS DOUBLE) AS _num""",
+        """CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+           AS DOUBLE) AS _denx""",
+        """CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy
+           AS DOUBLE) AS _deny""",
+    ).selectExpr(
+        "m",
+        "sx",
+        "sxy",
+        "sxx",
+        "CASE WHEN _denx = 0.0D OR _deny = 0.0D THEN NULL"
+        " ELSE _num / sqrt(_denx * _deny) END AS assortativity_r",
+    )
+
+
+DEGREE_ASSORT_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+adj AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY 1),
+moments AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(dx.deg) AS BIGINT) AS sx,
+         CAST(SUM(dy.deg) AS BIGINT) AS sy,
+         CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx,
+         CAST(SUM(dy.deg * dy.deg) AS BIGINT) AS syy,
+         CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy
+  FROM adj
+  JOIN deg dx ON adj.u = dx.u
+  JOIN deg dy ON adj.v = dy.u
+),
+wide AS (
+  SELECT m, sx, sxy, sxx,
+         CAST(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+              AS DOUBLE) AS num,
+         CAST(CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+              AS DOUBLE) AS denx,
+         CAST(CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+              AS DOUBLE) AS deny
+  FROM moments
+)
+SELECT m, sx, sxy, sxx,
+       CASE WHEN denx = 0.0 OR deny = 0.0 THEN NULL
+            ELSE num / sqrt(denx * deny) END AS assortativity_r
+FROM wide
+"""
+
+REGISTRY["degree_assortativity_parts"] = {
+    "fn": degree_assortativity_parts,
+    "sql": DEGREE_ASSORT_SQL,
+}

@@ -1,0 +1,341 @@
+"""Training-data feature engineering tier 4: leakage-safe target
+encoding, the feature-hashing trick, and deterministic negative
+sampling — the supervised-learning data-prep steps that sit right
+after the dedup/quality/split stages (mldataq*.py) in a real pipeline.
+
+Exactness discipline as everywhere (operators/portable_hash.py):
+deterministic md5-based hashing for fold/bucket/candidate assignment,
+integer cents for the target, exact half-up rational rounding for any
+reported ratio, and whitelist-only result types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de4ml_spark.session import load_table
+
+REGISTRY: dict = {}
+
+
+# --------------------------------------------------------------------------
+# Out-of-fold target encoding of event_type against the value target:
+# the standard leakage-safe categorical encoder — each fold's encoding
+# for a category is the target mean over the OTHER folds, so a row
+# never contributes to its own feature. Folds come from a seeded
+# md5 hash of user_id (grouping by user, not row, so one user's events
+# never straddle the train/apply boundary of their own encoding).
+# Exact: per-(category, fold) sums in integer cents, the leave-one-
+# fold-out mean as exact half-up integer rounding; NULL when a fold
+# holds the category's entire mass (NULLIF guard, no 0-division).
+# Scale: one groupBy on (category, fold); the leave-one-out subtraction
+# joins the 25-row frame against the 5-row category totals — broadcast.
+# --------------------------------------------------------------------------
+
+OOF_FOLDS = 5
+
+
+def oof_target_encode_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql,
+        phash_spark_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    fold_hash = phash_spark_sql("CONCAT('oof:', CAST(user_id AS STRING))")
+    per_fold = (
+        ev.selectExpr(
+            "event_type",
+            f"{fold_hash} % {OOF_FOLDS} AS fold",
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c",
+        )
+        .groupBy("event_type", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_fold"),
+            F.sum("v_c").alias("sum_in_fold"),
+        )
+    )
+    totals = per_fold.groupBy("event_type").agg(
+        F.sum("n_in_fold").alias("n_tot"),
+        F.sum("sum_in_fold").alias("sum_tot"),
+    )
+    return per_fold.join(F.broadcast(totals), "event_type").selectExpr(
+        "event_type",
+        "CAST(fold AS BIGINT) AS fold",
+        "CAST(n_in_fold AS BIGINT) AS n_in_fold",
+        "CAST(n_tot - n_in_fold AS BIGINT) AS n_oof",
+        "CAST(sum_tot - sum_in_fold AS BIGINT) AS sum_oof_c",
+        # mean cents over the other folds; NULL if this fold is all of
+        # the category (cannot encode without leaking)
+        f"""CASE WHEN n_tot = n_in_fold THEN NULL
+            ELSE {exact_round_div_sql(
+                '(sum_tot - sum_in_fold)', '(n_tot - n_in_fold)', 'DIV', 2
+            )} END AS enc_oof_r""",
+    )
+
+
+def _oof_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql,
+        phash_duck_sql,
+    )
+
+    return f"""
+WITH per_fold AS (
+  SELECT event_type,
+         {phash_duck_sql("CONCAT('oof:', CAST(user_id AS VARCHAR))")}
+           % {OOF_FOLDS} AS fold,
+         CAST(COUNT(*) AS BIGINT) AS n_in_fold,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS sum_in_fold
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type,
+         CAST(SUM(n_in_fold) AS BIGINT) AS n_tot,
+         CAST(SUM(sum_in_fold) AS BIGINT) AS sum_tot
+  FROM per_fold GROUP BY 1
+)
+SELECT p.event_type,
+       CAST(p.fold AS BIGINT) AS fold,
+       p.n_in_fold,
+       CAST(t.n_tot - p.n_in_fold AS BIGINT) AS n_oof,
+       CAST(t.sum_tot - p.sum_in_fold AS BIGINT) AS sum_oof_c,
+       CASE WHEN t.n_tot = p.n_in_fold THEN NULL
+            ELSE {exact_round_div_sql(
+                '(t.sum_tot - p.sum_in_fold)',
+                '(t.n_tot - p.n_in_fold)', '//', 2
+            )} END AS enc_oof_r
+FROM per_fold p JOIN totals t USING (event_type)
+"""
+
+
+REGISTRY["oof_target_encode_events"] = {
+    "fn": oof_target_encode_events,
+    "sql": _oof_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Feature-hashing (hashing-trick) collision audit over the document
+# corpus: every token maps to bucket md5(token) % FH_BUCKETS — the
+# fixed-width sparse featurization used when the vocabulary is too
+# large to enumerate — and the report shows per-bucket load:
+# occurrences, distinct tokens (collision degree), and document reach.
+# This is the audit a pipeline runs to size the hash space (collision
+# degree ≫ 1 on hot buckets ⇒ widen). Map-only until the final
+# groupBy on the bucket id; the distinct-token count aggregates the
+# (bucket, token) pairs, bounded by vocabulary, not corpus.
+# --------------------------------------------------------------------------
+
+FH_BUCKETS = 64
+
+
+def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import phash_spark_sql
+    from de4ml_spark.operators.text import tokens
+    from de4ml_spark.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.selectExpr(
+        "doc_id",
+        "tok",
+        f"{phash_spark_sql('tok')} % {FH_BUCKETS} AS bucket",
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("tok").cast("bigint").alias("n_tokens"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .selectExpr(
+            "CAST(bucket AS BIGINT) AS bucket",
+            "n_occurrences",
+            "n_tokens",
+            "n_docs",
+        )
+    )
+
+
+def _feature_hash_sql() -> str:
+    from de4ml_spark.operators.portable_hash import phash_duck_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, tok,
+         {phash_duck_sql('tok')} % {FH_BUCKETS} AS bucket
+  FROM toks WHERE tok <> ''
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM hashed
+GROUP BY 1
+"""
+
+
+REGISTRY["feature_hash_docs"] = {
+    "fn": feature_hash_docs,
+    "sql": _feature_hash_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Deterministic negative sampling for recommender training: for the
+# NEG_USERS most active customers, draw NEG_K parts the customer has
+# NOT purchased. Candidates come from a seeded hash walk
+# (md5(custkey, i) % |parts| for i = 1..NEG_TRIES), positives are
+# removed with an anti-join against the customer's purchase set, and
+# the first NEG_K surviving candidates (by draw index, duplicates
+# dropped on first occurrence) are kept — fully deterministic, no RNG
+# state, reproducible on any cluster layout. Scale: candidate
+# generation is a map-side explode (users × NEG_TRIES rows); the
+# anti-join shuffles on (custkey, partkey) against the purchase set —
+# both sides key-partitioned, nothing quadratic. NEG_TRIES is sized so
+# the chance of fewer than NEG_K survivors is negligible (purchase
+# sets ≪ part space), and the emitted n_drawn lets the consumer see
+# any shortfall.
+# --------------------------------------------------------------------------
+
+NEG_USERS = 20
+NEG_K = 5
+NEG_TRIES = 24
+
+
+def negative_samples_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import phash_spark_sql
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = load_table(spark, sf_dir, "part")
+    np_ = parts.agg(F.count(F.lit(1)).alias("n_parts"))
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.col("o_custkey"))
+        .limit(NEG_USERS)
+    )
+    positives = (
+        orders.join(top.select("o_custkey"), "o_custkey")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+    )
+    cand = (
+        top.select(F.col("o_custkey").alias("custkey"))
+        .crossJoin(F.broadcast(np_))
+        .selectExpr(
+            "custkey",
+            "n_parts",
+            f"explode(sequence(1, {NEG_TRIES})) AS i",
+        )
+        .selectExpr(
+            "custkey",
+            "i",
+            f"""{phash_spark_sql(
+                "CONCAT('neg:', CAST(custkey AS STRING), ':',"
+                " CAST(i AS STRING))"
+            )} % n_parts + 1 AS partkey""",
+        )
+    )
+    # drop duplicate candidate parts for a user (keep first draw),
+    # then remove positives and keep the first NEG_K survivors
+    wdup = Window.partitionBy("custkey", "partkey").orderBy("i")
+    dedup = cand.withColumn("rn", F.row_number().over(wdup)).filter(
+        F.col("rn") == 1
+    )
+    neg = dedup.join(positives, ["custkey", "partkey"], "left_anti")
+    wk = Window.partitionBy("custkey").orderBy("i")
+    return (
+        neg.withColumn("draw_rank", F.row_number().over(wk))
+        .filter(F.col("draw_rank") <= NEG_K)
+        .selectExpr(
+            "custkey",
+            "CAST(draw_rank AS BIGINT) AS draw_rank",
+            "CAST(i AS BIGINT) AS i",
+            "CAST(partkey AS BIGINT) AS partkey",
+        )
+    )
+
+
+def _neg_sql() -> str:
+    from de4ml_spark.operators.portable_hash import phash_duck_sql
+
+    return f"""
+WITH np AS (SELECT COUNT(*) AS n_parts FROM part),
+top AS (
+  SELECT o_custkey AS custkey
+  FROM orders GROUP BY 1
+  ORDER BY COUNT(*) DESC, o_custkey
+  LIMIT {NEG_USERS}
+),
+positives AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+  FROM orders o
+  JOIN top t ON o.o_custkey = t.custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+cand AS (
+  SELECT t.custkey, i,
+         {phash_duck_sql(
+             "CONCAT('neg:', CAST(t.custkey AS VARCHAR), ':',"
+             " CAST(i AS VARCHAR))"
+         )} % np.n_parts + 1 AS partkey
+  FROM top t
+  CROSS JOIN np
+  CROSS JOIN (SELECT unnest(generate_series(1, {NEG_TRIES})) AS i)
+),
+dedup AS (
+  SELECT custkey, i, partkey
+  FROM (
+    SELECT custkey, i, partkey,
+           ROW_NUMBER() OVER (PARTITION BY custkey, partkey ORDER BY i)
+             AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT d.custkey, d.i, d.partkey
+  FROM dedup d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM positives p
+    WHERE p.custkey = d.custkey AND p.partkey = d.partkey
+  )
+)
+SELECT custkey,
+       CAST(draw_rank AS BIGINT) AS draw_rank,
+       CAST(i AS BIGINT) AS i,
+       CAST(partkey AS BIGINT) AS partkey
+FROM (
+  SELECT custkey, i, partkey,
+         ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY i) AS draw_rank
+  FROM neg
+)
+WHERE draw_rank <= {NEG_K}
+"""
+
+
+REGISTRY["negative_samples_orders"] = {
+    "fn": negative_samples_orders,
+    "sql": _neg_sql(),
+}
