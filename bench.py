@@ -90,6 +90,11 @@ HEADLINE = [
     "gapfill_interp_user_daily",
     "ltv_triangle_orders",
     "label_centroid_distances",
+    # late-round-7 additions: stat tests, edge similarity, feature prep
+    "mann_whitney_value",
+    "jaccard_copurchase_parts",
+    "oof_target_encode_events",
+    "feature_hash_docs",
 ]
 
 

@@ -681,3 +681,19 @@ def test_hll_register_frame_bounded(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the only nested-loop is the broadcast 64-row bucket grid
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_jaccard_wedge_plan_no_cartesian(spark, sf_dir):
+    """Per-edge Jaccard must keep the triangle machinery's shape: wedges
+    explode map-side from collected neighbour arrays (Generate), the
+    closing edge probes a broadcast — never a cartesian/nested-loop
+    pair enumeration."""
+    from de4ml_spark.cache import no_release
+    from de4ml_spark.queries.graphq import jaccard_copurchase_parts
+
+    with no_release():
+        plan = _plan(jaccard_copurchase_parts(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # map-side wedge enumeration
+    assert "BroadcastHashJoin" in plan  # closing-edge probe
