@@ -106,6 +106,8 @@ PRIORITY = [
     "oof_target_encode_events",
     "feature_hash_docs",
     "negative_samples_orders",
+    "mase_seasonal_events",
+    "conformal_bound_events",
     # -- (2) stale queue, resumed from the round-6 cutoff
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",
@@ -128,9 +130,9 @@ PRIORITY = [
     "profile_drift_events",
     "q12_ship_delay_priority",
     "q15_top_supplier",
+    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "q17_small_quantity_revenue",
     "q21_waiting_supplier",
-    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "q22_idle_customers",
     "q8_market_share",
     "quality_docs",

@@ -555,3 +555,252 @@ REGISTRY["attribution_credit_events"] = {
     "fn": attribution_credit_events,
     "sql": _attribution_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# MASE forecast evaluation of the seasonal-naive model: per event type,
+# forecast each day's total as the SAME WEEKDAY LAST WEEK (lag 7) and
+# scale its MAE by the one-day-naive MAE (lag 1) — the standard
+# scale-free forecast-accuracy metric (Hyndman-Koehler). Both error
+# sums are exact integer cents over the same eval days (days where
+# both lags exist and are calendar-adjacent, checked with datediff, so
+# a gap day invalidates the lag instead of silently comparing across
+# it); MASE < 1 ⇔ weekly seasonality beats persistence. The ratio is
+# one exact half-up rounding of BIGINT sums (equal eval sets make the
+# n's cancel). Scale: one groupBy to the per-(type, day) frame;
+# windows run inside tiny per-type partitions.
+# --------------------------------------------------------------------------
+
+
+def mase_seasonal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql_wide,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("_v")
+    ).selectExpr(
+        "event_type", "day", "CAST(_v * 100 AS BIGINT) AS v_c"
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "v_c",
+        F.lag("v_c", 1).over(w).alias("v1"),
+        F.lag("day", 1).over(w).alias("d1"),
+        F.lag("v_c", 7).over(w).alias("v7"),
+        F.lag("day", 7).over(w).alias("d7"),
+    ).filter(
+        "v1 IS NOT NULL AND v7 IS NOT NULL"
+        " AND datediff(day, d1) = 1 AND datediff(day, d7) = 7"
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.abs(F.col("v_c") - F.col("v7")))
+        .cast("bigint")
+        .alias("sum_abs_err_c"),
+        F.sum(F.abs(F.col("v_c") - F.col("v1")))
+        .cast("bigint")
+        .alias("sum_abs_naive_c"),
+    ).selectExpr(
+        "event_type",
+        "n_days",
+        "sum_abs_err_c",
+        "sum_abs_naive_c",
+        f"""CASE WHEN sum_abs_naive_c = 0 THEN NULL
+            ELSE {exact_round_div_sql_wide(
+                'sum_abs_err_c', 'sum_abs_naive_c', 'DIV'
+            )} END AS mase_r""",
+    )
+
+
+def _mase_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql_wide,
+    )
+
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              * 100 AS BIGINT) AS v_c
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, v_c,
+         LAG(v_c, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+         LAG(day, 1) OVER (PARTITION BY event_type ORDER BY day) AS d1,
+         LAG(v_c, 7) OVER (PARTITION BY event_type ORDER BY day) AS v7,
+         LAG(day, 7) OVER (PARTITION BY event_type ORDER BY day) AS d7
+  FROM daily
+),
+ok AS (
+  SELECT * FROM lagged
+  WHERE v1 IS NOT NULL AND v7 IS NOT NULL
+    AND datediff('day', d1, day) = 1 AND datediff('day', d7, day) = 7
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(v_c - v7)) AS BIGINT) AS sum_abs_err_c,
+       CAST(SUM(ABS(v_c - v1)) AS BIGINT) AS sum_abs_naive_c,
+       CASE WHEN CAST(SUM(ABS(v_c - v1)) AS BIGINT) = 0 THEN NULL
+            ELSE {exact_round_div_sql_wide(
+                'CAST(SUM(ABS(v_c - v7)) AS BIGINT)',
+                'CAST(SUM(ABS(v_c - v1)) AS BIGINT)', '//'
+            )} END AS mase_r
+FROM ok GROUP BY 1
+"""
+
+
+REGISTRY["mase_seasonal_events"] = {
+    "fn": mase_seasonal_events,
+    "sql": _mase_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction bound per event type: train a point
+# predictor on the first half of the month (per-type mean value,
+# exact-half-up cents), take absolute residuals on the held-out
+# calibration half, and report the ceil(0.9·(n+1))-th smallest
+# residual — the distribution-free 90% conformal radius (Vovk; the
+# finite-sample (n+1) correction included). Rank selection uses a
+# deterministic (residual, event_id) order so ties cannot flip the
+# bound between engines; empirical coverage on the calibration split
+# is reported as an exact rational. Scale: one groupBy for the means,
+# one per-type window rank over calibration rows only.
+# --------------------------------------------------------------------------
+
+CONF_SPLIT_DAY = 16
+CONF_LEVEL_NUM = 9  # 0.9 coverage as an exact rational 9/10
+CONF_LEVEL_DEN = 10
+
+
+def conformal_bound_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cents = ev.selectExpr(
+        "event_type",
+        "event_id",
+        "dayofmonth(ts) AS dom",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c",
+    )
+    train = cents.filter(F.col("dom") < CONF_SPLIT_DAY)
+    pred = train.groupBy("event_type").agg(
+        F.expr(
+            "CAST((2 * SUM(v_c) + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("pred_c")
+    )
+    calib = (
+        cents.filter(F.col("dom") >= CONF_SPLIT_DAY)
+        .join(F.broadcast(pred), "event_type")
+        .selectExpr(
+            "event_type", "event_id", "pred_c",
+            "ABS(v_c - pred_c) AS resid_c",
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("resid_c", "event_id")
+    ranked = calib.select(
+        "event_type",
+        "pred_c",
+        "resid_c",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_calib"),
+    )
+    bound = ranked.filter(
+        F.expr(
+            f"rk = CAST(((n_calib + 1) * {CONF_LEVEL_NUM}"
+            f" + {CONF_LEVEL_DEN} - 1) DIV {CONF_LEVEL_DEN} AS INT)"
+        )
+    ).selectExpr(
+        "event_type",
+        "pred_c",
+        "CAST(n_calib AS BIGINT) AS n_calib",
+        "resid_c AS bound_c",
+    )
+    covered = (
+        calib.join(F.broadcast(bound.select("event_type", "bound_c")),
+                   "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr("CAST(resid_c <= bound_c AS BIGINT)")
+            ).alias("n_within")
+        )
+    )
+    return bound.join(covered, "event_type").selectExpr(
+        "event_type",
+        "n_calib",
+        "pred_c",
+        "bound_c",
+        "CAST(n_within AS BIGINT) AS n_within",
+        f"{exact_round_div_sql('n_within', 'n_calib', 'DIV')}"
+        " AS coverage_r",
+    )
+
+
+def _conformal_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    return f"""
+WITH cents AS (
+  SELECT event_type, event_id, date_part('day', ts) AS dom,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+  FROM events WHERE value IS NOT NULL
+),
+pred AS (
+  SELECT event_type,
+         CAST((2 * SUM(v_c) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS pred_c
+  FROM cents WHERE dom < {CONF_SPLIT_DAY} GROUP BY 1
+),
+calib AS (
+  SELECT c.event_type, c.event_id, p.pred_c,
+         ABS(c.v_c - p.pred_c) AS resid_c
+  FROM cents c JOIN pred p USING (event_type)
+  WHERE c.dom >= {CONF_SPLIT_DAY}
+),
+ranked AS (
+  SELECT event_type, pred_c, resid_c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY resid_c, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_calib
+  FROM calib
+),
+bound AS (
+  SELECT event_type, pred_c,
+         CAST(n_calib AS BIGINT) AS n_calib,
+         resid_c AS bound_c
+  FROM ranked
+  WHERE rk = CAST(((n_calib + 1) * {CONF_LEVEL_NUM}
+                   + {CONF_LEVEL_DEN} - 1) // {CONF_LEVEL_DEN} AS INT)
+),
+covered AS (
+  SELECT c.event_type,
+         CAST(SUM(CASE WHEN c.resid_c <= b.bound_c THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_within
+  FROM calib c JOIN bound b USING (event_type)
+  GROUP BY 1
+)
+SELECT b.event_type, b.n_calib, b.pred_c, b.bound_c, v.n_within,
+       {exact_round_div_sql('v.n_within', 'b.n_calib', '//')}
+         AS coverage_r
+FROM bound b JOIN covered v ON b.event_type = v.event_type
+"""
+
+
+REGISTRY["conformal_bound_events"] = {
+    "fn": conformal_bound_events,
+    "sql": _conformal_sql(),
+}

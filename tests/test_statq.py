@@ -6,6 +6,7 @@ Nelson-Aalen ordering, and attribution credit conservation."""
 from __future__ import annotations
 
 import math
+from collections import defaultdict
 
 from pyspark.sql import functions as F
 
@@ -150,3 +151,90 @@ def test_attribution_credit_conservation(spark):
     assert tot_last == 1_000_000 * n_attributed
     max_remainder = sum(r["count"] // 2 + 1 for r in per_buy)
     assert abs(tot_linear - 1_000_000 * n_attributed) <= max_remainder
+
+
+def test_mase_matches_python_recompute(spark):
+    """Seasonal-naive and persistence error sums recomputed exactly
+    from the daily totals."""
+    from de4ml_spark.queries.statq import mase_seasonal_events
+    from de4ml_spark.session import load_table
+
+    daily = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))"
+                " AS DECIMAL(38,2)) * 100 AS BIGINT)"
+            ).alias("v_c")
+        )
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], {})[r["day"]] = r["v_c"]
+    import datetime
+
+    want = {}
+    for t, by_day in series.items():
+        e7 = e1 = n = 0
+        for d, v in by_day.items():
+            d1, d7 = (
+                d - datetime.timedelta(days=1),
+                d - datetime.timedelta(days=7),
+            )
+            if d1 in by_day and d7 in by_day:
+                n += 1
+                e7 += abs(v - by_day[d7])
+                e1 += abs(v - by_day[d1])
+        want[t] = (n, e7, e1)
+    got = {r["event_type"]: r for r in mase_seasonal_events(spark, SF).collect()}
+    assert set(got) == {t for t, w in want.items() if w[0] > 0}
+    for t, r in got.items():
+        n, e7, e1 = want[t]
+        assert (r["n_days"], r["sum_abs_err_c"], r["sum_abs_naive_c"]) == (
+            n,
+            e7,
+            e1,
+        )
+
+
+def test_conformal_bound_rank_and_coverage(spark):
+    """The bound is the ceil(0.9(n+1))-th smallest residual and the
+    reported coverage counts match a direct recompute; coverage is at
+    least the nominal level whenever n_calib admits it."""
+    from de4ml_spark.queries.statq import (
+        CONF_LEVEL_DEN,
+        CONF_LEVEL_NUM,
+        CONF_SPLIT_DAY,
+        conformal_bound_events,
+    )
+    from de4ml_spark.session import load_table
+
+    ev = load_table(spark, SF, "events").selectExpr(
+        "event_type",
+        "event_id",
+        "dayofmonth(ts) AS dom",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c",
+    ).collect()
+    train = defaultdict(list)
+    calib = defaultdict(list)
+    for r in ev:
+        (train if r["dom"] < CONF_SPLIT_DAY else calib)[
+            r["event_type"]
+        ].append((r["v_c"], r["event_id"]))
+    got = {r["event_type"]: r for r in conformal_bound_events(spark, SF).collect()}
+    for t, rows in calib.items():
+        s = sum(v for v, _ in train[t])
+        c = len(train[t])
+        pred = (2 * s + c) // (2 * c)
+        resid = sorted((abs(v - pred), eid) for v, eid in rows)
+        n = len(resid)
+        rk = ((n + 1) * CONF_LEVEL_NUM + CONF_LEVEL_DEN - 1) // CONF_LEVEL_DEN
+        r = got[t]
+        assert r["pred_c"] == pred
+        assert r["n_calib"] == n
+        assert r["bound_c"] == resid[rk - 1][0]
+        within = sum(1 for x, _ in resid if x <= r["bound_c"])
+        assert r["n_within"] == within
+        assert within * CONF_LEVEL_DEN >= n * CONF_LEVEL_NUM
