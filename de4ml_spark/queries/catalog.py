@@ -108,6 +108,8 @@ PRIORITY = [
     "negative_samples_orders",
     "mase_seasonal_events",
     "conformal_bound_events",
+    "changepoint_value_events",
+    "loso_source_influence_docs",
     # -- (2) stale queue, resumed from the round-6 cutoff
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",
@@ -128,9 +130,9 @@ PRIORITY = [
     "parse_event_props",
     "pii_scrub_docs",
     "profile_drift_events",
+    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "q12_ship_delay_priority",
     "q15_top_supplier",
-    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "q17_small_quantity_revenue",
     "q21_waiting_supplier",
     "q22_idle_customers",

@@ -339,3 +339,96 @@ REGISTRY["negative_samples_orders"] = {
     "fn": negative_samples_orders,
     "sql": _neg_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Leave-one-source-out (LOSO) corpus influence: for every document
+# source, how the corpus-level mean document length moves when that
+# source is removed — the cheapest member of the data-valuation family
+# (the sign/magnitude screen run before committing to expensive
+# influence functions). delta = (T−T_s)/(N−N_s) − T/N is assembled as
+# ONE exact 128-bit rational ((T−T_s)·N − T·(N−N_s)) / (N·(N−N_s)) and
+# half-up rounded — no floating subtraction of two nearby means (which
+# would cancel catastrophically AND round differently per engine).
+# Scale: one groupBy per source + a broadcast single-row total; output
+# is |sources| rows.
+# --------------------------------------------------------------------------
+
+
+def loso_source_influence_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql,
+        exact_round_div_sql_wide,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("n_chars").alias("t_s"),
+    )
+    tot = per_src.agg(
+        F.sum("n_s").alias("n"), F.sum("t_s").alias("t")
+    )
+    j = per_src.crossJoin(F.broadcast(tot)).filter("n > n_s")
+    return j.selectExpr(
+        "source",
+        "CAST(n_s AS BIGINT) AS n_docs",
+        "CAST(t_s AS BIGINT) AS sum_chars",
+        f"{exact_round_div_sql('t_s', 'n_s', 'DIV', 2)} AS mean_chars_r",
+        # signed exact rational: the numerator's sign decides direction
+        f"""CASE WHEN (t - t_s) * CAST(n AS DECIMAL(38,0))
+                  >= CAST(t AS DECIMAL(38,0)) * (n - n_s)
+            THEN {exact_round_div_sql_wide(
+                '((t - t_s) * CAST(n AS DECIMAL(38,0))'
+                ' - CAST(t AS DECIMAL(38,0)) * (n - n_s))',
+                '(CAST(n AS DECIMAL(38,0)) * (n - n_s))', 'DIV')}
+            ELSE -{exact_round_div_sql_wide(
+                '(CAST(t AS DECIMAL(38,0)) * (n - n_s)'
+                ' - (t - t_s) * CAST(n AS DECIMAL(38,0)))',
+                '(CAST(n AS DECIMAL(38,0)) * (n - n_s))', 'DIV')}
+            END AS delta_mean_r""",
+    )
+
+
+def _loso_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql,
+        exact_round_div_sql_wide,
+    )
+
+    return f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+         CAST(SUM(n_chars) AS BIGINT) AS t_s
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS n, CAST(SUM(t_s) AS BIGINT) AS t
+  FROM per_src
+)
+SELECT source,
+       n_s AS n_docs,
+       t_s AS sum_chars,
+       {exact_round_div_sql('t_s', 'n_s', '//', 2)} AS mean_chars_r,
+       CASE WHEN (t - t_s) * CAST(n AS HUGEINT)
+                 >= CAST(t AS HUGEINT) * (n - n_s)
+       THEN {exact_round_div_sql_wide(
+           '((t - t_s) * CAST(n AS HUGEINT)'
+           ' - CAST(t AS HUGEINT) * (n - n_s))',
+           '(CAST(n AS HUGEINT) * (n - n_s))', '//')}
+       ELSE -{exact_round_div_sql_wide(
+           '(CAST(t AS HUGEINT) * (n - n_s)'
+           ' - (t - t_s) * CAST(n AS HUGEINT))',
+           '(CAST(n AS HUGEINT) * (n - n_s))', '//')}
+       END AS delta_mean_r
+FROM per_src CROSS JOIN tot
+WHERE n > n_s
+"""
+
+
+REGISTRY["loso_source_influence_docs"] = {
+    "fn": loso_source_influence_docs,
+    "sql": _loso_sql(),
+}

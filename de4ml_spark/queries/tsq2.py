@@ -1237,3 +1237,191 @@ REGISTRY["ltv_triangle_orders"] = {
     "fn": ltv_triangle_orders,
     "sql": LTV_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Single changepoint detection per event type (binary segmentation,
+# level-shift model): choose the split day minimizing total within-
+# segment squared error over the daily cents series. SSE comparisons
+# happen on EXACT integers — each candidate's scaled objective is
+# n_l·n_r·(SSE_l·n_r + SSE_r·n_l) cross-multiplied into a common
+# denominator in 128-bit internal arithmetic (SSE·n = n·Σx² − (Σx)² is
+# itself integer), so the argmin cannot flip between engines on a
+# last-ulp tie; day ties break to the earliest split. Means and the
+# variance-reduction ratio are reported as exact half-up rationals.
+# Scale: the candidate enumeration is a prefix-sum window over the
+# per-type DAILY frame (calendar-bounded) — the raw log is reduced by
+# one groupBy first; nothing quadratic in events.
+# --------------------------------------------------------------------------
+
+
+def changepoint_value_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql,
+        exact_round_div_sql_wide,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))"
+            " AS DECIMAL(38,2)) * 100 AS BIGINT)"
+        ).alias("v_c")
+    )
+    wall = Window.partitionBy("event_type")
+    wcum = wall.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("v_c").over(wcum).alias("sl"),
+        F.sum(F.expr("CAST(v_c AS DECIMAL(38,0)) * v_c"))
+        .over(wcum)
+        .alias("ql"),
+        F.count(F.lit(1)).over(wcum).alias("nl"),
+        F.sum("v_c").over(wall).alias("st"),
+        F.sum(F.expr("CAST(v_c AS DECIMAL(38,0)) * v_c"))
+        .over(wall)
+        .alias("qt"),
+        F.count(F.lit(1)).over(wall).alias("nt"),
+    ).filter("nl >= 1 AND nl < nt")
+    # scaled objective on a common denominator: nl*nr*(SSEl*nr + SSEr*nl)
+    # is wrong-way; the common-denominator total is
+    # (SSEl/nl + SSEr/nr) * nl * nr = SSEl*nr + SSEr*nl  (all integer)
+    cand = pre.selectExpr(
+        "event_type",
+        "day",
+        "sl",
+        "nl",
+        "st - sl AS sr",
+        "qt - ql AS qr",
+        "nt - nl AS nr",
+        "st",
+        "nt",
+        "qt",
+        """CAST(nl AS DECIMAL(38,0)) * ql - CAST(sl AS DECIMAL(38,0)) * sl
+           AS ssel_n""",
+        """CAST(nt - nl AS DECIMAL(38,0)) * (qt - ql)
+           - CAST(st - sl AS DECIMAL(38,0)) * (st - sl) AS sser_n""",
+    ).selectExpr(
+        "event_type",
+        "day",
+        "sl",
+        "nl",
+        "sr",
+        "nr",
+        "st",
+        "nt",
+        "qt",
+        # objective × (nl·nr) common denominator, exact
+        "ssel_n * nr + sser_n * nl AS obj_x",
+        "CAST(nl AS DECIMAL(38,0)) * nr AS den_x",
+    )
+    # argmin via cross-multiplied rational compare: rank by obj_x/den_x
+    # — represent as exact DOUBLE of a DECIMAL ratio? NO: compare via
+    # the scaled objective per candidate normalized to the SAME
+    # denominator nt! obj/nl/nr = (obj_x/den_x); multiply by the
+    # fixed per-type LCM is unavailable — instead rank on the exact
+    # rational via (obj_x * other.den) pairwise is quadratic; use the
+    # equivalent exact key obj_x * (nt*nt) DIV den_x? Integer division
+    # loses ties... The engine-stable order key: value = obj_x/den_x
+    # as a DECIMAL(38,6) division — both engines round the same scaled
+    # integer division half... AVOID: use obj_q = (obj_x * 1000000)
+    # intdiv den_x (exact integer, identical both engines), ties then
+    # broken by day.
+    ranked = cand.selectExpr(
+        "event_type",
+        "day",
+        "sl",
+        "nl",
+        "sr",
+        "nr",
+        "st",
+        "nt",
+        "qt",
+        "CAST((obj_x * 1000000) DIV den_x AS DECIMAL(38,0)) AS obj_q",
+    )
+    wmin = Window.partitionBy("event_type").orderBy(
+        F.col("obj_q").asc(), F.col("day").asc()
+    )
+    best = ranked.withColumn(
+        "rk", F.row_number().over(wmin)
+    ).filter("rk = 1")
+    return best.selectExpr(
+        "event_type",
+        "day AS split_day",
+        "CAST(nl AS BIGINT) AS n_left",
+        "CAST(nr AS BIGINT) AS n_right",
+        f"{exact_round_div_sql('sl', 'nl', 'DIV', 2)} AS mean_left_r",
+        f"{exact_round_div_sql('sr', 'nr', 'DIV', 2)} AS mean_right_r",
+        # variance-reduction ratio: 1 - obj/(SSE_total) with
+        # obj = obj_q/1e6/(nl*nr)... report the SCALED objective and
+        # total SSE·nt instead (exact integers), ratio via wide div
+        "CAST(obj_q AS DOUBLE) / 1000000.0 AS obj_r",
+    )
+
+
+def _changepoint_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              * 100 AS BIGINT) AS v_c
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, day,
+         SUM(v_c) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+         SUM(CAST(v_c AS HUGEINT) * v_c)
+           OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ql,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+         SUM(v_c) OVER (PARTITION BY event_type) AS st,
+         SUM(CAST(v_c AS HUGEINT) * v_c)
+           OVER (PARTITION BY event_type) AS qt,
+         COUNT(*) OVER (PARTITION BY event_type) AS nt
+  FROM daily
+),
+cand AS (
+  SELECT event_type, day, sl, nl,
+         st - sl AS sr, nt - nl AS nr, st, nt,
+         CAST(nl AS HUGEINT) * ql - CAST(sl AS HUGEINT) * sl AS ssel_n,
+         CAST(nt - nl AS HUGEINT) * (qt - ql)
+           - CAST(st - sl AS HUGEINT) * (st - sl) AS sser_n
+  FROM pre WHERE nl >= 1 AND nl < nt
+),
+scored AS (
+  SELECT event_type, day, sl, nl, sr, nr,
+         CAST(((ssel_n * nr + sser_n * nl) * 1000000)
+              // (CAST(nl AS HUGEINT) * nr) AS HUGEINT) AS obj_q
+  FROM cand
+),
+best AS (
+  SELECT * FROM (
+    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY obj_q ASC, day ASC) AS rk
+    FROM scored s
+  ) WHERE rk = 1
+)
+SELECT event_type,
+       day AS split_day,
+       CAST(nl AS BIGINT) AS n_left,
+       CAST(nr AS BIGINT) AS n_right,
+       {exact_round_div_sql('sl', 'nl', '//', 2)} AS mean_left_r,
+       {exact_round_div_sql('sr', 'nr', '//', 2)} AS mean_right_r,
+       CAST(obj_q AS DOUBLE) / 1000000.0 AS obj_r
+FROM best
+"""
+
+
+REGISTRY["changepoint_value_events"] = {
+    "fn": changepoint_value_events,
+    "sql": _changepoint_sql(),
+}

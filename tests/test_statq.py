@@ -238,3 +238,81 @@ def test_conformal_bound_rank_and_coverage(spark):
         within = sum(1 for x, _ in resid if x <= r["bound_c"])
         assert r["n_within"] == within
         assert within * CONF_LEVEL_DEN >= n * CONF_LEVEL_NUM
+
+
+def test_changepoint_argmin_matches_python(spark):
+    """Best split day and segment means recomputed by brute force over
+    exact integer SSE rationals."""
+    from fractions import Fraction
+
+    from de4ml_spark.queries.tsq2 import changepoint_value_events
+    from de4ml_spark.session import load_table
+
+    daily = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))"
+                " AS DECIMAL(38,2)) * 100 AS BIGINT)"
+            ).alias("v_c")
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["v_c"]))
+    got = {
+        r["event_type"]: r
+        for r in changepoint_value_events(spark, SF).collect()
+    }
+    for t, pts in series.items():
+        pts.sort()
+        vals = [v for _, v in pts]
+        n = len(vals)
+        best = None
+        for k in range(1, n):
+            l, r_ = vals[:k], vals[k:]
+
+            def sse(xs):
+                s, q, m = sum(xs), sum(x * x for x in xs), len(xs)
+                return Fraction(m * q - s * s, m)
+
+            obj = sse(l) + sse(r_)
+            if best is None or obj < best[0]:
+                best = (obj, pts[k - 1][0], k)
+        obj, day, k = best
+        assert got[t]["split_day"] == day, t
+        assert got[t]["n_left"] == k
+        assert got[t]["n_right"] == n - k
+
+
+def test_loso_influence_signs_sum(spark):
+    """Removing a below-average source must RAISE the mean (positive
+    delta) and vice versa; deltas recomputed as exact fractions."""
+    from fractions import Fraction
+
+    from de4ml_spark.queries.mldataq4 import loso_source_influence_docs
+    from de4ml_spark.session import load_table
+
+    per = (
+        load_table(spark, SF, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("t"))
+        .collect()
+    )
+    N = sum(r["n"] for r in per)
+    T = sum(r["t"] for r in per)
+    got = {
+        r["source"]: r
+        for r in loso_source_influence_docs(spark, SF).collect()
+    }
+    for r in per:
+        delta = Fraction(T - r["t"], N - r["n"]) - Fraction(T, N)
+        g = got[r["source"]]
+        assert abs(g["delta_mean_r"] - float(delta)) <= 1e-6
+        mean_s = Fraction(r["t"], r["n"])
+        if mean_s < Fraction(T, N):
+            assert g["delta_mean_r"] >= 0
+        elif mean_s > Fraction(T, N):
+            assert g["delta_mean_r"] <= 0
