@@ -110,6 +110,8 @@ PRIORITY = [
     "conformal_bound_events",
     "changepoint_value_events",
     "loso_source_influence_docs",
+    "sprt_ctr_deciles",
+    "theil_sen_trend_events",
     # -- (2) stale queue, resumed from the round-6 cutoff
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",
@@ -128,9 +130,9 @@ PRIORITY = [
     "mix_docs",
     "pack_training_sequences",
     "parse_event_props",
+    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "pii_scrub_docs",
     "profile_drift_events",
-    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "q12_ship_delay_priority",
     "q15_top_supplier",
     "q17_small_quantity_revenue",

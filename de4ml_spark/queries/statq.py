@@ -804,3 +804,268 @@ REGISTRY["conformal_bound_events"] = {
     "fn": conformal_bound_events,
     "sql": _conformal_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Wald SPRT replay per user decile: the sequential probability-ratio
+# test on the daily click-through record — H0: CTR = 1/4 vs
+# H1: CTR = 1/3, alpha = beta = 0.05, replayed over the decile's daily
+# (clicks, trials) series to find the first decision day. Everything
+# is portable-exact: the per-day log-likelihood-ratio increment is
+# x·ln(4/3) − (n−x)·ln(9/8) with both logs from the portable-ln
+# primitive micro-quantized ONCE (driver-side constants via the same
+# ln definition both oracles use — integer ratios 4/3, 9/8), the
+# cumulative LLR is an integer running sum, and the barriers are
+# ±ln(19) micro-quantized the same way ((1−β)/α = 19 exactly — the
+# reason for choosing symmetric 5% errors). Decision = first day the
+# cumulative exits the band; 'continue' if the series ends inside.
+# Scale: one groupBy to per-(decile, day) counts; windows run over
+# calendar-bounded partitions.
+# --------------------------------------------------------------------------
+
+
+def _sprt_consts() -> tuple[int, int, int]:
+    """(ln(4/3), ln(9/8), ln 19) in half-up micros, via the SAME
+    portable-ln definition the engines evaluate (driver-side replica)."""
+    from de4ml_spark.operators.portable_hash import portable_ln_const
+
+    def q(x: float) -> int:
+        import math
+
+        return math.floor(x * 1_000_000 + 0.5)
+
+    return (
+        q(portable_ln_const(4, 3)),
+        q(portable_ln_const(9, 8)),
+        q(portable_ln_const(19, 1)),
+    )
+
+
+def sprt_ctr_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ln43, ln98, ln19 = _sprt_consts()
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 10).alias("decile"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("decile")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "decile",
+        "day",
+        F.sum(
+            F.expr(f"x * {ln43}L - (n - x) * {ln98}L")
+        )
+        .over(wcum)
+        .alias("llr_micro"),
+        F.row_number()
+        .over(Window.partitionBy("decile").orderBy("day"))
+        .alias("day_idx"),
+    )
+    crossed = cum.filter(
+        (F.col("llr_micro") >= ln19) | (F.col("llr_micro") <= -ln19)
+    )
+    wfirst = Window.partitionBy("decile").orderBy("day")
+    first = (
+        crossed.withColumn("rk", F.row_number().over(wfirst))
+        .filter("rk = 1")
+        .selectExpr(
+            "decile",
+            "day AS decision_day",
+            "day_idx AS n_days_used",
+            "llr_micro",
+            f"CASE WHEN llr_micro >= {ln19} THEN 'h1' ELSE 'h0' END"
+            " AS decision",
+        )
+    )
+    finals = (
+        cum.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("decile").orderBy(F.desc("day"))
+            ),
+        )
+        .filter("rk = 1")
+        .selectExpr(
+            "decile",
+            "CAST(NULL AS DATE) AS decision_day",
+            "day_idx AS n_days_used",
+            "llr_micro",
+            "'continue' AS decision",
+        )
+    )
+    undecided = finals.join(
+        first.select("decile"), "decile", "left_anti"
+    )
+    return first.unionByName(undecided).selectExpr(
+        "CAST(decile AS BIGINT) AS decile",
+        "decision_day",
+        "CAST(n_days_used AS BIGINT) AS n_days_used",
+        "CAST(llr_micro AS BIGINT) AS llr_micro",
+        "decision",
+    )
+
+
+def _sprt_sql() -> str:
+    ln43, ln98, ln19 = _sprt_consts()
+    return f"""
+WITH daily AS (
+  SELECT user_id % 10 AS decile, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events
+  WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT decile, day,
+         CAST(SUM(x * {ln43} - (n - x) * {ln98})
+           OVER (PARTITION BY decile ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS llr_micro,
+         ROW_NUMBER() OVER (PARTITION BY decile ORDER BY day) AS day_idx
+  FROM daily
+),
+first_cross AS (
+  SELECT * FROM (
+    SELECT decile, day AS decision_day, day_idx, llr_micro,
+           CASE WHEN llr_micro >= {ln19} THEN 'h1' ELSE 'h0' END
+             AS decision,
+           ROW_NUMBER() OVER (PARTITION BY decile ORDER BY day) AS rk
+    FROM cum
+    WHERE llr_micro >= {ln19} OR llr_micro <= -{ln19}
+  ) WHERE rk = 1
+),
+finals AS (
+  SELECT * FROM (
+    SELECT decile, CAST(NULL AS DATE) AS decision_day, day_idx,
+           llr_micro, 'continue' AS decision,
+           ROW_NUMBER() OVER (PARTITION BY decile ORDER BY day DESC)
+             AS rk
+    FROM cum
+  ) WHERE rk = 1
+)
+SELECT CAST(decile AS BIGINT) AS decile, decision_day,
+       CAST(day_idx AS BIGINT) AS n_days_used,
+       CAST(llr_micro AS BIGINT) AS llr_micro, decision
+FROM first_cross
+UNION ALL
+SELECT CAST(f.decile AS BIGINT), f.decision_day,
+       CAST(f.day_idx AS BIGINT), f.llr_micro, f.decision
+FROM finals f
+WHERE NOT EXISTS (SELECT 1 FROM first_cross c WHERE c.decile = f.decile)
+"""
+
+
+REGISTRY["sprt_ctr_deciles"] = {
+    "fn": sprt_ctr_deciles,
+    "sql": _sprt_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend per event type: the median of all pairwise
+# slopes of the daily totals — the estimator that shrugs off the
+# outlier days that bend OLS (trend_by_event_type's companion; compare
+# the two to spot leverage points). Each pairwise slope is ONE IEEE
+# division of exact integers (cents over day-gap) — bit-identical both
+# engines — and the median picks the ceil(m/2)-th slope under a total
+# (slope, day_i, day_j) order, so ties cannot flip the answer. The
+# pair fan-out is calendar×calendar per type (≤ ~500 rows/type at a
+# month of days), built AFTER the log is reduced to daily totals —
+# never pairwise in events.
+# --------------------------------------------------------------------------
+
+
+def theil_sen_trend_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))"
+            " AS DECIMAL(38,2)) * 100 AS BIGINT)"
+        ).alias("v_c")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .selectExpr(
+            "a.event_type AS event_type",
+            "a.day AS d1",
+            "b.day AS d2",
+            "CAST(b.v_c - a.v_c AS DOUBLE)"
+            " / CAST(datediff(b.day, a.day) AS DOUBLE) AS slope",
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("m"),
+    )
+    return ranked.filter(
+        F.expr("rk = CAST((m + 1) DIV 2 AS INT)")
+    ).selectExpr(
+        "event_type",
+        "CAST(m AS BIGINT) AS n_pairs",
+        "slope AS median_slope_r",
+    )
+
+
+THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              * 100 AS BIGINT) AS v_c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.day AS d1, b.day AS d2,
+         CAST(b.v_c - a.v_c AS DOUBLE)
+           / CAST(datediff('day', a.day, b.day) AS DOUBLE) AS slope
+  FROM daily a
+  JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope, d1, d2) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs
+)
+SELECT event_type,
+       CAST(m AS BIGINT) AS n_pairs,
+       slope AS median_slope_r
+FROM ranked
+WHERE rk = CAST((m + 1) // 2 AS INT)
+"""
+
+REGISTRY["theil_sen_trend_events"] = {
+    "fn": theil_sen_trend_events,
+    "sql": THEIL_SEN_SQL,
+}

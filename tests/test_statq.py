@@ -316,3 +316,94 @@ def test_loso_influence_signs_sum(spark):
             assert g["delta_mean_r"] >= 0
         elif mean_s > Fraction(T, N):
             assert g["delta_mean_r"] <= 0
+
+
+def test_sprt_replay_matches_python(spark):
+    """Decision, decision day and LLR replayed exactly from daily
+    (clicks, trials) with the same micro-quantized portable-ln consts."""
+    from de4ml_spark.queries.statq import _sprt_consts, sprt_ctr_deciles
+    from de4ml_spark.session import load_table
+
+    ln43, ln98, ln19 = _sprt_consts()
+    daily = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 10).alias("decile"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("x"),
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["decile"]].append((r["day"], r["n"], r["x"]))
+    got = {r["decile"]: r for r in sprt_ctr_deciles(spark, SF).collect()}
+    assert set(got) == set(series)
+    for dec, days in series.items():
+        days.sort()
+        cum = 0
+        hit = None
+        for i, (d, n, x) in enumerate(days, start=1):
+            cum += x * ln43 - (n - x) * ln98
+            if abs(cum) >= ln19:
+                hit = (d, i, cum, "h1" if cum >= ln19 else "h0")
+                break
+        r = got[dec]
+        if hit:
+            assert (
+                r["decision_day"],
+                r["n_days_used"],
+                r["llr_micro"],
+                r["decision"],
+            ) == hit
+        else:
+            assert r["decision"] == "continue"
+            assert r["n_days_used"] == len(days)
+            assert r["llr_micro"] == cum
+
+
+def test_theil_sen_median_slope_matches_python(spark):
+    from de4ml_spark.queries.tsq2 import REGISTRY as _  # noqa: F401
+    from de4ml_spark.queries.statq import theil_sen_trend_events
+    from de4ml_spark.session import load_table
+
+    daily = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))"
+                " AS DECIMAL(38,2)) * 100 AS BIGINT)"
+            ).alias("v_c")
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["v_c"]))
+    got = {
+        r["event_type"]: r
+        for r in theil_sen_trend_events(spark, SF).collect()
+    }
+    for t, pts in series.items():
+        pts.sort()
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                d1, v1 = pts[i]
+                d2, v2 = pts[j]
+                slopes.append(
+                    (float(v2 - v1) / float((d2 - d1).days), d1, d2)
+                )
+        slopes.sort()
+        m = len(slopes)
+        med = slopes[(m + 1) // 2 - 1][0]
+        assert got[t]["n_pairs"] == m
+        assert got[t]["median_slope_r"] == med
