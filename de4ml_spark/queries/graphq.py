@@ -239,6 +239,112 @@ REGISTRY["assoc_rules_parts"] = {
 
 
 # --------------------------------------------------------------------------
+# Shared co-purchase graph machinery. Four entries (triangles, k-core,
+# edge Jaccard, assortativity) derive the same graph from lineitem;
+# the edge build, degree computation, and the degree-orientation wedge
+# enumeration live here once so a fix to the orientation tie-break or
+# the map-side wedge explode cannot silently diverge between entries.
+# --------------------------------------------------------------------------
+
+
+def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase edges with u < v, PERSISTED — callers own
+    the release (release_after / unpersist)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+
+
+def _directed_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-direction co-purchase adjacency (each undirected edge twice),
+    NOT persisted."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _edge_degrees(edges: DataFrame) -> DataFrame:
+    """(node, deg) from the canonical u < v edge set."""
+    return (
+        edges.selectExpr("u AS node")
+        .unionAll(edges.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def _oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Each triangle exactly once as (a, b, c) via degree orientation.
+
+    Wedges WITHOUT a shuffled self-join: every undirected edge points
+    from its lower-(degree, id) endpoint to the higher one, so one
+    groupBy collects each source's sorted out-neighbour array (outdeg
+    = O(sqrt(m)) after orientation), ordered pairs explode MAP-SIDE
+    from the array, and the closing edge probes a BROADCAST of the
+    edge set (~20 MB at sf0.1; where edges outgrow the broadcast
+    threshold Catalyst falls back to a shuffled hash join of the same
+    shape). The self-join formulation re-shuffled 72M wedge rows —
+    this shape never materializes wedges through an exchange at all,
+    and the orientation is the hub-taming trick that survives
+    power-law degrees at 100 TB.
+    """
+    from de4ml_spark.session import spread
+
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .selectExpr(
+            "CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src",
+            "CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst",
+        )
+    )
+    neigh = spread(oriented, "src").groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("ns")
+    )
+    wedges = neigh.select(
+        F.col("src").alias("a"),
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) ->"
+                " transform(slice(ns, i + 2, size(ns)), y ->"
+                " struct(x AS b, y AS c))))"
+            )
+        ).alias("p"),
+    ).select("a", F.col("p.b").alias("b"), F.col("p.c").alias("c"))
+    return wedges.join(
+        F.broadcast(edges),
+        (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
+    ).select("a", "b", "c")
+
+
+# --------------------------------------------------------------------------
 # Triangle counting on the part co-purchase graph — the standard graph
 # cohesion statistic (clustering-coefficient numerator), via DEGREE
 # ORIENTATION: every undirected edge points from its lower-(degree, id)
@@ -257,66 +363,11 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.cache import release_after
     from de4ml_spark.operators.portable_hash import exact_round_div_sql
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
     # three consumers (degrees, orientation, the closing-edge probe)
     # read the edge set — persist it once as the shared index
-    edges = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-        .persist()
-    )
-    deg = (
-        edges.selectExpr("u AS node")
-        .unionAll(edges.selectExpr("v AS node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .selectExpr(
-            "CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src",
-            "CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst",
-        )
-    )
-    # Wedges WITHOUT a shuffled self-join: one groupBy collects each
-    # source's sorted out-neighbour array (outdeg = O(sqrt(m)) after
-    # orientation), ordered pairs explode MAP-SIDE from the array, and
-    # the closing edge probes a BROADCAST of the edge set (~20 MB at
-    # sf0.1; on a cluster where edges outgrow the broadcast threshold
-    # Catalyst falls back to a shuffled hash join of the same shape).
-    # The self-join formulation re-shuffled 72M wedge rows at the
-    # session's shuffle-partition setting — this shape never
-    # materializes wedges through an exchange at all.
-    from de4ml_spark.session import spread
-
-    neigh = spread(oriented, "src").groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("ns")
-    )
-    wedges = neigh.select(
-        F.col("src").alias("a"),
-        F.explode(
-            F.expr(
-                "flatten(transform(ns, (x, i) ->"
-                " transform(slice(ns, i + 2, size(ns)), y ->"
-                " struct(x AS b, y AS c))))"
-            )
-        ).alias("p"),
-    ).select("a", F.col("p.b").alias("b"), F.col("p.c").alias("c"))
-    tris = wedges.join(
-        F.broadcast(edges),
-        (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
-    ).select("a", "b", "c")
+    edges = _canonical_edges(spark, sf_dir)
+    deg = _edge_degrees(edges)
+    tris = _oriented_triangles(edges, deg)
     per_node = (
         tris.selectExpr("a AS node")
         .unionAll(tris.selectExpr("b AS node"))
@@ -419,22 +470,7 @@ KCORE_ROUNDS = 4
 def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.cache import release_after
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    adj = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-        .persist()
-    )
+    adj = _directed_adjacency(spark, sf_dir).persist()
     deg0 = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
     n_nodes = deg0.agg(F.count(F.lit(1)).alias("nn"))
     wd = Window.orderBy("deg", "u")
@@ -583,57 +619,12 @@ def jaccard_copurchase_parts(
 ) -> DataFrame:
     from de4ml_spark.cache import release_after
     from de4ml_spark.operators.portable_hash import exact_round_div_sql
-    from de4ml_spark.session import spread
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-        .persist()
-    )
-    deg = (
-        edges.selectExpr("u AS node")
-        .unionAll(edges.selectExpr("v AS node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    edges = _canonical_edges(spark, sf_dir)
+    deg = _edge_degrees(edges)
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .selectExpr(
-            "CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src",
-            "CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst",
-        )
-    )
-    neigh = spread(oriented, "src").groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("ns")
-    )
-    wedges = neigh.select(
-        F.col("src").alias("a"),
-        F.explode(
-            F.expr(
-                "flatten(transform(ns, (x, i) ->"
-                " transform(slice(ns, i + 2, size(ns)), y ->"
-                " struct(x AS b, y AS c))))"
-            )
-        ).alias("p"),
-    ).select("a", F.col("p.b").alias("b"), F.col("p.c").alias("c"))
-    tris = wedges.join(
-        F.broadcast(edges),
-        (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
-    ).select("a", "b", "c")
+    tris = _oriented_triangles(edges, deg)
     # each triangle contributes one common-neighbour to each of its
     # three edges (canonicalized u < v)
     tri_edges = (
@@ -739,21 +730,7 @@ REGISTRY["jaccard_copurchase_parts"] = {
 def degree_assortativity_parts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    adj = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
+    adj = _directed_adjacency(spark, sf_dir)
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     du = deg.select(F.col("u"), F.col("deg").alias("x"))
     dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("y"))

@@ -298,10 +298,13 @@ REGISTRY["plus4_ctr_bounds"] = {
 # -ln(S-factor) = ln(n/(n-d)) comes from the portable-ln primitive
 # (bit-identical across engines), is half-up micro-quantized to an
 # integer, and the cumulative is an integer running sum over the
-# calendar-bounded duration spine (doubles are never SUMmed). The
-# d = n terminal step (survival hits exactly 0, log undefined) is
-# excluded from the spine by construction: the horizon user is always
-# censored at the last duration, so n_risk > d_churn everywhere.
+# calendar-bounded duration spine (doubles are never SUMmed). A
+# d = n step (every remaining at-risk user churns: survival hits
+# exactly 0, log-survival −inf) can occur on real data — e.g. a
+# churned early starter holding the maximum duration — and it is
+# necessarily the LAST spine row (no user survives past it); it is
+# KEPT, with NULL negln/cum/logsurv marking the −inf, so the spine
+# matches Nelson-Aalen's row-for-row (which reports hazard 1 there).
 # Scale: one groupBy to per-user spans; everything after is bounded by
 # the calendar window.
 # --------------------------------------------------------------------------
@@ -337,14 +340,17 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " END) AS BIGINT)"
             ).alias("d_churn"),
         )
-        .filter(F.col("n_risk") > F.col("d_churn"))
     )
-    stepped = with_portable_ln(at_risk, "n_risk", "n_risk - d_churn", "__ln")
+    stepped = with_portable_ln(
+        at_risk, "n_risk", "GREATEST(n_risk - d_churn, 1)", "__ln"
+    )
     steps = stepped.selectExpr(
         "t",
         "n_risk",
         "d_churn",
-        "CAST(floor(__ln * 1000000.0 + 0.5) AS BIGINT) AS negln_micro",
+        "CASE WHEN n_risk = d_churn THEN NULL"
+        " ELSE CAST(floor(__ln * 1000000.0 + 0.5) AS BIGINT) END"
+        " AS negln_micro",
     )
     wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     return steps.select(
@@ -352,9 +358,12 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_risk",
         "d_churn",
         "negln_micro",
-        F.sum("negln_micro").over(wc).cast("bigint").alias(
-            "cum_negln_micro"
-        ),
+        # a NULL (terminal) step is provably last — mask, don't skip
+        F.expr(
+            "CASE WHEN negln_micro IS NULL THEN NULL ELSE"
+            " CAST(SUM(negln_micro) OVER (ORDER BY t ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) END"
+        ).alias("cum_negln_micro"),
     ).withColumn(
         "logsurv_r",
         F.expr("-CAST(cum_negln_micro AS DOUBLE) / 1000000.0"),
@@ -389,25 +398,26 @@ at_risk AS (
                        THEN 1 ELSE 0 END) AS BIGINT) AS d_churn
   FROM exploded
   GROUP BY 1
-  HAVING CAST(COUNT(*) AS BIGINT)
-         > CAST(SUM(CASE WHEN churned = 1 AND dur = t
-                         THEN 1 ELSE 0 END) AS BIGINT)
 ),
 {portable_ln_duck_ctes(
     "at_risk", "t, n_risk, d_churn",
-    "n_risk", "n_risk - d_churn", "lnv", "pl")},
+    "n_risk", "GREATEST(n_risk - d_churn, 1)", "lnv", "pl")},
 steps AS (
   SELECT t, n_risk, d_churn,
-         CAST(floor(lnv * 1000000.0 + 0.5) AS BIGINT) AS negln_micro
+         CASE WHEN n_risk = d_churn THEN NULL
+              ELSE CAST(floor(lnv * 1000000.0 + 0.5) AS BIGINT) END
+           AS negln_micro
   FROM pl_out
 )
 SELECT t, n_risk, d_churn, negln_micro,
+       CASE WHEN negln_micro IS NULL THEN NULL ELSE
        CAST(SUM(negln_micro) OVER (ORDER BY t
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         AS cum_negln_micro,
+       END AS cum_negln_micro,
+       CASE WHEN negln_micro IS NULL THEN NULL ELSE
        -CAST(CAST(SUM(negln_micro) OVER (ORDER BY t
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-            AS DOUBLE) / 1000000.0 AS logsurv_r
+            AS DOUBLE) / 1000000.0 END AS logsurv_r
 FROM steps
 """
 
@@ -670,7 +680,11 @@ REGISTRY["mase_seasonal_events"] = {
 # exact-half-up cents), take absolute residuals on the held-out
 # calibration half, and report the ceil(0.9·(n+1))-th smallest
 # residual — the distribution-free 90% conformal radius (Vovk; the
-# finite-sample (n+1) correction included). Rank selection uses a
+# finite-sample (n+1) correction included). A type whose calibration
+# half is too small for the rank to exist (n_calib + 1 < 10) has NO
+# finite distribution-free bound and is OMITTED from the result —
+# deliberate, not a dropped row; likewise a type with no training
+# rows has no predictor to calibrate. Rank selection uses a
 # deterministic (residual, event_id) order so ties cannot flip the
 # bound between engines; empirical coverage on the calibration split
 # is reported as an exact rational. Scale: one groupBy for the means,

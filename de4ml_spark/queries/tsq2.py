@@ -1243,11 +1243,12 @@ REGISTRY["ltv_triangle_orders"] = {
 # Single changepoint detection per event type (binary segmentation,
 # level-shift model): choose the split day minimizing total within-
 # segment squared error over the daily cents series. SSE comparisons
-# happen on EXACT integers — each candidate's scaled objective is
-# n_l·n_r·(SSE_l·n_r + SSE_r·n_l) cross-multiplied into a common
-# denominator in 128-bit internal arithmetic (SSE·n = n·Σx² − (Σx)² is
-# itself integer), so the argmin cannot flip between engines on a
-# last-ulp tie; day ties break to the earliest split. Means and the
+# happen on the exact rational (SSE_l·n_r + SSE_r·n_l)/(n_l·n_r)
+# assembled in 128-bit integer arithmetic (SSE·n = n·Σx² − (Σx)² is
+# itself integer) and converted ONCE to double for ordering — both
+# engines convert the same exact integers and divide once, so the
+# order (and thus the argmin) is bit-identical; rationals that
+# collapse to one double fall to the earliest-day tie-break. Means and the
 # variance-reduction ratio are reported as exact half-up rationals.
 # Scale: the candidate enumeration is a prefix-sum window over the
 # per-type DAILY frame (calendar-bounded) — the raw log is reduced by
@@ -1320,18 +1321,16 @@ def changepoint_value_events(
         "ssel_n * nr + sser_n * nl AS obj_x",
         "CAST(nl AS DECIMAL(38,0)) * nr AS den_x",
     )
-    # argmin via cross-multiplied rational compare: rank by obj_x/den_x
-    # — represent as exact DOUBLE of a DECIMAL ratio? NO: compare via
-    # the scaled objective per candidate normalized to the SAME
-    # denominator nt! obj/nl/nr = (obj_x/den_x); multiply by the
-    # fixed per-type LCM is unavailable — instead rank on the exact
-    # rational via (obj_x * other.den) pairwise is quadratic; use the
-    # equivalent exact key obj_x * (nt*nt) DIV den_x? Integer division
-    # loses ties... The engine-stable order key: value = obj_x/den_x
-    # as a DECIMAL(38,6) division — both engines round the same scaled
-    # integer division half... AVOID: use obj_q = (obj_x * 1000000)
-    # intdiv den_x (exact integer, identical both engines), ties then
-    # broken by day.
+    # argmin order key: obj_x/den_x converted to DOUBLE. Both operands
+    # are identical exact 128-bit integers in both engines, and
+    # nearest-double conversion + one correctly-rounded division are
+    # IEEE-identical, so the ORDER is identical cross-engine; distinct
+    # rationals that collapse to the same double fall to the (day)
+    # tie-break, also identical. (A x1e6 integer-quotient key was
+    # rejected: Spark's DIV on DECIMAL operands returns a LONG that
+    # silently WRAPS past int64 — measured 3e26 DIV 7 ->
+    # 6818134192968920502 — and this objective reaches ~1.2e18 at
+    # sf0.1, crossing the ceiling around sf1.)
     ranked = cand.selectExpr(
         "event_type",
         "day",
@@ -1342,10 +1341,10 @@ def changepoint_value_events(
         "st",
         "nt",
         "qt",
-        "CAST((obj_x * 1000000) DIV den_x AS DECIMAL(38,0)) AS obj_q",
+        "CAST(obj_x AS DOUBLE) / CAST(den_x AS DOUBLE) AS obj_d",
     )
     wmin = Window.partitionBy("event_type").orderBy(
-        F.col("obj_q").asc(), F.col("day").asc()
+        F.col("obj_d").asc(), F.col("day").asc()
     )
     best = ranked.withColumn(
         "rk", F.row_number().over(wmin)
@@ -1357,10 +1356,9 @@ def changepoint_value_events(
         "CAST(nr AS BIGINT) AS n_right",
         f"{exact_round_div_sql('sl', 'nl', 'DIV', 2)} AS mean_left_r",
         f"{exact_round_div_sql('sr', 'nr', 'DIV', 2)} AS mean_right_r",
-        # variance-reduction ratio: 1 - obj/(SSE_total) with
-        # obj = obj_q/1e6/(nl*nr)... report the SCALED objective and
-        # total SSE·nt instead (exact integers), ratio via wide div
-        "CAST(obj_q AS DOUBLE) / 1000000.0 AS obj_r",
+        # pooled objective SSE_l/nl/nr + SSE_r/nl/nr as the exact-
+        # rational double used for the argmin itself
+        "obj_d AS obj_r",
     )
 
 
@@ -1399,14 +1397,14 @@ cand AS (
 ),
 scored AS (
   SELECT event_type, day, sl, nl, sr, nr,
-         CAST(((ssel_n * nr + sser_n * nl) * 1000000)
-              // (CAST(nl AS HUGEINT) * nr) AS HUGEINT) AS obj_q
+         CAST(ssel_n * nr + sser_n * nl AS DOUBLE)
+           / CAST(CAST(nl AS HUGEINT) * nr AS DOUBLE) AS obj_d
   FROM cand
 ),
 best AS (
   SELECT * FROM (
     SELECT s.*, ROW_NUMBER() OVER (PARTITION BY event_type
-                 ORDER BY obj_q ASC, day ASC) AS rk
+                 ORDER BY obj_d ASC, day ASC) AS rk
     FROM scored s
   ) WHERE rk = 1
 )
@@ -1416,7 +1414,7 @@ SELECT event_type,
        CAST(nr AS BIGINT) AS n_right,
        {exact_round_div_sql('sl', 'nl', '//', 2)} AS mean_left_r,
        {exact_round_div_sql('sr', 'nr', '//', 2)} AS mean_right_r,
-       CAST(obj_q AS DOUBLE) / 1000000.0 AS obj_r
+       obj_d AS obj_r
 FROM best
 """
 

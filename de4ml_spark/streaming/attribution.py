@@ -18,9 +18,15 @@ State per user is the touch buffer for the trailing window ONLY
 older than max_ts − window can never enter a future purchase's window
 under ordered arrival), so state size is bounded by per-user touch
 rate × window, independent of stream length. Arrival-order contract as
-streaming/drift.py: timestamps that regress against the per-user
-high-water mark are DROPPED (counted into the emitted n_dropped),
-never folded into state — out-of-order replay degrades detectably.
+streaming/drift.py, on the TOTAL processing order (ts, kind, event_id)
+— kind puts touches before purchases at equal timestamps, matching the
+batch twin's inclusive t_ts <= b_ts window: an arrival that regresses
+against the per-user high-water TRIPLE (not just the timestamp — a
+same-timestamp touch landing in a later micro-batch than its purchase
+would otherwise silently re-order the buffer) is DROPPED and counted
+into the emitted n_dropped, never folded into state. Out-of-order
+replay therefore degrades detectably, and the in-order stream is
+bit-equal to the batch aggregate.
 """
 
 from __future__ import annotations
@@ -37,7 +43,8 @@ OUTPUT_SCHEMA = (
     " n_dropped BIGINT"
 )
 STATE_SCHEMA = (
-    "last_us BIGINT, t_us ARRAY<BIGINT>, t_type ARRAY<STRING>,"
+    "last_us BIGINT, last_p INT, last_id BIGINT,"
+    " t_us ARRAY<BIGINT>, t_type ARRAY<STRING>,"
     " t_id ARRAY<BIGINT>, n_dropped BIGINT"
 )
 
@@ -48,10 +55,11 @@ def _attr_fn(key, pdfs: Iterator, state) -> Iterator:
     import pandas as pd
 
     if state.exists:
-        last_us, t_us, t_type, t_id, n_dropped = state.get
+        last_us, last_p, last_id, t_us, t_type, t_id, n_dropped = state.get
+        last = (last_us, last_p, last_id)
         t_us, t_type, t_id = list(t_us), list(t_type), list(t_id)
     else:
-        last_us, t_us, t_type, t_id, n_dropped = None, [], [], [], 0
+        last, t_us, t_type, t_id, n_dropped = None, [], [], [], 0
 
     out = []
     batch = pd.concat(list(pdfs), ignore_index=True)
@@ -62,14 +70,16 @@ def _attr_fn(key, pdfs: Iterator, state) -> Iterator:
         batch = batch.assign(
             _p=(batch["event_type"] == "purchase").astype(int)
         ).sort_values(["ts", "_p", "event_id"])
-        for ts, eid, et in zip(
-            batch["ts"], batch["event_id"], batch["event_type"]
+        for ts, eid, et, p in zip(
+            batch["ts"], batch["event_id"], batch["event_type"],
+            batch["_p"],
         ):
             us = int(ts.value) // 1000  # pandas ns -> micros
-            if last_us is not None and us < last_us:
+            order_key = (us, int(p), int(eid))
+            if last is not None and order_key <= last:
                 n_dropped += 1
                 continue
-            last_us = us
+            last = order_key
             if et in ("click", "view"):
                 t_us.append(us)
                 t_type.append(et)
@@ -111,7 +121,9 @@ def _attr_fn(key, pdfs: Iterator, state) -> Iterator:
 
     state.update(
         (
-            int(last_us) if last_us is not None else 0,
+            int(last[0]) if last is not None else 0,
+            int(last[1]) if last is not None else -1,
+            int(last[2]) if last is not None else -1,
             [int(x) for x in t_us],
             list(t_type),
             [int(x) for x in t_id],

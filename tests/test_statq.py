@@ -102,10 +102,14 @@ def test_kaplan_meier_dominates_nelson_aalen(spark):
         assert km[t]["cum_negln_micro"] >= prev
         prev = km[t]["cum_negln_micro"]
         # ln step vs an independent Python portable-ln-free recompute:
-        # within 2e-6 of math.log (quantization + ~2ulp primitive)
+        # within 2e-6 of math.log (quantization + ~2ulp primitive);
+        # a terminal all-churn step is NULL (-inf) and must be last
         n, d = km[t]["n_risk"], km[t]["d_churn"]
-        ref = math.log(n / (n - d))
-        assert abs(km[t]["negln_micro"] / 1e6 - ref) < 2e-6
+        if km[t]["negln_micro"] is None:
+            assert n == d and t == max(km)
+        else:
+            ref = math.log(n / (n - d))
+            assert abs(km[t]["negln_micro"] / 1e6 - ref) < 2e-6
 
 
 def test_attribution_credit_conservation(spark):
@@ -177,16 +181,21 @@ def test_mase_matches_python_recompute(spark):
 
     want = {}
     for t, by_day in series.items():
+        days = sorted(by_day)
         e7 = e1 = n = 0
-        for d, v in by_day.items():
-            d1, d7 = (
-                d - datetime.timedelta(days=1),
-                d - datetime.timedelta(days=7),
-            )
-            if d1 in by_day and d7 in by_day:
+        # the query lags by ROWS then checks calendar adjacency — a
+        # gap in the trailing week shifts the row-lag target, so the
+        # recompute must use row positions, not calendar lookups
+        for i, d in enumerate(days):
+            if i < 7:
+                continue
+            d1, d7 = days[i - 1], days[i - 7]
+            if (d - d1) == datetime.timedelta(days=1) and (
+                d - d7
+            ) == datetime.timedelta(days=7):
                 n += 1
-                e7 += abs(v - by_day[d7])
-                e1 += abs(v - by_day[d1])
+                e7 += abs(by_day[d] - by_day[d7])
+                e1 += abs(by_day[d] - by_day[d1])
         want[t] = (n, e7, e1)
     got = {r["event_type"]: r for r in mase_seasonal_events(spark, SF).collect()}
     assert set(got) == {t for t, w in want.items() if w[0] > 0}
@@ -224,13 +233,19 @@ def test_conformal_bound_rank_and_coverage(spark):
             r["event_type"]
         ].append((r["v_c"], r["event_id"]))
     got = {r["event_type"]: r for r in conformal_bound_events(spark, SF).collect()}
+    expected_types = set()
     for t, rows in calib.items():
+        if not train[t]:
+            continue  # no predictor to calibrate — entry omits the type
         s = sum(v for v, _ in train[t])
         c = len(train[t])
         pred = (2 * s + c) // (2 * c)
         resid = sorted((abs(v - pred), eid) for v, eid in rows)
         n = len(resid)
         rk = ((n + 1) * CONF_LEVEL_NUM + CONF_LEVEL_DEN - 1) // CONF_LEVEL_DEN
+        if rk > n:
+            continue  # no finite distribution-free bound — entry omits
+        expected_types.add(t)
         r = got[t]
         assert r["pred_c"] == pred
         assert r["n_calib"] == n
@@ -238,6 +253,7 @@ def test_conformal_bound_rank_and_coverage(spark):
         within = sum(1 for x, _ in resid if x <= r["bound_c"])
         assert r["n_within"] == within
         assert within * CONF_LEVEL_DEN >= n * CONF_LEVEL_NUM
+    assert set(got) == expected_types
 
 
 def test_changepoint_argmin_matches_python(spark):
