@@ -112,6 +112,8 @@ PRIORITY = [
     "loso_source_influence_docs",
     "sprt_ctr_deciles",
     "theil_sen_trend_events",
+    "pareto_revenue_parts",
+    "rfm_segments_customers",
     # -- (2) stale queue, resumed from the round-6 cutoff
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",
@@ -128,9 +130,9 @@ PRIORITY = [
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",
+    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "pack_training_sequences",
     "parse_event_props",
-    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "pii_scrub_docs",
     "profile_drift_events",
     "q12_ship_delay_priority",

@@ -1022,3 +1022,241 @@ REGISTRY["trailing_7d_revenue"] = {
     "fn": trailing_7d_revenue,
     "sql": TRAILING_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Pareto / ABC analysis of part revenue: rank parts by revenue, walk
+# the cumulative share, and class them A (first 80% of revenue),
+# B (to 95%), C (tail) — the classic inventory-concentration report.
+# Exactness: revenue in integer 1e-4 currency units (the discount
+# product has 4 decimal places — scaling by anything less leaves a
+# fraction that Spark TRUNCATES and DuckDB ROUNDS on the BIGINT cast,
+# an engine split measured here), the 80/95%
+# thresholds compared by integer cross-multiplication
+# (5·cum > 4·total etc.), never via a floating share; ordering is the
+# deterministic (revenue DESC, partkey). The per-class report then
+# carries exact counts, cents, and one half-up share rounding each.
+# Scale: one groupBy to per-part revenue; the global cumulative is a
+# window over the already-reduced part frame (|parts| ≪ |lineitem|),
+# and the class report is 3 rows.
+# --------------------------------------------------------------------------
+
+
+def pareto_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql_wide,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+            " AS DECIMAL(38,4)) * 10000 AS BIGINT)"
+        ).alias("rev_c4")
+    )
+    w = Window.orderBy(F.desc("rev_c4"), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per_part.agg(F.sum("rev_c4").alias("total_c4"))
+    classed = (
+        per_part.withColumn("cum_c4", F.sum("rev_c4").over(w))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "l_partkey",
+            "rev_c4",
+            "cum_c4",
+            "total_c4",
+            # A: cum <= 80% (5*cum <= 4*total), B: <= 95% (20*cum <=
+            # 19*total), else C — integer cross-multiplied, exact
+            """CASE WHEN 5 * cum_c4 <= 4 * total_c4 THEN 'A'
+                WHEN 20 * cum_c4 <= 19 * total_c4 THEN 'B'
+                ELSE 'C' END AS abc_class""",
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev_c4").cast("bigint").alias("class_rev_c4"),
+            F.max("total_c4").cast("bigint").alias("_tot"),
+        )
+        .selectExpr(
+            "abc_class",
+            "n_parts",
+            "class_rev_c4",
+            f"""{exact_round_div_sql_wide(
+                'class_rev_c4', '_tot', 'DIV'
+            )} AS rev_share_r""",
+        )
+        .orderBy("abc_class")
+    )
+
+
+def _pareto_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql_wide,
+    )
+
+    return f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(38,4)) * 10000 AS BIGINT) AS rev_c4
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(rev_c4) AS BIGINT) AS total_c4 FROM per_part),
+classed AS (
+  SELECT l_partkey, rev_c4,
+         SUM(rev_c4) OVER (ORDER BY rev_c4 DESC, l_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c4,
+         t.total_c4
+  FROM per_part CROSS JOIN tot t
+),
+labeled AS (
+  SELECT *,
+         CASE WHEN 5 * cum_c4 <= 4 * total_c4 THEN 'A'
+              WHEN 20 * cum_c4 <= 19 * total_c4 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM classed
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev_c4) AS BIGINT) AS class_rev_c4,
+       {exact_round_div_sql_wide(
+           'CAST(SUM(rev_c4) AS BIGINT)',
+           'CAST(MAX(total_c4) AS BIGINT)', '//'
+       )} AS rev_share_r
+FROM labeled
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+REGISTRY["pareto_revenue_parts"] = {
+    "fn": pareto_revenue_parts,
+    "sql": _pareto_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation: quintile each customer on Recency (days
+# since last order), Frequency (order count), Monetary (total spend in
+# cents) and report the segment grid — the standard CRM scoring.
+# Quintiles are deterministic NTILE(5) over total orders
+# (metric, custkey) — both engines compute NTILE identically given the
+# same total order, and the tie-break key makes the order total.
+# Recency quintile 5 = most recent (orders by recency ASC so ntile 1 =
+# oldest; the score flips it). Scale: one groupBy per customer, three
+# window passes over the customer frame (≪ orders), grid ≤ 125 rows.
+# --------------------------------------------------------------------------
+
+
+def rfm_segments_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    orders = load_table(spark, sf_dir, "orders")
+    horizon = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("hmax")
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.expr(
+                "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+                " AS DECIMAL(38,2)) * 100 AS BIGINT)"
+            ).alias("money_c"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .selectExpr(
+            "o_custkey",
+            "datediff(hmax, last_day) AS recency_days",
+            "freq",
+            "money_c",
+        )
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "freq",
+        "money_c",
+        # ntile 1 = most recent days (ASC) -> R score 6 - ntile
+        (
+            6
+            - F.ntile(5).over(
+                Window.orderBy("recency_days", "o_custkey")
+            )
+        ).alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("freq", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("money_c", "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("money_c").cast("bigint").alias("segment_money_c"),
+        )
+        .selectExpr(
+            "CAST(r_score AS BIGINT) AS r_score",
+            "CAST(f_score AS BIGINT) AS f_score",
+            "CAST(m_score AS BIGINT) AS m_score",
+            "n_customers",
+            "segment_money_c",
+            f"""{exact_round_div_sql(
+                'segment_money_c', 'n_customers', 'DIV', 2
+            )} AS avg_money_r""",
+        )
+    )
+
+
+def _rfm_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    return f"""
+WITH horizon AS (
+  SELECT MAX(CAST(o_orderdate AS DATE)) AS hmax FROM orders
+),
+per_cust AS (
+  SELECT o_custkey,
+         datediff('day', MAX(CAST(o_orderdate AS DATE)), h.hmax)
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(38,2)) * 100 AS BIGINT) AS money_c
+  FROM orders CROSS JOIN horizon h
+  GROUP BY o_custkey, h.hmax
+),
+scored AS (
+  SELECT o_custkey, recency_days, freq, money_c,
+         6 - NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY money_c, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(money_c) AS BIGINT) AS segment_money_c,
+       {exact_round_div_sql(
+           'CAST(SUM(money_c) AS BIGINT)',
+           'CAST(COUNT(*) AS BIGINT)', '//', 2
+       )} AS avg_money_r
+FROM scored
+GROUP BY 1, 2, 3
+"""
+
+
+REGISTRY["rfm_segments_customers"] = {
+    "fn": rfm_segments_customers,
+    "sql": _rfm_sql(),
+}

@@ -423,3 +423,41 @@ def test_theil_sen_median_slope_matches_python(spark):
         med = slopes[(m + 1) // 2 - 1][0]
         assert got[t]["n_pairs"] == m
         assert got[t]["median_slope_r"] == med
+
+
+def test_pareto_partitions_and_shares(spark):
+    """ABC classes partition the part set, class revenue sums to the
+    total, and the A-class share is the largest and ~80%."""
+    from de4ml_spark.queries.relational3 import pareto_revenue_parts
+    from de4ml_spark.session import load_table
+
+    rows = {r["abc_class"]: r for r in pareto_revenue_parts(spark, SF).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_parts_total = (
+        load_table(spark, SF, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts_total
+    total = sum(r["class_rev_c4"] for r in rows.values())
+    assert abs(sum(r["rev_share_r"] for r in rows.values()) - 1.0) < 1e-5
+    # A holds at most 80% (boundary part tips it under), B tops it to 95%
+    assert rows["A"]["class_rev_c4"] * 5 <= total * 4
+    assert (rows["A"]["class_rev_c4"] + rows["B"]["class_rev_c4"]) * 20 <= total * 19
+
+
+def test_rfm_scores_partition_customers(spark):
+    """Every customer lands in exactly one segment; scores are 1..5 and
+    quintile sizes differ by at most one per dimension."""
+    from de4ml_spark.queries.relational3 import rfm_segments_customers
+    from de4ml_spark.session import load_table
+
+    rows = rfm_segments_customers(spark, SF).collect()
+    n_cust = (
+        load_table(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for dim in ("r_score", "f_score", "m_score"):
+        per = defaultdict(int)
+        for r in rows:
+            assert 1 <= r[dim] <= 5
+            per[r[dim]] += r["n_customers"]
+        assert max(per.values()) - min(per.values()) <= 1
