@@ -55,28 +55,23 @@ def _registries() -> list[dict]:
 # Catalog iteration order. The driver's correctness harness grades a
 # 50-entry PREFIX of this list per round, so ordering decides which
 # queries get fresh cross-engine evidence each round. Round-7 rotation:
-# (1) the entries whose implementation or oracle changed this round and
-# MUST be (re-)graded — the two round-6 hash failures with their
-# driver-safe result types (q9_product_profit now emits sum_profit_e4 as
-# BIGINT ten-thousandths, rollup_cascade_events emits integer cents
-# BIGINT; the only two decimal-typed results in the whole catalog, and
-# exactly the two red rows — see VERDICT r6) and q16_supplier_cnt
-# (oracle NOT IN -> NOT EXISTS, NULL-semantics parity with the anti-join
-# twin), plus the fourteen NEW round-7 entries (HLL, M4, interpolation
-# gap-fill, chi-square A/B, calibration bins, blocked-Bloom decon,
-# mutual information, PPJoin, association rules, audience overlap,
-# Nelson-Aalen retention, triangle counting, LTV triangle,
-# label-centroid distances); then
-# (2) the stale queue exactly where the round-6 rotation left off —
-# section 1's 17 entries plus dedup_embedding_blocked ..
-# temperature_mix_rates fill the 50 graded slots; the overflow
-# (text_stats_docs .. winsorized_price_stats) leads the
-# round-8 queue; then
-# (3) round-5-graded evidence, then (4) the 47 entries
-# freshly graded in round 6 at the very back. Everything re-greens
-# locally via tools/verify_oracle.py (cross-engine type-parity preflight
-# now enforces the driver-proven safe-type whitelist — no DECIMAL or
-# HUGEINT result columns in either engine).
+# (1) entries whose implementation or oracle changed this round and
+# MUST be (re-)graded — the two round-6 hash failures with driver-safe
+# result types (q9 BIGINT ten-thousandths, rollup integer cents),
+# q16's NOT IN -> NOT EXISTS oracle, the fourteen round-7a additions
+# (HLL .. label-centroid distances), and the TWENTY round-7b additions
+# (Mann-Whitney, plus-4 bounds, Kaplan-Meier, attribution, k-core,
+# edge Jaccard, assortativity, OOF encoding, feature hashing, negative
+# sampling, MASE, conformal, changepoint, LOSO influence, SPRT,
+# Theil-Sen, Pareto/ABC, RFM) — 37 entries with NO driver evidence yet
+# outrank everything; then
+# (2) the stale queue where round 6 left off (dedup_embedding_blocked
+# ..) — its first 13 fill the graded 50; pack_training_sequences
+# onward leads the round-8 queue; then
+# (3) round-5-graded evidence, then (4) the entries freshly graded in
+# round 6 at the very back. Everything re-greens locally via
+# tools/verify_oracle.py (safe-type whitelist preflight — no DECIMAL
+# or HUGEINT result columns in either engine).
 PRIORITY = [
     # -- (1) changed this round: re-grade first
     "q9_product_profit",
