@@ -63,11 +63,11 @@ def _registries() -> list[dict]:
 # (Mann-Whitney, plus-4 bounds, Kaplan-Meier, attribution, k-core,
 # edge Jaccard, assortativity, OOF encoding, feature hashing, negative
 # sampling, MASE, conformal, changepoint, LOSO influence, SPRT,
-# Theil-Sen, Pareto/ABC, RFM) — 37 entries with NO driver evidence yet
-# outrank everything; then
+# Theil-Sen, Pareto/ABC, RFM, isotonic) — 38 entries with NO driver
+# evidence yet outrank everything; then
 # (2) the stale queue where round 6 left off (dedup_embedding_blocked
-# ..) — its first 13 fill the graded 50; pack_training_sequences
-# onward leads the round-8 queue; then
+# ..) — its first 12 fill the graded 50; mix_docs onward leads the
+# round-8 queue; then
 # (3) round-5-graded evidence, then (4) the entries freshly graded in
 # round 6 at the very back. Everything re-greens locally via
 # tools/verify_oracle.py (safe-type whitelist preflight — no DECIMAL
@@ -109,6 +109,7 @@ PRIORITY = [
     "theil_sen_trend_events",
     "pareto_revenue_parts",
     "rfm_segments_customers",
+    "isotonic_ctr_deciles",
     # -- (2) stale queue, resumed from the round-6 cutoff
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",
@@ -124,8 +125,8 @@ PRIORITY = [
     "lang_confusion_docs",
     "lang_id_docs",
     "lineitem_measure_stats",
-    "mix_docs",
     # -- 50-entry prefix boundary is here (round-8 queue starts below)
+    "mix_docs",
     "pack_training_sequences",
     "parse_event_props",
     "pii_scrub_docs",

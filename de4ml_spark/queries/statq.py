@@ -1083,3 +1083,123 @@ REGISTRY["theil_sen_trend_events"] = {
     "fn": theil_sen_trend_events,
     "sql": THEIL_SEN_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Isotonic calibration of the decile CTR curve: the nonparametric
+# monotone fit (the calibration step behind isotonic-calibrated
+# classifiers), computed via the exact MINIMAX characterization
+# fit(i) = max_{j<=i} min_{k>=i} avg(s, j..k) instead of the
+# sequential PAVA merge loop — on the B-bin reduced frame the (j,k)
+# interval enumeration is B² rows, a pure join/groupBy DAG both
+# engines evaluate identically (each interval average is ONE IEEE
+# division of exact integer prefix sums; min/max of bit-identical
+# doubles are bit-identical). This is the pattern for sequential
+# algorithms with small state spaces: reduce the log first (one
+# groupBy to B bins), then replace the loop with its closed-form over
+# the bounded grid. Output: the observed decile rates and their
+# isotonic (non-decreasing) fit.
+# --------------------------------------------------------------------------
+
+ISO_BINS = 10
+
+
+def isotonic_ctr_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bins = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(
+            (F.col("user_id") % ISO_BINS).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("s"),
+        )
+    )
+    wjs = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pre = bins.select(
+        "bin",
+        "n",
+        "s",
+        F.sum("n").over(wjs).alias("cn"),
+        F.sum("s").over(wjs).alias("cs"),
+    )
+    lo = pre.selectExpr(
+        "bin AS j", "cn - n AS cn0", "cs - s AS cs0"
+    )
+    hi = pre.selectExpr("bin AS k", "cn AS cn1", "cs AS cs1")
+    intervals = lo.crossJoin(hi).filter("j <= k").selectExpr(
+        "j",
+        "k",
+        "CAST(cs1 - cs0 AS DOUBLE) / CAST(cn1 - cn0 AS DOUBLE)"
+        " AS avg_jk",
+    )
+    grid = (
+        bins.select(F.col("bin").alias("i"))
+        .join(intervals, F.expr("j <= i AND i <= k"))
+    )
+    inner = grid.groupBy("i", "j").agg(
+        F.min("avg_jk").alias("min_k")
+    )
+    fit = inner.groupBy("i").agg(F.max("min_k").alias("iso_rate"))
+    return (
+        bins.join(fit, bins.bin == fit.i)
+        .selectExpr(
+            "CAST(bin AS BIGINT) AS bin",
+            "CAST(n AS BIGINT) AS n",
+            "CAST(s AS BIGINT) AS s",
+            "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate",
+            "iso_rate",
+        )
+    )
+
+
+ISOTONIC_SQL = f"""
+WITH bins AS (
+  SELECT user_id % {ISO_BINS} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM events
+  WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+  GROUP BY 1
+),
+pre AS (
+  SELECT bin, n, s,
+         SUM(n) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         SUM(s) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+  FROM bins
+),
+intervals AS (
+  SELECT lo.bin AS j, hi.bin AS k,
+         CAST(hi.cs - (lo.cs - lo.s) AS DOUBLE)
+           / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS avg_jk
+  FROM pre lo JOIN pre hi ON lo.bin <= hi.bin
+),
+inner_min AS (
+  SELECT b.bin AS i, iv.j, MIN(iv.avg_jk) AS min_k
+  FROM bins b
+  JOIN intervals iv ON iv.j <= b.bin AND b.bin <= iv.k
+  GROUP BY 1, 2
+),
+fit AS (
+  SELECT i, MAX(min_k) AS iso_rate FROM inner_min GROUP BY 1
+)
+SELECT CAST(b.bin AS BIGINT) AS bin,
+       b.n, b.s,
+       CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
+       f.iso_rate
+FROM bins b JOIN fit f ON b.bin = f.i
+"""
+
+REGISTRY["isotonic_ctr_deciles"] = {
+    "fn": isotonic_ctr_deciles,
+    "sql": ISOTONIC_SQL,
+}

@@ -461,3 +461,50 @@ def test_rfm_scores_partition_customers(spark):
             assert 1 <= r[dim] <= 5
             per[r[dim]] += r["n_customers"]
         assert max(per.values()) - min(per.values()) <= 1
+
+
+def test_isotonic_fit_matches_pava(spark):
+    """The minimax closed form must equal the classic sequential PAVA
+    merge, and the fit must be non-decreasing while preserving the
+    weighted total."""
+    from fractions import Fraction
+
+    from de4ml_spark.queries.statq import isotonic_ctr_deciles
+
+    rows = sorted(
+        isotonic_ctr_deciles(spark, SF).collect(), key=lambda r: r["bin"]
+    )
+    # PAVA on exact rationals
+    blocks = []  # (sum_s, sum_n)
+    for r in rows:
+        blocks.append((r["s"], r["n"]))
+        while len(blocks) > 1 and Fraction(*blocks[-2]) >= Fraction(
+            *blocks[-1]
+        ):
+            s2, n2 = blocks.pop()
+            s1, n1 = blocks.pop()
+            blocks.append((s1 + s2, n1 + n2))
+    # expand blocks back to bins
+    expanded = []
+    idx = 0
+    for s, n in blocks:
+        # count how many bins the block covers by accumulating n
+        covered = 0
+        acc = 0
+        while acc < n:
+            acc += rows[idx + covered]["n"]
+            covered += 1
+        expanded.extend([Fraction(s, n)] * covered)
+        idx += covered
+    prev = None
+    for r, want in zip(rows, expanded):
+        assert abs(r["iso_rate"] - float(want)) < 1e-12, (r, want)
+        if prev is not None:
+            assert r["iso_rate"] >= prev - 1e-15
+        prev = r["iso_rate"]
+    # weighted total preserved
+    tot_fit = sum(
+        Fraction(r["s"], 1) for r in rows
+    )
+    tot_iso = sum(want * r["n"] for r, want in zip(rows, expanded))
+    assert tot_iso == tot_fit
