@@ -63,10 +63,10 @@ def _registries() -> list[dict]:
 # (Mann-Whitney, plus-4 bounds, Kaplan-Meier, attribution, k-core,
 # edge Jaccard, assortativity, OOF encoding, feature hashing, negative
 # sampling, MASE, conformal, changepoint, LOSO influence, SPRT,
-# Theil-Sen, Pareto/ABC, RFM, isotonic) — 38 entries with NO driver
-# evidence yet outrank everything; then
+# Theil-Sen, Pareto/ABC, RFM, isotonic, STL, CCF) — 40 entries with NO
+# driver evidence yet outrank everything; then
 # (2) the stale queue where round 6 left off (dedup_embedding_blocked
-# ..) — its first 12 fill the graded 50; mix_docs onward leads the
+# ..) — its first 10 fill the graded 50; lang_id_docs onward leads the
 # round-8 queue; then
 # (3) round-5-graded evidence, then (4) the entries freshly graded in
 # round 6 at the very back. Everything re-greens locally via
@@ -110,6 +110,8 @@ PRIORITY = [
     "pareto_revenue_parts",
     "rfm_segments_customers",
     "isotonic_ctr_deciles",
+    "stl_decompose_events",
+    "ccf_view_click_events",
     # -- (2) stale queue, resumed from the round-6 cutoff
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",
@@ -123,9 +125,9 @@ PRIORITY = [
     "knn_lsh",
     "knn_rrf_fusion",
     "lang_confusion_docs",
+    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "lang_id_docs",
     "lineitem_measure_stats",
-    # -- 50-entry prefix boundary is here (round-8 queue starts below)
     "mix_docs",
     "pack_training_sequences",
     "parse_event_props",

@@ -1423,3 +1423,263 @@ REGISTRY["changepoint_value_events"] = {
     "fn": changepoint_value_events,
     "sql": _changepoint_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# STL-lite seasonal decomposition of the daily event-value series:
+# trend = centered 7-day moving average (full windows only), seasonal
+# = day-of-week mean of the detrended remainder (re-centered to sum
+# to zero over the week), residual = value − trend − seasonal — the
+# classical additive decomposition, done in EXACT integer micro-cents:
+# the trend average is half-up integer rounding of the 7-day sum, the
+# seasonal means re-use the same exact_round_div, and the residual is
+# pure integer subtraction, so every component hash-matches across
+# engines. Scale: one groupBy to the daily frame; the windows and the
+# 7-row day-of-week aggregate are calendar-bounded.
+# --------------------------------------------------------------------------
+
+
+def stl_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))"
+            " AS DECIMAL(38,2)) * 100 AS BIGINT)"
+        ).alias("v_c")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "v_c",
+        F.sum("v_c").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    ).filter("n7 = 7").selectExpr(
+        "day",
+        "v_c",
+        # trend in micro-cents: half-up of (s7 * 10^4) / 7
+        "CAST((2 * s7 * 10000 + 7) DIV 14 AS BIGINT) AS trend_uc",
+        "v_c * 10000 - CAST((2 * s7 * 10000 + 7) DIV 14 AS BIGINT)"
+        " AS detrend_uc",
+    )
+    dow = trended.groupBy(
+        F.dayofweek("day").alias("dw")
+    ).agg(
+        F.sum("detrend_uc").alias("ds"),
+        F.count(F.lit(1)).alias("dn"),
+    ).selectExpr(
+        "dw",
+        # signed half-up mean of the detrended remainder
+        """CASE WHEN ds >= 0
+           THEN CAST((2 * ds + dn) DIV (2 * dn) AS BIGINT)
+           ELSE -CAST((2 * -ds + dn) DIV (2 * dn) AS BIGINT)
+           END AS seas_raw_uc""",
+    )
+    center = dow.agg(
+        F.expr(
+            "CASE WHEN SUM(seas_raw_uc) >= 0"
+            " THEN CAST((2 * SUM(seas_raw_uc) + COUNT(*))"
+            " DIV (2 * COUNT(*)) AS BIGINT)"
+            " ELSE -CAST((2 * -SUM(seas_raw_uc) + COUNT(*))"
+            " DIV (2 * COUNT(*)) AS BIGINT) END"
+        ).alias("mean_seas_uc")
+    )
+    seas = dow.crossJoin(F.broadcast(center)).selectExpr(
+        "dw", "seas_raw_uc - mean_seas_uc AS seasonal_uc"
+    )
+    return (
+        trended.join(seas, F.dayofweek("day") == F.col("dw"))
+        .selectExpr(
+            "day",
+            "v_c",
+            "trend_uc",
+            "seasonal_uc",
+            "v_c * 10000 - trend_uc - seasonal_uc AS resid_uc",
+            "CAST(trend_uc AS DOUBLE) / 1000000.0 AS trend_r",
+            "CAST(seasonal_uc AS DOUBLE) / 1000000.0 AS seasonal_r",
+        )
+    )
+
+
+STL_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              * 100 AS BIGINT) AS v_c
+  FROM events GROUP BY 1
+),
+trended AS (
+  SELECT day, v_c,
+         CAST((2 * s7 * 10000 + 7) // 14 AS BIGINT) AS trend_uc,
+         v_c * 10000 - CAST((2 * s7 * 10000 + 7) // 14 AS BIGINT)
+           AS detrend_uc
+  FROM (
+    SELECT day, v_c,
+           SUM(v_c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING) AS s7,
+           COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING) AS n7
+    FROM daily
+  ) WHERE n7 = 7
+),
+dow AS (
+  SELECT dayofweek(day) + 1 AS dw,
+         CAST(SUM(detrend_uc) AS BIGINT) AS ds,
+         CAST(COUNT(*) AS BIGINT) AS dn
+  FROM trended GROUP BY 1
+),
+seas_raw AS (
+  SELECT dw,
+         CASE WHEN ds >= 0
+              THEN CAST((2 * ds + dn) // (2 * dn) AS BIGINT)
+              ELSE -CAST((2 * -ds + dn) // (2 * dn) AS BIGINT)
+         END AS seas_raw_uc
+  FROM dow
+),
+center AS (
+  SELECT CASE WHEN SUM(seas_raw_uc) >= 0
+              THEN CAST((2 * SUM(seas_raw_uc) + COUNT(*))
+                   // (2 * COUNT(*)) AS BIGINT)
+              ELSE -CAST((2 * -SUM(seas_raw_uc) + COUNT(*))
+                   // (2 * COUNT(*)) AS BIGINT) END AS mean_seas_uc
+  FROM seas_raw
+),
+seas AS (
+  SELECT dw, seas_raw_uc - mean_seas_uc AS seasonal_uc
+  FROM seas_raw CROSS JOIN center
+)
+SELECT t.day, t.v_c, t.trend_uc, s.seasonal_uc,
+       t.v_c * 10000 - t.trend_uc - s.seasonal_uc AS resid_uc,
+       CAST(t.trend_uc AS DOUBLE) / 1000000.0 AS trend_r,
+       CAST(s.seasonal_uc AS DOUBLE) / 1000000.0 AS seasonal_r
+FROM trended t JOIN seas s ON dayofweek(t.day) + 1 = s.dw
+"""
+
+REGISTRY["stl_decompose_events"] = {
+    "fn": stl_decompose_events,
+    "sql": STL_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Cross-correlation function at lags: Pearson corr between the daily
+# view series and the daily click series shifted by lag ∈ [-3, 3] —
+# the lead/lag discovery tool (does view volume predict click volume
+# days later?). Exact: both series in integer cents, the lag join is
+# an equi-join on day+lag (calendar-bounded), and each lag's Pearson
+# assembles from integer moment sums in 128-bit internal arithmetic
+# with one final IEEE division chain — bit-identical. Only full-
+# overlap day pairs enter (inner join), so every lag is a clean
+# n≈(days−|lag|) estimate. Scale: two groupBys to daily frames, a
+# 7-way lag fan-out of a ≤31-row frame.
+# --------------------------------------------------------------------------
+
+CCF_MAX_LAG = 3
+
+
+def ccf_view_click_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def daily(t: str, out: str):
+        return ev.filter(F.col("event_type") == t).groupBy(
+            F.col("ts").cast("date").alias("day")
+        ).agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))"
+                " AS DECIMAL(38,2)) * 100 AS BIGINT)"
+            ).alias(out)
+        )
+
+    views = daily("view", "x_c")
+    clicks = daily("click", "y_c")
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).selectExpr(
+        "CAST(id AS INT) AS lag"
+    )
+    vx = views.selectExpr("day AS vday", "x_c")
+    cy = clicks.selectExpr("day AS cday", "y_c")
+    j = (
+        vx.crossJoin(F.broadcast(lags))
+        .join(cy, F.expr("date_add(vday, lag) = cday"))
+        .select("lag", "x_c", "y_c")
+    )
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x_c").cast("bigint").alias("sx"),
+        F.sum("y_c").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(x_c AS DECIMAL(38,0)) * x_c")).alias("sxx"),
+        F.sum(F.expr("CAST(y_c AS DECIMAL(38,0)) * y_c")).alias("syy"),
+        F.sum(F.expr("CAST(x_c AS DECIMAL(38,0)) * y_c")).alias("sxy"),
+    )
+    return m.selectExpr(
+        "CAST(lag AS BIGINT) AS lag",
+        "n",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+        " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) AS _num",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS _dx",
+        "CAST(CAST(n AS DECIMAL(38,0)) * syy"
+        " - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE) AS _dy",
+    ).selectExpr(
+        "lag",
+        "n",
+        "CASE WHEN _dx = 0.0D OR _dy = 0.0D THEN NULL"
+        " ELSE _num / sqrt(_dx * _dy) END AS ccf_r",
+    ).orderBy("lag")
+
+
+CCF_SQL = f"""
+WITH views AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              * 100 AS BIGINT) AS x_c
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+clicks AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              * 100 AS BIGINT) AS y_c
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+lags AS (
+  SELECT unnest(generate_series(-{CCF_MAX_LAG}, {CCF_MAX_LAG}))
+    AS lag
+),
+j AS (
+  SELECT l.lag, v.x_c, c.y_c
+  FROM views v
+  CROSS JOIN lags l
+  JOIN clicks c ON v.day + TO_DAYS(CAST(l.lag AS INT)) = c.day
+),
+m AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_c) AS BIGINT) AS sx,
+         CAST(SUM(y_c) AS BIGINT) AS sy,
+         SUM(CAST(x_c AS HUGEINT) * x_c) AS sxx,
+         SUM(CAST(y_c AS HUGEINT) * y_c) AS syy,
+         SUM(CAST(x_c AS HUGEINT) * y_c) AS sxy
+  FROM j GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       CASE WHEN CAST(CAST(n AS HUGEINT) * sxx
+                 - CAST(sx AS HUGEINT) * sx AS DOUBLE) = 0.0
+              OR CAST(CAST(n AS HUGEINT) * syy
+                 - CAST(sy AS HUGEINT) * sy AS DOUBLE) = 0.0 THEN NULL
+            ELSE CAST(CAST(n AS HUGEINT) * sxy
+                 - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                      * CAST(CAST(n AS HUGEINT) * syy
+                        - CAST(sy AS HUGEINT) * sy AS DOUBLE)) END
+         AS ccf_r
+FROM m
+ORDER BY lag
+"""
+
+REGISTRY["ccf_view_click_events"] = {
+    "fn": ccf_view_click_events,
+    "sql": CCF_SQL,
+}

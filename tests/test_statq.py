@@ -508,3 +508,85 @@ def test_isotonic_fit_matches_pava(spark):
     )
     tot_iso = sum(want * r["n"] for r, want in zip(rows, expanded))
     assert tot_iso == tot_fit
+
+
+def test_stl_identity_and_centering(spark):
+    """v*1e4 == trend + seasonal + resid exactly per day; the seasonal
+    week sums to ~0 (centering rounds once); trend equals the integer
+    7-day half-up mean."""
+    from de4ml_spark.queries.tsq2 import stl_decompose_events
+    from de4ml_spark.session import load_table
+
+    rows = sorted(
+        stl_decompose_events(spark, SF).collect(), key=lambda r: r["day"]
+    )
+    daily = {
+        r["day"]: r["v_c"]
+        for r in load_table(spark, SF, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))"
+                " AS DECIMAL(38,2)) * 100 AS BIGINT)"
+            ).alias("v_c")
+        )
+        .collect()
+    }
+    days = sorted(daily)
+    for r in rows:
+        assert r["v_c"] * 10000 == (
+            r["trend_uc"] + r["seasonal_uc"] + r["resid_uc"]
+        )
+        i = days.index(r["day"])
+        window = [daily[d] for d in days[i - 3 : i + 4]]
+        assert len(window) == 7
+        s7 = sum(window)
+        assert r["trend_uc"] == (2 * s7 * 10000 + 7) // 14
+    seas = {}
+    for r in rows:
+        seas[r["day"].isoweekday()] = r["seasonal_uc"]
+    assert len(seas) == 7
+    assert abs(sum(seas.values())) <= 4  # one centering round per dw
+
+
+def test_ccf_lag0_matches_pearson(spark):
+    from de4ml_spark.queries.tsq2 import ccf_view_click_events
+    from de4ml_spark.session import load_table
+
+    got = {r["lag"]: r for r in ccf_view_click_events(spark, SF).collect()}
+    assert set(got) == set(range(-3, 4))
+
+    def daily(t):
+        return {
+            r["day"]: r["v"]
+            for r in load_table(spark, SF, "events")
+            .filter(F.col("event_type") == t)
+            .groupBy(F.col("ts").cast("date").alias("day"))
+            .agg(
+                F.expr(
+                    "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))"
+                    " AS DECIMAL(38,2)) * 100 AS BIGINT)"
+                ).alias("v")
+            )
+            .collect()
+        }
+
+    import datetime
+
+    x, y = daily("view"), daily("click")
+    for lag in range(-3, 4):
+        pairs = [
+            (x[d], y[d + datetime.timedelta(days=lag)])
+            for d in x
+            if d + datetime.timedelta(days=lag) in y
+        ]
+        n = len(pairs)
+        assert got[lag]["n"] == n
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        sxx = sum(a * a for a, _ in pairs)
+        syy = sum(b * b for _, b in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        num = float(n * sxy - sx * sy)
+        dx, dy = float(n * sxx - sx * sx), float(n * syy - sy * sy)
+        assert got[lag]["ccf_r"] == num / math.sqrt(dx * dy)
