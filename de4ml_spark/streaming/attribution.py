@@ -51,18 +51,16 @@ STATE_SCHEMA = (
 _WINDOW_US = ATTR_WINDOW_DAYS * 86_400_000_000
 
 
-def _attr_fn(key, pdfs: Iterator, state) -> Iterator:
-    import pandas as pd
-
-    if state.exists:
-        last_us, last_p, last_id, t_us, t_type, t_id, n_dropped = state.get
-        last = (last_us, last_p, last_id)
-        t_us, t_type, t_id = list(t_us), list(t_type), list(t_id)
-    else:
-        last, t_us, t_type, t_id, n_dropped = None, [], [], [], 0
+def _fold_batch(state_tuple, batch):
+    """Pure fold of one sorted-batch of a user's events into the
+    attribution state. Shared by the applyInPandasWithState and
+    transformWithStateInPandas surfaces so the two APIs cannot drift.
+    Returns (new_state_tuple, out_rows)."""
+    last_us, last_p, last_id, t_us, t_type, t_id, n_dropped = state_tuple
+    last = (last_us, last_p, last_id) if last_us is not None else None
+    t_us, t_type, t_id = list(t_us), list(t_type), list(t_id)
 
     out = []
-    batch = pd.concat(list(pdfs), ignore_index=True)
     if len(batch):
         # same-timestamp ties process touches BEFORE purchases: the
         # batch twin's window is t_ts <= b_ts inclusive, so a touch
@@ -119,29 +117,41 @@ def _attr_fn(key, pdfs: Iterator, state) -> Iterator:
                             )
                         )
 
-    state.update(
-        (
-            int(last[0]) if last is not None else 0,
-            int(last[1]) if last is not None else -1,
-            int(last[2]) if last is not None else -1,
-            [int(x) for x in t_us],
-            list(t_type),
-            [int(x) for x in t_id],
-            int(n_dropped),
-        )
+    new_state = (
+        int(last[0]) if last is not None else 0,
+        int(last[1]) if last is not None else -1,
+        int(last[2]) if last is not None else -1,
+        [int(x) for x in t_us],
+        list(t_type),
+        [int(x) for x in t_id],
+        int(n_dropped),
     )
-    yield pd.DataFrame(
-        out,
-        columns=[
-            "purchase_id",
-            "touch_type",
-            "n_touch",
-            "linear_ppm",
-            "first_ppm",
-            "last_ppm",
-            "n_dropped",
-        ],
-    )
+    return new_state, out
+
+
+_OUT_COLS = [
+    "purchase_id",
+    "touch_type",
+    "n_touch",
+    "linear_ppm",
+    "first_ppm",
+    "last_ppm",
+    "n_dropped",
+]
+
+
+def _attr_fn(key, pdfs: Iterator, state) -> Iterator:
+    import pandas as pd
+
+    if state.exists:
+        st = state.get
+        st = (st[0] if st[0] else None,) + tuple(st[1:])
+    else:
+        st = (None, -1, -1, [], [], [], 0)
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    new_state, out = _fold_batch(st, batch)
+    state.update(new_state)
+    yield pd.DataFrame(out, columns=_OUT_COLS)
 
 
 def streaming_attribution(events: DataFrame) -> DataFrame:
@@ -159,4 +169,49 @@ def streaming_attribution(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_attribution_tws(events: DataFrame) -> DataFrame:
+    """The same automaton on the Spark 4 stateful API
+    (``transformWithStateInPandas``, applyInPandasWithState's
+    successor): a ``StatefulProcessor`` holding the identical state
+    tuple in a named ValueState and delegating every batch to the SAME
+    ``_fold_batch`` — the two surfaces cannot drift. Same runtime
+    requirements as streaming/patterns.py's TWS twin (RocksDB state
+    store provider + the protobuf package for the Python state-server
+    protocol); the parity test skips where the environment lacks them,
+    plan construction is tested unconditionally."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _AttrProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("attr", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                st = self._state.get()
+                st = (st[0] if st[0] else None,) + tuple(st[1:])
+            else:
+                st = (None, -1, -1, [], [], [], 0)
+            batch = pd.concat(list(rows), ignore_index=True)
+            new_state, out = _fold_batch(st, batch)
+            self._state.update(new_state)
+            yield pd.DataFrame(out, columns=_OUT_COLS)
+
+        def close(self) -> None:
+            pass
+
+    events = events.filter(F.col("user_id").isNotNull())
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_AttrProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )

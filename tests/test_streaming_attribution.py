@@ -119,3 +119,104 @@ def test_out_of_order_regression_dropped(spark, tmp_path):
     assert set(by_type) == {"view"}
     assert by_type["view"]["lin"] == 2_000_000  # both purchases, 1 touch
     assert by_type["view"]["nd"] == 1
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_streaming_attribution_tws_plan(spark, tmp_path):
+    """The transformWithStateInPandas variant wires up (plan + schema)
+    regardless of environment."""
+    from de4ml_spark.streaming.attribution import streaming_attribution_tws
+
+    src = tmp_path / "ev"
+    _write(
+        src,
+        [
+            {"event_id": 1, "ts": "2024-01-02 00:00:00", "user_id": 7,
+             "event_type": "view"},
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    out = streaming_attribution_tws(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "purchase_id",
+        "touch_type",
+        "n_touch",
+        "linear_ppm",
+        "first_ppm",
+        "last_ppm",
+        "n_dropped",
+    ]
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python state-server protocol requires the "
+    "protobuf package, which this environment does not ship",
+)
+def test_streaming_attribution_tws_matches_apiws(spark, tmp_path):
+    """Both stateful surfaces fold through the shared _fold_batch, so
+    their emitted credit rows must be identical on the same batches."""
+    from de4ml_spark.streaming.attribution import streaming_attribution_tws
+
+    rows1 = [
+        {"event_id": 1, "ts": "2024-01-02 00:00:00", "user_id": 7,
+         "event_type": "view"},
+        {"event_id": 2, "ts": "2024-01-02 01:00:00", "user_id": 7,
+         "event_type": "click"},
+    ]
+    rows2 = [
+        {"event_id": 3, "ts": "2024-01-03 00:00:00", "user_id": 7,
+         "event_type": "purchase"},
+    ]
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "tws"
+        _write(src, rows1)
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = (
+            streaming_attribution_tws(stream)
+            .writeStream.format("memory")
+            .queryName("attr_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write(src, rows2)
+            q.processAllAvailable()
+            got = spark.sql(
+                "SELECT touch_type, n_touch, linear_ppm, first_ppm,"
+                " last_ppm FROM attr_tws ORDER BY touch_type"
+            ).collect()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    want = _stream_totals(spark, tmp_path, [rows1, rows2], "attr_ap")
+    want_by = {r["touch_type"]: r for r in want}
+    got_by = {r["touch_type"]: r for r in got}
+    assert set(got_by) == set(want_by) == {"click", "view"}
+    for tt in got_by:
+        assert got_by[tt]["linear_ppm"] == want_by[tt]["lin"]
+        assert got_by[tt]["first_ppm"] == want_by[tt]["fi"]
+        assert got_by[tt]["last_ppm"] == want_by[tt]["la"]
