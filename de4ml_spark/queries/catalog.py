@@ -126,6 +126,12 @@ PRIORITY = [
     "knn_rrf_fusion",
     "lang_confusion_docs",
     # -- 50-entry prefix boundary is here (round-8 queue starts below)
+    # (new round-7b entries verified locally but NOT graded this round —
+    #  they lead the round-8 queue for first driver evidence)
+    "quantile_normalize_docs",
+    "popularity_hitrate_orders",
+    "emd_value_types",
+    "gini_revenue_parts",
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",

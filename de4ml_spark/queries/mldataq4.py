@@ -432,3 +432,223 @@ REGISTRY["loso_source_influence_docs"] = {
     "fn": loso_source_influence_docs,
     "sql": _loso_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Quantile normalization of document lengths across sources — the
+# batch-effect correction that forces every source's length
+# distribution onto the POOLED distribution (as in cross-assay
+# normalization): a doc at relative rank r within its source maps to
+# the pooled value at the same relative rank. Exact: ranks are
+# deterministic row_numbers under (n_chars, doc_id) total order, the
+# target index is the half-up integer round of (r−1)(N−1)/(n_s−1)
+# (integer arithmetic only), and the mapped value is an equi-join on
+# that index — no interpolation floats anywhere. Scale: two window
+# ranks (per-source and pooled) + one equi-join on the index; all
+# frames are |docs|-sized, shuffled on rank keys once.
+# --------------------------------------------------------------------------
+
+
+def quantile_normalize_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wall = Window.orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(wsrc).alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("ns"),
+    )
+    pooled = docs.select(
+        F.row_number().over(wall).alias("idx"),
+        F.col("n_chars").alias("pooled_chars"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("nn"))
+    target = ranked.crossJoin(F.broadcast(tot)).selectExpr(
+        "doc_id",
+        "source",
+        "n_chars",
+        "r",
+        "ns",
+        # half-up integer round of (r-1)(N-1)/(ns-1), 1-based index;
+        # a single-doc source maps to the pooled median index
+        """CASE WHEN ns = 1
+           THEN CAST((nn + 1) DIV 2 AS BIGINT)
+           ELSE CAST((2 * (r - 1) * (nn - 1) + (ns - 1))
+                DIV (2 * (ns - 1)) AS BIGINT) + 1 END AS idx""",
+    )
+    return target.join(F.broadcast(pooled), "idx").selectExpr(
+        "doc_id",
+        "source",
+        "CAST(n_chars AS BIGINT) AS n_chars",
+        "CAST(r AS BIGINT) AS src_rank",
+        "CAST(pooled_chars AS BIGINT) AS qnorm_chars",
+    )
+
+
+QNORM_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS ns
+  FROM documents
+),
+pooled AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS idx,
+         n_chars AS pooled_chars
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS nn FROM documents),
+target AS (
+  SELECT doc_id, source, n_chars, r, ns,
+         CASE WHEN ns = 1
+              THEN CAST((nn + 1) // 2 AS BIGINT)
+              ELSE CAST((2 * (r - 1) * (nn - 1) + (ns - 1))
+                   // (2 * (ns - 1)) AS BIGINT) + 1 END AS idx
+  FROM ranked CROSS JOIN tot
+)
+SELECT t.doc_id, t.source,
+       CAST(t.n_chars AS BIGINT) AS n_chars,
+       CAST(t.r AS BIGINT) AS src_rank,
+       CAST(p.pooled_chars AS BIGINT) AS qnorm_chars
+FROM target t JOIN pooled p USING (idx)
+"""
+
+REGISTRY["quantile_normalize_docs"] = {
+    "fn": quantile_normalize_docs,
+    "sql": QNORM_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Popularity-baseline recommender evaluation: train on the first ~75%
+# of order dates (global top-K most-purchased parts, deterministic
+# (count DESC, partkey) order), recommend that same top-K to every
+# customer, and score hit-rate@K against each customer's HELD-OUT
+# purchases — the baseline every recommender must beat, and the
+# evaluation-harness shape (temporal split, per-user hit counting)
+# reused by any real model. Exact integers end-to-end; the split date
+# is the 75th-percentile order date by deterministic rank. Scale: the
+# recommend step is a broadcast of K part ids; scoring is one semi-join
+# per held-out purchase set, keyed by customer.
+# --------------------------------------------------------------------------
+
+POP_K = 20
+POP_SPLIT_NUM = 3  # train on the first 3/4 of the order-date range
+POP_SPLIT_DEN = 4
+
+
+def popularity_hitrate_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    split = orders.agg(
+        F.expr(
+            f"CAST(date_add(MIN(od), CAST(datediff(MAX(od), MIN(od))"
+            f" * {POP_SPLIT_NUM} DIV {POP_SPLIT_DEN} AS INT)) AS DATE)"
+        ).alias("split_day")
+    )
+    o = orders.crossJoin(F.broadcast(split))
+    train_orders = o.filter("od <= split_day")
+    test_orders = o.filter("od > split_day")
+    topk = (
+        train_orders.join(li, train_orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("l_partkey"))
+        .limit(POP_K)
+        .select("l_partkey")
+    )
+    holdout = (
+        test_orders.join(li, test_orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    hits = holdout.join(F.broadcast(topk), "l_partkey", "left_semi")
+    per_cust = holdout.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_holdout")
+    )
+    per_hit = hits.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        per_cust.join(per_hit, "o_custkey", "left")
+        .na.fill({"n_hits": 0})
+        .selectExpr(
+            "o_custkey AS custkey",
+            "CAST(n_holdout AS BIGINT) AS n_holdout",
+            "CAST(n_hits AS BIGINT) AS n_hits",
+            f"{exact_round_div_sql('n_hits', 'n_holdout', 'DIV')}"
+            " AS hitrate_r",
+        )
+    )
+
+
+def _pop_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+  FROM orders
+),
+split AS (
+  SELECT MIN(od) + TO_DAYS(CAST(datediff('day', MIN(od), MAX(od))
+         * {POP_SPLIT_NUM} // {POP_SPLIT_DEN} AS INT)) AS split_day
+  FROM o
+),
+train_orders AS (
+  SELECT o.* FROM o CROSS JOIN split WHERE od <= split_day
+),
+test_orders AS (
+  SELECT o.* FROM o CROSS JOIN split WHERE od > split_day
+),
+topk AS (
+  SELECT l.l_partkey
+  FROM train_orders t JOIN lineitem l ON t.o_orderkey = l.l_orderkey
+  GROUP BY 1
+  ORDER BY COUNT(*) DESC, l.l_partkey
+  LIMIT {POP_K}
+),
+holdout AS (
+  SELECT DISTINCT t.o_custkey, l.l_partkey
+  FROM test_orders t JOIN lineitem l ON t.o_orderkey = l.l_orderkey
+),
+per_cust AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_holdout
+  FROM holdout GROUP BY 1
+),
+per_hit AS (
+  SELECT h.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM holdout h JOIN topk USING (l_partkey)
+  GROUP BY 1
+)
+SELECT c.o_custkey AS custkey,
+       c.n_holdout,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       {exact_round_div_sql(
+           'COALESCE(h.n_hits, 0)', 'c.n_holdout', '//'
+       )} AS hitrate_r
+FROM per_cust c LEFT JOIN per_hit h USING (o_custkey)
+"""
+
+
+REGISTRY["popularity_hitrate_orders"] = {
+    "fn": popularity_hitrate_orders,
+    "sql": _pop_sql(),
+}

@@ -1260,3 +1260,94 @@ REGISTRY["rfm_segments_customers"] = {
     "fn": rfm_segments_customers,
     "sql": _rfm_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of part-revenue concentration — the single-number
+# companion of the Pareto/ABC report (Lorenz-curve area). Exact:
+# G = (2·Σ i·x_(i) − (n+1)·S) / (n·S) over revenue sorted ascending
+# with deterministic (revenue, partkey) ranks; numerator and
+# denominator are exact integers assembled in 128-bit internal
+# arithmetic (Σ i·x_i approaches int64 at sf0.1 already), the reported
+# coefficient one engine-identical double division. Also reports the
+# top-1% revenue share the same exact way. Scale: one groupBy to
+# per-part revenue, one global rank window over the part frame.
+# --------------------------------------------------------------------------
+
+
+def gini_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+            " AS DECIMAL(38,4)) * 10000 AS BIGINT)"
+        ).alias("rev_e4")
+    )
+    w = Window.orderBy("rev_e4", "l_partkey")
+    ranked = per_part.select(
+        "rev_e4",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n_all"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev_e4").cast("bigint").alias("s"),
+        F.sum(
+            F.expr("CAST(i AS DECIMAL(38,0)) * rev_e4")
+        ).alias("_wsum"),
+        F.sum(
+            F.expr(
+                "CASE WHEN i * 100 > n_all * 99 THEN rev_e4 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("top1_rev_e4"),
+    )
+    return agg.selectExpr(
+        "n",
+        "s AS total_rev_e4",
+        "top1_rev_e4",
+        """CAST(2 * _wsum - CAST(n + 1 AS DECIMAL(38,0)) * s AS DOUBLE)
+           / CAST(CAST(n AS DECIMAL(38,0)) * s AS DOUBLE) AS gini_r""",
+        "CAST(top1_rev_e4 AS DOUBLE) / CAST(s AS DOUBLE)"
+        " AS top1_share_r",
+    )
+
+
+GINI_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(38,4)) * 10000 AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT rev_e4,
+         ROW_NUMBER() OVER (ORDER BY rev_e4, l_partkey) AS i,
+         COUNT(*) OVER () AS n_all
+  FROM per_part
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rev_e4) AS BIGINT) AS s,
+         SUM(CAST(i AS HUGEINT) * rev_e4) AS wsum,
+         CAST(SUM(CASE WHEN i * 100 > n_all * 99
+                       THEN rev_e4 ELSE 0 END) AS BIGINT)
+           AS top1_rev_e4
+  FROM ranked
+)
+SELECT n, s AS total_rev_e4, top1_rev_e4,
+       CAST(2 * wsum - CAST(n + 1 AS HUGEINT) * s AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * s AS DOUBLE) AS gini_r,
+       CAST(top1_rev_e4 AS DOUBLE) / CAST(s AS DOUBLE) AS top1_share_r
+FROM agg
+"""
+
+REGISTRY["gini_revenue_parts"] = {
+    "fn": gini_revenue_parts,
+    "sql": GINI_SQL,
+}

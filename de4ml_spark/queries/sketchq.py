@@ -826,3 +826,167 @@ REGISTRY["mutual_info_events"] = {
     "fn": mutual_info_events,
     "sql": _mi_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# 1-D earth-mover's distance (Wasserstein-1) between event-type value
+# distributions, pairwise — the transport-metric member of the drift
+# family (KS = max CDF gap, TVD = half L1 on categories, KL = info
+# divergence; EMD integrates the CDF gap so it SEES how far mass
+# moved, not just that it moved). Exactness: on the cent-level value
+# histogram, EMD·N_a·N_b = Σ over consecutive distinct values of
+# |cum_a·N_b − cum_b·N_a| · Δv — pure BIGINT (128-bit internally for
+# the final scale-down), with the reported cents value one exact
+# half-up division. Scale: one groupBy to the per-(type, value)
+# histogram; the pair fan-out multiplies the histogram by (k−1), and
+# the per-pair cumulative is a window over distinct values.
+# --------------------------------------------------------------------------
+
+
+def emd_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql_wide,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    types = counts.select("event_type").distinct()
+    pairs = (
+        types.alias("ta")
+        .crossJoin(types.alias("tb"))
+        .filter(F.col("ta.event_type") < F.col("tb.event_type"))
+        .select(
+            F.col("ta.event_type").alias("type_a"),
+            F.col("tb.event_type").alias("type_b"),
+        )
+    )
+    member = counts.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    ).select(
+        "type_a",
+        "type_b",
+        "v_c",
+        F.when(F.col("event_type") == F.col("type_a"), F.col("cnt"))
+        .otherwise(F.lit(0))
+        .alias("ca"),
+        F.when(F.col("event_type") == F.col("type_b"), F.col("cnt"))
+        .otherwise(F.lit(0))
+        .alias("cb"),
+    )
+    byval = member.groupBy("type_a", "type_b", "v_c").agg(
+        F.sum("ca").alias("na_v"), F.sum("cb").alias("nb_v")
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("v_c")
+    wcum = wp.rowsBetween(Window.unboundedPreceding, 0)
+    stepped = byval.select(
+        "type_a",
+        "type_b",
+        "v_c",
+        F.sum("na_v").over(wcum).alias("cum_a"),
+        F.sum("nb_v").over(wcum).alias("cum_b"),
+        F.lead("v_c").over(wp).alias("v_next"),
+        F.sum("na_v")
+        .over(Window.partitionBy("type_a", "type_b"))
+        .alias("n_a"),
+        F.sum("nb_v")
+        .over(Window.partitionBy("type_a", "type_b"))
+        .alias("n_b"),
+    ).filter("v_next IS NOT NULL")
+    agg = stepped.groupBy("type_a", "type_b").agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.sum(
+            F.expr(
+                "abs(CAST(cum_a AS DECIMAL(38,0)) * n_b"
+                " - CAST(cum_b AS DECIMAL(38,0)) * n_a)"
+                " * (v_next - v_c)"
+            )
+        ).alias("_emd_scaled"),
+    )
+    return agg.selectExpr(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "CAST(_emd_scaled AS DOUBLE) AS emd_scaled_d",
+        f"""{exact_round_div_sql_wide(
+            "_emd_scaled",
+            "CAST(n_a AS DECIMAL(38,0)) * n_b", "DIV", 2
+        )} AS emd_cents_r""",
+    )
+
+
+EMD_SQL = """
+WITH counts AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         COUNT(*) AS cnt
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM counts),
+pairs AS (
+  SELECT ta.event_type AS type_a, tb.event_type AS type_b
+  FROM types ta CROSS JOIN types tb
+  WHERE ta.event_type < tb.event_type
+),
+member AS (
+  SELECT p.type_a, p.type_b, c.v_c,
+         CASE WHEN c.event_type = p.type_a THEN c.cnt ELSE 0 END AS ca,
+         CASE WHEN c.event_type = p.type_b THEN c.cnt ELSE 0 END AS cb
+  FROM counts c
+  JOIN pairs p ON c.event_type = p.type_a OR c.event_type = p.type_b
+),
+byval AS (
+  SELECT type_a, type_b, v_c,
+         SUM(ca) AS na_v, SUM(cb) AS nb_v
+  FROM member GROUP BY 1, 2, 3
+),
+stepped AS (
+  SELECT type_a, type_b, v_c,
+         SUM(na_v) OVER (PARTITION BY type_a, type_b ORDER BY v_c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(nb_v) OVER (PARTITION BY type_a, type_b ORDER BY v_c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         LEAD(v_c) OVER (PARTITION BY type_a, type_b ORDER BY v_c)
+           AS v_next,
+         SUM(na_v) OVER (PARTITION BY type_a, type_b) AS n_a,
+         SUM(nb_v) OVER (PARTITION BY type_a, type_b) AS n_b
+  FROM byval
+),
+agg AS (
+  SELECT type_a, type_b,
+         CAST(MAX(n_a) AS BIGINT) AS n_a,
+         CAST(MAX(n_b) AS BIGINT) AS n_b,
+         SUM(abs(CAST(cum_a AS HUGEINT) * n_b
+             - CAST(cum_b AS HUGEINT) * n_a) * (v_next - v_c))
+           AS emd_scaled
+  FROM stepped WHERE v_next IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_a, n_b,
+       CAST(emd_scaled AS DOUBLE) AS emd_scaled_d,
+       (CAST((CAST(emd_scaled AS HUGEINT) * 200 + (CAST(n_a AS HUGEINT) * n_b))
+            // (2 * (CAST(n_a AS HUGEINT) * n_b)) AS DOUBLE) / 100.0)
+         AS emd_cents_r
+FROM agg
+"""
+
+REGISTRY["emd_value_types"] = {
+    "fn": emd_value_types,
+    "sql": EMD_SQL,
+}

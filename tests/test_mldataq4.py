@@ -131,3 +131,142 @@ def test_assortativity_matches_python(spark):
     import math
 
     assert row["assortativity_r"] == num / math.sqrt(den * den)
+
+
+def test_quantile_normalize_exact_rank_map(spark):
+    """Every doc's normalized value equals the pooled order statistic
+    at the half-up-rounded relative rank — recomputed in Python."""
+    from de4ml_spark.queries.mldataq4 import quantile_normalize_docs
+    from de4ml_spark.session import load_table
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    pooled = sorted((r["n_chars"], r["doc_id"]) for r in docs)
+    pooled_vals = [v for v, _ in pooled]
+    nn = len(pooled)
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r["source"]].append((r["n_chars"], r["doc_id"]))
+    got = {r["doc_id"]: r for r in quantile_normalize_docs(spark, SF).collect()}
+    assert len(got) == nn
+    for src, lst in by_src.items():
+        lst.sort()
+        ns = len(lst)
+        for r0, (v, did) in enumerate(lst, start=1):
+            if ns == 1:
+                idx = (nn + 1) // 2
+            else:
+                idx = (2 * (r0 - 1) * (nn - 1) + (ns - 1)) // (
+                    2 * (ns - 1)
+                ) + 1
+            g = got[did]
+            assert g["src_rank"] == r0
+            assert g["qnorm_chars"] == pooled_vals[idx - 1]
+
+
+def test_popularity_hitrate_recompute(spark):
+    """Top-K train popularity and per-customer holdout hits recomputed
+    exactly from the raw tables."""
+    import datetime
+
+    from de4ml_spark.queries.mldataq4 import (
+        POP_K,
+        POP_SPLIT_DEN,
+        POP_SPLIT_NUM,
+        popularity_hitrate_orders,
+    )
+    from de4ml_spark.session import load_table
+
+    orders = load_table(spark, SF, "orders").selectExpr(
+        "o_orderkey", "o_custkey", "CAST(o_orderdate AS DATE) AS od"
+    ).collect()
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    lines_by_order = defaultdict(list)
+    for r in li:
+        lines_by_order[r["l_orderkey"]].append(r["l_partkey"])
+    days = [r["od"] for r in orders]
+    span = (max(days) - min(days)).days
+    split = min(days) + datetime.timedelta(
+        days=span * POP_SPLIT_NUM // POP_SPLIT_DEN
+    )
+    cnt = defaultdict(int)
+    holdout = defaultdict(set)
+    for r in orders:
+        if r["od"] <= split:
+            # train popularity counts LINEITEM LINES, not distinct parts
+            for p in lines_by_order[r["o_orderkey"]]:
+                cnt[p] += 1
+        else:
+            for p in lines_by_order[r["o_orderkey"]]:
+                holdout[r["o_custkey"]].add(p)
+    topk = set(
+        p
+        for p, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :POP_K
+        ]
+    )
+    got = {r["custkey"]: r for r in popularity_hitrate_orders(spark, SF).collect()}
+    assert set(got) == set(holdout)
+    for cust, parts in holdout.items():
+        hits = len(parts & topk)
+        assert got[cust]["n_holdout"] == len(parts)
+        assert got[cust]["n_hits"] == hits
+
+
+def test_emd_and_gini_recompute(spark):
+    """EMD scaled integers and the Gini coefficient recomputed exactly."""
+    from de4ml_spark.queries.relational3 import gini_revenue_parts
+    from de4ml_spark.queries.sketchq import emd_value_types
+    from de4ml_spark.session import load_table
+
+    ev = load_table(spark, SF, "events").selectExpr(
+        "event_type",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c",
+    ).where("v_c IS NOT NULL AND event_type IS NOT NULL").collect()
+    vals = defaultdict(list)
+    for r in ev:
+        vals[r["event_type"]].append(r["v_c"])
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in emd_value_types(spark, SF).collect()
+    }
+    types = sorted(vals)
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            xs, ys = sorted(vals[a]), sorted(vals[b])
+            na, nb = len(xs), len(ys)
+            support = sorted(set(xs) | set(ys))
+            emd_scaled = 0
+            ca = cb = 0
+            import bisect
+
+            for v, vn in zip(support, support[1:]):
+                ca = bisect.bisect_right(xs, v)
+                cb = bisect.bisect_right(ys, v)
+                emd_scaled += abs(ca * nb - cb * na) * (vn - v)
+            r = got[(a, b)]
+            assert (r["n_a"], r["n_b"]) == (na, nb)
+            assert r["emd_scaled_d"] == float(emd_scaled)
+
+    li = load_table(spark, SF, "lineitem").selectExpr(
+        "l_partkey",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))"
+        " AS rev",
+    ).collect()
+    per = defaultdict(int)
+    for r in li:
+        per[r["l_partkey"]] += int(r["rev"].scaleb(4))
+    xs = sorted((v, k) for k, v in per.items())
+    n = len(xs)
+    s = sum(v for v, _ in xs)
+    wsum = sum(i * v for i, (v, _) in enumerate(xs, start=1))
+    grow = gini_revenue_parts(spark, SF).collect()[0]
+    assert grow["n"] == n and grow["total_rev_e4"] == s
+    assert grow["gini_r"] == float(2 * wsum - (n + 1) * s) / float(n * s)
+    assert 0.0 <= grow["gini_r"] < 1.0
