@@ -132,6 +132,7 @@ PRIORITY = [
     "popularity_hitrate_orders",
     "emd_value_types",
     "gini_revenue_parts",
+    "embedding_covariance",
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",

@@ -466,3 +466,98 @@ REGISTRY["label_centroid_distances"] = {
     "fn": label_centroid_distances,
     "sql": _label_centroid_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Embedding covariance moments (upper triangle) — the whitening /
+# PCA-prep statistic: for every dimension pair (j <= k), the exact
+# moment sums over micro-quantized components, and the sample
+# covariance as an engine-identical double of those exact integers.
+# Quantize-then-sum is the exactness move (same as label centroids):
+# float32 components convert exactly to double, one correctly-rounded
+# multiply + exact floor lands them on the integer micro grid, and
+# every aggregate after that is addition-order-independent. Scale:
+# the (j, k) pair fan-out multiplies each VECTOR by d(d+1)/2 — at
+# 100 TB you'd swap the explode+self-join for a mapInPandas BLAS
+# accumulation per partition and SUM the per-partition moment
+# matrices (the operators/similarity.py fold pattern); this entry
+# keeps the declarative shape the oracle can state, with the moments
+# contract identical either way.
+# --------------------------------------------------------------------------
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "v"),
+    ).selectExpr(
+        "vec_id",
+        "dim",
+        "CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS v_micro",
+    )
+    a = ex.selectExpr("vec_id", "dim AS j", "v_micro AS xj")
+    b = ex.selectExpr("vec_id", "dim AS k", "v_micro AS xk")
+    pairs = a.join(b, "vec_id").filter("j <= k")
+    m = pairs.groupBy("j", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xj").cast("bigint").alias("sj"),
+        F.sum("xk").cast("bigint").alias("sk"),
+        F.sum(
+            F.expr("CAST(xj AS DECIMAL(38,0)) * xk")
+        ).alias("_sjk"),
+    )
+    return m.selectExpr(
+        "CAST(j AS BIGINT) AS j",
+        "CAST(k AS BIGINT) AS k",
+        "n",
+        "sj",
+        "sk",
+        "CAST(_sjk AS DOUBLE) AS sjk_d",
+        # sample covariance in micro^2 units: (n*Sjk - Sj*Sk)/(n*(n-1))
+        """CASE WHEN n <= 1 THEN NULL ELSE
+           CAST(CAST(n AS DECIMAL(38,0)) * _sjk
+                - CAST(sj AS DECIMAL(38,0)) * sk AS DOUBLE)
+           / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE)
+           / 1000000000000.0 END AS cov_r""",
+    )
+
+
+EMB_COV_SQL = """
+WITH ex AS (
+  SELECT vec_id, gs.i - 1 AS dim,
+         CAST(floor(CAST(embedding[gs.i] AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS v_micro
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+         gs
+),
+pairs AS (
+  SELECT a.vec_id, a.dim AS j, b.dim AS k,
+         a.v_micro AS xj, b.v_micro AS xk
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+),
+m AS (
+  SELECT j, k,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xj) AS BIGINT) AS sj,
+         CAST(SUM(xk) AS BIGINT) AS sk,
+         SUM(CAST(xj AS HUGEINT) * xk) AS sjk
+  FROM pairs GROUP BY 1, 2
+)
+SELECT CAST(j AS BIGINT) AS j, CAST(k AS BIGINT) AS k, n, sj, sk,
+       CAST(sjk AS DOUBLE) AS sjk_d,
+       CASE WHEN n <= 1 THEN NULL ELSE
+       CAST(CAST(n AS HUGEINT) * sjk
+            - CAST(sj AS HUGEINT) * sk AS DOUBLE)
+       / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+       / 1000000000000.0 END AS cov_r
+FROM m
+"""
+
+REGISTRY["embedding_covariance"] = {
+    "fn": embedding_covariance,
+    "sql": EMB_COV_SQL,
+}

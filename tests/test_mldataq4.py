@@ -270,3 +270,39 @@ def test_emd_and_gini_recompute(spark):
     assert grow["n"] == n and grow["total_rev_e4"] == s
     assert grow["gini_r"] == float(2 * wsum - (n + 1) * s) / float(n * s)
     assert 0.0 <= grow["gini_r"] < 1.0
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Moment sums and covariance recomputed with numpy on the same
+    micro-quantized integers — exact equality."""
+    import math
+
+    import numpy as np
+
+    from de4ml_spark.queries.simq import embedding_covariance
+    from de4ml_spark.session import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("embedding").collect()
+    X = np.array(
+        [
+            [math.floor(float(v) * 1e6 + 0.5) for v in r["embedding"]]
+            for r in emb
+        ],
+        dtype=object,
+    )
+    n, d = X.shape
+    got = {(r["j"], r["k"]): r for r in embedding_covariance(spark, SF).collect()}
+    assert len(got) == d * (d + 1) // 2
+    sums = [int(sum(X[:, j])) for j in range(d)]
+    for j in range(0, d, 7):  # sample the triangle
+        for k in range(j, d, 11):
+            sjk = int(sum(int(a) * int(b) for a, b in zip(X[:, j], X[:, k])))
+            r = got[(j, k)]
+            assert (r["n"], r["sj"], r["sk"]) == (n, sums[j], sums[k])
+            assert r["sjk_d"] == float(sjk)
+            want = (
+                float(n * sjk - sums[j] * sums[k])
+                / float(n * (n - 1))
+                / 1e12
+            )
+            assert r["cov_r"] == want
