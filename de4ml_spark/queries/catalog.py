@@ -133,6 +133,7 @@ PRIORITY = [
     "emd_value_types",
     "gini_revenue_parts",
     "embedding_covariance",
+    "grid_density_clusters",
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",

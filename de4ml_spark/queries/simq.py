@@ -561,3 +561,143 @@ REGISTRY["embedding_covariance"] = {
     "fn": embedding_covariance,
     "sql": EMB_COV_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Grid-density clustering of the embedding cloud (DBSCAN-lite): project
+# to the first two dimensions, land points on an integer micro-grid
+# (cell = component DIV GRID_H — truncation toward zero is identical in
+# Spark DIV and DuckDB //), call a cell CORE when it holds >= GRID_MINPTS
+# points, and let clusters be connected components of core cells under
+# 8-neighbour adjacency; points in non-core cells are NOISE. This is
+# the density-clustering shape that actually scales: candidate
+# adjacency is an equi-join on cell keys after a map-side 8-offset
+# explode (never a distance theta-join), and the component iteration
+# runs on the CORE-CELL graph, whose size is bounded by the GRID AREA
+# (value range / GRID_H squared — a constant), not by the corpus: the
+# one graph in this repo where a driver-side union-find is the correct
+# scale design (the same bounded-model-fit rule as IVF's k-means
+# sample), with the cluster map broadcast back over the points. The
+# fixpoint equals the transitive closure, so the oracle states it as a
+# recursive CTE.
+# --------------------------------------------------------------------------
+
+GRID_H = 100_000
+GRID_MINPTS = 5
+_GRID_OFF = 1_000  # cell-coordinate offset so keys stay positive
+
+
+def _cell_key(cx: str, cy: str) -> str:
+    return f"(({cx}) + {_GRID_OFF}) * 100000 + (({cy}) + {_GRID_OFF})"
+
+
+def grid_density_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.selectExpr(
+        "vec_id",
+        f"CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT) DIV {GRID_H} AS cx",
+        f"CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT) DIV {GRID_H} AS cy",
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    core = cells.filter(F.col("n") >= GRID_MINPTS).selectExpr(
+        "cx", "cy", f"{_cell_key('cx', 'cy')} AS cell"
+    )
+    # grid-bounded model fit: the core-cell set is a constant-size
+    # frame at any corpus scale, so collect it once and union-find on
+    # the driver (8-neighbour adjacency in a dict lookup)
+    core_cells = [
+        (r["cx"], r["cy"], r["cell"]) for r in core.collect()
+    ]
+    parent = {c: c for _, _, c in core_cells}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_coord = {(cx, cy): c for cx, cy, c in core_cells}
+    for cx, cy, c in core_cells:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nbr = by_coord.get((cx + dx, cy + dy))
+                if nbr is not None and nbr != c:
+                    ra, rb = find(c), find(nbr)
+                    if ra != rb:
+                        # union by MIN root so the label is the min
+                        # cell key of the component (oracle parity)
+                        lo, hi = min(ra, rb), max(ra, rb)
+                        parent[hi] = lo
+    mapping = [(c, find(c)) for _, _, c in core_cells]
+    comp = spark.createDataFrame(
+        mapping, "cell BIGINT, cluster BIGINT"
+    )
+    labeled = (
+        pts.selectExpr(
+            "vec_id", "cx", "cy", f"{_cell_key('cx', 'cy')} AS cell"
+        )
+        .join(F.broadcast(comp), "cell", "left")
+    )
+    return labeled.selectExpr(
+        "vec_id",
+        "CAST(cx AS BIGINT) AS cx",
+        "CAST(cy AS BIGINT) AS cy",
+        "CAST(cluster AS BIGINT) AS cluster",
+        "cluster IS NOT NULL AS is_core",
+    )
+
+
+GRID_DENSITY_SQL = f"""
+WITH RECURSIVE
+pts AS (
+  SELECT vec_id,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) // {GRID_H} AS cx,
+         CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) // {GRID_H} AS cy
+  FROM embeddings
+),
+cells AS (SELECT cx, cy, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+core AS (
+  SELECT cx, cy, (cx + {_GRID_OFF}) * 100000 + (cy + {_GRID_OFF})
+    AS cell
+  FROM cells WHERE n >= {GRID_MINPTS}
+),
+pairs AS (
+  SELECT a.cell AS id_a, b.cell AS id_b
+  FROM core a JOIN core b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND a.cell < b.cell
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.n, e2.b FROM reach r JOIN edges e2 ON r.m = e2.a
+),
+comp AS (
+  SELECT c.cell,
+         LEAST(c.cell, COALESCE(MIN(r.m), c.cell)) AS cluster
+  FROM core c
+  LEFT JOIN reach r ON c.cell = r.n
+  GROUP BY c.cell
+)
+SELECT p.vec_id,
+       CAST(p.cx AS BIGINT) AS cx,
+       CAST(p.cy AS BIGINT) AS cy,
+       CAST(k.cluster AS BIGINT) AS cluster,
+       k.cluster IS NOT NULL AS is_core
+FROM pts p
+LEFT JOIN comp k
+  ON (p.cx + {_GRID_OFF}) * 100000 + (p.cy + {_GRID_OFF}) = k.cell
+"""
+
+REGISTRY["grid_density_clusters"] = {
+    "fn": grid_density_clusters,
+    "sql": GRID_DENSITY_SQL,
+}

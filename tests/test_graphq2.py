@@ -88,3 +88,69 @@ def test_jaccard_matches_python_topk(spark):
         assert r["common_neighbors"] == common
         assert r["union_size"] == union
         assert round(r["jaccard_r"] * 10**6) == -nppm
+
+
+def test_grid_density_clusters_python_recompute(spark):
+    """Cell assignment, core flags, and cluster labels recomputed with
+    a pure-Python grid + BFS; noise points have NULL cluster."""
+    import math
+    from collections import deque
+
+    from de4ml_spark.queries.simq import (
+        GRID_H,
+        GRID_MINPTS,
+        _GRID_OFF,
+        grid_density_clusters,
+    )
+    from de4ml_spark.session import load_table
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+
+    def trunc_div(m, h):
+        # truncation toward zero, matching Spark DIV / DuckDB //
+        q = abs(m) // h
+        return q if m >= 0 else -q
+
+    pts = {
+        r["vec_id"]: (
+            trunc_div(math.floor(float(r["embedding"][0]) * 1e6 + 0.5), GRID_H),
+            trunc_div(math.floor(float(r["embedding"][1]) * 1e6 + 0.5), GRID_H),
+        )
+        for r in emb
+    }
+    from collections import Counter
+
+    counts = Counter(pts.values())
+    core = {c for c, n in counts.items() if n >= GRID_MINPTS}
+    key = lambda c: (c[0] + _GRID_OFF) * 100000 + (c[1] + _GRID_OFF)
+    # BFS components over 8-neighbour core cells, labeled by min key
+    label = {}
+    for start in sorted(core, key=key):
+        if start in label:
+            continue
+        comp = []
+        q = deque([start])
+        seen = {start}
+        while q:
+            c = q.popleft()
+            comp.append(c)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (c[0] + dx, c[1] + dy)
+                    if nb in core and nb not in seen:
+                        seen.add(nb)
+                        q.append(nb)
+        lbl = min(key(c) for c in comp)
+        for c in comp:
+            label[c] = lbl
+    got = {r["vec_id"]: r for r in grid_density_clusters(spark, SF).collect()}
+    assert set(got) == set(pts)
+    for vid, (cx, cy) in pts.items():
+        g = got[vid]
+        assert (g["cx"], g["cy"]) == (cx, cy)
+        if (cx, cy) in core:
+            assert g["is_core"] and g["cluster"] == label[(cx, cy)]
+        else:
+            assert not g["is_core"] and g["cluster"] is None
