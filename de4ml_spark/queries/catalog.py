@@ -134,6 +134,7 @@ PRIORITY = [
     "gini_revenue_parts",
     "embedding_covariance",
     "grid_density_clusters",
+    "markov_next_event_accuracy",
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",

@@ -1203,3 +1203,133 @@ REGISTRY["isotonic_ctr_deciles"] = {
     "fn": isotonic_ctr_deciles,
     "sql": ISOTONIC_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Markov next-event prediction accuracy: build the per-user event-type
+# transition counts on the TRAIN half of the month, predict each
+# transition's next type as the argmax count (deterministic tie-break:
+# higher count, then lexicographic type), and score accuracy on the
+# HELD-OUT half — turning the descriptive transition matrix
+# (event_transition_matrix) into an evaluated predictor, the
+# first-order baseline for sequence models. Exact: counts and hits are
+# integers; accuracy is one half-up rounding; the train/test boundary
+# is a calendar constant. Transitions are built per user with a lag
+# window inside (user, split) partitions — one shuffle each side.
+# --------------------------------------------------------------------------
+
+MARKOV_SPLIT_DAY = 16
+
+
+def markov_next_event_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    base = ev.selectExpr(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        f"dayofmonth(ts) < {MARKOV_SPLIT_DAY} AS is_train",
+    )
+    w = Window.partitionBy("user_id", "is_train").orderBy(
+        "ts", "event_id"
+    )
+    trans = base.select(
+        "is_train",
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter("nxt IS NOT NULL")
+    train_counts = (
+        trans.filter("is_train")
+        .groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wbest = Window.partitionBy("prev").orderBy(
+        F.desc("cnt"), F.col("nxt")
+    )
+    pred = (
+        train_counts.withColumn("rk", F.row_number().over(wbest))
+        .filter("rk = 1")
+        .selectExpr("prev", "nxt AS predicted", "cnt AS train_cnt")
+    )
+    test = trans.filter("NOT is_train")
+    scored = test.join(F.broadcast(pred), "prev", "left").groupBy(
+        "prev"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        # COALESCE: an unseen-in-train prev has NULL predicted — the
+        # comparison must count as a miss (DuckDB's CASE already does)
+        F.sum(
+            F.expr("CAST(COALESCE(nxt = predicted, false) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("n_hits"),
+        F.max("predicted").alias("predicted"),
+        F.max("train_cnt").cast("bigint").alias("train_cnt"),
+    )
+    return scored.selectExpr(
+        "prev",
+        "predicted",
+        "train_cnt",
+        "n_test",
+        "n_hits",
+        f"{exact_round_div_sql('n_hits', 'n_test', 'DIV')}"
+        " AS accuracy_r",
+    )
+
+
+def _markov_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    return f"""
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         date_part('day', ts) < {MARKOV_SPLIT_DAY} AS is_train
+  FROM events WHERE user_id IS NOT NULL
+),
+trans AS (
+  SELECT is_train, prev, nxt FROM (
+    SELECT is_train, event_type AS prev,
+           LEAD(event_type) OVER (PARTITION BY user_id, is_train
+                                  ORDER BY ts, event_id) AS nxt
+    FROM base
+  ) WHERE nxt IS NOT NULL
+),
+train_counts AS (
+  SELECT prev, nxt, COUNT(*) AS cnt
+  FROM trans WHERE is_train GROUP BY 1, 2
+),
+pred AS (
+  SELECT prev, nxt AS predicted, cnt AS train_cnt FROM (
+    SELECT prev, nxt, cnt,
+           ROW_NUMBER() OVER (PARTITION BY prev
+                              ORDER BY cnt DESC, nxt) AS rk
+    FROM train_counts
+  ) WHERE rk = 1
+),
+scored AS (
+  SELECT t.prev,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN t.nxt = p.predicted THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits,
+         MAX(p.predicted) AS predicted,
+         CAST(MAX(p.train_cnt) AS BIGINT) AS train_cnt
+  FROM trans t LEFT JOIN pred p USING (prev)
+  WHERE NOT t.is_train
+  GROUP BY 1
+)
+SELECT prev, predicted, train_cnt, n_test, n_hits,
+       {exact_round_div_sql('n_hits', 'n_test', '//')} AS accuracy_r
+FROM scored
+"""
+
+
+REGISTRY["markov_next_event_accuracy"] = {
+    "fn": markov_next_event_accuracy,
+    "sql": _markov_sql(),
+}

@@ -590,3 +590,53 @@ def test_ccf_lag0_matches_pearson(spark):
         num = float(n * sxy - sx * sy)
         dx, dy = float(n * sxx - sx * sx), float(n * syy - sy * sy)
         assert got[lag]["ccf_r"] == num / math.sqrt(dx * dy)
+
+
+def test_markov_accuracy_recompute(spark):
+    """Train argmax predictions and test hit counts replayed in pure
+    Python over per-user ordered sequences."""
+    from de4ml_spark.queries.statq import (
+        MARKOV_SPLIT_DAY,
+        markov_next_event_accuracy,
+    )
+    from de4ml_spark.session import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id").isNotNull())
+        .selectExpr("user_id", "event_type", "ts", "event_id",
+                    f"dayofmonth(ts) < {MARKOV_SPLIT_DAY} AS is_train")
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[(r["user_id"], r["is_train"])].append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    train_cnt = defaultdict(int)
+    test_trans = []
+    for (_, is_train), rows in seqs.items():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            if is_train:
+                train_cnt[(a, b)] += 1
+            else:
+                test_trans.append((a, b))
+    pred = {}
+    for (a, b), c in train_cnt.items():
+        cur = pred.get(a)
+        if cur is None or c > cur[1] or (c == cur[1] and b < cur[0]):
+            pred[a] = (b, c)
+    got = {r["prev"]: r for r in markov_next_event_accuracy(spark, SF).collect()}
+    per_prev = defaultdict(lambda: [0, 0])
+    for a, b in test_trans:
+        per_prev[a][0] += 1
+        if a in pred and pred[a][0] == b:
+            per_prev[a][1] += 1
+    assert set(got) == set(per_prev)
+    for a, (n, hits) in per_prev.items():
+        assert got[a]["n_test"] == n
+        assert got[a]["n_hits"] == hits
+        if a in pred:
+            assert got[a]["predicted"] == pred[a][0]
+            assert got[a]["train_cnt"] == pred[a][1]
