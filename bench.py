@@ -95,6 +95,12 @@ HEADLINE = [
     "jaccard_copurchase_parts",
     "oof_target_encode_events",
     "feature_hash_docs",
+    "theil_sen_trend_events",
+    "stl_decompose_events",
+    "gini_revenue_parts",
+    "rfm_segments_customers",
+    "emd_value_types",
+    "markov_next_event_accuracy",
 ]
 
 
