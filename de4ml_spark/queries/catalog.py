@@ -59,15 +59,17 @@ def _registries() -> list[dict]:
 # MUST be (re-)graded — the two round-6 hash failures with driver-safe
 # result types (q9 BIGINT ten-thousandths, rollup integer cents),
 # q16's NOT IN -> NOT EXISTS oracle, the fourteen round-7a additions
-# (HLL .. label-centroid distances), and the TWENTY round-7b additions
-# (Mann-Whitney, plus-4 bounds, Kaplan-Meier, attribution, k-core,
-# edge Jaccard, assortativity, OOF encoding, feature hashing, negative
-# sampling, MASE, conformal, changepoint, LOSO influence, SPRT,
-# Theil-Sen, Pareto/ABC, RFM, isotonic, STL, CCF) — 40 entries with NO
-# driver evidence yet outrank everything; then
+# (HLL .. label-centroid distances), and the TWENTY-ONE round-7b
+# additions (Mann-Whitney, plus-4 bounds, Kaplan-Meier, attribution,
+# k-core, edge Jaccard, assortativity, OOF encoding, feature hashing,
+# negative sampling, MASE, conformal, changepoint, LOSO influence,
+# SPRT, Theil-Sen, Pareto/ABC, RFM, isotonic, STL, CCF) — 38 entries
+# with NO driver evidence yet outrank everything; then
 # (2) the stale queue where round 6 left off (dedup_embedding_blocked
-# ..) — its first 10 fill the graded 50; lang_id_docs onward leads the
-# round-8 queue; then
+# ..) — its first 12 fill the graded 50 (38 + 12); the section below
+# the boundary marker leads the round-8 queue, headed by the 7 newest
+# locally-verified entries (quantile_normalize .. markov accuracy);
+# then
 # (3) round-5-graded evidence, then (4) the entries freshly graded in
 # round 6 at the very back. Everything re-greens locally via
 # tools/verify_oracle.py (safe-type whitelist preflight — no DECIMAL

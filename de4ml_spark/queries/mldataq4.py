@@ -484,7 +484,9 @@ def quantile_normalize_docs(
            ELSE CAST((2 * (r - 1) * (nn - 1) + (ns - 1))
                 DIV (2 * (ns - 1)) AS BIGINT) + 1 END AS idx""",
     )
-    return target.join(F.broadcast(pooled), "idx").selectExpr(
+    # plain equi-join on the unique pooled rank — `pooled` is corpus-
+    # sized, never a broadcast candidate
+    return target.join(pooled, "idx").selectExpr(
         "doc_id",
         "source",
         "CAST(n_chars AS BIGINT) AS n_chars",

@@ -1068,9 +1068,12 @@ def pareto_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_c4",
             "total_c4",
             # A: cum <= 80% (5*cum <= 4*total), B: <= 95% (20*cum <=
-            # 19*total), else C — integer cross-multiplied, exact
-            """CASE WHEN 5 * cum_c4 <= 4 * total_c4 THEN 'A'
-                WHEN 20 * cum_c4 <= 19 * total_c4 THEN 'B'
+            # 19*total), else C — integer cross-multiplied in 128-bit
+            # (20x a 1e-4-unit total passes int64 near sf230)
+            """CASE WHEN 5 * CAST(cum_c4 AS DECIMAL(38,0))
+                     <= 4 * CAST(total_c4 AS DECIMAL(38,0)) THEN 'A'
+                WHEN 20 * CAST(cum_c4 AS DECIMAL(38,0))
+                     <= 19 * CAST(total_c4 AS DECIMAL(38,0)) THEN 'B'
                 ELSE 'C' END AS abc_class""",
         )
     )
@@ -1116,8 +1119,10 @@ classed AS (
 ),
 labeled AS (
   SELECT *,
-         CASE WHEN 5 * cum_c4 <= 4 * total_c4 THEN 'A'
-              WHEN 20 * cum_c4 <= 19 * total_c4 THEN 'B'
+         CASE WHEN 5 * CAST(cum_c4 AS HUGEINT)
+                   <= 4 * CAST(total_c4 AS HUGEINT) THEN 'A'
+              WHEN 20 * CAST(cum_c4 AS HUGEINT)
+                   <= 19 * CAST(total_c4 AS HUGEINT) THEN 'B'
               ELSE 'C' END AS abc_class
   FROM classed
 )

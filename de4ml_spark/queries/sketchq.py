@@ -980,13 +980,23 @@ agg AS (
 )
 SELECT type_a, type_b, n_a, n_b,
        CAST(emd_scaled AS DOUBLE) AS emd_scaled_d,
-       (CAST((CAST(emd_scaled AS HUGEINT) * 200 + (CAST(n_a AS HUGEINT) * n_b))
-            // (2 * (CAST(n_a AS HUGEINT) * n_b)) AS DOUBLE) / 100.0)
-         AS emd_cents_r
+       {emd_div} AS emd_cents_r
 FROM agg
 """
 
+def _emd_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql_wide,
+    )
+
+    return EMD_SQL.format(
+        emd_div=exact_round_div_sql_wide(
+            "emd_scaled", "CAST(n_a AS HUGEINT) * n_b", "//", 2
+        )
+    )
+
+
 REGISTRY["emd_value_types"] = {
     "fn": emd_value_types,
-    "sql": EMD_SQL,
+    "sql": _emd_sql(),
 }

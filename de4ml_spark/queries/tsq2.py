@@ -1458,10 +1458,16 @@ def stl_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter("n7 = 7").selectExpr(
         "day",
         "v_c",
-        # trend in micro-cents: half-up of (s7 * 10^4) / 7
-        "CAST((2 * s7 * 10000 + 7) DIV 14 AS BIGINT) AS trend_uc",
-        "v_c * 10000 - CAST((2 * s7 * 10000 + 7) DIV 14 AS BIGINT)"
-        " AS detrend_uc",
+        # trend in micro-cents: SIGNED half-up of (s7 * 10^4) / 7
+        # (DIV truncates toward zero — guard the negative-week case)
+        """CASE WHEN s7 >= 0
+           THEN CAST((2 * s7 * 10000 + 7) DIV 14 AS BIGINT)
+           ELSE -CAST((2 * -s7 * 10000 + 7) DIV 14 AS BIGINT)
+           END AS trend_uc""",
+        """v_c * 10000 - (CASE WHEN s7 >= 0
+           THEN CAST((2 * s7 * 10000 + 7) DIV 14 AS BIGINT)
+           ELSE -CAST((2 * -s7 * 10000 + 7) DIV 14 AS BIGINT) END)
+           AS detrend_uc""",
     )
     dow = trended.groupBy(
         F.dayofweek("day").alias("dw")
@@ -1511,8 +1517,13 @@ WITH daily AS (
 ),
 trended AS (
   SELECT day, v_c,
-         CAST((2 * s7 * 10000 + 7) // 14 AS BIGINT) AS trend_uc,
-         v_c * 10000 - CAST((2 * s7 * 10000 + 7) // 14 AS BIGINT)
+         CASE WHEN s7 >= 0
+              THEN CAST((2 * s7 * 10000 + 7) // 14 AS BIGINT)
+              ELSE -CAST((2 * -s7 * 10000 + 7) // 14 AS BIGINT)
+         END AS trend_uc,
+         v_c * 10000 - (CASE WHEN s7 >= 0
+              THEN CAST((2 * s7 * 10000 + 7) // 14 AS BIGINT)
+              ELSE -CAST((2 * -s7 * 10000 + 7) // 14 AS BIGINT) END)
            AS detrend_uc
   FROM (
     SELECT day, v_c,

@@ -129,6 +129,15 @@ def _fold_batch(state_tuple, batch):
     return new_state, out
 
 
+def _decode_state(raw) -> tuple:
+    """Restore the stored state tuple: the no-watermark sentinel is
+    last_p == -1 (set only before any event is accepted) — NOT a falsy
+    last_us, which would misread a legitimate epoch-zero timestamp."""
+    if raw[1] == -1:
+        return (None,) + tuple(raw[1:])
+    return tuple(raw)
+
+
 _OUT_COLS = [
     "purchase_id",
     "touch_type",
@@ -143,11 +152,11 @@ _OUT_COLS = [
 def _attr_fn(key, pdfs: Iterator, state) -> Iterator:
     import pandas as pd
 
-    if state.exists:
-        st = state.get
-        st = (st[0] if st[0] else None,) + tuple(st[1:])
-    else:
-        st = (None, -1, -1, [], [], [], 0)
+    st = (
+        _decode_state(state.get)
+        if state.exists
+        else (None, -1, -1, [], [], [], 0)
+    )
     batch = pd.concat(list(pdfs), ignore_index=True)
     new_state, out = _fold_batch(st, batch)
     state.update(new_state)
@@ -196,8 +205,7 @@ def streaming_attribution_tws(events: DataFrame) -> DataFrame:
             import pandas as pd
 
             if self._state.exists():
-                st = self._state.get()
-                st = (st[0] if st[0] else None,) + tuple(st[1:])
+                st = _decode_state(self._state.get())
             else:
                 st = (None, -1, -1, [], [], [], 0)
             batch = pd.concat(list(rows), ignore_index=True)

@@ -541,7 +541,11 @@ def test_stl_identity_and_centering(spark):
         window = [daily[d] for d in days[i - 3 : i + 4]]
         assert len(window) == 7
         s7 = sum(window)
-        assert r["trend_uc"] == (2 * s7 * 10000 + 7) // 14
+        if s7 >= 0:
+            want_tr = (2 * s7 * 10000 + 7) // 14
+        else:
+            want_tr = -((2 * -s7 * 10000 + 7) // 14)
+        assert r["trend_uc"] == want_tr
     seas = {}
     for r in rows:
         seas[r["day"].isoweekday()] = r["seasonal_uc"]
