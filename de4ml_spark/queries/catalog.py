@@ -137,6 +137,8 @@ PRIORITY = [
     "embedding_covariance",
     "grid_density_clusters",
     "markov_next_event_accuracy",
+    "kruskal_wallis_value",
+    "acf_value_events",
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",

@@ -1333,3 +1333,162 @@ REGISTRY["markov_next_event_accuracy"] = {
     "fn": markov_next_event_accuracy,
     "sql": _markov_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H across ALL event types at once — the k-group
+# extension of the pairwise Mann-Whitney battery (one global rank
+# test instead of 10 pairwise ones). Same histogram discipline:
+# global midranks over the pooled per-value counts (carried ×2 so ties
+# stay integer), per-type rank sums as exact BIGINT. The H statistic's
+# per-type terms R_i²/n_i are each ONE division of exact integers
+# (engine-identical doubles), then UNIT-quantized to integers before
+# the cross-type sum — a SUM of doubles is addition-order-dependent
+# even over 5 terms, so the statistic's DEFINITION is the quantized
+# form on both sides. Tie correction applied the same way. Output:
+# one row per type (rank sums are per-type evidence) with the global
+# H and tie-corrected H repeated via broadcast.
+# --------------------------------------------------------------------------
+
+
+def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    byval = counts.groupBy("v_c").agg(F.sum("cnt").alias("n_all_v"))
+    wcum = Window.orderBy("v_c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = byval.withColumn(
+        "cum", F.sum("n_all_v").over(wcum)
+    ).selectExpr(
+        "v_c",
+        "n_all_v",
+        "2 * (cum - n_all_v) + n_all_v + 1 AS r2x",
+    )
+    per_type = (
+        counts.join(ranked, "v_c")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_i"),
+            F.sum(F.col("cnt") * F.col("r2x"))
+            .cast("bigint")
+            .alias("r2x_sum"),
+        )
+    )
+    ties = ranked.agg(
+        F.sum(
+            F.expr("n_all_v * n_all_v * n_all_v - n_all_v")
+        )
+        .cast("bigint")
+        .alias("tie_sum"),
+        F.sum("n_all_v").cast("bigint").alias("n_tot"),
+    )
+    terms = per_type.crossJoin(F.broadcast(ties)).selectExpr(
+        "event_type",
+        "n_i",
+        "r2x_sum",
+        "tie_sum",
+        "n_tot",
+        # R_i^2/n_i = r2x_sum^2/(4 n_i): one exact-int division, then
+        # unit-quantized so the cross-type sum is integer-exact
+        """CAST(floor(
+             CAST(CAST(r2x_sum AS DECIMAL(38,0)) * r2x_sum AS DOUBLE)
+             / CAST(4 * n_i AS DOUBLE) + 0.5) AS DECIMAL(38,0))
+           AS _term_q""",
+    )
+    h = terms.groupBy("tie_sum", "n_tot").agg(
+        F.sum("_term_q").alias("_sum_q")
+    ).selectExpr(
+        "tie_sum",
+        "n_tot",
+        """12.0D * CAST(_sum_q AS DOUBLE)
+           / (CAST(n_tot AS DOUBLE) * CAST(n_tot + 1 AS DOUBLE))
+           - 3.0D * CAST(n_tot + 1 AS DOUBLE) AS h_raw""",
+        """1.0D - CAST(tie_sum AS DOUBLE)
+           / CAST(CAST(n_tot AS DECIMAL(38,0)) * n_tot * n_tot - n_tot
+                  AS DOUBLE) AS _c""",
+    ).selectExpr(
+        "tie_sum",
+        "n_tot",
+        "h_raw",
+        "CASE WHEN _c = 0.0D THEN NULL ELSE h_raw / _c END AS h_tie_r",
+    )
+    return per_type.crossJoin(F.broadcast(h)).selectExpr(
+        "event_type",
+        "n_i",
+        "r2x_sum",
+        "n_tot",
+        "h_raw",
+        "h_tie_r",
+    )
+
+
+KRUSKAL_SQL = """
+WITH counts AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         COUNT(*) AS cnt
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+byval AS (
+  SELECT v_c, SUM(cnt) AS n_all_v FROM counts GROUP BY 1
+),
+ranked AS (
+  SELECT v_c, n_all_v,
+         2 * (SUM(n_all_v) OVER (ORDER BY v_c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_all_v) + n_all_v + 1 AS r2x
+  FROM byval
+),
+per_type AS (
+  SELECT c.event_type,
+         CAST(SUM(c.cnt) AS BIGINT) AS n_i,
+         CAST(SUM(c.cnt * r.r2x) AS BIGINT) AS r2x_sum
+  FROM counts c JOIN ranked r USING (v_c)
+  GROUP BY 1
+),
+ties AS (
+  SELECT CAST(SUM(n_all_v * n_all_v * n_all_v - n_all_v) AS BIGINT)
+           AS tie_sum,
+         CAST(SUM(n_all_v) AS BIGINT) AS n_tot
+  FROM ranked
+),
+terms AS (
+  SELECT event_type, n_i, r2x_sum, tie_sum, n_tot,
+         CAST(floor(
+           CAST(CAST(r2x_sum AS HUGEINT) * r2x_sum AS DOUBLE)
+           / CAST(4 * n_i AS DOUBLE) + 0.5) AS HUGEINT) AS term_q
+  FROM per_type CROSS JOIN ties
+),
+h AS (
+  SELECT tie_sum, n_tot,
+         12.0 * CAST(SUM(term_q) AS DOUBLE)
+           / (CAST(n_tot AS DOUBLE) * CAST(n_tot + 1 AS DOUBLE))
+           - 3.0 * CAST(n_tot + 1 AS DOUBLE) AS h_raw,
+         1.0 - CAST(tie_sum AS DOUBLE)
+           / CAST(CAST(n_tot AS HUGEINT) * n_tot * n_tot - n_tot
+                  AS DOUBLE) AS c
+  FROM terms
+  GROUP BY 1, 2
+)
+SELECT p.event_type, p.n_i, p.r2x_sum, h.n_tot, h.h_raw,
+       CASE WHEN h.c = 0.0 THEN NULL ELSE h.h_raw / h.c END AS h_tie_r
+FROM per_type p CROSS JOIN h
+"""
+
+REGISTRY["kruskal_wallis_value"] = {
+    "fn": kruskal_wallis_value,
+    "sql": KRUSKAL_SQL,
+}

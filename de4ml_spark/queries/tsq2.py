@@ -1694,3 +1694,114 @@ REGISTRY["ccf_view_click_events"] = {
     "fn": ccf_view_click_events,
     "sql": CCF_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function (ACF) of each event type's daily total at
+# lags 1..ACF_MAX_LAG — the CCF's self-lag sibling and the standard
+# seasonality/persistence diagnostic (the lag-7 spike is what STL's
+# weekly seasonal captures). Same exactness: integer-cent daily
+# series, each lag's Pearson moments as exact integers in 128-bit,
+# one engine-identical IEEE chain per output value. Only full-overlap
+# day pairs enter each lag.
+# --------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def acf_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))"
+            " AS DECIMAL(38,2)) * 100 AS BIGINT)"
+        ).alias("v_c")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).selectExpr(
+        "CAST(id AS INT) AS lag"
+    )
+    a = daily.selectExpr("event_type", "day AS d1", "v_c AS x_c")
+    b = daily.selectExpr("event_type AS et2", "day AS d2", "v_c AS y_c")
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.expr("event_type = et2 AND date_add(d1, lag) = d2"),
+        )
+        .select("event_type", "lag", "x_c", "y_c")
+    )
+    m = j.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x_c").cast("bigint").alias("sx"),
+        F.sum("y_c").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(x_c AS DECIMAL(38,0)) * x_c")).alias("sxx"),
+        F.sum(F.expr("CAST(y_c AS DECIMAL(38,0)) * y_c")).alias("syy"),
+        F.sum(F.expr("CAST(x_c AS DECIMAL(38,0)) * y_c")).alias("sxy"),
+    )
+    return m.selectExpr(
+        "event_type",
+        "CAST(lag AS BIGINT) AS lag",
+        "n",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+        " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) AS _num",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS _dx",
+        "CAST(CAST(n AS DECIMAL(38,0)) * syy"
+        " - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE) AS _dy",
+    ).selectExpr(
+        "event_type",
+        "lag",
+        "n",
+        "CASE WHEN _dx = 0.0D OR _dy = 0.0D THEN NULL"
+        " ELSE _num / sqrt(_dx * _dy) END AS acf_r",
+    )
+
+
+ACF_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              * 100 AS BIGINT) AS v_c
+  FROM events GROUP BY 1, 2
+),
+lags AS (
+  SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag
+),
+j AS (
+  SELECT a.event_type, l.lag, a.v_c AS x_c, b.v_c AS y_c
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON a.event_type = b.event_type
+              AND a.day + TO_DAYS(CAST(l.lag AS INT)) = b.day
+),
+m AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_c) AS BIGINT) AS sx,
+         CAST(SUM(y_c) AS BIGINT) AS sy,
+         SUM(CAST(x_c AS HUGEINT) * x_c) AS sxx,
+         SUM(CAST(y_c AS HUGEINT) * y_c) AS syy,
+         SUM(CAST(x_c AS HUGEINT) * y_c) AS sxy
+  FROM j GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+       CASE WHEN CAST(CAST(n AS HUGEINT) * sxx
+                 - CAST(sx AS HUGEINT) * sx AS DOUBLE) = 0.0
+              OR CAST(CAST(n AS HUGEINT) * syy
+                 - CAST(sy AS HUGEINT) * sy AS DOUBLE) = 0.0 THEN NULL
+            ELSE CAST(CAST(n AS HUGEINT) * sxy
+                 - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                      * CAST(CAST(n AS HUGEINT) * syy
+                        - CAST(sy AS HUGEINT) * sy AS DOUBLE)) END
+         AS acf_r
+FROM m
+"""
+
+REGISTRY["acf_value_events"] = {
+    "fn": acf_value_events,
+    "sql": ACF_SQL,
+}

@@ -644,3 +644,107 @@ def test_markov_accuracy_recompute(spark):
         if a in pred:
             assert got[a]["predicted"] == pred[a][0]
             assert got[a]["train_cnt"] == pred[a][1]
+
+
+def test_kruskal_wallis_matches_scipy_free_recompute(spark):
+    """Rank sums and the H statistic replayed in pure Python with the
+    same quantized definition; identity sum(R_i) = N(N+1)/2 holds."""
+    from de4ml_spark.queries.statq import kruskal_wallis_value
+    from de4ml_spark.session import load_table
+
+    rows = kruskal_wallis_value(spark, SF).collect()
+    ev = (
+        load_table(spark, SF, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c",
+        )
+        .where("v_c IS NOT NULL AND event_type IS NOT NULL")
+        .collect()
+    )
+    vals = defaultdict(list)
+    for r in ev:
+        vals[r["event_type"]].append(r["v_c"])
+    pooled = sorted(v for lst in vals.values() for v in lst)
+    first, cnt = {}, defaultdict(int)
+    for i, v in enumerate(pooled):
+        first.setdefault(v, i + 1)
+        cnt[v] += 1
+    r2x = {v: 2 * first[v] + cnt[v] - 1 for v in cnt}
+    got = {r["event_type"]: r for r in rows}
+    n_tot = len(pooled)
+    total_r2x = 0
+    sum_q = 0
+    for t, lst in vals.items():
+        rs = sum(r2x[v] for v in lst)
+        assert got[t]["n_i"] == len(lst)
+        assert got[t]["r2x_sum"] == rs
+        total_r2x += rs
+        sum_q += math.floor(rs * rs / (4 * len(lst)) + 0.5)
+    assert total_r2x == n_tot * (n_tot + 1)  # x2 of N(N+1)/2
+    tie_sum = sum(c**3 - c for c in cnt.values())
+    h_raw = 12.0 * float(sum_q) / (
+        float(n_tot) * float(n_tot + 1)
+    ) - 3.0 * float(n_tot + 1)
+    c = 1.0 - float(tie_sum) / float(n_tot**3 - n_tot)
+    row = rows[0]
+    assert row["h_raw"] == h_raw
+    assert row["h_tie_r"] == h_raw / c
+    assert row["h_raw"] >= 0 or abs(row["h_raw"]) < 1e-6
+
+
+def test_acf_diagonal_and_recompute(spark):
+    """Each (type, lag) Pearson replayed exactly; lag coverage n
+    decreases with lag on a dense calendar."""
+    import datetime
+
+    from de4ml_spark.queries.tsq2 import (
+        ACF_MAX_LAG,
+        acf_value_events,
+    )
+    from de4ml_spark.session import load_table
+
+    daily = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))"
+                " AS DECIMAL(38,2)) * 100 AS BIGINT)"
+            ).alias("v_c")
+        )
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in daily:
+        series[r["event_type"]][r["day"]] = r["v_c"]
+    got = {
+        (r["event_type"], r["lag"]): r
+        for r in acf_value_events(spark, SF).collect()
+    }
+    for t, by_day in series.items():
+        for lag in range(1, ACF_MAX_LAG + 1):
+            pairs = [
+                (v, by_day[d + datetime.timedelta(days=lag)])
+                for d, v in by_day.items()
+                if d + datetime.timedelta(days=lag) in by_day
+            ]
+            n = len(pairs)
+            if n == 0:
+                assert (t, lag) not in got
+                continue
+            r = got[(t, lag)]
+            assert r["n"] == n
+            sx = sum(a for a, _ in pairs)
+            sy = sum(b for _, b in pairs)
+            sxx = sum(a * a for a, _ in pairs)
+            syy = sum(b * b for _, b in pairs)
+            sxy = sum(a * b for a, b in pairs)
+            dx = float(n * sxx - sx * sx)
+            dy = float(n * syy - sy * sy)
+            if dx == 0.0 or dy == 0.0:
+                assert r["acf_r"] is None
+            else:
+                assert r["acf_r"] == float(n * sxy - sx * sy) / math.sqrt(
+                    dx * dy
+                )
