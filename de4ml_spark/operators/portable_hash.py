@@ -310,3 +310,41 @@ def portable_ln_const(p: int, q: int = 1) -> float:
     for c in reversed(coefs[:-1]):
         acc = acc * w + c
     return 2.0 * z * acc + float(k) * LN2
+
+
+def wide_to_double_sql(expr: str, div: str) -> str:
+    """Engine-portable conversion of a 128-bit integer expression
+    (DECIMAL(38,0) on Spark, HUGEINT on DuckDB — pass div='DIV'/'//')
+    to DOUBLE.
+
+    Direct CAST is NOT safe above int64: DuckDB's hugeint->double is
+    not always correctly rounded (measured round 7b:
+    106705227903395487431 converts to 0x441723547db7ebf4 in DuckDB vs
+    the true-nearest 0x441723547db7ebf3 from Spark's decimal path and
+    Python) — a one-ulp split that breaks the value-hash. int64->double
+    is hardware-rounded identically everywhere, so this decomposes
+    |x| into four 30-bit chunks (covers 2^120 > 1e36), converts each
+    exactly, and recombines with FIXED association:
+    ((c3*2^90 + c2*2^60) + c1*2^30) + c0. Each step is one
+    correctly-rounded IEEE op on identical inputs, so the result is
+    bit-identical across engines (within 3 ulp of true — the value's
+    DEFINITION is this recomposition, on both sides).
+    """
+    x = f"({expr})"
+    sign = f"(CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END)"
+    a = f"(CASE WHEN {x} < 0 THEN -{x} ELSE {x} END)"
+    b30 = 1 << 30
+    # mod-BEFORE-div: a bare ``a DIV 2^60`` can exceed int64 near the
+    # DECIMAL(38) ceiling and Spark's DIV result would wrap (possibly
+    # negative, poisoning the following %); taking the modulus first
+    # keeps every intermediate quotient < 2^30
+    c0 = f"CAST({a} % {b30} AS BIGINT)"
+    c1 = f"CAST(({a} % {b30 * b30}) {div} {b30} AS BIGINT)"
+    c2 = f"CAST(({a} % {b30 * b30 * b30}) {div} {b30 * b30} AS BIGINT)"
+    c3 = f"CAST({a} {div} {b30 * b30 * b30} AS BIGINT)"
+    return (
+        f"({sign} * (((CAST({c3} AS DOUBLE) * {float(2 ** 90)!r}"
+        f" + CAST({c2} AS DOUBLE) * {float(2 ** 60)!r})"
+        f" + CAST({c1} AS DOUBLE) * {float(2 ** 30)!r})"
+        f" + CAST({c0} AS DOUBLE)))"
+    )

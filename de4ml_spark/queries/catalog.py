@@ -139,6 +139,8 @@ PRIORITY = [
     "markov_next_event_accuracy",
     "kruskal_wallis_value",
     "acf_value_events",
+    "ljung_box_value_events",
+    "seasonal_strength_events",
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from de4ml_spark.session import load_table
+from de4ml_spark.operators.portable_hash import wide_to_double_sql as _w2d
 
 REGISTRY: dict = {}
 
@@ -751,12 +752,18 @@ def degree_assortativity_parts(
         "sx",
         "sxy",
         "sxx",
-        """CAST(CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy
-           AS DOUBLE) AS _num""",
-        """CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx
-           AS DOUBLE) AS _denx""",
-        """CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy
-           AS DOUBLE) AS _deny""",
+        _w2d(
+            "CAST(m AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sy", "DIV"
+        ) + " AS _num",
+        _w2d(
+            "CAST(m AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx", "DIV"
+        ) + " AS _denx",
+        _w2d(
+            "CAST(m AS DECIMAL(38,0)) * syy"
+            " - CAST(sy AS DECIMAL(38,0)) * sy", "DIV"
+        ) + " AS _deny",
     ).selectExpr(
         "m",
         "sx",
@@ -788,12 +795,9 @@ moments AS (
 ),
 wide AS (
   SELECT m, sx, sxy, sxx,
-         CAST(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
-              AS DOUBLE) AS num,
-         CAST(CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
-              AS DOUBLE) AS denx,
-         CAST(CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
-              AS DOUBLE) AS deny
+         {ASSORT_NUM} AS num,
+         {ASSORT_DENX} AS denx,
+         {ASSORT_DENY} AS deny
   FROM moments
 )
 SELECT m, sx, sxy, sxx,
@@ -804,5 +808,16 @@ FROM wide
 
 REGISTRY["degree_assortativity_parts"] = {
     "fn": degree_assortativity_parts,
-    "sql": DEGREE_ASSORT_SQL,
+    "sql": DEGREE_ASSORT_SQL.replace(
+        "{ASSORT_NUM}",
+        _w2d("CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy", "//"),
+    )
+    .replace(
+        "{ASSORT_DENX}",
+        _w2d("CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx", "//"),
+    )
+    .replace(
+        "{ASSORT_DENY}",
+        _w2d("CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy", "//"),
+    ),
 }

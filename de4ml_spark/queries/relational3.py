@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from de4ml_spark.session import load_table
+from de4ml_spark.operators.portable_hash import wide_to_double_sql as _w2d
 
 # --------------------------------------------------------------------------
 # Funnel: per user, ordered progression view -> click -> purchase (each
@@ -1315,8 +1316,10 @@ def gini_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "s AS total_rev_e4",
         "top1_rev_e4",
-        """CAST(2 * _wsum - CAST(n + 1 AS DECIMAL(38,0)) * s AS DOUBLE)
-           / CAST(CAST(n AS DECIMAL(38,0)) * s AS DOUBLE) AS gini_r""",
+        _w2d("2 * _wsum - CAST(n + 1 AS DECIMAL(38,0)) * s", "DIV")
+        + " / "
+        + _w2d("CAST(n AS DECIMAL(38,0)) * s", "DIV")
+        + " AS gini_r",
         "CAST(top1_rev_e4 AS DOUBLE) / CAST(s AS DOUBLE)"
         " AS top1_share_r",
     )
@@ -1346,13 +1349,15 @@ agg AS (
   FROM ranked
 )
 SELECT n, s AS total_rev_e4, top1_rev_e4,
-       CAST(2 * wsum - CAST(n + 1 AS HUGEINT) * s AS DOUBLE)
-         / CAST(CAST(n AS HUGEINT) * s AS DOUBLE) AS gini_r,
+       {GINI_NUM} / {GINI_DEN} AS gini_r,
        CAST(top1_rev_e4 AS DOUBLE) / CAST(s AS DOUBLE) AS top1_share_r
 FROM agg
 """
 
 REGISTRY["gini_revenue_parts"] = {
     "fn": gini_revenue_parts,
-    "sql": GINI_SQL,
+    "sql": GINI_SQL.replace(
+        "{GINI_NUM}",
+        _w2d("2 * wsum - CAST(n + 1 AS HUGEINT) * s", "//"),
+    ).replace("{GINI_DEN}", _w2d("CAST(n AS HUGEINT) * s", "//")),
 }

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from de4ml_spark.operators.similarity import topk_bruteforce, topk_lsh
 from de4ml_spark.session import load_table
+from de4ml_spark.operators.portable_hash import wide_to_double_sql as _w2d
 
 K = 5
 N_QUERIES = 10
@@ -515,13 +516,15 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sj",
         "sk",
-        "CAST(_sjk AS DOUBLE) AS sjk_d",
+        _w2d("_sjk", "DIV") + " AS sjk_d",
         # sample covariance in micro^2 units: (n*Sjk - Sj*Sk)/(n*(n-1))
-        """CASE WHEN n <= 1 THEN NULL ELSE
-           CAST(CAST(n AS DECIMAL(38,0)) * _sjk
-                - CAST(sj AS DECIMAL(38,0)) * sk AS DOUBLE)
-           / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE)
-           / 1000000000000.0 END AS cov_r""",
+        "CASE WHEN n <= 1 THEN NULL ELSE "
+        + _w2d(
+            "CAST(n AS DECIMAL(38,0)) * _sjk"
+            " - CAST(sj AS DECIMAL(38,0)) * sk", "DIV"
+        )
+        + " / CAST(CAST(n AS BIGINT) * (n - 1) AS DOUBLE)"
+        " / 1000000000000.0 END AS cov_r",
     )
 
 
@@ -548,18 +551,20 @@ m AS (
   FROM pairs GROUP BY 1, 2
 )
 SELECT CAST(j AS BIGINT) AS j, CAST(k AS BIGINT) AS k, n, sj, sk,
-       CAST(sjk AS DOUBLE) AS sjk_d,
+       {COV_SJK} AS sjk_d,
        CASE WHEN n <= 1 THEN NULL ELSE
-       CAST(CAST(n AS HUGEINT) * sjk
-            - CAST(sj AS HUGEINT) * sk AS DOUBLE)
-       / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+       {COV_NUM}
+       / CAST(CAST(n AS BIGINT) * (n - 1) AS DOUBLE)
        / 1000000000000.0 END AS cov_r
 FROM m
 """
 
 REGISTRY["embedding_covariance"] = {
     "fn": embedding_covariance,
-    "sql": EMB_COV_SQL,
+    "sql": EMB_COV_SQL.replace("{COV_SJK}", _w2d("sjk", "//")).replace(
+        "{COV_NUM}",
+        _w2d("CAST(n AS HUGEINT) * sjk - CAST(sj AS HUGEINT) * sk", "//"),
+    ),
 }
 
 

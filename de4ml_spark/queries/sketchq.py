@@ -42,6 +42,7 @@ from de4ml_spark.operators.portable_hash import (
     phash_spark_sql,
 )
 from de4ml_spark.session import load_table
+from de4ml_spark.operators.portable_hash import wide_to_double_sql as _w2d
 
 REGISTRY: dict = {}
 
@@ -921,7 +922,7 @@ def emd_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_b",
         "n_a",
         "n_b",
-        "CAST(_emd_scaled AS DOUBLE) AS emd_scaled_d",
+        _w2d("_emd_scaled", "DIV") + " AS emd_scaled_d",
         f"""{exact_round_div_sql_wide(
             "_emd_scaled",
             "CAST(n_a AS DECIMAL(38,0)) * n_b", "DIV", 2
@@ -979,7 +980,7 @@ agg AS (
   GROUP BY 1, 2
 )
 SELECT type_a, type_b, n_a, n_b,
-       CAST(emd_scaled AS DOUBLE) AS emd_scaled_d,
+       {emd_w2d} AS emd_scaled_d,
        {emd_div} AS emd_cents_r
 FROM agg
 """
@@ -992,7 +993,8 @@ def _emd_sql() -> str:
     return EMD_SQL.format(
         emd_div=exact_round_div_sql_wide(
             "emd_scaled", "CAST(n_a AS HUGEINT) * n_b", "//", 2
-        )
+        ),
+        emd_w2d=_w2d("emd_scaled", "//"),
     )
 
 

@@ -28,6 +28,22 @@ from de4ml_spark.session import load_table
 
 REGISTRY: dict = {}
 
+from de4ml_spark.operators.portable_hash import wide_to_double_sql as _w2d
+
+_MW_VARNUM_SPARK = _w2d(
+    "CAST(n_a AS DECIMAL(38,0)) * n_b *"
+    " ((n_a + n_b + 1) * CAST(n_a + n_b AS DECIMAL(38,0))"
+    " * (n_a + n_b - 1) - tie_sum)",
+    "DIV",
+)
+_MW_VARNUM_DUCK = _w2d(
+    "CAST(n_a AS HUGEINT) * n_b *"
+    " ((n_a + n_b + 1) * CAST(n_a + n_b AS HUGEINT)"
+    " * (n_a + n_b - 1) - tie_sum)",
+    "//",
+)
+
+
 
 # --------------------------------------------------------------------------
 # Pairwise Mann-Whitney U over event values: for every unordered pair
@@ -122,10 +138,10 @@ def mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(r1_2x - n_a * (n_a + 1) AS DOUBLE)"
         " - CAST(n_a * n_b AS DOUBLE) AS _znum",
         # var(U)·(12·n·(n-1)) = n_a·n_b·((n+1)·n·(n-1) − tie_sum); the
-        # numerator exceeds int64 (≈2.6e22 at sf0.1) → 128-bit internal
-        """CAST(CAST(n_a AS DECIMAL(38,0)) * n_b *
-             ((n_a + n_b + 1) * CAST(n_a + n_b AS DECIMAL(38,0))
-              * (n_a + n_b - 1) - tie_sum) AS DOUBLE) AS _varnum""",
+        # numerator exceeds int64 (≈2.6e22 at sf0.1) → 128-bit internal,
+        # converted via the portable chunked recomposition (DuckDB's
+        # hugeint->double is not correctly rounded above 2^63)
+        _MW_VARNUM_SPARK + " AS _varnum",
         "CAST(12 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE) AS _varden",
     ).selectExpr(
         "type_a",
@@ -190,9 +206,7 @@ wide AS (
          CAST(tie_sum AS BIGINT) AS tie_sum,
          CAST(r1_2x - n_a * (n_a + 1) AS DOUBLE)
            - CAST(n_a * n_b AS DOUBLE) AS znum,
-         CAST(CAST(n_a AS HUGEINT) * n_b *
-              ((n_a + n_b + 1) * CAST(n_a + n_b AS HUGEINT)
-               * (n_a + n_b - 1) - tie_sum) AS DOUBLE) AS varnum,
+         {MW_VARNUM_DUCK} AS varnum,
          CAST(12 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE) AS varden
   FROM agg
 )
@@ -204,7 +218,9 @@ FROM wide
 
 REGISTRY["mann_whitney_value"] = {
     "fn": mann_whitney_value,
-    "sql": MANN_WHITNEY_SQL,
+    "sql": MANN_WHITNEY_SQL.replace(
+        "{MW_VARNUM_DUCK}", _MW_VARNUM_DUCK
+    ),
 }
 
 
@@ -1400,11 +1416,12 @@ def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tie_sum",
         "n_tot",
         # R_i^2/n_i = r2x_sum^2/(4 n_i): one exact-int division, then
-        # unit-quantized so the cross-type sum is integer-exact
-        """CAST(floor(
-             CAST(CAST(r2x_sum AS DECIMAL(38,0)) * r2x_sum AS DOUBLE)
-             / CAST(4 * n_i AS DOUBLE) + 0.5) AS DECIMAL(38,0))
-           AS _term_q""",
+        # unit-quantized so the cross-type sum is integer-exact; the
+        # 128-bit square converts via the portable recomposition
+        "CAST(floor("
+        + _w2d("CAST(r2x_sum AS DECIMAL(38,0)) * r2x_sum", "DIV")
+        + " / CAST(4 * n_i AS DOUBLE) + 0.5) AS DECIMAL(38,0))"
+        " AS _term_q",
     )
     h = terms.groupBy("tie_sum", "n_tot").agg(
         F.sum("_term_q").alias("_sum_q")
@@ -1414,9 +1431,12 @@ def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         """12.0D * CAST(_sum_q AS DOUBLE)
            / (CAST(n_tot AS DOUBLE) * CAST(n_tot + 1 AS DOUBLE))
            - 3.0D * CAST(n_tot + 1 AS DOUBLE) AS h_raw""",
-        """1.0D - CAST(tie_sum AS DOUBLE)
-           / CAST(CAST(n_tot AS DECIMAL(38,0)) * n_tot * n_tot - n_tot
-                  AS DOUBLE) AS _c""",
+        "1.0D - CAST(tie_sum AS DOUBLE) / "
+        + _w2d(
+            "CAST(n_tot AS DECIMAL(38,0)) * n_tot * n_tot - n_tot",
+            "DIV",
+        )
+        + " AS _c",
     ).selectExpr(
         "tie_sum",
         "n_tot",
@@ -1468,7 +1488,7 @@ ties AS (
 terms AS (
   SELECT event_type, n_i, r2x_sum, tie_sum, n_tot,
          CAST(floor(
-           CAST(CAST(r2x_sum AS HUGEINT) * r2x_sum AS DOUBLE)
+           {KW_SQ_DUCK}
            / CAST(4 * n_i AS DOUBLE) + 0.5) AS HUGEINT) AS term_q
   FROM per_type CROSS JOIN ties
 ),
@@ -1478,8 +1498,7 @@ h AS (
            / (CAST(n_tot AS DOUBLE) * CAST(n_tot + 1 AS DOUBLE))
            - 3.0 * CAST(n_tot + 1 AS DOUBLE) AS h_raw,
          1.0 - CAST(tie_sum AS DOUBLE)
-           / CAST(CAST(n_tot AS HUGEINT) * n_tot * n_tot - n_tot
-                  AS DOUBLE) AS c
+           / {KW_N3_DUCK} AS c
   FROM terms
   GROUP BY 1, 2
 )
@@ -1490,5 +1509,11 @@ FROM per_type p CROSS JOIN h
 
 REGISTRY["kruskal_wallis_value"] = {
     "fn": kruskal_wallis_value,
-    "sql": KRUSKAL_SQL,
+    "sql": KRUSKAL_SQL.replace(
+        "{KW_SQ_DUCK}",
+        _w2d("CAST(r2x_sum AS HUGEINT) * r2x_sum", "//"),
+    ).replace(
+        "{KW_N3_DUCK}",
+        _w2d("CAST(n_tot AS HUGEINT) * n_tot * n_tot - n_tot", "//"),
+    ),
 }

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from de4ml_spark.operators.portable_hash import exact_round_div_sql
 from de4ml_spark.session import load_table
+from de4ml_spark.operators.portable_hash import wide_to_double_sql as _w2d
 
 REGISTRY: dict[str, dict] = {}
 
@@ -1341,7 +1342,7 @@ def changepoint_value_events(
         "st",
         "nt",
         "qt",
-        "CAST(obj_x AS DOUBLE) / CAST(den_x AS DOUBLE) AS obj_d",
+        _w2d("obj_x", "DIV") + " / " + _w2d("den_x", "DIV") + " AS obj_d",
     )
     wmin = Window.partitionBy("event_type").orderBy(
         F.col("obj_d").asc(), F.col("day").asc()
@@ -1397,8 +1398,8 @@ cand AS (
 ),
 scored AS (
   SELECT event_type, day, sl, nl, sr, nr,
-         CAST(ssel_n * nr + sser_n * nl AS DOUBLE)
-           / CAST(CAST(nl AS HUGEINT) * nr AS DOUBLE) AS obj_d
+         {{CP_NUM_DUCK}}
+           / {{CP_DEN_DUCK}} AS obj_d
   FROM cand
 ),
 best AS (
@@ -1421,7 +1422,9 @@ FROM best
 
 REGISTRY["changepoint_value_events"] = {
     "fn": changepoint_value_events,
-    "sql": _changepoint_sql(),
+    "sql": _changepoint_sql()
+    .replace("{CP_NUM_DUCK}", _w2d("ssel_n * nr + sser_n * nl", "//"))
+    .replace("{CP_DEN_DUCK}", _w2d("CAST(nl AS HUGEINT) * nr", "//")),
 }
 
 
@@ -1627,12 +1630,12 @@ def ccf_view_click_events(
     return m.selectExpr(
         "CAST(lag AS BIGINT) AS lag",
         "n",
-        "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
-        " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) AS _num",
-        "CAST(CAST(n AS DECIMAL(38,0)) * sxx"
-        " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS _dx",
-        "CAST(CAST(n AS DECIMAL(38,0)) * syy"
-        " - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE) AS _dy",
+        _w2d("CAST(n AS DECIMAL(38,0)) * sxy"
+             " - CAST(sx AS DECIMAL(38,0)) * sy", "DIV") + " AS _num",
+        _w2d("CAST(n AS DECIMAL(38,0)) * sxx"
+             " - CAST(sx AS DECIMAL(38,0)) * sx", "DIV") + " AS _dx",
+        _w2d("CAST(n AS DECIMAL(38,0)) * syy"
+             " - CAST(sy AS DECIMAL(38,0)) * sy", "DIV") + " AS _dy",
     ).selectExpr(
         "lag",
         "n",
@@ -1675,24 +1678,35 @@ m AS (
   FROM j GROUP BY 1
 )
 SELECT CAST(lag AS BIGINT) AS lag, n,
-       CASE WHEN CAST(CAST(n AS HUGEINT) * sxx
-                 - CAST(sx AS HUGEINT) * sx AS DOUBLE) = 0.0
-              OR CAST(CAST(n AS HUGEINT) * syy
-                 - CAST(sy AS HUGEINT) * sy AS DOUBLE) = 0.0 THEN NULL
-            ELSE CAST(CAST(n AS HUGEINT) * sxy
-                 - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                 / sqrt(CAST(CAST(n AS HUGEINT) * sxx
-                        - CAST(sx AS HUGEINT) * sx AS DOUBLE)
-                      * CAST(CAST(n AS HUGEINT) * syy
-                        - CAST(sy AS HUGEINT) * sy AS DOUBLE)) END
+       CASE WHEN {{MOM_DX}} = 0.0 OR {{MOM_DY}} = 0.0 THEN NULL
+            ELSE {{MOM_NUM}} / sqrt({{MOM_DX}} * {{MOM_DY}}) END
          AS ccf_r
 FROM m
 ORDER BY lag
 """
 
+_MOM_NUM_DUCK = _w2d(
+    "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy", "//"
+)
+_MOM_DX_DUCK = _w2d(
+    "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx", "//"
+)
+_MOM_DY_DUCK = _w2d(
+    "CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy", "//"
+)
+
+
+def _resolve_moments(sql: str) -> str:
+    return (
+        sql.replace("{MOM_NUM}", _MOM_NUM_DUCK)
+        .replace("{MOM_DX}", _MOM_DX_DUCK)
+        .replace("{MOM_DY}", _MOM_DY_DUCK)
+    )
+
+
 REGISTRY["ccf_view_click_events"] = {
     "fn": ccf_view_click_events,
-    "sql": CCF_SQL,
+    "sql": _resolve_moments(CCF_SQL),
 }
 
 
@@ -1744,12 +1758,12 @@ def acf_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "CAST(lag AS BIGINT) AS lag",
         "n",
-        "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
-        " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) AS _num",
-        "CAST(CAST(n AS DECIMAL(38,0)) * sxx"
-        " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS _dx",
-        "CAST(CAST(n AS DECIMAL(38,0)) * syy"
-        " - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE) AS _dy",
+        _w2d("CAST(n AS DECIMAL(38,0)) * sxy"
+             " - CAST(sx AS DECIMAL(38,0)) * sy", "DIV") + " AS _num",
+        _w2d("CAST(n AS DECIMAL(38,0)) * sxx"
+             " - CAST(sx AS DECIMAL(38,0)) * sx", "DIV") + " AS _dx",
+        _w2d("CAST(n AS DECIMAL(38,0)) * syy"
+             " - CAST(sy AS DECIMAL(38,0)) * sy", "DIV") + " AS _dy",
     ).selectExpr(
         "event_type",
         "lag",
@@ -1787,21 +1801,198 @@ m AS (
   FROM j GROUP BY 1, 2
 )
 SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
-       CASE WHEN CAST(CAST(n AS HUGEINT) * sxx
-                 - CAST(sx AS HUGEINT) * sx AS DOUBLE) = 0.0
-              OR CAST(CAST(n AS HUGEINT) * syy
-                 - CAST(sy AS HUGEINT) * sy AS DOUBLE) = 0.0 THEN NULL
-            ELSE CAST(CAST(n AS HUGEINT) * sxy
-                 - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                 / sqrt(CAST(CAST(n AS HUGEINT) * sxx
-                        - CAST(sx AS HUGEINT) * sx AS DOUBLE)
-                      * CAST(CAST(n AS HUGEINT) * syy
-                        - CAST(sy AS HUGEINT) * sy AS DOUBLE)) END
+       CASE WHEN {{MOM_DX}} = 0.0 OR {{MOM_DY}} = 0.0 THEN NULL
+            ELSE {{MOM_NUM}} / sqrt({{MOM_DX}} * {{MOM_DY}}) END
          AS acf_r
 FROM m
 """
 
+ACF_SQL_RESOLVED = _resolve_moments(ACF_SQL)
+
+
 REGISTRY["acf_value_events"] = {
     "fn": acf_value_events,
-    "sql": ACF_SQL,
+    "sql": ACF_SQL_RESOLVED,
+}
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box Q per event type — the white-noise test over the first
+# ACF_MAX_LAG autocorrelations (is there ANY serial structure left?),
+# built on the same per-lag Pearson moments as acf_value_events. Each
+# r_k is an engine-identical double; its squared term r_k²/(n_days−k)
+# is micro-quantized to an integer BEFORE the cross-lag sum (7-term
+# double sums still reorder), so Q's definition is the quantized form
+# on both engines. n_days is the type's day count; lags with no
+# overlap contribute nothing.
+# --------------------------------------------------------------------------
+
+
+def ljung_box_value_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    acf = acf_value_events(spark, sf_dir)
+    days = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct(F.col("ts").cast("date"))
+            .cast("bigint")
+            .alias("n_days")
+        )
+    )
+    terms = acf.join(days, "event_type").selectExpr(
+        "event_type",
+        "n_days",
+        "lag",
+        "acf_r",
+        """CASE WHEN acf_r IS NULL THEN 0
+           ELSE CAST(floor(acf_r * acf_r
+                / CAST(n_days - lag AS DOUBLE) * 1000000000.0 + 0.5)
+                AS BIGINT) END AS _term_nano""",
+    )
+    return (
+        terms.groupBy("event_type", "n_days")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lags"),
+            F.sum("_term_nano").cast("bigint").alias("sum_nano"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "n_lags",
+            "sum_nano",
+            """CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE)
+               * (CAST(sum_nano AS DOUBLE) / 1000000000.0) AS q_r""",
+        )
+    )
+
+
+def _ljung_sql() -> str:
+    return f"""
+WITH acf AS ({ACF_SQL_RESOLVED.strip()}),
+days AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+  FROM events GROUP BY 1
+),
+terms AS (
+  SELECT a.event_type, d.n_days, a.lag, a.acf_r,
+         CASE WHEN a.acf_r IS NULL THEN 0
+              ELSE CAST(floor(a.acf_r * a.acf_r
+                   / CAST(d.n_days - a.lag AS DOUBLE)
+                   * 1000000000.0 + 0.5) AS BIGINT) END AS term_nano
+  FROM acf a JOIN days d USING (event_type)
+)
+SELECT event_type, n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_lags,
+       CAST(SUM(term_nano) AS BIGINT) AS sum_nano,
+       CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE)
+         * (CAST(SUM(term_nano) AS BIGINT) / 1000000000.0) AS q_r
+FROM terms
+GROUP BY 1, 2
+"""
+
+
+REGISTRY["ljung_box_value_events"] = {
+    "fn": ljung_box_value_events,
+    "sql": _ljung_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Seasonal and trend strength per the STL-lite decomposition
+# (Hyndman's FS/FT diagnostics): FS = max(0, 1 − Var(resid)/
+# Var(seasonal+resid)), FT likewise against the detrended series.
+# The components are already exact integers (micro-cents), so every
+# variance is exact integer moments in 128-bit and each strength is a
+# short engine-identical IEEE chain. Single global series → 1 row.
+# --------------------------------------------------------------------------
+
+
+def seasonal_strength_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stl = stl_decompose_events(spark, sf_dir)
+    m = stl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("resid_uc").cast("bigint").alias("sr"),
+        F.sum(F.expr("CAST(resid_uc AS DECIMAL(38,0)) * resid_uc")).alias(
+            "srr"
+        ),
+        F.sum(F.expr("seasonal_uc + resid_uc")).cast("bigint").alias("ssr"),
+        F.sum(
+            F.expr(
+                "CAST(seasonal_uc + resid_uc AS DECIMAL(38,0))"
+                " * (seasonal_uc + resid_uc)"
+            )
+        ).alias("ssrr"),
+        F.sum(F.expr("trend_uc + resid_uc")).cast("bigint").alias("str_"),
+        F.sum(
+            F.expr(
+                "CAST(trend_uc + resid_uc AS DECIMAL(38,0))"
+                " * (trend_uc + resid_uc)"
+            )
+        ).alias("strr"),
+    )
+    return m.selectExpr(
+        "n",
+        _w2d("CAST(n AS DECIMAL(38,0)) * srr"
+             " - CAST(sr AS DECIMAL(38,0)) * sr", "DIV") + " AS _vr",
+        _w2d("CAST(n AS DECIMAL(38,0)) * ssrr"
+             " - CAST(ssr AS DECIMAL(38,0)) * ssr", "DIV") + " AS _vsr",
+        _w2d("CAST(n AS DECIMAL(38,0)) * strr"
+             " - CAST(str_ AS DECIMAL(38,0)) * str_", "DIV") + " AS _vtr",
+    ).selectExpr(
+        "n",
+        "CASE WHEN _vsr = 0.0D THEN NULL"
+        " ELSE GREATEST(0.0D, 1.0D - _vr / _vsr) END AS seasonal_strength_r",
+        "CASE WHEN _vtr = 0.0D THEN NULL"
+        " ELSE GREATEST(0.0D, 1.0D - _vr / _vtr) END AS trend_strength_r",
+    )
+
+
+def _seasonal_strength_sql() -> str:
+    return f"""
+WITH stl AS ({STL_SQL.strip()}),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(resid_uc) AS BIGINT) AS sr,
+         SUM(CAST(resid_uc AS HUGEINT) * resid_uc) AS srr,
+         CAST(SUM(seasonal_uc + resid_uc) AS BIGINT) AS ssr,
+         SUM(CAST(seasonal_uc + resid_uc AS HUGEINT)
+             * (seasonal_uc + resid_uc)) AS ssrr,
+         CAST(SUM(trend_uc + resid_uc) AS BIGINT) AS str_,
+         SUM(CAST(trend_uc + resid_uc AS HUGEINT)
+             * (trend_uc + resid_uc)) AS strr
+  FROM stl
+)
+SELECT n,
+       CASE WHEN {{SS_VSR}} = 0.0 THEN NULL
+            ELSE GREATEST(0.0, 1.0 - {{SS_VR}} / {{SS_VSR}}) END
+         AS seasonal_strength_r,
+       CASE WHEN {{SS_VTR}} = 0.0 THEN NULL
+            ELSE GREATEST(0.0, 1.0 - {{SS_VR}} / {{SS_VTR}}) END
+         AS trend_strength_r
+FROM m
+"""
+
+
+REGISTRY["seasonal_strength_events"] = {
+    "fn": seasonal_strength_events,
+    "sql": _seasonal_strength_sql()
+    .replace(
+        "{SS_VR}",
+        _w2d("CAST(n AS HUGEINT) * srr - CAST(sr AS HUGEINT) * sr", "//"),
+    )
+    .replace(
+        "{SS_VSR}",
+        _w2d("CAST(n AS HUGEINT) * ssrr - CAST(ssr AS HUGEINT) * ssr", "//"),
+    )
+    .replace(
+        "{SS_VTR}",
+        _w2d(
+            "CAST(n AS HUGEINT) * strr - CAST(str_ AS HUGEINT) * str_", "//"
+        ),
+    ),
 }

@@ -748,3 +748,50 @@ def test_acf_diagonal_and_recompute(spark):
                 assert r["acf_r"] == float(n * sxy - sx * sy) / math.sqrt(
                     dx * dy
                 )
+
+
+def test_ljung_box_and_strengths(spark):
+    """Q replayed from the ACF values with the same nano-quantized
+    terms; strengths in [0,1] and the decomposition identity basis."""
+    from de4ml_spark.queries.tsq2 import (
+        acf_value_events,
+        ljung_box_value_events,
+        seasonal_strength_events,
+    )
+    from de4ml_spark.session import load_table
+
+    acf = {
+        (r["event_type"], r["lag"]): r["acf_r"]
+        for r in acf_value_events(spark, SF).collect()
+    }
+    n_days = {
+        r["event_type"]: r["nd"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct(F.col("ts").cast("date")).alias("nd"))
+        .collect()
+    }
+    got = {r["event_type"]: r for r in ljung_box_value_events(spark, SF).collect()}
+    for t, nd in n_days.items():
+        s_nano = 0
+        n_lags = 0
+        for (tt, lag), r in acf.items():
+            if tt != t:
+                continue
+            n_lags += 1
+            if r is not None:
+                s_nano += math.floor(
+                    r * r / float(nd - lag) * 1e9 + 0.5
+                )
+        g = got[t]
+        assert g["n_days"] == nd
+        assert g["n_lags"] == n_lags
+        assert g["sum_nano"] == s_nano
+        assert g["q_r"] == float(nd) * float(nd + 2) * (
+            float(s_nano) / 1e9
+        )
+        assert g["q_r"] >= 0.0
+
+    row = seasonal_strength_events(spark, SF).collect()[0]
+    assert 0.0 <= row["seasonal_strength_r"] <= 1.0
+    assert 0.0 <= row["trend_strength_r"] <= 1.0
