@@ -141,6 +141,7 @@ PRIORITY = [
     "acf_value_events",
     "ljung_box_value_events",
     "seasonal_strength_events",
+    "hits_bipartite_orders",
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",

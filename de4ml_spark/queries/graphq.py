@@ -821,3 +821,121 @@ REGISTRY["degree_assortativity_parts"] = {
         _w2d("CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy", "//"),
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# HITS on the customer↔part bipartite purchase graph: hubs are
+# customers, authorities are parts — the mutual-reinforcement ranking
+# ("important parts are bought by important customers") that
+# complements PageRank's part-co-purchase view. Exact integer fixed
+# point like PageRank: scores on a 1e6 grid, each half-step is an
+# integer sum over the bipartite edges followed by integer L1
+# renormalization (score * SCALE DIV total — order-independent,
+# engine-identical; float HITS would drift in the last ulp), HITS_STEPS
+# unrolled half-rounds in one lazy DAG. Top HITS_TOPK authorities by
+# (score DESC, partkey). Scale: each half-step is one shuffle of the
+# (customer, part) edge list on its aggregation key; the edge list is
+# |distinct purchase pairs|, linear in orders.
+# --------------------------------------------------------------------------
+
+HITS_SCALE = 1_000_000
+HITS_TOPK = 20
+
+
+def hits_bipartite_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .persist()
+    )
+    # half-step 1: authorities from unit hubs = part degree, renormed
+    auth = edges.groupBy("p").agg(
+        (F.count(F.lit(1)) * HITS_SCALE).alias("s")
+    )
+    tot_a = auth.agg(F.sum("s").alias("t"))
+    auth = auth.crossJoin(F.broadcast(tot_a)).selectExpr(
+        "p",
+        f"CAST(s AS DECIMAL(38,0)) * {HITS_SCALE} DIV t AS a1",
+    )
+    # half-step 2: hubs from authorities, renormed
+    hub = (
+        edges.join(auth, "p")
+        .groupBy("c")
+        .agg(F.sum("a1").alias("s"))
+    )
+    tot_h = hub.agg(F.sum("s").alias("t"))
+    hub = hub.crossJoin(F.broadcast(tot_h)).selectExpr(
+        "c",
+        f"CAST(s AS DECIMAL(38,0)) * {HITS_SCALE} DIV t AS h1",
+    )
+    # half-step 3: authorities from refined hubs, renormed
+    auth2 = (
+        edges.join(hub, "c")
+        .groupBy("p")
+        .agg(F.sum("h1").alias("s"))
+    )
+    tot_a2 = auth2.agg(F.sum("s").alias("t"))
+    out = (
+        auth2.crossJoin(F.broadcast(tot_a2))
+        .selectExpr(
+            "p AS partkey",
+            f"CAST(CAST(s AS DECIMAL(38,0)) * {HITS_SCALE} DIV t"
+            " AS BIGINT) AS authority_ppm",
+        )
+        .orderBy(F.desc("authority_ppm"), F.col("partkey"))
+        .limit(HITS_TOPK)
+    )
+    from de4ml_spark.cache import release_after
+
+    return release_after(out, edges)
+
+
+HITS_SQL = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+a0 AS (
+  SELECT p, COUNT(*) * {HITS_SCALE} AS s FROM edges GROUP BY 1
+),
+a1 AS (
+  SELECT p, CAST(s AS HUGEINT) * {HITS_SCALE}
+            // (SELECT SUM(s) FROM a0) AS a1
+  FROM a0
+),
+h0 AS (
+  SELECT e.c, SUM(a1.a1) AS s
+  FROM edges e JOIN a1 ON e.p = a1.p GROUP BY 1
+),
+h1 AS (
+  SELECT c, CAST(s AS HUGEINT) * {HITS_SCALE}
+            // (SELECT SUM(s) FROM h0) AS h1
+  FROM h0
+),
+a2 AS (
+  SELECT e.p, SUM(h1.h1) AS s
+  FROM edges e JOIN h1 ON e.c = h1.c GROUP BY 1
+)
+SELECT p AS partkey,
+       CAST(CAST(s AS HUGEINT) * {HITS_SCALE}
+            // (SELECT SUM(s) FROM a2) AS BIGINT) AS authority_ppm
+FROM a2
+ORDER BY authority_ppm DESC, partkey
+LIMIT {HITS_TOPK}
+"""
+
+REGISTRY["hits_bipartite_orders"] = {
+    "fn": hits_bipartite_orders,
+    "sql": HITS_SQL,
+}

@@ -154,3 +154,42 @@ def test_grid_density_clusters_python_recompute(spark):
             assert g["is_core"] and g["cluster"] == label[(cx, cy)]
         else:
             assert not g["is_core"] and g["cluster"] is None
+
+
+def test_hits_bipartite_python_replay(spark):
+    """The three unrolled half-steps with integer renormalization
+    replayed exactly in Python."""
+    from collections import defaultdict
+
+    from de4ml_spark.queries.graphq import (
+        HITS_SCALE,
+        HITS_TOPK,
+        hits_bipartite_orders,
+    )
+    from de4ml_spark.session import load_table
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    cust = {r["o_orderkey"]: r["o_custkey"] for r in orders}
+    edges = {(cust[r["l_orderkey"]], r["l_partkey"]) for r in li}
+    by_p = defaultdict(set)
+    by_c = defaultdict(set)
+    for c, p in edges:
+        by_p[p].add(c)
+        by_c[c].add(p)
+    a = {p: len(cs) * HITS_SCALE for p, cs in by_p.items()}
+    t = sum(a.values())
+    a = {p: s * HITS_SCALE // t for p, s in a.items()}
+    h = {c: sum(a[p] for p in ps) for c, ps in by_c.items()}
+    t = sum(h.values())
+    h = {c: s * HITS_SCALE // t for c, s in h.items()}
+    a2 = {p: sum(h[c] for c in cs) for p, cs in by_p.items()}
+    t = sum(a2.values())
+    a2 = {p: s * HITS_SCALE // t for p, s in a2.items()}
+    want = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPK]
+    got = hits_bipartite_orders(spark, SF).collect()
+    assert [(r["partkey"], r["authority_ppm"]) for r in got] == want
