@@ -142,6 +142,7 @@ PRIORITY = [
     "ljung_box_value_events",
     "seasonal_strength_events",
     "hits_bipartite_orders",
+    "logrank_retention_cohorts",
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",

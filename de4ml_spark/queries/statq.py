@@ -1517,3 +1517,160 @@ REGISTRY["kruskal_wallis_value"] = {
         _w2d("CAST(n_tot AS HUGEINT) * n_tot * n_tot - n_tot", "//"),
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Log-rank test between two user cohorts' retention curves — the
+# standard "do these survival curves differ" test completing the
+# survival family (Nelson-Aalen hazard, Kaplan-Meier product-limit,
+# and now the between-cohort comparison). Cohorts come from the seeded
+# md5 hash of user_id; the right-censoring spine is the same as the
+# estimators'. At each duration t with d total churns and n at risk:
+# the A-cohort expectation d·n_A/n and the hypergeometric variance
+# d(n−d)n_A·n_B/(n²(n−1)) are each HALF-UP MICRO-QUANTIZED exact
+# rationals (128-bit numerators), integer-summed over the
+# calendar-bounded spine; the z statistic is one engine-identical IEEE
+# chain on the integer totals. Scale: one groupBy to per-user spans,
+# everything after is calendar-bounded.
+# --------------------------------------------------------------------------
+
+
+def logrank_retention_cohorts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import phash_spark_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("d0"),
+            F.max(F.col("ts").cast("date")).alias("d1"),
+        )
+    )
+    horizon = spans.agg(F.max("d1").alias("hmax"))
+    grp_hash = phash_spark_sql("CONCAT('lr:', CAST(user_id AS STRING))")
+    per_user = spans.crossJoin(F.broadcast(horizon)).selectExpr(
+        f"{grp_hash} % 2 AS grp",
+        "datediff(d1, d0) AS dur",
+        "datediff(hmax, d0) AS obs",
+        "CAST(d1 < hmax AS INT) AS churned",
+    )
+    at_risk = (
+        per_user.selectExpr(
+            "grp",
+            "churned",
+            "dur",
+            "explode(sequence(0, least(dur, obs))) AS t",
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(grp = 0 AS BIGINT)")).alias("na"),
+            F.sum(
+                F.expr("CAST(churned = 1 AND dur = t AS BIGINT)")
+            ).alias("d"),
+            F.sum(
+                F.expr(
+                    "CAST(churned = 1 AND dur = t AND grp = 0 AS BIGINT)"
+                )
+            ).alias("da"),
+        )
+        .filter("n > 1 AND d > 0")
+    )
+    steps = at_risk.selectExpr(
+        "t",
+        "n",
+        "na",
+        "d",
+        "da",
+        # E[d_A] in half-up micros: d*na/n
+        "CAST((2 * d * na * 1000000 + n) DIV (2 * n) AS BIGINT)"
+        " AS e_micro",
+        # Var in half-up micros: d(n-d)na(n-na) / (n^2 (n-1)) — the
+        # numerator needs 128 bits
+        """CAST((2 * CAST(d AS DECIMAL(38,0)) * (n - d) * na * (n - na)
+                 * 1000000 + CAST(n AS DECIMAL(38,0)) * n * (n - 1))
+           DIV (2 * CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS BIGINT)
+           AS v_micro""",
+    )
+    agg = steps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        F.sum("da").cast("bigint").alias("o_a"),
+        F.sum("e_micro").cast("bigint").alias("e_a_micro"),
+        F.sum("v_micro").cast("bigint").alias("var_micro"),
+    )
+    return agg.selectExpr(
+        "n_steps",
+        "o_a",
+        "e_a_micro",
+        "var_micro",
+        """CASE WHEN var_micro = 0 THEN NULL ELSE
+           CAST(o_a * 1000000 - e_a_micro AS DOUBLE)
+           / (1000.0D * sqrt(CAST(var_micro AS DOUBLE))) END AS z_r""",
+    )
+
+
+def _logrank_sql() -> str:
+    from de4ml_spark.operators.portable_hash import phash_duck_sql
+
+    grp_hash = phash_duck_sql("CONCAT('lr:', CAST(user_id AS VARCHAR))")
+    return f"""
+WITH spans AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1
+),
+horizon AS (SELECT MAX(d1) AS hmax FROM spans),
+per_user AS (
+  SELECT {grp_hash} % 2 AS grp,
+         datediff('day', d0, d1) AS dur,
+         datediff('day', d0, h.hmax) AS obs,
+         CAST(d1 < h.hmax AS INT) AS churned
+  FROM spans CROSS JOIN horizon h
+),
+exploded AS (
+  SELECT grp, churned, dur,
+         unnest(generate_series(0, least(dur, obs))) AS t
+  FROM per_user
+),
+at_risk AS (
+  SELECT t,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN churned = 1 AND dur = t THEN 1 ELSE 0 END)
+              AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN churned = 1 AND dur = t AND grp = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS da
+  FROM exploded GROUP BY 1
+  HAVING COUNT(*) > 1
+     AND SUM(CASE WHEN churned = 1 AND dur = t THEN 1 ELSE 0 END) > 0
+),
+steps AS (
+  SELECT t, n, na, d, da,
+         CAST((2 * d * na * 1000000 + n) // (2 * n) AS BIGINT)
+           AS e_micro,
+         CAST((2 * CAST(d AS HUGEINT) * (n - d) * na * (n - na)
+               * 1000000 + CAST(n AS HUGEINT) * n * (n - 1))
+              // (2 * CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+           AS v_micro
+  FROM at_risk
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_steps,
+       CAST(SUM(da) AS BIGINT) AS o_a,
+       CAST(SUM(e_micro) AS BIGINT) AS e_a_micro,
+       CAST(SUM(v_micro) AS BIGINT) AS var_micro,
+       CASE WHEN CAST(SUM(v_micro) AS BIGINT) = 0 THEN NULL ELSE
+       CAST(CAST(SUM(da) AS BIGINT) * 1000000
+            - CAST(SUM(e_micro) AS BIGINT) AS DOUBLE)
+       / (1000.0 * sqrt(CAST(CAST(SUM(v_micro) AS BIGINT) AS DOUBLE)))
+       END AS z_r
+FROM steps
+"""
+
+
+REGISTRY["logrank_retention_cohorts"] = {
+    "fn": logrank_retention_cohorts,
+    "sql": _logrank_sql(),
+}

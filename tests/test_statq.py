@@ -795,3 +795,62 @@ def test_ljung_box_and_strengths(spark):
     row = seasonal_strength_events(spark, SF).collect()[0]
     assert 0.0 <= row["seasonal_strength_r"] <= 1.0
     assert 0.0 <= row["trend_strength_r"] <= 1.0
+
+
+def test_logrank_replay(spark):
+    """O/E/Var totals and z replayed in pure Python over the same
+    censoring spine and hash cohorts."""
+    from fractions import Fraction
+
+    from tests.test_mldataq4 import _phash59
+
+    from de4ml_spark.queries.statq import logrank_retention_cohorts
+    from de4ml_spark.session import load_table
+
+    spans = (
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("d0"),
+            F.max(F.col("ts").cast("date")).alias("d1"),
+        )
+        .collect()
+    )
+    hmax = max(r["d1"] for r in spans)
+    users = []
+    for r in spans:
+        dur = (r["d1"] - r["d0"]).days
+        obs = (hmax - r["d0"]).days
+        users.append(
+            (
+                _phash59(f"lr:{r['user_id']}") % 2,
+                dur,
+                obs,
+                1 if r["d1"] < hmax else 0,
+            )
+        )
+    o_a = e_micro = v_micro = n_steps = 0
+    tmax = max(min(d, o) for _, d, o, _ in users)
+    for t in range(0, tmax + 1):
+        at = [(g, d, c) for g, d, o, c in users if min(d, o) >= t]
+        n = len(at)
+        d = sum(1 for g, dd, c in at if c == 1 and dd == t)
+        if n <= 1 or d == 0:
+            continue
+        na = sum(1 for g, _, _ in at if g == 0)
+        da = sum(1 for g, dd, c in at if g == 0 and c == 1 and dd == t)
+        n_steps += 1
+        o_a += da
+        e_micro += (2 * d * na * 10**6 + n) // (2 * n)
+        num = 2 * d * (n - d) * na * (n - na) * 10**6 + n * n * (n - 1)
+        v_micro += num // (2 * n * n * (n - 1))
+    got = logrank_retention_cohorts(spark, SF).collect()[0]
+    assert got["n_steps"] == n_steps
+    assert got["o_a"] == o_a
+    assert got["e_a_micro"] == e_micro
+    assert got["var_micro"] == v_micro
+    want_z = float(o_a * 10**6 - e_micro) / (
+        1000.0 * math.sqrt(float(v_micro))
+    )
+    assert got["z_r"] == want_z
