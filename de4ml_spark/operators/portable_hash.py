@@ -348,3 +348,40 @@ def wide_to_double_sql(expr: str, div: str) -> str:
         f" + CAST({c1} AS DOUBLE) * {float(2 ** 30)!r})"
         f" + CAST({c0} AS DOUBLE)))"
     )
+
+
+def wide_halfup_div_sql(p: str, q: str, div: str) -> str:
+    """Exact HALF-UP division of a 128-bit integer ``p`` (>= 0,
+    DECIMAL(38,0) on Spark / HUGEINT on DuckDB) by an int64 ``q`` >= 1,
+    with a quotient that may itself exceed int64 — the case neither
+    Spark's DIV (silently wraps to LONG) nor a float detour (Spark
+    floor(DOUBLE) saturates at 2^63-1) can handle.
+
+    Two-step long division entirely in safe integer ops: with
+    p' = 2p + q, q' = 2q and B = 2^30, split p' = p1*B^2 + p0
+    (p1 via mod-before-exact-division, p0 = p' % B^2 < 2^60). Then
+    q1 = p1 DIV q' and q0 = (r1*B^2 + p0) DIV q' with r1 = p1 % q' —
+    every intermediate quotient is < 2^60 + q' (safe) provided
+    p < ~8e37 / 1 and p1 DIV q' fits int64 (p < q' * 2^63 * 2^60,
+    i.e. any p representable in DECIMAL(38,0) for q >= 8; for q < 8
+    the bound is p < 8.5e37). Result: q1*B^2 + q0 as a 128-bit
+    integer, bit-identical across engines.
+    """
+    big = "DECIMAL(38,0)" if div.upper() == "DIV" else "HUGEINT"
+    b2 = 1 << 60
+    pp = f"(2 * CAST(({p}) AS {big}) + ({q}))"
+    qq = f"(2 * CAST(({q}) AS {big}))"
+    # the B^2 split is an EXACT division: Spark uses decimal `/`
+    # (exact for divisible operands; DIV would wrap the wide quotient),
+    # DuckDB uses `//` (its `/` is FLOAT division even on HUGEINT)
+    if div.upper() == "DIV":
+        p1 = f"(CAST(({pp} - ({pp} % {b2})) / {b2} AS {big}))"
+    else:
+        p1 = f"(({pp} - ({pp} % {b2})) // {b2})"
+    p0 = f"(CAST({pp} % {b2} AS BIGINT))"
+    q1 = f"(CAST({p1} {div} {qq} AS BIGINT))"
+    r1 = f"({p1} % {qq})"
+    q0 = f"(CAST(({r1} * {b2} + {p0}) {div} {qq} AS BIGINT))"
+    return (
+        f"(CAST({q1} AS {big}) * {b2} + {q0})"
+    )

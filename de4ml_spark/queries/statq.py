@@ -28,19 +28,9 @@ from de4ml_spark.session import load_table
 
 REGISTRY: dict = {}
 
-from de4ml_spark.operators.portable_hash import wide_to_double_sql as _w2d
-
-_MW_VARNUM_SPARK = _w2d(
-    "CAST(n_a AS DECIMAL(38,0)) * n_b *"
-    " ((n_a + n_b + 1) * CAST(n_a + n_b AS DECIMAL(38,0))"
-    " * (n_a + n_b - 1) - tie_sum)",
-    "DIV",
-)
-_MW_VARNUM_DUCK = _w2d(
-    "CAST(n_a AS HUGEINT) * n_b *"
-    " ((n_a + n_b + 1) * CAST(n_a + n_b AS HUGEINT)"
-    " * (n_a + n_b - 1) - tie_sum)",
-    "//",
+from de4ml_spark.operators.portable_hash import (
+    wide_halfup_div_sql as _whd,
+    wide_to_double_sql as _w2d,
 )
 
 
@@ -123,9 +113,13 @@ def mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_a_v") * F.col("r2x")).alias("r1_2x"),
         F.sum("n_a_v").alias("n_a"),
         F.sum(F.col("n_all_v") - F.col("n_a_v")).alias("n_b"),
+        # tie term in 128-bit: a single cent value repeated > 2^21
+        # times would wrap an int64 cube
         F.sum(
-            F.col("n_all_v") * F.col("n_all_v") * F.col("n_all_v")
-            - F.col("n_all_v")
+            F.expr(
+                "CAST(n_all_v AS DECIMAL(38,0)) * n_all_v * n_all_v"
+                " - n_all_v"
+            )
         ).alias("tie_sum"),
     )
     return agg.selectExpr(
@@ -137,12 +131,24 @@ def mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(tie_sum AS BIGINT) AS tie_sum",
         "CAST(r1_2x - n_a * (n_a + 1) AS DOUBLE)"
         " - CAST(n_a * n_b AS DOUBLE) AS _znum",
-        # var(U)·(12·n·(n-1)) = n_a·n_b·((n+1)·n·(n-1) − tie_sum); the
-        # numerator exceeds int64 (≈2.6e22 at sf0.1) → 128-bit internal,
-        # converted via the portable chunked recomposition (DuckDB's
-        # hugeint->double is not correctly rounded above 2^63)
-        _MW_VARNUM_SPARK + " AS _varnum",
+        # var(U)·(12·n·(n-1)) = n_a·n_b·((n+1)·n·(n-1) − tie_sum):
+        # project the 128-bit numerator ONCE, convert in the next stage
+        "CAST(n_a AS DECIMAL(38,0)) * n_b *"
+        " ((n_a + n_b + 1) * CAST(n_a + n_b AS DECIMAL(38,0))"
+        " * (n_a + n_b - 1) - tie_sum) AS _varnum_w",
         "CAST(12 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE) AS _varden",
+    ).selectExpr(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "u_a_x2",
+        "tie_sum",
+        "_znum",
+        # portable chunked conversion (DuckDB's hugeint->double is not
+        # correctly rounded above 2^63)
+        _w2d("_varnum_w", "DIV") + " AS _varnum",
+        "_varden",
     ).selectExpr(
         "type_a",
         "type_b",
@@ -195,10 +201,11 @@ agg AS (
          SUM(n_a_v * r2x) AS r1_2x,
          SUM(n_a_v) AS n_a,
          SUM(n_all_v - n_a_v) AS n_b,
-         SUM(n_all_v * n_all_v * n_all_v - n_all_v) AS tie_sum
+         SUM(CAST(n_all_v AS HUGEINT) * n_all_v * n_all_v - n_all_v)
+           AS tie_sum
   FROM ranked GROUP BY 1, 2
 ),
-wide AS (
+projected AS (
   SELECT type_a, type_b,
          CAST(n_a AS BIGINT) AS n_a,
          CAST(n_b AS BIGINT) AS n_b,
@@ -206,9 +213,17 @@ wide AS (
          CAST(tie_sum AS BIGINT) AS tie_sum,
          CAST(r1_2x - n_a * (n_a + 1) AS DOUBLE)
            - CAST(n_a * n_b AS DOUBLE) AS znum,
-         {MW_VARNUM_DUCK} AS varnum,
+         CAST(n_a AS HUGEINT) * n_b *
+           ((n_a + n_b + 1) * CAST(n_a + n_b AS HUGEINT)
+            * (n_a + n_b - 1) - tie_sum) AS varnum_w,
          CAST(12 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE) AS varden
   FROM agg
+),
+wide AS (
+  SELECT type_a, type_b, n_a, n_b, u_a_x2, tie_sum, znum,
+         {MW_VARNUM_DUCK} AS varnum,
+         varden
+  FROM projected
 )
 SELECT type_a, type_b, n_a, n_b, u_a_x2, tie_sum,
        CASE WHEN varnum = 0.0 THEN NULL
@@ -219,7 +234,7 @@ FROM wide
 REGISTRY["mann_whitney_value"] = {
     "fn": mann_whitney_value,
     "sql": MANN_WHITNEY_SQL.replace(
-        "{MW_VARNUM_DUCK}", _MW_VARNUM_DUCK
+        "{MW_VARNUM_DUCK}", _w2d("varnum_w", "//")
     ),
 }
 
@@ -1403,10 +1418,11 @@ def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ties = ranked.agg(
         F.sum(
-            F.expr("n_all_v * n_all_v * n_all_v - n_all_v")
-        )
-        .cast("bigint")
-        .alias("tie_sum"),
+            F.expr(
+                "CAST(n_all_v AS DECIMAL(38,0)) * n_all_v * n_all_v"
+                " - n_all_v"
+            )
+        ).alias("tie_sum"),
         F.sum("n_all_v").cast("bigint").alias("n_tot"),
     )
     terms = per_type.crossJoin(F.broadcast(ties)).selectExpr(
@@ -1415,23 +1431,24 @@ def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r2x_sum",
         "tie_sum",
         "n_tot",
-        # R_i^2/n_i = r2x_sum^2/(4 n_i): one exact-int division, then
-        # unit-quantized so the cross-type sum is integer-exact; the
-        # 128-bit square converts via the portable recomposition
-        "CAST(floor("
-        + _w2d("CAST(r2x_sum AS DECIMAL(38,0)) * r2x_sum", "DIV")
-        + " / CAST(4 * n_i AS DOUBLE) + 0.5) AS DECIMAL(38,0))"
-        " AS _term_q",
+        # R_i^2/n_i = r2x_sum^2/(4 n_i): exact HALF-UP integer
+        # quantization with a 128-bit quotient (a float-floor detour
+        # saturates at 2^63-1 on Spark; Spark's DIV would wrap)
+        _whd("CAST(r2x_sum AS DECIMAL(38,0)) * r2x_sum", "4 * n_i", "DIV")
+        + " AS _term_q",
     )
     h = terms.groupBy("tie_sum", "n_tot").agg(
         F.sum("_term_q").alias("_sum_q")
     ).selectExpr(
         "tie_sum",
         "n_tot",
-        """12.0D * CAST(_sum_q AS DOUBLE)
-           / (CAST(n_tot AS DOUBLE) * CAST(n_tot + 1 AS DOUBLE))
+        "12.0D * "
+        + _w2d("_sum_q", "DIV")
+        + """ / (CAST(n_tot AS DOUBLE) * CAST(n_tot + 1 AS DOUBLE))
            - 3.0D * CAST(n_tot + 1 AS DOUBLE) AS h_raw""",
-        "1.0D - CAST(tie_sum AS DOUBLE) / "
+        "1.0D - "
+        + _w2d("tie_sum", "DIV")
+        + " / "
         + _w2d(
             "CAST(n_tot AS DECIMAL(38,0)) * n_tot * n_tot - n_tot",
             "DIV",
@@ -1480,27 +1497,28 @@ per_type AS (
   GROUP BY 1
 ),
 ties AS (
-  SELECT CAST(SUM(n_all_v * n_all_v * n_all_v - n_all_v) AS BIGINT)
+  SELECT SUM(CAST(n_all_v AS HUGEINT) * n_all_v * n_all_v - n_all_v)
            AS tie_sum,
          CAST(SUM(n_all_v) AS BIGINT) AS n_tot
   FROM ranked
 ),
 terms AS (
   SELECT event_type, n_i, r2x_sum, tie_sum, n_tot,
-         CAST(floor(
-           {KW_SQ_DUCK}
-           / CAST(4 * n_i AS DOUBLE) + 0.5) AS HUGEINT) AS term_q
+         {KW_TERM_DUCK} AS term_q
   FROM per_type CROSS JOIN ties
+),
+sums AS (
+  SELECT tie_sum, n_tot, SUM(term_q) AS sum_q
+  FROM terms GROUP BY 1, 2
 ),
 h AS (
   SELECT tie_sum, n_tot,
-         12.0 * CAST(SUM(term_q) AS DOUBLE)
+         12.0 * {KW_SUMQ_DUCK}
            / (CAST(n_tot AS DOUBLE) * CAST(n_tot + 1 AS DOUBLE))
            - 3.0 * CAST(n_tot + 1 AS DOUBLE) AS h_raw,
-         1.0 - CAST(tie_sum AS DOUBLE)
+         1.0 - {KW_TIE_DUCK}
            / {KW_N3_DUCK} AS c
-  FROM terms
-  GROUP BY 1, 2
+  FROM sums
 )
 SELECT p.event_type, p.n_i, p.r2x_sum, h.n_tot, h.h_raw,
        CASE WHEN h.c = 0.0 THEN NULL ELSE h.h_raw / h.c END AS h_tie_r
@@ -1510,9 +1528,12 @@ FROM per_type p CROSS JOIN h
 REGISTRY["kruskal_wallis_value"] = {
     "fn": kruskal_wallis_value,
     "sql": KRUSKAL_SQL.replace(
-        "{KW_SQ_DUCK}",
-        _w2d("CAST(r2x_sum AS HUGEINT) * r2x_sum", "//"),
-    ).replace(
+        "{KW_TERM_DUCK}",
+        _whd("CAST(r2x_sum AS HUGEINT) * r2x_sum", "4 * n_i", "//"),
+    )
+    .replace("{KW_SUMQ_DUCK}", _w2d("sum_q", "//"))
+    .replace("{KW_TIE_DUCK}", _w2d("tie_sum", "//"))
+    .replace(
         "{KW_N3_DUCK}",
         _w2d("CAST(n_tot AS HUGEINT) * n_tot * n_tot - n_tot", "//"),
     ),
@@ -1585,9 +1606,10 @@ def logrank_retention_cohorts(
         "na",
         "d",
         "da",
-        # E[d_A] in half-up micros: d*na/n
-        "CAST((2 * d * na * 1000000 + n) DIV (2 * n) AS BIGINT)"
-        " AS e_micro",
+        # E[d_A] in half-up micros: d*na/n — 128-bit numerator (d*na
+        # alone passes int64/2e6 near ~5e12-churn steps)
+        "CAST((2 * CAST(d AS DECIMAL(38,0)) * na * 1000000 + n)"
+        " DIV (2 * n) AS BIGINT) AS e_micro",
         # Var in half-up micros: d(n-d)na(n-na) / (n^2 (n-1)) — the
         # numerator needs 128 bits
         """CAST((2 * CAST(d AS DECIMAL(38,0)) * (n - d) * na * (n - na)
@@ -1649,8 +1671,8 @@ at_risk AS (
 ),
 steps AS (
   SELECT t, n, na, d, da,
-         CAST((2 * d * na * 1000000 + n) // (2 * n) AS BIGINT)
-           AS e_micro,
+         CAST((2 * CAST(d AS HUGEINT) * na * 1000000 + n) // (2 * n)
+              AS BIGINT) AS e_micro,
          CAST((2 * CAST(d AS HUGEINT) * (n - d) * na * (n - na)
                * 1000000 + CAST(n AS HUGEINT) * n * (n - 1))
               // (2 * CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)

@@ -1630,12 +1630,18 @@ def ccf_view_click_events(
     return m.selectExpr(
         "CAST(lag AS BIGINT) AS lag",
         "n",
-        _w2d("CAST(n AS DECIMAL(38,0)) * sxy"
-             " - CAST(sx AS DECIMAL(38,0)) * sy", "DIV") + " AS _num",
-        _w2d("CAST(n AS DECIMAL(38,0)) * sxx"
-             " - CAST(sx AS DECIMAL(38,0)) * sx", "DIV") + " AS _dx",
-        _w2d("CAST(n AS DECIMAL(38,0)) * syy"
-             " - CAST(sy AS DECIMAL(38,0)) * sy", "DIV") + " AS _dy",
+        "CAST(n AS DECIMAL(38,0)) * sxy"
+        " - CAST(sx AS DECIMAL(38,0)) * sy AS _num_w",
+        "CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx AS _dx_w",
+        "CAST(n AS DECIMAL(38,0)) * syy"
+        " - CAST(sy AS DECIMAL(38,0)) * sy AS _dy_w",
+    ).selectExpr(
+        "lag",
+        "n",
+        _w2d("_num_w", "DIV") + " AS _num",
+        _w2d("_dx_w", "DIV") + " AS _dx",
+        _w2d("_dy_w", "DIV") + " AS _dy",
     ).selectExpr(
         "lag",
         "n",
@@ -1676,24 +1682,29 @@ m AS (
          SUM(CAST(y_c AS HUGEINT) * y_c) AS syy,
          SUM(CAST(x_c AS HUGEINT) * y_c) AS sxy
   FROM j GROUP BY 1
+),
+projected AS (
+  SELECT lag, n,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num_w,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx_w,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy_w
+  FROM m
+),
+conv AS (
+  SELECT lag, n,
+         {{MOM_NUM}} AS numd, {{MOM_DX}} AS dxd, {{MOM_DY}} AS dyd
+  FROM projected
 )
 SELECT CAST(lag AS BIGINT) AS lag, n,
-       CASE WHEN {{MOM_DX}} = 0.0 OR {{MOM_DY}} = 0.0 THEN NULL
-            ELSE {{MOM_NUM}} / sqrt({{MOM_DX}} * {{MOM_DY}}) END
-         AS ccf_r
-FROM m
+       CASE WHEN dxd = 0.0 OR dyd = 0.0 THEN NULL
+            ELSE numd / sqrt(dxd * dyd) END AS ccf_r
+FROM conv
 ORDER BY lag
 """
 
-_MOM_NUM_DUCK = _w2d(
-    "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy", "//"
-)
-_MOM_DX_DUCK = _w2d(
-    "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx", "//"
-)
-_MOM_DY_DUCK = _w2d(
-    "CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy", "//"
-)
+_MOM_NUM_DUCK = _w2d("num_w", "//")
+_MOM_DX_DUCK = _w2d("dx_w", "//")
+_MOM_DY_DUCK = _w2d("dy_w", "//")
 
 
 def _resolve_moments(sql: str) -> str:
@@ -1758,12 +1769,19 @@ def acf_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "CAST(lag AS BIGINT) AS lag",
         "n",
-        _w2d("CAST(n AS DECIMAL(38,0)) * sxy"
-             " - CAST(sx AS DECIMAL(38,0)) * sy", "DIV") + " AS _num",
-        _w2d("CAST(n AS DECIMAL(38,0)) * sxx"
-             " - CAST(sx AS DECIMAL(38,0)) * sx", "DIV") + " AS _dx",
-        _w2d("CAST(n AS DECIMAL(38,0)) * syy"
-             " - CAST(sy AS DECIMAL(38,0)) * sy", "DIV") + " AS _dy",
+        "CAST(n AS DECIMAL(38,0)) * sxy"
+        " - CAST(sx AS DECIMAL(38,0)) * sy AS _num_w",
+        "CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx AS _dx_w",
+        "CAST(n AS DECIMAL(38,0)) * syy"
+        " - CAST(sy AS DECIMAL(38,0)) * sy AS _dy_w",
+    ).selectExpr(
+        "event_type",
+        "lag",
+        "n",
+        _w2d("_num_w", "DIV") + " AS _num",
+        _w2d("_dx_w", "DIV") + " AS _dx",
+        _w2d("_dy_w", "DIV") + " AS _dy",
     ).selectExpr(
         "event_type",
         "lag",
@@ -1799,12 +1817,23 @@ m AS (
          SUM(CAST(y_c AS HUGEINT) * y_c) AS syy,
          SUM(CAST(x_c AS HUGEINT) * y_c) AS sxy
   FROM j GROUP BY 1, 2
+),
+projected AS (
+  SELECT event_type, lag, n,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num_w,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx_w,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy_w
+  FROM m
+),
+conv AS (
+  SELECT event_type, lag, n,
+         {{MOM_NUM}} AS numd, {{MOM_DX}} AS dxd, {{MOM_DY}} AS dyd
+  FROM projected
 )
 SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
-       CASE WHEN {{MOM_DX}} = 0.0 OR {{MOM_DY}} = 0.0 THEN NULL
-            ELSE {{MOM_NUM}} / sqrt({{MOM_DX}} * {{MOM_DY}}) END
-         AS acf_r
-FROM m
+       CASE WHEN dxd = 0.0 OR dyd = 0.0 THEN NULL
+            ELSE numd / sqrt(dxd * dyd) END AS acf_r
+FROM conv
 """
 
 ACF_SQL_RESOLVED = _resolve_moments(ACF_SQL)

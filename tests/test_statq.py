@@ -680,7 +680,7 @@ def test_kruskal_wallis_matches_scipy_free_recompute(spark):
         assert got[t]["n_i"] == len(lst)
         assert got[t]["r2x_sum"] == rs
         total_r2x += rs
-        sum_q += math.floor(rs * rs / (4 * len(lst)) + 0.5)
+        sum_q += (2 * rs * rs + 4 * len(lst)) // (8 * len(lst))
     assert total_r2x == n_tot * (n_tot + 1)  # x2 of N(N+1)/2
     tie_sum = sum(c**3 - c for c in cnt.values())
     h_raw = 12.0 * float(sum_q) / (

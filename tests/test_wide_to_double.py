@@ -61,3 +61,47 @@ def test_direct_cast_divergence_is_real():
         f"SELECT CAST(CAST('{v}' AS HUGEINT) AS DOUBLE)"
     ).fetchone()[0]
     assert _bits(got) != _bits(float(v))
+
+
+def test_wide_halfup_div_cross_engine_exact(spark):
+    """wide_halfup_div_sql: exact half-up p/q with 128-bit quotients on
+    both engines, equal to Python's integer formula — the quantizer for
+    statistics whose terms outgrow both int64 DIV and float floor."""
+    from de4ml_spark.operators.portable_hash import wide_halfup_div_sql
+
+    random.seed(31)
+    cases = [
+        (10**34, 7),
+        (2**100, 8),
+        (10**30 + 1, 3),
+        (5, 2),
+        (7, 2),
+        (0, 9),
+        (2**89, 1),
+    ]
+    cases += [
+        (random.randrange(0, 10**34), random.randrange(1, 10**12))
+        for _ in range(30)
+    ]
+    sq = ", ".join(
+        "CAST("
+        + wide_halfup_div_sql(
+            "CAST(%r AS DECIMAL(38,0))" % str(p), str(q), "DIV"
+        )
+        + f" AS STRING) AS v{i}"
+        for i, (p, q) in enumerate(cases)
+    )
+    dq = ", ".join(
+        "CAST("
+        + wide_halfup_div_sql(
+            "CAST(%r AS HUGEINT)" % str(p), str(q), "//"
+        )
+        + f" AS VARCHAR) AS v{i}"
+        for i, (p, q) in enumerate(cases)
+    )
+    sp = spark.sql(f"SELECT {sq}").collect()[0]
+    du = duckdb.connect().execute(f"SELECT {dq}").fetchone()
+    for i, (p, q) in enumerate(cases):
+        want = (2 * p + q) // (2 * q)
+        assert int(sp[f"v{i}"].split(".")[0]) == want, (p, q)
+        assert int(du[i]) == want, (p, q)
