@@ -143,6 +143,8 @@ PRIORITY = [
     "seasonal_strength_events",
     "hits_bipartite_orders",
     "logrank_retention_cohorts",
+    "zipf_slope_docs",
+    "fano_burstiness_events",
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",

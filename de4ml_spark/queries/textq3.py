@@ -890,3 +890,149 @@ REGISTRY["bloom_decontaminate_docs"] = {
     "fn": bloom_decontaminate_docs,
     "sql": _bloom_decon_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Zipf slope per document source: OLS of ln(freq) on ln(rank) over the
+# top ZIPF_TOPN terms — the power-law exponent that tells a corpus
+# curator whether a source's vocabulary behaves like natural language
+# (slope ≈ −1) or like templated/generated text (flatter/steeper).
+# Exactness: ranks are deterministic (freq DESC, term), both logs come
+# from the portable-ln primitive (ln(rank) = ln(rank/1), ln(freq)),
+# each regression term is half-up micro-quantized BEFORE the sums, and
+# the OLS slope is assembled from exact integer moments with one
+# engine-identical divide. Scale: one token groupBy per source; the
+# regression runs over ZIPF_TOPN rows per source.
+# --------------------------------------------------------------------------
+
+ZIPF_TOPN = 100
+
+
+def zipf_slope_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+    from de4ml_spark.operators.text import tokens
+    from de4ml_spark.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    freqs = (
+        docs.select(
+            "source", F.explode(tokens("text")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.desc("freq"), F.col("tok")
+    )
+    top = freqs.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= ZIPF_TOPN
+    )
+    with_lr = with_portable_ln(top, "rank", "1", "__lnr")
+    with_lf = with_portable_ln(
+        with_lr.selectExpr("source", "freq", "rank", "__lnr"),
+        "freq",
+        "1",
+        "__lnf",
+    )
+    quant = with_lf.selectExpr(
+        "source",
+        "CAST(floor(__lnr * 1000000.0 + 0.5) AS BIGINT) AS x_u",
+        "CAST(floor(__lnf * 1000000.0 + 0.5) AS BIGINT) AS y_u",
+    )
+    m = quant.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x_u").cast("bigint").alias("sx"),
+        F.sum("y_u").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(x_u AS DECIMAL(38,0)) * x_u")).alias("sxx"),
+        F.sum(F.expr("CAST(x_u AS DECIMAL(38,0)) * y_u")).alias("sxy"),
+    )
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+
+    return m.selectExpr(
+        "source",
+        "n",
+        "CAST(n AS DECIMAL(38,0)) * sxy"
+        " - CAST(sx AS DECIMAL(38,0)) * sy AS _num_w",
+        "CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx AS _den_w",
+    ).selectExpr(
+        "source",
+        "n",
+        _w2d("_num_w", "DIV") + " AS _num",
+        _w2d("_den_w", "DIV") + " AS _den",
+    ).selectExpr(
+        "source",
+        "n",
+        "CASE WHEN _den = 0.0D THEN NULL ELSE _num / _den END"
+        " AS zipf_slope_r",
+    )
+
+
+def _zipf_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+        wide_to_double_sql as _w2d,
+    )
+
+    return f"""
+WITH freqs AS (
+  SELECT source, tok, COUNT(*) AS freq
+  FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT source, freq, rank FROM (
+    SELECT source, freq,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY freq DESC, tok) AS rank
+    FROM freqs
+  ) WHERE rank <= {ZIPF_TOPN}
+),
+{portable_ln_duck_ctes("top", "source, freq, rank", "rank", "1",
+                       "lnr", "plr")},
+{portable_ln_duck_ctes("plr_out", "source, freq, rank, lnr", "freq",
+                       "1", "lnf", "plf")},
+quant AS (
+  SELECT source,
+         CAST(floor(lnr * 1000000.0 + 0.5) AS BIGINT) AS x_u,
+         CAST(floor(lnf * 1000000.0 + 0.5) AS BIGINT) AS y_u
+  FROM plf_out
+),
+m AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_u) AS BIGINT) AS sx,
+         CAST(SUM(y_u) AS BIGINT) AS sy,
+         SUM(CAST(x_u AS HUGEINT) * x_u) AS sxx,
+         SUM(CAST(x_u AS HUGEINT) * y_u) AS sxy
+  FROM quant GROUP BY 1
+),
+projected AS (
+  SELECT source, n,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num_w,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den_w
+  FROM m
+),
+conv AS (
+  SELECT source, n, {_w2d("num_w", "//")} AS numd,
+         {_w2d("den_w", "//")} AS dend
+  FROM projected
+)
+SELECT source, n,
+       CASE WHEN dend = 0.0 THEN NULL ELSE numd / dend END
+         AS zipf_slope_r
+FROM conv
+"""
+
+
+REGISTRY["zipf_slope_docs"] = {
+    "fn": zipf_slope_docs,
+    "sql": _zipf_sql(),
+}

@@ -2025,3 +2025,85 @@ REGISTRY["seasonal_strength_events"] = {
         ),
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Fano factor (burstiness) of daily event arrivals per type:
+# Var(daily count)/Mean(daily count) — 1 for a Poisson arrival
+# process, > 1 for bursty traffic, < 1 for regular/throttled — the
+# arrival-process diagnostic pairing with the value-side dispersion
+# entries. Counts are integers, so the variance and mean are exact
+# integer moments; the factor is n·(nΣc²−(Σc)²) / ((n−1)·(Σc)·n)
+# assembled wide and divided once, engine-identical.
+# --------------------------------------------------------------------------
+
+
+def fano_burstiness_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("scc"),
+    )
+    return m.selectExpr(
+        "event_type",
+        "n",
+        "sc AS n_events",
+        "CAST(n AS DECIMAL(38,0)) * scc"
+        " - CAST(sc AS DECIMAL(38,0)) * sc AS _var_w",
+        "CAST(n - 1 AS DECIMAL(38,0)) * sc * n AS _den_w",
+    ).selectExpr(
+        "event_type",
+        "n",
+        "n_events",
+        _w2d("_var_w", "DIV") + " AS _varn",
+        _w2d("_den_w", "DIV") + " AS _dend",
+    ).selectExpr(
+        "event_type",
+        "n",
+        "n_events",
+        "CASE WHEN _dend = 0.0D THEN NULL"
+        " ELSE CAST(n AS DOUBLE) * _varn / _dend END AS fano_r",
+    )
+
+
+def _fano_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         SUM(CAST(c AS HUGEINT) * c) AS scc
+  FROM daily GROUP BY 1
+),
+projected AS (
+  SELECT event_type, n, sc AS n_events,
+         CAST(n AS HUGEINT) * scc - CAST(sc AS HUGEINT) * sc AS var_w,
+         CAST(n - 1 AS HUGEINT) * sc * n AS den_w
+  FROM m
+),
+conv AS (
+  SELECT event_type, n, n_events,
+         {_w2d("var_w", "//")} AS varn, {_w2d("den_w", "//")} AS dend
+  FROM projected
+)
+SELECT event_type, n, n_events,
+       CASE WHEN dend = 0.0 THEN NULL
+            ELSE CAST(n AS DOUBLE) * varn / dend END AS fano_r
+FROM conv
+"""
+
+
+REGISTRY["fano_burstiness_events"] = {
+    "fn": fano_burstiness_events,
+    "sql": _fano_sql(),
+}

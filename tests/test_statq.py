@@ -854,3 +854,68 @@ def test_logrank_replay(spark):
         1000.0 * math.sqrt(float(v_micro))
     )
     assert got["z_r"] == want_z
+
+
+def test_zipf_and_fano_recompute(spark):
+    """Zipf OLS moments and Fano factors replayed from exact integers;
+    Zipf slopes are negative (frequency falls with rank)."""
+    from collections import Counter
+
+    from de4ml_spark.queries.textq3 import ZIPF_TOPN, zipf_slope_docs
+    from de4ml_spark.queries.tsq2 import fano_burstiness_events
+    from de4ml_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "source", "text"
+    ).collect()
+    per_src = defaultdict(Counter)
+    for r in docs:
+        for tok in r["text"].split(" "):
+            if tok:
+                per_src[r["source"]][tok] += 1
+    got = {r["source"]: r for r in zipf_slope_docs(spark, SF).collect()}
+    from de4ml_spark.operators.portable_hash import portable_ln_const
+
+    for src, cnt in per_src.items():
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :ZIPF_TOPN
+        ]
+        xs, ys = [], []
+        for rank, (_, freq) in enumerate(ranked, start=1):
+            xs.append(math.floor(portable_ln_const(rank, 1) * 1e6 + 0.5))
+            ys.append(math.floor(portable_ln_const(freq, 1) * 1e6 + 0.5))
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        g = got[src]
+        assert g["n"] == n
+        assert g["zipf_slope_r"] == float(num) / float(den)
+        assert g["zipf_slope_r"] < 0
+
+    daily = defaultdict(list)
+    ev = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    )
+    for r in ev:
+        daily[r["event_type"]].append(r["count"])
+    gotf = {
+        r["event_type"]: r
+        for r in fano_burstiness_events(spark, SF).collect()
+    }
+    for t, cs in daily.items():
+        n, sc = len(cs), sum(cs)
+        scc = sum(c * c for c in cs)
+        want = (
+            float(n)
+            * (float(n * scc - sc * sc))
+            / float((n - 1) * sc * n)
+        )
+        g = gotf[t]
+        assert g["n"] == n and g["n_events"] == sc
+        assert g["fano_r"] == want
+        assert g["fano_r"] > 0
