@@ -145,6 +145,7 @@ PRIORITY = [
     "logrank_retention_cohorts",
     "zipf_slope_docs",
     "fano_burstiness_events",
+    "map_at_k_orders",
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",

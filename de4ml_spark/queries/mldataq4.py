@@ -654,3 +654,173 @@ REGISTRY["popularity_hitrate_orders"] = {
     "fn": popularity_hitrate_orders,
     "sql": _pop_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# MAP@K for the popularity recommender — the rank-aware companion of
+# popularity_hitrate_orders (same temporal split, same top-K list):
+# average precision walks the RANKED recommendation list and averages
+# precision at each hit position, so ranking the hits early matters.
+# Exactness: per-customer AP = (1/min(K,|holdout|)) Σ_hits
+# (hits_so_far / position) is a sum of small rationals — each term is
+# half-up micro-quantized (positions ≤ K bound the denominators), the
+# AP is an exact integer in micros, and the mean AP is one exact
+# half-up division. Scale: identical posture to the hit-rate entry —
+# broadcast top-K, one semi-join keyed by customer; the per-customer
+# position walk is a window over ≤ K rows.
+# --------------------------------------------------------------------------
+
+
+def map_at_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    split = orders.agg(
+        F.expr(
+            f"CAST(date_add(MIN(od), CAST(datediff(MAX(od), MIN(od))"
+            f" * {POP_SPLIT_NUM} DIV {POP_SPLIT_DEN} AS INT)) AS DATE)"
+        ).alias("split_day")
+    )
+    o = orders.crossJoin(F.broadcast(split))
+    train_orders = o.filter("od <= split_day")
+    test_orders = o.filter("od > split_day")
+    topk = (
+        train_orders.join(li, train_orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("l_partkey"))
+        .limit(POP_K)
+        .selectExpr(
+            "l_partkey",
+            "ROW_NUMBER() OVER (ORDER BY cnt DESC, l_partkey) AS pos",
+        )
+    )
+    holdout = (
+        test_orders.join(li, test_orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    n_hold = holdout.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_holdout")
+    )
+    hits = holdout.join(F.broadcast(topk), "l_partkey").select(
+        "o_custkey", "pos"
+    )
+    wpos = Window.partitionBy("o_custkey").orderBy("pos")
+    ap_terms = hits.select(
+        "o_custkey",
+        "pos",
+        F.row_number().over(wpos).alias("hit_idx"),
+    ).selectExpr(
+        "o_custkey",
+        # precision-at-hit in half-up micros: hit_idx / pos
+        "CAST((2 * hit_idx * 1000000 + pos) DIV (2 * pos) AS BIGINT)"
+        " AS prec_u",
+    )
+    ap = (
+        ap_terms.groupBy("o_custkey")
+        .agg(F.sum("prec_u").alias("sum_prec_u"))
+        .join(n_hold, "o_custkey", "right")
+        .na.fill({"sum_prec_u": 0})
+        .selectExpr(
+            "o_custkey",
+            "n_holdout",
+            f"""CAST((2 * sum_prec_u + LEAST(n_holdout, {POP_K}))
+               DIV (2 * LEAST(n_holdout, {POP_K})) AS BIGINT)
+               AS ap_u""",
+        )
+    )
+    tot = ap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("ap_u").cast("bigint").alias("sum_ap_u"),
+    )
+    return tot.selectExpr(
+        "n_customers",
+        "sum_ap_u",
+        f"""({exact_round_div_sql('sum_ap_u', 'n_customers * 1000000',
+                                  'DIV')}) AS map_r""",
+    )
+
+
+def _map_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+  FROM orders
+),
+split AS (
+  SELECT MIN(od) + TO_DAYS(CAST(datediff('day', MIN(od), MAX(od))
+         * {POP_SPLIT_NUM} // {POP_SPLIT_DEN} AS INT)) AS split_day
+  FROM o
+),
+train_orders AS (
+  SELECT o.* FROM o CROSS JOIN split WHERE od <= split_day
+),
+test_orders AS (
+  SELECT o.* FROM o CROSS JOIN split WHERE od > split_day
+),
+topk AS (
+  SELECT l_partkey,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, l_partkey) AS pos
+  FROM (
+    SELECT l.l_partkey, COUNT(*) AS cnt
+    FROM train_orders t JOIN lineitem l ON t.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    ORDER BY cnt DESC, l.l_partkey
+    LIMIT {POP_K}
+  )
+),
+holdout AS (
+  SELECT DISTINCT t.o_custkey, l.l_partkey
+  FROM test_orders t JOIN lineitem l ON t.o_orderkey = l.l_orderkey
+),
+n_hold AS (
+  SELECT o_custkey, COUNT(*) AS n_holdout FROM holdout GROUP BY 1
+),
+hits AS (
+  SELECT h.o_custkey, k.pos
+  FROM holdout h JOIN topk k USING (l_partkey)
+),
+ap_terms AS (
+  SELECT o_custkey,
+         CAST((2 * hit_idx * 1000000 + pos) // (2 * pos) AS BIGINT)
+           AS prec_u
+  FROM (
+    SELECT o_custkey, pos,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY pos)
+             AS hit_idx
+    FROM hits
+  )
+),
+ap AS (
+  SELECT n.o_custkey, n.n_holdout,
+         CAST((2 * COALESCE(s.sum_prec_u, 0)
+               + LEAST(n.n_holdout, {POP_K}))
+              // (2 * LEAST(n.n_holdout, {POP_K})) AS BIGINT) AS ap_u
+  FROM n_hold n
+  LEFT JOIN (
+    SELECT o_custkey, SUM(prec_u) AS sum_prec_u
+    FROM ap_terms GROUP BY 1
+  ) s USING (o_custkey)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(ap_u) AS BIGINT) AS sum_ap_u,
+       ({exact_round_div_sql('CAST(SUM(ap_u) AS BIGINT)',
+                             'CAST(COUNT(*) AS BIGINT) * 1000000',
+                             '//')}) AS map_r
+FROM ap
+"""
+
+
+REGISTRY["map_at_k_orders"] = {
+    "fn": map_at_k_orders,
+    "sql": _map_sql(),
+}

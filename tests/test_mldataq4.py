@@ -306,3 +306,55 @@ def test_embedding_covariance_matches_numpy(spark):
                 / 1e12
             )
             assert r["cov_r"] == want
+
+
+def test_map_at_k_python_replay(spark):
+    """MAP@K replayed exactly: same split, same ranked top-K, same
+    micro-quantized per-hit precisions."""
+    import datetime
+
+    from de4ml_spark.queries.mldataq4 import (
+        POP_K,
+        POP_SPLIT_DEN,
+        POP_SPLIT_NUM,
+        map_at_k_orders,
+    )
+    from de4ml_spark.session import load_table
+
+    orders = load_table(spark, SF, "orders").selectExpr(
+        "o_orderkey", "o_custkey", "CAST(o_orderdate AS DATE) AS od"
+    ).collect()
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    lines = defaultdict(list)
+    for r in li:
+        lines[r["l_orderkey"]].append(r["l_partkey"])
+    days = [r["od"] for r in orders]
+    split = min(days) + datetime.timedelta(
+        days=(max(days) - min(days)).days * POP_SPLIT_NUM // POP_SPLIT_DEN
+    )
+    cnt = defaultdict(int)
+    holdout = defaultdict(set)
+    for r in orders:
+        if r["od"] <= split:
+            for p in lines[r["o_orderkey"]]:
+                cnt[p] += 1
+        else:
+            for p in lines[r["o_orderkey"]]:
+                holdout[r["o_custkey"]].add(p)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:POP_K]
+    pos = {p: i for i, (p, _) in enumerate(ranked, start=1)}
+    sum_ap = 0
+    for cust, parts in holdout.items():
+        hit_pos = sorted(pos[p] for p in parts if p in pos)
+        prec = sum(
+            (2 * i * 10**6 + p) // (2 * p)
+            for i, p in enumerate(hit_pos, start=1)
+        )
+        denom = min(len(parts), POP_K)
+        sum_ap += (2 * prec + denom) // (2 * denom)
+    row = map_at_k_orders(spark, SF).collect()[0]
+    assert row["n_customers"] == len(holdout)
+    assert row["sum_ap_u"] == sum_ap
+    assert 0.0 <= row["map_r"] <= 1.0
