@@ -146,6 +146,7 @@ PRIORITY = [
     "zipf_slope_docs",
     "fano_burstiness_events",
     "map_at_k_orders",
+    "cluster_purity_embeddings",
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",

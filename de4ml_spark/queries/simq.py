@@ -706,3 +706,107 @@ REGISTRY["grid_density_clusters"] = {
     "fn": grid_density_clusters,
     "sql": GRID_DENSITY_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Cluster purity of the grid-density clustering against the embedding
+# labels — the external-validity check that closes the clustering
+# loop: per cluster, the majority label's share (exact half-up ppm,
+# deterministic tie-break by label id) plus the corpus-level weighted
+# purity. Noise points (NULL cluster) are reported as their own row
+# with a NULL purity (they have no cluster to be pure about). Scale:
+# one join of the point labels to their cluster assignment, two
+# groupBys over the (cluster, label) frame.
+# --------------------------------------------------------------------------
+
+
+def cluster_purity_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    assign = grid_density_clusters(spark, sf_dir).select(
+        "vec_id", "cluster"
+    )
+    j = emb.join(assign, "vec_id")
+    by_cl = j.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wmaj = Window.partitionBy("cluster").orderBy(
+        F.desc("n"), F.col("label")
+    )
+    per_cluster = (
+        by_cl.withColumn("rk", F.row_number().over(wmaj))
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_points"),
+            F.max(F.expr("CASE WHEN rk = 1 THEN label END")).alias(
+                "majority_label"
+            ),
+            F.max(F.expr("CASE WHEN rk = 1 THEN n END"))
+            .cast("bigint")
+            .alias("n_majority"),
+        )
+    )
+    return per_cluster.selectExpr(
+        "cluster",
+        "CAST(majority_label AS BIGINT) AS majority_label",
+        "n_points",
+        "n_majority",
+        f"""CASE WHEN cluster IS NULL THEN NULL
+            ELSE {exact_round_div_sql('n_majority', 'n_points', 'DIV')}
+            END AS purity_r""",
+    )
+
+
+CLUSTER_PURITY_SQL_TEMPLATE = """
+WITH assign AS ({GRID_SQL}),
+j AS (
+  SELECT e.vec_id, e.label, a.cluster
+  FROM embeddings e JOIN assign a USING (vec_id)
+),
+by_cl AS (
+  SELECT cluster, label, COUNT(*) AS n FROM j GROUP BY 1, 2
+),
+ranked AS (
+  SELECT cluster, label, n,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY n DESC, label) AS rk
+  FROM by_cl
+),
+per_cluster AS (
+  SELECT cluster,
+         CAST(SUM(n) AS BIGINT) AS n_points,
+         MAX(CASE WHEN rk = 1 THEN label END) AS majority_label,
+         CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS n_majority
+  FROM ranked GROUP BY 1
+)
+SELECT cluster,
+       CAST(majority_label AS BIGINT) AS majority_label,
+       n_points, n_majority,
+       CASE WHEN cluster IS NULL THEN NULL
+            ELSE {PURITY_DIV} END AS purity_r
+FROM per_cluster
+"""
+
+
+def _cluster_purity_sql() -> str:
+    from de4ml_spark.operators.portable_hash import exact_round_div_sql
+
+    return CLUSTER_PURITY_SQL_TEMPLATE.replace(
+        "{GRID_SQL}", GRID_DENSITY_SQL.strip()
+    ).replace(
+        "{PURITY_DIV}",
+        exact_round_div_sql("n_majority", "n_points", "//"),
+    )
+
+
+REGISTRY["cluster_purity_embeddings"] = {
+    "fn": cluster_purity_embeddings,
+    "sql": _cluster_purity_sql(),
+}

@@ -193,3 +193,23 @@ def test_hits_bipartite_python_replay(spark):
     want = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPK]
     got = hits_bipartite_orders(spark, SF).collect()
     assert [(r["partkey"], r["authority_ppm"]) for r in got] == want
+
+
+def test_cluster_purity_invariants(spark):
+    """Purity in (0,1]; majority counts bounded by cluster size; the
+    noise row carries NULL purity; point totals reconcile."""
+    from de4ml_spark.queries.simq import cluster_purity_embeddings
+    from de4ml_spark.session import load_table
+
+    rows = cluster_purity_embeddings(spark, SF).collect()
+    n_total = load_table(spark, SF, "embeddings").count()
+    assert sum(r["n_points"] for r in rows) == n_total
+    for r in rows:
+        assert 1 <= r["n_majority"] <= r["n_points"]
+        if r["cluster"] is None:
+            assert r["purity_r"] is None
+        else:
+            assert 0.0 < r["purity_r"] <= 1.0
+            assert (
+                round(r["purity_r"] * r["n_points"]) >= r["n_majority"] - 1
+            )
