@@ -54,82 +54,26 @@ def _registries() -> list[dict]:
 
 # Catalog iteration order. The driver's correctness harness grades a
 # 50-entry PREFIX of this list per round, so ordering decides which
-# queries get fresh cross-engine evidence each round. Round-7 rotation:
-# (1) entries whose implementation or oracle changed this round and
-# MUST be (re-)graded — the two round-6 hash failures with driver-safe
-# result types (q9 BIGINT ten-thousandths, rollup integer cents),
-# q16's NOT IN -> NOT EXISTS oracle, the fourteen round-7a additions
-# (HLL .. label-centroid distances), and the TWENTY-ONE round-7b
-# additions (Mann-Whitney, plus-4 bounds, Kaplan-Meier, attribution,
-# k-core, edge Jaccard, assortativity, OOF encoding, feature hashing,
-# negative sampling, MASE, conformal, changepoint, LOSO influence,
-# SPRT, Theil-Sen, Pareto/ABC, RFM, isotonic, STL, CCF) — 38 entries
-# with NO driver evidence yet outrank everything; then
-# (2) the stale queue where round 6 left off (dedup_embedding_blocked
-# ..) — its first 12 fill the graded 50 (38 + 12); the section below
-# the boundary marker leads the round-8 queue, headed by the 7 newest
-# locally-verified entries (quantile_normalize .. markov accuracy);
-# then
-# (3) round-5-graded evidence, then (4) the entries freshly graded in
-# round 6 at the very back. Everything re-greens locally via
-# tools/verify_oracle.py (safe-type whitelist preflight — no DECIMAL
-# or HUGEINT result columns in either engine).
+# queries get fresh cross-engine evidence each round. Round-8 rotation
+# (per VERDICT r7 items 1/8):
+# (1) the 17 entries with NO driver evidence yet (round-7b additions
+# verified only locally — quantile_normalize .. cluster_purity), with
+# the round-8 scale fixes applied FIRST so the graded versions are the
+# fixed ones (quantile_normalize: distributed two-pass rank;
+# emd/mann_whitney: equi-join pair membership); then
+# (2) the four entries whose IMPLEMENTATION changed this round and
+# must be re-graded (rfm: distributed NTILE; pareto: distributed
+# cumulative; mann_whitney: equi-join membership; kcore: distributed
+# median pick — all via operators/rank.py); then
+# (3) new round-8 catalog additions (first driver evidence); then
+# (4) the stale queue resumed exactly where round 7 left off
+# (lang_id_docs onward) fills the rest of the graded 50.
+# Below the boundary: the stale-queue remainder, then round-5-graded,
+# round-6-graded, and round-7-graded evidence at the very back
+# (newest first-hand evidence last). Evidence age after round 8:
+# every entry has driver evidence from round 5 or later.
 PRIORITY = [
-    # -- (1) changed this round: re-grade first
-    "q9_product_profit",
-    "rollup_cascade_events",
-    "q16_supplier_cnt",
-    "hll_distinct_users",
-    "m4_downsample_value",
-    "gapfill_interp_user_daily",
-    "chi2_ab_events",
-    "calibration_bins_events",
-    "bloom_decontaminate_docs",
-    "mutual_info_events",
-    "ppjoin_docs",
-    "assoc_rules_parts",
-    "audience_overlap_events",
-    "nelson_aalen_retention",
-    "triangle_count_parts",
-    "ltv_triangle_orders",
-    "label_centroid_distances",
-    "mann_whitney_value",
-    "plus4_ctr_bounds",
-    "kaplan_meier_retention",
-    "attribution_credit_events",
-    "kcore_parts",
-    "jaccard_copurchase_parts",
-    "degree_assortativity_parts",
-    "oof_target_encode_events",
-    "feature_hash_docs",
-    "negative_samples_orders",
-    "mase_seasonal_events",
-    "conformal_bound_events",
-    "changepoint_value_events",
-    "loso_source_influence_docs",
-    "sprt_ctr_deciles",
-    "theil_sen_trend_events",
-    "pareto_revenue_parts",
-    "rfm_segments_customers",
-    "isotonic_ctr_deciles",
-    "stl_decompose_events",
-    "ccf_view_click_events",
-    # -- (2) stale queue, resumed from the round-6 cutoff
-    "dedup_embedding_blocked",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embedding_dim_stats",
-    "events_cube",
-    "fingerprint_docs",
-    "gapfill_user_daily",
-    "knn_bruteforce",
-    "knn_lsh",
-    "knn_rrf_fusion",
-    "lang_confusion_docs",
-    # -- 50-entry prefix boundary is here (round-8 queue starts below)
-    # (new round-7b entries verified locally but NOT graded this round —
-    #  they lead the round-8 queue for first driver evidence)
+    # -- (1) never driver-graded (round-7b local-only)
     "quantile_normalize_docs",
     "popularity_hitrate_orders",
     "emd_value_types",
@@ -147,6 +91,13 @@ PRIORITY = [
     "fano_burstiness_events",
     "map_at_k_orders",
     "cluster_purity_embeddings",
+    # -- (2) implementation changed in round 8: re-grade
+    "rfm_segments_customers",
+    "pareto_revenue_parts",
+    "mann_whitney_value",
+    "kcore_parts",
+    # -- (3) new round-8 entries (inserted here as they land)
+    # -- (4) stale queue, resumed from the round-7 cutoff
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",
@@ -217,7 +168,7 @@ PRIORITY = [
     "top3_orders_per_customer",
     "vocab_top_terms",
     "winsorized_price_stats",
-    # -- (3) graded in round 5
+    # -- (5) graded in round 5
     "daily_heavy_hitters",
     "dedup_graph_degrees",
     "source_vocab_overlap",
@@ -257,7 +208,7 @@ PRIORITY = [
     "monthly_revenue_ma",
     "multimodal_meta",
     "orders_price_page",
-    # -- (4) freshly graded in round 6: carry the newest evidence
+    # -- (6) graded in round 6
     "ks_drift_value",
     "epoch_mix_plan",
     "quota_admission_events",
@@ -305,6 +256,55 @@ PRIORITY = [
     "clean_corpus",
     "decontaminate_docs",
     "dedup_cluster_sizes",
+    # -- (7) graded in round 7: the newest evidence, at the very back
+    # (rfm/pareto/mann_whitney/kcore moved to section (2) — their
+    # round-8 implementations changed and need re-grading)
+    "q9_product_profit",
+    "rollup_cascade_events",
+    "q16_supplier_cnt",
+    "hll_distinct_users",
+    "m4_downsample_value",
+    "gapfill_interp_user_daily",
+    "chi2_ab_events",
+    "calibration_bins_events",
+    "bloom_decontaminate_docs",
+    "mutual_info_events",
+    "ppjoin_docs",
+    "assoc_rules_parts",
+    "audience_overlap_events",
+    "nelson_aalen_retention",
+    "triangle_count_parts",
+    "ltv_triangle_orders",
+    "label_centroid_distances",
+    "plus4_ctr_bounds",
+    "kaplan_meier_retention",
+    "attribution_credit_events",
+    "jaccard_copurchase_parts",
+    "degree_assortativity_parts",
+    "oof_target_encode_events",
+    "feature_hash_docs",
+    "negative_samples_orders",
+    "mase_seasonal_events",
+    "conformal_bound_events",
+    "changepoint_value_events",
+    "loso_source_influence_docs",
+    "sprt_ctr_deciles",
+    "theil_sen_trend_events",
+    "isotonic_ctr_deciles",
+    "stl_decompose_events",
+    "ccf_view_click_events",
+    "dedup_embedding_blocked",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_dim_stats",
+    "events_cube",
+    "fingerprint_docs",
+    "gapfill_user_daily",
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_rrf_fusion",
+    "lang_confusion_docs",
 ]
 
 

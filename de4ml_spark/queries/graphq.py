@@ -471,16 +471,19 @@ KCORE_ROUNDS = 4
 def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.cache import release_after
 
+    from de4ml_spark.operators.rank import global_rank_and_total
+
     adj = _directed_adjacency(spark, sf_dir).persist()
     deg0 = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
-    n_nodes = deg0.agg(F.count(F.lit(1)).alias("nn"))
-    wd = Window.orderBy("deg", "u")
-    med = (
-        deg0.withColumn("rn", F.row_number().over(wd))
-        .crossJoin(F.broadcast(n_nodes))
-        .filter(F.expr("rn = CAST((nn + 1) DIV 2 AS INT)"))
-        .select(F.col("deg").alias("med_deg"))
+    # distributed median pick: range-partitioned rank with offsets
+    # (operators/rank.py) instead of an unpartitioned Window.orderBy
+    # sort of the node-degree frame
+    ranked, nn = global_rank_and_total(
+        deg0, ["deg", "u"], out_col="rn"
     )
+    med = ranked.filter(
+        F.expr(f"rn = CAST(({int(nn)} + 1) DIV 2 AS BIGINT)")
+    ).select(F.col("deg").alias("med_deg"))
     kdf = (
         deg0.agg(F.min("deg").alias("min_deg"))
         .crossJoin(F.broadcast(med))

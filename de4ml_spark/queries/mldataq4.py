@@ -443,33 +443,38 @@ REGISTRY["loso_source_influence_docs"] = {
 # deterministic row_numbers under (n_chars, doc_id) total order, the
 # target index is the half-up integer round of (r−1)(N−1)/(n_s−1)
 # (integer arithmetic only), and the mapped value is an equi-join on
-# that index — no interpolation floats anywhere. Scale: two window
-# ranks (per-source and pooled) + one equi-join on the index; all
-# frames are |docs|-sized, shuffled on rank keys once.
+# that index — no interpolation floats anywhere. Scale: BOTH rank
+# passes are distributed (operators/rank.py): the pooled index is a
+# range-partitioned rank with broadcast partition offsets (no
+# unpartitioned WindowExec — the naive Window.orderBy pulls the whole
+# corpus to one partition), and the per-source rank is the grouped
+# variant of the same recipe (a handful of sources would otherwise
+# each be one executor's sort). Per-source sizes come from a tiny
+# broadcast aggregate; the final mapping is an equi-join on the
+# pooled index.
 # --------------------------------------------------------------------------
 
 
 def quantile_normalize_docs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from de4ml_spark.operators.rank import (
+        with_global_rank,
+        with_grouped_rank,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    wall = Window.orderBy("n_chars", "doc_id")
-    ranked = docs.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.row_number().over(wsrc).alias("r"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("source"))
-        .alias("ns"),
+    src_sizes = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ns")
     )
-    pooled = docs.select(
-        F.row_number().over(wall).alias("idx"),
-        F.col("n_chars").alias("pooled_chars"),
-    )
+    ranked = with_grouped_rank(
+        docs, ["source"], ["n_chars", "doc_id"], out_col="r"
+    ).join(F.broadcast(src_sizes), "source")
+    pooled = with_global_rank(
+        docs, ["n_chars", "doc_id"], out_col="idx"
+    ).select("idx", F.col("n_chars").alias("pooled_chars"))
     tot = docs.agg(F.count(F.lit(1)).alias("nn"))
     target = ranked.crossJoin(F.broadcast(tot)).selectExpr(
         "doc_id",

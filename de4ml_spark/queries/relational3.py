@@ -1037,9 +1037,11 @@ REGISTRY["trailing_7d_revenue"] = {
 # (5·cum > 4·total etc.), never via a floating share; ordering is the
 # deterministic (revenue DESC, partkey). The per-class report then
 # carries exact counts, cents, and one half-up share rounding each.
-# Scale: one groupBy to per-part revenue; the global cumulative is a
-# window over the already-reduced part frame (|parts| ≪ |lineitem|),
-# and the class report is 3 rows.
+# Scale: one groupBy to per-part revenue; the global cumulative is
+# DISTRIBUTED (operators/rank.py with_global_cumsum — range-
+# partitioned running sums + broadcast partition offsets; the part
+# frame is |parts|-sized, which still scales with the corpus), and
+# the class report is 3 rows.
 # --------------------------------------------------------------------------
 
 
@@ -1056,12 +1058,20 @@ def pareto_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(38,4)) * 10000 AS BIGINT)"
         ).alias("rev_c4")
     )
-    w = Window.orderBy(F.desc("rev_c4"), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # distributed cumulative (operators/rank.py): range-partitioned
+    # per-partition running sums + broadcast partition-sum offsets —
+    # the naive unpartitioned Window.orderBy would sort the whole
+    # part frame on one executor
+    from de4ml_spark.operators.rank import with_global_cumsum
+
     tot = per_part.agg(F.sum("rev_c4").alias("total_c4"))
     classed = (
-        per_part.withColumn("cum_c4", F.sum("rev_c4").over(w))
+        with_global_cumsum(
+            per_part,
+            [F.desc("rev_c4"), F.col("l_partkey")],
+            "rev_c4",
+            out_col="cum_c4",
+        )
         .crossJoin(F.broadcast(tot))
         .selectExpr(
             "l_partkey",
@@ -1186,24 +1196,30 @@ def rfm_segments_customers(
             "money_c",
         )
     )
-    scored = per_cust.select(
+    # distributed exact NTILE (operators/rank.py): a bare
+    # Window.orderBy ntile would single-partition the customer frame
+    # three times; the range-partitioned rank + closed-form tile
+    # allocation keeps every sort distributed and matches NTILE
+    # semantics bit-for-bit in both engines
+    from de4ml_spark.operators.rank import with_global_ntile
+
+    scored = per_cust
+    scored = with_global_ntile(
+        scored, ["recency_days", "o_custkey"], 5, "nt_r"
+    )
+    scored = with_global_ntile(scored, ["freq", "o_custkey"], 5, "nt_f")
+    scored = with_global_ntile(
+        scored, ["money_c", "o_custkey"], 5, "nt_m"
+    )
+    scored = scored.select(
         "o_custkey",
         "recency_days",
         "freq",
         "money_c",
         # ntile 1 = most recent days (ASC) -> R score 6 - ntile
-        (
-            6
-            - F.ntile(5).over(
-                Window.orderBy("recency_days", "o_custkey")
-            )
-        ).alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("freq", "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("money_c", "o_custkey"))
-        .alias("m_score"),
+        (6 - F.col("nt_r")).alias("r_score"),
+        F.col("nt_f").alias("f_score"),
+        F.col("nt_m").alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -1277,7 +1293,8 @@ REGISTRY["rfm_segments_customers"] = {
 # arithmetic (Σ i·x_i approaches int64 at sf0.1 already), the reported
 # coefficient one engine-identical double division. Also reports the
 # top-1% revenue share the same exact way. Scale: one groupBy to
-# per-part revenue, one global rank window over the part frame.
+# per-part revenue, then a DISTRIBUTED global rank over the part
+# frame (operators/rank.py — no single-partition sort).
 # --------------------------------------------------------------------------
 
 
@@ -1290,13 +1307,15 @@ def gini_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(38,4)) * 10000 AS BIGINT)"
         ).alias("rev_e4")
     )
-    w = Window.orderBy("rev_e4", "l_partkey")
-    ranked = per_part.select(
-        "rev_e4",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n_all"),
+    # distributed rank + known total (operators/rank.py) — replaces
+    # the unpartitioned rank window AND the COUNT(*) OVER () pass
+    from de4ml_spark.operators.rank import global_rank_and_total
+
+    ranked_df, n_all = global_rank_and_total(
+        per_part, ["rev_e4", "l_partkey"], out_col="i"
+    )
+    ranked = ranked_df.select(
+        "rev_e4", "i", F.lit(int(n_all)).cast("long").alias("n_all")
     )
     agg = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -872,20 +872,22 @@ def emd_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tb.event_type").alias("type_b"),
         )
     )
-    member = counts.join(
-        F.broadcast(pairs),
-        (F.col("event_type") == F.col("type_a"))
-        | (F.col("event_type") == F.col("type_b")),
-    ).select(
+    # explode the pair list into per-side membership rows so the
+    # histogram fan-out is an equi-join on event_type (one
+    # BroadcastHashJoin) instead of an OR-predicate
+    # BroadcastNestedLoop that rescans the histogram per pair
+    memb = pairs.selectExpr(
+        "type_a",
+        "type_b",
+        "explode(array(named_struct('et', type_a, 'is_a', 1),"
+        " named_struct('et', type_b, 'is_a', 0))) AS m",
+    ).selectExpr("m.et AS event_type", "type_a", "type_b", "m.is_a")
+    member = counts.join(F.broadcast(memb), "event_type").select(
         "type_a",
         "type_b",
         "v_c",
-        F.when(F.col("event_type") == F.col("type_a"), F.col("cnt"))
-        .otherwise(F.lit(0))
-        .alias("ca"),
-        F.when(F.col("event_type") == F.col("type_b"), F.col("cnt"))
-        .otherwise(F.lit(0))
-        .alias("cb"),
+        (F.col("cnt") * F.col("is_a")).alias("ca"),
+        (F.col("cnt") * (1 - F.col("is_a"))).alias("cb"),
     )
     byval = member.groupBy("type_a", "type_b", "v_c").agg(
         F.sum("ca").alias("na_v"), F.sum("cb").alias("nb_v")

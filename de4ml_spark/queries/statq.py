@@ -78,18 +78,22 @@ def mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # histogram rows fan out to every pair they belong to (k-1 pairs
-    # per type) — broadcast the tiny pair list
-    member = counts.join(
-        F.broadcast(pairs),
-        (F.col("event_type") == F.col("type_a"))
-        | (F.col("event_type") == F.col("type_b")),
-    ).select(
+    # per type). Explode each pair into its two (event_type, side)
+    # membership rows so the join is an EQUI-join on event_type —
+    # Spark plans the OR-predicate form as a BroadcastNestedLoop that
+    # scans the histogram once per pair; the exploded form is one
+    # BroadcastHashJoin over a single histogram scan.
+    memb = pairs.selectExpr(
+        "type_a",
+        "type_b",
+        "explode(array(named_struct('et', type_a, 'is_a', 1),"
+        " named_struct('et', type_b, 'is_a', 0))) AS m",
+    ).selectExpr("m.et AS event_type", "type_a", "type_b", "m.is_a")
+    member = counts.join(F.broadcast(memb), "event_type").select(
         "type_a",
         "type_b",
         "v_c",
-        F.when(F.col("event_type") == F.col("type_a"), F.col("cnt"))
-        .otherwise(F.lit(0))
-        .alias("cnt_a"),
+        (F.col("cnt") * F.col("is_a")).alias("cnt_a"),
         F.col("cnt").alias("cnt_all"),
     )
     byval = member.groupBy("type_a", "type_b", "v_c").agg(
