@@ -40,6 +40,33 @@ def release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
+_DEFERRED: list[DataFrame] = []
+
+
+def defer_release(*cached: DataFrame) -> None:
+    """Register persisted intermediates for later release when
+    ``release_after`` is unsuitable — i.e. when the RESULT is itself
+    corpus-sized (global ranks, cumulative sums), so the eager
+    ``localCheckpoint`` would cost a full corpus materialization.
+
+    The registered frames stay cached until a run loop that has
+    materialized the consuming result calls :func:`drain_deferred`
+    (bench.py does this after each query; tools/verify_oracle.py after
+    each entry). Unpersisting is always safe — worst case a
+    not-yet-materialized consumer recomputes the range shuffle."""
+    _DEFERRED.extend(cached)
+
+
+def drain_deferred() -> int:
+    """Unpersist every frame registered via :func:`defer_release`;
+    returns how many were released."""
+    n = 0
+    while _DEFERRED:
+        _DEFERRED.pop().unpersist(blocking=False)
+        n += 1
+    return n
+
+
 @contextlib.contextmanager
 def no_release():
     """Disable the checkpoint-and-release step (plan audits need to see the

@@ -34,12 +34,26 @@ that keeps the sort distributed.
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from de4ml_spark.cache import defer_release
+
 _PID = "__rank_pid"
 _OFF = "__rank_off"
+
+
+def _persist_ranged(df: DataFrame) -> DataFrame:
+    """Persist a range-partitioned intermediate and register it for
+    deferred release (``cache.drain_deferred``) — the consuming result
+    is corpus-sized, so ``release_after``'s eager checkpoint is not an
+    option here (it would materialize the whole corpus twice)."""
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    defer_release(cached)
+    return cached
 
 
 def with_global_rank(
@@ -90,10 +104,9 @@ def _global_rank_with_total(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
-    ranged = (
+    ranged = _persist_ranged(
         df.repartitionByRange(n, *cols)
         .withColumn(_PID, F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # bounded collect: one row per range partition
     counts = ranged.groupBy(_PID).count().collect()
@@ -133,21 +146,29 @@ def with_global_cumsum(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
-    ranged = (
+    ranged = _persist_ranged(
         df.repartitionByRange(n, *cols)
         .withColumn(_PID, F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sums = ranged.groupBy(_PID).agg(
-        F.sum(value_col).alias("_s")
-    ).collect()
+    sums_df = ranged.groupBy(_PID).agg(F.sum(value_col).alias("_s"))
+    # the offset column carries the SUM's native type (bigint for
+    # integral inputs, double for float, decimal(38,s) for decimal) —
+    # never truncated through Python int()
+    stype = sums_df.schema["_s"].dataType.simpleString()
+    if stype.startswith("decimal"):
+        zero, conv = decimal.Decimal(0), decimal.Decimal
+    elif stype in ("double", "float"):
+        zero, conv = 0.0, float
+    else:
+        zero, conv = 0, int
+    sums = sums_df.collect()
     offsets = []
-    acc = 0
+    acc = zero
     for row in sorted(sums, key=lambda r: r[_PID]):
-        offsets.append((row[_PID], acc))
-        acc += int(row["_s"] or 0)
+        offsets.append((row[_PID], conv(acc)))
+        acc += row["_s"] if row["_s"] is not None else zero
     off_df = F.broadcast(
-        spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+        spark.createDataFrame(offsets, f"{_PID} int, {_OFF} {stype}")
     )
     w = (
         Window.partitionBy(_PID)
@@ -186,10 +207,9 @@ def with_grouped_rank(
     )
     gcols = [F.col(g) for g in groups]
     kcols = [F.col(k) if isinstance(k, str) else k for k in keys]
-    ranged = (
+    ranged = _persist_ranged(
         df.repartitionByRange(n, *gcols, *kcols)
         .withColumn(_PID, F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = ranged.groupBy(_PID, *groups).count().collect()
     # cumulative offset per group in pid order
@@ -200,15 +220,24 @@ def with_grouped_rank(
         offsets.append((row[_PID], *gkey, acc.get(gkey, 0)))
         acc[gkey] = acc.get(gkey, 0) + row["count"]
     gtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    gschema = ", ".join(f"{g} {gtypes[g]}" for g in groups)
+    # group columns are renamed in the offset frame so the join can be
+    # null-safe on the originals — a plain `on=[_PID, *groups]` inner
+    # join silently drops rows whose group key is NULL, which the
+    # Window.partitionBy this operator replaces would have kept
+    gschema = ", ".join(f"__off_{g} {gtypes[g]}" for g in groups)
     off_df = F.broadcast(
         spark.createDataFrame(
             offsets, f"{_PID} int, {gschema}, {_OFF} long"
         )
     )
+    cond = ranged[_PID] == off_df[_PID]
+    for g in groups:
+        cond = cond & ranged[g].eqNullSafe(off_df[f"__off_{g}"])
     w = Window.partitionBy(_PID, *groups).orderBy(*kcols)
     return (
-        ranged.join(off_df, [_PID, *groups])
+        ranged.join(off_df, cond)
+        .drop(off_df[_PID])
+        .drop(*[f"__off_{g}" for g in groups])
         .withColumn(out_col, F.row_number().over(w) + F.col(_OFF))
         .drop(_PID, _OFF)
     )

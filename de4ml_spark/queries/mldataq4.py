@@ -466,12 +466,21 @@ def quantile_normalize_docs(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
+    # null-safe size join: a NULL source forms its own rank group, and
+    # an inner equi-join on "source" would silently drop it
     src_sizes = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("ns")
+    ).withColumnRenamed("source", "__src")
+    ranked = (
+        with_grouped_rank(
+            docs, ["source"], ["n_chars", "doc_id"], out_col="r"
+        )
+        .join(
+            F.broadcast(src_sizes),
+            F.col("source").eqNullSafe(F.col("__src")),
+        )
+        .drop("__src")
     )
-    ranked = with_grouped_rank(
-        docs, ["source"], ["n_chars", "doc_id"], out_col="r"
-    ).join(F.broadcast(src_sizes), "source")
     pooled = with_global_rank(
         docs, ["n_chars", "doc_id"], out_col="idx"
     ).select("idx", F.col("n_chars").alias("pooled_chars"))

@@ -189,3 +189,83 @@ def test_pair_membership_join_is_hash_not_bnl(spark, sf_dir):
         assert "BroadcastHashJoin" in plan
         # the pair generator cross-join is the single permitted BNL
         assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_global_cumsum_double_offsets_exact(spark):
+    # ADVICE r8: offsets used to truncate through int(); a double
+    # value column must carry double offsets (0.5 steps survive)
+    df = spark.range(200).selectExpr(
+        "id", "CAST(id % 9 AS BIGINT) AS v", "0.5D AS half"
+    )
+    got = {
+        r["id"]: r["cs"]
+        for r in with_global_cumsum(
+            df, ["v", "id"], "half", out_col="cs", num_partitions=8
+        ).collect()
+    }
+    w = (
+        Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["id"]: r["cs"]
+        for r in df.withColumn("cs", F.sum("half").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_decimal_offsets_exact(spark):
+    df = spark.range(150).selectExpr(
+        "id",
+        "CAST(id % 11 AS BIGINT) AS v",
+        "CAST(1.25 AS DECIMAL(10,2)) AS amt",
+    )
+    got = {
+        r["id"]: r["cs"]
+        for r in with_global_cumsum(
+            df, ["v", "id"], "amt", out_col="cs", num_partitions=6
+        ).collect()
+    }
+    w = (
+        Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["id"]: r["cs"]
+        for r in df.withColumn("cs", F.sum("amt").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_grouped_rank_keeps_null_groups(spark):
+    # ADVICE r8: the offset join must be null-safe — NULL group keys
+    # form their own rank group exactly like Window.partitionBy
+    df = spark.range(90).selectExpr(
+        "id",
+        "CAST(id % 13 AS BIGINT) AS v",
+        "CASE WHEN id % 4 = 0 THEN NULL"
+        " ELSE CAST(id % 3 AS STRING) END AS g",
+    )
+    res = with_grouped_rank(
+        df, ["g"], ["v", "id"], out_col="rk", num_partitions=7
+    )
+    assert res.count() == 90  # no dropped rows
+    got = {r["id"]: r["rk"] for r in res.collect()}
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("g").orderBy("v", "id")),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rank_intermediates_release_on_drain(spark):
+    from de4ml_spark.cache import drain_deferred
+
+    drain_deferred()  # clear any registrations from earlier tests
+    df = _toy(spark, 300)
+    with_global_rank(df, ["v", "id"], out_col="rk").collect()
+    assert drain_deferred() >= 1
+    assert drain_deferred() == 0

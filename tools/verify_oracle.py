@@ -175,6 +175,12 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # release corpus-sized rank/cumsum intermediates registered
+            # during this entry (see de4ml_spark.cache.defer_release)
+            from de4ml_spark.cache import drain_deferred
+
+            drain_deferred()
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
