@@ -54,79 +54,26 @@ def _registries() -> list[dict]:
 
 # Catalog iteration order. The driver's correctness harness grades a
 # 50-entry PREFIX of this list per round, so ordering decides which
-# queries get fresh cross-engine evidence each round. Round-8 rotation
-# (per VERDICT r7 items 1/8):
-# (1) the 17 entries with NO driver evidence yet (round-7b additions
-# verified only locally — quantile_normalize .. cluster_purity), with
-# the round-8 scale fixes applied FIRST so the graded versions are the
-# fixed ones (quantile_normalize: distributed two-pass rank;
-# emd/mann_whitney: equi-join pair membership); then
-# (2) the four entries whose IMPLEMENTATION changed this round and
-# must be re-graded (rfm: distributed NTILE; pareto: distributed
-# cumulative; mann_whitney: equi-join membership; kcore: distributed
-# median pick — all via operators/rank.py); then
-# (3) new round-8 catalog additions (first driver evidence); then
-# (4) the stale queue resumed exactly where round 7 left off
-# (lang_id_docs onward) fills the rest of the graded 50.
-# Below the boundary: the stale-queue remainder, then round-5-graded,
-# round-6-graded, and round-7-graded evidence at the very back
-# (newest first-hand evidence last). Evidence age after round 8:
-# every entry has driver evidence from round 5 or later.
+# queries get fresh cross-engine evidence each round. Round-9 rotation:
+# (1) re-grade the four entries that ride operators/rank.py — its
+# internals changed this round (ADVICE r8 fixes: native-typed cumsum
+# offsets, null-safe grouped-rank join, deferred cache release), so the
+# graded versions must be the fixed ones; then
+# (2) new round-9 catalog additions (first driver evidence); then
+# (3) the stale queue resumed exactly where round 8 left off
+# (conversion_latency_stats onward), spilling into the round-5-graded
+# section if the 50-prefix reaches it.
+# Below the boundary: round-5, round-6, round-7, then round-8 evidence
+# at the very back (newest first-hand evidence last). Evidence age
+# after round 8: every entry has driver evidence from round 5 or later.
 PRIORITY = [
-    # -- (1) never driver-graded (round-7b local-only)
+    # -- (1) re-grade: rank.py internals changed this round
     "quantile_normalize_docs",
-    "popularity_hitrate_orders",
-    "emd_value_types",
-    "gini_revenue_parts",
-    "embedding_covariance",
-    "grid_density_clusters",
-    "markov_next_event_accuracy",
-    "kruskal_wallis_value",
-    "acf_value_events",
-    "ljung_box_value_events",
-    "seasonal_strength_events",
-    "hits_bipartite_orders",
-    "logrank_retention_cohorts",
-    "zipf_slope_docs",
-    "fano_burstiness_events",
-    "map_at_k_orders",
-    "cluster_purity_embeddings",
-    # -- (2) implementation changed in round 8: re-grade
     "rfm_segments_customers",
     "pareto_revenue_parts",
-    "mann_whitney_value",
     "kcore_parts",
-    # -- (3) new round-8 entries (inserted here as they land)
-    # -- (4) stale queue, resumed from the round-7 cutoff
-    "lang_id_docs",
-    "lineitem_measure_stats",
-    "mix_docs",
-    "pack_training_sequences",
-    "parse_event_props",
-    "pii_scrub_docs",
-    "profile_drift_events",
-    "q12_ship_delay_priority",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    "q8_market_share",
-    "quality_docs",
-    "reconcile_decisions_rewards",
-    "repeat_purchasers",
-    "sample_docs",
-    "session_stats",
-    "sessionize_events",
-    "split_events",
-    "temperature_mix_rates",
-    "text_stats_docs",
-    "trailing_7d_revenue",
-    "weighted_sample_docs",
-    "winnow_fingerprint_docs",
-    "adaptive_alert_windows",
-    "asof_click_view",
-    "cdc_chunk_docs",
-    "cdc_dedup_chunks",
+    # -- (2) new round-9 entries (inserted here as they land)
+    # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",
     "ctr_per_user",
@@ -168,7 +115,7 @@ PRIORITY = [
     "top3_orders_per_customer",
     "vocab_top_terms",
     "winsorized_price_stats",
-    # -- (5) graded in round 5
+    # -- (4) graded in round 5
     "daily_heavy_hitters",
     "dedup_graph_degrees",
     "source_vocab_overlap",
@@ -208,7 +155,7 @@ PRIORITY = [
     "monthly_revenue_ma",
     "multimodal_meta",
     "orders_price_page",
-    # -- (6) graded in round 6
+    # -- (5) graded in round 6
     "ks_drift_value",
     "epoch_mix_plan",
     "quota_admission_events",
@@ -256,9 +203,7 @@ PRIORITY = [
     "clean_corpus",
     "decontaminate_docs",
     "dedup_cluster_sizes",
-    # -- (7) graded in round 7: the newest evidence, at the very back
-    # (rfm/pareto/mann_whitney/kcore moved to section (2) — their
-    # round-8 implementations changed and need re-grading)
+    # -- (6) graded in round 7
     "q9_product_profit",
     "rollup_cascade_events",
     "q16_supplier_cnt",
@@ -305,6 +250,53 @@ PRIORITY = [
     "knn_lsh",
     "knn_rrf_fusion",
     "lang_confusion_docs",
+    # -- (7) graded in round 8: the newest evidence, at the very back
+    "popularity_hitrate_orders",
+    "emd_value_types",
+    "gini_revenue_parts",
+    "embedding_covariance",
+    "grid_density_clusters",
+    "markov_next_event_accuracy",
+    "kruskal_wallis_value",
+    "acf_value_events",
+    "ljung_box_value_events",
+    "seasonal_strength_events",
+    "hits_bipartite_orders",
+    "logrank_retention_cohorts",
+    "zipf_slope_docs",
+    "fano_burstiness_events",
+    "map_at_k_orders",
+    "cluster_purity_embeddings",
+    "mann_whitney_value",
+    "lang_id_docs",
+    "lineitem_measure_stats",
+    "mix_docs",
+    "pack_training_sequences",
+    "parse_event_props",
+    "pii_scrub_docs",
+    "profile_drift_events",
+    "q12_ship_delay_priority",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "q8_market_share",
+    "quality_docs",
+    "reconcile_decisions_rewards",
+    "repeat_purchasers",
+    "sample_docs",
+    "session_stats",
+    "sessionize_events",
+    "split_events",
+    "temperature_mix_rates",
+    "text_stats_docs",
+    "trailing_7d_revenue",
+    "weighted_sample_docs",
+    "winnow_fingerprint_docs",
+    "adaptive_alert_windows",
+    "asof_click_view",
+    "cdc_chunk_docs",
+    "cdc_dedup_chunks",
 ]
 
 
