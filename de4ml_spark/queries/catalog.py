@@ -42,6 +42,7 @@ def _registries() -> list[dict]:
         "tpch3",
         "sketchq",
         "statq",
+        "statq2",
         "mldataq4",
     ):
         try:
@@ -73,6 +74,11 @@ PRIORITY = [
     "pareto_revenue_parts",
     "kcore_parts",
     # -- (2) new round-9 entries (inserted here as they land)
+    "welch_ttest_value",
+    "anova_value_types",
+    "cramers_v_events",
+    "auc_roc_events",
+    "spearman_quantity_price",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

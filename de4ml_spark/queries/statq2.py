@@ -1,0 +1,654 @@
+"""Statistical-testing tier II (round 9): the parametric and
+association-measure battery that complements statq.py's rank tests —
+Welch's t, one-way ANOVA, Cramér's V, ROC-AUC, and Spearman rank
+correlation. These are the remaining standard "did the cohorts
+diverge / how associated are these columns" questions a training-data
+QA pipeline asks of an event log.
+
+Reference parity: the reference's dataops loop derives validation
+rules from per-column profiles (dataops/app/profile.py); comparing a
+new batch's profile against history is exactly a two-sample /
+k-sample test, and feature-association measures gate leakage checks.
+
+Exactness discipline (operators/portable_hash.py): all mass moves
+through integer cents histograms; 128-bit intermediates stay INTERNAL
+(DECIMAL(38,0) on Spark / HUGEINT in DuckDB); every 128-bit → DOUBLE
+conversion uses wide_to_double_sql; the post-aggregate scalar chain is
+the SAME SQL text on both engines (one correctly-rounded IEEE op per
+step, fixed association), so results are bit-identical. Result
+schemas stay on the driver-safe whitelist (BIGINT / DOUBLE / STRING).
+
+Scale posture (100 TB): one groupBy reduces the log to a value
+histogram (or a k-element per-group moment table); all windows run
+over histogram-bounded frames, never the raw log. The only cross
+joins are k×k type-pair expansions (k = event-type count, tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de4ml_spark.operators.portable_hash import (
+    wide_halfup_div_sql as _whd,
+    wide_to_double_sql as _w2d,
+)
+from de4ml_spark.session import load_table
+
+REGISTRY: dict = {}
+
+
+def _big(div: str) -> str:
+    return "DECIMAL(38,0)" if div.upper() == "DIV" else "HUGEINT"
+
+
+# --------------------------------------------------------------------------
+# Welch's unequal-variance t-test between every unordered pair of
+# event types on `value` — the parametric sibling of the pairwise
+# Mann-Whitney in statq.py. Moments are exact integers in cents
+# (n, Σv, Σv² per type; Σv² carried 128-bit internally), the variance
+# numerator n·Σv² − (Σv)² is a 128-bit integer converted through
+# wide_to_double_sql, and the t statistic and Welch–Satterthwaite df
+# are a fixed-association IEEE chain evaluated from the SAME SQL text
+# on both engines. Scale: one groupBy to a k-row moment table; the
+# pair expansion is k(k-1)/2 rows on the driver-side broadcast.
+# --------------------------------------------------------------------------
+
+
+def _welch_stage1(div: str) -> list[str]:
+    big = _big(div)
+    out = []
+    for s in ("a", "b"):
+        vnum = (
+            f"CAST(n_{s} AS {big}) * ss_{s}"
+            f" - CAST(s_{s} AS {big}) * s_{s}"
+        )
+        out.append(
+            f"CAST(s_{s} AS DOUBLE) / (100.0 * CAST(n_{s} AS DOUBLE))"
+            f" AS mean_{s}"
+        )
+        # sample variance of the DOLLAR values: cents² numerator over
+        # n²(n-1), then /10⁴ cents²→dollars², then /n for the SE² —
+        # folded into one left-associated double product denominator
+        out.append(
+            f"{_w2d(vnum, div)} / (CAST(n_{s} AS DOUBLE)"
+            f" * CAST(n_{s} AS DOUBLE) * CAST(n_{s} - 1 AS DOUBLE)"
+            f" * 10000.0 * CAST(n_{s} AS DOUBLE)) AS se2_{s}"
+        )
+    return out
+
+
+_WELCH_STAGE2 = [
+    "(mean_a - mean_b) / sqrt(se2_a + se2_b) AS t_welch",
+    "((se2_a + se2_b) * (se2_a + se2_b))"
+    " / (se2_a * se2_a / CAST(n_a - 1 AS DOUBLE)"
+    " + se2_b * se2_b / CAST(n_b - 1 AS DOUBLE)) AS df_welch",
+]
+
+
+def welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per = counts.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.expr("v_c * cnt")).cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(v_c AS DECIMAL(38,0)) * v_c * cnt")).alias(
+            "ss"
+        ),
+    )
+    a = per.selectExpr(
+        "event_type AS type_a", "n AS n_a", "s AS s_a", "ss AS ss_a"
+    )
+    b = per.selectExpr(
+        "event_type AS type_b", "n AS n_b", "s AS s_b", "ss AS ss_b"
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter("type_a < type_b AND n_a > 1 AND n_b > 1")
+    )
+    staged = pairs.selectExpr(
+        "type_a", "type_b", "n_a", "n_b", *_welch_stage1("DIV")
+    )
+    return staged.selectExpr(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        *_WELCH_STAGE2,
+    )
+
+
+def _welch_sql() -> str:
+    s1 = ",\n         ".join(_welch_stage1("//"))
+    s2 = ",\n       ".join(_WELCH_STAGE2)
+    return f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         COUNT(*) AS cnt
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(v_c * cnt) AS BIGINT) AS s,
+         SUM(CAST(v_c AS HUGEINT) * v_c * cnt) AS ss
+  FROM counts GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS n_a, b.n AS n_b, a.s AS s_a, b.s AS s_b,
+         a.ss AS ss_a, b.ss AS ss_b
+  FROM per a CROSS JOIN per b
+  WHERE a.event_type < b.event_type AND a.n > 1 AND b.n > 1
+),
+staged AS (
+  SELECT type_a, type_b, n_a, n_b,
+         {s1}
+  FROM pairs
+)
+SELECT type_a, type_b, n_a, n_b, mean_a, mean_b,
+       {s2}
+FROM staged
+"""
+
+
+REGISTRY["welch_ttest_value"] = {
+    "fn": welch_ttest_value,
+    "sql": _welch_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA F across event types on `value` (the parametric
+# k-sample sibling of Kruskal-Wallis). Between/within sums of squares
+# in exact cents²: each per-type s_i²/n_i and the grand S²/N are
+# HALF-UP 128-bit quotients (wide_halfup_div_sql — Spark's DIV wraps,
+# float floors saturate), integer-summed, so SSB/SSW/SST are exact to
+# ±0.5 cents² per term and identical across engines by construction;
+# F and η² are then a fixed IEEE chain. Scale: one groupBy to a k-row
+# moment table; everything after is k-bounded.
+# --------------------------------------------------------------------------
+
+
+def _anova_stage(div: str) -> list[str]:
+    big = _big(div)
+    sq = f"CAST(s AS {big}) * s"
+    gsq = f"CAST(s_tot AS {big}) * s_tot"
+    return [
+        f"{_whd(sq, 'n', div)} AS term_q",
+        f"{_whd(gsq, 'n_tot', div)} AS grand_q",
+    ]
+
+
+_ANOVA_FINAL = [
+    "k_groups",
+    "n_tot",
+    "{SSB} / CAST(k_groups - 1 AS DOUBLE)"
+    " / ({SSW} / CAST(n_tot - k_groups AS DOUBLE)) AS f_stat",
+    "{SSB} / {SST} AS eta_sq",
+]
+
+
+def anova_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per = counts.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.expr("v_c * cnt")).cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(v_c AS DECIMAL(38,0)) * v_c * cnt")).alias(
+            "ss"
+        ),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s").cast("bigint").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+    )
+    terms = per.crossJoin(F.broadcast(tot)).selectExpr(
+        "k_groups",
+        "n_tot",
+        "s_tot",
+        "ss_tot",
+        *_anova_stage("DIV"),
+    )
+    sums = terms.groupBy("k_groups", "n_tot").agg(
+        F.sum("term_q").alias("sum_q"),
+        F.max("grand_q").alias("grand_q"),
+        F.max("ss_tot").alias("ss_tot"),
+    )
+    ssb = _w2d("sum_q - grand_q", "DIV")
+    ssw = _w2d("ss_tot - sum_q", "DIV")
+    sst = _w2d("ss_tot - grand_q", "DIV")
+    final = [
+        e.replace("{SSB}", ssb).replace("{SSW}", ssw).replace(
+            "{SST}", sst
+        )
+        for e in _ANOVA_FINAL
+    ]
+    return sums.selectExpr(*final)
+
+
+def _anova_sql() -> str:
+    stage = ",\n         ".join(_anova_stage("//"))
+    ssb = _w2d("sum_q - grand_q", "//")
+    ssw = _w2d("ss_tot - sum_q", "//")
+    sst = _w2d("ss_tot - grand_q", "//")
+    final = ",\n       ".join(
+        e.replace("{SSB}", ssb).replace("{SSW}", ssw).replace(
+            "{SST}", sst
+        )
+        for e in _ANOVA_FINAL
+    )
+    return f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         COUNT(*) AS cnt
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(v_c * cnt) AS BIGINT) AS s,
+         SUM(CAST(v_c AS HUGEINT) * v_c * cnt) AS ss
+  FROM counts GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(s) AS BIGINT) AS s_tot,
+         SUM(ss) AS ss_tot
+  FROM per
+),
+terms AS (
+  SELECT k_groups, n_tot, s_tot, ss_tot,
+         {stage}
+  FROM per CROSS JOIN tot
+),
+sums AS (
+  SELECT k_groups, n_tot, SUM(term_q) AS sum_q,
+         MAX(grand_q) AS grand_q, MAX(ss_tot) AS ss_tot
+  FROM terms GROUP BY 1, 2
+)
+SELECT {final}
+FROM sums
+"""
+
+
+REGISTRY["anova_value_types"] = {
+    "fn": anova_value_types,
+    "sql": _anova_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Cramér's V association between event_type and the event's day-of-
+# week — "is activity mix day-dependent", the standard contingency
+# association gate before using a categorical as a split key. The
+# day-of-week is epoch-day % 7 (identical arithmetic on both engines —
+# the engines' dayofweek() builtins disagree on origin). φ² = χ²/N is
+# computed N-free: Σ o²/(r·c) in pico units via TWO chained half-up
+# 128-bit divisions (r·c itself can exceed int64 at corpus scale, so
+# divide by r then by c), minus 1. V = sqrt(φ²/min(r-1, c-1)).
+# Scale: one groupBy to an (event_type × 7) cell table.
+# --------------------------------------------------------------------------
+
+_PICO = 1_000_000_000_000
+
+
+def _cramer_term(div: str) -> str:
+    big = _big(div)
+    o2p = f"CAST(o AS {big}) * o * {_PICO}"
+    step1 = _whd(o2p, "r_i", div)
+    return _whd(step1, "c_j", div)
+
+
+_CRAMER_FINAL = [
+    "n_rows",
+    "n_cols",
+    "n_tot",
+    "{PHI2} * CAST(n_tot AS DOUBLE) AS chi2",
+    "sqrt({PHI2} / CAST(CASE WHEN n_rows < n_cols THEN n_rows - 1"
+    " ELSE n_cols - 1 END AS DOUBLE)) AS cramers_v",
+]
+
+
+def cramers_v_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type").isNotNull())
+        .selectExpr(
+            "event_type",
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') % 7"
+            " AS BIGINT) AS dow",
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rows = cells.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("r_i")
+    )
+    cols = cells.groupBy("dow").agg(
+        F.sum("o").cast("bigint").alias("c_j")
+    )
+    j = cells.join(F.broadcast(rows), "event_type").join(
+        F.broadcast(cols), "dow"
+    )
+    terms = j.selectExpr(f"{_cramer_term('DIV')} AS term_p")
+    dims = cells.agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_rows"),
+        F.countDistinct("dow").cast("bigint").alias("n_cols"),
+        F.sum("o").cast("bigint").alias("n_tot"),
+    )
+    summed = terms.agg(F.sum("term_p").alias("sum_p")).crossJoin(
+        F.broadcast(dims)
+    )
+    phi2 = f"({_w2d(f'sum_p - {_PICO}', 'DIV')} / {float(_PICO)!r})"
+    return summed.selectExpr(
+        *[e.replace("{PHI2}", phi2) for e in _CRAMER_FINAL]
+    )
+
+
+def _cramer_sql() -> str:
+    phi2 = f"({_w2d(f'sum_p - {_PICO}', '//')} / {float(_PICO)!r})"
+    final = ",\n       ".join(
+        e.replace("{PHI2}", phi2) for e in _CRAMER_FINAL
+    )
+    return f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+              AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events
+  WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+rws AS (
+  SELECT event_type, CAST(SUM(o) AS BIGINT) AS r_i FROM cells GROUP BY 1
+),
+cls AS (
+  SELECT dow, CAST(SUM(o) AS BIGINT) AS c_j FROM cells GROUP BY 1
+),
+j AS (
+  SELECT c.o, r.r_i, l.c_j
+  FROM cells c JOIN rws r USING (event_type) JOIN cls l USING (dow)
+),
+terms AS (
+  SELECT {_cramer_term("//")} AS term_p FROM j
+),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_cols,
+         CAST(SUM(o) AS BIGINT) AS n_tot
+  FROM cells
+),
+summed AS (
+  SELECT SUM(term_p) AS sum_p FROM terms
+)
+SELECT {final}
+FROM summed CROSS JOIN dims
+"""
+
+
+REGISTRY["cramers_v_events"] = {
+    "fn": cramers_v_events,
+    "sql": _cramer_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# ROC-AUC of `value` as a score for predicting event_type='purchase' —
+# the standard threshold-free ranking metric, computed exactly as the
+# normalized midrank Mann-Whitney U on the value HISTOGRAM (never
+# per-row ranks): AUC = [Σ_v p_v·(2·#neg<v + q_v)] / (2·n_pos·n_neg).
+# The doubled-U sum is exact integer (128-bit internally); the final
+# normalization is wide_to_double over a fixed double product.
+# Gini = 2·AUC − 1 rides along. Scale: one groupBy to the per-value
+# (pos,neg) histogram; the cumulative runs over distinct values only
+# (the kruskal-wallis histogram-window pattern).
+# --------------------------------------------------------------------------
+
+
+def _auc_final(div: str) -> list[str]:
+    return [
+        "n_pos",
+        "n_neg",
+        f"{_w2d('u2', div)} / (2.0 * CAST(n_pos AS DOUBLE)"
+        " * CAST(n_neg AS DOUBLE)) AS auc",
+        f"2.0 * ({_w2d('u2', div)} / (2.0 * CAST(n_pos AS DOUBLE)"
+        " * CAST(n_neg AS DOUBLE))) - 1.0 AS gini",
+    ]
+
+
+def auc_roc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c")
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(event_type = 'purchase' AS BIGINT)"
+                )
+            ).alias("p"),
+            F.sum(
+                F.expr(
+                    "CAST(event_type <> 'purchase' AS BIGINT)"
+                )
+            ).alias("q"),
+        )
+    )
+    wcum = Window.orderBy("v_c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = hist.withColumn(
+        "cum_q", F.sum("q").over(wcum)
+    ).selectExpr(
+        "p",
+        "q",
+        "CAST(p AS DECIMAL(38,0)) * (2 * (cum_q - q) + q) AS u2_term",
+    )
+    agg = ranked.agg(
+        F.sum("u2_term").alias("u2"),
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("q").cast("bigint").alias("n_neg"),
+    )
+    return agg.selectExpr(*_auc_final("DIV"))
+
+
+def _auc_sql() -> str:
+    final = ",\n       ".join(_auc_final("//"))
+    return f"""
+WITH hist AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+         SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS q
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
+),
+ranked AS (
+  SELECT p, q,
+         CAST(p AS HUGEINT)
+           * (2 * (SUM(q) OVER (ORDER BY v_c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - q)
+              + q) AS u2_term
+  FROM hist
+),
+agg AS (
+  SELECT SUM(u2_term) AS u2,
+         CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(q) AS BIGINT) AS n_neg
+  FROM ranked
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["auc_roc_events"] = {
+    "fn": auc_roc_events,
+    "sql": _auc_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation between l_quantity and l_extendedprice —
+# the monotone-association measure (Pearson on midranks). Midranks
+# come from per-variable value HISTOGRAMS (the ×2 integer midrank
+# trick: 2·rank = 2·(cum−cnt) + cnt + 1), joined back onto the JOINT
+# (x,y) histogram — so no per-row rank assignment ever happens. All
+# five moment sums (Σw·rx, Σw·ry, Σw·rx², Σw·ry², Σw·rx·ry, ranks
+# carried ×2) are exact 128-bit integers; ρ's numerator and the two
+# variance factors are 128-bit integer expressions converted through
+# wide_to_double_sql, then one divide + sqrt chain. Bound: the ×2
+# midrank products stay inside DECIMAL(38) for n ≤ ~3·10⁸ rows per
+# partition-set; beyond that, pre-scale the histogram. Scale: two
+# tiny histogram windows + one joint-histogram groupBy.
+# --------------------------------------------------------------------------
+
+
+def _spearman_final(div: str) -> list[str]:
+    big = _big(div)
+    num = (
+        f"CAST(n_tot AS {big}) * sxy - CAST(sx AS {big}) * sy"
+    )
+    fx = f"CAST(n_tot AS {big}) * sxx - CAST(sx AS {big}) * sx"
+    fy = f"CAST(n_tot AS {big}) * syy - CAST(sy AS {big}) * sy"
+    return [
+        "n_tot",
+        f"{_w2d(num, div)} / sqrt({_w2d(fx, div)} * {_w2d(fy, div)})"
+        " AS spearman_rho",
+    ]
+
+
+def spearman_quantity_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    joint = (
+        li.filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .groupBy(
+            (F.col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("x_c"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("y_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+
+    def midranks(col: str):
+        h = joint.groupBy(F.col(col).alias("v")).agg(
+            F.sum("w").alias("c")
+        )
+        return h.withColumn("cum", F.sum("c").over(wcum)).selectExpr(
+            f"v AS {col}", "2 * (cum - c) + c + 1 AS r2"
+        )
+
+    j = (
+        joint.join(midranks("x_c"), "x_c")
+        .withColumnRenamed("r2", "rx2")
+        .join(midranks("y_c"), "y_c")
+        .withColumnRenamed("r2", "ry2")
+    )
+    agg = j.agg(
+        F.sum("w").cast("bigint").alias("n_tot"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * rx2")).alias("sx"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * ry2")).alias("sy"),
+        F.sum(
+            F.expr("CAST(w AS DECIMAL(38,0)) * rx2 * rx2")
+        ).alias("sxx"),
+        F.sum(
+            F.expr("CAST(w AS DECIMAL(38,0)) * ry2 * ry2")
+        ).alias("syy"),
+        F.sum(
+            F.expr("CAST(w AS DECIMAL(38,0)) * rx2 * ry2")
+        ).alias("sxy"),
+    )
+    return agg.selectExpr(*_spearman_final("DIV"))
+
+
+def _spearman_sql() -> str:
+    final = ",\n       ".join(_spearman_final("//"))
+    return f"""
+WITH joint AS (
+  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x_c,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS y_c,
+         COUNT(*) AS w
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
+),
+xh AS (
+  SELECT x_c, 2 * (SUM(c) OVER (ORDER BY x_c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+           + c + 1 AS rx2
+  FROM (SELECT x_c, SUM(w) AS c FROM joint GROUP BY 1)
+),
+yh AS (
+  SELECT y_c, 2 * (SUM(c) OVER (ORDER BY y_c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+           + c + 1 AS ry2
+  FROM (SELECT y_c, SUM(w) AS c FROM joint GROUP BY 1)
+),
+agg AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS n_tot,
+         SUM(CAST(w AS HUGEINT) * rx2) AS sx,
+         SUM(CAST(w AS HUGEINT) * ry2) AS sy,
+         SUM(CAST(w AS HUGEINT) * rx2 * rx2) AS sxx,
+         SUM(CAST(w AS HUGEINT) * ry2 * ry2) AS syy,
+         SUM(CAST(w AS HUGEINT) * rx2 * ry2) AS sxy
+  FROM joint j JOIN xh USING (x_c) JOIN yh USING (y_c)
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["spearman_quantity_price"] = {
+    "fn": spearman_quantity_price,
+    "sql": _spearman_sql(),
+}
