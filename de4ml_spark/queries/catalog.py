@@ -44,6 +44,7 @@ def _registries() -> list[dict]:
         "statq",
         "statq2",
         "mldataq4",
+        "mldataq5",
     ):
         try:
             mod = __import__(f"de4ml_spark.queries.{modname}", fromlist=["REGISTRY"])
@@ -79,6 +80,10 @@ PRIORITY = [
     "cramers_v_events",
     "auc_roc_events",
     "spearman_quantity_price",
+    "lift_deciles_events",
+    "woe_iv_events",
+    "cohens_kappa_docs",
+    "js_divergence_sources",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -1,0 +1,543 @@
+"""ML-evaluation tier (round 9): scorecard / drift diagnostics a
+feature-engineering pipeline runs before shipping a training set —
+decile lift & gains, weight-of-evidence / information value,
+population-stability (PSI), inter-annotator agreement (Cohen's κ),
+and Jensen-Shannon source divergence.
+
+Reference parity: the reference's dataops loop gates batches on
+profile-derived rules (dataops/app/profile.py); these are the
+standard modeling-facing extensions of that gate (is the score
+monotone in the outcome; did the population shift; do two labeling
+rules agree).
+
+Exactness discipline (operators/portable_hash.py): counts and cents
+histograms end-to-end; every logarithm is the portable ln of an
+INTEGER rational (with a max/min flip for sub-unit ratios), HALF-UP
+micro-quantized BEFORE any weighted SUM; 128-bit internals convert
+through wide_to_double_sql; the scalar tail is the same SQL text on
+both engines. Result schemas stay on the driver-safe whitelist.
+
+Scale posture (100 TB): every entry reduces the log with one groupBy
+to a bucket table (≤ dozens of rows) before any window/ln work. The
+decile assignment in lift_deciles_events is the distributed
+range-partition NTILE (operators/rank.py) — never a global
+single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de4ml_spark.operators.portable_hash import (
+    portable_ln_duck_ctes,
+    wide_to_double_sql as _w2d,
+    with_portable_ln,
+)
+from de4ml_spark.session import load_table
+
+REGISTRY: dict = {}
+
+
+def _big(div: str) -> str:
+    return "DECIMAL(38,0)" if div.upper() == "DIV" else "HUGEINT"
+
+
+# --------------------------------------------------------------------------
+# Decile lift & cumulative gains of `value` as a score for
+# event_type='purchase' — the model-scorecard table (per-decile
+# conversion rate, lift vs base rate, cumulative gain). The decile is
+# an exact global NTILE(10) over the (value, event_id) total order
+# via the distributed range-partition rank (operators/rank.py) — the
+# oracle's NTILE(10) OVER (ORDER BY ...) single-partition window is
+# the test-scale twin, never the Spark plan. Rates and lifts are
+# single divisions of exact integers (fixed association); the
+# cumulative runs over 10 rows.
+# --------------------------------------------------------------------------
+
+_LIFT_FINAL = [
+    "decile",
+    "n_d",
+    "conv_d",
+    "cum_conv",
+    "CAST(conv_d AS DOUBLE) / CAST(n_d AS DOUBLE) AS conv_rate",
+    "(CAST(conv_d AS DOUBLE) * CAST(n_tot AS DOUBLE))"
+    " / (CAST(n_d AS DOUBLE) * CAST(conv_tot AS DOUBLE)) AS lift",
+    "CAST(cum_conv AS DOUBLE) / CAST(conv_tot AS DOUBLE) AS cum_gain",
+]
+
+
+def lift_deciles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.rank import with_global_ntile
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).selectExpr(
+        "event_id",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c",
+        "CAST(event_type = 'purchase' AS BIGINT) AS is_pos",
+    )
+    tiled = with_global_ntile(
+        scored, [F.col("v_c").desc(), F.col("event_id").desc()], 10,
+        out_col="decile",
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum("is_pos").cast("bigint").alias("conv_d"),
+    )
+    tot = per.agg(
+        F.sum("n_d").cast("bigint").alias("n_tot"),
+        F.sum("conv_d").cast("bigint").alias("conv_tot"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.withColumn(
+        "cum_conv", F.sum("conv_d").over(wcum).cast("bigint")
+    ).crossJoin(F.broadcast(tot))
+    return cum.selectExpr(
+        "CAST(decile AS BIGINT) AS decile", *_LIFT_FINAL[1:]
+    )
+
+
+def _lift_sql() -> str:
+    final = ",\n       ".join(_LIFT_FINAL[1:])
+    return f"""
+WITH scored AS (
+  SELECT event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_pos
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+tiled AS (
+  SELECT is_pos,
+         NTILE(10) OVER (ORDER BY v_c DESC, event_id DESC) AS decile
+  FROM scored
+),
+per AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_d,
+         CAST(SUM(is_pos) AS BIGINT) AS conv_d
+  FROM tiled GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_d) AS BIGINT) AS n_tot,
+         CAST(SUM(conv_d) AS BIGINT) AS conv_tot
+  FROM per
+),
+cum AS (
+  SELECT decile, n_d, conv_d,
+         CAST(SUM(conv_d) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_conv
+  FROM per
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       {final}
+FROM cum CROSS JOIN tot
+"""
+
+
+REGISTRY["lift_deciles_events"] = {
+    "fn": lift_deciles_events,
+    "sql": _lift_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Weight of evidence / information value of the $50 value bucket for
+# event_type='purchase' — the classic scorecard feature-strength
+# measure. Counts are Laplace-smoothed IN INTEGERS (g' = 2g+1 per
+# bucket, G' = 2G+k over k buckets) so empty cells stay finite and
+# every WoE is the portable ln of an integer rational, flipped
+# through max/min for sub-unit ratios and sign-restored. IV is the
+# micro-quantized weighted sum Σ (g'·B' − b'·G')·⌊WoE·10⁶⌉ carried
+# 128-bit, normalized once through wide_to_double. Scale: one groupBy
+# to the bucket table.
+# --------------------------------------------------------------------------
+
+
+def _woe_iv_final(div: str) -> list[str]:
+    return [
+        "bucket",
+        "n_good",
+        "n_bad",
+        "woe",
+        f"{_w2d('iv_num', div)} / (CAST(g_tot AS DOUBLE)"
+        " * CAST(b_tot AS DOUBLE) * 1000000.0) AS iv_total",
+    ]
+
+
+def woe_iv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .selectExpr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 5000 AS bucket",
+            "CAST(event_type = 'purchase' AS BIGINT) AS is_pos",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_pos").cast("bigint").alias("n_good"),
+            F.sum(F.expr("1 - is_pos")).cast("bigint").alias("n_bad"),
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_b"),
+        F.sum("n_good").cast("bigint").alias("g_raw"),
+        F.sum("n_bad").cast("bigint").alias("b_raw"),
+    )
+    sm = per.crossJoin(F.broadcast(tot)).selectExpr(
+        "bucket",
+        "n_good",
+        "n_bad",
+        "2 * n_good + 1 AS g_s",
+        "2 * n_bad + 1 AS b_s",
+        "2 * g_raw + k_b AS g_tot",
+        "2 * b_raw + k_b AS b_tot",
+    )
+    # WoE = ln((g_s·b_tot)/(b_s·g_tot)), via max/min so p >= q >= 1
+    sm = sm.selectExpr(
+        "*",
+        "CAST(g_s AS DECIMAL(38,0)) * b_tot AS num",
+        "CAST(b_s AS DECIMAL(38,0)) * g_tot AS den",
+    )
+    lned = with_portable_ln(
+        sm,
+        "CASE WHEN num >= den THEN num ELSE den END",
+        "CASE WHEN num >= den THEN den ELSE num END",
+        "__pln",
+    ).selectExpr(
+        "bucket",
+        "n_good",
+        "n_bad",
+        "g_tot",
+        "b_tot",
+        "num",
+        "den",
+        "CASE WHEN num >= den THEN __pln ELSE -__pln END AS woe",
+        "CAST(floor((CASE WHEN num >= den THEN __pln ELSE -__pln END)"
+        " * 1000000.0 + 0.5) AS BIGINT) AS woe_u",
+    )
+    ivn = lned.agg(
+        F.sum(F.expr("(num - den) * woe_u")).alias("iv_num")
+    )
+    return (
+        lned.crossJoin(F.broadcast(ivn))
+        .selectExpr(*_woe_iv_final("DIV"))
+        .orderBy("bucket")
+    )
+
+
+def _woe_iv_sql() -> str:
+    final = ",\n       ".join(_woe_iv_final("//"))
+    ln_ctes = portable_ln_duck_ctes(
+        "sm",
+        "bucket, n_good, n_bad, g_tot, b_tot, num, den",
+        "CASE WHEN num >= den THEN num ELSE den END",
+        "CASE WHEN num >= den THEN den ELSE num END",
+        "pln",
+        "wl",
+    )
+    return f"""
+WITH per AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000
+           AS bucket,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_good,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_bad
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_b,
+         CAST(SUM(n_good) AS BIGINT) AS g_raw,
+         CAST(SUM(n_bad) AS BIGINT) AS b_raw
+  FROM per
+),
+sm AS (
+  SELECT bucket, n_good, n_bad,
+         2 * g_raw + k_b AS g_tot,
+         2 * b_raw + k_b AS b_tot,
+         CAST(2 * n_good + 1 AS HUGEINT) * (2 * b_raw + k_b) AS num,
+         CAST(2 * n_bad + 1 AS HUGEINT) * (2 * g_raw + k_b) AS den
+  FROM per CROSS JOIN tot
+),
+{ln_ctes},
+lned AS (
+  SELECT bucket, n_good, n_bad, g_tot, b_tot, num, den,
+         CASE WHEN num >= den THEN pln ELSE -pln END AS woe,
+         CAST(floor((CASE WHEN num >= den THEN pln ELSE -pln END)
+              * 1000000.0 + 0.5) AS BIGINT) AS woe_u
+  FROM wl_out
+),
+ivn AS (
+  SELECT SUM((num - den) * woe_u) AS iv_num FROM lned
+)
+SELECT {final}
+FROM lned CROSS JOIN ivn
+ORDER BY bucket
+"""
+
+
+REGISTRY["woe_iv_events"] = {
+    "fn": woe_iv_events,
+    "sql": _woe_iv_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Cohen's κ between two deterministic document-quality annotators
+# (rule A: n_chars ≥ 300; rule B: ≥ 50 whitespace tokens) — the
+# standard chance-corrected agreement measure for label-rule audits.
+# κ = (N·agree − Σ_c a_c·b_c) / (N² − Σ_c a_c·b_c), one exact integer
+# rational converted through wide_to_double. Scale: map-only flags +
+# one 4-cell aggregate.
+# --------------------------------------------------------------------------
+
+
+def _kappa_final(div: str) -> list[str]:
+    big = _big(div)
+    pe_num = (
+        f"CAST(a1 AS {big}) * b1 + CAST(n_tot - a1 AS {big})"
+        " * (n_tot - b1)"
+    )
+    num = f"CAST(n_tot AS {big}) * agree - ({pe_num})"
+    den = f"CAST(n_tot AS {big}) * n_tot - ({pe_num})"
+    return [
+        "n_tot",
+        "agree",
+        "a1",
+        "b1",
+        "CAST(agree AS DOUBLE) / CAST(n_tot AS DOUBLE) AS po",
+        f"{_w2d(num, div)} / {_w2d(den, div)} AS kappa",
+    ]
+
+
+def cohens_kappa_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.selectExpr(
+        "CAST(n_chars >= 300 AS BIGINT) AS ra",
+        "CAST(size(split(text, ' ')) >= 50 AS BIGINT) AS rb",
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tot"),
+        F.sum(F.expr("CAST(ra = rb AS BIGINT)"))
+        .cast("bigint")
+        .alias("agree"),
+        F.sum("ra").cast("bigint").alias("a1"),
+        F.sum("rb").cast("bigint").alias("b1"),
+    )
+    return agg.selectExpr(*_kappa_final("DIV"))
+
+
+def _kappa_sql() -> str:
+    final = ",\n       ".join(_kappa_final("//"))
+    return f"""
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+         CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END
+           AS rb
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+         CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+           AS agree,
+         CAST(SUM(ra) AS BIGINT) AS a1,
+         CAST(SUM(rb) AS BIGINT) AS b1
+  FROM flags
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["cohens_kappa_docs"] = {
+    "fn": cohens_kappa_docs,
+    "sql": _kappa_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence of each source's document-length
+# distribution from the pooled corpus (50-char buckets) — the
+# symmetric bounded divergence used to rank sources by "how unlike
+# the corpus is this source" during mixture curation. Both KL halves
+# use ratios that are integer rationals by construction
+# (p_i/m_i = 2·c_i·M / (c_i·M + d_i·N)), portable-ln'd through the
+# max/min flip, micro-quantized, and integer-summed per source; the
+# ÷2 normalization and the final division are one IEEE chain.
+# Scale: one groupBy to (source × bucket); everything after is
+# bucket-table-bounded.
+# --------------------------------------------------------------------------
+
+
+def _js_final(div: str) -> list[str]:
+    return [
+        "source",
+        "n_src",
+        f"({_w2d('p_sum_u', div)} / (CAST(n_src AS DOUBLE)"
+        " * 1000000.0)"
+        f" + {_w2d('q_sum_u', div)} / (CAST(n_pool AS DOUBLE)"
+        " * 1000000.0)) / 2.0 AS js_divergence",
+    ]
+
+
+def js_divergence_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.selectExpr(
+        "source", "n_chars DIV 50 AS bucket"
+    )
+    per = binned.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pool = binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    sizes = per.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_src")
+    )
+    n_pool = pool.agg(F.sum("d").cast("bigint").alias("n_pool"))
+    # dense (pooled-bucket × source) grid — the Q-half needs every
+    # pooled bucket per source with the source's count defaulted to 0;
+    # the grid is histogram×k-bounded, never corpus-sized
+    j = (
+        pool.crossJoin(F.broadcast(sizes))
+        .join(per, ["bucket", "source"], "left")
+        .join(F.broadcast(n_pool))
+        .selectExpr(
+            "source",
+            "bucket",
+            "COALESCE(c, 0) AS c",
+            "d",
+            "n_src",
+            "n_pool",
+        )
+    )
+    # dense per-(source, bucket) grid over occupied pooled buckets:
+    # m ∝ c·n_pool + d·n_src (common denominator 2·n_src·n_pool)
+    grid = j.selectExpr(
+        "source",
+        "c",
+        "d",
+        "n_src",
+        "n_pool",
+        "CAST(c AS DECIMAL(38,0)) * n_pool AS cm",
+        "CAST(d AS DECIMAL(38,0)) * n_src AS dn",
+    )
+    p_half = with_portable_ln(
+        grid.filter("c > 0"),
+        "CASE WHEN 2 * cm >= cm + dn THEN 2 * cm ELSE cm + dn END",
+        "CASE WHEN 2 * cm >= cm + dn THEN cm + dn ELSE 2 * cm END",
+        "__plp",
+    ).selectExpr(
+        "source",
+        "c * CAST(floor((CASE WHEN 2 * cm >= cm + dn THEN __plp"
+        " ELSE -__plp END) * 1000000.0 + 0.5) AS BIGINT) AS p_u",
+    )
+    q_half = with_portable_ln(
+        grid,
+        "CASE WHEN 2 * dn >= cm + dn THEN 2 * dn ELSE cm + dn END",
+        "CASE WHEN 2 * dn >= cm + dn THEN cm + dn ELSE 2 * dn END",
+        "__plq",
+    ).selectExpr(
+        "source",
+        "d * CAST(floor((CASE WHEN 2 * dn >= cm + dn THEN __plq"
+        " ELSE -__plq END) * 1000000.0 + 0.5) AS BIGINT) AS q_u",
+    )
+    psum = p_half.groupBy("source").agg(
+        F.sum(F.expr("CAST(p_u AS DECIMAL(38,0))")).alias("p_sum_u")
+    )
+    qsum = q_half.groupBy("source").agg(
+        F.sum(F.expr("CAST(q_u AS DECIMAL(38,0))")).alias("q_sum_u")
+    )
+    out = (
+        psum.join(qsum, "source")
+        .join(F.broadcast(sizes), "source")
+        .join(F.broadcast(n_pool))
+    )
+    return out.selectExpr(*_js_final("DIV")).orderBy("source")
+
+
+def _js_sql() -> str:
+    final = ",\n       ".join(_js_final("//"))
+    lnp = portable_ln_duck_ctes(
+        "pgrid",
+        "source, c, cm, dn",
+        "CASE WHEN 2 * cm >= cm + dn THEN 2 * cm ELSE cm + dn END",
+        "CASE WHEN 2 * cm >= cm + dn THEN cm + dn ELSE 2 * cm END",
+        "plp",
+        "jp",
+    )
+    lnq = portable_ln_duck_ctes(
+        "grid",
+        "source, d, cm, dn",
+        "CASE WHEN 2 * dn >= cm + dn THEN 2 * dn ELSE cm + dn END",
+        "CASE WHEN 2 * dn >= cm + dn THEN cm + dn ELSE 2 * dn END",
+        "plq",
+        "jq",
+    )
+    return f"""
+WITH binned AS (
+  SELECT source, n_chars // 50 AS bucket FROM documents
+),
+per AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2
+),
+pool AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS d
+  FROM binned GROUP BY 1
+),
+sizes AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM per GROUP BY 1
+),
+npool AS (
+  SELECT CAST(SUM(d) AS BIGINT) AS n_pool FROM pool
+),
+grid AS (
+  SELECT s.source, COALESCE(p.c, 0) AS c, l.d, s.n_src, np.n_pool,
+         CAST(COALESCE(p.c, 0) AS HUGEINT) * np.n_pool AS cm,
+         CAST(l.d AS HUGEINT) * s.n_src AS dn
+  FROM pool l
+  CROSS JOIN sizes s
+  CROSS JOIN npool np
+  LEFT JOIN per p ON p.bucket = l.bucket AND p.source = s.source
+),
+pgrid AS (SELECT * FROM grid WHERE c > 0),
+{lnp},
+{lnq},
+psum AS (
+  SELECT source,
+         SUM(c * CAST(floor((CASE WHEN 2 * cm >= cm + dn THEN plp
+             ELSE -plp END) * 1000000.0 + 0.5) AS BIGINT)) AS p_sum_u
+  FROM jp_out GROUP BY 1
+),
+qsum AS (
+  SELECT source,
+         SUM(d * CAST(floor((CASE WHEN 2 * dn >= cm + dn THEN plq
+             ELSE -plq END) * 1000000.0 + 0.5) AS BIGINT)) AS q_sum_u
+  FROM jq_out GROUP BY 1
+)
+SELECT {final}
+FROM psum JOIN qsum USING (source)
+JOIN sizes USING (source) CROSS JOIN npool
+ORDER BY source
+"""
+
+
+REGISTRY["js_divergence_sources"] = {
+    "fn": js_divergence_sources,
+    "sql": _js_sql(),
+}
