@@ -84,6 +84,9 @@ PRIORITY = [
     "woe_iv_events",
     "cohens_kappa_docs",
     "js_divergence_sources",
+    "kendall_tau_events",
+    "psi_value_drift",
+    "brier_decomposition_events",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -652,3 +652,170 @@ REGISTRY["spearman_quantity_price"] = {
     "fn": spearman_quantity_price,
     "sql": _spearman_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Kendall τ-b between the $50 value bucket and the event's day-of-week
+# (epoch-day % 7) — the concordance-based association measure that
+# complements Spearman (midrank-Pearson) above. Computed ENTIRELY on
+# the joint (bucket × dow) cell table: concordant/discordant pair
+# masses are a self-join over grid CELLS (grid² pairs — the grid is
+# fixed-size regardless of corpus scale, never the log), tie masses
+# come from the marginals, and τ-b = 2(C−D)/√((n₀2−n₁2)(n₀2−n₂2))
+# with every mass a 128-bit integer (×2-carried to stay integral)
+# converted through wide_to_double. Scale: one groupBy to the grid.
+# --------------------------------------------------------------------------
+
+
+def _kendall_final(div: str) -> list[str]:
+    return [
+        "n_tot",
+        "c_mass",
+        "d_mass",
+        f"(2.0 * {_w2d('c_mass - d_mass', div)})"
+        f" / sqrt({_w2d('n0x2 - n1x2', div)}"
+        f" * {_w2d('n0x2 - n2x2', div)}) AS kendall_tau_b",
+    ]
+
+
+def kendall_tau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .selectExpr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 5000 AS x",
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') % 7"
+            " AS BIGINT) AS y",
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    a = cells.selectExpr("x AS xa", "y AS ya", "n AS na")
+    b = cells.selectExpr("x AS xb", "y AS yb", "n AS nb")
+    pairs = a.join(F.broadcast(b), F.expr("xa < xb"))
+    cd = pairs.agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN ya < yb THEN CAST(na AS DECIMAL(38,0)) * nb"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END"
+            )
+        ).alias("c_mass_w"),
+        F.sum(
+            F.expr(
+                "CASE WHEN ya > yb THEN CAST(na AS DECIMAL(38,0)) * nb"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END"
+            )
+        ).alias("d_mass_w"),
+    )
+    xm = cells.groupBy("x").agg(F.sum("n").alias("t"))
+    ym = cells.groupBy("y").agg(F.sum("n").alias("u"))
+    ties = (
+        cells.agg(F.sum("n").cast("bigint").alias("n_tot"))
+        .crossJoin(
+            F.broadcast(
+                xm.agg(
+                    F.sum(
+                        F.expr("CAST(t AS DECIMAL(38,0)) * (t - 1)")
+                    ).alias("n1x2")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ym.agg(
+                    F.sum(
+                        F.expr("CAST(u AS DECIMAL(38,0)) * (u - 1)")
+                    ).alias("n2x2")
+                )
+            )
+        )
+    )
+    out = cd.crossJoin(F.broadcast(ties)).selectExpr(
+        "n_tot",
+        "CAST(c_mass_w AS BIGINT) AS c_mass",
+        "CAST(d_mass_w AS BIGINT) AS d_mass",
+        "c_mass_w - d_mass_w AS cd_w",
+        "CAST(n_tot AS DECIMAL(38,0)) * (n_tot - 1) AS n0x2",
+        "n1x2",
+        "n2x2",
+    )
+    # rebind the wide diff under the names the shared tail expects
+    staged = out.selectExpr(
+        "n_tot",
+        "c_mass",
+        "d_mass",
+        "CAST(c_mass AS DECIMAL(38,0)) AS _cw",
+        "CAST(d_mass AS DECIMAL(38,0)) AS _dw",
+        "n0x2",
+        "n1x2",
+        "n2x2",
+    ).selectExpr(
+        "n_tot",
+        "c_mass",
+        "d_mass",
+        "_cw - _dw AS __cd",
+        "n0x2",
+        "n1x2",
+        "n2x2",
+    )
+    final = [
+        e.replace("c_mass - d_mass", "__cd") for e in _kendall_final("DIV")
+    ]
+    return staged.selectExpr(*final)
+
+
+def _kendall_sql() -> str:
+    final = ",\n       ".join(
+        e.replace("c_mass - d_mass", "__cd")
+        for e in _kendall_final("//")
+    )
+    return f"""
+WITH cells AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000
+           AS x,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+              AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+cd AS (
+  SELECT SUM(CASE WHEN a.y < b.y THEN CAST(a.n AS HUGEINT) * b.n
+                  ELSE CAST(0 AS HUGEINT) END) AS c_mass_w,
+         SUM(CASE WHEN a.y > b.y THEN CAST(a.n AS HUGEINT) * b.n
+                  ELSE CAST(0 AS HUGEINT) END) AS d_mass_w
+  FROM cells a JOIN cells b ON a.x < b.x
+),
+ties AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM cells
+),
+xm AS (
+  SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS n1x2
+  FROM (SELECT x, CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY 1)
+),
+ym AS (
+  SELECT SUM(CAST(u AS HUGEINT) * (u - 1)) AS n2x2
+  FROM (SELECT y, CAST(SUM(n) AS BIGINT) AS u FROM cells GROUP BY 1)
+),
+staged AS (
+  SELECT n_tot,
+         CAST(c_mass_w AS BIGINT) AS c_mass,
+         CAST(d_mass_w AS BIGINT) AS d_mass,
+         c_mass_w - d_mass_w AS __cd,
+         CAST(n_tot AS HUGEINT) * (n_tot - 1) AS n0x2,
+         n1x2, n2x2
+  FROM cd CROSS JOIN ties CROSS JOIN xm CROSS JOIN ym
+)
+SELECT {final}
+FROM staged
+"""
+
+
+REGISTRY["kendall_tau_events"] = {
+    "fn": kendall_tau_events,
+    "sql": _kendall_sql(),
+}
