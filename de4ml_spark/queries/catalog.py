@@ -87,6 +87,8 @@ PRIORITY = [
     "kendall_tau_events",
     "psi_value_drift",
     "brier_decomposition_events",
+    "rolling_median_user_value",
+    "khop_reach_parts",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -942,3 +942,75 @@ REGISTRY["hits_bipartite_orders"] = {
     "fn": hits_bipartite_orders,
     "sql": HITS_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Two-hop reach per part in the co-purchase graph: |N₁(v)| and
+# |N≤₂(v)| (distinct neighbors within one resp. two hops, self
+# excluded) — the standard "influence radius" readout that prices how
+# fast recommendations propagate. The 2-hop expansion is one
+# adjacency self-join on the shared hop node + DISTINCT — the same
+# Σ deg(v)² work bound as the triangle wedge explode (documented
+# there); no per-node BFS, no iteration. Scale: the adjacency is
+# part-graph-sized, not corpus-sized; the distinct dedups map-side
+# before the count shuffle.
+# --------------------------------------------------------------------------
+
+
+def khop_reach_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    adj = _directed_adjacency(spark, sf_dir).persist()
+    one = adj.groupBy("u").agg(
+        F.countDistinct("v").cast("bigint").alias("n_1hop")
+    )
+    b = adj.selectExpr("u AS m", "v AS w")
+    two = (
+        adj.join(b, F.col("v") == F.col("m"))
+        .filter(F.col("w") != F.col("u"))
+        .select("u", "w")
+        .unionAll(adj.select("u", F.col("v").alias("w")))
+        .distinct()
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_2hop"))
+    )
+    out = (
+        one.join(two, "u")
+        .selectExpr("u AS node", "n_1hop", "n_2hop")
+    )
+    return release_after(out, adj)
+
+
+KHOP_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+adj AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+one AS (
+  SELECT u, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_1hop
+  FROM adj GROUP BY 1
+),
+two AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS n_2hop
+  FROM (
+    SELECT DISTINCT u, w FROM (
+      SELECT a.u, b.v AS w
+      FROM adj a JOIN adj b ON a.v = b.u
+      WHERE b.v <> a.u
+      UNION ALL
+      SELECT u, v AS w FROM adj
+    )
+  )
+  GROUP BY 1
+)
+SELECT one.u AS node, n_1hop, n_2hop
+FROM one JOIN two USING (u)
+"""
+
+
+REGISTRY["khop_reach_parts"] = {
+    "fn": khop_reach_parts,
+    "sql": KHOP_SQL,
+}

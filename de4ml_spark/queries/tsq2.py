@@ -2107,3 +2107,58 @@ REGISTRY["fano_burstiness_events"] = {
     "fn": fano_burstiness_events,
     "sql": _fano_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Exact trailing-7-event rolling median of `value` per user — the
+# robust smoother for spiky per-user metrics (rolling means chase
+# outliers; the windowed median doesn't). The frame is ROWS-bounded
+# over the (ts, event_id) total order, so the interpolated midpoint
+# for even-width frames is deterministic; in integer cents every
+# midpoint is a half-integer ≤ 2^53, where both engines' linear
+# interpolation (a + (b−a)/2 vs (a+b)/2) is EXACT and therefore
+# identical. Scale: one shuffle on user_id; windows are per-user,
+# never global.
+# --------------------------------------------------------------------------
+
+
+def rolling_median_user_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).selectExpr(
+        "user_id",
+        "event_id",
+        "ts",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c",
+    )
+    return base.selectExpr(
+        "user_id",
+        "event_id",
+        "v_c",
+        "percentile(v_c, 0.5) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id"
+        " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+        " AS med7_c",
+    )
+
+
+ROLLING_MEDIAN_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT user_id, event_id, v_c,
+       MEDIAN(v_c) OVER (PARTITION BY user_id
+         ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7_c
+FROM base
+"""
+
+
+REGISTRY["rolling_median_user_value"] = {
+    "fn": rolling_median_user_value,
+    "sql": ROLLING_MEDIAN_SQL,
+}
