@@ -89,6 +89,10 @@ PRIORITY = [
     "brier_decomposition_events",
     "rolling_median_user_value",
     "khop_reach_parts",
+    "cliffs_delta_value",
+    "pr_auc_events",
+    "brown_forsythe_value",
+    "runs_test_value",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

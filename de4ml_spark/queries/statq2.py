@@ -819,3 +819,565 @@ REGISTRY["kendall_tau_events"] = {
     "fn": kendall_tau_events,
     "sql": _kendall_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Cliff's delta effect size between every unordered pair of event
+# types on `value` — the ordinal "how often does A beat B" companion
+# to the Mann-Whitney TEST (statq.py): δ = (#(a>b) − #(a<b))/(nₐ·n_b).
+# Same histogram machinery as mann_whitney_value (explode the pair
+# membership → one BroadcastHashJoin over a single histogram scan;
+# per-pair windows run over the value histogram, never the log):
+# δ's numerator is Σ_v aₙ·(2·cum_b − bₙ − n_b) in exact integers
+# carried 128-bit, normalized once through wide_to_double.
+# --------------------------------------------------------------------------
+
+
+def _cliffs_final(div: str) -> list[str]:
+    return [
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        f"{_w2d('delta_w', div)} / (CAST(n_a AS DOUBLE)"
+        " * CAST(n_b AS DOUBLE)) AS cliffs_delta",
+    ]
+
+
+def cliffs_delta_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    types = counts.select("event_type").distinct()
+    pairs = (
+        types.alias("ta")
+        .crossJoin(types.alias("tb"))
+        .filter(F.col("ta.event_type") < F.col("tb.event_type"))
+        .select(
+            F.col("ta.event_type").alias("type_a"),
+            F.col("tb.event_type").alias("type_b"),
+        )
+    )
+    memb = pairs.selectExpr(
+        "type_a",
+        "type_b",
+        "explode(array(named_struct('et', type_a, 'is_a', 1),"
+        " named_struct('et', type_b, 'is_a', 0))) AS m",
+    ).selectExpr("m.et AS event_type", "type_a", "type_b", "m.is_a")
+    member = counts.join(F.broadcast(memb), "event_type").select(
+        "type_a",
+        "type_b",
+        "v_c",
+        (F.col("cnt") * F.col("is_a")).alias("cnt_a"),
+        (F.col("cnt") * (1 - F.col("is_a"))).alias("cnt_b"),
+    )
+    byval = member.groupBy("type_a", "type_b", "v_c").agg(
+        F.sum("cnt_a").alias("a_n"),
+        F.sum("cnt_b").alias("b_n"),
+    )
+    wcum = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("type_a", "type_b")
+    ranked = (
+        byval.withColumn("cum_b", F.sum("b_n").over(wcum))
+        .withColumn("nb_tot", F.sum("b_n").over(wall))
+    )
+    agg = ranked.groupBy("type_a", "type_b").agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.max("nb_tot").cast("bigint").alias("n_b"),
+        F.sum(
+            F.expr(
+                "CAST(a_n AS DECIMAL(38,0))"
+                " * (2 * cum_b - b_n - nb_tot)"
+            )
+        ).alias("delta_w"),
+    )
+    return agg.selectExpr(*_cliffs_final("DIV"))
+
+
+def _cliffs_sql() -> str:
+    final = ",\n       ".join(_cliffs_final("//"))
+    return f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         COUNT(*) AS cnt
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM counts),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a CROSS JOIN types b
+  WHERE a.event_type < b.event_type
+),
+member AS (
+  SELECT p.type_a, p.type_b, c.v_c,
+         CASE WHEN c.event_type = p.type_a THEN c.cnt ELSE 0 END
+           AS cnt_a,
+         CASE WHEN c.event_type = p.type_b THEN c.cnt ELSE 0 END
+           AS cnt_b
+  FROM counts c JOIN pairs p
+    ON c.event_type = p.type_a OR c.event_type = p.type_b
+),
+byval AS (
+  SELECT type_a, type_b, v_c,
+         SUM(cnt_a) AS a_n, SUM(cnt_b) AS b_n
+  FROM member GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT type_a, type_b, a_n, b_n,
+         SUM(b_n) OVER (PARTITION BY type_a, type_b ORDER BY v_c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         SUM(b_n) OVER (PARTITION BY type_a, type_b) AS nb_tot
+  FROM byval
+),
+agg AS (
+  SELECT type_a, type_b,
+         CAST(SUM(a_n) AS BIGINT) AS n_a,
+         CAST(MAX(nb_tot) AS BIGINT) AS n_b,
+         SUM(CAST(a_n AS HUGEINT) * (2 * cum_b - b_n - nb_tot))
+           AS delta_w
+  FROM ranked GROUP BY 1, 2
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["cliffs_delta_value"] = {
+    "fn": cliffs_delta_value,
+    "sql": _cliffs_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Average precision (PR-AUC) of `value` as a score for
+# event_type='purchase', with the deterministic TIED-BLOCK convention:
+# values are processed in descending-score blocks, each block
+# contributes (block positives / total positives) × (precision AFTER
+# the block) — the whole-block variant of sklearn's step
+# interpolation, well-defined under ties. Each block term
+# p_v·tp_v/(tp_v+fp_v) is a micro-quantized HALF-UP 128-bit quotient,
+# integer-summed; one wide_to_double normalization. Scale: histogram
+# windows only (the kruskal-wallis pattern).
+# --------------------------------------------------------------------------
+
+
+def _ap_final(div: str) -> list[str]:
+    return [
+        "n_pos",
+        "n_neg",
+        f"{_w2d('ap_u', div)} / (CAST(n_pos AS DOUBLE) * 1000000.0)"
+        " AS average_precision",
+    ]
+
+
+def pr_auc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c")
+        )
+        .agg(
+            F.sum(F.expr("CAST(event_type = 'purchase' AS BIGINT)"))
+            .alias("p"),
+            F.sum(F.expr("CAST(event_type <> 'purchase' AS BIGINT)"))
+            .alias("q"),
+        )
+    )
+    wdesc = Window.orderBy(F.col("v_c").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("tp", F.sum("p").over(wdesc)).withColumn(
+        "fp", F.sum("q").over(wdesc)
+    )
+    term = f"{_whd('CAST(p AS DECIMAL(38,0)) * tp * 1000000', 'tp + fp', 'DIV')}"
+    terms = cum.selectExpr("p", "q", f"{term} AS ap_t")
+    agg = terms.agg(
+        F.sum("ap_t").alias("ap_u"),
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("q").cast("bigint").alias("n_neg"),
+    )
+    return agg.selectExpr(*_ap_final("DIV"))
+
+
+def _ap_sql() -> str:
+    final = ",\n       ".join(_ap_final("//"))
+    term = _whd("CAST(p AS HUGEINT) * tp * 1000000", "tp + fp", "//")
+    return f"""
+WITH hist AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+         SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS q
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT p, q,
+         SUM(p) OVER (ORDER BY v_c DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         SUM(q) OVER (ORDER BY v_c DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+  FROM hist
+),
+terms AS (
+  SELECT p, q, {term} AS ap_t FROM cum
+)
+SELECT {final}
+FROM (
+  SELECT SUM(ap_t) AS ap_u,
+         CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(q) AS BIGINT) AS n_neg
+  FROM terms
+)
+"""
+
+
+REGISTRY["pr_auc_events"] = {
+    "fn": pr_auc_events,
+    "sql": _ap_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe test (median-based Levene) for variance homogeneity
+# of `value` across event types — the robust "can I pool these
+# cohorts' variances" gate that pairs with the ANOVA above. Stage 1
+# finds each type's EXACT median from the per-type value histogram
+# (carried ×2 so even-count midpoints stay integral; the window runs
+# over the histogram, never the log). Stage 2 is literally the ANOVA
+# moment machinery applied to z = |2·value − median2| in half-cents:
+# 128-bit moment sums, half-up wide quotients, one IEEE tail.
+# W = ((N−k)/(k−1)) · SSB_z / SSW_z.
+# --------------------------------------------------------------------------
+
+_BF_FINAL = [
+    "k_groups",
+    "n_tot",
+    "({SSB} / CAST(k_groups - 1 AS DOUBLE))"
+    " / ({SSW} / CAST(n_tot - k_groups AS DOUBLE)) AS w_stat",
+]
+
+
+def brown_forsythe_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = (
+        counts.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n_i", F.sum("cnt").over(wall))
+    )
+    # median2 = v[(n+1) DIV 2] + v[(n+2) DIV 2] (1-based), from the
+    # blocks covering those positions — ×2 so even-n midpoints are ints
+    med = cum.selectExpr(
+        "event_type",
+        "v_c",
+        "cum - cnt AS lo",
+        "cum AS hi",
+        "(n_i + 1) DIV 2 AS pos1",
+        "(n_i + 2) DIV 2 AS pos2",
+    ).selectExpr(
+        "event_type",
+        "CASE WHEN pos1 > lo AND pos1 <= hi THEN v_c ELSE 0 END"
+        " + CASE WHEN pos2 > lo AND pos2 <= hi THEN v_c ELSE 0 END"
+        " AS m_part",
+    ).groupBy("event_type").agg(
+        F.sum("m_part").cast("bigint").alias("median2")
+    )
+    z = (
+        counts.join(F.broadcast(med), "event_type")
+        .selectExpr(
+            "event_type",
+            "abs(2 * v_c - median2) AS z",
+            "cnt",
+        )
+    )
+    per = z.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.expr("z * cnt")).cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(z AS DECIMAL(38,0)) * z * cnt")).alias("ss"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s").cast("bigint").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+    )
+    terms = per.crossJoin(F.broadcast(tot)).selectExpr(
+        "k_groups",
+        "n_tot",
+        "s_tot",
+        "ss_tot",
+        *_anova_stage("DIV"),
+    )
+    sums = terms.groupBy("k_groups", "n_tot").agg(
+        F.sum("term_q").alias("sum_q"),
+        F.max("grand_q").alias("grand_q"),
+        F.max("ss_tot").alias("ss_tot"),
+    )
+    ssb = _w2d("sum_q - grand_q", "DIV")
+    ssw = _w2d("ss_tot - sum_q", "DIV")
+    final = [
+        e.replace("{SSB}", ssb).replace("{SSW}", ssw)
+        for e in _BF_FINAL
+    ]
+    return sums.selectExpr(*final)
+
+
+def _bf_sql() -> str:
+    stage = ",\n         ".join(_anova_stage("//"))
+    ssb = _w2d("sum_q - grand_q", "//")
+    ssw = _w2d("ss_tot - sum_q", "//")
+    final = ",\n       ".join(
+        e.replace("{SSB}", ssb).replace("{SSW}", ssw)
+        for e in _BF_FINAL
+    )
+    return f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         COUNT(*) AS cnt
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, v_c, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n_i
+  FROM counts
+),
+med AS (
+  SELECT event_type, CAST(SUM(m_part) AS BIGINT) AS median2
+  FROM (
+    SELECT event_type,
+           CASE WHEN (n_i + 1) // 2 > cum - cnt
+                 AND (n_i + 1) // 2 <= cum THEN v_c ELSE 0 END
+           + CASE WHEN (n_i + 2) // 2 > cum - cnt
+                   AND (n_i + 2) // 2 <= cum THEN v_c ELSE 0 END
+             AS m_part
+    FROM cum
+  )
+  GROUP BY 1
+),
+z AS (
+  SELECT c.event_type, abs(2 * c.v_c - m.median2) AS z, c.cnt
+  FROM counts c JOIN med m USING (event_type)
+),
+per AS (
+  SELECT event_type,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(z * cnt) AS BIGINT) AS s,
+         SUM(CAST(z AS HUGEINT) * z * cnt) AS ss
+  FROM z GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(s) AS BIGINT) AS s_tot,
+         SUM(ss) AS ss_tot
+  FROM per
+),
+terms AS (
+  SELECT k_groups, n_tot, s_tot, ss_tot,
+         {stage}
+  FROM per CROSS JOIN tot
+),
+sums AS (
+  SELECT k_groups, n_tot, SUM(term_q) AS sum_q,
+         MAX(grand_q) AS grand_q, MAX(ss_tot) AS ss_tot
+  FROM terms GROUP BY 1, 2
+)
+SELECT {final}
+FROM sums
+"""
+
+
+REGISTRY["brown_forsythe_value"] = {
+    "fn": brown_forsythe_value,
+    "sql": _bf_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test for randomness of `value` around its
+# global median along the (ts, event_id) event order — the standard
+# "is this sequence i.i.d. or trending/oscillating" check on a metric
+# stream. The global median comes from the value histogram (bounded
+# window); ties AT the median are dropped (the standard dichotomy).
+# The run count needs each sign's PREDECESSOR in a corpus-wide total
+# order — computed WITHOUT a single-partition window: the distributed
+# range-partition rank (operators/rank.py) assigns global positions,
+# and adjacent positions meet by an equi-join on rank = rank+1 (one
+# hash shuffle). The z statistic is exact-integer moments through
+# wide_to_double. The oracle states the same semantics with a LAG
+# window — the test-scale twin of the rank+join plan.
+# --------------------------------------------------------------------------
+
+
+def _runs_final(div: str) -> list[str]:
+    big = _big(div)
+    two_np = f"(2 * CAST(n1 AS {big}) * n2)"
+    mu = (
+        f"(1.0 + {_w2d(two_np, div)} / CAST(n1 + n2 AS DOUBLE))"
+    )
+    var = (
+        f"({_w2d(f'{two_np} * ({two_np} - (n1 + n2))', div)}"
+        " / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)"
+        " * CAST(n1 + n2 - 1 AS DOUBLE)))"
+    )
+    return [
+        "n1",
+        "n2",
+        "runs",
+        f"(CAST(runs AS DOUBLE) - {mu}) / sqrt({var}) AS z_runs",
+    ]
+
+
+def runs_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.rank import with_global_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).selectExpr(
+        "event_id",
+        "ts",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c",
+    )
+    hist = base.groupBy("v_c").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("v_c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n_i", F.sum("cnt").over(wall))
+    )
+    med = cum.selectExpr(
+        "CASE WHEN (n_i + 1) DIV 2 > cum - cnt"
+        " AND (n_i + 1) DIV 2 <= cum THEN v_c ELSE 0 END"
+        " + CASE WHEN (n_i + 2) DIV 2 > cum - cnt"
+        " AND (n_i + 2) DIV 2 <= cum THEN v_c ELSE 0 END AS m_part"
+    ).agg(F.sum("m_part").cast("bigint").alias("median2"))
+    signed = (
+        base.crossJoin(F.broadcast(med))
+        .filter("2 * v_c <> median2")
+        .selectExpr(
+            "ts",
+            "event_id",
+            "CAST(2 * v_c > median2 AS BIGINT) AS sgn",
+        )
+    )
+    ranked = with_global_rank(
+        signed, ["ts", "event_id"], out_col="pos"
+    ).select("pos", "sgn")
+    nxt = ranked.selectExpr("pos - 1 AS pos", "sgn AS sgn_next")
+    changes = (
+        ranked.join(nxt, "pos")
+        .agg(
+            F.sum(F.expr("CAST(sgn <> sgn_next AS BIGINT)"))
+            .cast("bigint")
+            .alias("chg")
+        )
+    )
+    tallies = ranked.agg(
+        F.sum("sgn").cast("bigint").alias("n1"),
+        F.sum(F.expr("1 - sgn")).cast("bigint").alias("n2"),
+    )
+    agg = changes.crossJoin(F.broadcast(tallies)).selectExpr(
+        "n1", "n2", "chg + 1 AS runs"
+    )
+    return agg.selectExpr(*_runs_final("DIV"))
+
+
+def _runs_sql() -> str:
+    final = ",\n       ".join(_runs_final("//"))
+    return f"""
+WITH base AS (
+  SELECT event_id, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+  FROM events
+  WHERE value IS NOT NULL
+),
+hist AS (
+  SELECT v_c, COUNT(*) AS cnt FROM base GROUP BY 1
+),
+cum AS (
+  SELECT v_c, cnt,
+         SUM(cnt) OVER (ORDER BY v_c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS n_i
+  FROM hist
+),
+med AS (
+  SELECT CAST(SUM(
+           CASE WHEN (n_i + 1) // 2 > cum - cnt
+                 AND (n_i + 1) // 2 <= cum THEN v_c ELSE 0 END
+           + CASE WHEN (n_i + 2) // 2 > cum - cnt
+                   AND (n_i + 2) // 2 <= cum THEN v_c ELSE 0 END)
+           AS BIGINT) AS median2
+  FROM cum
+),
+signed AS (
+  SELECT ts, event_id,
+         CASE WHEN 2 * v_c > median2 THEN 1 ELSE 0 END AS sgn
+  FROM base CROSS JOIN med
+  WHERE 2 * v_c <> median2
+),
+seq AS (
+  SELECT sgn,
+         LAG(sgn) OVER (ORDER BY ts, event_id) AS sgn_prev
+  FROM signed
+),
+agg AS (
+  SELECT CAST(SUM(sgn) AS BIGINT) AS n1,
+         CAST(SUM(1 - sgn) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN sgn_prev IS NOT NULL AND sgn <> sgn_prev
+                       THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+  FROM seq
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["runs_test_value"] = {
+    "fn": runs_test_value,
+    "sql": _runs_sql(),
+}
