@@ -93,6 +93,8 @@ PRIORITY = [
     "pr_auc_events",
     "brown_forsythe_value",
     "runs_test_value",
+    "life_table_retention",
+    "permutation_entropy_events",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

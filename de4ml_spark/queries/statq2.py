@@ -1381,3 +1381,256 @@ REGISTRY["runs_test_value"] = {
     "fn": runs_test_value,
     "sql": _runs_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Actuarial life table over 7-day intervals — the grouped-interval
+# member of the survival family (Nelson-Aalen hazard, Kaplan-Meier,
+# log-rank live in statq/tsq2): per interval, entrants n_i, churns
+# d_i, within-interval censorings w_i, and the actuarial adjustment
+# n'_i = n_i − w_i/2 (carried ×2 to stay integral). The cumulative
+# log-survival is Σ ln(n2'/(n2'−2d)) with the portable ln,
+# micro-quantized (the Kaplan-Meier spine pattern, including the
+# provably-terminal NULL mask when an interval absorbs everyone).
+# The spine is calendar-bounded, so every window is tiny; the only
+# corpus-sized work is one groupBy to per-user spans.
+# --------------------------------------------------------------------------
+
+
+def life_table_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("d0"),
+            F.max(F.col("ts").cast("date")).alias("d1"),
+        )
+    )
+    horizon = spans.agg(F.max("d1").alias("hmax"))
+    per_user = spans.crossJoin(F.broadcast(horizon)).selectExpr(
+        "datediff(d1, d0) DIV 7 AS iv",
+        "CAST(d1 < hmax AS INT) AS churned",
+    )
+    table = (
+        per_user.selectExpr(
+            "iv", "churned", "explode(sequence(0, iv)) AS i"
+        )
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_enter"),
+            F.sum(
+                F.expr("CAST(churned = 1 AND iv = i AS BIGINT)")
+            ).cast("bigint").alias("d_i"),
+            F.sum(
+                F.expr("CAST(churned = 0 AND iv = i AS BIGINT)")
+            ).cast("bigint").alias("w_i"),
+        )
+    )
+    adj = table.selectExpr(
+        "i", "n_enter", "d_i", "w_i", "2 * n_enter - w_i AS n2_adj"
+    )
+    lned = with_portable_ln(
+        adj, "n2_adj", "GREATEST(n2_adj - 2 * d_i, 1)", "__ln"
+    ).selectExpr(
+        "i",
+        "n_enter",
+        "d_i",
+        "w_i",
+        "CASE WHEN n2_adj = 2 * d_i THEN NULL"
+        " ELSE CAST(floor(__ln * 1000000.0 + 0.5) AS BIGINT) END"
+        " AS negln_micro",
+    )
+    return lned.select(
+        "i",
+        "n_enter",
+        "d_i",
+        "w_i",
+        F.expr(
+            "CASE WHEN negln_micro IS NULL THEN NULL ELSE"
+            " -CAST(CAST(SUM(negln_micro) OVER (ORDER BY i ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+            " AS DOUBLE) / 1000000.0 END"
+        ).alias("logsurv_r"),
+    )
+
+
+def _life_table_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+    )
+
+    return f"""
+WITH spans AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1
+),
+horizon AS (SELECT MAX(d1) AS hmax FROM spans),
+per_user AS (
+  SELECT datediff('day', d0, d1) // 7 AS iv,
+         CAST(d1 < h.hmax AS INT) AS churned
+  FROM spans CROSS JOIN horizon h
+),
+tbl AS (
+  SELECT i,
+         CAST(COUNT(*) AS BIGINT) AS n_enter,
+         CAST(SUM(CASE WHEN churned = 1 AND iv = i THEN 1 ELSE 0 END)
+              AS BIGINT) AS d_i,
+         CAST(SUM(CASE WHEN churned = 0 AND iv = i THEN 1 ELSE 0 END)
+              AS BIGINT) AS w_i
+  FROM (
+    SELECT iv, churned, unnest(generate_series(0, iv)) AS i
+    FROM per_user
+  )
+  GROUP BY 1
+),
+adj AS (
+  SELECT i, n_enter, d_i, w_i, 2 * n_enter - w_i AS n2_adj FROM tbl
+),
+{portable_ln_duck_ctes(
+    "adj", "i, n_enter, d_i, w_i, n2_adj",
+    "n2_adj", "GREATEST(n2_adj - 2 * d_i, 1)", "lnv", "lt")},
+steps AS (
+  SELECT i, n_enter, d_i, w_i,
+         CASE WHEN n2_adj = 2 * d_i THEN NULL
+              ELSE CAST(floor(lnv * 1000000.0 + 0.5) AS BIGINT) END
+           AS negln_micro
+  FROM lt_out
+)
+SELECT i, n_enter, d_i, w_i,
+       CASE WHEN negln_micro IS NULL THEN NULL ELSE
+       -CAST(CAST(SUM(negln_micro) OVER (ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS DOUBLE) / 1000000.0 END AS logsurv_r
+FROM steps
+"""
+
+
+REGISTRY["life_table_retention"] = {
+    "fn": life_table_retention,
+    "sql": _life_table_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Permutation entropy (order-3) of per-user value sequences — the
+# standard model-free complexity measure for metric streams (low =
+# trending/templated, ln 6 = white noise). Each user's consecutive
+# value triples map to one of six ordinal patterns with the STABLE
+# tie rule (equal values ordered by position, i.e. all comparisons
+# are ≤), counted globally; H = Σ (c/T)·ln(T/c) with the portable ln,
+# micro-quantized before the weighted sum (the entropy_by_source
+# scheme). Scale: the triple windows are per-user (one shuffle on
+# user_id); the entropy runs over a SIX-row pattern table.
+# --------------------------------------------------------------------------
+
+
+def _perm_final(div: str) -> list[str]:
+    return [
+        "pattern",
+        "n_p",
+        "n_triples",
+        f"{_w2d('h_micro', div)}"
+        " / (CAST(n_triples AS DOUBLE) * 1000000.0) AS perm_entropy",
+    ]
+
+
+def permutation_entropy_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trip = (
+        base.withColumn("b", F.lead("v_c", 1).over(w))
+        .withColumn("c", F.lead("v_c", 2).over(w))
+        .filter(F.col("c").isNotNull())
+        .selectExpr(
+            "4 * CAST(v_c <= b AS BIGINT)"
+            " + 2 * CAST(b <= c AS BIGINT)"
+            " + CAST(v_c <= c AS BIGINT) AS pattern"
+        )
+    )
+    pat = trip.groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_p")
+    )
+    tot = pat.agg(F.sum("n_p").cast("bigint").alias("n_triples"))
+    j = pat.crossJoin(F.broadcast(tot))
+    lned = with_portable_ln(j, "n_triples", "n_p", "__ln").selectExpr(
+        "pattern",
+        "n_p",
+        "n_triples",
+        "n_p * CAST(floor(__ln * 1000000.0 + 0.5) AS BIGINT) AS term",
+    )
+    h = lned.agg(
+        F.sum(F.expr("CAST(term AS DECIMAL(38,0))")).alias("h_micro")
+    )
+    return (
+        lned.crossJoin(F.broadcast(h))
+        .selectExpr(*_perm_final("DIV"))
+        .orderBy("pattern")
+    )
+
+
+def _perm_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+    )
+
+    final = ",\n       ".join(_perm_final("//"))
+    return f"""
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+  FROM events
+  WHERE value IS NOT NULL
+),
+trip AS (
+  SELECT CAST(4 * CASE WHEN v_c <= b THEN 1 ELSE 0 END
+         + 2 * CASE WHEN b <= c THEN 1 ELSE 0 END
+         + CASE WHEN v_c <= c THEN 1 ELSE 0 END AS BIGINT) AS pattern
+  FROM (
+    SELECT v_c,
+           LEAD(v_c, 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS b,
+           LEAD(v_c, 2) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS c
+    FROM base
+  )
+  WHERE c IS NOT NULL
+),
+pat AS (
+  SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_p FROM trip GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_p) AS BIGINT) AS n_triples FROM pat),
+j AS (SELECT * FROM pat CROSS JOIN tot),
+{portable_ln_duck_ctes(
+    "j", "pattern, n_p, n_triples", "n_triples", "n_p", "lnv", "pe")},
+lned AS (
+  SELECT pattern, n_p, n_triples,
+         n_p * CAST(floor(lnv * 1000000.0 + 0.5) AS BIGINT) AS term
+  FROM pe_out
+),
+h AS (SELECT SUM(term) AS h_micro FROM lned)
+SELECT {final}
+FROM lned CROSS JOIN h
+ORDER BY pattern
+"""
+
+
+REGISTRY["permutation_entropy_events"] = {
+    "fn": permutation_entropy_events,
+    "sql": _perm_sql(),
+}
