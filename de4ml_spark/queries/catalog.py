@@ -95,6 +95,8 @@ PRIORITY = [
     "runs_test_value",
     "life_table_retention",
     "permutation_entropy_events",
+    "rake_keywords_docs",
+    "power_law_alpha_parts",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

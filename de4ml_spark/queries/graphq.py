@@ -1014,3 +1014,99 @@ REGISTRY["khop_reach_parts"] = {
     "fn": khop_reach_parts,
     "sql": KHOP_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Continuous-MLE power-law exponent of the co-purchase degree
+# distribution (Clauset-Shalizi-Newman estimator at x_min = observed
+# minimum degree): α = 1 + n / Σ ln(dᵢ/d_min) — the standard
+# "is this graph scale-free" summary that complements the
+# assortativity and triangle entries. Degrees collapse to a DEGREE
+# HISTOGRAM first, so the ln runs once per distinct degree (portable
+# ln of an integer rational, micro-quantized, weight-summed in
+# exact integers). Scale: one groupBy to degrees, one to the
+# histogram; the ln table is histogram-sized.
+# --------------------------------------------------------------------------
+
+
+def power_law_alpha_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.cache import release_after
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+        with_portable_ln,
+    )
+
+    edges = _canonical_edges(spark, sf_dir)
+    hist = (
+        _edge_degrees(edges)
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    dmin = hist.agg(F.min("deg").cast("bigint").alias("d_min"))
+    j = hist.crossJoin(F.broadcast(dmin))
+    lned = with_portable_ln(j, "deg", "d_min", "__ln").selectExpr(
+        "m",
+        "d_min",
+        "m * CAST(floor(__ln * 1000000.0 + 0.5) AS BIGINT) AS term",
+    )
+    agg = lned.groupBy("d_min").agg(
+        F.sum("m").cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("CAST(term AS DECIMAL(38,0))")).alias("ln_sum_u"),
+    )
+    out = agg.selectExpr(
+        "n_nodes",
+        "d_min",
+        "1.0 + (CAST(n_nodes AS DOUBLE) * 1000000.0)"
+        f" / {_w2d('ln_sum_u', 'DIV')} AS alpha_mle",
+    )
+    return release_after(out, edges)
+
+
+def _power_law_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+        wide_to_double_sql as _w2d,
+    )
+
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY 1
+),
+hist AS (
+  SELECT deg, CAST(COUNT(*) AS BIGINT) AS m FROM deg GROUP BY 1
+),
+dmin AS (SELECT CAST(MIN(deg) AS BIGINT) AS d_min FROM hist),
+j AS (SELECT * FROM hist CROSS JOIN dmin),
+{portable_ln_duck_ctes("j", "deg, m, d_min", "deg", "d_min",
+                       "lnv", "pa")},
+lned AS (
+  SELECT m, d_min,
+         m * CAST(floor(lnv * 1000000.0 + 0.5) AS BIGINT) AS term
+  FROM pa_out
+),
+agg AS (
+  SELECT d_min, CAST(SUM(m) AS BIGINT) AS n_nodes,
+         SUM(term) AS ln_sum_u
+  FROM lned GROUP BY 1
+)
+SELECT n_nodes, d_min,
+       1.0 + (CAST(n_nodes AS DOUBLE) * 1000000.0)
+         / {_w2d("ln_sum_u", "//")} AS alpha_mle
+FROM agg
+"""
+
+
+REGISTRY["power_law_alpha_parts"] = {
+    "fn": power_law_alpha_parts,
+    "sql": _power_law_sql(),
+}

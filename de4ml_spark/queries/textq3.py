@@ -1036,3 +1036,158 @@ REGISTRY["zipf_slope_docs"] = {
     "fn": zipf_slope_docs,
     "sql": _zipf_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction over the corpus: candidate phrases are
+# maximal stopword-free token runs (segmented by a per-doc cumulative
+# stopword count — the gaps-and-islands trick, windows per-doc only);
+# word score = degree/frequency where degree sums the lengths of
+# every phrase containing the word; phrase score sums its members'
+# scores. Word scores are HALF-UP micro-quantized 128-bit quotients
+# so the phrase-score sums are exact integers (identical ranking both
+# engines); output is the top 25 phrases under the deterministic
+# (score DESC, phrase) order. Reference parity: the reference has no
+# keyword extractor; this extends its text-quality tier
+# (dataops/app/profile.py) with the standard corpus-keyword readout.
+# Scale: two corpus groupBys (phrase members, word stats) + a
+# broadcast-joinable word-score table.
+# --------------------------------------------------------------------------
+
+
+def rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd,
+        wide_to_double_sql as _w2d,
+    )
+    from de4ml_spark.operators.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = docs.selectExpr(
+        "doc_id", "posexplode(split(text, ' ')) AS (pos, word)"
+    ).selectExpr(
+        "doc_id",
+        "pos",
+        "word",
+        f"CAST(word IN ({stop_list}) OR word = '' AS BIGINT) AS is_stop",
+    )
+    wseg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    members = (
+        toks.withColumn("seg", F.sum("is_stop").over(wseg))
+        .filter("is_stop = 0")
+        .select("doc_id", "seg", "pos", "word")
+    )
+    phrases = members.groupBy("doc_id", "seg").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(pos, word))), x -> x.word), ' ')"
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    )
+    wstats = (
+        members.join(phrases, ["doc_id", "seg"])
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+        .selectExpr(
+            "word",
+            f"{_whd('CAST(deg AS DECIMAL(38,0)) * 1000000', 'freq', 'DIV')}"
+            " AS score_u_w",
+        )
+    )
+    pscore = (
+        members.join(phrases, ["doc_id", "seg"])
+        .join(wstats, "word")
+        .groupBy("doc_id", "seg", "phrase")
+        .agg(F.sum("score_u_w").alias("score_u"))
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.max("score_u").alias("score_u"),
+        )
+    )
+    return (
+        pscore.selectExpr(
+            "phrase",
+            "n_occ",
+            f"{_w2d('score_u', 'DIV')} / 1000000.0 AS rake_score",
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(25)
+    )
+
+
+def _rake_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd,
+        wide_to_double_sql as _w2d,
+    )
+    from de4ml_spark.operators.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN word IN ({stop_list}) OR word = ''
+              THEN 1 ELSE 0 END AS is_stop
+  FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+  )
+),
+members AS (
+  SELECT doc_id, pos, word,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM toks
+  QUALIFY is_stop = 0
+),
+phrases AS (
+  SELECT doc_id, seg,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM members GROUP BY 1, 2
+),
+wstats AS (
+  SELECT word,
+         {_whd("CAST(SUM(plen) AS HUGEINT) * 1000000",
+               "COUNT(*)", "//")} AS score_u_w
+  FROM members m JOIN phrases p USING (doc_id, seg)
+  GROUP BY 1
+),
+pscore AS (
+  SELECT phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_occ,
+         MAX(score_u) AS score_u
+  FROM (
+    SELECT m.doc_id, m.seg, p.phrase, SUM(w.score_u_w) AS score_u
+    FROM members m
+    JOIN phrases p USING (doc_id, seg)
+    JOIN wstats w USING (word)
+    GROUP BY 1, 2, 3
+  )
+  GROUP BY 1
+)
+SELECT phrase, n_occ,
+       {_w2d("score_u", "//")} / 1000000.0 AS rake_score
+FROM pscore
+ORDER BY rake_score DESC, phrase
+LIMIT 25
+"""
+
+
+REGISTRY["rake_keywords_docs"] = {
+    "fn": rake_keywords_docs,
+    "sql": _rake_sql(),
+}
