@@ -575,15 +575,18 @@ def spearman_quantity_price(
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    wcum = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
 
     def midranks(col: str):
+        # the price histogram is NOT fixed-size (distinct prices grow
+        # with the catalog), so the cumulative runs on the distributed
+        # range-partition cumsum, never a single-partition window; the
+        # oracle's plain window is the test-scale twin
+        from de4ml_spark.operators.rank import with_global_cumsum
+
         h = joint.groupBy(F.col(col).alias("v")).agg(
-            F.sum("w").alias("c")
+            F.sum("w").cast("bigint").alias("c")
         )
-        return h.withColumn("cum", F.sum("c").over(wcum)).selectExpr(
+        return with_global_cumsum(h, ["v"], "c", out_col="cum").selectExpr(
             f"v AS {col}", "2 * (cum - c) + c + 1 AS r2"
         )
 
