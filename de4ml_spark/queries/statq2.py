@@ -67,12 +67,15 @@ def _welch_stage1(div: str) -> list[str]:
             f"CAST(s_{s} AS DOUBLE) / (100.0 * CAST(n_{s} AS DOUBLE))"
             f" AS mean_{s}"
         )
-        # sample variance of the DOLLAR values: cents² numerator over
-        # n²(n-1), then /10⁴ cents²→dollars², then /n for the SE² —
-        # folded into one left-associated double product denominator
+        # SE² of the DOLLAR mean: sample variance is vnum/(n(n-1)) in
+        # cents² (vnum = n·Σx² − (Σx)²), /10⁴ to dollars², /n for the
+        # SE² — one left-associated double product denominator
+        # n·(n-1)·10⁴·n (caught by the pure-Python recompute in
+        # tests/test_round9_queries.py; the cross-engine hash gate
+        # alone cannot see a shared-formula error)
         out.append(
             f"{_w2d(vnum, div)} / (CAST(n_{s} AS DOUBLE)"
-            f" * CAST(n_{s} AS DOUBLE) * CAST(n_{s} - 1 AS DOUBLE)"
+            f" * CAST(n_{s} - 1 AS DOUBLE)"
             f" * 10000.0 * CAST(n_{s} AS DOUBLE)) AS se2_{s}"
         )
     return out

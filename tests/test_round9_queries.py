@@ -1,0 +1,341 @@
+"""Round-9 catalog entries: algorithmic invariants BEYOND the DuckDB
+value-hash gate (which proves cross-engine equality, not correctness) —
+each statistic is recomputed driver-side in pure Python from the raw
+sf0.001 rows and compared within float tolerance, plus structural
+invariants (monotone survival, decile partition, closure bounds).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events():
+    con = duckdb.connect()
+    return con.sql(
+        f"""SELECT event_type, user_id, ts, event_id,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND event_type IS NOT NULL"""
+    ).fetchall()
+
+
+def test_welch_matches_python_recompute(spark):
+    from de4ml_spark.queries.statq2 import welch_ttest_value
+
+    rows = _events()
+    by_type = defaultdict(list)
+    for et, *_rest, v in rows:
+        by_type[et].append(v / 100.0)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in welch_ttest_value(spark, SF).collect()
+    }
+    for (a, b), r in got.items():
+        xa, xb = by_type[a], by_type[b]
+        ma = sum(xa) / len(xa)
+        mb = sum(xb) / len(xb)
+        va = sum((x - ma) ** 2 for x in xa) / (len(xa) - 1)
+        vb = sum((x - mb) ** 2 for x in xb) / (len(xb) - 1)
+        t = (ma - mb) / math.sqrt(va / len(xa) + vb / len(xb))
+        assert r["n_a"] == len(xa) and r["n_b"] == len(xb)
+        assert abs(r["mean_a"] - ma) < 1e-9
+        assert abs(r["t_welch"] - t) < 1e-6
+
+
+def test_anova_matches_python_recompute(spark):
+    from de4ml_spark.queries.statq2 import anova_value_types
+
+    rows = _events()
+    by_type = defaultdict(list)
+    for et, *_rest, v in rows:
+        by_type[et].append(v)  # cents
+    allv = [v for xs in by_type.values() for v in xs]
+    gm = sum(allv) / len(allv)
+    ssb = sum(
+        len(xs) * (sum(xs) / len(xs) - gm) ** 2
+        for xs in by_type.values()
+    )
+    ssw = sum(
+        (v - sum(xs) / len(xs)) ** 2
+        for xs in by_type.values()
+        for v in xs
+    )
+    k, n = len(by_type), len(allv)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    row = anova_value_types(spark, SF).collect()[0]
+    assert row["k_groups"] == k and row["n_tot"] == n
+    assert abs(row["f_stat"] - f_ref) / max(f_ref, 1e-12) < 1e-6
+
+
+def test_auc_is_normalized_rank_sum(spark):
+    from de4ml_spark.queries.statq2 import auc_roc_events
+
+    rows = _events()
+    pos = sorted(v for et, *_r, v in rows if et == "purchase")
+    neg = sorted(v for et, *_r, v in rows if et != "purchase")
+    wins = ties = 0
+    import bisect
+
+    for p in pos:
+        lo = bisect.bisect_left(neg, p)
+        hi = bisect.bisect_right(neg, p)
+        wins += lo
+        ties += hi - lo
+    auc_ref = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    row = auc_roc_events(spark, SF).collect()[0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["auc"] - auc_ref) < 1e-12
+    assert abs(row["gini"] - (2 * auc_ref - 1)) < 1e-12
+
+
+def test_spearman_matches_python_midranks(spark):
+    from de4ml_spark.queries.statq2 import spearman_quantity_price
+
+    con = duckdb.connect()
+    pts = con.sql(
+        f"""SELECT CAST(CAST(l_quantity AS DECIMAL(18,2))*100 AS BIGINT),
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)
+            FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+
+    def midranks(vals):
+        c = Counter(vals)
+        out, cum = {}, 0
+        for v in sorted(c):
+            out[v] = cum + (c[v] + 1) / 2
+            cum += c[v]
+        return out
+
+    rx = midranks([x for x, _ in pts])
+    ry = midranks([y for _, y in pts])
+    xs = [rx[x] for x, _ in pts]
+    ys = [ry[y] for _, y in pts]
+    n = len(pts)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in xs) * sum((b - my) ** 2 for b in ys)
+    )
+    row = spearman_quantity_price(spark, SF).collect()[0]
+    assert row["n_tot"] == n
+    assert abs(row["spearman_rho"] - num / den) < 1e-9
+
+
+def test_kendall_matches_bruteforce(spark):
+    from de4ml_spark.queries.statq2 import kendall_tau_events
+
+    con = duckdb.connect()
+    pts = con.sql(
+        f"""SELECT CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)//5000,
+            CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                 AS BIGINT)
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND event_type IS NOT NULL"""
+    ).fetchall()
+    c = d = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            s = (pts[i][0] - pts[j][0]) * (pts[i][1] - pts[j][1])
+            c += s > 0
+            d += s < 0
+    n = len(pts)
+    tx = Counter(x for x, _ in pts)
+    ty = Counter(y for _, y in pts)
+    n0 = n * (n - 1) / 2
+    n1 = sum(t * (t - 1) / 2 for t in tx.values())
+    n2 = sum(t * (t - 1) / 2 for t in ty.values())
+    tau_ref = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+    row = kendall_tau_events(spark, SF).collect()[0]
+    assert row["c_mass"] == c and row["d_mass"] == d
+    assert abs(row["kendall_tau_b"] - tau_ref) < 1e-9
+
+
+def test_lift_deciles_partition_and_gain(spark):
+    from de4ml_spark.queries.mldataq5 import lift_deciles_events
+
+    rows = lift_deciles_events(spark, SF).collect()
+    assert sorted(r["decile"] for r in rows) == list(range(1, 11))
+    n_tot = sum(r["n_d"] for r in rows)
+    conv_tot = sum(r["conv_d"] for r in rows)
+    assert n_tot == len(_events())
+    last = max(rows, key=lambda r: r["decile"])
+    assert abs(last["cum_gain"] - 1.0) < 1e-12
+    base = conv_tot / n_tot
+    for r in rows:
+        assert abs(r["lift"] - (r["conv_d"] / r["n_d"]) / base) < 1e-9
+
+
+def test_runs_test_matches_python(spark):
+    from de4ml_spark.queries.statq2 import runs_test_value
+
+    rows = sorted(_events(), key=lambda r: (r[2], r[3]))
+    vals = [r[4] for r in rows]
+    sv = sorted(vals)
+    n = len(sv)
+    med2 = sv[(n + 1) // 2 - 1] + sv[(n + 2) // 2 - 1]
+    signs = [1 if 2 * v > med2 else 0 for v in vals if 2 * v != med2]
+    runs_ref = 1 + sum(
+        1 for a, b in zip(signs, signs[1:]) if a != b
+    )
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    row = runs_test_value(spark, SF).collect()[0]
+    assert (row["n1"], row["n2"], row["runs"]) == (n1, n2, runs_ref)
+    mu = 1 + 2 * n1 * n2 / (n1 + n2)
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert abs(row["z_runs"] - (runs_ref - mu) / math.sqrt(var)) < 1e-9
+
+
+def test_life_table_monotone(spark):
+    from de4ml_spark.queries.statq2 import life_table_retention
+
+    rows = sorted(
+        life_table_retention(spark, SF).collect(), key=lambda r: r["i"]
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_enter"] <= prev["n_enter"]
+        if prev["logsurv_r"] is not None and cur["logsurv_r"] is not None:
+            assert cur["logsurv_r"] <= prev["logsurv_r"] + 1e-12
+    # interval accounting: everyone who entered i+1 survived interval i
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_enter"] == prev["n_enter"] - prev["d_i"] - prev["w_i"]
+
+
+def test_khop_bounds_and_bfs_spotcheck(spark):
+    from de4ml_spark.queries.graphq import khop_reach_parts
+
+    got = {
+        r["node"]: (r["n_1hop"], r["n_2hop"])
+        for r in khop_reach_parts(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    edges = con.sql(
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM '{SF}/lineitem.parquet')
+            SELECT DISTINCT a.l_partkey, b.l_partkey
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey"""
+    ).fetchall()
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+    for node in list(got)[:20]:
+        one = adj[node]
+        two = set(one)
+        for v in one:
+            two |= adj[v]
+        two.discard(node)
+        assert got[node] == (len(one), len(two))
+    for n1, n2 in got.values():
+        assert n2 >= n1
+
+
+def test_perm_entropy_bounded_and_patterns_valid(spark):
+    from de4ml_spark.queries.statq2 import permutation_entropy_events
+
+    rows = permutation_entropy_events(spark, SF).collect()
+    assert 1 <= len(rows) <= 6
+    h = rows[0]["perm_entropy"]
+    assert 0.0 <= h <= math.log(6) + 1e-9
+    # the two intransitive comparison combos (a>b>c with a<=c, and
+    # a<=b<=c with a>c) cannot occur
+    assert all(r["pattern"] in (0, 2, 3, 4, 5, 7) for r in rows)
+    assert sum(r["n_p"] for r in rows) == rows[0]["n_triples"]
+
+
+def test_power_law_alpha_matches_python(spark):
+    from de4ml_spark.queries.graphq import power_law_alpha_parts
+
+    con = duckdb.connect()
+    degs = [
+        d
+        for (d,) in con.sql(
+            f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                            FROM '{SF}/lineitem.parquet'),
+            e AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
+                  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey)
+            SELECT COUNT(*) FROM (
+              SELECT u AS n FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY n"""
+        ).fetchall()
+    ]
+    dmin = min(degs)
+    alpha_ref = 1 + len(degs) / sum(math.log(d / dmin) for d in degs)
+    row = power_law_alpha_parts(spark, SF).collect()[0]
+    assert row["n_nodes"] == len(degs) and row["d_min"] == dmin
+    assert abs(row["alpha_mle"] - alpha_ref) < 1e-4
+
+
+def test_rake_phrases_exclude_stopwords(spark):
+    from de4ml_spark.operators.text import STOPWORDS
+    from de4ml_spark.queries.textq3 import rake_keywords_docs
+
+    rows = rake_keywords_docs(spark, SF).collect()
+    assert 0 < len(rows) <= 25
+    for r in rows:
+        assert r["rake_score"] > 0
+        assert not set(r["phrase"].split()) & set(STOPWORDS)
+    scores = [r["rake_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_brier_identity_and_ranges(spark):
+    from de4ml_spark.queries.mldataq5 import brier_decomposition_events
+
+    row = brier_decomposition_events(spark, SF).collect()[0]
+    assert 0 <= row["uncertainty"] <= 0.25 + 1e-12
+    assert row["reliability"] >= -1e-9
+    assert row["resolution"] >= -1e-9
+    assert abs(
+        row["brier"]
+        - (row["reliability"] - row["resolution"] + row["uncertainty"])
+    ) < 1e-12
+
+
+def test_psi_zero_on_identical_split(spark):
+    """PSI of a distribution against itself is ~0 (smoothing keeps it
+    finite); the catalog entry's value must be small and non-negative
+    for the gently drifting synthetic log."""
+    from de4ml_spark.queries.mldataq5 import psi_value_drift
+
+    row = psi_value_drift(spark, SF).collect()[0]
+    assert row["psi"] >= -1e-9
+    assert row["psi"] < 1.0  # sanity ceiling for the synthetic log
+    assert row["n_ref"] + row["n_cur"] == len(
+        duckdb.connect()
+        .sql(
+            f"SELECT 1 FROM '{SF}/events.parquet' WHERE value IS NOT NULL"
+        )
+        .fetchall()
+    )
+
+
+def test_rolling_median_matches_python_for_one_user(spark):
+    from de4ml_spark.queries.tsq2 import rolling_median_user_value
+
+    rows = _events()
+    uid = rows[0][1]
+    seq = sorted(
+        (r for r in rows if r[1] == uid), key=lambda r: (r[2], r[3])
+    )
+    got = {
+        r["event_id"]: r["med7_c"]
+        for r in rolling_median_user_value(spark, SF)
+        .filter(f"user_id = {uid}")
+        .collect()
+    }
+    for i, r in enumerate(seq):
+        frame = sorted(v for *_x, v in seq[max(0, i - 6) : i + 1])
+        n = len(frame)
+        ref = (frame[(n + 1) // 2 - 1] + frame[(n + 2) // 2 - 1]) / 2.0
+        assert got[r[3]] == ref
