@@ -101,6 +101,24 @@ HEADLINE = [
     "rfm_segments_customers",
     "emd_value_types",
     "markov_next_event_accuracy",
+    # round-9 additions: parametric tests, scorecard metrics, sequence
+    # diagnostics (khop_reach_parts stays out like triangle_count —
+    # the dense 2-hop closure is ~20-30 s on EITHER engine at sf0.1)
+    "welch_ttest_value",
+    "anova_value_types",
+    "auc_roc_events",
+    "spearman_quantity_price",
+    "lift_deciles_events",
+    "psi_value_drift",
+    "brier_decomposition_events",
+    "runs_test_value",
+    "permutation_entropy_events",
+    "rake_keywords_docs",
+    "power_law_alpha_parts",
+    "rolling_median_user_value",
+    "cliffs_delta_value",
+    "pr_auc_events",
+    "kendall_tau_events",
 ]
 
 
@@ -257,7 +275,9 @@ def main() -> None:
         for n in os.environ.get(
             "SPARK_GRAFT_BENCH_ISOLATED",
             "sessionize_events,emd_value_types,mann_whitney_value,"
-            "m4_downsample_value,rfm_segments_customers",
+            "m4_downsample_value,rfm_segments_customers,"
+            "cliffs_delta_value,pr_auc_events,auc_roc_events,"
+            "rolling_median_user_value",
         ).split(",")
         if n.strip() and n.strip() in qs
     ]

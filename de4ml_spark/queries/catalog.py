@@ -97,6 +97,7 @@ PRIORITY = [
     "permutation_entropy_events",
     "rake_keywords_docs",
     "power_law_alpha_parts",
+    "hurst_value_events",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

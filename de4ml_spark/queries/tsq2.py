@@ -2177,3 +2177,220 @@ REGISTRY["rolling_median_user_value"] = {
     "fn": rolling_median_user_value,
     "sql": ROLLING_MEDIAN_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent per event type via rescaled-range (R/S) analysis
+# over dyadic block sizes {8,16,32,64} — the classic long-memory
+# diagnostic (H≈0.5 white noise, >0.5 persistent, <0.5 mean-
+# reverting). Exactness: within each full block of n values (cents),
+# the mean-adjusted cumulative deviations are carried ×n so they stay
+# integral (dev_j = n·prefix_j − j·S), giving R/S = R_scaled/√vnum
+# with BOTH operands exact integers (vnum = n·Σx² − S²); hence
+# ln(R/S) = pln(R_scaled) − pln(vnum)/2 from two portable-ln passes,
+# micro-quantized and averaged per (type, n) in integer space. The
+# regression over the four sizes pivots them into COLUMNS, so the
+# slope is a FIXED four-term IEEE expression (identical both
+# engines), never an order-dependent SUM. Scale: sequence positions
+# come from the distributed grouped rank (operators/rank.py — a
+# Window.partitionBy(event_type) would put a fifth of the corpus on
+# one executor); block windows are ≤64 rows; zero-range blocks are
+# excluded (R=0 has no ln) and counted.
+# --------------------------------------------------------------------------
+
+_HURST_SIZES = (8, 16, 32, 64)
+_LN2 = 0.6931471805599453
+
+
+def _hurst_final() -> str:
+    # x-deviations from the mean of ln n over n in {8,16,32,64} are
+    # ln2·(-1.5,-0.5,0.5,1.5); slope = Σ(x-x̄)y / (ln2·5)
+    return (
+        "(((-1.5 * y8 - 0.5 * y16) + 0.5 * y32) + 1.5 * y64)"
+        f" / (5.0 * {_LN2!r}) AS hurst"
+    )
+
+
+def hurst_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        with_portable_ln,
+        wide_to_double_sql as _w2d,
+    )
+    from de4ml_spark.operators.rank import with_grouped_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).selectExpr(
+        "event_type",
+        "ts",
+        "event_id",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x",
+    )
+    pos = with_grouped_rank(
+        base, ["event_type"], ["ts", "event_id"], out_col="pos"
+    ).select("event_type", "pos", "x")
+    sizes = spark.createDataFrame(
+        [(n,) for n in _HURST_SIZES], "bsize int"
+    )
+    blk = pos.crossJoin(F.broadcast(sizes)).selectExpr(
+        "event_type",
+        "bsize",
+        "(pos - 1) DIV bsize AS blk",
+        "(pos - 1) % bsize AS j",
+        "x",
+    )
+    wb = Window.partitionBy("event_type", "bsize", "blk")
+    wcum = wb.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+    stats = (
+        blk.withColumn("pre", F.sum("x").over(wcum))
+        .withColumn("cnt", F.count(F.lit(1)).over(wb))
+        .withColumn("s_blk", F.sum("x").over(wb))
+        .withColumn(
+            "ss_blk",
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).over(wb),
+        )
+        .filter("cnt = bsize")
+        .selectExpr(
+            "event_type",
+            "bsize",
+            "blk",
+            "s_blk",
+            "ss_blk",
+            "CAST(bsize AS DECIMAL(38,0)) * pre - (j + 1) * s_blk"
+            " AS dev",
+        )
+    )
+    per_blk = stats.groupBy(
+        "event_type", "bsize", "blk", "s_blk", "ss_blk"
+    ).agg(
+        (F.max("dev") - F.min("dev")).alias("r_scaled")
+    ).selectExpr(
+        "event_type",
+        "bsize",
+        "r_scaled",
+        "CAST(bsize AS DECIMAL(38,0)) * ss_blk - CAST(s_blk AS"
+        " DECIMAL(38,0)) * s_blk AS vnum",
+    ).filter("r_scaled > 0 AND vnum > 0")
+    l1 = with_portable_ln(per_blk, "r_scaled", "1", "__lnr")
+    l2 = with_portable_ln(l1, "vnum", "1", "__lnv").selectExpr(
+        "event_type",
+        "bsize",
+        "CAST(floor((__lnr - __lnv / 2.0) * 1000000.0 + 0.5)"
+        " AS BIGINT) AS lnrs_u",
+    )
+    per_size = l2.groupBy("event_type", "bsize").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum(F.expr("CAST(lnrs_u AS DECIMAL(38,0))")).alias("sum_u"),
+    )
+    y = f"{_w2d('sum_u', 'DIV')} / (CAST(nb AS DOUBLE) * 1000000.0)"
+    pivot = per_size.groupBy("event_type").agg(
+        *[
+            F.max(
+                F.expr(f"CASE WHEN bsize = {n} THEN {y} END")
+            ).alias(f"y{n}")
+            for n in _HURST_SIZES
+        ]
+    )
+    return pivot.selectExpr(
+        "event_type", "y8", "y16", "y32", "y64", _hurst_final()
+    ).orderBy("event_type")
+
+
+def _hurst_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+        wide_to_double_sql as _w2d,
+    )
+
+    sizes = ", ".join(f"({n})" for n in _HURST_SIZES)
+    y = f"{_w2d('sum_u', '//')} / (CAST(nb AS DOUBLE) * 1000000.0)"
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN bsize = {n} THEN {y} END) AS y{n}"
+        for n in _HURST_SIZES
+    )
+    ln_r = portable_ln_duck_ctes(
+        "per_blk", "event_type, bsize, vnum", "r_scaled", "1",
+        "lnr", "hr",
+    )
+    ln_v = portable_ln_duck_ctes(
+        "hr_out", "event_type, bsize, lnr", "vnum", "1", "lnv", "hv"
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+pos AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS pos
+  FROM base
+),
+blk AS (
+  SELECT event_type, bsize,
+         (pos - 1) // bsize AS blk,
+         (pos - 1) % bsize AS j,
+         x
+  FROM pos CROSS JOIN (VALUES {sizes}) AS s(bsize)
+),
+stats AS (
+  SELECT event_type, bsize, blk, s_blk, ss_blk,
+         CAST(bsize AS HUGEINT) * pre - (j + 1) * s_blk AS dev,
+         cnt
+  FROM (
+    SELECT event_type, bsize, blk, j, x,
+           SUM(x) OVER (PARTITION BY event_type, bsize, blk
+             ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS pre,
+           COUNT(*) OVER (PARTITION BY event_type, bsize, blk) AS cnt,
+           SUM(x) OVER (PARTITION BY event_type, bsize, blk) AS s_blk,
+           SUM(CAST(x AS HUGEINT) * x)
+             OVER (PARTITION BY event_type, bsize, blk) AS ss_blk
+    FROM blk
+  )
+  WHERE cnt = bsize
+),
+per_blk AS (
+  SELECT event_type, bsize,
+         MAX(dev) - MIN(dev) AS r_scaled,
+         CAST(bsize AS HUGEINT) * ss_blk
+           - CAST(s_blk AS HUGEINT) * s_blk AS vnum
+  FROM stats
+  GROUP BY event_type, bsize, blk, s_blk, ss_blk
+  HAVING (MAX(dev) - MIN(dev)) > 0
+     AND (CAST(bsize AS HUGEINT) * ss_blk
+          - CAST(s_blk AS HUGEINT) * s_blk) > 0
+),
+{ln_r},
+{ln_v},
+l2 AS (
+  SELECT event_type, bsize,
+         CAST(floor((lnr - lnv / 2.0) * 1000000.0 + 0.5) AS BIGINT)
+           AS lnrs_u
+  FROM hv_out
+),
+per_size AS (
+  SELECT event_type, bsize,
+         CAST(COUNT(*) AS BIGINT) AS nb,
+         SUM(CAST(lnrs_u AS HUGEINT)) AS sum_u
+  FROM l2 GROUP BY 1, 2
+),
+pvt AS (
+  SELECT event_type,
+         {pivots}
+  FROM per_size GROUP BY 1
+)
+SELECT event_type, y8, y16, y32, y64,
+       {_hurst_final()}
+FROM pvt
+ORDER BY event_type
+"""
+
+
+REGISTRY["hurst_value_events"] = {
+    "fn": hurst_value_events,
+    "sql": _hurst_sql(),
+}
