@@ -98,6 +98,9 @@ PRIORITY = [
     "rake_keywords_docs",
     "power_law_alpha_parts",
     "hurst_value_events",
+    "friedman_daily_value",
+    "grubbs_value_events",
+    "cochran_q_docs",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -1640,3 +1640,335 @@ REGISTRY["permutation_entropy_events"] = {
     "fn": permutation_entropy_events,
     "sql": _perm_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Friedman test across event types blocked by calendar day — the
+# repeated-measures k-sample test ("do the types' daily mean values
+# rank consistently?") completing the rank-test family. Each day
+# ranks its k types by mean value; the mean is an exact rational
+# s/n whose CORRECTLY-ROUNDED double is engine-identical (s, n <
+# 2^53), so ranking on (double, type) is deterministic both engines
+# (ties broken by type name — ROW_NUMBER, not midranks, documented).
+# χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) from integer rank sums.
+# Scale: one groupBy to the (day × type) table; the rank windows are
+# k-row.
+# --------------------------------------------------------------------------
+
+
+def _friedman_final(div: str) -> list[str]:
+    big = _big(div)
+    return [
+        "n_days",
+        "k_types",
+        f"12.0 * {_w2d(f'CAST(1 AS {big}) * r2_sum', div)}"
+        " / (CAST(n_days AS DOUBLE) * CAST(k_types AS DOUBLE)"
+        " * CAST(k_types + 1 AS DOUBLE))"
+        " - 3.0 * CAST(n_days AS DOUBLE) * CAST(k_types + 1 AS DOUBLE)"
+        " AS chi2_friedman",
+    ]
+
+
+def friedman_daily_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cell = (
+        ev.filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+            ).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .selectExpr(
+            "day",
+            "event_type",
+            "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m",
+        )
+    )
+    # only complete blocks (every type present that day) keep the
+    # test's k constant — the standard complete-block requirement
+    ktot = cell.agg(
+        F.countDistinct("event_type").cast("bigint").alias("k_types")
+    )
+    full = (
+        cell.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("kd"))
+        .join(F.broadcast(ktot), F.expr("kd = k_types"))
+        .select("day")
+    )
+    wday = Window.partitionBy("day").orderBy("m", "event_type")
+    ranked = (
+        cell.join(full, "day")
+        .withColumn("r", F.row_number().over(wday))
+    )
+    rsums = ranked.groupBy("event_type").agg(
+        F.sum("r").cast("bigint").alias("r_j")
+    )
+    agg = (
+        rsums.agg(
+            F.sum(F.expr("CAST(r_j AS DECIMAL(38,0)) * r_j")).alias(
+                "r2_sum"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("k_types"),
+        )
+        .crossJoin(
+            F.broadcast(
+                full.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+            )
+        )
+    )
+    return agg.selectExpr(*_friedman_final("DIV"))
+
+
+def _friedman_sql() -> str:
+    final = ",\n       ".join(_friedman_final("//"))
+    return f"""
+WITH cell AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+ktot AS (
+  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k_types
+  FROM cell
+),
+full_days AS (
+  SELECT day FROM cell CROSS JOIN ktot
+  GROUP BY day, k_types
+  HAVING COUNT(*) = MAX(k_types)
+),
+ranked AS (
+  SELECT c.event_type,
+         ROW_NUMBER() OVER (PARTITION BY c.day
+                            ORDER BY c.m, c.event_type) AS r
+  FROM cell c JOIN full_days USING (day)
+),
+rsums AS (
+  SELECT event_type, CAST(SUM(r) AS BIGINT) AS r_j
+  FROM ranked GROUP BY 1
+),
+agg AS (
+  SELECT SUM(CAST(r_j AS HUGEINT) * r_j) AS r2_sum,
+         CAST(COUNT(*) AS BIGINT) AS k_types
+  FROM rsums
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM full_days)
+SELECT {final}
+FROM agg CROSS JOIN nd
+"""
+
+
+REGISTRY["friedman_daily_value"] = {
+    "fn": friedman_daily_value,
+    "sql": _friedman_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Grubbs outlier statistic on event values: G = max|xᵢ − x̄|/s, with
+# the arg-max event identified — the classic single-outlier screen a
+# validation gate runs before fitting anything Gaussian. |n·xᵢ − S|
+# is an exact integer per row (its max is an integer aggregate), the
+# variance numerator n·Σx² − S² is 128-bit, and G is one fixed IEEE
+# chain over wide_to_double conversions. The arg-max id is the
+# deterministic (deviation DESC, event_id) leader via max_by on the
+# integer pair. Scale: two scans (moments, then arg-max), no windows.
+# --------------------------------------------------------------------------
+
+
+def _grubbs_final(div: str) -> list[str]:
+    return [
+        "n_tot",
+        "outlier_event_id",
+        f"({_w2d('max_dev', div)} / CAST(n_tot AS DOUBLE))"
+        f" / sqrt({_w2d('vnum', div)}"
+        " / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)"
+        " * CAST(n_tot - 1 AS DOUBLE))) AS grubbs_g",
+    ]
+
+
+def grubbs_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).selectExpr(
+        "event_id",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x",
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tot"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("ss"),
+    )
+    dev = base.crossJoin(F.broadcast(mom)).selectExpr(
+        "event_id",
+        "n_tot",
+        "s",
+        "ss",
+        "abs(CAST(n_tot AS DECIMAL(38,0)) * x - s) AS d",
+    )
+    agg = dev.groupBy("n_tot", "s", "ss").agg(
+        F.max("d").alias("max_dev"),
+        F.expr(
+            "max_by(event_id, named_struct('d', d, 'neg_id',"
+            " -event_id))"
+        ).alias("outlier_event_id"),
+    )
+    return agg.selectExpr(
+        "n_tot",
+        "outlier_event_id",
+        "max_dev",
+        "CAST(n_tot AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0))"
+        " * s AS _vn",
+    ).selectExpr(
+        "n_tot",
+        "outlier_event_id",
+        "max_dev",
+        "_vn AS vnum",
+    ).selectExpr(*_grubbs_final("DIV"))
+
+
+def _grubbs_sql() -> str:
+    final = ",\n       ".join(_grubbs_final("//"))
+    return f"""
+WITH base AS (
+  SELECT event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+         CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS ss
+  FROM base
+),
+dev AS (
+  SELECT event_id, n_tot, s, ss,
+         abs(CAST(n_tot AS HUGEINT) * x - s) AS d
+  FROM base CROSS JOIN mom
+),
+agg AS (
+  SELECT n_tot, s, ss, MAX(d) AS max_dev
+  FROM dev GROUP BY 1, 2, 3
+),
+-- DuckDB's arg_max has no struct tie-break; pick the smallest id
+-- among the arg-max rows in a second pass (same semantics as the
+-- Spark side's max_by over the (d, -event_id) pair)
+winner AS (
+  SELECT MIN(dev.event_id) AS outlier_event_id
+  FROM dev JOIN agg ON dev.d = agg.max_dev
+)
+SELECT {final}
+FROM (
+  SELECT n_tot, outlier_event_id, max_dev,
+         CAST(n_tot AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS vnum
+  FROM agg CROSS JOIN winner
+)
+"""
+
+
+REGISTRY["grubbs_value_events"] = {
+    "fn": grubbs_value_events,
+    "sql": _grubbs_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Cochran's Q across THREE deterministic document-quality rules
+# (length ≥ 300 chars; ≥ 50 tokens; mean word length ≥ 4) — the
+# k-rater extension of Cohen's κ: "do these labeling rules pass the
+# same documents?". Q = k(k−1)·Σ_j(C_j − T/k)²·k / (k·T − Σ_i R_i²)
+# in the standard form — computed here from exact integer column
+# sums C_j, row sums R_i, and T, all 128-bit-safe, one IEEE tail.
+# Scale: map-only flags + two integer aggregates.
+# --------------------------------------------------------------------------
+
+
+def _cochran_final(div: str) -> list[str]:
+    big = _big(div)
+    # Q = (k-1)·(k·ΣC² − T²) / (k·T − ΣR²)
+    num = f"3 * (CAST(1 AS {big}) * c2_sum) - CAST(t AS {big}) * t"
+    den = f"3 * CAST(t AS {big}) - r2_sum"
+    return [
+        "n_docs",
+        "c1",
+        "c2",
+        "c3",
+        f"2.0 * {_w2d(num, div)} / {_w2d(den, div)} AS cochran_q",
+    ]
+
+
+def cochran_q_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.selectExpr(
+        "CAST(n_chars >= 300 AS BIGINT) AS f1",
+        "CAST(size(split(text, ' ')) >= 50 AS BIGINT) AS f2",
+        "CAST(n_chars >= 4 * size(split(text, ' ')) AS BIGINT) AS f3",
+    ).selectExpr("f1", "f2", "f3", "f1 + f2 + f3 AS r")
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("f1").cast("bigint").alias("c1"),
+        F.sum("f2").cast("bigint").alias("c2"),
+        F.sum("f3").cast("bigint").alias("c3"),
+        F.sum("r").cast("bigint").alias("t"),
+        F.sum(F.expr("CAST(r AS DECIMAL(38,0)) * r")).alias("r2_sum"),
+    )
+    staged = agg.selectExpr(
+        "n_docs",
+        "c1",
+        "c2",
+        "c3",
+        "t",
+        "r2_sum",
+        "CAST(c1 AS DECIMAL(38,0)) * c1 + CAST(c2 AS DECIMAL(38,0))"
+        " * c2 + CAST(c3 AS DECIMAL(38,0)) * c3 AS c2_sum",
+    )
+    return staged.selectExpr(*_cochran_final("DIV"))
+
+
+def _cochran_sql() -> str:
+    final = ",\n       ".join(_cochran_final("//"))
+    return f"""
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS f1,
+         CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END
+           AS f2,
+         CASE WHEN n_chars >= 4 * len(string_split(text, ' '))
+              THEN 1 ELSE 0 END AS f3
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(f1) AS BIGINT) AS c1,
+         CAST(SUM(f2) AS BIGINT) AS c2,
+         CAST(SUM(f3) AS BIGINT) AS c3,
+         CAST(SUM(f1 + f2 + f3) AS BIGINT) AS t,
+         SUM(CAST(f1 + f2 + f3 AS HUGEINT) * (f1 + f2 + f3)) AS r2_sum
+  FROM flags
+),
+staged AS (
+  SELECT n_docs, c1, c2, c3, t, r2_sum,
+         CAST(c1 AS HUGEINT) * c1 + CAST(c2 AS HUGEINT) * c2
+           + CAST(c3 AS HUGEINT) * c3 AS c2_sum
+  FROM agg
+)
+SELECT {final}
+FROM staged
+"""
+
+
+REGISTRY["cochran_q_docs"] = {
+    "fn": cochran_q_docs,
+    "sql": _cochran_sql(),
+}
