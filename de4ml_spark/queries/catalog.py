@@ -101,6 +101,10 @@ PRIORITY = [
     "friedman_daily_value",
     "grubbs_value_events",
     "cochran_q_docs",
+    "mcnemar_docs",
+    "jonckheere_value",
+    "cochran_armitage_trend",
+    "goertzel_weekly_events",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -1972,3 +1972,341 @@ REGISTRY["cochran_q_docs"] = {
     "fn": cochran_q_docs,
     "sql": _cochran_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# McNemar's test on the paired document-quality annotators from the
+# Cohen's-κ entry (rule A: n_chars ≥ 300; rule B: ≥ 50 tokens) — the
+# paired "did the rules disagree SYMMETRICALLY" test that κ does not
+# answer. χ² = (b−c)²/(b+c) plus the continuity-corrected
+# (|b−c|−1)²/(b+c), both single divisions of exact integers.
+# Scale: map-only flags + one 4-cell aggregate.
+# --------------------------------------------------------------------------
+
+
+def _mcnemar_final(div: str) -> list[str]:
+    big = _big(div)
+    return [
+        "n_docs",
+        "b_only_a",
+        "c_only_b",
+        f"{_w2d(f'CAST(b_only_a - c_only_b AS {big}) * (b_only_a - c_only_b)', div)}"
+        " / CAST(b_only_a + c_only_b AS DOUBLE) AS chi2_mcnemar",
+        f"{_w2d(f'CAST(abs(b_only_a - c_only_b) - 1 AS {big}) * (abs(b_only_a - c_only_b) - 1)', div)}"
+        " / CAST(b_only_a + c_only_b AS DOUBLE) AS chi2_cc",
+    ]
+
+
+def mcnemar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.selectExpr(
+        "CAST(n_chars >= 300 AS BIGINT) AS ra",
+        "CAST(size(split(text, ' ')) >= 50 AS BIGINT) AS rb",
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.expr("CAST(ra = 1 AND rb = 0 AS BIGINT)"))
+        .cast("bigint")
+        .alias("b_only_a"),
+        F.sum(F.expr("CAST(ra = 0 AND rb = 1 AS BIGINT)"))
+        .cast("bigint")
+        .alias("c_only_b"),
+    )
+    return agg.selectExpr(*_mcnemar_final("DIV"))
+
+
+def _mcnemar_sql() -> str:
+    final = ",\n       ".join(_mcnemar_final("//"))
+    return f"""
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+         CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END
+           AS rb
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b_only_a,
+         CAST(SUM(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_only_b
+  FROM flags
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["mcnemar_docs"] = {
+    "fn": mcnemar_docs,
+    "sql": _mcnemar_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Jonckheere-Terpstra test for an ORDERED shift across event types
+# (lexicographic type order as the a-priori ordering, documented) —
+# JT = Σ_{i<j} [#(x_i < x_j) + ½#(=)], assembled from the SAME
+# pairwise midrank-U machinery as mann_whitney_value: per ordered
+# pair, the "later type beats earlier" doubled mass is
+# 2·nₐ·n_b − U₂(a beats b). The null mean uses the exact marginals;
+# the z denominator uses the standard no-ties JT variance
+# [N²(2N+3) − Σnᵢ²(2nᵢ+3)]/72 (documented approximation — the value
+# histogram has ties but the tie correction is O(tie³/N³) here).
+# Scale: identical to mann_whitney (histogram windows per pair).
+# --------------------------------------------------------------------------
+
+
+def _jt_final(div: str) -> list[str]:
+    big = _big(div)
+    var72 = (
+        f"CAST(n_tot AS {big}) * n_tot * (2 * n_tot + 3) - sum_nv"
+    )
+    return [
+        "n_tot",
+        "jt2",
+        "e2",
+        f"(CAST(jt2 - e2 AS DOUBLE) / 2.0)"
+        f" / sqrt({_w2d(var72, div)} / 72.0) AS z_jt",
+    ]
+
+
+def jonckheere_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    types = counts.select("event_type").distinct()
+    pairs = (
+        types.alias("ta")
+        .crossJoin(types.alias("tb"))
+        .filter(F.col("ta.event_type") < F.col("tb.event_type"))
+        .select(
+            F.col("ta.event_type").alias("type_a"),
+            F.col("tb.event_type").alias("type_b"),
+        )
+    )
+    memb = pairs.selectExpr(
+        "type_a",
+        "type_b",
+        "explode(array(named_struct('et', type_a, 'is_a', 1),"
+        " named_struct('et', type_b, 'is_a', 0))) AS m",
+    ).selectExpr("m.et AS event_type", "type_a", "type_b", "m.is_a")
+    member = counts.join(F.broadcast(memb), "event_type").select(
+        "type_a",
+        "type_b",
+        "v_c",
+        (F.col("cnt") * F.col("is_a")).alias("cnt_a"),
+        (F.col("cnt") * (1 - F.col("is_a"))).alias("cnt_b"),
+    )
+    byval = member.groupBy("type_a", "type_b", "v_c").agg(
+        F.sum("cnt_a").alias("a_n"),
+        F.sum("cnt_b").alias("b_n"),
+    )
+    wcum = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # doubled "b beats a" mass per pair: Σ_v b_n·(2·#a<v + a_n_at_v)
+    ranked = byval.withColumn(
+        "cum_a", F.sum("a_n").over(wcum)
+    ).selectExpr(
+        "type_a",
+        "type_b",
+        "a_n",
+        "b_n",
+        "CAST(b_n AS DECIMAL(38,0)) * (2 * (cum_a - a_n) + a_n)"
+        " AS u2_term",
+    )
+    per_pair = ranked.groupBy("type_a", "type_b").agg(
+        F.sum("u2_term").alias("u2_ba")
+    )
+    jt = per_pair.agg(F.sum("u2_ba").alias("jt2_w"))
+    marg = counts.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_i")
+    )
+    mtot = marg.agg(
+        F.sum("n_i").cast("bigint").alias("n_tot"),
+        F.sum(F.expr("CAST(n_i AS DECIMAL(38,0)) * n_i")).alias(
+            "sum_n2"
+        ),
+        F.sum(
+            F.expr(
+                "CAST(n_i AS DECIMAL(38,0)) * n_i * (2 * n_i + 3)"
+            )
+        ).alias("sum_nv"),
+    )
+    agg = jt.crossJoin(F.broadcast(mtot)).selectExpr(
+        "n_tot",
+        "sum_nv",
+        "CAST(jt2_w AS BIGINT) AS jt2",
+        # E[2·JT] = (N² − Σnᵢ²)/2
+        "CAST((CAST(n_tot AS DECIMAL(38,0)) * n_tot - sum_n2) / 2"
+        " AS BIGINT) AS e2",
+    )
+    return agg.selectExpr(*_jt_final("DIV"))
+
+
+def _jt_sql() -> str:
+    final = ",\n       ".join(_jt_final("//"))
+    return f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         COUNT(*) AS cnt
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM counts),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a CROSS JOIN types b
+  WHERE a.event_type < b.event_type
+),
+member AS (
+  SELECT p.type_a, p.type_b, c.v_c,
+         CASE WHEN c.event_type = p.type_a THEN c.cnt ELSE 0 END
+           AS cnt_a,
+         CASE WHEN c.event_type = p.type_b THEN c.cnt ELSE 0 END
+           AS cnt_b
+  FROM counts c JOIN pairs p
+    ON c.event_type = p.type_a OR c.event_type = p.type_b
+),
+byval AS (
+  SELECT type_a, type_b, v_c,
+         SUM(cnt_a) AS a_n, SUM(cnt_b) AS b_n
+  FROM member GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT type_a, type_b, a_n, b_n,
+         CAST(b_n AS HUGEINT)
+           * (2 * (SUM(a_n) OVER (PARTITION BY type_a, type_b
+                ORDER BY v_c ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) - a_n) + a_n) AS u2_term
+  FROM byval
+),
+jt AS (
+  SELECT SUM(u2_term) AS jt2_w FROM ranked
+),
+marg AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_i
+  FROM counts GROUP BY 1
+),
+mtot AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n_tot,
+         SUM(CAST(n_i AS HUGEINT) * n_i) AS sum_n2,
+         SUM(CAST(n_i AS HUGEINT) * n_i * (2 * n_i + 3)) AS sum_nv
+  FROM marg
+),
+agg AS (
+  SELECT n_tot, sum_nv,
+         CAST(jt2_w AS BIGINT) AS jt2,
+         CAST((CAST(n_tot AS HUGEINT) * n_tot - sum_n2) // 2
+              AS BIGINT) AS e2
+  FROM jt CROSS JOIN mtot
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["jonckheere_value"] = {
+    "fn": jonckheere_value,
+    "sql": _jt_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Cochran-Armitage trend test: does the purchase rate trend
+# monotonically across the ordered $50 value buckets? χ²_trend =
+# N·(N·Σs·g − G·Σs·n)² / (G·(N−G)·(N·Σs²·n − (Σs·n)²)) with integer
+# bucket scores s — every factor an exact 128-bit integer, one
+# wide_to_double ratio. (Bound: the squared numerator needs
+# N·(N·Σsg)² < 10³⁸ — holds to ~10⁸ rows per grading partition;
+# beyond that, pre-scale the scores.) Scale: one groupBy to the
+# bucket table.
+# --------------------------------------------------------------------------
+
+
+def _ca_final(div: str) -> list[str]:
+    big = _big(div)
+    tnum = f"CAST(n_tot AS {big}) * sg - CAST(g_tot AS {big}) * sn"
+    return [
+        "n_tot",
+        "g_tot",
+        f"{_w2d(f'CAST(n_tot AS {big}) * ({tnum}) * ({tnum})', div)}"
+        f" / ({_w2d(f'CAST(g_tot AS {big}) * (n_tot - g_tot)', div)}"
+        f" * {_w2d(f'CAST(n_tot AS {big}) * ssn - CAST(sn AS {big}) * sn', div)}"
+        " / CAST(n_tot AS DOUBLE)) AS chi2_trend",
+    ]
+
+
+def cochran_armitage_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .selectExpr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 5000 AS s",
+            "CAST(event_type = 'purchase' AS BIGINT) AS is_pos",
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("is_pos").cast("bigint").alias("g"),
+        )
+    )
+    agg = per.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("g").cast("bigint").alias("g_tot"),
+        F.sum(F.expr("s * g")).cast("bigint").alias("sg"),
+        F.sum(F.expr("s * n")).cast("bigint").alias("sn"),
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s * n")).alias("ssn"),
+    )
+    return agg.selectExpr(*_ca_final("DIV"))
+
+
+def _ca_sql() -> str:
+    final = ",\n       ".join(_ca_final("//"))
+    return f"""
+WITH per AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000
+           AS s,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS g
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(g) AS BIGINT) AS g_tot,
+         CAST(SUM(s * g) AS BIGINT) AS sg,
+         CAST(SUM(s * n) AS BIGINT) AS sn,
+         SUM(CAST(s AS HUGEINT) * s * n) AS ssn
+  FROM per
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["cochran_armitage_trend"] = {
+    "fn": cochran_armitage_trend,
+    "sql": _ca_sql(),
+}

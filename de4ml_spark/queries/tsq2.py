@@ -2394,3 +2394,130 @@ REGISTRY["hurst_value_events"] = {
     "fn": hurst_value_events,
     "sql": _hurst_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Weekly spectral power of each event type's daily count series — the
+# single-bin DFT (Goertzel) readout at period 7 that quantifies "how
+# weekly is this event type", complementing seasonal_strength's
+# decomposition view. The 7 twiddle factors are EMBEDDED double
+# literals (both engines parse the identical decimal strings to the
+# identical doubles), each term c_d·cos/sin is one correctly-rounded
+# product HALF-UP micro-quantized before the integer sum (a float SUM
+# would be addition-order-dependent), and the power is a fixed IEEE
+# chain. Scale: one groupBy to the (type × day) table; everything
+# after is calendar-bounded.
+# --------------------------------------------------------------------------
+
+_W7_COS = (
+    "1.0", "0.6234898018587336", "-0.22252093395631434",
+    "-0.900968867902419", "-0.9009688679024191",
+    "-0.2225209339563146", "0.6234898018587334",
+)
+_W7_SIN = (
+    "0.0", "0.7818314824680298", "0.9749279121818236",
+    "0.43388373911755823", "-0.433883739117558",
+    "-0.9749279121818236", "-0.7818314824680299",
+)
+
+
+def _w7_case(vals) -> str:
+    arms = " ".join(
+        f"WHEN {k} THEN CAST({v} AS DOUBLE)" for k, v in enumerate(vals)
+    )
+    return f"(CASE dow7 {arms} END)"
+
+
+def goertzel_weekly_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .selectExpr(
+            "event_type",
+            "c",
+            "CAST(datediff(day, DATE '1970-01-01') % 7 AS INT)"
+            " AS dow7",
+        )
+    )
+    terms = daily.selectExpr(
+        "event_type",
+        "c",
+        f"CAST(floor(CAST(c AS DOUBLE) * {_w7_case(_W7_COS)}"
+        " * 1000000.0 + 0.5) AS BIGINT) AS tc",
+        f"CAST(floor(CAST(c AS DOUBLE) * {_w7_case(_W7_SIN)}"
+        " * 1000000.0 + 0.5) AS BIGINT) AS ts_",
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(F.expr("CAST(tc AS DECIMAL(38,0))")).alias("sc"),
+        F.sum(F.expr("CAST(ts_ AS DECIMAL(38,0))")).alias("ss"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n_events",
+        f"({_w2d('sc', 'DIV')} / 1000000.0)"
+        f" * ({_w2d('sc', 'DIV')} / 1000000.0)"
+        f" + ({_w2d('ss', 'DIV')} / 1000000.0)"
+        f" * ({_w2d('ss', 'DIV')} / 1000000.0) AS weekly_power",
+    ).orderBy("event_type")
+
+
+def _goertzel_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+keyed AS (
+  SELECT event_type, c,
+         CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS INT)
+           AS dow7
+  FROM daily
+),
+terms AS (
+  SELECT event_type, c,
+         CAST(floor(CAST(c AS DOUBLE) * {_w7_case(_W7_COS)}
+              * 1000000.0 + 0.5) AS BIGINT) AS tc,
+         CAST(floor(CAST(c AS DOUBLE) * {_w7_case(_W7_SIN)}
+              * 1000000.0 + 0.5) AS BIGINT) AS ts_
+  FROM keyed
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         SUM(CAST(tc AS HUGEINT)) AS sc,
+         SUM(CAST(ts_ AS HUGEINT)) AS ss
+  FROM terms GROUP BY 1
+)
+SELECT event_type, n_events,
+       ({_w2d("sc", "//")} / 1000000.0)
+         * ({_w2d("sc", "//")} / 1000000.0)
+       + ({_w2d("ss", "//")} / 1000000.0)
+         * ({_w2d("ss", "//")} / 1000000.0) AS weekly_power
+FROM agg
+ORDER BY event_type
+"""
+
+
+REGISTRY["goertzel_weekly_events"] = {
+    "fn": goertzel_weekly_events,
+    "sql": _goertzel_sql(),
+}
