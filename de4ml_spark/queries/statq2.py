@@ -1792,9 +1792,11 @@ def _grubbs_final(div: str) -> list[str]:
     return [
         "n_tot",
         "outlier_event_id",
+        # s² = vnum/(n(n−1)) in cents² (vnum = n·Σx² − S²); the ×n in
+        # max_dev = max|n·x − S| cancels against /n here
         f"({_w2d('max_dev', div)} / CAST(n_tot AS DOUBLE))"
         f" / sqrt({_w2d('vnum', div)}"
-        " / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)"
+        " / (CAST(n_tot AS DOUBLE)"
         " * CAST(n_tot - 1 AS DOUBLE))) AS grubbs_g",
     ]
 

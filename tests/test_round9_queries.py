@@ -339,3 +339,177 @@ def test_rolling_median_matches_python_for_one_user(spark):
         n = len(frame)
         ref = (frame[(n + 1) // 2 - 1] + frame[(n + 2) // 2 - 1]) / 2.0
         assert got[r[3]] == ref
+
+
+def test_grubbs_matches_python(spark):
+    from de4ml_spark.queries.statq2 import grubbs_value_events
+
+    vals = [(r[3], r[4]) for r in _events()]  # (event_id, cents)
+    xs = [v for _, v in vals]
+    n = len(xs)
+    mean = sum(xs) / n
+    s = math.sqrt(sum((x - mean) ** 2 for x in xs) / (n - 1))
+    g_ref, id_ref = max(
+        ((abs(x - mean) / s, -eid) for eid, x in vals)
+    )
+    row = grubbs_value_events(spark, SF).collect()[0]
+    assert row["n_tot"] == n
+    assert row["outlier_event_id"] == -id_ref
+    assert abs(row["grubbs_g"] - g_ref) < 1e-9
+
+
+def test_mcnemar_and_cochran_q_match_python(spark):
+    from de4ml_spark.queries.statq2 import cochran_q_docs, mcnemar_docs
+
+    con = duckdb.connect()
+    flags = con.sql(
+        f"""SELECT n_chars >= 300,
+                   len(string_split(text, ' ')) >= 50,
+                   n_chars >= 4 * len(string_split(text, ' '))
+            FROM '{SF}/documents.parquet'"""
+    ).fetchall()
+    b = sum(1 for a, bb, _ in flags if a and not bb)
+    c = sum(1 for a, bb, _ in flags if not a and bb)
+    row = mcnemar_docs(spark, SF).collect()[0]
+    assert (row["b_only_a"], row["c_only_b"]) == (b, c)
+    assert abs(row["chi2_mcnemar"] - (b - c) ** 2 / (b + c)) < 1e-9
+
+    k = 3
+    cs = [sum(f[j] for f in flags) for j in range(k)]
+    rs = [sum(f) for f in flags]
+    t = sum(rs)
+    q_ref = (
+        (k - 1) * (k * sum(x * x for x in cs) - t * t)
+        / (k * t - sum(r * r for r in rs))
+    )
+    rowq = cochran_q_docs(spark, SF).collect()[0]
+    assert [rowq["c1"], rowq["c2"], rowq["c3"]] == cs
+    assert abs(rowq["cochran_q"] - q_ref) < 1e-9
+
+
+def test_cochran_armitage_matches_python(spark):
+    from de4ml_spark.queries.statq2 import cochran_armitage_trend
+
+    per = defaultdict(lambda: [0, 0])
+    for et, *_r, v in _events():
+        s = v // 5000
+        per[s][0] += 1
+        per[s][1] += et == "purchase"
+    n_tot = sum(n for n, _ in per.values())
+    g_tot = sum(g for _, g in per.values())
+    sg = sum(s * g for s, (_, g) in per.items())
+    sn = sum(s * n for s, (n, _) in per.items())
+    ssn = sum(s * s * n for s, (n, _) in per.items())
+    num = n_tot * (n_tot * sg - g_tot * sn) ** 2
+    den = g_tot * (n_tot - g_tot) * (n_tot * ssn - sn * sn) / n_tot
+    row = cochran_armitage_trend(spark, SF).collect()[0]
+    assert (row["n_tot"], row["g_tot"]) == (n_tot, g_tot)
+    assert abs(row["chi2_trend"] - num / den) / (num / den) < 1e-9
+
+
+def test_friedman_matches_python(spark):
+    from de4ml_spark.queries.statq2 import friedman_daily_value
+
+    cells = defaultdict(dict)
+    for et, _uid, ts, _eid, v in _events():
+        cells[ts.date()].setdefault(et, []).append(v)
+    k = len({et for d in cells.values() for et in d})
+    full = {d: m for d, m in cells.items() if len(m) == k}
+    rsum = Counter()
+    for d, m in full.items():
+        means = sorted(
+            (sum(xs) / len(xs), et) for et, xs in m.items()
+        )
+        for r, (_mean, et) in enumerate(means, 1):
+            rsum[et] += r
+    n = len(full)
+    chi_ref = 12 / (n * k * (k + 1)) * sum(
+        r * r for r in rsum.values()
+    ) - 3 * n * (k + 1)
+    row = friedman_daily_value(spark, SF).collect()[0]
+    assert (row["n_days"], row["k_types"]) == (n, k)
+    assert abs(row["chi2_friedman"] - chi_ref) < 1e-6
+
+
+def test_jonckheere_matches_bruteforce(spark):
+    from de4ml_spark.queries.statq2 import jonckheere_value
+
+    groups = defaultdict(list)
+    for et, *_r, v in _events():
+        groups[et].append(v)
+    names = sorted(groups)
+    jt2 = 0
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            for x in groups[names[i]]:
+                for y in groups[names[j]]:
+                    jt2 += 2 * (x < y) + (x == y)
+    row = jonckheere_value(spark, SF).collect()[0]
+    assert row["jt2"] == jt2
+    n = sum(len(g) for g in groups.values())
+    e2 = (n * n - sum(len(g) ** 2 for g in groups.values())) // 2
+    assert row["e2"] == e2
+
+
+def test_goertzel_matches_python(spark):
+    from de4ml_spark.queries.tsq2 import goertzel_weekly_events
+
+    daily = Counter()
+    for et, _uid, ts, *_r in _events():
+        daily[(et, ts.date())] += 1
+    ref = {}
+    for et in {k[0] for k in daily}:
+        sc = ss = 0.0
+        for (e, d), c in daily.items():
+            if e != et:
+                continue
+            th = 2 * math.pi * (d.toordinal() - 719163) % 7  # noqa
+            k7 = (d.toordinal() - 719163) % 7
+            ang = 2 * math.pi * k7 / 7
+            sc += c * math.cos(ang)
+            ss += c * math.sin(ang)
+        ref[et] = sc * sc + ss * ss
+    for r in goertzel_weekly_events(spark, SF).collect():
+        # quantization at 1e-6 per day-term: |err| bounded well under
+        # 1e-3 relative for these magnitudes
+        assert abs(r["weekly_power"] - ref[r["event_type"]]) < max(
+            1e-6, 1e-6 * abs(ref[r["event_type"]])
+        ) + 1e-3
+
+
+def test_hurst_matches_python(spark):
+    from de4ml_spark.queries.tsq2 import hurst_value_events
+
+    seqs = defaultdict(list)
+    for et, _uid, ts, eid, v in sorted(
+        _events(), key=lambda r: (r[2], r[3])
+    ):
+        seqs[et].append(v)
+    ref = {}
+    for et, xs in seqs.items():
+        ys = {}
+        for n in (8, 16, 32, 64):
+            lns = []
+            for b0 in range(0, len(xs) - n + 1, n):
+                blk = xs[b0 : b0 + n]
+                s = sum(blk)
+                pre = 0
+                devs = []
+                for j, x in enumerate(blk):
+                    pre += x
+                    devs.append(n * pre - (j + 1) * s)
+                r_scaled = max(devs) - min(devs)
+                vnum = n * sum(x * x for x in blk) - s * s
+                if r_scaled > 0 and vnum > 0:
+                    lns.append(
+                        math.log(r_scaled) - math.log(vnum) / 2
+                    )
+            if lns:
+                ys[n] = sum(lns) / len(lns)
+        if len(ys) == 4:
+            ref[et] = (
+                -1.5 * ys[8] - 0.5 * ys[16] + 0.5 * ys[32] + 1.5 * ys[64]
+            ) / (5 * math.log(2))
+    for r in hurst_value_events(spark, SF).collect():
+        if r["hurst"] is not None and r["event_type"] in ref:
+            assert abs(r["hurst"] - ref[r["event_type"]]) < 1e-5
