@@ -513,3 +513,215 @@ def test_hurst_matches_python(spark):
     for r in hurst_value_events(spark, SF).collect():
         if r["hurst"] is not None and r["event_type"] in ref:
             assert abs(r["hurst"] - ref[r["event_type"]]) < 1e-5
+
+
+def test_cramers_v_matches_python(spark):
+    from de4ml_spark.queries.statq2 import cramers_v_events
+
+    cells = Counter()
+    for et, _uid, ts, *_r in _events():
+        cells[(et, (ts.date().toordinal() - 719163) % 7)] += 1
+    n = sum(cells.values())
+    rows = Counter()
+    cols = Counter()
+    for (et, dw), o in cells.items():
+        rows[et] += o
+        cols[dw] += o
+    chi2 = (
+        n * sum(o * o / (rows[et] * cols[dw])
+                for (et, dw), o in cells.items())
+        - n
+    )
+    v_ref = math.sqrt(
+        chi2 / (n * min(len(rows) - 1, len(cols) - 1))
+    )
+    row = cramers_v_events(spark, SF).collect()[0]
+    assert (row["n_rows"], row["n_cols"], row["n_tot"]) == (
+        len(rows), len(cols), n,
+    )
+    # the entry quantizes each o²/(r·c) term at pico precision
+    assert abs(row["chi2"] - chi2) < 1e-3
+    assert abs(row["cramers_v"] - v_ref) < 1e-6
+
+
+def test_brown_forsythe_matches_python(spark):
+    from de4ml_spark.queries.statq2 import brown_forsythe_value
+
+    by_type = defaultdict(list)
+    for et, *_r, v in _events():
+        by_type[et].append(v)
+    zs = {}
+    for et, xs in by_type.items():
+        s = sorted(xs)
+        n = len(s)
+        med2 = s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]
+        zs[et] = [abs(2 * x - med2) for x in xs]
+    allz = [z for v in zs.values() for z in v]
+    gm = sum(allz) / len(allz)
+    ssb = sum(
+        len(v) * (sum(v) / len(v) - gm) ** 2 for v in zs.values()
+    )
+    ssw = sum(
+        (z - sum(v) / len(v)) ** 2 for v in zs.values() for z in v
+    )
+    k, n = len(zs), len(allz)
+    w_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    row = brown_forsythe_value(spark, SF).collect()[0]
+    assert (row["k_groups"], row["n_tot"]) == (k, n)
+    assert abs(row["w_stat"] - w_ref) / w_ref < 1e-6
+
+
+def test_cliffs_delta_matches_bruteforce(spark):
+    from de4ml_spark.queries.statq2 import cliffs_delta_value
+
+    by_type = defaultdict(list)
+    for et, *_r, v in _events():
+        by_type[et].append(v)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in cliffs_delta_value(spark, SF).collect()
+    }
+    for (a, b), r in got.items():
+        xa, xb = sorted(by_type[a]), by_type[b]
+        import bisect
+
+        num = 0
+        for y in xb:
+            num += (len(xa) - bisect.bisect_right(xa, y)) - (
+                bisect.bisect_left(xa, y)
+            )
+        # num counts (a > b) − (a < b)
+        d_ref = num / (len(xa) * len(xb))
+        assert abs(r["cliffs_delta"] - d_ref) < 1e-12
+
+
+def test_pr_auc_matches_python_block_convention(spark):
+    from de4ml_spark.queries.statq2 import pr_auc_events
+
+    hist = defaultdict(lambda: [0, 0])
+    for et, *_r, v in _events():
+        hist[v][et == "purchase"] += 1
+    tp = fp = 0
+    ap = 0.0
+    n_pos = sum(p for _q, p in hist.values())
+    for v in sorted(hist, reverse=True):
+        q, p = hist[v]
+        tp += p
+        fp += q
+        ap += p / n_pos * (tp / (tp + fp))
+    row = pr_auc_events(spark, SF).collect()[0]
+    assert row["n_pos"] == n_pos
+    # per-block micro quantization: |err| <= #blocks * 1e-6 / n_pos
+    assert abs(row["average_precision"] - ap) < 1e-4
+
+
+def test_js_divergence_matches_python(spark):
+    from de4ml_spark.queries.mldataq5 import js_divergence_sources
+
+    con = duckdb.connect()
+    pts = con.sql(
+        f"SELECT source, n_chars // 50 FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    pool = Counter(b for _s, b in pts)
+    n_pool = sum(pool.values())
+    per = defaultdict(Counter)
+    for s, b in pts:
+        per[s][b] += 1
+    for r in js_divergence_sources(spark, SF).collect():
+        src = r["source"]
+        ns = sum(per[src].values())
+        js = 0.0
+        for b, d in pool.items():
+            c = per[src].get(b, 0)
+            p = c / ns
+            q = d / n_pool
+            m = (p + q) / 2
+            if p > 0:
+                js += 0.5 * p * math.log(p / m)
+            js += 0.5 * q * math.log(q / m)
+        assert abs(r["js_divergence"] - js) < 1e-4
+
+
+def test_woe_iv_and_psi_match_python(spark):
+    from de4ml_spark.queries.mldataq5 import (
+        psi_value_drift,
+        woe_iv_events,
+    )
+
+    per = defaultdict(lambda: [0, 0])
+    for et, _u, ts, _e, v in _events():
+        per[v // 5000][et == "purchase"] += 1
+    k = len(per)
+    g_raw = sum(g for _b, g in per.values())
+    b_raw = sum(b for b, _g in per.values())
+    gt, bt = 2 * g_raw + k, 2 * b_raw + k
+    iv = 0.0
+    woe_ref = {}
+    for bk, (bad, good) in per.items():
+        gs, bs = 2 * good + 1, 2 * bad + 1
+        w = math.log((gs * bt) / (bs * gt))
+        woe_ref[bk] = w
+        iv += (gs / gt - bs / bt) * w
+    rows = woe_iv_events(spark, SF).collect()
+    for r in rows:
+        assert abs(r["woe"] - woe_ref[r["bucket"]]) < 1e-6
+        assert abs(r["iv_total"] - iv) < 1e-4
+
+    split = defaultdict(lambda: [0, 0])
+    for _et, _u, ts, _e, v in _eventsv():
+        split[v // 5000][ts < _PSI_TS] += 1
+    kk = len(split)
+    a_raw = sum(a for _b, a in split.values())
+    c_raw = sum(b for b, _a in split.values())
+    at, ct = 2 * a_raw + kk, 2 * c_raw + kk
+    psi = 0.0
+    for bk, (cur, ref) in split.items():
+        p = (2 * ref + 1) / at
+        q = (2 * cur + 1) / ct
+        psi += (p - q) * math.log(p / q)
+    row = psi_value_drift(spark, SF).collect()[0]
+    assert abs(row["psi"] - psi) < 1e-6
+
+
+import datetime
+
+_PSI_TS = datetime.datetime(2024, 1, 16)
+
+
+def _eventsv():
+    con = duckdb.connect()
+    return con.sql(
+        f"""SELECT event_type, user_id, ts, event_id,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+            FROM '{SF}/events.parquet' WHERE value IS NOT NULL"""
+    ).fetchall()
+
+
+def test_life_table_logsurv_matches_python(spark):
+    from de4ml_spark.queries.statq2 import life_table_retention
+
+    con = duckdb.connect()
+    spans = con.sql(
+        f"""SELECT MIN(CAST(ts AS DATE)) d0, MAX(CAST(ts AS DATE)) d1
+            FROM '{SF}/events.parquet' WHERE user_id IS NOT NULL
+            GROUP BY user_id"""
+    ).fetchall()
+    hmax = max(d1 for _d0, d1 in spans)
+    users = [
+        ((d1 - d0).days // 7, d1 < hmax) for d0, d1 in spans
+    ]
+    rows = sorted(
+        life_table_retention(spark, SF).collect(), key=lambda r: r["i"]
+    )
+    cum = 0.0
+    for r in rows:
+        i = r["i"]
+        n_enter = sum(1 for iv, _c in users if iv >= i)
+        d_i = sum(1 for iv, c in users if iv == i and c)
+        w_i = sum(1 for iv, c in users if iv == i and not c)
+        assert (r["n_enter"], r["d_i"], r["w_i"]) == (n_enter, d_i, w_i)
+        n2 = 2 * n_enter - w_i
+        if n2 > 2 * d_i:
+            cum += math.log(n2 / (n2 - 2 * d_i))
+            if r["logsurv_r"] is not None:
+                assert abs(r["logsurv_r"] + cum) < 1e-5
