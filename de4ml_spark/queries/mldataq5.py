@@ -91,12 +91,19 @@ def lift_deciles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_d").cast("bigint").alias("n_tot"),
         F.sum("conv_d").cast("bigint").alias("conv_tot"),
     )
-    wcum = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, 0
+    # cumulative over the TEN decile rows via a triangular self-join —
+    # equivalent to a global-order window but with no
+    # Exchange SinglePartition node, so the catalog-wide plan contract
+    # (tests/test_rank_ops.py) can assert this entry sort-free
+    prior = per.selectExpr(
+        "decile AS d2", "conv_d AS conv2"
     )
-    cum = per.withColumn(
-        "cum_conv", F.sum("conv_d").over(wcum).cast("bigint")
-    ).crossJoin(F.broadcast(tot))
+    cum = (
+        per.join(F.broadcast(prior), F.expr("d2 <= decile"))
+        .groupBy("decile", "n_d", "conv_d")
+        .agg(F.sum("conv2").cast("bigint").alias("cum_conv"))
+        .crossJoin(F.broadcast(tot))
+    )
     return cum.selectExpr(
         "CAST(decile AS BIGINT) AS decile", *_LIFT_FINAL[1:]
     )

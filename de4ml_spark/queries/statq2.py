@@ -1286,15 +1286,19 @@ def runs_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c",
     )
-    hist = base.groupBy("v_c").agg(F.count(F.lit(1)).alias("cnt"))
-    wcum = Window.orderBy("v_c").rowsBetween(
-        Window.unboundedPreceding, 0
+    # distributed cumsum over the value histogram (cents grids are
+    # value-domain-bounded, but the contract test asserts NO
+    # single-partition window anywhere in this entry's plan) + a
+    # broadcast total instead of a whole-frame window
+    from de4ml_spark.operators.rank import with_global_cumsum
+
+    hist = base.groupBy("v_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    wall = Window.partitionBy()
-    cum = (
-        hist.withColumn("cum", F.sum("cnt").over(wcum))
-        .withColumn("n_i", F.sum("cnt").over(wall))
-    )
+    tot = hist.agg(F.sum("cnt").cast("bigint").alias("n_i"))
+    cum = with_global_cumsum(
+        hist, ["v_c"], "cnt", out_col="cum"
+    ).crossJoin(F.broadcast(tot))
     med = cum.selectExpr(
         "CASE WHEN (n_i + 1) DIV 2 > cum - cnt"
         " AND (n_i + 1) DIV 2 <= cum THEN v_c ELSE 0 END"

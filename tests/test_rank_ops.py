@@ -162,6 +162,11 @@ GLOBAL_ORDER_ENTRIES = [
     "rfm_segments_customers",
     "pareto_revenue_parts",
     "gini_revenue_parts",
+    # round-9 additions on the same recipe
+    "spearman_quantity_price",
+    "lift_deciles_events",
+    "runs_test_value",
+    "hurst_value_events",
 ]
 
 
