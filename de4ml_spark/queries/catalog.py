@@ -105,6 +105,8 @@ PRIORITY = [
     "jonckheere_value",
     "cochran_armitage_trend",
     "goertzel_weekly_events",
+    "rich_club_parts",
+    "simpson_diversity_sources",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

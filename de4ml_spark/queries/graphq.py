@@ -1132,3 +1132,126 @@ REGISTRY["power_law_alpha_parts"] = {
     "fn": power_law_alpha_parts,
     "sql": _power_law_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Rich-club coefficients of the co-purchase graph at fixed degree
+# thresholds: φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k counts nodes of
+# degree > k and E_k the edges among them — "do the hubs trade with
+# each other". One pass: the canonical edge set joins both endpoint
+# degrees once, then all four thresholds are conditional aggregates
+# over that single joined frame (no per-k scan). Exact integer
+# rational → one wide_to_double ratio per k. Scale: two broadcast-
+# joinable degree lookups + one aggregate.
+# --------------------------------------------------------------------------
+
+_RC_KS = (10, 50, 100, 150)
+
+
+def rich_club_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.cache import release_after
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+
+    edges = _canonical_edges(spark, sf_dir)
+    deg = _edge_degrees(edges)
+    du = deg.selectExpr("node AS u", "deg AS deg_u")
+    dv = deg.selectExpr("node AS v", "deg AS deg_v")
+    j = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    eks = j.agg(
+        *[
+            F.sum(
+                F.expr(f"CAST(deg_u > {k} AND deg_v > {k} AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias(f"e_{k}")
+            for k in _RC_KS
+        ]
+    )
+    nks = deg.agg(
+        *[
+            F.sum(F.expr(f"CAST(deg > {k} AS BIGINT)"))
+            .cast("bigint")
+            .alias(f"n_{k}")
+            for k in _RC_KS
+        ]
+    )
+    wide = eks.crossJoin(F.broadcast(nks))
+    rows = []
+    for k in _RC_KS:
+        phi = (
+            f"CASE WHEN n_{k} < 2 THEN NULL ELSE "
+            f"{_w2d(f'CAST(2 AS DECIMAL(38,0)) * e_{k}', 'DIV')}"
+            f" / (CAST(n_{k} AS DOUBLE) * CAST(n_{k} - 1 AS DOUBLE))"
+            " END"
+        )
+        rows.append(
+            f"named_struct('k', CAST({k} AS BIGINT), 'n_k', n_{k},"
+            f" 'e_k', e_{k}, 'phi', {phi})"
+        )
+    out = wide.selectExpr(
+        f"inline(array({', '.join(rows)}))"
+    )
+    return release_after(out, edges)
+
+
+def _rich_club_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+
+    arms = []
+    for k in _RC_KS:
+        phi = (
+            f"CASE WHEN n_{k} < 2 THEN NULL ELSE "
+            f"{_w2d(f'CAST(2 AS HUGEINT) * e_{k}', '//')}"
+            f" / (CAST(n_{k} AS DOUBLE) * CAST(n_{k} - 1 AS DOUBLE))"
+            " END"
+        )
+        arms.append(
+            f"SELECT CAST({k} AS BIGINT) AS k, n_{k} AS n_k,"
+            f" e_{k} AS e_k, {phi} AS phi FROM wide"
+        )
+    union = "\nUNION ALL\n".join(arms)
+    ek_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN du.deg > {k} AND dv.deg > {k}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS e_{k}"
+        for k in _RC_KS
+    )
+    nk_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN deg > {k} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{k}"
+        for k in _RC_KS
+    )
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY 1
+),
+eks AS (
+  SELECT {ek_cols}
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+nks AS (
+  SELECT {nk_cols}
+  FROM deg
+),
+wide AS (SELECT * FROM eks CROSS JOIN nks)
+{union}
+"""
+
+
+REGISTRY["rich_club_parts"] = {
+    "fn": rich_club_parts,
+    "sql": _rich_club_sql(),
+}

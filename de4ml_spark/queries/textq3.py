@@ -1191,3 +1191,85 @@ REGISTRY["rake_keywords_docs"] = {
     "fn": rake_keywords_docs,
     "sql": _rake_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Simpson diversity of each source's token distribution: the
+# repeat-rate λ = Σ tf·(tf−1) / (T·(T−1)) and its complement D = 1−λ
+# — the ln-free companion to entropy_by_source (a collapsed D flags
+# templated/boilerplate sources even when the vocabulary is large).
+# Both numerator and denominator are exact 128-bit integers; one
+# wide_to_double ratio. Scale: one vocab groupBy per source.
+# --------------------------------------------------------------------------
+
+
+def simpson_diversity_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+    from de4ml_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source", F.explode(tokens("text")).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    agg = vocab.groupBy("source").agg(
+        F.sum("tf").cast("bigint").alias("t_tokens"),
+        F.sum(
+            F.expr("CAST(tf AS DECIMAL(38,0)) * (tf - 1)")
+        ).alias("rep"),
+    )
+    lam = (
+        f"{_w2d('rep', 'DIV')} / (CAST(t_tokens AS DOUBLE)"
+        " * CAST(t_tokens - 1 AS DOUBLE))"
+    )
+    return agg.selectExpr(
+        "source",
+        "t_tokens",
+        f"{lam} AS simpson_lambda",
+        f"1.0 - {lam} AS simpson_diversity",
+    ).orderBy("source")
+
+
+def _simpson_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+
+    lam = (
+        f"{_w2d('rep', '//')} / (CAST(t_tokens AS DOUBLE)"
+        " * CAST(t_tokens - 1 AS DOUBLE))"
+    )
+    return f"""
+WITH terms AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM terms GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(tf) AS BIGINT) AS t_tokens,
+         SUM(CAST(tf AS HUGEINT) * (tf - 1)) AS rep
+  FROM vocab GROUP BY 1
+)
+SELECT source, t_tokens,
+       {lam} AS simpson_lambda,
+       1.0 - {lam} AS simpson_diversity
+FROM agg
+ORDER BY source
+"""
+
+
+REGISTRY["simpson_diversity_sources"] = {
+    "fn": simpson_diversity_sources,
+    "sql": _simpson_sql(),
+}
