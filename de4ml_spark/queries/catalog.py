@@ -107,6 +107,7 @@ PRIORITY = [
     "goertzel_weekly_events",
     "rich_club_parts",
     "simpson_diversity_sources",
+    "silhouette_embeddings",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -810,3 +810,138 @@ REGISTRY["cluster_purity_embeddings"] = {
     "fn": cluster_purity_embeddings,
     "sql": _cluster_purity_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Simplified silhouette per label over the embedding table: for each
+# vector, a = distance to its OWN label centroid and b = the minimum
+# distance to any OTHER centroid; s = (b−a)/max(a,b), averaged per
+# label — the standard clustering-quality readout that, unlike the
+# full silhouette, needs NO all-pairs pass (centroid-based: linear in
+# n with a broadcast k×64 centroid table, the 100 TB-safe form).
+# Exactness: components and centroids live on the micro-integer grid
+# (the label_centroid_distances scheme), so every squared distance is
+# an exact integer; a and b are sqrt's of exact integers
+# (engine-identical), s is one IEEE chain, and the per-label mean is
+# micro-quantized before the integer sum. Ties in the b-argmin don't
+# arise (distinct integers or identical s either way).
+# --------------------------------------------------------------------------
+
+
+def silhouette_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "v"),
+    ).selectExpr(
+        "vec_id",
+        "label",
+        "dim",
+        "CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS v_micro",
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.expr("CAST(SUM(v_micro) AS BIGINT)").alias("s_micro"),
+        F.count(F.lit(1)).alias("n"),
+    ).selectExpr(
+        "label AS c_label",
+        "dim",
+        "CAST((s_micro * 2 + n) DIV (2 * n) AS BIGINT) AS c_micro",
+    )
+    sq = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.expr(
+                "CAST(SUM((v_micro - c_micro) * (v_micro - c_micro))"
+                " AS BIGINT)"
+            ).alias("sq_micro")
+        )
+    )
+    per_vec = sq.groupBy("vec_id", "label").agg(
+        F.max(
+            F.expr("CASE WHEN c_label = label THEN sq_micro END")
+        ).alias("a_sq"),
+        F.min(
+            F.expr("CASE WHEN c_label <> label THEN sq_micro END")
+        ).alias("b_sq"),
+    )
+    scored = per_vec.selectExpr(
+        "label",
+        "(sqrt(CAST(b_sq AS DOUBLE)) - sqrt(CAST(a_sq AS DOUBLE)))"
+        " / (CASE WHEN b_sq > a_sq THEN sqrt(CAST(b_sq AS DOUBLE))"
+        " ELSE sqrt(CAST(a_sq AS DOUBLE)) END) AS s",
+    ).selectExpr(
+        "label",
+        "CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS s_u",
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("s_u").cast("bigint").alias("s_sum_u"),
+        )
+        .selectExpr(
+            "CAST(label AS BIGINT) AS label",
+            "n_vecs",
+            "CAST(s_sum_u AS DOUBLE)"
+            " / (CAST(n_vecs AS DOUBLE) * 1000000.0)"
+            " AS mean_silhouette",
+        )
+        .orderBy("label")
+    )
+
+
+SILHOUETTE_SQL = """
+WITH ex AS (
+  SELECT vec_id, label, s.i AS dim,
+         CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS v_micro
+  FROM embeddings, generate_series(1, 64) AS s(i)
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         CAST((CAST(SUM(v_micro) AS BIGINT) * 2 + COUNT(*))
+              // (2 * COUNT(*)) AS BIGINT) AS c_micro
+  FROM ex GROUP BY 1, 2
+),
+sq AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         CAST(SUM((e.v_micro - c.c_micro) * (e.v_micro - c.c_micro))
+              AS BIGINT) AS sq_micro
+  FROM ex e JOIN cent c USING (dim)
+  GROUP BY 1, 2, 3
+),
+per_vec AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN c_label = label THEN sq_micro END) AS a_sq,
+         MIN(CASE WHEN c_label <> label THEN sq_micro END) AS b_sq
+  FROM sq GROUP BY 1, 2
+),
+scored AS (
+  SELECT label,
+         CAST(floor(
+           (sqrt(CAST(b_sq AS DOUBLE)) - sqrt(CAST(a_sq AS DOUBLE)))
+           / (CASE WHEN b_sq > a_sq THEN sqrt(CAST(b_sq AS DOUBLE))
+              ELSE sqrt(CAST(a_sq AS DOUBLE)) END)
+           * 1000000.0 + 0.5) AS BIGINT) AS s_u
+  FROM per_vec
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(CAST(SUM(s_u) AS BIGINT) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_silhouette
+FROM scored
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+REGISTRY["silhouette_embeddings"] = {
+    "fn": silhouette_embeddings,
+    "sql": SILHOUETTE_SQL,
+}
