@@ -725,3 +725,96 @@ def test_life_table_logsurv_matches_python(spark):
             cum += math.log(n2 / (n2 - 2 * d_i))
             if r["logsurv_r"] is not None:
                 assert abs(r["logsurv_r"] + cum) < 1e-5
+
+
+def test_rich_club_matches_python(spark):
+    from de4ml_spark.queries.graphq import rich_club_parts
+
+    con = duckdb.connect()
+    edges = con.sql(
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM '{SF}/lineitem.parquet')
+            SELECT DISTINCT a.l_partkey, b.l_partkey
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey"""
+    ).fetchall()
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    for r in rich_club_parts(spark, SF).collect():
+        k = r["k"]
+        rich = {n for n, d in deg.items() if d > k}
+        ek = sum(1 for u, v in edges if u in rich and v in rich)
+        assert (r["n_k"], r["e_k"]) == (len(rich), ek)
+        if len(rich) >= 2:
+            phi = 2 * ek / (len(rich) * (len(rich) - 1))
+            assert abs(r["phi"] - phi) < 1e-12
+        else:
+            assert r["phi"] is None
+
+
+def test_simpson_matches_python(spark):
+    from de4ml_spark.queries.textq3 import simpson_diversity_sources
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    vocab = defaultdict(Counter)
+    for s, t in docs:
+        vocab[s].update(t.split(" "))
+    for r in simpson_diversity_sources(spark, SF).collect():
+        c = vocab[r["source"]]
+        t = sum(c.values())
+        lam = sum(x * (x - 1) for x in c.values()) / (t * (t - 1))
+        assert r["t_tokens"] == t
+        assert abs(r["simpson_lambda"] - lam) < 1e-12
+        assert abs(r["simpson_diversity"] - (1 - lam)) < 1e-12
+
+
+def test_silhouette_matches_python(spark):
+    from de4ml_spark.queries.simq import silhouette_embeddings
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, label, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    pts = {
+        vid: (lab, [math.floor(x * 1e6 + 0.5) for x in vec])
+        for vid, lab, vec in rows
+    }
+    sums = defaultdict(lambda: [0] * 64)
+    cnt = Counter()
+    for lab, vec in pts.values():
+        cnt[lab] += 1
+        for i, x in enumerate(vec):
+            sums[lab][i] += x
+    # both engines' integer division TRUNCATES toward zero (DuckDB's
+    # // included — measured -11//6 = -1), unlike Python's floor //
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    cent = {
+        lab: [tdiv(2 * s + cnt[lab], 2 * cnt[lab]) for s in sums[lab]]
+        for lab in sums
+    }
+    per_label = defaultdict(list)
+    for lab, vec in pts.values():
+        d = {
+            cl: sum((a - b) ** 2 for a, b in zip(vec, c))
+            for cl, c in cent.items()
+        }
+        a_sq = d[lab]
+        b_sq = min(v for cl, v in d.items() if cl != lab)
+        s = (math.sqrt(b_sq) - math.sqrt(a_sq)) / math.sqrt(
+            max(a_sq, b_sq)
+        )
+        per_label[lab].append(math.floor(s * 1e6 + 0.5))
+    for r in silhouette_embeddings(spark, SF).collect():
+        ss = per_label[r["label"]]
+        assert r["n_vecs"] == len(ss)
+        assert abs(
+            r["mean_silhouette"] - sum(ss) / (len(ss) * 1e6)
+        ) < 1e-12
