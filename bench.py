@@ -119,6 +119,16 @@ HEADLINE = [
     "cliffs_delta_value",
     "pr_auc_events",
     "kendall_tau_events",
+    "friedman_daily_value",
+    "grubbs_value_events",
+    "cochran_q_docs",
+    "mcnemar_docs",
+    "jonckheere_value",
+    "cochran_armitage_trend",
+    "goertzel_weekly_events",
+    "rich_club_parts",
+    "simpson_diversity_sources",
+    "silhouette_embeddings",
 ]
 
 
