@@ -108,6 +108,7 @@ PRIORITY = [
     "rich_club_parts",
     "simpson_diversity_sources",
     "silhouette_embeddings",
+    "ndcg_at_k_orders",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -903,3 +903,191 @@ REGISTRY["brier_decomposition_events"] = {
     "fn": brier_decomposition_events,
     "sql": _brier_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# NDCG@20 of the popularity recommender — completing the ranking-eval
+# trio (hit-rate, MAP@K in mldataq4) with the graded-relevance
+# standard. Same train/test date split and top-K popularity ranking
+# as map_at_k_orders; the per-position discount 1/log₂(pos+1) and its
+# ideal prefix sums are PYTHON-PRECOMPUTED micro-integer literals
+# (positions are bounded by K, so no runtime logarithm exists in
+# either engine — exactness by construction). Per-customer
+# nDCG = DCG_u / IDCG_u is one half-up integer division; the mean is
+# exact-integer over customers. Scale: identical to map_at_k (one
+# broadcast top-K table, per-customer aggregates).
+# --------------------------------------------------------------------------
+
+import math as _math
+
+NDCG_K = 20
+_NDCG_GAIN_U = [
+    _math.floor(1_000_000 / _math.log2(p + 1) + 0.5)
+    for p in range(1, NDCG_K + 1)
+]
+_NDCG_IDEAL_U = [
+    sum(_NDCG_GAIN_U[: i + 1]) for i in range(NDCG_K)
+]
+
+
+def _gain_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN {p + 1} THEN {g}" for p, g in enumerate(_NDCG_GAIN_U)
+    )
+    return f"(CASE {col} {arms} END)"
+
+
+def _ideal_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN {i + 1} THEN {s}" for i, s in enumerate(_NDCG_IDEAL_U)
+    )
+    return f"(CASE {col} {arms} END)"
+
+
+def ndcg_at_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql,
+    )
+    from de4ml_spark.queries.mldataq4 import (
+        POP_SPLIT_DEN,
+        POP_SPLIT_NUM,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    split = orders.agg(
+        F.expr(
+            f"CAST(date_add(MIN(od), CAST(datediff(MAX(od), MIN(od))"
+            f" * {POP_SPLIT_NUM} DIV {POP_SPLIT_DEN} AS INT)) AS DATE)"
+        ).alias("split_day")
+    )
+    o = orders.crossJoin(F.broadcast(split))
+    train_orders = o.filter("od <= split_day")
+    test_orders = o.filter("od > split_day")
+    topk = (
+        train_orders.join(li, train_orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("l_partkey"))
+        .limit(NDCG_K)
+        .selectExpr(
+            "l_partkey",
+            "ROW_NUMBER() OVER (ORDER BY cnt DESC, l_partkey) AS pos",
+        )
+    )
+    holdout = (
+        test_orders.join(li, test_orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    n_hold = holdout.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_holdout")
+    )
+    dcg = (
+        holdout.join(F.broadcast(topk), "l_partkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr(_gain_case("pos"))).alias("dcg_u")
+        )
+    )
+    per_cust = (
+        dcg.join(n_hold, "o_custkey", "right")
+        .na.fill({"dcg_u": 0})
+        .selectExpr(
+            "o_custkey",
+            "dcg_u",
+            f"{_ideal_case(f'LEAST(n_holdout, {NDCG_K})')} AS idcg_u",
+        )
+        .selectExpr(
+            "o_custkey",
+            "CAST((2 * dcg_u * 1000000 + idcg_u) DIV (2 * idcg_u)"
+            " AS BIGINT) AS ndcg_u",
+        )
+    )
+    tot = per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("ndcg_u").cast("bigint").alias("sum_ndcg_u"),
+    )
+    return tot.selectExpr(
+        "n_customers",
+        "sum_ndcg_u",
+        f"""({exact_round_div_sql('sum_ndcg_u',
+                                  'n_customers * 1000000', 'DIV')})
+            AS ndcg_r""",
+    )
+
+
+def _ndcg_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        exact_round_div_sql,
+    )
+    from de4ml_spark.queries.mldataq4 import (
+        POP_SPLIT_DEN,
+        POP_SPLIT_NUM,
+    )
+
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+  FROM orders
+),
+split AS (
+  SELECT MIN(od) + TO_DAYS(CAST(datediff('day', MIN(od), MAX(od))
+         * {POP_SPLIT_NUM} // {POP_SPLIT_DEN} AS INT)) AS split_day
+  FROM o
+),
+train_orders AS (
+  SELECT o.* FROM o CROSS JOIN split WHERE od <= split_day
+),
+test_orders AS (
+  SELECT o.* FROM o CROSS JOIN split WHERE od > split_day
+),
+topk AS (
+  SELECT l_partkey,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, l_partkey) AS pos
+  FROM (
+    SELECT l_partkey, COUNT(*) AS cnt
+    FROM train_orders t JOIN lineitem l ON t.o_orderkey = l.l_orderkey
+    GROUP BY 1
+  )
+  ORDER BY cnt DESC, l_partkey
+  LIMIT {NDCG_K}
+),
+holdout AS (
+  SELECT DISTINCT t.o_custkey, l.l_partkey
+  FROM test_orders t JOIN lineitem l ON t.o_orderkey = l.l_orderkey
+),
+n_hold AS (
+  SELECT o_custkey, COUNT(*) AS n_holdout FROM holdout GROUP BY 1
+),
+dcg AS (
+  SELECT h.o_custkey, SUM({_gain_case("tk.pos")}) AS dcg_u
+  FROM holdout h JOIN topk tk USING (l_partkey)
+  GROUP BY 1
+),
+per_cust AS (
+  SELECT n.o_custkey,
+         CAST((2 * COALESCE(d.dcg_u, 0) * 1000000
+               + {_ideal_case(f"LEAST(n.n_holdout, {NDCG_K})")})
+              // (2 * {_ideal_case(f"LEAST(n.n_holdout, {NDCG_K})")})
+              AS BIGINT) AS ndcg_u
+  FROM n_hold n LEFT JOIN dcg d USING (o_custkey)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(ndcg_u) AS BIGINT) AS sum_ndcg_u,
+       ({exact_round_div_sql('CAST(SUM(ndcg_u) AS BIGINT)',
+                             'COUNT(*) * 1000000', '//')}) AS ndcg_r
+FROM per_cust
+"""
+
+
+REGISTRY["ndcg_at_k_orders"] = {
+    "fn": ndcg_at_k_orders,
+    "sql": _ndcg_sql(),
+}
