@@ -109,6 +109,8 @@ PRIORITY = [
     "simpson_diversity_sources",
     "silhouette_embeddings",
     "ndcg_at_k_orders",
+    "ece_events",
+    "gumbel_weekly_maxima",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -1031,3 +1031,99 @@ REGISTRY["audience_overlap_events"] = {
     "fn": audience_overlap_events,
     "sql": _audience_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Expected / maximum calibration error over the same hash-scored bins
+# as calibration_bins_events — the single-number calibration summary
+# (ECE) and its worst-bin companion (MCE). ECE collapses to ONE exact
+# integer sum: Σ n_k·|p̄_k − ō_k| / N = Σ |s_milli − 1000·n_pos|
+# / (1000·N) (the per-bin n cancels), so no quantization at all; MCE
+# takes the max of per-bin half-up micro gaps (deterministic integer
+# compare). Scale: one groupBy to the 10-bin table.
+# --------------------------------------------------------------------------
+
+
+def ece_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        phash_spark_sql,
+        wide_to_double_sql as _w2d,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.selectExpr(
+        f"{phash_spark_sql('CAST(event_id AS STRING)', 40)} % 1000"
+        " AS score_milli",
+        "CAST(event_type = 'click' AS INT) AS pos",
+    )
+    binned = scored.groupBy(
+        F.expr("score_milli DIV 100").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(SUM(pos) AS BIGINT)").alias("n_pos"),
+        F.expr("CAST(SUM(score_milli) AS BIGINT)").alias("s_milli"),
+    )
+    gaps = binned.selectExpr(
+        "n",
+        "CAST(abs(s_milli - 1000 * n_pos) AS DECIMAL(38,0)) AS gap",
+        "CAST((2 * abs(s_milli - 1000 * n_pos) * 1000 + n)"
+        " DIV (2000 * n) AS BIGINT) AS gap_milli_u",
+    )
+    agg = gaps.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("gap").alias("gap_sum"),
+        F.max("gap_milli_u").cast("bigint").alias("mce_milli_u"),
+    )
+    return agg.selectExpr(
+        "n_tot",
+        f"{_w2d('gap_sum', 'DIV')}"
+        " / (1000.0 * CAST(n_tot AS DOUBLE)) AS ece",
+        "CAST(mce_milli_u AS DOUBLE) / 1000.0 AS mce",
+    )
+
+
+def _ece_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        phash_duck_sql,
+        wide_to_double_sql as _w2d,
+    )
+
+    return f"""
+WITH scored AS (
+  SELECT {phash_duck_sql("CAST(event_id AS VARCHAR)", 40)} % 1000
+           AS score_milli,
+         CAST(event_type = 'click' AS INT) AS pos
+  FROM events
+),
+binned AS (
+  SELECT score_milli // 100 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(score_milli) AS BIGINT) AS s_milli
+  FROM scored GROUP BY 1
+),
+gaps AS (
+  SELECT n,
+         CAST(abs(s_milli - 1000 * n_pos) AS HUGEINT) AS gap,
+         CAST((2 * abs(s_milli - 1000 * n_pos) * 1000 + n)
+              // (2000 * n) AS BIGINT) AS gap_milli_u
+  FROM binned
+),
+agg AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+         SUM(gap) AS gap_sum,
+         CAST(MAX(gap_milli_u) AS BIGINT) AS mce_milli_u
+  FROM gaps
+)
+SELECT n_tot,
+       {_w2d("gap_sum", "//")}
+         / (1000.0 * CAST(n_tot AS DOUBLE)) AS ece,
+       CAST(mce_milli_u AS DOUBLE) / 1000.0 AS mce
+FROM agg
+"""
+
+
+REGISTRY["ece_events"] = {
+    "fn": ece_events,
+    "sql": _ece_sql(),
+}

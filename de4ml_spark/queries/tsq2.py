@@ -2521,3 +2521,122 @@ REGISTRY["goertzel_weekly_events"] = {
     "fn": goertzel_weekly_events,
     "sql": _goertzel_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Gumbel extreme-value fit on weekly block maxima of daily total spend
+# — the EVT readout ("what daily total should we provision for") via
+# the method of moments: β = s·√6/π, μ = m − γ·β, and the 52-week
+# return level μ − β·ln(−ln(1−1/52)). Block maxima are exact cents
+# integers; m and s² come from exact integer moments (s² = vnum/
+# (n(n−1)) with 128-bit vnum), the three Gumbel constants are
+# embedded double literals, and everything after is a fixed IEEE
+# chain. Scale: calendar-bounded (daily totals → weekly maxima).
+# --------------------------------------------------------------------------
+
+_SQRT6_OVER_PI = 0.779696801233676
+_EULER_GAMMA = 0.5772156649015329
+_LNLN_52 = -3.9415503865226063  # ln(-ln(1 - 1/52))
+
+
+def gumbel_weekly_maxima(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+            ).alias("dc")
+        )
+    )
+    weekly = daily.selectExpr(
+        "datediff(day, DATE '1970-01-01') DIV 7 AS week", "dc"
+    ).groupBy("week").agg(F.max("dc").cast("bigint").alias("mx"))
+    mom = weekly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_w"),
+        F.sum("mx").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(mx AS DECIMAL(38,0)) * mx")).alias("ss"),
+    )
+    staged = mom.selectExpr(
+        "n_w",
+        "CAST(s AS DOUBLE) / (100.0 * CAST(n_w AS DOUBLE)) AS m_d",
+        f"""sqrt({_w2d(
+            "CAST(n_w AS DECIMAL(38,0)) * ss"
+            " - CAST(s AS DECIMAL(38,0)) * s", "DIV")}
+            / (CAST(n_w AS DOUBLE) * CAST(n_w - 1 AS DOUBLE)
+               * 10000.0)) AS s_d""",
+    ).selectExpr(
+        "n_w",
+        "m_d",
+        "s_d",
+        f"{_SQRT6_OVER_PI!r} * s_d AS beta",
+        f"m_d - {_EULER_GAMMA!r} * ({_SQRT6_OVER_PI!r} * s_d) AS mu",
+    )
+    return staged.selectExpr(
+        "n_w",
+        "m_d AS mean_weekly_max",
+        "s_d AS sd_weekly_max",
+        "beta",
+        "mu",
+        f"mu - beta * {_LNLN_52!r} AS return_level_52w",
+    )
+
+
+def _gumbel_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS dc
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1
+),
+weekly AS (
+  SELECT date_diff('day', DATE '1970-01-01', day) // 7 AS week,
+         CAST(MAX(dc) AS BIGINT) AS mx
+  FROM daily GROUP BY 1
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_w,
+         CAST(SUM(mx) AS BIGINT) AS s,
+         SUM(CAST(mx AS HUGEINT) * mx) AS ss
+  FROM weekly
+),
+staged AS (
+  SELECT n_w,
+         CAST(s AS DOUBLE) / (100.0 * CAST(n_w AS DOUBLE)) AS m_d,
+         sqrt({_w2d("CAST(n_w AS HUGEINT) * ss"
+                    " - CAST(s AS HUGEINT) * s", "//")}
+              / (CAST(n_w AS DOUBLE) * CAST(n_w - 1 AS DOUBLE)
+                 * 10000.0)) AS s_d
+  FROM mom
+),
+fitted AS (
+  SELECT n_w, m_d, s_d,
+         {_SQRT6_OVER_PI!r} * s_d AS beta,
+         m_d - {_EULER_GAMMA!r} * ({_SQRT6_OVER_PI!r} * s_d) AS mu
+  FROM staged
+)
+SELECT n_w, m_d AS mean_weekly_max, s_d AS sd_weekly_max, beta, mu,
+       mu - beta * {_LNLN_52!r} AS return_level_52w
+FROM fitted
+"""
+
+
+REGISTRY["gumbel_weekly_maxima"] = {
+    "fn": gumbel_weekly_maxima,
+    "sql": _gumbel_sql(),
+}
