@@ -818,3 +818,113 @@ def test_silhouette_matches_python(spark):
         assert abs(
             r["mean_silhouette"] - sum(ss) / (len(ss) * 1e6)
         ) < 1e-12
+
+
+def test_ndcg_matches_python(spark):
+    from de4ml_spark.queries.mldataq5 import (
+        NDCG_K,
+        ndcg_at_k_orders,
+    )
+
+    con = duckdb.connect()
+    orders = con.sql(
+        f"""SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE)
+            FROM '{SF}/orders.parquet'"""
+    ).fetchall()
+    li = con.sql(
+        f"SELECT l_orderkey, l_partkey FROM '{SF}/lineitem.parquet'"
+    ).fetchall()
+    days = [d for *_r, d in orders]
+    span = (max(days) - min(days)).days
+    split = min(days) + __import__("datetime").timedelta(
+        days=span * 3 // 4
+    )
+    train_ok = {ok for ok, _c, d in orders if d <= split}
+    test_by_cust = defaultdict(set)
+    cust = {ok: c for ok, c, _d in orders}
+    pop = Counter()
+    for ok, pk in li:
+        if ok in train_ok:
+            pop[pk] += 1
+        elif ok in cust:
+            test_by_cust[cust[ok]].add(pk)
+    top = sorted(pop.items(), key=lambda kv: (-kv[1], kv[0]))[:NDCG_K]
+    pos_of = {pk: i + 1 for i, (pk, _c) in enumerate(top)}
+    gain = [
+        math.floor(1e6 / math.log2(p + 1) + 0.5)
+        for p in range(1, NDCG_K + 1)
+    ]
+    ideal = [sum(gain[: i + 1]) for i in range(NDCG_K)]
+
+    def tdiv_halfup(a, b):
+        return (2 * a + b) // (2 * b)
+
+    total_u = 0
+    n_cust = 0
+    for c, held in test_by_cust.items():
+        if not held:
+            continue
+        n_cust += 1
+        dcg_u = sum(gain[pos_of[pk] - 1] for pk in held if pk in pos_of)
+        idcg_u = ideal[min(len(held), NDCG_K) - 1]
+        total_u += tdiv_halfup(dcg_u * 1_000_000, idcg_u)
+    row = ndcg_at_k_orders(spark, SF).collect()[0]
+    assert row["n_customers"] == n_cust
+    assert row["sum_ndcg_u"] == total_u
+
+
+def test_ece_matches_python(spark):
+    from de4ml_spark.operators.portable_hash import phash_duck_sql
+    from de4ml_spark.queries.profileq2 import ece_events
+
+    con = duckdb.connect()
+    scored = con.sql(
+        f"""SELECT {phash_duck_sql("CAST(event_id AS VARCHAR)", 40)}
+                   % 1000,
+                   event_type = 'click'
+            FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    bins = defaultdict(lambda: [0, 0, 0])
+    for s, pos in scored:
+        b = bins[s // 100]
+        b[0] += 1
+        b[1] += bool(pos)
+        b[2] += s
+    n_tot = sum(b[0] for b in bins.values())
+    ece = sum(
+        abs(sm - 1000 * np) for _n, np, sm in bins.values()
+    ) / (1000 * n_tot)
+    mce = max(
+        abs(sm / (1000 * n) - np / n) for n, np, sm in bins.values()
+    )
+    row = ece_events(spark, SF).collect()[0]
+    assert row["n_tot"] == n_tot
+    assert abs(row["ece"] - ece) < 1e-12
+    assert abs(row["mce"] - mce) < 1e-3  # milli-quantized max
+
+
+def test_gumbel_matches_python(spark):
+    from de4ml_spark.queries.tsq2 import gumbel_weekly_maxima
+
+    daily = Counter()
+    for _et, _u, ts, _e, v in _eventsv():
+        daily[ts.date()] += v
+    weekly = defaultdict(int)
+    for d, c in daily.items():
+        wk = (d.toordinal() - 719163) // 7
+        weekly[wk] = max(weekly[wk], c)
+    xs = list(weekly.values())
+    n = len(xs)
+    m = sum(xs) / n / 100.0
+    s = math.sqrt(
+        (n * sum(x * x for x in xs) - sum(xs) ** 2)
+        / (n * (n - 1))
+    ) / 100.0
+    beta = math.sqrt(6) / math.pi * s
+    mu = m - 0.5772156649015329 * beta
+    rl = mu - beta * math.log(-math.log(1 - 1 / 52))
+    row = gumbel_weekly_maxima(spark, SF).collect()[0]
+    assert row["n_w"] == n
+    assert abs(row["mean_weekly_max"] - m) < 1e-9
+    assert abs(row["sd_weekly_max"] - s) < 1e-6
+    assert abs(row["return_level_52w"] - rl) < 1e-6
