@@ -111,6 +111,8 @@ PRIORITY = [
     "ndcg_at_k_orders",
     "ece_events",
     "gumbel_weekly_maxima",
+    "theil_index_parts",
+    "hhi_supplier_revenue",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -1380,3 +1380,205 @@ REGISTRY["gini_revenue_parts"] = {
         _w2d("2 * wsum - CAST(n + 1 AS HUGEINT) * s", "//"),
     ).replace("{GINI_DEN}", _w2d("CAST(n AS HUGEINT) * s", "//")),
 }
+
+
+# --------------------------------------------------------------------------
+# Theil T inequality index of per-part net revenue — the entropy-based
+# member of the inequality family (Gini and the Pareto cumulative live
+# above): T = Σᵢ (xᵢ/X)·ln(xᵢ·N/X), decomposable across groups where
+# Gini is not. Revenues are exact e4-scaled integers; each
+# ln(xᵢ·N / X) is the portable ln of an integer rational (max/min
+# flip for below-mean parts), micro-quantized; the weighted sum
+# Σ xᵢ·⌊ln·10⁶⌉ is carried 128-bit and normalized once through
+# wide_to_double. Zero-revenue parts contribute 0 (lim x→0 x·ln x =
+# 0, standard convention). Scale: one groupBy + one broadcast total;
+# NO rank pass at all (unlike Gini, Theil needs no order).
+# --------------------------------------------------------------------------
+
+
+def theil_index_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+        with_portable_ln,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+            " AS DECIMAL(38,4)) * 10000 AS BIGINT)"
+        ).alias("rev_e4")
+    )
+    tot = per_part.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("rev_e4").cast("bigint").alias("x_tot"),
+    )
+    j = per_part.crossJoin(F.broadcast(tot)).filter("rev_e4 > 0")
+    j = j.selectExpr(
+        "n_parts",
+        "x_tot",
+        "rev_e4",
+        "CAST(rev_e4 AS DECIMAL(38,0)) * n_parts AS num",
+        "CAST(x_tot AS DECIMAL(38,0)) AS den",
+    )
+    lned = with_portable_ln(
+        j,
+        "CASE WHEN num >= den THEN num ELSE den END",
+        "CASE WHEN num >= den THEN den ELSE num END",
+        "__pln",
+    ).selectExpr(
+        "n_parts",
+        "x_tot",
+        "CAST(rev_e4 AS DECIMAL(38,0))"
+        " * CAST(floor((CASE WHEN num >= den THEN __pln"
+        " ELSE -__pln END) * 1000000.0 + 0.5) AS BIGINT) AS term",
+    )
+    agg = lned.groupBy("n_parts", "x_tot").agg(
+        F.sum("term").alias("t_num")
+    )
+    return agg.selectExpr(
+        "n_parts",
+        "x_tot",
+        f"{_w2d('t_num', 'DIV')} / (CAST(x_tot AS DOUBLE)"
+        " * 1000000.0) AS theil_t",
+    )
+
+
+def _theil_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+        wide_to_double_sql as _w2d,
+    )
+
+    ln_ctes = portable_ln_duck_ctes(
+        "j",
+        "n_parts, x_tot, rev_e4, num, den",
+        "CASE WHEN num >= den THEN num ELSE den END",
+        "CASE WHEN num >= den THEN den ELSE num END",
+        "pln",
+        "th",
+    )
+    return f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(38,4)) * 10000 AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(rev_e4) AS BIGINT) AS x_tot
+  FROM per_part
+),
+j AS (
+  SELECT n_parts, x_tot, rev_e4,
+         CAST(rev_e4 AS HUGEINT) * n_parts AS num,
+         CAST(x_tot AS HUGEINT) AS den
+  FROM per_part CROSS JOIN tot
+  WHERE rev_e4 > 0
+),
+{ln_ctes},
+lned AS (
+  SELECT n_parts, x_tot,
+         CAST(rev_e4 AS HUGEINT)
+           * CAST(floor((CASE WHEN num >= den THEN pln
+             ELSE -pln END) * 1000000.0 + 0.5) AS BIGINT) AS term
+  FROM th_out
+)
+SELECT n_parts, x_tot,
+       {_w2d("t_num", "//")} / (CAST(x_tot AS DOUBLE)
+         * 1000000.0) AS theil_t
+FROM (
+  SELECT n_parts, x_tot, SUM(term) AS t_num
+  FROM lned GROUP BY 1, 2
+)
+"""
+
+
+REGISTRY["theil_index_parts"] = {
+    "fn": theil_index_parts,
+    "sql": _theil_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration of supplier revenue — the
+# antitrust-standard market-concentration scalar: HHI = Σ shareᵢ²
+# (×10⁴ in the conventional points scale). Computed N-free from exact
+# integers: Σ revᵢ² / (Σ rev)², both 128-bit, one wide_to_double
+# ratio each; also emits the effective number of suppliers 1/HHI.
+# Scale: one groupBy + one moment aggregate.
+# --------------------------------------------------------------------------
+
+
+def hhi_supplier_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+            " AS DECIMAL(38,4)) * 10000 AS BIGINT)"
+        ).alias("rev_e4")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("rev_e4").cast("bigint").alias("s"),
+        F.sum(
+            F.expr("CAST(rev_e4 AS DECIMAL(38,0)) * rev_e4")
+        ).alias("ss"),
+    )
+    hhi = (
+        f"({_w2d('ss', 'DIV')}"
+        " / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))"
+    )
+    return agg.selectExpr(
+        "n_suppliers",
+        f"{hhi} AS hhi",
+        f"{hhi} * 10000.0 AS hhi_points",
+        f"1.0 / {hhi} AS effective_suppliers",
+    )
+
+
+def _hhi_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+
+    hhi = (
+        f"({_w2d('ss', '//')}"
+        " / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))"
+    )
+    return f"""
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(38,4)) * 10000 AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY 1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(rev_e4) AS BIGINT) AS s,
+         SUM(CAST(rev_e4 AS HUGEINT) * rev_e4) AS ss
+  FROM per
+)
+SELECT n_suppliers,
+       {hhi} AS hhi,
+       {hhi} * 10000.0 AS hhi_points,
+       1.0 / {hhi} AS effective_suppliers
+FROM agg
+"""
+
+
+REGISTRY["hhi_supplier_revenue"] = {
+    "fn": hhi_supplier_revenue,
+    "sql": _hhi_sql(),
+}
