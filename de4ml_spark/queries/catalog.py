@@ -113,6 +113,7 @@ PRIORITY = [
     "gumbel_weekly_maxima",
     "theil_index_parts",
     "hhi_supplier_revenue",
+    "katz_centrality_parts",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

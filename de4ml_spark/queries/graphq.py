@@ -1255,3 +1255,103 @@ REGISTRY["rich_club_parts"] = {
     "fn": rich_club_parts,
     "sql": _rich_club_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Katz centrality over the co-purchase graph — the attenuation-based
+# centrality completing the family (PageRank = degree-normalized
+# random walk above; Katz counts ALL walks, damped α per hop, no
+# normalization). Same engineering as the PageRank entry: exact
+# INTEGER fixed-point (1e6 grid) so shuffle/aggregation order cannot
+# split engines, α = 1/256 (a power of two — the damping is one exact
+# integer DIV; also below 1/λmax ≈ 1/222 for this graph, the Katz
+# convergence radius), and 3 UNROLLED iterations as one lazy DAG.
+# Top-20 by (score, node). Scale: each round shuffles edges once on
+# src and once on dst.
+# --------------------------------------------------------------------------
+
+KATZ_SCALE = 1_000_000
+KATZ_ALPHA_DIV = 256
+KATZ_ITERS = 3
+KATZ_TOPK = 20
+
+
+def katz_centrality_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    adj = _directed_adjacency(spark, sf_dir)
+    nodes = adj.select(F.col("u").alias("node")).distinct()
+    s = nodes.withColumn(
+        "katz", F.lit(KATZ_SCALE).cast("bigint")
+    )
+    for _ in range(KATZ_ITERS):
+        contrib = (
+            adj.join(
+                s.selectExpr("node AS u", "katz AS k_src"), "u"
+            )
+            .groupBy("v")
+            .agg(F.sum("k_src").alias("in_sum"))
+        )
+        s = (
+            s.join(contrib, s.node == contrib.v, "left")
+            .selectExpr(
+                "node",
+                f"CAST({KATZ_SCALE} + coalesce(in_sum, 0)"
+                f" DIV {KATZ_ALPHA_DIV} AS BIGINT) AS katz",
+            )
+        )
+    return (
+        s.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("katz"), F.asc("node"))
+            ),
+        )
+        .filter(F.col("rank") <= KATZ_TOPK)
+        .selectExpr("node AS part_key", "katz", "CAST(rank AS BIGINT) AS rank")
+    )
+
+
+def _katz_sql() -> str:
+    steps = []
+    prev = "s0"
+    for i in range(1, KATZ_ITERS + 1):
+        steps.append(
+            f"""c{i} AS (
+  SELECT e.v AS node, CAST(SUM({prev}.katz) AS BIGINT) AS in_sum
+  FROM adj e JOIN {prev} ON e.u = {prev}.node
+  GROUP BY 1
+),
+s{i} AS (
+  SELECT {prev}.node,
+         CAST({KATZ_SCALE} + COALESCE(c{i}.in_sum, 0)
+              // {KATZ_ALPHA_DIV} AS BIGINT) AS katz
+  FROM {prev} LEFT JOIN c{i} USING (node)
+)"""
+        )
+        prev = f"s{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+adj AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+s0 AS (
+  SELECT DISTINCT u AS node, CAST({KATZ_SCALE} AS BIGINT) AS katz
+  FROM adj
+),
+{chain}
+SELECT node AS part_key, katz,
+       CAST(ROW_NUMBER() OVER (ORDER BY katz DESC, node ASC) AS BIGINT)
+         AS rank
+FROM {prev}
+QUALIFY rank <= {KATZ_TOPK}
+"""
+
+
+REGISTRY["katz_centrality_parts"] = {
+    "fn": katz_centrality_parts,
+    "sql": _katz_sql(),
+}
