@@ -114,6 +114,8 @@ PRIORITY = [
     "theil_index_parts",
     "hhi_supplier_revenue",
     "katz_centrality_parts",
+    "term_burstiness_docs",
+    "interarrival_burstiness_events",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -2316,3 +2316,101 @@ REGISTRY["cochran_armitage_trend"] = {
     "fn": cochran_armitage_trend,
     "sql": _ca_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival burstiness per event type: B = (σ−μ)/(σ+μ) of the
+# micro-second gaps between consecutive events of the same type
+# (Goh-Barabási; B = 0 Poisson, → 1 bursty, → −1 regular) — the
+# arrival-process companion to fano_burstiness's count view. Gaps are
+# exact integer micros over the per-type (ts, event_id) order,
+# assembled WITHOUT a per-type single-partition LAG: the distributed
+# grouped rank (operators/rank.py) assigns positions and consecutive
+# positions meet by an equi-join (the runs_test adjacency pattern).
+# μ and σ come from exact 128-bit gap moments; B is one IEEE chain.
+# --------------------------------------------------------------------------
+
+
+def _burst_final(div: str) -> list[str]:
+    big = _big(div)
+    vnum = f"CAST(n_g AS {big}) * ss - CAST(s AS {big}) * s"
+    mu = "(CAST(s AS DOUBLE) / CAST(n_g AS DOUBLE))"
+    sd = (
+        f"sqrt({_w2d(vnum, div)} / (CAST(n_g AS DOUBLE)"
+        " * CAST(n_g - 1 AS DOUBLE)))"
+    )
+    return [
+        "event_type",
+        "n_g AS n_gaps",
+        f"{mu} AS mean_gap_us",
+        f"{sd} AS sd_gap_us",
+        f"({sd} - {mu}) / ({sd} + {mu}) AS burstiness",
+    ]
+
+
+def interarrival_burstiness_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.rank import with_grouped_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isNotNull()).selectExpr(
+        "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS t_us",
+        "event_id",
+    )
+    pos = with_grouped_rank(
+        base, ["event_type"], ["t_us", "event_id"], out_col="pos"
+    ).select("event_type", "pos", "t_us")
+    nxt = pos.selectExpr(
+        "event_type", "pos - 1 AS pos", "t_us AS t_next"
+    )
+    gaps = pos.join(nxt, ["event_type", "pos"]).selectExpr(
+        "event_type", "t_next - t_us AS gap"
+    )
+    mom = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("gap").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(gap AS DECIMAL(38,0)) * gap")).alias("ss"),
+    )
+    return mom.selectExpr(*_burst_final("DIV")).orderBy("event_type")
+
+
+def _interarrival_sql() -> str:
+    final = ",\n       ".join(_burst_final("//"))
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+         event_id
+  FROM events
+  WHERE event_type IS NOT NULL
+),
+pos AS (
+  SELECT event_type, t_us,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY t_us, event_id) AS pos
+  FROM base
+),
+gaps AS (
+  SELECT a.event_type, b.t_us - a.t_us AS gap
+  FROM pos a JOIN pos b
+    ON a.event_type = b.event_type AND b.pos = a.pos + 1
+),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(gap) AS BIGINT) AS s,
+         SUM(CAST(gap AS HUGEINT) * gap) AS ss
+  FROM gaps GROUP BY 1
+)
+SELECT {final}
+FROM mom
+ORDER BY event_type
+"""
+
+
+REGISTRY["interarrival_burstiness_events"] = {
+    "fn": interarrival_burstiness_events,
+    "sql": _interarrival_sql(),
+}

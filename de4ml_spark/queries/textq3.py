@@ -1273,3 +1273,103 @@ REGISTRY["simpson_diversity_sources"] = {
     "fn": simpson_diversity_sources,
     "sql": _simpson_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Term burstiness (Church-Gale dispersion): for the top-50 corpus
+# terms, the index of dispersion D = var/mean of the per-DOCUMENT
+# term frequency (zeros included) — D ≈ 1 is Poisson scatter, D ≫ 1
+# marks topical/bursty terms, the classic content-vs-function-word
+# separator. With N docs, s = Σtf and ss = Σtf² over occupied docs
+# only, the zero-inflated population moments collapse to
+# D = (N·ss − s²) / (N·s) — exact 128-bit integers, one
+# wide_to_double ratio. Top-50 by (s DESC, term). Scale: one
+# (term × doc) groupBy; moments per term.
+# --------------------------------------------------------------------------
+
+BURST_TOPK = 50
+
+
+def term_burstiness_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+    from de4ml_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    per = (
+        docs.select(
+            "doc_id", F.explode(tokens("text")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    mom = per.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ_docs"),
+        F.sum("tf").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(tf AS DECIMAL(38,0)) * tf")).alias("ss"),
+    )
+    top = (
+        mom.orderBy(F.desc("s"), F.col("term"))
+        .limit(BURST_TOPK)
+        .crossJoin(F.broadcast(n_docs))
+    )
+    return top.selectExpr(
+        "term",
+        "n_occ_docs",
+        "s AS total_tf",
+        f"""{_w2d("CAST(n_docs AS DECIMAL(38,0)) * ss"
+                  " - CAST(s AS DECIMAL(38,0)) * s", "DIV")}
+           / (CAST(n_docs AS DOUBLE) * CAST(s AS DOUBLE))
+           AS dispersion""",
+    ).orderBy(F.desc("total_tf"), "term")
+
+
+def _burstiness_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+
+    return f"""
+WITH nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+),
+per AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents
+  )
+  GROUP BY 1, 2
+),
+mom AS (
+  SELECT term,
+         CAST(COUNT(*) AS BIGINT) AS n_occ_docs,
+         CAST(SUM(tf) AS BIGINT) AS s,
+         SUM(CAST(tf AS HUGEINT) * tf) AS ss
+  FROM per GROUP BY 1
+),
+top AS (
+  SELECT * FROM mom CROSS JOIN nd
+  ORDER BY s DESC, term
+  LIMIT {BURST_TOPK}
+)
+SELECT term, n_occ_docs, s AS total_tf,
+       {_w2d("CAST(n_docs AS HUGEINT) * ss"
+             " - CAST(s AS HUGEINT) * s", "//")}
+         / (CAST(n_docs AS DOUBLE) * CAST(s AS DOUBLE))
+         AS dispersion
+FROM top
+ORDER BY total_tf DESC, term
+"""
+
+
+REGISTRY["term_burstiness_docs"] = {
+    "fn": term_burstiness_docs,
+    "sql": _burstiness_sql(),
+}
