@@ -928,3 +928,145 @@ def test_gumbel_matches_python(spark):
     assert abs(row["mean_weekly_max"] - m) < 1e-9
     assert abs(row["sd_weekly_max"] - s) < 1e-6
     assert abs(row["return_level_52w"] - rl) < 1e-6
+
+
+def _part_revenue_e4():
+    con = duckdb.connect()
+    return dict(
+        con.sql(
+            f"""SELECT l_partkey,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DECIMAL(38,4)) * 10000 AS BIGINT)
+                FROM '{SF}/lineitem.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+
+
+def test_theil_matches_python(spark):
+    from de4ml_spark.queries.relational3 import theil_index_parts
+
+    revs = list(_part_revenue_e4().values())
+    n = len(revs)
+    x_tot = sum(revs)
+    t_ref = sum(
+        (x / x_tot) * math.log(x * n / x_tot) for x in revs if x > 0
+    )
+    row = theil_index_parts(spark, SF).collect()[0]
+    assert (row["n_parts"], row["x_tot"]) == (n, x_tot)
+    assert abs(row["theil_t"] - t_ref) < 1e-5
+
+
+def test_hhi_matches_python(spark):
+    from de4ml_spark.queries.relational3 import hhi_supplier_revenue
+
+    con = duckdb.connect()
+    revs = [
+        r
+        for (r,) in con.sql(
+            f"""SELECT CAST(CAST(SUM(CAST(l_extendedprice
+                 AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DECIMAL(38,4)) * 10000 AS BIGINT)
+                FROM '{SF}/lineitem.parquet' GROUP BY l_suppkey"""
+        ).fetchall()
+    ]
+    s = sum(revs)
+    hhi = sum(x * x for x in revs) / (s * s)
+    row = hhi_supplier_revenue(spark, SF).collect()[0]
+    assert row["n_suppliers"] == len(revs)
+    assert abs(row["hhi"] - hhi) < 1e-12
+    assert abs(row["effective_suppliers"] - 1 / hhi) < 1e-9
+
+
+def test_katz_matches_python(spark):
+    from de4ml_spark.queries.graphq import (
+        KATZ_ALPHA_DIV,
+        KATZ_ITERS,
+        KATZ_SCALE,
+        katz_centrality_parts,
+    )
+
+    con = duckdb.connect()
+    edges = con.sql(
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM '{SF}/lineitem.parquet')
+            SELECT DISTINCT a.l_partkey, b.l_partkey
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey"""
+    ).fetchall()
+    inn = defaultdict(list)
+    nodes = set()
+    for u, v in edges:
+        inn[v].append(u)
+        nodes.add(u)
+        nodes.add(v)
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    s = {n: KATZ_SCALE for n in nodes}
+    for _ in range(KATZ_ITERS):
+        s = {
+            n: KATZ_SCALE
+            + tdiv(sum(s[u] for u in inn[n]), KATZ_ALPHA_DIV)
+            for n in nodes
+        }
+    top = sorted(s.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = sorted(
+        katz_centrality_parts(spark, SF).collect(),
+        key=lambda r: r["rank"],
+    )
+    for r, (node, score) in zip(got, top):
+        assert (r["part_key"], r["katz"]) == (node, score)
+
+
+def test_term_burstiness_matches_python(spark):
+    from de4ml_spark.queries.textq3 import term_burstiness_docs
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    n_docs = len(docs)
+    per = defaultdict(Counter)
+    for did, t in docs:
+        for w in t.split(" "):
+            per[w][did] += 1
+    for r in term_burstiness_docs(spark, SF).collect():
+        tfs = per[r["term"]]
+        s = sum(tfs.values())
+        ss = sum(v * v for v in tfs.values())
+        d_ref = (n_docs * ss - s * s) / (n_docs * s)
+        assert r["total_tf"] == s
+        assert r["n_occ_docs"] == len(tfs)
+        assert abs(r["dispersion"] - d_ref) < 1e-9
+
+
+def test_interarrival_burstiness_matches_python(spark):
+    from de4ml_spark.queries.statq2 import (
+        interarrival_burstiness_events,
+    )
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)), event_id
+            FROM '{SF}/events.parquet' WHERE event_type IS NOT NULL
+            ORDER BY event_type, 2, 3"""
+    ).fetchall()
+    seqs = defaultdict(list)
+    for et, t, _e in rows:
+        seqs[et].append(t)
+    for r in interarrival_burstiness_events(spark, SF).collect():
+        ts = seqs[r["event_type"]]
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        n = len(gaps)
+        mu = sum(gaps) / n
+        sd = math.sqrt(
+            (n * sum(g * g for g in gaps) - sum(gaps) ** 2)
+            / (n * (n - 1))
+        )
+        assert r["n_gaps"] == n
+        assert abs(r["mean_gap_us"] - mu) < 1e-6
+        assert abs(r["burstiness"] - (sd - mu) / (sd + mu)) < 1e-9
