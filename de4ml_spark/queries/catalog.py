@@ -116,6 +116,8 @@ PRIORITY = [
     "katz_centrality_parts",
     "term_burstiness_docs",
     "interarrival_burstiness_events",
+    "mann_kendall_daily_events",
+    "turning_points_value",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -2414,3 +2414,181 @@ REGISTRY["interarrival_burstiness_events"] = {
     "fn": interarrival_burstiness_events,
     "sql": _interarrival_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test on the daily event-count series — the
+# standard nonparametric "is traffic trending" monitor (pairs with
+# theil_sen's slope ESTIMATE; this is the TEST). S = Σᵢ<ⱼ sign(cⱼ−cᵢ)
+# over the calendar-bounded daily series (the pair join is days², a
+# fixed-size frame at any corpus scale), the variance carries the
+# tie correction Σ t(t−1)(2t+5), and z applies the ±1 continuity
+# correction. All integers until one wide_to_double tail.
+# --------------------------------------------------------------------------
+
+
+def _mk_final(div: str) -> list[str]:
+    big = _big(div)
+    var18 = (
+        f"CAST(n_days AS {big}) * (n_days - 1) * (2 * n_days + 5)"
+        " - tie_sum"
+    )
+    z = (
+        "CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+        " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+        " ELSE 0.0 END"
+    )
+    return [
+        "n_days",
+        "s_stat",
+        f"({z}) / sqrt({_w2d(var18, div)} / 18.0) AS z_mk",
+    ]
+
+
+def mann_kendall_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = daily.selectExpr("day AS da", "c AS ca")
+    b = daily.selectExpr("day AS db", "c AS cb")
+    pairs = a.join(F.broadcast(b), F.expr("da < db"))
+    s = pairs.agg(
+        F.sum(F.expr("CAST(cb > ca AS BIGINT) - CAST(cb < ca AS BIGINT)"))
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)"
+                )
+            ).alias("tie_sum")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    agg = s.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(n))
+    return agg.selectExpr(*_mk_final("DIV"))
+
+
+def _mk_sql() -> str:
+    final = ",\n       ".join(_mk_final("//"))
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+ties AS (
+  SELECT SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tie_sum
+  FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY 1)
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+SELECT {final}
+FROM s CROSS JOIN ties CROSS JOIN n
+"""
+
+
+REGISTRY["mann_kendall_daily_events"] = {
+    "fn": mann_kendall_daily_events,
+    "sql": _mk_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Turning-point test for serial randomness of `value` along the
+# global (ts, event_id) order: count positions that are strict local
+# extrema of their (prev, cur, next) triple; under i.i.d. the
+# expectation is 2(n−2)/3 with variance (16n−29)/90. The triple
+# adjacency is assembled from the distributed global rank
+# (operators/rank.py) with TWO shifted equi-joins — the runs_test
+# pattern one hop longer, no single-partition LAG anywhere. Ties
+# (non-strict neighbors) simply don't count as turning points
+# (documented convention). One IEEE tail for z.
+# --------------------------------------------------------------------------
+
+
+def _tp_final(div: str) -> list[str]:
+    return [
+        "n_tot",
+        "n_turning",
+        "(CAST(n_turning AS DOUBLE)"
+        " - 2.0 * CAST(n_tot - 2 AS DOUBLE) / 3.0)"
+        " / sqrt((16.0 * CAST(n_tot AS DOUBLE) - 29.0) / 90.0)"
+        " AS z_turning",
+    ]
+
+
+def turning_points_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.rank import with_global_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).selectExpr(
+        "ts",
+        "event_id",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v",
+    )
+    ranked = with_global_rank(
+        base, ["ts", "event_id"], out_col="pos"
+    ).select("pos", "v")
+    nxt1 = ranked.selectExpr("pos - 1 AS pos", "v AS v1")
+    nxt2 = ranked.selectExpr("pos - 2 AS pos", "v AS v2")
+    trip = ranked.join(nxt1, "pos").join(nxt2, "pos")
+    agg = trip.agg(
+        F.sum(
+            F.expr(
+                "CAST((v1 > v AND v1 > v2) OR (v1 < v AND v1 < v2)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("n_turning"),
+        (F.count(F.lit(1)) + 2).cast("bigint").alias("n_tot"),
+    )
+    return agg.selectExpr(*_tp_final("DIV"))
+
+
+def _tp_sql() -> str:
+    final = ",\n       ".join(_tp_final("//"))
+    return f"""
+WITH base AS (
+  SELECT ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL
+),
+seq AS (
+  SELECT v,
+         LEAD(v, 1) OVER (ORDER BY ts, event_id) AS v1,
+         LEAD(v, 2) OVER (ORDER BY ts, event_id) AS v2
+  FROM base
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN (v1 > v AND v1 > v2)
+                         OR (v1 < v AND v1 < v2)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_turning,
+         CAST(COUNT(*) + 2 AS BIGINT) AS n_tot
+  FROM seq
+  WHERE v2 IS NOT NULL
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["turning_points_value"] = {
+    "fn": turning_points_value,
+    "sql": _tp_sql(),
+}

@@ -1070,3 +1070,54 @@ def test_interarrival_burstiness_matches_python(spark):
         assert r["n_gaps"] == n
         assert abs(r["mean_gap_us"] - mu) < 1e-6
         assert abs(r["burstiness"] - (sd - mu) / (sd + mu)) < 1e-9
+
+
+def test_mann_kendall_matches_python(spark):
+    from de4ml_spark.queries.statq2 import mann_kendall_daily_events
+
+    daily = Counter()
+    for _et, _u, ts, *_r in _eventsv():
+        daily[ts.date()] += 1
+    # _eventsv filters NULL values; MK counts ALL events per day
+    con = duckdb.connect()
+    daily = dict(
+        con.sql(
+            f"""SELECT CAST(ts AS DATE), CAST(COUNT(*) AS BIGINT)
+            FROM '{SF}/events.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    days = sorted(daily)
+    cs = [daily[d] for d in days]
+    s = sum(
+        (cs[j] > cs[i]) - (cs[j] < cs[i])
+        for i in range(len(cs))
+        for j in range(i + 1, len(cs))
+    )
+    n = len(cs)
+    ties = Counter(cs)
+    var = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    ) / 18
+    z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(var)
+    row = mann_kendall_daily_events(spark, SF).collect()[0]
+    assert (row["n_days"], row["s_stat"]) == (n, s)
+    assert abs(row["z_mk"] - z) < 1e-9
+
+
+def test_turning_points_matches_python(spark):
+    from de4ml_spark.queries.statq2 import turning_points_value
+
+    rows = sorted(_events(), key=lambda r: (r[2], r[3]))
+    vs = [r[4] for r in rows]
+    tp = sum(
+        1
+        for i in range(1, len(vs) - 1)
+        if (vs[i] > vs[i - 1] and vs[i] > vs[i + 1])
+        or (vs[i] < vs[i - 1] and vs[i] < vs[i + 1])
+    )
+    n = len(vs)
+    z = (tp - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
+    row = turning_points_value(spark, SF).collect()[0]
+    assert (row["n_tot"], row["n_turning"]) == (n, tp)
+    assert abs(row["z_turning"] - z) < 1e-9
