@@ -118,6 +118,7 @@ PRIORITY = [
     "interarrival_burstiness_events",
     "mann_kendall_daily_events",
     "turning_points_value",
+    "bartlett_value_types",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

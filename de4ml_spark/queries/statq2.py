@@ -2592,3 +2592,194 @@ REGISTRY["turning_points_value"] = {
     "fn": turning_points_value,
     "sql": _tp_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Bartlett's test for variance homogeneity across event types — the
+# PARAMETRIC sibling of Brown-Forsythe above (sensitive to
+# non-normality, which is exactly why both belong in the battery).
+# χ² = [(N−k)·ln s_p² − Σ(nᵢ−1)·ln sᵢ²] / C,
+# C = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1)).
+# Every variance is an exact integer rational vnumᵢ/(nᵢ(nᵢ−1))
+# (vnum = n·Σx² − (Σx)², cents²), so each ln splits into TWO portable
+# lns of integers, micro-quantized and weight-summed in exact
+# integers; the 1/(nᵢ−1) harmonic terms are half-up micro integers.
+# Scale: one groupBy to the k-row moment table.
+# --------------------------------------------------------------------------
+
+
+def _bartlett_tail(div: str) -> list[str]:
+    return [
+        "k_groups",
+        "n_tot",
+        # numerator micro-int: (N−k)·ln_sp_u − Σ(nᵢ−1)·ln_si_u;
+        # C from micro harmonic terms — all converted once
+        f"({_w2d('chi_num_u', div)} / 1000000.0)"
+        " / (1.0 + (CAST(h_sum_u AS DOUBLE) / 1000000.0"
+        " - 1000000.0 / CAST((n_tot - k_groups) AS DOUBLE) / 1000000.0)"
+        " / (3.0 * CAST(k_groups - 1 AS DOUBLE))) AS chi2_bartlett",
+    ]
+
+
+def bartlett_value_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per = counts.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.expr("v_c * cnt")).cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(v_c AS DECIMAL(38,0)) * v_c * cnt")).alias(
+            "ss"
+        ),
+    ).selectExpr(
+        "event_type",
+        "n",
+        "CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s"
+        " AS vnum",
+    )
+    # ln sᵢ² = ln(vnumᵢ) − ln(nᵢ(nᵢ−1)); both integers ≥ 1
+    li = with_portable_ln(per, "vnum", "1", "__lnv")
+    li = with_portable_ln(
+        li, "CAST(n AS DECIMAL(38,0)) * (n - 1)", "1", "__lnd"
+    ).selectExpr(
+        "n",
+        "vnum",
+        "CAST(floor((__lnv - __lnd) * 1000000.0 + 0.5) AS BIGINT)"
+        " AS ln_si_u",
+        # half-up micro of 1/(n−1)
+        "CAST((2 * 1000000 + (n - 1)) DIV (2 * (n - 1)) AS BIGINT)"
+        " AS h_u",
+    )
+    tot = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("vnum").alias("vnum_tot_raw"),
+        F.sum(
+            F.expr("CAST(n - 1 AS DECIMAL(38,0)) * ln_si_u")
+        ).alias("wsum_u"),
+        F.sum("h_u").cast("bigint").alias("h_sum_u"),
+    )
+    # pooled s_p² = Σ(nᵢ−1)sᵢ² / (N−k) — but Σ(nᵢ−1)sᵢ² =
+    # Σ vnumᵢ/nᵢ needs per-group division; carry it exactly with the
+    # micro-quantized per-group terms instead: sp2_num_u below
+    sp = li.selectExpr(
+        f"{_whd('vnum', 'n', 'DIV')} AS sp_term"
+    ).agg(F.sum("sp_term").alias("sp2_num"))
+    j = tot.crossJoin(F.broadcast(sp))
+    lp = with_portable_ln(j, "sp2_num", "1", "__lnp")
+    lp = with_portable_ln(
+        lp, "CAST(n_tot - k_groups AS DECIMAL(38,0))", "1", "__lnq"
+    ).selectExpr(
+        "k_groups",
+        "n_tot",
+        "h_sum_u",
+        "wsum_u",
+        "CAST(floor((__lnp - __lnq) * 1000000.0 + 0.5) AS BIGINT)"
+        " AS ln_sp_u",
+    )
+    staged = lp.selectExpr(
+        "k_groups",
+        "n_tot",
+        "h_sum_u",
+        "CAST(n_tot - k_groups AS DECIMAL(38,0)) * ln_sp_u - wsum_u"
+        " AS chi_num_u",
+    )
+    return staged.selectExpr(*_bartlett_tail("DIV"))
+
+
+def _bartlett_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+    )
+
+    tail = ",\n       ".join(_bartlett_tail("//"))
+    ln1 = portable_ln_duck_ctes(
+        "per", "event_type, n, vnum", "vnum", "1", "lnv", "b1"
+    )
+    ln2 = portable_ln_duck_ctes(
+        "b1_out", "event_type, n, vnum, lnv",
+        "CAST(n AS HUGEINT) * (n - 1)", "1", "lnd", "b2",
+    )
+    ln3 = portable_ln_duck_ctes(
+        "j", "k_groups, n_tot, h_sum_u, wsum_u, sp2_num",
+        "sp2_num", "1", "lnp", "b3",
+    )
+    ln4 = portable_ln_duck_ctes(
+        "b3_out", "k_groups, n_tot, h_sum_u, wsum_u, lnp",
+        "CAST(n_tot - k_groups AS HUGEINT)", "1", "lnq", "b4",
+    )
+    return f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         COUNT(*) AS cnt
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt) AS HUGEINT)
+           * SUM(CAST(v_c AS HUGEINT) * v_c * cnt)
+           - CAST(CAST(SUM(v_c * cnt) AS BIGINT) AS HUGEINT)
+           * CAST(SUM(v_c * cnt) AS BIGINT) AS vnum
+  FROM counts GROUP BY 1
+),
+{ln1},
+{ln2},
+li AS (
+  SELECT n, vnum,
+         CAST(floor((lnv - lnd) * 1000000.0 + 0.5) AS BIGINT)
+           AS ln_si_u,
+         CAST((2 * 1000000 + (n - 1)) // (2 * (n - 1)) AS BIGINT)
+           AS h_u
+  FROM b2_out
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(n) AS BIGINT) AS n_tot,
+         SUM(CAST(n - 1 AS HUGEINT) * ln_si_u) AS wsum_u,
+         CAST(SUM(h_u) AS BIGINT) AS h_sum_u
+  FROM li
+),
+sp AS (
+  SELECT SUM({_whd('vnum', 'n', '//')}) AS sp2_num FROM li
+),
+j AS (SELECT * FROM tot CROSS JOIN sp),
+{ln3},
+{ln4},
+staged AS (
+  SELECT k_groups, n_tot, h_sum_u,
+         CAST(floor((lnp - lnq) * 1000000.0 + 0.5) AS BIGINT)
+           AS ln_sp_u,
+         wsum_u
+  FROM b4_out
+)
+SELECT {tail}
+FROM (
+  SELECT k_groups, n_tot, h_sum_u,
+         CAST(n_tot - k_groups AS HUGEINT) * ln_sp_u - wsum_u
+           AS chi_num_u
+  FROM staged
+)
+"""
+
+
+REGISTRY["bartlett_value_types"] = {
+    "fn": bartlett_value_types,
+    "sql": _bartlett_sql(),
+}

@@ -1121,3 +1121,40 @@ def test_turning_points_matches_python(spark):
     row = turning_points_value(spark, SF).collect()[0]
     assert (row["n_tot"], row["n_turning"]) == (n, tp)
     assert abs(row["z_turning"] - z) < 1e-9
+
+
+def test_bartlett_matches_python(spark):
+    from de4ml_spark.queries.statq2 import bartlett_value_types
+
+    by_type = defaultdict(list)
+    for et, *_r, v in _events():
+        by_type[et].append(v)
+    k = len(by_type)
+    n_tot = sum(len(xs) for xs in by_type.values())
+    # replicate the entry's quantized pipeline exactly: per-group
+    # ln s_i^2 and the pooled term are micro-floor(x+0.5) integers
+    wsum_u = 0
+    h_sum_u = 0
+    sp2_num = 0
+    for xs in by_type.values():
+        n = len(xs)
+        s = sum(xs)
+        ss = sum(x * x for x in xs)
+        vnum = n * ss - s * s
+        ln_si_u = math.floor(
+            (math.log(vnum) - math.log(n * (n - 1))) * 1e6 + 0.5
+        )
+        wsum_u += (n - 1) * ln_si_u
+        h_sum_u += (2 * 1_000_000 + (n - 1)) // (2 * (n - 1))
+        sp2_num += (2 * vnum + n) // (2 * n)
+    ln_sp_u = math.floor(
+        (math.log(sp2_num) - math.log(n_tot - k)) * 1e6 + 0.5
+    )
+    chi_num = ((n_tot - k) * ln_sp_u - wsum_u) / 1e6
+    c_corr = 1 + (h_sum_u / 1e6 - 1 / (n_tot - k)) / (3 * (k - 1))
+    row = bartlett_value_types(spark, SF).collect()[0]
+    assert (row["k_groups"], row["n_tot"]) == (k, n_tot)
+    # math.log vs portable ln: ≤1 micro-unit per quantized term
+    assert row["chi2_bartlett"] == pytest.approx(
+        chi_num / c_corr, abs=2e-4
+    )
