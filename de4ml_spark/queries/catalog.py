@@ -119,6 +119,8 @@ PRIORITY = [
     "mann_kendall_daily_events",
     "turning_points_value",
     "bartlett_value_types",
+    "jarque_bera_value",
+    "durbin_watson_daily_events",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -2783,3 +2783,230 @@ REGISTRY["bartlett_value_types"] = {
     "fn": bartlett_value_types,
     "sql": _bartlett_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Jarque-Bera normality test on `value`: JB = n/6·(S² + (K−3)²/4)
+# from exact integer central moments. Values are ANCHOR-CENTERED
+# (x − ⌊mean⌉ in cents) on the VALUE HISTOGRAM — centering shrinks
+# Σx' to ≤ n/2, so the cross terms in the central-moment expansions
+# stay small and the whole computation is exact through n ≈ 9·10⁷ at
+# cents scale (the n²·Σx'³ term hits DECIMAL(38) there; each 10×
+# coarsening of the unit buys ~10⁴× headroom — the documented
+# scale-up knob). The n-powers cancel inside skew = m3n/m2n^{3/2}
+# and kurt = m4n/m2n², so only the integer numerators convert
+# through wide_to_double. Scale: two histogram aggregates.
+# --------------------------------------------------------------------------
+
+
+def _jb_tail(div: str) -> list[str]:
+    skew = (
+        f"({_w2d('m3n', div)}"
+        f" / ({_w2d('m2n', div)} * sqrt({_w2d('m2n', div)})))"
+    )
+    kurt = (
+        f"({_w2d('m4n', div)}"
+        f" / ({_w2d('m2n', div)} * {_w2d('m2n', div)}))"
+    )
+    return [
+        "n_tot",
+        f"{skew} AS skewness",
+        f"{kurt} AS kurtosis",
+        f"CAST(n_tot AS DOUBLE) / 6.0 * ({skew} * {skew}"
+        f" + ({kurt} - 3.0) * ({kurt} - 3.0) / 4.0) AS jarque_bera",
+    ]
+
+
+def jarque_bera_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    anchor = hist.agg(
+        F.sum("c").cast("bigint").alias("n_tot"),
+        F.expr(
+            "CAST((2 * SUM(v * c) + SUM(c)) DIV (2 * SUM(c))"
+            " AS BIGINT)"
+        ).alias("a"),
+    )
+    mom = (
+        hist.crossJoin(F.broadcast(anchor))
+        .selectExpr("n_tot", "c", "v - a AS x")
+        .groupBy("n_tot")
+        .agg(
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * c")).alias("s1"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x * c")).alias(
+                "s2"
+            ),
+            F.sum(
+                F.expr("CAST(x AS DECIMAL(38,0)) * x * x * c")
+            ).alias("s3"),
+            F.sum(
+                F.expr("CAST(x AS DECIMAL(38,0)) * x * x * x * c")
+            ).alias("s4"),
+        )
+    )
+    staged = mom.selectExpr(
+        "n_tot",
+        "n_tot * s2 - s1 * s1 AS m2n",
+        "CAST(n_tot AS DECIMAL(38,0)) * n_tot * s3"
+        " - 3 * n_tot * s2 * s1 + 2 * s1 * s1 * s1 AS m3n",
+        "CAST(n_tot AS DECIMAL(38,0)) * n_tot * n_tot * s4"
+        " - 4 * CAST(n_tot AS DECIMAL(38,0)) * n_tot * s3 * s1"
+        " + 6 * n_tot * s2 * s1 * s1"
+        " - 3 * s1 * s1 * s1 * s1 AS m4n",
+    )
+    return staged.selectExpr(*_jb_tail("DIV"))
+
+
+def _jb_sql() -> str:
+    tail = ",\n       ".join(_jb_tail("//"))
+    return f"""
+WITH hist AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1
+),
+anchor AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tot,
+         CAST((2 * SUM(v * c) + SUM(c)) // (2 * SUM(c)) AS BIGINT)
+           AS a
+  FROM hist
+),
+mom AS (
+  SELECT n_tot,
+         SUM(CAST(v - a AS HUGEINT) * c) AS s1,
+         SUM(CAST(v - a AS HUGEINT) * (v - a) * c) AS s2,
+         SUM(CAST(v - a AS HUGEINT) * (v - a) * (v - a) * c) AS s3,
+         SUM(CAST(v - a AS HUGEINT) * (v - a) * (v - a) * (v - a) * c)
+           AS s4
+  FROM hist CROSS JOIN anchor
+  GROUP BY 1
+),
+staged AS (
+  SELECT n_tot,
+         n_tot * s2 - s1 * s1 AS m2n,
+         CAST(n_tot AS HUGEINT) * n_tot * s3
+           - 3 * n_tot * s2 * s1 + 2 * s1 * s1 * s1 AS m3n,
+         CAST(n_tot AS HUGEINT) * n_tot * n_tot * s4
+           - 4 * CAST(n_tot AS HUGEINT) * n_tot * s3 * s1
+           + 6 * n_tot * s2 * s1 * s1
+           - 3 * s1 * s1 * s1 * s1 AS m4n
+  FROM mom
+)
+SELECT {tail}
+FROM staged
+"""
+
+
+REGISTRY["jarque_bera_value"] = {
+    "fn": jarque_bera_value,
+    "sql": _jb_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Durbin-Watson statistic of the daily event-count series around its
+# mean: d = Σ(eₜ − eₜ₋₁)² / Σeₜ² with eₜ = cₜ − c̄ — the classic
+# first-order autocorrelation diagnostic on the traffic curve (d ≈ 2
+# uncorrelated, → 0 positively autocorrelated). Mean-centering
+# cancels inside both sums when carried ×n: numerator Σ(n·cₜ −
+# n·cₜ₋₁)² and denominator Σ(n·cₜ − S)² are exact integers (the n²
+# factors cancel in the ratio). The day-adjacency is a calendar-
+# bounded self-join on day+1 (gaps break pairs — documented: the
+# series is the OBSERVED consecutive-day sequence). One
+# wide_to_double ratio.
+# --------------------------------------------------------------------------
+
+
+def _dw_tail(div: str) -> list[str]:
+    return [
+        "n_days",
+        f"{_w2d('dnum', div)} / {_w2d('dden', div)} AS durbin_watson",
+    ]
+
+
+def durbin_watson_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    j = daily.crossJoin(F.broadcast(tot))
+    den = j.agg(
+        F.sum(
+            F.expr(
+                "(CAST(n_days AS DECIMAL(38,0)) * c - s)"
+                " * (CAST(n_days AS DECIMAL(38,0)) * c - s)"
+            )
+        ).alias("dden"),
+        F.max("n_days").alias("n_days"),
+    )
+    nxt = daily.selectExpr("date_sub(day, 1) AS day", "c AS c_next")
+    num = (
+        daily.join(nxt, "day")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr(
+                    "(CAST(n_days AS DECIMAL(38,0)) * c_next"
+                    " - CAST(n_days AS DECIMAL(38,0)) * c)"
+                    " * (CAST(n_days AS DECIMAL(38,0)) * c_next"
+                    " - CAST(n_days AS DECIMAL(38,0)) * c)"
+                )
+            ).alias("dnum")
+        )
+    )
+    agg = num.crossJoin(F.broadcast(den))
+    return agg.selectExpr(*_dw_tail("DIV"))
+
+
+def _dw_sql() -> str:
+    tail = ",\n       ".join(_dw_tail("//"))
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS s
+  FROM daily
+),
+den AS (
+  SELECT SUM((CAST(n_days AS HUGEINT) * c - s)
+             * (CAST(n_days AS HUGEINT) * c - s)) AS dden,
+         MAX(n_days) AS n_days
+  FROM daily CROSS JOIN tot
+),
+num AS (
+  SELECT SUM((CAST(n_days AS HUGEINT) * b.c
+              - CAST(n_days AS HUGEINT) * a.c)
+             * (CAST(n_days AS HUGEINT) * b.c
+                - CAST(n_days AS HUGEINT) * a.c)) AS dnum
+  FROM daily a
+  JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+  CROSS JOIN tot
+)
+SELECT {tail}
+FROM num CROSS JOIN den
+"""
+
+
+REGISTRY["durbin_watson_daily_events"] = {
+    "fn": durbin_watson_daily_events,
+    "sql": _dw_sql(),
+}

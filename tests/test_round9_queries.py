@@ -1158,3 +1158,50 @@ def test_bartlett_matches_python(spark):
     assert row["chi2_bartlett"] == pytest.approx(
         chi_num / c_corr, abs=2e-4
     )
+
+
+def test_jarque_bera_matches_python(spark):
+    from de4ml_spark.queries.statq2 import jarque_bera_value
+
+    vs = [v for *_r, v in _eventsv()]
+    n = len(vs)
+    m = sum(vs) / n
+    m2 = sum((x - m) ** 2 for x in vs) / n
+    m3 = sum((x - m) ** 3 for x in vs) / n
+    m4 = sum((x - m) ** 4 for x in vs) / n
+    skew = m3 / m2**1.5
+    kurt = m4 / m2**2
+    jb = n / 6 * (skew**2 + (kurt - 3) ** 2 / 4)
+    row = jarque_bera_value(spark, SF).collect()[0]
+    assert row["n_tot"] == n
+    assert abs(row["skewness"] - skew) < 1e-9
+    assert abs(row["kurtosis"] - kurt) < 1e-9
+    assert abs(row["jarque_bera"] - jb) / jb < 1e-9
+
+
+def test_durbin_watson_matches_python(spark):
+    from de4ml_spark.queries.statq2 import (
+        durbin_watson_daily_events,
+    )
+
+    con = duckdb.connect()
+    daily = dict(
+        con.sql(
+            f"""SELECT CAST(ts AS DATE), CAST(COUNT(*) AS BIGINT)
+            FROM '{SF}/events.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    days = sorted(daily)
+    m = sum(daily.values()) / len(days)
+    es = [daily[d] - m for d in days]
+    import datetime as _dt
+
+    num = sum(
+        (daily[d + _dt.timedelta(days=1)] - daily[d]) ** 2
+        for d in days
+        if d + _dt.timedelta(days=1) in daily
+    )
+    den = sum(e * e for e in es)
+    row = durbin_watson_daily_events(spark, SF).collect()[0]
+    assert row["n_days"] == len(days)
+    assert abs(row["durbin_watson"] - num / den) < 1e-9
