@@ -121,6 +121,8 @@ PRIORITY = [
     "bartlett_value_types",
     "jarque_bera_value",
     "durbin_watson_daily_events",
+    "g_test_events",
+    "wilcoxon_signed_daily",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

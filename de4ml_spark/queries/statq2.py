@@ -3010,3 +3010,244 @@ REGISTRY["durbin_watson_daily_events"] = {
     "fn": durbin_watson_daily_events,
     "sql": _dw_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# G-test (likelihood-ratio χ²) of independence on the same
+# event_type × day-of-week table as Cramér's V — the
+# information-theoretic counterpart of Pearson's χ² (G = 2·Σ o·ln(o·N
+# / (r·c)); additively decomposable where Pearson is not). Each ln is
+# portable on the integer rational o·N vs r·c (max/min flip),
+# micro-quantized and weighted by the integer o; empty cells
+# contribute 0. One wide_to_double tail. Scale: one groupBy to the
+# (k × 7) cell table.
+# --------------------------------------------------------------------------
+
+
+def _g_tail(div: str) -> list[str]:
+    return [
+        "n_tot",
+        f"2.0 * {_w2d('g_num_u', div)} / 1000000.0 AS g_stat",
+    ]
+
+
+def g_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type").isNotNull())
+        .selectExpr(
+            "event_type",
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') % 7"
+            " AS BIGINT) AS dow",
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rows = cells.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("r_i")
+    )
+    cols = cells.groupBy("dow").agg(
+        F.sum("o").cast("bigint").alias("c_j")
+    )
+    n = cells.agg(F.sum("o").cast("bigint").alias("n_tot"))
+    j = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "n_tot",
+            "o",
+            "CAST(o AS DECIMAL(38,0)) * n_tot AS num",
+            "CAST(r_i AS DECIMAL(38,0)) * c_j AS den",
+        )
+    )
+    lned = with_portable_ln(
+        j,
+        "CASE WHEN num >= den THEN num ELSE den END",
+        "CASE WHEN num >= den THEN den ELSE num END",
+        "__pln",
+    ).selectExpr(
+        "n_tot",
+        "o * CAST(floor((CASE WHEN num >= den THEN __pln"
+        " ELSE -__pln END) * 1000000.0 + 0.5) AS BIGINT) AS term",
+    )
+    agg = lned.groupBy("n_tot").agg(
+        F.sum(F.expr("CAST(term AS DECIMAL(38,0))")).alias("g_num_u")
+    )
+    return agg.selectExpr(*_g_tail("DIV"))
+
+
+def _g_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+    )
+
+    tail = ",\n       ".join(_g_tail("//"))
+    ln_ctes = portable_ln_duck_ctes(
+        "j",
+        "n_tot, o, num, den",
+        "CASE WHEN num >= den THEN num ELSE den END",
+        "CASE WHEN num >= den THEN den ELSE num END",
+        "pln",
+        "gt",
+    )
+    return f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+              AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events
+  WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+rws AS (
+  SELECT event_type, CAST(SUM(o) AS BIGINT) AS r_i FROM cells GROUP BY 1
+),
+cls AS (
+  SELECT dow, CAST(SUM(o) AS BIGINT) AS c_j FROM cells GROUP BY 1
+),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n_tot FROM cells),
+j AS (
+  SELECT n_tot, o,
+         CAST(o AS HUGEINT) * n_tot AS num,
+         CAST(r_i AS HUGEINT) * c_j AS den
+  FROM cells JOIN rws USING (event_type) JOIN cls USING (dow)
+  CROSS JOIN n
+),
+{ln_ctes},
+lned AS (
+  SELECT n_tot,
+         o * CAST(floor((CASE WHEN num >= den THEN pln
+             ELSE -pln END) * 1000000.0 + 0.5) AS BIGINT) AS term
+  FROM gt_out
+)
+SELECT {tail}
+FROM (
+  SELECT n_tot, SUM(CAST(term AS HUGEINT)) AS g_num_u
+  FROM lned GROUP BY 1
+)
+"""
+
+
+REGISTRY["g_test_events"] = {
+    "fn": g_test_events,
+    "sql": _g_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank test on PAIRED daily counts of 'view' vs
+# 'click' — completing the nonparametric family (Mann-Whitney =
+# unpaired two-sample, Kruskal-Wallis/Friedman = k-sample, this =
+# paired two-sample). Zero differences drop (standard); |d| midranks
+# come from the day-bounded difference histogram (×2-carried), W⁺ is
+# an exact integer, and z uses the tie-corrected variance
+# [n(n+1)(2n+1) − Σt(t²−1)/2] / 24 carried ×2. The whole spine is
+# calendar-bounded. (Continuity correction omitted — documented.)
+# --------------------------------------------------------------------------
+
+
+def _wsr_tail(div: str) -> list[str]:
+    big = _big(div)
+    # 48·var(2W⁺) = 8·n(n+1)(2n+1) − 4·Σ(t³−t) ; z on the ×2 scale:
+    # z = (2W⁺ − n(n+1)/2·... carried ×2: E[2W⁺] = n(n+1)/2
+    var48 = (
+        f"8 * CAST(n_nz AS {big}) * (n_nz + 1) * (2 * n_nz + 1)"
+        " - 4 * tie3"
+    )
+    return [
+        "n_nz",
+        "w_plus_x2",
+        f"(CAST(w_plus_x2 AS DOUBLE)"
+        " - CAST(n_nz AS DOUBLE) * CAST(n_nz + 1 AS DOUBLE) / 2.0)"
+        f" / sqrt({_w2d(var48, div)} / 48.0) AS z_wilcoxon",
+    ]
+
+
+def wilcoxon_signed_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(event_type = 'view' AS BIGINT)"))
+            .cast("bigint")
+            .alias("nv"),
+            F.sum(F.expr("CAST(event_type = 'click' AS BIGINT)"))
+            .cast("bigint")
+            .alias("nc"),
+        )
+        .selectExpr("day", "nv - nc AS d")
+        .filter("d <> 0")
+    )
+    hist = daily.groupBy(F.expr("abs(d)").alias("ad")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum(F.expr("CAST(d > 0 AS BIGINT)"))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    wcum = Window.orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = hist.withColumn("cum", F.sum("t").over(wcum)).selectExpr(
+        "t",
+        "pos",
+        "2 * (cum - t) + t + 1 AS r2x",
+        "CAST(t AS DECIMAL(38,0)) * t * t - t AS t3",
+    )
+    agg = ranked.agg(
+        F.sum("t").cast("bigint").alias("n_nz"),
+        F.sum(F.expr("pos * r2x")).cast("bigint").alias("w_plus_x2"),
+        F.sum("t3").alias("tie3"),
+    )
+    return agg.selectExpr(*_wsr_tail("DIV"))
+
+
+def _wsr_sql() -> str:
+    tail = ",\n       ".join(_wsr_tail("//"))
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT)
+         - CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS d
+  FROM events
+  WHERE event_type IN ('view', 'click')
+  GROUP BY 1
+),
+nz AS (SELECT d FROM daily WHERE d <> 0),
+hist AS (
+  SELECT abs(d) AS ad,
+         CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM nz GROUP BY 1
+),
+ranked AS (
+  SELECT t, pos,
+         2 * (SUM(t) OVER (ORDER BY ad
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+           + t + 1 AS r2x,
+         CAST(t AS HUGEINT) * t * t - t AS t3
+  FROM hist
+),
+agg AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n_nz,
+         CAST(SUM(pos * r2x) AS BIGINT) AS w_plus_x2,
+         SUM(t3) AS tie3
+  FROM ranked
+)
+SELECT {tail}
+FROM agg
+"""
+
+
+REGISTRY["wilcoxon_signed_daily"] = {
+    "fn": wilcoxon_signed_daily,
+    "sql": _wsr_sql(),
+}

@@ -1205,3 +1205,67 @@ def test_durbin_watson_matches_python(spark):
     row = durbin_watson_daily_events(spark, SF).collect()[0]
     assert row["n_days"] == len(days)
     assert abs(row["durbin_watson"] - num / den) < 1e-9
+
+
+def test_g_test_matches_python(spark):
+    from de4ml_spark.queries.statq2 import g_test_events
+
+    cells = Counter()
+    con = duckdb.connect()
+    for et, dw, o in con.sql(
+        f"""SELECT event_type,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7,
+            COUNT(*)
+            FROM '{SF}/events.parquet'
+            WHERE event_type IS NOT NULL GROUP BY 1, 2"""
+    ).fetchall():
+        cells[(et, dw)] = o
+    n = sum(cells.values())
+    rows = Counter()
+    cols = Counter()
+    for (et, dw), o in cells.items():
+        rows[et] += o
+        cols[dw] += o
+    g = 2 * sum(
+        o * math.log(o * n / (rows[et] * cols[dw]))
+        for (et, dw), o in cells.items()
+    )
+    row = g_test_events(spark, SF).collect()[0]
+    assert row["n_tot"] == n
+    # per-cell micro quantization of the weighted ln
+    assert abs(row["g_stat"] - g) < 1e-2
+
+
+def test_wilcoxon_matches_python(spark):
+    from de4ml_spark.queries.statq2 import wilcoxon_signed_daily
+
+    con = duckdb.connect()
+    daily = con.sql(
+        f"""SELECT CAST(ts AS DATE),
+            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            FROM '{SF}/events.parquet'
+            WHERE event_type IN ('view', 'click') GROUP BY 1"""
+    ).fetchall()
+    ds = [d for _day, d in daily if d != 0]
+    n = len(ds)
+    order = sorted(abs(d) for d in ds)
+    midrank = {}
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and order[j] == order[i]:
+            j += 1
+        for v in {order[i]}:
+            midrank[v] = (i + 1 + j) / 2
+        i = j
+    w_plus = sum(midrank[abs(d)] for d in ds if d > 0)
+    ties = Counter(abs(d) for d in ds)
+    var = n * (n + 1) * (2 * n + 1) / 24 - sum(
+        t**3 - t for t in ties.values()
+    ) / 48
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
+    row = wilcoxon_signed_daily(spark, SF).collect()[0]
+    assert row["n_nz"] == n
+    assert row["w_plus_x2"] == round(2 * w_plus)
+    assert abs(row["z_wilcoxon"] - z) < 1e-9
