@@ -43,6 +43,7 @@ def _registries() -> list[dict]:
         "sketchq",
         "statq",
         "statq2",
+        "statq3",
         "mldataq4",
         "mldataq5",
     ):
@@ -123,6 +124,10 @@ PRIORITY = [
     "durbin_watson_daily_events",
     "g_test_events",
     "wilcoxon_signed_daily",
+    # -- (2b) round-9b additions: AFTER the 50-cut (graded round 10)
+    "ks_two_sample_value",
+    "mood_median_value",
+    "benford_first_digit_orders",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",
