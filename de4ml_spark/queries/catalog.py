@@ -128,6 +128,9 @@ PRIORITY = [
     "ks_two_sample_value",
     "mood_median_value",
     "benford_first_digit_orders",
+    "pettitt_change_daily",
+    "cusum_change_daily",
+    "theil_sen_daily",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

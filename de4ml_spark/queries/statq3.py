@@ -430,3 +430,372 @@ REGISTRY["benford_first_digit_orders"] = {
     "fn": benford_first_digit_orders,
     "sql": _benford_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Pettitt change-point test on the daily event-count series — the
+# rank-based "did the traffic level shift, and when" monitor (pairs
+# with mann_kendall: that detects monotone TREND, this locates a step
+# CHANGE). Doubled midranks r2ᵢ = 2·#below + #ties + 1 come from the
+# days² broadcast pair join (calendar-bounded at any corpus scale);
+# U_t = Σ_{i≤t} r2ᵢ − t(n+1) is exact int64; K = max_{t<n} |U_t| with
+# the EARLIEST argmax day reported. pettitt_lambda = 6K²/(n³+n²) is
+# the exponent of the asymptotic p-value (p ≈ 2e^{−λ}; exp is left to
+# the consumer — no portable exp primitive, documented).
+# --------------------------------------------------------------------------
+
+_PETTITT_FINAL = [
+    "n_days",
+    "k_pettitt",
+    "t_star",
+    "change_day",
+    "6.0 * CAST(k_pettitt AS DOUBLE) * CAST(k_pettitt AS DOUBLE)"
+    " / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)"
+    " * CAST(n_days AS DOUBLE)"
+    " + CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))"
+    " AS pettitt_lambda",
+]
+
+
+def pettitt_change_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = daily.selectExpr("day AS da", "c AS ca")
+    b = daily.selectExpr("day AS db", "c AS cb")
+    # doubled midrank per day: 2·#below + #ties(incl self) over ALL days
+    r2 = (
+        a.crossJoin(F.broadcast(b))
+        .groupBy("da", "ca")
+        .agg(
+            F.sum(
+                F.expr("2 * CAST(cb < ca AS BIGINT)"
+                       " + CAST(cb = ca AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("r2m1")
+        )
+        .selectExpr("da AS day", "r2m1 + 1 AS r2")
+    )
+    # prefix sums + day index via a second days² join (i.day <= t.day)
+    i = r2.selectExpr("day AS di", "r2 AS r2i")
+    u = (
+        r2.alias("t")
+        .crossJoin(F.broadcast(i))
+        .filter(F.expr("di <= t.day"))
+        .groupBy(F.col("t.day").alias("day"))
+        .agg(
+            F.sum("r2i").cast("bigint").alias("s2_t"),
+            F.count(F.lit(1)).cast("bigint").alias("t_idx"),
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ut = (
+        u.crossJoin(F.broadcast(n))
+        .filter("t_idx < n_days")
+        .selectExpr(
+            "n_days",
+            "day",
+            "t_idx",
+            "abs(s2_t - t_idx * (n_days + 1)) AS abs_u",
+        )
+    )
+    k = ut.groupBy("n_days").agg(
+        F.max("abs_u").cast("bigint").alias("k_pettitt")
+    )
+    best = (
+        ut.join(F.broadcast(k), "n_days")
+        .filter("abs_u = k_pettitt")
+        .groupBy("n_days", "k_pettitt")
+        .agg(
+            F.min("t_idx").cast("bigint").alias("t_star"),
+            F.expr("CAST(MIN(day) AS STRING)").alias("change_day"),
+        )
+    )
+    return best.selectExpr(*_PETTITT_FINAL)
+
+
+def _pettitt_sql() -> str:
+    final = ",\n       ".join(_PETTITT_FINAL)
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+r2 AS (
+  SELECT a.day,
+         CAST(SUM(2 * CASE WHEN b.c < a.c THEN 1 ELSE 0 END
+                  + CASE WHEN b.c = a.c THEN 1 ELSE 0 END)
+              AS BIGINT) + 1 AS r2
+  FROM daily a CROSS JOIN daily b
+  GROUP BY 1
+),
+u AS (
+  SELECT t.day, CAST(SUM(i.r2) AS BIGINT) AS s2_t,
+         CAST(COUNT(*) AS BIGINT) AS t_idx
+  FROM r2 t JOIN r2 i ON i.day <= t.day
+  GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+ut AS (
+  SELECT n_days, day, t_idx,
+         ABS(s2_t - t_idx * (n_days + 1)) AS abs_u
+  FROM u CROSS JOIN n
+  WHERE t_idx < n_days
+),
+k AS (
+  SELECT n_days, CAST(MAX(abs_u) AS BIGINT) AS k_pettitt
+  FROM ut GROUP BY 1
+)
+SELECT {final}
+FROM (
+  SELECT ut.n_days, k_pettitt,
+         CAST(MIN(t_idx) AS BIGINT) AS t_star,
+         CAST(MIN(day) AS VARCHAR) AS change_day
+  FROM ut JOIN k ON ut.n_days = k.n_days AND abs_u = k_pettitt
+  GROUP BY 1, 2
+)
+"""
+
+
+REGISTRY["pettitt_change_daily"] = {
+    "fn": pettitt_change_daily,
+    "sql": _pettitt_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# CUSUM / Buishand homogeneity on the daily series: partial sums of
+# deviations from the grand mean, carried EXACTLY as n·S_t = n·cum_t −
+# t·ΣC (int64 — counts ≤ 2^31 per day and days ≤ 365 keep n·cum well
+# inside range even at 100 TB); Buishand's Q = max|S_t|/s and
+# R = (max S_t − min S_t)/s, both rescaled by √n (the tabulated form).
+# s from the exact moment pair (n·Σc² − S² wide). The prefix sums ride
+# the same days² broadcast join as pettitt.
+# --------------------------------------------------------------------------
+
+
+def _buishand_final(div: str) -> list[str]:
+    big = _big(div)
+    varnum = f"CAST(n_days AS {big}) * ssq - CAST(s_tot AS {big}) * s_tot"
+    s_std = (
+        f"sqrt({_w2d(varnum, div)}"
+        " / (CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE)))"
+    )
+    return [
+        "n_days",
+        "max_ns",
+        "min_ns",
+        f"(CAST(max_abs_ns AS DOUBLE) / CAST(n_days AS DOUBLE))"
+        f" / ({s_std}) / sqrt(CAST(n_days AS DOUBLE))"
+        " AS q_over_sqrt_n",
+        f"(CAST(max_ns - min_ns AS DOUBLE) / CAST(n_days AS DOUBLE))"
+        f" / ({s_std}) / sqrt(CAST(n_days AS DOUBLE))"
+        " AS r_over_sqrt_n",
+    ]
+
+
+def cusum_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    i = daily.selectExpr("day AS di", "c AS ci")
+    cum = (
+        daily.alias("t")
+        .crossJoin(F.broadcast(i))
+        .filter(F.expr("di <= t.day"))
+        .groupBy(F.col("t.day").alias("day"))
+        .agg(
+            F.sum("ci").cast("bigint").alias("cum_t"),
+            F.count(F.lit(1)).cast("bigint").alias("t_idx"),
+        )
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s_tot"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("ssq"),
+    )
+    ns = cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "n_days",
+        "s_tot",
+        "ssq",
+        "n_days * cum_t - t_idx * s_tot AS ns_t",
+    )
+    agg = ns.groupBy("n_days", "s_tot", "ssq").agg(
+        F.max("ns_t").cast("bigint").alias("max_ns"),
+        F.min("ns_t").cast("bigint").alias("min_ns"),
+        F.max(F.expr("abs(ns_t)")).cast("bigint").alias("max_abs_ns"),
+    )
+    return agg.selectExpr(*_buishand_final("DIV"))
+
+
+def _cusum_sql() -> str:
+    final = ",\n       ".join(_buishand_final("//"))
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT t.day, CAST(SUM(i.c) AS BIGINT) AS cum_t,
+         CAST(COUNT(*) AS BIGINT) AS t_idx
+  FROM daily t JOIN daily i ON i.day <= t.day
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS s_tot,
+         SUM(CAST(c AS HUGEINT) * c) AS ssq
+  FROM daily
+),
+ns AS (
+  SELECT n_days, s_tot, ssq,
+         n_days * cum_t - t_idx * s_tot AS ns_t
+  FROM cum CROSS JOIN tot
+)
+SELECT {final}
+FROM (
+  SELECT n_days, s_tot, ssq,
+         CAST(MAX(ns_t) AS BIGINT) AS max_ns,
+         CAST(MIN(ns_t) AS BIGINT) AS min_ns,
+         CAST(MAX(ABS(ns_t)) AS BIGINT) AS max_abs_ns
+  FROM ns GROUP BY 1, 2, 3
+)
+"""
+
+
+REGISTRY["cusum_change_daily"] = {
+    "fn": cusum_change_daily,
+    "sql": _cusum_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend slope of the daily series (the ESTIMATE that
+# pairs with mann_kendall's trend TEST): median over all day-pair
+# slopes (c_j−c_i)/(t_j−t_i), t = calendar index (gaps handled).
+# Each slope is half-up-quantized to integer micro-units — pure int64,
+# signed via round-half-away-from-zero (documented) — and the median
+# of the ≤ days²/2 quantized slopes is the standard lower/upper-middle
+# average, assembled with the cum-vs-half pair join (no global sort).
+# --------------------------------------------------------------------------
+
+_SEN_FINAL = [
+    "n_pairs",
+    "m1_u",
+    "m2_u",
+    "(CAST(m1_u AS DOUBLE) + CAST(m2_u AS DOUBLE))"
+    " / 2000000.0 AS sen_slope_per_day",
+]
+
+
+def theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    mind = daily.agg(F.min("day").alias("day0"))
+    idx = daily.crossJoin(F.broadcast(mind)).selectExpr(
+        "CAST(datediff(day, day0) AS BIGINT) AS t", "c"
+    )
+    a = idx.selectExpr("t AS ti", "c AS ci")
+    b = idx.selectExpr("t AS tj", "c AS cj")
+    slopes = (
+        a.crossJoin(F.broadcast(b))
+        .filter("ti < tj")
+        .selectExpr(
+            # signed half-up in micro-units: round half away from zero.
+            # divisor guarded (ANSI): codegen can evaluate this in the
+            # same stage as the ti<tj join condition, on unfiltered rows
+            "CAST(CASE WHEN cj >= ci"
+            " THEN (2 * (cj - ci) * 1000000 + (tj - ti))"
+            " DIV (2 * CASE WHEN tj > ti THEN tj - ti ELSE 1 END)"
+            " ELSE -((2 * (ci - cj) * 1000000 + (tj - ti))"
+            " DIV (2 * CASE WHEN tj > ti THEN tj - ti ELSE 1 END))"
+            " END AS BIGINT) AS s_u"
+        )
+    )
+    hist = slopes.groupBy("s_u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = hist.agg(F.sum("cnt").cast("bigint").alias("n_pairs"))
+    i2 = hist.selectExpr("s_u AS su2", "cnt AS cnt2")
+    cum = (
+        hist.crossJoin(F.broadcast(i2))
+        .filter("su2 <= s_u")
+        .groupBy("s_u")
+        .agg(F.sum("cnt2").cast("bigint").alias("cum"))
+        .crossJoin(F.broadcast(tot))
+    )
+    m1 = cum.filter("2 * cum >= n_pairs").groupBy("n_pairs").agg(
+        F.min("s_u").cast("bigint").alias("m1_u")
+    )
+    m2 = cum.filter("2 * cum >= n_pairs + 2").groupBy("n_pairs").agg(
+        F.min("s_u").cast("bigint").alias("m2_u")
+    )
+    # odd n_pairs: both medians coincide at the middle element
+    j = m1.join(m2, "n_pairs", "left").selectExpr(
+        "n_pairs",
+        "m1_u",
+        "CASE WHEN n_pairs % 2 = 1 THEN m1_u"
+        " ELSE COALESCE(m2_u, m1_u) END AS m2_u",
+    )
+    return j.selectExpr(*_SEN_FINAL)
+
+
+def _sen_sql() -> str:
+    final = ",\n       ".join(_SEN_FINAL)
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT CAST(date_diff('day', (SELECT MIN(day) FROM daily), day)
+              AS BIGINT) AS t, c
+  FROM daily
+),
+slopes AS (
+  SELECT CAST(CASE WHEN b.c >= a.c
+           THEN (2 * (b.c - a.c) * 1000000 + (b.t - a.t))
+                // (2 * CASE WHEN b.t > a.t THEN b.t - a.t ELSE 1 END)
+           ELSE -((2 * (a.c - b.c) * 1000000 + (b.t - a.t))
+                // (2 * CASE WHEN b.t > a.t THEN b.t - a.t ELSE 1 END))
+           END AS BIGINT) AS s_u
+  FROM idx a JOIN idx b ON a.t < b.t
+),
+hist AS (
+  SELECT s_u, CAST(COUNT(*) AS BIGINT) AS cnt FROM slopes GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_pairs FROM hist),
+cum AS (
+  SELECT h.s_u, CAST(SUM(i.cnt) AS BIGINT) AS cum, n_pairs
+  FROM hist h JOIN hist i ON i.s_u <= h.s_u CROSS JOIN tot
+  GROUP BY 1, 3
+),
+m1 AS (
+  SELECT n_pairs, CAST(MIN(s_u) AS BIGINT) AS m1_u
+  FROM cum WHERE 2 * cum >= n_pairs GROUP BY 1
+),
+m2 AS (
+  SELECT n_pairs, CAST(MIN(s_u) AS BIGINT) AS m2_u
+  FROM cum WHERE 2 * cum >= n_pairs + 2 GROUP BY 1
+)
+SELECT {final}
+FROM (
+  SELECT m1.n_pairs, m1_u,
+         CASE WHEN m1.n_pairs % 2 = 1 THEN m1_u
+              ELSE COALESCE(m2_u, m1_u) END AS m2_u
+  FROM m1 LEFT JOIN m2 ON m1.n_pairs = m2.n_pairs
+)
+"""
+
+
+REGISTRY["theil_sen_daily"] = {
+    "fn": theil_sen_daily,
+    "sql": _sen_sql(),
+}

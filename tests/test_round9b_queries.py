@@ -117,3 +117,75 @@ def test_benford_matches_python(spark):
     # adds <= 0.5e-6 per digit
     assert abs(row["chi2_benford"] - chi2) < 1e-4
     assert row["worst_digit"] == worst
+
+
+def test_pettitt_matches_python(spark):
+    from de4ml_spark.queries.statq3 import pettitt_change_daily
+
+    daily = _daily_counts()
+    days = sorted(daily)
+    c = [daily[d] for d in days]
+    n = len(c)
+    # midranks over the whole series
+    ranks = []
+    for x in c:
+        below = sum(1 for y in c if y < x)
+        ties = sum(1 for y in c if y == x)
+        ranks.append(below + (ties + 1) / 2)
+    best_k, best_t = -1, None
+    for t in range(1, n):
+        u = 2 * sum(ranks[:t]) - t * (n + 1)
+        if abs(u) > best_k:
+            best_k, best_t = abs(u), t
+    row = pettitt_change_daily(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert row["k_pettitt"] == best_k
+    assert row["t_star"] == best_t
+    assert row["change_day"] == str(days[best_t - 1])
+    lam = 6 * best_k**2 / (n**3 + n**2)
+    assert abs(row["pettitt_lambda"] - lam) < 1e-9
+
+
+def test_cusum_buishand_matches_python(spark):
+    from de4ml_spark.queries.statq3 import cusum_change_daily
+
+    daily = _daily_counts()
+    c = [daily[d] for d in sorted(daily)]
+    n = len(c)
+    mean = sum(c) / n
+    s = [0.0]
+    for x in c:
+        s.append(s[-1] + (x - mean))
+    partial = s[1:]
+    var = sum((x - mean) ** 2 for x in c) / (n - 1)
+    std = math.sqrt(var)
+    row = cusum_change_daily(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["q_over_sqrt_n"]
+               - max(abs(x) for x in partial) / std / math.sqrt(n)) < 1e-6
+    assert abs(row["r_over_sqrt_n"]
+               - (max(partial) - min(partial)) / std / math.sqrt(n)) < 1e-6
+
+
+def test_theil_sen_matches_python(spark):
+    from de4ml_spark.queries.statq3 import theil_sen_daily
+
+    daily = _daily_counts()
+    days = sorted(daily)
+    t0 = days[0]
+    pts = [((d - t0).days, daily[d]) for d in days]
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (ti, ci), (tj, cj) = pts[i], pts[j]
+            slopes.append((cj - ci) / (tj - ti))
+    slopes.sort()
+    m = len(slopes)
+    if m % 2 == 1:
+        med = slopes[m // 2]
+    else:
+        med = (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+    row = theil_sen_daily(spark, SF).collect()[0]
+    assert row["n_pairs"] == m
+    # micro-quantization of each slope: |err| <= 0.5e-6 per middle
+    assert abs(row["sen_slope_per_day"] - med) < 1e-5
