@@ -131,6 +131,10 @@ PRIORITY = [
     "pettitt_change_daily",
     "cusum_change_daily",
     "theil_sen_daily",
+    "ccf_daily_lags",
+    "pacf_daily",
+    "poincare_sd_daily",
+    "haar_energy_daily",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -799,3 +799,459 @@ REGISTRY["theil_sen_daily"] = {
     "fn": theil_sen_daily,
     "sql": _sen_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Cross-correlation function between the click and purchase daily
+# series at calendar lags 0..7 — "does purchase volume follow click
+# volume, and at what delay". Day keys become epoch-day integers; the
+# lag join is (days × 8), calendar-bounded. Per-lag Pearson from the
+# exact integer moment six-tuple (sums/squares carried 128-bit wide);
+# r is one IEEE chain of two wide_to_double conversions.
+# --------------------------------------------------------------------------
+
+
+def _ccf_final(div: str) -> list[str]:
+    big = _big(div)
+    num = f"CAST(n_l AS {big}) * sxy - CAST(sx AS {big}) * sy"
+    dx = f"CAST(n_l AS {big}) * sxx - CAST(sx AS {big}) * sx"
+    dy = f"CAST(n_l AS {big}) * syy - CAST(sy AS {big}) * sy"
+    return [
+        "lag",
+        "n_l",
+        f"{_w2d(num, div)} / sqrt({_w2d(dx, div)} * {_w2d(dy, div)})"
+        " AS r_ccf",
+    ]
+
+
+def ccf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                " AS BIGINT)"
+            ).alias("t"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    x = daily.filter("event_type = 'click'").selectExpr(
+        "t AS tx", "c AS cx"
+    )
+    y = daily.filter("event_type = 'purchase'").selectExpr(
+        "t AS ty", "c AS cy"
+    )
+    lags = spark.range(8).selectExpr("CAST(id AS BIGINT) AS lag")
+    j = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.expr("ty = tx + lag"))
+        .selectExpr("lag", "cx", "cy")
+    )
+    mom = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_l"),
+        F.sum("cx").cast("bigint").alias("sx"),
+        F.sum("cy").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(cx AS DECIMAL(38,0)) * cy")).alias("sxy"),
+        F.sum(F.expr("CAST(cx AS DECIMAL(38,0)) * cx")).alias("sxx"),
+        F.sum(F.expr("CAST(cy AS DECIMAL(38,0)) * cy")).alias("syy"),
+    )
+    return mom.selectExpr(*_ccf_final("DIV")).orderBy("lag")
+
+
+def _ccf_sql() -> str:
+    final = ",\n       ".join(_ccf_final("//"))
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+),
+x AS (SELECT t AS tx, c AS cx FROM daily WHERE event_type = 'click'),
+y AS (SELECT t AS ty, c AS cy FROM daily WHERE event_type = 'purchase'),
+lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(8)),
+j AS (
+  SELECT lag, cx, cy
+  FROM x CROSS JOIN lags JOIN y ON ty = tx + lag
+),
+mom AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS n_l,
+         CAST(SUM(cx) AS BIGINT) AS sx,
+         CAST(SUM(cy) AS BIGINT) AS sy,
+         SUM(CAST(cx AS HUGEINT) * cy) AS sxy,
+         SUM(CAST(cx AS HUGEINT) * cx) AS sxx,
+         SUM(CAST(cy AS HUGEINT) * cy) AS syy
+  FROM j GROUP BY 1
+)
+SELECT {final}
+FROM mom
+ORDER BY lag
+"""
+
+
+REGISTRY["ccf_daily_lags"] = {
+    "fn": ccf_daily_lags,
+    "sql": _ccf_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Partial autocorrelation of the daily event-count series at lags
+# 1-3 via Durbin-Levinson — the AR-order diagnostic that pairs with
+# acf_value_events. ACF uses the standard biased estimator
+# r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² with the mean
+# cleared by n-scaling (n·x_t − S, exact wide ints, calendar-lag
+# pairing); the DL recursion is a STAGED fixed IEEE chain (named
+# columns per level — nesting blows the codegen tree, round-9 brier
+# lesson). One groupBy to the daily series; lag joins are days-bounded.
+# --------------------------------------------------------------------------
+
+_PACF_STAGE2 = [
+    "phi22 AS pacf2",
+    "r1 * (1.0 - phi22) AS phi21",
+]
+
+_PACF_STAGE3 = [
+    "(r3 - phi21 * r2 - phi22 * r1)"
+    " / (1.0 - phi21 * r1 - phi22 * r2) AS pacf3",
+]
+
+
+def pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    cen = daily.crossJoin(F.broadcast(tot)).selectExpr(
+        "t", "n", "n * c - s AS z"
+    )
+    den = cen.groupBy("n").agg(
+        F.sum(F.expr("CAST(z AS DECIMAL(38,0)) * z")).alias("den")
+    )
+    lags = spark.range(1, 4).selectExpr("CAST(id AS BIGINT) AS lag")
+    b = cen.selectExpr("t AS tb", "z AS zb")
+    nums = (
+        cen.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("tb = t + lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.expr("CAST(z AS DECIMAL(38,0)) * zb")).alias(
+                "num"
+            )
+        )
+    )
+    rs = (
+        nums.crossJoin(F.broadcast(den))
+        .selectExpr(
+            "lag",
+            f"{_w2d('num', 'DIV')} / {_w2d('den', 'DIV')} AS r",
+        )
+        .groupBy()
+        .pivot("lag", [1, 2, 3])
+        .agg(F.first("r"))
+        .selectExpr("`1` AS r1", "`2` AS r2", "`3` AS r3")
+    )
+    s1 = rs.selectExpr(
+        "r1",
+        "r2",
+        "r3",
+        "r1 AS pacf1",
+        "(r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22",
+    )
+    s2 = s1.selectExpr("r1", "r2", "r3", "pacf1", "phi22",
+                       *_PACF_STAGE2)
+    return s2.selectExpr(
+        "r1", "r2", "r3", "pacf1", "pacf2", *_PACF_STAGE3
+    )
+
+
+def _pacf_sql() -> str:
+    s2 = ",\n         ".join(_PACF_STAGE2)
+    s3 = ",\n       ".join(_PACF_STAGE3)
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+  FROM daily
+),
+cen AS (
+  SELECT t, n, n * c - s AS z FROM daily CROSS JOIN tot
+),
+den AS (
+  SELECT n, SUM(CAST(z AS HUGEINT) * z) AS den FROM cen GROUP BY 1
+),
+lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 4)),
+nums AS (
+  SELECT lag, SUM(CAST(a.z AS HUGEINT) * b.z) AS num
+  FROM cen a CROSS JOIN lags JOIN cen b ON b.t = a.t + lag
+  GROUP BY 1
+),
+rs AS (
+  SELECT
+    MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+    MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+    MAX(CASE WHEN lag = 3 THEN r END) AS r3
+  FROM (
+    SELECT lag, {_w2d('num', '//')} / {_w2d('den', '//')} AS r
+    FROM nums CROSS JOIN den
+  )
+),
+s1 AS (
+  SELECT r1, r2, r3, r1 AS pacf1,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+  FROM rs
+),
+s2 AS (
+  SELECT r1, r2, r3, pacf1, phi22,
+         {s2}
+  FROM s1
+)
+SELECT r1, r2, r3, pacf1, pacf2,
+       {s3}
+FROM s2
+"""
+
+
+REGISTRY["pacf_daily"] = {
+    "fn": pacf_daily,
+    "sql": _pacf_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Poincaré plot descriptors of the daily series: SD1 (short-term,
+# from successive-difference variance) and SD2 (long-term), the HRV
+# pair repurposed as a traffic-stability monitor. Successive pairs
+# come from a calendar t→t+1 equi-join; both variances from exact
+# integer moments (population convention: SD1² = Var_pop(d)/2,
+# SD2² = 2·Var_pop(x) − SD1², documented). One IEEE tail.
+# --------------------------------------------------------------------------
+
+
+def _poincare_final(div: str) -> list[str]:
+    big = _big(div)
+    vard = (
+        f"({_w2d(f'CAST(n_d AS {big}) * sdd - CAST(sd AS {big}) * sd', div)}"
+        " / (CAST(n_d AS DOUBLE) * CAST(n_d AS DOUBLE)))"
+    )
+    varx = (
+        f"({_w2d(f'CAST(n_x AS {big}) * sxx - CAST(sx AS {big}) * sx', div)}"
+        " / (CAST(n_x AS DOUBLE) * CAST(n_x AS DOUBLE)))"
+    )
+    return [
+        "n_x",
+        "n_d",
+        f"sqrt({vard} / 2.0) AS sd1",
+        f"sqrt(2.0 * {varx} - {vard} / 2.0) AS sd2",
+    ]
+
+
+def poincare_sd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    nxt = daily.selectExpr("t - 1 AS t", "c AS c_next")
+    diffs = daily.join(nxt, "t").selectExpr("c_next - c AS d")
+    dmom = diffs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("sdd"),
+    )
+    xmom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_x"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sxx"),
+    )
+    return dmom.crossJoin(F.broadcast(xmom)).selectExpr(
+        *_poincare_final("DIV")
+    )
+
+
+def _poincare_sql() -> str:
+    final = ",\n       ".join(_poincare_final("//"))
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+diffs AS (
+  SELECT b.c - a.c AS d
+  FROM daily a JOIN daily b ON b.t = a.t + 1
+),
+dmom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_d,
+         CAST(SUM(d) AS BIGINT) AS sd,
+         SUM(CAST(d AS HUGEINT) * d) AS sdd
+  FROM diffs
+),
+xmom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_x,
+         CAST(SUM(c) AS BIGINT) AS sx,
+         SUM(CAST(c AS HUGEINT) * c) AS sxx
+  FROM daily
+)
+SELECT {final}
+FROM dmom CROSS JOIN xmom
+"""
+
+
+REGISTRY["poincare_sd_daily"] = {
+    "fn": poincare_sd_daily,
+    "sql": _poincare_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Unnormalized Haar wavelet detail energies of the daily series at
+# dyadic levels 1-3 — which timescale (2/4/8-day) carries the traffic
+# variation. The series is POSITION-indexed (rank of day — calendar
+# gaps close up, documented); each level pairs consecutive positions
+# (k = pos DIV 2), keeps complete pairs only, emits detail = odd−even
+# and approximation = odd+even, and cascades. Detail energies are
+# exact 128-bit integer sums reported through wide_to_double; the
+# share normalizes by the three-level total. Everything after the
+# one daily groupBy is days-bounded.
+# --------------------------------------------------------------------------
+
+_HAAR_FINAL = [
+    "level",
+    "n_detail",
+    "energy_d",
+    "energy_d / total_e AS energy_share",
+]
+
+
+def haar_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    i = daily.selectExpr("day AS di")
+    pos = (
+        daily.crossJoin(F.broadcast(i))
+        .filter(F.expr("di <= day"))
+        .groupBy("day", "c")
+        .agg((F.count(F.lit(1)) - 1).cast("bigint").alias("pos"))
+        .selectExpr("pos", "CAST(c AS DECIMAL(38,0)) AS v")
+    )
+
+    def level(df):
+        return (
+            df.groupBy(F.expr("pos DIV 2").alias("k"))
+            .agg(
+                F.count(F.lit(1)).alias("m"),
+                F.sum(F.expr("CASE WHEN pos % 2 = 0 THEN v END")).alias(
+                    "even"
+                ),
+                F.sum(F.expr("CASE WHEN pos % 2 = 1 THEN v END")).alias(
+                    "odd"
+                ),
+            )
+            .filter("m = 2")
+            .selectExpr(
+                "k AS pos", "odd - even AS d", "odd + even AS v"
+            )
+        )
+
+    l1 = level(pos)
+    l2 = level(l1.select("pos", "v"))
+    l3 = level(l2.select("pos", "v"))
+    outs = []
+    for lvl, df in ((1, l1), (2, l2), (3, l3)):
+        outs.append(
+            df.agg(
+                F.lit(lvl).cast("bigint").alias("level"),
+                F.count(F.lit(1)).cast("bigint").alias("n_detail"),
+                F.sum(F.expr("d * d")).alias("e_wide"),
+            )
+        )
+    u = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    e = u.selectExpr(
+        "level", "n_detail", f"{_w2d('e_wide', 'DIV')} AS energy_d"
+    )
+    tot = e.groupBy().agg(F.sum("energy_d").alias("_t"))
+    # three fixed addends — sum them in LEVEL order explicitly to stay
+    # engine-deterministic (a 3-row SUM is order-free here because the
+    # per-level energies are exact integers < 2^53, but keep the text
+    # identical anyway)
+    return e.crossJoin(F.broadcast(tot)).selectExpr(
+        "level",
+        "n_detail",
+        "energy_d",
+        "energy_d / _t AS energy_share",
+    ).orderBy("level")
+
+
+def _haar_sql() -> str:
+    lvl = """
+  SELECT k AS pos, odd - even AS d, odd + even AS v
+  FROM (
+    SELECT pos // 2 AS k, COUNT(*) AS m,
+           SUM(CASE WHEN pos % 2 = 0 THEN v END) AS even,
+           SUM(CASE WHEN pos % 2 = 1 THEN v END) AS odd
+    FROM {src} GROUP BY 1
+  ) WHERE m = 2
+"""
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+pos AS (
+  SELECT CAST(COUNT(*) - 1 AS BIGINT) AS pos,
+         CAST(a.c AS HUGEINT) AS v
+  FROM daily a JOIN daily i ON i.day <= a.day
+  GROUP BY a.day, a.c
+),
+l1 AS ({lvl.format(src='pos')}),
+l2 AS ({lvl.format(src='(SELECT pos, v FROM l1)')}),
+l3 AS ({lvl.format(src='(SELECT pos, v FROM l2)')}),
+e AS (
+  SELECT level, n_detail, {_w2d('e_wide', '//')} AS energy_d
+  FROM (
+    SELECT CAST(1 AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_detail,
+           SUM(d * d) AS e_wide FROM l1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           SUM(d * d) FROM l2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           SUM(d * d) FROM l3
+  )
+),
+tot AS (SELECT SUM(energy_d) AS _t FROM e)
+SELECT level, n_detail, energy_d,
+       energy_d / _t AS energy_share
+FROM e CROSS JOIN tot
+ORDER BY level
+"""
+
+
+REGISTRY["haar_energy_daily"] = {
+    "fn": haar_energy_daily,
+    "sql": _haar_sql(),
+}

@@ -189,3 +189,114 @@ def test_theil_sen_matches_python(spark):
     assert row["n_pairs"] == m
     # micro-quantization of each slope: |err| <= 0.5e-6 per middle
     assert abs(row["sen_slope_per_day"] - med) < 1e-5
+
+
+def _daily_by_type(tp):
+    con = duckdb.connect()
+    return dict(
+        con.sql(
+            f"""SELECT CAST(ts AS DATE) AS day, COUNT(*)
+            FROM '{SF}/events.parquet'
+            WHERE event_type = '{tp}' GROUP BY 1 ORDER BY 1"""
+        ).fetchall()
+    )
+
+
+def _pearson(xs, ys):
+    n = len(xs)
+    mx = sum(xs) / n
+    my = sum(ys) / n
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    dx = sum((x - mx) ** 2 for x in xs)
+    dy = sum((y - my) ** 2 for y in ys)
+    return num / math.sqrt(dx * dy)
+
+
+def test_ccf_matches_python(spark):
+    from de4ml_spark.queries.statq3 import ccf_daily_lags
+
+    clicks = _daily_by_type("click")
+    purch = _daily_by_type("purchase")
+    rows = {r["lag"]: r for r in ccf_daily_lags(spark, SF).collect()}
+    assert set(rows) == set(range(8))
+    from datetime import timedelta
+
+    for lag in range(8):
+        pairs = [
+            (clicks[d], purch[d + timedelta(days=lag)])
+            for d in clicks
+            if d + timedelta(days=lag) in purch
+        ]
+        assert rows[lag]["n_l"] == len(pairs)
+        r = _pearson([p[0] for p in pairs], [p[1] for p in pairs])
+        assert abs(rows[lag]["r_ccf"] - r) < 1e-9
+
+
+def test_pacf_matches_python(spark):
+    from de4ml_spark.queries.statq3 import pacf_daily
+
+    daily = _daily_counts()
+    c = [daily[d] for d in sorted(daily)]
+    n = len(c)
+    mean = sum(c) / n
+    den = sum((x - mean) ** 2 for x in c)
+    r = [
+        sum((c[t] - mean) * (c[t + k] - mean) for t in range(n - k))
+        / den
+        for k in (1, 2, 3)
+    ]
+    r1, r2, r3 = r
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 * (1 - phi22)
+    pacf3 = (r3 - phi21 * r2 - phi22 * r1) / (
+        1 - phi21 * r1 - phi22 * r2
+    )
+    row = pacf_daily(spark, SF).collect()[0]
+    assert abs(row["r1"] - r1) < 1e-9
+    assert abs(row["r3"] - r3) < 1e-9
+    assert abs(row["pacf1"] - r1) < 1e-9
+    assert abs(row["pacf2"] - phi22) < 1e-9
+    assert abs(row["pacf3"] - pacf3) < 1e-8
+
+
+def test_poincare_matches_python(spark):
+    from de4ml_spark.queries.statq3 import poincare_sd_daily
+
+    daily = _daily_counts()
+    days = sorted(daily)
+    c = [daily[d] for d in days]
+    diffs = [
+        daily[days[i + 1]] - daily[days[i]]
+        for i in range(len(days) - 1)
+        if (days[i + 1] - days[i]).days == 1
+    ]
+    n = len(c)
+    vx = sum((x - sum(c) / n) ** 2 for x in c) / n
+    md = sum(diffs) / len(diffs)
+    vd = sum((d - md) ** 2 for d in diffs) / len(diffs)
+    row = poincare_sd_daily(spark, SF).collect()[0]
+    assert row["n_x"] == n and row["n_d"] == len(diffs)
+    assert abs(row["sd1"] - math.sqrt(vd / 2)) < 1e-9
+    assert abs(row["sd2"] - math.sqrt(2 * vx - vd / 2)) < 1e-9
+
+
+def test_haar_matches_python(spark):
+    from de4ml_spark.queries.statq3 import haar_energy_daily
+
+    daily = _daily_counts()
+    v = [daily[d] for d in sorted(daily)]
+    energies = {}
+    cur = v
+    for lvl in (1, 2, 3):
+        m = len(cur) // 2
+        det = [cur[2 * k + 1] - cur[2 * k] for k in range(m)]
+        nxt = [cur[2 * k + 1] + cur[2 * k] for k in range(m)]
+        energies[lvl] = (m, sum(d * d for d in det))
+        cur = nxt
+    tot = sum(e for _m, e in energies.values())
+    rows = {r["level"]: r for r in haar_energy_daily(spark, SF).collect()}
+    for lvl in (1, 2, 3):
+        m, e = energies[lvl]
+        assert rows[lvl]["n_detail"] == m
+        assert abs(rows[lvl]["energy_d"] - e) < 1e-6
+        assert abs(rows[lvl]["energy_share"] - e / tot) < 1e-12
