@@ -2065,15 +2065,29 @@ REGISTRY["mcnemar_docs"] = {
 
 def _jt_final(div: str) -> list[str]:
     big = _big(div)
-    var72 = (
-        f"CAST(n_tot AS {big}) * n_tot * (2 * n_tot + 3) - sum_nv"
+    # Hollander-Wolfe tie-corrected JT variance (round-9b upgrade from
+    # the no-ties form — the cents histogram DOES tie):
+    #   A/72 + B₁B₂/(36·N(N−1)(N−2)) + C₁C₂/(8·N(N−1)),
+    # A = N(N−1)(2N+5) − Σnᵢ(nᵢ−1)(2nᵢ+5) − Σtⱼ(tⱼ−1)(2tⱼ+5)
+    a_wide = (
+        f"CAST(n_tot AS {big}) * (n_tot - 1) * (2 * n_tot + 5)"
+        " - sum_nv5 - sum_tv5"
+    )
+    nd = "CAST(n_tot AS DOUBLE)"
+    var = (
+        f"({_w2d(a_wide, div)} / 72.0"
+        f" + ({_w2d('sum_n3', div)} * {_w2d('sum_t3', div)})"
+        f" / (36.0 * {nd} * CAST(n_tot - 1 AS DOUBLE)"
+        f" * CAST(n_tot - 2 AS DOUBLE))"
+        f" + ({_w2d('sum_n1', div)} * {_w2d('sum_t1', div)})"
+        f" / (8.0 * {nd} * CAST(n_tot - 1 AS DOUBLE)))"
     )
     return [
         "n_tot",
         "jt2",
         "e2",
         f"(CAST(jt2 - e2 AS DOUBLE) / 2.0)"
-        f" / sqrt({_w2d(var72, div)} / 72.0) AS z_jt",
+        f" / sqrt({var}) AS z_jt",
     ]
 
 
@@ -2147,13 +2161,49 @@ def jonckheere_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(
             F.expr(
-                "CAST(n_i AS DECIMAL(38,0)) * n_i * (2 * n_i + 3)"
+                "CAST(n_i AS DECIMAL(38,0)) * (n_i - 1)"
+                " * (2 * n_i + 5)"
             )
-        ).alias("sum_nv"),
+        ).alias("sum_nv5"),
+        F.sum(
+            F.expr(
+                "CAST(n_i AS DECIMAL(38,0)) * (n_i - 1) * (n_i - 2)"
+            )
+        ).alias("sum_n3"),
+        F.sum(F.expr("CAST(n_i AS DECIMAL(38,0)) * (n_i - 1)")).alias(
+            "sum_n1"
+        ),
     )
-    agg = jt.crossJoin(F.broadcast(mtot)).selectExpr(
+    pooled = counts.groupBy("v_c").agg(
+        F.sum("cnt").cast("bigint").alias("t_j")
+    )
+    ttot = pooled.agg(
+        F.sum(
+            F.expr(
+                "CAST(t_j AS DECIMAL(38,0)) * (t_j - 1)"
+                " * (2 * t_j + 5)"
+            )
+        ).alias("sum_tv5"),
+        F.sum(
+            F.expr(
+                "CAST(t_j AS DECIMAL(38,0)) * (t_j - 1) * (t_j - 2)"
+            )
+        ).alias("sum_t3"),
+        F.sum(F.expr("CAST(t_j AS DECIMAL(38,0)) * (t_j - 1)")).alias(
+            "sum_t1"
+        ),
+    )
+    agg = (
+        jt.crossJoin(F.broadcast(mtot))
+        .crossJoin(F.broadcast(ttot))
+    ).selectExpr(
         "n_tot",
-        "sum_nv",
+        "sum_nv5",
+        "sum_n3",
+        "sum_n1",
+        "sum_tv5",
+        "sum_t3",
+        "sum_t1",
         "CAST(jt2_w AS BIGINT) AS jt2",
         # E[2·JT] = (N² − Σnᵢ²)/2
         "CAST((CAST(n_tot AS DECIMAL(38,0)) * n_tot - sum_n2) / 2"
@@ -2211,15 +2261,28 @@ marg AS (
 mtot AS (
   SELECT CAST(SUM(n_i) AS BIGINT) AS n_tot,
          SUM(CAST(n_i AS HUGEINT) * n_i) AS sum_n2,
-         SUM(CAST(n_i AS HUGEINT) * n_i * (2 * n_i + 3)) AS sum_nv
+         SUM(CAST(n_i AS HUGEINT) * (n_i - 1) * (2 * n_i + 5))
+           AS sum_nv5,
+         SUM(CAST(n_i AS HUGEINT) * (n_i - 1) * (n_i - 2)) AS sum_n3,
+         SUM(CAST(n_i AS HUGEINT) * (n_i - 1)) AS sum_n1
   FROM marg
 ),
+pooled AS (
+  SELECT v_c, CAST(SUM(cnt) AS BIGINT) AS t_j FROM counts GROUP BY 1
+),
+ttot AS (
+  SELECT SUM(CAST(t_j AS HUGEINT) * (t_j - 1) * (2 * t_j + 5))
+           AS sum_tv5,
+         SUM(CAST(t_j AS HUGEINT) * (t_j - 1) * (t_j - 2)) AS sum_t3,
+         SUM(CAST(t_j AS HUGEINT) * (t_j - 1)) AS sum_t1
+  FROM pooled
+),
 agg AS (
-  SELECT n_tot, sum_nv,
+  SELECT n_tot, sum_nv5, sum_n3, sum_n1, sum_tv5, sum_t3, sum_t1,
          CAST(jt2_w AS BIGINT) AS jt2,
          CAST((CAST(n_tot AS HUGEINT) * n_tot - sum_n2) // 2
               AS BIGINT) AS e2
-  FROM jt CROSS JOIN mtot
+  FROM jt CROSS JOIN mtot CROSS JOIN ttot
 )
 SELECT {final}
 FROM agg

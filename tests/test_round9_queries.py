@@ -449,6 +449,26 @@ def test_jonckheere_matches_bruteforce(spark):
     n = sum(len(g) for g in groups.values())
     e2 = (n * n - sum(len(g) ** 2 for g in groups.values())) // 2
     assert row["e2"] == e2
+    # tie-corrected variance (Hollander-Wolfe), recomputed independently
+    ni = [len(g) for g in groups.values()]
+    tj = list(Counter(v for g in groups.values() for v in g).values())
+    a = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(x * (x - 1) * (2 * x + 5) for x in ni)
+        - sum(x * (x - 1) * (2 * x + 5) for x in tj)
+    )
+    b = (
+        sum(x * (x - 1) * (x - 2) for x in ni)
+        * sum(x * (x - 1) * (x - 2) for x in tj)
+    )
+    c = sum(x * (x - 1) for x in ni) * sum(x * (x - 1) for x in tj)
+    var = (
+        a / 72
+        + b / (36 * n * (n - 1) * (n - 2))
+        + c / (8 * n * (n - 1))
+    )
+    z = ((jt2 - e2) / 2) / math.sqrt(var)
+    assert abs(row["z_jt"] - z) < 1e-9
 
 
 def test_goertzel_matches_python(spark):
