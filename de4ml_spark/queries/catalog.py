@@ -135,6 +135,9 @@ PRIORITY = [
     "pacf_daily",
     "poincare_sd_daily",
     "haar_energy_daily",
+    "sample_entropy_daily",
+    "bartels_rank_daily",
+    "cox_stuart_daily",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -1255,3 +1255,367 @@ REGISTRY["haar_energy_daily"] = {
     "fn": haar_energy_daily,
     "sql": _haar_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Sample entropy SampEn(m=2, r=0.2·σ_pop) of the daily series — the
+# regularity index (low = predictable traffic, high = noisy). The
+# m- and (m+1)-template pair counts B and A are exact integers from a
+# (days²) template pair join (Chebyshev tolerance compared in cents of
+# the identical IEEE r on both engines); SampEn = ln(B/A) through the
+# portable-ln series (B ≥ A always — every 3-match is a 2-match).
+# Templates assemble via calendar t→t+1/t+2 equi-joins.
+# --------------------------------------------------------------------------
+
+_SAMPEN_FINAL = ["n_days", "b_count", "a_count", "sampen"]
+
+
+def sample_entropy_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("ssq"),
+    )
+    # r = 0.2 * population std — one fixed IEEE chain, identical text
+    rexpr = (
+        "0.2 * sqrt("
+        + _w2d(
+            "CAST(n_days AS {B}) * ssq - CAST(s AS {B}) * s", "DIV"
+        ).replace("{B}", "DECIMAL(38,0)")
+        + " / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)))"
+    )
+    rv = mom.selectExpr("n_days", f"{rexpr} AS r_tol")
+    t1 = daily.selectExpr("t - 1 AS t", "c AS c1")
+    t2 = daily.selectExpr("t - 2 AS t", "c AS c2")
+    tpl = daily.join(t1, "t").join(t2, "t")  # (c, c1, c2) at t..t+2
+    a_side = tpl.selectExpr(
+        "t AS ta", "c AS a0", "c1 AS a1", "c2 AS a2"
+    )
+    b_side = tpl.selectExpr(
+        "t AS tb", "c AS b0", "c1 AS b1", "c2 AS b2"
+    )
+    pairs = (
+        a_side.crossJoin(F.broadcast(b_side))
+        .filter("ta < tb")
+        .crossJoin(F.broadcast(rv))
+    )
+    agg = pairs.agg(
+        F.max("n_days").alias("n_days"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(abs(b0 - a0) AS DOUBLE) <= r_tol"
+                " AND CAST(abs(b1 - a1) AS DOUBLE) <= r_tol"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("b_count"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(abs(b0 - a0) AS DOUBLE) <= r_tol"
+                " AND CAST(abs(b1 - a1) AS DOUBLE) <= r_tol"
+                " AND CAST(abs(b2 - a2) AS DOUBLE) <= r_tol"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("a_count"),
+    )
+    # A = 0 (no (m+1)-matches) leaves SampEn undefined → NULL on both
+    # engines; the ln runs on max(x,1) so the guarded branch is total
+    out = with_portable_ln(
+        agg,
+        "GREATEST(b_count, 1)",
+        "GREATEST(a_count, 1)",
+        "_sampen_raw",
+    ).selectExpr(
+        "n_days",
+        "b_count",
+        "a_count",
+        "CASE WHEN a_count >= 1 AND b_count >= 1 THEN _sampen_raw"
+        " ELSE NULL END AS sampen",
+    )
+    return out.selectExpr(*_SAMPEN_FINAL)
+
+
+def _sampen_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+    )
+
+    rexpr = (
+        "0.2 * sqrt("
+        + _w2d("CAST(n_days AS HUGEINT) * ssq"
+               " - CAST(s AS HUGEINT) * s", "//")
+        + " / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)))"
+    )
+    ln_ctes = portable_ln_duck_ctes(
+        "agg",
+        "n_days, b_count, a_count",
+        "GREATEST(b_count, 1)",
+        "GREATEST(a_count, 1)",
+        "_sampen_raw",
+        "se",
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS s,
+         SUM(CAST(c AS HUGEINT) * c) AS ssq
+  FROM daily
+),
+rv AS (SELECT n_days, {rexpr} AS r_tol FROM mom),
+tpl AS (
+  SELECT d0.t, d0.c AS c0, d1.c AS c1, d2.c AS c2
+  FROM daily d0
+  JOIN daily d1 ON d1.t = d0.t + 1
+  JOIN daily d2 ON d2.t = d0.t + 2
+),
+agg AS (
+  SELECT CAST(MAX(n_days) AS BIGINT) AS n_days,
+         CAST(SUM(CASE WHEN CAST(ABS(b.c0 - a.c0) AS DOUBLE) <= r_tol
+                        AND CAST(ABS(b.c1 - a.c1) AS DOUBLE) <= r_tol
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b_count,
+         CAST(SUM(CASE WHEN CAST(ABS(b.c0 - a.c0) AS DOUBLE) <= r_tol
+                        AND CAST(ABS(b.c1 - a.c1) AS DOUBLE) <= r_tol
+                        AND CAST(ABS(b.c2 - a.c2) AS DOUBLE) <= r_tol
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a_count
+  FROM tpl a JOIN tpl b ON a.t < b.t CROSS JOIN rv
+),
+{ln_ctes}
+SELECT n_days, b_count, a_count,
+       CASE WHEN a_count >= 1 AND b_count >= 1 THEN _sampen_raw
+            ELSE NULL END AS sampen
+FROM se_out
+"""
+
+
+REGISTRY["sample_entropy_daily"] = {
+    "fn": sample_entropy_daily,
+    "sql": _sampen_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Bartels rank von Neumann ratio — the rank test of serial RANDOMNESS
+# of the daily series (the nonparametric sibling of durbin_watson).
+# Doubled midranks r2ᵢ (exact ints from the days² join, as pettitt);
+# RVN = Σ(rᵢ−rᵢ₊₁)² / Σ(rᵢ−r̄)², where with doubled ranks both sums
+# scale by 4 and cancel, and Σ(r2ᵢ − (n+1))² uses the doubled-mean
+# identity E[r2] = n+1 exactly. z = (RVN − 2)/sqrt(var), var the
+# standard 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²).
+# --------------------------------------------------------------------------
+
+_BARTELS_FINAL = [
+    "n_days",
+    "num_d2",
+    "den_d2",
+    "CAST(num_d2 AS DOUBLE) / CAST(den_d2 AS DOUBLE) AS rvn",
+    "(CAST(num_d2 AS DOUBLE) / CAST(den_d2 AS DOUBLE) - 2.0)"
+    " / sqrt(4.0 * CAST(n_days - 2 AS DOUBLE)"
+    " * (5.0 * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)"
+    " - 2.0 * CAST(n_days AS DOUBLE) - 9.0)"
+    " / (5.0 * CAST(n_days AS DOUBLE) * CAST(n_days + 1 AS DOUBLE)"
+    " * CAST(n_days - 1 AS DOUBLE) * CAST(n_days - 1 AS DOUBLE)))"
+    " AS z_bartels",
+]
+
+
+def bartels_rank_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    b = daily.selectExpr("day AS db", "c AS cb")
+    r2 = (
+        daily.crossJoin(F.broadcast(b))
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.expr("2 * CAST(cb < c AS BIGINT)"
+                       " + CAST(cb = c AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("r2m1")
+        )
+        .selectExpr("day", "r2m1 + 1 AS r2")
+    )
+    nxt = r2.selectExpr("date_sub(day, 1) AS day", "r2 AS r2n")
+    num = r2.join(nxt, "day").agg(
+        F.sum(F.expr("(r2 - r2n) * (r2 - r2n)"))
+        .cast("bigint")
+        .alias("num_d2")
+    )
+    den = r2.crossJoin(
+        F.broadcast(
+            r2.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+        )
+    ).groupBy("n_days").agg(
+        F.sum(
+            F.expr("(r2 - (n_days + 1)) * (r2 - (n_days + 1))")
+        )
+        .cast("bigint")
+        .alias("den_d2")
+    )
+    return num.crossJoin(F.broadcast(den)).selectExpr(
+        *_BARTELS_FINAL
+    )
+
+
+def _bartels_sql() -> str:
+    final = ",\n       ".join(_BARTELS_FINAL)
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+r2 AS (
+  SELECT a.day,
+         CAST(SUM(2 * CASE WHEN b.c < a.c THEN 1 ELSE 0 END
+                  + CASE WHEN b.c = a.c THEN 1 ELSE 0 END)
+              AS BIGINT) + 1 AS r2
+  FROM daily a CROSS JOIN daily b
+  GROUP BY 1
+),
+num AS (
+  SELECT CAST(SUM((a.r2 - b.r2) * (a.r2 - b.r2)) AS BIGINT) AS num_d2
+  FROM r2 a JOIN r2 b ON b.day = a.day + INTERVAL 1 DAY
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM r2),
+den AS (
+  SELECT n_days,
+         CAST(SUM((r2 - (n_days + 1)) * (r2 - (n_days + 1)))
+              AS BIGINT) AS den_d2
+  FROM r2 CROSS JOIN n GROUP BY 1
+)
+SELECT {final}
+FROM num CROSS JOIN den
+"""
+
+
+REGISTRY["bartels_rank_daily"] = {
+    "fn": bartels_rank_daily,
+    "sql": _bartels_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Cox-Stuart trend test on the daily series: pair day i with day
+# i+⌈n/2⌉ by POSITION (odd middle dropped, the standard convention),
+# count rises vs falls among non-tied pairs, and take the binomial
+# normal approximation with continuity correction. Exact integer
+# sign counts off the position pair join; one IEEE tail.
+# --------------------------------------------------------------------------
+
+_COX_FINAL = [
+    "n_days",
+    "s_plus",
+    "s_minus",
+    "m_pairs",
+    "CASE WHEN s_plus >= s_minus"
+    " THEN (CAST(s_plus AS DOUBLE) - CAST(m_pairs AS DOUBLE) / 2.0"
+    " - 0.5) / sqrt(CAST(m_pairs AS DOUBLE) / 4.0)"
+    " ELSE (CAST(s_plus AS DOUBLE) - CAST(m_pairs AS DOUBLE) / 2.0"
+    " + 0.5) / sqrt(CAST(m_pairs AS DOUBLE) / 4.0)"
+    " END AS z_cox_stuart",
+]
+
+
+def cox_stuart_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    i = daily.selectExpr("day AS di")
+    pos = (
+        daily.crossJoin(F.broadcast(i))
+        .filter(F.expr("di <= day"))
+        .groupBy("day", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pos"))
+    )
+    n = pos.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    # classic convention: odd n drops the MIDDLE observation — pair
+    # pos i (i ≤ n DIV 2) with pos i + n DIV 2 + (n % 2)
+    shifted = pos.crossJoin(F.broadcast(n)).selectExpr(
+        "n_days",
+        "pos",
+        "c",
+        "pos - (n_days DIV 2 + n_days % 2) AS pos_first",
+    )
+    first = shifted.filter(
+        "pos <= n_days DIV 2"
+    ).selectExpr("n_days", "pos AS p", "c AS c_first")
+    second = shifted.filter("pos_first >= 1").selectExpr(
+        "pos_first AS p", "c AS c_second"
+    )
+    agg = first.join(second, "p").groupBy("n_days").agg(
+        F.sum(F.expr("CAST(c_second > c_first AS BIGINT)"))
+        .cast("bigint")
+        .alias("s_plus"),
+        F.sum(F.expr("CAST(c_second < c_first AS BIGINT)"))
+        .cast("bigint")
+        .alias("s_minus"),
+    )
+    return agg.selectExpr(
+        "n_days",
+        "s_plus",
+        "s_minus",
+        "s_plus + s_minus AS m_pairs",
+    ).selectExpr(*_COX_FINAL)
+
+
+def _cox_sql() -> str:
+    final = ",\n       ".join(_COX_FINAL)
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+pos AS (
+  SELECT a.day, a.c, CAST(COUNT(*) AS BIGINT) AS pos
+  FROM daily a JOIN daily i ON i.day <= a.day
+  GROUP BY a.day, a.c
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM pos),
+agg AS (
+  SELECT n_days,
+         CAST(SUM(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) AS BIGINT)
+           AS s_plus,
+         CAST(SUM(CASE WHEN b.c < a.c THEN 1 ELSE 0 END) AS BIGINT)
+           AS s_minus
+  FROM pos a
+  JOIN n ON a.pos <= n_days // 2
+  JOIN pos b ON b.pos = a.pos + n_days // 2 + n_days % 2
+  GROUP BY 1
+)
+SELECT {final}
+FROM (
+  SELECT n_days, s_plus, s_minus, s_plus + s_minus AS m_pairs
+  FROM agg
+)
+"""
+
+
+REGISTRY["cox_stuart_daily"] = {
+    "fn": cox_stuart_daily,
+    "sql": _cox_sql(),
+}

@@ -300,3 +300,97 @@ def test_haar_matches_python(spark):
         assert rows[lvl]["n_detail"] == m
         assert abs(rows[lvl]["energy_d"] - e) < 1e-6
         assert abs(rows[lvl]["energy_share"] - e / tot) < 1e-12
+
+
+def test_sample_entropy_matches_python(spark):
+    from de4ml_spark.queries.statq3 import sample_entropy_daily
+
+    daily = _daily_counts()
+    days = sorted(daily)
+    # templates over calendar-adjacent triples
+    from datetime import timedelta
+
+    tpl = []
+    for d in days:
+        if d + timedelta(days=1) in daily and d + timedelta(days=2) in daily:
+            tpl.append(
+                (daily[d], daily[d + timedelta(days=1)],
+                 daily[d + timedelta(days=2)])
+            )
+    c = [daily[d] for d in days]
+    n = len(c)
+    mean = sum(c) / n
+    r = 0.2 * math.sqrt(sum((x - mean) ** 2 for x in c) / n)
+    b_cnt = a_cnt = 0
+    for i in range(len(tpl)):
+        for j in range(i + 1, len(tpl)):
+            a, b = tpl[i], tpl[j]
+            if abs(b[0] - a[0]) <= r and abs(b[1] - a[1]) <= r:
+                b_cnt += 1
+                if abs(b[2] - a[2]) <= r:
+                    a_cnt += 1
+    row = sample_entropy_daily(spark, SF).collect()[0]
+    assert row["b_count"] == b_cnt
+    assert row["a_count"] == a_cnt
+    if a_cnt >= 1 and b_cnt >= 1:
+        assert abs(row["sampen"] - math.log(b_cnt / a_cnt)) < 1e-9
+    else:
+        assert row["sampen"] is None
+
+
+def test_bartels_matches_python(spark):
+    from de4ml_spark.queries.statq3 import bartels_rank_daily
+
+    daily = _daily_counts()
+    days = sorted(daily)
+    c = [daily[d] for d in days]
+    n = len(c)
+    ranks = []
+    for x in c:
+        below = sum(1 for y in c if y < x)
+        ties = sum(1 for y in c if y == x)
+        ranks.append(below + (ties + 1) / 2)
+    # adjacency by CALENDAR day (gaps skip), as implemented
+    num = sum(
+        (ranks[i] - ranks[i + 1]) ** 2
+        for i in range(n - 1)
+        if (days[i + 1] - days[i]).days == 1
+    )
+    rbar = (n + 1) / 2
+    den = sum((r - rbar) ** 2 for r in ranks)
+    rvn = num / den
+    var = (
+        4 * (n - 2) * (5 * n * n - 2 * n - 9)
+        / (5 * n * (n + 1) * (n - 1) ** 2)
+    )
+    z = (rvn - 2) / math.sqrt(var)
+    row = bartels_rank_daily(spark, SF).collect()[0]
+    assert abs(row["rvn"] - rvn) < 1e-12
+    assert abs(row["z_bartels"] - z) < 1e-9
+
+
+def test_cox_stuart_matches_python(spark):
+    from de4ml_spark.queries.statq3 import cox_stuart_daily
+
+    daily = _daily_counts()
+    c = [daily[d] for d in sorted(daily)]
+    n = len(c)
+    h = n // 2
+    # classic convention: odd n drops the middle observation
+    shift = h + (n % 2)
+    sp = sm = 0
+    for i in range(h):
+        x, y = c[i], c[i + shift]
+        if y > x:
+            sp += 1
+        elif y < x:
+            sm += 1
+    row = cox_stuart_daily(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert row["s_plus"] == sp and row["s_minus"] == sm
+    m = sp + sm
+    if sp >= sm:
+        z = (sp - m / 2 - 0.5) / math.sqrt(m / 4)
+    else:
+        z = (sp - m / 2 + 0.5) / math.sqrt(m / 4)
+    assert abs(row["z_cox_stuart"] - z) < 1e-9
