@@ -46,6 +46,7 @@ def _registries() -> list[dict]:
         "statq3",
         "mldataq4",
         "mldataq5",
+        "mldataq6",
     ):
         try:
             mod = __import__(f"de4ml_spark.queries.{modname}", fromlist=["REGISTRY"])
@@ -138,6 +139,9 @@ PRIORITY = [
     "sample_entropy_daily",
     "bartels_rank_daily",
     "cox_stuart_daily",
+    "logrank_test_retention",
+    "nelson_aalen_retention",
+    "odds_ratio_docs",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

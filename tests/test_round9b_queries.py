@@ -394,3 +394,97 @@ def test_cox_stuart_matches_python(spark):
     else:
         z = (sp - m / 2 + 0.5) / math.sqrt(m / 4)
     assert abs(row["z_cox_stuart"] - z) < 1e-9
+
+
+def _user_spans():
+    con = duckdb.connect()
+    return con.sql(
+        f"""SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
+            MAX(CAST(ts AS DATE)) AS d1
+            FROM '{SF}/events.parquet'
+            WHERE user_id IS NOT NULL GROUP BY 1"""
+    ).fetchall()
+
+
+def test_logrank_matches_python(spark):
+    from de4ml_spark.queries.mldataq6 import logrank_test_retention
+
+    spans = _user_spans()
+    hmax = max(r[2] for r in spans)
+    users = [
+        ((r[2] - r[1]).days // 7, 1 if r[2] < hmax else 0,
+         1 if r[0] % 2 == 0 else 0)
+        for r in spans
+    ]
+    max_iv = max(u[0] for u in users)
+    sum_oe = sum_v = 0.0
+    n_int = d_tot = 0
+    for i in range(max_iv + 1):
+        at_risk = [u for u in users if u[0] >= i]
+        n_a = sum(1 for u in at_risk if u[2] == 1)
+        n_b = len(at_risk) - n_a
+        d_i = sum(1 for u in at_risk if u[1] == 1 and u[0] == i)
+        d_a = sum(
+            1 for u in at_risk if u[1] == 1 and u[0] == i and u[2] == 1
+        )
+        n = n_a + n_b
+        if d_i > 0:
+            n_int += 1
+            d_tot += d_i
+            sum_oe += d_a - d_i * n_a / n
+            sum_v += (
+                d_i * (n_a / n) * (n_b / n)
+                * ((n - d_i) / max(n - 1, 1))
+            )
+    row = logrank_test_retention(spark, SF).collect()[0]
+    assert row["n_intervals"] == n_int and row["d_total"] == d_tot
+    assert abs(row["oe_a"] - sum_oe) < 1e-4
+    assert abs(row["z_logrank"] - sum_oe / math.sqrt(sum_v)) < 1e-4
+
+
+def test_nelson_aalen_matches_python(spark):
+    from de4ml_spark.queries.mldataq6 import nelson_aalen_retention
+
+    spans = _user_spans()
+    hmax = max(r[2] for r in spans)
+    users = [
+        ((r[2] - r[1]).days // 7, 1 if r[2] < hmax else 0)
+        for r in spans
+    ]
+    max_iv = max(u[0] for u in users)
+    rows = {
+        r["i"]: r for r in nelson_aalen_retention(spark, SF).collect()
+    }
+    h = 0.0
+    for i in range(max_iv + 1):
+        at_risk = [u for u in users if u[0] >= i]
+        d_i = sum(1 for u in at_risk if u[1] == 1 and u[0] == i)
+        h += d_i / len(at_risk)
+        assert rows[i]["n_enter"] == len(at_risk)
+        assert rows[i]["d_i"] == d_i
+        assert abs(rows[i]["na_cumhaz"] - h) < 1e-6
+
+
+def test_odds_ratio_matches_python(spark):
+    from de4ml_spark.queries.mldataq6 import odds_ratio_docs
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT lang, n_chars FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    a = sum(1 for l, n in docs if l == "en" and n >= 300)
+    b = sum(1 for l, n in docs if l == "en" and n < 300)
+    c = sum(1 for l, n in docs if l != "en" and n >= 300)
+    d = sum(1 for l, n in docs if l != "en" and n < 300)
+    row = odds_ratio_docs(spark, SF).collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) == (a, b, c, d)
+    if min(a, b, c, d) >= 1:
+        assert abs(row["odds_ratio"] - (a * d) / (b * c)) < 1e-9
+        se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+        assert abs(row["log_or_se"] - se) < 1e-12
+    q = (a * d - b * c) / (a * d + b * c)
+    assert abs(row["yule_q"] - q) < 1e-12
+    phi = (a * d - b * c) / math.sqrt(
+        (a + b) * (c + d) * (a + c) * (b + d)
+    )
+    assert abs(row["phi"] - phi) < 1e-12
