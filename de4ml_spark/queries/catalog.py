@@ -142,6 +142,11 @@ PRIORITY = [
     "logrank_test_retention",
     "nelson_aalen_retention",
     "odds_ratio_docs",
+    "mrr_popularity_orders",
+    "map_at_k_orders",
+    "association_rules_parts",
+    "lin_ccc_orders",
+    "partial_corr_lineitem",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -399,3 +399,538 @@ REGISTRY["odds_ratio_docs"] = {
     "fn": odds_ratio_docs,
     "sql": _or_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Mean reciprocal rank of the popularity baseline — same temporal
+# split / top-K recommender as popularity_hitrate_orders
+# (mldataq4.py): rank the K recommendations (count DESC, partkey),
+# score 1/rank-of-first-hit per held-out customer. Each reciprocal is
+# an exact int64 half-up nano-quotient; the mean divides the integer
+# sum once. The rank window runs over the K-row broadcast only.
+# --------------------------------------------------------------------------
+
+MRR_K = 20
+_MRR_FINAL = [
+    "n_customers",
+    "n_with_hit",
+    "CAST(sum_rr_n AS DOUBLE)"
+    " / (CAST(n_customers AS DOUBLE) * 1000000000.0) AS mrr",
+]
+
+
+def _pop_split_frames(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    split = orders.agg(
+        F.expr(
+            "CAST(date_add(MIN(od), CAST(datediff(MAX(od), MIN(od))"
+            " * 3 DIV 4 AS INT)) AS DATE)"
+        ).alias("split_day")
+    )
+    o = orders.crossJoin(F.broadcast(split))
+    train = o.filter("od <= split_day")
+    test = o.filter("od > split_day")
+    ranked = (
+        train.join(li, train.o_orderkey == li.l_orderkey)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("l_partkey"))
+        .limit(MRR_K)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.col("l_partkey"))
+            ),
+        )
+        .select("l_partkey", "rnk")
+    )
+    holdout = (
+        test.join(li, test.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    return ranked, holdout
+
+
+def mrr_popularity_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ranked, holdout = _pop_split_frames(spark, sf_dir)
+    best = (
+        holdout.join(F.broadcast(ranked), "l_partkey")
+        .groupBy("o_custkey")
+        .agg(F.min("rnk").alias("minrnk"))
+        .selectExpr(
+            "o_custkey",
+            "(2 * 1000000000 + minrnk) DIV (2 * minrnk) AS rr_n",
+        )
+    )
+    custs = holdout.select("o_custkey").distinct()
+    agg = custs.join(best, "o_custkey", "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.expr("CAST(rr_n IS NOT NULL AS BIGINT)"))
+        .cast("bigint")
+        .alias("n_with_hit"),
+        F.sum(F.expr("COALESCE(rr_n, 0)"))
+        .cast("bigint")
+        .alias("sum_rr_n"),
+    )
+    return agg.selectExpr(*_MRR_FINAL)
+
+
+_POP_SPLIT_SQL = """
+o AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+  FROM orders
+),
+split AS (
+  SELECT MIN(od) + TO_DAYS(CAST(datediff('day', MIN(od), MAX(od))
+         * 3 // 4 AS INT)) AS split_day
+  FROM o
+),
+train_orders AS (
+  SELECT o.* FROM o CROSS JOIN split WHERE od <= split_day
+),
+test_orders AS (
+  SELECT o.* FROM o CROSS JOIN split WHERE od > split_day
+),
+ranked AS (
+  SELECT l_partkey,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, l_partkey)
+              AS BIGINT) AS rnk
+  FROM (
+    SELECT l.l_partkey, COUNT(*) AS cnt
+    FROM train_orders t JOIN lineitem l ON t.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    ORDER BY COUNT(*) DESC, l.l_partkey
+    LIMIT {K}
+  )
+),
+holdout AS (
+  SELECT DISTINCT t.o_custkey, l.l_partkey
+  FROM test_orders t JOIN lineitem l ON t.o_orderkey = l.l_orderkey
+)"""
+
+
+def _mrr_sql() -> str:
+    final = ",\n       ".join(_MRR_FINAL)
+    return f"""
+WITH {_POP_SPLIT_SQL.format(K=MRR_K)},
+best AS (
+  SELECT o_custkey,
+         (2 * 1000000000 + MIN(rnk)) // (2 * MIN(rnk)) AS rr_n
+  FROM holdout JOIN ranked USING (l_partkey)
+  GROUP BY 1
+),
+custs AS (SELECT DISTINCT o_custkey FROM holdout)
+SELECT {final}
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CASE WHEN rr_n IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_with_hit,
+         CAST(SUM(COALESCE(rr_n, 0)) AS BIGINT) AS sum_rr_n
+  FROM custs LEFT JOIN best USING (o_custkey)
+)
+"""
+
+
+REGISTRY["mrr_popularity_orders"] = {
+    "fn": mrr_popularity_orders,
+    "sql": _mrr_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# MAP@K of the same popularity baseline: per customer, average
+# precision over the ranked list = Σ_{hit at rank r} P@r / min(K,|R|)
+# with P@r = (#hits ≤ r)/r. The hit-position count is a per-customer
+# window over ≤ K broadcast-ranked rows (customer-partitioned — no
+# global window); each P@r and the AP division are half-up
+# nano-quotients, integer-summed before the single final division.
+# --------------------------------------------------------------------------
+
+_MAP_FINAL = [
+    "n_customers",
+    "CAST(sum_ap_n AS DOUBLE)"
+    " / (CAST(n_customers AS DOUBLE) * 1000000000.0) AS map_at_k",
+]
+
+
+def map_at_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked, holdout = _pop_split_frames(spark, sf_dir)
+    hitpos = (
+        holdout.join(F.broadcast(ranked), "l_partkey")
+        .withColumn(
+            "nhit",
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy("rnk")
+            ),
+        )
+        .selectExpr(
+            "o_custkey",
+            "(2 * CAST(nhit AS BIGINT) * 1000000000"
+            " + CAST(rnk AS BIGINT))"
+            " DIV (2 * CAST(rnk AS BIGINT)) AS p_n",
+        )
+    )
+    per_cust_hits = hitpos.groupBy("o_custkey").agg(
+        F.sum("p_n").cast("bigint").alias("sum_p_n")
+    )
+    sizes = holdout.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_holdout")
+    )
+    ap = sizes.join(per_cust_hits, "o_custkey", "left").selectExpr(
+        "o_custkey",
+        f"LEAST(CAST({MRR_K} AS BIGINT), n_holdout) AS denom",
+        "COALESCE(sum_p_n, 0) AS sum_p_n",
+    ).selectExpr(
+        "o_custkey",
+        "(2 * sum_p_n + denom) DIV (2 * denom) AS ap_n",
+    )
+    agg = ap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("ap_n").cast("bigint").alias("sum_ap_n"),
+    )
+    return agg.selectExpr(*_MAP_FINAL)
+
+
+def _map_sql() -> str:
+    final = ",\n       ".join(_MAP_FINAL)
+    return f"""
+WITH {_POP_SPLIT_SQL.format(K=MRR_K)},
+hitpos AS (
+  SELECT o_custkey,
+         (2 * CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY rnk) AS BIGINT) * 1000000000 + rnk)
+           // (2 * rnk) AS p_n
+  FROM holdout JOIN ranked USING (l_partkey)
+),
+per_cust_hits AS (
+  SELECT o_custkey, CAST(SUM(p_n) AS BIGINT) AS sum_p_n
+  FROM hitpos GROUP BY 1
+),
+sizes AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_holdout
+  FROM holdout GROUP BY 1
+),
+ap AS (
+  SELECT s.o_custkey,
+         (2 * COALESCE(h.sum_p_n, 0)
+          + LEAST(CAST({MRR_K} AS BIGINT), n_holdout))
+           // (2 * LEAST(CAST({MRR_K} AS BIGINT), n_holdout)) AS ap_n
+  FROM sizes s LEFT JOIN per_cust_hits h USING (o_custkey)
+)
+SELECT {final}
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(ap_n) AS BIGINT) AS sum_ap_n
+  FROM ap
+)
+"""
+
+
+REGISTRY["map_at_k_orders"] = {
+    "fn": map_at_k_orders,
+    "sql": _map_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Pairwise association rules over order baskets: for every part pair
+# co-occurring in ≥ 2 orders, support / confidence / lift from exact
+# basket counts. The pair join shuffles on orderkey (baskets are
+# small — lines-per-order bounded), part marginals broadcast back,
+# lift as a wide_to_double ratio, ranked (lift DESC, parts) top 20.
+# --------------------------------------------------------------------------
+
+_AR_MIN_CO = 2
+_AR_TOPN = 20
+
+
+def _ar_final(div: str) -> list[str]:
+    big = _big(div)
+    return [
+        "part_a",
+        "part_b",
+        "c_ab",
+        "n_a",
+        "n_b",
+        "CAST(c_ab AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support",
+        "CAST(c_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS confidence",
+        f"{_w2d(f'CAST(c_ab AS {big}) * n_orders', div)}"
+        f" / {_w2d(f'CAST(n_a AS {big}) * n_b', div)} AS lift",
+    ]
+
+
+def association_rules_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.selectExpr("l_orderkey", "l_partkey AS part_a")
+    b = basket.selectExpr("l_orderkey", "l_partkey AS part_b")
+    co = (
+        a.join(b, "l_orderkey")
+        .filter("part_a < part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(f"c_ab >= {_AR_MIN_CO}")
+    )
+    marg = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_p")
+    )
+    n_orders = basket.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    j = (
+        co.join(
+            F.broadcast(marg.selectExpr("l_partkey AS part_a",
+                                        "n_p AS n_a")),
+            "part_a",
+        )
+        .join(
+            F.broadcast(marg.selectExpr("l_partkey AS part_b",
+                                        "n_p AS n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    out = j.selectExpr(*_ar_final("DIV"))
+    return out.orderBy(
+        F.desc("lift"), F.col("part_a"), F.col("part_b")
+    ).limit(_AR_TOPN)
+
+
+def _ar_sql() -> str:
+    final = ",\n       ".join(_ar_final("//"))
+    return f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+co AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM basket a JOIN basket b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_AR_MIN_CO}
+),
+marg AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_p
+  FROM basket GROUP BY 1
+),
+n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+  FROM basket
+)
+SELECT {final}
+FROM co
+JOIN marg ma ON ma.l_partkey = co.part_a
+JOIN marg mb ON mb.l_partkey = co.part_b
+CROSS JOIN n,
+LATERAL (SELECT ma.n_p AS n_a, mb.n_p AS n_b) m
+ORDER BY lift DESC, part_a, part_b
+LIMIT {_AR_TOPN}
+"""
+
+
+REGISTRY["association_rules_parts"] = {
+    "fn": association_rules_parts,
+    "sql": _ar_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Lin's concordance correlation between o_totalprice and the order's
+# summed line extended prices — "how reproducible is one measurement
+# of the order's value by another" (CCC = Pearson × location/scale
+# accuracy C_b). Multiplying every population moment through by n²
+# leaves ONE ratio of exact 128-bit integers:
+# CCC = 2(nΣxy−ΣxΣy) / (nΣx²−(Σx)² + nΣy²−(Σy)² + (Σx−Σy)²).
+# One join + one groupBy; the moment row is a single broadcast.
+# --------------------------------------------------------------------------
+
+
+def _ccc_final(div: str) -> list[str]:
+    big = _big(div)
+    sxy = f"(CAST(n AS {big}) * sxy - CAST(sx AS {big}) * sy)"
+    sxx = f"(CAST(n AS {big}) * sxx - CAST(sx AS {big}) * sx)"
+    syy = f"(CAST(n AS {big}) * syy - CAST(sy AS {big}) * sy)"
+    dd = f"(CAST(sx - sy AS {big}) * (sx - sy))"
+    return [
+        "n",
+        f"{_w2d(sxy, div)} / sqrt({_w2d(sxx, div)} * {_w2d(syy, div)})"
+        " AS pearson_r",
+        f"(2.0 * {_w2d(sxy, div)})"
+        f" / ({_w2d(sxx, div)} + {_w2d(syy, div)} + {_w2d(dd, div)})"
+        " AS lin_ccc",
+    ]
+
+
+def lin_ccc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS x",
+    )
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS p",
+    )
+    ysum = li.groupBy("l_orderkey").agg(
+        F.sum("p").cast("bigint").alias("y")
+    )
+    j = orders.join(
+        ysum, orders.o_orderkey == ysum.l_orderkey
+    ).select("x", "y")
+    mom = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    return mom.selectExpr(*_ccc_final("DIV"))
+
+
+def _ccc_sql() -> str:
+    final = ",\n       ".join(_ccc_final("//"))
+    return f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS x
+  FROM orders
+),
+ysum AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+              AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM o JOIN ysum ON o.o_orderkey = ysum.l_orderkey
+)
+SELECT {final}
+FROM mom
+"""
+
+
+REGISTRY["lin_ccc_orders"] = {
+    "fn": lin_ccc_orders,
+    "sql": _ccc_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# First-order partial correlation on lineitem: quantity ↔ extended
+# price CONTROLLING for discount — the leakage probe ("is the
+# association direct or routed through a third column"). The three
+# Pearson r's come from one exact wide moment row (cents / basis
+# points); the partial-correlation formula is a staged IEEE chain.
+# --------------------------------------------------------------------------
+
+_PC_FINAL = [
+    "n",
+    "r_xy",
+    "r_xz",
+    "r_yz",
+    "(r_xy - r_xz * r_yz)"
+    " / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))"
+    " AS partial_r",
+]
+
+
+def _pc_r(div: str, a: str, b: str) -> str:
+    big = _big(div)
+    num = f"(CAST(n AS {big}) * s{a}{b} - CAST(s{a} AS {big}) * s{b})"
+    da = f"(CAST(n AS {big}) * s{a}{a} - CAST(s{a} AS {big}) * s{a})"
+    db = f"(CAST(n AS {big}) * s{b}{b} - CAST(s{b} AS {big}) * s{b})"
+    return f"{_w2d(num, div)} / sqrt({_w2d(da, div)} * {_w2d(db, div)})"
+
+
+def partial_corr_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS y",
+        "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS z",
+    )
+    mom = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("CAST(z AS DECIMAL(38,0)) * z")).alias("szz"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * z")).alias("sxz"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * z")).alias("syz"),
+    )
+    rs = mom.selectExpr(
+        "n",
+        f"{_pc_r('DIV', 'x', 'y')} AS r_xy",
+        f"{_pc_r('DIV', 'x', 'z')} AS r_xz",
+        f"{_pc_r('DIV', 'y', 'z')} AS r_yz",
+    )
+    return rs.selectExpr(*_PC_FINAL)
+
+
+def _pc_sql() -> str:
+    final = ",\n       ".join(_PC_FINAL)
+    return f"""
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS y,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS z
+  FROM lineitem
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(z AS HUGEINT) * z) AS szz,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * z) AS sxz,
+         SUM(CAST(y AS HUGEINT) * z) AS syz
+  FROM li
+),
+rs AS (
+  SELECT n,
+         {_pc_r('//', 'x', 'y')} AS r_xy,
+         {_pc_r('//', 'x', 'z')} AS r_xz,
+         {_pc_r('//', 'y', 'z')} AS r_yz
+  FROM mom
+)
+SELECT {final}
+FROM rs
+"""
+
+
+REGISTRY["partial_corr_lineitem"] = {
+    "fn": partial_corr_lineitem,
+    "sql": _pc_sql(),
+}

@@ -488,3 +488,156 @@ def test_odds_ratio_matches_python(spark):
         (a + b) * (c + d) * (a + c) * (b + d)
     )
     assert abs(row["phi"] - phi) < 1e-12
+
+
+def _pop_split():
+    """Python recompute of the popularity split: (ranked topk, holdout)."""
+    con = duckdb.connect()
+    orders = con.sql(
+        f"""SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE)
+        FROM '{SF}/orders.parquet'"""
+    ).fetchall()
+    li = con.sql(
+        f"SELECT l_orderkey, l_partkey FROM '{SF}/lineitem.parquet'"
+    ).fetchall()
+    dmin = min(r[2] for r in orders)
+    dmax = max(r[2] for r in orders)
+    from datetime import timedelta
+
+    split = dmin + timedelta(days=(dmax - dmin).days * 3 // 4)
+    train_ok = {r[0] for r in orders if r[2] <= split}
+    cust = {r[0]: r[1] for r in orders}
+    cnt = Counter(p for o, p in li if o in train_ok)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rank_of = {p: i + 1 for i, (p, _c) in enumerate(ranked)}
+    holdout = defaultdict(set)
+    test_ok = {r[0] for r in orders if r[2] > split}
+    for o, p in li:
+        if o in test_ok:
+            holdout[cust[o]].add(p)
+    return rank_of, holdout
+
+
+def test_mrr_matches_python(spark):
+    from de4ml_spark.queries.mldataq6 import mrr_popularity_orders
+
+    rank_of, holdout = _pop_split()
+    rrs = []
+    nhit = 0
+    for _cust, parts in holdout.items():
+        ranks = [rank_of[p] for p in parts if p in rank_of]
+        if ranks:
+            rrs.append(1 / min(ranks))
+            nhit += 1
+        else:
+            rrs.append(0.0)
+    row = mrr_popularity_orders(spark, SF).collect()[0]
+    assert row["n_customers"] == len(holdout)
+    assert row["n_with_hit"] == nhit
+    assert abs(row["mrr"] - sum(rrs) / len(rrs)) < 1e-8
+
+
+def test_map_matches_python(spark):
+    from de4ml_spark.queries.mldataq6 import map_at_k_orders
+
+    rank_of, holdout = _pop_split()
+    aps = []
+    for _cust, parts in holdout.items():
+        hit_ranks = sorted(rank_of[p] for p in parts if p in rank_of)
+        s = sum((i + 1) / r for i, r in enumerate(hit_ranks))
+        aps.append(s / min(20, len(parts)))
+    row = map_at_k_orders(spark, SF).collect()[0]
+    assert row["n_customers"] == len(holdout)
+    assert abs(row["map_at_k"] - sum(aps) / len(aps)) < 1e-7
+
+
+def test_association_rules_match_python(spark):
+    from de4ml_spark.queries.mldataq6 import association_rules_parts
+
+    con = duckdb.connect()
+    li = con.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM '{SF}/lineitem.parquet'"
+    ).fetchall()
+    baskets = defaultdict(set)
+    for o, p in li:
+        baskets[o].add(p)
+    n_orders = len(baskets)
+    marg = Counter(p for ps in baskets.values() for p in ps)
+    co = Counter()
+    for ps in baskets.values():
+        sp = sorted(ps)
+        for i in range(len(sp)):
+            for j in range(i + 1, len(sp)):
+                co[(sp[i], sp[j])] += 1
+    rules = [
+        (a, b, c, marg[a], marg[b],
+         c * n_orders / (marg[a] * marg[b]))
+        for (a, b), c in co.items()
+        if c >= 2
+    ]
+    rules.sort(key=lambda r: (-r[5], r[0], r[1]))
+    got = association_rules_parts(spark, SF).collect()
+    assert len(got) == min(20, len(rules))
+    for row, exp in zip(got, rules):
+        assert (row["part_a"], row["part_b"], row["c_ab"]) == exp[:3]
+        assert abs(row["lift"] - exp[5]) < 1e-9
+        assert abs(row["confidence"] - exp[2] / exp[3]) < 1e-12
+        assert abs(row["support"] - exp[2] / n_orders) < 1e-12
+
+
+def test_lin_ccc_matches_python(spark):
+    from de4ml_spark.queries.mldataq6 import lin_ccc_orders
+
+    con = duckdb.connect()
+    pairs = con.sql(
+        f"""SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT),
+               y.s
+        FROM '{SF}/orders.parquet' o
+        JOIN (SELECT l_orderkey,
+                     CAST(SUM(CAST(CAST(l_extendedprice
+                       AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                       AS s
+              FROM '{SF}/lineitem.parquet' GROUP BY 1) y
+          ON o.o_orderkey = y.l_orderkey"""
+    ).fetchall()
+    xs = [float(r[0]) for r in pairs]
+    ys = [float(r[1]) for r in pairs]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / n
+    sx2 = sum((x - mx) ** 2 for x in xs) / n
+    sy2 = sum((y - my) ** 2 for y in ys) / n
+    ccc = 2 * sxy / (sx2 + sy2 + (mx - my) ** 2)
+    r = sxy / math.sqrt(sx2 * sy2)
+    row = lin_ccc_orders(spark, SF).collect()[0]
+    assert row["n"] == n
+    assert abs(row["pearson_r"] - r) < 1e-9
+    assert abs(row["lin_ccc"] - ccc) < 1e-9
+
+
+def test_partial_corr_matches_python(spark):
+    from de4ml_spark.queries.mldataq6 import partial_corr_lineitem
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT CAST(l_quantity AS BIGINT),
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT),
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+    xs = [float(r[0]) for r in rows]
+    ys = [float(r[1]) for r in rows]
+    zs = [float(r[2]) for r in rows]
+    rxy = _pearson(xs, ys)
+    rxz = _pearson(xs, zs)
+    ryz = _pearson(ys, zs)
+    pr = (rxy - rxz * ryz) / math.sqrt(
+        (1 - rxz**2) * (1 - ryz**2)
+    )
+    row = partial_corr_lineitem(spark, SF).collect()[0]
+    assert abs(row["r_xy"] - rxy) < 1e-9
+    assert abs(row["r_xz"] - rxz) < 1e-9
+    assert abs(row["r_yz"] - ryz) < 1e-9
+    assert abs(row["partial_r"] - pr) < 1e-9
