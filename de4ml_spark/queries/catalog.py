@@ -30,6 +30,7 @@ def _registries() -> list[dict]:
         "textq",
         "textq2",
         "textq3",
+        "textq4",
         "samplingq",
         "mldataq",
         "mldataq2",
@@ -147,6 +148,11 @@ PRIORITY = [
     "association_rules_parts",
     "lin_ccc_orders",
     "partial_corr_lineitem",
+    "yule_k_docs",
+    "ttr_hapax_docs",
+    "zipf_slope_docs",
+    "flesch_reading_docs",
+    "hellinger_sources",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -1,0 +1,453 @@
+"""Text-analysis tier IV (round 9b): lexical-richness and
+readability diagnostics per source — Yule's K, type-token / hapax
+ratios, the Zipf rank-frequency slope, Flesch reading ease, and the
+Hellinger distance between per-source length distributions. These are
+the corpus-curation signals ("is this source templated junk, is it
+readable prose, does its length profile match the mixture") that sit
+beside the Gopher-rule battery in a pretraining data pipeline.
+
+Tokenizer convention: single-space split (string_split(text, ' ') /
+F.split — the same convention as pipelineq.vocab_top_terms), so
+type/token counts agree across engines by construction.
+
+Exactness discipline: integer token counts end-to-end; ln through
+the portable series; per-row doubles (ln, sqrt) micro-quantized to
+integers BEFORE cross-row summation; final chains same-text.
+
+Scale posture (100 TB): every entry is wordcount-shaped (explode →
+map-side-combined groupBy on (source, token) or (source, bucket));
+freq-of-freq and bucket tables are small; top-K slope fits ride a
+K-row broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de4ml_spark.operators.portable_hash import (
+    wide_to_double_sql as _w2d,
+)
+from de4ml_spark.session import load_table
+
+REGISTRY: dict = {}
+
+
+def _big(div: str) -> str:
+    return "DECIMAL(38,0)" if div.upper() == "DIV" else "HUGEINT"
+
+
+# --------------------------------------------------------------------------
+# Yule's K per source — the repeated-vocabulary characteristic
+# (high K = templated/repetitive source). From the frequency-of-
+# frequency table: K = 10⁴·(Σ_f f²·V_f − N)/N², all exact integers
+# until one wide ratio. Two wordcount groupBys, both map-side
+# combined; the f-o-f table is tiny.
+# --------------------------------------------------------------------------
+
+
+def _yule_final(div: str) -> list[str]:
+    big = _big(div)
+    num = f"(s_f2v - CAST(n_tok AS {big}))"
+    den = f"(CAST(n_tok AS {big}) * n_tok)"
+    return [
+        "source",
+        "n_tok",
+        "n_types",
+        f"10000.0 * {_w2d(num, div)} / {_w2d(den, div)} AS yule_k",
+    ]
+
+
+def yule_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    counts = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    fof = counts.groupBy("source", "f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v_f")
+    )
+    agg = fof.groupBy("source").agg(
+        F.sum(F.expr("f * v_f")).cast("bigint").alias("n_tok"),
+        F.sum("v_f").cast("bigint").alias("n_types"),
+        F.sum(
+            F.expr("CAST(f AS DECIMAL(38,0)) * f * v_f")
+        ).alias("s_f2v"),
+    )
+    return agg.selectExpr(*_yule_final("DIV")).orderBy("source")
+
+
+def _yule_sql() -> str:
+    final = ",\n       ".join(_yule_final("//"))
+    return f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+counts AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS f
+  FROM tok GROUP BY 1, 2
+),
+fof AS (
+  SELECT source, f, CAST(COUNT(*) AS BIGINT) AS v_f
+  FROM counts GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(f * v_f) AS BIGINT) AS n_tok,
+         CAST(SUM(v_f) AS BIGINT) AS n_types,
+         SUM(CAST(f AS HUGEINT) * f * v_f) AS s_f2v
+  FROM fof GROUP BY 1
+)
+SELECT {final}
+FROM agg
+ORDER BY source
+"""
+
+
+REGISTRY["yule_k_docs"] = {"fn": yule_k_docs, "sql": _yule_sql()}
+
+
+# --------------------------------------------------------------------------
+# Type-token ratio + hapax legomena share per source — the quick
+# vocabulary-richness profile that pairs with Yule's K. Exact counts;
+# the two ratios are single divisions.
+# --------------------------------------------------------------------------
+
+_TTR_FINAL = [
+    "source",
+    "n_tok",
+    "n_types",
+    "n_hapax",
+    "CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr",
+    "CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)"
+    " AS hapax_share",
+]
+
+
+def ttr_hapax_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    counts = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("n_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.expr("CAST(f = 1 AS BIGINT)"))
+        .cast("bigint")
+        .alias("n_hapax"),
+    )
+    return agg.selectExpr(*_TTR_FINAL).orderBy("source")
+
+
+def _ttr_sql() -> str:
+    final = ",\n       ".join(_TTR_FINAL)
+    return f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+counts AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS f
+  FROM tok GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(f) AS BIGINT) AS n_tok,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM counts GROUP BY 1
+)
+SELECT {final}
+FROM agg
+ORDER BY source
+"""
+
+
+REGISTRY["ttr_hapax_docs"] = {"fn": ttr_hapax_docs, "sql": _ttr_sql()}
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency slope over the top-100 corpus tokens: OLS of
+# ln(count) on ln(rank) — a healthy natural-language corpus sits
+# near −1. Both logs go through the portable-ln series and are
+# micro-quantized BEFORE the OLS moment sums (cross-row double sums
+# are engine-order dependent); the slope is one wide ratio. The
+# K-row fit frame is a broadcast; upstream is the vocab wordcount.
+# --------------------------------------------------------------------------
+
+ZIPF_K = 100
+
+
+def _zipf_final(div: str) -> list[str]:
+    big = _big(div)
+    num = f"(CAST(n AS {big}) * sxy - CAST(sx AS {big}) * sy)"
+    den = f"(CAST(n AS {big}) * sxx - CAST(sx AS {big}) * sx)"
+    return [
+        "n",
+        f"{_w2d(num, div)} / {_w2d(den, div)} AS zipf_slope",
+    ]
+
+
+def zipf_slope_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    topk = (
+        counts.orderBy(F.desc("cnt"), F.asc("t"))
+        .limit(ZIPF_K)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("t")))
+            .cast("bigint"),
+        )
+    )
+    lned = with_portable_ln(topk, "rnk", "1", "__lnx")
+    lned = with_portable_ln(lned, "cnt", "1", "__lny")
+    q = lned.selectExpr(
+        "CAST(floor(__lnx * 1000000.0 + 0.5) AS BIGINT) AS x_u",
+        "CAST(floor(__lny * 1000000.0 + 0.5) AS BIGINT) AS y_u",
+    )
+    mom = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x_u").cast("bigint").alias("sx"),
+        F.sum("y_u").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(x_u AS DECIMAL(38,0)) * y_u")).alias(
+            "sxy"
+        ),
+        F.sum(F.expr("CAST(x_u AS DECIMAL(38,0)) * x_u")).alias(
+            "sxx"
+        ),
+    )
+    return mom.selectExpr(*_zipf_final("DIV"))
+
+
+def _zipf_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+    )
+
+    lnx = portable_ln_duck_ctes(
+        "topk", "rnk, cnt", "rnk", "1", "__lnx", "zx"
+    )
+    lny = portable_ln_duck_ctes(
+        "zx_out", "rnk, cnt, __lnx", "cnt", "1", "__lny", "zy"
+    )
+    final = ",\n       ".join(_zipf_final("//"))
+    return f"""
+WITH counts AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY 1
+),
+topk AS (
+  SELECT cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS BIGINT)
+           AS rnk
+  FROM counts ORDER BY cnt DESC, t LIMIT {ZIPF_K}
+),
+{lnx},
+{lny},
+q AS (
+  SELECT CAST(floor(__lnx * 1000000.0 + 0.5) AS BIGINT) AS x_u,
+         CAST(floor(__lny * 1000000.0 + 0.5) AS BIGINT) AS y_u
+  FROM zy_out
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_u) AS BIGINT) AS sx,
+         CAST(SUM(y_u) AS BIGINT) AS sy,
+         SUM(CAST(x_u AS HUGEINT) * y_u) AS sxy,
+         SUM(CAST(x_u AS HUGEINT) * x_u) AS sxx
+  FROM q
+)
+SELECT {final}
+FROM mom
+"""
+
+
+REGISTRY["zipf_slope_docs"] = {
+    "fn": zipf_slope_docs,
+    "sql": _zipf_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Flesch reading ease per source, from corpus-level totals: words =
+# space-split tokens, sentences = [.!?]+ runs (min 1 per doc),
+# syllables ≈ vowel-group runs — the standard regex heuristic,
+# identical pattern both engines. FRE = 206.835 − 1.015·(W/S) −
+# 84.6·(Y/W) on the exact per-source integer totals. Map-only
+# per-doc regex counts + one groupBy.
+# --------------------------------------------------------------------------
+
+_FLESCH_FINAL = [
+    "source",
+    "n_docs",
+    "n_words",
+    "n_sentences",
+    "n_syllables",
+    "206.835 - 1.015 * (CAST(n_words AS DOUBLE)"
+    " / CAST(n_sentences AS DOUBLE))"
+    " - 84.6 * (CAST(n_syllables AS DOUBLE)"
+    " / CAST(n_words AS DOUBLE)) AS flesch",
+]
+
+
+def flesch_reading_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.selectExpr(
+        "source",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS w",
+        "CAST(GREATEST(size(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+        " AS BIGINT) AS s",
+        "CAST(size(regexp_extract_all(text, '[aeiouyAEIOUY]+', 0))"
+        " AS BIGINT) AS y",
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("n_words"),
+        F.sum("s").cast("bigint").alias("n_sentences"),
+        F.sum("y").cast("bigint").alias("n_syllables"),
+    )
+    return agg.selectExpr(*_FLESCH_FINAL).orderBy("source")
+
+
+def _flesch_sql() -> str:
+    final = ",\n       ".join(_FLESCH_FINAL)
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+              AS BIGINT) AS y
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS n_words,
+         CAST(SUM(s) AS BIGINT) AS n_sentences,
+         CAST(SUM(y) AS BIGINT) AS n_syllables
+  FROM per GROUP BY 1
+)
+SELECT {final}
+FROM agg
+ORDER BY source
+"""
+
+
+REGISTRY["flesch_reading_docs"] = {
+    "fn": flesch_reading_docs,
+    "sql": _flesch_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Hellinger distance between each source's document-length
+# distribution (50-char buckets) and the pooled corpus — the metric
+# sibling of js_divergence_sources (mldataq5.py), bounded [0,1].
+# BC = Σ_b √(c_b·d_b) / √(n_src·n_pool): each per-bucket √(c·d) is
+# one correctly-rounded IEEE sqrt on exact integers, micro-quantized
+# and integer-summed; H = √(1−BC) with a 0-clamp for quantization
+# spill. Bucket grid is histogram×k-bounded.
+# --------------------------------------------------------------------------
+
+
+def _hell_final(div: str) -> list[str]:
+    big = _big(div)
+    bc = (
+        "(CAST(s_u AS DOUBLE) / 1000000.0)"
+        f" / sqrt({_w2d(f'CAST(n_src AS {big}) * n_pool', div)})"
+    )
+    return [
+        "source",
+        "n_src",
+        f"sqrt(GREATEST(1.0 - {bc}, 0.0)) AS hellinger",
+    ]
+
+
+def hellinger_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.selectExpr("source", "n_chars DIV 50 AS bucket")
+    per = binned.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pool = binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    sizes = per.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_src")
+    )
+    n_pool = pool.agg(F.sum("d").cast("bigint").alias("n_pool"))
+    terms = (
+        per.join(F.broadcast(pool), "bucket")
+        .selectExpr(
+            "source",
+            "CAST(floor(sqrt(CAST(c AS DOUBLE) * CAST(d AS DOUBLE))"
+            " * 1000000.0 + 0.5) AS BIGINT) AS t_u",
+        )
+        .groupBy("source")
+        .agg(F.sum("t_u").cast("bigint").alias("s_u"))
+    )
+    j = (
+        terms.join(F.broadcast(sizes), "source")
+        .crossJoin(F.broadcast(n_pool))
+    )
+    return j.selectExpr(*_hell_final("DIV")).orderBy("source")
+
+
+def _hell_sql() -> str:
+    final = ",\n       ".join(_hell_final("//"))
+    return f"""
+WITH binned AS (
+  SELECT source, n_chars // 50 AS bucket FROM documents
+),
+per AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2
+),
+pool AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS d
+  FROM binned GROUP BY 1
+),
+sizes AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM per GROUP BY 1
+),
+n_pool AS (SELECT CAST(SUM(d) AS BIGINT) AS n_pool FROM pool),
+terms AS (
+  SELECT source,
+         CAST(SUM(CAST(floor(sqrt(CAST(c AS DOUBLE)
+           * CAST(d AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+           AS BIGINT) AS s_u
+  FROM per JOIN pool USING (bucket)
+  GROUP BY 1
+)
+SELECT {final}
+FROM terms JOIN sizes USING (source) CROSS JOIN n_pool
+ORDER BY source
+"""
+
+
+REGISTRY["hellinger_sources"] = {
+    "fn": hellinger_sources,
+    "sql": _hell_sql(),
+}

@@ -641,3 +641,103 @@ def test_partial_corr_matches_python(spark):
     assert abs(row["r_xz"] - rxz) < 1e-9
     assert abs(row["r_yz"] - ryz) < 1e-9
     assert abs(row["partial_r"] - pr) < 1e-9
+
+
+def _docs():
+    con = duckdb.connect()
+    return con.sql(
+        f"SELECT source, text, n_chars FROM '{SF}/documents.parquet'"
+    ).fetchall()
+
+
+def test_yule_k_and_ttr_match_python(spark):
+    from de4ml_spark.queries.textq4 import ttr_hapax_docs, yule_k_docs
+
+    by_src = defaultdict(list)
+    for src, text, _n in _docs():
+        by_src[src].extend(text.split(" "))
+    yk = {r["source"]: r for r in yule_k_docs(spark, SF).collect()}
+    tt = {r["source"]: r for r in ttr_hapax_docs(spark, SF).collect()}
+    for src, toks in by_src.items():
+        n = len(toks)
+        freq = Counter(toks)
+        v = len(freq)
+        hapax = sum(1 for f in freq.values() if f == 1)
+        s_f2v = sum(f * f for f in freq.values())
+        k = 1e4 * (s_f2v - n) / (n * n)
+        assert yk[src]["n_tok"] == n and yk[src]["n_types"] == v
+        assert abs(yk[src]["yule_k"] - k) < 1e-6
+        assert tt[src]["n_hapax"] == hapax
+        assert abs(tt[src]["ttr"] - v / n) < 1e-12
+        assert abs(tt[src]["hapax_share"] - hapax / v) < 1e-12
+
+
+def test_zipf_slope_matches_python(spark):
+    from de4ml_spark.queries.textq4 import zipf_slope_docs
+
+    toks = []
+    for _src, text, _n in _docs():
+        toks.extend(text.split(" "))
+    freq = Counter(toks)
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    xs = [math.log(i + 1) for i in range(len(top))]
+    ys = [math.log(c) for _t, c in top]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = zipf_slope_docs(spark, SF).collect()[0]
+    assert row["n"] == n
+    # micro-quantized portable-ln inputs: slope agrees to ~1e-5
+    assert abs(row["zipf_slope"] - slope) < 1e-4
+
+
+def test_flesch_matches_python(spark):
+    import re
+
+    from de4ml_spark.queries.textq4 import flesch_reading_docs
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for src, text, _n in _docs():
+        w = len(text.split(" "))
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        y = len(re.findall(r"[aeiouyAEIOUY]+", text))
+        a = agg[src]
+        a[0] += 1
+        a[1] += w
+        a[2] += s
+        a[3] += y
+    rows = {
+        r["source"]: r for r in flesch_reading_docs(spark, SF).collect()
+    }
+    for src, (nd, w, s, y) in agg.items():
+        r = rows[src]
+        assert (r["n_docs"], r["n_words"], r["n_sentences"],
+                r["n_syllables"]) == (nd, w, s, y)
+        fre = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        assert abs(r["flesch"] - fre) < 1e-9
+
+
+def test_hellinger_matches_python(spark):
+    from de4ml_spark.queries.textq4 import hellinger_sources
+
+    per = defaultdict(Counter)
+    pool = Counter()
+    for src, _text, n in _docs():
+        b = n // 50
+        per[src][b] += 1
+        pool[b] += 1
+    n_pool = sum(pool.values())
+    rows = {
+        r["source"]: r for r in hellinger_sources(spark, SF).collect()
+    }
+    for src, cnts in per.items():
+        n_src = sum(cnts.values())
+        bc = sum(
+            math.sqrt((c / n_src) * (pool[b] / n_pool))
+            for b, c in cnts.items()
+        )
+        h = math.sqrt(max(1 - bc, 0.0))
+        assert rows[src]["n_src"] == n_src
+        assert abs(rows[src]["hellinger"] - h) < 1e-5
