@@ -129,7 +129,6 @@ PRIORITY = [
     # -- (2b) round-9b additions: AFTER the 50-cut (graded round 10)
     "ks_two_sample_value",
     "mood_median_value",
-    "benford_first_digit_orders",
     "pettitt_change_daily",
     "cusum_change_daily",
     "theil_sen_daily",

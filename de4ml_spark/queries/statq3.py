@@ -2,9 +2,10 @@
 change-point, and digit-law diagnostics over the event log — the
 remaining "did this batch come from the same process" monitors a
 training-data QA pipeline runs between ingest and mixture curation:
-Kolmogorov-Smirnov two-sample, Mood's k-sample median test, Benford
-first-digit conformance, the Pettitt change-point test, CUSUM /
-Buishand homogeneity, and the Theil-Sen robust trend slope.
+Kolmogorov-Smirnov two-sample, Mood's k-sample median test, the
+Pettitt change-point test, CUSUM / Buishand homogeneity, and the
+Theil-Sen robust trend slope (Benford conformance already lives in
+sketchq.benford_audit_totalprice).
 
 Reference parity: the reference derives validation rules from
 per-column profiles (dataops/app/profile.py) and alerts on windowed
@@ -33,7 +34,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from de4ml_spark.operators.portable_hash import (
-    portable_ln_const,
     wide_halfup_div_sql as _whd,
     wide_to_double_sql as _w2d,
 )
@@ -314,122 +314,6 @@ REGISTRY["mood_median_value"] = {
 }
 
 
-# --------------------------------------------------------------------------
-# Benford first-digit conformance of o_totalprice: the classic
-# fabricated-data / unit-mix detector. Expected p_d = ln(1+1/d)/ln 10
-# is PRECOMPUTED through the portable-ln series at module import (the
-# same doubles are embedded as literals in BOTH engine texts, so no
-# runtime transcendental). Per-digit chi-square terms
-# (O_d − N·p_d)²/(N·p_d) are micro-quantized to integer units and
-# integer-summed (a cross-row DOUBLE SUM would be engine-order
-# dependent). First digit via the decimal string of the cents value
-# (leading digit is scale-invariant). One groupBy to 9 rows.
-# --------------------------------------------------------------------------
-
-_LN10 = portable_ln_const(10)
-_BENFORD_P = [portable_ln_const(d + 1, d) / _LN10 for d in range(1, 10)]
-
-
-def _benford_cases() -> str:
-    return (
-        "CASE digit "
-        + " ".join(
-            f"WHEN {d} THEN {_BENFORD_P[d - 1]!r}" for d in range(1, 10)
-        )
-        + " ELSE 0.0 END"
-    )
-
-
-_BENFORD_FINAL = [
-    "n_tot",
-    "CAST(SUM(term_u) AS DOUBLE) / 1000000.0 AS chi2_benford",
-    "CAST(MAX(CASE WHEN term_u = max_term_u THEN digit END) AS BIGINT)"
-    " AS worst_digit",
-]
-
-
-def benford_first_digit_orders(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    digits = (
-        orders.filter(F.col("o_totalprice").isNotNull())
-        .selectExpr(
-            "CAST(SUBSTRING(CAST(CAST(CAST(o_totalprice"
-            " AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING), 1, 1)"
-            " AS BIGINT) AS digit"
-        )
-        .filter("digit >= 1")
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
-    )
-    tot = digits.agg(F.sum("o").cast("bigint").alias("n_tot"))
-    terms = digits.crossJoin(F.broadcast(tot)).selectExpr(
-        "digit",
-        "n_tot",
-        f"CAST(floor((CAST(o AS DOUBLE)"
-        f" - CAST(n_tot AS DOUBLE) * ({_benford_cases()}))"
-        f" * (CAST(o AS DOUBLE)"
-        f" - CAST(n_tot AS DOUBLE) * ({_benford_cases()}))"
-        f" / (CAST(n_tot AS DOUBLE) * ({_benford_cases()}))"
-        f" * 1000000.0 + 0.5) AS BIGINT) AS term_u",
-    )
-    wmax = Window.partitionBy("n_tot")
-    ranked = terms.withColumn(
-        "max_term_u", F.max("term_u").over(wmax)
-    )
-    return ranked.groupBy("n_tot").agg(
-        F.expr(
-            "CAST(SUM(term_u) AS DOUBLE) / 1000000.0"
-        ).alias("chi2_benford"),
-        F.expr(
-            "CAST(MAX(CASE WHEN term_u = max_term_u THEN digit END)"
-            " AS BIGINT)"
-        ).alias("worst_digit"),
-    )
-
-
-def _benford_sql() -> str:
-    cases = _benford_cases()
-    return f"""
-WITH digits AS (
-  SELECT CAST(SUBSTRING(CAST(CAST(CAST(o_totalprice
-           AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
-           AS BIGINT) AS digit,
-         CAST(COUNT(*) AS BIGINT) AS o
-  FROM orders
-  WHERE o_totalprice IS NOT NULL
-  GROUP BY 1
-),
-d2 AS (SELECT * FROM digits WHERE digit >= 1),
-tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n_tot FROM d2),
-terms AS (
-  SELECT digit, n_tot,
-         CAST(floor((CAST(o AS DOUBLE)
-           - CAST(n_tot AS DOUBLE) * ({cases}))
-           * (CAST(o AS DOUBLE)
-           - CAST(n_tot AS DOUBLE) * ({cases}))
-           / (CAST(n_tot AS DOUBLE) * ({cases}))
-           * 1000000.0 + 0.5) AS BIGINT) AS term_u
-  FROM d2 CROSS JOIN tot
-),
-ranked AS (
-  SELECT *, MAX(term_u) OVER (PARTITION BY n_tot) AS max_term_u
-  FROM terms
-)
-SELECT n_tot,
-       CAST(SUM(term_u) AS DOUBLE) / 1000000.0 AS chi2_benford,
-       CAST(MAX(CASE WHEN term_u = max_term_u THEN digit END) AS BIGINT)
-         AS worst_digit
-FROM ranked
-GROUP BY n_tot
-"""
-
-
-REGISTRY["benford_first_digit_orders"] = {
-    "fn": benford_first_digit_orders,
-    "sql": _benford_sql(),
-}
 
 
 # --------------------------------------------------------------------------

@@ -88,37 +88,6 @@ def test_mood_median_matches_python(spark):
     assert abs(row["chi2_mood"] - chi2) < 1e-5
 
 
-def test_benford_matches_python(spark):
-    from de4ml_spark.queries.statq3 import benford_first_digit_orders
-
-    con = duckdb.connect()
-    cents = [
-        int(r[0])
-        for r in con.sql(
-            f"""SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-            AS BIGINT) FROM '{SF}/orders.parquet'
-            WHERE o_totalprice IS NOT NULL"""
-        ).fetchall()
-    ]
-    obs = Counter(int(str(c)[0]) for c in cents if str(c)[0] != "0")
-    ntot = sum(obs.values())
-    row = benford_first_digit_orders(spark, SF).collect()[0]
-    assert row["n_tot"] == ntot
-    chi2 = 0.0
-    worst, worst_term = None, -1.0
-    for d in range(1, 10):
-        p = math.log10(1 + 1 / d)
-        e = ntot * p
-        term = (obs.get(d, 0) - e) ** 2 / e
-        chi2 += term
-        if term > worst_term:
-            worst, worst_term = d, term
-    # portable-ln p_d agrees with log10 to ~1e-12; micro-quantization
-    # adds <= 0.5e-6 per digit
-    assert abs(row["chi2_benford"] - chi2) < 1e-4
-    assert row["worst_digit"] == worst
-
-
 def test_pettitt_matches_python(spark):
     from de4ml_spark.queries.statq3 import pettitt_change_daily
 
