@@ -152,6 +152,9 @@ PRIORITY = [
     "zipf_slope_docs",
     "flesch_reading_docs",
     "hellinger_sources",
+    "lognormal_fit_price",
+    "ww_runs_two_sample",
+    "hodges_lehmann_daily",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -1503,3 +1503,341 @@ REGISTRY["cox_stuart_daily"] = {
     "fn": cox_stuart_daily,
     "sql": _cox_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Lognormal fit + higher-moment consistency check on l_extendedprice:
+# fit (μ̂, σ̂²) from per-row portable-ln of the cents value, then test
+# the fit against the SECOND moment the lognormal implies —
+# ln(E[X²]/E[X]²) should equal σ². The gap is the misfit statistic
+# (0 for a true lognormal; price columns fail it when they're capped
+# or mixed). Per-row lns are micro-quantized before the moment sums
+# (cross-row double sums are engine-order dependent); the empirical
+# moment ratio n·ΣX² / (ΣX)² is a wide-integer rational through a
+# SECOND portable-ln. Map-only + one aggregate.
+# --------------------------------------------------------------------------
+
+
+def _lognorm_final(div: str) -> list[str]:
+    big = _big(div)
+    mu = "(CAST(s_l AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))"
+    # sample variance of ln: (n·Σl² − (Σl)²) / (n·(n−1)), micro² scale
+    varnum = f"(CAST(n AS {big}) * s_ll - CAST(s_l AS {big}) * s_l)"
+    sigma2 = (
+        f"({_w2d(varnum, div)} / (CAST(n AS DOUBLE)"
+        " * CAST(n - 1 AS DOUBLE) * 1000000.0 * 1000000.0))"
+    )
+    return [
+        "n",
+        f"{mu} - 4.605170185988091 AS mu_hat_dollars",  # − ln(100)
+        f"{sigma2} AS sigma2_hat",
+        "ln_moment_ratio",
+        f"ln_moment_ratio - {sigma2} AS lognormal_gap",
+    ]
+
+
+def lognormal_fit_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS x"
+    ).filter("x >= 1")
+    lned = with_portable_ln(li, "x", "1", "__ln").selectExpr(
+        "x", "CAST(floor(__ln * 1000000.0 + 0.5) AS BIGINT) AS l_u"
+    )
+    mom = lned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("l_u").cast("bigint").alias("s_l"),
+        F.sum(F.expr("CAST(l_u AS DECIMAL(38,0)) * l_u")).alias(
+            "s_ll"
+        ),
+        F.sum("x").cast("bigint").alias("s_x"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("s_xx"),
+    )
+    # empirical ln(E[X²]/E[X]²) = ln(n·ΣX² / (ΣX)²) — wide rational
+    ratio = with_portable_ln(
+        mom,
+        "CAST(n AS DECIMAL(38,0)) * s_xx",
+        "CAST(s_x AS DECIMAL(38,0)) * s_x",
+        "ln_moment_ratio",
+    )
+    return ratio.selectExpr(*_lognorm_final("DIV"))
+
+
+def _lognorm_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+    )
+
+    ln1 = portable_ln_duck_ctes(
+        "li", "x", "x", "1", "__ln", "lg"
+    )
+    ln2 = portable_ln_duck_ctes(
+        "mom",
+        "n, s_l, s_ll, s_x, s_xx",
+        "CAST(n AS HUGEINT) * s_xx",
+        "CAST(s_x AS HUGEINT) * s_x",
+        "ln_moment_ratio",
+        "lr",
+    )
+    final = ",\n       ".join(_lognorm_final("//"))
+    return f"""
+WITH li AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS x
+  FROM lineitem
+  WHERE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        >= 1
+),
+{ln1},
+lned AS (
+  SELECT x, CAST(floor(__ln * 1000000.0 + 0.5) AS BIGINT) AS l_u
+  FROM lg_out
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(l_u) AS BIGINT) AS s_l,
+         SUM(CAST(l_u AS HUGEINT) * l_u) AS s_ll,
+         CAST(SUM(x) AS BIGINT) AS s_x,
+         SUM(CAST(x AS HUGEINT) * x) AS s_xx
+  FROM lned
+),
+{ln2}
+SELECT {final}
+FROM lr_out
+"""
+
+
+REGISTRY["lognormal_fit_price"] = {
+    "fn": lognormal_fit_price,
+    "sql": _lognorm_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz two-sample runs test: click vs purchase values
+# pooled and sorted (v_c, then click-before-purchase WITHIN a tied
+# value — the documented deterministic tie convention), count runs
+# of the group label, z against the exact run-count null moments.
+# Runs are counted on the VALUE HISTOGRAM: within a value, a
+# boundary iff both groups occupy it; between adjacent occupied
+# values, a boundary iff trailing and leading groups differ — a lag
+# window over the histogram, never the raw log.
+# --------------------------------------------------------------------------
+
+_WW_FINAL = [
+    "n_a",
+    "n_b",
+    "n_runs",
+    "(CAST(n_runs AS DOUBLE) - (2.0 * CAST(n_a AS DOUBLE)"
+    " * CAST(n_b AS DOUBLE) / (CAST(n_a AS DOUBLE)"
+    " + CAST(n_b AS DOUBLE)) + 1.0))"
+    " / sqrt(2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+    " * (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+    " - CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))"
+    " / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+    " * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+    " * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))"
+    " AS z_ww_runs",
+]
+
+
+def ww_runs_two_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    byval = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c")
+        )
+        .agg(
+            F.sum(F.expr("CAST(event_type = 'click' AS BIGINT)"))
+            .cast("bigint")
+            .alias("a_n"),
+            F.sum(F.expr("CAST(event_type = 'purchase' AS BIGINT)"))
+            .cast("bigint")
+            .alias("b_n"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("v_c")
+    # leading group of this value (a if any clicks), trailing group
+    # (b if any purchases), internal boundary if both present
+    lagged = byval.withColumn(
+        "prev_trail",
+        F.lag(F.expr("CASE WHEN b_n > 0 THEN 1 ELSE 0 END")).over(w),
+    )
+    agg = lagged.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum("b_n").cast("bigint").alias("n_b"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.expr("CAST(a_n > 0 AND b_n > 0 AS BIGINT)")
+            )
+            + F.sum(
+                F.expr(
+                    "CASE WHEN prev_trail IS NULL THEN 0"
+                    " WHEN prev_trail <> (CASE WHEN a_n > 0 THEN 0"
+                    " ELSE 1 END) THEN 1 ELSE 0 END"
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    return agg.selectExpr(*_WW_FINAL)
+
+
+def _ww_sql() -> str:
+    final = ",\n       ".join(_WW_FINAL)
+    return f"""
+WITH byval AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a_n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b_n
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+lagged AS (
+  SELECT a_n, b_n,
+         LAG(CASE WHEN b_n > 0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY v_c) AS prev_trail
+  FROM byval
+)
+SELECT {final}
+FROM (
+  SELECT CAST(SUM(a_n) AS BIGINT) AS n_a,
+         CAST(SUM(b_n) AS BIGINT) AS n_b,
+         CAST(1 + SUM(CASE WHEN a_n > 0 AND b_n > 0 THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN prev_trail IS NULL THEN 0
+                    WHEN prev_trail <> (CASE WHEN a_n > 0 THEN 0
+                                        ELSE 1 END) THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_runs
+  FROM lagged
+)
+"""
+
+
+REGISTRY["ww_runs_two_sample"] = {
+    "fn": ww_runs_two_sample,
+    "sql": _ww_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Hodges-Lehmann shift estimator between the click and purchase
+# daily-count series: median of all pairwise differences
+# (purchase_day_j − click_day_i) — the robust "how much higher does
+# one stream run" companion to the KS test's "do they differ at
+# all". The days² difference grid is calendar-bounded; the median is
+# the cum-vs-half pair join over the difference histogram, exact
+# integers throughout (lower/upper-middle average, as theil_sen).
+# --------------------------------------------------------------------------
+
+_HL_FINAL = [
+    "n_pairs",
+    "m1_d",
+    "m2_d",
+    "(CAST(m1_d AS DOUBLE) + CAST(m2_d AS DOUBLE)) / 2.0"
+    " AS hl_shift",
+]
+
+
+def hodges_lehmann_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a = daily.filter("event_type = 'click'").selectExpr("c AS ca")
+    b = daily.filter("event_type = 'purchase'").selectExpr("c AS cb")
+    diffs = (
+        a.crossJoin(F.broadcast(b))
+        .selectExpr("cb - ca AS d")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = diffs.agg(F.sum("cnt").cast("bigint").alias("n_pairs"))
+    i2 = diffs.selectExpr("d AS d2", "cnt AS cnt2")
+    cum = (
+        diffs.crossJoin(F.broadcast(i2))
+        .filter("d2 <= d")
+        .groupBy("d")
+        .agg(F.sum("cnt2").cast("bigint").alias("cum"))
+        .crossJoin(F.broadcast(tot))
+    )
+    m1 = cum.filter("2 * cum >= n_pairs").groupBy("n_pairs").agg(
+        F.min("d").cast("bigint").alias("m1_d")
+    )
+    m2 = cum.filter("2 * cum >= n_pairs + 2").groupBy(
+        "n_pairs"
+    ).agg(F.min("d").cast("bigint").alias("m2_d"))
+    j = m1.join(m2, "n_pairs", "left").selectExpr(
+        "n_pairs",
+        "m1_d",
+        "CASE WHEN n_pairs % 2 = 1 THEN m1_d"
+        " ELSE COALESCE(m2_d, m1_d) END AS m2_d",
+    )
+    return j.selectExpr(*_HL_FINAL)
+
+
+def _hl_sql() -> str:
+    final = ",\n       ".join(_HL_FINAL)
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+),
+a AS (SELECT c AS ca FROM daily WHERE event_type = 'click'),
+b AS (SELECT c AS cb FROM daily WHERE event_type = 'purchase'),
+diffs AS (
+  SELECT cb - ca AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM a CROSS JOIN b
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_pairs FROM diffs),
+cum AS (
+  SELECT h.d, CAST(SUM(i.cnt) AS BIGINT) AS cum, n_pairs
+  FROM diffs h JOIN diffs i ON i.d <= h.d CROSS JOIN tot
+  GROUP BY 1, 3
+),
+m1 AS (
+  SELECT n_pairs, CAST(MIN(d) AS BIGINT) AS m1_d
+  FROM cum WHERE 2 * cum >= n_pairs GROUP BY 1
+),
+m2 AS (
+  SELECT n_pairs, CAST(MIN(d) AS BIGINT) AS m2_d
+  FROM cum WHERE 2 * cum >= n_pairs + 2 GROUP BY 1
+)
+SELECT {final}
+FROM (
+  SELECT m1.n_pairs, m1_d,
+         CASE WHEN m1.n_pairs % 2 = 1 THEN m1_d
+              ELSE COALESCE(m2_d, m1_d) END AS m2_d
+  FROM m1 LEFT JOIN m2 ON m1.n_pairs = m2.n_pairs
+)
+"""
+
+
+REGISTRY["hodges_lehmann_daily"] = {
+    "fn": hodges_lehmann_daily,
+    "sql": _hl_sql(),
+}

@@ -710,3 +710,76 @@ def test_hellinger_matches_python(spark):
         h = math.sqrt(max(1 - bc, 0.0))
         assert rows[src]["n_src"] == n_src
         assert abs(rows[src]["hellinger"] - h) < 1e-5
+
+
+def test_lognormal_fit_matches_python(spark):
+    from de4ml_spark.queries.statq3 import lognormal_fit_price
+
+    con = duckdb.connect()
+    cents = [
+        int(r[0])
+        for r in con.sql(
+            f"""SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * 100 AS BIGINT)
+            FROM '{SF}/lineitem.parquet'"""
+        ).fetchall()
+        if int(r[0]) >= 1
+    ]
+    lns = [math.log(c) for c in cents]
+    n = len(lns)
+    mu = sum(lns) / n
+    var = sum((x - mu) ** 2 for x in lns) / (n - 1)
+    sx = sum(cents)
+    sxx = sum(c * c for c in cents)
+    ln_ratio = math.log(n * sxx / (sx * sx))
+    row = lognormal_fit_price(spark, SF).collect()[0]
+    assert row["n"] == n
+    assert abs(row["mu_hat_dollars"] - (mu - math.log(100))) < 1e-5
+    assert abs(row["sigma2_hat"] - var) < 1e-4
+    assert abs(row["ln_moment_ratio"] - ln_ratio) < 1e-9
+    assert abs(
+        row["lognormal_gap"] - (ln_ratio - var)
+    ) < 1e-4
+
+
+def test_ww_runs_matches_python(spark):
+    from de4ml_spark.queries.statq3 import ww_runs_two_sample
+
+    rows = _events()
+    pooled = sorted(
+        [(v, 0) for et, *_r, v in rows if et == "click"]
+        + [(v, 1) for et, *_r, v in rows if et == "purchase"]
+    )  # tie order: click (0) before purchase (1) — the convention
+    n_a = sum(1 for _v, g in pooled if g == 0)
+    n_b = len(pooled) - n_a
+    runs = 1 + sum(
+        1
+        for i in range(1, len(pooled))
+        if pooled[i][1] != pooled[i - 1][1]
+    )
+    mu = 2 * n_a * n_b / (n_a + n_b) + 1
+    var = (
+        2 * n_a * n_b * (2 * n_a * n_b - n_a - n_b)
+        / ((n_a + n_b) ** 2 * (n_a + n_b - 1))
+    )
+    z = (runs - mu) / math.sqrt(var)
+    row = ww_runs_two_sample(spark, SF).collect()[0]
+    assert row["n_a"] == n_a and row["n_b"] == n_b
+    assert row["n_runs"] == runs
+    assert abs(row["z_ww_runs"] - z) < 1e-9
+
+
+def test_hodges_lehmann_matches_python(spark):
+    from de4ml_spark.queries.statq3 import hodges_lehmann_daily
+
+    clicks = list(_daily_by_type("click").values())
+    purch = list(_daily_by_type("purchase").values())
+    diffs = sorted(b - a for a in clicks for b in purch)
+    m = len(diffs)
+    if m % 2 == 1:
+        med = diffs[m // 2]
+    else:
+        med = (diffs[m // 2 - 1] + diffs[m // 2]) / 2
+    row = hodges_lehmann_daily(spark, SF).collect()[0]
+    assert row["n_pairs"] == m
+    assert abs(row["hl_shift"] - med) < 1e-12
