@@ -129,6 +129,24 @@ HEADLINE = [
     "rich_club_parts",
     "simpson_diversity_sources",
     "silhouette_embeddings",
+    # round-9b additions: distribution tests, survival comparison,
+    # ranking metrics, lexical diagnostics (daily-series micro-entries
+    # like pettitt/ccf stay out — they are days²-bounded and finish in
+    # milliseconds on either engine, adding noise not signal)
+    "ks_two_sample_value",
+    "mood_median_value",
+    "logrank_test_retention",
+    "mrr_popularity_orders",
+    "map_at_k_orders",
+    "association_rules_parts",
+    "lin_ccc_orders",
+    "partial_corr_lineitem",
+    "yule_k_docs",
+    "ttr_hapax_docs",
+    "flesch_reading_docs",
+    "hellinger_sources",
+    "zipf_slope_docs",
+    "lognormal_fit_price",
 ]
 
 

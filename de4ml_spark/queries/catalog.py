@@ -45,6 +45,7 @@ def _registries() -> list[dict]:
         "statq",
         "statq2",
         "statq3",
+        "statq4",
         "mldataq4",
         "mldataq5",
         "mldataq6",
@@ -155,6 +156,10 @@ PRIORITY = [
     "lognormal_fit_price",
     "ww_runs_two_sample",
     "hodges_lehmann_daily",
+    "page_trend_daily",
+    "gamma_somers_lineitem",
+    "weighted_kappa_docs",
+    "mantel_haenszel_docs",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

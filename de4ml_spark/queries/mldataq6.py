@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from de4ml_spark.operators.portable_hash import (
+    wide_halfup_div_sql as _whd,
     wide_to_double_sql as _w2d,
 )
 from de4ml_spark.session import load_table
@@ -933,4 +934,217 @@ FROM rs
 REGISTRY["partial_corr_lineitem"] = {
     "fn": partial_corr_lineitem,
     "sql": _pc_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Quadratic-weighted Cohen's kappa between two ordinal document
+# ratings — length band (n_chars DIV 150, capped 0-3) vs token-count
+# band (tokens DIV 25, capped 0-3); the ordinal-severity agreement
+# metric (unweighted kappa on the binary pair lives in
+# mldataq5.cohens_kappa_docs). κ_w = 1 − N·Σw·O / Σ_ij w_ij·r_i·c_j
+# with w_ij = (i−j)², one wide ratio from exact cell counts. The 4×4
+# cell/marginal frames are constant-size broadcasts.
+# --------------------------------------------------------------------------
+
+
+def _wkappa_final(div: str) -> list[str]:
+    big = _big(div)
+    return [
+        "n_docs",
+        "sum_wo",
+        f"1.0 - ({_w2d(f'CAST(n_docs AS {big}) * sum_wo', div)}"
+        f" / {_w2d('sum_we', div)}) AS weighted_kappa",
+    ]
+
+
+def weighted_kappa_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rated = docs.selectExpr(
+        "LEAST(n_chars DIV 150, 3) AS ra",
+        "LEAST(CAST(size(split(text, ' ')) AS BIGINT) DIV 25, 3)"
+        " AS rb",
+    )
+    cells = rated.groupBy("ra", "rb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rows = cells.groupBy("ra").agg(
+        F.sum("o").cast("bigint").alias("r_i")
+    )
+    cols = cells.groupBy("rb").agg(
+        F.sum("o").cast("bigint").alias("c_j")
+    )
+    wo = cells.agg(
+        F.sum("o").cast("bigint").alias("n_docs"),
+        F.sum(F.expr("(ra - rb) * (ra - rb) * o"))
+        .cast("bigint")
+        .alias("sum_wo"),
+    )
+    we = (
+        rows.crossJoin(F.broadcast(cols))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST((ra - rb) * (ra - rb) AS DECIMAL(38,0))"
+                    " * r_i * c_j"
+                )
+            ).alias("sum_we")
+        )
+    )
+    return wo.crossJoin(F.broadcast(we)).selectExpr(
+        *_wkappa_final("DIV")
+    )
+
+
+def _wkappa_sql() -> str:
+    final = ",\n       ".join(_wkappa_final("//"))
+    return f"""
+WITH rated AS (
+  SELECT LEAST(n_chars // 150, 3) AS ra,
+         LEAST(CAST(len(string_split(text, ' ')) AS BIGINT) // 25, 3)
+           AS rb
+  FROM documents
+),
+cells AS (
+  SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS o
+  FROM rated GROUP BY 1, 2
+),
+rws AS (SELECT ra, CAST(SUM(o) AS BIGINT) AS r_i FROM cells GROUP BY 1),
+cls AS (SELECT rb, CAST(SUM(o) AS BIGINT) AS c_j FROM cells GROUP BY 1),
+wo AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n_docs,
+         CAST(SUM((ra - rb) * (ra - rb) * o) AS BIGINT) AS sum_wo
+  FROM cells
+),
+we AS (
+  SELECT SUM(CAST((ra - rb) * (ra - rb) AS HUGEINT) * r_i * c_j)
+           AS sum_we
+  FROM rws CROSS JOIN cls
+)
+SELECT {final}
+FROM wo CROSS JOIN we
+"""
+
+
+REGISTRY["weighted_kappa_docs"] = {
+    "fn": weighted_kappa_docs,
+    "sql": _wkappa_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Mantel-Haenszel pooled odds ratio + CMH test across source strata
+# (the stratified sibling of odds_ratio_docs — "does the en ↔ long
+# association survive controlling for source"). Per-stratum a·d/n and
+# b·c/n are half-up micro-quotients (wide division — stratum sizes
+# can be huge); the CMH χ² continuity-corrected numerator uses
+# micro-quantized E and V terms, integer-summed before one IEEE tail.
+# Stratum table is source-bounded.
+# --------------------------------------------------------------------------
+
+
+def _mh_terms(div: str) -> list[str]:
+    big = _big(div)
+    ad = f"CAST(a AS {big}) * d * 1000000"
+    bc = f"CAST(b AS {big}) * c * 1000000"
+    e = f"CAST(a + b AS {big}) * (a + c) * 1000000"
+    v = (
+        f"CAST(a + b AS {big}) * (c + d) * (a + c) * (b + d)"
+        " * 1000000"
+    )
+    return [
+        f"CAST({_whd(ad, 'n_k', div)} AS BIGINT) AS ad_u",
+        f"CAST({_whd(bc, 'n_k', div)} AS BIGINT) AS bc_u",
+        f"CAST({_whd(e, 'n_k', div)} AS BIGINT) AS e_u",
+        f"CAST({_whd(v, 'n_k * n_k * (n_k - 1)', div)} AS BIGINT)"
+        " AS v_u",
+        "a * 1000000 AS a_u",
+    ]
+
+
+_MH_FINAL = [
+    "n_strata",
+    "CAST(sum_ad_u AS DOUBLE) / CAST(sum_bc_u AS DOUBLE) AS or_mh",
+    "((ABS(CAST(sum_a_u - sum_e_u AS DOUBLE)) - 500000.0)"
+    " * (ABS(CAST(sum_a_u - sum_e_u AS DOUBLE)) - 500000.0))"
+    " / (CAST(sum_v_u AS DOUBLE) * 1000000.0) AS chi2_cmh",
+]
+
+
+def mantel_haenszel_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("source").agg(
+        F.sum(
+            F.expr("CAST(lang = 'en' AND n_chars >= 300 AS BIGINT)")
+        ).cast("bigint").alias("a"),
+        F.sum(
+            F.expr("CAST(lang = 'en' AND n_chars < 300 AS BIGINT)")
+        ).cast("bigint").alias("b"),
+        F.sum(
+            F.expr("CAST(lang <> 'en' AND n_chars >= 300 AS BIGINT)")
+        ).cast("bigint").alias("c"),
+        F.sum(
+            F.expr("CAST(lang <> 'en' AND n_chars < 300 AS BIGINT)")
+        ).cast("bigint").alias("d"),
+    ).selectExpr("source", "a", "b", "c", "d", "a + b + c + d AS n_k")
+    terms = strata.filter("n_k > 1").selectExpr(
+        "source", *_mh_terms("DIV")
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("ad_u").cast("bigint").alias("sum_ad_u"),
+        F.sum("bc_u").cast("bigint").alias("sum_bc_u"),
+        F.sum("e_u").cast("bigint").alias("sum_e_u"),
+        F.sum("v_u").cast("bigint").alias("sum_v_u"),
+        F.sum("a_u").cast("bigint").alias("sum_a_u"),
+    )
+    return agg.selectExpr(*_MH_FINAL)
+
+
+def _mh_sql() -> str:
+    terms = ",\n         ".join(_mh_terms("//"))
+    final = ",\n       ".join(_MH_FINAL)
+    return f"""
+WITH strata AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 300
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN lang = 'en' AND n_chars < 300
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN lang <> 'en' AND n_chars >= 300
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN lang <> 'en' AND n_chars < 300
+                  THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM documents GROUP BY 1
+),
+s2 AS (
+  SELECT source, a, b, c, d, a + b + c + d AS n_k
+  FROM strata WHERE a + b + c + d > 1
+),
+terms AS (
+  SELECT source,
+         {terms}
+  FROM s2
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(ad_u) AS BIGINT) AS sum_ad_u,
+         CAST(SUM(bc_u) AS BIGINT) AS sum_bc_u,
+         CAST(SUM(e_u) AS BIGINT) AS sum_e_u,
+         CAST(SUM(v_u) AS BIGINT) AS sum_v_u,
+         CAST(SUM(a_u) AS BIGINT) AS sum_a_u
+  FROM terms
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["mantel_haenszel_docs"] = {
+    "fn": mantel_haenszel_docs,
+    "sql": _mh_sql(),
 }

@@ -783,3 +783,126 @@ def test_hodges_lehmann_matches_python(spark):
     row = hodges_lehmann_daily(spark, SF).collect()[0]
     assert row["n_pairs"] == m
     assert abs(row["hl_shift"] - med) < 1e-12
+
+
+def test_page_trend_matches_python(spark):
+    from de4ml_spark.queries.statq4 import page_trend_daily
+
+    con = duckdb.connect()
+    raw = con.sql(
+        f"""SELECT CAST(ts AS DATE), event_type, COUNT(*)
+        FROM '{SF}/events.parquet'
+        WHERE event_type IS NOT NULL GROUP BY 1, 2"""
+    ).fetchall()
+    days = sorted({r[0] for r in raw})
+    types = sorted({r[1] for r in raw})
+    cnt = {(r[0], r[1]): r[2] for r in raw}
+    k = len(types)
+    n = len(days)
+    l_stat = 0.0
+    for d in days:
+        vals = [cnt.get((d, t), 0) for t in types]
+        for j, t in enumerate(types, start=1):
+            x = cnt.get((d, t), 0)
+            below = sum(1 for y in vals if y < x)
+            ties = sum(1 for y in vals if y == x)
+            l_stat += j * (below + (ties + 1) / 2)
+    z = (12 * l_stat - 3 * n * k * (k + 1) ** 2) / math.sqrt(
+        n * k * k * (k + 1) * (k * k - 1)
+    )
+    row = page_trend_daily(spark, SF).collect()[0]
+    assert row["n_blocks"] == n and row["k_treat"] == k
+    assert row["l2_stat"] == int(2 * l_stat)
+    assert abs(row["z_page"] - z) < 1e-9
+
+
+def test_gamma_somers_matches_python(spark):
+    from de4ml_spark.queries.statq4 import gamma_somers_lineitem
+
+    con = duckdb.connect()
+    cells = con.sql(
+        f"""SELECT CAST(l_quantity AS BIGINT),
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT),
+               COUNT(*)
+        FROM '{SF}/lineitem.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    c_mass = d_mass = ty = 0
+    for x1, y1, n1 in cells:
+        for x2, y2, n2 in cells:
+            if x2 > x1:
+                if y2 > y1:
+                    c_mass += n1 * n2
+                elif y2 < y1:
+                    d_mass += n1 * n2
+                else:
+                    ty += n1 * n2
+    row = gamma_somers_lineitem(spark, SF).collect()[0]
+    assert row["c_pairs"] == c_mass
+    assert row["d_pairs"] == d_mass
+    assert row["ty_pairs"] == ty
+    assert abs(row["gamma"] - (c_mass - d_mass) / (c_mass + d_mass)) < 1e-12
+    assert abs(
+        row["somers_dyx"]
+        - (c_mass - d_mass) / (c_mass + d_mass + ty)
+    ) < 1e-12
+
+
+def test_weighted_kappa_matches_python(spark):
+    from de4ml_spark.queries.mldataq6 import weighted_kappa_docs
+
+    table = Counter()
+    for _src, text, n in _docs():
+        ra = min(n // 150, 3)
+        rb = min(len(text.split(" ")) // 25, 3)
+        table[(ra, rb)] += 1
+    ntot = sum(table.values())
+    rows_m = Counter()
+    cols_m = Counter()
+    for (ra, rb), o in table.items():
+        rows_m[ra] += o
+        cols_m[rb] += o
+    sum_wo = sum((ra - rb) ** 2 * o for (ra, rb), o in table.items())
+    sum_we = sum(
+        (i - j) ** 2 * rows_m[i] * cols_m[j]
+        for i in rows_m
+        for j in cols_m
+    )
+    kappa = 1 - ntot * sum_wo / sum_we
+    row = weighted_kappa_docs(spark, SF).collect()[0]
+    assert row["n_docs"] == ntot and row["sum_wo"] == sum_wo
+    assert abs(row["weighted_kappa"] - kappa) < 1e-9
+
+
+def test_mantel_haenszel_matches_python(spark):
+    from de4ml_spark.queries.mldataq6 import mantel_haenszel_docs
+
+    strata = defaultdict(lambda: [0, 0, 0, 0])
+    con = duckdb.connect()
+    for src, lang, n in con.sql(
+        f"SELECT source, lang, n_chars FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        s = strata[src]
+        if lang == "en":
+            s[0 if n >= 300 else 1] += 1
+        else:
+            s[2 if n >= 300 else 3] += 1
+    num = den = sum_a = sum_e = sum_v = 0.0
+    k = 0
+    for a, b, c, d in strata.values():
+        n = a + b + c + d
+        if n <= 1:
+            continue
+        k += 1
+        num += a * d / n
+        den += b * c / n
+        sum_a += a
+        sum_e += (a + b) * (a + c) / n
+        sum_v += (
+            (a + b) * (c + d) * (a + c) * (b + d)
+            / (n * n * (n - 1))
+        )
+    row = mantel_haenszel_docs(spark, SF).collect()[0]
+    assert row["n_strata"] == k
+    assert abs(row["or_mh"] - num / den) < 1e-4
+    chi2 = (abs(sum_a - sum_e) - 0.5) ** 2 / sum_v
+    assert abs(row["chi2_cmh"] - chi2) < 1e-3
