@@ -245,3 +245,438 @@ REGISTRY["gamma_somers_lineitem"] = {
     "fn": gamma_somers_lineitem,
     "sql": _gamma_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# OLS trend of the daily event-count series on the calendar index:
+# slope, intercept, R², and the slope t-statistic — the parametric
+# trend quartet beside theil_sen (estimate) and mann_kendall (test).
+# Everything flows from the exact integer moment six-tuple of
+# (t, y); slope/intercept/R²/t are one staged IEEE chain
+# (sxx/sxy/syy names match the n-scaled centered moments
+# n·Σab − Σa·Σb, each a 128-bit integer through wide_to_double).
+# --------------------------------------------------------------------------
+
+
+def _ols_final() -> list[str]:
+    return [
+        "n",
+        "slope",
+        "intercept",
+        "r2_fit",
+        # t = slope / SE, SE² = (Syy/Sxx − slope²)/(n−2) in the
+        # n-scaled moment algebra: SE² = (Syy − slope·Sxy)/((n−2)·Sxx)
+        "slope / sqrt((syy_d - slope * sxy_d)"
+        " / (CAST(n - 2 AS DOUBLE) * sxx_d)) AS t_slope",
+    ]
+
+
+def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    mind = daily.agg(F.min("t").alias("t0"))
+    idx = daily.crossJoin(F.broadcast(mind)).selectExpr(
+        "t - t0 AS t", "y"
+    )
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t")).alias("stt"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * y")).alias("sty"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    big = "DECIMAL(38,0)"
+    staged = mom.selectExpr(
+        "n",
+        "st",
+        "sy",
+        f"{_w2d(f'CAST(n AS {big}) * stt - CAST(st AS {big}) * st', 'DIV')}"
+        " AS sxx_d",
+        f"{_w2d(f'CAST(n AS {big}) * sty - CAST(st AS {big}) * sy', 'DIV')}"
+        " AS sxy_d",
+        f"{_w2d(f'CAST(n AS {big}) * syy - CAST(sy AS {big}) * sy', 'DIV')}"
+        " AS syy_d",
+    )
+    s2 = staged.selectExpr(
+        "n",
+        "sxx_d",
+        "sxy_d",
+        "syy_d",
+        "sxy_d / sxx_d AS slope",
+        "(CAST(sy AS DOUBLE) - (sxy_d / sxx_d)"
+        " * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept",
+        "(sxy_d * sxy_d) / (sxx_d * syy_d) AS r2_fit",
+    )
+    return s2.selectExpr(*_ols_final())
+
+
+def _ols_sql() -> str:
+    final = ",\n       ".join(_ols_final())
+    big = "HUGEINT"
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT t - (SELECT MIN(t) FROM daily) AS t, y FROM daily
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(t AS HUGEINT) * t) AS stt,
+         SUM(CAST(t AS HUGEINT) * y) AS sty,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM idx
+),
+staged AS (
+  SELECT n, st, sy,
+    {_w2d(f'CAST(n AS {big}) * stt - CAST(st AS {big}) * st', '//')}
+      AS sxx_d,
+    {_w2d(f'CAST(n AS {big}) * sty - CAST(st AS {big}) * sy', '//')}
+      AS sxy_d,
+    {_w2d(f'CAST(n AS {big}) * syy - CAST(sy AS {big}) * sy', '//')}
+      AS syy_d
+  FROM mom
+),
+s2 AS (
+  SELECT n, sxx_d, sxy_d, syy_d,
+         sxy_d / sxx_d AS slope,
+         (CAST(sy AS DOUBLE) - (sxy_d / sxx_d)
+          * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+         (sxy_d * sxy_d) / (sxx_d * syy_d) AS r2_fit
+  FROM staged
+)
+SELECT {final}
+FROM s2
+"""
+
+
+REGISTRY["ols_daily_trend"] = {
+    "fn": ols_daily_trend,
+    "sql": _ols_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Breusch-Pagan (Koenker studentized form) heteroskedasticity test on
+# the same daily OLS: LM = n·R²(ê², t). Residuals are carried EXACTLY
+# as E_i = n·D·e_i = D(n·y_i − Σy) − N_b(n·t_i − Σt) (wide ints,
+# D = nΣt²−(Σt)², N_b = nΣty−ΣtΣy), then milli-quantized via a
+# half-up wide division back to e-scale (documented: LM is computed
+# on e rounded to 1e-3 — deterministic both engines, recompute test
+# replicates the quantization). The aux correlation uses exact
+# integer moments of (e_u², t).
+# --------------------------------------------------------------------------
+
+_BP_FINAL = [
+    "n",
+    "r2_aux",
+    "CAST(n AS DOUBLE) * r2_aux AS lm_breusch_pagan",
+]
+
+
+def breusch_pagan_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd2,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    mind = daily.agg(F.min("t").alias("t0"))
+    idx = daily.crossJoin(F.broadcast(mind)).selectExpr(
+        "t - t0 AS t", "y"
+    )
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t")).alias("stt"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * y")).alias("sty"),
+    )
+    big = "DECIMAL(38,0)"
+    dnb = mom.selectExpr(
+        "n",
+        "st",
+        "sy",
+        f"CAST(n AS {big}) * stt - CAST(st AS {big}) * st AS dd",
+        f"CAST(n AS {big}) * sty - CAST(st AS {big}) * sy AS nb",
+    )
+    # E_i = D(n·y − Σy) − N_b(n·t − Σt); e_u = halfup(1000·E, n·D)
+    ej = idx.crossJoin(F.broadcast(dnb)).selectExpr(
+        "t",
+        "n",
+        "dd * (CAST(n AS DECIMAL(38,0)) * y - sy)"
+        " - nb * (CAST(n AS DECIMAL(38,0)) * t - st) AS e_wide",
+        "CAST(n AS DECIMAL(38,0)) * dd AS nd",
+    )
+    eq = ej.selectExpr(
+        "t",
+        "n",
+        "CASE WHEN e_wide >= 0 THEN"
+        f" CAST({_whd2('1000 * e_wide', 'CAST(nd AS BIGINT)', 'DIV')}"
+        " AS BIGINT)"
+        f" ELSE -CAST({_whd2('1000 * (-e_wide)', 'CAST(nd AS BIGINT)', 'DIV')}"
+        " AS BIGINT) END AS e_u",
+    )
+    aux = eq.selectExpr(
+        "t", "n", "CAST(e_u AS DECIMAL(38,0)) * e_u AS g"
+    )
+    amom = aux.groupBy("n").agg(
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("g").alias("sg"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t")).alias("stt"),
+        F.sum(F.expr("g * t")).alias("sgt"),
+        F.sum(F.expr("g * g")).alias("sgg"),
+    )
+    r2 = amom.selectExpr(
+        "n",
+        f"(({_w2d(f'CAST(n AS {big}) * sgt - CAST(st AS {big}) * sg', 'DIV')})"
+        f" * ({_w2d(f'CAST(n AS {big}) * sgt - CAST(st AS {big}) * sg', 'DIV')}))"
+        f" / (({_w2d(f'CAST(n AS {big}) * stt - CAST(st AS {big}) * st', 'DIV')})"
+        f" * ({_w2d(f'CAST(n AS {big}) * sgg - sg * sg', 'DIV')}))"
+        " AS r2_aux",
+    )
+    return r2.selectExpr(*_BP_FINAL)
+
+
+def _bp_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd2,
+    )
+
+    big = "HUGEINT"
+    final = ",\n       ".join(_BP_FINAL)
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT t - (SELECT MIN(t) FROM daily) AS t, y FROM daily
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(t AS HUGEINT) * t) AS stt,
+         SUM(CAST(t AS HUGEINT) * y) AS sty
+  FROM idx
+),
+dnb AS (
+  SELECT n, st, sy,
+         CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st AS dd,
+         CAST(n AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy AS nb
+  FROM mom
+),
+ej AS (
+  SELECT t, n,
+         dd * (CAST(n AS HUGEINT) * y - sy)
+         - nb * (CAST(n AS HUGEINT) * t - st) AS e_wide,
+         CAST(n AS HUGEINT) * dd AS nd
+  FROM idx CROSS JOIN dnb
+),
+eq AS (
+  SELECT t, n,
+         CASE WHEN e_wide >= 0 THEN
+           CAST({_whd2('1000 * e_wide', 'CAST(nd AS BIGINT)', '//')}
+                AS BIGINT)
+         ELSE
+           -CAST({_whd2('1000 * (-e_wide)', 'CAST(nd AS BIGINT)', '//')}
+                 AS BIGINT) END AS e_u
+  FROM ej
+),
+aux AS (
+  SELECT t, n, CAST(e_u AS HUGEINT) * e_u AS g FROM eq
+),
+amom AS (
+  SELECT n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         SUM(g) AS sg,
+         SUM(CAST(t AS HUGEINT) * t) AS stt,
+         SUM(g * t) AS sgt,
+         SUM(g * g) AS sgg
+  FROM aux GROUP BY 1
+),
+r2 AS (
+  SELECT n,
+    (({_w2d(f'CAST(n AS {big}) * sgt - CAST(st AS {big}) * sg', '//')})
+     * ({_w2d(f'CAST(n AS {big}) * sgt - CAST(st AS {big}) * sg', '//')}))
+    / (({_w2d(f'CAST(n AS {big}) * stt - CAST(st AS {big}) * st', '//')})
+     * ({_w2d(f'CAST(n AS {big}) * sgg - sg * sg', '//')}))
+      AS r2_aux
+  FROM amom
+)
+SELECT {final}
+FROM r2
+"""
+
+
+REGISTRY["breusch_pagan_daily"] = {
+    "fn": breusch_pagan_daily,
+    "sql": _bp_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Kendall's W — concordance of the k event-type "rankings" produced
+# by each day (days = judges, types = objects; the effect-size
+# companion to friedman_daily_value). Doubled midranks off page's
+# dense grid: with R2_j = Σ_days 2·r_dj, S4 = Σ_j (R2_j − k(n+1))²
+# = 4S and tie term T_d = Σ(t³−t) per day,
+# W = 3·S4 / (k²(n³−n) − k·ΣT). Exact integers; one ratio.
+# --------------------------------------------------------------------------
+
+
+def _kw_final(div: str) -> list[str]:
+    big = _big(div)
+    den = (
+        f"CAST(k_days AS {big}) * k_days * (CAST(n_types AS {big})"
+        f" * n_types * n_types - n_types)"
+        f" - CAST(k_days AS {big}) * sum_t"
+    )
+    return [
+        "k_days",
+        "n_types",
+        f"3.0 * {_w2d('s4', div)} / {_w2d(den, div)} AS kendalls_w",
+    ]
+
+
+def kendalls_w_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isNotNull())
+    days = base.select(
+        F.col("ts").cast("date").alias("day")
+    ).distinct()
+    types = base.select("event_type").distinct()
+    counts = base.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(counts, ["day", "event_type"], "left")
+        .selectExpr("day", "event_type", "COALESCE(c, 0) AS c")
+    )
+    o = grid.selectExpr("day", "event_type AS et2", "c AS c2")
+    r2 = (
+        grid.join(o, "day")
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum(
+                F.expr("2 * CAST(c2 < c AS BIGINT)"
+                       " + CAST(c2 = c AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("r2m1")
+        )
+        .selectExpr("day", "event_type", "r2m1 + 1 AS r2")
+    )
+    rsum = r2.groupBy("event_type").agg(
+        F.sum("r2").cast("bigint").alias("r2_j")
+    )
+    dims = grid.agg(
+        F.countDistinct("day").cast("bigint").alias("k_days"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )
+    s4 = (
+        rsum.crossJoin(F.broadcast(dims))
+        .selectExpr(
+            "k_days",
+            "n_types",
+            "(r2_j - k_days * (n_types + 1))"
+            " * (r2_j - k_days * (n_types + 1)) AS dev2",
+        )
+        .groupBy("k_days", "n_types")
+        .agg(F.sum("dev2").cast("bigint").alias("s4"))
+    )
+    # per-day tie correction: group sizes within the day's value ties
+    tied = (
+        grid.groupBy("day", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+        .agg(
+            F.sum(
+                F.expr("CAST(tt AS DECIMAL(38,0)) * tt * tt - tt")
+            ).alias("sum_t")
+        )
+    )
+    return s4.crossJoin(F.broadcast(tied)).selectExpr(
+        *_kw_final("DIV")
+    )
+
+
+def _kw_sql() -> str:
+    final = ",\n       ".join(_kw_final("//"))
+    return f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS day, event_type
+  FROM events WHERE event_type IS NOT NULL
+),
+days AS (SELECT DISTINCT day FROM base),
+types AS (SELECT DISTINCT event_type FROM base),
+counts AS (
+  SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.day, t.event_type, COALESCE(c.c, 0) AS c
+  FROM days d CROSS JOIN types t
+  LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+),
+r2 AS (
+  SELECT g.day, g.event_type,
+         CAST(SUM(2 * CASE WHEN o.c < g.c THEN 1 ELSE 0 END
+                  + CASE WHEN o.c = g.c THEN 1 ELSE 0 END)
+              AS BIGINT) + 1 AS r2
+  FROM grid g JOIN grid o ON o.day = g.day
+  GROUP BY 1, 2
+),
+rsum AS (
+  SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2_j
+  FROM r2 GROUP BY 1
+),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS k_days,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM grid
+),
+s4 AS (
+  SELECT k_days, n_types,
+         CAST(SUM((r2_j - k_days * (n_types + 1))
+                  * (r2_j - k_days * (n_types + 1))) AS BIGINT) AS s4
+  FROM rsum CROSS JOIN dims
+  GROUP BY 1, 2
+),
+tied AS (
+  SELECT SUM(CAST(tt AS HUGEINT) * tt * tt - tt) AS sum_t
+  FROM (
+    SELECT day, c, CAST(COUNT(*) AS BIGINT) AS tt
+    FROM grid GROUP BY 1, 2
+  )
+)
+SELECT {final}
+FROM s4 CROSS JOIN tied
+"""
+
+
+REGISTRY["kendalls_w_daily"] = {
+    "fn": kendalls_w_daily,
+    "sql": _kw_sql(),
+}

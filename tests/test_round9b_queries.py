@@ -906,3 +906,99 @@ def test_mantel_haenszel_matches_python(spark):
     assert abs(row["or_mh"] - num / den) < 1e-4
     chi2 = (abs(sum_a - sum_e) - 0.5) ** 2 / sum_v
     assert abs(row["chi2_cmh"] - chi2) < 1e-3
+
+
+def test_ols_daily_trend_matches_python(spark):
+    from de4ml_spark.queries.statq4 import ols_daily_trend
+
+    daily = _daily_counts()
+    days = sorted(daily)
+    t0 = days[0]
+    ts = [(d - t0).days for d in days]
+    ys = [daily[d] for d in days]
+    n = len(ts)
+    mt, my = sum(ts) / n, sum(ys) / n
+    sxx = sum((t - mt) ** 2 for t in ts)
+    sxy = sum((t - mt) * (y - my) for t, y in zip(ts, ys))
+    syy = sum((y - my) ** 2 for y in ys)
+    slope = sxy / sxx
+    intercept = my - slope * mt
+    r2 = sxy * sxy / (sxx * syy)
+    se2 = (syy - slope * sxy) / ((n - 2) * sxx)
+    t_stat = slope / math.sqrt(se2)
+    row = ols_daily_trend(spark, SF).collect()[0]
+    assert row["n"] == n
+    assert abs(row["slope"] - slope) < 1e-9
+    assert abs(row["intercept"] - intercept) < 1e-9
+    assert abs(row["r2_fit"] - r2) < 1e-12
+    assert abs(row["t_slope"] - t_stat) < 1e-9
+
+
+def test_breusch_pagan_matches_python(spark):
+    from de4ml_spark.queries.statq4 import breusch_pagan_daily
+
+    daily = _daily_counts()
+    days = sorted(daily)
+    t0 = days[0]
+    ts = [(d - t0).days for d in days]
+    ys = [daily[d] for d in days]
+    n = len(ts)
+    mt, my = sum(ts) / n, sum(ys) / n
+    sxx = sum((t - mt) ** 2 for t in ts)
+    sxy = sum((t - mt) * (y - my) for t, y in zip(ts, ys))
+    slope = sxy / sxx
+    intercept = my - slope * mt
+    # replicate the milli-quantization: e_u = halfup(1000·E, nD)
+    dd = n * sum(t * t for t in ts) - sum(ts) ** 2
+    nb = n * sum(t * y for t, y in zip(ts, ys)) - sum(ts) * sum(ys)
+    sy, st = sum(ys), sum(ts)
+    g = []
+    for t, y in zip(ts, ys):
+        e_wide = dd * (n * y - sy) - nb * (n * t - st)
+        nd = n * dd
+        if e_wide >= 0:
+            e_u = (2 * 1000 * e_wide + nd) // (2 * nd)
+        else:
+            e_u = -((2 * 1000 * (-e_wide) + nd) // (2 * nd))
+        # sanity: quantized residual ≈ true residual
+        assert abs(e_u / 1000 - (y - intercept - slope * t)) < 2e-3
+        g.append(e_u * e_u)
+    r = _pearson([float(t) for t in ts], [float(x) for x in g])
+    lm = n * r * r
+    row = breusch_pagan_daily(spark, SF).collect()[0]
+    assert row["n"] == n
+    assert abs(row["r2_aux"] - r * r) < 1e-9
+    assert abs(row["lm_breusch_pagan"] - lm) < 1e-7
+
+
+def test_kendalls_w_matches_python(spark):
+    from de4ml_spark.queries.statq4 import kendalls_w_daily
+
+    con = duckdb.connect()
+    raw = con.sql(
+        f"""SELECT CAST(ts AS DATE), event_type, COUNT(*)
+        FROM '{SF}/events.parquet'
+        WHERE event_type IS NOT NULL GROUP BY 1, 2"""
+    ).fetchall()
+    days = sorted({r[0] for r in raw})
+    types = sorted({r[1] for r in raw})
+    cnt = {(r[0], r[1]): r[2] for r in raw}
+    k = len(days)
+    n = len(types)
+    rsum = dict.fromkeys(types, 0.0)
+    sum_t = 0
+    for d in days:
+        vals = [cnt.get((d, t), 0) for t in types]
+        for t in types:
+            x = cnt.get((d, t), 0)
+            below = sum(1 for y in vals if y < x)
+            ties = sum(1 for y in vals if y == x)
+            rsum[t] += below + (ties + 1) / 2
+        for v, c in Counter(vals).items():
+            sum_t += c**3 - c
+    rbar = k * (n + 1) / 2
+    s = sum((rsum[t] - rbar) ** 2 for t in types)
+    w = 12 * s / (k * k * (n**3 - n) - k * sum_t)
+    row = kendalls_w_daily(spark, SF).collect()[0]
+    assert row["k_days"] == k and row["n_types"] == n
+    assert abs(row["kendalls_w"] - w) < 1e-9
