@@ -46,6 +46,7 @@ def _registries() -> list[dict]:
         "statq2",
         "statq3",
         "statq4",
+        "statq5",
         "mldataq4",
         "mldataq5",
         "mldataq6",
@@ -160,6 +161,13 @@ PRIORITY = [
     "gamma_somers_lineitem",
     "weighted_kappa_docs",
     "mantel_haenszel_docs",
+    "ols_daily_trend",
+    "breusch_pagan_daily",
+    "kendalls_w_daily",
+    "kuiper_two_sample_value",
+    "cvm_two_sample_value",
+    "cronbach_alpha_daily",
+    "icc_daily_types",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",
@@ -304,7 +312,6 @@ PRIORITY = [
     "ppjoin_docs",
     "assoc_rules_parts",
     "audience_overlap_events",
-    "nelson_aalen_retention",
     "triangle_count_parts",
     "ltv_triangle_orders",
     "label_centroid_distances",
@@ -350,9 +357,7 @@ PRIORITY = [
     "seasonal_strength_events",
     "hits_bipartite_orders",
     "logrank_retention_cohorts",
-    "zipf_slope_docs",
     "fano_burstiness_events",
-    "map_at_k_orders",
     "cluster_purity_embeddings",
     "mann_whitney_value",
     "lang_id_docs",

@@ -1,0 +1,143 @@
+"""Round-9c catalog entries: pure-Python recomputation from the raw
+sf0.001 rows — the guard the cross-engine value-hash gate cannot
+provide (a shared-formula error passes the hash on both engines; see
+the welch/grubbs round-9 incidents).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+SF = "/root/testdata/sf0.001"
+
+
+def _values_by_type(*types):
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT event_type,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND event_type IN {types!r}"""
+    ).fetchall()
+    return {t: sorted(v for et, v in rows if et == t) for t in types}
+
+
+def _day_type_counts():
+    con = duckdb.connect()
+    raw = con.sql(
+        f"""SELECT CAST(ts AS DATE), event_type, COUNT(*)
+        FROM '{SF}/events.parquet'
+        WHERE event_type IS NOT NULL GROUP BY 1, 2"""
+    ).fetchall()
+    days = sorted({r[0] for r in raw})
+    types = sorted({r[1] for r in raw})
+    cnt = {(r[0], r[1]): r[2] for r in raw}
+    return days, types, cnt
+
+
+def test_kuiper_matches_python(spark):
+    from de4ml_spark.queries.statq5 import kuiper_two_sample_value
+
+    s = _values_by_type("click", "purchase")
+    a, b = s["click"], s["purchase"]
+    na, nb = len(a), len(b)
+    support = sorted(set(a) | set(b))
+    dplus = dminus = 0
+    for v in support:
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        dplus = max(dplus, ca * nb - cb * na)
+        dminus = max(dminus, cb * na - ca * nb)
+    row = kuiper_two_sample_value(spark, SF).collect()[0]
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["vplus_num"] == dplus
+    assert row["vminus_num"] == dminus
+    v_stat = (dplus + dminus) / (na * nb)
+    assert abs(row["kuiper_v"] - v_stat) < 1e-12
+    assert (
+        abs(row["kuiper_scaled"] - v_stat * math.sqrt(na * nb / (na + nb)))
+        < 1e-9
+    )
+    # Kuiper dominates KS: V >= D
+    d = max(dplus, dminus) / (na * nb)
+    assert row["kuiper_v"] >= d
+
+
+def test_cvm_matches_python(spark):
+    from de4ml_spark.queries.statq5 import cvm_two_sample_value
+
+    s = _values_by_type("click", "purchase")
+    a, b = s["click"], s["purchase"]
+    na, nb = len(a), len(b)
+    n_tot = na + nb
+    support = sorted(set(a) | set(b))
+    from collections import Counter
+
+    ca_c, cb_c = Counter(a), Counter(b)
+    t_num = 0
+    cum_a = cum_b = 0
+    for v in support:
+        cum_a += ca_c.get(v, 0)
+        cum_b += cb_c.get(v, 0)
+        c_v = ca_c.get(v, 0) + cb_c.get(v, 0)
+        t_num += c_v * (cum_a * nb - cum_b * na) ** 2
+    t_stat = t_num / (n_tot * n_tot * na * nb)
+    row = cvm_two_sample_value(spark, SF).collect()[0]
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert abs(row["cvm_t"] - t_stat) < 1e-9
+    # sanity: the integral form is bounded by (nm/N)·sup² fan-out
+    assert 0 <= row["cvm_t"]
+
+
+def test_cronbach_alpha_matches_python(spark):
+    from de4ml_spark.queries.statq5 import cronbach_alpha_daily
+
+    days, types, cnt = _day_type_counts()
+    n, k = len(days), len(types)
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs)
+
+    item_vars = sum(
+        var([cnt.get((d, t), 0) for d in days]) for t in types
+    )
+    total_var = var(
+        [sum(cnt.get((d, t), 0) for t in types) for d in days]
+    )
+    alpha = k / (k - 1) * (1 - item_vars / total_var)
+    row = cronbach_alpha_daily(spark, SF).collect()[0]
+    assert row["k_types"] == k and row["n_days"] == n
+    assert abs(row["cronbach_alpha"] - alpha) < 1e-9
+
+
+def test_icc_matches_python(spark):
+    from de4ml_spark.queries.statq5 import icc_daily_types
+
+    days, types, cnt = _day_type_counts()
+    n, k = len(days), len(types)
+    grid = {
+        (d, t): cnt.get((d, t), 0) for d in days for t in types
+    }
+    grand = sum(grid.values()) / (n * k)
+    row_means = {
+        d: sum(grid[(d, t)] for t in types) / k for d in days
+    }
+    col_means = {
+        t: sum(grid[(d, t)] for d in days) / n for t in types
+    }
+    ss_rows = k * sum((row_means[d] - grand) ** 2 for d in days)
+    ss_cols = n * sum((col_means[t] - grand) ** 2 for t in types)
+    ss_tot = sum((v - grand) ** 2 for v in grid.values())
+    ss_err = ss_tot - ss_rows - ss_cols
+    msr = ss_rows / (n - 1)
+    msc = ss_cols / (k - 1)
+    mse = ss_err / ((n - 1) * (k - 1))
+    icc = (msr - mse) / (
+        msr + (k - 1) * mse + k * (msc - mse) / n
+    )
+    row = icc_daily_types(spark, SF).collect()[0]
+    assert row["n_days"] == n and row["k_types"] == k
+    assert abs(row["icc_2_1"] - icc) < 1e-9
