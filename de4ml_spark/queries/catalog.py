@@ -168,6 +168,9 @@ PRIORITY = [
     "cvm_two_sample_value",
     "cronbach_alpha_daily",
     "icc_daily_types",
+    "energy_distance_value",
+    "seasonal_forecast_daily",
+    "chow_break_daily",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

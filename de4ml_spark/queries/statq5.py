@@ -524,3 +524,420 @@ REGISTRY["icc_daily_types"] = {
     "fn": icc_daily_types,
     "sql": _icc_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Energy distance (Székely-Rizzo) between click and purchase `value`:
+# E² = 2·μ_AB − μ_AA − μ_BB with μ_XY = mean pairwise |x − y|
+# (V-statistic form, n², m², nm denominators). 1-D closed form over
+# the sorted pooled histogram: Σ pairs |x−y| = Σ_v x_v·(cnt_before·v
+# − sum_before) accumulated per sample — exact integers in cents via
+# one cum window over the bounded histogram; NO all-pairs join
+# anywhere (the O(n²) definition collapses to cumulative sums).
+# Companion to emd_value_types (W1 distance): E² weights tail
+# differences quadratically, EMD linearly.
+# --------------------------------------------------------------------------
+
+
+def _energy_final(div: str) -> list[str]:
+    ab = _w2d("ab_num", div)
+    aa = _w2d("aa_num", div)
+    bb = _w2d("bb_num", div)
+    e2 = (
+        f"(2.0 * {ab} / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+        f" - 2.0 * {aa} / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))"
+        f" - 2.0 * {bb} / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+    )
+    return [
+        "n_a",
+        "n_b",
+        f"{e2} AS energy_sq_cents",
+        f"sqrt({e2}) AS energy_dist_cents",
+    ]
+
+
+def energy_distance_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    byval = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c")
+        )
+        .agg(
+            F.sum(F.expr("CAST(event_type = 'click' AS BIGINT)"))
+            .cast("bigint")
+            .alias("a_n"),
+            F.sum(F.expr("CAST(event_type = 'purchase' AS BIGINT)"))
+            .cast("bigint")
+            .alias("b_n"),
+        )
+    )
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        byval.withColumn("ca", F.sum("a_n").over(wcum))
+        .withColumn("cb", F.sum("b_n").over(wcum))
+        .withColumn(
+            "sa",
+            F.sum(F.expr("CAST(a_n AS DECIMAL(38,0)) * v_c")).over(wcum),
+        )
+        .withColumn(
+            "sb",
+            F.sum(F.expr("CAST(b_n AS DECIMAL(38,0)) * v_c")).over(wcum),
+        )
+    )
+    terms = cum.selectExpr(
+        "a_n",
+        "b_n",
+        # exclusive cums: inclusive minus the row's own mass
+        "CAST(a_n AS DECIMAL(38,0))"
+        " * ((ca - a_n) * v_c - (sa - CAST(a_n AS DECIMAL(38,0)) * v_c))"
+        " AS t_aa",
+        "CAST(b_n AS DECIMAL(38,0))"
+        " * ((cb - b_n) * v_c - (sb - CAST(b_n AS DECIMAL(38,0)) * v_c))"
+        " AS t_bb",
+        "CAST(a_n AS DECIMAL(38,0))"
+        " * ((cb - b_n) * v_c - (sb - CAST(b_n AS DECIMAL(38,0)) * v_c))"
+        " + CAST(b_n AS DECIMAL(38,0))"
+        " * ((ca - a_n) * v_c - (sa - CAST(a_n AS DECIMAL(38,0)) * v_c))"
+        " AS t_ab",
+    )
+    agg = terms.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum("b_n").cast("bigint").alias("n_b"),
+        F.sum("t_aa").alias("aa_num"),
+        F.sum("t_bb").alias("bb_num"),
+        F.sum("t_ab").alias("ab_num"),
+    )
+    return agg.selectExpr(*_energy_final("DIV"))
+
+
+def _energy_sql() -> str:
+    final = ",\n       ".join(_energy_final("//"))
+    return f"""
+WITH byval AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a_n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b_n
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+cum AS (
+  SELECT v_c, a_n, b_n,
+         SUM(a_n) OVER w AS ca,
+         SUM(b_n) OVER w AS cb,
+         SUM(CAST(a_n AS HUGEINT) * v_c) OVER w AS sa,
+         SUM(CAST(b_n AS HUGEINT) * v_c) OVER w AS sb
+  FROM byval
+  WINDOW w AS (ORDER BY v_c
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT a_n, b_n,
+         CAST(a_n AS HUGEINT)
+         * ((ca - a_n) * v_c - (sa - CAST(a_n AS HUGEINT) * v_c))
+           AS t_aa,
+         CAST(b_n AS HUGEINT)
+         * ((cb - b_n) * v_c - (sb - CAST(b_n AS HUGEINT) * v_c))
+           AS t_bb,
+         CAST(a_n AS HUGEINT)
+         * ((cb - b_n) * v_c - (sb - CAST(b_n AS HUGEINT) * v_c))
+         + CAST(b_n AS HUGEINT)
+         * ((ca - a_n) * v_c - (sa - CAST(a_n AS HUGEINT) * v_c))
+           AS t_ab,
+  FROM cum
+),
+agg AS (
+  SELECT CAST(SUM(a_n) AS BIGINT) AS n_a,
+         CAST(SUM(b_n) AS BIGINT) AS n_b,
+         SUM(t_aa) AS aa_num,
+         SUM(t_bb) AS bb_num,
+         SUM(t_ab) AS ab_num
+  FROM terms
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["energy_distance_value"] = {
+    "fn": energy_distance_value,
+    "sql": _energy_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast accuracy on the daily event-count series:
+# the lag-7 forecast ŷ_t = y_{t−7} scored by MASE (scaled by the
+# in-sample lag-1 naive MAE, Hyndman-Koehler), Theil's U1, and mean
+# error (bias). Lags are CALENDAR joins on the day index (an absent
+# day is a missing observation, not zero — inner-join semantics,
+# documented); every numerator/denominator is an exact int64 sum, one
+# IEEE chain per metric.
+# --------------------------------------------------------------------------
+
+_FORECAST_FINAL = [
+    "m1",
+    "m7",
+    "(CAST(sad7 AS DOUBLE) / CAST(m7 AS DOUBLE))"
+    " / (CAST(sad1 AS DOUBLE) / CAST(m1 AS DOUBLE)) AS mase_seasonal",
+    "sqrt(CAST(sse7 AS DOUBLE) / CAST(m7 AS DOUBLE))"
+    " / (sqrt(CAST(syy7 AS DOUBLE) / CAST(m7 AS DOUBLE))"
+    " + sqrt(CAST(shh7 AS DOUBLE) / CAST(m7 AS DOUBLE))) AS theil_u1",
+    "CAST(bias7 AS DOUBLE) / CAST(m7 AS DOUBLE) AS mean_error",
+]
+
+
+def seasonal_forecast_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    l1 = daily.selectExpr("t + 1 AS t", "y AS y_l1")
+    l7 = daily.selectExpr("t + 7 AS t", "y AS y_l7")
+    j1 = daily.join(l1, "t").selectExpr("abs(y - y_l1) AS ad1")
+    j7 = daily.join(l7, "t").selectExpr(
+        "y", "y_l7",
+        "abs(y - y_l7) AS ad7",
+        "(y - y_l7) * (y - y_l7) AS sq7",
+        "y - y_l7 AS e7",
+    )
+    a1 = j1.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m1"),
+        F.sum("ad1").cast("bigint").alias("sad1"),
+    )
+    a7 = j7.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m7"),
+        F.sum("ad7").cast("bigint").alias("sad7"),
+        F.sum("sq7").cast("bigint").alias("sse7"),
+        F.sum("e7").cast("bigint").alias("bias7"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy7"),
+        F.sum(F.expr("y_l7 * y_l7")).cast("bigint").alias("shh7"),
+    )
+    return (
+        a7.crossJoin(F.broadcast(a1)).selectExpr(*_FORECAST_FINAL)
+    )
+
+
+def _forecast_sql() -> str:
+    final = ",\n       ".join(_FORECAST_FINAL)
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+a1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m1,
+         CAST(SUM(ABS(d.y - l.y)) AS BIGINT) AS sad1
+  FROM daily d JOIN daily l ON d.t = l.t + 1
+),
+a7 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m7,
+         CAST(SUM(ABS(d.y - l.y)) AS BIGINT) AS sad7,
+         CAST(SUM((d.y - l.y) * (d.y - l.y)) AS BIGINT) AS sse7,
+         CAST(SUM(d.y - l.y) AS BIGINT) AS bias7,
+         CAST(SUM(d.y * d.y) AS BIGINT) AS syy7,
+         CAST(SUM(l.y * l.y) AS BIGINT) AS shh7
+  FROM daily d JOIN daily l ON d.t = l.t + 7
+)
+SELECT {final}
+FROM a7 CROSS JOIN a1
+"""
+
+
+REGISTRY["seasonal_forecast_daily"] = {
+    "fn": seasonal_forecast_daily,
+    "sql": _forecast_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Chow structural-break test on the daily OLS trend: split the
+# calendar at the midpoint of the observed day range (t_mid =
+# (t_min + t_max) DIV 2, deterministic integer), fit y ~ t on each
+# half and pooled, F = ((RSS_p − RSS_1 − RSS_2)/2)/((RSS_1+RSS_2)/(n−4)).
+# Per-segment raw moment sums are exact integers in ONE conditional-
+# aggregation pass (pooled = segment sums added); each RSS is the
+# staged-double identity RSS = (Syy·Sxx − Sxy²)/(n·Sxx) on _w2d'd
+# n-scaled moments — the same text both engines, like ols_daily_trend.
+# --------------------------------------------------------------------------
+
+
+def _chow_staged(tag: str, src: str | None, div: str) -> list[str]:
+    """n-scaled centered-moment staged doubles for one segment.
+
+    ``src`` names the raw-sum prefix (``a_``/``b_``); ``None`` means
+    the pooled segment, whose raw sums are the two segments' added —
+    additivity of raw moment sums is what makes one conditional-
+    aggregation pass sufficient for all three fits.
+    """
+    b = _big(div)
+    if src is None:
+        n, st, sy = "(a_n + b_n)", "(a_st + b_st)", "(a_sy + b_sy)"
+        stt = "(a_stt + b_stt)"
+        sty = "(a_sty + b_sty)"
+        syy = "(a_syy + b_syy)"
+    else:
+        n, st, sy = f"{src}n", f"{src}st", f"{src}sy"
+        stt, sty, syy = f"{src}stt", f"{src}sty", f"{src}syy"
+    sxx = f"CAST({n} AS {b}) * {stt} - CAST({st} AS {b}) * {st}"
+    sxy = f"CAST({n} AS {b}) * {sty} - CAST({st} AS {b}) * {sy}"
+    syc = f"CAST({n} AS {b}) * {syy} - CAST({sy} AS {b}) * {sy}"
+    out = [] if src is not None else [f"{n} AS {tag}n"]
+    out += [
+        f"{_w2d(sxx, div)} AS {tag}sxx_d",
+        f"{_w2d(sxy, div)} AS {tag}sxy_d",
+        f"{_w2d(syc, div)} AS {tag}syy_d",
+    ]
+    return out
+
+
+def _chow_rss(pfx: str) -> str:
+    # staged doubles {pfx}sxx_d/{pfx}sxy_d/{pfx}syy_d and count {pfx}n
+    return (
+        f"(({pfx}syy_d * {pfx}sxx_d - {pfx}sxy_d * {pfx}sxy_d)"
+        f" / (CAST({pfx}n AS DOUBLE) * {pfx}sxx_d))"
+    )
+
+
+_CHOW_FINAL = [
+    "n_days",
+    "n1",
+    "n2",
+    "rss_pooled",
+    "rss_split",
+    "((rss_pooled - rss_split) / 2.0)"
+    " / (rss_split / (CAST(n_days AS DOUBLE) - 4.0)) AS chow_f",
+]
+
+
+def chow_break_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    rng = daily.agg(
+        F.expr("(MIN(t) + MAX(t)) DIV 2").alias("t_mid"),
+        F.min("t").alias("t0"),
+    )
+    seg = daily.crossJoin(F.broadcast(rng)).selectExpr(
+        "t - t0 AS t", "y", "CAST(t <= t_mid AS INT) AS s1"
+    )
+    big = "DECIMAL(38,0)"
+
+    def _sums(tag: str, flag: str) -> list:
+        return [
+            F.sum(F.expr(f"CAST({flag} AS BIGINT)"))
+            .cast("bigint")
+            .alias(f"{tag}n"),
+            F.sum(F.expr(f"{flag} * t")).cast("bigint").alias(f"{tag}st"),
+            F.sum(F.expr(f"{flag} * y")).cast("bigint").alias(f"{tag}sy"),
+            F.sum(F.expr(f"{flag} * CAST(t AS {big}) * t")).alias(
+                f"{tag}stt"
+            ),
+            F.sum(F.expr(f"{flag} * CAST(t AS {big}) * y")).alias(
+                f"{tag}sty"
+            ),
+            F.sum(F.expr(f"{flag} * CAST(y AS {big}) * y")).alias(
+                f"{tag}syy"
+            ),
+        ]
+
+    mom = seg.agg(*(_sums("a_", "s1") + _sums("b_", "(1 - s1)")))
+
+    staged = mom.selectExpr(
+        "a_n",
+        "b_n",
+        *_chow_staged("a_", "a_", "DIV"),
+        *_chow_staged("b_", "b_", "DIV"),
+        *_chow_staged("p_", None, "DIV"),
+    )
+    fin = staged.selectExpr(
+        "p_n AS n_days",
+        "a_n AS n1",
+        "b_n AS n2",
+        f"{_chow_rss('p_')} AS rss_pooled",
+        f"{_chow_rss('a_')} + {_chow_rss('b_')} AS rss_split",
+    )
+    return fin.selectExpr(*_CHOW_FINAL)
+
+
+def _chow_sql() -> str:
+    big = "HUGEINT"
+
+    def _sums(tag: str, flag: str) -> str:
+        return f"""
+         CAST(SUM({flag}) AS BIGINT) AS {tag}n,
+         CAST(SUM({flag} * t) AS BIGINT) AS {tag}st,
+         CAST(SUM({flag} * y) AS BIGINT) AS {tag}sy,
+         SUM({flag} * CAST(t AS {big}) * t) AS {tag}stt,
+         SUM({flag} * CAST(t AS {big}) * y) AS {tag}sty,
+         SUM({flag} * CAST(y AS {big}) * y) AS {tag}syy"""
+
+    staged = ",\n    ".join(
+        ["a_n", "b_n"]
+        + _chow_staged("a_", "a_", "//")
+        + _chow_staged("b_", "b_", "//")
+        + _chow_staged("p_", None, "//")
+    )
+    final = ",\n       ".join(_CHOW_FINAL)
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+rng AS (
+  SELECT (MIN(t) + MAX(t)) // 2 AS t_mid, MIN(t) AS t0 FROM daily
+),
+seg AS (
+  SELECT t - t0 AS t, y,
+         CAST(t <= t_mid AS INT) AS s1
+  FROM daily CROSS JOIN rng
+),
+mom AS (
+  SELECT {_sums('a_', 's1')},
+         {_sums('b_', '(1 - s1)')}
+  FROM seg
+),
+staged AS (
+  SELECT {staged}
+  FROM mom
+),
+fin AS (
+  SELECT p_n AS n_days, a_n AS n1, b_n AS n2,
+         {_chow_rss('p_')} AS rss_pooled,
+         {_chow_rss('a_')} + {_chow_rss('b_')} AS rss_split
+  FROM staged
+)
+SELECT {final}
+FROM fin
+"""
+
+
+REGISTRY["chow_break_daily"] = {
+    "fn": chow_break_daily,
+    "sql": _chow_sql(),
+}

@@ -24,6 +24,16 @@ def _values_by_type(*types):
     return {t: sorted(v for et, v in rows if et == t) for t in types}
 
 
+def _daily_counts_9c():
+    con = duckdb.connect()
+    return dict(
+        con.sql(
+            f"""SELECT CAST(ts AS DATE) AS day, COUNT(*)
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"""
+        ).fetchall()
+    )
+
+
 def _day_type_counts():
     con = duckdb.connect()
     raw = con.sql(
@@ -141,3 +151,88 @@ def test_icc_matches_python(spark):
     row = icc_daily_types(spark, SF).collect()[0]
     assert row["n_days"] == n and row["k_types"] == k
     assert abs(row["icc_2_1"] - icc) < 1e-9
+
+
+def test_energy_distance_matches_python(spark):
+    from de4ml_spark.queries.statq5 import energy_distance_value
+
+    s = _values_by_type("click", "purchase")
+    a, b = s["click"], s["purchase"]
+    na, nb = len(a), len(b)
+
+    def pairsum(xs, ys):
+        return sum(abs(x - y) for x in xs for y in ys)
+
+    mu_ab = pairsum(a, b) / (na * nb)
+    mu_aa = pairsum(a, a) / (na * na)
+    mu_bb = pairsum(b, b) / (nb * nb)
+    e2 = 2 * mu_ab - mu_aa - mu_bb
+    row = energy_distance_value(spark, SF).collect()[0]
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert abs(row["energy_sq_cents"] - e2) < 1e-6 * max(1.0, e2)
+    assert abs(row["energy_dist_cents"] - math.sqrt(e2)) < 1e-6
+
+
+def test_seasonal_forecast_matches_python(spark):
+    from de4ml_spark.queries.statq5 import seasonal_forecast_daily
+
+    daily = _daily_counts_9c()
+    idx = {
+        (d - min(daily)).days: daily[d] for d in daily
+    }
+    d1 = [
+        abs(idx[t] - idx[t - 1]) for t in idx if t - 1 in idx
+    ]
+    pairs7 = [(idx[t], idx[t - 7]) for t in sorted(idx) if t - 7 in idx]
+    sad7 = sum(abs(y - h) for y, h in pairs7)
+    sse7 = sum((y - h) ** 2 for y, h in pairs7)
+    bias7 = sum(y - h for y, h in pairs7)
+    m7 = len(pairs7)
+    m1 = len(d1)
+    mase = (sad7 / m7) / (sum(d1) / m1)
+    u1 = math.sqrt(sse7 / m7) / (
+        math.sqrt(sum(y * y for y, _ in pairs7) / m7)
+        + math.sqrt(sum(h * h for _, h in pairs7) / m7)
+    )
+    row = seasonal_forecast_daily(spark, SF).collect()[0]
+    assert row["m1"] == m1 and row["m7"] == m7
+    assert abs(row["mase_seasonal"] - mase) < 1e-9
+    assert abs(row["theil_u1"] - u1) < 1e-9
+    assert abs(row["mean_error"] - bias7 / m7) < 1e-9
+
+
+def test_chow_break_matches_python(spark):
+    from de4ml_spark.queries.statq5 import chow_break_daily
+
+    daily = _daily_counts_9c()
+    days = sorted(daily)
+    t0 = (min(days) - min(days)).days
+    ts_all = [(d - min(days)).days for d in days]
+    ys_all = [daily[d] for d in days]
+    # split BEFORE re-zeroing, matching the plan: t_mid over raw t
+    t_raw = [
+        (d - __import__("datetime").date(1970, 1, 1)).days for d in days
+    ]
+    t_mid = (min(t_raw) + max(t_raw)) // 2
+
+    def rss(ts, ys):
+        n = len(ts)
+        mt, my = sum(ts) / n, sum(ys) / n
+        sxx = sum((t - mt) ** 2 for t in ts)
+        sxy = sum((t - mt) * (y - my) for t, y in zip(ts, ys))
+        syy = sum((y - my) ** 2 for y in ys)
+        return syy - sxy * sxy / sxx
+
+    seg1 = [(t, y) for t, tr, y in zip(ts_all, t_raw, ys_all) if tr <= t_mid]
+    seg2 = [(t, y) for t, tr, y in zip(ts_all, t_raw, ys_all) if tr > t_mid]
+    r1 = rss([t for t, _ in seg1], [y for _, y in seg1])
+    r2 = rss([t for t, _ in seg2], [y for _, y in seg2])
+    rp = rss(ts_all, ys_all)
+    n = len(ts_all)
+    f_stat = ((rp - r1 - r2) / 2) / ((r1 + r2) / (n - 4))
+    row = chow_break_daily(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert row["n1"] == len(seg1) and row["n2"] == len(seg2)
+    assert abs(row["rss_pooled"] - rp) < 1e-6 * max(1.0, rp)
+    assert abs(row["rss_split"] - (r1 + r2)) < 1e-6 * max(1.0, r1 + r2)
+    assert abs(row["chow_f"] - f_stat) < 1e-6 * max(1.0, abs(f_stat))
