@@ -171,6 +171,7 @@ PRIORITY = [
     "energy_distance_value",
     "seasonal_forecast_daily",
     "chow_break_daily",
+    "fuzzy_name_pairs_parts",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

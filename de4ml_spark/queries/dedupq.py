@@ -751,3 +751,101 @@ WHERE n_inter * {PPJOIN_T_DEN}
 """
 
 REGISTRY["ppjoin_docs"] = {"fn": ppjoin_docs, "sql": PPJOIN_SQL}
+
+
+# --------------------------------------------------------------------------
+# Fuzzy-name duplicate audit over `part` via native edit distance:
+# within each p_brand block, all name pairs scored by levenshtein()
+# (both engines ship the classic unit-cost DP — integer, portable).
+# Per brand: exact-duplicate names (lev = 0), near-duplicates
+# (1 ≤ lev ≤ 4), the minimum positive distance, and the total pair
+# mass. Scale: the block key bounds the quadratic — brand is the demo
+# block (|block| = |part|/25); a 100 TB deployment blocks on
+# (brand, container) or a name-length bucket exactly like the other
+# blocked-dedup entries (operators/dedup.py), and the per-block
+# self-join shuffles once on the block key. The reference's dedup
+# surface is hash-exact only; edit-distance blocking extends it the
+# same way minhash/simhash do.
+# --------------------------------------------------------------------------
+
+FUZZY_FINAL = [
+    "p_brand",
+    "n_parts",
+    "n_pairs",
+    "dup_name_pairs",
+    "near_pairs",
+    "min_pos_lev",
+    "sum_lev",
+]
+
+
+def fuzzy_name_pairs_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    o = part.selectExpr(
+        "p_partkey AS pk2", "p_brand", "p_name AS name2"
+    )
+    pairs = (
+        part.join(o, "p_brand")
+        .filter(F.col("p_partkey") < F.col("pk2"))
+        .selectExpr(
+            "p_brand", "levenshtein(p_name, name2) AS lev"
+        )
+    )
+    sizes = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    agg = pairs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.expr("CAST(lev = 0 AS BIGINT)"))
+        .cast("bigint")
+        .alias("dup_name_pairs"),
+        F.sum(F.expr("CAST(lev BETWEEN 1 AND 4 AS BIGINT)"))
+        .cast("bigint")
+        .alias("near_pairs"),
+        F.min(F.expr("CASE WHEN lev > 0 THEN lev END"))
+        .cast("int")
+        .alias("min_pos_lev"),
+        F.sum("lev").cast("bigint").alias("sum_lev"),
+    )
+    return (
+        sizes.join(agg, "p_brand")
+        .select(*FUZZY_FINAL)
+        .orderBy("p_brand")
+    )
+
+
+FUZZY_SQL = f"""
+WITH pairs AS (
+  SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS lev
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+),
+sizes AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1
+),
+agg AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN lev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_name_pairs,
+         CAST(SUM(CASE WHEN lev BETWEEN 1 AND 4 THEN 1 ELSE 0 END)
+              AS BIGINT) AS near_pairs,
+         CAST(MIN(CASE WHEN lev > 0 THEN lev END) AS INT)
+           AS min_pos_lev,
+         CAST(SUM(lev) AS BIGINT) AS sum_lev
+  FROM pairs GROUP BY 1
+)
+SELECT {", ".join(FUZZY_FINAL)}
+FROM sizes JOIN agg USING (p_brand)
+ORDER BY p_brand
+"""
+
+REGISTRY["fuzzy_name_pairs_parts"] = {
+    "fn": fuzzy_name_pairs_parts,
+    "sql": FUZZY_SQL,
+}

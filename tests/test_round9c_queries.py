@@ -236,3 +236,60 @@ def test_chow_break_matches_python(spark):
     assert abs(row["rss_pooled"] - rp) < 1e-6 * max(1.0, rp)
     assert abs(row["rss_split"] - (r1 + r2)) < 1e-6 * max(1.0, r1 + r2)
     assert abs(row["chow_f"] - f_stat) < 1e-6 * max(1.0, abs(f_stat))
+
+
+def test_fuzzy_name_pairs_matches_python(spark):
+    from de4ml_spark.queries.dedupq import fuzzy_name_pairs_parts
+
+    con = duckdb.connect()
+    parts = con.sql(
+        f"""SELECT p_partkey, p_brand, p_name
+        FROM '{SF}/part.parquet' ORDER BY p_partkey"""
+    ).fetchall()
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (cs != ct),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    from collections import defaultdict
+
+    by_brand = defaultdict(list)
+    for pk, brand, name in parts:
+        by_brand[brand].append((pk, name))
+    expect = {}
+    for brand, items in by_brand.items():
+        n_pairs = dup = near = 0
+        min_pos = None
+        s_lev = 0
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                d = lev(items[i][1], items[j][1])
+                n_pairs += 1
+                s_lev += d
+                dup += d == 0
+                near += 1 <= d <= 4
+                if d > 0 and (min_pos is None or d < min_pos):
+                    min_pos = d
+        expect[brand] = (
+            len(items), n_pairs, dup, near, min_pos, s_lev,
+        )
+    rows = fuzzy_name_pairs_parts(spark, SF).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        e = expect[r["p_brand"]]
+        got = (
+            r["n_parts"], r["n_pairs"], r["dup_name_pairs"],
+            r["near_pairs"], r["min_pos_lev"], r["sum_lev"],
+        )
+        assert got == e, (r["p_brand"], got, e)
