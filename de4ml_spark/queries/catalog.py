@@ -172,6 +172,10 @@ PRIORITY = [
     "seasonal_forecast_daily",
     "chow_break_daily",
     "fuzzy_name_pairs_parts",
+    "theil_l_parts",
+    "brand_modularity_parts",
+    "quade_daily_value",
+    "markov_entropy_rate",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

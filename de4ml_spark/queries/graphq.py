@@ -1355,3 +1355,122 @@ REGISTRY["katz_centrality_parts"] = {
     "fn": katz_centrality_parts,
     "sql": _katz_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Newman modularity of the BRAND partition on the co-purchase graph:
+# do co-purchases concentrate within p_brand communities? For each
+# brand c: Q_c = e_c/m − (d_c/(2m))² over the undirected distinct
+# co-purchase edge set (same edges as pagerank/jaccard). Exact
+# integers: contribution numerator 4m·e_c − d_c² over denominator
+# 4m². Scale: edges bounded by Σ basket², shuffled once on the order
+# key (the same bound every co-purchase entry rides); the community
+# stats are two groupBys on brand (25 rows).
+# --------------------------------------------------------------------------
+
+_MODULARITY_FINAL = [
+    "p_brand",
+    "e_in",
+    "d_tot",
+    "(4.0 * CAST(m_edges AS DOUBLE) * CAST(e_in AS DOUBLE)"
+    " - CAST(d_tot AS DOUBLE) * CAST(d_tot AS DOUBLE))"
+    " / (4.0 * CAST(m_edges AS DOUBLE) * CAST(m_edges AS DOUBLE))"
+    " AS q_contrib",
+]
+
+
+def brand_modularity_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    # undirected distinct edges, src < dst
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    br = F.broadcast(part)
+    tagged = (
+        edges.join(br.withColumnRenamed("p_partkey", "src"), "src")
+        .withColumnRenamed("p_brand", "brand_s")
+        .join(
+            br.withColumnRenamed("p_partkey", "dst").withColumnRenamed(
+                "p_brand", "brand_d"
+            ),
+            "dst",
+        )
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
+    e_in = (
+        tagged.filter("brand_s = brand_d")
+        .groupBy(F.col("brand_s").alias("p_brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    # undirected degree per node = incident distinct edges
+    deg = (
+        tagged.selectExpr("src AS node", "brand_s AS p_brand")
+        .unionAll(tagged.selectExpr("dst AS node", "brand_d AS p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_tot"))
+    )
+    out = (
+        deg.join(e_in, "p_brand", "left")
+        .selectExpr(
+            "p_brand", "COALESCE(e_in, 0) AS e_in", "d_tot"
+        )
+        .crossJoin(F.broadcast(m))
+    )
+    return out.selectExpr(*_MODULARITY_FINAL).orderBy("p_brand")
+
+
+_MODULARITY_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+tagged AS (
+  SELECT e.src, e.dst, ps.p_brand AS brand_s, pd.p_brand AS brand_d
+  FROM edges e
+  JOIN part ps ON ps.p_partkey = e.src
+  JOIN part pd ON pd.p_partkey = e.dst
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM edges),
+e_in AS (
+  SELECT brand_s AS p_brand, CAST(COUNT(*) AS BIGINT) AS e_in
+  FROM tagged WHERE brand_s = brand_d GROUP BY 1
+),
+deg AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS d_tot
+  FROM (
+    SELECT src AS node, brand_s AS p_brand FROM tagged
+    UNION ALL
+    SELECT dst AS node, brand_d AS p_brand FROM tagged
+  )
+  GROUP BY 1
+)
+SELECT p_brand,
+       COALESCE(e_in, 0) AS e_in,
+       d_tot,
+       (4.0 * CAST(m_edges AS DOUBLE) * CAST(COALESCE(e_in, 0) AS DOUBLE)
+        - CAST(d_tot AS DOUBLE) * CAST(d_tot AS DOUBLE))
+       / (4.0 * CAST(m_edges AS DOUBLE) * CAST(m_edges AS DOUBLE))
+         AS q_contrib
+FROM deg LEFT JOIN e_in USING (p_brand) CROSS JOIN m
+ORDER BY p_brand
+"""
+
+REGISTRY["brand_modularity_parts"] = {
+    "fn": brand_modularity_parts,
+    "sql": _MODULARITY_SQL,
+}

@@ -1582,3 +1582,118 @@ REGISTRY["hhi_supplier_revenue"] = {
     "fn": hhi_supplier_revenue,
     "sql": _hhi_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Theil's L (mean log deviation) over per-part net revenue — the
+# bottom-sensitive companion of theil_index_parts (Theil T; T weights
+# by income share, L by population share). L = (1/n)·Σ ln(mean/xᵢ)
+# = (1/n)·Σ ln(x_tot/(n·xᵢ)). Same pipeline as Theil T: portable-ln
+# per part on the ordered integer pair, signed micro-quantization
+# (exact half-up toward +inf on the 1e-6 grid, same text both
+# engines), one exact integer sum, one final ratio.
+# --------------------------------------------------------------------------
+
+
+def theil_l_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+        with_portable_ln,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+            " AS DECIMAL(38,4)) * 10000 AS BIGINT)"
+        ).alias("rev_e4")
+    )
+    tot = per_part.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("rev_e4").cast("bigint").alias("x_tot"),
+    )
+    j = per_part.crossJoin(F.broadcast(tot)).filter("rev_e4 > 0")
+    j = j.selectExpr(
+        "n_parts",
+        "x_tot",
+        "CAST(x_tot AS DECIMAL(38,0)) AS num",
+        "CAST(rev_e4 AS DECIMAL(38,0)) * n_parts AS den",
+    )
+    lned = with_portable_ln(
+        j,
+        "CASE WHEN num >= den THEN num ELSE den END",
+        "CASE WHEN num >= den THEN den ELSE num END",
+        "__pln",
+    ).selectExpr(
+        "n_parts",
+        "x_tot",
+        "CAST(floor((CASE WHEN num >= den THEN __pln"
+        " ELSE -__pln END) * 1000000.0 + 0.5) AS BIGINT) AS term",
+    )
+    agg = lned.groupBy("n_parts", "x_tot").agg(
+        F.sum("term").cast("bigint").alias("l_num")
+    )
+    return agg.selectExpr(
+        "n_parts",
+        "x_tot",
+        "CAST(l_num AS DOUBLE)"
+        " / (CAST(n_parts AS DOUBLE) * 1000000.0) AS theil_l",
+    )
+
+
+def _theil_l_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+    )
+
+    ln_ctes = portable_ln_duck_ctes(
+        "j",
+        "n_parts, x_tot, num, den",
+        "CASE WHEN num >= den THEN num ELSE den END",
+        "CASE WHEN num >= den THEN den ELSE num END",
+        "pln",
+        "tl",
+    )
+    return f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(38,4)) * 10000 AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(rev_e4) AS BIGINT) AS x_tot
+  FROM per_part
+),
+j AS (
+  SELECT n_parts, x_tot,
+         CAST(x_tot AS HUGEINT) AS num,
+         CAST(rev_e4 AS HUGEINT) * n_parts AS den
+  FROM per_part CROSS JOIN tot
+  WHERE rev_e4 > 0
+),
+{ln_ctes},
+terms AS (
+  SELECT n_parts, x_tot,
+         CAST(FLOOR((CASE WHEN num >= den THEN pln
+              ELSE -pln END) * 1000000.0 + 0.5) AS BIGINT) AS term
+  FROM tl_out
+),
+agg AS (
+  SELECT n_parts, x_tot, CAST(SUM(term) AS BIGINT) AS l_num
+  FROM terms GROUP BY 1, 2
+)
+SELECT n_parts, x_tot,
+       CAST(l_num AS DOUBLE)
+       / (CAST(n_parts AS DOUBLE) * 1000000.0) AS theil_l
+FROM agg
+"""
+
+
+REGISTRY["theil_l_parts"] = {
+    "fn": theil_l_parts,
+    "sql": _theil_l_sql(),
+}

@@ -941,3 +941,290 @@ REGISTRY["chow_break_daily"] = {
     "fn": chow_break_daily,
     "sql": _chow_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Quade test on the day × event-type grid (days = blocks, types =
+# treatments): the rank-ANCOVA refinement of Friedman that weights
+# each day by the rank of its within-day count RANGE. Quadruple-
+# scaled integers throughout: doubled within-day midranks R2_dj
+# (dense grid, k² pair join per day), doubled across-day range
+# midranks Q2_d (histogram-cum over the bounded distinct-range
+# frame), S4_j = Σ_d Q2_d·(R2_dj − (k+1)); A16 = Σ (Q2_d·(R2_dj −
+# (k+1)))²; F = (n−1)·ΣS4_j² / (n·A16 − ΣS4_j²) — all exact until
+# the one final ratio.
+# --------------------------------------------------------------------------
+
+_QUADE_FINAL = [
+    "n_days",
+    "k_types",
+    "(CAST(n_days AS DOUBLE) - 1.0) * CAST(sb AS DOUBLE)"
+    " / (CAST(n_days AS DOUBLE) * CAST(a16 AS DOUBLE)"
+    " - CAST(sb AS DOUBLE)) AS quade_f",
+]
+
+
+def quade_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isNotNull())
+    days = base.select(
+        F.col("ts").cast("date").alias("day")
+    ).distinct()
+    types = base.select("event_type").distinct()
+    counts = base.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(counts, ["day", "event_type"], "left")
+        .selectExpr("day", "event_type", "COALESCE(c, 0) AS c")
+    )
+    # doubled within-day midranks via the k² pair join
+    o = grid.selectExpr("day", "c AS c2")
+    r2 = (
+        grid.join(o, "day")
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum(
+                F.expr(
+                    "2 * CAST(c2 < c AS BIGINT)"
+                    " + CAST(c2 = c AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("r2m1")
+        )
+        .selectExpr("day", "event_type", "r2m1 + 1 AS r2")
+    )
+    # day range, then doubled midranks of ranges across days via the
+    # distinct-range histogram (bounded frame, one cum window)
+    rng = grid.groupBy("day").agg(
+        (F.max("c") - F.min("c")).cast("bigint").alias("rg")
+    )
+    hist = rng.groupBy("rg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("rg")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hr = hist.withColumn("cum", F.sum("t").over(wcum)).selectExpr(
+        "rg", "2 * (cum - t) + t + 1 AS q2"
+    )
+    dq = rng.join(F.broadcast(hr), "rg").select("day", "q2")
+    dims = grid.agg(
+        F.countDistinct("day").cast("bigint").alias("n_days"),
+        F.countDistinct("event_type").cast("bigint").alias("k_types"),
+    )
+    cell = (
+        r2.join(dq, "day")
+        .crossJoin(F.broadcast(dims))
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "k_types",
+            "q2 * (r2 - (k_types + 1)) AS s_cell",
+        )
+    )
+    sj = cell.groupBy("event_type", "n_days", "k_types").agg(
+        F.sum("s_cell").cast("bigint").alias("s4_j")
+    )
+    a16 = cell.groupBy("n_days", "k_types").agg(
+        F.sum(
+            F.expr("CAST(s_cell AS DECIMAL(38,0)) * s_cell")
+        ).alias("a16")
+    )
+    sb = sj.groupBy("n_days", "k_types").agg(
+        F.sum(F.expr("CAST(s4_j AS DECIMAL(38,0)) * s4_j")).alias("sb")
+    )
+    out = a16.join(sb, ["n_days", "k_types"])
+    return out.selectExpr(*_QUADE_FINAL)
+
+
+def _quade_sql() -> str:
+    final = ",\n       ".join(_QUADE_FINAL)
+    return f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS day, event_type
+  FROM events WHERE event_type IS NOT NULL
+),
+days AS (SELECT DISTINCT day FROM base),
+types AS (SELECT DISTINCT event_type FROM base),
+counts AS (
+  SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.day, t.event_type, COALESCE(c.c, 0) AS c
+  FROM days d CROSS JOIN types t
+  LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+),
+r2 AS (
+  SELECT g.day, g.event_type,
+         CAST(SUM(2 * CASE WHEN o.c < g.c THEN 1 ELSE 0 END
+                  + CASE WHEN o.c = g.c THEN 1 ELSE 0 END)
+              AS BIGINT) + 1 AS r2
+  FROM grid g JOIN grid o ON o.day = g.day
+  GROUP BY 1, 2
+),
+rng AS (
+  SELECT day, CAST(MAX(c) - MIN(c) AS BIGINT) AS rg
+  FROM grid GROUP BY 1
+),
+hist AS (
+  SELECT rg, CAST(COUNT(*) AS BIGINT) AS t FROM rng GROUP BY 1
+),
+hr AS (
+  SELECT rg,
+         2 * (SUM(t) OVER (ORDER BY rg
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+         + t + 1 AS q2
+  FROM hist
+),
+dq AS (SELECT day, q2 FROM rng JOIN hr USING (rg)),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k_types
+  FROM grid
+),
+cell AS (
+  SELECT r2.event_type, n_days, k_types,
+         q2 * (r2 - (k_types + 1)) AS s_cell
+  FROM r2 JOIN dq USING (day) CROSS JOIN dims
+),
+sj AS (
+  SELECT event_type, n_days, k_types,
+         CAST(SUM(s_cell) AS BIGINT) AS s4_j
+  FROM cell GROUP BY 1, 2, 3
+),
+a16 AS (
+  SELECT n_days, k_types,
+         SUM(CAST(s_cell AS HUGEINT) * s_cell) AS a16
+  FROM cell GROUP BY 1, 2
+),
+sb AS (
+  SELECT n_days, k_types,
+         SUM(CAST(s4_j AS HUGEINT) * s4_j) AS sb
+  FROM sj GROUP BY 1, 2
+)
+SELECT {final}
+FROM a16 JOIN sb USING (n_days, k_types)
+"""
+
+
+REGISTRY["quade_daily_value"] = {
+    "fn": quade_daily_value,
+    "sql": _quade_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Entropy rate of the per-user event-type Markov chain:
+# H = Σ_ij (c_ij/C)·ln(r_i/c_ij) nats, where c_ij counts consecutive
+# (prev → next) transitions within a user's ts-ordered stream (same
+# ordering convention as markov_next_event_accuracy: ts, event_id)
+# and r_i = Σ_j c_ij. Per-cell portable-ln on the exact integer pair
+# (r_i ≥ c_ij ≥ 1), micro-quantized half-up, weighted by c_ij — one
+# exact integer sum, one final ratio. The transition table is
+# k²-bounded; the only corpus-sized work is the lead() per user.
+# --------------------------------------------------------------------------
+
+_ENTROPY_FINAL = [
+    "n_transitions",
+    "n_states",
+    f"{_w2d('h_num', 'DIV')}"
+    " / (CAST(n_transitions AS DOUBLE) * 1000000.0)"
+    " AS entropy_rate_nats",
+]
+
+
+def markov_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter("nxt IS NOT NULL")
+    cells = trans.groupBy("prev", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    rows_ = cells.groupBy("prev").agg(
+        F.sum("c").cast("bigint").alias("r")
+    )
+    j = cells.join(rows_, "prev")
+    lned = with_portable_ln(j, "r", "c", "__pln").selectExpr(
+        "prev",
+        "c",
+        "CAST(c AS DECIMAL(38,0))"
+        " * CAST(floor(__pln * 1000000.0 + 0.5) AS BIGINT) AS term",
+    )
+    agg = lned.agg(
+        F.sum("c").cast("bigint").alias("n_transitions"),
+        F.countDistinct("prev").cast("bigint").alias("n_states"),
+        F.sum("term").alias("h_num"),
+    )
+    return agg.selectExpr(*_ENTROPY_FINAL)
+
+
+def _entropy_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+    )
+
+    ln_ctes = portable_ln_duck_ctes(
+        "j", "prev, c", "r", "c", "pln", "me"
+    )
+    final = ",\n       ".join(
+        [
+            "n_transitions",
+            "n_states",
+            f"{_w2d('h_num', '//')}"
+            " / (CAST(n_transitions AS DOUBLE) * 1000000.0)"
+            " AS entropy_rate_nats",
+        ]
+    )
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LEAD(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS nxt
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+cells AS (
+  SELECT event_type AS prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT prev, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY 1
+),
+j AS (SELECT cells.prev, c, r FROM cells JOIN rows_ USING (prev)),
+{ln_ctes},
+terms AS (
+  SELECT prev, c,
+         CAST(c AS HUGEINT)
+         * CAST(FLOOR(pln * 1000000.0 + 0.5) AS BIGINT) AS term
+  FROM me_out
+),
+agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_transitions,
+         CAST(COUNT(DISTINCT prev) AS BIGINT) AS n_states,
+         SUM(term) AS h_num
+  FROM terms
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["markov_entropy_rate"] = {
+    "fn": markov_entropy_rate,
+    "sql": _entropy_sql(),
+}

@@ -293,3 +293,131 @@ def test_fuzzy_name_pairs_matches_python(spark):
             r["near_pairs"], r["min_pos_lev"], r["sum_lev"],
         )
         assert got == e, (r["p_brand"], got, e)
+
+
+def test_theil_l_matches_python(spark):
+    from de4ml_spark.queries.relational3 import theil_l_parts
+
+    con = duckdb.connect()
+    revs = [
+        r[0]
+        for r in con.sql(
+            f"""SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DECIMAL(38,4)) * 10000 AS BIGINT)
+            FROM '{SF}/lineitem.parquet' GROUP BY l_partkey"""
+        ).fetchall()
+    ]
+    xs = [r for r in revs if r > 0]
+    n = len(xs)
+    mean = sum(xs) / n
+    theil_l = sum(math.log(mean / x) for x in xs) / n
+    row = theil_l_parts(spark, SF).collect()[0]
+    assert row["n_parts"] == len(revs)
+    # micro-quantized portable-ln: 5e-7 per term worst case
+    assert abs(row["theil_l"] - theil_l) < 1e-5
+
+
+def test_brand_modularity_matches_python(spark):
+    from de4ml_spark.queries.graphq import brand_modularity_parts
+
+    con = duckdb.connect()
+    edges = con.sql(
+        f"""SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM '{SF}/lineitem.parquet' a
+        JOIN '{SF}/lineitem.parquet' b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey"""
+    ).fetchall()
+    brand = dict(
+        con.sql(
+            f"SELECT p_partkey, p_brand FROM '{SF}/part.parquet'"
+        ).fetchall()
+    )
+    m = len(edges)
+    from collections import Counter
+
+    e_in = Counter()
+    d_tot = Counter()
+    for u, v in edges:
+        bu, bv = brand[u], brand[v]
+        d_tot[bu] += 1
+        d_tot[bv] += 1
+        if bu == bv:
+            e_in[bu] += 1
+    rows = brand_modularity_parts(spark, SF).collect()
+    assert len(rows) == len(d_tot)
+    q_total = 0.0
+    for r in rows:
+        b = r["p_brand"]
+        assert r["e_in"] == e_in.get(b, 0)
+        assert r["d_tot"] == d_tot[b]
+        expect = e_in.get(b, 0) / m - (d_tot[b] / (2 * m)) ** 2
+        assert abs(r["q_contrib"] - expect) < 1e-12
+        q_total += r["q_contrib"]
+    # sanity: modularity of any partition is in [-0.5, 1]
+    assert -0.5 <= q_total <= 1.0
+
+
+def test_quade_matches_python(spark):
+    from de4ml_spark.queries.statq5 import quade_daily_value
+
+    days, types, cnt = _day_type_counts()
+    n, k = len(days), len(types)
+
+    def midranks(vals):
+        out = []
+        for x in vals:
+            below = sum(1 for y in vals if y < x)
+            ties = sum(1 for y in vals if y == x)
+            out.append(below + (ties + 1) / 2)
+        return out
+
+    ranges = [
+        max(cnt.get((d, t), 0) for t in types)
+        - min(cnt.get((d, t), 0) for t in types)
+        for d in days
+    ]
+    q = midranks(ranges)
+    a_stat = 0.0
+    s_j = dict.fromkeys(types, 0.0)
+    for di, d in enumerate(days):
+        r = midranks([cnt.get((d, t), 0) for t in types])
+        for ti, t in enumerate(types):
+            s_cell = q[di] * (r[ti] - (k + 1) / 2)
+            a_stat += s_cell * s_cell
+            s_j[t] += s_cell
+    b_stat = sum(v * v for v in s_j.values()) / n
+    f_stat = (n - 1) * b_stat / (a_stat - b_stat)
+    row = quade_daily_value(spark, SF).collect()[0]
+    assert row["n_days"] == n and row["k_types"] == k
+    assert abs(row["quade_f"] - f_stat) < 1e-9
+
+
+def test_markov_entropy_matches_python(spark):
+    from de4ml_spark.queries.statq5 import markov_entropy_rate
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT user_id, event_type, ts, event_id
+        FROM '{SF}/events.parquet'
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    seqs = defaultdict(list)
+    for uid, et, ts, eid in rows:
+        seqs[uid].append(et)
+    c = Counter()
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            c[(a, b)] += 1
+    r = Counter()
+    for (a, _b), v in c.items():
+        r[a] += v
+    total = sum(c.values())
+    h = sum(v * math.log(r[a] / v) for (a, _b), v in c.items()) / total
+    row = markov_entropy_rate(spark, SF).collect()[0]
+    assert row["n_transitions"] == total
+    assert row["n_states"] == len(r)
+    assert abs(row["entropy_rate_nats"] - h) < 1e-5
