@@ -176,6 +176,9 @@ PRIORITY = [
     "brand_modularity_parts",
     "quade_daily_value",
     "markov_entropy_rate",
+    "ansari_bradley_value",
+    "fligner_policello_value",
+    "anderson_darling_value",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

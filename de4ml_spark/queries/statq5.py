@@ -1228,3 +1228,461 @@ REGISTRY["markov_entropy_rate"] = {
     "fn": markov_entropy_rate,
     "sql": _entropy_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Shared histogram for the click-vs-purchase two-sample battery.
+# --------------------------------------------------------------------------
+
+
+def _two_sample_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c")
+        )
+        .agg(
+            F.sum(F.expr("CAST(event_type = 'click' AS BIGINT)"))
+            .cast("bigint")
+            .alias("a_n"),
+            F.sum(F.expr("CAST(event_type = 'purchase' AS BIGINT)"))
+            .cast("bigint")
+            .alias("b_n"),
+        )
+    )
+
+
+_TWO_SAMPLE_HIST_SQL = """
+byval AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a_n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b_n
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY 1
+)"""
+
+
+# --------------------------------------------------------------------------
+# Ansari-Bradley scale test (click vs purchase `value`), midrank
+# scores under ties: score(p) = min(p, N+1−p); a tied group occupying
+# pooled positions [lo, hi] gives each member the group mean
+# S_g/c_g, with S_g = Σ_{p=lo..hi} min(p, N+1−p) in exact triangular
+# closed form from the cum counts. AB = Σ_A score is carried
+# micro-quantized (halfup(a_v·S_g·1e6, c_g), exact 128-bit), as are
+# the squared scores for the tie-exact conditional variance
+# Var = n_a·n_b·(N·Σs² − (Σs)²)/(N²(N−1));
+# z = (AB − n_a·Σs/N)/√Var. Exact to the documented 1e-6 score grid.
+# --------------------------------------------------------------------------
+
+
+def _ab_final() -> list[str]:
+    # all *_u columns are micro-scaled (1e6) exact integers
+    e_ab = (
+        "(CAST(n_a AS DOUBLE) * CAST(s_sum AS DOUBLE)"
+        " / CAST(n_a + n_b AS DOUBLE))"
+    )
+    var = (
+        "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+        " * (CAST(n_a + n_b AS DOUBLE) * (CAST(s2_u AS DOUBLE) / 1e6)"
+        " - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))"
+        " / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)"
+        " * (CAST(n_a + n_b AS DOUBLE) - 1.0)))"
+    )
+    return [
+        "n_a",
+        "n_b",
+        "CAST(ab_u AS DOUBLE) / 1e6 AS ab_stat",
+        f"(CAST(ab_u AS DOUBLE) / 1e6 - {e_ab}) / sqrt({var})"
+        " AS z_ansari",
+    ]
+
+
+def _ab_group_sum(lo: str, hi: str, n: str) -> str:
+    """Σ_{p=lo..hi} min(p, N+1−p), exact: ascending part up to
+    m = (N+1) DIV 2, descending part after."""
+    m = f"(({n} + 1) DIV 2)"
+    hi_a = f"(CASE WHEN {hi} < {m} THEN {hi} ELSE {m} END)"
+    lo_d = f"(CASE WHEN {lo} > {m} + 1 THEN {lo} ELSE {m} + 1 END)"
+    tri_a = (
+        f"(CASE WHEN {hi_a} >= {lo} THEN"
+        f" ({hi_a} * ({hi_a} + 1) - ({lo} - 1) * {lo}) DIV 2"
+        " ELSE 0 END)"
+    )
+    # descending scores N+1−p for p in [lo_d, hi]
+    tri_d = (
+        f"(CASE WHEN {hi} >= {lo_d} THEN"
+        f" (({n} + 1) * ({hi} - {lo_d} + 1))"
+        f" - (({hi} * ({hi} + 1) - ({lo_d} - 1) * {lo_d}) DIV 2)"
+        " ELSE 0 END)"
+    )
+    return f"({tri_a} + {tri_d})"
+
+
+def ansari_bradley_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd,
+    )
+
+    byval = _two_sample_hist(spark, sf_dir)
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = byval.withColumn(
+        "cum", F.sum(F.expr("a_n + b_n")).over(wcum)
+    )
+    totals = byval.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum("b_n").cast("bigint").alias("n_b"),
+    )
+    g = cum.crossJoin(F.broadcast(totals)).selectExpr(
+        "a_n",
+        "b_n",
+        "a_n + b_n AS c_g",
+        "cum - (a_n + b_n) + 1 AS lo",
+        "cum AS hi",
+        "n_a",
+        "n_b",
+        "n_a + n_b AS nn",
+    )
+    sg = g.selectExpr(
+        "a_n",
+        "c_g",
+        "n_a",
+        "n_b",
+        f"CAST({_ab_group_sum('lo', 'hi', 'nn')} AS DECIMAL(38,0))"
+        " AS s_g",
+    )
+    terms = sg.selectExpr(
+        "n_a",
+        "n_b",
+        "s_g",
+        f"CAST({_whd('CAST(a_n AS DECIMAL(38,0)) * s_g * 1000000', 'c_g', 'DIV')}"
+        " AS DECIMAL(38,0)) AS ab_term_u",
+        f"CAST({_whd('s_g * s_g * 1000000', 'c_g', 'DIV')}"
+        " AS DECIMAL(38,0)) AS s2_term_u",
+    )
+    agg = terms.groupBy("n_a", "n_b").agg(
+        F.sum("ab_term_u").alias("ab_u"),
+        F.sum("s2_term_u").alias("s2_u"),
+        F.sum("s_g").alias("s_sum_w"),
+    ).selectExpr(
+        "n_a",
+        "n_b",
+        "CAST(ab_u AS DECIMAL(38,0)) AS ab_u",
+        "CAST(s2_u AS DECIMAL(38,0)) AS s2_u",
+        "CAST(s_sum_w AS BIGINT) AS s_sum",
+    )
+    return agg.selectExpr(*_ab_final())
+
+
+def _ansari_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd,
+    )
+
+    final = ",\n       ".join(_ab_final())
+    gsum = _ab_group_sum("lo", "hi", "nn").replace(" DIV ", " // ")
+    return f"""
+WITH {_TWO_SAMPLE_HIST_SQL},
+cum AS (
+  SELECT v_c, a_n, b_n,
+         SUM(a_n + b_n) OVER (ORDER BY v_c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM byval
+),
+totals AS (
+  SELECT CAST(SUM(a_n) AS BIGINT) AS n_a,
+         CAST(SUM(b_n) AS BIGINT) AS n_b
+  FROM byval
+),
+g AS (
+  SELECT a_n, b_n, a_n + b_n AS c_g,
+         cum - (a_n + b_n) + 1 AS lo, cum AS hi,
+         n_a, n_b, n_a + n_b AS nn
+  FROM cum CROSS JOIN totals
+),
+sg AS (
+  SELECT a_n, c_g, n_a, n_b,
+         CAST({gsum} AS HUGEINT) AS s_g
+  FROM g
+),
+terms AS (
+  SELECT n_a, n_b, s_g,
+         {_whd('CAST(a_n AS HUGEINT) * s_g * 1000000', 'c_g', '//')}
+           AS ab_term_u,
+         {_whd('s_g * s_g * 1000000', 'c_g', '//')} AS s2_term_u
+  FROM sg
+),
+agg AS (
+  SELECT n_a, n_b,
+         SUM(ab_term_u) AS ab_u,
+         SUM(s2_term_u) AS s2_u,
+         CAST(SUM(s_g) AS BIGINT) AS s_sum
+  FROM terms GROUP BY 1, 2
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["ansari_bradley_value"] = {
+    "fn": ansari_bradley_value,
+    "sql": _ansari_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Fligner-Policello robust rank-order test (click vs purchase): the
+# Mann-Whitney companion that drops the equal-variance assumption by
+# studentizing with placement variances. Doubled placements keep ties
+# exact: an A-member at value v has 2P = 2·cumB_<v + b_v. With
+# SP2 = Σ_A 2P, SQ2 = Σ_B 2Q, and the na-scaled placement-variance
+# numerators VA = na·Σa_v(2P)² − SP2² (= 4·na·Σ(P−P̄)²):
+#   Ũ = (SQ2 − SP2) / (2·√(W / (na·nb))),
+#   W = nb·VA + na·VB + SP2·SQ2  — every input an exact integer.
+# --------------------------------------------------------------------------
+
+
+def _fp_final(div: str) -> list[str]:
+    w = _w2d("w_num", div)
+    return [
+        "n_a",
+        "n_b",
+        "sp2",
+        "sq2",
+        "CAST(sq2 - sp2 AS DOUBLE)"
+        f" / (2.0 * sqrt({w}"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))"
+        " AS u_fligner_policello",
+    ]
+
+
+def fligner_policello_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    byval = _two_sample_hist(spark, sf_dir)
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = byval.withColumn("ca", F.sum("a_n").over(wcum)).withColumn(
+        "cb", F.sum("b_n").over(wcum)
+    )
+    pl = cum.selectExpr(
+        "a_n",
+        "b_n",
+        "2 * (cb - b_n) + b_n AS p2",
+        "2 * (ca - a_n) + a_n AS q2",
+    )
+    agg = pl.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum("b_n").cast("bigint").alias("n_b"),
+        F.sum(F.expr("a_n * p2")).cast("bigint").alias("sp2"),
+        F.sum(F.expr("b_n * q2")).cast("bigint").alias("sq2"),
+        F.sum(F.expr("CAST(a_n AS DECIMAL(38,0)) * p2 * p2")).alias(
+            "sp2sq"
+        ),
+        F.sum(F.expr("CAST(b_n AS DECIMAL(38,0)) * q2 * q2")).alias(
+            "sq2sq"
+        ),
+    )
+    staged = agg.selectExpr(
+        "n_a",
+        "n_b",
+        "sp2",
+        "sq2",
+        "CAST(n_b AS DECIMAL(38,0))"
+        " * (CAST(n_a AS DECIMAL(38,0)) * sp2sq"
+        " - CAST(sp2 AS DECIMAL(38,0)) * sp2)"
+        " + CAST(n_a AS DECIMAL(38,0))"
+        " * (CAST(n_b AS DECIMAL(38,0)) * sq2sq"
+        " - CAST(sq2 AS DECIMAL(38,0)) * sq2)"
+        " + CAST(sp2 AS DECIMAL(38,0)) * sq2 AS w_num",
+    )
+    return staged.selectExpr(*_fp_final("DIV"))
+
+
+def _fp_sql() -> str:
+    final = ",\n       ".join(_fp_final("//"))
+    return f"""
+WITH {_TWO_SAMPLE_HIST_SQL},
+cum AS (
+  SELECT v_c, a_n, b_n,
+         SUM(a_n) OVER w AS ca,
+         SUM(b_n) OVER w AS cb
+  FROM byval
+  WINDOW w AS (ORDER BY v_c
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pl AS (
+  SELECT a_n, b_n,
+         2 * (cb - b_n) + b_n AS p2,
+         2 * (ca - a_n) + a_n AS q2
+  FROM cum
+),
+agg AS (
+  SELECT CAST(SUM(a_n) AS BIGINT) AS n_a,
+         CAST(SUM(b_n) AS BIGINT) AS n_b,
+         CAST(SUM(a_n * p2) AS BIGINT) AS sp2,
+         CAST(SUM(b_n * q2) AS BIGINT) AS sq2,
+         SUM(CAST(a_n AS HUGEINT) * p2 * p2) AS sp2sq,
+         SUM(CAST(b_n AS HUGEINT) * q2 * q2) AS sq2sq
+  FROM pl
+),
+staged AS (
+  SELECT n_a, n_b, sp2, sq2,
+         CAST(n_b AS HUGEINT)
+         * (CAST(n_a AS HUGEINT) * sp2sq
+            - CAST(sp2 AS HUGEINT) * sp2)
+         + CAST(n_a AS HUGEINT)
+         * (CAST(n_b AS HUGEINT) * sq2sq
+            - CAST(sq2 AS HUGEINT) * sq2)
+         + CAST(sp2 AS HUGEINT) * sq2 AS w_num
+  FROM agg
+)
+SELECT {final}
+FROM staged
+"""
+
+
+REGISTRY["fligner_policello_value"] = {
+    "fn": fligner_policello_value,
+    "sql": _fp_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Anderson-Darling two-sample test (Scholz-Stephens A²akN, k = 2,
+# tie-adjusted midpoint version — scipy's anderson_ksamp
+# midrank=True): with per-distinct-value pooled count l, doubled
+# midpoint cums B2 = 2·cum − l and M2ᵢ = 2·cumᵢ − cᵢ, each term
+# reduces to the INTEGER ratio lⱼ·(N·M2ᵢ − nᵢ·B2)² / (B2·(2N−B2)
+# − N·lⱼ) (denominator ≥ l(N−l) > 0). Numerator/denominator are
+# _w2d-staged and each term micro-quantized half-up (deterministic
+# both engines; the recompute test replicates the quantization
+# tolerance); A² = (N−1)/N² · (T_a/n_a + T_b/n_b)/1e6.
+# --------------------------------------------------------------------------
+
+
+def _ad_final() -> list[str]:
+    return [
+        "n_a",
+        "n_b",
+        "((CAST(n_a + n_b AS DOUBLE) - 1.0)"
+        " / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)))"
+        " * (CAST(ta_u AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " + CAST(tb_u AS DOUBLE) / CAST(n_b AS DOUBLE)) / 1e6"
+        " AS ad_a2",
+    ]
+
+
+def _ad_term(m2: str, cn: str, div: str) -> str:
+    """micro-quantized lⱼ·(N·M2 − n·B2)²/(B2(2N−B2) − N·l)."""
+    b = _big(div)
+    num = (
+        f"CAST(l AS {b}) * (CAST(nn AS {b}) * {m2}"
+        f" - CAST({cn} AS {b}) * b2)"
+        f" * (CAST(nn AS {b}) * {m2} - CAST({cn} AS {b}) * b2)"
+    )
+    den = f"CAST(b2 AS {b}) * (2 * nn - b2) - CAST(nn AS {b}) * l"
+    return (
+        f"CAST(floor(1000000.0 * {_w2d(num, div)}"
+        f" / {_w2d(den, div)} + 0.5) AS BIGINT)"
+    )
+
+
+def anderson_darling_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    byval = _two_sample_hist(spark, sf_dir)
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = byval.withColumn("ca", F.sum("a_n").over(wcum)).withColumn(
+        "cb", F.sum("b_n").over(wcum)
+    )
+    totals = byval.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum("b_n").cast("bigint").alias("n_b"),
+    )
+    g = cum.crossJoin(F.broadcast(totals)).selectExpr(
+        "n_a",
+        "n_b",
+        "n_a + n_b AS nn",
+        "a_n + b_n AS l",
+        "2 * (ca + cb) - (a_n + b_n) AS b2",
+        "2 * ca - a_n AS m2a",
+        "2 * cb - b_n AS m2b",
+    )
+    terms = g.selectExpr(
+        "n_a",
+        "n_b",
+        f"{_ad_term('m2a', 'n_a', 'DIV')} AS t_a",
+        f"{_ad_term('m2b', 'n_b', 'DIV')} AS t_b",
+    )
+    agg = terms.groupBy("n_a", "n_b").agg(
+        F.sum("t_a").cast("bigint").alias("ta_u"),
+        F.sum("t_b").cast("bigint").alias("tb_u"),
+    )
+    return agg.selectExpr(*_ad_final())
+
+
+def _ad_sql() -> str:
+    final = ",\n       ".join(_ad_final())
+    return f"""
+WITH {_TWO_SAMPLE_HIST_SQL},
+cum AS (
+  SELECT v_c, a_n, b_n,
+         SUM(a_n) OVER w AS ca,
+         SUM(b_n) OVER w AS cb
+  FROM byval
+  WINDOW w AS (ORDER BY v_c
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+totals AS (
+  SELECT CAST(SUM(a_n) AS BIGINT) AS n_a,
+         CAST(SUM(b_n) AS BIGINT) AS n_b
+  FROM byval
+),
+g AS (
+  SELECT n_a, n_b, n_a + n_b AS nn, a_n + b_n AS l,
+         2 * (ca + cb) - (a_n + b_n) AS b2,
+         2 * ca - a_n AS m2a,
+         2 * cb - b_n AS m2b
+  FROM cum CROSS JOIN totals
+),
+terms AS (
+  SELECT n_a, n_b,
+         {_ad_term('m2a', 'n_a', '//')} AS t_a,
+         {_ad_term('m2b', 'n_b', '//')} AS t_b
+  FROM g
+),
+agg AS (
+  SELECT n_a, n_b,
+         CAST(SUM(t_a) AS BIGINT) AS ta_u,
+         CAST(SUM(t_b) AS BIGINT) AS tb_u
+  FROM terms GROUP BY 1, 2
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["anderson_darling_value"] = {
+    "fn": anderson_darling_value,
+    "sql": _ad_sql(),
+}

@@ -421,3 +421,107 @@ def test_markov_entropy_matches_python(spark):
     assert row["n_transitions"] == total
     assert row["n_states"] == len(r)
     assert abs(row["entropy_rate_nats"] - h) < 1e-5
+
+
+def test_ansari_bradley_matches_python(spark):
+    from de4ml_spark.queries.statq5 import ansari_bradley_value
+
+    s = _values_by_type("click", "purchase")
+    a, b = s["click"], s["purchase"]
+    pooled = sorted(a + b)
+    n_tot = len(pooled)
+    # midrank min(p, N+1-p) scores per value (float, independent path)
+    from collections import Counter
+
+    pos = {}
+    p = 1
+    for v, c_v in sorted(Counter(pooled).items()):
+        scores = [min(q, n_tot + 1 - q) for q in range(p, p + c_v)]
+        pos[v] = sum(scores) / c_v
+        p += c_v
+    ab = sum(pos[x] for x in a)
+    s_all = [pos[v] for v in pooled]
+    e_ab = len(a) * sum(s_all) / n_tot
+    var = (
+        len(a)
+        * len(b)
+        * (n_tot * sum(x * x for x in s_all) - sum(s_all) ** 2)
+        / (n_tot * n_tot * (n_tot - 1))
+    )
+    z = (ab - e_ab) / math.sqrt(var)
+    row = ansari_bradley_value(spark, SF).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    # micro-quantized group means: <= 5e-7 per distinct value
+    assert abs(row["ab_stat"] - ab) < 1e-3
+    assert abs(row["z_ansari"] - z) < 1e-5
+
+
+def test_fligner_policello_matches_python(spark):
+    from de4ml_spark.queries.statq5 import fligner_policello_value
+
+    s = _values_by_type("click", "purchase")
+    a, b = s["click"], s["purchase"]
+
+    def placements(xs, ys):
+        ys_sorted = sorted(ys)
+        import bisect
+
+        out = []
+        for x in xs:
+            lo = bisect.bisect_left(ys_sorted, x)
+            hi = bisect.bisect_right(ys_sorted, x)
+            out.append(lo + (hi - lo) / 2)
+        return out
+
+    p = placements(a, b)
+    q = placements(b, a)
+    pbar, qbar = sum(p) / len(p), sum(q) / len(q)
+    v_a = sum((x - pbar) ** 2 for x in p)
+    v_b = sum((x - qbar) ** 2 for x in q)
+    # Fligner-Policello 1981: U~ = (ΣQ − ΣP) / (2·√(V_a + V_b + P̄·Q̄))
+    u = (sum(q) - sum(p)) / (2 * math.sqrt(v_a + v_b + pbar * qbar))
+    row = fligner_policello_value(spark, SF).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["sp2"] == int(round(2 * sum(p)))
+    assert row["sq2"] == int(round(2 * sum(q)))
+    assert abs(row["u_fligner_policello"] - u) < 1e-9
+
+
+def test_anderson_darling_matches_python(spark):
+    from de4ml_spark.queries.statq5 import anderson_darling_value
+
+    s = _values_by_type("click", "purchase")
+    a, b = s["click"], s["purchase"]
+    n_tot = len(a) + len(b)
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    support = sorted(set(a) | set(b))
+    # Scholz-Stephens A2akN (midpoint / midrank version), float path
+    t_i = {"a": 0.0, "b": 0.0}
+    cum_a = cum_b = 0
+    for v in support:
+        la, lb = ca.get(v, 0), cb.get(v, 0)
+        l_j = la + lb
+        cum_a += la
+        cum_b += lb
+        b_mid = (cum_a + cum_b) - l_j / 2
+        den = b_mid * (n_tot - b_mid) - n_tot * l_j / 4
+        for key, n_i, cum_i, l_i in (
+            ("a", len(a), cum_a, la),
+            ("b", len(b), cum_b, lb),
+        ):
+            m_mid = cum_i - l_i / 2
+            t_i[key] += (
+                l_j
+                * (n_tot * m_mid - n_i * b_mid) ** 2
+                / den
+            )
+    a2 = (
+        (n_tot - 1)
+        / n_tot**2
+        * (t_i["a"] / len(a) + t_i["b"] / len(b))
+    )
+    row = anderson_darling_value(spark, SF).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["ad_a2"] - a2) < 1e-6
