@@ -179,6 +179,9 @@ PRIORITY = [
     "ansari_bradley_value",
     "fligner_policello_value",
     "anderson_darling_value",
+    "granger_clicks_purchases",
+    "blomqvist_beta_lineitem",
+    "gk_lambda_dow_type",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -1686,3 +1686,336 @@ REGISTRY["anderson_darling_value"] = {
     "fn": anderson_darling_value,
     "sql": _ad_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Granger causality, lag 1: do daily click counts predict next-day
+# purchase counts beyond purchase's own lag? Unrestricted
+# y_t ~ 1 + y_{t−1} + x_{t−1} vs restricted y_t ~ 1 + y_{t−1};
+# F = (RSS_r − RSS_u)/(RSS_u/(n−3)). Ten raw moment sums over the
+# matched (t, t−1) day pairs are exact integers; the two RSS come
+# from the closed-form normal-equation solution on _w2d-staged
+# n-scaled centered moments (Cramer's rule for the 2-regressor fit),
+# one IEEE chain — the pure-Python test checks against an
+# INDEPENDENT numpy lstsq fit. Day pairs are calendar joins over the
+# observed-day spine (missing day = missing observation).
+# --------------------------------------------------------------------------
+
+
+def _granger_final() -> list[str]:
+    rss_u = (
+        "(dyy - (day_ * day_ * dbb - 2.0 * day_ * dby * dab"
+        " + dby * dby * daa) / (daa * dbb - dab * dab))"
+    )
+    rss_r = "(dyy - day_ * day_ / daa)"
+    return [
+        "n_obs",
+        f"{rss_r} / CAST(n_obs AS DOUBLE) AS rss_restricted",
+        f"{rss_u} / CAST(n_obs AS DOUBLE) AS rss_unrestricted",
+        f"(({rss_r}) - ({rss_u}))"
+        f" * (CAST(n_obs AS DOUBLE) - 3.0) / ({rss_u}) AS granger_f",
+    ]
+
+
+def granger_clicks_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(
+        F.sum(F.expr("CAST(event_type = 'click' AS BIGINT)"))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.expr("CAST(event_type = 'purchase' AS BIGINT)"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    lag = daily.selectExpr(
+        "t + 1 AS t", "y AS a", "x AS b"
+    )
+    m = daily.join(lag, "t").selectExpr("y", "a", "b")
+    big = "DECIMAL(38,0)"
+    mom = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.expr(f"CAST(y AS {big}) * y")).alias("syy"),
+        F.sum(F.expr(f"CAST(a AS {big}) * a")).alias("saa"),
+        F.sum(F.expr(f"CAST(b AS {big}) * b")).alias("sbb"),
+        F.sum(F.expr(f"CAST(a AS {big}) * y")).alias("say"),
+        F.sum(F.expr(f"CAST(b AS {big}) * y")).alias("sby"),
+        F.sum(F.expr(f"CAST(a AS {big}) * b")).alias("sab"),
+    )
+
+    def _c(p: str, q: str, sp: str, sq: str, div: str) -> str:
+        b = _big(div)
+        return _w2d(
+            f"CAST(n AS {b}) * {p}{q} - CAST(s{sp} AS {b}) * s{sq}",
+            div,
+        )
+
+    staged = mom.selectExpr(
+        "n AS n_obs",
+        f"{_c('sy', 'y', 'y', 'y', 'DIV')} AS dyy",
+        f"{_c('sa', 'a', 'a', 'a', 'DIV')} AS daa",
+        f"{_c('sb', 'b', 'b', 'b', 'DIV')} AS dbb",
+        f"{_c('sa', 'y', 'a', 'y', 'DIV')} AS day_",
+        f"{_c('sb', 'y', 'b', 'y', 'DIV')} AS dby",
+        f"{_c('sa', 'b', 'a', 'b', 'DIV')} AS dab",
+    )
+    return staged.selectExpr(*_granger_final())
+
+
+def _granger_sql() -> str:
+    big = "HUGEINT"
+
+    def _c(p: str, sp: str, sq: str) -> str:
+        return _w2d(
+            f"CAST(n AS {big}) * {p} - CAST(s{sp} AS {big}) * s{sq}",
+            "//",
+        )
+
+    final = ",\n       ".join(_granger_final())
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT d.y AS y, l.y AS a, l.x AS b
+  FROM daily d JOIN daily l ON d.t = l.t + 1
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(a) AS BIGINT) AS sa,
+         CAST(SUM(b) AS BIGINT) AS sb,
+         SUM(CAST(y AS {big}) * y) AS syy,
+         SUM(CAST(a AS {big}) * a) AS saa,
+         SUM(CAST(b AS {big}) * b) AS sbb,
+         SUM(CAST(a AS {big}) * y) AS say,
+         SUM(CAST(b AS {big}) * y) AS sby,
+         SUM(CAST(a AS {big}) * b) AS sab
+  FROM m
+),
+staged AS (
+  SELECT n AS n_obs,
+         {_c('syy', 'y', 'y')} AS dyy,
+         {_c('saa', 'a', 'a')} AS daa,
+         {_c('sbb', 'b', 'b')} AS dbb,
+         {_c('say', 'a', 'y')} AS day_,
+         {_c('sby', 'b', 'y')} AS dby,
+         {_c('sab', 'a', 'b')} AS dab
+  FROM mom
+)
+SELECT {final}
+FROM staged
+"""
+
+
+REGISTRY["granger_clicks_purchases"] = {
+    "fn": granger_clicks_purchases,
+    "sql": _granger_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Blomqvist's beta (medial correlation) between l_quantity and
+# l_extendedprice: quadrant sign concordance around the two lower
+# medians (position ⌈n/2⌉ via one cum window over each bounded value
+# histogram; rows ON either median are excluded — documented
+# convention). beta = (c_pp + c_mm − c_pm − c_mp)/m, exact integers.
+# --------------------------------------------------------------------------
+
+_BLOMQVIST_FINAL = [
+    "n_used",
+    "c_pp",
+    "c_mm",
+    "CAST(c_pp + c_mm - (n_used - c_pp - c_mm) AS DOUBLE)"
+    " / CAST(n_used AS DOUBLE) AS blomqvist_beta",
+]
+
+
+def blomqvist_beta_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS q",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS p",
+    )
+    wq = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_tot = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    med_q = (
+        li.groupBy("q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("cum", F.sum("c").over(wq))
+        .crossJoin(F.broadcast(n_tot))
+        .filter("cum - c < (n + 1) DIV 2 AND (n + 1) DIV 2 <= cum")
+        .selectExpr("q AS med_q")
+    )
+    wp = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    med_p = (
+        li.groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("cum", F.sum("c").over(wp))
+        .crossJoin(F.broadcast(n_tot))
+        .filter("cum - c < (n + 1) DIV 2 AND (n + 1) DIV 2 <= cum")
+        .selectExpr("p AS med_p")
+    )
+    tagged = (
+        li.crossJoin(F.broadcast(med_q))
+        .crossJoin(F.broadcast(med_p))
+        .filter("q != med_q AND p != med_p")
+    )
+    agg = tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum(F.expr("CAST(q > med_q AND p > med_p AS BIGINT)"))
+        .cast("bigint")
+        .alias("c_pp"),
+        F.sum(F.expr("CAST(q < med_q AND p < med_p AS BIGINT)"))
+        .cast("bigint")
+        .alias("c_mm"),
+    )
+    return agg.selectExpr(*_BLOMQVIST_FINAL)
+
+
+def _blomqvist_sql() -> str:
+    final = ",\n       ".join(_BLOMQVIST_FINAL)
+    return f"""
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS p
+  FROM lineitem
+),
+n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM li),
+med_q AS (
+  SELECT q AS med_q FROM (
+    SELECT q, CAST(COUNT(*) AS BIGINT) AS c,
+           SUM(COUNT(*)) OVER (ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM li GROUP BY 1
+  ) CROSS JOIN n_tot
+  WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+),
+med_p AS (
+  SELECT p AS med_p FROM (
+    SELECT p, CAST(COUNT(*) AS BIGINT) AS c,
+           SUM(COUNT(*)) OVER (ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM li GROUP BY 1
+  ) CROSS JOIN n_tot
+  WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+         CAST(SUM(CASE WHEN q > med_q AND p > med_p THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_pp,
+         CAST(SUM(CASE WHEN q < med_q AND p < med_p THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_mm
+  FROM li CROSS JOIN med_q CROSS JOIN med_p
+  WHERE q != med_q AND p != med_p
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["blomqvist_beta_lineitem"] = {
+    "fn": blomqvist_beta_lineitem,
+    "sql": _blomqvist_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Goodman-Kruskal lambda: proportional reduction in error predicting
+# event_type from day-of-week. λ = (Σ_dow max_type c − max_type C)
+# / (n − max_type C) — pure integer counts (max of counts, never an
+# argmax, so ties cannot break determinism), one final ratio.
+# --------------------------------------------------------------------------
+
+_LAMBDA_FINAL = [
+    "n_events",
+    "sum_row_max",
+    "col_max",
+    "CAST(sum_row_max - col_max AS DOUBLE)"
+    " / CAST(n_events - col_max AS DOUBLE) AS gk_lambda",
+]
+
+
+def gk_lambda_dow_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    cells = ev.groupBy(
+        F.expr("dayofweek(CAST(ts AS DATE))").alias("dow"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    row_max = cells.groupBy("dow").agg(F.max("c").alias("m"))
+    srm = row_max.agg(
+        F.sum("m").cast("bigint").alias("sum_row_max")
+    )
+    col = cells.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("ct")
+    )
+    cm = col.agg(F.max("ct").cast("bigint").alias("col_max"))
+    n = cells.agg(F.sum("c").cast("bigint").alias("n_events"))
+    return (
+        n.crossJoin(F.broadcast(srm))
+        .crossJoin(F.broadcast(cm))
+        .selectExpr(*_LAMBDA_FINAL)
+    )
+
+
+def _gk_lambda_sql() -> str:
+    final = ",\n       ".join(_LAMBDA_FINAL)
+    # DuckDB dayofweek: 0=Sunday..6; Spark dayofweek: 1=Sunday..7.
+    # Align by using DuckDB's dayofweek(..)+1.
+    return f"""
+WITH cells AS (
+  SELECT dayofweek(CAST(ts AS DATE)) + 1 AS dow, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+srm AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS sum_row_max FROM (
+    SELECT dow, MAX(c) AS m FROM cells GROUP BY 1
+  )
+),
+cm AS (
+  SELECT CAST(MAX(ct) AS BIGINT) AS col_max FROM (
+    SELECT event_type, SUM(c) AS ct FROM cells GROUP BY 1
+  )
+),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_events FROM cells)
+SELECT {final}
+FROM n CROSS JOIN srm CROSS JOIN cm
+"""
+
+
+REGISTRY["gk_lambda_dow_type"] = {
+    "fn": gk_lambda_dow_type,
+    "sql": _gk_lambda_sql(),
+}

@@ -525,3 +525,96 @@ def test_anderson_darling_matches_python(spark):
     row = anderson_darling_value(spark, SF).collect()[0]
     assert row["n_a"] == len(a) and row["n_b"] == len(b)
     assert abs(row["ad_a2"] - a2) < 1e-6
+
+
+def test_granger_matches_numpy(spark):
+    from de4ml_spark.queries.statq5 import granger_clicks_purchases
+
+    import numpy as np
+
+    con = duckdb.connect()
+    daily = con.sql(
+        f"""SELECT CAST(ts AS DATE) AS day,
+            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    by_day = {d: (x, y) for d, x, y in daily}
+    import datetime
+
+    rows = []
+    for d, (x, y) in by_day.items():
+        prev = d - datetime.timedelta(days=1)
+        if prev in by_day:
+            px, py = by_day[prev]
+            rows.append((y, py, px))
+    arr = np.array(rows, dtype=float)
+    n = len(rows)
+    yv = arr[:, 0]
+    xu = np.column_stack([np.ones(n), arr[:, 1], arr[:, 2]])
+    xr = np.column_stack([np.ones(n), arr[:, 1]])
+    # independent fit: numpy least squares, not the Cramer closed form
+    ru = yv - xu @ np.linalg.lstsq(xu, yv, rcond=None)[0]
+    rr = yv - xr @ np.linalg.lstsq(xr, yv, rcond=None)[0]
+    rss_u = float(ru @ ru)
+    rss_r = float(rr @ rr)
+    f_stat = (rss_r - rss_u) / (rss_u / (n - 3))
+    row = granger_clicks_purchases(spark, SF).collect()[0]
+    assert row["n_obs"] == n
+    assert abs(row["rss_unrestricted"] - rss_u) < 1e-6 * max(1.0, rss_u)
+    assert abs(row["rss_restricted"] - rss_r) < 1e-6 * max(1.0, rss_r)
+    assert abs(row["granger_f"] - f_stat) < 1e-6 * max(1.0, abs(f_stat))
+
+
+def test_blomqvist_beta_matches_python(spark):
+    from de4ml_spark.queries.statq5 import blomqvist_beta_lineitem
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT CAST(l_quantity AS BIGINT),
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+    qs = sorted(q for q, _ in rows)
+    ps = sorted(p for _, p in rows)
+    n = len(rows)
+    med_q = qs[(n + 1) // 2 - 1]  # lower median, position ceil(n/2)
+    med_p = ps[(n + 1) // 2 - 1]
+    used = [(q, p) for q, p in rows if q != med_q and p != med_p]
+    c_pp = sum(1 for q, p in used if q > med_q and p > med_p)
+    c_mm = sum(1 for q, p in used if q < med_q and p < med_p)
+    beta = (c_pp + c_mm - (len(used) - c_pp - c_mm)) / len(used)
+    row = blomqvist_beta_lineitem(spark, SF).collect()[0]
+    assert row["n_used"] == len(used)
+    assert row["c_pp"] == c_pp and row["c_mm"] == c_mm
+    assert abs(row["blomqvist_beta"] - beta) < 1e-12
+
+
+def test_gk_lambda_matches_python(spark):
+    from de4ml_spark.queries.statq5 import gk_lambda_dow_type
+
+    con = duckdb.connect()
+    raw = con.sql(
+        f"""SELECT CAST(ts AS DATE), event_type, COUNT(*)
+        FROM '{SF}/events.parquet'
+        WHERE event_type IS NOT NULL GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import Counter
+
+    cells = Counter()
+    for day, et, c in raw:
+        cells[(day.isoweekday() % 7, et)] += c  # 0=Sunday partition
+    row_max = Counter()
+    col = Counter()
+    for (dow, et), c in cells.items():
+        row_max[dow] = max(row_max[dow], c)
+        col[et] += c
+    n = sum(cells.values())
+    lam = (sum(row_max.values()) - max(col.values())) / (
+        n - max(col.values())
+    )
+    row = gk_lambda_dow_type(spark, SF).collect()[0]
+    assert row["n_events"] == n
+    assert row["sum_row_max"] == sum(row_max.values())
+    assert row["col_max"] == max(col.values())
+    assert abs(row["gk_lambda"] - lam) < 1e-12
