@@ -182,6 +182,7 @@ PRIORITY = [
     "granger_clicks_purchases",
     "blomqvist_beta_lineitem",
     "gk_lambda_dow_type",
+    "heaps_law_sources",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -451,3 +451,103 @@ REGISTRY["hellinger_sources"] = {
     "fn": hellinger_sources,
     "sql": _hell_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Heaps' law fit across sources: vocabulary growth V = K·n^β, i.e.
+# ln V = ln K + β·ln n with one (token_count, vocab_size) point per
+# source. The token/vocab counts are exact integers (one explode +
+# two groupBys, shuffled on token only within source); the log-log
+# fit is the same micro-quantized portable-ln OLS as zipf_slope.
+# β ∈ (0,1) for natural corpora — the scale diagnostic a dedup
+# pipeline watches to spot template-flooded sources.
+# --------------------------------------------------------------------------
+
+
+def _heaps_final(div: str) -> list[str]:
+    big = _big(div)
+    num = f"(CAST(n AS {big}) * sxy - CAST(sx AS {big}) * sy)"
+    den = f"(CAST(n AS {big}) * sxx - CAST(sx AS {big}) * sx)"
+    beta = f"{_w2d(num, div)} / {_w2d(den, div)}"
+    return [
+        "n AS n_sources",
+        f"{beta} AS heaps_beta",
+        f"(CAST(sy AS DOUBLE) - ({beta}) * CAST(sx AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * 1000000.0) AS heaps_ln_k",
+    ]
+
+
+def heaps_law_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    per = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+        F.countDistinct("t").cast("bigint").alias("vocab"),
+    )
+    lned = with_portable_ln(per, "n_tok", "1", "__lnx")
+    lned = with_portable_ln(lned, "vocab", "1", "__lny")
+    q = lned.selectExpr(
+        "CAST(floor(__lnx * 1000000.0 + 0.5) AS BIGINT) AS x_u",
+        "CAST(floor(__lny * 1000000.0 + 0.5) AS BIGINT) AS y_u",
+    )
+    mom = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x_u").cast("bigint").alias("sx"),
+        F.sum("y_u").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(x_u AS DECIMAL(38,0)) * y_u")).alias("sxy"),
+        F.sum(F.expr("CAST(x_u AS DECIMAL(38,0)) * x_u")).alias("sxx"),
+    )
+    return mom.selectExpr(*_heaps_final("DIV"))
+
+
+def _heaps_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+    )
+
+    lnx = portable_ln_duck_ctes(
+        "per", "n_tok, vocab", "n_tok", "1", "__lnx", "hx"
+    )
+    lny = portable_ln_duck_ctes(
+        "hx_out", "n_tok, vocab, __lnx", "vocab", "1", "__lny", "hy"
+    )
+    final = ",\n       ".join(_heaps_final("//"))
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab
+  FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS t
+    FROM documents
+  )
+  GROUP BY 1
+),
+{lnx},
+{lny},
+q AS (
+  SELECT CAST(floor(__lnx * 1000000.0 + 0.5) AS BIGINT) AS x_u,
+         CAST(floor(__lny * 1000000.0 + 0.5) AS BIGINT) AS y_u
+  FROM hy_out
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_u) AS BIGINT) AS sx,
+         CAST(SUM(y_u) AS BIGINT) AS sy,
+         SUM(CAST(x_u AS HUGEINT) * y_u) AS sxy,
+         SUM(CAST(x_u AS HUGEINT) * x_u) AS sxx
+  FROM q
+)
+SELECT {final}
+FROM mom
+"""
+
+
+REGISTRY["heaps_law_sources"] = {
+    "fn": heaps_law_sources,
+    "sql": _heaps_sql(),
+}

@@ -618,3 +618,29 @@ def test_gk_lambda_matches_python(spark):
     assert row["sum_row_max"] == sum(row_max.values())
     assert row["col_max"] == max(col.values())
     assert abs(row["gk_lambda"] - lam) < 1e-12
+
+
+def test_heaps_law_matches_python(spark):
+    from de4ml_spark.queries.textq4 import heaps_law_sources
+
+    con = duckdb.connect()
+    per = con.sql(
+        f"""SELECT source, COUNT(*) AS n_tok, COUNT(DISTINCT t) AS vocab
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+              FROM '{SF}/documents.parquet')
+        GROUP BY 1"""
+    ).fetchall()
+    xs = [math.log(n) for _, n, _v in per]
+    ys = [math.log(v) for _, _n, v in per]
+    n = len(per)
+    mx, my = sum(xs) / n, sum(ys) / n
+    beta = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    ln_k = my - beta * mx
+    row = heaps_law_sources(spark, SF).collect()[0]
+    assert row["n_sources"] == n
+    # micro-quantized ln inputs: slope error bounded by grid/spread
+    assert abs(row["heaps_beta"] - beta) < 1e-4
+    assert abs(row["heaps_ln_k"] - ln_k) < 1e-3
+    assert 0.0 < row["heaps_beta"] < 1.5
