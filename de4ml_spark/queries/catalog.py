@@ -183,6 +183,9 @@ PRIORITY = [
     "blomqvist_beta_lineitem",
     "gk_lambda_dow_type",
     "heaps_law_sources",
+    "newey_west_daily",
+    "runs_updown_daily",
+    "brand_assortativity_parts",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -1474,3 +1474,130 @@ REGISTRY["brand_modularity_parts"] = {
     "fn": brand_modularity_parts,
     "sql": _MODULARITY_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Categorical (discrete) assortativity of p_brand on the co-purchase
+# graph — Newman's r = (Tr e − Σᵢ aᵢ²)/(1 − Σᵢ aᵢ²) on the brand
+# mixing matrix, the global one-number companion of
+# brand_modularity_parts' per-community rows. Over 2m directed
+# half-edges: r = (2m·T − ΣAᵢ²) / ((2m)² − ΣAᵢ²) with T = same-brand
+# directed edge count and Aᵢ = brand degree mass — exact integers,
+# one ratio. Same edge bound as every co-purchase entry.
+# --------------------------------------------------------------------------
+
+_CAT_ASSORT_FINAL = [
+    "m_edges",
+    "t_same",
+    "(4.0 * CAST(m_edges AS DOUBLE) * CAST(t_same AS DOUBLE)"
+    f" - {{sa2}}) / (4.0 * CAST(m_edges AS DOUBLE)"
+    f" * CAST(m_edges AS DOUBLE) - {{sa2}})"
+    " AS r_categorical",
+]
+
+
+def brand_assortativity_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    br = F.broadcast(part)
+    tagged = (
+        edges.join(br.withColumnRenamed("p_partkey", "src"), "src")
+        .withColumnRenamed("p_brand", "brand_s")
+        .join(
+            br.withColumnRenamed("p_partkey", "dst").withColumnRenamed(
+                "p_brand", "brand_d"
+            ),
+            "dst",
+        )
+    )
+    deg = (
+        tagged.selectExpr("brand_s AS brand")
+        .unionAll(tagged.selectExpr("brand_d AS brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a_i"))
+        .agg(
+            F.sum(F.expr("CAST(a_i AS DECIMAL(38,0)) * a_i")).alias(
+                "sa2"
+            )
+        )
+    )
+    stats = tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_edges"),
+        F.sum(F.expr("CAST(brand_s = brand_d AS BIGINT)"))
+        .cast("bigint")
+        .alias("t_same"),
+    )
+    out = stats.crossJoin(F.broadcast(deg))
+    final = [
+        c.format(sa2=_w2d("sa2", "DIV")) for c in _CAT_ASSORT_FINAL
+    ]
+    return out.selectExpr(*final)
+
+
+def _cat_assort_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,
+    )
+
+    final = ",\n       ".join(
+        c.format(sa2=_w2d("sa2", "//")) for c in _CAT_ASSORT_FINAL
+    )
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+tagged AS (
+  SELECT ps.p_brand AS brand_s, pd.p_brand AS brand_d
+  FROM edges e
+  JOIN part ps ON ps.p_partkey = e.src
+  JOIN part pd ON pd.p_partkey = e.dst
+),
+deg AS (
+  SELECT SUM(CAST(a_i AS HUGEINT) * a_i) AS sa2
+  FROM (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS a_i
+    FROM (
+      SELECT brand_s AS brand FROM tagged
+      UNION ALL
+      SELECT brand_d AS brand FROM tagged
+    )
+    GROUP BY 1
+  )
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+         CAST(SUM(CASE WHEN brand_s = brand_d THEN 1 ELSE 0 END)
+              AS BIGINT) AS t_same
+  FROM tagged
+)
+SELECT {final}
+FROM stats CROSS JOIN deg
+"""
+
+
+REGISTRY["brand_assortativity_parts"] = {
+    "fn": brand_assortativity_parts,
+    "sql": _cat_assort_sql(),
+}

@@ -2019,3 +2019,210 @@ REGISTRY["gk_lambda_dow_type"] = {
     "fn": gk_lambda_dow_type,
     "sql": _gk_lambda_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Newey-West (HAC) long-run variance of the daily event-count series,
+# Bartlett kernel, lag window L = 7: with integer n-scaled residuals
+# e_t = n·y_t − Σy, the lag covariocities C_k = Σ_t e_t·e_{t+k} are
+# exact 128-bit integers (calendar-join adjacency over the observed-
+# day spine, one k = 0..7 explode + equi-join — no self-cross).
+# lrv = [(L+1)·C_0 + 2·Σ_k (L+1−k)·C_k] / ((L+1)·n³); also the
+# autocorrelation inflation factor lrv/γ₀ — the effective-sample-size
+# deflator a 100 TB A/B pipeline applies to daily-mean standard
+# errors.
+# --------------------------------------------------------------------------
+
+NW_LAGS = 7
+
+
+def _nw_final(div: str) -> list[str]:
+    nw = _w2d("nw_num", div)
+    c0 = _w2d("c0", div)
+    lp1 = f"{NW_LAGS + 1}.0"
+    return [
+        "n_days",
+        f"{nw} / ({lp1} * CAST(n_days AS DOUBLE)"
+        " * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))"
+        " AS nw_lrv",
+        f"{nw} / ({lp1} * {c0}) AS inflation_vs_gamma0",
+    ]
+
+
+def newey_west_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    e = daily.crossJoin(F.broadcast(tot)).selectExpr(
+        "t", "n", "CAST(n AS DECIMAL(38,0)) * y - s AS e"
+    )
+    lags = e.selectExpr(
+        "t",
+        "e AS e_lag",
+        f"explode(sequence(0, {NW_LAGS})) AS k",
+    ).selectExpr("t + k AS t", "k", "e_lag")
+    prod = e.join(lags, "t").groupBy("k").agg(
+        F.sum(F.expr("e * e_lag")).alias("ck"),
+        F.max("n").alias("n_days"),
+    )
+    agg = prod.groupBy("n_days").agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN k = 0 THEN CAST({NW_LAGS + 1} AS"
+                " DECIMAL(38,0)) * ck"
+                f" ELSE 2 * CAST({NW_LAGS + 1} - k AS DECIMAL(38,0))"
+                " * ck END"
+            )
+        ).alias("nw_num"),
+        F.sum(F.expr("CASE WHEN k = 0 THEN ck END")).alias("c0"),
+    )
+    return agg.selectExpr(*_nw_final("DIV"))
+
+
+def _nw_sql() -> str:
+    final = ",\n       ".join(_nw_final("//"))
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+  FROM daily
+),
+e AS (
+  SELECT t, n, CAST(n AS HUGEINT) * y - s AS e
+  FROM daily CROSS JOIN tot
+),
+lags AS (
+  SELECT t + k AS t, k, e AS e_lag
+  FROM e CROSS JOIN (
+    SELECT unnest(range(0, {NW_LAGS + 1})) AS k
+  )
+),
+prod AS (
+  SELECT k, SUM(e.e * l.e_lag) AS ck, MAX(n) AS n_days
+  FROM e JOIN lags l USING (t)
+  GROUP BY 1
+),
+agg AS (
+  SELECT n_days,
+         SUM(CASE WHEN k = 0 THEN CAST({NW_LAGS + 1} AS HUGEINT) * ck
+             ELSE 2 * CAST({NW_LAGS + 1} - k AS HUGEINT) * ck END)
+           AS nw_num,
+         SUM(CASE WHEN k = 0 THEN ck END) AS c0
+  FROM prod GROUP BY 1
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["newey_west_daily"] = {
+    "fn": newey_west_daily,
+    "sql": _nw_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Runs up-and-down test on the daily event-count series (the
+# difference-sign randomness test — the companion of runs_test_value,
+# which runs above/below the median): consecutive observed-day
+# diffs, zero diffs dropped (documented), R = 1 + sign changes;
+# z = (R − (2m−1)/3) / √((16m−29)/90). The daily frame is calendar-
+# bounded, so its two order windows are aggregate-frame exceptions.
+# --------------------------------------------------------------------------
+
+_RUD_FINAL = [
+    "m_diffs",
+    "n_runs",
+    "(CAST(n_runs AS DOUBLE)"
+    " - (2.0 * CAST(m_diffs AS DOUBLE) - 1.0) / 3.0)"
+    " / sqrt((16.0 * CAST(m_diffs AS DOUBLE) - 29.0) / 90.0)"
+    " AS z_runs_updown",
+]
+
+
+def runs_updown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    wpos = Window.partitionBy(F.lit(1)).orderBy("t")
+    pos = daily.withColumn("pos", F.row_number().over(wpos))
+    nxt = pos.selectExpr("pos - 1 AS pos", "y AS y1")
+    diffs = (
+        pos.join(nxt, "pos")
+        .selectExpr("pos", "CAST(SIGN(y1 - y) AS BIGINT) AS s")
+        .filter("s != 0")
+    )
+    wd = Window.partitionBy(F.lit(1)).orderBy("pos")
+    dpos = diffs.withColumn("dpos", F.row_number().over(wd))
+    dnxt = dpos.selectExpr("dpos - 1 AS dpos", "s AS s1")
+    agg = (
+        dpos.join(dnxt, "dpos", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m_diffs"),
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(s1 IS NOT NULL AND s1 != s AS BIGINT)"
+                    )
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("n_runs"),
+        )
+    )
+    return agg.selectExpr(*_RUD_FINAL)
+
+
+def _rud_sql() -> str:
+    final = ",\n       ".join(_RUD_FINAL)
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+pos AS (
+  SELECT t, y, ROW_NUMBER() OVER (ORDER BY t) AS pos FROM daily
+),
+diffs AS (
+  SELECT p.pos, CAST(SIGN(n.y - p.y) AS BIGINT) AS s
+  FROM pos p JOIN pos n ON n.pos = p.pos + 1
+  WHERE SIGN(n.y - p.y) != 0
+),
+dpos AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY pos) AS dpos FROM diffs
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_diffs,
+         CAST(SUM(CASE WHEN p.s IS NOT NULL AND p.s != d.s
+                  THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+  FROM dpos d LEFT JOIN dpos p ON p.dpos = d.dpos - 1
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["runs_updown_daily"] = {
+    "fn": runs_updown_daily,
+    "sql": _rud_sql(),
+}

@@ -644,3 +644,82 @@ def test_heaps_law_matches_python(spark):
     assert abs(row["heaps_beta"] - beta) < 1e-4
     assert abs(row["heaps_ln_k"] - ln_k) < 1e-3
     assert 0.0 < row["heaps_beta"] < 1.5
+
+
+def test_newey_west_matches_python(spark):
+    from de4ml_spark.queries.statq5 import NW_LAGS, newey_west_daily
+
+    daily = _daily_counts_9c()
+    idx = {(d - min(daily)).days: daily[d] for d in daily}
+    n = len(idx)
+    mean = sum(idx.values()) / n
+    lrv_num = 0.0
+    gamma = {}
+    for k in range(NW_LAGS + 1):
+        gamma[k] = sum(
+            (idx[t] - mean) * (idx[t + k] - mean)
+            for t in idx
+            if t + k in idx
+        )
+    lp1 = NW_LAGS + 1
+    lrv_num = lp1 * gamma[0] + 2 * sum(
+        (lp1 - k) * gamma[k] for k in range(1, lp1)
+    )
+    lrv = lrv_num / (lp1 * n)
+    row = newey_west_daily(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["nw_lrv"] - lrv) < 1e-6 * max(1.0, abs(lrv))
+    infl = lrv_num / (lp1 * gamma[0])
+    assert abs(row["inflation_vs_gamma0"] - infl) < 1e-9
+
+
+def test_runs_updown_matches_python(spark):
+    from de4ml_spark.queries.statq5 import runs_updown_daily
+
+    daily = _daily_counts_9c()
+    ys = [daily[d] for d in sorted(daily)]
+    signs = []
+    for a, b in zip(ys, ys[1:]):
+        if b != a:
+            signs.append(1 if b > a else -1)
+    m = len(signs)
+    runs = 1 + sum(
+        1 for a, b in zip(signs, signs[1:]) if a != b
+    )
+    z = (runs - (2 * m - 1) / 3) / math.sqrt((16 * m - 29) / 90)
+    row = runs_updown_daily(spark, SF).collect()[0]
+    assert row["m_diffs"] == m
+    assert row["n_runs"] == runs
+    assert abs(row["z_runs_updown"] - z) < 1e-12
+
+
+def test_brand_assortativity_matches_python(spark):
+    from de4ml_spark.queries.graphq import brand_assortativity_parts
+
+    con = duckdb.connect()
+    edges = con.sql(
+        f"""SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM '{SF}/lineitem.parquet' a
+        JOIN '{SF}/lineitem.parquet' b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey"""
+    ).fetchall()
+    brand = dict(
+        con.sql(
+            f"SELECT p_partkey, p_brand FROM '{SF}/part.parquet'"
+        ).fetchall()
+    )
+    from collections import Counter
+
+    m = len(edges)
+    t_same = sum(1 for u, v in edges if brand[u] == brand[v])
+    a_i = Counter()
+    for u, v in edges:
+        a_i[brand[u]] += 1
+        a_i[brand[v]] += 1
+    # Newman categorical assortativity on edge fractions e_ij over 2m
+    tr = t_same / m  # Tr e: both half-edge orientations same-brand
+    sa2 = sum((x / (2 * m)) ** 2 for x in a_i.values())
+    r = (tr - sa2) / (1 - sa2)
+    row = brand_assortativity_parts(spark, SF).collect()[0]
+    assert row["m_edges"] == m and row["t_same"] == t_same
+    assert abs(row["r_categorical"] - r) < 1e-9
