@@ -186,6 +186,8 @@ PRIORITY = [
     "newey_west_daily",
     "runs_updown_daily",
     "brand_assortativity_parts",
+    "participation_ratio_embeddings",
+    "mean_pairwise_dot_embeddings",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

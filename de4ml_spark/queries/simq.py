@@ -945,3 +945,239 @@ REGISTRY["silhouette_embeddings"] = {
     "fn": silhouette_embeddings,
     "sql": SILHOUETTE_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Participation ratio (effective dimensionality) of the embedding
+# covariance: PR = (tr C)²/||C||²_F = (Σλ)²/Σλ² — trace identities,
+# NO eigendecomposition. Rides the micro-quantized integer moments of
+# embedding_covariance; each cell's covariance is signed-half-up
+# requantized to an exact integer in micro² units (c_u =
+# halfup(n·S_jk − S_j·S_k, n(n−1)), 128-bit long division — squaring
+# the RAW n-scaled moment would overflow DECIMAL(38) at sf ≥ 0.1,
+# this keeps every sum wide-safe at any corpus size). PR near d is a
+# healthy isotropic space; PR ≪ d flags representation collapse —
+# the diagnostic to check before trusting cosine blocking for dedup.
+# The d² cell frame is dimension-bounded, never row-bounded.
+# --------------------------------------------------------------------------
+
+
+def _pr_cell(div: str) -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd,
+    )
+
+    pos = _whd("njk", "CAST(n * (n - 1) AS BIGINT)", div)
+    neg = _whd("-njk", "CAST(n * (n - 1) AS BIGINT)", div)
+    return (
+        f"CASE WHEN njk >= 0 THEN CAST({pos} AS BIGINT)"
+        f" ELSE -CAST({neg} AS BIGINT) END"
+    )
+
+
+def _pr_final(div: str) -> list[str]:
+    big = "DECIMAL(38,0)" if div.upper() == "DIV" else "HUGEINT"
+    tr2 = f"CAST(tr_sum AS {big}) * tr_sum"
+    return [
+        "d_dims",
+        "n_vecs",
+        f"{_w2d(tr2, div)} / {_w2d('frob_sum', div)}"
+        " AS participation_ratio",
+    ]
+
+
+def participation_ratio_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "v"),
+    ).selectExpr(
+        "vec_id",
+        "dim",
+        "CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS v_micro",
+    )
+    a = ex.selectExpr("vec_id", "dim AS j", "v_micro AS xj")
+    b = ex.selectExpr("vec_id", "dim AS k", "v_micro AS xk")
+    cells = (
+        a.join(b, "vec_id")
+        .groupBy("j", "k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("xj").cast("bigint").alias("sj"),
+            F.sum("xk").cast("bigint").alias("sk"),
+            F.sum(F.expr("CAST(xj AS DECIMAL(38,0)) * xk")).alias(
+                "sjk"
+            ),
+        )
+        .selectExpr(
+            "j",
+            "k",
+            "n",
+            "CAST(n AS DECIMAL(38,0)) * sjk"
+            " - CAST(sj AS DECIMAL(38,0)) * sk AS njk",
+        )
+        .selectExpr("j", "k", "n", f"{_pr_cell('DIV')} AS c_u")
+    )
+    agg = cells.agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.countDistinct("j").cast("bigint").alias("d_dims"),
+        F.sum(F.expr("CASE WHEN j = k THEN c_u END"))
+        .cast("bigint")
+        .alias("tr_sum"),
+        F.sum(F.expr("CAST(c_u AS DECIMAL(38,0)) * c_u")).alias(
+            "frob_sum"
+        ),
+    )
+    return agg.selectExpr(*_pr_final("DIV"))
+
+
+def _pr_sql() -> str:
+    final = ",\n       ".join(_pr_final("//"))
+    return f"""
+WITH ex AS (
+  SELECT vec_id, gs.i - 1 AS dim,
+         CAST(floor(CAST(embedding[gs.i] AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS v_micro
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+         gs
+),
+cells AS (
+  SELECT j, k, n,
+         CAST(n AS HUGEINT) * sjk
+         - CAST(sj AS HUGEINT) * sk AS njk
+  FROM (
+    SELECT a.dim AS j, b.dim AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a.v_micro) AS BIGINT) AS sj,
+           CAST(SUM(b.v_micro) AS BIGINT) AS sk,
+           SUM(CAST(a.v_micro AS HUGEINT) * b.v_micro) AS sjk
+    FROM ex a JOIN ex b USING (vec_id)
+    GROUP BY 1, 2
+  )
+),
+quant AS (
+  SELECT j, k, n, {_pr_cell('//')} AS c_u FROM cells
+),
+agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_vecs,
+         CAST(COUNT(DISTINCT j) AS BIGINT) AS d_dims,
+         CAST(SUM(CASE WHEN j = k THEN c_u END) AS BIGINT) AS tr_sum,
+         SUM(CAST(c_u AS HUGEINT) * c_u) AS frob_sum
+  FROM quant
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["participation_ratio_embeddings"] = {
+    "fn": participation_ratio_embeddings,
+    "sql": _pr_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Mean pairwise dot product of the raw embeddings via the centroid
+# identity: Σ_{i≠i'} ⟨vᵢ, vᵢ'⟩ = ||Σᵢ vᵢ||² − Σᵢ ||vᵢ||² — per-dim
+# integer sums only, NO pair join at all (the O(n²) definition
+# collapses to one map + a d-bounded aggregate; this is the plan
+# shape that survives 100 TB). Micro-quantized components; outputs
+# the anisotropy diagnostic pair (mean pairwise dot, mean squared
+# norm) — their ratio is the Ethayarajh-style anisotropy proxy.
+# --------------------------------------------------------------------------
+
+
+def _mpd_final(div: str) -> list[str]:
+    pair = _w2d("pair_num", div)
+    norm = _w2d("s_norm", div)
+    return [
+        "n_vecs",
+        f"{pair} / (CAST(n_vecs AS DOUBLE)"
+        " * (CAST(n_vecs AS DOUBLE) - 1.0) * 1e12)"
+        " AS mean_pairwise_dot",
+        f"{norm} / (CAST(n_vecs AS DOUBLE) * 1e12) AS mean_norm_sq",
+        f"({pair} / (CAST(n_vecs AS DOUBLE)"
+        " * (CAST(n_vecs AS DOUBLE) - 1.0)))"
+        f" / ({norm} / CAST(n_vecs AS DOUBLE)) AS anisotropy_ratio",
+    ]
+
+
+def mean_pairwise_dot_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "v"),
+    ).selectExpr(
+        "vec_id",
+        "dim",
+        "CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS v_micro",
+    )
+    per_dim = ex.groupBy("dim").agg(
+        F.sum("v_micro").cast("bigint").alias("sd"),
+        F.sum(
+            F.expr("CAST(v_micro AS DECIMAL(38,0)) * v_micro")
+        ).alias("sd2"),
+    )
+    nv = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    agg = (
+        per_dim.agg(
+            F.sum(
+                F.expr("CAST(sd AS DECIMAL(38,0)) * sd")
+            ).alias("cent_sq"),
+            F.sum("sd2").alias("s_norm"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .selectExpr(
+            "n_vecs",
+            "cent_sq - s_norm AS pair_num",
+            "CAST(s_norm AS DECIMAL(38,0)) AS s_norm",
+        )
+    )
+    return agg.selectExpr(*_mpd_final("DIV"))
+
+
+def _mpd_sql() -> str:
+    final = ",\n       ".join(_mpd_final("//"))
+    return f"""
+WITH ex AS (
+  SELECT vec_id, gs.i - 1 AS dim,
+         CAST(floor(CAST(embedding[gs.i] AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS v_micro
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+         gs
+),
+per_dim AS (
+  SELECT dim,
+         CAST(SUM(v_micro) AS BIGINT) AS sd,
+         SUM(CAST(v_micro AS HUGEINT) * v_micro) AS sd2
+  FROM ex GROUP BY 1
+),
+nv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings
+),
+agg AS (
+  SELECT n_vecs,
+         SUM(CAST(sd AS HUGEINT) * sd) - SUM(sd2) AS pair_num,
+         CAST(SUM(sd2) AS HUGEINT) AS s_norm
+  FROM per_dim CROSS JOIN nv
+  GROUP BY 1
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["mean_pairwise_dot_embeddings"] = {
+    "fn": mean_pairwise_dot_embeddings,
+    "sql": _mpd_sql(),
+}

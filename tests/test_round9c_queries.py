@@ -723,3 +723,54 @@ def test_brand_assortativity_matches_python(spark):
     row = brand_assortativity_parts(spark, SF).collect()[0]
     assert row["m_edges"] == m and row["t_same"] == t_same
     assert abs(row["r_categorical"] - r) < 1e-9
+
+
+def _emb_micro():
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    return [
+        [math.floor(float(x) * 1e6 + 0.5) for x in emb]
+        for (emb,) in rows
+    ]
+
+
+def test_participation_ratio_matches_numpy(spark):
+    from de4ml_spark.queries.simq import participation_ratio_embeddings
+
+    import numpy as np
+
+    m = np.array(_emb_micro(), dtype=float)
+    c = np.cov(m, rowvar=False)  # independent path: numpy covariance
+    tr = float(np.trace(c))
+    frob = float((c * c).sum())
+    pr = tr * tr / frob
+    row = participation_ratio_embeddings(spark, SF).collect()[0]
+    assert row["n_vecs"] == m.shape[0]
+    assert row["d_dims"] == m.shape[1]
+    # cell-level halfup quantization to integer micro^2 units
+    assert abs(row["participation_ratio"] - pr) < 1e-4 * pr
+    assert 1.0 <= row["participation_ratio"] <= m.shape[1]
+
+
+def test_mean_pairwise_dot_matches_python(spark):
+    from de4ml_spark.queries.simq import mean_pairwise_dot_embeddings
+
+    vecs = _emb_micro()
+    n = len(vecs)
+    d = len(vecs[0])
+    cent = [sum(v[j] for v in vecs) for j in range(d)]
+    cent_sq = sum(c * c for c in cent)
+    s_norm = sum(sum(x * x for x in v) for v in vecs)
+    mpd = (cent_sq - s_norm) / (n * (n - 1)) / 1e12
+    mns = s_norm / n / 1e12
+    row = mean_pairwise_dot_embeddings(spark, SF).collect()[0]
+    assert row["n_vecs"] == n
+    assert abs(row["mean_pairwise_dot"] - mpd) < 1e-9 * max(
+        1.0, abs(mpd)
+    )
+    assert abs(row["mean_norm_sq"] - mns) < 1e-9 * mns
+    assert abs(
+        row["anisotropy_ratio"] - mpd / mns
+    ) < 1e-9 * max(1.0, abs(mpd / mns))
