@@ -147,6 +147,26 @@ HEADLINE = [
     "hellinger_sources",
     "zipf_slope_docs",
     "lognormal_fit_price",
+    # round-9c additions: the two-sample battery on the value
+    # histogram, fuzzy/graph/embedding corpus entries (daily-series
+    # micro-entries — ols/chow/granger/newey/runs/forecast and the
+    # day x type grids — stay out, same policy as 9b)
+    "kuiper_two_sample_value",
+    "cvm_two_sample_value",
+    "energy_distance_value",
+    "ansari_bradley_value",
+    "fligner_policello_value",
+    "anderson_darling_value",
+    "markov_entropy_rate",
+    "theil_l_parts",
+    "heaps_law_sources",
+    "mean_pairwise_dot_embeddings",
+    "participation_ratio_embeddings",
+    "blomqvist_beta_lineitem",
+    "gk_lambda_dow_type",
+    "fuzzy_name_pairs_parts",
+    "brand_modularity_parts",
+    "brand_assortativity_parts",
 ]
 
 

@@ -188,6 +188,7 @@ PRIORITY = [
     "brand_assortativity_parts",
     "participation_ratio_embeddings",
     "mean_pairwise_dot_embeddings",
+    "ams_f2_sketch_events",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

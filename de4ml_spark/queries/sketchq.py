@@ -1004,3 +1004,114 @@ REGISTRY["emd_value_types"] = {
     "fn": emd_value_types,
     "sql": _emd_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) F2-moment sketch over the user-frequency
+# vector: K independent ±1 md5-sign rows, S_j = Σ_x sign_j(x)·f_x,
+# F̂2 = mean_j S_j² — an EXACT integer pipeline on both engines (the
+# signs are the portable md5 projection, so Spark and the DuckDB
+# oracle build bit-identical sketches). Emitted beside the true
+# F2 = Σ f_x² and the relative error, the audit a 100 TB self-join
+# size estimator runs at a fraction of the exact pass's shuffle (the
+# sketch is one map + a K-row reduce; the exact path shuffles the
+# full frequency vector).
+# --------------------------------------------------------------------------
+
+AMS_ROWS = 16
+
+
+def _ams_final(div: str) -> list[str]:
+    est = f"{_w2d('s_sq', div)} / {AMS_ROWS}.0"
+    tru = _w2d("f2_true", div)
+    return [
+        "k_rows",
+        "n_users",
+        f"{tru} AS f2_true_d",
+        f"{est} AS f2_est",
+        f"({est} - {tru}) / {tru} AS rel_err",
+    ]
+
+
+def ams_f2_sketch_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import phash_spark_sql
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    freq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    truth = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.expr("CAST(f AS DECIMAL(38,0)) * f")).alias(
+            "f2_true"
+        ),
+    )
+    sign_bit = phash_spark_sql(
+        "concat(CAST(j AS STRING), ':', CAST(user_id AS STRING))",
+        bits=1,
+    )
+    rows_ = (
+        freq.selectExpr(
+            "user_id",
+            "f",
+            f"explode(sequence(0, {AMS_ROWS - 1})) AS j",
+        )
+        .selectExpr("j", f"(2 * {sign_bit} - 1) * f AS term")
+        .groupBy("j")
+        .agg(F.sum("term").cast("bigint").alias("s_j"))
+    )
+    sk = rows_.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_rows"),
+        F.sum(F.expr("CAST(s_j AS DECIMAL(38,0)) * s_j")).alias(
+            "s_sq"
+        ),
+    )
+    return sk.crossJoin(F.broadcast(truth)).selectExpr(
+        *_ams_final("DIV")
+    )
+
+
+def _ams_sql() -> str:
+    from de4ml_spark.operators.portable_hash import phash_duck_sql
+
+    sign_bit = phash_duck_sql(
+        "concat(CAST(j AS STRING), ':', CAST(user_id AS STRING))",
+        bits=1,
+    )
+    final = ",\n       ".join(_ams_final("//"))
+    return f"""
+WITH freq AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1
+),
+truth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         SUM(CAST(f AS HUGEINT) * f) AS f2_true
+  FROM freq
+),
+rows_ AS (
+  SELECT j, CAST(SUM((2 * {sign_bit} - 1) * f) AS BIGINT) AS s_j
+  FROM freq CROSS JOIN (
+    SELECT unnest(range(0, {AMS_ROWS})) AS j
+  )
+  GROUP BY 1
+),
+sk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_rows,
+         SUM(CAST(s_j AS HUGEINT) * s_j) AS s_sq
+  FROM rows_
+)
+SELECT {final}
+FROM sk CROSS JOIN truth
+"""
+
+
+REGISTRY["ams_f2_sketch_events"] = {
+    "fn": ams_f2_sketch_events,
+    "sql": _ams_sql(),
+}

@@ -774,3 +774,38 @@ def test_mean_pairwise_dot_matches_python(spark):
     assert abs(
         row["anisotropy_ratio"] - mpd / mns
     ) < 1e-9 * max(1.0, abs(mpd / mns))
+
+
+def test_ams_f2_sketch_matches_python(spark):
+    from de4ml_spark.queries.sketchq import AMS_ROWS, ams_f2_sketch_events
+
+    import hashlib
+
+    con = duckdb.connect()
+    freqs = dict(
+        con.sql(
+            f"""SELECT user_id, COUNT(*) FROM '{SF}/events.parquet'
+            WHERE user_id IS NOT NULL GROUP BY 1"""
+        ).fetchall()
+    )
+    f2_true = sum(f * f for f in freqs.values())
+
+    def sign(j, uid):
+        h = hashlib.md5(f"{j}:{uid}".encode()).digest()
+        # portable hash: little-endian int of the LAST 8 bytes, bit 0
+        return 1 if (h[8] & 1) else -1
+
+    s_sq = 0
+    for j in range(AMS_ROWS):
+        s_j = sum(sign(j, uid) * f for uid, f in freqs.items())
+        s_sq += s_j * s_j
+    est = s_sq / AMS_ROWS
+    row = ams_f2_sketch_events(spark, SF).collect()[0]
+    assert row["k_rows"] == AMS_ROWS
+    assert row["n_users"] == len(freqs)
+    assert row["f2_true_d"] == float(f2_true)
+    assert abs(row["f2_est"] - est) < 1e-9 * max(1.0, est)
+    assert abs(row["rel_err"] - (est - f2_true) / f2_true) < 1e-12
+    # ballpark only: a K=16 AMS mean has std ~sqrt(2/16)*F2, so
+    # |rel_err| ~ 0.35 sigma-units; 1.5 is a ~4-sigma smoke bound
+    assert abs(row["rel_err"]) < 1.5
