@@ -189,6 +189,7 @@ PRIORITY = [
     "participation_ratio_embeddings",
     "mean_pairwise_dot_embeddings",
     "ams_f2_sketch_events",
+    "weibull_fit_user_lifetimes",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -2226,3 +2226,162 @@ REGISTRY["runs_updown_daily"] = {
     "fn": runs_updown_daily,
     "sql": _rud_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Weibull probability-plot fit of user lifetime durations: on a
+# Weibull sample, y = ln(−ln(1−F)) is linear in x = ln(dur) with
+# slope = the shape k (k < 1 ⇒ heavy churn early, k > 1 ⇒ aging).
+# Midpoint ECDF per distinct duration keeps 1−F the exact rational
+# (2(n−cum)+c)/(2n); the DOUBLE portable-ln pipeline (same recipe as
+# bartlett): u = ln(2n) − ln(2(n−cum)+c) micro-quantized, then
+# y = ln(u_micro) − ln(1e6) with the ln(1e6) literal inlined
+# identically on both engines. One unweighted point per distinct
+# duration (documented); zero-duration users and u_micro < 1 points
+# are excluded (documented). The fit frame is the duration histogram
+# — calendar-bounded.
+# --------------------------------------------------------------------------
+
+_LN_1E6 = "13.815510557964274"  # portable_ln_const(10**6), exact literal
+
+
+def _weibull_final(div: str) -> list[str]:
+    big = _big(div)
+    num = f"(CAST(n AS {big}) * sxy - CAST(sx AS {big}) * sy)"
+    den = f"(CAST(n AS {big}) * sxx - CAST(sx AS {big}) * sx)"
+    k = f"({_w2d(num, div)} / {_w2d(den, div)})"
+    return [
+        "n AS n_points",
+        f"{k} AS weibull_shape",
+        # intercept = (Σy − k·Σx)/n (micro units); ln λ = −b/k
+        f"-((CAST(sy AS DOUBLE) - {k} * CAST(sx AS DOUBLE))"
+        f" / (CAST(n AS DOUBLE) * 1000000.0)) / {k}"
+        " AS weibull_ln_scale",
+    ]
+
+
+def weibull_fit_user_lifetimes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "datediff(MAX(CAST(ts AS DATE)),"
+                " MIN(CAST(ts AS DATE)))"
+            ).alias("dur")
+        )
+        .filter("dur >= 1")
+    )
+    hist = spans.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = hist.agg(F.sum("c").cast("bigint").alias("n_tot"))
+    g = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(dur AS BIGINT) AS dur",
+            "2 * (n_tot - cum) + c AS tail2",
+            "2 * n_tot AS n2",
+        )
+    )
+    lu = with_portable_ln(g, "n2", "tail2", "__lnu").selectExpr(
+        "dur",
+        "CAST(floor(__lnu * 1000000.0 + 0.5) AS BIGINT) AS u_m",
+    ).filter("u_m >= 1")
+    lx = with_portable_ln(lu, "dur", "1", "__lnx")
+    ly = with_portable_ln(lx, "u_m", "1", "__lny")
+    q = ly.selectExpr(
+        "CAST(floor(__lnx * 1000000.0 + 0.5) AS BIGINT) AS x_u",
+        f"CAST(floor((__lny - {_LN_1E6}) * 1000000.0 + 0.5)"
+        " AS BIGINT) AS y_u",
+    )
+    mom = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x_u").cast("bigint").alias("sx"),
+        F.sum("y_u").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(x_u AS DECIMAL(38,0)) * y_u")).alias("sxy"),
+        F.sum(F.expr("CAST(x_u AS DECIMAL(38,0)) * x_u")).alias("sxx"),
+    )
+    return mom.selectExpr(*_weibull_final("DIV"))
+
+
+def _weibull_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+    )
+
+    lnu = portable_ln_duck_ctes(
+        "g", "dur", "n2", "tail2", "__lnu", "wu"
+    )
+    lnx = portable_ln_duck_ctes("lu", "dur, u_m", "dur", "1", "__lnx", "wx")
+    lny = portable_ln_duck_ctes(
+        "wx_out", "dur, u_m, __lnx", "u_m", "1", "__lny", "wy"
+    )
+    final = ",\n       ".join(_weibull_final("//"))
+    return f"""
+WITH spans AS (
+  SELECT user_id,
+         date_diff('day', MIN(CAST(ts AS DATE)),
+                   MAX(CAST(ts AS DATE))) AS dur
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1
+),
+hist AS (
+  SELECT dur, CAST(COUNT(*) AS BIGINT) AS c
+  FROM spans WHERE dur >= 1 GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM hist),
+g AS (
+  SELECT CAST(dur AS BIGINT) AS dur,
+         2 * (n_tot - cum) + c AS tail2,
+         2 * n_tot AS n2
+  FROM (
+    SELECT dur, c,
+           SUM(c) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM hist
+  ) CROSS JOIN tot
+),
+{lnu},
+lu AS (
+  SELECT dur,
+         CAST(floor(__lnu * 1000000.0 + 0.5) AS BIGINT) AS u_m
+  FROM wu_out
+  WHERE CAST(floor(__lnu * 1000000.0 + 0.5) AS BIGINT) >= 1
+),
+{lnx},
+{lny},
+q AS (
+  SELECT CAST(floor(__lnx * 1000000.0 + 0.5) AS BIGINT) AS x_u,
+         CAST(floor((__lny - {_LN_1E6}) * 1000000.0 + 0.5)
+              AS BIGINT) AS y_u
+  FROM wy_out
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_u) AS BIGINT) AS sx,
+         CAST(SUM(y_u) AS BIGINT) AS sy,
+         SUM(CAST(x_u AS HUGEINT) * y_u) AS sxy,
+         SUM(CAST(x_u AS HUGEINT) * x_u) AS sxx
+  FROM q
+)
+SELECT {final}
+FROM mom
+"""
+
+
+REGISTRY["weibull_fit_user_lifetimes"] = {
+    "fn": weibull_fit_user_lifetimes,
+    "sql": _weibull_sql(),
+}

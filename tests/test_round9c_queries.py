@@ -809,3 +809,46 @@ def test_ams_f2_sketch_matches_python(spark):
     # ballpark only: a K=16 AMS mean has std ~sqrt(2/16)*F2, so
     # |rel_err| ~ 0.35 sigma-units; 1.5 is a ~4-sigma smoke bound
     assert abs(row["rel_err"]) < 1.5
+
+
+def test_weibull_fit_matches_python(spark):
+    from de4ml_spark.queries.statq5 import weibull_fit_user_lifetimes
+
+    con = duckdb.connect()
+    durs = [
+        d
+        for (d,) in con.sql(
+            f"""SELECT date_diff('day', MIN(CAST(ts AS DATE)),
+                       MAX(CAST(ts AS DATE)))
+            FROM '{SF}/events.parquet'
+            WHERE user_id IS NOT NULL GROUP BY user_id"""
+        ).fetchall()
+        if d >= 1
+    ]
+    from collections import Counter
+
+    hist = sorted(Counter(durs).items())
+    n = len(durs)
+    pts = []
+    cum = 0
+    for dur, c in hist:
+        cum += c
+        one_minus_f = (2 * (n - cum) + c) / (2 * n)
+        u = -math.log(one_minus_f)
+        if math.floor(u * 1e6 + 0.5) < 1:
+            continue
+        pts.append((math.log(dur), math.log(u)))
+    m = len(pts)
+    mx = sum(x for x, _ in pts) / m
+    my = sum(y for _, y in pts) / m
+    sxx = sum((x - mx) ** 2 for x, _ in pts)
+    sxy = sum((x - mx) * (y - my) for x, y in pts)
+    shape = sxy / sxx
+    intercept = my - shape * mx
+    ln_scale = -intercept / shape
+    row = weibull_fit_user_lifetimes(spark, SF).collect()[0]
+    assert row["n_points"] == m
+    # double micro-quantized ln inputs
+    assert abs(row["weibull_shape"] - shape) < 1e-3
+    assert abs(row["weibull_ln_scale"] - ln_scale) < 1e-3
+    assert row["weibull_shape"] > 0
