@@ -190,6 +190,7 @@ PRIORITY = [
     "mean_pairwise_dot_embeddings",
     "ams_f2_sketch_events",
     "weibull_fit_user_lifetimes",
+    "hoeffding_d_lineitem",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -680,3 +680,161 @@ REGISTRY["kendalls_w_daily"] = {
     "fn": kendalls_w_daily,
     "sql": _kw_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Hoeffding's D independence test on the (l_quantity, l_discount)
+# ordinal pair — the omnibus companion of gamma/Somers' D above (D
+# detects NON-monotone dependence they cannot). Hollander-Wolfe ties
+# convention (φ = ½ on ties), Hmisc::hoeffd's formula, carried in
+# quadrupled integers on the SAME bounded cell table: per cell,
+# R2 = 2·xless + xtie + 1, S2 likewise, and
+# Q4 = 4·LL + 2·TL + 2·LT + (c−1) + 4 from the cell-pair join
+# (the pair frame is DOMAIN-bounded: 50 × 11 cells → ≤ 550² rows at
+# any corpus size). D1·16 = Σc(Q4−4)(Q4−8),
+# D2·16 = Σc(R2−2)(R2−4)(S2−2)(S2−4), D3·16 = Σc(R2−4)(S2−4)(Q4−4);
+# D = 30·((n−2)(n−3)D1₁₆ + D2₁₆ − 2(n−2)D3₁₆)
+#   / (16·n(n−1)(n−2)(n−3)(n−4)). Exact to n ≲ 3e9 (the (2n)⁴ wide
+# bound, same documented class as jarque_bera).
+# --------------------------------------------------------------------------
+
+
+def _hoeffding_final(div: str) -> list[str]:
+    big = _big(div)
+    num = (
+        f"30.0 * ((CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)"
+        f" * {_w2d('d1_16', div)} + {_w2d('d2_16', div)}"
+        f" - 2.0 * (CAST(n AS DOUBLE) - 2.0) * {_w2d('d3_16', div)})"
+    )
+    den = (
+        "(16.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
+        " * (CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)"
+        " * (CAST(n AS DOUBLE) - 4.0))"
+    )
+    return [
+        "n AS n_rows",
+        f"{num} / {den} AS hoeffding_d",
+    ]
+
+
+def hoeffding_d_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS y",
+    ).groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    o = cells.selectExpr("x AS x2", "y AS y2", "c AS c2")
+    # every ordered cell pair once — the frame is DOMAIN-bounded
+    # (50 quantities x 11 discounts), so the cross join is <= 550^2
+    # rows at any corpus size; the CASE masses classify each pair
+    rel = cells.crossJoin(F.broadcast(o))
+    per = rel.groupBy("x", "y", "c").agg(
+        F.sum(
+            F.expr("CASE WHEN x2 < x THEN c2 ELSE 0 END")
+        ).cast("bigint").alias("xless"),
+        F.sum(
+            F.expr("CASE WHEN x2 = x THEN c2 ELSE 0 END")
+        ).cast("bigint").alias("xtie"),
+        F.sum(
+            F.expr("CASE WHEN y2 < y THEN c2 ELSE 0 END")
+        ).cast("bigint").alias("yless"),
+        F.sum(
+            F.expr("CASE WHEN y2 = y THEN c2 ELSE 0 END")
+        ).cast("bigint").alias("ytie"),
+        F.sum(
+            F.expr("CASE WHEN x2 < x AND y2 < y THEN c2 ELSE 0 END")
+        ).cast("bigint").alias("ll"),
+        F.sum(
+            F.expr("CASE WHEN x2 = x AND y2 < y THEN c2 ELSE 0 END")
+        ).cast("bigint").alias("tl"),
+        F.sum(
+            F.expr("CASE WHEN x2 < x AND y2 = y THEN c2 ELSE 0 END")
+        ).cast("bigint").alias("lt"),
+    )
+    scaled = per.selectExpr(
+        "c",
+        "2 * xless + xtie + 1 AS r2",
+        "2 * yless + ytie + 1 AS s2",
+        "4 * ll + 2 * tl + 2 * lt + (c - 1) + 4 AS q4",
+    )
+    big = "DECIMAL(38,0)"
+    agg = scaled.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                f"CAST(c AS {big}) * (q4 - 4) * (q4 - 8)"
+            )
+        ).alias("d1_16"),
+        F.sum(
+            F.expr(
+                f"CAST(c AS {big}) * (r2 - 2) * (r2 - 4)"
+                " * (s2 - 2) * (s2 - 4)"
+            )
+        ).alias("d2_16"),
+        F.sum(
+            F.expr(
+                f"CAST(c AS {big}) * (r2 - 4) * (s2 - 4) * (q4 - 4)"
+            )
+        ).alias("d3_16"),
+    )
+    return agg.selectExpr(*_hoeffding_final("DIV"))
+
+
+def _hoeffding_sql() -> str:
+    final = ",\n       ".join(_hoeffding_final("//"))
+    return f"""
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+per AS (
+  SELECT g.x, g.y, g.c,
+         CAST(SUM(CASE WHEN o.x < g.x THEN o.c ELSE 0 END)
+              AS BIGINT) AS xless,
+         CAST(SUM(CASE WHEN o.x = g.x THEN o.c ELSE 0 END)
+              AS BIGINT) AS xtie,
+         CAST(SUM(CASE WHEN o.y < g.y THEN o.c ELSE 0 END)
+              AS BIGINT) AS yless,
+         CAST(SUM(CASE WHEN o.y = g.y THEN o.c ELSE 0 END)
+              AS BIGINT) AS ytie,
+         CAST(SUM(CASE WHEN o.x < g.x AND o.y < g.y THEN o.c ELSE 0
+              END) AS BIGINT) AS ll,
+         CAST(SUM(CASE WHEN o.x = g.x AND o.y < g.y THEN o.c ELSE 0
+              END) AS BIGINT) AS tl,
+         CAST(SUM(CASE WHEN o.x < g.x AND o.y = g.y THEN o.c ELSE 0
+              END) AS BIGINT) AS lt
+  FROM cells g CROSS JOIN cells o
+  GROUP BY 1, 2, 3
+),
+scaled AS (
+  SELECT c,
+         2 * xless + xtie + 1 AS r2,
+         2 * yless + ytie + 1 AS s2,
+         4 * ll + 2 * tl + 2 * lt + (c - 1) + 4 AS q4
+  FROM per
+),
+agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         SUM(CAST(c AS HUGEINT) * (q4 - 4) * (q4 - 8)) AS d1_16,
+         SUM(CAST(c AS HUGEINT) * (r2 - 2) * (r2 - 4)
+             * (s2 - 2) * (s2 - 4)) AS d2_16,
+         SUM(CAST(c AS HUGEINT) * (r2 - 4) * (s2 - 4) * (q4 - 4))
+           AS d3_16
+  FROM scaled
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["hoeffding_d_lineitem"] = {
+    "fn": hoeffding_d_lineitem,
+    "sql": _hoeffding_sql(),
+}

@@ -1002,3 +1002,53 @@ def test_kendalls_w_matches_python(spark):
     row = kendalls_w_daily(spark, SF).collect()[0]
     assert row["k_days"] == k and row["n_types"] == n
     assert abs(row["kendalls_w"] - w) < 1e-9
+
+
+def test_hoeffding_d_matches_python(spark):
+    from de4ml_spark.queries.statq4 import hoeffding_d_lineitem
+
+    con = duckdb.connect()
+    pts = con.sql(
+        f"""SELECT CAST(l_quantity AS BIGINT),
+            CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+    n = len(pts)
+    cells = Counter(pts)
+    items = list(cells.items())
+    # independent path: direct per-cell double loop (the plan uses
+    # CASE-mass cum algebra over one cross join)
+    d1 = d2 = d3 = 0
+    for (x, y), c in items:
+        xless = xtie = yless = ytie = ll = tl = lt = 0
+        for (x2, y2), c2 in items:
+            if x2 < x:
+                xless += c2
+                if y2 < y:
+                    ll += c2
+                elif y2 == y:
+                    lt += c2
+            elif x2 == x:
+                xtie += c2
+                if y2 < y:
+                    tl += c2
+            if y2 < y:
+                yless += c2
+            elif y2 == y:
+                ytie += c2
+        r = xless + (xtie + 1) / 2
+        s = yless + (ytie + 1) / 2
+        q = 1 + ll + tl / 2 + lt / 2 + (c - 1) / 4
+        d1 += c * (q - 1) * (q - 2)
+        d2 += c * (r - 1) * (r - 2) * (s - 1) * (s - 2)
+        d3 += c * (r - 2) * (s - 2) * (q - 1)
+    d_stat = (
+        30
+        * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3)
+        / (n * (n - 1) * (n - 2) * (n - 3) * (n - 4))
+    )
+    row = hoeffding_d_lineitem(spark, SF).collect()[0]
+    assert row["n_rows"] == n
+    assert abs(row["hoeffding_d"] - d_stat) < 1e-9 * max(
+        1.0, abs(d_stat)
+    )
