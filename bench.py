@@ -325,7 +325,10 @@ def main() -> None:
             "sessionize_events,emd_value_types,mann_whitney_value,"
             "m4_downsample_value,rfm_segments_customers,"
             "cliffs_delta_value,pr_auc_events,auc_roc_events,"
-            "rolling_median_user_value",
+            "rolling_median_user_value,"
+            # round-9c: the two new in-fleet >2x entries (both <0.2 s
+            # absolute; isolated attribution per the round-7 protocol)
+            "ansari_bradley_value,energy_distance_value",
         ).split(",")
         if n.strip() and n.strip() in qs
     ]

@@ -191,6 +191,8 @@ PRIORITY = [
     "ams_f2_sketch_events",
     "weibull_fit_user_lifetimes",
     "hoeffding_d_lineitem",
+    "bowker_symmetry_transitions",
+    "gwet_ac1_docs",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -2385,3 +2385,178 @@ REGISTRY["weibull_fit_user_lifetimes"] = {
     "fn": weibull_fit_user_lifetimes,
     "sql": _weibull_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Bowker's test of symmetry on the event-type transition matrix (the
+# k×k generalization of McNemar): χ² = Σ_{i<j} (c_ij − c_ji)²
+# / (c_ij + c_ji) over the per-user consecutive-transition counts
+# (same ordering convention as markov_entropy_rate). Each term is a
+# half-up micro-quantized exact 128-bit quotient (denominators vary
+# per pair, k(k−1)/2 ≤ 10 pairs); df counts the non-empty pairs.
+# A symmetric chain ⇒ user flows i→j and j→i balance.
+# --------------------------------------------------------------------------
+
+_BOWKER_FINAL = [
+    "n_transitions",
+    "df_pairs",
+    "CAST(chi2_u AS DOUBLE) / 1000000.0 AS chi2_bowker",
+]
+
+
+def bowker_symmetry_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter("nxt IS NOT NULL")
+    cells = trans.groupBy("prev", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = cells.filter("prev < nxt").selectExpr(
+        "prev AS i", "nxt AS j", "c AS cij"
+    )
+    b = cells.filter("prev > nxt").selectExpr(
+        "nxt AS i", "prev AS j", "c AS cji"
+    )
+    pairs = a.join(b, ["i", "j"], "full").selectExpr(
+        "COALESCE(cij, 0) AS cij", "COALESCE(cji, 0) AS cji"
+    )
+    tot = cells.agg(
+        F.sum("c").cast("bigint").alias("n_transitions")
+    )
+    term = _whd(
+        "CAST(cij - cji AS DECIMAL(38,0)) * (cij - cji) * 1000000",
+        "(cij + cji)",
+        "DIV",
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_pairs"),
+        F.sum(F.expr(f"CAST({term} AS DECIMAL(38,0))"))
+        .cast("bigint")
+        .alias("chi2_u"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).selectExpr(
+        *_BOWKER_FINAL
+    )
+
+
+def _bowker_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd,
+    )
+
+    term = _whd(
+        "CAST(cij - cji AS HUGEINT) * (cij - cji) * 1000000",
+        "(cij + cji)",
+        "//",
+    )
+    final = ",\n       ".join(_BOWKER_FINAL)
+    return f"""
+WITH ordered AS (
+  SELECT event_type, LEAD(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS nxt
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+cells AS (
+  SELECT event_type AS prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+pairs AS (
+  SELECT COALESCE(a.cij, 0) AS cij, COALESCE(b.cji, 0) AS cji
+  FROM (SELECT prev AS i, nxt AS j, c AS cij FROM cells
+        WHERE prev < nxt) a
+  FULL JOIN (SELECT nxt AS i, prev AS j, c AS cji FROM cells
+             WHERE prev > nxt) b USING (i, j)
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_transitions FROM cells
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS df_pairs,
+         CAST(SUM({term}) AS BIGINT) AS chi2_u
+  FROM pairs
+)
+SELECT {final}
+FROM agg CROSS JOIN tot
+"""
+
+
+REGISTRY["bowker_symmetry_transitions"] = {
+    "fn": bowker_symmetry_transitions,
+    "sql": _bowker_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Gwet's AC1 inter-rater agreement on the two document-quality
+# raters of cohens_kappa_docs — the paradox-resistant alternative
+# (kappa collapses under prevalence skew; AC1's chance term uses the
+# MEAN prevalence). Exact rational: with m = a1 + b1,
+# AC1 = (2n·agree − m·(2n − m)) / (2n² − m·(2n − m)) — pure integers,
+# one ratio.
+# --------------------------------------------------------------------------
+
+_AC1_FINAL = [
+    "n_tot",
+    "agree",
+    "CAST(2 * n_tot * agree"
+    " - (a1 + b1) * (2 * n_tot - (a1 + b1)) AS DOUBLE)"
+    " / CAST(2 * n_tot * n_tot"
+    " - (a1 + b1) * (2 * n_tot - (a1 + b1)) AS DOUBLE) AS gwet_ac1",
+]
+
+
+def gwet_ac1_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.selectExpr(
+        "CAST(n_chars >= 300 AS BIGINT) AS ra",
+        "CAST(size(split(text, ' ')) >= 50 AS BIGINT) AS rb",
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tot"),
+        F.sum(F.expr("CAST(ra = rb AS BIGINT)"))
+        .cast("bigint")
+        .alias("agree"),
+        F.sum("ra").cast("bigint").alias("a1"),
+        F.sum("rb").cast("bigint").alias("b1"),
+    )
+    return agg.selectExpr(*_AC1_FINAL)
+
+
+def _ac1_sql() -> str:
+    final = ",\n       ".join(_AC1_FINAL)
+    return f"""
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+         CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END
+           AS rb
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+         CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+           AS agree,
+         CAST(SUM(ra) AS BIGINT) AS a1,
+         CAST(SUM(rb) AS BIGINT) AS b1
+  FROM flags
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["gwet_ac1_docs"] = {
+    "fn": gwet_ac1_docs,
+    "sql": _ac1_sql(),
+}

@@ -852,3 +852,60 @@ def test_weibull_fit_matches_python(spark):
     assert abs(row["weibull_shape"] - shape) < 1e-3
     assert abs(row["weibull_ln_scale"] - ln_scale) < 1e-3
     assert row["weibull_shape"] > 0
+
+
+def test_bowker_symmetry_matches_python(spark):
+    from de4ml_spark.queries.statq5 import bowker_symmetry_transitions
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT user_id, event_type, ts, event_id
+        FROM '{SF}/events.parquet'
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    seqs = defaultdict(list)
+    for uid, et, ts, eid in rows:
+        seqs[uid].append(et)
+    c = Counter()
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            c[(a, b)] += 1
+    types = sorted({t for pair in c for t in pair})
+    chi2 = 0.0
+    df = 0
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            cij, cji = c.get((a, b), 0), c.get((b, a), 0)
+            if cij + cji == 0:
+                continue
+            df += 1
+            chi2 += (cij - cji) ** 2 / (cij + cji)
+    row = bowker_symmetry_transitions(spark, SF).collect()[0]
+    assert row["n_transitions"] == sum(c.values())
+    assert row["df_pairs"] == df
+    # per-pair micro quantization
+    assert abs(row["chi2_bowker"] - chi2) < 1e-4
+
+
+def test_gwet_ac1_matches_python(spark):
+    from de4ml_spark.queries.statq5 import gwet_ac1_docs
+
+    con = duckdb.connect()
+    flags = con.sql(
+        f"""SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END,
+            CASE WHEN len(string_split(text, ' ')) >= 50
+                 THEN 1 ELSE 0 END
+        FROM '{SF}/documents.parquet'"""
+    ).fetchall()
+    n = len(flags)
+    agree = sum(1 for a, b in flags if a == b)
+    p_a = agree / n
+    pi = (sum(a for a, _ in flags) + sum(b for _, b in flags)) / (2 * n)
+    p_e = 2 * pi * (1 - pi)
+    ac1 = (p_a - p_e) / (1 - p_e)
+    row = gwet_ac1_docs(spark, SF).collect()[0]
+    assert row["n_tot"] == n and row["agree"] == agree
+    assert abs(row["gwet_ac1"] - ac1) < 1e-12
