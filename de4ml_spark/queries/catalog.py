@@ -193,6 +193,7 @@ PRIORITY = [
     "hoeffding_d_lineitem",
     "bowker_symmetry_transitions",
     "gwet_ac1_docs",
+    "moran_geary_parts",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -1601,3 +1601,142 @@ REGISTRY["brand_assortativity_parts"] = {
     "fn": brand_assortativity_parts,
     "sql": _cat_assort_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Moran's I and Geary's C spatial autocorrelation of per-part net
+# revenue over the co-purchase graph (adjacency = binary weights): do
+# co-purchased parts earn similar revenue? With integer n-scaled
+# residuals z_i = n·x_i − Σx over the graph's node set (x = revenue
+# in e4 units), both statistics are exact-integer ratios:
+#   I = (n/(2m)) · 2Σ_e z_u z_v / Σ z²
+#   C = ((n−1) · Σ_e (z_u−z_v)²) / (2m · Σ z²)
+# — the n-scaling cancels. One edge join against the broadcast node
+# frame; every aggregate is edge- or node-bounded.
+# --------------------------------------------------------------------------
+
+
+def _moran_final(div: str) -> list[str]:
+    num_i = _w2d("s_zz", div)
+    num_c = _w2d("s_dz", div)
+    den = _w2d("s_z2", div)
+    return [
+        "n_nodes",
+        "m_edges",
+        f"(CAST(n_nodes AS DOUBLE) / (2.0 * CAST(m_edges AS DOUBLE)))"
+        f" * (2.0 * {num_i}) / {den} AS moran_i",
+        f"((CAST(n_nodes AS DOUBLE) - 1.0) * {num_c})"
+        f" / (2.0 * CAST(m_edges AS DOUBLE) * {den}) AS geary_c",
+    ]
+
+
+def moran_geary_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d,  # noqa: F401 (sibling helpers use module _w2d)
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = (
+        li.select("l_orderkey", "l_partkey").alias("a"),
+        li.select("l_orderkey", "l_partkey").alias("b"),
+    )
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    rev = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+            " AS DECIMAL(38,4)) * 10000 AS BIGINT)"
+        ).alias("x")
+    )
+    nodes = (
+        edges.selectExpr("src AS l_partkey")
+        .unionAll(edges.selectExpr("dst AS l_partkey"))
+        .distinct()
+        .join(rev, "l_partkey")
+    )
+    tot = nodes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("x").cast("bigint").alias("s_x"),
+    )
+    z = nodes.crossJoin(F.broadcast(tot)).selectExpr(
+        "l_partkey",
+        "n_nodes",
+        "CAST(n_nodes AS DECIMAL(38,0)) * x - s_x AS z",
+    )
+    zden = z.groupBy("n_nodes").agg(
+        F.sum(F.expr("z * z")).alias("s_z2")
+    )
+    zu = z.selectExpr("l_partkey AS src", "z AS z_u")
+    zv = z.selectExpr("l_partkey AS dst", "z AS z_v")
+    epairs = edges.join(zu, "src").join(zv, "dst")
+    enum_ = epairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_edges"),
+        F.sum(F.expr("z_u * z_v")).alias("s_zz"),
+        F.sum(F.expr("(z_u - z_v) * (z_u - z_v)")).alias("s_dz"),
+    )
+    out = zden.crossJoin(F.broadcast(enum_))
+    return out.selectExpr(*_moran_final("DIV"))
+
+
+def _moran_sql() -> str:
+    final = ",\n       ".join(_moran_final("//"))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+rev AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(38,4)) * 10000 AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+),
+nodes AS (
+  SELECT l_partkey, x FROM (
+    SELECT src AS l_partkey FROM edges
+    UNION
+    SELECT dst AS l_partkey FROM edges
+  ) JOIN rev USING (l_partkey)
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(x) AS BIGINT) AS s_x
+  FROM nodes
+),
+z AS (
+  SELECT l_partkey, n_nodes,
+         CAST(n_nodes AS HUGEINT) * x - s_x AS z
+  FROM nodes CROSS JOIN tot
+),
+zden AS (
+  SELECT n_nodes, SUM(z * z) AS s_z2 FROM z GROUP BY 1
+),
+enum_ AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+         SUM(zu.z * zv.z) AS s_zz,
+         SUM((zu.z - zv.z) * (zu.z - zv.z)) AS s_dz
+  FROM edges e
+  JOIN z zu ON zu.l_partkey = e.src
+  JOIN z zv ON zv.l_partkey = e.dst
+)
+SELECT {final}
+FROM zden CROSS JOIN enum_
+"""
+
+
+REGISTRY["moran_geary_parts"] = {
+    "fn": moran_geary_parts,
+    "sql": _moran_sql(),
+}

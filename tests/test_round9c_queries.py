@@ -909,3 +909,38 @@ def test_gwet_ac1_matches_python(spark):
     row = gwet_ac1_docs(spark, SF).collect()[0]
     assert row["n_tot"] == n and row["agree"] == agree
     assert abs(row["gwet_ac1"] - ac1) < 1e-12
+
+
+def test_moran_geary_matches_python(spark):
+    from de4ml_spark.queries.graphq import moran_geary_parts
+
+    con = duckdb.connect()
+    edges = con.sql(
+        f"""SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM '{SF}/lineitem.parquet' a
+        JOIN '{SF}/lineitem.parquet' b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey"""
+    ).fetchall()
+    rev = dict(
+        con.sql(
+            f"""SELECT l_partkey,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DECIMAL(38,4)) * 10000 AS BIGINT)
+            FROM '{SF}/lineitem.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    node_set = sorted({u for u, _ in edges} | {v for _, v in edges})
+    xs = {p: rev[p] for p in node_set}
+    n = len(node_set)
+    m = len(edges)
+    mean = sum(xs.values()) / n
+    den = sum((x - mean) ** 2 for x in xs.values())
+    s_zz = sum((xs[u] - mean) * (xs[v] - mean) for u, v in edges)
+    s_dz = sum((xs[u] - xs[v]) ** 2 for u, v in edges)
+    moran = (n / (2 * m)) * (2 * s_zz) / den
+    geary = ((n - 1) * s_dz) / (2 * m * den)
+    row = moran_geary_parts(spark, SF).collect()[0]
+    assert row["n_nodes"] == n and row["m_edges"] == m
+    assert abs(row["moran_i"] - moran) < 1e-9 * max(1.0, abs(moran))
+    assert abs(row["geary_c"] - geary) < 1e-9 * max(1.0, geary)
