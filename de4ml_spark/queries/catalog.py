@@ -194,6 +194,7 @@ PRIORITY = [
     "bowker_symmetry_transitions",
     "gwet_ac1_docs",
     "moran_geary_parts",
+    "poisson_bootstrap_value_mean",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -424,3 +424,169 @@ REGISTRY["weighted_reservoir_docs"] = {
     "fn": weighted_reservoir_docs,
     "sql": _weighted_reservoir_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval for the mean event value —
+# THE distributed bootstrap (Chamandy et al.): each of B replicates
+# weights every row by an independent Poisson(1) draw, so replicates
+# build in ONE pass with no resampling shuffle. Draws are
+# deterministic: the portable 59-bit md5 uniform per (rep, event)
+# against the EXACT integer thresholds of the Poisson(1) inverse CDF
+# (literals identical on both engines). Replicate means are half-up
+# micro-quantized exact integers; the CI frame is B = 32 rows, and
+# lower/upper are index-1 / index-30 of the sorted replicate means
+# (~the 2.5/97.5 percentiles at B = 32, documented convention).
+# --------------------------------------------------------------------------
+
+BOOT_REPS = 32
+# int(round(cum_cdf(Poisson(1), k) * 2^59)) for k = 0..7 (then cap)
+_POIS_T = [
+    212068059414652672,
+    424136118829305344,
+    530170148536631680,
+    565514825105740480,
+    574350994248017664,
+    576118228076473088,
+    576412767047882304,
+    576454844043797888,
+]
+
+
+def _pois_weight(h: str) -> str:
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"(CASE {branches} ELSE 8 END)"
+
+
+_BOOT_FINAL = [
+    "n_events",
+    "mean_value_cents",
+    "b_reps",
+    "ci_lo_cents",
+    "ci_hi_cents",
+]
+
+
+def poisson_bootstrap_value_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from de4ml_spark.operators.portable_hash import (
+        phash_spark_sql,
+        wide_halfup_div_sql as _whd,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    base = ev.selectExpr(
+        "event_id",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c",
+    )
+    h = phash_spark_sql(
+        "concat(CAST(r AS STRING), ':', CAST(event_id AS STRING))",
+        bits=59,
+    )
+    reps = base.selectExpr(
+        "event_id",
+        "v_c",
+        f"explode(sequence(0, {BOOT_REPS - 1})) AS r",
+    ).selectExpr("r", "v_c", f"{_pois_weight(h)} AS w")
+    per = reps.groupBy("r").agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * v_c")).alias("swx"),
+    )
+    means = per.selectExpr(
+        f"CAST({_whd('swx * 1000000', 'sw', 'DIV')} AS BIGINT)"
+        " AS mean_u"
+    )
+    wq = Window.partitionBy(F.lit(1)).orderBy("mean_u")
+    ranked = means.withColumn("rk", F.row_number().over(wq))
+    ci = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("b_reps"),
+        F.max(F.expr("CASE WHEN rk = 2 THEN mean_u END")).alias(
+            "lo_u"
+        ),
+        F.max(
+            F.expr(f"CASE WHEN rk = {BOOT_REPS - 1} THEN mean_u END")
+        ).alias("hi_u"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("v_c").cast("bigint").alias("sx"),
+    )
+    out = tot.crossJoin(F.broadcast(ci)).selectExpr(
+        "n_events",
+        "CAST(sx AS DOUBLE) / CAST(n_events AS DOUBLE)"
+        " AS mean_value_cents",
+        "b_reps",
+        "CAST(lo_u AS DOUBLE) / 1000000.0 AS ci_lo_cents",
+        "CAST(hi_u AS DOUBLE) / 1000000.0 AS ci_hi_cents",
+    )
+    return out.select(*_BOOT_FINAL)
+
+
+def _boot_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        phash_duck_sql,
+        wide_halfup_div_sql as _whd,
+    )
+
+    h = phash_duck_sql(
+        "concat(CAST(r AS STRING), ':', CAST(event_id AS STRING))",
+        bits=59,
+    )
+    return f"""
+WITH base AS (
+  SELECT event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+  FROM events WHERE value IS NOT NULL
+),
+reps AS (
+  SELECT r, v_c, {_pois_weight(h)} AS w
+  FROM base CROSS JOIN (
+    SELECT unnest(range(0, {BOOT_REPS})) AS r
+  )
+),
+per AS (
+  SELECT r, CAST(SUM(w) AS BIGINT) AS sw,
+         SUM(CAST(w AS HUGEINT) * v_c) AS swx
+  FROM reps GROUP BY 1
+),
+means AS (
+  SELECT CAST({_whd('swx * 1000000', 'sw', '//')} AS BIGINT)
+           AS mean_u
+  FROM per
+),
+ranked AS (
+  SELECT mean_u, ROW_NUMBER() OVER (ORDER BY mean_u) AS rk
+  FROM means
+),
+ci AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS b_reps,
+         MAX(CASE WHEN rk = 2 THEN mean_u END) AS lo_u,
+         MAX(CASE WHEN rk = {BOOT_REPS - 1} THEN mean_u END) AS hi_u
+  FROM ranked
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(v_c) AS BIGINT) AS sx
+  FROM base
+)
+SELECT n_events,
+       CAST(sx AS DOUBLE) / CAST(n_events AS DOUBLE)
+         AS mean_value_cents,
+       b_reps,
+       CAST(lo_u AS DOUBLE) / 1000000.0 AS ci_lo_cents,
+       CAST(hi_u AS DOUBLE) / 1000000.0 AS ci_hi_cents
+FROM tot CROSS JOIN ci
+"""
+
+
+REGISTRY["poisson_bootstrap_value_mean"] = {
+    "fn": poisson_bootstrap_value_mean,
+    "sql": _boot_sql(),
+}

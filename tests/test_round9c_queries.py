@@ -944,3 +944,52 @@ def test_moran_geary_matches_python(spark):
     assert row["n_nodes"] == n and row["m_edges"] == m
     assert abs(row["moran_i"] - moran) < 1e-9 * max(1.0, abs(moran))
     assert abs(row["geary_c"] - geary) < 1e-9 * max(1.0, geary)
+
+
+def test_poisson_bootstrap_matches_python(spark):
+    from de4ml_spark.queries.samplingq import (
+        BOOT_REPS,
+        _POIS_T,
+        poisson_bootstrap_value_mean,
+    )
+
+    import hashlib
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT event_id,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM '{SF}/events.parquet' WHERE value IS NOT NULL"""
+    ).fetchall()
+
+    def u59(r, eid):
+        h = hashlib.md5(f"{r}:{eid}".encode()).digest()
+        # little-endian int of the last 8 bytes, low 59 bits
+        return int.from_bytes(h[8:16], "little") & ((1 << 59) - 1)
+
+    def w(r, eid):
+        u = u59(r, eid)
+        for k, t in enumerate(_POIS_T):
+            if u < t:
+                return k
+        return 8
+
+    means = []
+    for r in range(BOOT_REPS):
+        sw = swx = 0
+        for eid, v in rows:
+            wt = w(r, eid)
+            sw += wt
+            swx += wt * v
+        # halfup micro
+        means.append((2 * swx * 1_000_000 + sw) // (2 * sw))
+    means.sort()
+    row = poisson_bootstrap_value_mean(spark, SF).collect()[0]
+    assert row["n_events"] == len(rows)
+    assert row["b_reps"] == BOOT_REPS
+    assert row["ci_lo_cents"] == means[1] / 1e6
+    assert row["ci_hi_cents"] == means[BOOT_REPS - 2] / 1e6
+    mean = sum(v for _, v in rows) / len(rows)
+    assert abs(row["mean_value_cents"] - mean) < 1e-9
+    # CI should bracket the point estimate
+    assert row["ci_lo_cents"] <= mean <= row["ci_hi_cents"]
