@@ -195,6 +195,8 @@ PRIORITY = [
     "gwet_ac1_docs",
     "moran_geary_parts",
     "poisson_bootstrap_value_mean",
+    "two_way_anova_daily",
+    "trimmed_mean_value_types",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

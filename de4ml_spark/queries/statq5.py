@@ -2560,3 +2560,230 @@ REGISTRY["gwet_ac1_docs"] = {
     "fn": gwet_ac1_docs,
     "sql": _ac1_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Two-way (randomized-block) ANOVA on the dense day × type grid —
+# days as blocks, types as treatments, no replication (so no
+# interaction term): rides the exact nk-scaled sums of squares of
+# icc_daily_types. F_types = A_c·(n−1)/A_e tests the treatment
+# effect Friedman tests nonparametrically; F_days = A_r·(k−1)/A_e is
+# the block effect. Both exact-integer ratios.
+# --------------------------------------------------------------------------
+
+
+def _anova2_final(div: str) -> list[str]:
+    ae = "(a_t - a_r - a_c)"
+    return [
+        "n_days",
+        "k_types",
+        f"{_w2d(f'CAST(k_types - 1 AS {_big(div)}) * a_r', div)}"
+        f" / {_w2d(ae, div)} AS f_days",
+        f"{_w2d(f'CAST(n_days - 1 AS {_big(div)}) * a_c', div)}"
+        f" / {_w2d(ae, div)} AS f_types",
+    ]
+
+
+def two_way_anova_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isNotNull())
+    counts = base.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    dims = counts.agg(
+        F.countDistinct("day").cast("bigint").alias("n_days"),
+        F.countDistinct("event_type").cast("bigint").alias("k_types"),
+        F.sum("c").cast("bigint").alias("g"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sc2"),
+    )
+    rows_ = (
+        counts.groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("t"))
+        .agg(F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t")).alias("st2"))
+    )
+    cols = (
+        counts.groupBy("event_type")
+        .agg(F.sum("c").cast("bigint").alias("cj"))
+        .agg(
+            F.sum(F.expr("CAST(cj AS DECIMAL(38,0)) * cj")).alias("sc2j")
+        )
+    )
+    ss = (
+        dims.crossJoin(F.broadcast(rows_))
+        .crossJoin(F.broadcast(cols))
+        .selectExpr(
+            "n_days",
+            "k_types",
+            "CAST(n_days AS DECIMAL(38,0)) * st2"
+            " - CAST(g AS DECIMAL(38,0)) * g AS a_r",
+            "CAST(k_types AS DECIMAL(38,0)) * sc2j"
+            " - CAST(g AS DECIMAL(38,0)) * g AS a_c",
+            "CAST(n_days AS DECIMAL(38,0)) * k_types * sc2"
+            " - CAST(g AS DECIMAL(38,0)) * g AS a_t",
+        )
+    )
+    return ss.selectExpr(*_anova2_final("DIV"))
+
+
+def _anova2_sql() -> str:
+    final = ",\n       ".join(_anova2_final("//"))
+    return f"""
+WITH counts AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k_types,
+         CAST(SUM(c) AS BIGINT) AS g,
+         SUM(CAST(c AS HUGEINT) * c) AS sc2
+  FROM counts
+),
+rows_ss AS (
+  SELECT SUM(CAST(t AS HUGEINT) * t) AS st2
+  FROM (SELECT day, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY 1)
+),
+cols_ss AS (
+  SELECT SUM(CAST(cj AS HUGEINT) * cj) AS sc2j
+  FROM (
+    SELECT event_type, CAST(SUM(c) AS BIGINT) AS cj
+    FROM counts GROUP BY 1
+  )
+),
+ss AS (
+  SELECT n_days, k_types,
+         CAST(n_days AS HUGEINT) * st2
+         - CAST(g AS HUGEINT) * g AS a_r,
+         CAST(k_types AS HUGEINT) * sc2j
+         - CAST(g AS HUGEINT) * g AS a_c,
+         CAST(n_days AS HUGEINT) * k_types * sc2
+         - CAST(g AS HUGEINT) * g AS a_t
+  FROM dims CROSS JOIN rows_ss CROSS JOIN cols_ss
+)
+SELECT {final}
+FROM ss
+"""
+
+
+REGISTRY["two_way_anova_daily"] = {
+    "fn": two_way_anova_daily,
+    "sql": _anova2_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# 10%-trimmed mean of `value` per event type: drop ⌊n/10⌋ rows from
+# each tail of the per-type cents histogram (positional overlap
+# arithmetic on the cum window — exact integers; the histogram is
+# the only shuffle), average the kept mass. The robust-location
+# companion of mad_price / mood_median.
+# --------------------------------------------------------------------------
+
+_TRIM_FINAL = [
+    "event_type",
+    "n_total",
+    "n_kept",
+    "CAST(s_kept AS DOUBLE) / CAST(n_kept AS DOUBLE)"
+    " AS trimmed_mean_cents",
+]
+
+
+def trimmed_mean_value_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_t")
+    )
+    g = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .join(tot, "event_type")
+        .selectExpr(
+            "event_type",
+            "n_t",
+            "v_c",
+            "c",
+            "cum",
+            "n_t DIV 10 AS k",
+        )
+    )
+    kept = g.selectExpr(
+        "event_type",
+        "n_t",
+        "v_c",
+        "GREATEST(CAST(0 AS BIGINT),"
+        " LEAST(cum, n_t - k) - GREATEST(cum - c + 1, k + 1) + 1)"
+        " AS kc",
+    )
+    agg = kept.groupBy("event_type").agg(
+        F.max("n_t").alias("n_total"),
+        F.sum("kc").cast("bigint").alias("n_kept"),
+        F.sum(F.expr("CAST(kc AS DECIMAL(38,0)) * v_c")).alias(
+            "s_kept"
+        ),
+    )
+    return agg.selectExpr(*_TRIM_FINAL).orderBy("event_type")
+
+
+def _trim_sql() -> str:
+    final = ",\n       ".join(_TRIM_FINAL)
+    return f"""
+WITH hist AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, v_c, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v_c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n_t
+  FROM hist
+),
+kept AS (
+  SELECT event_type, n_t, v_c,
+         GREATEST(CAST(0 AS BIGINT),
+           LEAST(cum, n_t - (n_t // 10))
+           - GREATEST(cum - c + 1, (n_t // 10) + 1) + 1) AS kc
+  FROM g
+),
+agg AS (
+  SELECT event_type,
+         CAST(MAX(n_t) AS BIGINT) AS n_total,
+         CAST(SUM(kc) AS BIGINT) AS n_kept,
+         SUM(CAST(kc AS HUGEINT) * v_c) AS s_kept
+  FROM kept GROUP BY 1
+)
+SELECT {final}
+FROM agg
+ORDER BY event_type
+"""
+
+
+REGISTRY["trimmed_mean_value_types"] = {
+    "fn": trimmed_mean_value_types,
+    "sql": _trim_sql(),
+}

@@ -993,3 +993,50 @@ def test_poisson_bootstrap_matches_python(spark):
     assert abs(row["mean_value_cents"] - mean) < 1e-9
     # CI should bracket the point estimate
     assert row["ci_lo_cents"] <= mean <= row["ci_hi_cents"]
+
+
+def test_two_way_anova_matches_python(spark):
+    from de4ml_spark.queries.statq5 import two_way_anova_daily
+
+    days, types, cnt = _day_type_counts()
+    n, k = len(days), len(types)
+    grid = {(d, t): cnt.get((d, t), 0) for d in days for t in types}
+    grand = sum(grid.values()) / (n * k)
+    ss_rows = k * sum(
+        (sum(grid[(d, t)] for t in types) / k - grand) ** 2
+        for d in days
+    )
+    ss_cols = n * sum(
+        (sum(grid[(d, t)] for d in days) / n - grand) ** 2
+        for t in types
+    )
+    ss_tot = sum((v - grand) ** 2 for v in grid.values())
+    ss_err = ss_tot - ss_rows - ss_cols
+    f_days = (ss_rows / (n - 1)) / (ss_err / ((n - 1) * (k - 1)))
+    f_types = (ss_cols / (k - 1)) / (ss_err / ((n - 1) * (k - 1)))
+    row = two_way_anova_daily(spark, SF).collect()[0]
+    assert row["n_days"] == n and row["k_types"] == k
+    assert abs(row["f_days"] - f_days) < 1e-9 * max(1.0, f_days)
+    assert abs(row["f_types"] - f_types) < 1e-9 * max(1.0, f_types)
+
+
+def test_trimmed_mean_matches_python(spark):
+    from de4ml_spark.queries.statq5 import trimmed_mean_value_types
+
+    s = _values_by_type("click", "purchase", "view", "add_to_cart",
+                        "refund")
+    rows = {
+        r["event_type"]: r
+        for r in trimmed_mean_value_types(spark, SF).collect()
+    }
+    for et, vals in s.items():
+        if not vals:
+            continue
+        n = len(vals)
+        k = n // 10
+        kept = vals[k : n - k]
+        r = rows[et]
+        assert r["n_total"] == n
+        assert r["n_kept"] == len(kept)
+        expect = sum(kept) / len(kept)
+        assert abs(r["trimmed_mean_cents"] - expect) < 1e-9 * expect
