@@ -197,6 +197,8 @@ PRIORITY = [
     "poisson_bootstrap_value_mean",
     "two_way_anova_daily",
     "trimmed_mean_value_types",
+    "chapman_overlap_sources",
+    "vocab_jaccard_sources",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -551,3 +551,199 @@ REGISTRY["heaps_law_sources"] = {
     "fn": heaps_law_sources,
     "sql": _heaps_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Chapman capture-recapture estimate of the shared-document universe
+# between the two largest sources: treating each source's exact
+# fingerprint set as one "capture", N̂ = (n1+1)(n2+1)/(m+1) − 1
+# estimates the true universe a dedup pipeline is sampling — the
+# coverage audit run before trusting cross-source dedup rates.
+# Fingerprints are md5(text) (exact-dup class); all counts exact,
+# one ratio. Sources are picked by doc count (ties by name) so the
+# entry is deterministic at any scale.
+# --------------------------------------------------------------------------
+
+_CHAPMAN_FINAL = [
+    "src_a",
+    "src_b",
+    "n1",
+    "n2",
+    "m_common",
+    "(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)"
+    " / CAST(m_common + 1 AS DOUBLE)) - 1.0 AS chapman_n_hat",
+]
+
+
+def chapman_overlap_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    top2 = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("source"))
+        .limit(2)
+        .selectExpr(
+            "source",
+            "row_number() OVER (ORDER BY n_docs DESC, source)"
+            " AS side",
+        )
+    )
+    fps = (
+        docs.join(F.broadcast(top2), "source")
+        .selectExpr("side", "md5(CAST(text AS BINARY)) AS fp")
+        .distinct()
+    )
+    names = top2.groupBy().agg(
+        F.max(F.expr("CASE WHEN side = 1 THEN source END")).alias(
+            "src_a"
+        ),
+        F.max(F.expr("CASE WHEN side = 2 THEN source END")).alias(
+            "src_b"
+        ),
+    )
+    counts = fps.groupBy("fp").agg(
+        F.sum(F.expr("CAST(side = 1 AS BIGINT)")).alias("in_a"),
+        F.sum(F.expr("CAST(side = 2 AS BIGINT)")).alias("in_b"),
+    ).agg(
+        F.sum("in_a").cast("bigint").alias("n1"),
+        F.sum("in_b").cast("bigint").alias("n2"),
+        F.sum(F.expr("CAST(in_a = 1 AND in_b = 1 AS BIGINT)"))
+        .cast("bigint")
+        .alias("m_common"),
+    )
+    return counts.crossJoin(F.broadcast(names)).selectExpr(
+        *_CHAPMAN_FINAL
+    )
+
+
+def _chapman_sql() -> str:
+    final = ",\n       ".join(_CHAPMAN_FINAL)
+    return f"""
+WITH top2 AS (
+  SELECT source,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, source) AS side
+  FROM documents GROUP BY source
+  ORDER BY COUNT(*) DESC, source LIMIT 2
+),
+fps AS (
+  SELECT DISTINCT side, md5(text) AS fp
+  FROM documents JOIN top2 USING (source)
+),
+names AS (
+  SELECT MAX(CASE WHEN side = 1 THEN source END) AS src_a,
+         MAX(CASE WHEN side = 2 THEN source END) AS src_b
+  FROM top2
+),
+counts AS (
+  SELECT CAST(SUM(in_a) AS BIGINT) AS n1,
+         CAST(SUM(in_b) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS m_common
+  FROM (
+    SELECT fp,
+           SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_a,
+           SUM(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS in_b
+    FROM fps GROUP BY 1
+  )
+)
+SELECT {final}
+FROM counts CROSS JOIN names
+"""
+
+
+REGISTRY["chapman_overlap_sources"] = {
+    "fn": chapman_overlap_sources,
+    "sql": _chapman_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Pairwise vocabulary Jaccard between sources: per unordered source
+# pair, |V_a ∩ V_b| / |V_a ∪ V_b| over distinct tokens. One explode
+# + distinct, then the per-token source LIST pair-explodes into the
+# (sources choose 2)-bounded pair frame — intersection counts come
+# from the token side, union by inclusion-exclusion; no token-level
+# join. The cross-source contamination screen beside
+# js_divergence_sources (mass overlap) and heaps_law_sources
+# (growth).
+# --------------------------------------------------------------------------
+
+_VOCAB_JACCARD_FINAL = [
+    "src_a",
+    "src_b",
+    "inter_v",
+    "union_v",
+    "CAST(inter_v AS DOUBLE) / CAST(union_v AS DOUBLE)"
+    " AS vocab_jaccard",
+]
+
+
+def vocab_jaccard_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).distinct()
+    sizes = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    a = tok.selectExpr("t", "source AS src_a")
+    b = tok.selectExpr("t", "source AS src_b")
+    inter = (
+        a.join(b, "t")
+        .filter("src_a < src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_v"))
+    )
+    sa = sizes.selectExpr("source AS src_a", "v AS va")
+    sb = sizes.selectExpr("source AS src_b", "v AS vb")
+    out = (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "inter_v",
+            "va + vb - inter_v AS union_v",
+        )
+    )
+    return out.selectExpr(*_VOCAB_JACCARD_FINAL).orderBy(
+        "src_a", "src_b"
+    )
+
+
+def _vocab_jaccard_sql() -> str:
+    final = ",\n       ".join(_VOCAB_JACCARD_FINAL)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT source, t
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+),
+sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM tok GROUP BY 1
+),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS inter_v
+  FROM tok a JOIN tok b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT {final}
+FROM (
+  SELECT src_a, src_b, inter_v, sa.v + sb.v - inter_v AS union_v
+  FROM inter
+  JOIN sizes sa ON sa.source = src_a
+  JOIN sizes sb ON sb.source = src_b
+)
+ORDER BY src_a, src_b
+"""
+
+
+REGISTRY["vocab_jaccard_sources"] = {
+    "fn": vocab_jaccard_sources,
+    "sql": _vocab_jaccard_sql(),
+}

@@ -1040,3 +1040,58 @@ def test_trimmed_mean_matches_python(spark):
         assert r["n_kept"] == len(kept)
         expect = sum(kept) / len(kept)
         assert abs(r["trimmed_mean_cents"] - expect) < 1e-9 * expect
+
+
+def test_chapman_overlap_matches_python(spark):
+    from de4ml_spark.queries.textq4 import chapman_overlap_sources
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+    import hashlib
+
+    by_src = Counter(s for s, _ in docs)
+    top2 = sorted(by_src.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    (sa, _), (sb, _) = top2
+    fa = {hashlib.md5(t.encode()).hexdigest() for s, t in docs if s == sa}
+    fb = {hashlib.md5(t.encode()).hexdigest() for s, t in docs if s == sb}
+    n1, n2, m = len(fa), len(fb), len(fa & fb)
+    n_hat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    row = chapman_overlap_sources(spark, SF).collect()[0]
+    assert (row["src_a"], row["src_b"]) == (sa, sb)
+    assert (row["n1"], row["n2"], row["m_common"]) == (n1, n2, m)
+    assert abs(row["chapman_n_hat"] - n_hat) < 1e-9 * max(1.0, n_hat)
+
+
+def test_vocab_jaccard_matches_python(spark):
+    from de4ml_spark.queries.textq4 import vocab_jaccard_sources
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    from collections import defaultdict
+
+    vocab = defaultdict(set)
+    for s, t in docs:
+        vocab[s].update(t.split(" "))
+    srcs = sorted(vocab)
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in vocab_jaccard_sources(spark, SF).collect()
+    }
+    n_pairs = 0
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                assert (a, b) not in rows
+                continue
+            n_pairs += 1
+            union = len(vocab[a] | vocab[b])
+            r = rows[(a, b)]
+            assert r["inter_v"] == inter and r["union_v"] == union
+            assert abs(r["vocab_jaccard"] - inter / union) < 1e-12
+    assert len(rows) == n_pairs
