@@ -199,6 +199,8 @@ PRIORITY = [
     "trimmed_mean_value_types",
     "chapman_overlap_sources",
     "vocab_jaccard_sources",
+    "brunner_munzel_value",
+    "dunn_posthoc_value_types",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -2787,3 +2787,253 @@ REGISTRY["trimmed_mean_value_types"] = {
     "fn": trimmed_mean_value_types,
     "sql": _trim_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Brunner-Munzel test (click vs purchase `value`) — the modern
+# replacement for Mann-Whitney under unequal variances AND unequal
+# shapes (lawstat::brunner.munzel.test parity). With doubled pooled
+# midranks R2_v and doubled within-group midranks W2_v (both from
+# the same histogram cums), the placement deltas d = R2 − W2 are
+# exact integers;
+#   BM = (m·S_b − n·S_a) / (N·√(V_a/(m−1) + V_b/(n−1)))
+# with S_i = Σ d_i (doubled-rank sums) and V_i = n_i·Σd² − (Σd)²
+# the n_i-scaled variance numerators — one IEEE chain.
+# --------------------------------------------------------------------------
+
+
+def _bm_final(div: str) -> list[str]:
+    va = _w2d("v_a", div)
+    vb = _w2d("v_b", div)
+    return [
+        "n_a",
+        "n_b",
+        # numerator carries the within-rank mean offset n_a·n_b·(n_b −
+        # n_a), which cancels ONLY for equal sample sizes — dropping it
+        # was caught by the pure-Python recompute test
+        "CAST(n_a * sb2 - n_b * sa2 + n_a * n_b * (n_b - n_a)"
+        " AS DOUBLE)"
+        f" / (CAST(n_a + n_b AS DOUBLE) * sqrt({va}"
+        f" / (CAST(n_a AS DOUBLE) - 1.0) + {vb}"
+        " / (CAST(n_b AS DOUBLE) - 1.0))) AS w_brunner_munzel",
+    ]
+
+
+def brunner_munzel_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    byval = _two_sample_hist(spark, sf_dir)
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = byval.withColumn("ca", F.sum("a_n").over(wcum)).withColumn(
+        "cb", F.sum("b_n").over(wcum)
+    )
+    # doubled pooled midrank minus doubled within-group midrank =
+    # doubled placement vs the OTHER sample (constant per value)
+    d = cum.selectExpr(
+        "a_n",
+        "b_n",
+        # pooled R2 = 2*(ca+cb - a_n - b_n) + (a_n + b_n) + 1;
+        # within-a W2 = 2*(ca - a_n) + a_n + 1  =>  d_a = 2*(cb-b_n)+b_n
+        "2 * (cb - b_n) + b_n AS d_a",
+        "2 * (ca - a_n) + a_n AS d_b",
+    )
+    agg = d.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum("b_n").cast("bigint").alias("n_b"),
+        F.sum(F.expr("a_n * d_a")).cast("bigint").alias("sa2"),
+        F.sum(F.expr("b_n * d_b")).cast("bigint").alias("sb2"),
+        F.sum(F.expr("CAST(a_n AS DECIMAL(38,0)) * d_a * d_a")).alias(
+            "sa2sq"
+        ),
+        F.sum(F.expr("CAST(b_n AS DECIMAL(38,0)) * d_b * d_b")).alias(
+            "sb2sq"
+        ),
+    )
+    staged = agg.selectExpr(
+        "n_a",
+        "n_b",
+        "sa2",
+        "sb2",
+        "CAST(n_a AS DECIMAL(38,0)) * sa2sq"
+        " - CAST(sa2 AS DECIMAL(38,0)) * sa2 AS v_a",
+        "CAST(n_b AS DECIMAL(38,0)) * sb2sq"
+        " - CAST(sb2 AS DECIMAL(38,0)) * sb2 AS v_b",
+    )
+    return staged.selectExpr(*_bm_final("DIV"))
+
+
+def _bm_sql() -> str:
+    final = ",\n       ".join(_bm_final("//"))
+    return f"""
+WITH {_TWO_SAMPLE_HIST_SQL},
+cum AS (
+  SELECT v_c, a_n, b_n,
+         SUM(a_n) OVER w AS ca,
+         SUM(b_n) OVER w AS cb
+  FROM byval
+  WINDOW w AS (ORDER BY v_c
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT a_n, b_n,
+         2 * (cb - b_n) + b_n AS d_a,
+         2 * (ca - a_n) + a_n AS d_b
+  FROM cum
+),
+agg AS (
+  SELECT CAST(SUM(a_n) AS BIGINT) AS n_a,
+         CAST(SUM(b_n) AS BIGINT) AS n_b,
+         CAST(SUM(a_n * d_a) AS BIGINT) AS sa2,
+         CAST(SUM(b_n * d_b) AS BIGINT) AS sb2,
+         SUM(CAST(a_n AS HUGEINT) * d_a * d_a) AS sa2sq,
+         SUM(CAST(b_n AS HUGEINT) * d_b * d_b) AS sb2sq
+  FROM d
+),
+staged AS (
+  SELECT n_a, n_b, sa2, sb2,
+         CAST(n_a AS HUGEINT) * sa2sq
+         - CAST(sa2 AS HUGEINT) * sa2 AS v_a,
+         CAST(n_b AS HUGEINT) * sb2sq
+         - CAST(sb2 AS HUGEINT) * sb2 AS v_b
+  FROM agg
+)
+SELECT {final}
+FROM staged
+"""
+
+
+REGISTRY["brunner_munzel_value"] = {
+    "fn": brunner_munzel_value,
+    "sql": _bm_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Dunn's post-hoc test after Kruskal-Wallis: pairwise z for every
+# event-type pair from the pooled midranks of `value`, with the
+# standard tie correction. Doubled midranks R2 per (type, value)
+# come from the pooled histogram cum; per-type doubled rank sums and
+# the pooled tie term T = Σ(t³−t) are exact integers; each pair's
+#   z = (R̄_i − R̄_j) / √((N(N+1)/12 − T/(12(N−1)))·(1/n_i + 1/n_j))
+# is one IEEE chain over the k(k−1)/2 ≤ 10-row pair frame.
+# --------------------------------------------------------------------------
+
+_DUNN_FINAL = [
+    "type_a",
+    "type_b",
+    "n_a",
+    "n_b",
+    "(CAST(s_a AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE))"
+    " - CAST(s_b AS DOUBLE) / (2.0 * CAST(n_b AS DOUBLE)))"
+    " / sqrt((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 12.0"
+    " - CAST(tie_t AS DOUBLE) / (12.0 * (CAST(nn AS DOUBLE) - 1.0)))"
+    " * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    " AS z_dunn",
+]
+
+
+def dunn_posthoc_value_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pooled = hist.groupBy("v_c").agg(
+        F.sum("c").cast("bigint").alias("pc")
+    )
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pr = pooled.withColumn("cum", F.sum("pc").over(wcum)).selectExpr(
+        "v_c", "pc", "2 * (cum - pc) + pc + 1 AS r2"
+    )
+    per = (
+        hist.join(F.broadcast(pr.select("v_c", "r2")), "v_c")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_i"),
+            F.sum(F.expr("c * r2")).cast("bigint").alias("s_i"),
+        )
+    )
+    ties = pr.agg(
+        F.sum(
+            F.expr("CAST(pc AS DECIMAL(38,0)) * pc * pc - pc")
+        ).alias("tie_w"),
+        F.sum("pc").cast("bigint").alias("nn"),
+    ).selectExpr("CAST(tie_w AS BIGINT) AS tie_t", "nn")
+    a = per.selectExpr(
+        "event_type AS type_a", "n_i AS n_a", "s_i AS s_a"
+    )
+    b = per.selectExpr(
+        "event_type AS type_b", "n_i AS n_b", "s_i AS s_b"
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.expr("type_a < type_b"))
+        .crossJoin(F.broadcast(ties))
+    )
+    return pairs.selectExpr(*_DUNN_FINAL).orderBy(
+        "type_a", "type_b"
+    )
+
+
+def _dunn_sql() -> str:
+    final = ",\n       ".join(_DUNN_FINAL)
+    return f"""
+WITH hist AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT v_c, pc,
+         2 * (SUM(pc) OVER (ORDER BY v_c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - pc)
+         + pc + 1 AS r2
+  FROM (SELECT v_c, CAST(SUM(c) AS BIGINT) AS pc
+        FROM hist GROUP BY 1)
+),
+per AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS n_i,
+         CAST(SUM(c * r2) AS BIGINT) AS s_i
+  FROM hist JOIN pr USING (v_c)
+  GROUP BY 1
+),
+ties AS (
+  SELECT CAST(SUM(CAST(pc AS HUGEINT) * pc * pc - pc) AS BIGINT)
+           AS tie_t,
+         CAST(SUM(pc) AS BIGINT) AS nn
+  FROM pr
+)
+SELECT {final}
+FROM (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n_i AS n_a, b.n_i AS n_b, a.s_i AS s_a, b.s_i AS s_b
+  FROM per a JOIN per b ON a.event_type < b.event_type
+) CROSS JOIN ties
+ORDER BY type_a, type_b
+"""
+
+
+REGISTRY["dunn_posthoc_value_types"] = {
+    "fn": dunn_posthoc_value_types,
+    "sql": _dunn_sql(),
+}

@@ -1023,8 +1023,8 @@ def test_two_way_anova_matches_python(spark):
 def test_trimmed_mean_matches_python(spark):
     from de4ml_spark.queries.statq5 import trimmed_mean_value_types
 
-    s = _values_by_type("click", "purchase", "view", "add_to_cart",
-                        "refund")
+    s = _values_by_type("signup", "click", "error", "view",
+                        "purchase")
     rows = {
         r["event_type"]: r
         for r in trimmed_mean_value_types(spark, SF).collect()
@@ -1095,3 +1095,81 @@ def test_vocab_jaccard_matches_python(spark):
             assert r["inter_v"] == inter and r["union_v"] == union
             assert abs(r["vocab_jaccard"] - inter / union) < 1e-12
     assert len(rows) == n_pairs
+
+
+def test_brunner_munzel_matches_python(spark):
+    from de4ml_spark.queries.statq5 import brunner_munzel_value
+
+    s = _values_by_type("click", "purchase")
+    a, b = s["click"], s["purchase"]
+    m, n = len(a), len(b)
+    pooled = sorted(a + b)
+
+    def midranks(sample, within):
+        import bisect
+
+        out = []
+        wsorted = sorted(within)
+        for x in sample:
+            pl = bisect.bisect_left(pooled, x)
+            pr_ = bisect.bisect_right(pooled, x)
+            r_pooled = pl + (pr_ - pl + 1) / 2
+            wl = bisect.bisect_left(wsorted, x)
+            wr = bisect.bisect_right(wsorted, x)
+            r_within = wl + (wr - wl + 1) / 2
+            out.append(r_pooled - r_within)
+        return out
+
+    d_a = midranks(a, a)
+    d_b = midranks(b, b)
+
+    def svar(xs):
+        mu = sum(xs) / len(xs)
+        return sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+
+    r1m = sum(d_a) / m + (m + 1) / 2
+    r2m = sum(d_b) / n + (n + 1) / 2
+    v1, v2 = svar(d_a), svar(d_b)
+    # lawstat form: W = m*n*(r2m - r1m)/((m+n)*sqrt(m*v1 + n*v2))
+    w = m * n * (r2m - r1m) / ((m + n) * math.sqrt(m * v1 + n * v2))
+    row = brunner_munzel_value(spark, SF).collect()[0]
+    assert row["n_a"] == m and row["n_b"] == n
+    assert abs(row["w_brunner_munzel"] - w) < 1e-9 * max(1.0, abs(w))
+
+
+def test_dunn_posthoc_matches_python(spark):
+    from de4ml_spark.queries.statq5 import dunn_posthoc_value_types
+
+    s = _values_by_type(
+        "signup", "click", "error", "view", "purchase"
+    )
+    pooled = sorted(v for vals in s.values() for v in vals)
+    n_tot = len(pooled)
+    import bisect
+    from collections import Counter
+
+    def midrank_sum(vals):
+        out = 0.0
+        for x in vals:
+            lo = bisect.bisect_left(pooled, x)
+            hi = bisect.bisect_right(pooled, x)
+            out += lo + (hi - lo + 1) / 2
+        return out
+
+    rbar = {t: midrank_sum(v) / len(v) for t, v in s.items() if v}
+    tie_t = sum(c**3 - c for c in Counter(pooled).values())
+    var_base = n_tot * (n_tot + 1) / 12 - tie_t / (12 * (n_tot - 1))
+    rows = {
+        (r["type_a"], r["type_b"]): r
+        for r in dunn_posthoc_value_types(spark, SF).collect()
+    }
+    types = sorted(rbar)
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            z = (rbar[ta] - rbar[tb]) / math.sqrt(
+                var_base * (1 / len(s[ta]) + 1 / len(s[tb]))
+            )
+            r = rows[(ta, tb)]
+            assert r["n_a"] == len(s[ta]) and r["n_b"] == len(s[tb])
+            assert abs(r["z_dunn"] - z) < 1e-9 * max(1.0, abs(z))
