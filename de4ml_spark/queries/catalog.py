@@ -201,6 +201,8 @@ PRIORITY = [
     "vocab_jaccard_sources",
     "brunner_munzel_value",
     "dunn_posthoc_value_types",
+    "seasonal_mann_kendall_daily",
+    "cucconi_value",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -3037,3 +3037,245 @@ REGISTRY["dunn_posthoc_value_types"] = {
     "fn": dunn_posthoc_value_types,
     "sql": _dunn_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Seasonal Mann-Kendall trend test (Hirsch-Slack) on daily event
+# counts with day-of-week seasons: within each weekday, the usual MK
+# kernel S_s = Σ_{i<j} sgn(c_j − c_i), with per-season tie-corrected
+# variances Var_s = [n_s(n_s−1)(2n_s+5) − Σt(t−1)(2t+5)]/18;
+# S = ΣS_s, Var = ΣVar_s (seasons independent under H₀),
+# z = (S ∓ 1)/√Var (continuity-corrected). Removes the weekly cycle
+# that inflates plain mann_kendall_daily. Pair frames are per-season
+# (calendar²/49), exact integers throughout; one IEEE tail.
+# --------------------------------------------------------------------------
+
+_SMK_FINAL = [
+    "n_days",
+    "s_stat",
+    "CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)"
+    " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+    " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)"
+    " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+    " ELSE 0.0 END AS z_seasonal_mk",
+]
+
+
+def seasonal_mann_kendall_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).selectExpr("day", "c", "dayofweek(day) AS season")
+    a = daily.selectExpr("season", "day AS da", "c AS ca")
+    b = daily.selectExpr("season", "day AS db", "c AS cb")
+    s = (
+        a.join(b, "season")
+        .filter("da < db")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(cb > ca AS BIGINT) - CAST(cb < ca AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    per_season = daily.groupBy("season").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    )
+    ties = (
+        daily.groupBy("season", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("season")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)"
+                )
+            ).alias("tsum")
+        )
+    )
+    var18 = (
+        per_season.join(ties, "season")
+        .selectExpr(
+            "ns",
+            "CAST(ns AS DECIMAL(38,0)) * (ns - 1) * (2 * ns + 5)"
+            " - tsum AS v18",
+        )
+        .agg(
+            F.sum("ns").cast("bigint").alias("n_days"),
+            F.sum("v18").alias("var18"),
+        )
+    )
+    return s.crossJoin(F.broadcast(var18)).selectExpr(*_SMK_FINAL)
+
+
+def _smk_sql() -> str:
+    final = ",\n       ".join(_SMK_FINAL)
+    return f"""
+WITH daily AS (
+  SELECT day, c, dayofweek(day) + 1 AS season
+  FROM (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+  )
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM daily a JOIN daily b
+    ON a.season = b.season AND a.day < b.day
+),
+ties AS (
+  SELECT season,
+         SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tsum
+  FROM (SELECT season, c, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+),
+per_season AS (
+  SELECT season, CAST(COUNT(*) AS BIGINT) AS ns FROM daily GROUP BY 1
+),
+var18 AS (
+  SELECT CAST(SUM(ns) AS BIGINT) AS n_days,
+         SUM(CAST(ns AS HUGEINT) * (ns - 1) * (2 * ns + 5) - tsum)
+           AS var18
+  FROM per_season JOIN ties USING (season)
+)
+SELECT {final}
+FROM s CROSS JOIN var18
+"""
+
+
+REGISTRY["seasonal_mann_kendall_daily"] = {
+    "fn": seasonal_mann_kendall_daily,
+    "sql": _smk_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Cucconi joint location-scale test (click vs purchase `value`) —
+# the modern one-shot alternative to running Wilcoxon + Ansari
+# separately (Lepage's pair): with pooled midranks R of sample B and
+# contrary ranks N+1−R,
+#   U = (6ΣR² − n(N+1)(2N+1)) / √(mn(N+1)(2N+1)(8N+11)/5),
+#   V the same on contrary ranks,
+#   ρ = 2(N²−4)/((2N+1)(8N+11)) − 1,
+#   C = (U² + V² − 2ρUV) / (2(1−ρ²)).
+# Doubled midranks keep ΣR² = Σ b_v·R2²/4 exact (quarter-scaled
+# integers); one IEEE chain. Ties use midranks (documented — the
+# permutation-exact version is test-scale only).
+# --------------------------------------------------------------------------
+
+
+def _cucconi_final(div: str) -> list[str]:
+    sr2 = _w2d("sr2q", div)  # 4·ΣR²
+    sc2 = _w2d("sc2q", div)  # 4·Σ(N+1−R)²
+    u = (
+        f"((6.0 * {sr2} / 4.0 - CAST(n_b AS DOUBLE)"
+        " * CAST(nn + 1 AS DOUBLE) * CAST(2 * nn + 1 AS DOUBLE))"
+        " / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+        " * CAST(nn + 1 AS DOUBLE) * CAST(2 * nn + 1 AS DOUBLE)"
+        " * CAST(8 * nn + 11 AS DOUBLE) / 5.0))"
+    )
+    v = (
+        f"((6.0 * {sc2} / 4.0 - CAST(n_b AS DOUBLE)"
+        " * CAST(nn + 1 AS DOUBLE) * CAST(2 * nn + 1 AS DOUBLE))"
+        " / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+        " * CAST(nn + 1 AS DOUBLE) * CAST(2 * nn + 1 AS DOUBLE)"
+        " * CAST(8 * nn + 11 AS DOUBLE) / 5.0))"
+    )
+    rho = (
+        "(2.0 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 4.0)"
+        " / (CAST(2 * nn + 1 AS DOUBLE) * CAST(8 * nn + 11 AS DOUBLE))"
+        " - 1.0)"
+    )
+    return [
+        "n_a",
+        "n_b",
+        f"{u} AS u_loc",
+        f"{v} AS v_scale",
+        f"(({u}) * ({u}) + ({v}) * ({v})"
+        f" - 2.0 * {rho} * ({u}) * ({v}))"
+        f" / (2.0 * (1.0 - {rho} * {rho})) AS cucconi_c",
+    ]
+
+
+def cucconi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    byval = _two_sample_hist(spark, sf_dir)
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = byval.withColumn("ca", F.sum("a_n").over(wcum)).withColumn(
+        "cb", F.sum("b_n").over(wcum)
+    )
+    totals = byval.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum("b_n").cast("bigint").alias("n_b"),
+    )
+    g = cum.crossJoin(F.broadcast(totals)).selectExpr(
+        "b_n",
+        "n_a",
+        "n_b",
+        "n_a + n_b AS nn",
+        # doubled pooled midrank of the value group
+        "2 * (ca + cb - a_n - b_n) + (a_n + b_n) + 1 AS r2",
+    )
+    agg = g.groupBy("n_a", "n_b", "nn").agg(
+        F.sum(F.expr("CAST(b_n AS DECIMAL(38,0)) * r2 * r2")).alias(
+            "sr2q"
+        ),
+        F.sum(
+            F.expr(
+                "CAST(b_n AS DECIMAL(38,0))"
+                " * (2 * (nn + 1) - r2) * (2 * (nn + 1) - r2)"
+            )
+        ).alias("sc2q"),
+    )
+    return agg.selectExpr(*_cucconi_final("DIV"))
+
+
+def _cucconi_sql() -> str:
+    final = ",\n       ".join(_cucconi_final("//"))
+    return f"""
+WITH {_TWO_SAMPLE_HIST_SQL},
+cum AS (
+  SELECT v_c, a_n, b_n,
+         SUM(a_n) OVER w AS ca,
+         SUM(b_n) OVER w AS cb
+  FROM byval
+  WINDOW w AS (ORDER BY v_c
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+totals AS (
+  SELECT CAST(SUM(a_n) AS BIGINT) AS n_a,
+         CAST(SUM(b_n) AS BIGINT) AS n_b
+  FROM byval
+),
+g AS (
+  SELECT b_n, n_a, n_b, n_a + n_b AS nn,
+         2 * (ca + cb - a_n - b_n) + (a_n + b_n) + 1 AS r2
+  FROM cum CROSS JOIN totals
+),
+agg AS (
+  SELECT n_a, n_b, nn,
+         SUM(CAST(b_n AS HUGEINT) * r2 * r2) AS sr2q,
+         SUM(CAST(b_n AS HUGEINT)
+             * (2 * (nn + 1) - r2) * (2 * (nn + 1) - r2)) AS sc2q
+  FROM g GROUP BY 1, 2, 3
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["cucconi_value"] = {
+    "fn": cucconi_value,
+    "sql": _cucconi_sql(),
+}

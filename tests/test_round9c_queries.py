@@ -1173,3 +1173,70 @@ def test_dunn_posthoc_matches_python(spark):
             r = rows[(ta, tb)]
             assert r["n_a"] == len(s[ta]) and r["n_b"] == len(s[tb])
             assert abs(r["z_dunn"] - z) < 1e-9 * max(1.0, abs(z))
+
+
+def test_seasonal_mann_kendall_matches_python(spark):
+    from de4ml_spark.queries.statq5 import seasonal_mann_kendall_daily
+
+    daily = _daily_counts_9c()
+    from collections import Counter, defaultdict
+
+    seasons = defaultdict(list)
+    for d in sorted(daily):
+        seasons[d.isoweekday()].append(daily[d])
+    s_stat = 0
+    var18 = 0
+    n_days = 0
+    for vals in seasons.values():
+        n = len(vals)
+        n_days += n
+        for i in range(n):
+            for j in range(i + 1, n):
+                s_stat += (vals[j] > vals[i]) - (vals[j] < vals[i])
+        tsum = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(vals).values()
+        )
+        var18 += n * (n - 1) * (2 * n + 5) - tsum
+    var = var18 / 18
+    if s_stat > 0:
+        z = (s_stat - 1) / math.sqrt(var)
+    elif s_stat < 0:
+        z = (s_stat + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    row = seasonal_mann_kendall_daily(spark, SF).collect()[0]
+    assert row["n_days"] == n_days
+    assert row["s_stat"] == s_stat
+    assert abs(row["z_seasonal_mk"] - z) < 1e-12
+
+
+def test_cucconi_matches_python(spark):
+    from de4ml_spark.queries.statq5 import cucconi_value
+
+    s = _values_by_type("click", "purchase")
+    a, b = s["click"], s["purchase"]
+    m, n = len(a), len(b)
+    nn = m + n
+    pooled = sorted(a + b)
+    import bisect
+
+    def midrank(x):
+        lo = bisect.bisect_left(pooled, x)
+        hi = bisect.bisect_right(pooled, x)
+        return lo + (hi - lo + 1) / 2
+
+    ranks_b = [midrank(x) for x in b]
+    sr2 = sum(r * r for r in ranks_b)
+    sc2 = sum((nn + 1 - r) ** 2 for r in ranks_b)
+    den = math.sqrt(m * n * (nn + 1) * (2 * nn + 1) * (8 * nn + 11) / 5)
+    u = (6 * sr2 - n * (nn + 1) * (2 * nn + 1)) / den
+    v = (6 * sc2 - n * (nn + 1) * (2 * nn + 1)) / den
+    rho = 2 * (nn * nn - 4) / ((2 * nn + 1) * (8 * nn + 11)) - 1
+    c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    row = cucconi_value(spark, SF).collect()[0]
+    assert row["n_a"] == m and row["n_b"] == n
+    assert abs(row["u_loc"] - u) < 1e-9 * max(1.0, abs(u))
+    assert abs(row["v_scale"] - v) < 1e-9 * max(1.0, abs(v))
+    assert abs(row["cucconi_c"] - c) < 1e-9 * max(1.0, abs(c))
+    assert row["cucconi_c"] >= 0
