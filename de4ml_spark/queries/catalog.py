@@ -73,6 +73,10 @@ def _registries() -> list[dict]:
 # Below the boundary: round-5, round-6, round-7, then round-8 evidence
 # at the very back (newest first-hand evidence last). Evidence age
 # after round 8: every entry has driver evidence from round 5 or later.
+# Round-9b/9c additions (ols_daily_trend ... cucconi_value, ~60
+# entries) sit AFTER the 50-prefix in section (2) — they carry
+# this-session sf0.01+sf0.001 local oracle evidence plus pure-Python
+# recompute tests, and are the round-10 rotation's graded prefix.
 PRIORITY = [
     # -- (1) re-grade: rank.py internals changed this round
     "quantile_normalize_docs",
