@@ -207,6 +207,8 @@ PRIORITY = [
     "dunn_posthoc_value_types",
     "seasonal_mann_kendall_daily",
     "cucconi_value",
+    "uncertainty_coeff_dow_type",
+    "youden_threshold_value",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

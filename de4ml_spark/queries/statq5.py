@@ -3279,3 +3279,261 @@ REGISTRY["cucconi_value"] = {
     "fn": cucconi_value,
     "sql": _cucconi_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Theil's uncertainty coefficient U(type | weekday) — the
+# information-theoretic companion of cramers_v (symmetric) and
+# gk_lambda (error-reduction): U = I(X;Y)/H(X) with
+# H(X) = Σ_x (c_x/N)·ln(N/c_x) and I = Σ_xy (c_xy/N)·ln(N·c_xy/
+# (c_x·c_y)). Every ln rides the portable-ln on exact integer
+# rationals, micro-quantized, weighted by exact counts — the final
+# value is one ratio of two exact micro-sums. Cell frame is
+# 7 × k-bounded.
+# --------------------------------------------------------------------------
+
+_UNCERT_FINAL = [
+    "n_events",
+    "CAST(mi_u AS DOUBLE) / CAST(hx_u AS DOUBLE)"
+    " AS uncertainty_coefficient",
+    "CAST(mi_u AS DOUBLE) / (CAST(n_events AS DOUBLE) * 1000000.0)"
+    " AS mutual_info_nats",
+]
+
+
+def uncertainty_coeff_dow_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    cells = ev.groupBy(
+        F.expr("dayofweek(CAST(ts AS DATE))").alias("dow"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rows_ = cells.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("cx")
+    )
+    cols = cells.groupBy("dow").agg(
+        F.sum("c").cast("bigint").alias("cy")
+    )
+    tot = cells.agg(F.sum("c").cast("bigint").alias("nn"))
+    j = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    # I-term: ln(N·c_xy / (c_x·c_y)) — sign varies, ordered-pair ln
+    ji = j.selectExpr(
+        "c",
+        "nn",
+        "CAST(nn AS DECIMAL(38,0)) * c AS p_num",
+        "CAST(cx AS DECIMAL(38,0)) * cy AS p_den",
+    )
+    li = with_portable_ln(
+        ji,
+        "CASE WHEN p_num >= p_den THEN p_num ELSE p_den END",
+        "CASE WHEN p_num >= p_den THEN p_den ELSE p_num END",
+        "__lnr",
+    ).selectExpr(
+        "nn",
+        "CAST(c AS DECIMAL(38,0))"
+        " * CAST(floor((CASE WHEN p_num >= p_den THEN __lnr"
+        " ELSE -__lnr END) * 1000000.0 + 0.5) AS BIGINT) AS mi_term",
+    )
+    mi = li.groupBy("nn").agg(
+        F.sum("mi_term").alias("mi_w")
+    ).selectExpr("nn", "CAST(mi_w AS DECIMAL(38,0)) AS mi_u")
+    # H(X): Σ c_x · ln(N / c_x), micro-quantized
+    hx_j = rows_.crossJoin(F.broadcast(tot))
+    hx = with_portable_ln(hx_j, "nn", "cx", "__lnh").selectExpr(
+        "CAST(cx AS DECIMAL(38,0))"
+        " * CAST(floor(__lnh * 1000000.0 + 0.5) AS BIGINT) AS h_term"
+    ).agg(F.sum("h_term").alias("hx_w"))
+    out = mi.crossJoin(F.broadcast(hx)).selectExpr(
+        "nn AS n_events",
+        "mi_u",
+        "CAST(hx_w AS DECIMAL(38,0)) AS hx_u",
+    )
+    return out.selectExpr(*_UNCERT_FINAL)
+
+
+def _uncert_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+    )
+
+    lni = portable_ln_duck_ctes(
+        "ji",
+        "c, nn, p_num, p_den",
+        "CASE WHEN p_num >= p_den THEN p_num ELSE p_den END",
+        "CASE WHEN p_num >= p_den THEN p_den ELSE p_num END",
+        "__lnr",
+        "ui",
+    )
+    lnh = portable_ln_duck_ctes(
+        "hx_j", "cx", "nn", "cx", "__lnh", "uh"
+    )
+    final = ",\n       ".join(_UNCERT_FINAL)
+    return f"""
+WITH cells AS (
+  SELECT dayofweek(CAST(ts AS DATE)) + 1 AS dow, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS cx
+  FROM cells GROUP BY 1
+),
+cols AS (
+  SELECT dow, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cells),
+ji AS (
+  SELECT c, nn,
+         CAST(nn AS HUGEINT) * c AS p_num,
+         CAST(cx AS HUGEINT) * cy AS p_den
+  FROM cells JOIN rows_ USING (event_type) JOIN cols USING (dow)
+  CROSS JOIN tot
+),
+{lni},
+mi AS (
+  SELECT nn,
+         CAST(SUM(CAST(c AS HUGEINT)
+              * CAST(floor((CASE WHEN p_num >= p_den THEN __lnr
+                ELSE -__lnr END) * 1000000.0 + 0.5) AS BIGINT))
+              AS HUGEINT) AS mi_u
+  FROM ui_out GROUP BY 1
+),
+hx_j AS (SELECT cx, nn FROM rows_ CROSS JOIN tot),
+{lnh},
+hx AS (
+  SELECT CAST(SUM(CAST(cx AS HUGEINT)
+              * CAST(floor(__lnh * 1000000.0 + 0.5) AS BIGINT))
+              AS HUGEINT) AS hx_u
+  FROM uh_out
+)
+SELECT {final}
+FROM (SELECT nn AS n_events, mi_u, hx_u FROM mi CROSS JOIN hx)
+"""
+
+
+REGISTRY["uncertainty_coeff_dow_type"] = {
+    "fn": uncertainty_coeff_dow_type,
+    "sql": _uncert_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Youden-J optimal threshold separating click vs purchase on `value`:
+# J(θ) = TPR(θ) − FPR(θ) is maximized exactly where the class-
+# conditional CDF gap |F_a − F_b| peaks (the KS argmax), so the
+# threshold pops out of the SAME bounded-histogram cum window —
+# integer argmax, ties broken to the smallest cents value
+# (deterministic). Emits the threshold, J, and the confusion counts
+# at the optimum — the operating-point report an ML pipeline
+# publishes beside auc_roc_events.
+# --------------------------------------------------------------------------
+
+_YOUDEN_FINAL = [
+    "threshold_cents",
+    "n_a",
+    "n_b",
+    "tp",
+    "fp",
+    "CAST(j_num AS DOUBLE)"
+    " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS youden_j",
+]
+
+
+def youden_threshold_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    byval = _two_sample_hist(spark, sf_dir)
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = byval.withColumn("ca", F.sum("a_n").over(wcum)).withColumn(
+        "cb", F.sum("b_n").over(wcum)
+    )
+    totals = byval.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum("b_n").cast("bigint").alias("n_b"),
+    )
+    g = cum.crossJoin(F.broadcast(totals)).selectExpr(
+        "v_c",
+        "n_a",
+        "n_b",
+        # classify "> v_c" as predicted-purchase: TP = purchases
+        # above, FP = clicks above
+        "n_b - cb AS tp",
+        "n_a - ca AS fp",
+        "abs(ca * n_b - cb * n_a) AS j_num",
+    )
+    best = g.agg(
+        F.max(
+            F.struct(
+                F.col("j_num"),
+                (-F.col("v_c")).alias("neg_v"),
+                F.col("v_c").alias("threshold_cents"),
+                F.col("n_a"),
+                F.col("n_b"),
+                F.col("tp"),
+                F.col("fp"),
+            )
+        ).alias("s")
+    ).selectExpr(
+        "s.threshold_cents",
+        "s.n_a",
+        "s.n_b",
+        "s.tp",
+        "s.fp",
+        "s.j_num",
+    )
+    return best.selectExpr(*_YOUDEN_FINAL)
+
+
+def _youden_sql() -> str:
+    final = ",\n       ".join(_YOUDEN_FINAL)
+    return f"""
+WITH {_TWO_SAMPLE_HIST_SQL},
+cum AS (
+  SELECT v_c, a_n, b_n,
+         SUM(a_n) OVER w AS ca,
+         SUM(b_n) OVER w AS cb
+  FROM byval
+  WINDOW w AS (ORDER BY v_c
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+totals AS (
+  SELECT CAST(SUM(a_n) AS BIGINT) AS n_a,
+         CAST(SUM(b_n) AS BIGINT) AS n_b
+  FROM byval
+),
+g AS (
+  SELECT v_c, n_a, n_b,
+         CAST(n_b - cb AS BIGINT) AS tp,
+         CAST(n_a - ca AS BIGINT) AS fp,
+         CAST(ABS(ca * n_b - cb * n_a) AS BIGINT) AS j_num
+  FROM cum CROSS JOIN totals
+),
+best AS (
+  SELECT v_c AS threshold_cents, n_a, n_b, tp, fp, j_num
+  FROM g
+  ORDER BY j_num DESC, v_c ASC
+  LIMIT 1
+)
+SELECT {final}
+FROM best
+"""
+
+
+REGISTRY["youden_threshold_value"] = {
+    "fn": youden_threshold_value,
+    "sql": _youden_sql(),
+}

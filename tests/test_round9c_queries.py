@@ -1240,3 +1240,57 @@ def test_cucconi_matches_python(spark):
     assert abs(row["v_scale"] - v) < 1e-9 * max(1.0, abs(v))
     assert abs(row["cucconi_c"] - c) < 1e-9 * max(1.0, abs(c))
     assert row["cucconi_c"] >= 0
+
+
+def test_uncertainty_coeff_matches_python(spark):
+    from de4ml_spark.queries.statq5 import uncertainty_coeff_dow_type
+
+    con = duckdb.connect()
+    raw = con.sql(
+        f"""SELECT CAST(ts AS DATE), event_type, COUNT(*)
+        FROM '{SF}/events.parquet'
+        WHERE event_type IS NOT NULL GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import Counter
+
+    cells = Counter()
+    for day, et, c in raw:
+        cells[(day.isoweekday() % 7, et)] += c
+    n = sum(cells.values())
+    cx = Counter()
+    cy = Counter()
+    for (dow, et), c in cells.items():
+        cx[et] += c
+        cy[dow] += c
+    mi = sum(
+        c / n * math.log(n * c / (cx[et] * cy[dow]))
+        for (dow, et), c in cells.items()
+    )
+    hx = sum(c / n * math.log(n / c) for c in cx.values())
+    row = uncertainty_coeff_dow_type(spark, SF).collect()[0]
+    assert row["n_events"] == n
+    assert abs(row["mutual_info_nats"] - mi) < 1e-5
+    assert abs(row["uncertainty_coefficient"] - mi / hx) < 1e-4
+
+
+def test_youden_threshold_matches_python(spark):
+    from de4ml_spark.queries.statq5 import youden_threshold_value
+
+    s = _values_by_type("click", "purchase")
+    a, b = s["click"], s["purchase"]
+    na, nb = len(a), len(b)
+    support = sorted(set(a) | set(b))
+    best = None
+    for v in support:
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        j_num = abs(ca * nb - cb * na)
+        key = (j_num, -v)
+        if best is None or key > best[0]:
+            best = (key, v, nb - cb, na - ca)
+    (j_num, _), thr, tp, fp = best
+    row = youden_threshold_value(spark, SF).collect()[0]
+    assert row["threshold_cents"] == thr
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["tp"] == tp and row["fp"] == fp
+    assert abs(row["youden_j"] - j_num / (na * nb)) < 1e-12
