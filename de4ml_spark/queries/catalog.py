@@ -209,6 +209,7 @@ PRIORITY = [
     "cucconi_value",
     "uncertainty_coeff_dow_type",
     "youden_threshold_value",
+    "keyness_terms_sources",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

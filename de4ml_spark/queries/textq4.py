@@ -747,3 +747,205 @@ REGISTRY["vocab_jaccard_sources"] = {
     "fn": vocab_jaccard_sources,
     "sql": _vocab_jaccard_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Dunning log-likelihood keyness: the 20 terms most over/under-
+# represented between the two largest sources (corpus-linguistics
+# keyword extraction; the signed G² beside g_test's global table).
+# Per term with counts (a, b) and totals (Na, Nb):
+#   G² = 2·[a·ln(a·N/(Na·(a+b))) + b·ln(b·N/(Nb·(a+b)))]
+# — each ln is the portable-ln on exact integer rationals with sign,
+# micro-quantized, weighted by exact counts, so g2_micro is an exact
+# integer and the top-20-by-(G², term) cut is engine-deterministic.
+# Sign: positive when the term leans toward source A.
+# --------------------------------------------------------------------------
+
+KEYNESS_K = 20
+
+_KEYNESS_FINAL = [
+    "term",
+    "cnt_a",
+    "cnt_b",
+    "CAST(g2_u AS DOUBLE) / 1000000.0 AS g2_keyness",
+    "CAST(lean_a AS INT) AS leans_a",
+]
+
+
+def keyness_terms_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    docs = load_table(spark, sf_dir, "documents")
+    top2 = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("source"))
+        .limit(2)
+        .selectExpr(
+            "source",
+            "row_number() OVER (ORDER BY n_docs DESC, source)"
+            " AS side",
+        )
+    )
+    toks = (
+        docs.join(F.broadcast(top2), "source")
+        .select(
+            "side", F.explode(F.split(F.col("text"), " ")).alias("t")
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.expr("CAST(side = 1 AS BIGINT)"))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.expr("CAST(side = 2 AS BIGINT)"))
+            .cast("bigint")
+            .alias("b"),
+        )
+    )
+    tot = toks.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    j = toks.crossJoin(F.broadcast(tot)).selectExpr(
+        "t",
+        "a",
+        "b",
+        # term A: ln(a·(na+nb) / (na·(a+b))), term B symmetric
+        "CAST(a AS DECIMAL(38,0)) * (na + nb) AS a_num",
+        "CAST(na AS DECIMAL(38,0)) * (a + b) AS a_den",
+        "CAST(b AS DECIMAL(38,0)) * (na + nb) AS b_num",
+        "CAST(nb AS DECIMAL(38,0)) * (a + b) AS b_den",
+    )
+    la = with_portable_ln(
+        j.filter("a > 0"),
+        "CASE WHEN a_num >= a_den THEN a_num ELSE a_den END",
+        "CASE WHEN a_num >= a_den THEN a_den ELSE a_num END",
+        "__la",
+    ).selectExpr(
+        "t",
+        "CAST(a AS DECIMAL(38,0))"
+        " * CAST(floor((CASE WHEN a_num >= a_den THEN __la"
+        " ELSE -__la END) * 1000000.0 + 0.5) AS BIGINT) AS w_a",
+    )
+    lb = with_portable_ln(
+        j.filter("b > 0"),
+        "CASE WHEN b_num >= b_den THEN b_num ELSE b_den END",
+        "CASE WHEN b_num >= b_den THEN b_den ELSE b_num END",
+        "__lb",
+    ).selectExpr(
+        "t",
+        "CAST(b AS DECIMAL(38,0))"
+        " * CAST(floor((CASE WHEN b_num >= b_den THEN __lb"
+        " ELSE -__lb END) * 1000000.0 + 0.5) AS BIGINT) AS w_b",
+    )
+    g2 = (
+        toks.join(la, "t", "left")
+        .join(lb, "t", "left")
+        .selectExpr(
+            "t AS term",
+            "a AS cnt_a",
+            "b AS cnt_b",
+            "CAST(2 * (COALESCE(w_a, 0) + COALESCE(w_b, 0))"
+            " AS BIGINT) AS g2_u",
+            "CAST(COALESCE(w_a, 0) >= 0 AS INT) AS lean_a",
+        )
+    )
+    top = g2.orderBy(
+        F.desc("g2_u"), F.asc("term")
+    ).limit(KEYNESS_K)
+    return top.selectExpr(*_KEYNESS_FINAL)
+
+
+def _keyness_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+    )
+
+    lna = portable_ln_duck_ctes(
+        "ja",
+        "t, a, a_num, a_den",
+        "CASE WHEN a_num >= a_den THEN a_num ELSE a_den END",
+        "CASE WHEN a_num >= a_den THEN a_den ELSE a_num END",
+        "__la",
+        "ka",
+    )
+    lnb = portable_ln_duck_ctes(
+        "jb",
+        "t, b, b_num, b_den",
+        "CASE WHEN b_num >= b_den THEN b_num ELSE b_den END",
+        "CASE WHEN b_num >= b_den THEN b_den ELSE b_num END",
+        "__lb",
+        "kb",
+    )
+    final = ",\n       ".join(_KEYNESS_FINAL)
+    return f"""
+WITH top2 AS (
+  SELECT source,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, source) AS side
+  FROM documents GROUP BY source
+  ORDER BY COUNT(*) DESC, source LIMIT 2
+),
+toks AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS a,
+         CAST(SUM(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS b
+  FROM (
+    SELECT side, unnest(string_split(text, ' ')) AS t
+    FROM documents JOIN top2 USING (source)
+  )
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+  FROM toks
+),
+j AS (
+  SELECT t, a, b,
+         CAST(a AS HUGEINT) * (na + nb) AS a_num,
+         CAST(na AS HUGEINT) * (a + b) AS a_den,
+         CAST(b AS HUGEINT) * (na + nb) AS b_num,
+         CAST(nb AS HUGEINT) * (a + b) AS b_den
+  FROM toks CROSS JOIN tot
+),
+ja AS (SELECT * FROM j WHERE a > 0),
+jb AS (SELECT * FROM j WHERE b > 0),
+{lna},
+{lnb},
+wa AS (
+  SELECT t,
+         CAST(a AS HUGEINT)
+         * CAST(floor((CASE WHEN a_num >= a_den THEN __la
+           ELSE -__la END) * 1000000.0 + 0.5) AS BIGINT) AS w_a
+  FROM ka_out
+),
+wb AS (
+  SELECT t,
+         CAST(b AS HUGEINT)
+         * CAST(floor((CASE WHEN b_num >= b_den THEN __lb
+           ELSE -__lb END) * 1000000.0 + 0.5) AS BIGINT) AS w_b
+  FROM kb_out
+),
+g2 AS (
+  SELECT toks.t AS term, a AS cnt_a, b AS cnt_b,
+         CAST(2 * (COALESCE(w_a, 0) + COALESCE(w_b, 0)) AS BIGINT)
+           AS g2_u,
+         CAST(COALESCE(w_a, 0) >= 0 AS INT) AS lean_a
+  FROM toks
+  LEFT JOIN wa ON wa.t = toks.t
+  LEFT JOIN wb ON wb.t = toks.t
+)
+SELECT {final}
+FROM (
+  SELECT * FROM g2 ORDER BY g2_u DESC, term ASC LIMIT {KEYNESS_K}
+)
+"""
+
+
+REGISTRY["keyness_terms_sources"] = {
+    "fn": keyness_terms_sources,
+    "sql": _keyness_sql(),
+}

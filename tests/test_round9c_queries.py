@@ -1294,3 +1294,52 @@ def test_youden_threshold_matches_python(spark):
     assert row["n_a"] == na and row["n_b"] == nb
     assert row["tp"] == tp and row["fp"] == fp
     assert abs(row["youden_j"] - j_num / (na * nb)) < 1e-12
+
+
+def test_keyness_matches_python(spark):
+    from de4ml_spark.queries.textq4 import (
+        KEYNESS_K,
+        keyness_terms_sources,
+    )
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    by_src = Counter(s for s, _ in docs)
+    top2 = sorted(by_src.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    (sa, _), (sb, _) = top2
+    ca, cb = Counter(), Counter()
+    for s, t in docs:
+        if s == sa:
+            ca.update(t.split(" "))
+        elif s == sb:
+            cb.update(t.split(" "))
+    na, nb = sum(ca.values()), sum(cb.values())
+    n = na + nb
+    g2 = {}
+    for term in set(ca) | set(cb):
+        a, b = ca.get(term, 0), cb.get(term, 0)
+        val = 0.0
+        if a > 0:
+            val += a * math.log(a * n / (na * (a + b)))
+        if b > 0:
+            val += b * math.log(b * n / (nb * (a + b)))
+        g2[term] = 2 * val
+    rows = keyness_terms_sources(spark, SF).collect()
+    assert len(rows) == KEYNESS_K
+    # engine top-K is by the micro-quantized G2, so compare values
+    # rather than insisting on identical tie order at the cut
+    for r in rows:
+        t = r["term"]
+        assert abs(r["g2_keyness"] - g2[t]) < 1e-3 * max(
+            1.0, abs(g2[t])
+        )
+        assert r["cnt_a"] == ca.get(t, 0)
+        assert r["cnt_b"] == cb.get(t, 0)
+    # the true top term must be the engine's top term
+    best = max(g2.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    top_terms = {r["term"] for r in rows[:3]}
+    assert best in top_terms
