@@ -210,6 +210,7 @@ PRIORITY = [
     "uncertainty_coeff_dow_type",
     "youden_threshold_value",
     "keyness_terms_sources",
+    "mahalanobis_anomalous_days",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

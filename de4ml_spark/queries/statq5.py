@@ -3537,3 +3537,123 @@ REGISTRY["youden_threshold_value"] = {
     "fn": youden_threshold_value,
     "sql": _youden_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Mahalanobis-distance anomaly ranking of days in the (click count,
+# purchase count) plane: d²_t = (x_t−μ)ᵀ C⁻¹ (x_t−μ) with the 2×2
+# population covariance inverted in closed form. With integer
+# n-scaled residuals z = n·x − Σx and A = Σz_x², B = Σz_x z_y,
+# D = Σz_y²:  d²_t = n·(D·z_x² − 2B·z_x z_y + A·z_y²)/(AD − B²)
+# — the per-day numerator is an exact 128-bit integer, so the top-5
+# ranking (ties by day) is engine-deterministic BEFORE any float.
+# --------------------------------------------------------------------------
+
+MAHAL_TOPK = 5
+
+
+def _mahal_final(div: str) -> list[str]:
+    return [
+        "day",
+        "clicks",
+        "purchases",
+        f"CAST(n_days AS DOUBLE) * {_w2d('d2_num', div)}"
+        f" / {_w2d('det2', div)} AS mahal_d2",
+    ]
+
+
+def mahalanobis_anomalous_days(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(event_type = 'click' AS BIGINT)"))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.expr("CAST(event_type = 'purchase' AS BIGINT)"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    z = daily.crossJoin(F.broadcast(tot)).selectExpr(
+        "day",
+        "x",
+        "y",
+        "n_days",
+        "CAST(n_days AS DECIMAL(38,0)) * x - sx AS zx",
+        "CAST(n_days AS DECIMAL(38,0)) * y - sy AS zy",
+    )
+    mom = z.agg(
+        F.sum(F.expr("zx * zx")).alias("a_m"),
+        F.sum(F.expr("zx * zy")).alias("b_m"),
+        F.sum(F.expr("zy * zy")).alias("d_m"),
+    )
+    scored = z.crossJoin(F.broadcast(mom)).selectExpr(
+        "day",
+        "x AS clicks",
+        "y AS purchases",
+        "n_days",
+        "d_m * zx * zx - 2 * b_m * zx * zy + a_m * zy * zy"
+        " AS d2_num",
+        "a_m * d_m - b_m * b_m AS det2",
+    )
+    w = Window.orderBy(F.desc("d2_num"), F.asc("day"))
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        f"rk <= {MAHAL_TOPK}"
+    )
+    return top.selectExpr(*_mahal_final("DIV")).orderBy("day")
+
+
+def _mahal_sql() -> str:
+    final = ",\n       ".join(_mahal_final("//"))
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy
+  FROM daily
+),
+z AS (
+  SELECT day, x, y, n_days,
+         CAST(n_days AS HUGEINT) * x - sx AS zx,
+         CAST(n_days AS HUGEINT) * y - sy AS zy
+  FROM daily CROSS JOIN tot
+),
+mom AS (
+  SELECT SUM(zx * zx) AS a_m,
+         SUM(zx * zy) AS b_m,
+         SUM(zy * zy) AS d_m
+  FROM z
+),
+scored AS (
+  SELECT day, x AS clicks, y AS purchases, n_days,
+         d_m * zx * zx - 2 * b_m * zx * zy + a_m * zy * zy AS d2_num,
+         a_m * d_m - b_m * b_m AS det2
+  FROM z CROSS JOIN mom
+),
+top AS (
+  SELECT * FROM scored ORDER BY d2_num DESC, day ASC
+  LIMIT {MAHAL_TOPK}
+)
+SELECT {final}
+FROM top
+ORDER BY day
+"""
+
+
+REGISTRY["mahalanobis_anomalous_days"] = {
+    "fn": mahalanobis_anomalous_days,
+    "sql": _mahal_sql(),
+}

@@ -1343,3 +1343,35 @@ def test_keyness_matches_python(spark):
     best = max(g2.items(), key=lambda kv: (kv[1], kv[0]))[0]
     top_terms = {r["term"] for r in rows[:3]}
     assert best in top_terms
+
+
+def test_mahalanobis_matches_numpy(spark):
+    from de4ml_spark.queries.statq5 import (
+        MAHAL_TOPK,
+        mahalanobis_anomalous_days,
+    )
+
+    import numpy as np
+
+    con = duckdb.connect()
+    daily = con.sql(
+        f"""SELECT CAST(ts AS DATE) AS day,
+            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    days = [d for d, _x, _y in daily]
+    m = np.array([[float(x), float(y)] for _d, x, y in daily])
+    mu = m.mean(axis=0)
+    cov = np.cov(m, rowvar=False, bias=True)  # population covariance
+    inv = np.linalg.inv(cov)
+    d2 = np.einsum("ij,jk,ik->i", m - mu, inv, m - mu)
+    order = sorted(
+        range(len(days)), key=lambda i: (-d2[i], days[i])
+    )[:MAHAL_TOPK]
+    expect = {days[i]: d2[i] for i in order}
+    rows = mahalanobis_anomalous_days(spark, SF).collect()
+    assert len(rows) == MAHAL_TOPK
+    for r in rows:
+        assert r["day"] in expect
+        assert abs(r["mahal_d2"] - expect[r["day"]]) < 1e-6
