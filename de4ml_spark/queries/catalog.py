@@ -211,6 +211,7 @@ PRIORITY = [
     "youden_threshold_value",
     "keyness_terms_sources",
     "mahalanobis_anomalous_days",
+    "burrows_delta_sources",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -949,3 +949,205 @@ REGISTRY["keyness_terms_sources"] = {
     "fn": keyness_terms_sources,
     "sql": _keyness_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Burrows' Delta between the two largest sources — the classic
+# stylometric distance: over the top-K corpus terms, Delta =
+# mean_t |z_A(t) − z_B(t)| where z standardizes each term's relative
+# frequency across ALL sources (the means cancel in the difference,
+# so Delta = mean_t |f_A − f_B| / σ_t). Relative frequencies are
+# nano-quantized exact integers (halfup c·1e9/N_s); per-term
+# population variance across sources is an exact S-scaled integer;
+# each |Δf|/σ term is micro-quantized on the SAME IEEE text both
+# engines; the K-term frame is broadcast-bounded.
+# --------------------------------------------------------------------------
+
+BURROWS_K = 50
+
+_BURROWS_FINAL = [
+    "src_a",
+    "src_b",
+    "n_terms",
+    f"CAST(delta_u AS DOUBLE) / ({BURROWS_K}.0 * 1000000.0)"
+    " AS burrows_delta",
+]
+
+
+def burrows_delta_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd,
+        wide_to_double_sql as _w2d_,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    counts = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    topk = (
+        counts.groupBy("t")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("t"))
+        .limit(BURROWS_K)
+        .select("t")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_s")
+    )
+    sources = totals.select("source")
+    grid = (
+        sources.crossJoin(F.broadcast(topk))
+        .join(counts, ["source", "t"], "left")
+        .join(totals, "source")
+        .selectExpr(
+            "source",
+            "t",
+            "COALESCE(c, 0) AS c",
+            "n_s",
+        )
+        .selectExpr(
+            "source",
+            "t",
+            f"CAST({_whd('CAST(c AS DECIMAL(38,0)) * 1000000000', 'n_s', 'DIV')}"
+            " AS BIGINT) AS f9",
+        )
+    )
+    var_t = grid.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_cnt"),
+        F.sum("f9").cast("bigint").alias("sf"),
+        F.sum(F.expr("CAST(f9 AS DECIMAL(38,0)) * f9")).alias("sf2"),
+    ).selectExpr(
+        "t",
+        "s_cnt",
+        "CAST(s_cnt AS DECIMAL(38,0)) * sf2"
+        " - CAST(sf AS DECIMAL(38,0)) * sf AS v9",
+    )
+    top2 = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("source"))
+        .limit(2)
+        .selectExpr(
+            "source",
+            "row_number() OVER (ORDER BY n_docs DESC, source)"
+            " AS side",
+        )
+    )
+    ab = (
+        grid.join(F.broadcast(top2), "source")
+        .groupBy("t")
+        .agg(
+            F.max(F.expr("CASE WHEN side = 1 THEN f9 END")).alias(
+                "f_a"
+            ),
+            F.max(F.expr("CASE WHEN side = 2 THEN f9 END")).alias(
+                "f_b"
+            ),
+        )
+    )
+    terms = ab.join(var_t, "t").selectExpr(
+        "t",
+        "CAST(floor(1000000.0 * CAST(s_cnt AS DOUBLE)"
+        f" * CAST(abs(f_a - f_b) AS DOUBLE) / sqrt({_w2d_('v9', 'DIV')})"
+        " + 0.5) AS BIGINT) AS t_u",
+    )
+    names = top2.groupBy().agg(
+        F.max(F.expr("CASE WHEN side = 1 THEN source END")).alias(
+            "src_a"
+        ),
+        F.max(F.expr("CASE WHEN side = 2 THEN source END")).alias(
+            "src_b"
+        ),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("t_u").cast("bigint").alias("delta_u"),
+    )
+    return agg.crossJoin(F.broadcast(names)).selectExpr(
+        *_BURROWS_FINAL
+    )
+
+
+def _burrows_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd,
+        wide_to_double_sql as _w2d_,
+    )
+
+    final = ",\n       ".join(_BURROWS_FINAL)
+    return f"""
+WITH counts AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT t FROM (
+    SELECT t, SUM(c) AS cnt FROM counts GROUP BY 1
+  ) ORDER BY cnt DESC, t LIMIT {BURROWS_K}
+),
+totals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY 1
+),
+grid AS (
+  SELECT source, t,
+         CAST({_whd('CAST(COALESCE(c, 0) AS HUGEINT) * 1000000000',
+                    'n_s', '//')} AS BIGINT) AS f9
+  FROM (
+    SELECT s.source, k.t, c.c, s.n_s
+    FROM totals s CROSS JOIN topk k
+    LEFT JOIN counts c ON c.source = s.source AND c.t = k.t
+  )
+),
+var_t AS (
+  SELECT t,
+         CAST(COUNT(*) AS BIGINT) AS s_cnt,
+         CAST(COUNT(*) AS HUGEINT) * SUM(CAST(f9 AS HUGEINT) * f9)
+         - CAST(SUM(f9) AS HUGEINT) * SUM(f9) AS v9
+  FROM grid GROUP BY 1
+),
+top2 AS (
+  SELECT source,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, source) AS side
+  FROM documents GROUP BY source
+  ORDER BY COUNT(*) DESC, source LIMIT 2
+),
+ab AS (
+  SELECT t,
+         MAX(CASE WHEN side = 1 THEN f9 END) AS f_a,
+         MAX(CASE WHEN side = 2 THEN f9 END) AS f_b
+  FROM grid JOIN top2 USING (source)
+  GROUP BY 1
+),
+terms AS (
+  SELECT ab.t,
+         CAST(floor(1000000.0 * CAST(s_cnt AS DOUBLE)
+              * CAST(abs(f_a - f_b) AS DOUBLE)
+              / sqrt({_w2d_('v9', '//')}) + 0.5) AS BIGINT) AS t_u
+  FROM ab JOIN var_t ON var_t.t = ab.t
+),
+names AS (
+  SELECT MAX(CASE WHEN side = 1 THEN source END) AS src_a,
+         MAX(CASE WHEN side = 2 THEN source END) AS src_b
+  FROM top2
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(t_u) AS BIGINT) AS delta_u
+  FROM terms
+)
+SELECT {final}
+FROM agg CROSS JOIN names
+"""
+
+
+REGISTRY["burrows_delta_sources"] = {
+    "fn": burrows_delta_sources,
+    "sql": _burrows_sql(),
+}

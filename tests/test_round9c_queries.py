@@ -1375,3 +1375,56 @@ def test_mahalanobis_matches_numpy(spark):
     for r in rows:
         assert r["day"] in expect
         assert abs(r["mahal_d2"] - expect[r["day"]]) < 1e-6
+
+
+def test_burrows_delta_matches_python(spark):
+    from de4ml_spark.queries.textq4 import (
+        BURROWS_K,
+        burrows_delta_sources,
+    )
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    per_src = defaultdict(Counter)
+    for s, t in docs:
+        per_src[s].update(t.split(" "))
+    corpus = Counter()
+    for c in per_src.values():
+        corpus.update(c)
+    topk = [
+        t
+        for t, _ in sorted(
+            corpus.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:BURROWS_K]
+    ]
+    totals = {s: sum(c.values()) for s, c in per_src.items()}
+    # nano-quantized relative freqs, replicating the plan
+    f9 = {
+        (s, t): (2 * per_src[s][t] * 10**9 + totals[s])
+        // (2 * totals[s])
+        for s in per_src
+        for t in topk
+    }
+    srcs = sorted(per_src)
+    by_docs = Counter(s for s, _ in docs)
+    (sa, _), (sb, _) = sorted(
+        by_docs.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:2]
+    delta = 0.0
+    for t in topk:
+        vals = [f9[(s, t)] for s in srcs]
+        n = len(vals)
+        var = (n * sum(v * v for v in vals) - sum(vals) ** 2)
+        term = (
+            n * abs(f9[(sa, t)] - f9[(sb, t)]) / math.sqrt(var)
+        )
+        delta += math.floor(term * 1e6 + 0.5) / 1e6
+    delta /= BURROWS_K
+    row = burrows_delta_sources(spark, SF).collect()[0]
+    assert (row["src_a"], row["src_b"]) == (sa, sb)
+    assert row["n_terms"] == BURROWS_K
+    assert abs(row["burrows_delta"] - delta) < 1e-6
