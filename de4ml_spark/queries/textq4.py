@@ -969,8 +969,10 @@ _BURROWS_FINAL = [
     "src_a",
     "src_b",
     "n_terms",
-    f"CAST(delta_u AS DOUBLE) / ({BURROWS_K}.0 * 1000000.0)"
-    " AS burrows_delta",
+    # mean over the terms actually available (the synthetic sf0.001
+    # corpus has a vocabulary smaller than K)
+    "CAST(delta_u AS DOUBLE)"
+    " / (CAST(n_terms AS DOUBLE) * 1000000.0) AS burrows_delta",
 ]
 
 
