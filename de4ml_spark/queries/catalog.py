@@ -212,6 +212,8 @@ PRIORITY = [
     "keyness_terms_sources",
     "mahalanobis_anomalous_days",
     "burrows_delta_sources",
+    "cohens_d_value",
+    "mcc_threshold_value",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -3657,3 +3657,198 @@ REGISTRY["mahalanobis_anomalous_days"] = {
     "fn": mahalanobis_anomalous_days,
     "sql": _mahal_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Cohen's d and Hedges' g (click vs purchase `value`): standardized
+# mean difference with the pooled sample SD, plus Hedges' small-
+# sample correction g = d·(1 − 3/(4N−9)). Exact integer moments
+# (n-scaled variance numerators), one IEEE chain.
+# --------------------------------------------------------------------------
+
+
+def _cohen_final(div: str) -> list[str]:
+    va = _w2d("v_a", div)
+    vb = _w2d("v_b", div)
+    # pooled s² = (Va/(na) + Vb/(nb)) scale algebra: Va = na·Σx²−(Σx)²
+    # → Σ(x−x̄)² = Va/na; s²_p = (Va/na + Vb/nb)/(na+nb−2)
+    d = (
+        "((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        f" / sqrt(({va} / CAST(n_a AS DOUBLE)"
+        f" + {vb} / CAST(n_b AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)))"
+    )
+    return [
+        "n_a",
+        "n_b",
+        f"{d} AS cohens_d",
+        f"{d} * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE)"
+        " + CAST(n_b AS DOUBLE)) - 9.0)) AS hedges_g",
+    ]
+
+
+def cohens_d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    byval = _two_sample_hist(spark, sf_dir)
+    agg = byval.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum("b_n").cast("bigint").alias("n_b"),
+        F.sum(F.expr("a_n * v_c")).cast("bigint").alias("sa"),
+        F.sum(F.expr("b_n * v_c")).cast("bigint").alias("sb"),
+        F.sum(F.expr("CAST(a_n AS DECIMAL(38,0)) * v_c * v_c")).alias(
+            "sa2"
+        ),
+        F.sum(F.expr("CAST(b_n AS DECIMAL(38,0)) * v_c * v_c")).alias(
+            "sb2"
+        ),
+    )
+    staged = agg.selectExpr(
+        "n_a",
+        "n_b",
+        "sa",
+        "sb",
+        "CAST(n_a AS DECIMAL(38,0)) * sa2"
+        " - CAST(sa AS DECIMAL(38,0)) * sa AS v_a",
+        "CAST(n_b AS DECIMAL(38,0)) * sb2"
+        " - CAST(sb AS DECIMAL(38,0)) * sb AS v_b",
+    )
+    return staged.selectExpr(*_cohen_final("DIV"))
+
+
+def _cohen_sql() -> str:
+    final = ",\n       ".join(_cohen_final("//"))
+    return f"""
+WITH {_TWO_SAMPLE_HIST_SQL},
+agg AS (
+  SELECT CAST(SUM(a_n) AS BIGINT) AS n_a,
+         CAST(SUM(b_n) AS BIGINT) AS n_b,
+         CAST(SUM(a_n * v_c) AS BIGINT) AS sa,
+         CAST(SUM(b_n * v_c) AS BIGINT) AS sb,
+         SUM(CAST(a_n AS HUGEINT) * v_c * v_c) AS sa2,
+         SUM(CAST(b_n AS HUGEINT) * v_c * v_c) AS sb2
+  FROM byval
+),
+staged AS (
+  SELECT n_a, n_b, sa, sb,
+         CAST(n_a AS HUGEINT) * sa2
+         - CAST(sa AS HUGEINT) * sa AS v_a,
+         CAST(n_b AS HUGEINT) * sb2
+         - CAST(sb AS HUGEINT) * sb AS v_b
+  FROM agg
+)
+SELECT {final}
+FROM staged
+"""
+
+
+REGISTRY["cohens_d_value"] = {
+    "fn": cohens_d_value,
+    "sql": _cohen_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Matthews correlation coefficient at the Youden-optimal threshold —
+# the full binary confusion report complementing
+# youden_threshold_value: at the same exactly-selected operating
+# point, MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)).
+# Confusion counts are exact integers off the histogram cums; one
+# IEEE chain.
+# --------------------------------------------------------------------------
+
+_MCC_FINAL = [
+    "threshold_cents",
+    "tp",
+    "fp",
+    "tn",
+    "fn",
+    "(CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)"
+    " - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
+    " / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)"
+    " * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) AS mcc",
+]
+
+
+def mcc_threshold_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    byval = _two_sample_hist(spark, sf_dir)
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = byval.withColumn("ca", F.sum("a_n").over(wcum)).withColumn(
+        "cb", F.sum("b_n").over(wcum)
+    )
+    totals = byval.agg(
+        F.sum("a_n").cast("bigint").alias("n_a"),
+        F.sum("b_n").cast("bigint").alias("n_b"),
+    )
+    g = cum.crossJoin(F.broadcast(totals)).selectExpr(
+        "v_c",
+        "n_b - cb AS tp",
+        "n_a - ca AS fp",
+        "ca AS tn",
+        "cb AS fn",
+        "abs(ca * n_b - cb * n_a) AS j_num",
+    )
+    best = g.agg(
+        F.max(
+            F.struct(
+                F.col("j_num"),
+                (-F.col("v_c")).alias("neg_v"),
+                F.col("v_c").alias("threshold_cents"),
+                F.col("tp"),
+                F.col("fp"),
+                F.col("tn"),
+                F.col("fn"),
+            )
+        ).alias("s")
+    ).selectExpr(
+        "s.threshold_cents",
+        "CAST(s.tp AS BIGINT) AS tp",
+        "CAST(s.fp AS BIGINT) AS fp",
+        "CAST(s.tn AS BIGINT) AS tn",
+        "CAST(s.fn AS BIGINT) AS fn",
+    )
+    return best.selectExpr(*_MCC_FINAL)
+
+
+def _mcc_sql() -> str:
+    final = ",\n       ".join(_MCC_FINAL)
+    return f"""
+WITH {_TWO_SAMPLE_HIST_SQL},
+cum AS (
+  SELECT v_c, a_n, b_n,
+         SUM(a_n) OVER w AS ca,
+         SUM(b_n) OVER w AS cb
+  FROM byval
+  WINDOW w AS (ORDER BY v_c
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+totals AS (
+  SELECT CAST(SUM(a_n) AS BIGINT) AS n_a,
+         CAST(SUM(b_n) AS BIGINT) AS n_b
+  FROM byval
+),
+best AS (
+  SELECT v_c AS threshold_cents,
+         CAST(n_b - cb AS BIGINT) AS tp,
+         CAST(n_a - ca AS BIGINT) AS fp,
+         CAST(ca AS BIGINT) AS tn,
+         CAST(cb AS BIGINT) AS fn,
+         ABS(ca * n_b - cb * n_a) AS j_num
+  FROM cum CROSS JOIN totals
+  ORDER BY j_num DESC, v_c ASC
+  LIMIT 1
+)
+SELECT {final}
+FROM best
+"""
+
+
+REGISTRY["mcc_threshold_value"] = {
+    "fn": mcc_threshold_value,
+    "sql": _mcc_sql(),
+}

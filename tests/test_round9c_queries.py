@@ -1428,3 +1428,47 @@ def test_burrows_delta_matches_python(spark):
     assert (row["src_a"], row["src_b"]) == (sa, sb)
     assert row["n_terms"] == len(topk)
     assert abs(row["burrows_delta"] - delta) < 1e-6
+
+
+def test_cohens_d_matches_python(spark):
+    from de4ml_spark.queries.statq5 import cohens_d_value
+
+    s = _values_by_type("click", "purchase")
+    a, b = s["click"], s["purchase"]
+    m, n = len(a), len(b)
+    ma, mb = sum(a) / m, sum(b) / n
+    ssa = sum((x - ma) ** 2 for x in a)
+    ssb = sum((x - mb) ** 2 for x in b)
+    sp = math.sqrt((ssa + ssb) / (m + n - 2))
+    d = (ma - mb) / sp
+    g = d * (1 - 3 / (4 * (m + n) - 9))
+    row = cohens_d_value(spark, SF).collect()[0]
+    assert row["n_a"] == m and row["n_b"] == n
+    assert abs(row["cohens_d"] - d) < 1e-9 * max(1.0, abs(d))
+    assert abs(row["hedges_g"] - g) < 1e-9 * max(1.0, abs(g))
+
+
+def test_mcc_threshold_matches_python(spark):
+    from de4ml_spark.queries.statq5 import mcc_threshold_value
+
+    s = _values_by_type("click", "purchase")
+    a, b = s["click"], s["purchase"]
+    na, nb = len(a), len(b)
+    support = sorted(set(a) | set(b))
+    best = None
+    for v in support:
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        key = (abs(ca * nb - cb * na), -v)
+        if best is None or key > best[0]:
+            best = (key, v, nb - cb, na - ca, ca, cb)
+    _k, thr, tp, fp, tn, fn = best
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    row = mcc_threshold_value(spark, SF).collect()[0]
+    assert row["threshold_cents"] == thr
+    assert (row["tp"], row["fp"], row["tn"], row["fn"]) == (
+        tp, fp, tn, fn,
+    )
+    assert abs(row["mcc"] - mcc) < 1e-12
