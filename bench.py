@@ -167,6 +167,28 @@ HEADLINE = [
     "fuzzy_name_pairs_parts",
     "brand_modularity_parts",
     "brand_assortativity_parts",
+    # late 9c batch (same corpus-scale policy; daily micro-entries —
+    # two_way_anova, seasonal_mk, mahalanobis, chow, granger, newey,
+    # runs_updown, ols, breusch_pagan, kendalls_w — stay out)
+    "hoeffding_d_lineitem",
+    "bowker_symmetry_transitions",
+    "gwet_ac1_docs",
+    "moran_geary_parts",
+    "poisson_bootstrap_value_mean",
+    "trimmed_mean_value_types",
+    "chapman_overlap_sources",
+    "vocab_jaccard_sources",
+    "brunner_munzel_value",
+    "dunn_posthoc_value_types",
+    "cucconi_value",
+    "uncertainty_coeff_dow_type",
+    "youden_threshold_value",
+    "keyness_terms_sources",
+    "burrows_delta_sources",
+    "cohens_d_value",
+    "mcc_threshold_value",
+    "weibull_fit_user_lifetimes",
+    "ams_f2_sketch_events",
 ]
 
 
@@ -328,7 +350,8 @@ def main() -> None:
             "rolling_median_user_value,"
             # round-9c: the two new in-fleet >2x entries (both <0.2 s
             # absolute; isolated attribution per the round-7 protocol)
-            "ansari_bradley_value,energy_distance_value",
+            "ansari_bradley_value,energy_distance_value,"
+            "weibull_fit_user_lifetimes",
         ).split(",")
         if n.strip() and n.strip() in qs
     ]
