@@ -214,6 +214,7 @@ PRIORITY = [
     "burrows_delta_sources",
     "cohens_d_value",
     "mcc_threshold_value",
+    "ewma_chart_daily",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

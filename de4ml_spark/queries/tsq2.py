@@ -2640,3 +2640,152 @@ REGISTRY["gumbel_weekly_maxima"] = {
     "fn": gumbel_weekly_maxima,
     "sql": _gumbel_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# EWMA control chart on daily event counts, λ = 1/2 with EXACT dyadic
+# weights: the one-step-ahead EWMA prediction from the previous 20
+# observed calendar days is z_t = Σ_{j=1..20} y_{t−j}·2^(20−j) / W,
+# W = 2^20 − 1 — every weight a power of two, so the deviation
+# dev_t = y_t·W − Σ y_{t−j}·2^(20−j) is an exact integer (the 2^-20
+# truncation tail is the documented λ=1/2 horizon; only days with a
+# COMPLETE 20-day history are scored). Violations flag
+# |dev| > 3·σ̂·√(λ/(2−λ))·W with σ̂ the global daily std — the same
+# one IEEE comparison text both engines. The SPC companion of
+# cusum_change_daily; lag fan-out is a 20-way explode + equi-join on
+# the calendar spine, never a window over the corpus.
+# --------------------------------------------------------------------------
+
+EWMA_LAGS = 20
+
+_EWMA_FINAL = [
+    "n_scored",
+    "n_violations",
+    "max_abs_standardized",
+]
+
+
+def ewma_chart_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d9,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    w_tot = (1 << EWMA_LAGS) - 1
+    lags = daily.selectExpr(
+        "y AS y_lag",
+        f"explode(sequence(1, {EWMA_LAGS})) AS j",
+        "t",
+    ).selectExpr(
+        "t + j AS t",
+        f"CAST(y_lag AS DECIMAL(38,0))"
+        f" * shiftleft(CAST(1 AS BIGINT), {EWMA_LAGS} - j) AS wz",
+        "1 AS one",
+    )
+    pred = lags.groupBy("t").agg(
+        F.sum("wz").alias("z_num"),
+        F.sum("one").cast("bigint").alias("n_lags"),
+    ).filter(f"n_lags = {EWMA_LAGS}")
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("s2"),
+    )
+    scored = (
+        daily.join(pred, "t")
+        .crossJoin(F.broadcast(mom))
+        .selectExpr(
+            "t",
+            f"CAST(y AS DECIMAL(38,0)) * {w_tot} - z_num AS dev",
+            "n",
+            "CAST(n AS DECIMAL(38,0)) * s2"
+            " - CAST(s AS DECIMAL(38,0)) * s AS vnum",
+        )
+    )
+    # standardized = dev / (W·σ·sqrt(1/3)), σ = sqrt(vnum)/n
+    std = (
+        # abs(dev) fits int64 (y·(2^20−1) ≤ 9e18 up to ~8.8e12
+        # events/day); the BIGINT hop keeps the double conversion
+        # correctly rounded on BOTH engines (direct wide→double is
+        # the documented unsafe path)
+        f"(CAST(CAST(abs(dev) AS BIGINT) AS DOUBLE) * CAST(n AS DOUBLE))"
+        f" / ({w_tot}.0 * sqrt({_w2d9('vnum', 'DIV')})"
+        " * 0.5773502691896257)"
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum(F.expr(f"CAST({std} > 3.0 AS BIGINT)"))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.max(F.expr(std)).alias("max_abs_standardized"),
+    )
+    return agg.selectExpr(*_EWMA_FINAL)
+
+
+def _ewma_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_to_double_sql as _w2d9,
+    )
+
+    w_tot = (1 << EWMA_LAGS) - 1
+    std = (
+        f"(CAST(CAST(abs(dev) AS BIGINT) AS DOUBLE) * CAST(n AS DOUBLE))"
+        f" / ({w_tot}.0 * sqrt({_w2d9('vnum', '//')})"
+        " * 0.5773502691896257)"
+    )
+    final = ",\n       ".join(_EWMA_FINAL)
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+lags AS (
+  SELECT t + j AS t,
+         CAST(y AS HUGEINT) * (CAST(1 AS BIGINT) << ({EWMA_LAGS} - j))
+           AS wz
+  FROM daily CROSS JOIN (
+    SELECT unnest(range(1, {EWMA_LAGS + 1})) AS j
+  )
+),
+pred AS (
+  SELECT t, SUM(wz) AS z_num, CAST(COUNT(*) AS BIGINT) AS n_lags
+  FROM lags GROUP BY 1
+  HAVING COUNT(*) = {EWMA_LAGS}
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s,
+         SUM(CAST(y AS HUGEINT) * y) AS s2
+  FROM daily
+),
+scored AS (
+  SELECT d.t,
+         CAST(d.y AS HUGEINT) * {w_tot} - z_num AS dev,
+         n,
+         CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s AS vnum
+  FROM daily d JOIN pred USING (t) CROSS JOIN mom
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(SUM(CASE WHEN {std} > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+         MAX({std}) AS max_abs_standardized
+  FROM scored
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["ewma_chart_daily"] = {
+    "fn": ewma_chart_daily,
+    "sql": _ewma_sql(),
+}

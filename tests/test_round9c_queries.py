@@ -1472,3 +1472,30 @@ def test_mcc_threshold_matches_python(spark):
         tp, fp, tn, fn,
     )
     assert abs(row["mcc"] - mcc) < 1e-12
+
+
+def test_ewma_chart_matches_python(spark):
+    from de4ml_spark.queries.tsq2 import EWMA_LAGS, ewma_chart_daily
+
+    daily = _daily_counts_9c()
+    idx = {(d - min(daily)).days: daily[d] for d in daily}
+    w_tot = (1 << EWMA_LAGS) - 1
+    n = len(idx)
+    s = sum(idx.values())
+    vnum = n * sum(v * v for v in idx.values()) - s * s
+    sigma_term = w_tot * math.sqrt(vnum) * 0.5773502691896257
+    scored = []
+    for t in sorted(idx):
+        lag = [idx.get(t - j) for j in range(1, EWMA_LAGS + 1)]
+        if any(v is None for v in lag):
+            continue
+        z = sum(
+            v * (1 << (EWMA_LAGS - j))
+            for j, v in zip(range(1, EWMA_LAGS + 1), lag)
+        )
+        dev = idx[t] * w_tot - z
+        scored.append(abs(dev) * n / sigma_term)
+    row = ewma_chart_daily(spark, SF).collect()[0]
+    assert row["n_scored"] == len(scored)
+    assert row["n_violations"] == sum(1 for x in scored if x > 3.0)
+    assert abs(row["max_abs_standardized"] - max(scored)) < 1e-12
