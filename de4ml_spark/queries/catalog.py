@@ -215,6 +215,7 @@ PRIORITY = [
     "cohens_d_value",
     "mcc_threshold_value",
     "ewma_chart_daily",
+    "benford_second_digit_totalprice",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

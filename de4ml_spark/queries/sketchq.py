@@ -1115,3 +1115,147 @@ REGISTRY["ams_f2_sketch_events"] = {
     "fn": ams_f2_sketch_events,
     "sql": _ams_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Benford SECOND-digit audit of order totals — the standard follow-up
+# screen when the first-digit test passes (fabricators who know
+# Benford's first-digit law rarely match the second-digit
+# distribution; Nigrini's two-stage forensic protocol). P(d₂ = d) =
+# Σ_{k=1..9} log10(1 + 1/(10k + d)) has no closed single-ratio form,
+# so the ten expected probabilities are inlined CPython IEEE literals
+# (identical text both engines). The second digit comes from the
+# DECIMAL's string form (no float log10); per-digit chi² terms are
+# micro-quantized before the exact total, like the first-digit twin.
+# --------------------------------------------------------------------------
+
+# repr(sum(math.log10(1 + 1/(10k+d)) for k in 1..9)) for d = 0..9
+_BENFORD2_P = [
+    "0.11967926859688073",
+    "0.1138901034075564",
+    "0.10882149900550823",
+    "0.10432956023095939",
+    "0.10030820226757937",
+    "0.09667723580232243",
+    "0.09337473578303615",
+    "0.09035198926960332",
+    "0.08757005357886138",
+    "0.08499735205769224",
+]
+
+
+def _benford2_p_case() -> str:
+    branches = " ".join(
+        f"WHEN digit = {d} THEN {p}"
+        for d, p in enumerate(_BENFORD2_P)
+    )
+    return f"(CASE {branches} END)"
+
+
+def benford_second_digit_totalprice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.select(
+            F.substring(
+                F.col("o_totalprice")
+                .cast("decimal(12,2)")
+                .cast("string"),
+                2,
+                1,
+            ).alias("d")
+        )
+        .filter(F.col("d").between("0", "9"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    )
+    spine = spark.range(0, 10).select(
+        F.col("id").alias("digit"),
+        F.col("id").cast("string").alias("d"),
+    )
+    n = obs.agg(F.sum("observed").cast("bigint").alias("_n"))
+    j = (
+        spine.join(obs, "d", "left")
+        .withColumn("observed", F.coalesce("observed", F.lit(0)))
+        .crossJoin(F.broadcast(n))
+    )
+    terms = j.selectExpr(
+        "digit",
+        "observed",
+        f"CAST(_n AS DOUBLE) * {_benford2_p_case()} AS __e",
+    ).selectExpr(
+        "digit",
+        "observed",
+        "CAST(floor(__e * 1000000.0 + 0.5) AS BIGINT)"
+        " AS expected_micro",
+        "CAST(floor((CAST(observed AS DOUBLE) - __e)"
+        " * (CAST(observed AS DOUBLE) - __e) / __e"
+        " * 1000000.0 + 0.5) AS BIGINT) AS term_micro",
+    )
+    from pyspark.sql import Window
+
+    return terms.select(
+        "digit",
+        "observed",
+        "expected_micro",
+        "term_micro",
+        (
+            F.sum("term_micro")
+            .over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding,
+                    Window.unboundedFollowing,
+                )
+            )
+            .cast("double")
+            / 1_000_000.0
+        ).alias("chi2_r"),
+    ).orderBy("digit")
+
+
+def _benford2_sql() -> str:
+    return f"""
+WITH obs AS (
+  SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                   AS VARCHAR), 2, 1) AS d,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM orders
+  WHERE substring(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                  AS VARCHAR), 2, 1) BETWEEN '0' AND '9'
+  GROUP BY 1
+),
+spine AS (
+  SELECT unnest(range(0, 10)) AS digit
+),
+n AS (SELECT CAST(SUM(observed) AS BIGINT) AS _n FROM obs),
+j AS (
+  SELECT digit, COALESCE(observed, 0) AS observed, _n
+  FROM spine
+  LEFT JOIN obs ON obs.d = CAST(digit AS VARCHAR)
+  CROSS JOIN n
+),
+terms AS (
+  SELECT digit, observed,
+         CAST(floor(__e * 1000000.0 + 0.5) AS BIGINT)
+           AS expected_micro,
+         CAST(floor((CAST(observed AS DOUBLE) - __e)
+              * (CAST(observed AS DOUBLE) - __e) / __e
+              * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+  FROM (
+    SELECT digit, observed,
+           CAST(_n AS DOUBLE) * {_benford2_p_case()} AS __e
+    FROM j
+  )
+)
+SELECT digit, observed, expected_micro, term_micro,
+       CAST(SUM(term_micro) OVER () AS DOUBLE) / 1000000.0 AS chi2_r
+FROM terms
+ORDER BY digit
+"""
+
+
+REGISTRY["benford_second_digit_totalprice"] = {
+    "fn": benford_second_digit_totalprice,
+    "sql": _benford2_sql(),
+}

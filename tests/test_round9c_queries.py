@@ -1499,3 +1499,43 @@ def test_ewma_chart_matches_python(spark):
     assert row["n_scored"] == len(scored)
     assert row["n_violations"] == sum(1 for x in scored if x > 3.0)
     assert abs(row["max_abs_standardized"] - max(scored)) < 1e-12
+
+
+def test_benford_second_digit_matches_python(spark):
+    from de4ml_spark.queries.sketchq import (
+        benford_second_digit_totalprice,
+    )
+
+    con = duckdb.connect()
+    vals = [
+        v
+        for (v,) in con.sql(
+            f"""SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                 AS VARCHAR)
+            FROM '{SF}/orders.parquet'"""
+        ).fetchall()
+    ]
+    from collections import Counter
+
+    obs = Counter(
+        int(s[1]) for s in vals if len(s) > 1 and s[1].isdigit()
+    )
+    n = sum(obs.values())
+    expect_p = [
+        sum(math.log10(1 + 1 / (10 * k + d)) for k in range(1, 10))
+        for d in range(10)
+    ]
+    chi2 = 0.0
+    for d in range(10):
+        e = n * expect_p[d]
+        chi2 += math.floor(
+            (obs.get(d, 0) - e) ** 2 / e * 1e6 + 0.5
+        ) / 1e6
+    rows = benford_second_digit_totalprice(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["observed"] == obs.get(r["digit"], 0)
+        assert abs(
+            r["expected_micro"] / 1e6 - n * expect_p[r["digit"]]
+        ) < 1e-5 * n
+        assert abs(r["chi2_r"] - chi2) < 1e-9
