@@ -216,6 +216,7 @@ PRIORITY = [
     "mcc_threshold_value",
     "ewma_chart_daily",
     "benford_second_digit_totalprice",
+    "distance_correlation_lineitem",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

@@ -838,3 +838,143 @@ REGISTRY["hoeffding_d_lineitem"] = {
     "fn": hoeffding_d_lineitem,
     "sql": _hoeffding_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Distance correlation (Székely-Rizzo dCor) between l_quantity and
+# l_discount — detects ARBITRARY dependence (zero iff independent),
+# completing the ordinal battery: monotone (gamma/Somers), omnibus
+# rank (Hoeffding D), and now energy-based. The V-statistic needs
+# O(n²) pairwise |Δx||Δy| masses, but both variables live on the
+# DOMAIN-bounded 50 × 11 cell grid, so every double sum collapses to
+# the ≤550² cell-pair join (exact integers; |Δx| in units, |Δy| in
+# cents):
+#   S1 = ΣΣ c_a c_b dX_ab dY_ab / n²,  S2 = (ΣΣ c c dX)(ΣΣ c c dY)/n⁴,
+#   S3 = Σ_i c_i·ax_i·by_i / n³ with ax_i = Σ_j c_j dX_ij,
+#   dCov² = S1 + S2 − 2S3;  dVarX/dVarY the same with X=Y;
+#   dCor = √(dCov²/√(dVarX·dVarY)).
+# Everything is a 128-bit integer until the single IEEE tail.
+# --------------------------------------------------------------------------
+
+
+def _dcor_final(div: str) -> list[str]:
+    big = _big(div)
+
+    def dcov2(s1: str, rx: str, ry: str, s3: str, p2: str, p3: str, p4: str) -> str:
+        # S1/n² + Sx·Sy/n⁴ − 2·S3/n³, with n-powers staged as doubles
+        return (
+            f"({_w2d(s1, div)} / {p2}"
+            f" + ({_w2d(rx, div)} / {p2}) * ({_w2d(ry, div)} / {p2})"
+            f" - 2.0 * {_w2d(s3, div)} / {p3})"
+        )
+
+    p2 = "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    p3 = "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    dxy = dcov2("s1_xy", "sx_tot", "sy_tot", "s3_xy", p2, p3, "")
+    dxx = dcov2("s1_xx", "sx_tot", "sx_tot", "s3_xx", p2, p3, "")
+    dyy = dcov2("s1_yy", "sy_tot", "sy_tot", "s3_yy", p2, p3, "")
+    return [
+        "n AS n_rows",
+        f"{dxy} AS dcov2",
+        f"sqrt({dxy} / sqrt(({dxx}) * ({dyy}))) AS dcor",
+    ]
+
+
+def distance_correlation_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS y",
+    ).groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    o = cells.selectExpr("x AS x2", "y AS y2", "c AS c2")
+    big = "DECIMAL(38,0)"
+    # per-cell row sums over the bounded pair frame
+    per = (
+        cells.crossJoin(F.broadcast(o))
+        .groupBy("x", "y", "c")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(c2 AS {big}) * abs(x - x2)")
+            ).alias("ax"),
+            F.sum(
+                F.expr(f"CAST(c2 AS {big}) * abs(y - y2)")
+            ).alias("by_"),
+            F.sum(
+                F.expr(
+                    f"CAST(c2 AS {big}) * abs(x - x2) * abs(y - y2)"
+                )
+            ).alias("axy"),
+            F.sum(
+                F.expr(
+                    f"CAST(c2 AS {big}) * abs(x - x2) * abs(x - x2)"
+                )
+            ).alias("axx"),
+            F.sum(
+                F.expr(
+                    f"CAST(c2 AS {big}) * abs(y - y2) * abs(y - y2)"
+                )
+            ).alias("ayy"),
+        )
+    )
+    agg = per.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.expr(f"CAST(c AS {big}) * axy")).alias("s1_xy"),
+        F.sum(F.expr(f"CAST(c AS {big}) * axx")).alias("s1_xx"),
+        F.sum(F.expr(f"CAST(c AS {big}) * ayy")).alias("s1_yy"),
+        F.sum(F.expr(f"CAST(c AS {big}) * ax")).alias("sx_tot"),
+        F.sum(F.expr(f"CAST(c AS {big}) * by_")).alias("sy_tot"),
+        F.sum(F.expr(f"CAST(c AS {big}) * ax * by_")).alias("s3_xy"),
+        F.sum(F.expr(f"CAST(c AS {big}) * ax * ax")).alias("s3_xx"),
+        F.sum(F.expr(f"CAST(c AS {big}) * by_ * by_")).alias("s3_yy"),
+    )
+    return agg.selectExpr(*_dcor_final("DIV"))
+
+
+def _dcor_sql() -> str:
+    final = ",\n       ".join(_dcor_final("//"))
+    return f"""
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+per AS (
+  SELECT g.x, g.y, g.c,
+         SUM(CAST(o.c AS HUGEINT) * abs(g.x - o.x)) AS ax,
+         SUM(CAST(o.c AS HUGEINT) * abs(g.y - o.y)) AS by_,
+         SUM(CAST(o.c AS HUGEINT) * abs(g.x - o.x) * abs(g.y - o.y))
+           AS axy,
+         SUM(CAST(o.c AS HUGEINT) * abs(g.x - o.x) * abs(g.x - o.x))
+           AS axx,
+         SUM(CAST(o.c AS HUGEINT) * abs(g.y - o.y) * abs(g.y - o.y))
+           AS ayy
+  FROM cells g CROSS JOIN cells o
+  GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         SUM(CAST(c AS HUGEINT) * axy) AS s1_xy,
+         SUM(CAST(c AS HUGEINT) * axx) AS s1_xx,
+         SUM(CAST(c AS HUGEINT) * ayy) AS s1_yy,
+         SUM(CAST(c AS HUGEINT) * ax) AS sx_tot,
+         SUM(CAST(c AS HUGEINT) * by_) AS sy_tot,
+         SUM(CAST(c AS HUGEINT) * ax * by_) AS s3_xy,
+         SUM(CAST(c AS HUGEINT) * ax * ax) AS s3_xx,
+         SUM(CAST(c AS HUGEINT) * by_ * by_) AS s3_yy
+  FROM per
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["distance_correlation_lineitem"] = {
+    "fn": distance_correlation_lineitem,
+    "sql": _dcor_sql(),
+}

@@ -1052,3 +1052,57 @@ def test_hoeffding_d_matches_python(spark):
     assert abs(row["hoeffding_d"] - d_stat) < 1e-9 * max(
         1.0, abs(d_stat)
     )
+
+
+def test_distance_correlation_matches_python(spark):
+    from de4ml_spark.queries.statq4 import (
+        distance_correlation_lineitem,
+    )
+
+    con = duckdb.connect()
+    pts = con.sql(
+        f"""SELECT CAST(l_quantity AS BIGINT),
+            CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+    n = len(pts)
+    cells = Counter(pts)
+    items = list(cells.items())
+
+    # V-statistic sums via the cell table (independent double loop)
+    s1_xy = s1_xx = s1_yy = 0
+    ax = {}
+    by = {}
+    for (x, y), c in items:
+        a = sum(c2 * abs(x - x2) for (x2, y2), c2 in items)
+        b = sum(c2 * abs(y - y2) for (x2, y2), c2 in items)
+        ax[(x, y)] = a
+        by[(x, y)] = b
+        s1_xy += c * sum(
+            c2 * abs(x - x2) * abs(y - y2)
+            for (x2, y2), c2 in items
+        )
+        s1_xx += c * sum(
+            c2 * abs(x - x2) ** 2 for (x2, y2), c2 in items
+        )
+        s1_yy += c * sum(
+            c2 * abs(y - y2) ** 2 for (x2, y2), c2 in items
+        )
+    sx = sum(c * ax[k] for k, c in cells.items())
+    sy = sum(c * by[k] for k, c in cells.items())
+
+    def dcov2(s1, ra, rb, s3):
+        return s1 / n**2 + (ra / n**2) * (rb / n**2) - 2 * s3 / n**3
+
+    s3_xy = sum(c * ax[k] * by[k] for k, c in cells.items())
+    s3_xx = sum(c * ax[k] * ax[k] for k, c in cells.items())
+    s3_yy = sum(c * by[k] * by[k] for k, c in cells.items())
+    dxy = dcov2(s1_xy, sx, sy, s3_xy)
+    dxx = dcov2(s1_xx, sx, sx, s3_xx)
+    dyy = dcov2(s1_yy, sy, sy, s3_yy)
+    dcor = math.sqrt(dxy / math.sqrt(dxx * dyy))
+    row = distance_correlation_lineitem(spark, SF).collect()[0]
+    assert row["n_rows"] == n
+    assert abs(row["dcov2"] - dxy) < 1e-6 * max(1.0, abs(dxy))
+    assert abs(row["dcor"] - dcor) < 1e-9 * max(1.0, dcor)
+    assert 0.0 <= row["dcor"] <= 1.0
