@@ -217,6 +217,7 @@ PRIORITY = [
     "ewma_chart_daily",
     "benford_second_digit_totalprice",
     "distance_correlation_lineitem",
+    "clustering_summary_parts",
     # -- (3) stale queue, resumed from the round-8 cutoff
     "conversion_latency_stats",
     "corpus_pipeline_report",

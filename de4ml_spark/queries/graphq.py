@@ -1740,3 +1740,142 @@ REGISTRY["moran_geary_parts"] = {
     "fn": moran_geary_parts,
     "sql": _moran_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Clustering summary of the co-purchase graph — the two one-number
+# small-world diagnostics beside triangle_count_parts' per-node rows:
+# average LOCAL clustering (Watts-Strogatz; mean over deg ≥ 2 nodes
+# of 2T_v/(d_v(d_v−1)), each node's coefficient half-up
+# micro-quantized so the mean is an exact integer sum) and GLOBAL
+# transitivity 3·triangles/wedges = 6T/Σd(d−1). Rides the same
+# degree-oriented map-side wedge machinery (no wedge shuffle); the
+# oracle states the semantics in the naive three-way form.
+# --------------------------------------------------------------------------
+
+_CLUSTERING_FINAL = [
+    "n_nodes_deg2",
+    "total_triangles",
+    "CAST(sum_local_u AS DOUBLE)"
+    " / (CAST(n_nodes_deg2 AS DOUBLE) * 1000000.0)"
+    " AS avg_local_clustering",
+    "6.0 * CAST(total_triangles AS DOUBLE)"
+    " / CAST(sum_dd1 AS DOUBLE) AS global_transitivity",
+]
+
+
+def clustering_summary_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.cache import release_after
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd,
+    )
+
+    edges = _canonical_edges(spark, sf_dir)
+    deg = _edge_degrees(edges)
+    tris = _oriented_triangles(edges, deg)
+    per_node = (
+        tris.selectExpr("a AS node")
+        .unionAll(tris.selectExpr("b AS node"))
+        .unionAll(tris.selectExpr("c AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t_v"))
+    )
+    total = tris.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_triangles")
+    )
+    local = (
+        deg.filter("deg >= 2")
+        .join(per_node, "node", "left")
+        .selectExpr(
+            "CAST(deg AS BIGINT) AS deg",
+            "COALESCE(t_v, 0) AS t_v",
+        )
+        .selectExpr(
+            "deg",
+            f"CAST({_whd('CAST(t_v AS DECIMAL(38,0)) * 2000000', 'deg * (deg - 1)', 'DIV')}"
+            " AS BIGINT) AS local_u",
+        )
+    )
+    agg = local.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes_deg2"),
+        F.sum("local_u").cast("bigint").alias("sum_local_u"),
+        F.sum(F.expr("CAST(deg AS DECIMAL(38,0)) * (deg - 1)"))
+        .alias("sum_dd1_w"),
+    ).selectExpr(
+        "n_nodes_deg2",
+        "sum_local_u",
+        "CAST(sum_dd1_w AS BIGINT) AS sum_dd1",
+    )
+    out = agg.crossJoin(F.broadcast(total)).selectExpr(
+        *_CLUSTERING_FINAL
+    )
+    return release_after(out, edges)
+
+
+def _clustering_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd,
+    )
+
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM edges
+        UNION ALL SELECT v FROM edges)
+  GROUP BY 1
+),
+tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t_v
+  FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  )
+  GROUP BY 1
+),
+total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles FROM tris
+),
+local AS (
+  SELECT deg,
+         CAST({_whd('CAST(COALESCE(t_v, 0) AS HUGEINT) * 2000000',
+                    'deg * (deg - 1)', '//')} AS BIGINT) AS local_u
+  FROM deg LEFT JOIN per_node USING (node)
+  WHERE deg >= 2
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes_deg2,
+         CAST(SUM(local_u) AS BIGINT) AS sum_local_u,
+         CAST(SUM(CAST(deg AS HUGEINT) * (deg - 1)) AS BIGINT)
+           AS sum_dd1
+  FROM local
+)
+SELECT n_nodes_deg2,
+       total_triangles,
+       CAST(sum_local_u AS DOUBLE)
+       / (CAST(n_nodes_deg2 AS DOUBLE) * 1000000.0)
+         AS avg_local_clustering,
+       6.0 * CAST(total_triangles AS DOUBLE)
+       / CAST(sum_dd1 AS DOUBLE) AS global_transitivity
+FROM agg CROSS JOIN total
+"""
+
+
+REGISTRY["clustering_summary_parts"] = {
+    "fn": clustering_summary_parts,
+    "sql": _clustering_sql(),
+}

@@ -1539,3 +1539,54 @@ def test_benford_second_digit_matches_python(spark):
             r["expected_micro"] / 1e6 - n * expect_p[r["digit"]]
         ) < 1e-5 * n
         assert abs(r["chi2_r"] - chi2) < 1e-9
+
+
+def test_clustering_summary_matches_python(spark):
+    from de4ml_spark.queries.graphq import clustering_summary_parts
+
+    con = duckdb.connect()
+    edges = set(
+        con.sql(
+            f"""SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM '{SF}/lineitem.parquet' a
+        JOIN '{SF}/lineitem.parquet' b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey"""
+        ).fetchall()
+    )
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    t_v = Counter()
+    total = 0
+    nodes = sorted(adj)
+    for u, v in edges:
+        common = adj[u] & adj[v]
+        for w in common:
+            if w > v:  # count each triangle once at its max corner
+                total += 1
+                t_v[u] += 1
+                t_v[v] += 1
+                t_v[w] += 1
+    sum_local = 0.0
+    n2 = 0
+    sum_dd1 = 0
+    for node in nodes:
+        d = len(adj[node])
+        if d < 2:
+            continue
+        n2 += 1
+        sum_dd1 += d * (d - 1)
+        # replicate the half-up micro quantization
+        num = 2 * t_v.get(node, 0) * 1_000_000
+        den = d * (d - 1)
+        sum_local += (2 * num + den) // (2 * den) / 1e6
+    row = clustering_summary_parts(spark, SF).collect()[0]
+    assert row["n_nodes_deg2"] == n2
+    assert row["total_triangles"] == total
+    assert abs(row["avg_local_clustering"] - sum_local / n2) < 1e-9
+    assert abs(
+        row["global_transitivity"] - 6 * total / sum_dd1
+    ) < 1e-12
