@@ -61,78 +61,28 @@ def _registries() -> list[dict]:
 
 # Catalog iteration order. The driver's correctness harness grades a
 # 50-entry PREFIX of this list per round, so ordering decides which
-# queries get fresh cross-engine evidence each round. Round-9 rotation:
-# (1) re-grade the four entries that ride operators/rank.py — its
-# internals changed this round (ADVICE r8 fixes: native-typed cumsum
-# offsets, null-safe grouped-rank join, deferred cache release), so the
-# graded versions must be the fixed ones; then
-# (2) new round-9 catalog additions (first driver evidence); then
-# (3) the stale queue resumed exactly where round 8 left off
-# (conversion_latency_stats onward), spilling into the round-5-graded
-# section if the 50-prefix reaches it.
-# Below the boundary: round-5, round-6, round-7, then round-8 evidence
-# at the very back (newest first-hand evidence last). Evidence age
-# after round 8: every entry has driver evidence from round 5 or later.
-# Round-9b/9c additions (ols_daily_trend ... cucconi_value, ~60
-# entries) sit AFTER the 50-prefix in section (2) — they carry
-# this-session sf0.01+sf0.001 local oracle evidence plus pure-Python
-# recompute tests, and are the round-10 rotation's graded prefix.
+# queries get fresh cross-engine evidence each round.
+#
+# Round-10 rotation (VERDICT r9 item 1): the 84 round-9b/9c entries that
+# have never been driver-graded move to the front — they are the only
+# catalog rows with no cross-engine driver evidence (all 84 verified
+# green locally at sf0.01+sf0.001 with pure-Python recompute tests).
+# PRIORITY[:50] lands in CORRECTNESS_r10.json; the remaining 34 head the
+# round-11 prefix, followed by new round-10 entries, then the refresh
+# queue below.
+#
+# Evidence-age ledger (VERDICT r9 item 5; latest driver-graded round per
+# entry, computed from CORRECTNESS_r0{1..9}.json at round-10 start):
+#   never graded: 84   r4: 41   r5: 39   r6: 47   r7: 46   r8: 46   r9: 50
+# The refresh queue is ordered oldest-evidence-first so once the
+# ungraded pool clears (round 11), rotation naturally resumes with the
+# 41 round-4-graded entries (target: oldest evidence <= r7 by round 12).
 PRIORITY = [
-    # -- (1) re-grade: rank.py internals changed this round
-    "quantile_normalize_docs",
-    "rfm_segments_customers",
-    "pareto_revenue_parts",
-    "kcore_parts",
-    # -- (2) new round-9 entries (inserted here as they land)
-    "welch_ttest_value",
-    "anova_value_types",
-    "cramers_v_events",
-    "auc_roc_events",
-    "spearman_quantity_price",
-    "lift_deciles_events",
-    "woe_iv_events",
-    "cohens_kappa_docs",
-    "js_divergence_sources",
-    "kendall_tau_events",
-    "psi_value_drift",
-    "brier_decomposition_events",
-    "rolling_median_user_value",
-    "khop_reach_parts",
-    "cliffs_delta_value",
-    "pr_auc_events",
-    "brown_forsythe_value",
-    "runs_test_value",
-    "life_table_retention",
-    "permutation_entropy_events",
-    "rake_keywords_docs",
-    "power_law_alpha_parts",
-    "hurst_value_events",
-    "friedman_daily_value",
-    "grubbs_value_events",
-    "cochran_q_docs",
-    "mcnemar_docs",
-    "jonckheere_value",
-    "cochran_armitage_trend",
-    "goertzel_weekly_events",
-    "rich_club_parts",
-    "simpson_diversity_sources",
-    "silhouette_embeddings",
-    "ndcg_at_k_orders",
-    "ece_events",
-    "gumbel_weekly_maxima",
-    "theil_index_parts",
-    "hhi_supplier_revenue",
-    "katz_centrality_parts",
-    "term_burstiness_docs",
-    "interarrival_burstiness_events",
-    "mann_kendall_daily_events",
-    "turning_points_value",
-    "bartlett_value_types",
-    "jarque_bera_value",
-    "durbin_watson_daily_events",
+    # -- (1) round-10 graded prefix: the 84 round-9b/9c entries with no
+    #       driver evidence yet (local oracle + recompute tests only).
+    #       First 50 graded this round; the remaining 34 head round 11.
     "g_test_events",
     "wilcoxon_signed_daily",
-    # -- (2b) round-9b additions: AFTER the 50-cut (graded round 10)
     "ks_two_sample_value",
     "mood_median_value",
     "pettitt_change_daily",
@@ -146,16 +96,13 @@ PRIORITY = [
     "bartels_rank_daily",
     "cox_stuart_daily",
     "logrank_test_retention",
-    "nelson_aalen_retention",
     "odds_ratio_docs",
     "mrr_popularity_orders",
-    "map_at_k_orders",
     "association_rules_parts",
     "lin_ccc_orders",
     "partial_corr_lineitem",
     "yule_k_docs",
     "ttr_hapax_docs",
-    "zipf_slope_docs",
     "flesch_reading_docs",
     "hellinger_sources",
     "lognormal_fit_price",
@@ -218,7 +165,8 @@ PRIORITY = [
     "benford_second_digit_totalprice",
     "distance_correlation_lineitem",
     "clustering_summary_parts",
-    # -- (3) stale queue, resumed from the round-8 cutoff
+    # -- (2) new round-10 entries land here (graded round 11)
+    # -- refresh queue: latest driver evidence round 4
     "conversion_latency_stats",
     "corpus_pipeline_report",
     "ctr_per_user",
@@ -260,7 +208,7 @@ PRIORITY = [
     "top3_orders_per_customer",
     "vocab_top_terms",
     "winsorized_price_stats",
-    # -- (4) graded in round 5
+    # -- refresh queue: latest driver evidence round 5
     "daily_heavy_hitters",
     "dedup_graph_degrees",
     "source_vocab_overlap",
@@ -300,7 +248,7 @@ PRIORITY = [
     "monthly_revenue_ma",
     "multimodal_meta",
     "orders_price_page",
-    # -- (5) graded in round 6
+    # -- refresh queue: latest driver evidence round 6
     "ks_drift_value",
     "epoch_mix_plan",
     "quota_admission_events",
@@ -348,7 +296,8 @@ PRIORITY = [
     "clean_corpus",
     "decontaminate_docs",
     "dedup_cluster_sizes",
-    # -- (6) graded in round 7
+    # -- refresh queue: latest driver evidence round 7
+    "nelson_aalen_retention",
     "q9_product_profit",
     "rollup_cascade_events",
     "q16_supplier_cnt",
@@ -394,7 +343,9 @@ PRIORITY = [
     "knn_lsh",
     "knn_rrf_fusion",
     "lang_confusion_docs",
-    # -- (7) graded in round 8: the newest evidence, at the very back
+    # -- refresh queue: latest driver evidence round 8
+    "map_at_k_orders",
+    "zipf_slope_docs",
     "popularity_hitrate_orders",
     "emd_value_types",
     "gini_revenue_parts",
@@ -439,6 +390,57 @@ PRIORITY = [
     "asof_click_view",
     "cdc_chunk_docs",
     "cdc_dedup_chunks",
+    # -- refresh queue: latest driver evidence round 9
+    "quantile_normalize_docs",
+    "rfm_segments_customers",
+    "pareto_revenue_parts",
+    "kcore_parts",
+    "welch_ttest_value",
+    "anova_value_types",
+    "cramers_v_events",
+    "auc_roc_events",
+    "spearman_quantity_price",
+    "lift_deciles_events",
+    "woe_iv_events",
+    "cohens_kappa_docs",
+    "js_divergence_sources",
+    "kendall_tau_events",
+    "psi_value_drift",
+    "brier_decomposition_events",
+    "rolling_median_user_value",
+    "khop_reach_parts",
+    "cliffs_delta_value",
+    "pr_auc_events",
+    "brown_forsythe_value",
+    "runs_test_value",
+    "life_table_retention",
+    "permutation_entropy_events",
+    "rake_keywords_docs",
+    "power_law_alpha_parts",
+    "hurst_value_events",
+    "friedman_daily_value",
+    "grubbs_value_events",
+    "cochran_q_docs",
+    "mcnemar_docs",
+    "jonckheere_value",
+    "cochran_armitage_trend",
+    "goertzel_weekly_events",
+    "rich_club_parts",
+    "simpson_diversity_sources",
+    "silhouette_embeddings",
+    "ndcg_at_k_orders",
+    "ece_events",
+    "gumbel_weekly_maxima",
+    "theil_index_parts",
+    "hhi_supplier_revenue",
+    "katz_centrality_parts",
+    "term_burstiness_docs",
+    "interarrival_burstiness_events",
+    "mann_kendall_daily_events",
+    "turning_points_value",
+    "bartlett_value_types",
+    "jarque_bera_value",
+    "durbin_watson_daily_events",
 ]
 
 
