@@ -845,69 +845,17 @@ REGISTRY["mutual_info_events"] = {
 
 
 def emd_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from de4ml_spark.operators.pairhist import pair_value_histogram
     from de4ml_spark.operators.portable_hash import (
         exact_round_div_sql_wide,
     )
 
-    ev = load_table(spark, sf_dir, "events")
-    counts = (
-        ev.filter(F.col("value").isNotNull())
-        .filter(F.col("event_type").isNotNull())
-        .groupBy(
-            "event_type",
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
-            .alias("v_c"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # Shared per-pair cum-histogram frame (operators/pairhist.py): the
+    # CDF cums, step widths (v_next) and side totals are precomputed,
+    # so the entry is one groupBy over the persisted bounded scan.
+    stepped = pair_value_histogram(spark, sf_dir).filter(
+        "v_next IS NOT NULL"
     )
-    types = counts.select("event_type").distinct()
-    pairs = (
-        types.alias("ta")
-        .crossJoin(types.alias("tb"))
-        .filter(F.col("ta.event_type") < F.col("tb.event_type"))
-        .select(
-            F.col("ta.event_type").alias("type_a"),
-            F.col("tb.event_type").alias("type_b"),
-        )
-    )
-    # explode the pair list into per-side membership rows so the
-    # histogram fan-out is an equi-join on event_type (one
-    # BroadcastHashJoin) instead of an OR-predicate
-    # BroadcastNestedLoop that rescans the histogram per pair
-    memb = pairs.selectExpr(
-        "type_a",
-        "type_b",
-        "explode(array(named_struct('et', type_a, 'is_a', 1),"
-        " named_struct('et', type_b, 'is_a', 0))) AS m",
-    ).selectExpr("m.et AS event_type", "type_a", "type_b", "m.is_a")
-    member = counts.join(F.broadcast(memb), "event_type").select(
-        "type_a",
-        "type_b",
-        "v_c",
-        (F.col("cnt") * F.col("is_a")).alias("ca"),
-        (F.col("cnt") * (1 - F.col("is_a"))).alias("cb"),
-    )
-    byval = member.groupBy("type_a", "type_b", "v_c").agg(
-        F.sum("ca").alias("na_v"), F.sum("cb").alias("nb_v")
-    )
-    wp = Window.partitionBy("type_a", "type_b").orderBy("v_c")
-    wcum = wp.rowsBetween(Window.unboundedPreceding, 0)
-    stepped = byval.select(
-        "type_a",
-        "type_b",
-        "v_c",
-        F.sum("na_v").over(wcum).alias("cum_a"),
-        F.sum("nb_v").over(wcum).alias("cum_b"),
-        F.lead("v_c").over(wp).alias("v_next"),
-        F.sum("na_v")
-        .over(Window.partitionBy("type_a", "type_b"))
-        .alias("n_a"),
-        F.sum("nb_v")
-        .over(Window.partitionBy("type_a", "type_b"))
-        .alias("n_b"),
-    ).filter("v_next IS NOT NULL")
     agg = stepped.groupBy("type_a", "type_b").agg(
         F.max("n_a").cast("bigint").alias("n_a"),
         F.max("n_b").cast("bigint").alias("n_b"),

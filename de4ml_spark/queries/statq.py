@@ -55,63 +55,19 @@ from de4ml_spark.operators.portable_hash import (
 
 
 def mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    counts = (
-        ev.filter(F.col("value").isNotNull())
-        .filter(F.col("event_type").isNotNull())
-        .groupBy(
-            "event_type",
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
-            .alias("v_c"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    types = counts.select("event_type").distinct()
-    pairs = (
-        types.alias("ta")
-        .crossJoin(types.alias("tb"))
-        .filter(F.col("ta.event_type") < F.col("tb.event_type"))
-        .select(
-            F.col("ta.event_type").alias("type_a"),
-            F.col("tb.event_type").alias("type_b"),
-        )
-    )
-    # histogram rows fan out to every pair they belong to (k-1 pairs
-    # per type). Explode each pair into its two (event_type, side)
-    # membership rows so the join is an EQUI-join on event_type —
-    # Spark plans the OR-predicate form as a BroadcastNestedLoop that
-    # scans the histogram once per pair; the exploded form is one
-    # BroadcastHashJoin over a single histogram scan.
-    memb = pairs.selectExpr(
+    # Shared per-pair cum-histogram frame (operators/pairhist.py): the
+    # union cum is the sum of the precomputed side cums, so the entry
+    # is one groupBy over the persisted histogram-bounded scan.
+    from de4ml_spark.operators.pairhist import pair_value_histogram
+
+    ranked = pair_value_histogram(spark, sf_dir).selectExpr(
         "type_a",
         "type_b",
-        "explode(array(named_struct('et', type_a, 'is_a', 1),"
-        " named_struct('et', type_b, 'is_a', 0))) AS m",
-    ).selectExpr("m.et AS event_type", "type_a", "type_b", "m.is_a")
-    member = counts.join(F.broadcast(memb), "event_type").select(
-        "type_a",
-        "type_b",
-        "v_c",
-        (F.col("cnt") * F.col("is_a")).alias("cnt_a"),
-        F.col("cnt").alias("cnt_all"),
-    )
-    byval = member.groupBy("type_a", "type_b", "v_c").agg(
-        F.sum("cnt_a").alias("n_a_v"),
-        F.sum("cnt_all").alias("n_all_v"),
-    )
-    wcum = (
-        Window.partitionBy("type_a", "type_b")
-        .orderBy("v_c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ranked = byval.withColumn("cum", F.sum("n_all_v").over(wcum)).selectExpr(
-        "type_a",
-        "type_b",
-        "n_a_v",
-        "n_all_v",
-        # 2 x midrank of the tied block at this value
-        "2 * (cum - n_all_v) + n_all_v + 1 AS r2x",
+        "a_n AS n_a_v",
+        "a_n + b_n AS n_all_v",
+        # 2 x midrank of the tied block at this value; pooled cum_prev
+        # = (cum_a - a_n) + (cum_b - b_n)
+        "2 * (cum_a + cum_b - a_n - b_n) + (a_n + b_n) + 1 AS r2x",
     )
     agg = ranked.groupBy("type_a", "type_b").agg(
         F.sum(F.col("n_a_v") * F.col("r2x")).alias("r1_2x"),

@@ -851,54 +851,18 @@ def _cliffs_final(div: str) -> list[str]:
 
 
 def cliffs_delta_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    counts = (
-        ev.filter(F.col("value").isNotNull())
-        .filter(F.col("event_type").isNotNull())
-        .groupBy(
-            "event_type",
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
-            .alias("v_c"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    types = counts.select("event_type").distinct()
-    pairs = (
-        types.alias("ta")
-        .crossJoin(types.alias("tb"))
-        .filter(F.col("ta.event_type") < F.col("tb.event_type"))
-        .select(
-            F.col("ta.event_type").alias("type_a"),
-            F.col("tb.event_type").alias("type_b"),
-        )
-    )
-    memb = pairs.selectExpr(
+    # Shared per-pair cum-histogram frame (operators/pairhist.py): cum_b
+    # and the side totals are precomputed, so the entry is one groupBy
+    # over the persisted histogram-bounded scan.
+    from de4ml_spark.operators.pairhist import pair_value_histogram
+
+    ranked = pair_value_histogram(spark, sf_dir).selectExpr(
         "type_a",
         "type_b",
-        "explode(array(named_struct('et', type_a, 'is_a', 1),"
-        " named_struct('et', type_b, 'is_a', 0))) AS m",
-    ).selectExpr("m.et AS event_type", "type_a", "type_b", "m.is_a")
-    member = counts.join(F.broadcast(memb), "event_type").select(
-        "type_a",
-        "type_b",
-        "v_c",
-        (F.col("cnt") * F.col("is_a")).alias("cnt_a"),
-        (F.col("cnt") * (1 - F.col("is_a"))).alias("cnt_b"),
-    )
-    byval = member.groupBy("type_a", "type_b", "v_c").agg(
-        F.sum("cnt_a").alias("a_n"),
-        F.sum("cnt_b").alias("b_n"),
-    )
-    wcum = (
-        Window.partitionBy("type_a", "type_b")
-        .orderBy("v_c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wall = Window.partitionBy("type_a", "type_b")
-    ranked = (
-        byval.withColumn("cum_b", F.sum("b_n").over(wcum))
-        .withColumn("nb_tot", F.sum("b_n").over(wall))
+        "a_n",
+        "b_n",
+        "cum_b",
+        "n_b AS nb_tot",
     )
     agg = ranked.groupBy("type_a", "type_b").agg(
         F.sum("a_n").cast("bigint").alias("n_a"),

@@ -74,42 +74,15 @@ _KS_FINAL = [
 
 
 def ks_two_sample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    byval = (
-        ev.filter(F.col("value").isNotNull())
-        .filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy(
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
-            .alias("v_c")
-        )
-        .agg(
-            F.sum(F.expr("CAST(event_type = 'click' AS BIGINT)"))
-            .cast("bigint")
-            .alias("a_n"),
-            F.sum(F.expr("CAST(event_type = 'purchase' AS BIGINT)"))
-            .cast("bigint")
-            .alias("b_n"),
-        )
-    )
-    wcum = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("v_c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = byval.withColumn("cum_a", F.sum("a_n").over(wcum)).withColumn(
-        "cum_b", F.sum("b_n").over(wcum)
-    )
-    # the numerator needs n_a/n_b before the max — two-pass: totals
-    # first (broadcast scalar), then the max over the histogram
-    totals = byval.agg(
-        F.sum("a_n").cast("bigint").alias("n_a"),
-        F.sum("b_n").cast("bigint").alias("n_b"),
-    )
+    # shared persisted two-sample cum frame (operators/pairhist.py)
+    from de4ml_spark.operators.pairhist import two_sample_cums
+
     dmax = (
-        cum.crossJoin(F.broadcast(totals))
+        two_sample_cums(spark, sf_dir)
         .selectExpr(
-            "n_a", "n_b", "abs(cum_a * n_b - cum_b * n_a) AS dn"
+            "na_tot AS n_a",
+            "nb_tot AS n_b",
+            "abs(ca * nb_tot - cb * na_tot) AS dn",
         )
         .groupBy("n_a", "n_b")
         .agg(F.max("dn").cast("bigint").alias("d_num"))

@@ -68,42 +68,15 @@ _KUIPER_FINAL = [
 def kuiper_two_sample_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    byval = (
-        ev.filter(F.col("value").isNotNull())
-        .filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy(
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
-            .alias("v_c")
-        )
-        .agg(
-            F.sum(F.expr("CAST(event_type = 'click' AS BIGINT)"))
-            .cast("bigint")
-            .alias("a_n"),
-            F.sum(F.expr("CAST(event_type = 'purchase' AS BIGINT)"))
-            .cast("bigint")
-            .alias("b_n"),
-        )
-    )
-    wcum = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("v_c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = byval.withColumn("cum_a", F.sum("a_n").over(wcum)).withColumn(
-        "cum_b", F.sum("b_n").over(wcum)
-    )
-    totals = byval.agg(
-        F.sum("a_n").cast("bigint").alias("n_a"),
-        F.sum("b_n").cast("bigint").alias("n_b"),
-    )
+    # shared persisted two-sample cum frame (operators/pairhist.py)
+    from de4ml_spark.operators.pairhist import two_sample_cums
+
     vmax = (
-        cum.crossJoin(F.broadcast(totals))
+        two_sample_cums(spark, sf_dir)
         .selectExpr(
-            "n_a",
-            "n_b",
-            "cum_a * n_b - cum_b * n_a AS dplus",
+            "na_tot AS n_a",
+            "nb_tot AS n_b",
+            "ca * nb_tot - cb * na_tot AS dplus",
         )
         .groupBy("n_a", "n_b")
         .agg(
@@ -190,44 +163,17 @@ def _cvm_final(div: str) -> list[str]:
 def cvm_two_sample_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    byval = (
-        ev.filter(F.col("value").isNotNull())
-        .filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy(
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
-            .alias("v_c")
-        )
-        .agg(
-            F.sum(F.expr("CAST(event_type = 'click' AS BIGINT)"))
-            .cast("bigint")
-            .alias("a_n"),
-            F.sum(F.expr("CAST(event_type = 'purchase' AS BIGINT)"))
-            .cast("bigint")
-            .alias("b_n"),
-        )
-    )
-    wcum = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("v_c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = byval.withColumn("cum_a", F.sum("a_n").over(wcum)).withColumn(
-        "cum_b", F.sum("b_n").over(wcum)
-    )
-    totals = byval.agg(
-        F.sum("a_n").cast("bigint").alias("n_a"),
-        F.sum("b_n").cast("bigint").alias("n_b"),
-    )
+    # shared persisted two-sample cum frame (operators/pairhist.py)
+    from de4ml_spark.operators.pairhist import two_sample_cums
+
     tnum = (
-        cum.crossJoin(F.broadcast(totals))
+        two_sample_cums(spark, sf_dir)
         .selectExpr(
-            "n_a",
-            "n_b",
+            "na_tot AS n_a",
+            "nb_tot AS n_b",
             "CAST(a_n + b_n AS DECIMAL(38,0))"
-            " * (cum_a * n_b - cum_b * n_a)"
-            " * (cum_a * n_b - cum_b * n_a) AS term",
+            " * (ca * nb_tot - cb * na_tot)"
+            " * (ca * nb_tot - cb * na_tot) AS term",
         )
         .groupBy("n_a", "n_b")
         .agg(F.sum("term").alias("t_num"))
@@ -559,33 +505,20 @@ def _energy_final(div: str) -> list[str]:
 def energy_distance_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    byval = (
-        ev.filter(F.col("value").isNotNull())
-        .filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy(
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
-            .alias("v_c")
-        )
-        .agg(
-            F.sum(F.expr("CAST(event_type = 'click' AS BIGINT)"))
-            .cast("bigint")
-            .alias("a_n"),
-            F.sum(F.expr("CAST(event_type = 'purchase' AS BIGINT)"))
-            .cast("bigint")
-            .alias("b_n"),
-        )
-    )
+    # shared persisted two-sample cum frame (operators/pairhist.py):
+    # ca/cb ride the shared frame; the value-weighted cums sa/sb are
+    # entry-specific, so they run as one window over the persisted
+    # histogram-bounded scan (no events pass).
+    from de4ml_spark.operators.pairhist import two_sample_cums
+
+    byval = two_sample_cums(spark, sf_dir)
     wcum = (
         Window.partitionBy(F.lit(1))
         .orderBy("v_c")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = (
-        byval.withColumn("ca", F.sum("a_n").over(wcum))
-        .withColumn("cb", F.sum("b_n").over(wcum))
-        .withColumn(
+        byval.withColumn(
             "sa",
             F.sum(F.expr("CAST(a_n AS DECIMAL(38,0)) * v_c")).over(wcum),
         )
@@ -1332,20 +1265,16 @@ def ansari_bradley_value(
         wide_halfup_div_sql as _whd,
     )
 
-    byval = _two_sample_hist(spark, sf_dir)
-    wcum = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("v_c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = byval.withColumn(
-        "cum", F.sum(F.expr("a_n + b_n")).over(wcum)
-    )
-    totals = byval.agg(
-        F.sum("a_n").cast("bigint").alias("n_a"),
-        F.sum("b_n").cast("bigint").alias("n_b"),
-    )
-    g = cum.crossJoin(F.broadcast(totals)).selectExpr(
+    # shared persisted two-sample cum frame (operators/pairhist.py)
+    from de4ml_spark.operators.pairhist import two_sample_cums
+
+    g = two_sample_cums(spark, sf_dir).selectExpr(
+        "a_n",
+        "b_n",
+        "ca + cb AS cum",
+        "na_tot AS n_a",
+        "nb_tot AS n_b",
+    ).selectExpr(
         "a_n",
         "b_n",
         "a_n + b_n AS c_g",
@@ -1471,15 +1400,10 @@ def _fp_final(div: str) -> list[str]:
 def fligner_policello_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    byval = _two_sample_hist(spark, sf_dir)
-    wcum = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("v_c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = byval.withColumn("ca", F.sum("a_n").over(wcum)).withColumn(
-        "cb", F.sum("b_n").over(wcum)
-    )
+    # shared persisted two-sample cum frame (operators/pairhist.py)
+    from de4ml_spark.operators.pairhist import two_sample_cums
+
+    cum = two_sample_cums(spark, sf_dir)
     pl = cum.selectExpr(
         "a_n",
         "b_n",
@@ -1606,23 +1530,13 @@ def _ad_term(m2: str, cn: str, div: str) -> str:
 def anderson_darling_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    byval = _two_sample_hist(spark, sf_dir)
-    wcum = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("v_c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = byval.withColumn("ca", F.sum("a_n").over(wcum)).withColumn(
-        "cb", F.sum("b_n").over(wcum)
-    )
-    totals = byval.agg(
-        F.sum("a_n").cast("bigint").alias("n_a"),
-        F.sum("b_n").cast("bigint").alias("n_b"),
-    )
-    g = cum.crossJoin(F.broadcast(totals)).selectExpr(
-        "n_a",
-        "n_b",
-        "n_a + n_b AS nn",
+    # shared persisted two-sample cum frame (operators/pairhist.py)
+    from de4ml_spark.operators.pairhist import two_sample_cums
+
+    g = two_sample_cums(spark, sf_dir).selectExpr(
+        "na_tot AS n_a",
+        "nb_tot AS n_b",
+        "na_tot + nb_tot AS nn",
         "a_n + b_n AS l",
         "2 * (ca + cb) - (a_n + b_n) AS b2",
         "2 * ca - a_n AS m2a",
@@ -2822,15 +2736,10 @@ def _bm_final(div: str) -> list[str]:
 def brunner_munzel_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    byval = _two_sample_hist(spark, sf_dir)
-    wcum = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("v_c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = byval.withColumn("ca", F.sum("a_n").over(wcum)).withColumn(
-        "cb", F.sum("b_n").over(wcum)
-    )
+    # shared persisted two-sample cum frame (operators/pairhist.py)
+    from de4ml_spark.operators.pairhist import two_sample_cums
+
+    cum = two_sample_cums(spark, sf_dir)
     # doubled pooled midrank minus doubled within-group midrank =
     # doubled placement vs the OTHER sample (constant per value)
     d = cum.selectExpr(
@@ -3206,24 +3115,14 @@ def _cucconi_final(div: str) -> list[str]:
 
 
 def cucconi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    byval = _two_sample_hist(spark, sf_dir)
-    wcum = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("v_c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = byval.withColumn("ca", F.sum("a_n").over(wcum)).withColumn(
-        "cb", F.sum("b_n").over(wcum)
-    )
-    totals = byval.agg(
-        F.sum("a_n").cast("bigint").alias("n_a"),
-        F.sum("b_n").cast("bigint").alias("n_b"),
-    )
-    g = cum.crossJoin(F.broadcast(totals)).selectExpr(
+    # shared persisted two-sample cum frame (operators/pairhist.py)
+    from de4ml_spark.operators.pairhist import two_sample_cums
+
+    g = two_sample_cums(spark, sf_dir).selectExpr(
         "b_n",
-        "n_a",
-        "n_b",
-        "n_a + n_b AS nn",
+        "na_tot AS n_a",
+        "nb_tot AS n_b",
+        "na_tot + nb_tot AS nn",
         # doubled pooled midrank of the value group
         "2 * (ca + cb - a_n - b_n) + (a_n + b_n) + 1 AS r2",
     )
@@ -3452,28 +3351,18 @@ _YOUDEN_FINAL = [
 def youden_threshold_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    byval = _two_sample_hist(spark, sf_dir)
-    wcum = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("v_c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = byval.withColumn("ca", F.sum("a_n").over(wcum)).withColumn(
-        "cb", F.sum("b_n").over(wcum)
-    )
-    totals = byval.agg(
-        F.sum("a_n").cast("bigint").alias("n_a"),
-        F.sum("b_n").cast("bigint").alias("n_b"),
-    )
-    g = cum.crossJoin(F.broadcast(totals)).selectExpr(
+    # shared persisted two-sample cum frame (operators/pairhist.py)
+    from de4ml_spark.operators.pairhist import two_sample_cums
+
+    g = two_sample_cums(spark, sf_dir).selectExpr(
         "v_c",
-        "n_a",
-        "n_b",
+        "na_tot AS n_a",
+        "nb_tot AS n_b",
         # classify "> v_c" as predicted-purchase: TP = purchases
         # above, FP = clicks above
-        "n_b - cb AS tp",
-        "n_a - ca AS fp",
-        "abs(ca * n_b - cb * n_a) AS j_num",
+        "nb_tot - cb AS tp",
+        "na_tot - ca AS fp",
+        "abs(ca * nb_tot - cb * na_tot) AS j_num",
     )
     best = g.agg(
         F.max(
@@ -3689,7 +3578,12 @@ def _cohen_final(div: str) -> list[str]:
 
 
 def cohens_d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    byval = _two_sample_hist(spark, sf_dir)
+    # shared persisted two-sample cum frame (operators/pairhist.py):
+    # only the histogram columns are used, but riding the shared scan
+    # drops the per-entry events pass
+    from de4ml_spark.operators.pairhist import two_sample_cums
+
+    byval = two_sample_cums(spark, sf_dir)
     agg = byval.agg(
         F.sum("a_n").cast("bigint").alias("n_a"),
         F.sum("b_n").cast("bigint").alias("n_b"),
@@ -3772,26 +3666,16 @@ _MCC_FINAL = [
 def mcc_threshold_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    byval = _two_sample_hist(spark, sf_dir)
-    wcum = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("v_c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = byval.withColumn("ca", F.sum("a_n").over(wcum)).withColumn(
-        "cb", F.sum("b_n").over(wcum)
-    )
-    totals = byval.agg(
-        F.sum("a_n").cast("bigint").alias("n_a"),
-        F.sum("b_n").cast("bigint").alias("n_b"),
-    )
-    g = cum.crossJoin(F.broadcast(totals)).selectExpr(
+    # shared persisted two-sample cum frame (operators/pairhist.py)
+    from de4ml_spark.operators.pairhist import two_sample_cums
+
+    g = two_sample_cums(spark, sf_dir).selectExpr(
         "v_c",
-        "n_b - cb AS tp",
-        "n_a - ca AS fp",
+        "nb_tot - cb AS tp",
+        "na_tot - ca AS fp",
         "ca AS tn",
         "cb AS fn",
-        "abs(ca * n_b - cb * n_a) AS j_num",
+        "abs(ca * nb_tot - cb * na_tot) AS j_num",
     )
     best = g.agg(
         F.max(
