@@ -403,6 +403,10 @@ def main() -> None:
                 "sequential_total": out["sequential_total"],
                 "n": len(names),
                 "sf": sf,
+                # carry the fresh-JVM lane on the short line too, so the
+                # >2x floor-vs-plan attribution survives any truncation
+                # of the full record (VERDICT r10 #7)
+                "isolated_queries": out.get("isolated_queries"),
             }
         )
     )

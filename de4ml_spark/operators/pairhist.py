@@ -61,13 +61,20 @@ def pair_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     The returned frame is persisted and shared across all consumers in
     the same (session, sf_dir); callers must not unpersist it.
     """
-    from de4ml_spark.session import _session_token
+    from de4ml_spark.session import _SESSION_TOKENS, _session_token
 
     key = (_session_token(spark), sf_dir)
     df = _CACHE.get(key)
     if df is not None:
         _CACHE.move_to_end(key)
         return df
+    # Prune dead-session entries BEFORE capacity eviction: a stopped
+    # session's frame must never be the one unpersist() is called on
+    # (py4j raises into an unrelated caller), and dead entries shouldn't
+    # consume LRU slots (ADVICE r10).
+    live = set(_SESSION_TOKENS.values())
+    for k in [k for k in _CACHE if k[0] not in live]:
+        _evict(k)
 
     ev = load_table(spark, sf_dir, "events")
     counts = (
@@ -132,15 +139,41 @@ def pair_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _CACHE[key] = frame
     while len(_CACHE) > _CACHE_MAX:
-        _CACHE.popitem(last=False)[1].unpersist(blocking=False)
+        _evict(next(iter(_CACHE)))
     return frame
+
+
+def _evict(key) -> None:
+    """Drop one cache entry, tolerating a dead SparkSession: unpersist on
+    a frame whose session has stopped raises from py4j — an eviction
+    must never propagate that into an unrelated caller (ADVICE r10).
+    Eviction only ever costs a recompute for still-referenced consumer
+    DataFrames (the persisted scan falls back to the full plan); results
+    are unchanged — pinned by tests/test_pairhist.py."""
+    df = _CACHE.pop(key)
+    try:
+        df.unpersist(blocking=False)
+    except Exception:  # noqa: BLE001 — dead session, JVM already gone
+        pass
 
 
 def two_sample_cums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The click-vs-purchase slice of the shared pair frame, in the
     column names the statq5 two-sample battery was written against:
     v_c, a_n (click), b_n (purchase), ca, cb (inclusive cums),
-    na_tot, nb_tot (totals). One persisted-scan filter per consumer."""
+    na_tot, nb_tot (totals). One persisted-scan filter per consumer.
+
+    Degenerate-input contract (ADVICE r10, deliberate): when either side
+    has NO non-null-value events, the pair never forms in the shared
+    frame's data-derived type list and this slice is EMPTY — unlike the
+    replaced per-entry _two_sample_hist, which emitted zero-filled rows
+    with one side's total = 0. Empty is the correct shared semantics:
+    the full-frame consumers (mann_whitney / cliffs_delta / emd and
+    their DuckDB oracles) all derive pairs from the data, so seeding the
+    pair here would desynchronize THEM on the same degenerate input.
+    Every battery consumer divides by na_tot*nb_tot or guards n>0, so a
+    one-sided "test" is meaningless anyway; pinned in
+    tests/test_pairhist.py."""
     frame = pair_value_histogram(spark, sf_dir)
     sliced = frame.filter(
         (F.col("type_a") == "click") & (F.col("type_b") == "purchase")

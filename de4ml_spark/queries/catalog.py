@@ -63,74 +63,24 @@ def _registries() -> list[dict]:
 # 50-entry PREFIX of this list per round, so ordering decides which
 # queries get fresh cross-engine evidence each round.
 #
-# Round-10 rotation (VERDICT r9 item 1): the 84 round-9b/9c entries that
-# have never been driver-graded move to the front — they are the only
-# catalog rows with no cross-engine driver evidence (all 84 verified
-# green locally at sf0.01+sf0.001 with pure-Python recompute tests).
-# PRIORITY[:50] lands in CORRECTNESS_r10.json; the remaining 34 head the
-# round-11 prefix, followed by new round-10 entries, then the refresh
-# queue below.
+# Round-11 rotation (VERDICT r10 #2/#8): graded prefix = the last 34
+# never-driver-graded round-9b/9c entries + the 3 pairhist re-grades +
+# the 13 oldest-evidence (round-4) entries. After this round every
+# catalog entry has driver evidence (353/353) and rotation becomes a
+# pure oldest-first refresh cycle.
 #
-# Evidence-age ledger (VERDICT r9 item 5; latest driver-graded round per
-# entry, computed from CORRECTNESS_r0{1..9}.json at round-10 start):
-#   never graded: 84   r4: 41   r5: 39   r6: 47   r7: 46   r8: 46   r9: 50
-# The refresh queue is ordered oldest-evidence-first so once the
-# ungraded pool clears (round 11), rotation naturally resumes with the
-# 41 round-4-graded entries (target: oldest evidence <= r7 by round 12).
+# Evidence-age ledger (latest driver-graded round per entry, updated at
+# round-11 start from CORRECTNESS_r10.json): never: 34 (+3 stale
+# re-grades)   r4: 41   r5: 39   r6: 47   r7: 46   r8: 44   r9: 49
+# r10: 50. Refresh queue stays oldest-evidence-first (target: oldest
+# evidence <= r7 by round 12 -> keep draining r4/r5 next round).
 PRIORITY = [
-    # -- (1) round-10 graded prefix: the 84 round-9b/9c entries with no
-    #       driver evidence yet (local oracle + recompute tests only).
-    #       First 50 graded this round; the remaining 34 head round 11.
-    "g_test_events",
-    "wilcoxon_signed_daily",
-    "ks_two_sample_value",
-    "mood_median_value",
-    "pettitt_change_daily",
-    "cusum_change_daily",
-    "theil_sen_daily",
-    "ccf_daily_lags",
-    "pacf_daily",
-    "poincare_sd_daily",
-    "haar_energy_daily",
-    "sample_entropy_daily",
-    "bartels_rank_daily",
-    "cox_stuart_daily",
-    "logrank_test_retention",
-    "odds_ratio_docs",
-    "mrr_popularity_orders",
-    "association_rules_parts",
-    "lin_ccc_orders",
-    "partial_corr_lineitem",
-    "yule_k_docs",
-    "ttr_hapax_docs",
-    "flesch_reading_docs",
-    "hellinger_sources",
-    "lognormal_fit_price",
-    "ww_runs_two_sample",
-    "hodges_lehmann_daily",
-    "page_trend_daily",
-    "gamma_somers_lineitem",
-    "weighted_kappa_docs",
-    "mantel_haenszel_docs",
-    "ols_daily_trend",
-    "breusch_pagan_daily",
-    "kendalls_w_daily",
-    "kuiper_two_sample_value",
-    "cvm_two_sample_value",
-    "cronbach_alpha_daily",
-    "icc_daily_types",
-    "energy_distance_value",
-    "seasonal_forecast_daily",
-    "chow_break_daily",
-    "fuzzy_name_pairs_parts",
-    "theil_l_parts",
-    "brand_modularity_parts",
-    "quade_daily_value",
-    "markov_entropy_rate",
-    "ansari_bradley_value",
-    "fligner_policello_value",
-    "anderson_darling_value",
-    "granger_clicks_purchases",
+    # -- (1) round-11 graded prefix (50): the 34 round-9b/9c entries
+    #       still never driver-graded, then the 3 entries refactored onto
+    #       the shared pair frame AFTER their last grade (driver re-grade:
+    #       mann_whitney / cliffs_delta / emd, VERDICT r10 #2), then the
+    #       13 oldest-evidence (round-4) entries — the refresh cadence
+    #       resumes now that the ungraded pool drains to zero.
     "blomqvist_beta_lineitem",
     "gk_lambda_dow_type",
     "heaps_law_sources",
@@ -165,8 +115,9 @@ PRIORITY = [
     "benford_second_digit_totalprice",
     "distance_correlation_lineitem",
     "clustering_summary_parts",
-    # -- (2) new round-10 entries land here (graded round 11)
-    # -- refresh queue: latest driver evidence round 4
+    "mann_whitney_value",
+    "cliffs_delta_value",
+    "emd_value_types",
     "conversion_latency_stats",
     "corpus_pipeline_report",
     "ctr_per_user",
@@ -180,6 +131,8 @@ PRIORITY = [
     "delayed_join_events",
     "embedding_norm_outliers",
     "equidepth_price_histogram",
+    # -- (2) new round-11 entries land here (graded round 12)
+    # -- refresh queue: latest driver evidence round 4
     "ewma_user_daily",
     "fuzzy_name_pairs",
     "key_skew_orders",
@@ -347,7 +300,6 @@ PRIORITY = [
     "map_at_k_orders",
     "zipf_slope_docs",
     "popularity_hitrate_orders",
-    "emd_value_types",
     "gini_revenue_parts",
     "embedding_covariance",
     "grid_density_clusters",
@@ -360,7 +312,6 @@ PRIORITY = [
     "logrank_retention_cohorts",
     "fano_burstiness_events",
     "cluster_purity_embeddings",
-    "mann_whitney_value",
     "lang_id_docs",
     "lineitem_measure_stats",
     "mix_docs",
@@ -409,7 +360,6 @@ PRIORITY = [
     "brier_decomposition_events",
     "rolling_median_user_value",
     "khop_reach_parts",
-    "cliffs_delta_value",
     "pr_auc_events",
     "brown_forsythe_value",
     "runs_test_value",
@@ -441,6 +391,57 @@ PRIORITY = [
     "bartlett_value_types",
     "jarque_bera_value",
     "durbin_watson_daily_events",
+    # -- refresh queue: latest driver evidence round 10
+    "g_test_events",
+    "wilcoxon_signed_daily",
+    "ks_two_sample_value",
+    "mood_median_value",
+    "pettitt_change_daily",
+    "cusum_change_daily",
+    "theil_sen_daily",
+    "ccf_daily_lags",
+    "pacf_daily",
+    "poincare_sd_daily",
+    "haar_energy_daily",
+    "sample_entropy_daily",
+    "bartels_rank_daily",
+    "cox_stuart_daily",
+    "logrank_test_retention",
+    "odds_ratio_docs",
+    "mrr_popularity_orders",
+    "association_rules_parts",
+    "lin_ccc_orders",
+    "partial_corr_lineitem",
+    "yule_k_docs",
+    "ttr_hapax_docs",
+    "flesch_reading_docs",
+    "hellinger_sources",
+    "lognormal_fit_price",
+    "ww_runs_two_sample",
+    "hodges_lehmann_daily",
+    "page_trend_daily",
+    "gamma_somers_lineitem",
+    "weighted_kappa_docs",
+    "mantel_haenszel_docs",
+    "ols_daily_trend",
+    "breusch_pagan_daily",
+    "kendalls_w_daily",
+    "kuiper_two_sample_value",
+    "cvm_two_sample_value",
+    "cronbach_alpha_daily",
+    "icc_daily_types",
+    "energy_distance_value",
+    "seasonal_forecast_daily",
+    "chow_break_daily",
+    "fuzzy_name_pairs_parts",
+    "theil_l_parts",
+    "brand_modularity_parts",
+    "quade_daily_value",
+    "markov_entropy_rate",
+    "ansari_bradley_value",
+    "fligner_policello_value",
+    "anderson_darling_value",
+    "granger_clicks_purchases",
 ]
 
 

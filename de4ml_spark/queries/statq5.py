@@ -1168,27 +1168,9 @@ REGISTRY["markov_entropy_rate"] = {
 # --------------------------------------------------------------------------
 
 
-def _two_sample_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("value").isNotNull())
-        .filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy(
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
-            .alias("v_c")
-        )
-        .agg(
-            F.sum(F.expr("CAST(event_type = 'click' AS BIGINT)"))
-            .cast("bigint")
-            .alias("a_n"),
-            F.sum(F.expr("CAST(event_type = 'purchase' AS BIGINT)"))
-            .cast("bigint")
-            .alias("b_n"),
-        )
-    )
-
-
+# The DataFrame twin of _TWO_SAMPLE_HIST_SQL lives in
+# operators/pairhist.py (two_sample_cums) — every battery entry reads the
+# shared persisted pair frame; only the oracle CTE string remains here.
 _TWO_SAMPLE_HIST_SQL = """
 byval AS (
   SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,

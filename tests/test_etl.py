@@ -9,6 +9,8 @@ import json
 
 from pyspark.sql import functions as F
 
+from de4ml_spark.planaudit import final_plan
+
 from de4ml_spark.contracts import flatten_manifest, struct_from_json_schema
 from de4ml_spark.etl import parse_typed, read_warehouse
 from de4ml_spark.etl.flatten import flatten
@@ -99,7 +101,7 @@ def test_flatten_plan_is_pure_projection(spark, tmp_path):
     struct = struct_from_json_schema(SEARCH_SCHEMA)
     typed = parse_typed(spark.read.schema(RAW_SCHEMA).json(raw), struct)
     flat = flatten(typed.drop("ts"), struct)
-    plan = flat._jdf.queryExecution().executedPlan().toString()
+    plan = final_plan(flat)
     assert "Exchange" not in plan
     assert "Python" not in plan  # no Python UDFs in the ETL hot path
 

@@ -5,6 +5,8 @@ pattern-count ground truth on crafted sequences."""
 
 from __future__ import annotations
 
+from de4ml_spark.planaudit import final_plan
+
 import datetime
 
 from pyspark.sql import functions as F
@@ -172,7 +174,7 @@ def test_pack_report_no_single_partition_window(spark, sf_dir):
     shard — no row-grain single-partition WindowExec in the plan."""
     from de4ml_spark.queries.pipelineq import pack_sequence_report
 
-    plan = pack_sequence_report(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    plan = final_plan(pack_sequence_report(spark, sf_dir))
     assert "Window" in plan
     # a global window plans as "Window [...], []" (empty partition spec)
     # followed by a SinglePartition exchange; the sharded one partitions

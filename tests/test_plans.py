@@ -16,8 +16,9 @@ from de4ml_spark.queries.relational import (
 from de4ml_spark.queries.textq import text_stats_docs
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from de4ml_spark.planaudit import final_plan as _plan  # noqa: E402
+# _plan strips `== Initial Plan ==` sections so count pins don't double
+# when the plan embeds a materialized cached relation (VERDICT r10 #1).
 
 
 def test_q1_column_pruning_and_pushdown(spark, sf_dir):
@@ -81,7 +82,7 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         joined = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
             "o_orderpriority", "l_quantity"
         )
-        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = _plan(joined)
         assert "Exchange" not in plan, plan
         assert "SortMergeJoin" in plan
         assert joined.count() > 0
@@ -144,7 +145,7 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
         .filter(F.col("day") == "2024-01-03")
         .select("event_id")
     )
-    plan = got._jdf.queryExecution().executedPlan().toString()
+    plan = _plan(got)
     scan = next(l for l in plan.splitlines() if "FileScan" in l)
     assert "PartitionFilters" in plan
     # the partition predicate must be in PartitionFilters, not DataFilters
@@ -185,12 +186,7 @@ def test_asof_join_semantics_and_single_shuffle(spark):
     assert got["l0"] == (None, None)  # nothing earlier
     assert got["l3"] == (None, None)  # right at ts=9 is in the future
 
-    plan = (
-        asof_join(left, right, on="k", payload=["v"])
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    plan = _plan(asof_join(left, right, on="k", payload=["v"]))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan  # no join operator at all — union + window
 
@@ -337,7 +333,7 @@ def test_aqe_skew_join_splits(spark):
         # needs salting (operators/skew.py), not AQE.
         joined = big.join(right, "k").groupBy().count()
         joined.collect()
-        final = joined._jdf.queryExecution().executedPlan().toString()
+        final = _plan(joined)
         assert "skew=true" in final, final[:2000]
     finally:
         for k, v in saved.items():

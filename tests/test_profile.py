@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+from de4ml_spark.planaudit import final_plan
+
 from de4ml_spark.contracts.validation import rules_from_profile
 from de4ml_spark.profile import profile
 
@@ -60,7 +62,7 @@ def test_std_edge_cases_match_stddev_samp(spark):
 def test_single_job_single_row_reduction(spark):
     # one scan, no shuffle beyond the final single-row aggregate
     p = profile(_df(spark), exact=False)
-    plan = p._jdf.queryExecution().executedPlan().toString()
+    plan = final_plan(p)
     assert "Python" not in plan
 
 

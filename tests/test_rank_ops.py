@@ -10,6 +10,8 @@ keeps the total-order computation distributed.
 from __future__ import annotations
 
 from pyspark.sql import Window
+
+from de4ml_spark.planaudit import final_plan
 from pyspark.sql import functions as F
 
 from de4ml_spark.operators.rank import (
@@ -133,7 +135,7 @@ def test_rank_ops_plan_is_distributed(spark):
     # partition id, never preceded by an Exchange SinglePartition
     df = _toy(spark)
     ranked = with_global_rank(df, ["v", "id"], "rk", num_partitions=8)
-    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    plan = final_plan(ranked)
     assert _single_partition_windows(plan) == []
 
 
@@ -176,7 +178,7 @@ def test_no_single_partition_sort_in_global_order_entries(spark, sf_dir):
     qs = catalog.queries()
     for name in GLOBAL_ORDER_ENTRIES:
         df = qs[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = final_plan(df)
         assert _single_partition_windows(plan) == [], name
 
 
@@ -190,7 +192,7 @@ def test_pair_membership_join_is_hash_not_bnl(spark, sf_dir):
 
     for fn in (mann_whitney_value, emd_value_types):
         df = fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = final_plan(df)
         assert "BroadcastHashJoin" in plan
         # the pair generator cross-join is the single permitted BNL
         assert plan.count("BroadcastNestedLoopJoin") <= 1

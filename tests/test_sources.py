@@ -5,6 +5,8 @@ from __future__ import annotations
 import json
 import sqlite3
 
+from de4ml_spark.planaudit import final_plan
+
 from de4ml_spark.contracts.validation import Rule
 from de4ml_spark.profile.observe import observed_violation_counts
 from de4ml_spark.sources.sqlite import read_sqlite_table
@@ -104,7 +106,7 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     b = sorted(tuple(r) for r in back.collect())
     assert a == b
     filtered = back.filter(back["o_totalprice"] > 1000.0).select("o_orderkey")
-    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    plan = final_plan(filtered)
     scan = next(l for l in plan.splitlines() if "FileScan orc" in l)
     assert "PushedFilters: [" in plan and "o_totalprice" in plan.split(
         "PushedFilters:"

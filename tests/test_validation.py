@@ -4,6 +4,8 @@ dataops/app/api.py:65-67)."""
 
 from __future__ import annotations
 
+from de4ml_spark.planaudit import final_plan
+
 from pyspark.sql import functions as F
 
 from de4ml_spark.contracts import Rule, violation_counts
@@ -69,12 +71,7 @@ def test_single_pass_no_shuffle(spark):
     """N rules must compile to one projection — no Exchange, no Python."""
     from de4ml_spark.contracts.validation import apply_rules
 
-    plan = (
-        apply_rules(_df(spark), RULES)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    plan = final_plan(apply_rules(_df(spark), RULES))
     assert "Exchange" not in plan
     assert "Python" not in plan
 
