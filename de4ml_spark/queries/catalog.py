@@ -63,76 +63,25 @@ def _registries() -> list[dict]:
 # 50-entry PREFIX of this list per round, so ordering decides which
 # queries get fresh cross-engine evidence each round.
 #
-# Round-11 rotation (VERDICT r10 #2/#8): graded prefix = the last 34
-# never-driver-graded round-9b/9c entries + the 3 pairhist re-grades +
-# the 13 oldest-evidence (round-4) entries. After this round every
-# catalog entry has driver evidence (353/353) and rotation becomes a
-# pure oldest-first refresh cycle.
+# Round-12 rotation (VERDICT r11 #1/#8): with the never-graded pool at
+# zero since round 11, rotation is now a pure oldest-evidence-first
+# refresh cycle. Graded prefix = the 28 remaining round-4-evidence
+# entries + the 22 oldest round-5-evidence entries. The round-11 graded
+# prefix (50 entries, all green in CORRECTNESS_r11.json) moves to the
+# back of the queue as r11 evidence.
 #
 # Evidence-age ledger (latest driver-graded round per entry, updated at
-# round-11 start from CORRECTNESS_r10.json): never: 34 (+3 stale
-# re-grades)   r4: 41   r5: 39   r6: 47   r7: 46   r8: 44   r9: 49
-# r10: 50. Refresh queue stays oldest-evidence-first (target: oldest
-# evidence <= r7 by round 12 -> keep draining r4/r5 next round).
+# round-12 start from CORRECTNESS_r11.json): r4: 28   r5: 39   r6: 47
+# r7: 46   r8: 44   r9: 49   r10: 50   r11: 50. After round-12 grading
+# the oldest evidence is r5 (17 entries). Round-13 prefix plan (VERDICT
+# r11 #8): any new round-12 entries first, then the 17 r5-remainder
+# entries, then the oldest r6 entries up to 50 total — the blocks below
+# are already in that order, so round-13 rotation is a no-op unless new
+# entries land mid-list.
 PRIORITY = [
-    # -- (1) round-11 graded prefix (50): the 34 round-9b/9c entries
-    #       still never driver-graded, then the 3 entries refactored onto
-    #       the shared pair frame AFTER their last grade (driver re-grade:
-    #       mann_whitney / cliffs_delta / emd, VERDICT r10 #2), then the
-    #       13 oldest-evidence (round-4) entries — the refresh cadence
-    #       resumes now that the ungraded pool drains to zero.
-    "blomqvist_beta_lineitem",
-    "gk_lambda_dow_type",
-    "heaps_law_sources",
-    "newey_west_daily",
-    "runs_updown_daily",
-    "brand_assortativity_parts",
-    "participation_ratio_embeddings",
-    "mean_pairwise_dot_embeddings",
-    "ams_f2_sketch_events",
-    "weibull_fit_user_lifetimes",
-    "hoeffding_d_lineitem",
-    "bowker_symmetry_transitions",
-    "gwet_ac1_docs",
-    "moran_geary_parts",
-    "poisson_bootstrap_value_mean",
-    "two_way_anova_daily",
-    "trimmed_mean_value_types",
-    "chapman_overlap_sources",
-    "vocab_jaccard_sources",
-    "brunner_munzel_value",
-    "dunn_posthoc_value_types",
-    "seasonal_mann_kendall_daily",
-    "cucconi_value",
-    "uncertainty_coeff_dow_type",
-    "youden_threshold_value",
-    "keyness_terms_sources",
-    "mahalanobis_anomalous_days",
-    "burrows_delta_sources",
-    "cohens_d_value",
-    "mcc_threshold_value",
-    "ewma_chart_daily",
-    "benford_second_digit_totalprice",
-    "distance_correlation_lineitem",
-    "clustering_summary_parts",
-    "mann_whitney_value",
-    "cliffs_delta_value",
-    "emd_value_types",
-    "conversion_latency_stats",
-    "corpus_pipeline_report",
-    "ctr_per_user",
-    "dedup_canonicalize",
-    "dedup_components",
-    "dedup_exact_docs",
-    "dedup_incremental",
-    "dedup_minhash_recall",
-    "dedup_ngram_jaccard",
-    "dedup_source_matrix",
-    "delayed_join_events",
-    "embedding_norm_outliers",
-    "equidepth_price_histogram",
-    # -- (2) new round-11 entries land here (graded round 12)
-    # -- refresh queue: latest driver evidence round 4
+    # -- (1) round-12 graded prefix (50): 28 remaining r4-evidence
+    #       entries, then the 22 oldest r5-evidence entries (pure
+    #       oldest-first refresh; VERDICT r11 #1).
     "ewma_user_daily",
     "fuzzy_name_pairs",
     "key_skew_orders",
@@ -161,7 +110,6 @@ PRIORITY = [
     "top3_orders_per_customer",
     "vocab_top_terms",
     "winsorized_price_stats",
-    # -- refresh queue: latest driver evidence round 5
     "daily_heavy_hitters",
     "dedup_graph_degrees",
     "source_vocab_overlap",
@@ -184,6 +132,8 @@ PRIORITY = [
     "ohlc_daily_value",
     "nearest_view_per_click",
     "fk_integrity_orders_lineitem",
+    # -- (2) new round-12 entries land here (graded round 13)
+    # -- refresh queue: latest driver evidence round 5 (remainder)
     "weighted_median_price",
     "knn_ivf_recall",
     "validation_counts_lineitem",
@@ -442,6 +392,58 @@ PRIORITY = [
     "fligner_policello_value",
     "anderson_darling_value",
     "granger_clicks_purchases",
+    # -- refresh queue: latest driver evidence round 11 (the round-11
+    #    graded prefix: 34 former-never + 3 pairhist re-grades + 13 r4)
+    "blomqvist_beta_lineitem",
+    "gk_lambda_dow_type",
+    "heaps_law_sources",
+    "newey_west_daily",
+    "runs_updown_daily",
+    "brand_assortativity_parts",
+    "participation_ratio_embeddings",
+    "mean_pairwise_dot_embeddings",
+    "ams_f2_sketch_events",
+    "weibull_fit_user_lifetimes",
+    "hoeffding_d_lineitem",
+    "bowker_symmetry_transitions",
+    "gwet_ac1_docs",
+    "moran_geary_parts",
+    "poisson_bootstrap_value_mean",
+    "two_way_anova_daily",
+    "trimmed_mean_value_types",
+    "chapman_overlap_sources",
+    "vocab_jaccard_sources",
+    "brunner_munzel_value",
+    "dunn_posthoc_value_types",
+    "seasonal_mann_kendall_daily",
+    "cucconi_value",
+    "uncertainty_coeff_dow_type",
+    "youden_threshold_value",
+    "keyness_terms_sources",
+    "mahalanobis_anomalous_days",
+    "burrows_delta_sources",
+    "cohens_d_value",
+    "mcc_threshold_value",
+    "ewma_chart_daily",
+    "benford_second_digit_totalprice",
+    "distance_correlation_lineitem",
+    "clustering_summary_parts",
+    "mann_whitney_value",
+    "cliffs_delta_value",
+    "emd_value_types",
+    "conversion_latency_stats",
+    "corpus_pipeline_report",
+    "ctr_per_user",
+    "dedup_canonicalize",
+    "dedup_components",
+    "dedup_exact_docs",
+    "dedup_incremental",
+    "dedup_minhash_recall",
+    "dedup_ngram_jaccard",
+    "dedup_source_matrix",
+    "delayed_join_events",
+    "embedding_norm_outliers",
+    "equidepth_price_histogram",
 ]
 
 
