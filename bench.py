@@ -324,6 +324,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sequential_total": round(total, 3),
+        # Raw workload reps: "value" is min-of-reps (additive-noise
+        # estimator), but the full band rides in the artifact so a
+        # round-over-round delta in the headline can be distinguished
+        # from box noise without rerunning (VERDICT r11 #6 — r11's
+        # 2.074->2.551 was drain-order/GC noise, not a regression).
+        "workload_reps": [round(w, 3) for w in walls],
         "concurrent_workers": len(names),
         "sf": sf,
     }
@@ -401,6 +407,7 @@ def main() -> None:
                 "value": out["value"],
                 "unit": out["unit"],
                 "sequential_total": out["sequential_total"],
+                "workload_reps": out["workload_reps"],
                 "n": len(names),
                 "sf": sf,
                 # carry the fresh-JVM lane on the short line too, so the
