@@ -189,6 +189,11 @@ HEADLINE = [
     "mcc_threshold_value",
     "weibull_fit_user_lifetimes",
     "ams_f2_sketch_events",
+    # round-12 additions: giant-component fraction (8-round unrolled
+    # label prop — Spark 0.022 s vs DuckDB 0.51 s at sf0.1;
+    # breslow_day_docs stays out per the source-bounded-micro policy,
+    # 0.039 s absolute)
+    "giant_component_parts",
 ]
 
 

@@ -133,6 +133,8 @@ PRIORITY = [
     "nearest_view_per_click",
     "fk_integrity_orders_lineitem",
     # -- (2) new round-12 entries land here (graded round 13)
+    "giant_component_parts",
+    "breslow_day_docs",
     # -- refresh queue: latest driver evidence round 5 (remainder)
     "weighted_median_price",
     "knn_ivf_recall",

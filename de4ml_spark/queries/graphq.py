@@ -1879,3 +1879,141 @@ REGISTRY["clustering_summary_parts"] = {
     "fn": clustering_summary_parts,
     "sql": _clustering_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Giant-component fraction of the co-purchase graph — the standard
+# connectivity health check of a derived graph (a corpus whose
+# co-occurrence graph fragments has lost its linking signal; one that
+# is a single ball has no cluster structure to exploit). Min-label
+# propagation with SELF-LOOPS folded into the adjacency, so each round
+# is ONE equi-join + ONE groupBy-min consuming the previous labels
+# exactly once — the plan grows linearly with rounds like PageRank's
+# (no 2^r fan-out, no per-round checkpoint; contrast kcore's
+# three-consumer rounds above). GC_ITERS = 8 fixed rounds on BOTH
+# engines (the oracle unrolls the same chain of CTEs), so the driver
+# compare is exact regardless of convergence; convergence itself —
+# 8 >= diameter on this hub-glued topology — is pinned by a
+# union-find recompute test at sf0.001/sf0.01
+# (tests/test_graph_completion.py). Labels are part keys: integer
+# MIN is shuffle-order-exact.
+#
+# Scale posture (100 TB): the adjacency persists once, partitioned by
+# u; every round shuffles the (node, comp) frame once on the join key
+# — same shape as the production label-prop in
+# operators/dedup.py:connected_components, which adds a convergence
+# probe per round for graphs of unknown diameter. The summary is one
+# groupBy over |nodes| labels; giant_fraction is reported in exact
+# ppm (integer division both engines).
+# --------------------------------------------------------------------------
+
+GC_ITERS = 8
+
+
+def giant_component_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    adj = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    # self-loops make "min over in-neighbors AND self" a single
+    # aggregate — labels consumed once per round, linear plan growth
+    adj_plus = adj.unionAll(
+        nodes.selectExpr("node AS u", "node AS v")
+    ).persist()
+    lbl = nodes.selectExpr("node", "node AS comp")
+    for _ in range(GC_ITERS):
+        lbl = (
+            adj_plus.alias("e")
+            .join(lbl.alias("l"), F.col("e.u") == F.col("l.node"))
+            .groupBy(F.col("e.v").alias("node"))
+            .agg(F.min("l.comp").alias("comp"))
+        )
+    sizes = lbl.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    ecnt = adj_plus.filter("u < v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+    out = (
+        sizes.agg(
+            F.sum("sz").cast("bigint").alias("n_nodes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_components"),
+            F.max("sz").cast("bigint").alias("giant_size"),
+        )
+        .crossJoin(F.broadcast(ecnt))
+        .selectExpr(
+            "n_nodes",
+            "n_edges",
+            "n_components",
+            "giant_size",
+            "giant_size * 1000000 DIV n_nodes AS giant_fraction_ppm",
+        )
+    )
+    return release_after(out, adj_plus)
+
+
+def _giant_sql() -> str:
+    lbls = []
+    for i in range(GC_ITERS):
+        lbls.append(
+            f"lbl{i + 1} AS (\n"
+            f"  SELECT e.v AS node, MIN(l.comp) AS comp\n"
+            f"  FROM edges_plus e JOIN lbl{i} l ON l.node = e.u\n"
+            f"  GROUP BY e.v\n"
+            f")"
+        )
+    chain = ",\n".join(lbls)
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+adj AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+edges_plus AS (
+  SELECT u, v FROM adj UNION ALL SELECT node, node FROM nodes
+),
+lbl0 AS (SELECT node, node AS comp FROM nodes),
+{chain},
+sizes AS (
+  SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM lbl{GC_ITERS} GROUP BY 1
+),
+ecnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM edges_plus WHERE u < v
+),
+agg AS (
+  SELECT CAST(SUM(sz) AS BIGINT) AS n_nodes,
+         CAST(COUNT(*) AS BIGINT) AS n_components,
+         CAST(MAX(sz) AS BIGINT) AS giant_size
+  FROM sizes
+)
+SELECT n_nodes,
+       n_edges,
+       n_components,
+       giant_size,
+       giant_size * 1000000 // n_nodes AS giant_fraction_ppm
+FROM agg CROSS JOIN ecnt
+"""
+
+
+REGISTRY["giant_component_parts"] = {
+    "fn": giant_component_parts,
+    "sql": _giant_sql(),
+}

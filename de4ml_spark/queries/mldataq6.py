@@ -1148,3 +1148,196 @@ REGISTRY["mantel_haenszel_docs"] = {
     "fn": mantel_haenszel_docs,
     "sql": _mh_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Breslow-Day homogeneity test across the same source-stratified 2x2
+# tables as mantel_haenszel_docs: CMH answers "is there a common
+# association"; Breslow-Day answers whether a SINGLE odds ratio is even
+# the right model — X2_BD = sum_k (a_k - A_k)^2 / Var(A_k), with A_k the
+# fitted top-left cell under the pooled MH odds ratio (the root of the
+# margin-constrained quadratic A(r2-c1+A) = psi (r1-A)(c1-A) that keeps
+# all four fitted cells positive).
+#
+# Cross-engine exactness: psi is one IEEE division of two
+# micro-quantized integer MH sums (bit-identical); every per-stratum
+# quantity then flows through a SINGLE fixed expression tree of
+# correctly-rounded IEEE ops (+ - * / sqrt) written with identical
+# text/associativity on both engines, so each stratum's term is
+# bit-identical; terms are half-up micro-quantized and INTEGER-summed
+# (stratum iteration order can never reorder a float sum). Strata with
+# a zero margin carry no information about the odds ratio (fitted cell
+# on the boundary, zero variance) and are excluded, per the standard
+# formulation. Stratum table is source-bounded; everything below the
+# groupBy is |sources|-sized.
+# --------------------------------------------------------------------------
+
+_BD_FINAL = [
+    "n_strata",
+    "n_strata - 1 AS df",
+    "psi AS or_mh",
+    "CAST(CAST(sum_term_u AS BIGINT) AS DOUBLE) / 1000000.0"
+    " AS chi2_bd",
+]
+
+# single shared expression text (rendered into BOTH engines verbatim):
+# quadratic coefficients, the in-range root, and the tie to Var(A)
+_BD_STAGES = [
+    # quadratic A^2 (1-psi) + A [(r2-c1) + psi (r1+c1)] - psi r1 c1 = 0
+    [
+        "source", "a", "r1", "r2", "c1", "psi",
+        "1.0 - psi AS aq",
+        "CAST(r2 - c1 AS DOUBLE) + psi * CAST(r1 + c1 AS DOUBLE)"
+        " AS bq",
+        "0.0 - psi * (CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE))"
+        " AS c0",
+    ],
+    [
+        "source", "a", "r1", "r2", "c1", "psi", "aq", "bq",
+        "SQRT(GREATEST(bq * bq - 4.0 * aq * c0, 0.0)) AS sq",
+    ],
+    # psi == 1 degenerates to the linear solve = independence fit;
+    # otherwise take whichever root keeps all four fitted cells
+    # positive (exactly one does for psi != 1)
+    [
+        "source", "a", "r1", "r2", "c1", "psi",
+        "CASE WHEN ABS(aq) < 1e-12 THEN"
+        " (CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE))"
+        " / CAST(r1 + r2 AS DOUBLE)"
+        " WHEN (sq - bq) / (2.0 * aq) > 0.0"
+        " AND (sq - bq) / (2.0 * aq) < CAST(LEAST(r1, c1) AS DOUBLE)"
+        " AND CAST(r2 - c1 AS DOUBLE) + (sq - bq) / (2.0 * aq) > 0.0"
+        " THEN (sq - bq) / (2.0 * aq)"
+        " ELSE (0.0 - (bq + sq)) / (2.0 * aq) END AS fitted",
+    ],
+    # Var(A)^-1 = 1/A + 1/(r1-A) + 1/(c1-A) + 1/(r2-c1+A), fixed
+    # association; term = (a - A)^2 / Var(A), half-up micro-quantized
+    [
+        "source",
+        "CAST(FLOOR(((CAST(a AS DOUBLE) - fitted)"
+        " * (CAST(a AS DOUBLE) - fitted))"
+        " * (((1.0 / fitted + 1.0 / (CAST(r1 AS DOUBLE) - fitted))"
+        " + 1.0 / (CAST(c1 AS DOUBLE) - fitted))"
+        " + 1.0 / (CAST(r2 - c1 AS DOUBLE) + fitted))"
+        " * 1000000.0 + 0.5) AS BIGINT) AS term_u",
+        "psi",
+    ],
+]
+
+_BD_STRATA = [
+    "source", "a", "d",
+    "a + b AS r1",
+    "c + d AS r2",
+    "a + c AS c1",
+    "b + d AS c2",
+    "a + b + c + d AS n_k",
+]
+
+
+def breslow_day_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    strata = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(
+                F.expr("CAST(lang = 'en' AND n_chars >= 300 AS BIGINT)")
+            ).cast("bigint").alias("a"),
+            F.sum(
+                F.expr("CAST(lang = 'en' AND n_chars < 300 AS BIGINT)")
+            ).cast("bigint").alias("b"),
+            F.sum(
+                F.expr("CAST(lang <> 'en' AND n_chars >= 300 AS BIGINT)")
+            ).cast("bigint").alias("c"),
+            F.sum(
+                F.expr("CAST(lang <> 'en' AND n_chars < 300 AS BIGINT)")
+            ).cast("bigint").alias("d"),
+        )
+        .selectExpr(*_BD_STRATA)
+        .filter("r1 > 0 AND r2 > 0 AND c1 > 0 AND c2 > 0")
+        .persist()
+    )
+    big = _big("DIV")
+    mh = strata.selectExpr(
+        f"CAST({_whd(f'CAST(a AS {big}) * d * 1000000', 'n_k', 'DIV')}"
+        " AS BIGINT) AS ad_u",
+        f"CAST({_whd(f'CAST(r1 - a AS {big}) * (c1 - a) * 1000000', 'n_k', 'DIV')}"
+        " AS BIGINT) AS bc_u",
+    ).agg(
+        F.sum("ad_u").cast("bigint").alias("sum_ad_u"),
+        F.sum("bc_u").cast("bigint").alias("sum_bc_u"),
+    )
+    psi_df = mh.selectExpr(
+        "CAST(sum_ad_u AS DOUBLE) / CAST(sum_bc_u AS DOUBLE) AS psi"
+    )
+    cur = strata.crossJoin(F.broadcast(psi_df))
+    for stage in _BD_STAGES:
+        cur = cur.selectExpr(*stage)
+    agg = cur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("term_u").cast("bigint").alias("sum_term_u"),
+        F.min("psi").alias("psi"),
+    )
+    from de4ml_spark.cache import release_after
+
+    return release_after(agg.selectExpr(*_BD_FINAL), strata)
+
+
+def _bd_sql() -> str:
+    big = _big("//")
+    strata_cols = ",\n         ".join(_BD_STRATA)
+    stages = []
+    prev = "s2"
+    for i, stage in enumerate(_BD_STAGES):
+        cols = ",\n         ".join(stage)
+        stages.append(
+            f"q{i} AS (\n  SELECT {cols}\n  FROM {prev}\n)"
+        )
+        prev = f"q{i}"
+    chain = ",\n".join(stages)
+    final = ",\n       ".join(_BD_FINAL)
+    ad = _whd(f"CAST(a AS {big}) * d * 1000000", "n_k", "//")
+    bc = _whd(f"CAST(r1 - a AS {big}) * (c1 - a) * 1000000", "n_k", "//")
+    return f"""
+WITH strata AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 300
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN lang = 'en' AND n_chars < 300
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN lang <> 'en' AND n_chars >= 300
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN lang <> 'en' AND n_chars < 300
+                  THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM documents GROUP BY 1
+),
+s2 AS (
+  SELECT {strata_cols}
+  FROM strata
+  WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
+),
+mh AS (
+  SELECT CAST(SUM(CAST({ad} AS BIGINT)) AS BIGINT) AS sum_ad_u,
+         CAST(SUM(CAST({bc} AS BIGINT)) AS BIGINT) AS sum_bc_u
+  FROM s2
+),
+s2p AS (
+  SELECT s2.*,
+         CAST(sum_ad_u AS DOUBLE) / CAST(sum_bc_u AS DOUBLE) AS psi
+  FROM s2 CROSS JOIN mh
+),
+{chain.replace('FROM s2', 'FROM s2p', 1)},
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(term_u) AS BIGINT) AS sum_term_u,
+         MIN(psi) AS psi
+  FROM q{len(_BD_STAGES) - 1}
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["breslow_day_docs"] = {
+    "fn": breslow_day_docs,
+    "sql": _bd_sql(),
+}
