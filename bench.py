@@ -194,6 +194,11 @@ HEADLINE = [
     # breslow_day_docs stays out per the source-bounded-micro policy,
     # 0.039 s absolute)
     "giant_component_parts",
+    # round-12 stats batch: DeLong rides the headline (value-histogram
+    # class beside auc_roc_events; Spark 0.036 s vs DuckDB 0.076 s at
+    # sf0.1); kpss / variance_ratio / krippendorff stay out per the
+    # daily-series / doc-flag micro policy (all <= 0.06 s absolute)
+    "delong_auc_variance_events",
 ]
 
 

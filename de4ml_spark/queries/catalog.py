@@ -47,6 +47,7 @@ def _registries() -> list[dict]:
         "statq3",
         "statq4",
         "statq5",
+        "statq6",
         "mldataq4",
         "mldataq5",
         "mldataq6",
@@ -135,6 +136,10 @@ PRIORITY = [
     # -- (2) new round-12 entries land here (graded round 13)
     "giant_component_parts",
     "breslow_day_docs",
+    "kpss_daily_events",
+    "variance_ratio_daily_events",
+    "delong_auc_variance_events",
+    "krippendorff_alpha_docs",
     # -- refresh queue: latest driver evidence round 5 (remainder)
     "weighted_median_price",
     "knn_ivf_recall",

@@ -1,0 +1,559 @@
+"""Round-12 statistics additions: stationarity / market-efficiency
+diagnostics on the daily event series, DeLong AUC uncertainty, and
+Krippendorff's alpha — the remaining standard members of the drift /
+eval / agreement batteries the reference's dataops loop implies
+(continuous re-profiling: dataops/app/profile.py:61-78; this repo's
+batteries extend it per SURVEY §2.5-2.8).
+
+Every entry follows the exactness tier (operators/portable_hash.py):
+all data-dependent reductions are exact 128-bit integers on n-scaled
+residuals or micro-quantized grids, and the only floating-point is a
+single fixed IEEE tail both engines evaluate identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de4ml_spark.operators.portable_hash import (
+    wide_halfup_div_sql as _whd,
+    wide_to_double_sql as _w2d,
+)
+from de4ml_spark.session import load_table
+
+REGISTRY: dict = {}
+
+
+def _big(div: str) -> str:
+    return "DECIMAL(38,0)" if div.upper() == "DIV" else "HUGEINT"
+
+
+# --------------------------------------------------------------------------
+# KPSS level-stationarity test of the daily event-count series — the
+# standard complement to trend tests (Mann-Kendall et al. reject a
+# trend; KPSS rejects STATIONARITY, the property every drift monitor
+# upstream assumes). eta = T^-2 Σ_t S_t² / lrv with S_t the partial
+# sums of demeaned counts and lrv the Bartlett long-run variance at
+# lag window L = 7 (the newey_west_daily numerator, reused verbatim).
+#
+# Exactness: with integer n-scaled residuals e_t = n·y_t − Σy the
+# partial sums S'_t = Σ_{i≤t} e_i, their square-sum, and the HAC
+# numerator (L+1)C₀ + 2Σ(L+1−k)C_k are all exact 128-bit integers; the
+# scale factors cancel to eta = [ΣS'²·(L+1)] / [T · nw_num] — ONE
+# division of two wide_to_double conversions. Bound: ΣS'² ≤ T·(T·Σy)²
+# needs < 1e38, true for any event log below ~3e16 rows (beyond 100 TB).
+# Scale: one map-side-combined groupBy to the calendar-bounded day
+# spine; the cum window and k ≤ 7 lag explode run over days, never rows.
+# --------------------------------------------------------------------------
+
+KPSS_LAGS = 7
+
+
+def _kpss_final(div: str) -> list[str]:
+    big = _big(div)
+    num = f"CAST(sum_s2 AS {big}) * {KPSS_LAGS + 1}"
+    den = f"CAST(n_days AS {big}) * nw_num"
+    return [
+        "n_days",
+        f"{_w2d(num, div)} / {_w2d(den, div)} AS kpss_stat",
+    ]
+
+
+def kpss_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y")).persist()
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    e = daily.crossJoin(F.broadcast(tot)).selectExpr(
+        "t", "n", "CAST(n AS DECIMAL(38,0)) * y - s AS e"
+    )
+    # partial-sum square sum over the day spine (calendar-bounded
+    # single-partition window — the documented exactness-tier frame)
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s2 = (
+        e.withColumn("sc", F.sum("e").over(wcum))
+        .agg(
+            F.sum(F.expr("sc * sc")).alias("sum_s2"),
+            F.max("n").alias("n_days"),
+        )
+    )
+    # Bartlett/HAC numerator — newey_west_daily's exact lag machinery
+    lags = e.selectExpr(
+        "t",
+        "e AS e_lag",
+        f"explode(sequence(0, {KPSS_LAGS})) AS k",
+    ).selectExpr("t + k AS t", "k", "e_lag")
+    prod = e.join(lags, "t").groupBy("k").agg(
+        F.sum(F.expr("e * e_lag")).alias("ck")
+    )
+    nw = prod.agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN k = 0 THEN CAST({KPSS_LAGS + 1} AS"
+                " DECIMAL(38,0)) * ck"
+                f" ELSE 2 * CAST({KPSS_LAGS + 1} - k AS DECIMAL(38,0))"
+                " * ck END"
+            )
+        ).alias("nw_num")
+    )
+    out = s2.crossJoin(F.broadcast(nw)).selectExpr(
+        *_kpss_final("DIV")
+    )
+    return release_after(out, daily)
+
+
+def _kpss_sql() -> str:
+    final = ",\n       ".join(_kpss_final("//"))
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+  FROM daily
+),
+e AS (
+  SELECT t, n, CAST(n AS HUGEINT) * y - s AS e
+  FROM daily CROSS JOIN tot
+),
+cums AS (
+  SELECT n, SUM(e) OVER (ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc
+  FROM e
+),
+s2 AS (
+  SELECT SUM(sc * sc) AS sum_s2, MAX(n) AS n_days FROM cums
+),
+lags AS (
+  SELECT t + k AS t, k, e AS e_lag
+  FROM e CROSS JOIN (
+    SELECT unnest(range(0, {KPSS_LAGS + 1})) AS k
+  )
+),
+prod AS (
+  SELECT k, SUM(e.e * l.e_lag) AS ck
+  FROM e JOIN lags l USING (t)
+  GROUP BY 1
+),
+nw AS (
+  SELECT SUM(CASE WHEN k = 0 THEN CAST({KPSS_LAGS + 1} AS HUGEINT) * ck
+         ELSE 2 * CAST({KPSS_LAGS + 1} - k AS HUGEINT) * ck END)
+           AS nw_num
+  FROM prod
+)
+SELECT {final}
+FROM s2 CROSS JOIN nw
+"""
+
+
+REGISTRY["kpss_daily_events"] = {
+    "fn": kpss_daily_events,
+    "sql": _kpss_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Lo-MacKinlay variance-ratio test (q = 5) on the daily event-count
+# series: VR(q) = Var(y_t − y_{t−q}) / (q · Var(y_t − y_{t−1})). A
+# random walk gives VR = 1; mean reversion < 1; momentum/drift > 1 —
+# the standard "is this series integrating or oscillating" diagnostic
+# a forecasting pipeline runs before choosing differencing order.
+#
+# Exactness: both difference populations are exact integers off
+# day-index equi-joins (t vs t−1 / t−q on the observed spine); each
+# variance uses n-scaled residuals z = n·d − Σd, so
+# VR = (Σz_q² · n1³) / (q · n_q³ · Σz1²) is a ratio of exact 128-bit
+# integers — one IEEE division. The asymptotic null variance
+# phi = 2(2q−1)(q−1)/(3q·n_q) and z-statistic are a fixed constant
+# chain. Scale: calendar-bounded spine joins, nothing row-sized.
+# --------------------------------------------------------------------------
+
+VR_Q = 5
+
+
+def _vr_final(div: str) -> list[str]:
+    big = _big(div)
+    num = f"CAST(sum_zq2 AS {big}) * n1 * n1 * n1"
+    den = f"CAST(sum_z12 AS {big}) * {VR_Q} * nq * nq * nq"
+    vr = f"({_w2d(num, div)} / {_w2d(den, div)})"
+    phi = (
+        f"(CAST({2 * (2 * VR_Q - 1) * (VR_Q - 1)} AS DOUBLE)"
+        f" / CAST({3 * VR_Q} * nq AS DOUBLE))"
+    )
+    return [
+        "n1",
+        "nq",
+        f"{vr} AS variance_ratio",
+        f"({vr} - 1.0) / SQRT({phi}) AS z_vr",
+    ]
+
+
+def _diff_moments(daily: DataFrame, lag: int, pfx: str) -> DataFrame:
+    a, b = daily.alias("a"), daily.alias("b")
+    d = a.join(
+        b, F.col("a.t") == F.col("b.t") + F.lit(lag)
+    ).selectExpr("a.y - b.y AS d")
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias(f"{pfx}_n"),
+        F.sum("d").cast("bigint").alias(f"{pfx}_s"),
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            f"{pfx}_n",
+            f"CAST({pfx}_n AS DECIMAL(38,0)) * d - {pfx}_s AS z",
+        )
+        .groupBy(f"{pfx}_n")
+        .agg(F.sum(F.expr("z * z")).alias(f"{pfx}_zz"))
+    )
+
+
+def variance_ratio_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y")).persist()
+    m1 = _diff_moments(daily, 1, "d1")
+    mq = _diff_moments(daily, VR_Q, "dq")
+    out = (
+        m1.crossJoin(F.broadcast(mq))
+        .selectExpr(
+            "d1_n AS n1",
+            "dq_n AS nq",
+            "d1_zz AS sum_z12",
+            "dq_zz AS sum_zq2",
+        )
+        .selectExpr(*_vr_final("DIV"))
+    )
+    return release_after(out, daily)
+
+
+def _vr_sql() -> str:
+    final = ",\n       ".join(_vr_final("//"))
+
+    def diff(lag: int, pfx: str) -> str:
+        return f"""
+{pfx}_d AS (
+  SELECT a.y - b.y AS d
+  FROM daily a JOIN daily b ON a.t = b.t + {lag}
+),
+{pfx}_t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS {pfx}_n,
+         CAST(SUM(d) AS BIGINT) AS {pfx}_s
+  FROM {pfx}_d
+),
+{pfx}_m AS (
+  SELECT {pfx}_n, SUM(z * z) AS {pfx}_zz FROM (
+    SELECT {pfx}_n,
+           CAST({pfx}_n AS HUGEINT) * d - {pfx}_s AS z
+    FROM {pfx}_d CROSS JOIN {pfx}_t
+  ) GROUP BY 1
+)"""
+
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),{diff(1, "d1")},{diff(VR_Q, "dq")},
+j AS (
+  SELECT d1_n AS n1, dq_n AS nq, d1_zz AS sum_z12, dq_zz AS sum_zq2
+  FROM d1_m CROSS JOIN dq_m
+)
+SELECT {final}
+FROM j
+"""
+
+
+REGISTRY["variance_ratio_daily_events"] = {
+    "fn": variance_ratio_daily_events,
+    "sql": _vr_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# DeLong variance of the ROC-AUC (value scoring event_type='purchase',
+# the auc_roc_events frame) — the standard AUC confidence machinery:
+# Var(AUC) = S10/n_pos + S01/n_neg with S10/S01 the sample variances of
+# the positive/negative structural components V10/V01. On the cents
+# histogram V10(v) = (#neg<v + q_v/2)/n_neg is a per-VALUE quantity, so
+# the whole computation stays histogram-bounded (never per-row).
+#
+# Exactness: doubled components u10 = 2(cum_q − q) + q and
+# u01 = 2(n_pos − cum_p) + p are exact ints; deviations are n-scaled
+# (n_pos·u10 − u2, exact 128-bit, where u2 is the shared doubled-U) and
+# requantized SIGNED-HALF-UP to the 1e-6 grid of (V10 − AUC) before
+# squaring — raw squares would pass 1e38 beyond ~sf10 (the
+# participation-ratio lesson); the quantized square-sums are exact
+# int64-grid integers both engines agree on, and the variance tail is
+# one fixed IEEE chain. se = sqrt, z vs the 0.5 null rides along.
+# --------------------------------------------------------------------------
+
+
+def _signed_whd(num: str, den: str, div: str) -> str:
+    pos = _whd(num, den, div)
+    neg = _whd(f"-({num})", den, div)
+    return (
+        f"CASE WHEN ({num}) >= 0 THEN CAST({pos} AS BIGINT)"
+        f" ELSE -CAST({neg} AS BIGINT) END"
+    )
+
+
+def _delong_terms(div: str) -> list[str]:
+    big = _big(div)
+    w10 = f"CAST(n_pos AS {big}) * u10 * 1000000 - u2 * 1000000"
+    w01 = f"CAST(n_neg AS {big}) * u01 * 1000000 - u2 * 1000000"
+    den10 = "2 * n_pos * n_neg"
+    return [
+        "p",
+        "q",
+        "n_pos",
+        "n_neg",
+        "u2",
+        f"{_signed_whd(w10, den10, div)} AS d10_u",
+        f"{_signed_whd(w01, den10, div)} AS d01_u",
+    ]
+
+
+def _delong_final(div: str) -> list[str]:
+    big = _big(div)
+    auc = (
+        f"({_w2d('u2', div)} / (2.0 * CAST(n_pos AS DOUBLE)"
+        " * CAST(n_neg AS DOUBLE)))"
+    )
+    var = (
+        f"({_w2d(f'CAST(s10 AS {big})', div)}"
+        " / (CAST(n_pos - 1 AS DOUBLE) * 1000000000000.0"
+        " * CAST(n_pos AS DOUBLE))"
+        f" + {_w2d(f'CAST(s01 AS {big})', div)}"
+        " / (CAST(n_neg - 1 AS DOUBLE) * 1000000000000.0"
+        " * CAST(n_neg AS DOUBLE)))"
+    )
+    return [
+        "n_pos",
+        "n_neg",
+        f"{auc} AS auc",
+        f"SQRT({var}) AS se_auc",
+        f"({auc} - 0.5) / SQRT({var}) AS z_null_half",
+    ]
+
+
+def delong_auc_variance_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_c")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(event_type = 'purchase' AS BIGINT)")
+            ).alias("p"),
+            F.sum(
+                F.expr("CAST(event_type <> 'purchase' AS BIGINT)")
+            ).alias("q"),
+        )
+        .persist()
+    )
+    wcum = Window.orderBy("v_c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    comp = hist.select(
+        "v_c",
+        "p",
+        "q",
+        (2 * (F.sum("q").over(wcum) - F.col("q")) + F.col("q")).alias(
+            "u10"
+        ),
+        F.sum("p").over(wcum).alias("cum_p"),
+    )
+    # u2 (the shared doubled-U) comes off the SAME cum frame
+    totals = comp.agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("q").cast("bigint").alias("n_neg"),
+        F.sum(F.expr("CAST(p AS DECIMAL(38,0)) * u10")).alias("u2"),
+    )
+    terms = (
+        comp.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "p",
+            "q",
+            "n_pos",
+            "n_neg",
+            "u2",
+            "u10",
+            "2 * (n_pos - cum_p) + p AS u01",
+        )
+        .selectExpr(*_delong_terms("DIV"))
+    )
+    agg = terms.groupBy("n_pos", "n_neg", "u2").agg(
+        F.sum(
+            F.expr("p * CAST(d10_u AS DECIMAL(38,0)) * d10_u")
+        ).alias("s10"),
+        F.sum(
+            F.expr("q * CAST(d01_u AS DECIMAL(38,0)) * d01_u")
+        ).alias("s01"),
+    )
+    out = agg.selectExpr(*_delong_final("DIV"))
+    return release_after(out, hist)
+
+
+def _delong_sql() -> str:
+    terms = ",\n         ".join(_delong_terms("//"))
+    final = ",\n       ".join(_delong_final("//"))
+    return f"""
+WITH hist AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS q
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
+),
+comp AS (
+  SELECT v_c, p, q,
+         2 * (SUM(q) OVER w - q) + q AS u10,
+         SUM(p) OVER w AS cum_p
+  FROM hist
+  WINDOW w AS (ORDER BY v_c
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+totals AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(q) AS BIGINT) AS n_neg,
+         SUM(CAST(p AS HUGEINT) * u10) AS u2
+  FROM comp
+),
+terms AS (
+  SELECT {terms}
+  FROM (
+    SELECT p, q, n_pos, n_neg, u2, u10,
+           2 * (n_pos - cum_p) + p AS u01
+    FROM comp CROSS JOIN totals
+  )
+),
+agg AS (
+  SELECT n_pos, n_neg, u2,
+         SUM(p * CAST(d10_u AS HUGEINT) * d10_u) AS s10,
+         SUM(q * CAST(d01_u AS HUGEINT) * d01_u) AS s01
+  FROM terms
+  GROUP BY 1, 2, 3
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["delong_auc_variance_events"] = {
+    "fn": delong_auc_variance_events,
+    "sql": _delong_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Krippendorff's alpha (nominal, two raters, no missing) between the
+# same deterministic document-quality annotators as cohens_kappa_docs
+# (rule A: n_chars >= 300; rule B: >= 50 whitespace tokens).
+# Kappa corrects chance per-RATER-marginal; alpha pools both raters'
+# values into one coincidence distribution — the measure reported when
+# annotators are interchangeable (label-rule audits, crowdsourcing).
+# alpha = 1 − D_o/D_e = 1 − [O/n] / [2·n1·n0 / (N(N−1))], N = 2n —
+# an exact integer rational (one 128-bit ratio, one IEEE tail).
+# Scale: map-only flags + one 4-cell aggregate, like kappa.
+# --------------------------------------------------------------------------
+
+
+def _kripp_final(div: str) -> list[str]:
+    big = _big(div)
+    num = (
+        f"CAST(n_units - agree AS {big}) * (2 * n_units)"
+        " * (2 * n_units - 1)"
+    )
+    den = (
+        f"2 * CAST(n_units AS {big}) * (a1 + b1)"
+        " * (2 * n_units - a1 - b1)"
+    )
+    return [
+        "n_units",
+        "n_units - agree AS disagree",
+        f"1.0 - {_w2d(num, div)} / {_w2d(den, div)} AS kripp_alpha",
+    ]
+
+
+def krippendorff_alpha_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.selectExpr(
+        "CAST(n_chars >= 300 AS BIGINT) AS ra",
+        "CAST(size(split(text, ' ')) >= 50 AS BIGINT) AS rb",
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum(F.expr("CAST(ra = rb AS BIGINT)"))
+        .cast("bigint")
+        .alias("agree"),
+        F.sum("ra").cast("bigint").alias("a1"),
+        F.sum("rb").cast("bigint").alias("b1"),
+    )
+    return agg.selectExpr(*_kripp_final("DIV"))
+
+
+def _kripp_sql() -> str:
+    final = ",\n       ".join(_kripp_final("//"))
+    return f"""
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+         CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END
+           AS rb
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+           AS agree,
+         CAST(SUM(ra) AS BIGINT) AS a1,
+         CAST(SUM(rb) AS BIGINT) AS b1
+  FROM flags
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["krippendorff_alpha_docs"] = {
+    "fn": krippendorff_alpha_docs,
+    "sql": _kripp_sql(),
+}

@@ -1,0 +1,209 @@
+"""Round-12 statistics batch: independent pure-Python/numpy recompute
+tests (the mandatory discipline — catalog entries must match a
+from-the-definition reference implementation, not just the oracle)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SF2 = "/root/testdata/sf0.01"
+
+
+def _daily_counts(sf_dir: str) -> dict[int, int]:
+    con = duckdb.connect()
+    return dict(
+        con.sql(
+            f"""SELECT CAST(date_diff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS BIGINT) AS t,
+                   COUNT(*)
+            FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1"""
+        ).fetchall()
+    )
+
+
+# ---------------------------------------------------------------- KPSS
+
+
+def _kpss_reference(daily: dict[int, int], lags: int = 7) -> float:
+    ts = sorted(daily)
+    y = [daily[t] for t in ts]
+    n = len(y)
+    mu = sum(y) / n
+    e = [v - mu for v in y]
+    s = 0.0
+    sum_s2 = 0.0
+    for v in e:
+        s += v
+        sum_s2 += s * s
+    # Bartlett HAC on the day-INDEX adjacency (t and t+k both observed),
+    # matching the entry's equi-join on the calendar spine
+    by_t = {t: v - mu for t, v in zip(ts, y)}
+    lrv = 0.0
+    for k in range(0, lags + 1):
+        ck = sum(
+            by_t[t] * by_t[t + k] for t in ts if t + k in by_t
+        )
+        w = 1.0 if k == 0 else 2.0 * (lags + 1 - k) / (lags + 1)
+        lrv += w * ck / n
+    return (sum_s2 / (n * n)) / lrv
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_kpss_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.statq6 import kpss_daily_events
+
+    daily = _daily_counts(sf_dir)
+    ref = _kpss_reference(daily)
+    row = kpss_daily_events(spark, sf_dir).collect()[0]
+    assert row["n_days"] == len(daily)
+    assert row["kpss_stat"] == pytest.approx(ref, rel=1e-9)
+    assert row["kpss_stat"] > 0.0
+
+
+# ------------------------------------------------------ variance ratio
+
+
+def _vr_reference(daily: dict[int, int], q: int = 5):
+    def moments(lag):
+        d = [
+            daily[t] - daily[t - lag]
+            for t in daily
+            if t - lag in daily
+        ]
+        m = sum(d) / len(d)
+        return len(d), sum((x - m) ** 2 for x in d) / len(d)
+
+    n1, v1 = moments(1)
+    nq, vq = moments(q)
+    vr = vq / (q * v1)
+    phi = 2.0 * (2 * q - 1) * (q - 1) / (3.0 * q * nq)
+    return n1, nq, vr, (vr - 1.0) / math.sqrt(phi)
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_variance_ratio_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.statq6 import variance_ratio_daily_events
+
+    n1, nq, vr, z = _vr_reference(_daily_counts(sf_dir))
+    row = variance_ratio_daily_events(spark, sf_dir).collect()[0]
+    assert (row["n1"], row["nq"]) == (n1, nq)
+    assert row["variance_ratio"] == pytest.approx(vr, rel=1e-9)
+    assert row["z_vr"] == pytest.approx(z, rel=1e-9)
+
+
+# --------------------------------------------------------------- DeLong
+
+
+def _delong_reference(sf_dir: str):
+    """Textbook per-observation DeLong components (float path) — an
+    independent derivation from the entry's quantized-histogram one."""
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        FROM '{sf_dir}/events.parquet'
+        WHERE value IS NOT NULL AND event_type IS NOT NULL"""
+    ).fetchall()
+    pos = sorted(v for v, is_p in rows if is_p)
+    neg = sorted(v for v, is_p in rows if not is_p)
+    import bisect
+
+    n_pos, n_neg = len(pos), len(neg)
+
+    def v10(x):
+        lo = bisect.bisect_left(neg, x)
+        hi = bisect.bisect_right(neg, x)
+        return (lo + 0.5 * (hi - lo)) / n_neg
+
+    def v01(x):
+        lo = bisect.bisect_left(pos, x)
+        hi = bisect.bisect_right(pos, x)
+        return (n_pos - hi + 0.5 * (hi - lo)) / n_pos
+
+    v10s = [v10(x) for x in pos]
+    v01s = [v01(x) for x in neg]
+    auc = sum(v10s) / n_pos
+    auc2 = sum(v01s) / n_neg
+    assert abs(auc - auc2) < 1e-12  # the DeLong identity
+    s10 = sum((v - auc) ** 2 for v in v10s) / (n_pos - 1)
+    s01 = sum((v - auc) ** 2 for v in v01s) / (n_neg - 1)
+    var = s10 / n_pos + s01 / n_neg
+    return n_pos, n_neg, auc, math.sqrt(var)
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_delong_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.statq6 import delong_auc_variance_events
+
+    n_pos, n_neg, auc, se = _delong_reference(sf_dir)
+    row = delong_auc_variance_events(spark, sf_dir).collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (n_pos, n_neg)
+    # AUC is the exact integer identity — tight
+    assert row["auc"] == pytest.approx(auc, rel=1e-12)
+    # se carries the documented 1e-6 component quantization
+    assert row["se_auc"] == pytest.approx(se, rel=1e-4)
+    assert row["z_null_half"] == pytest.approx(
+        (auc - 0.5) / se, rel=1e-4
+    )
+
+
+def test_delong_agrees_with_auc_entry(spark):
+    """Same frame => the AUC column must equal auc_roc_events' exactly."""
+    from de4ml_spark.queries.statq2 import auc_roc_events
+    from de4ml_spark.queries.statq6 import delong_auc_variance_events
+
+    a = auc_roc_events(spark, SF).collect()[0]
+    d = delong_auc_variance_events(spark, SF).collect()[0]
+    assert d["auc"] == a["auc"]
+    assert (d["n_pos"], d["n_neg"]) == (a["n_pos"], a["n_neg"])
+
+
+# --------------------------------------------------------- Krippendorff
+
+
+def _kripp_reference(pairs):
+    """General nominal-alpha via the coincidence matrix (2 raters, no
+    missing): alpha = 1 - D_o/D_e."""
+    n = len(pairs)
+    big_n = 2 * n
+    vals: dict[int, int] = {}
+    disagree = 0
+    for a, b in pairs:
+        vals[a] = vals.get(a, 0) + 1
+        vals[b] = vals.get(b, 0) + 1
+        disagree += a != b
+    d_o = disagree / n
+    d_e = sum(
+        nc * (big_n - nc) for nc in vals.values()
+    ) / (big_n * (big_n - 1))
+    return 1.0 - d_o / d_e
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_krippendorff_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.statq6 import krippendorff_alpha_docs
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT n_chars >= 300,
+               len(string_split(text, ' ')) >= 50
+        FROM '{sf_dir}/documents.parquet'"""
+    ).fetchall()
+    pairs = [(int(a), int(b)) for a, b in rows]
+    ref = _kripp_reference(pairs)
+    row = krippendorff_alpha_docs(spark, sf_dir).collect()[0]
+    assert row["n_units"] == len(pairs)
+    assert row["disagree"] == sum(a != b for a, b in pairs)
+    assert row["kripp_alpha"] == pytest.approx(ref, rel=1e-12)
+
+
+def test_krippendorff_fixtures():
+    # perfect agreement -> alpha = 1
+    assert _kripp_reference([(1, 1)] * 5 + [(0, 0)] * 5) == 1.0
+    # Krippendorff's own canonical property: all-disagree, balanced
+    # marginals -> alpha < 0 (worse than chance)
+    assert _kripp_reference([(0, 1)] * 5 + [(1, 0)] * 5) < 0.0
