@@ -137,6 +137,7 @@ PRIORITY = [
     "giant_component_parts",
     "breslow_day_docs",
     "kpss_daily_events",
+    "adf_daily_events",
     "variance_ratio_daily_events",
     "delong_auc_variance_events",
     "krippendorff_alpha_docs",

@@ -557,3 +557,106 @@ REGISTRY["krippendorff_alpha_docs"] = {
     "fn": krippendorff_alpha_docs,
     "sql": _kripp_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Dickey-Fuller unit-root test (constant, no lag augmentation) on the
+# daily event-count series — KPSS's complementary null: DF's H0 is
+# "unit root" (non-stationary), KPSS's H0 is "stationary"; pipelines
+# report the pair and difference the series only when both agree it
+# integrates. Regression Δy_t = α + ρ·y_{t−1}: with n-scaled demeaned
+# moments Sxx' = ΣX², Sxy' = ΣXD, Syy' = ΣD² (exact 128-bit integers
+# off the t/t−1 day-index equi-join), the common n³ scale cancels and
+#   ρ̂ = Sxy'/Sxx',   t_DF = Sxy'·√(n−2) / √(Sxx'·Syy' − Sxy'²).
+# The cross products would need 256 bits, so each primed moment goes
+# through ONE exact wide_to_double conversion and the tail is a fixed
+# IEEE chain — bit-identical both engines, no overflow at any scale.
+# Scale: calendar-bounded spine join, like the rest of the daily tier.
+# --------------------------------------------------------------------------
+
+
+def _adf_final(div: str) -> list[str]:
+    sxx = _w2d("sxx", div)
+    sxy = _w2d("sxy", div)
+    syy = _w2d("syy", div)
+    return [
+        "n_pairs",
+        f"{sxy} / {sxx} AS rho_hat",
+        f"{sxy} * SQRT(CAST(n_pairs - 2 AS DOUBLE))"
+        f" / SQRT({sxx} * {syy} - {sxy} * {sxy}) AS adf_t",
+    ]
+
+
+def adf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y")).persist()
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b, F.col("a.t") == F.col("b.t") + F.lit(1)
+    ).selectExpr("b.y AS x", "a.y - b.y AS d")
+    tot = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("d").cast("bigint").alias("sd"),
+    )
+    z = pairs.crossJoin(F.broadcast(tot)).selectExpr(
+        "n_pairs",
+        "CAST(n_pairs AS DECIMAL(38,0)) * x - sx AS zx",
+        "CAST(n_pairs AS DECIMAL(38,0)) * d - sd AS zd",
+    )
+    agg = z.groupBy("n_pairs").agg(
+        F.sum(F.expr("zx * zx")).alias("sxx"),
+        F.sum(F.expr("zx * zd")).alias("sxy"),
+        F.sum(F.expr("zd * zd")).alias("syy"),
+    )
+    return release_after(agg.selectExpr(*_adf_final("DIV")), daily)
+
+
+def _adf_sql() -> str:
+    final = ",\n       ".join(_adf_final("//"))
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT b.y AS x, a.y - b.y AS d
+  FROM daily a JOIN daily b ON a.t = b.t + 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(d) AS BIGINT) AS sd
+  FROM pairs
+),
+agg AS (
+  SELECT n_pairs,
+         SUM(zx * zx) AS sxx,
+         SUM(zx * zd) AS sxy,
+         SUM(zd * zd) AS syy
+  FROM (
+    SELECT n_pairs,
+           CAST(n_pairs AS HUGEINT) * x - sx AS zx,
+           CAST(n_pairs AS HUGEINT) * d - sd AS zd
+    FROM pairs CROSS JOIN tot
+  )
+  GROUP BY 1
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["adf_daily_events"] = {
+    "fn": adf_daily_events,
+    "sql": _adf_sql(),
+}

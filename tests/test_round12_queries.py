@@ -207,3 +207,43 @@ def test_krippendorff_fixtures():
     # Krippendorff's own canonical property: all-disagree, balanced
     # marginals -> alpha < 0 (worse than chance)
     assert _kripp_reference([(0, 1)] * 5 + [(1, 0)] * 5) < 0.0
+
+
+# ------------------------------------------------------------------ ADF
+
+
+def _adf_reference(daily: dict[int, int]):
+    """Dickey-Fuller t via numpy least squares on [1, y_{t-1}] — a
+    fully independent linear-algebra path (no moment formulas)."""
+    import numpy as np
+
+    x = np.array(
+        [daily[t - 1] for t in daily if t - 1 in daily], dtype=float
+    )
+    d = np.array(
+        [daily[t] - daily[t - 1] for t in daily if t - 1 in daily],
+        dtype=float,
+    )
+    n = len(x)
+    A = np.column_stack([np.ones(n), x])
+    coef, _, _, _ = np.linalg.lstsq(A, d, rcond=None)
+    resid = d - A @ coef
+    sigma2 = float(resid @ resid) / (n - 2)
+    cov = sigma2 * np.linalg.inv(A.T @ A)
+    rho = float(coef[1])
+    se = math.sqrt(float(cov[1, 1]))
+    return n, rho, rho / se
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_adf_matches_numpy_lstsq(spark, sf_dir):
+    from de4ml_spark.queries.statq6 import adf_daily_events
+
+    n, rho, t = _adf_reference(_daily_counts(sf_dir))
+    row = adf_daily_events(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == n
+    assert row["rho_hat"] == pytest.approx(rho, rel=1e-9)
+    assert row["adf_t"] == pytest.approx(t, rel=1e-9)
+    # event counts are strongly mean-reverting around a level -> the
+    # unit root must be rejected hard (rho well below 0)
+    assert row["rho_hat"] < 0.0
