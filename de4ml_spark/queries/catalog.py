@@ -141,6 +141,7 @@ PRIORITY = [
     "variance_ratio_daily_events",
     "delong_auc_variance_events",
     "krippendorff_alpha_docs",
+    "hyperanf_parts",
     # -- refresh queue: latest driver evidence round 5 (remainder)
     "weighted_median_price",
     "knn_ivf_recall",

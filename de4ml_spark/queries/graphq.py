@@ -2017,3 +2017,188 @@ REGISTRY["giant_component_parts"] = {
     "fn": giant_component_parts,
     "sql": _giant_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# HyperANF-style approximate neighborhood function over the co-purchase
+# graph — the documented 100 TB escape hatch for khop_reach_parts, now
+# implemented: per-node KMV distinct sketches (K smallest 40-bit
+# portable hashes of ball members) propagated H rounds along the
+# adjacency. Min-K over distinct hashes is a semilattice merge, so the
+# fixpoint after h rounds is EXACTLY "the K smallest hashes in the
+# h-ball" — order-independent, engine-independent, and (unlike HLL's
+# leading-zero registers) expressible in portable integer SQL. Reach
+# estimates use the standard KMV rule: exact count below K, else
+# (K−1)·2^B / (h_K + 1) — integer division, engine-exact. Emits the
+# neighborhood function N(h) for h = 0..4 and each level's exact-ppm
+# fraction of N(4) (effective diameter = first h with frac ≥ 0.9).
+#
+# Scale: state is ≤ K rows per node (nodes × 32, independent of graph
+# density — khop's exact closure is Σ deg² and melts at 100 TB; this
+# is the replacement). Each round: one equi-join state⋈edges + one
+# node-partitioned top-K window; rounds are lineage-cut with eager
+# localCheckpoint (the kcore pattern — the estimate branch reads every
+# round's state, so a lazy unroll would double the plan per round).
+# A pure-Python BFS recompute pins the semilattice identity exactly
+# (tests/test_graph_completion.py).
+# --------------------------------------------------------------------------
+
+ANF_K = 32
+ANF_BITS = 40
+ANF_H = 4
+_ANF_NUM = (ANF_K - 1) * (1 << ANF_BITS)
+
+
+def hyperanf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from de4ml_spark.cache import release_after
+    from de4ml_spark.operators.portable_hash import (
+        phash_spark_sql,
+        wide_halfup_div_sql as _whd,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    adj = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    edges_plus = adj.unionAll(
+        nodes.selectExpr("node AS u", "node AS v")
+    ).persist()
+    st = nodes.selectExpr(
+        "node",
+        f"{phash_spark_sql('CAST(node AS STRING)', ANF_BITS)} AS h",
+    ).localCheckpoint(eager=True)
+    states = [st]
+    w = Window.partitionBy("node").orderBy("h")
+    for _ in range(ANF_H):
+        cand = (
+            edges_plus.alias("e")
+            .join(st.alias("s"), F.col("s.node") == F.col("e.u"))
+            .selectExpr("e.v AS node", "s.h AS h")
+            .distinct()
+        )
+        st = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= ANF_K)
+            .select("node", "h")
+            .localCheckpoint(eager=True)
+        )
+        states.append(st)
+    ests = []
+    for h, s in enumerate(states):
+        per = s.groupBy("node").agg(
+            F.count(F.lit(1)).alias("c"), F.max("h").alias("mx")
+        )
+        ests.append(
+            per.selectExpr(
+                f"CAST({h} AS BIGINT) AS h",
+                f"CASE WHEN c < {ANF_K} THEN c"
+                f" ELSE {_ANF_NUM}L DIV (mx + 1) END AS est",
+            )
+            .groupBy("h")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                F.sum("est").cast("bigint").alias("total_reach_est"),
+            )
+        )
+    allh = reduce(lambda x, y: x.unionAll(y), ests)
+    t4 = ests[-1].selectExpr("total_reach_est AS t4")
+    frac = _whd(
+        "CAST(total_reach_est AS DECIMAL(38,0)) * 1000000", "t4", "DIV"
+    )
+    out = allh.crossJoin(F.broadcast(t4)).selectExpr(
+        "h",
+        "n_nodes",
+        "total_reach_est",
+        f"CAST({frac} AS BIGINT) AS frac_ppm",
+    )
+    return release_after(out, edges_plus)
+
+
+def _hyperanf_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        phash_duck_sql,
+        wide_halfup_div_sql as _whd,
+    )
+
+    rounds = []
+    for i in range(ANF_H):
+        rounds.append(
+            f"st{i + 1} AS (\n"
+            f"  SELECT node, h FROM (\n"
+            f"    SELECT node, h,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY node"
+            f" ORDER BY h) AS rk\n"
+            f"    FROM (SELECT DISTINCT e.v AS node, s.h\n"
+            f"          FROM edges_plus e JOIN st{i} s"
+            f" ON s.node = e.u)\n"
+            f"  ) WHERE rk <= {ANF_K}\n"
+            f")"
+        )
+    ests = []
+    for h in range(ANF_H + 1):
+        ests.append(
+            f"est{h} AS (\n"
+            f"  SELECT CAST({h} AS BIGINT) AS h,\n"
+            f"         CAST(COUNT(*) AS BIGINT) AS n_nodes,\n"
+            f"         CAST(SUM(est) AS BIGINT) AS total_reach_est\n"
+            f"  FROM (\n"
+            f"    SELECT CASE WHEN c < {ANF_K} THEN c\n"
+            f"           ELSE {_ANF_NUM} // (mx + 1) END AS est\n"
+            f"    FROM (SELECT node, CAST(COUNT(*) AS BIGINT) AS c,\n"
+            f"                 MAX(h) AS mx\n"
+            f"          FROM st{h} GROUP BY 1)\n"
+            f"  )\n"
+            f")"
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT * FROM est{h}" for h in range(ANF_H + 1)
+    )
+    frac = _whd(
+        "CAST(total_reach_est AS HUGEINT) * 1000000", "t4", "//"
+    )
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+adj AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+edges_plus AS (
+  SELECT u, v FROM adj UNION ALL SELECT node, node FROM nodes
+),
+st0 AS (
+  SELECT node,
+         {phash_duck_sql("CAST(node AS VARCHAR)", ANF_BITS)} AS h
+  FROM nodes
+),
+{",".join(rounds)},
+{",".join(ests)},
+allh AS (
+  {union}
+),
+t4 AS (SELECT total_reach_est AS t4 FROM est{ANF_H})
+SELECT h, n_nodes, total_reach_est,
+       CAST({frac} AS BIGINT) AS frac_ppm
+FROM allh CROSS JOIN t4
+"""
+
+
+REGISTRY["hyperanf_parts"] = {
+    "fn": hyperanf_parts,
+    "sql": _hyperanf_sql(),
+}
