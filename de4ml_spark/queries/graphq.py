@@ -975,8 +975,9 @@ def khop_reach_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    driver, swap step 2 for a shuffled set join (plan note, not a
     #    semantic change). A dense graph's 2-hop closure is
     #    intrinsically Sum(deg^2) work at any scale — the 100 TB
-    #    escape hatch is the HyperANF-style HLL sketch, kept out of
-    #    this exact, oracle-checked entry.
+    #    escape hatch is the propagated-sketch neighborhood function,
+    #    implemented as hyperanf_parts below (nodes x K state), kept
+    #    out of this exact, oracle-checked entry.
     adj = (
         _directed_adjacency(spark, sf_dir)
         .repartition("u")

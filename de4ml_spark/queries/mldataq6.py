@@ -1178,6 +1178,12 @@ _BD_FINAL = [
     "psi AS or_mh",
     "CAST(CAST(sum_term_u AS BIGINT) AS DOUBLE) / 1000000.0"
     " AS chi2_bd",
+    # Tarone's correction: X²_T = X²_BD − (Σ(a−A))² / ΣVar(A) — the
+    # recommended form (the MH-fitted A's don't sum the residuals to
+    # exactly zero); both sums ride exact signed micro-units
+    "CAST(CAST(sum_term_u AS BIGINT) AS DOUBLE) / 1000000.0"
+    " - CAST(sum_d_u AS DOUBLE) * CAST(sum_d_u AS DOUBLE)"
+    " / (1000000.0 * CAST(sum_v_u AS DOUBLE)) AS chi2_tarone",
 ]
 
 # single shared expression text (rendered into BOTH engines verbatim):
@@ -1211,15 +1217,27 @@ _BD_STAGES = [
         " ELSE (0.0 - (bq + sq)) / (2.0 * aq) END AS fitted",
     ],
     # Var(A)^-1 = 1/A + 1/(r1-A) + 1/(c1-A) + 1/(r2-c1+A), fixed
-    # association; term = (a - A)^2 / Var(A), half-up micro-quantized
+    # association
+    [
+        "source", "a", "psi", "fitted",
+        "((1.0 / fitted + 1.0 / (CAST(r1 AS DOUBLE) - fitted))"
+        " + 1.0 / (CAST(c1 AS DOUBLE) - fitted))"
+        " + 1.0 / (CAST(r2 - c1 AS DOUBLE) + fitted) AS recip",
+    ],
+    # term = (a - A)^2 / Var(A), half-up micro-quantized; the signed
+    # residual d_u and Var(A) micro-units feed Tarone's correction
     [
         "source",
         "CAST(FLOOR(((CAST(a AS DOUBLE) - fitted)"
         " * (CAST(a AS DOUBLE) - fitted))"
-        " * (((1.0 / fitted + 1.0 / (CAST(r1 AS DOUBLE) - fitted))"
-        " + 1.0 / (CAST(c1 AS DOUBLE) - fitted))"
-        " + 1.0 / (CAST(r2 - c1 AS DOUBLE) + fitted))"
-        " * 1000000.0 + 0.5) AS BIGINT) AS term_u",
+        " * recip * 1000000.0 + 0.5) AS BIGINT) AS term_u",
+        "CASE WHEN CAST(a AS DOUBLE) - fitted >= 0.0 THEN"
+        " CAST(FLOOR((CAST(a AS DOUBLE) - fitted)"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+        " ELSE -CAST(FLOOR((fitted - CAST(a AS DOUBLE))"
+        " * 1000000.0 + 0.5) AS BIGINT) END AS d_u",
+        "CAST(FLOOR((1.0 / recip) * 1000000.0 + 0.5) AS BIGINT)"
+        " AS v_u",
         "psi",
     ],
 ]
@@ -1275,6 +1293,8 @@ def breslow_day_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = cur.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_strata"),
         F.sum("term_u").cast("bigint").alias("sum_term_u"),
+        F.sum("d_u").cast("bigint").alias("sum_d_u"),
+        F.sum("v_u").cast("bigint").alias("sum_v_u"),
         F.min("psi").alias("psi"),
     )
     from de4ml_spark.cache import release_after
@@ -1329,6 +1349,8 @@ s2p AS (
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
          CAST(SUM(term_u) AS BIGINT) AS sum_term_u,
+         CAST(SUM(d_u) AS BIGINT) AS sum_d_u,
+         CAST(SUM(v_u) AS BIGINT) AS sum_v_u,
          MIN(psi) AS psi
   FROM q{len(_BD_STAGES) - 1}
 )

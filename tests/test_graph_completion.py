@@ -120,7 +120,7 @@ def _bd_reference(tables):
     psi = sum(a * d / (a + b + c + d) for a, b, c, d in tabs) / sum(
         b * c / (a + b + c + d) for a, b, c, d in tabs
     )
-    chi2 = 0.0
+    chi2 = sum_d = sum_v = 0.0
     for a, b, c, d in tabs:
         r1, r2, c1 = a + b, c + d, a + c
         if abs(psi - 1.0) < 1e-12:
@@ -141,20 +141,24 @@ def _bd_reference(tables):
             + 1.0 / ((r2 - c1) + fitted)
         )
         chi2 += (a - fitted) ** 2 * var_inv
-    return len(tabs), psi, chi2
+        sum_d += a - fitted
+        sum_v += 1.0 / var_inv
+    return len(tabs), psi, chi2, chi2 - sum_d * sum_d / sum_v
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_breslow_day_matches_reference(spark, sf_dir):
     from de4ml_spark.queries.mldataq6 import breslow_day_docs
 
-    n_strata, psi, chi2 = _bd_reference(_bd_tables(sf_dir))
+    n_strata, psi, chi2, tarone = _bd_reference(_bd_tables(sf_dir))
     row = breslow_day_docs(spark, sf_dir).collect()[0]
     assert row["n_strata"] == n_strata
     assert row["df"] == n_strata - 1
     # catalog psi is micro-quantized MH sums; reference is unquantized
     assert row["or_mh"] == pytest.approx(psi, rel=1e-5)
     assert row["chi2_bd"] == pytest.approx(chi2, rel=1e-4, abs=1e-4)
+    assert row["chi2_tarone"] == pytest.approx(tarone, rel=1e-4, abs=1e-4)
+    assert row["chi2_tarone"] <= row["chi2_bd"] + 1e-9
     # fitted-cell sanity: a homogeneous-looking corpus should not
     # explode; chi2 is finite and non-negative
     assert 0.0 <= row["chi2_bd"] < 1e9
@@ -168,10 +172,11 @@ def test_breslow_day_exact_homogeneity_is_zero():
         ("s2", 40, 20, 10, 20),  # same OR, doubled
         ("s3", 8, 4, 2, 4),      # same OR, scaled down
     ]
-    n, psi, chi2 = _bd_reference(tables)
+    n, psi, chi2, tarone = _bd_reference(tables)
     assert n == 3
     assert psi == pytest.approx(4.0, rel=1e-12)
     assert chi2 == pytest.approx(0.0, abs=1e-9)
+    assert tarone == pytest.approx(0.0, abs=1e-9)
 
 
 # -------------------------------------------------------------- HyperANF
