@@ -199,6 +199,10 @@ HEADLINE = [
     # sf0.1); kpss / variance_ratio / krippendorff stay out per the
     # daily-series / doc-flag micro policy (all <= 0.06 s absolute)
     "delong_auc_variance_events",
+    # Qn rides too: the |support|^2 pair-cell join is the shape Spark
+    # parallelizes and a single box pays serially (0.034 s vs 0.894 s
+    # at sf0.1); cuped_user_value is engine-parity floor class (0.037)
+    "qn_scale_value",
 ]
 
 

@@ -142,6 +142,8 @@ PRIORITY = [
     "delong_auc_variance_events",
     "krippendorff_alpha_docs",
     "hyperanf_parts",
+    "qn_scale_value",
+    "cuped_user_value",
     # -- refresh queue: latest driver evidence round 5 (remainder)
     "weighted_median_price",
     "knn_ivf_recall",

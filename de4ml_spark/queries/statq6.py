@@ -660,3 +660,262 @@ REGISTRY["adf_daily_events"] = {
     "fn": adf_daily_events,
     "sql": _adf_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Rousseeuw-Croux Qn robust scale estimator of `value`: the k-th order
+# statistic (k = C(h,2), h = n/2+1) of all pairwise distances
+# |x_i − x_j|, i<j — 50% breakdown point and 82% Gaussian efficiency
+# (vs MAD's 37%), the scale a drift monitor should alarm on when the
+# distribution has heavy tails. The O(n²) pair definition collapses on
+# the cents histogram: same-value pairs contribute c(c−1)/2 at
+# distance 0, cross-value cells c_a·c_b at distance v_b−v_a — a
+# |support|² bounded cell join (the hoeffding_d frame), never row
+# pairs. The selection is an exact integer cum-threshold argmin; the
+# asymptotic consistency constant 2.21914 is one fixed IEEE multiply.
+# --------------------------------------------------------------------------
+
+_QN_CONST = "2.21914"  # asymptotic Gaussian consistency factor
+
+
+def _qn_final() -> list[str]:
+    return [
+        "n_values",
+        "k_pairs",
+        "qn_raw_cents",
+        f"{_QN_CONST} * (CAST(qn_raw_cents AS DOUBLE) / 100.0)"
+        " AS qn_scale",
+    ]
+
+
+def qn_scale_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    tot = hist.agg(
+        F.sum("c").cast("bigint").alias("n_values"),
+    ).selectExpr(
+        "n_values",
+        "((n_values DIV 2 + 1) * (n_values DIV 2))"
+        " DIV 2 AS k_pairs",
+    )
+    zero = hist.selectExpr(
+        "CAST(0 AS BIGINT) AS d", "c * (c - 1) DIV 2 AS cnt"
+    )
+    a, b = hist.alias("a"), hist.alias("b")
+    cross = (
+        a.join(b, F.col("a.v") < F.col("b.v"))
+        .selectExpr("b.v - a.v AS d", "a.c * b.c AS cnt")
+    )
+    byd = (
+        zero.unionAll(cross)
+        .groupBy("d")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = byd.withColumn("cum", F.sum("cnt").over(wcum))
+    out = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.col("k_pairs"))
+        .groupBy("n_values", "k_pairs")
+        .agg(F.min("d").cast("bigint").alias("qn_raw_cents"))
+        .selectExpr(*_qn_final())
+    )
+    return release_after(out, hist)
+
+
+def _qn_sql() -> str:
+    final = ",\n       ".join(_qn_final())
+    return f"""
+WITH hist AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+tot AS (
+  SELECT n_values,
+         ((n_values // 2 + 1) * (n_values // 2)) // 2 AS k_pairs
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS n_values FROM hist)
+),
+byd AS (
+  SELECT d, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT CAST(0 AS BIGINT) AS d, c * (c - 1) // 2 AS cnt FROM hist
+    UNION ALL
+    SELECT b.v - a.v AS d, a.c * b.c AS cnt
+    FROM hist a JOIN hist b ON a.v < b.v
+  ) GROUP BY 1
+),
+cum AS (
+  SELECT d, SUM(cnt) OVER (ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM byd
+),
+sel AS (
+  SELECT n_values, k_pairs,
+         CAST(MIN(d) AS BIGINT) AS qn_raw_cents
+  FROM cum CROSS JOIN tot
+  WHERE cum >= k_pairs
+  GROUP BY 1, 2
+)
+SELECT {final}
+FROM sel
+"""
+
+
+REGISTRY["qn_scale_value"] = {
+    "fn": qn_scale_value,
+    "sql": _qn_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction on per-user value (pre-period covariate
+# adjustment — the standard experiment-sensitivity technique): split
+# the corpus at the midpoint day; x_u = user's pre-period value sum,
+# y_u = post-period sum (0 when absent — every observed user is a
+# unit). theta = Cov(x,y)/Var(x) is the adjustment coefficient and
+# 1 − rho² the achievable variance reduction. All three moments are
+# exact 128-bit square/cross sums of n-scaled integer cents residuals;
+# theta and rho² are fixed IEEE tails of wide_to_double conversions.
+# Scale: one groupBy to per-user (x, y) pairs (map-side partial), one
+# 3-sum aggregate — nothing beyond the user dimension.
+# --------------------------------------------------------------------------
+
+
+def _cuped_final(div: str) -> list[str]:
+    sxx = _w2d("sxx", div)
+    sxy = _w2d("sxy", div)
+    syy = _w2d("syy", div)
+    rho2 = f"(({sxy} * {sxy}) / ({sxx} * {syy}))"
+    return [
+        "n_users",
+        f"{sxy} / {sxx} AS theta",
+        f"{rho2} AS rho_sq",
+        f"1.0 - {rho2} AS var_reduction_factor",
+    ]
+
+
+def cuped_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    days = ev.agg(
+        F.expr(
+            "MIN(CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT))"
+        ).alias("t0"),
+        F.expr(
+            "MAX(CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT))"
+        ).alias("t1"),
+    ).selectExpr("(t0 + t1) DIV 2 AS mid")
+    per_user = (
+        ev.crossJoin(F.broadcast(days))
+        .selectExpr(
+            "user_id",
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " AS v_c",
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT) <= mid AS is_pre",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN is_pre THEN v_c ELSE 0 END"))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.expr("CASE WHEN is_pre THEN 0 ELSE v_c END"))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .persist()
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    agg = (
+        per_user.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n_users",
+            "CAST(n_users AS DECIMAL(38,0)) * x - sx AS zx",
+            "CAST(n_users AS DECIMAL(38,0)) * y - sy AS zy",
+        )
+        .groupBy("n_users")
+        .agg(
+            F.sum(F.expr("zx * zx")).alias("sxx"),
+            F.sum(F.expr("zx * zy")).alias("sxy"),
+            F.sum(F.expr("zy * zy")).alias("syy"),
+        )
+    )
+    return release_after(
+        agg.selectExpr(*_cuped_final("DIV")), per_user
+    )
+
+
+def _cuped_sql() -> str:
+    final = ",\n       ".join(_cuped_final("//"))
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+days AS (
+  SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM ev
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN t <= mid THEN v_c ELSE 0 END) AS BIGINT)
+           AS x,
+         CAST(SUM(CASE WHEN t <= mid THEN 0 ELSE v_c END) AS BIGINT)
+           AS y
+  FROM ev CROSS JOIN days
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy
+  FROM per_user
+),
+agg AS (
+  SELECT n_users,
+         SUM(zx * zx) AS sxx,
+         SUM(zx * zy) AS sxy,
+         SUM(zy * zy) AS syy
+  FROM (
+    SELECT n_users,
+           CAST(n_users AS HUGEINT) * x - sx AS zx,
+           CAST(n_users AS HUGEINT) * y - sy AS zy
+    FROM per_user CROSS JOIN tot
+  )
+  GROUP BY 1
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["cuped_user_value"] = {
+    "fn": cuped_user_value,
+    "sql": _cuped_sql(),
+}

@@ -247,3 +247,129 @@ def test_adf_matches_numpy_lstsq(spark, sf_dir):
     # event counts are strongly mean-reverting around a level -> the
     # unit root must be rejected hard (rho well below 0)
     assert row["rho_hat"] < 0.0
+
+
+# ------------------------------------------------------------------- Qn
+
+
+def _qn_from_values(vals: list[int]):
+    """Brute-force Qn from the definition (k-th order statistic of
+    pairwise distances, i < j)."""
+    n = len(vals)
+    h = n // 2 + 1
+    k = h * (h - 1) // 2
+    dists = sorted(
+        abs(vals[i] - vals[j])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    return n, k, dists[k - 1]
+
+
+def test_qn_brute_force_fixture():
+    """The histogram selection must equal the brute-force definition
+    on a small synthetic sample with heavy ties."""
+    vals = [100, 100, 100, 250, 250, 400, 1000, 1000, 5000, 70]
+    n, k, qn = _qn_from_values(vals)
+    # histogram path (the entry's algorithm, replicated in Python)
+    hist: dict[int, int] = {}
+    for v in vals:
+        hist[v] = hist.get(v, 0) + 1
+    byd: dict[int, int] = {}
+    for v, c in hist.items():
+        if c > 1:
+            byd[0] = byd.get(0, 0) + c * (c - 1) // 2
+    hs = sorted(hist)
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            d = hs[j] - hs[i]
+            byd[d] = byd.get(d, 0) + hist[hs[i]] * hist[hs[j]]
+    cum = 0
+    sel = None
+    for d in sorted(byd):
+        cum += byd[d]
+        if cum >= k:
+            sel = d
+            break
+    assert sel == qn
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_qn_matches_histogram_reference(spark, sf_dir):
+    from de4ml_spark.queries.statq6 import qn_scale_value
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+               COUNT(*)
+        FROM '{sf_dir}/events.parquet'
+        WHERE value IS NOT NULL GROUP BY 1"""
+    ).fetchall()
+    hist = {int(v): int(c) for v, c in rows}
+    n = sum(hist.values())
+    h = n // 2 + 1
+    k = h * (h - 1) // 2
+    byd: dict[int, int] = {}
+    for v, c in hist.items():
+        if c > 1:
+            byd[0] = byd.get(0, 0) + c * (c - 1) // 2
+    hs = sorted(hist)
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            d = hs[j] - hs[i]
+            byd[d] = byd.get(d, 0) + hist[hs[i]] * hist[hs[j]]
+    cum = 0
+    sel = None
+    for d in sorted(byd):
+        cum += byd[d]
+        if cum >= k:
+            sel = d
+            break
+    row = qn_scale_value(spark, sf_dir).collect()[0]
+    assert row["n_values"] == n
+    assert row["k_pairs"] == k
+    assert row["qn_raw_cents"] == sel
+    assert row["qn_scale"] == pytest.approx(
+        2.21914 * sel / 100.0, rel=1e-12
+    )
+
+
+# ---------------------------------------------------------------- CUPED
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_cuped_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from de4ml_spark.queries.statq6 import cuped_user_value
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""WITH ev AS (
+          SELECT user_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v_c,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                      CAST(ts AS DATE)) AS BIGINT) AS t
+          FROM '{sf_dir}/events.parquet'
+          WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ), days AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM ev)
+        SELECT SUM(CASE WHEN t <= mid THEN v_c ELSE 0 END),
+               SUM(CASE WHEN t <= mid THEN 0 ELSE v_c END)
+        FROM ev CROSS JOIN days GROUP BY user_id"""
+    ).fetchall()
+    x = np.array([float(a) for a, _ in rows])
+    y = np.array([float(b) for _, b in rows])
+    cov = ((x - x.mean()) * (y - y.mean())).mean()
+    theta = cov / ((x - x.mean()) ** 2).mean()
+    rho2 = cov * cov / (
+        ((x - x.mean()) ** 2).mean() * ((y - y.mean()) ** 2).mean()
+    )
+    row = cuped_user_value(spark, sf_dir).collect()[0]
+    assert row["n_users"] == len(rows)
+    assert row["theta"] == pytest.approx(theta, rel=1e-9)
+    assert row["rho_sq"] == pytest.approx(rho2, rel=1e-9)
+    assert row["var_reduction_factor"] == pytest.approx(
+        1.0 - rho2, rel=1e-9
+    )
+    assert 0.0 <= row["rho_sq"] <= 1.0
