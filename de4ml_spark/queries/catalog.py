@@ -144,6 +144,7 @@ PRIORITY = [
     "hyperanf_parts",
     "qn_scale_value",
     "cuped_user_value",
+    "anf_closeness_parts",
     # -- refresh queue: latest driver evidence round 5 (remainder)
     "weighted_median_price",
     "knn_ivf_recall",

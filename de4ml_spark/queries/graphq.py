@@ -2050,14 +2050,21 @@ ANF_H = 4
 _ANF_NUM = (ANF_K - 1) * (1 << ANF_BITS)
 
 
-def hyperanf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
+# per-node KMV reach estimate off a state frame's (count, max-hash)
+_ANF_EST = (
+    f"CASE WHEN c < {ANF_K} THEN c"
+    f" ELSE {_ANF_NUM}L DIV (mx + 1) END"
+)
+_ANF_EST_DUCK = (
+    f"CASE WHEN c < {ANF_K} THEN c"
+    f" ELSE {_ANF_NUM} // (mx + 1) END"
+)
 
-    from de4ml_spark.cache import release_after
-    from de4ml_spark.operators.portable_hash import (
-        phash_spark_sql,
-        wide_halfup_div_sql as _whd,
-    )
+
+def _anf_states(spark: SparkSession, sf_dir: str):
+    """Shared ANF machinery: persisted self-looped adjacency + the
+    H+1 propagated min-K sketch states (lineage-cut per round)."""
+    from de4ml_spark.operators.portable_hash import phash_spark_sql
 
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -2098,6 +2105,18 @@ def hyperanf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         states.append(st)
+    return edges_plus, states
+
+
+def hyperanf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from de4ml_spark.cache import release_after
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd,
+    )
+
+    edges_plus, states = _anf_states(spark, sf_dir)
     ests = []
     for h, s in enumerate(states):
         per = s.groupBy("node").agg(
@@ -2129,11 +2148,10 @@ def hyperanf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return release_after(out, edges_plus)
 
 
-def _hyperanf_sql() -> str:
-    from de4ml_spark.operators.portable_hash import (
-        phash_duck_sql,
-        wide_halfup_div_sql as _whd,
-    )
+def _anf_prefix_sql() -> str:
+    """Shared DuckDB CTE chain: adjacency + st0..st{H} sketch states —
+    the oracle mirror of ``_anf_states``."""
+    from de4ml_spark.operators.portable_hash import phash_duck_sql
 
     rounds = []
     for i in range(ANF_H):
@@ -2149,6 +2167,29 @@ def _hyperanf_sql() -> str:
             f"  ) WHERE rk <= {ANF_K}\n"
             f")"
         )
+    return f"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+adj AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+edges_plus AS (
+  SELECT u, v FROM adj UNION ALL SELECT node, node FROM nodes
+),
+st0 AS (
+  SELECT node,
+         {phash_duck_sql("CAST(node AS VARCHAR)", ANF_BITS)} AS h
+  FROM nodes
+),
+{",".join(rounds)}"""
+
+
+def _hyperanf_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        wide_halfup_div_sql as _whd,
+    )
+
     ests = []
     for h in range(ANF_H + 1):
         ests.append(
@@ -2172,22 +2213,7 @@ def _hyperanf_sql() -> str:
         "CAST(total_reach_est AS HUGEINT) * 1000000", "t4", "//"
     )
     return f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
-adj AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-),
-edges_plus AS (
-  SELECT u, v FROM adj UNION ALL SELECT node, node FROM nodes
-),
-st0 AS (
-  SELECT node,
-         {phash_duck_sql("CAST(node AS VARCHAR)", ANF_BITS)} AS h
-  FROM nodes
-),
-{",".join(rounds)},
+WITH {_anf_prefix_sql()},
 {",".join(ests)},
 allh AS (
   {union}
@@ -2202,4 +2228,93 @@ FROM allh CROSS JOIN t4
 REGISTRY["hyperanf_parts"] = {
     "fn": hyperanf_parts,
     "sql": _hyperanf_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Radius-4 harmonic closeness centrality from the SAME propagated
+# min-K sketch states as hyperanf_parts: per node,
+# score = Σ_{h=1..4} (1/h)·(N_h(v) − N_{h−1}(v)) — the harmonic
+# centrality truncated at the sketch horizon, the standard
+# "who reaches the graph fastest" ranking at scales where exact BFS
+# per node is impossible. Per-node min-K estimates are MONOTONE in h
+# (the ball only grows, so the K-th smallest hash only falls), so the
+# increments are non-negative exact integers; the 1/h weights clear
+# through LCM 12 (score12 = 12Δ1 + 6Δ2 + 4Δ3 + 3Δ4 — exact int64),
+# making the top-20 ranking engine-deterministic BEFORE any float
+# (ties broken by node id). Spark's ordered limit is TakeOrdered
+# (distributed heap per partition + driver merge of 20), never a
+# global sort. Same scale posture as hyperanf_parts.
+# --------------------------------------------------------------------------
+
+ANF_TOPK = 20
+
+
+def anf_closeness_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from functools import reduce
+
+    from de4ml_spark.cache import release_after
+
+    edges_plus, states = _anf_states(spark, sf_dir)
+    per_h = []
+    for h, s in enumerate(states):
+        per_h.append(
+            s.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"), F.max("h").alias("mx"))
+            .selectExpr("node", f"{_ANF_EST} AS e{h}")
+        )
+    joined = reduce(lambda l, r: l.join(r, "node"), per_h)
+    score = joined.selectExpr(
+        "node",
+        "12 * (e1 - e0) + 6 * (e2 - e1) + 4 * (e3 - e2)"
+        " + 3 * (e4 - e3) AS score12",
+    )
+    out = (
+        score.orderBy(F.desc("score12"), F.asc("node"))
+        .limit(ANF_TOPK)
+        .selectExpr(
+            "node",
+            "score12",
+            "CAST(score12 AS DOUBLE) / 12.0 AS harmonic_closeness_r4",
+        )
+    )
+    return release_after(out, edges_plus)
+
+
+def _anf_closeness_sql() -> str:
+    pes = []
+    for h in range(ANF_H + 1):
+        pes.append(
+            f"pe{h} AS (\n"
+            f"  SELECT node, {_ANF_EST_DUCK} AS e{h}\n"
+            f"  FROM (SELECT node, CAST(COUNT(*) AS BIGINT) AS c,\n"
+            f"               MAX(h) AS mx\n"
+            f"        FROM st{h} GROUP BY 1)\n"
+            f")"
+        )
+    joins = " ".join(
+        f"JOIN pe{h} USING (node)" for h in range(1, ANF_H + 1)
+    )
+    return f"""
+WITH {_anf_prefix_sql()},
+{",".join(pes)},
+score AS (
+  SELECT node,
+         12 * (e1 - e0) + 6 * (e2 - e1) + 4 * (e3 - e2)
+         + 3 * (e4 - e3) AS score12
+  FROM pe0 {joins}
+)
+SELECT node, score12,
+       CAST(score12 AS DOUBLE) / 12.0 AS harmonic_closeness_r4
+FROM score
+ORDER BY score12 DESC, node ASC
+LIMIT {ANF_TOPK}
+"""
+
+
+REGISTRY["anf_closeness_parts"] = {
+    "fn": anf_closeness_parts,
+    "sql": _anf_closeness_sql(),
 }

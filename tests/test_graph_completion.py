@@ -241,3 +241,65 @@ def test_hyperanf_matches_ball_sketch_exactly(spark):
         assert abs(total - exact) <= 0.35 * exact
     # monotone: N(h) grows with h
     assert all(a <= b for a, b in zip(totals, totals[1:]))
+
+
+def test_anf_closeness_matches_ball_sketch_exactly(spark):
+    """Per-node radius-4 harmonic score from exact BFS balls + the same
+    KMV estimator must reproduce the entry's top-20 bit-for-bit
+    (including the node-id tie-break)."""
+    from de4ml_spark.queries.graphq import (
+        ANF_BITS,
+        ANF_H,
+        ANF_K,
+        ANF_TOPK,
+        _ANF_NUM,
+        anf_closeness_parts,
+    )
+
+    nodes, edges = _copurchase("/root/testdata/sf0.001")
+    adj: dict[int, set[int]] = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    hashes = {n: _phash(str(n), ANF_BITS) for n in nodes}
+    balls = {n: {n} for n in nodes}
+    ests = {n: [] for n in nodes}
+    for h in range(ANF_H + 1):
+        if h > 0:
+            balls = {
+                n: ball | {w for m in ball for w in adj[m]}
+                for n, ball in balls.items()
+            }
+        for n, ball in balls.items():
+            hs = sorted({hashes[m] for m in ball})
+            ests[n].append(
+                len(hs)
+                if len(hs) < ANF_K
+                else _ANF_NUM // (hs[ANF_K - 1] + 1)
+            )
+    weights = [12, 6, 4, 3]
+    scored = sorted(
+        (
+            (
+                -sum(
+                    w * (e[h + 1] - e[h])
+                    for h, w in enumerate(weights)
+                ),
+                n,
+            )
+            for n, e in ests.items()
+        ),
+    )[:ANF_TOPK]
+    expected = [(n, -neg) for neg, n in scored]
+
+    rows = anf_closeness_parts(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    got = sorted(
+        ((r["node"], r["score12"]) for r in rows),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == expected
+    for r in rows:
+        assert r["harmonic_closeness_r4"] == r["score12"] / 12.0
+        assert r["score12"] >= 0
