@@ -145,6 +145,7 @@ PRIORITY = [
     "qn_scale_value",
     "cuped_user_value",
     "anf_closeness_parts",
+    "hill_tail_value",
     # -- refresh queue: latest driver evidence round 5 (remainder)
     "weighted_median_price",
     "knn_ivf_recall",

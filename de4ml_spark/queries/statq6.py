@@ -919,3 +919,117 @@ REGISTRY["cuped_user_value"] = {
     "fn": cuped_user_value,
     "sql": _cuped_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator on `value` (k = 100 upper order
+# statistics): alpha = k / Σ_{i<=k} ln(x_(i) / x_(k+1)) — the standard
+# heavy-tail diagnostic (alpha <~ 2 means infinite variance: winsorize
+# before averaging; complements power_law_alpha's degree-domain MLE).
+# On the cents histogram the top-k sum collapses to Σ_{v > t} c_v ·
+# ln(v/t) with t the (k+1)-th largest value off a descending cum
+# window (values tied WITH t contribute ln 1 = 0, exactly the
+# order-statistic definition under ties). Each ln(v/t) is the portable
+# integer-rational ln (bit-identical both engines), micro-quantized
+# and integer-summed; alpha is one IEEE division. Scale: histogram
+# cum window + a <=k-cell tail frame.
+# --------------------------------------------------------------------------
+
+HILL_K = 100
+
+
+def hill_tail_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.cache import release_after
+    from de4ml_spark.operators.portable_hash import with_portable_ln
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .groupBy(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    wdesc = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    thr = (
+        hist.withColumn("ct", F.sum("c").over(wdesc))
+        .filter(F.col("ct") >= HILL_K + 1)
+        .agg(F.max("v").cast("bigint").alias("t"))
+    )
+    n = hist.agg(F.sum("c").cast("bigint").alias("n_values"))
+    top = (
+        hist.crossJoin(F.broadcast(thr))
+        .filter(F.col("v") > F.col("t"))
+    )
+    lned = with_portable_ln(top, "v", "t", "__ln")
+    agg = lned.selectExpr(
+        "t",
+        "c * CAST(floor(__ln * 1000000.0 + 0.5) AS BIGINT) AS lnu",
+    ).groupBy("t").agg(
+        F.sum("lnu").cast("bigint").alias("sum_lnu")
+    )
+    out = (
+        agg.crossJoin(F.broadcast(n))
+        .selectExpr(
+            "n_values",
+            f"CAST({HILL_K} AS BIGINT) AS k_top",
+            "t AS tail_threshold_cents",
+            f"CAST({HILL_K} * 1000000 AS DOUBLE)"
+            " / CAST(sum_lnu AS DOUBLE) AS hill_alpha",
+        )
+    )
+    return release_after(out, hist)
+
+
+def _hill_sql() -> str:
+    from de4ml_spark.operators.portable_hash import (
+        portable_ln_duck_ctes,
+    )
+
+    ln_ctes = portable_ln_duck_ctes(
+        "top", "v, c, t", "v", "t", "__ln", "lnh"
+    )
+    return f"""
+WITH hist AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE value IS NOT NULL AND value > 0
+  GROUP BY 1
+),
+thr AS (
+  SELECT CAST(MAX(v) AS BIGINT) AS t FROM (
+    SELECT v, SUM(c) OVER (ORDER BY v DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+    FROM hist
+  ) WHERE ct >= {HILL_K + 1}
+),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_values FROM hist),
+top AS (
+  SELECT v, c, t FROM hist CROSS JOIN thr WHERE v > t
+),
+{ln_ctes},
+agg AS (
+  SELECT t,
+         CAST(SUM(c * CAST(floor(__ln * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_lnu
+  FROM lnh_out GROUP BY 1
+)
+SELECT n_values,
+       CAST({HILL_K} AS BIGINT) AS k_top,
+       t AS tail_threshold_cents,
+       CAST({HILL_K} * 1000000 AS DOUBLE)
+       / CAST(sum_lnu AS DOUBLE) AS hill_alpha
+FROM agg CROSS JOIN n
+"""
+
+
+REGISTRY["hill_tail_value"] = {
+    "fn": hill_tail_value,
+    "sql": _hill_sql(),
+}

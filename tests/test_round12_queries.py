@@ -373,3 +373,37 @@ def test_cuped_matches_numpy(spark, sf_dir):
         1.0 - rho2, rel=1e-9
     )
     assert 0.0 <= row["rho_sq"] <= 1.0
+
+
+# ----------------------------------------------------------------- Hill
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_hill_matches_reference(spark, sf_dir):
+    """Textbook per-observation Hill from sorted raw values (math.log
+    path — independent of the portable-ln/histogram pipeline)."""
+    from de4ml_spark.queries.statq6 import HILL_K, hill_tail_value
+
+    con = duckdb.connect()
+    vals = sorted(
+        (
+            int(v)
+            for (v,) in con.sql(
+                f"""SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)
+                FROM '{sf_dir}/events.parquet'
+                WHERE value IS NOT NULL AND value > 0"""
+            ).fetchall()
+        ),
+        reverse=True,
+    )
+    t = vals[HILL_K]  # x_(k+1)
+    s = sum(math.log(vals[i] / t) for i in range(HILL_K))
+    alpha = HILL_K / s
+    row = hill_tail_value(spark, sf_dir).collect()[0]
+    assert row["n_values"] == len(vals)
+    assert row["k_top"] == HILL_K
+    assert row["tail_threshold_cents"] == t
+    # portable ln is ~2 ulp; micro-quantization adds <= 5e-7 per term
+    assert row["hill_alpha"] == pytest.approx(alpha, rel=1e-5)
+    assert row["hill_alpha"] > 0.0
