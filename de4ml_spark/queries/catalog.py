@@ -146,6 +146,7 @@ PRIORITY = [
     "cuped_user_value",
     "anf_closeness_parts",
     "hill_tail_value",
+    "yuen_trimmed_ttest_value",
     # -- refresh queue: latest driver evidence round 5 (remainder)
     "weighted_median_price",
     "knn_ivf_recall",

@@ -1033,3 +1033,203 @@ REGISTRY["hill_tail_value"] = {
     "fn": hill_tail_value,
     "sql": _hill_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Yuen's trimmed-mean t-test (click vs purchase `value`, 20% trim) —
+# the robust-location member completing the two-sample battery:
+# Welch's t on trimmed means with winsorized variances, the
+# recommended test when tails are heavy enough that means mislead but
+# a pure rank test throws away effect size. Everything reduces on the
+# per-type cents histogram: kept-mass per cell by positional overlap
+# (the trimmed_mean_value_types arithmetic), winsorization bounds
+# lo = x_(g+1) / hi = x_(n−g) by conditional-min over the cum window,
+# winsorized moments as exact integers (sw = st + g·lo + g·hi,
+# sw2 likewise with squares), and
+#   d_s = (n·sw2 − sw²) / (n·h·(h−1)),  t = (mt_a − mt_b)/√(d_a+d_b)
+# with Welch-Satterthwaite df — a fixed IEEE tail over exact 128-bit
+# integers. Scale: one histogram shuffle, windows partitioned by type.
+# --------------------------------------------------------------------------
+
+YUEN_TRIM_PCT = 5  # g = n DIV 5 (20% per tail)
+
+
+def _yuen_stats(div: str) -> list[str]:
+    """Per-sample exact moments -> (mt, d, h) as shared SQL text."""
+    big = _big(div)
+    sw = f"(st + g * lo + g * hi)"
+    sw2 = (
+        f"(skc2 + CAST(g AS {big}) * lo * lo"
+        f" + CAST(g AS {big}) * hi * hi)"
+    )
+    var_num = f"(CAST(n AS {big}) * {sw2} - CAST({sw} AS {big}) * {sw})"
+    return [
+        "event_type",
+        "n",
+        "h",
+        f"CAST(st AS DOUBLE) / CAST(h AS DOUBLE) AS mt",
+        f"{_w2d(var_num, div)}"
+        " / (CAST(n AS DOUBLE) * CAST(h AS DOUBLE)"
+        " * CAST(h - 1 AS DOUBLE)) AS d",
+    ]
+
+
+_YUEN_FINAL = [
+    "n_a",
+    "n_b",
+    "h_a",
+    "h_b",
+    "mt_a - mt_b AS trimmed_mean_diff",
+    "(mt_a - mt_b) / SQRT(d_a + d_b) AS yuen_t",
+    "((d_a + d_b) * (d_a + d_b))"
+    " / (d_a * d_a / CAST(h_a - 1 AS DOUBLE)"
+    " + d_b * d_b / CAST(h_b - 1 AS DOUBLE)) AS yuen_df",
+]
+
+
+def yuen_trimmed_ttest_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    g = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wall).cast("bigint"))
+        .selectExpr(
+            "event_type",
+            "v",
+            "c",
+            "cum",
+            "n",
+            f"n DIV {YUEN_TRIM_PCT} AS g",
+        )
+    )
+    per = g.selectExpr(
+        "event_type",
+        "n",
+        "g",
+        "n - 2 * g AS h",
+        "GREATEST(CAST(0 AS BIGINT),"
+        " LEAST(cum, n - g) - GREATEST(cum - c + 1, g + 1) + 1)"
+        " AS kc",
+        "CASE WHEN cum >= g + 1 THEN v END AS lo_cand",
+        "CASE WHEN cum >= n - g THEN v END AS hi_cand",
+        "v",
+    ).groupBy("event_type", "n", "g", "h").agg(
+        F.sum(F.expr("kc * v")).cast("bigint").alias("st"),
+        F.sum(
+            F.expr("CAST(kc AS DECIMAL(38,0)) * v * v")
+        ).alias("skc2_mid"),
+        F.min("lo_cand").cast("bigint").alias("lo"),
+        F.min("hi_cand").cast("bigint").alias("hi"),
+    ).selectExpr(
+        "event_type", "n", "g", "h", "st", "lo", "hi",
+        "skc2_mid AS skc2",
+    )
+    stats = per.selectExpr(*_yuen_stats("DIV"))
+    one = stats.groupBy().agg(
+        F.max(
+            F.expr("CASE WHEN event_type = 'click' THEN n END")
+        ).alias("n_a"),
+        F.max(
+            F.expr("CASE WHEN event_type = 'purchase' THEN n END")
+        ).alias("n_b"),
+        F.max(
+            F.expr("CASE WHEN event_type = 'click' THEN h END")
+        ).alias("h_a"),
+        F.max(
+            F.expr("CASE WHEN event_type = 'purchase' THEN h END")
+        ).alias("h_b"),
+        F.max(
+            F.expr("CASE WHEN event_type = 'click' THEN mt END")
+        ).alias("mt_a"),
+        F.max(
+            F.expr("CASE WHEN event_type = 'purchase' THEN mt END")
+        ).alias("mt_b"),
+        F.max(
+            F.expr("CASE WHEN event_type = 'click' THEN d END")
+        ).alias("d_a"),
+        F.max(
+            F.expr("CASE WHEN event_type = 'purchase' THEN d END")
+        ).alias("d_b"),
+    )
+    return release_after(one.selectExpr(*_YUEN_FINAL), hist)
+
+
+def _yuen_sql() -> str:
+    stats = ",\n         ".join(_yuen_stats("//"))
+    final = ",\n       ".join(_YUEN_FINAL)
+    return f"""
+WITH hist AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, v, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+           // {YUEN_TRIM_PCT} AS g
+  FROM hist
+),
+per AS (
+  SELECT event_type, n, g, n - 2 * g AS h,
+         CAST(SUM(GREATEST(CAST(0 AS BIGINT),
+           LEAST(cum, n - g) - GREATEST(cum - c + 1, g + 1) + 1) * v)
+           AS BIGINT) AS st,
+         SUM(CAST(GREATEST(CAST(0 AS BIGINT),
+           LEAST(cum, n - g) - GREATEST(cum - c + 1, g + 1) + 1)
+           AS HUGEINT) * v * v) AS skc2,
+         CAST(MIN(CASE WHEN cum >= g + 1 THEN v END) AS BIGINT) AS lo,
+         CAST(MIN(CASE WHEN cum >= n - g THEN v END) AS BIGINT) AS hi
+  FROM g
+  GROUP BY 1, 2, 3, 4
+),
+stats AS (
+  SELECT {stats}
+  FROM per
+),
+one AS (
+  SELECT MAX(CASE WHEN event_type = 'click' THEN n END) AS n_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n_b,
+         MAX(CASE WHEN event_type = 'click' THEN h END) AS h_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN h END) AS h_b,
+         MAX(CASE WHEN event_type = 'click' THEN mt END) AS mt_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN mt END) AS mt_b,
+         MAX(CASE WHEN event_type = 'click' THEN d END) AS d_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN d END) AS d_b
+  FROM stats
+)
+SELECT {final}
+FROM one
+"""
+
+
+REGISTRY["yuen_trimmed_ttest_value"] = {
+    "fn": yuen_trimmed_ttest_value,
+    "sql": _yuen_sql(),
+}

@@ -407,3 +407,68 @@ def test_hill_matches_reference(spark, sf_dir):
     # portable ln is ~2 ulp; micro-quantization adds <= 5e-7 per term
     assert row["hill_alpha"] == pytest.approx(alpha, rel=1e-5)
     assert row["hill_alpha"] > 0.0
+
+
+# ----------------------------------------------------------------- Yuen
+
+
+def _yuen_reference(a: list[int], b: list[int], trim_div: int = 5):
+    """Textbook per-observation Yuen from sorted raw samples."""
+
+    def stats(x):
+        x = sorted(x)
+        n = len(x)
+        g = n // trim_div
+        h = n - 2 * g
+        mid = x[g : n - g]
+        mt = sum(mid) / h
+        lo, hi = x[g], x[n - g - 1]
+        wins = [min(max(v, lo), hi) for v in x]
+        sw = sum(wins)
+        sw2 = sum(v * v for v in wins)
+        d = (n * sw2 - sw * sw) / (n * h * (h - 1))
+        return n, h, mt, d
+
+    n_a, h_a, mt_a, d_a = stats(a)
+    n_b, h_b, mt_b, d_b = stats(b)
+    t = (mt_a - mt_b) / math.sqrt(d_a + d_b)
+    df = (d_a + d_b) ** 2 / (
+        d_a**2 / (h_a - 1) + d_b**2 / (h_b - 1)
+    )
+    return n_a, n_b, h_a, h_b, mt_a - mt_b, t, df
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_yuen_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.statq6 import yuen_trimmed_ttest_value
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+               event_type
+        FROM '{sf_dir}/events.parquet'
+        WHERE value IS NOT NULL
+          AND event_type IN ('click', 'purchase')"""
+    ).fetchall()
+    a = [int(v) for v, et in rows if et == "click"]
+    b = [int(v) for v, et in rows if et == "purchase"]
+    n_a, n_b, h_a, h_b, diff, t, df = _yuen_reference(a, b)
+    row = yuen_trimmed_ttest_value(spark, sf_dir).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+    assert (row["h_a"], row["h_b"]) == (h_a, h_b)
+    assert row["trimmed_mean_diff"] == pytest.approx(diff, rel=1e-9)
+    assert row["yuen_t"] == pytest.approx(t, rel=1e-9)
+    assert row["yuen_df"] == pytest.approx(df, rel=1e-9)
+
+
+def test_yuen_winsorize_bounds_fixture():
+    """Hand fixture with ties straddling the trim boundary — the
+    positional-overlap arithmetic must reproduce the brute force."""
+    a = [10, 10, 10, 20, 30, 40, 50, 60, 70, 70]  # n=10, g=2
+    b = [15, 15, 25, 25, 35, 35, 45, 45, 55, 55]
+    n_a, n_b, h_a, h_b, diff, t, df = _yuen_reference(a, b)
+    assert (n_a, h_a) == (10, 6)
+    # mid of a = [10, 20, 30, 40, 50, 60]
+    assert diff == pytest.approx(sum([10, 20, 30, 40, 50, 60]) / 6
+                                 - sum([25, 25, 35, 35, 45, 45]) / 6)
+    assert df > 0 and math.isfinite(t)
