@@ -147,6 +147,7 @@ PRIORITY = [
     "anf_closeness_parts",
     "hill_tail_value",
     "yuen_trimmed_ttest_value",
+    "km_greenwood_retention",
     # -- refresh queue: latest driver evidence round 5 (remainder)
     "weighted_median_price",
     "knn_ivf_recall",

@@ -1233,3 +1233,142 @@ REGISTRY["yuen_trimmed_ttest_value"] = {
     "fn": yuen_trimmed_ttest_value,
     "sql": _yuen_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Greenwood variance for the Kaplan-Meier retention curve — the CI
+# machinery kaplan_meier_retention (statq.py) publishes its point
+# estimate without: Var(Ŝ_t)/Ŝ_t² = Σ_{j<=t} d_j/(n_j(n_j−d_j)), the
+# standard-error ratio every survival plot's band comes from. Same
+# user-span life-table model as the KM entry (churned = last event
+# before the corpus horizon, daily intervals). Each step's hazard-
+# variance term is an exact integer rational, half-up quantized on
+# the 1e-12 grid (terms reach ~1/n² — micro would truncate them to
+# zero) and integer-summed along the day spine; the SE ratio is one
+# sqrt. Terminal steps (d = n) have undefined variance and are masked
+# NULL, matching the KM entry's convention. Scale: one groupBy to the
+# duration spine; the explode is per-user-day like the KM entry.
+# --------------------------------------------------------------------------
+
+
+def km_greenwood_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spans = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("d0"),
+            F.max(F.col("ts").cast("date")).alias("d1"),
+        )
+    )
+    horizon = spans.agg(F.max("d1").alias("hmax"))
+    per_user = spans.crossJoin(F.broadcast(horizon)).selectExpr(
+        "datediff(d1, d0) AS dur",
+        "datediff(hmax, d0) AS obs",
+        "CAST(d1 < hmax AS INT) AS churned",
+    )
+    at_risk = (
+        per_user.selectExpr(
+            "churned",
+            "dur",
+            "explode(sequence(0, least(dur, obs))) AS t",
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_risk"),
+            F.expr(
+                "CAST(SUM(CASE WHEN churned = 1 AND dur = t THEN 1"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("d_churn"),
+        )
+    )
+    term = _whd(
+        "CAST(d_churn AS DECIMAL(38,0)) * 1000000000000",
+        "n_risk * GREATEST(n_risk - d_churn, 1)",
+        "DIV",
+    )
+    steps = at_risk.selectExpr(
+        "t",
+        "n_risk",
+        "d_churn",
+        "CASE WHEN n_risk = d_churn THEN NULL"
+        f" ELSE CAST({term} AS BIGINT) END AS term_p",
+    )
+    return steps.selectExpr(
+        "t",
+        "n_risk",
+        "d_churn",
+        "CASE WHEN term_p IS NULL THEN NULL ELSE"
+        " CAST(SUM(term_p) OVER (ORDER BY t ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) END"
+        " AS cum_term_p",
+    ).selectExpr(
+        "t",
+        "n_risk",
+        "d_churn",
+        "cum_term_p",
+        "SQRT(CAST(cum_term_p AS DOUBLE) / 1000000000000.0)"
+        " AS greenwood_se_ratio",
+    )
+
+
+def _km_greenwood_sql() -> str:
+    term = _whd(
+        "CAST(d_churn AS HUGEINT) * 1000000000000",
+        "n_risk * GREATEST(n_risk - d_churn, 1)",
+        "//",
+    )
+    return f"""
+WITH spans AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
+         MAX(CAST(ts AS DATE)) AS d1
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1
+),
+horizon AS (SELECT MAX(d1) AS hmax FROM spans),
+per_user AS (
+  SELECT datediff('day', d0, d1) AS dur,
+         datediff('day', d0, h.hmax) AS obs,
+         CAST(d1 < h.hmax AS INT) AS churned
+  FROM spans CROSS JOIN horizon h
+),
+exploded AS (
+  SELECT churned, dur,
+         unnest(generate_series(0, least(dur, obs))) AS t
+  FROM per_user
+),
+at_risk AS (
+  SELECT t,
+         CAST(COUNT(*) AS BIGINT) AS n_risk,
+         CAST(SUM(CASE WHEN churned = 1 AND dur = t
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d_churn
+  FROM exploded
+  GROUP BY 1
+),
+steps AS (
+  SELECT t, n_risk, d_churn,
+         CASE WHEN n_risk = d_churn THEN NULL
+         ELSE CAST({term} AS BIGINT) END AS term_p
+  FROM at_risk
+),
+cums AS (
+  SELECT t, n_risk, d_churn,
+         CASE WHEN term_p IS NULL THEN NULL ELSE
+         CAST(SUM(term_p) OVER (ORDER BY t ROWS BETWEEN
+           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) END
+           AS cum_term_p
+  FROM steps
+)
+SELECT t, n_risk, d_churn, cum_term_p,
+       SQRT(CAST(cum_term_p AS DOUBLE) / 1000000000000.0)
+         AS greenwood_se_ratio
+FROM cums
+"""
+
+
+REGISTRY["km_greenwood_retention"] = {
+    "fn": km_greenwood_retention,
+    "sql": _km_greenwood_sql(),
+}

@@ -472,3 +472,66 @@ def test_yuen_winsorize_bounds_fixture():
     assert diff == pytest.approx(sum([10, 20, 30, 40, 50, 60]) / 6
                                  - sum([25, 25, 35, 35, 45, 45]) / 6)
     assert df > 0 and math.isfinite(t)
+
+
+# ------------------------------------------------------------- Greenwood
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_km_greenwood_matches_reference(spark, sf_dir):
+    """Per-day Greenwood ratio from a direct pure-Python life table
+    (same span model as the KM entry), and internal consistency with
+    kaplan_meier_retention's at-risk counts."""
+    from de4ml_spark.queries.statq6 import km_greenwood_retention
+
+    con = duckdb.connect()
+    spans = con.sql(
+        f"""SELECT datediff('day', MIN(CAST(ts AS DATE)),
+                        MAX(CAST(ts AS DATE)))
+        FROM '{sf_dir}/events.parquet'
+        WHERE user_id IS NOT NULL GROUP BY user_id"""
+    ).fetchall()
+    hmax_rows = con.sql(
+        f"""SELECT datediff('day', MIN(CAST(ts AS DATE)),
+                        MAX(CAST(ts AS DATE))),
+               datediff('day', MIN(CAST(ts AS DATE)),
+                   (SELECT MAX(CAST(ts AS DATE))
+                    FROM '{sf_dir}/events.parquet'
+                    WHERE user_id IS NOT NULL))
+        FROM '{sf_dir}/events.parquet'
+        WHERE user_id IS NOT NULL GROUP BY user_id"""
+    ).fetchall()
+    durs = [(int(d), int(o)) for d, o in hmax_rows]
+    tmax = max(min(d, o) for d, o in durs)
+    expected = {}
+    cum = 0.0
+    for t in range(tmax + 1):
+        n_risk = sum(1 for d, o in durs if min(d, o) >= t)
+        d_t = sum(1 for d, o in durs if d == t and d < o)
+        if n_risk == d_t:
+            expected[t] = (n_risk, d_t, None)
+            continue
+        # entry quantizes each term half-up on the 1e-12 grid
+        term = (2 * d_t * 10**12 + n_risk * (n_risk - d_t)) // (
+            2 * n_risk * (n_risk - d_t)
+        )
+        cum += term
+        expected[t] = (n_risk, d_t, int(cum))
+    rows = {
+        r["t"]: r
+        for r in km_greenwood_retention(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(expected)
+    for t, (n_risk, d_t, cum_p) in expected.items():
+        r = rows[t]
+        assert r["n_risk"] == n_risk and r["d_churn"] == d_t
+        if cum_p is None:
+            assert r["cum_term_p"] is None
+        else:
+            assert r["cum_term_p"] == cum_p
+            assert r["greenwood_se_ratio"] == math.sqrt(
+                cum_p / 1e12
+            )
+    assert len(spans) == sum(
+        1 for d, o in durs if min(d, o) >= 0
+    )  # every user enters the table at t=0
