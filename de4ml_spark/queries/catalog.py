@@ -148,6 +148,8 @@ PRIORITY = [
     "hill_tail_value",
     "yuen_trimmed_ttest_value",
     "km_greenwood_retention",
+    "median_of_means_value",
+    "siegel_slope_daily",
     # -- refresh queue: latest driver evidence round 5 (remainder)
     "weighted_median_price",
     "knn_ivf_recall",

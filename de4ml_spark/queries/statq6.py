@@ -1372,3 +1372,275 @@ REGISTRY["km_greenwood_retention"] = {
     "fn": km_greenwood_retention,
     "sql": _km_greenwood_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Median-of-means estimator of `value` — the heavy-tail-safe mean a
+# large-scale quality pipeline should report next to the plain mean
+# (sub-Gaussian concentration under ANY finite-variance distribution;
+# one adversarial shard cannot move it). k = 32 deterministic buckets
+# by portable hash of event_id, bucket means as single IEEE divisions
+# of exact integer sums, median of the 32 means by row_number
+# selection over the bucket-bounded frame (even k -> average of the
+# two middle means, one more IEEE op). Scale: one map-side-combined
+# groupBy to 32 rows.
+# --------------------------------------------------------------------------
+
+MOM_K = 32
+
+
+def median_of_means_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.operators.portable_hash import (
+        md5_hex_sql,
+        phash_from_hex_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # two-step digest projection: ONE md5 per row, then byte extracts
+    # (the documented hot-path form; here the 0.11 s at sf0.1 is scan
+    # parallelism, not hash fan-out — map-only, so it splits with the
+    # input at scale)
+    buckets = (
+        ev.filter(F.col("value").isNotNull())
+        .selectExpr(
+            f"{md5_hex_sql('CAST(event_id AS STRING)')} AS __hx",
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " AS v_c",
+        )
+        .selectExpr(
+            f"{phash_from_hex_sql('__hx', 40)} % {MOM_K} AS b",
+            "v_c",
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+            F.sum("v_c").cast("bigint").alias("s_b"),
+        )
+        .selectExpr(
+            "b",
+            "n_b",
+            "s_b",
+            "CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b",
+        )
+    )
+    w = Window.orderBy("mean_b", "b")
+    ranked = buckets.withColumn("rk", F.row_number().over(w))
+    tot = buckets.agg(
+        F.sum("n_b").cast("bigint").alias("n_values"),
+        F.sum("s_b").cast("bigint").alias("s_all"),
+        F.count(F.lit(1)).cast("bigint").alias("k_buckets"),
+    )
+    mid = ranked.crossJoin(F.broadcast(tot)).filter(
+        F.expr("rk = (k_buckets + 1) DIV 2")
+        | F.expr("rk = (k_buckets + 2) DIV 2")
+    )
+    out = mid.groupBy("n_values", "s_all", "k_buckets").agg(
+        F.sum("mean_b").alias("mid_sum"),
+        F.count(F.lit(1)).alias("mid_n"),
+    ).selectExpr(
+        "n_values",
+        "k_buckets",
+        "mid_sum / CAST(mid_n AS DOUBLE) AS mom_cents",
+        "CAST(s_all AS DOUBLE) / CAST(n_values AS DOUBLE)"
+        " AS mean_cents",
+    )
+    return out
+
+
+def _mom_sql() -> str:
+    from de4ml_spark.operators.portable_hash import phash_duck_sql
+
+    return f"""
+WITH buckets AS (
+  SELECT b, n_b, s_b,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b
+  FROM (
+    SELECT {phash_duck_sql("CAST(event_id AS VARCHAR)", 40)}
+             % {MOM_K} AS b,
+           CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS s_b
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+  )
+),
+ranked AS (
+  SELECT b, mean_b,
+         ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rk
+  FROM buckets
+),
+tot AS (
+  SELECT CAST(SUM(n_b) AS BIGINT) AS n_values,
+         CAST(SUM(s_b) AS BIGINT) AS s_all,
+         CAST(COUNT(*) AS BIGINT) AS k_buckets
+  FROM buckets
+),
+mid AS (
+  SELECT n_values, s_all, k_buckets, mean_b
+  FROM ranked CROSS JOIN tot
+  WHERE rk = (k_buckets + 1) // 2 OR rk = (k_buckets + 2) // 2
+)
+SELECT n_values,
+       k_buckets,
+       SUM(mean_b) / CAST(COUNT(*) AS DOUBLE) AS mom_cents,
+       CAST(s_all AS DOUBLE) / CAST(n_values AS DOUBLE)
+         AS mean_cents
+FROM mid
+GROUP BY 1, 2, s_all
+"""
+
+
+REGISTRY["median_of_means_value"] = {
+    "fn": median_of_means_value,
+    "sql": _mom_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Siegel repeated-medians trend of the daily event-count series — the
+# 50%-breakdown robust slope (Theil-Sen, already in the catalog as
+# theil_sen_daily, breaks down at 29%): slope = median_i median_{j≠i}
+# (y_i−y_j)/(t_i−t_j), intercept = median_i (y_i − slope·t_i). Every
+# pairwise slope is ONE IEEE division of exact integers (bit-identical
+# both engines), so medians are order statistics of identical doubles:
+# inner medians by row_number selection within day (days² pair frame,
+# calendar-bounded), outer median over the |days| medians, each
+# even-count median averaging the two middle values. Scale: the pair
+# explode is days² (~10⁵ rows for a year), never row-sized.
+# --------------------------------------------------------------------------
+
+
+def siegel_slope_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y")).persist()
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, F.col("a.t") != F.col("b.t"))
+        .selectExpr(
+            "a.t AS t_i",
+            "b.t AS t_j",
+            "CAST(a.y - b.y AS DOUBLE)"
+            " / CAST(a.t - b.t AS DOUBLE) AS s",
+        )
+    )
+    wi = Window.partitionBy("t_i").orderBy("s", "t_j")
+    inner = (
+        slopes.withColumn("rk", F.row_number().over(wi))
+        .withColumn(
+            "m", F.count(F.lit(1)).over(Window.partitionBy("t_i"))
+        )
+        .filter(
+            F.expr("rk = (m + 1) DIV 2 OR rk = (m + 2) DIV 2")
+        )
+        .groupBy("t_i")
+        .agg(
+            (F.sum("s") / F.count(F.lit(1))).alias("med_i"),
+            F.max("m").alias("m"),
+        )
+    )
+    wo = Window.orderBy("med_i", "t_i")
+    outer = (
+        inner.withColumn("rk", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(
+            F.expr("rk = (n + 1) DIV 2 OR rk = (n + 2) DIV 2")
+        )
+        .agg(
+            (F.sum("med_i") / F.count(F.lit(1))).alias("slope"),
+            F.max("n").cast("bigint").alias("n_days"),
+        )
+    )
+    resid = daily.crossJoin(F.broadcast(outer)).selectExpr(
+        "n_days",
+        "slope",
+        "CAST(y AS DOUBLE) - slope * CAST(t AS DOUBLE) AS r",
+        "t",
+    )
+    wr = Window.orderBy("r", "t")
+    out = (
+        resid.withColumn("rk", F.row_number().over(wr))
+        .filter(
+            F.expr("rk = (n_days + 1) DIV 2 OR rk = (n_days + 2) DIV 2")
+        )
+        .groupBy("n_days", "slope")
+        .agg(
+            (F.sum("r") / F.count(F.lit(1))).alias("intercept")
+        )
+        .selectExpr(
+            "n_days",
+            "slope AS siegel_slope",
+            "intercept AS siegel_intercept",
+        )
+    )
+    return release_after(out, daily)
+
+
+def _siegel_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+slopes AS (
+  SELECT a.t AS t_i, b.t AS t_j,
+         CAST(a.y - b.y AS DOUBLE) / CAST(a.t - b.t AS DOUBLE) AS s
+  FROM daily a JOIN daily b ON a.t <> b.t
+),
+inner_ranked AS (
+  SELECT t_i, s,
+         ROW_NUMBER() OVER (PARTITION BY t_i ORDER BY s, t_j) AS rk,
+         COUNT(*) OVER (PARTITION BY t_i) AS m
+  FROM slopes
+),
+inner_med AS (
+  SELECT t_i, SUM(s) / CAST(COUNT(*) AS DOUBLE) AS med_i
+  FROM inner_ranked
+  WHERE rk = (m + 1) // 2 OR rk = (m + 2) // 2
+  GROUP BY 1
+),
+outer_ranked AS (
+  SELECT t_i, med_i,
+         ROW_NUMBER() OVER (ORDER BY med_i, t_i) AS rk,
+         COUNT(*) OVER () AS n
+  FROM inner_med
+),
+outer_med AS (
+  SELECT SUM(med_i) / CAST(COUNT(*) AS DOUBLE) AS slope,
+         CAST(MAX(n) AS BIGINT) AS n_days
+  FROM outer_ranked
+  WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+),
+resid AS (
+  SELECT n_days, slope,
+         CAST(y AS DOUBLE) - slope * CAST(t AS DOUBLE) AS r,
+         t,
+         ROW_NUMBER() OVER (ORDER BY
+           CAST(y AS DOUBLE) - slope * CAST(t AS DOUBLE), t) AS rk
+  FROM daily CROSS JOIN outer_med
+)
+SELECT n_days,
+       slope AS siegel_slope,
+       SUM(r) / CAST(COUNT(*) AS DOUBLE) AS siegel_intercept
+FROM resid
+WHERE rk = (n_days + 1) // 2 OR rk = (n_days + 2) // 2
+GROUP BY 1, 2
+"""
+
+
+REGISTRY["siegel_slope_daily"] = {
+    "fn": siegel_slope_daily,
+    "sql": _siegel_sql(),
+}

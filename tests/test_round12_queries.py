@@ -535,3 +535,80 @@ def test_km_greenwood_matches_reference(spark, sf_dir):
     assert len(spans) == sum(
         1 for d, o in durs if min(d, o) >= 0
     )  # every user enters the table at t=0
+
+
+# --------------------------------------------------------------- MoM
+
+
+def _mom_phash(s: str) -> int:
+    import hashlib
+
+    d = hashlib.md5(s.encode()).digest()
+    return int.from_bytes(d[8:16], "little") & ((1 << 40) - 1)
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_median_of_means_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.statq6 import MOM_K, median_of_means_value
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"""
+    ).fetchall()
+    sums = [0] * MOM_K
+    cnts = [0] * MOM_K
+    for eid, v in rows:
+        b = _mom_phash(str(eid)) % MOM_K
+        sums[b] += int(v)
+        cnts[b] += 1
+    means = sorted(
+        (s / c, b) for b, (s, c) in enumerate(zip(sums, cnts)) if c
+    )
+    k = len(means)
+    lo, hi = (k + 1) // 2 - 1, (k + 2) // 2 - 1
+    mom = (means[lo][0] + means[hi][0]) / 2.0 if lo != hi else means[lo][0]
+    row = median_of_means_value(spark, sf_dir).collect()[0]
+    assert row["n_values"] == len(rows)
+    assert row["k_buckets"] == k
+    assert row["mom_cents"] == pytest.approx(mom, rel=1e-12)
+    assert row["mean_cents"] == pytest.approx(
+        sum(sums) / len(rows), rel=1e-12
+    )
+
+
+# -------------------------------------------------------------- Siegel
+
+
+def _median(xs):
+    xs = sorted(xs)
+    m = len(xs)
+    return (xs[(m + 1) // 2 - 1] + xs[(m + 2) // 2 - 1]) / 2.0
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_siegel_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.statq6 import siegel_slope_daily
+
+    daily = _daily_counts(sf_dir)
+    ts = sorted(daily)
+    meds = []
+    for i in ts:
+        meds.append(
+            _median(
+                [
+                    (daily[i] - daily[j]) / (i - j)
+                    for j in ts
+                    if j != i
+                ]
+            )
+        )
+    slope = _median(meds)
+    intercept = _median([daily[t] - slope * t for t in ts])
+    row = siegel_slope_daily(spark, sf_dir).collect()[0]
+    assert row["n_days"] == len(ts)
+    assert row["siegel_slope"] == pytest.approx(slope, rel=1e-12)
+    assert row["siegel_intercept"] == pytest.approx(
+        intercept, rel=1e-12
+    )
