@@ -150,6 +150,7 @@ PRIORITY = [
     "km_greenwood_retention",
     "median_of_means_value",
     "siegel_slope_daily",
+    "phillips_perron_daily",
     # -- refresh queue: latest driver evidence round 5 (remainder)
     "weighted_median_price",
     "knn_ivf_recall",

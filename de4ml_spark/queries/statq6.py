@@ -1644,3 +1644,219 @@ REGISTRY["siegel_slope_daily"] = {
     "fn": siegel_slope_daily,
     "sql": _siegel_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Phillips-Perron unit-root test (Z_tau, constant, Bartlett L = 7) on
+# the daily event-count series — completes the canonical unit-root
+# trio with adf_daily_events and kpss_daily_events: PP keeps the plain
+# DF regression but corrects the t-statistic nonparametrically for
+# serial correlation (Hamilton 17.6.12):
+#   Z_tau = sqrt(g0/l2)·t_rho − (l2 − g0)·T·se(rho) / (2·sqrt(l2)·s²)
+# with g0 = (1/T)Σû², l2 the Bartlett long-run variance of û, and
+# s² the OLS residual variance.
+#
+# Exactness: the regression moments are the ADF entry's exact n-scaled
+# 128-bit integers; residuals need the estimated slope, so the
+# n-scaled residual Û_t = zd_t − β̂·zx_t (one IEEE chain per row from
+# exact ints and the engine-identical β̂) is SIGNED-half-up quantized
+# to the 1e-6 grid before any sum — the autocovariance products and
+# HAC numerator are then exact integers again (shuffle order can
+# never reorder a float sum), and Z_tau is a fixed IEEE tail.
+# Scale: calendar-bounded spine joins, k ≤ 7 lag explode over days.
+# --------------------------------------------------------------------------
+
+PP_LAGS = 7
+
+
+def _pp_final(div: str) -> list[str]:
+    big = _big(div)
+    sxx = _w2d("sxx", div)
+    sxy = _w2d("sxy", div)
+    syy = _w2d("syy", div)
+    # scale bookkeeping: zx/zd are n-scaled, Û_u additionally 1e6-
+    # quantized; every ratio below clears the common scales exactly
+    n3 = (
+        "(CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE)"
+        " * CAST(n_pairs AS DOUBLE))"
+    )
+    g0 = f"({_w2d('uu0', div)} / ({n3} * 1000000000000.0))"
+    l2 = (
+        f"({_w2d('nw_num', div)}"
+        f" / ({PP_LAGS + 1}.0 * {n3} * 1000000000000.0))"
+    )
+    t_df = (
+        f"({sxy} * SQRT(CAST(n_pairs - 2 AS DOUBLE))"
+        f" / SQRT({sxx} * {syy} - {sxy} * {sxy}))"
+    )
+    s2 = (
+        f"({_w2d('uu0', div)} / (CAST(n_pairs AS DOUBLE)"
+        " * CAST(n_pairs AS DOUBLE)"
+        " * CAST(n_pairs - 2 AS DOUBLE) * 1000000000000.0))"
+    )
+    # se(rho)^2 = s^2 / Σ(x−x̄)^2; the n-scaled Sxx' = n^2·Σ(x−x̄)^2
+    se_rho = (
+        f"(SQRT({s2}) * CAST(n_pairs AS DOUBLE) / SQRT({sxx}))"
+    )
+    return [
+        "n_pairs",
+        f"{g0} AS gamma0",
+        f"{l2} AS lambda2",
+        f"{t_df} AS adf_t",
+        f"SQRT({g0} / {l2}) * {t_df}"
+        f" - ({l2} - {g0}) * CAST(n_pairs AS DOUBLE) * {se_rho}"
+        f" / (2.0 * SQRT({l2}) * {s2}) AS pp_z_tau",
+    ]
+
+
+def phillips_perron_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y")).persist()
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b, F.col("a.t") == F.col("b.t") + F.lit(1)
+    ).selectExpr("a.t AS t", "b.y AS x", "a.y - b.y AS d").persist()
+    tot = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("d").cast("bigint").alias("sd"),
+    )
+    z = pairs.crossJoin(F.broadcast(tot)).selectExpr(
+        "t",
+        "n_pairs",
+        "CAST(n_pairs AS DECIMAL(38,0)) * x - sx AS zx",
+        "CAST(n_pairs AS DECIMAL(38,0)) * d - sd AS zd",
+    )
+    mom = z.groupBy("n_pairs").agg(
+        F.sum(F.expr("zx * zx")).alias("sxx"),
+        F.sum(F.expr("zx * zd")).alias("sxy"),
+        F.sum(F.expr("zd * zd")).alias("syy"),
+    )
+    beta = mom.selectExpr(
+        "n_pairs",
+        "sxx",
+        "sxy",
+        "syy",
+        f"{_w2d('sxy', 'DIV')} / {_w2d('sxx', 'DIV')} AS beta",
+    )
+    u = z.crossJoin(
+        F.broadcast(beta.select("beta"))
+    ).selectExpr(
+        "t",
+        "CASE WHEN CAST(zd AS DOUBLE) - beta * CAST(zx AS DOUBLE)"
+        " >= 0.0 THEN CAST(FLOOR((CAST(zd AS DOUBLE)"
+        " - beta * CAST(zx AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+        " ELSE -CAST(FLOOR((beta * CAST(zx AS DOUBLE)"
+        " - CAST(zd AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) END"
+        " AS uu",
+    )
+    lags = u.selectExpr(
+        "t",
+        "uu AS uu_lag",
+        f"explode(sequence(0, {PP_LAGS})) AS k",
+    ).selectExpr("t + k AS t", "k", "uu_lag")
+    prod = u.join(lags, "t").groupBy("k").agg(
+        F.sum(
+            F.expr("CAST(uu AS DECIMAL(38,0)) * uu_lag")
+        ).alias("ck")
+    )
+    nw = prod.agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN k = 0 THEN CAST({PP_LAGS + 1} AS"
+                " DECIMAL(38,0)) * ck"
+                f" ELSE 2 * CAST({PP_LAGS + 1} - k AS DECIMAL(38,0))"
+                " * ck END"
+            )
+        ).alias("nw_num"),
+        F.sum(F.expr("CASE WHEN k = 0 THEN ck END")).alias("uu0"),
+    )
+    out = beta.crossJoin(F.broadcast(nw)).selectExpr(
+        *_pp_final("DIV")
+    )
+    return release_after(out, daily, pairs)
+
+
+def _pp_sql() -> str:
+    final = ",\n       ".join(_pp_final("//"))
+    beta = f"{_w2d('sxy', '//')} / {_w2d('sxx', '//')}"
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.t AS t, b.y AS x, a.y - b.y AS d
+  FROM daily a JOIN daily b ON a.t = b.t + 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(d) AS BIGINT) AS sd
+  FROM pairs
+),
+z AS (
+  SELECT t, n_pairs,
+         CAST(n_pairs AS HUGEINT) * x - sx AS zx,
+         CAST(n_pairs AS HUGEINT) * d - sd AS zd
+  FROM pairs CROSS JOIN tot
+),
+mom AS (
+  SELECT n_pairs,
+         SUM(zx * zx) AS sxx,
+         SUM(zx * zd) AS sxy,
+         SUM(zd * zd) AS syy
+  FROM z GROUP BY 1
+),
+beta_t AS (
+  SELECT n_pairs, sxx, sxy, syy, {beta} AS beta
+  FROM mom
+),
+u AS (
+  SELECT t,
+         CASE WHEN CAST(zd AS DOUBLE) - beta * CAST(zx AS DOUBLE)
+         >= 0.0 THEN CAST(FLOOR((CAST(zd AS DOUBLE)
+         - beta * CAST(zx AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         ELSE -CAST(FLOOR((beta * CAST(zx AS DOUBLE)
+         - CAST(zd AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) END
+           AS uu
+  FROM z CROSS JOIN (SELECT beta FROM beta_t)
+),
+lags AS (
+  SELECT t + k AS t, k, uu AS uu_lag
+  FROM u CROSS JOIN (
+    SELECT unnest(range(0, {PP_LAGS + 1})) AS k
+  )
+),
+prod AS (
+  SELECT k, SUM(CAST(u.uu AS HUGEINT) * l.uu_lag) AS ck
+  FROM u JOIN lags l USING (t)
+  GROUP BY 1
+),
+nw AS (
+  SELECT SUM(CASE WHEN k = 0 THEN CAST({PP_LAGS + 1} AS HUGEINT) * ck
+         ELSE 2 * CAST({PP_LAGS + 1} - k AS HUGEINT) * ck END)
+           AS nw_num,
+         SUM(CASE WHEN k = 0 THEN ck END) AS uu0
+  FROM prod
+)
+SELECT {final}
+FROM beta_t CROSS JOIN nw
+"""
+
+
+REGISTRY["phillips_perron_daily"] = {
+    "fn": phillips_perron_daily,
+    "sql": _pp_sql(),
+}

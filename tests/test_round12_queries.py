@@ -612,3 +612,54 @@ def test_siegel_matches_reference(spark, sf_dir):
     assert row["siegel_intercept"] == pytest.approx(
         intercept, rel=1e-12
     )
+
+
+# ------------------------------------------------------- Phillips-Perron
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_phillips_perron_matches_reference(spark, sf_dir):
+    """Float-path PP Z_tau via numpy least squares (independent of the
+    entry's quantized-integer pipeline), Hamilton 17.6.12 form."""
+    import numpy as np
+
+    from de4ml_spark.queries.statq6 import (
+        PP_LAGS,
+        phillips_perron_daily,
+    )
+
+    daily = _daily_counts(sf_dir)
+    ts = sorted(t for t in daily if t - 1 in daily)
+    x = np.array([daily[t - 1] for t in ts], dtype=float)
+    d = np.array([daily[t] - daily[t - 1] for t in ts], dtype=float)
+    n = len(x)
+    A = np.column_stack([np.ones(n), x])
+    coef, _, _, _ = np.linalg.lstsq(A, d, rcond=None)
+    u = d - A @ coef
+    by_t = dict(zip(ts, u))
+    g0 = float(u @ u) / n
+    l2 = g0
+    for j in range(1, PP_LAGS + 1):
+        cj = sum(
+            by_t[t] * by_t[t + j] for t in ts if t + j in by_t
+        )
+        l2 += 2.0 * (PP_LAGS + 1 - j) / (PP_LAGS + 1) * cj / n
+    sxx = float(((x - x.mean()) ** 2).sum())
+    s2 = float(u @ u) / (n - 2)
+    se_rho = math.sqrt(s2 / sxx)
+    t_rho = float(coef[1]) / se_rho
+    z_tau = math.sqrt(g0 / l2) * t_rho - (
+        l2 - g0
+    ) * n * se_rho / (2.0 * math.sqrt(l2) * s2)
+
+    row = phillips_perron_daily(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == n
+    assert row["gamma0"] == pytest.approx(g0, rel=1e-6)
+    assert row["lambda2"] == pytest.approx(l2, rel=1e-6)
+    assert row["adf_t"] == pytest.approx(t_rho, rel=1e-9)
+    assert row["pp_z_tau"] == pytest.approx(z_tau, rel=1e-6)
+    # internal consistency: PP's embedded DF t equals the ADF entry's
+    from de4ml_spark.queries.statq6 import adf_daily_events
+
+    adf = adf_daily_events(spark, sf_dir).collect()[0]
+    assert row["adf_t"] == adf["adf_t"]
