@@ -151,6 +151,8 @@ PRIORITY = [
     "median_of_means_value",
     "siegel_slope_daily",
     "phillips_perron_daily",
+    "cusum_squares_daily",
+    "arch_lm_daily",
     # -- refresh queue: latest driver evidence round 5 (remainder)
     "weighted_median_price",
     "knn_ivf_recall",

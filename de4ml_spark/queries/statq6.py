@@ -1860,3 +1860,260 @@ REGISTRY["phillips_perron_daily"] = {
     "fn": phillips_perron_daily,
     "sql": _pp_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# CUSUM-of-squares variance-stability test on the daily event-count
+# series — the second-moment companion to pettitt/cusum_change (mean
+# shifts): S_t = Σ_{i<=t} w_i / Σw with w_i the squared demeaned
+# counts; the statistic is max_t |S_t − t/T|, spiking when volatility
+# regime-shifts even if the mean holds. With n-scaled residuals the
+# weights w'_i = (n·y_i − Σy)² are exact 128-bit integers, and the
+# argmax compares |cum·T − t·total| — an exact integer — so the
+# break-day selection is engine-deterministic before any float; the
+# statistic is one wide-to-double ratio. Scale: day-spine cum window.
+# --------------------------------------------------------------------------
+
+
+def _cusumsq_final(div: str) -> list[str]:
+    return [
+        "n_days",
+        "break_t",
+        f"{_w2d('max_num', div)}"
+        f" / (CAST(n_days AS DOUBLE) * {_w2d('total_w', div)})"
+        " AS cusumsq_stat",
+    ]
+
+
+def cusum_squares_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y")).persist()
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    w = daily.crossJoin(F.broadcast(tot)).selectExpr(
+        "t",
+        "n",
+        "(CAST(n AS DECIMAL(38,0)) * y - s)"
+        " * (CAST(n AS DECIMAL(38,0)) * y - s) AS w",
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wrank = Window.orderBy("t")
+    cums = (
+        w.withColumn("cw", F.sum("w").over(wcum))
+        .withColumn("rk", F.row_number().over(wrank))
+        .withColumn(
+            "tw", F.sum("w").over(Window.partitionBy())
+        )
+    )
+    dev = cums.selectExpr(
+        "t",
+        "n AS n_days",
+        "tw AS total_w",
+        "CASE WHEN cw * n >= CAST(rk AS DECIMAL(38,0)) * tw"
+        " THEN cw * n - CAST(rk AS DECIMAL(38,0)) * tw"
+        " ELSE CAST(rk AS DECIMAL(38,0)) * tw - cw * n END"
+        " AS dev_num",
+    )
+    best = dev.groupBy("n_days", "total_w").agg(
+        F.max(F.struct(F.col("dev_num"), (-F.col("t")).alias("neg_t")))
+        .alias("s")
+    ).selectExpr(
+        "n_days",
+        "total_w",
+        "s.dev_num AS max_num",
+        "-s.neg_t AS break_t",
+    )
+    return release_after(
+        best.selectExpr(*_cusumsq_final("DIV")), daily
+    )
+
+
+def _cusumsq_sql() -> str:
+    final = ",\n       ".join(_cusumsq_final("//"))
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+  FROM daily
+),
+w AS (
+  SELECT t, n,
+         (CAST(n AS HUGEINT) * y - s)
+         * (CAST(n AS HUGEINT) * y - s) AS w
+  FROM daily CROSS JOIN tot
+),
+cums AS (
+  SELECT t, n,
+         SUM(w) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         ROW_NUMBER() OVER (ORDER BY t) AS rk,
+         SUM(w) OVER () AS tw
+  FROM w
+),
+dev AS (
+  SELECT t, n AS n_days, tw AS total_w,
+         CASE WHEN cw * n >= CAST(rk AS HUGEINT) * tw
+         THEN cw * n - CAST(rk AS HUGEINT) * tw
+         ELSE CAST(rk AS HUGEINT) * tw - cw * n END AS dev_num
+  FROM cums
+),
+best AS (
+  SELECT n_days, total_w, dev_num AS max_num, t AS break_t
+  FROM dev
+  ORDER BY dev_num DESC, t ASC
+  LIMIT 1
+)
+SELECT {final}
+FROM best
+"""
+
+
+REGISTRY["cusum_squares_daily"] = {
+    "fn": cusum_squares_daily,
+    "sql": _cusumsq_sql(),
+}
+
+
+# --------------------------------------------------------------------------
+# Engle's ARCH LM test (1 lag) on the daily event-count series —
+# volatility clustering: regress the squared demeaned count on its
+# lag; LM = m·R² is chi-square(1) under "no ARCH". Squared residuals
+# are exact integers requantized by half-up n² division (keeping the
+# second-level moment sums inside 128 bits at any corpus size), the
+# R² moments are n-scaled exact integers over the t/t−1 day-index
+# join, and LM is one IEEE tail. Complements cusum_squares_daily:
+# that locates a variance BREAK, this detects variance MEMORY.
+# --------------------------------------------------------------------------
+
+
+def _arch_final(div: str) -> list[str]:
+    sxx = _w2d("sxx", div)
+    sxy = _w2d("sxy", div)
+    syy = _w2d("syy", div)
+    r2 = f"(({sxy} * {sxy}) / ({sxx} * {syy}))"
+    return [
+        "n_pairs",
+        f"{r2} AS r2",
+        f"CAST(n_pairs AS DOUBLE) * {r2} AS arch_lm",
+    ]
+
+
+def arch_lm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y")).persist()
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    sq = daily.crossJoin(F.broadcast(tot)).selectExpr(
+        "t",
+        # a_t = round(((n·y − s)/n)²) = half-up((n·y−s)², n²) — exact
+        # integer u-hat-squared, bounded by y² not (n·y)²
+        f"""CAST({_whd(
+            '(CAST(n AS DECIMAL(38,0)) * y - s)'
+            ' * (CAST(n AS DECIMAL(38,0)) * y - s)',
+            'n * n', 'DIV')} AS BIGINT) AS a""",
+    ).persist()
+    x, yv = sq.alias("x"), sq.alias("y")
+    pairs = yv.join(
+        x, F.col("y.t") == F.col("x.t") + F.lit(1)
+    ).selectExpr("x.a AS ax", "y.a AS ay")
+    ptot = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("ax").cast("bigint").alias("sax"),
+        F.sum("ay").cast("bigint").alias("say"),
+    )
+    z = pairs.crossJoin(F.broadcast(ptot)).selectExpr(
+        "n_pairs",
+        "CAST(n_pairs AS DECIMAL(38,0)) * ax - sax AS zx",
+        "CAST(n_pairs AS DECIMAL(38,0)) * ay - say AS zy",
+    )
+    mom = z.groupBy("n_pairs").agg(
+        F.sum(F.expr("zx * zx")).alias("sxx"),
+        F.sum(F.expr("zx * zy")).alias("sxy"),
+        F.sum(F.expr("zy * zy")).alias("syy"),
+    )
+    return release_after(
+        mom.selectExpr(*_arch_final("DIV")), daily, sq
+    )
+
+
+def _arch_sql() -> str:
+    final = ",\n       ".join(_arch_final("//"))
+    a = _whd(
+        "(CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y - s)",
+        "n * n",
+        "//",
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+  FROM daily
+),
+sq AS (
+  SELECT t, CAST({a} AS BIGINT) AS a
+  FROM daily CROSS JOIN tot
+),
+pairs AS (
+  SELECT x.a AS ax, y.a AS ay
+  FROM sq y JOIN sq x ON y.t = x.t + 1
+),
+ptot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(ax) AS BIGINT) AS sax,
+         CAST(SUM(ay) AS BIGINT) AS say
+  FROM pairs
+),
+z AS (
+  SELECT n_pairs,
+         CAST(n_pairs AS HUGEINT) * ax - sax AS zx,
+         CAST(n_pairs AS HUGEINT) * ay - say AS zy
+  FROM pairs CROSS JOIN ptot
+),
+mom AS (
+  SELECT n_pairs,
+         SUM(zx * zx) AS sxx,
+         SUM(zx * zy) AS sxy,
+         SUM(zy * zy) AS syy
+  FROM z GROUP BY 1
+)
+SELECT {final}
+FROM mom
+"""
+
+
+REGISTRY["arch_lm_daily"] = {
+    "fn": arch_lm_daily,
+    "sql": _arch_sql(),
+}

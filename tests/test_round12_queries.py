@@ -663,3 +663,66 @@ def test_phillips_perron_matches_reference(spark, sf_dir):
 
     adf = adf_daily_events(spark, sf_dir).collect()[0]
     assert row["adf_t"] == adf["adf_t"]
+
+
+# ------------------------------------------------------- CUSUM-of-squares
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_cusum_squares_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.statq6 import cusum_squares_daily
+
+    daily = _daily_counts(sf_dir)
+    ts = sorted(daily)
+    n = len(ts)
+    s = sum(daily.values())
+    w = [(n * daily[t] - s) ** 2 for t in ts]
+    tw = sum(w)
+    best = None
+    cw = 0
+    for rk, t in enumerate(ts, start=1):
+        cw += w[rk - 1]
+        num = abs(cw * n - rk * tw)
+        key = (num, -t)
+        if best is None or key > best[0]:
+            best = (key, t, num)
+    row = cusum_squares_daily(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert row["break_t"] == best[1]
+    assert row["cusumsq_stat"] == pytest.approx(
+        best[2] / (n * tw), rel=1e-12
+    )
+    assert 0.0 <= row["cusumsq_stat"] <= 1.0
+
+
+# ------------------------------------------------------------- ARCH LM
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_arch_lm_matches_reference(spark, sf_dir):
+    """numpy regression of u^2 on lagged u^2 — independent of the
+    quantized moment pipeline."""
+    import numpy as np
+
+    from de4ml_spark.queries.statq6 import arch_lm_daily
+
+    daily = _daily_counts(sf_dir)
+    ts = sorted(daily)
+    n = len(ts)
+    s = sum(daily.values())
+    # the entry requantizes ((n*y - s)/n)^2 half-up to an integer
+    a = {
+        t: (2 * (n * daily[t] - s) ** 2 + n * n) // (2 * n * n)
+        for t in ts
+    }
+    px = np.array(
+        [a[t - 1] for t in ts if t - 1 in a], dtype=float
+    )
+    py = np.array([a[t] for t in ts if t - 1 in a], dtype=float)
+    r = np.corrcoef(px, py)[0, 1]
+    m = len(px)
+    row = arch_lm_daily(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == m
+    assert row["r2"] == pytest.approx(r * r, rel=1e-9)
+    assert row["arch_lm"] == pytest.approx(m * r * r, rel=1e-9)
+    assert 0.0 <= row["r2"] <= 1.0
