@@ -153,6 +153,7 @@ PRIORITY = [
     "phillips_perron_daily",
     "cusum_squares_daily",
     "arch_lm_daily",
+    "contamination_span_docs",
     # -- refresh queue: latest driver evidence round 5 (remainder)
     "weighted_median_price",
     "knn_ivf_recall",

@@ -1373,3 +1373,131 @@ REGISTRY["term_burstiness_docs"] = {
     "fn": term_burstiness_docs,
     "sql": _burstiness_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Contamination SPAN length per corpus doc: the longest run of
+# CONSECUTIVE shingle positions matched by the benchmark set — the
+# span-level report serious decontamination uses (a doc with 15%
+# scattered shingle hits is noise; one with a 50-gram contiguous match
+# embeds a benchmark verbatim). Positional (non-distinct) shingles
+# feed an islands grouping — pos − row_number over matched positions
+# per doc — so each contiguous run becomes one group; max run + the
+# n−1 gram overhang reports the span in TOKENS. Benchmark shingles
+# stay a broadcast set (bounded by benchmark size); the corpus side is
+# one explode + broadcast-hash join + doc-partitioned window — no
+# corpus-text shuffle, same posture as the fraction screen above.
+# --------------------------------------------------------------------------
+
+
+def contamination_span_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from de4ml_spark.operators.text import tokens, zip_grams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_sh = (
+        docs.filter(F.col("doc_id") < N_BENCH)
+        .select(
+            F.explode(
+                F.array_distinct(zip_grams(tokens("text"), DECON_N))
+            ).alias("sh")
+        )
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") >= N_BENCH).select(
+        "doc_id",
+        F.posexplode(zip_grams(tokens("text"), DECON_N)).alias(
+            "pos", "sh"
+        ),
+    )
+    totals = corpus.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    hits = corpus.join(F.broadcast(bench_sh), "sh").select(
+        "doc_id", "pos"
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(wd))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("run_len").cast("bigint").alias("max_run"),
+            F.sum("run_len").cast("bigint").alias("n_hits"),
+        )
+    )
+    return (
+        totals.join(runs, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_shingles",
+            "COALESCE(n_hits, CAST(0 AS BIGINT)) AS n_hits",
+            "COALESCE(max_run, CAST(0 AS BIGINT)) AS max_run",
+            f"CASE WHEN max_run IS NULL THEN CAST(0 AS BIGINT)"
+            f" ELSE max_run + {DECON_N - 1} END AS max_span_tokens",
+        )
+    )
+
+
+def _contamination_span_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - {DECON_N - 1}),
+                        i -> array_to_string(toks[i:i+{DECON_N - 1}], ' '))
+           AS grams
+  FROM t WHERE len(toks) >= {DECON_N}
+),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS sh FROM s WHERE doc_id < {N_BENCH}
+),
+corpus AS (
+  SELECT doc_id, i - 1 AS pos, grams[i] AS sh
+  FROM (SELECT doc_id, grams FROM s WHERE doc_id >= {N_BENCH}),
+       LATERAL (SELECT unnest(generate_series(1, len(grams))) AS i) gs
+),
+totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+  FROM corpus GROUP BY 1
+),
+hits AS (
+  SELECT c.doc_id, c.pos
+  FROM corpus c JOIN bench b ON c.sh = b.sh
+),
+runs AS (
+  SELECT doc_id,
+         CAST(MAX(run_len) AS BIGINT) AS max_run,
+         CAST(SUM(run_len) AS BIGINT) AS n_hits
+  FROM (
+    SELECT doc_id, grp, COUNT(*) AS run_len
+    FROM (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY pos) AS grp
+      FROM hits
+    )
+    GROUP BY 1, 2
+  )
+  GROUP BY 1
+)
+SELECT t2.doc_id,
+       t2.n_shingles,
+       COALESCE(r.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       COALESCE(r.max_run, CAST(0 AS BIGINT)) AS max_run,
+       CASE WHEN r.max_run IS NULL THEN CAST(0 AS BIGINT)
+       ELSE r.max_run + {DECON_N - 1} END AS max_span_tokens
+FROM totals t2 LEFT JOIN runs r USING (doc_id)
+"""
+
+
+REGISTRY["contamination_span_docs"] = {
+    "fn": contamination_span_docs,
+    "sql": _contamination_span_sql(),
+}

@@ -726,3 +726,66 @@ def test_arch_lm_matches_reference(spark, sf_dir):
     assert row["r2"] == pytest.approx(r * r, rel=1e-9)
     assert row["arch_lm"] == pytest.approx(m * r * r, rel=1e-9)
     assert 0.0 <= row["r2"] <= 1.0
+
+
+# ------------------------------------------------------ contamination span
+
+
+def test_contamination_span_matches_reference(spark):
+    """Pure-Python replay: tokenize, 3-gram, benchmark set, longest
+    consecutive matched-position run per corpus doc."""
+    from de4ml_spark.queries.textq3 import (
+        DECON_N,
+        N_BENCH,
+        contamination_span_docs,
+    )
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+
+    def grams(text):
+        toks = text.split(" ")
+        return [
+            " ".join(toks[i : i + DECON_N])
+            for i in range(len(toks) - DECON_N + 1)
+        ]
+
+    bench = set()
+    for did, text in rows:
+        if did < N_BENCH:
+            bench.update(grams(text))
+    expected = {}
+    for did, text in rows:
+        if did < N_BENCH:
+            continue
+        g = grams(text)
+        if not g:
+            continue
+        run = best = hits = 0
+        for sh in g:
+            if sh in bench:
+                run += 1
+                hits += 1
+                best = max(best, run)
+            else:
+                run = 0
+        expected[did] = (
+            len(g),
+            hits,
+            best,
+            best + DECON_N - 1 if best else 0,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_shingles"],
+            r["n_hits"],
+            r["max_run"],
+            r["max_span_tokens"],
+        )
+        for r in contamination_span_docs(spark, SF).collect()
+    }
+    assert got == expected
+    # sanity: contamination exists but is not universal
+    assert any(v[2] > 0 for v in expected.values())
