@@ -154,6 +154,7 @@ PRIORITY = [
     "cusum_squares_daily",
     "arch_lm_daily",
     "contamination_span_docs",
+    "wasserstein2_value",
     # -- refresh queue: latest driver evidence round 5 (remainder)
     "weighted_median_price",
     "knn_ivf_recall",

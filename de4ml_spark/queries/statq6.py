@@ -2117,3 +2117,177 @@ REGISTRY["arch_lm_daily"] = {
     "fn": arch_lm_daily,
     "sql": _arch_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# Wasserstein-2 distance between click and purchase `value` — the
+# quadratic-transport member completing the drift family (EMD/W1
+# integrates |mass moved|; W2 punishes moving mass FAR, the right
+# metric when tail excursions matter). Quantile-axis identity:
+# W2² = ∫(Q_a(u) − Q_b(u))² du, with both inverse CDFs step functions
+# whose breakpoints live on the common 1/(n_a·n_b) grid — so segment
+# starts p = (cum−mass)·n_other are exact integers, segment values
+# forward-fill over the ≤2·|support| merged breakpoint frame, and
+# W2²·n_a·n_b = Σ (v_a − v_b)²·Δp is an exact 128-bit integer. The
+# same segments yield Σ|v_a − v_b|·Δp, which must equal the
+# value-axis EMD integer of emd_value_types EXACTLY (two independent
+# formulations of W1 — pinned in tests). Scale: one histogram
+# shuffle, bounded-domain windows.
+# --------------------------------------------------------------------------
+
+
+def _w2_final(div: str) -> list[str]:
+    return [
+        "n_a",
+        "n_b",
+        f"{_w2d('w1_num', div)} AS w1_scaled_d",
+        f"SQRT({_w2d('w2_num', div)}"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+        " AS w2_cents",
+    ]
+
+
+def wasserstein2_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(event_type = 'click' AS BIGINT)")
+            ).cast("bigint").alias("a_n"),
+            F.sum(
+                F.expr("CAST(event_type = 'purchase' AS BIGINT)")
+            ).cast("bigint").alias("b_n"),
+        )
+        .persist()
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = (
+        hist.withColumn("ca", F.sum("a_n").over(wcum))
+        .withColumn("cb", F.sum("b_n").over(wcum))
+        .withColumn(
+            "na", F.sum("a_n").over(Window.partitionBy())
+        )
+        .withColumn(
+            "nb", F.sum("b_n").over(Window.partitionBy())
+        )
+    )
+    starts = cums.filter("a_n > 0").selectExpr(
+        "(ca - a_n) * nb AS p", "v AS va", "CAST(NULL AS BIGINT) AS vb",
+        "na", "nb",
+    ).unionAll(
+        cums.filter("b_n > 0").selectExpr(
+            "(cb - b_n) * na AS p",
+            "CAST(NULL AS BIGINT) AS va",
+            "v AS vb",
+            "na", "nb",
+        )
+    )
+    perp = starts.groupBy("p", "na", "nb").agg(
+        F.max("va").alias("va_s"), F.max("vb").alias("vb_s")
+    )
+    wp = Window.orderBy("p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = (
+        perp.withColumn(
+            "va", F.last("va_s", ignorenulls=True).over(wp)
+        )
+        .withColumn(
+            "vb", F.last("vb_s", ignorenulls=True).over(wp)
+        )
+        .withColumn(
+            "p_next", F.lead("p").over(Window.orderBy("p"))
+        )
+    )
+    agg = filled.selectExpr(
+        "na AS n_a",
+        "nb AS n_b",
+        "COALESCE(p_next, na * nb) - p AS dp",
+        "va - vb AS dv",
+    ).groupBy("n_a", "n_b").agg(
+        F.sum(
+            F.expr("CAST(abs(dv) AS DECIMAL(38,0)) * dp")
+        ).alias("w1_num"),
+        F.sum(
+            F.expr("CAST(dv AS DECIMAL(38,0)) * dv * dp")
+        ).alias("w2_num"),
+    )
+    return release_after(agg.selectExpr(*_w2_final("DIV")), hist)
+
+
+def _w2_sql() -> str:
+    final = ",\n       ".join(_w2_final("//"))
+    return f"""
+WITH hist AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a_n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b_n
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+cums AS (
+  SELECT v, a_n, b_n,
+         SUM(a_n) OVER w AS ca,
+         SUM(b_n) OVER w AS cb,
+         CAST(SUM(a_n) OVER () AS BIGINT) AS na,
+         CAST(SUM(b_n) OVER () AS BIGINT) AS nb
+  FROM hist
+  WINDOW w AS (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+starts AS (
+  SELECT (ca - a_n) * nb AS p, v AS va,
+         CAST(NULL AS BIGINT) AS vb, na, nb
+  FROM cums WHERE a_n > 0
+  UNION ALL
+  SELECT (cb - b_n) * na AS p, CAST(NULL AS BIGINT) AS va,
+         v AS vb, na, nb
+  FROM cums WHERE b_n > 0
+),
+perp AS (
+  SELECT p, na, nb, MAX(va) AS va_s, MAX(vb) AS vb_s
+  FROM starts GROUP BY 1, 2, 3
+),
+filled AS (
+  SELECT p, na, nb,
+         LAST_VALUE(va_s IGNORE NULLS) OVER wf AS va,
+         LAST_VALUE(vb_s IGNORE NULLS) OVER wf AS vb,
+         LEAD(p) OVER (ORDER BY p) AS p_next
+  FROM perp
+  WINDOW wf AS (ORDER BY p
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+agg AS (
+  SELECT na AS n_a, nb AS n_b,
+         SUM(CAST(ABS(va - vb) AS HUGEINT)
+             * (COALESCE(p_next, na * nb) - p)) AS w1_num,
+         SUM(CAST(va - vb AS HUGEINT) * (va - vb)
+             * (COALESCE(p_next, na * nb) - p)) AS w2_num
+  FROM filled
+  GROUP BY 1, 2
+)
+SELECT {final}
+FROM agg
+"""
+
+
+REGISTRY["wasserstein2_value"] = {
+    "fn": wasserstein2_value,
+    "sql": _w2_sql(),
+}

@@ -789,3 +789,61 @@ def test_contamination_span_matches_reference(spark):
     assert got == expected
     # sanity: contamination exists but is not universal
     assert any(v[2] > 0 for v in expected.values())
+
+
+# ---------------------------------------------------------- Wasserstein-2
+
+
+def test_w2_w1_equals_emd_entry_exactly(spark):
+    """The quantile-axis W1 by-product must equal the value-axis EMD
+    integer of emd_value_types for the (click, purchase) pair — two
+    independent formulations of the same transport integral."""
+    from de4ml_spark.queries.sketchq import emd_value_types
+    from de4ml_spark.queries.statq6 import wasserstein2_value
+
+    w2row = wasserstein2_value(spark, SF).collect()[0]
+    emd = {
+        (r["type_a"], r["type_b"]): r
+        for r in emd_value_types(spark, SF).collect()
+    }["click", "purchase"]
+    assert w2row["n_a"] == emd["n_a"] and w2row["n_b"] == emd["n_b"]
+    assert w2row["w1_scaled_d"] == emd["emd_scaled_d"]
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_w2_matches_reference(spark, sf_dir):
+    """Per-observation quantile coupling in pure Python: sort both
+    samples, expand to the common n_a*n_b grid, integrate (Qa-Qb)^2."""
+    from de4ml_spark.queries.statq6 import wasserstein2_value
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+               event_type
+        FROM '{sf_dir}/events.parquet'
+        WHERE value IS NOT NULL
+          AND event_type IN ('click', 'purchase')"""
+    ).fetchall()
+    a = sorted(int(v) for v, et in rows if et == "click")
+    b = sorted(int(v) for v, et in rows if et == "purchase")
+    na, nb = len(a), len(b)
+    # merge the two step functions over the common grid without
+    # materializing n_a*n_b points: two-pointer over breakpoints
+    ia = ib = 0
+    p = 0
+    w1 = w2 = 0
+    while ia < na and ib < nb:
+        # current segment ends at the nearer breakpoint
+        end = min((ia + 1) * nb, (ib + 1) * na)
+        dv = a[ia] - b[ib]
+        w1 += abs(dv) * (end - p)
+        w2 += dv * dv * (end - p)
+        p = end
+        if end == (ia + 1) * nb:
+            ia += 1
+        if end == (ib + 1) * na:
+            ib += 1
+    row = wasserstein2_value(spark, sf_dir).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert row["w1_scaled_d"] == float(w1)
+    assert row["w2_cents"] == math.sqrt(w2 / (na * nb))
