@@ -373,7 +373,14 @@ def main() -> None:
             # round-9c: the two new in-fleet >2x entries (both <0.2 s
             # absolute; isolated attribution per the round-7 protocol)
             "ansari_bradley_value,energy_distance_value,"
-            "weibull_fit_user_lifetimes",
+            "weibull_fit_user_lifetimes,"
+            # round-13 (VERDICT r12 #2): the two round-12 entries whose
+            # in-fleet numbers (0.346 / 0.106 s) are contention noise —
+            # isolated truth is 0.031 / ~0.04 s (judge's bench_one
+            # min-of-3) — plus the three new floor-boundary watch
+            # entries (VERDICT r12 #4)
+            "delong_auc_variance_events,qn_scale_value,"
+            "krippendorff_alpha_docs,breslow_day_docs,kpss_daily_events",
         ).split(",")
         if n.strip() and n.strip() in qs
     ]

@@ -64,76 +64,26 @@ def _registries() -> list[dict]:
 # 50-entry PREFIX of this list per round, so ordering decides which
 # queries get fresh cross-engine evidence each round.
 #
-# Round-12 rotation (VERDICT r11 #1/#8): with the never-graded pool at
-# zero since round 11, rotation is now a pure oldest-evidence-first
-# refresh cycle. Graded prefix = the 28 remaining round-4-evidence
-# entries + the 22 oldest round-5-evidence entries. The round-11 graded
-# prefix (50 entries, all green in CORRECTNESS_r11.json) moves to the
-# back of the queue as r11 evidence.
+# Round-13 rotation (VERDICT r12 #1/#3): grade the 21 round-12 entries
+# first (their only evidence so far is local verify_oracle runs at both
+# SFs — the builder's and the judge's), then the 17 r5-remainder
+# entries, then the 12 oldest r6 entries to fill the 50-entry prefix.
+# The round-12 graded prefix (50 entries, all green in
+# CORRECTNESS_r12.json) moves to the back of the queue as r12 evidence.
 #
 # Evidence-age ledger (latest driver-graded round per entry, updated at
-# round-12 start from CORRECTNESS_r11.json): r4: 28   r5: 39   r6: 47
-# r7: 46   r8: 44   r9: 49   r10: 50   r11: 50. After round-12 grading
-# the oldest evidence is r5 (17 entries). Round-13 prefix plan (VERDICT
-# r11 #8): any new round-12 entries first, then the 17 r5-remainder
-# entries, then the oldest r6 entries up to 50 total — the blocks below
-# are already in that order, so round-13 rotation is a no-op unless new
-# entries land mid-list.
+# round-13 start from CORRECTNESS_r12.json): r5: 17   r6: 47   r7: 46
+# r8: 44   r9: 49   r10: 50   r11: 50   r12: 50   local-only: 21
+# (total 374). After round-13 grading the ledger becomes r6: 35
+# r7: 46   r8: 44   r9: 49   r10: 50   r11: 50   r12: 50   r13: 50.
+# Round-14 prefix plan (VERDICT r12 #3): the 35 r6-remainder entries,
+# then the 15 oldest r7 entries — the blocks below are already in that
+# order, so the only round-14 edit needed is moving this round's graded
+# 50-entry prefix to the back of the queue (plus any new entries, which
+# always land at the head).
 PRIORITY = [
-    # -- (1) round-12 graded prefix (50): 28 remaining r4-evidence
-    #       entries, then the 22 oldest r5-evidence entries (pure
-    #       oldest-first refresh; VERDICT r11 #1).
-    "ewma_user_daily",
-    "fuzzy_name_pairs",
-    "key_skew_orders",
-    "kfold_events",
-    "knn_ivf",
-    "knn_lsh_recall",
-    "label_balance_embeddings",
-    "length_bucket_batches",
-    "mad_price",
-    "max_event_gap_users",
-    "novelty_docs",
-    "pack_sharded",
-    "pattern_match_events",
-    "phrase_search_docs",
-    "pmi_bigrams",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "quality_rank_normalized",
-    "repetition_docs",
-    "reservoir_docs",
-    "session_alert_overlap",
-    "stratified_split_docs",
-    "temporal_split_leakage",
-    "timed_funnel_events",
-    "top3_orders_per_customer",
-    "vocab_top_terms",
-    "winsorized_price_stats",
-    "daily_heavy_hitters",
-    "dedup_graph_degrees",
-    "source_vocab_overlap",
-    "rolling_7d_active_users",
-    "event_transition_matrix",
-    "incident_window_events",
-    "gopher_rules_docs",
-    "split_leakage_embeddings",
-    "unpivot_part_metrics",
-    "scd2_user_event_type",
-    "pack_sequence_report",
-    "profile_to_rules_events",
-    "categorical_drift_tvd",
-    "iqr_outliers_events",
-    "profile_lineitem",
-    "pit_features_orders",
-    "decontaminate_fraction_docs",
-    "rate_limit_events",
-    "twap_user_value",
-    "ohlc_daily_value",
-    "nearest_view_per_click",
-    "fk_integrity_orders_lineitem",
-    # -- (2) new round-12 entries land here (graded round 13)
+    # -- round-13 graded prefix part 1: the 21 round-12 entries
+    #    (local-only evidence until CORRECTNESS_r13)
     "giant_component_parts",
     "breslow_day_docs",
     "kpss_daily_events",
@@ -155,7 +105,7 @@ PRIORITY = [
     "arch_lm_daily",
     "contamination_span_docs",
     "wasserstein2_value",
-    # -- refresh queue: latest driver evidence round 5 (remainder)
+    # -- round-13 graded prefix part 2: the 17 r5-remainder entries
     "weighted_median_price",
     "knn_ivf_recall",
     "validation_counts_lineitem",
@@ -173,7 +123,8 @@ PRIORITY = [
     "monthly_revenue_ma",
     "multimodal_meta",
     "orders_price_page",
-    # -- refresh queue: latest driver evidence round 6
+    # -- round-13 graded prefix part 3: the 12 oldest r6 entries
+    #    (prefix boundary after "q2_min_cost_supplier")
     "ks_drift_value",
     "epoch_mix_plan",
     "quota_admission_events",
@@ -186,6 +137,8 @@ PRIORITY = [
     "bm25_search_docs",
     "pagerank_copurchase_parts",
     "q2_min_cost_supplier",
+    # -- refresh queue: latest driver evidence round 6 (remainder, 35
+    #    entries -> round-14 prefix part 1)
     "q11_important_stock",
     "q20_potential_promo",
     "kmv_distinct_users",
@@ -466,6 +419,59 @@ PRIORITY = [
     "delayed_join_events",
     "embedding_norm_outliers",
     "equidepth_price_histogram",
+    # -- refresh queue: latest driver evidence round 12 (the round-12
+    #    graded prefix: 28 r4-evidence + 22 oldest-r5-evidence entries,
+    #    all green in CORRECTNESS_r12.json)
+    "ewma_user_daily",
+    "fuzzy_name_pairs",
+    "key_skew_orders",
+    "kfold_events",
+    "knn_ivf",
+    "knn_lsh_recall",
+    "label_balance_embeddings",
+    "length_bucket_batches",
+    "mad_price",
+    "max_event_gap_users",
+    "novelty_docs",
+    "pack_sharded",
+    "pattern_match_events",
+    "phrase_search_docs",
+    "pmi_bigrams",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "quality_rank_normalized",
+    "repetition_docs",
+    "reservoir_docs",
+    "session_alert_overlap",
+    "stratified_split_docs",
+    "temporal_split_leakage",
+    "timed_funnel_events",
+    "top3_orders_per_customer",
+    "vocab_top_terms",
+    "winsorized_price_stats",
+    "daily_heavy_hitters",
+    "dedup_graph_degrees",
+    "source_vocab_overlap",
+    "rolling_7d_active_users",
+    "event_transition_matrix",
+    "incident_window_events",
+    "gopher_rules_docs",
+    "split_leakage_embeddings",
+    "unpivot_part_metrics",
+    "scd2_user_event_type",
+    "pack_sequence_report",
+    "profile_to_rules_events",
+    "categorical_drift_tvd",
+    "iqr_outliers_events",
+    "profile_lineitem",
+    "pit_features_orders",
+    "decontaminate_fraction_docs",
+    "rate_limit_events",
+    "twap_user_value",
+    "ohlc_daily_value",
+    "nearest_view_per_click",
+    "fk_integrity_orders_lineitem",
 ]
 
 

@@ -973,14 +973,20 @@ def hill_tail_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("t").agg(
         F.sum("lnu").cast("bigint").alias("sum_lnu")
     )
+    # Degenerate tails (fewer than HILL_K+1 positive values, or every
+    # top-k item tied with t) leave `top` — and therefore `agg` —
+    # EMPTY. Emit one row with NULL hill_alpha instead of zero rows,
+    # so "undefined alpha" is distinguishable from "query never ran"
+    # (ADVICE r12): left-join agg onto the always-one-row n CTE.
     out = (
-        agg.crossJoin(F.broadcast(n))
+        n.join(F.broadcast(agg), F.lit(True), "left")
         .selectExpr(
             "n_values",
             f"CAST({HILL_K} AS BIGINT) AS k_top",
             "t AS tail_threshold_cents",
-            f"CAST({HILL_K} * 1000000 AS DOUBLE)"
-            " / CAST(sum_lnu AS DOUBLE) AS hill_alpha",
+            f"CASE WHEN sum_lnu IS NULL OR sum_lnu = 0 THEN NULL"
+            f" ELSE CAST({HILL_K} * 1000000 AS DOUBLE)"
+            " / CAST(sum_lnu AS DOUBLE) END AS hill_alpha",
         )
     )
     return release_after(out, hist)
@@ -1023,9 +1029,10 @@ agg AS (
 SELECT n_values,
        CAST({HILL_K} AS BIGINT) AS k_top,
        t AS tail_threshold_cents,
-       CAST({HILL_K} * 1000000 AS DOUBLE)
-       / CAST(sum_lnu AS DOUBLE) AS hill_alpha
-FROM agg CROSS JOIN n
+       CASE WHEN sum_lnu IS NULL OR sum_lnu = 0 THEN NULL
+            ELSE CAST({HILL_K} * 1000000 AS DOUBLE)
+                 / CAST(sum_lnu AS DOUBLE) END AS hill_alpha
+FROM n LEFT JOIN agg ON TRUE
 """
 
 
@@ -1254,7 +1261,13 @@ REGISTRY["yuen_trimmed_ttest_value"] = {
 def km_greenwood_retention(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from de4ml_spark.cache import release_after
+
     ev = load_table(spark, sf_dir, "events")
+    # spans feeds BOTH the horizon scalar and the per_user frame —
+    # persist so the per-user min/max aggregation runs once, matching
+    # the shared-frame pattern of the other round-12 entries
+    # (ADVICE r12). Per-user sized, released after the job drains.
     spans = (
         ev.filter(F.col("user_id").isNotNull())
         .groupBy("user_id")
@@ -1262,6 +1275,7 @@ def km_greenwood_retention(
             F.min(F.col("ts").cast("date")).alias("d0"),
             F.max(F.col("ts").cast("date")).alias("d1"),
         )
+        .persist()
     )
     horizon = spans.agg(F.max("d1").alias("hmax"))
     per_user = spans.crossJoin(F.broadcast(horizon)).selectExpr(
@@ -1296,7 +1310,7 @@ def km_greenwood_retention(
         "CASE WHEN n_risk = d_churn THEN NULL"
         f" ELSE CAST({term} AS BIGINT) END AS term_p",
     )
-    return steps.selectExpr(
+    out = steps.selectExpr(
         "t",
         "n_risk",
         "d_churn",
@@ -1312,6 +1326,7 @@ def km_greenwood_retention(
         "SQRT(CAST(cum_term_p AS DOUBLE) / 1000000000000.0)"
         " AS greenwood_se_ratio",
     )
+    return release_after(out, spans)
 
 
 def _km_greenwood_sql() -> str:

@@ -39,13 +39,19 @@ QN_CONST = 2.21914  # asymptotic Gaussian consistency (batch twin's)
 
 def exact_qn(hist: dict[int, int]) -> tuple[int, int, int]:
     """The batch twin's exact selection on an integer cents histogram:
-    (n, k_pairs, qn_raw_cents); qn_raw is -1 when fewer than 2 values
-    (no pair exists)."""
+    (n, k_pairs, qn_raw_cents). Degenerate prefixes follow the batch
+    entry's convention exactly (ADVICE r12): n == 1 has k_pairs == 0,
+    and the batch cum >= k filter matches the first histogram row at
+    distance 0, so qn_raw is 0 — NOT a sentinel. qn_raw is -1 only for
+    n == 0 (no data, a state the batch entry never materializes a row
+    for), keeping the bit-for-bit prefix claim valid for every n >= 1."""
     n = sum(hist.values())
     h = n // 2 + 1
     k = h * (h - 1) // 2
-    if n < 2 or k == 0:
+    if n == 0:
         return n, k, -1
+    if k == 0:
+        return n, k, 0
     byd: dict[int, int] = {}
     for v, c in hist.items():
         if c > 1:

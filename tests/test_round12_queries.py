@@ -409,6 +409,40 @@ def test_hill_matches_reference(spark, sf_dir):
     assert row["hill_alpha"] > 0.0
 
 
+def test_hill_degenerate_tail_emits_null_row(spark, tmp_path):
+    """Fewer than HILL_K+1 positive values must yield ONE row with
+    NULL hill_alpha ("undefined"), not an empty frame that reads as
+    "no data" (ADVICE r12)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from de4ml_spark.queries.statq6 import HILL_K, hill_tail_value
+
+    n = 5  # << HILL_K + 1: the cum-threshold CTE finds no t
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.array(range(n), dtype="int64"),
+            "ts": pd.to_datetime(["2024-01-01 00:00:00"] * n),
+            "user_id": pd.array([1] * n, dtype="int64"),
+            "event_type": ["click"] * n,
+            "value": [float(i + 1) for i in range(n)],
+            "props": ["{}"] * n,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(tmp_path / "events.parquet"),
+    )
+    rows = hill_tail_value(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["n_values"] == n
+    assert row["k_top"] == HILL_K
+    assert row["tail_threshold_cents"] is None
+    assert row["hill_alpha"] is None
+
+
 # ----------------------------------------------------------------- Yuen
 
 

@@ -108,6 +108,9 @@ def test_exact_qn_agrees_with_batch_entry(spark):
 
 def test_exact_qn_degenerate():
     assert exact_qn({}) == (0, 0, -1)
-    assert exact_qn({500: 1}) == (1, 0, -1)
+    # n == 1 matches the batch entry's convention: k_pairs == 0, the
+    # cum >= k filter matches the d=0 histogram row, qn_raw == 0
+    # (ADVICE r12 alignment — previously a -1 sentinel).
+    assert exact_qn({500: 1}) == (1, 0, 0)
     # two equal values: one pair at distance 0
     assert exact_qn({500: 2}) == (2, 1, 0)

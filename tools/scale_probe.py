@@ -46,6 +46,13 @@ PROBE = [
     "knn_lsh",
     "knn_ivf",
     "dedup_embedding_blocked",
+    # round-13 (VERDICT r12 #6): the round-12 graph/stat additions —
+    # expected ~flat for the bounded-histogram stats, near-linear in
+    # edges for the graph pair
+    "giant_component_parts",
+    "anf_closeness_parts",
+    "contamination_span_docs",
+    "delong_auc_variance_events",
 ]
 
 BASE = "/root/testdata/sf0.1"

@@ -150,6 +150,27 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # A bogus sf_dir must be a one-line usage error, not a raw DuckDB
+    # IOException traceback on the first CREATE VIEW (VERDICT r12 #5).
+    import os
+
+    missing = [
+        t
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split()
+        if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+    ]
+    if missing:
+        print(
+            f"NO SUCH SF DIR  {sf_dir}: missing "
+            f"{', '.join(m + '.parquet' for m in missing[:3])}"
+            f"{' ...' if len(missing) > 3 else ''}\n"
+            f"USAGE: python tools/verify_oracle.py [sf_dir] [query_name ...]"
+        )
+        return 2
+
     spark = get_spark("verify_oracle", cpus=8)
     con = duckdb.connect()
     for t in (
