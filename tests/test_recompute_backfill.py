@@ -710,3 +710,972 @@ def test_degree_assortativity_matches_reference(spark, sf_dir):
     assert row["sxy"] == sxy
     assert row["sxx"] == sxx
     assert row["assortativity_r"] == pytest.approx(r_ref, rel=1e-9)
+
+
+# ----------------------------------------------------- daily helpers
+
+
+def _daily_cents(con, per_type=True):
+    """Per-(type,)day total value in cents via sum-then-quantize
+    (SUM(DECIMAL(18,2)) * 100): each value half-up at 2dp, summed."""
+    q = (
+        """SELECT event_type, CAST(ts AS DATE), value FROM events"""
+        if per_type
+        else """SELECT 'all', CAST(ts AS DATE), value FROM events"""
+    )
+    out: dict = {}
+    for t, day, v in con.sql(q).fetchall():
+        out.setdefault(t, {}).setdefault(day, []).append(v)
+    series = {}
+    for t, by_day in out.items():
+        series[t] = {
+            d: (
+                sum(_cents(v) for v in vs if v is not None)
+                if any(v is not None for v in vs)
+                else None
+            )
+            for d, vs in by_day.items()
+        }
+    return series
+
+
+def _pearson_from_ints(n, sx, sy, sxx, syy, sxy):
+    num = float(n * sxy - sx * sy)
+    dx = float(n * sxx - sx * sx)
+    dy = float(n * syy - sy * sy)
+    if dx == 0.0 or dy == 0.0:
+        return None
+    return num / math.sqrt(dx * dy)
+
+
+# ------------------------------------------------------------- ACF
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_acf_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.tsq2 import ACF_MAX_LAG, acf_value_events
+
+    con = _con(sf_dir)
+    series = _daily_cents(con)
+    got = {
+        (r["event_type"], r["lag"]): r
+        for r in acf_value_events(spark, sf_dir).collect()
+    }
+    import datetime
+
+    seen = set()
+    for t, vc in series.items():
+        for lag in range(1, ACF_MAX_LAG + 1):
+            pairs = [
+                (vc[d], vc[d + datetime.timedelta(days=lag)])
+                for d in vc
+                if d + datetime.timedelta(days=lag) in vc
+                and vc[d] is not None
+                and vc[d + datetime.timedelta(days=lag)] is not None
+            ]
+            if not pairs:
+                continue
+            seen.add((t, lag))
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs)
+            sy = sum(y for _, y in pairs)
+            sxx = sum(x * x for x, _ in pairs)
+            syy = sum(y * y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            r_ref = _pearson_from_ints(n, sx, sy, sxx, syy, sxy)
+            row = got[(t, lag)]
+            assert row["n"] == n
+            if r_ref is None:
+                assert row["acf_r"] is None
+            else:
+                assert row["acf_r"] == pytest.approx(r_ref, rel=1e-9)
+    assert seen == set(got)
+
+
+# ------------------------------------------------------------- Ljung-Box
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_ljung_box_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.tsq2 import (
+        acf_value_events,
+        ljung_box_value_events,
+    )
+
+    con = _con(sf_dir)
+    n_days = dict(
+        con.sql(
+            """SELECT event_type, COUNT(DISTINCT CAST(ts AS DATE))
+            FROM events GROUP BY 1"""
+        ).fetchall()
+    )
+    # the ACF inputs are themselves recompute-pinned above; Q is the
+    # quantized cross-lag sum of acf^2/(n-k)
+    acf = {
+        (r["event_type"], r["lag"]): r["acf_r"]
+        for r in acf_value_events(spark, sf_dir).collect()
+    }
+    sums: dict[str, list[int]] = {}
+    for (t, lag), r in acf.items():
+        nano = (
+            0
+            if r is None
+            else math.floor(r * r / (n_days[t] - lag) * 1e9 + 0.5)
+        )
+        row = sums.setdefault(t, [0, 0])
+        row[0] += 1
+        row[1] += nano
+    got = {r["event_type"]: r for r in
+           ljung_box_value_events(spark, sf_dir).collect()}
+    assert set(got) == set(sums)
+    for t, (n_lags, sum_nano) in sums.items():
+        r = got[t]
+        assert r["n_days"] == n_days[t]
+        assert r["n_lags"] == n_lags
+        assert r["sum_nano"] == sum_nano
+        q_ref = float(n_days[t]) * float(n_days[t] + 2) * (sum_nano / 1e9)
+        assert r["q_r"] == pytest.approx(q_ref, rel=1e-12)
+
+
+# ------------------------------------------------------------- STL
+
+
+def _stl_reference(con):
+    """Integer-exact STL-lite: 7-row centered MA trend, day-of-week
+    seasonal re-centered over the week, all in micro-cents."""
+    series = _daily_cents(con, per_type=False)["all"]
+    days = sorted(series)
+    v = {d: series[d] for d in days}
+
+    def shalf(num: int, den: int) -> int:  # signed half-up num/den
+        if num >= 0:
+            return (2 * num + den) // (2 * den)
+        return -((2 * -num + den) // (2 * den))
+
+    rows = {}
+    for i in range(3, len(days) - 3):
+        d = days[i]
+        s7 = sum(v[days[i + k]] for k in range(-3, 4))
+        trend = shalf(s7 * 10000, 7)
+        rows[d] = [v[d], trend, v[d] * 10000 - trend]
+    by_dow: dict[int, list[int]] = {}
+    for d, (_, _, det) in rows.items():
+        by_dow.setdefault(d.isoweekday() % 7, []).append(det)
+    seas_raw = {
+        dw: shalf(sum(dets), len(dets)) for dw, dets in by_dow.items()
+    }
+    center = shalf(sum(seas_raw.values()), len(seas_raw))
+    out = {}
+    for d, (vc, trend, _) in rows.items():
+        seasonal = seas_raw[d.isoweekday() % 7] - center
+        out[d] = (vc, trend, seasonal, vc * 10000 - trend - seasonal)
+    return out
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_stl_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.tsq2 import stl_decompose_events
+
+    con = _con(sf_dir)
+    ref = _stl_reference(con)
+    got = {r["day"]: r for r in stl_decompose_events(spark, sf_dir).collect()}
+    assert set(got) == set(ref)
+    for d, (vc, trend, seasonal, resid) in ref.items():
+        r = got[d]
+        assert r["v_c"] == vc
+        assert r["trend_uc"] == trend
+        assert r["seasonal_uc"] == seasonal
+        assert r["resid_uc"] == resid
+        assert r["trend_r"] == pytest.approx(trend / 1e6, rel=1e-12)
+
+
+# ------------------------------------------------- seasonal strength
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_seasonal_strength_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.tsq2 import seasonal_strength_events
+
+    con = _con(sf_dir)
+    comp = list(_stl_reference(con).values())
+    n = len(comp)
+
+    def var_num_den(xs):
+        s = sum(xs)
+        ss = sum(x * x for x in xs)
+        return float(n * ss - s * s)
+
+    vr = var_num_den([r for _, _, _, r in comp])
+    vsr = var_num_den([s + r for _, _, s, r in comp])
+    vtr = var_num_den([t + r for _, t, _, r in comp])
+    row = seasonal_strength_events(spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert row["seasonal_strength_r"] == pytest.approx(
+        max(0.0, 1.0 - vr / vsr), rel=1e-9
+    )
+    assert row["trend_strength_r"] == pytest.approx(
+        max(0.0, 1.0 - vr / vtr), rel=1e-9
+    )
+
+
+# ------------------------------------------------------------- CCF
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_ccf_matches_reference(spark, sf_dir):
+    import datetime
+
+    from de4ml_spark.queries.tsq2 import CCF_MAX_LAG, ccf_view_click_events
+
+    con = _con(sf_dir)
+    series = _daily_cents(con)
+    vx, vy = series.get("view", {}), series.get("click", {})
+    got = {r["lag"]: r for r in ccf_view_click_events(spark, sf_dir).collect()}
+    for lag in range(-CCF_MAX_LAG, CCF_MAX_LAG + 1):
+        pairs = [
+            (vx[d], vy[d + datetime.timedelta(days=lag)])
+            for d in vx
+            if d + datetime.timedelta(days=lag) in vy
+            and vx[d] is not None
+            and vy[d + datetime.timedelta(days=lag)] is not None
+        ]
+        if not pairs:
+            assert lag not in got
+            continue
+        n = len(pairs)
+        r_ref = _pearson_from_ints(
+            n,
+            sum(x for x, _ in pairs),
+            sum(y for _, y in pairs),
+            sum(x * x for x, _ in pairs),
+            sum(y * y for _, y in pairs),
+            sum(x * y for x, y in pairs),
+        )
+        assert got[lag]["n"] == n
+        if r_ref is None:
+            assert got[lag]["ccf_r"] is None
+        else:
+            assert got[lag]["ccf_r"] == pytest.approx(r_ref, rel=1e-9)
+
+
+# ------------------------------------------------------------- OLS trend
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_trend_by_event_type_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.tsq2 import trend_by_event_type
+
+    con = _con(sf_dir)
+    # per-event quantize-then-sum (differs from sum-then-quantize only
+    # in rounding; mirror the entry: SUM over per-event cents)
+    daily: dict[str, dict] = {}
+    for t, day, v in con.sql(
+        "SELECT event_type, CAST(ts AS DATE), value FROM events"
+    ).fetchall():
+        daily.setdefault(t, {}).setdefault(day, []).append(v)
+    got = {r["event_type"]: r for r in
+           trend_by_event_type(spark, sf_dir).collect()}
+    assert set(got) == set(daily)
+    for t, by_day in daily.items():
+        days = sorted(by_day)
+        d_min = min(days)
+        rows = [
+            (
+                (d - d_min).days,
+                (
+                    sum(_cents(v) for v in by_day[d] if v is not None)
+                    if any(v is not None for v in by_day[d])
+                    else None
+                ),
+            )
+            for d in days
+        ]
+        n = len(rows)
+        sx = sum(x for x, _ in rows)
+        sxx = sum(x * x for x, _ in rows)
+        live = [(x, y) for x, y in rows if y is not None]
+        sy = sum(y for _, y in live)
+        sxy = sum(x * y for x, y in live)
+        syy = sum(y * y for _, y in live)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        r = got[t]
+        assert r["n"] == n
+        assert r["slope_num"] == num
+        assert r["slope_den"] == den
+        if den:
+            assert r["slope_r"] == pytest.approx(
+                float(num) / float(den), rel=1e-12
+            )
+            assert r["intercept_r"] == pytest.approx(
+                float(sy * den - num * sx) / float(n * den), rel=1e-9
+            )
+            dy = float(n * syy - sy * sy)
+            if dy:
+                assert r["r2_r"] == pytest.approx(
+                    float(num) * float(num) / (float(den) * dy), rel=1e-9
+                )
+
+
+# ------------------------------------------------------- rolling corr
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_rolling_corr_matches_reference(spark, sf_dir):
+    import datetime
+
+    from de4ml_spark.queries.tsq2 import (
+        ROLL_CORR_DAYS,
+        rolling_corr_view_click,
+    )
+
+    con = _con(sf_dir)
+    counts = {
+        d: (v, c)
+        for d, v, c in con.sql(
+            """SELECT CAST(ts AS DATE),
+                   COUNT(*) FILTER (WHERE event_type = 'view'),
+                   COUNT(*) FILTER (WHERE event_type = 'click')
+            FROM events GROUP BY 1"""
+        ).fetchall()
+    }
+    lo, hi = min(counts), max(counts)
+    spine = [
+        lo + datetime.timedelta(days=i) for i in range((hi - lo).days + 1)
+    ]
+    vs = [counts.get(d, (0, 0))[0] for d in spine]
+    cs = [counts.get(d, (0, 0))[1] for d in spine]
+    got = {r["day"]: r for r in
+           rolling_corr_view_click(spark, sf_dir).collect()}
+    assert set(got) == set(spine)
+    for i, d in enumerate(spine):
+        w = slice(max(0, i - ROLL_CORR_DAYS + 1), i + 1)
+        wv, wc = vs[w], cs[w]
+        n = len(wv)
+        r = got[d]
+        assert (r["v"], r["c"], r["n"]) == (vs[i], cs[i], n)
+        num = float(
+            n * sum(a * b for a, b in zip(wv, wc)) - sum(wv) * sum(wc)
+        )
+        den = math.sqrt(
+            float(n * sum(a * a for a in wv) - sum(wv) ** 2)
+            * float(n * sum(b * b for b in wc) - sum(wc) ** 2)
+        )
+        if den == 0.0:
+            assert r["corr_r"] is None
+        else:
+            assert r["corr_r"] == pytest.approx(num / den, rel=1e-9)
+
+
+# ------------------------------------------------------- changepoint
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_changepoint_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.tsq2 import changepoint_value_events
+
+    con = _con(sf_dir)
+    series = _daily_cents(con)
+    got = {r["event_type"]: r for r in
+           changepoint_value_events(spark, sf_dir).collect()}
+    for t, vc in series.items():
+        days = sorted(vc)
+        vals = [vc[d] if vc[d] is not None else None for d in days]
+        assert all(v is not None for v in vals)  # testdata has no gaps
+        nt = len(vals)
+        st = sum(vals)
+        qt = sum(v * v for v in vals)
+        best = None
+        sl = ql = 0
+        for i, d in enumerate(days[:-1]):
+            sl += vals[i]
+            ql += vals[i] * vals[i]
+            nl, nr = i + 1, nt - i - 1
+            sr, qr = st - sl, qt - ql
+            obj_x = (nl * ql - sl * sl) * nr + (nr * qr - sr * sr) * nl
+            obj_d = float(obj_x) / float(nl * nr)
+            key = (obj_d, d)
+            if best is None or key < best[0]:
+                best = (key, d, nl, nr, sl, sr, obj_d)
+        _, d, nl, nr, sl, sr, obj_d = best
+        r = got[t]
+        assert r["split_day"] == d
+        assert (r["n_left"], r["n_right"]) == (nl, nr)
+        assert r["mean_left_r"] == pytest.approx(
+            _halfup_div(sl, nl, 2), rel=1e-12
+        )
+        assert r["mean_right_r"] == pytest.approx(
+            _halfup_div(sr, nr, 2), rel=1e-12
+        )
+        assert r["obj_r"] == pytest.approx(obj_d, rel=1e-12)
+
+
+# ------------------------------------------------------------- Markov
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_markov_accuracy_matches_reference(spark, sf_dir):
+    from collections import Counter
+
+    from de4ml_spark.queries.statq import (
+        MARKOV_SPLIT_DAY,
+        markov_next_event_accuracy,
+    )
+
+    con = _con(sf_dir)
+    rows = con.sql(
+        """SELECT user_id, event_type, epoch_ns(ts), event_id,
+               date_part('day', ts)
+        FROM events WHERE user_id IS NOT NULL"""
+    ).fetchall()
+    # Spark reads the nanos column floor-divided to micros; order
+    # within (user, split) is (ts_micros, event_id)
+    by_part: dict[tuple, list] = {}
+    for uid, et, ns, eid, dom in rows:
+        is_train = dom < MARKOV_SPLIT_DAY
+        by_part.setdefault((uid, is_train), []).append(
+            (ns // 1000, eid, et)
+        )
+    train = Counter()
+    test_pairs = []
+    for (_, is_train), evs in by_part.items():
+        evs.sort()
+        for (_, _, prev), (_, _, nxt) in zip(evs, evs[1:]):
+            if is_train:
+                train[(prev, nxt)] += 1
+            else:
+                test_pairs.append((prev, nxt))
+    pred = {}
+    for (prev, nxt), c in train.items():
+        cur = pred.get(prev)
+        if cur is None or (-c, nxt) < (-cur[1], cur[0]):
+            pred[prev] = (nxt, c)
+    agg: dict[str, list[int]] = {}
+    for prev, nxt in test_pairs:
+        row = agg.setdefault(prev, [0, 0])
+        row[0] += 1
+        if prev in pred and nxt == pred[prev][0]:
+            row[1] += 1
+    got = {r["prev"]: r for r in
+           markov_next_event_accuracy(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for prev, (n_test, n_hits) in agg.items():
+        r = got[prev]
+        assert r["n_test"] == n_test
+        assert r["n_hits"] == n_hits
+        if prev in pred:
+            assert r["predicted"] == pred[prev][0]
+            assert r["train_cnt"] == pred[prev][1]
+        else:
+            assert r["predicted"] is None
+        assert r["accuracy_r"] == pytest.approx(
+            _halfup_div(n_hits, n_test), rel=1e-12
+        )
+
+
+# ------------------------------------------------- embedding covariance
+
+
+def test_embedding_covariance_matches_reference(spark):
+    from de4ml_spark.queries.simq import embedding_covariance
+
+    con = _con(SF)
+    vecs = [
+        v for (v,) in con.sql("SELECT embedding FROM embeddings").fetchall()
+    ]
+    dim = len(vecs[0])
+    micro = [
+        [math.floor(float(x) * 1e6 + 0.5) for x in vec] for vec in vecs
+    ]
+    got = {(r["j"], r["k"]): r for r in
+           embedding_covariance(spark, SF).collect()}
+    assert len(got) == dim * (dim + 1) // 2
+    n = len(micro)
+    # spot-check a diagonal band plus corners (full d^2 loop in Python
+    # is slow for no extra coverage)
+    checks = [(j, j) for j in range(dim)] + [
+        (0, dim - 1),
+        (1, 5),
+        (3, 17),
+        (0, 1),
+    ]
+    for j, k in checks:
+        sj = sum(m[j] for m in micro)
+        sk = sum(m[k] for m in micro)
+        sjk = sum(m[j] * m[k] for m in micro)
+        r = got[(j, k)]
+        assert r["n"] == n
+        assert r["sj"] == sj
+        assert r["sk"] == sk
+        cov = float(n * sjk - sj * sk) / float(n * (n - 1)) / 1e12
+        assert r["cov_r"] == pytest.approx(cov, rel=1e-9)
+
+
+# ------------------------------------------------- grid/cluster purity
+
+
+def _grid_clusters_reference(con):
+    from de4ml_spark.queries.simq import _GRID_OFF, GRID_H, GRID_MINPTS
+
+    def tdiv(a: int, b: int) -> int:  # Spark DIV truncates toward zero
+        return a // b if a >= 0 else -((-a) // b)
+
+    pts = {}
+    for vid, emb in con.sql(
+        "SELECT vec_id, embedding FROM embeddings"
+    ).fetchall():
+        cx = tdiv(math.floor(float(emb[0]) * 1e6 + 0.5), GRID_H)
+        cy = tdiv(math.floor(float(emb[1]) * 1e6 + 0.5), GRID_H)
+        pts[vid] = (cx, cy)
+    from collections import Counter
+
+    cells = Counter(pts.values())
+    core = {
+        (cx, cy): (cx + _GRID_OFF) * 100000 + (cy + _GRID_OFF)
+        for (cx, cy), n in cells.items()
+        if n >= GRID_MINPTS
+    }
+    parent = {c: c for c in core.values()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (cx, cy), c in core.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nbr = core.get((cx + dx, cy + dy))
+                if nbr is not None and nbr != c:
+                    ra, rb = find(c), find(nbr)
+                    if ra != rb:
+                        lo, hi = min(ra, rb), max(ra, rb)
+                        parent[hi] = lo
+    return {
+        vid: (find(core[cc]) if cc in core else None)
+        for vid, cc in pts.items()
+    }
+
+
+def test_cluster_purity_matches_reference(spark):
+    from collections import Counter
+
+    from de4ml_spark.queries.simq import cluster_purity_embeddings
+
+    con = _con(SF)
+    assign = _grid_clusters_reference(con)
+    labels = dict(
+        con.sql("SELECT vec_id, label FROM embeddings").fetchall()
+    )
+    by_cluster: dict = {}
+    for vid, cl in assign.items():
+        by_cluster.setdefault(cl, Counter())[labels[vid]] += 1
+    got = {r["cluster"]: r for r in
+           cluster_purity_embeddings(spark, SF).collect()}
+    assert set(got) == set(by_cluster)
+    for cl, cnt in by_cluster.items():
+        n_points = sum(cnt.values())
+        maj_label, maj_n = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        r = got[cl]
+        assert r["n_points"] == n_points
+        assert r["majority_label"] == maj_label
+        assert r["n_majority"] == maj_n
+        if cl is None:
+            assert r["purity_r"] is None
+        else:
+            assert r["purity_r"] == pytest.approx(
+                _halfup_div(maj_n, n_points), rel=1e-12
+            )
+
+
+# ------------------------------------------------------------- KMV
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_kmv_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.sketchq import (
+        KMV_BITS,
+        KMV_K,
+        kmv_distinct_users,
+    )
+
+    con = _con(sf_dir)
+    by_day: dict = {}
+    for day, uid in con.sql(
+        "SELECT DISTINCT CAST(ts AS DATE), user_id FROM events"
+    ).fetchall():
+        by_day.setdefault(day, set()).add(uid)
+    got = {r["day"]: r for r in kmv_distinct_users(spark, sf_dir).collect()}
+    assert set(got) == set(by_day)
+    for day, uids in by_day.items():
+        hs = sorted({_phash(str(u), KMV_BITS) for u in uids})
+        r = got[day]
+        assert r["exact_distinct"] == len(uids)
+        if len(hs) >= KMV_K:
+            hk = hs[KMV_K - 1]
+            assert r["kmv_est"] == (KMV_K - 1) * (1 << KMV_BITS) // (hk + 1)
+        else:
+            assert r["kmv_est"] == len(uids)
+
+
+# ------------------------------------------------------------- CountMin
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_countmin_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.sketchq import (
+        _CM_FAMILY,
+        CM_WIDTH,
+        countmin_event_types,
+    )
+    from de4ml_spark.operators.portable_hash import P31
+
+    con = _con(sf_dir)
+    exact = dict(
+        con.sql("SELECT event_type, COUNT(*) FROM events GROUP BY 1").fetchall()
+    )
+    buckets: dict = {}
+    for t, c in exact.items():
+        x = _phash(t, 31)
+        for s, (a, b) in enumerate(_CM_FAMILY):
+            key = (s, ((a * x + b) % P31) % CM_WIDTH)
+            buckets[key] = buckets.get(key, 0) + c
+    got = {r["event_type"]: r for r in
+           countmin_event_types(spark, sf_dir).collect()}
+    assert set(got) == set(exact)
+    for t, c in exact.items():
+        x = _phash(t, 31)
+        est = min(
+            buckets[(s, ((a * x + b) % P31) % CM_WIDTH)]
+            for s, (a, b) in enumerate(_CM_FAMILY)
+        )
+        assert got[t]["exact_count"] == c
+        assert got[t]["cm_est"] == est
+        assert est >= c  # CountMin never underestimates
+
+
+# ------------------------------------------------------------- Neyman
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_neyman_allocation_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.samplingq import (
+        NEYMAN_BUDGET,
+        neyman_allocation_events,
+    )
+
+    con = _con(sf_dir)
+    strata: dict = {}
+    for t, v in con.sql(
+        "SELECT event_type, value FROM events"
+    ).fetchall():
+        strata.setdefault(t, []).append(_cents(v) if v is not None else None)
+    w_micro = {}
+    ns = {}
+    for t, vals in strata.items():
+        n = len(vals)
+        live = [v for v in vals if v is not None]
+        sx = sum(live)
+        sxx = sum(v * v for v in live)
+        sigma = math.sqrt(float(n * sxx - sx * sx) / float(n * n))
+        w_micro[t] = math.floor(n * sigma * 1e6 + 0.5)
+        ns[t] = n
+    tw = sum(w_micro.values())
+    base = {t: NEYMAN_BUDGET * w // tw for t, w in w_micro.items()}
+    rem = {t: NEYMAN_BUDGET * w % tw for t, w in w_micro.items()}
+    leftover = NEYMAN_BUDGET - sum(base.values())
+    order = sorted(w_micro, key=lambda t: (-rem[t], t))
+    alloc = {
+        t: base[t] + (1 if i < leftover else 0)
+        for i, t in enumerate(order)
+    }
+    got = {r["event_type"]: r for r in
+           neyman_allocation_events(spark, sf_dir).collect()}
+    assert set(got) == set(strata)
+    for t in strata:
+        r = got[t]
+        assert r["n"] == ns[t]
+        assert r["w_micro"] == w_micro[t]
+        assert r["n_alloc"] == alloc[t]
+    assert sum(r["n_alloc"] for r in got.values()) == NEYMAN_BUDGET
+
+
+# ------------------------------------------------------- anomalous days
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_anomalous_days_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.profileq2 import anomalous_days_events
+
+    con = _con(sf_dir)
+    daily: dict = {}
+    for day, v in con.sql(
+        "SELECT CAST(ts AS DATE), value FROM events"
+        " WHERE event_type = 'purchase'"
+    ).fetchall():
+        daily.setdefault(day, []).append(v)
+    td = {
+        d: sum(
+            (Decimal(v).quantize(Decimal("0.01"), ROUND_HALF_UP))
+            for v in vs
+            if v is not None
+        )
+        for d, vs in daily.items()
+    }
+    n = len(td)
+    s1 = float(sum(td.values()))
+    s2 = float(sum(t * t for t in td.values()))
+    sd = math.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
+    got = {r["day"]: r for r in
+           anomalous_days_events(spark, sf_dir).collect()}
+    assert set(got) == set(td)
+    for d, t in td.items():
+        z = (float(t) - s1 / n) / sd
+        r = got[d]
+        assert r["total"] == pytest.approx(float(t), rel=1e-12)
+        assert r["z"] == pytest.approx(z, abs=1.01e-6)
+        if abs(abs(z) - 2.0) > 1e-5:  # away from the threshold boundary
+            assert r["is_anomaly"] == (abs(z) > 2)
+
+
+# ------------------------------------------------------------- SPRT
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_sprt_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.statq import _sprt_consts, sprt_ctr_deciles
+
+    ln43, ln98, ln19 = _sprt_consts()
+    con = _con(sf_dir)
+    daily: dict = {}
+    for dec, day, n, x in con.sql(
+        """SELECT user_id % 10, CAST(ts AS DATE), COUNT(*),
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        FROM events
+        WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+        GROUP BY 1, 2"""
+    ).fetchall():
+        daily.setdefault(dec, []).append((day, n, x))
+    got = {r["decile"]: r for r in sprt_ctr_deciles(spark, sf_dir).collect()}
+    assert set(got) == set(daily)
+    for dec, rows in daily.items():
+        rows.sort()
+        llr = 0
+        decided = False
+        for idx, (day, n, x) in enumerate(rows):
+            llr += x * ln43 - (n - x) * ln98
+            if llr >= ln19 or llr <= -ln19:
+                r = got[dec]
+                assert r["decision_day"] == day
+                assert r["n_days_used"] == idx + 1
+                assert r["llr_micro"] == llr
+                assert r["decision"] == ("h1" if llr >= ln19 else "h0")
+                decided = True
+                break
+        if not decided:
+            r = got[dec]
+            assert r["decision_day"] is None
+            assert r["n_days_used"] == len(rows)
+            assert r["llr_micro"] == llr
+            assert r["decision"] == "continue"
+
+
+# ------------------------------------------------------------- gapfill
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_gapfill_interp_matches_reference(spark, sf_dir):
+    import datetime
+
+    from de4ml_spark.queries.tsq2 import gapfill_interp_user_daily
+
+    con = _con(sf_dir)
+    daily: dict = {}
+    for uid, day, v in con.sql(
+        """SELECT user_id, CAST(ts AS DATE), value FROM events
+        WHERE user_id < 40"""
+    ).fetchall():
+        daily.setdefault(uid, {}).setdefault(day, []).append(v)
+    got = {
+        (r["user_id"], r["day"]): r
+        for r in gapfill_interp_user_daily(spark, sf_dir).collect()
+    }
+    n_expected = 0
+    for uid, by_day in daily.items():
+        vc = {
+            d: (
+                sum(_cents(v) for v in vs if v is not None)
+                if any(v is not None for v in vs)
+                else None
+            )
+            for d, vs in by_day.items()
+        }
+        d0, d1 = min(vc), max(vc)
+        obs_days = sorted(d for d in vc if vc[d] is not None)
+        span = [
+            d0 + datetime.timedelta(days=i)
+            for i in range((d1 - d0).days + 1)
+        ]
+        n_expected += len(span)
+        for d in span:
+            r = got[(uid, d)]
+            if d in vc and vc[d] is not None:
+                assert r["observed"] is True
+                assert r["value_filled"] == pytest.approx(
+                    vc[d] / 100.0, rel=1e-12
+                )
+                continue
+            assert r["observed"] is False
+            prev = max((p for p in obs_days if p < d), default=None)
+            nxt = min((p for p in obs_days if p > d), default=None)
+            if prev is None or nxt is None:
+                assert r["value_filled"] is None
+                continue
+            pd_, nd = (prev - d0).days, (nxt - d0).days
+            dd = (d - d0).days
+            num = vc[prev] * (nd - pd_) + (vc[nxt] - vc[prev]) * (dd - pd_)
+            den = (nd - pd_) * 100
+            assert r["value_filled"] == pytest.approx(
+                float((2 * num * 10**6 + den) // (2 * den)) / 10**6,
+                rel=1e-12,
+            )
+    assert len(got) == n_expected
+
+
+# ------------------------------------------------------------- LTV
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_ltv_triangle_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.tsq2 import ltv_triangle_orders
+
+    con = _con(sf_dir)
+    orders = con.sql(
+        """SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)),
+               o_totalprice
+        FROM orders"""
+    ).fetchall()
+    first: dict = {}
+    for ck, om, _ in orders:
+        if ck not in first or om < first[ck]:
+            first[ck] = om
+    sizes: dict = {}
+    for ck, coh in first.items():
+        sizes[coh] = sizes.get(coh, 0) + 1
+    tri: dict = {}
+    for ck, om, price in orders:
+        coh = first[ck]
+        age = (om.year - coh.year) * 12 + (om.month - coh.month)
+        row = tri.setdefault((coh, age), [0, 0])
+        row[0] += 1
+        row[1] += _cents(price)
+    got = {
+        (r["cohort"], r["age_months"]): r
+        for r in ltv_triangle_orders(spark, sf_dir).collect()
+    }
+    assert set(got) == set(tri)
+    cum: dict = {}
+    for (coh, age) in sorted(tri):
+        n_orders, rev = tri[(coh, age)]
+        cum[coh] = cum.get(coh, 0) + rev
+        r = got[(coh, age)]
+        assert r["n_orders"] == n_orders
+        assert r["revenue_c"] == rev
+        assert r["cum_revenue_c"] == cum[coh]
+        assert r["cohort_users"] == sizes[coh]
+        assert r["ltv_per_user_r"] == pytest.approx(
+            _halfup_div(cum[coh], sizes[coh] * 100), rel=1e-12
+        )
+
+
+# ------------------------------------------------------------- triangles
+
+
+def test_triangle_count_matches_reference(spark):
+    from de4ml_spark.queries.graphq import triangle_count_parts
+
+    con = _con(SF)
+    by_order: dict = {}
+    for ok, pk in con.sql(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall():
+        by_order.setdefault(ok, set()).add(pk)
+    edges = set()
+    for parts in by_order.values():
+        for u in parts:
+            for v in parts:
+                if u < v:
+                    edges.add((u, v))
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    per_node: dict = {}
+    total = 0
+    nodes = sorted(adj)
+    for u in nodes:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    total += 1
+                    for x in (u, v, w):
+                        per_node[x] = per_node.get(x, 0) + 1
+    got = {r["node"]: r for r in triangle_count_parts(spark, SF).collect()}
+    assert set(got) == set(per_node)
+    for node, t in per_node.items():
+        r = got[node]
+        deg = len(adj[node])
+        assert r["n_triangles"] == t
+        assert r["degree"] == deg
+        assert r["total_triangles"] == total
+        assert r["clustering_r"] == pytest.approx(
+            _halfup_div(2 * t, deg * (deg - 1)), rel=1e-12
+        )
+
+
+# ------------------------------------------------------------- HITS
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_hits_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.graphq import (
+        HITS_SCALE,
+        HITS_TOPK,
+        hits_bipartite_orders,
+    )
+
+    con = _con(sf_dir)
+    edges = set(
+        con.sql(
+            """SELECT DISTINCT o.o_custkey, l.l_partkey
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
+        ).fetchall()
+    )
+    # half-step 1: authority = renormed part degree
+    s1: dict = {}
+    for _, p in edges:
+        s1[p] = s1.get(p, 0) + HITS_SCALE
+    t1 = sum(s1.values())
+    a1 = {p: s * HITS_SCALE // t1 for p, s in s1.items()}
+    # half-step 2: hubs from authorities
+    s2: dict = {}
+    for c, p in edges:
+        s2[c] = s2.get(c, 0) + a1[p]
+    t2 = sum(s2.values())
+    h1 = {c: s * HITS_SCALE // t2 for c, s in s2.items()}
+    # half-step 3: authorities from refined hubs
+    s3: dict = {}
+    for c, p in edges:
+        s3[p] = s3.get(p, 0) + h1[c]
+    t3 = sum(s3.values())
+    a2 = {p: s * HITS_SCALE // t3 for p, s in s3.items()}
+    top = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPK]
+    rows = hits_bipartite_orders(spark, sf_dir).collect()
+    assert len(rows) == min(HITS_TOPK, len(a2))
+    got = {r["partkey"]: r["authority_ppm"] for r in rows}
+    assert got == dict(top)
