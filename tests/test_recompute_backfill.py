@@ -1679,3 +1679,710 @@ def test_hits_matches_reference(spark, sf_dir):
     assert len(rows) == min(HITS_TOPK, len(a2))
     got = {r["partkey"]: r["authority_ppm"] for r in rows}
     assert got == dict(top)
+
+
+# ------------------------------------------------------------- WoE / IV
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_woe_iv_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.mldataq5 import woe_iv_events
+
+    con = _con(sf_dir)
+    buckets: dict = {}
+    for v, et in con.sql(
+        """SELECT value, event_type FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL"""
+    ).fetchall():
+        c = _cents(v)
+        b = c // 5000 if c >= 0 else -((-c) // 5000)
+        row = buckets.setdefault(b, [0, 0])
+        if et == "purchase":
+            row[0] += 1
+        else:
+            row[1] += 1
+    k = len(buckets)
+    g_raw = sum(g for g, _ in buckets.values())
+    b_raw = sum(b for _, b in buckets.values())
+    g_tot, b_tot = 2 * g_raw + k, 2 * b_raw + k
+    got = {r["bucket"]: r for r in woe_iv_events(spark, sf_dir).collect()}
+    assert set(got) == set(buckets)
+    iv_ref = 0.0
+    for bkt, (g, b) in buckets.items():
+        g_s, b_s = 2 * g + 1, 2 * b + 1
+        woe = math.log((g_s * b_tot) / (b_s * g_tot))
+        r = got[bkt]
+        assert (r["n_good"], r["n_bad"]) == (g, b)
+        assert r["woe"] == pytest.approx(woe, rel=1e-9, abs=1e-12)
+        iv_ref += (g_s / g_tot - b_s / b_tot) * woe
+    assert got[min(got)]["iv_total"] == pytest.approx(
+        iv_ref, rel=1e-4, abs=1e-6
+    )
+
+
+# ------------------------------------------------------------- kappa
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_cohens_kappa_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.mldataq5 import cohens_kappa_docs
+
+    con = _con(sf_dir)
+    n = agree = a1 = b1 = 0
+    for nc, text in con.sql(
+        "SELECT n_chars, text FROM documents"
+    ).fetchall():
+        ra = 1 if nc >= 300 else 0
+        rb = 1 if len(text.split(" ")) >= 50 else 0
+        n += 1
+        agree += 1 if ra == rb else 0
+        a1 += ra
+        b1 += rb
+    pe_num = a1 * b1 + (n - a1) * (n - b1)
+    kappa = float(n * agree - pe_num) / float(n * n - pe_num)
+    row = cohens_kappa_docs(spark, sf_dir).collect()[0]
+    assert (row["n_tot"], row["agree"], row["a1"], row["b1"]) == (
+        n, agree, a1, b1,
+    )
+    assert row["po"] == pytest.approx(agree / n, rel=1e-12)
+    assert row["kappa"] == pytest.approx(kappa, rel=1e-12)
+
+
+# ------------------------------------------------------------- NDCG@K
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_ndcg_matches_reference(spark, sf_dir):
+    import datetime
+
+    from de4ml_spark.queries.mldataq4 import POP_SPLIT_DEN, POP_SPLIT_NUM
+    from de4ml_spark.queries.mldataq5 import (
+        _NDCG_GAIN_U,
+        _NDCG_IDEAL_U,
+        NDCG_K,
+        ndcg_at_k_orders,
+    )
+
+    con = _con(sf_dir)
+    orders = con.sql(
+        "SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) FROM orders"
+    ).fetchall()
+    li: dict = {}
+    for ok, pk in con.sql(
+        "SELECT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall():
+        li.setdefault(ok, []).append(pk)
+    dmin = min(d for _, _, d in orders)
+    dmax = max(d for _, _, d in orders)
+    split = dmin + datetime.timedelta(
+        days=(dmax - dmin).days * POP_SPLIT_NUM // POP_SPLIT_DEN
+    )
+    from collections import Counter
+
+    train_cnt = Counter()
+    holdout: dict = {}
+    for ok, ck, d in orders:
+        for pk in li.get(ok, []):
+            if d <= split:
+                train_cnt[pk] += 1
+            else:
+                holdout.setdefault(ck, set()).add(pk)
+    topk = sorted(train_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:NDCG_K]
+    pos = {pk: i + 1 for i, (pk, _) in enumerate(topk)}
+    total_u = 0
+    for ck, parts in holdout.items():
+        dcg = sum(_NDCG_GAIN_U[pos[pk] - 1] for pk in parts if pk in pos)
+        idcg = _NDCG_IDEAL_U[min(len(parts), NDCG_K) - 1]
+        total_u += (2 * dcg * 1_000_000 + idcg) // (2 * idcg)
+    row = ndcg_at_k_orders(spark, sf_dir).collect()[0]
+    assert row["n_customers"] == len(holdout)
+    assert row["sum_ndcg_u"] == total_u
+    assert row["ndcg_r"] == pytest.approx(
+        _halfup_div(total_u, len(holdout) * 1_000_000), rel=1e-12
+    )
+
+
+# ------------------------------------------------------------- Katz
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_katz_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.graphq import (
+        KATZ_ALPHA_DIV,
+        KATZ_ITERS,
+        KATZ_SCALE,
+        KATZ_TOPK,
+        katz_centrality_parts,
+    )
+
+    con = _con(sf_dir)
+    by_order: dict = {}
+    for ok, pk in con.sql(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall():
+        by_order.setdefault(ok, set()).add(pk)
+    out_edges: dict = {}
+    for parts in by_order.values():
+        for u in parts:
+            for v in parts:
+                if u != v:
+                    out_edges.setdefault(u, set()).add(v)
+    katz = {n: KATZ_SCALE for n in out_edges}
+    for _ in range(KATZ_ITERS):
+        in_sum: dict = {}
+        for u, vs in out_edges.items():
+            for v in vs:
+                in_sum[v] = in_sum.get(v, 0) + katz[u]
+        katz = {
+            n: KATZ_SCALE + in_sum.get(n, 0) // KATZ_ALPHA_DIV
+            for n in katz
+        }
+    top = sorted(katz.items(), key=lambda kv: (-kv[1], kv[0]))[:KATZ_TOPK]
+    rows = katz_centrality_parts(spark, sf_dir).collect()
+    assert [(r["part_key"], r["katz"]) for r in rows] == top
+    assert [r["rank"] for r in rows] == list(range(1, len(top) + 1))
+
+
+# ------------------------------------------------- interarrival/burst
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_interarrival_burstiness_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.statq2 import interarrival_burstiness_events
+
+    con = _con(sf_dir)
+    by_type: dict = {}
+    for et, ns, eid in con.sql(
+        """SELECT event_type, epoch_ns(ts), event_id FROM events
+        WHERE event_type IS NOT NULL"""
+    ).fetchall():
+        by_type.setdefault(et, []).append((ns // 1000, eid))
+    got = {r["event_type"]: r for r in
+           interarrival_burstiness_events(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for et, evs in by_type.items():
+        evs.sort()
+        gaps = [b[0] - a[0] for a, b in zip(evs, evs[1:])]
+        n = len(gaps)
+        s, ss = sum(gaps), sum(g * g for g in gaps)
+        mu = s / n
+        sd = math.sqrt(float(n * ss - s * s) / (n * (n - 1.0)))
+        r = got[et]
+        assert r["n_gaps"] == n
+        assert r["mean_gap_us"] == pytest.approx(mu, rel=1e-12)
+        assert r["sd_gap_us"] == pytest.approx(sd, rel=1e-9)
+        assert r["burstiness"] == pytest.approx(
+            (sd - mu) / (sd + mu), rel=1e-9
+        )
+
+
+# ------------------------------------------------------- Durbin-Watson
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_durbin_watson_matches_reference(spark, sf_dir):
+    import datetime
+
+    from de4ml_spark.queries.statq2 import durbin_watson_daily_events
+
+    con = _con(sf_dir)
+    daily = dict(
+        con.sql(
+            "SELECT CAST(ts AS DATE), COUNT(*) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    n = len(daily)
+    s = sum(daily.values())
+    # residuals of the mean model, scaled by n to stay integer
+    e = {d: n * c - s for d, c in daily.items()}
+    dden = sum(v * v for v in e.values())
+    dnum = sum(
+        (e[d + datetime.timedelta(days=1)] - e[d]) ** 2
+        for d in e
+        if d + datetime.timedelta(days=1) in e
+    )
+    row = durbin_watson_daily_events(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert row["durbin_watson"] == pytest.approx(
+        float(dnum) / float(dden), rel=1e-12
+    )
+
+
+# ------------------------------------------------- Poisson bootstrap
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_poisson_bootstrap_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.samplingq import (
+        _POIS_T,
+        BOOT_REPS,
+        poisson_bootstrap_value_mean,
+    )
+
+    con = _con(sf_dir)
+    rows = con.sql(
+        "SELECT event_id, value FROM events WHERE value IS NOT NULL"
+    ).fetchall()
+    base = [(eid, _cents(v)) for eid, v in rows]
+
+    def weight(r: int, eid) -> int:
+        h = _phash(f"{r}:{eid}")
+        for k, t in enumerate(_POIS_T):
+            if h < t:
+                return k
+        return 8
+
+    means = []
+    for r in range(BOOT_REPS):
+        sw = swx = 0
+        for eid, vc in base:
+            w = weight(r, eid)
+            sw += w
+            swx += w * vc
+        means.append((2 * swx * 1_000_000 + sw) // (2 * sw))
+    means.sort()
+    row = poisson_bootstrap_value_mean(spark, sf_dir).collect()[0]
+    assert row["n_events"] == len(base)
+    assert row["b_reps"] == BOOT_REPS
+    assert row["mean_value_cents"] == pytest.approx(
+        sum(v for _, v in base) / len(base), rel=1e-12
+    )
+    assert row["ci_lo_cents"] == pytest.approx(means[1] / 1e6, rel=1e-12)
+    assert row["ci_hi_cents"] == pytest.approx(
+        means[BOOT_REPS - 2] / 1e6, rel=1e-12
+    )
+
+
+# ------------------------------------------------------------- keyness
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_keyness_matches_reference(spark, sf_dir):
+    from collections import Counter
+
+    from de4ml_spark.operators.portable_hash import portable_ln_const
+    from de4ml_spark.queries.textq4 import KEYNESS_K, keyness_terms_sources
+
+    con = _con(sf_dir)
+    n_docs = Counter(
+        dict(
+            con.sql(
+                "SELECT source, COUNT(*) FROM documents GROUP BY 1"
+            ).fetchall()
+        )
+    )
+    top2 = sorted(n_docs.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    side = {top2[0][0]: 1, top2[1][0]: 2}
+    a_cnt, b_cnt = Counter(), Counter()
+    for source, text in con.sql(
+        "SELECT source, text FROM documents"
+    ).fetchall():
+        if source not in side:
+            continue
+        (a_cnt if side[source] == 1 else b_cnt).update(text.split(" "))
+    na = sum(a_cnt.values())
+    nb = sum(b_cnt.values())
+    g2: dict = {}
+    for t in set(a_cnt) | set(b_cnt):
+        a, b = a_cnt[t], b_cnt[t]
+        w_a = w_b = 0
+        if a > 0:
+            num, den = a * (na + nb), na * (a + b)
+            ln = portable_ln_const(max(num, den), min(num, den))
+            sgn = 1 if num >= den else -1
+            w_a = a * sgn * math.floor(ln * 1e6 + 0.5)
+        if b > 0:
+            num, den = b * (na + nb), nb * (a + b)
+            ln = portable_ln_const(max(num, den), min(num, den))
+            sgn = 1 if num >= den else -1
+            w_b = b * sgn * math.floor(ln * 1e6 + 0.5)
+        g2[t] = (2 * (w_a + w_b), a, b, 1 if w_a >= 0 else 0)
+    top = sorted(g2.items(), key=lambda kv: (-kv[1][0], kv[0]))[:KEYNESS_K]
+    rows = keyness_terms_sources(spark, sf_dir).collect()
+    assert len(rows) == len(top)
+    for r, (t, (g2_u, a, b, lean)) in zip(rows, top):
+        assert r["term"] == t
+        assert (r["cnt_a"], r["cnt_b"]) == (a, b)
+        assert r["g2_keyness"] == pytest.approx(g2_u / 1e6, rel=1e-12)
+        assert r["leans_a"] == lean
+
+
+# ------------------------------------------------------- Mahalanobis
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_mahalanobis_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.statq5 import MAHAL_TOPK, mahalanobis_anomalous_days
+
+    con = _con(sf_dir)
+    daily = {
+        d: (x, y)
+        for d, x, y in con.sql(
+            """SELECT CAST(ts AS DATE),
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            FROM events GROUP BY 1"""
+        ).fetchall()
+    }
+    n = len(daily)
+    sx = sum(x for x, _ in daily.values())
+    sy = sum(y for _, y in daily.values())
+    z = {d: (n * x - sx, n * y - sy) for d, (x, y) in daily.items()}
+    a_m = sum(zx * zx for zx, _ in z.values())
+    b_m = sum(zx * zy for zx, zy in z.values())
+    d_m = sum(zy * zy for _, zy in z.values())
+    det2 = a_m * d_m - b_m * b_m
+    scored = {
+        d: d_m * zx * zx - 2 * b_m * zx * zy + a_m * zy * zy
+        for d, (zx, zy) in z.items()
+    }
+    top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:MAHAL_TOPK]
+    got = {r["day"]: r for r in
+           mahalanobis_anomalous_days(spark, sf_dir).collect()}
+    assert set(got) == {d for d, _ in top}
+    for d, d2_num in top:
+        r = got[d]
+        assert (r["clicks"], r["purchases"]) == daily[d]
+        assert r["mahal_d2"] == pytest.approx(
+            float(n) * float(d2_num) / float(det2), rel=1e-12
+        )
+
+
+# ------------------------------------------------------- Burrows delta
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_burrows_delta_matches_reference(spark, sf_dir):
+    from collections import Counter
+
+    from de4ml_spark.queries.textq4 import BURROWS_K, burrows_delta_sources
+
+    con = _con(sf_dir)
+    counts: dict = {}
+    n_docs = Counter()
+    for source, text in con.sql(
+        "SELECT source, text FROM documents"
+    ).fetchall():
+        n_docs[source] += 1
+        counts.setdefault(source, Counter()).update(text.split(" "))
+    pooled = Counter()
+    for c in counts.values():
+        pooled.update(c)
+    topk = [
+        t
+        for t, _ in sorted(
+            pooled.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:BURROWS_K]
+    ]
+    totals = {s: sum(c.values()) for s, c in counts.items()}
+    f9 = {
+        (s, t): (2 * counts[s][t] * 10**9 + totals[s])
+        // (2 * totals[s])
+        for s in counts
+        for t in topk
+    }
+    s_cnt = len(counts)
+    top2 = sorted(n_docs.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    src_a, src_b = top2[0][0], top2[1][0]
+    delta_u = n_terms = 0
+    for t in topk:
+        sf_ = sum(f9[(s, t)] for s in counts)
+        sf2 = sum(f9[(s, t)] ** 2 for s in counts)
+        v9 = s_cnt * sf2 - sf_ * sf_
+        fa, fb = f9[(src_a, t)], f9[(src_b, t)]
+        t_u = math.floor(
+            1e6 * float(s_cnt) * float(abs(fa - fb)) / math.sqrt(float(v9))
+            + 0.5
+        )
+        n_terms += 1
+        delta_u += t_u
+    row = burrows_delta_sources(spark, sf_dir).collect()[0]
+    assert (row["src_a"], row["src_b"]) == (src_a, src_b)
+    assert row["n_terms"] == n_terms
+    assert row["burrows_delta"] == pytest.approx(
+        float(delta_u) / (float(n_terms) * 1e6), rel=1e-12
+    )
+
+
+# ------------------------------------------------- Benford 2nd digit
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_benford_second_digit_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.sketchq import benford_second_digit_totalprice
+
+    con = _con(sf_dir)
+    obs = {d: 0 for d in range(0, 10)}
+    for (v,) in con.sql("SELECT o_totalprice FROM orders").fetchall():
+        s = str(Decimal(v).quantize(Decimal("0.01"), ROUND_HALF_UP))
+        if len(s) > 1 and "0" <= s[1] <= "9":
+            obs[int(s[1])] += 1
+    n = sum(obs.values())
+    chi2 = 0.0
+    for d2 in range(0, 10):
+        p = sum(
+            math.log10(1 + 1 / (10 * d1 + d2)) for d1 in range(1, 10)
+        )
+        e = n * p
+        chi2 += (obs[d2] - e) ** 2 / e
+    rows = benford_second_digit_totalprice(spark, sf_dir).collect()
+    assert len(rows) == 10
+    got = {r["digit"]: r for r in rows}
+    for d in range(0, 10):
+        assert got[d]["observed"] == obs[d]
+    assert rows[0]["chi2_r"] == pytest.approx(chi2, rel=1e-4, abs=1e-3)
+
+
+# ------------------------------------------------- distance correlation
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_distance_correlation_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.statq4 import distance_correlation_lineitem
+
+    con = _con(sf_dir)
+    cells = [
+        (int(q), _cents(disc), c)
+        for q, disc, c in con.sql(
+            """SELECT CAST(l_quantity AS BIGINT), l_discount, COUNT(*)
+            FROM lineitem GROUP BY 1, 2"""
+        ).fetchall()
+    ]
+    n = sum(c for _, _, c in cells)
+    s1_xy = s1_xx = s1_yy = sx_tot = sy_tot = s3_xy = s3_xx = s3_yy = 0
+    for x, y, c in cells:
+        ax = by_ = axy = axx = ayy = 0
+        for x2, y2, c2 in cells:
+            dx, dy = abs(x - x2), abs(y - y2)
+            ax += c2 * dx
+            by_ += c2 * dy
+            axy += c2 * dx * dy
+            axx += c2 * dx * dx
+            ayy += c2 * dy * dy
+        s1_xy += c * axy
+        s1_xx += c * axx
+        s1_yy += c * ayy
+        sx_tot += c * ax
+        sy_tot += c * by_
+        s3_xy += c * ax * by_
+        s3_xx += c * ax * ax
+        s3_yy += c * by_ * by_
+    p2 = float(n) * float(n)
+    p3 = p2 * float(n)
+
+    def dcov2(s1, rx, ry, s3):
+        return (
+            float(s1) / p2
+            + (float(rx) / p2) * (float(ry) / p2)
+            - 2.0 * float(s3) / p3
+        )
+
+    dxy = dcov2(s1_xy, sx_tot, sy_tot, s3_xy)
+    dxx = dcov2(s1_xx, sx_tot, sx_tot, s3_xx)
+    dyy = dcov2(s1_yy, sy_tot, sy_tot, s3_yy)
+    row = distance_correlation_lineitem(spark, sf_dir).collect()[0]
+    assert row["n_rows"] == n
+    assert row["dcov2"] == pytest.approx(dxy, rel=1e-9)
+    assert row["dcor"] == pytest.approx(
+        math.sqrt(dxy / math.sqrt(dxx * dyy)), rel=1e-9
+    )
+
+
+# ------------------------------------------------------------- EWMA
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_ewma_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.searchq import ewma_user_daily
+
+    con = _con(sf_dir)
+    daily: dict = {}
+    for uid, day, v in con.sql(
+        """SELECT user_id, CAST(ts AS DATE), value FROM events
+        WHERE event_type = 'purchase'"""
+    ).fetchall():
+        daily.setdefault(uid, {}).setdefault(day, []).append(v)
+    got = {
+        (r["user_id"], r["day"]): r
+        for r in ewma_user_daily(spark, sf_dir).collect()
+    }
+    n_rows = 0
+    for uid, by_day in daily.items():
+        days = sorted(by_day)
+        t_cum = 0
+        for i, d in enumerate(days, start=1):
+            x = int(
+                sum(
+                    Decimal(v).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+                    for v in by_day[d]
+                    if v is not None
+                )
+                * 1_000_000
+            )
+            t_cum += x if i == 1 else x * (1 << (i - 2))
+            r = got[(uid, d)]
+            n_rows += 1
+            assert r["daily_total"] == pytest.approx(x / 1e6, rel=1e-12)
+            assert r["ewma"] == pytest.approx(
+                float(t_cum) / float(1 << (i - 1)) / 1e6, rel=1e-12
+            )
+    assert len(got) == n_rows
+
+
+# ------------------------------------------------------------- MAD
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_mad_price_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.mldataq2 import mad_price
+
+    con = _con(sf_dir)
+    prices = sorted(
+        v for (v,) in con.sql(
+            "SELECT l_extendedprice FROM lineitem"
+        ).fetchall()
+    )
+
+    def q50(xs):  # quantile_cont interpolated median
+        n = len(xs)
+        if n % 2:
+            return xs[n // 2]
+        return (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+    med = q50(prices)
+    mad = q50(sorted(abs(p - med) for p in prices))
+    row = mad_price(spark, sf_dir).collect()[0]
+    assert row["n"] == len(prices)
+    assert row["median_r"] == pytest.approx(med, abs=1.01e-6)
+    assert row["mad_r"] == pytest.approx(mad, abs=1.01e-6)
+
+
+# ------------------------------------------------------------- TWAP
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_twap_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.tsq import twap_user_value
+
+    con = _con(sf_dir)
+    by_user: dict = {}
+    for uid, ns, eid, v in con.sql(
+        "SELECT user_id, epoch_ns(ts), event_id, value FROM events"
+    ).fetchall():
+        by_user.setdefault(uid, []).append((ns // 1000, eid, v))
+    got = {r["user_id"]: r for r in twap_user_value(spark, sf_dir).collect()}
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        wsum_c = 0
+        span = 0
+        for (t0, _, v), (t1, _, _) in zip(evs, evs[1:]):
+            dur = t1 - t0
+            span += dur
+            if v is not None:
+                wsum_c += _cents(v) * dur
+        if span <= 0:
+            assert uid not in got
+            continue
+        r = got[uid]
+        assert r["n_events"] == len(evs)
+        assert r["span_us"] == span
+        assert r["twap_r"] == pytest.approx(
+            _halfup_div(wsum_c, span * 100), rel=1e-12
+        )
+
+
+# ------------------------------------------------------------- OHLC
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_ohlc_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.tsq import ohlc_daily_value
+
+    con = _con(sf_dir)
+    by_day: dict = {}
+    for day, ns, eid, v in con.sql(
+        "SELECT CAST(ts AS DATE), epoch_ns(ts), event_id, value FROM events"
+    ).fetchall():
+        by_day.setdefault(day, []).append(((ns // 1000) * 10**12 + eid, v))
+    got = {r["day"]: r for r in ohlc_daily_value(spark, sf_dir).collect()}
+    assert set(got) == set(by_day)
+
+    def r2(v):
+        return (
+            None
+            if v is None
+            else float(Decimal(v).quantize(Decimal("0.01"), ROUND_HALF_UP))
+        )
+
+    for day, evs in by_day.items():
+        r = got[day]
+        assert r["n_events"] == len(evs)
+        live = [(k, v) for k, v in evs if v is not None]
+        assert r["open"] == pytest.approx(
+            r2(min(live)[1]), rel=1e-12
+        )
+        assert r["close"] == pytest.approx(r2(max(live)[1]), rel=1e-12)
+        assert r["high"] == pytest.approx(
+            r2(max(v for _, v in live)), rel=1e-12
+        )
+        assert r["low"] == pytest.approx(
+            r2(min(v for _, v in live)), rel=1e-12
+        )
+
+
+# ------------------------------------------------------------- max gap
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_max_event_gap_matches_reference(spark, sf_dir):
+    from de4ml_spark.queries.mldataq2 import max_event_gap_users
+
+    con = _con(sf_dir)
+    by_user: dict = {}
+    for uid, ns, eid in con.sql(
+        "SELECT user_id, epoch_ns(ts), event_id FROM events"
+    ).fetchall():
+        by_user.setdefault(uid, []).append((ns // 1000, eid))
+    max_gap = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        gaps = [
+            b[0] // 10**6 - a[0] // 10**6 for a, b in zip(evs, evs[1:])
+        ]
+        if gaps:
+            max_gap[uid] = max(gaps)
+    top = sorted(max_gap.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = max_event_gap_users(spark, sf_dir).collect()
+    assert [(r["user_id"], r["max_gap_s"]) for r in rows] == top
+    assert [r["rank"] for r in rows] == list(range(1, len(top) + 1))
+
+
+# ------------------------------------------------------------- key skew
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_key_skew_matches_reference(spark, sf_dir):
+    from collections import Counter
+
+    from de4ml_spark.queries.profileq2 import key_skew_orders
+
+    con = _con(sf_dir)
+    freqs = sorted(
+        Counter(
+            ck for (ck,) in con.sql(
+                "SELECT o_custkey FROM orders"
+            ).fetchall()
+        ).values()
+    )
+    n_rows = sum(freqs)
+    idx = 0.99 * (len(freqs) - 1)
+    lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+    p99 = freqs[lo] + (idx - lo) * (freqs[hi] - freqs[lo])
+    row = key_skew_orders(spark, sf_dir).collect()[0]
+    assert row["n_rows"] == n_rows
+    assert row["n_keys"] == len(freqs)
+    assert row["max_freq"] == max(freqs)
+    assert row["top1_share"] == pytest.approx(
+        _halfup_div(max(freqs), n_rows), rel=1e-12
+    )
+    assert row["p99_freq"] == pytest.approx(p99, abs=1.01e-6)
