@@ -38,6 +38,8 @@ def fit_centroids(
         .select(vec_col)
         .collect()
     )
+    if not sample:
+        return []  # empty corpus: no model; topk_ivf returns empty
     x = np.array([r[0] for r in sample], dtype=np.float64)
     cents = x[:k_cells].copy()
     for _ in range(iters):
@@ -79,6 +81,8 @@ def fit_centroids_exact(
     import numpy as np
 
     sample = df.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    if not sample:
+        return []  # empty corpus: no model; topk_ivf returns empty
     x = np.array(
         [[int(v) for v in np.floor(np.array(r[0], dtype=np.float64) * MICRO + 0.5)]
          for r in sample],
@@ -184,6 +188,14 @@ def topk_ivf(
     """Approximate top-k: probe the query's ``nprobe`` nearest cells, exact
     cosine rescore within them. Output: query_id, neighbor_id, cos_sim, rank."""
     dim = len(centroids[0]) if centroids else 0
+    if not centroids:
+        # no model (empty training corpus): the probe set has no cells to
+        # search — the correct result is empty, not a malformed plan
+        idt = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id {idt}, neighbor_id {idt}, cos_sim DOUBLE, rank INT",
+        )
     # Materialize the assigned corpus: this IS the IVF index (in production
     # it would be written out partitioned/bucketed by cell). Persisting also
     # stops Catalyst from inlining the k_cells*dim assignment expression

@@ -106,6 +106,15 @@ def topk_bruteforce(
     if len(q_rows) > max_literal_queries:
         return _topk_join_path(queries, corpus, k, id_col, vec_col)
     qvecs = [(r[0], [float(x) for x in r[1]]) for r in q_rows]
+    if not qvecs:
+        # zero queries (partition-pruned or empty probe set): the literal
+        # path would build explode(array()) whose element type cannot be
+        # inferred — return the empty result with the contract schema
+        idt = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id BIGINT, neighbor_id {idt}, cos_sim DOUBLE, rank INT",
+        )
     d = dim if dim is not None else (len(qvecs[0][1]) if qvecs else 0)
 
     c = corpus.select(

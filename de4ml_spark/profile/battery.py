@@ -79,10 +79,13 @@ def _row_struct(f_: T.StructField) -> Column:
         F.lit(f_.dataType.simpleString()).alias("column_type"),
         (F.col(f"{n}__count") + F.col(f"{n}__nulls")).alias("count"),
         F.col(f"{n}__nulls").alias("nulls"),
-        (
+        # guarded: an empty column (0 rows after partition pruning) gets
+        # NULL, not an ANSI DIVIDE_BY_ZERO that kills the profile job
+        F.when(
+            (F.col(f"{n}__count") + F.col(f"{n}__nulls")) > 0,
             F.col(f"{n}__nulls")
             * F.lit(100.0)
-            / (F.col(f"{n}__count") + F.col(f"{n}__nulls"))
+            / (F.col(f"{n}__count") + F.col(f"{n}__nulls")),
         ).alias("null_percentage"),
         F.col(f"{n}__min").alias("min"),
         F.col(f"{n}__max").alias("max"),

@@ -323,9 +323,11 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_lsh",
             "n_hits",
-            F.expr(exact_round_div_sql("n_hits", "n_exact", "DIV")).alias(
-                "recall_r"
-            ),
+            # NULLIF: a corpus with no exact near-dup pairs reports
+            # NULL recall, not DIVIDE_BY_ZERO
+            F.expr(
+                exact_round_div_sql("n_hits", "NULLIF(n_exact, 0)", "DIV")
+            ).alias("recall_r"),
         )
     )
 
@@ -357,7 +359,7 @@ n_l AS (SELECT COUNT(*) AS n_lsh FROM lsh_p),
 n_h AS (SELECT COUNT(*) AS n_hits
         FROM exact_p JOIN lsh_p USING (id_a, id_b))
 SELECT n_exact, n_lsh, n_hits,
-       {exact_round_div_sql('n_hits', 'n_exact', '//')} AS recall_r
+       {exact_round_div_sql('n_hits', 'NULLIF(n_exact, 0)', '//')} AS recall_r
 FROM n_e, n_l, n_h
 """
 

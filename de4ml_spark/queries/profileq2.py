@@ -153,19 +153,22 @@ def profile_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"COUNT(CASE WHEN {flag} THEN 1 END)").alias(
                 f"n_{suffix}"
             ),
+            # NULLIF: a day with zero (matching) rows must yield NULL
+            # stats, not DIVIDE_BY_ZERO — a partition-pruned read that
+            # misses the comparison days is routine at scale
             F.expr(
                 exact_round_div_sql(
                     f"CAST(SUM(CASE WHEN {flag} THEN "
                     "CAST(value AS DECIMAL(14,2)) END) * 100 AS BIGINT)",
-                    f"COUNT(CASE WHEN {flag} AND value IS NOT NULL "
-                    "THEN 1 END) * 100",
+                    f"NULLIF(COUNT(CASE WHEN {flag} AND value IS NOT NULL "
+                    "THEN 1 END), 0) * 100",
                     "DIV",
                 )
             ).alias(f"mean_{suffix}"),
             F.expr(
                 exact_round_div_sql(
                     f"COUNT(CASE WHEN {flag} AND value IS NULL THEN 1 END)",
-                    f"COUNT(CASE WHEN {flag} THEN 1 END)",
+                    f"NULLIF(COUNT(CASE WHEN {flag} THEN 1 END), 0)",
                     "DIV",
                 )
             ).alias(f"null_rate_{suffix}"),
@@ -188,12 +191,13 @@ def _drift_stats_duck(day: str, suffix: str) -> str:
     mean = exact_round_div_sql(
         f"CAST(SUM(CASE WHEN {flag} THEN CAST(value AS DECIMAL(14,2)) END)"
         " * 100 AS BIGINT)",
-        f"COUNT(CASE WHEN {flag} AND value IS NOT NULL THEN 1 END) * 100",
+        f"NULLIF(COUNT(CASE WHEN {flag} AND value IS NOT NULL THEN 1 END), 0)"
+        " * 100",
         "//",
     )
     null_rate = exact_round_div_sql(
         f"COUNT(CASE WHEN {flag} AND value IS NULL THEN 1 END)",
-        f"COUNT(CASE WHEN {flag} THEN 1 END)",
+        f"NULLIF(COUNT(CASE WHEN {flag} THEN 1 END), 0)",
         "//",
     )
     return (
@@ -620,14 +624,20 @@ def fk_integrity_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "n_orphan_rows",
             "n_childless_orders",
+            # NULLIF: empty fact/parent tables report NULL coverage
+            # rather than DIVIDE_BY_ZERO (fresh landing zone case)
             F.expr(
                 exact_round_div_sql(
-                    "n_lineitems - n_orphan_rows", "n_lineitems", "DIV"
+                    "n_lineitems - n_orphan_rows",
+                    "NULLIF(n_lineitems, 0)",
+                    "DIV",
                 )
             ).alias("row_coverage_r"),
             F.expr(
                 exact_round_div_sql(
-                    "n_orders - n_childless_orders", "n_orders", "DIV"
+                    "n_orders - n_childless_orders",
+                    "NULLIF(n_orders, 0)",
+                    "DIV",
                 )
             ).alias("parent_use_r"),
         )
@@ -653,9 +663,11 @@ childless AS (
   WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = x.o_orderkey)
 )
 SELECT n_lineitems, n_fact_keys, n_orders, n_orphan_rows, n_childless_orders,
-       {exact_round_div_sql('n_lineitems - n_orphan_rows', 'n_lineitems', '//')}
+       {exact_round_div_sql('n_lineitems - n_orphan_rows',
+                            'NULLIF(n_lineitems, 0)', '//')}
          AS row_coverage_r,
-       {exact_round_div_sql('n_orders - n_childless_orders', 'n_orders', '//')}
+       {exact_round_div_sql('n_orders - n_childless_orders',
+                            'NULLIF(n_orders, 0)', '//')}
          AS parent_use_r
 FROM t CROSS JOIN o CROSS JOIN orphan CROSS JOIN childless
 """

@@ -96,3 +96,45 @@ def test_single_row_inputs(spark):
     assert len(q) == 1 and (q[0]["n_accepted"], q[0]["consumed_c"]) == (1, 500)
     w = rolling_active_users(one).collect()
     assert len(w) == 1 and w[0]["active_users_7d"] == 1
+
+
+def test_every_catalog_entry_survives_empty_tables(spark, tmp_path_factory):
+    """The full-catalog degenerate sweep: EVERY entry must build and
+    collect against zero-row tables without raising. At 100 TB a
+    partition-pruned scan or a fresh landing zone routinely produces
+    zero rows; an operator that throws there (ANSI DIVIDE_BY_ZERO on an
+    empty denominator, a literal-embedding build step that assumes a
+    non-empty probe set, a model fit on an empty sample) kills the whole
+    job. Round-13 sweep found 8 such entries (knn_* literal/IVF paths,
+    profile null-rate, fk coverage, minhash recall); this pins the
+    invariant for all 374."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("empty_sf")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+            f" LIMIT 0) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    # events ships as INT64 nanos in the real testdata; mirror that so
+    # load_table's nanos normalization path is the one exercised
+    con.execute(
+        "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+        " user_id, event_type, value, props"
+        f" FROM '/root/testdata/sf0.001/events.parquet' LIMIT 0)"
+        f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+
+    from de4ml_spark.queries import catalog
+
+    failures = []
+    for name, fn in catalog.queries().items():
+        try:
+            fn(spark, str(d)).collect()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {str(e).splitlines()[0][:90]}")
+    assert not failures, f"{len(failures)} entries raised on empty input:\n" + "\n".join(failures)
