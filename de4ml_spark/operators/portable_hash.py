@@ -136,8 +136,14 @@ def exact_round_div_sql(p: str, q: str, div: str, decimals: int = 6) -> str:
     so both engines produce the same nearest double to the rational.
     """
     scale = 10**decimals
+    # NULLIF degenerate guard: a zero denominator (empty group, n-1 at
+    # n=1, zero-count day) yields NULL in BOTH engines (x DIV NULL is
+    # NULL on Spark, x // NULL is NULL on DuckDB) instead of killing the
+    # job with an ANSI DIVIDE_BY_ZERO — a monitoring window with one row
+    # must degrade, not abort. Identity for every nonzero q.
     return (
-        f"(CAST((({p}) * {2 * scale} + ({q})) {div} (2 * ({q})) AS DOUBLE)"
+        f"(CAST((({p}) * {2 * scale} + ({q})) {div}"
+        f" (2 * NULLIF(({q}), 0)) AS DOUBLE)"
         f" / {scale}.0)"
     )
 
@@ -155,9 +161,10 @@ def exact_round_div_sql_wide(
     is identical to the narrow variant."""
     scale = 10**decimals
     big = "DECIMAL(38,0)" if div.upper() == "DIV" else "HUGEINT"
+    # same NULLIF degenerate guard as the narrow variant
     return (
         f"(CAST((CAST(({p}) AS {big}) * {2 * scale} + ({q}))"
-        f" {div} (2 * ({q})) AS DOUBLE) / {scale}.0)"
+        f" {div} (2 * NULLIF(({q}), 0)) AS DOUBLE) / {scale}.0)"
     )
 
 
@@ -370,7 +377,9 @@ def wide_halfup_div_sql(p: str, q: str, div: str) -> str:
     big = "DECIMAL(38,0)" if div.upper() == "DIV" else "HUGEINT"
     b2 = 1 << 60
     pp = f"(2 * CAST(({p}) AS {big}) + ({q}))"
-    qq = f"(2 * CAST(({q}) AS {big}))"
+    # NULLIF degenerate guard (see exact_round_div_sql): q = 0 yields a
+    # NULL quotient in both engines instead of an ANSI DIVIDE_BY_ZERO
+    qq = f"(2 * CAST(NULLIF(({q}), 0) AS {big}))"
     # the B^2 split is an EXACT division: Spark uses decimal `/`
     # (exact for divisible operands; DIV would wrap the wide quotient),
     # DuckDB uses `//` (its `/` is FLOAT division even on HUGEINT)

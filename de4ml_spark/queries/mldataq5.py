@@ -61,10 +61,13 @@ _LIFT_FINAL = [
     "n_d",
     "conv_d",
     "cum_conv",
-    "CAST(conv_d AS DOUBLE) / CAST(n_d AS DOUBLE) AS conv_rate",
+    "CAST(conv_d AS DOUBLE) / NULLIF(CAST(n_d AS DOUBLE), 0.0)"
+    " AS conv_rate",
     "(CAST(conv_d AS DOUBLE) * CAST(n_tot AS DOUBLE))"
-    " / (CAST(n_d AS DOUBLE) * CAST(conv_tot AS DOUBLE)) AS lift",
-    "CAST(cum_conv AS DOUBLE) / CAST(conv_tot AS DOUBLE) AS cum_gain",
+    " / NULLIF(CAST(n_d AS DOUBLE) * CAST(conv_tot AS DOUBLE), 0.0)"
+    " AS lift",
+    "CAST(cum_conv AS DOUBLE) / NULLIF(CAST(conv_tot AS DOUBLE), 0.0)"
+    " AS cum_gain",
 ]
 
 
@@ -326,7 +329,8 @@ def _kappa_final(div: str) -> list[str]:
         "a1",
         "b1",
         "CAST(agree AS DOUBLE) / CAST(n_tot AS DOUBLE) AS po",
-        f"{_w2d(num, div)} / {_w2d(den, div)} AS kappa",
+        f"{_w2d(num, div)} / NULLIF({_w2d(den, div)}, 0.0)"
+        " AS kappa",
     ]
 
 
@@ -706,16 +710,16 @@ REGISTRY["psi_value_drift"] = {
 
 def _brier_final(div: str) -> list[str]:
     rel = (
-        f"({_w2d('rel_u', div)} / (CAST(n2_tot AS DOUBLE)"
-        " * 1000000.0))"
+        f"({_w2d('rel_u', div)} / NULLIF(CAST(n2_tot AS DOUBLE)"
+        " * 1000000.0, 0.0))"
     )
     res = (
-        f"({_w2d('res_u', div)} / (CAST(n2_tot AS DOUBLE)"
-        " * 1000000.0))"
+        f"({_w2d('res_u', div)} / NULLIF(CAST(n2_tot AS DOUBLE)"
+        " * 1000000.0, 0.0))"
     )
     unc = (
-        f"({_w2d('unc_num', div)} / (CAST(n2_tot AS DOUBLE)"
-        " * CAST(n2_tot AS DOUBLE)))"
+        f"({_w2d('unc_num', div)} / NULLIF(CAST(n2_tot AS DOUBLE)"
+        " * CAST(n2_tot AS DOUBLE), 0.0))"
     )
     return [
         "n1_tot",
@@ -828,8 +832,14 @@ def brier_decomposition_events(
     )
     terms = sm
     for stage in _brier_stages("DIV"):
+        # only the bare `keep` column list splits on ", " — computed
+        # expressions may legitimately contain commas (NULLIF guards)
         terms = terms.selectExpr(
-            *[e for c in stage for e in c.split(", ")]
+            *[
+                e
+                for c in stage
+                for e in (c.split(", ") if "(" not in c else [c])
+            ]
         )
     agg = terms.groupBy("n1_tot", "n2_tot", "g2_tot").agg(
         F.sum("rel_t").alias("rel_u"),

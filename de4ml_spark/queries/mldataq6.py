@@ -330,8 +330,9 @@ def _or_final(div: str) -> list[str]:
         " + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE))"
         " ELSE NULL END AS log_or_se",
         f"{_w2d(f'{ad} - {bc}', div)}"
-        f" / ({_w2d(ad, div)} + {_w2d(bc, div)}) AS yule_q",
-        f"{_w2d(f'{ad} - {bc}', div)} / sqrt({_w2d(rr, div)}) AS phi",
+        f" / NULLIF({_w2d(ad, div)} + {_w2d(bc, div)}, 0.0) AS yule_q",
+        f"{_w2d(f'{ad} - {bc}', div)}"
+        f" / NULLIF(sqrt({_w2d(rr, div)}), 0.0) AS phi",
     ]
 
 
@@ -852,7 +853,7 @@ _PC_FINAL = [
     "r_xz",
     "r_yz",
     "(r_xy - r_xz * r_yz)"
-    " / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))"
+    " / NULLIF(sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 0.0)"
     " AS partial_r",
 ]
 
@@ -862,7 +863,10 @@ def _pc_r(div: str, a: str, b: str) -> str:
     num = f"(CAST(n AS {big}) * s{a}{b} - CAST(s{a} AS {big}) * s{b})"
     da = f"(CAST(n AS {big}) * s{a}{a} - CAST(s{a} AS {big}) * s{a})"
     db = f"(CAST(n AS {big}) * s{b}{b} - CAST(s{b} AS {big}) * s{b})"
-    return f"{_w2d(num, div)} / sqrt({_w2d(da, div)} * {_w2d(db, div)})"
+    return (
+        f"{_w2d(num, div)}"
+        f" / NULLIF(sqrt({_w2d(da, div)} * {_w2d(db, div)}), 0.0)"
+    )
 
 
 def partial_corr_lineitem(
@@ -954,7 +958,7 @@ def _wkappa_final(div: str) -> list[str]:
         "n_docs",
         "sum_wo",
         f"1.0 - ({_w2d(f'CAST(n_docs AS {big}) * sum_wo', div)}"
-        f" / {_w2d('sum_we', div)}) AS weighted_kappa",
+        f" / NULLIF({_w2d('sum_we', div)}, 0.0)) AS weighted_kappa",
     ]
 
 

@@ -1097,13 +1097,15 @@ def _mpd_final(div: str) -> list[str]:
     norm = _w2d("s_norm", div)
     return [
         "n_vecs",
-        f"{pair} / (CAST(n_vecs AS DOUBLE)"
-        " * (CAST(n_vecs AS DOUBLE) - 1.0) * 1e12)"
+        f"{pair} / NULLIF(CAST(n_vecs AS DOUBLE)"
+        " * (CAST(n_vecs AS DOUBLE) - 1.0) * 1e12, 0.0)"
         " AS mean_pairwise_dot",
-        f"{norm} / (CAST(n_vecs AS DOUBLE) * 1e12) AS mean_norm_sq",
-        f"({pair} / (CAST(n_vecs AS DOUBLE)"
-        " * (CAST(n_vecs AS DOUBLE) - 1.0)))"
-        f" / ({norm} / CAST(n_vecs AS DOUBLE)) AS anisotropy_ratio",
+        f"{norm} / NULLIF(CAST(n_vecs AS DOUBLE) * 1e12, 0.0)"
+        " AS mean_norm_sq",
+        f"({pair} / NULLIF(CAST(n_vecs AS DOUBLE)"
+        " * (CAST(n_vecs AS DOUBLE) - 1.0), 0.0))"
+        f" / NULLIF({norm} / NULLIF(CAST(n_vecs AS DOUBLE), 0.0), 0.0)"
+        " AS anisotropy_ratio",
     ]
 
 

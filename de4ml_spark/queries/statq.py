@@ -1408,12 +1408,12 @@ def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
            - 3.0D * CAST(n_tot + 1 AS DOUBLE) AS h_raw""",
         "1.0D - "
         + _w2d("tie_sum", "DIV")
-        + " / "
+        + " / NULLIF("
         + _w2d(
             "CAST(n_tot AS DECIMAL(38,0)) * n_tot * n_tot - n_tot",
             "DIV",
         )
-        + " AS _c",
+        + ", 0.0) AS _c",
     ).selectExpr(
         "tie_sum",
         "n_tot",

@@ -201,9 +201,12 @@ def _anova_stage(div: str) -> list[str]:
 _ANOVA_FINAL = [
     "k_groups",
     "n_tot",
-    "{SSB} / CAST(k_groups - 1 AS DOUBLE)"
-    " / ({SSW} / CAST(n_tot - k_groups AS DOUBLE)) AS f_stat",
-    "{SSB} / {SST} AS eta_sq",
+    # NULLIF degenerate guards: k = 1 group or n = k (no within-group
+    # dof) or zero total variance yield NULL, not DIVIDE_BY_ZERO
+    "{SSB} / NULLIF(CAST(k_groups - 1 AS DOUBLE), 0.0)"
+    " / NULLIF({SSW} / NULLIF(CAST(n_tot - k_groups AS DOUBLE), 0.0),"
+    " 0.0) AS f_stat",
+    "{SSB} / NULLIF({SST}, 0.0) AS eta_sq",
 ]
 
 
@@ -339,8 +342,8 @@ _CRAMER_FINAL = [
     "n_cols",
     "n_tot",
     "{PHI2} * CAST(n_tot AS DOUBLE) AS chi2",
-    "sqrt({PHI2} / CAST(CASE WHEN n_rows < n_cols THEN n_rows - 1"
-    " ELSE n_cols - 1 END AS DOUBLE)) AS cramers_v",
+    "sqrt({PHI2} / NULLIF(CAST(CASE WHEN n_rows < n_cols THEN"
+    " n_rows - 1 ELSE n_cols - 1 END AS DOUBLE), 0.0)) AS cramers_v",
 ]
 
 
@@ -445,10 +448,12 @@ def _auc_final(div: str) -> list[str]:
     return [
         "n_pos",
         "n_neg",
-        f"{_w2d('u2', div)} / (2.0 * CAST(n_pos AS DOUBLE)"
-        " * CAST(n_neg AS DOUBLE)) AS auc",
-        f"2.0 * ({_w2d('u2', div)} / (2.0 * CAST(n_pos AS DOUBLE)"
-        " * CAST(n_neg AS DOUBLE))) - 1.0 AS gini",
+        # NULLIF degenerate guard: a one-class sample (n_pos or n_neg
+        # = 0) yields NULL AUC, not a DIVIDE_BY_ZERO abort
+        f"{_w2d('u2', div)} / NULLIF(2.0 * CAST(n_pos AS DOUBLE)"
+        " * CAST(n_neg AS DOUBLE), 0.0) AS auc",
+        f"2.0 * ({_w2d('u2', div)} / NULLIF(2.0 * CAST(n_pos AS DOUBLE)"
+        " * CAST(n_neg AS DOUBLE), 0.0)) - 1.0 AS gini",
     ]
 
 
@@ -554,8 +559,8 @@ def _spearman_final(div: str) -> list[str]:
     fy = f"CAST(n_tot AS {big}) * syy - CAST(sy AS {big}) * sy"
     return [
         "n_tot",
-        f"{_w2d(num, div)} / sqrt({_w2d(fx, div)} * {_w2d(fy, div)})"
-        " AS spearman_rho",
+        f"{_w2d(num, div)} / NULLIF(sqrt({_w2d(fx, div)}"
+        f" * {_w2d(fy, div)}), 0.0) AS spearman_rho",
     ]
 
 
@@ -951,8 +956,8 @@ def _ap_final(div: str) -> list[str]:
     return [
         "n_pos",
         "n_neg",
-        f"{_w2d('ap_u', div)} / (CAST(n_pos AS DOUBLE) * 1000000.0)"
-        " AS average_precision",
+        f"{_w2d('ap_u', div)} / NULLIF(CAST(n_pos AS DOUBLE)"
+        " * 1000000.0, 0.0) AS average_precision",
     ]
 
 
@@ -1043,8 +1048,9 @@ REGISTRY["pr_auc_events"] = {
 _BF_FINAL = [
     "k_groups",
     "n_tot",
-    "({SSB} / CAST(k_groups - 1 AS DOUBLE))"
-    " / ({SSW} / CAST(n_tot - k_groups AS DOUBLE)) AS w_stat",
+    "({SSB} / NULLIF(CAST(k_groups - 1 AS DOUBLE), 0.0))"
+    " / NULLIF({SSW} / NULLIF(CAST(n_tot - k_groups AS DOUBLE), 0.0),"
+    " 0.0) AS w_stat",
 ]
 
 
@@ -1763,9 +1769,9 @@ def _grubbs_final(div: str) -> list[str]:
         # s² = vnum/(n(n−1)) in cents² (vnum = n·Σx² − S²); the ×n in
         # max_dev = max|n·x − S| cancels against /n here
         f"({_w2d('max_dev', div)} / CAST(n_tot AS DOUBLE))"
-        f" / sqrt({_w2d('vnum', div)}"
-        " / (CAST(n_tot AS DOUBLE)"
-        " * CAST(n_tot - 1 AS DOUBLE))) AS grubbs_g",
+        f" / NULLIF(sqrt({_w2d('vnum', div)}"
+        " / NULLIF(CAST(n_tot AS DOUBLE)"
+        " * CAST(n_tot - 1 AS DOUBLE), 0.0)), 0.0) AS grubbs_g",
     ]
 
 
@@ -1961,9 +1967,11 @@ def _mcnemar_final(div: str) -> list[str]:
         "b_only_a",
         "c_only_b",
         f"{_w2d(f'CAST(b_only_a - c_only_b AS {big}) * (b_only_a - c_only_b)', div)}"
-        " / CAST(b_only_a + c_only_b AS DOUBLE) AS chi2_mcnemar",
+        " / NULLIF(CAST(b_only_a + c_only_b AS DOUBLE), 0.0)"
+        " AS chi2_mcnemar",
         f"{_w2d(f'CAST(abs(b_only_a - c_only_b) - 1 AS {big}) * (abs(b_only_a - c_only_b) - 1)', div)}"
-        " / CAST(b_only_a + c_only_b AS DOUBLE) AS chi2_cc",
+        " / NULLIF(CAST(b_only_a + c_only_b AS DOUBLE), 0.0)"
+        " AS chi2_cc",
     ]
 
 
@@ -2041,17 +2049,17 @@ def _jt_final(div: str) -> list[str]:
     var = (
         f"({_w2d(a_wide, div)} / 72.0"
         f" + ({_w2d('sum_n3', div)} * {_w2d('sum_t3', div)})"
-        f" / (36.0 * {nd} * CAST(n_tot - 1 AS DOUBLE)"
-        f" * CAST(n_tot - 2 AS DOUBLE))"
+        f" / NULLIF(36.0 * {nd} * CAST(n_tot - 1 AS DOUBLE)"
+        f" * CAST(n_tot - 2 AS DOUBLE), 0.0)"
         f" + ({_w2d('sum_n1', div)} * {_w2d('sum_t1', div)})"
-        f" / (8.0 * {nd} * CAST(n_tot - 1 AS DOUBLE)))"
+        f" / NULLIF(8.0 * {nd} * CAST(n_tot - 1 AS DOUBLE), 0.0))"
     )
     return [
         "n_tot",
         "jt2",
         "e2",
         f"(CAST(jt2 - e2 AS DOUBLE) / 2.0)"
-        f" / sqrt({var}) AS z_jt",
+        f" / NULLIF(sqrt({var}), 0.0) AS z_jt",
     ]
 
 
@@ -2278,9 +2286,9 @@ def _ca_final(div: str) -> list[str]:
         "n_tot",
         "g_tot",
         f"{_w2d(f'CAST(n_tot AS {big}) * ({tnum}) * ({tnum})', div)}"
-        f" / ({_w2d(f'CAST(g_tot AS {big}) * (n_tot - g_tot)', div)}"
+        f" / NULLIF({_w2d(f'CAST(g_tot AS {big}) * (n_tot - g_tot)', div)}"
         f" * {_w2d(f'CAST(n_tot AS {big}) * ssn - CAST(sn AS {big}) * sn', div)}"
-        " / CAST(n_tot AS DOUBLE)) AS chi2_trend",
+        " / CAST(n_tot AS DOUBLE), 0.0) AS chi2_trend",
     ]
 
 
@@ -2468,7 +2476,8 @@ def _mk_final(div: str) -> list[str]:
     return [
         "n_days",
         "s_stat",
-        f"({z}) / sqrt({_w2d(var18, div)} / 18.0) AS z_mk",
+        f"({z}) / NULLIF(sqrt({_w2d(var18, div)} / 18.0), 0.0)"
+        " AS z_mk",
     ]
 
 
@@ -2642,9 +2651,11 @@ def _bartlett_tail(div: str) -> list[str]:
         # numerator micro-int: (N−k)·ln_sp_u − Σ(nᵢ−1)·ln_si_u;
         # C from micro harmonic terms — all converted once
         f"({_w2d('chi_num_u', div)} / 1000000.0)"
-        " / (1.0 + (CAST(h_sum_u AS DOUBLE) / 1000000.0"
-        " - 1000000.0 / CAST((n_tot - k_groups) AS DOUBLE) / 1000000.0)"
-        " / (3.0 * CAST(k_groups - 1 AS DOUBLE))) AS chi2_bartlett",
+        " / NULLIF(1.0 + (CAST(h_sum_u AS DOUBLE) / 1000000.0"
+        " - 1000000.0 / NULLIF(CAST((n_tot - k_groups) AS DOUBLE), 0.0)"
+        " / 1000000.0)"
+        " / NULLIF(3.0 * CAST(k_groups - 1 AS DOUBLE), 0.0), 0.0)"
+        " AS chi2_bartlett",
     ]
 
 
@@ -2687,7 +2698,8 @@ def bartlett_value_types(
         "CAST(floor((__lnv - __lnd) * 1000000.0 + 0.5) AS BIGINT)"
         " AS ln_si_u",
         # half-up micro of 1/(n−1)
-        "CAST((2 * 1000000 + (n - 1)) DIV (2 * (n - 1)) AS BIGINT)"
+        "CAST((2 * 1000000 + (n - 1)) DIV NULLIF(2 * (n - 1), 0)"
+        " AS BIGINT)"
         " AS h_u",
     )
     tot = li.agg(
@@ -2829,11 +2841,11 @@ REGISTRY["bartlett_value_types"] = {
 def _jb_tail(div: str) -> list[str]:
     skew = (
         f"({_w2d('m3n', div)}"
-        f" / ({_w2d('m2n', div)} * sqrt({_w2d('m2n', div)})))"
+        f" / NULLIF({_w2d('m2n', div)} * sqrt({_w2d('m2n', div)}), 0.0))"
     )
     kurt = (
         f"({_w2d('m4n', div)}"
-        f" / ({_w2d('m2n', div)} * {_w2d('m2n', div)}))"
+        f" / NULLIF({_w2d('m2n', div)} * {_w2d('m2n', div)}, 0.0))"
     )
     return [
         "n_tot",

@@ -438,9 +438,12 @@ REGISTRY["pettitt_change_daily"] = {
 def _buishand_final(div: str) -> list[str]:
     big = _big(div)
     varnum = f"CAST(n_days AS {big}) * ssq - CAST(s_tot AS {big}) * s_tot"
+    # NULLIF degenerate guards: n = 1 (no dof) or a constant series
+    # (zero sd) yield NULL, not DIVIDE_BY_ZERO
     s_std = (
-        f"sqrt({_w2d(varnum, div)}"
-        " / (CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE)))"
+        f"NULLIF(sqrt({_w2d(varnum, div)}"
+        " / NULLIF(CAST(n_days AS DOUBLE)"
+        " * CAST(n_days - 1 AS DOUBLE), 0.0)), 0.0)"
     )
     return [
         "n_days",
@@ -1284,13 +1287,17 @@ _BARTELS_FINAL = [
     "n_days",
     "num_d2",
     "den_d2",
-    "CAST(num_d2 AS DOUBLE) / CAST(den_d2 AS DOUBLE) AS rvn",
-    "(CAST(num_d2 AS DOUBLE) / CAST(den_d2 AS DOUBLE) - 2.0)"
-    " / sqrt(4.0 * CAST(n_days - 2 AS DOUBLE)"
+    "CAST(num_d2 AS DOUBLE) / NULLIF(CAST(den_d2 AS DOUBLE), 0.0)"
+    " AS rvn",
+    "(CAST(num_d2 AS DOUBLE) / NULLIF(CAST(den_d2 AS DOUBLE), 0.0)"
+    " - 2.0)"
+    " / NULLIF(sqrt(4.0 * CAST(n_days - 2 AS DOUBLE)"
     " * (5.0 * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)"
     " - 2.0 * CAST(n_days AS DOUBLE) - 9.0)"
-    " / (5.0 * CAST(n_days AS DOUBLE) * CAST(n_days + 1 AS DOUBLE)"
-    " * CAST(n_days - 1 AS DOUBLE) * CAST(n_days - 1 AS DOUBLE)))"
+    " / NULLIF(5.0 * CAST(n_days AS DOUBLE)"
+    " * CAST(n_days + 1 AS DOUBLE)"
+    " * CAST(n_days - 1 AS DOUBLE) * CAST(n_days - 1 AS DOUBLE),"
+    " 0.0)), 0.0)"
     " AS z_bartels",
 ]
 
@@ -1497,8 +1504,8 @@ def _lognorm_final(div: str) -> list[str]:
     # sample variance of ln: (n·Σl² − (Σl)²) / (n·(n−1)), micro² scale
     varnum = f"(CAST(n AS {big}) * s_ll - CAST(s_l AS {big}) * s_l)"
     sigma2 = (
-        f"({_w2d(varnum, div)} / (CAST(n AS DOUBLE)"
-        " * CAST(n - 1 AS DOUBLE) * 1000000.0 * 1000000.0))"
+        f"({_w2d(varnum, div)} / NULLIF(CAST(n AS DOUBLE)"
+        " * CAST(n - 1 AS DOUBLE) * 1000000.0 * 1000000.0, 0.0))"
     )
     return [
         "n",

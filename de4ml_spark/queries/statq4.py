@@ -46,10 +46,10 @@ _PAGE_FINAL = [
     "(6.0 * CAST(l2_stat AS DOUBLE)"
     " - 3.0 * CAST(n_blocks AS DOUBLE) * CAST(k_treat AS DOUBLE)"
     " * CAST(k_treat + 1 AS DOUBLE) * CAST(k_treat + 1 AS DOUBLE))"
-    " / sqrt(CAST(n_blocks AS DOUBLE) * CAST(k_treat AS DOUBLE)"
+    " / NULLIF(sqrt(CAST(n_blocks AS DOUBLE) * CAST(k_treat AS DOUBLE)"
     " * CAST(k_treat AS DOUBLE) * CAST(k_treat + 1 AS DOUBLE)"
-    " * (CAST(k_treat AS DOUBLE) * CAST(k_treat AS DOUBLE) - 1.0))"
-    " AS z_page",
+    " * (CAST(k_treat AS DOUBLE) * CAST(k_treat AS DOUBLE) - 1.0)),"
+    " 0.0) AS z_page",
 ]
 
 
@@ -266,8 +266,9 @@ def _ols_final() -> list[str]:
         "r2_fit",
         # t = slope / SE, SE² = (Syy/Sxx − slope²)/(n−2) in the
         # n-scaled moment algebra: SE² = (Syy − slope·Sxy)/((n−2)·Sxx)
-        "slope / sqrt((syy_d - slope * sxy_d)"
-        " / (CAST(n - 2 AS DOUBLE) * sxx_d)) AS t_slope",
+        "slope / NULLIF(sqrt((syy_d - slope * sxy_d)"
+        " / NULLIF(CAST(n - 2 AS DOUBLE) * sxx_d, 0.0)), 0.0)"
+        " AS t_slope",
     ]
 
 
@@ -308,10 +309,10 @@ def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sxx_d",
         "sxy_d",
         "syy_d",
-        "sxy_d / sxx_d AS slope",
-        "(CAST(sy AS DOUBLE) - (sxy_d / sxx_d)"
+        "sxy_d / NULLIF(sxx_d, 0.0) AS slope",
+        "(CAST(sy AS DOUBLE) - (sxy_d / NULLIF(sxx_d, 0.0))"
         " * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept",
-        "(sxy_d * sxy_d) / (sxx_d * syy_d) AS r2_fit",
+        "(sxy_d * sxy_d) / NULLIF(sxx_d * syy_d, 0.0) AS r2_fit",
     )
     return s2.selectExpr(*_ols_final())
 
@@ -350,10 +351,10 @@ staged AS (
 ),
 s2 AS (
   SELECT n, sxx_d, sxy_d, syy_d,
-         sxy_d / sxx_d AS slope,
-         (CAST(sy AS DOUBLE) - (sxy_d / sxx_d)
+         sxy_d / NULLIF(sxx_d, 0.0) AS slope,
+         (CAST(sy AS DOUBLE) - (sxy_d / NULLIF(sxx_d, 0.0))
           * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
-         (sxy_d * sxy_d) / (sxx_d * syy_d) AS r2_fit
+         (sxy_d * sxy_d) / NULLIF(sxx_d * syy_d, 0.0) AS r2_fit
   FROM staged
 )
 SELECT {final}
@@ -556,7 +557,8 @@ def _kw_final(div: str) -> list[str]:
     return [
         "k_days",
         "n_types",
-        f"3.0 * {_w2d('s4', div)} / {_w2d(den, div)} AS kendalls_w",
+        f"3.0 * {_w2d('s4', div)} / NULLIF({_w2d(den, div)}, 0.0)"
+        " AS kendalls_w",
     ]
 
 
@@ -713,7 +715,7 @@ def _hoeffding_final(div: str) -> list[str]:
     )
     return [
         "n AS n_rows",
-        f"{num} / {den} AS hoeffding_d",
+        f"{num} / NULLIF({den}, 0.0) AS hoeffding_d",
     ]
 
 
@@ -876,7 +878,7 @@ def _dcor_final(div: str) -> list[str]:
     return [
         "n AS n_rows",
         f"{dxy} AS dcov2",
-        f"sqrt({dxy} / sqrt(({dxx}) * ({dyy}))) AS dcor",
+        f"sqrt({dxy} / NULLIF(sqrt(({dxx}) * ({dyy})), 0.0)) AS dcor",
     ]
 
 

@@ -240,8 +240,11 @@ def _alpha_final(div: str) -> list[str]:
     return [
         "k_types",
         "n_days",
-        "CAST(k_types AS DOUBLE) / (CAST(k_types AS DOUBLE) - 1.0)"
-        f" * (1.0 - {_w2d('s_items', div)} / {_w2d('s_total', div)})"
+        # NULLIF degenerate guards: k = 1 type or zero total variance
+        "CAST(k_types AS DOUBLE) / NULLIF(CAST(k_types AS DOUBLE)"
+        " - 1.0, 0.0)"
+        f" * (1.0 - {_w2d('s_items', div)}"
+        f" / NULLIF({_w2d('s_total', div)}, 0.0))"
         " AS cronbach_alpha",
     ]
 
@@ -379,7 +382,8 @@ def _icc_final(div: str) -> list[str]:
     return [
         "n_days",
         "k_types",
-        f"{_w2d(num, div)} / {_w2d(den, div)} AS icc_2_1",
+        f"{_w2d(num, div)} / NULLIF({_w2d(den, div)}, 0.0)"
+        " AS icc_2_1",
     ]
 
 
@@ -745,9 +749,11 @@ def _chow_staged(tag: str, src: str | None, div: str) -> list[str]:
 
 def _chow_rss(pfx: str) -> str:
     # staged doubles {pfx}sxx_d/{pfx}sxy_d/{pfx}syy_d and count {pfx}n
+    # NULLIF: a one-day segment has sxx = 0 (no time spread) — its RSS
+    # is undefined; degrade to NULL rather than DIVIDE_BY_ZERO
     return (
         f"(({pfx}syy_d * {pfx}sxx_d - {pfx}sxy_d * {pfx}sxy_d)"
-        f" / (CAST({pfx}n AS DOUBLE) * {pfx}sxx_d))"
+        f" / NULLIF(CAST({pfx}n AS DOUBLE) * {pfx}sxx_d, 0.0))"
     )
 
 
@@ -757,8 +763,11 @@ _CHOW_FINAL = [
     "n2",
     "rss_pooled",
     "rss_split",
+    # NULLIF degenerate guards: a perfect split fit (rss_split = 0)
+    # or n_days <= 4 yield NULL, not DIVIDE_BY_ZERO
     "((rss_pooled - rss_split) / 2.0)"
-    " / (rss_split / (CAST(n_days AS DOUBLE) - 4.0)) AS chow_f",
+    " / NULLIF(rss_split / NULLIF(CAST(n_days AS DOUBLE) - 4.0, 0.0),"
+    " 0.0) AS chow_f",
 ]
 
 
@@ -892,8 +901,8 @@ _QUADE_FINAL = [
     "n_days",
     "k_types",
     "(CAST(n_days AS DOUBLE) - 1.0) * CAST(sb AS DOUBLE)"
-    " / (CAST(n_days AS DOUBLE) * CAST(a16 AS DOUBLE)"
-    " - CAST(sb AS DOUBLE)) AS quade_f",
+    " / NULLIF(CAST(n_days AS DOUBLE) * CAST(a16 AS DOUBLE)"
+    " - CAST(sb AS DOUBLE), 0.0) AS quade_f",
 ]
 
 
@@ -1854,7 +1863,7 @@ _LAMBDA_FINAL = [
     "sum_row_max",
     "col_max",
     "CAST(sum_row_max - col_max AS DOUBLE)"
-    " / CAST(n_events - col_max AS DOUBLE) AS gk_lambda",
+    " / NULLIF(CAST(n_events - col_max AS DOUBLE), 0.0) AS gk_lambda",
 ]
 
 
@@ -1941,7 +1950,7 @@ def _nw_final(div: str) -> list[str]:
         f"{nw} / ({lp1} * CAST(n_days AS DOUBLE)"
         " * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))"
         " AS nw_lrv",
-        f"{nw} / ({lp1} * {c0}) AS inflation_vs_gamma0",
+        f"{nw} / NULLIF({lp1} * {c0}, 0.0) AS inflation_vs_gamma0",
     ]
 
 
@@ -2474,9 +2483,9 @@ def _anova2_final(div: str) -> list[str]:
         "n_days",
         "k_types",
         f"{_w2d(f'CAST(k_types - 1 AS {_big(div)}) * a_r', div)}"
-        f" / {_w2d(ae, div)} AS f_days",
+        f" / NULLIF({_w2d(ae, div)}, 0.0) AS f_days",
         f"{_w2d(f'CAST(n_days - 1 AS {_big(div)}) * a_c', div)}"
-        f" / {_w2d(ae, div)} AS f_types",
+        f" / NULLIF({_w2d(ae, div)}, 0.0) AS f_types",
     ]
 
 
@@ -3175,7 +3184,7 @@ REGISTRY["cucconi_value"] = {
 
 _UNCERT_FINAL = [
     "n_events",
-    "CAST(mi_u AS DOUBLE) / CAST(hx_u AS DOUBLE)"
+    "CAST(mi_u AS DOUBLE) / NULLIF(CAST(hx_u AS DOUBLE), 0.0)"
     " AS uncertainty_coefficient",
     "CAST(mi_u AS DOUBLE) / (CAST(n_events AS DOUBLE) * 1000000.0)"
     " AS mutual_info_nats",
@@ -3429,7 +3438,7 @@ def _mahal_final(div: str) -> list[str]:
         "clicks",
         "purchases",
         f"CAST(n_days AS DOUBLE) * {_w2d('d2_num', div)}"
-        f" / {_w2d('det2', div)} AS mahal_d2",
+        f" / NULLIF({_w2d('det2', div)}, 0.0) AS mahal_d2",
     ]
 
 

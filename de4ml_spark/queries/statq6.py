@@ -56,7 +56,8 @@ def _kpss_final(div: str) -> list[str]:
     den = f"CAST(n_days AS {big}) * nw_num"
     return [
         "n_days",
-        f"{_w2d(num, div)} / {_w2d(den, div)} AS kpss_stat",
+        f"{_w2d(num, div)} / NULLIF({_w2d(den, div)}, 0.0)"
+        " AS kpss_stat",
     ]
 
 
@@ -340,24 +341,26 @@ def _delong_terms(div: str) -> list[str]:
 
 def _delong_final(div: str) -> list[str]:
     big = _big(div)
+    # NULLIF degenerate guards: one-class samples (n_pos or n_neg =
+    # 0) and single-member classes (the n-1 variance terms) -> NULL
     auc = (
-        f"({_w2d('u2', div)} / (2.0 * CAST(n_pos AS DOUBLE)"
-        " * CAST(n_neg AS DOUBLE)))"
+        f"({_w2d('u2', div)} / NULLIF(2.0 * CAST(n_pos AS DOUBLE)"
+        " * CAST(n_neg AS DOUBLE), 0.0))"
     )
     var = (
         f"({_w2d(f'CAST(s10 AS {big})', div)}"
-        " / (CAST(n_pos - 1 AS DOUBLE) * 1000000000000.0"
-        " * CAST(n_pos AS DOUBLE))"
+        " / NULLIF(CAST(n_pos - 1 AS DOUBLE) * 1000000000000.0"
+        " * CAST(n_pos AS DOUBLE), 0.0)"
         f" + {_w2d(f'CAST(s01 AS {big})', div)}"
-        " / (CAST(n_neg - 1 AS DOUBLE) * 1000000000000.0"
-        " * CAST(n_neg AS DOUBLE)))"
+        " / NULLIF(CAST(n_neg - 1 AS DOUBLE) * 1000000000000.0"
+        " * CAST(n_neg AS DOUBLE), 0.0))"
     )
     return [
         "n_pos",
         "n_neg",
         f"{auc} AS auc",
         f"SQRT({var}) AS se_auc",
-        f"({auc} - 0.5) / SQRT({var}) AS z_null_half",
+        f"({auc} - 0.5) / NULLIF(SQRT({var}), 0.0) AS z_null_half",
     ]
 
 
@@ -508,7 +511,8 @@ def _kripp_final(div: str) -> list[str]:
     return [
         "n_units",
         "n_units - agree AS disagree",
-        f"1.0 - {_w2d(num, div)} / {_w2d(den, div)} AS kripp_alpha",
+        f"1.0 - {_w2d(num, div)} / NULLIF({_w2d(den, div)}, 0.0)"
+        " AS kripp_alpha",
     ]
 
 
@@ -799,10 +803,12 @@ def _cuped_final(div: str) -> list[str]:
     sxx = _w2d("sxx", div)
     sxy = _w2d("sxy", div)
     syy = _w2d("syy", div)
-    rho2 = f"(({sxy} * {sxy}) / ({sxx} * {syy}))"
+    # NULLIF degenerate guards: a constant covariate or metric
+    # (sxx/syy = 0 at n = 1) yields NULL, not DIVIDE_BY_ZERO
+    rho2 = f"(({sxy} * {sxy}) / NULLIF({sxx} * {syy}, 0.0))"
     return [
         "n_users",
-        f"{sxy} / {sxx} AS theta",
+        f"{sxy} / NULLIF({sxx}, 0.0) AS theta",
         f"{rho2} AS rho_sq",
         f"1.0 - {rho2} AS var_reduction_factor",
     ]
@@ -1895,8 +1901,8 @@ def _cusumsq_final(div: str) -> list[str]:
         "n_days",
         "break_t",
         f"{_w2d('max_num', div)}"
-        f" / (CAST(n_days AS DOUBLE) * {_w2d('total_w', div)})"
-        " AS cusumsq_stat",
+        f" / NULLIF(CAST(n_days AS DOUBLE) * {_w2d('total_w', div)},"
+        " 0.0) AS cusumsq_stat",
     ]
 
 

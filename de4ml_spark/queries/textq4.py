@@ -468,7 +468,7 @@ def _heaps_final(div: str) -> list[str]:
     big = _big(div)
     num = f"(CAST(n AS {big}) * sxy - CAST(sx AS {big}) * sy)"
     den = f"(CAST(n AS {big}) * sxx - CAST(sx AS {big}) * sx)"
-    beta = f"{_w2d(num, div)} / {_w2d(den, div)}"
+    beta = f"{_w2d(num, div)} / NULLIF({_w2d(den, div)}, 0.0)"
     return [
         "n AS n_sources",
         f"{beta} AS heaps_beta",

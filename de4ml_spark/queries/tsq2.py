@@ -2571,8 +2571,8 @@ def gumbel_weekly_maxima(
         f"""sqrt({_w2d(
             "CAST(n_w AS DECIMAL(38,0)) * ss"
             " - CAST(s AS DECIMAL(38,0)) * s", "DIV")}
-            / (CAST(n_w AS DOUBLE) * CAST(n_w - 1 AS DOUBLE)
-               * 10000.0)) AS s_d""",
+            / NULLIF(CAST(n_w AS DOUBLE) * CAST(n_w - 1 AS DOUBLE)
+               * 10000.0, 0.0)) AS s_d""",
     ).selectExpr(
         "n_w",
         "m_d",

@@ -138,3 +138,46 @@ def test_every_catalog_entry_survives_empty_tables(spark, tmp_path_factory):
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: {str(e).splitlines()[0][:90]}")
     assert not failures, f"{len(failures)} entries raised on empty input:\n" + "\n".join(failures)
+
+
+def test_every_catalog_entry_survives_single_row_tables(
+    spark, tmp_path_factory
+):
+    """The n = 1 boundary: every entry must tolerate one-row tables.
+    This is where (n-1)-style variance denominators, single-class
+    samples, and one-group designs go to zero — round-13 found 50
+    entries that died with ANSI DIVIDE_BY_ZERO here (DuckDB's twin
+    silently NULLs the same division, so the engines also diverged on
+    degenerate input). All such denominators now carry NULLIF guards:
+    the statistic degrades to NULL, identical on both engines."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("one_sf")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+            f" LIMIT 1) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(
+        "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+        " user_id, event_type, value, props"
+        f" FROM '/root/testdata/sf0.001/events.parquet' LIMIT 1)"
+        f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+
+    from de4ml_spark.queries import catalog
+
+    failures = []
+    for name, fn in catalog.queries().items():
+        try:
+            fn(spark, str(d)).collect()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {str(e).splitlines()[0][:90]}")
+    assert not failures, (
+        f"{len(failures)} entries raised on 1-row input:\n"
+        + "\n".join(failures)
+    )
