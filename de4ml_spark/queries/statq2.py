@@ -2370,16 +2370,18 @@ def _burst_final(div: str) -> list[str]:
     big = _big(div)
     vnum = f"CAST(n_g AS {big}) * ss - CAST(s AS {big}) * s"
     mu = "(CAST(s AS DOUBLE) / CAST(n_g AS DOUBLE))"
+    # NULLIF degenerate guards: a type with a single gap has no sd
+    # dof; a type whose events share one timestamp has sd = mu = 0
     sd = (
-        f"sqrt({_w2d(vnum, div)} / (CAST(n_g AS DOUBLE)"
-        " * CAST(n_g - 1 AS DOUBLE)))"
+        f"sqrt({_w2d(vnum, div)} / NULLIF(CAST(n_g AS DOUBLE)"
+        " * CAST(n_g - 1 AS DOUBLE), 0.0))"
     )
     return [
         "event_type",
         "n_g AS n_gaps",
         f"{mu} AS mean_gap_us",
         f"{sd} AS sd_gap_us",
-        f"({sd} - {mu}) / ({sd} + {mu}) AS burstiness",
+        f"({sd} - {mu}) / NULLIF({sd} + {mu}, 0.0) AS burstiness",
     ]
 
 

@@ -181,3 +181,46 @@ def test_every_catalog_entry_survives_single_row_tables(
         f"{len(failures)} entries raised on 1-row input:\n"
         + "\n".join(failures)
     )
+
+
+def test_every_catalog_entry_survives_all_null_values(
+    spark, tmp_path_factory
+):
+    """Third degenerate boundary: a shard whose nullable columns are
+    ENTIRELY NULL (value, props) — the shape a schema-evolved or
+    partially-ingested partition produces. Statistics must skip to
+    their empty/NULL degenerate forms, not abort (round-13 found the
+    interarrival-burstiness sd hitting DIVIDE_BY_ZERO here via
+    two-event types)."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("null_sf")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+            f" LIMIT 5) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(
+        "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+        " user_id, event_type, CAST(NULL AS DOUBLE) AS value,"
+        " CAST(NULL AS VARCHAR) AS props"
+        f" FROM '/root/testdata/sf0.001/events.parquet' LIMIT 5)"
+        f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+
+    from de4ml_spark.queries import catalog
+
+    failures = []
+    for name, fn in catalog.queries().items():
+        try:
+            fn(spark, str(d)).collect()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {str(e).splitlines()[0][:90]}")
+    assert not failures, (
+        f"{len(failures)} entries raised on all-NULL values:\n"
+        + "\n".join(failures)
+    )
