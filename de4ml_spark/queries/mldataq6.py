@@ -1070,10 +1070,13 @@ def _mh_terms(div: str) -> list[str]:
 
 _MH_FINAL = [
     "n_strata",
-    "CAST(sum_ad_u AS DOUBLE) / CAST(sum_bc_u AS DOUBLE) AS or_mh",
+    # NULLIF degenerate guards: all-concordant strata (sum_bc = 0) or
+    # single-member strata (zero hypergeometric variance) yield NULL
+    "CAST(sum_ad_u AS DOUBLE) / NULLIF(CAST(sum_bc_u AS DOUBLE), 0.0)"
+    " AS or_mh",
     "((ABS(CAST(sum_a_u - sum_e_u AS DOUBLE)) - 500000.0)"
     " * (ABS(CAST(sum_a_u - sum_e_u AS DOUBLE)) - 500000.0))"
-    " / (CAST(sum_v_u AS DOUBLE) * 1000000.0) AS chi2_cmh",
+    " / NULLIF(CAST(sum_v_u AS DOUBLE) * 1000000.0, 0.0) AS chi2_cmh",
 ]
 
 

@@ -105,20 +105,81 @@ QUALIFY rank <= {TOPK}
 # --------------------------------------------------------------------------
 
 def corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
-        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
-        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
+    """Pearson correlations from exact integer-cent moments (the
+    exactness tier) rather than the engines' corr() aggregates:
+    Spark 4's ANSI corr raises DIVIDE_BY_ZERO on a zero-variance
+    column (constant shard) where DuckDB's returns NULL — and the two
+    implementations only agreed to 6dp by luck of rounding. The
+    moment sums are exact 128-bit integers; each correlation is one
+    engine-identical IEEE chain, NULL when a column is constant."""
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS y",
+        "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS z",
+        "CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS w",
+    )
+    big = "DECIMAL(38,0)"
+    mom = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(c).cast("bigint").alias(f"s{c}")
+            for c in ("x", "y", "z", "w")
+        ],
+        *[
+            F.sum(F.expr(f"CAST({a} AS {big}) * {b}")).alias(f"s{a}{b}")
+            for a, b in (
+                ("x", "x"), ("y", "y"), ("z", "z"), ("w", "w"),
+                ("x", "y"), ("x", "z"), ("y", "w"),
+            )
+        ],
+    )
+    return mom.selectExpr(
+        f"{_corr_expr('x', 'y', 'DIV')} AS qty_price",
+        f"{_corr_expr('x', 'z', 'DIV')} AS qty_disc",
+        f"{_corr_expr('y', 'w', 'DIV')} AS price_tax",
     )
 
 
-CORR_SQL = """
-SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price,
-       ROUND(corr(l_quantity, l_discount), 6) AS qty_disc,
-       ROUND(corr(l_extendedprice, l_tax), 6) AS price_tax
-FROM lineitem
+def _corr_expr(a: str, b: str, div: str) -> str:
+    big = "DECIMAL(38,0)" if div.upper() == "DIV" else "HUGEINT"
+    num = f"CAST(CAST(n AS {big}) * s{a}{b} - CAST(s{a} AS {big}) * s{b} AS DOUBLE)"
+    da = f"CAST(CAST(n AS {big}) * s{a}{a} - CAST(s{a} AS {big}) * s{a} AS DOUBLE)"
+    db = f"CAST(CAST(n AS {big}) * s{b}{b} - CAST(s{b} AS {big}) * s{b} AS DOUBLE)"
+    return f"({num} / NULLIF(sqrt({da} * {db}), 0.0))"
+
+
+def _corr_sql() -> str:
+    return f"""
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS y,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS z,
+         CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+  FROM lineitem
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z) AS BIGINT) AS sz, CAST(SUM(w) AS BIGINT) AS sw,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(z AS HUGEINT) * z) AS szz,
+         SUM(CAST(w AS HUGEINT) * w) AS sww,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * z) AS sxz,
+         SUM(CAST(y AS HUGEINT) * w) AS syw
+  FROM li
+)
+SELECT {_corr_expr('x', 'y', '//')} AS qty_price,
+       {_corr_expr('x', 'z', '//')} AS qty_disc,
+       {_corr_expr('y', 'w', '//')} AS price_tax
+FROM mom
 """
+
+
+CORR_SQL = _corr_sql()
 
 
 # --------------------------------------------------------------------------

@@ -981,7 +981,7 @@ def _pr_final(div: str) -> list[str]:
     return [
         "d_dims",
         "n_vecs",
-        f"{_w2d(tr2, div)} / {_w2d('frob_sum', div)}"
+        f"{_w2d(tr2, div)} / NULLIF({_w2d('frob_sum', div)}, 0.0)"
         " AS participation_ratio",
     ]
 

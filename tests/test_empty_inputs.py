@@ -224,3 +224,51 @@ def test_every_catalog_entry_survives_all_null_values(
         f"{len(failures)} entries raised on all-NULL values:\n"
         + "\n".join(failures)
     )
+
+
+def test_every_catalog_entry_survives_constant_tables(
+    spark, tmp_path_factory
+):
+    """Fourth degenerate boundary: CONSTANT data (five copies of one
+    row, distinct event ids) — zero variance with n > 1, the shape a
+    stuck upstream producer emits. Round-13 found Spark 4's ANSI
+    corr() aggregate itself raising here (DuckDB's returns NULL), a
+    Mantel-Haenszel all-concordant denominator, and the participation
+    ratio on a rank-one Gram matrix."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("const_sf")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE OR REPLACE VIEW one AS SELECT * FROM"
+            f" '/root/testdata/sf0.001/{t}.parquet' LIMIT 1"
+        )
+        con.execute(
+            f"COPY (SELECT one.* FROM one, generate_series(1, 5))"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(
+        "COPY (SELECT gs.g AS event_id, CAST(epoch_ns(ts) AS BIGINT)"
+        " AS ts, user_id, event_type, value, props"
+        " FROM (SELECT * FROM"
+        " '/root/testdata/sf0.001/events.parquet' LIMIT 1),"
+        " (SELECT unnest(generate_series(1, 5)) AS g) gs)"
+        f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+
+    from de4ml_spark.queries import catalog
+
+    failures = []
+    for name, fn in catalog.queries().items():
+        try:
+            fn(spark, str(d)).collect()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {str(e).splitlines()[0][:90]}")
+    assert not failures, (
+        f"{len(failures)} entries raised on constant input:\n"
+        + "\n".join(failures)
+    )

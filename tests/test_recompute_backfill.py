@@ -2386,3 +2386,39 @@ def test_key_skew_matches_reference(spark, sf_dir):
         _halfup_div(max(freqs), n_rows), rel=1e-12
     )
     assert row["p99_freq"] == pytest.approx(p99, abs=1.01e-6)
+
+
+# ------------------------------------------------------- Pearson corr
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_corr_lineitem_matches_reference(spark, sf_dir):
+    """The round-13 exactness-tier rewrite (integer-cent moments,
+    NULLIF-guarded) must equal textbook Pearson r on the quantized
+    columns."""
+    from de4ml_spark.queries.profileq2 import corr_lineitem
+
+    con = _con(sf_dir)
+    rows = [
+        (int(q), _cents(p), _cents(dc), _cents(t))
+        for q, p, dc, t in con.sql(
+            """SELECT l_quantity, l_extendedprice, l_discount, l_tax
+            FROM lineitem"""
+        ).fetchall()
+    ]
+
+    def corr(ai, bi):
+        n = len(rows)
+        sa = sum(r[ai] for r in rows)
+        sb = sum(r[bi] for r in rows)
+        saa = sum(r[ai] ** 2 for r in rows)
+        sbb = sum(r[bi] ** 2 for r in rows)
+        sab = sum(r[ai] * r[bi] for r in rows)
+        return float(n * sab - sa * sb) / math.sqrt(
+            float(n * saa - sa * sa) * float(n * sbb - sb * sb)
+        )
+
+    row = corr_lineitem(spark, sf_dir).collect()[0]
+    assert row["qty_price"] == pytest.approx(corr(0, 1), rel=1e-9)
+    assert row["qty_disc"] == pytest.approx(corr(0, 2), rel=1e-9)
+    assert row["price_tax"] == pytest.approx(corr(1, 3), rel=1e-9)
