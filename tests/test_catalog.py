@@ -197,3 +197,21 @@ def test_preflight_rejects_decimal_result_types():
         ["x", "y", "z"],
         ["BIGINT", "DOUBLE", "VARCHAR"],
     )
+
+
+def test_verify_oracle_rejects_bogus_sf_dir():
+    """VERDICT r12 #5: a nonexistent sf_dir must be a one-line usage
+    error with exit 2, not a raw DuckDB IOException traceback."""
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, "/root/repo/tools/verify_oracle.py", "/bogus-nowhere"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert res.returncode == 2
+    assert "NO SUCH SF DIR" in res.stdout
+    assert "USAGE" in res.stdout
+    assert "Traceback" not in res.stderr
