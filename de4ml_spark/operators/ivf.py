@@ -190,11 +190,14 @@ def topk_ivf(
     dim = len(centroids[0]) if centroids else 0
     if not centroids:
         # no model (empty training corpus): the probe set has no cells to
-        # search — the correct result is empty, not a malformed plan
+        # search — the correct result is empty, not a malformed plan.
+        # query_id types from the QUERIES frame and neighbor_id from the
+        # corpus, exactly as the non-empty join path below types them.
+        qt = queries.schema[id_col].dataType.simpleString()
         idt = corpus.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
             [],
-            f"query_id {idt}, neighbor_id {idt}, cos_sim DOUBLE, rank INT",
+            f"query_id {qt}, neighbor_id {idt}, cos_sim DOUBLE, rank INT",
         )
     # Materialize the assigned corpus: this IS the IVF index (in production
     # it would be written out partitioned/bucketed by cell). Persisting also

@@ -64,81 +64,24 @@ def _registries() -> list[dict]:
 # 50-entry PREFIX of this list per round, so ordering decides which
 # queries get fresh cross-engine evidence each round.
 #
-# Round-13 rotation (VERDICT r12 #1/#3): grade the 21 round-12 entries
-# first (their only evidence so far is local verify_oracle runs at both
-# SFs — the builder's and the judge's), then the 17 r5-remainder
-# entries, then the 12 oldest r6 entries to fill the 50-entry prefix.
-# The round-12 graded prefix (50 entries, all green in
-# CORRECTNESS_r12.json) moves to the back of the queue as r12 evidence.
+# Round-14 rotation (VERDICT r13 #1): prefix = the 35 r6-remainder
+# entries + the 15 oldest r7 entries. The round-13 graded prefix (50
+# entries, all green in CORRECTNESS_r13.json: 21 r12 entries + 17
+# r5-remainder + 12 oldest r6) moves to the back of the queue as r13
+# evidence.
 #
 # Evidence-age ledger (latest driver-graded round per entry, updated at
-# round-13 start from CORRECTNESS_r12.json): r5: 17   r6: 47   r7: 46
-# r8: 44   r9: 49   r10: 50   r11: 50   r12: 50   local-only: 21
-# (total 374). After round-13 grading the ledger becomes r6: 35
-# r7: 46   r8: 44   r9: 49   r10: 50   r11: 50   r12: 50   r13: 50.
-# Round-14 prefix plan (VERDICT r12 #3): the 35 r6-remainder entries,
-# then the 15 oldest r7 entries — the blocks below are already in that
-# order, so the only round-14 edit needed is moving this round's graded
-# 50-entry prefix to the back of the queue (plus any new entries, which
-# always land at the head).
+# round-14 start from CORRECTNESS_r13.json): r6: 35   r7: 46   r8: 44
+# r9: 49   r10: 50   r11: 50   r12: 50   r13: 50   (total 374).
+# After round-14 grading the ledger becomes r7: 31   r8: 44   r9: 49
+# r10: 50   r11: 50   r12: 50   r13: 50   r14: 50.
+# Round-15 prefix plan: the 31 r7-remainder entries, then the 19
+# oldest r8 entries — the blocks below are already in that order, so
+# the only round-15 edit needed is moving this round's graded 50-entry
+# prefix to the back of the queue (plus any new entries, which always
+# land at the head).
 PRIORITY = [
-    # -- round-13 graded prefix part 1: the 21 round-12 entries
-    #    (local-only evidence until CORRECTNESS_r13)
-    "giant_component_parts",
-    "breslow_day_docs",
-    "kpss_daily_events",
-    "adf_daily_events",
-    "variance_ratio_daily_events",
-    "delong_auc_variance_events",
-    "krippendorff_alpha_docs",
-    "hyperanf_parts",
-    "qn_scale_value",
-    "cuped_user_value",
-    "anf_closeness_parts",
-    "hill_tail_value",
-    "yuen_trimmed_ttest_value",
-    "km_greenwood_retention",
-    "median_of_means_value",
-    "siegel_slope_daily",
-    "phillips_perron_daily",
-    "cusum_squares_daily",
-    "arch_lm_daily",
-    "contamination_span_docs",
-    "wasserstein2_value",
-    # -- round-13 graded prefix part 2: the 17 r5-remainder entries
-    "weighted_median_price",
-    "knn_ivf_recall",
-    "validation_counts_lineitem",
-    "alert_windows_events",
-    "churned_purchasers",
-    "corr_lineitem",
-    "events_dau",
-    "events_pivot",
-    "funnel_events",
-    "histogram_quantity",
-    "hourly_seasonality_events",
-    "last_reward_events",
-    "latest_event_per_user",
-    "limit_fetch_events",
-    "monthly_revenue_ma",
-    "multimodal_meta",
-    "orders_price_page",
-    # -- round-13 graded prefix part 3: the 12 oldest r6 entries
-    #    (prefix boundary after "q2_min_cost_supplier")
-    "ks_drift_value",
-    "epoch_mix_plan",
-    "quota_admission_events",
-    "capped_sessions_events",
-    "throttle_events",
-    "tfidf_top_terms",
-    "tfidf_doc_similarity",
-    "unigram_logprob_docs",
-    "bigram_logprob_docs",
-    "bm25_search_docs",
-    "pagerank_copurchase_parts",
-    "q2_min_cost_supplier",
-    # -- refresh queue: latest driver evidence round 6 (remainder, 35
-    #    entries -> round-14 prefix part 1)
+    # -- round-14 graded prefix part 1: the 35 r6-remainder entries
     "q11_important_stock",
     "q20_potential_promo",
     "kmv_distinct_users",
@@ -174,7 +117,8 @@ PRIORITY = [
     "clean_corpus",
     "decontaminate_docs",
     "dedup_cluster_sizes",
-    # -- refresh queue: latest driver evidence round 7
+    # -- round-14 graded prefix part 2: the 15 oldest r7 entries
+    #    (prefix boundary after "triangle_count_parts")
     "nelson_aalen_retention",
     "q9_product_profit",
     "rollup_cascade_events",
@@ -190,6 +134,8 @@ PRIORITY = [
     "assoc_rules_parts",
     "audience_overlap_events",
     "triangle_count_parts",
+    # -- refresh queue: latest driver evidence round 7 (remainder, 31
+    #    entries -> round-15 prefix part 1)
     "ltv_triangle_orders",
     "label_centroid_distances",
     "plus4_ctr_bounds",
@@ -472,6 +418,58 @@ PRIORITY = [
     "ohlc_daily_value",
     "nearest_view_per_click",
     "fk_integrity_orders_lineitem",
+    # -- round-13 graded prefix (moved to back as r13 evidence):
+    #    21 round-12 entries + 17 r5-remainder + 12 oldest r6
+    "giant_component_parts",
+    "breslow_day_docs",
+    "kpss_daily_events",
+    "adf_daily_events",
+    "variance_ratio_daily_events",
+    "delong_auc_variance_events",
+    "krippendorff_alpha_docs",
+    "hyperanf_parts",
+    "qn_scale_value",
+    "cuped_user_value",
+    "anf_closeness_parts",
+    "hill_tail_value",
+    "yuen_trimmed_ttest_value",
+    "km_greenwood_retention",
+    "median_of_means_value",
+    "siegel_slope_daily",
+    "phillips_perron_daily",
+    "cusum_squares_daily",
+    "arch_lm_daily",
+    "contamination_span_docs",
+    "wasserstein2_value",
+    "weighted_median_price",
+    "knn_ivf_recall",
+    "validation_counts_lineitem",
+    "alert_windows_events",
+    "churned_purchasers",
+    "corr_lineitem",
+    "events_dau",
+    "events_pivot",
+    "funnel_events",
+    "histogram_quantity",
+    "hourly_seasonality_events",
+    "last_reward_events",
+    "latest_event_per_user",
+    "limit_fetch_events",
+    "monthly_revenue_ma",
+    "multimodal_meta",
+    "orders_price_page",
+    "ks_drift_value",
+    "epoch_mix_plan",
+    "quota_admission_events",
+    "capped_sessions_events",
+    "throttle_events",
+    "tfidf_top_terms",
+    "tfidf_doc_similarity",
+    "unigram_logprob_docs",
+    "bigram_logprob_docs",
+    "bm25_search_docs",
+    "pagerank_copurchase_parts",
+    "q2_min_cost_supplier",
 ]
 
 

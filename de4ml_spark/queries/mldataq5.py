@@ -328,7 +328,8 @@ def _kappa_final(div: str) -> list[str]:
         "agree",
         "a1",
         "b1",
-        "CAST(agree AS DOUBLE) / CAST(n_tot AS DOUBLE) AS po",
+        "CAST(agree AS DOUBLE) / NULLIF(CAST(n_tot AS DOUBLE), 0.0)"
+        " AS po",
         f"{_w2d(num, div)} / NULLIF({_w2d(den, div)}, 0.0)"
         " AS kappa",
     ]
@@ -742,7 +743,10 @@ def _brier_stages(div: str) -> list[list[str]]:
     RES term: n2·(ō_k − ō)² = (g2·N2 − G2·n2)² / (n2·N2²).
     """
     big = _big(div)
-    keep = "n1_tot, n2_tot, g2_tot, n2g"
+    # keep is a LIST of bare column names (not one comma-joined string)
+    # so selectExpr items never need string splitting downstream —
+    # computed expressions may legitimately contain commas (NULLIF).
+    keep = ["n1_tot", "n2_tot", "g2_tot", "n2g"]
     s0 = [
         "n1_tot",
         "n2_tot",
@@ -755,27 +759,27 @@ def _brier_stages(div: str) -> list[list[str]]:
         " AS res_d",
     ]
     s1 = [
-        keep,
+        *keep,
         "n1s",
         "n2",
         "rel_d * rel_d * 1000000 AS rel_p",
         "res_d * res_d * 1000000 AS res_p",
     ]
     s2 = [
-        keep,
+        *keep,
         "n1s",
         "n2",
         f"{_whd('rel_p', 'n1s', div)} AS rel_1",
         f"{_whd('res_p', 'n2g', div)} AS res_1",
     ]
     s3 = [
-        keep,
+        *keep,
         "n2",
         f"{_whd('rel_1', 'n1s', div)} AS rel_2",
         f"{_whd('res_1', 'n2_tot', div)} AS res_2",
     ]
     s4 = [
-        keep,
+        *keep,
         "n2",
         f"{_whd('rel_2', 'n2g', div)} AS rel_3",
         f"{_whd('res_2', 'n2_tot', div)} AS res_3",
@@ -832,15 +836,7 @@ def brier_decomposition_events(
     )
     terms = sm
     for stage in _brier_stages("DIV"):
-        # only the bare `keep` column list splits on ", " — computed
-        # expressions may legitimately contain commas (NULLIF guards)
-        terms = terms.selectExpr(
-            *[
-                e
-                for c in stage
-                for e in (c.split(", ") if "(" not in c else [c])
-            ]
-        )
+        terms = terms.selectExpr(*stage)
     agg = terms.groupBy("n1_tot", "n2_tot", "g2_tot").agg(
         F.sum("rel_t").alias("rel_u"),
         F.sum("res_t").alias("res_u"),

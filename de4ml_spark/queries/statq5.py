@@ -3186,7 +3186,8 @@ _UNCERT_FINAL = [
     "n_events",
     "CAST(mi_u AS DOUBLE) / NULLIF(CAST(hx_u AS DOUBLE), 0.0)"
     " AS uncertainty_coefficient",
-    "CAST(mi_u AS DOUBLE) / (CAST(n_events AS DOUBLE) * 1000000.0)"
+    "CAST(mi_u AS DOUBLE)"
+    " / NULLIF(CAST(n_events AS DOUBLE) * 1000000.0, 0.0)"
     " AS mutual_info_nats",
 ]
 

@@ -98,6 +98,7 @@ def test_single_row_inputs(spark):
     assert len(w) == 1 and w[0]["active_users_7d"] == 1
 
 
+@pytest.mark.sweep
 def test_every_catalog_entry_survives_empty_tables(spark, tmp_path_factory):
     """The full-catalog degenerate sweep: EVERY entry must build and
     collect against zero-row tables without raising. At 100 TB a
@@ -140,6 +141,7 @@ def test_every_catalog_entry_survives_empty_tables(spark, tmp_path_factory):
     assert not failures, f"{len(failures)} entries raised on empty input:\n" + "\n".join(failures)
 
 
+@pytest.mark.sweep
 def test_every_catalog_entry_survives_single_row_tables(
     spark, tmp_path_factory
 ):
@@ -183,6 +185,7 @@ def test_every_catalog_entry_survives_single_row_tables(
     )
 
 
+@pytest.mark.sweep
 def test_every_catalog_entry_survives_all_null_values(
     spark, tmp_path_factory
 ):
@@ -226,6 +229,7 @@ def test_every_catalog_entry_survives_all_null_values(
     )
 
 
+@pytest.mark.sweep
 def test_every_catalog_entry_survives_constant_tables(
     spark, tmp_path_factory
 ):

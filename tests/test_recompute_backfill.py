@@ -24,11 +24,10 @@ SF2 = "/root/testdata/sf0.01"
 
 
 def _con(sf_dir: str):
+    from de4ml_spark.session import TABLES
+
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
+    for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
@@ -2422,3 +2421,166 @@ def test_corr_lineitem_matches_reference(spark, sf_dir):
     assert row["qty_price"] == pytest.approx(corr(0, 1), rel=1e-9)
     assert row["qty_disc"] == pytest.approx(corr(0, 2), rel=1e-9)
     assert row["price_tax"] == pytest.approx(corr(1, 3), rel=1e-9)
+
+
+# ------------------------------------------- weighted reservoir (A-ES)
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_weighted_reservoir_matches_reference(spark, sf_dir):
+    """Efraimidis-Spirakis A-ES without replacement, recomputed from the
+    definition: u = (h+1)/2^40 from the md5 portable hash, key =
+    ln(u)/w = -ln(2^40/(h+1))/w (micro-quantized ln), sample = top-64
+    by key. The ln rides math.log here (the repo side uses the portable
+    polynomial, ~2 ulp apart) — set membership is robust to that at
+    these corpus sizes; key values compare approx."""
+    from de4ml_spark.queries.samplingq import AES_K, weighted_reservoir_docs
+
+    con = _con(sf_dir)
+    keys = {}
+    weights = {}
+    for doc_id, text in con.sql(
+        "SELECT doc_id, text FROM documents"
+    ).fetchall():
+        w = len(text.split(" "))
+        if w <= 0:
+            continue
+        hp = _phash(f"{doc_id}aes", 40) + 1
+        lnr_micro = math.floor(math.log((1 << 40) / hp) * 1e6 + 0.5)
+        keys[doc_id] = -float(lnr_micro) / w
+        weights[doc_id] = w
+    expect = sorted(keys, key=lambda d: (-keys[d], d))[:AES_K]
+
+    rows = weighted_reservoir_docs(spark, sf_dir).collect()
+    assert len(rows) == AES_K
+    got = {r["doc_id"]: r for r in rows}
+    assert set(got) == set(expect)
+    for i, d in enumerate(expect):
+        assert got[d]["rank"] == i + 1
+        assert got[d]["w"] == weights[d]
+        assert got[d]["aes_key"] == pytest.approx(
+            keys[d], abs=5e-6, rel=1e-6
+        )
+
+
+# -------------------------------------------- label centroid distances
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_label_centroid_distances_matches_reference(spark, sf_dir):
+    """Integer-micro centroid recompute from the definition: each
+    float32 component -> floor(v*1e6 + 0.5) micro int, per-(label, dim)
+    half-up mean, pairwise squared-diff integer sums, one sqrt."""
+    from collections import defaultdict
+
+    from de4ml_spark.queries.simq import label_centroid_distances
+
+    con = _con(sf_dir)
+    sums: dict = defaultdict(lambda: defaultdict(int))
+    counts: dict = defaultdict(int)
+    for label, emb in con.sql(
+        "SELECT label, embedding FROM embeddings"
+    ).fetchall():
+        counts[label] += 1
+        for dim, v in enumerate(emb, start=1):
+            sums[label][dim] += math.floor(float(v) * 1e6 + 0.5)
+    def tdiv(a: int, b: int) -> int:
+        # Spark DIV / DuckDB // truncate toward zero; Python // floors
+        return abs(a) // b * (1 if a >= 0 else -1)
+
+    cent = {
+        lab: {
+            dim: tdiv(2 * s + counts[lab], 2 * counts[lab])
+            for dim, s in dims.items()
+        }
+        for lab, dims in sums.items()
+    }
+    labs = sorted(cent)
+    expect = {}
+    for i, a in enumerate(labs):
+        for b in labs[i + 1 :]:
+            sq = sum(
+                (cent[a][d] - cent[b][d]) ** 2 for d in cent[a]
+            )
+            expect[(a, b)] = sq
+    rows = label_centroid_distances(spark, sf_dir).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        key = (r["label_a"], r["label_b"])
+        assert r["sq_micro"] == expect[key]
+        assert r["n_a"] == counts[r["label_a"]]
+        assert r["n_b"] == counts[r["label_b"]]
+        assert r["dist_r"] == pytest.approx(
+            math.sqrt(expect[key]) / 1e6, rel=1e-12
+        )
+
+
+# -------------------------------------------- lineitem measure stats
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_lineitem_measure_stats_matches_reference(spark, sf_dir):
+    """UNPIVOT + robust stats recomputed from the definition: exact
+    percentile_cont(0.5) interpolation on sorted doubles, min/max, and
+    the half-up integer-micro mean (sum of 6dp-quantized values)."""
+    from de4ml_spark.queries.relational3 import lineitem_measure_stats
+
+    con = _con(sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    data = con.sql(f"SELECT {', '.join(cols)} FROM lineitem").fetchall()
+    rows = {r["measure"]: r for r in
+            lineitem_measure_stats(spark, sf_dir).collect()}
+    assert set(rows) == set(cols)
+    for ci, c in enumerate(cols):
+        vals = sorted(float(r[ci]) for r in data)
+        n = len(vals)
+        # percentile_cont(0.5): linear interpolation at rank (n-1)/2
+        lo_i = (n - 1) // 2
+        if n % 2 == 1:
+            med = vals[lo_i]
+        else:
+            med = vals[lo_i] + 0.5 * (vals[lo_i + 1] - vals[lo_i])
+        s_micro = sum(
+            int(Decimal(str(v)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP) * 10**6)
+            for v in vals
+        )
+        mean = float((2 * s_micro + n) // (2 * n)) / 1e6
+        r = rows[c]
+        assert r["n"] == n
+        assert r["median"] == pytest.approx(round(med, 6), abs=1e-9)
+        assert r["lo"] == round(vals[0], 6)
+        assert r["hi"] == round(vals[-1], 6)
+        assert r["mean"] == pytest.approx(mean, abs=1e-12)
+
+
+# -------------------------------------------- unpivot part metrics
+
+
+@pytest.mark.parametrize("sf_dir", [SF, SF2])
+def test_unpivot_part_metrics_matches_reference(spark, sf_dir):
+    """Wide-to-long stack + per-(brand, metric) stats recomputed from
+    the definition on 2dp-quantized decimals."""
+    from collections import defaultdict
+
+    from de4ml_spark.queries.mldataq3 import unpivot_part_metrics
+
+    con = _con(sf_dir)
+    groups: dict = defaultdict(list)
+    for brand, size, price in con.sql(
+        "SELECT p_brand, p_size, p_retailprice FROM part"
+    ).fetchall():
+        groups[(brand, "size")].append(
+            Decimal(int(size)).quantize(Decimal("0.01"))
+        )
+        groups[(brand, "retailprice")].append(
+            Decimal(str(price)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+        )
+    rows = unpivot_part_metrics(spark, sf_dir).collect()
+    assert len(rows) == len(groups)
+    for r in rows:
+        vals = groups[(r["p_brand"], r["metric"])]
+        assert r["n"] == len(vals)
+        assert r["min_val"] == float(min(vals))
+        assert r["max_val"] == float(max(vals))
+        assert r["sum_val"] == float(sum(vals))

@@ -154,12 +154,11 @@ def main() -> int:
     # IOException traceback on the first CREATE VIEW (VERDICT r12 #5).
     import os
 
+    from de4ml_spark.session import TABLES
+
     missing = [
         t
-        for t in (
-            "region nation customer supplier part orders lineitem events "
-            "documents embeddings"
-        ).split()
+        for t in TABLES
         if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
     ]
     if missing:
@@ -173,10 +172,7 @@ def main() -> int:
 
     spark = get_spark("verify_oracle", cpus=8)
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
+    for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
