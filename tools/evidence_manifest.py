@@ -166,9 +166,16 @@ def build_rows():
             else:
                 kind = "value test"
                 cite = [f for f in files if f not in RECOMPUTE_TESTS]
-            where = ", ".join(cite[:3]) + (
-                f" (via `{via}`)" if via != name else ""
-            )
+            if via != name:
+                # the test covers a composed operator, not the entry by
+                # name; when the builder/oracle are also independently
+                # authored, say so — that is the primary evidence and
+                # the operator test is the supporting check
+                if not shared and kind != "stream-twin":
+                    kind = "independent dual impl + operator test"
+                where = ", ".join(cite[:3]) + f" (via `{via}`)"
+            else:
+                where = ", ".join(cite[:3])
         elif not shared:
             kind = "independent dual impl"
             where = "builder and oracle share no formula text (mechanical check)"
