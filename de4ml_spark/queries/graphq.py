@@ -2204,6 +2204,11 @@ def _hyperanf_sql() -> str:
             f"                 MAX(h) AS mx\n"
             f"          FROM st{h} GROUP BY 1)\n"
             f"  )\n"
+            # HAVING: empty-graph parity — the Spark side's per-node
+            # groupBy yields zero rows on an empty edge set, so the
+            # oracle's per-hop global aggregate must not emit its
+            # NULL row there; a no-op on any non-empty graph
+            f"  HAVING COUNT(*) > 0\n"
             f")"
         )
     union = "\n  UNION ALL ".join(

@@ -224,7 +224,12 @@ SELECT ROUND(MIN(med), 6) AS median_r,
        ROUND(quantile_cont(ABS(l_extendedprice - med), 0.5), 6) AS mad_r,
        COUNT(l_extendedprice) AS n
 FROM lineitem CROSS JOIN m
+HAVING COUNT(l_extendedprice) > 0
 """
+# HAVING: empty-input parity — the Spark histogram-quantile path
+# (grouped_exact_quantiles) yields zero groups on an empty shard, so
+# the oracle's global aggregate must not emit its NULL-stat row there;
+# a no-op on any non-empty input.
 
 
 # --------------------------------------------------------------------------

@@ -385,8 +385,13 @@ SELECT event_type,
        ROUND(quantile_cont(value, 0.75), 6) AS q75,
        COUNT(value) AS n
 FROM events
+WHERE value IS NOT NULL
 GROUP BY event_type
 """
+# WHERE: all-NULL-shard parity — the Spark histogram-quantile path
+# builds groups from non-NULL values only, so a type whose values are
+# entirely NULL yields no row; quantile_cont/COUNT(value) already
+# ignore NULLs, so this is value-identical on any real shard.
 
 
 REGISTRY["value_quartiles_by_type"] = {

@@ -342,7 +342,13 @@ SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+HAVING COUNT(*) > 0
 """
+# HAVING: empty-input parity — Spark's Expand-based ROLLUP emits zero
+# rows on a zero-row shard (no grand-total row), where DuckDB follows
+# the standard and emits one; every real rollup row has COUNT >= 1, so
+# this is a no-op on any non-empty input. Closing the gap Spark-side
+# would cost a second full scan at 100 TB.
 
 
 # --------------------------------------------------------------------------

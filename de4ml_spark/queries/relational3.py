@@ -229,7 +229,11 @@ SELECT COUNT(*) AS n_conversions,
        ROUND(quantile_cont(latency_s, 0.5), 6) AS median_s_r,
        ROUND(quantile_cont(latency_s, 0.9), 6) AS p90_s_r
 FROM lat
+HAVING COUNT(*) > 0
 """
+# HAVING: empty-input parity — the Spark histogram-quantile path yields
+# zero groups when no user converts, so the oracle must not emit its
+# NULL-stat row there; a no-op whenever any conversion exists.
 
 
 # --------------------------------------------------------------------------
@@ -648,26 +652,40 @@ REGISTRY["monthly_revenue_ma"] = {
 # --------------------------------------------------------------------------
 
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # (user_id, ts) is unique in the testdata (verified at sf0.01/sf0.1),
-    # so a plain ts ordering key is deterministic; with ties, compose a
-    # single sortable key (e.g. unix_micros(ts)*K + id) — DuckDB's arg_max
-    # does not accept struct keys, so the oracle constrains the shape.
+    # Deterministic under ts TIES (same-microsecond events are routine
+    # at scale; the round-14 constant-shard parity sweep caught Spark
+    # max_by and DuckDB arg_max breaking ties differently): the ordering
+    # key composes (ts, event_id) into ONE 128-bit integer — DuckDB's
+    # arg_max does not accept struct keys, so a scalar key is the only
+    # portable shape. micros < 2^63 and event_id < 10^19 keep the
+    # composition exact in DECIMAL(38,0)/HUGEINT.
     ev = load_table(spark, sf_dir, "events")
+    # timestampdiff is NTZ-native (unix_micros demands TIMESTAMP and a
+    # session-tz cast could collapse distinct NTZ values in a DST hour)
+    key = (
+        "CAST(timestampdiff(MICROSECOND,"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS DECIMAL(38,0))"
+        " * 10000000000000000000 + event_id"
+    )
     return ev.groupBy("user_id").agg(
-        F.max_by("event_id", F.col("ts")).alias("last_event_id"),
-        F.max_by("event_type", F.col("ts")).alias("last_type"),
-        F.max_by(F.col("value"), F.col("ts")).alias("last_value"),
+        F.expr(f"max_by(event_id, {key})").alias("last_event_id"),
+        F.expr(f"max_by(event_type, {key})").alias("last_type"),
+        F.expr(f"max_by(value, {key})").alias("last_value"),
         F.max("ts").alias("last_ts"),
     )
 
 
 LATEST_EVENT_SQL = """
 SELECT user_id,
-       arg_max(event_id, ts) AS last_event_id,
-       arg_max(event_type, ts) AS last_type,
-       arg_max(value, ts) AS last_value,
+       arg_max(event_id, k) AS last_event_id,
+       arg_max(event_type, k) AS last_type,
+       arg_max(value, k) AS last_value,
        MAX(ts) AS last_ts
-FROM events
+FROM (
+  SELECT *, CAST(epoch_us(ts) AS HUGEINT)
+            * 10000000000000000000 + event_id AS k
+  FROM events
+)
 GROUP BY user_id
 """
 
@@ -793,7 +811,12 @@ SELECT event_type, CAST(ts AS DATE) AS day,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY CUBE(event_type, CAST(ts AS DATE))
+HAVING COUNT(*) > 0
 """
+# HAVING: empty-input parity — Spark's Expand-based CUBE emits zero
+# rows on a zero-row shard (no grand-total row); every real cube cell
+# has COUNT >= 1, so this is a no-op on any non-empty input (see
+# ORDERS_ROLLUP_SQL in relational2.py).
 
 
 REGISTRY["events_cube"] = {"fn": events_cube, "sql": EVENTS_CUBE_SQL}

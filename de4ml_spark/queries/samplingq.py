@@ -502,6 +502,14 @@ def poisson_bootstrap_value_mean(
     means = per.selectExpr(
         f"CAST({_whd('swx * 1000000', 'sw', 'DIV')} AS BIGINT)"
         " AS mean_u"
+    ).filter(
+        # a rep whose every Poisson weight is 0 resamples nothing and
+        # has no mean (NULL via the NULLIF-guarded division) — drop it
+        # BEFORE ranking: Spark sorts NULLs first, DuckDB last, so a
+        # NULL entering ROW_NUMBER shifts rk=2/rk=B-1 differently per
+        # engine (1-row-shard parity finding, round 14). Impossible at
+        # real SF (P(all n weights = 0) = e^{-n}).
+        "mean_u IS NOT NULL"
     )
     wq = Window.partitionBy(F.lit(1)).orderBy("mean_u")
     ranked = means.withColumn("rk", F.row_number().over(wq))
@@ -563,7 +571,7 @@ means AS (
 ),
 ranked AS (
   SELECT mean_u, ROW_NUMBER() OVER (ORDER BY mean_u) AS rk
-  FROM means
+  FROM means WHERE mean_u IS NOT NULL
 ),
 ci AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS b_reps,

@@ -1138,6 +1138,10 @@ def mean_pairwise_dot_embeddings(
             F.sum("sd2").alias("s_norm"),
         )
         .crossJoin(F.broadcast(nv))
+        # empty input: the global SUMs are NULL — drop the row so both
+        # engines return zero rows (the oracle's GROUP BY over an empty
+        # cross join); free filter on a 1-row aggregate
+        .filter("s_norm IS NOT NULL")
         .selectExpr(
             "n_vecs",
             "cent_sq - s_norm AS pair_num",

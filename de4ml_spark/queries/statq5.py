@@ -2051,9 +2051,14 @@ REGISTRY["newey_west_daily"] = {
 _RUD_FINAL = [
     "m_diffs",
     "n_runs",
+    # GREATEST+NULLIF: for m_diffs <= 1 the variance term goes
+    # non-positive — DuckDB's sqrt RAISES on negatives where Spark
+    # yields NaN, so the statistic degrades to NULL identically on
+    # both engines (z is undefined there anyway)
     "(CAST(n_runs AS DOUBLE)"
     " - (2.0 * CAST(m_diffs AS DOUBLE) - 1.0) / 3.0)"
-    " / sqrt((16.0 * CAST(m_diffs AS DOUBLE) - 29.0) / 90.0)"
+    " / sqrt(NULLIF(GREATEST("
+    "(16.0 * CAST(m_diffs AS DOUBLE) - 29.0) / 90.0, 0.0), 0.0))"
     " AS z_runs_updown",
 ]
 
@@ -3368,6 +3373,11 @@ def youden_threshold_value(
                 F.col("fp"),
             )
         ).alias("s")
+    ).filter(
+        # empty input: MAX(struct) over zero rows is NULL — drop the
+        # row so both engines return zero rows (oracle: LIMIT 1 over
+        # an empty frame); free filter on a 1-row aggregate
+        F.col("s").isNotNull()
     ).selectExpr(
         "s.threshold_cents",
         "s.n_a",
@@ -3681,6 +3691,10 @@ def mcc_threshold_value(
                 F.col("fn"),
             )
         ).alias("s")
+    ).filter(
+        # empty-input parity with the oracle's LIMIT-1 shape (see
+        # youden_threshold_value)
+        F.col("s").isNotNull()
     ).selectExpr(
         "s.threshold_cents",
         "CAST(s.tp AS BIGINT) AS tp",

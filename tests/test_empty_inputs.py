@@ -99,80 +99,63 @@ def test_single_row_inputs(spark):
 
 
 @pytest.mark.sweep
-def test_every_catalog_entry_survives_empty_tables(spark, tmp_path_factory):
-    """The full-catalog degenerate sweep: EVERY entry must build and
-    collect against zero-row tables without raising. At 100 TB a
-    partition-pruned scan or a fresh landing zone routinely produces
-    zero rows; an operator that throws there (ANSI DIVIDE_BY_ZERO on an
-    empty denominator, a literal-embedding build step that assumes a
-    non-empty probe set, a model fit on an empty sample) kills the whole
-    job. Round-13 sweep found 8 such entries (knn_* literal/IVF paths,
-    profile null-rate, fk coverage, minhash recall); this pins the
-    invariant for all 374."""
-    import duckdb
+@pytest.mark.parametrize("kind", ["empty", "one", "null", "const"])
+def test_catalog_degenerate_cross_engine_parity(
+    spark, tmp_path_factory, kind
+):
+    """Full-catalog degenerate sweep, upgraded (round 14) from
+    no-abort to CROSS-ENGINE PARITY: every oracle-backed entry (all
+    374) runs on BOTH engines against the same degenerate tables and
+    must agree on rows, columns, types, and values — with NaN distinct
+    from NULL, the divergence class the hash gate never sees at real
+    SF (an unguarded Spark 0.0/0.0 = NaN where DuckDB's division
+    returns NULL). Shapes:
 
-    d = tmp_path_factory.mktemp("empty_sf")
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem "
-        "documents embeddings"
-    ).split():
-        con.execute(
-            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
-            f" LIMIT 0) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    # events ships as INT64 nanos in the real testdata; mirror that so
-    # load_table's nanos normalization path is the one exercised
-    con.execute(
-        "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
-        " user_id, event_type, value, props"
-        f" FROM '/root/testdata/sf0.001/events.parquet' LIMIT 0)"
-        f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+    - empty: zero-row tables (a partition-pruned scan / fresh landing
+      zone). Round-13 no-abort sweep found 8 raisers; the round-14
+      parity pass found 9 silent divergences (ROLLUP/CUBE grand-total
+      rows, LIMIT-1 vs MAX(struct) shapes, a DuckDB sqrt(negative)
+      abort in runs_updown) — all fixed to the empty-in/empty-out
+      convention.
+    - one: the n = 1 boundary ((n-1) variance denominators, one-class
+      samples; round-13 fixed 50 DIVIDE_BY_ZERO aborts here) — parity
+      additionally caught poisson_bootstrap's NULL-mean reps entering
+      ROW_NUMBER, where Spark sorts NULLs first and DuckDB last.
+    - null: value/props entirely NULL (schema-evolved shard) — parity
+      caught value_quartiles emitting NULL-stat rows on one engine
+      only.
+    - const: five copies of one row, DISTINCT primary keys (event_id/
+      doc_id/vec_id), zero variance with n > 1 — parity caught the
+      max_by/arg_max tie-break divergence in latest_event_per_user.
+
+    A raise on either engine also fails (the dupconst no-abort sweep
+    below covers the out-of-contract duplicate-key shape)."""
+    from tools.degenerate_parity import build_degenerate, run_parity
+
+    d = tmp_path_factory.mktemp(f"degen_{kind}")
+    build_degenerate(kind, str(d))
+    fails = run_parity(spark, str(d))
+    assert not fails, (
+        f"{len(fails)} entries diverged on {kind} input:\n"
+        + "\n".join(fails)
     )
-
-    from de4ml_spark.queries import catalog
-
-    failures = []
-    for name, fn in catalog.queries().items():
-        try:
-            fn(spark, str(d)).collect()
-        except Exception as e:  # noqa: BLE001
-            failures.append(f"{name}: {str(e).splitlines()[0][:90]}")
-    assert not failures, f"{len(failures)} entries raised on empty input:\n" + "\n".join(failures)
 
 
 @pytest.mark.sweep
-def test_every_catalog_entry_survives_single_row_tables(
+def test_catalog_survives_duplicate_key_constant_shard(
     spark, tmp_path_factory
 ):
-    """The n = 1 boundary: every entry must tolerate one-row tables.
-    This is where (n-1)-style variance denominators, single-class
-    samples, and one-group designs go to zero — round-13 found 50
-    entries that died with ANSI DIVIDE_BY_ZERO here (DuckDB's twin
-    silently NULLs the same division, so the engines also diverged on
-    degenerate input). All such denominators now carry NULLIF guards:
-    the statistic degrades to NULL, identical on both engines."""
-    import duckdb
-
-    d = tmp_path_factory.mktemp("one_sf")
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem "
-        "documents embeddings"
-    ).split():
-        con.execute(
-            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
-            f" LIMIT 1) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    con.execute(
-        "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
-        " user_id, event_type, value, props"
-        f" FROM '/root/testdata/sf0.001/events.parquet' LIMIT 1)"
-        f" TO '{d}/events.parquet' (FORMAT PARQUET)"
-    )
-
+    """Out-of-contract shape: five rows sharing ONE doc_id/vec_id (a
+    double-ingested shard that skipped the S11 validation tier). The
+    doc-keyed dedup/text entries legitimately disagree with their
+    oracles here (duplicate-key joins multiply differently across two
+    independently-authored plans), so the pin is NO-ABORT only: every
+    entry must still build and collect."""
     from de4ml_spark.queries import catalog
+    from tools.degenerate_parity import build_degenerate
 
+    d = tmp_path_factory.mktemp("degen_dupconst")
+    build_degenerate("dupconst", str(d))
     failures = []
     for name, fn in catalog.queries().items():
         try:
@@ -180,99 +163,6 @@ def test_every_catalog_entry_survives_single_row_tables(
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: {str(e).splitlines()[0][:90]}")
     assert not failures, (
-        f"{len(failures)} entries raised on 1-row input:\n"
-        + "\n".join(failures)
-    )
-
-
-@pytest.mark.sweep
-def test_every_catalog_entry_survives_all_null_values(
-    spark, tmp_path_factory
-):
-    """Third degenerate boundary: a shard whose nullable columns are
-    ENTIRELY NULL (value, props) — the shape a schema-evolved or
-    partially-ingested partition produces. Statistics must skip to
-    their empty/NULL degenerate forms, not abort (round-13 found the
-    interarrival-burstiness sd hitting DIVIDE_BY_ZERO here via
-    two-event types)."""
-    import duckdb
-
-    d = tmp_path_factory.mktemp("null_sf")
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem "
-        "documents embeddings"
-    ).split():
-        con.execute(
-            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
-            f" LIMIT 5) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    con.execute(
-        "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
-        " user_id, event_type, CAST(NULL AS DOUBLE) AS value,"
-        " CAST(NULL AS VARCHAR) AS props"
-        f" FROM '/root/testdata/sf0.001/events.parquet' LIMIT 5)"
-        f" TO '{d}/events.parquet' (FORMAT PARQUET)"
-    )
-
-    from de4ml_spark.queries import catalog
-
-    failures = []
-    for name, fn in catalog.queries().items():
-        try:
-            fn(spark, str(d)).collect()
-        except Exception as e:  # noqa: BLE001
-            failures.append(f"{name}: {str(e).splitlines()[0][:90]}")
-    assert not failures, (
-        f"{len(failures)} entries raised on all-NULL values:\n"
-        + "\n".join(failures)
-    )
-
-
-@pytest.mark.sweep
-def test_every_catalog_entry_survives_constant_tables(
-    spark, tmp_path_factory
-):
-    """Fourth degenerate boundary: CONSTANT data (five copies of one
-    row, distinct event ids) — zero variance with n > 1, the shape a
-    stuck upstream producer emits. Round-13 found Spark 4's ANSI
-    corr() aggregate itself raising here (DuckDB's returns NULL), a
-    Mantel-Haenszel all-concordant denominator, and the participation
-    ratio on a rank-one Gram matrix."""
-    import duckdb
-
-    d = tmp_path_factory.mktemp("const_sf")
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem "
-        "documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE OR REPLACE VIEW one AS SELECT * FROM"
-            f" '/root/testdata/sf0.001/{t}.parquet' LIMIT 1"
-        )
-        con.execute(
-            f"COPY (SELECT one.* FROM one, generate_series(1, 5))"
-            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    con.execute(
-        "COPY (SELECT gs.g AS event_id, CAST(epoch_ns(ts) AS BIGINT)"
-        " AS ts, user_id, event_type, value, props"
-        " FROM (SELECT * FROM"
-        " '/root/testdata/sf0.001/events.parquet' LIMIT 1),"
-        " (SELECT unnest(generate_series(1, 5)) AS g) gs)"
-        f" TO '{d}/events.parquet' (FORMAT PARQUET)"
-    )
-
-    from de4ml_spark.queries import catalog
-
-    failures = []
-    for name, fn in catalog.queries().items():
-        try:
-            fn(spark, str(d)).collect()
-        except Exception as e:  # noqa: BLE001
-            failures.append(f"{name}: {str(e).splitlines()[0][:90]}")
-    assert not failures, (
-        f"{len(failures)} entries raised on constant input:\n"
+        f"{len(failures)} entries raised on duplicate-key input:\n"
         + "\n".join(failures)
     )

@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Degenerate-input cross-engine PARITY harness (round 14).
+
+The round-13 degenerate sweeps pinned that no entry ABORTS on empty /
+1-row / all-NULL / constant shards. This harness closes the remaining
+blind spot: an entry that survives but silently DIVERGES from its
+DuckDB oracle on degenerate input — e.g. an unguarded double 0.0/0.0
+evaluating to NaN on Spark where DuckDB's division returns NULL
+(exactly the class ADVICE r13 flagged in kappa's po /
+mutual_info_nats). For every catalog entry with an oracle it runs BOTH
+engines on the same degenerate tables and applies the driver-shaped
+compare from tools/verify_oracle.py (row count, columns, type parity,
+order-insensitive values with NaN distinct from NULL). The sweeps in
+tests/test_empty_inputs.py now run THIS check per kind (first run
+found and fixed 16 divergences), plus a no-abort-only sweep on the
+out-of-contract 'dupconst' duplicate-key shape.
+
+Usage: python tools/degenerate_parity.py [kind ...]   (kinds: empty
+one null const; default all four). Exit 1 on any divergence.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from tools.verify_oracle import canon, type_parity_errors  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+
+
+def build_degenerate(kind: str, d: str) -> None:
+    """Write a degenerate copy of every test table into ``d``:
+    'empty' = zero rows, 'one' = LIMIT 1, 'null' = 5 rows with
+    value/props all NULL, 'const' = five copies of one row with
+    DISTINCT primary keys (event_id/doc_id/vec_id), 'dupconst' = five
+    copies sharing one key (out-of-contract; no-abort checks only)."""
+    con = duckdb.connect()
+    base = (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split()
+    if kind == "empty":
+        lim, ev_extra = "LIMIT 0", "LIMIT 0"
+    elif kind == "one":
+        lim, ev_extra = "LIMIT 1", "LIMIT 1"
+    elif kind == "null":
+        lim, ev_extra = "LIMIT 5", "LIMIT 5"
+    elif kind in ("const", "dupconst"):
+        # dupconst: the out-of-contract duplicate-key variant (five
+        # rows sharing one doc_id/vec_id) — used by the no-abort sweep
+        # only; doc-keyed entries legitimately diverge from their
+        # oracles there (see KEYED below)
+        lim, ev_extra = None, None
+    else:
+        raise ValueError(kind)
+    # const keeps PRIMARY KEYS distinct (doc_id/vec_id, like the
+    # builder already does for event_id): the sweep's target is
+    # zero-variance VALUES with n > 1, not duplicate-key shards. Five
+    # rows sharing one doc_id violate the key contract the checked-in
+    # validation tier (contracts/validation.py, S11) enforces at
+    # ingest, and under that invalid shape the doc-keyed dedup/text
+    # entries legitimately disagree with their oracles (joins on a
+    # 5-way duplicated key multiply differently across the two
+    # independently-authored plans) — a documented out-of-contract
+    # class, not an engine divergence.
+    KEYED = (
+        {"documents": "doc_id", "embeddings": "vec_id"}
+        if kind == "const"
+        else {}
+    )
+    for t in base:
+        if kind in ("const", "dupconst"):
+            con.execute(
+                f"CREATE OR REPLACE VIEW one AS SELECT * FROM"
+                f" '{SRC}/{t}.parquet' LIMIT 1"
+            )
+            if t in KEYED:
+                cols = [
+                    r[0]
+                    for r in con.sql("DESCRIBE one").fetchall()
+                ]
+                proj = ", ".join(
+                    "gs.g AS " + c if c == KEYED[t] else f"one.{c}"
+                    for c in cols
+                )
+                con.execute(
+                    f"COPY (SELECT {proj} FROM one,"
+                    f" (SELECT unnest(generate_series(1, 5)) AS g) gs)"
+                    f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+                )
+            else:
+                con.execute(
+                    f"COPY (SELECT one.* FROM one, generate_series(1, 5))"
+                    f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+                )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/{t}.parquet' {lim})"
+                f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    # events ships as INT64 nanos in the real testdata; mirror that so
+    # load_table's nanos normalization path is the one exercised
+    if kind == "null":
+        con.execute(
+            "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+            " user_id, event_type, CAST(NULL AS DOUBLE) AS value,"
+            " CAST(NULL AS VARCHAR) AS props"
+            f" FROM '{SRC}/events.parquet' {ev_extra})"
+            f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+    elif kind in ("const", "dupconst"):
+        con.execute(
+            "COPY (SELECT gs.g AS event_id, CAST(epoch_ns(ts) AS BIGINT)"
+            " AS ts, user_id, event_type, value, props"
+            f" FROM (SELECT * FROM '{SRC}/events.parquet' LIMIT 1),"
+            " (SELECT unnest(generate_series(1, 5)) AS g) gs)"
+            f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+    else:
+        con.execute(
+            "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+            " user_id, event_type, value, props"
+            f" FROM '{SRC}/events.parquet' {ev_extra})"
+            f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+
+
+def oracle_con(d: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB views over a degenerate dir. The degenerate events table
+    stores ts as plain BIGINT nanos (the builders above), so the view
+    truncates to micro timestamps exactly like load_table's
+    nanos-normalization (floor-div 1000) — without this the oracle SQL's
+    TIMESTAMP comparisons would type-error where the real testdata's
+    TIMESTAMP(NANOS) logical type reads as TIMESTAMP_NS."""
+    from de4ml_spark.session import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"CREATE VIEW events AS SELECT event_id,"
+                f" make_timestamp(ts // 1000) AS ts, user_id,"
+                f" event_type, value, props FROM '{d}/events.parquet'"
+            )
+        else:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
+            )
+    return con
+
+
+def run_parity(spark, d: str, only: set[str] | None = None) -> list[str]:
+    """Run every oracle-backed entry on both engines against dir ``d``;
+    return divergence descriptions (empty = full parity). Entries that
+    RAISE on either engine are also reported — the no-abort sweeps pin
+    that separately, but a raise here means the compare didn't run."""
+    import __spark_entry__ as entrymod
+    from de4ml_spark.cache import drain_deferred
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = oracle_con(d)
+    failures: list[str] = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            continue
+        try:
+            sdf = fn(spark, d)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: spark raised: {str(e).splitlines()[0][:90]}")
+            continue
+        finally:
+            drain_deferred()
+        try:
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: duckdb raised: {str(e).splitlines()[0][:90]}")
+            continue
+        terrs = type_parity_errors(sdf.dtypes, ocols, otypes)
+        if terrs:
+            failures.append(f"{name}: type drift: {'; '.join(terrs[:2])}")
+            continue
+        if len(srows) != len(orows):
+            failures.append(
+                f"{name}: rowcount spark={len(srows)} oracle={len(orows)}"
+            )
+            continue
+        if sorted(scols) != sorted(ocols):
+            failures.append(f"{name}: column drift")
+            continue
+        a, b = canon(srows, scols), canon(orows, ocols)
+        if a != b:
+            bad = [(x, y) for x, y in zip(a, b) if x != y][:1]
+            failures.append(f"{name}: value divergence: {str(bad)[:160]}")
+    return failures
+
+
+def main() -> int:
+    from de4ml_spark.session import get_spark
+
+    kinds = sys.argv[1:] or ["empty", "one", "null", "const"]
+    spark = get_spark("degenerate_parity", cpus=8)
+    bad = 0
+    for kind in kinds:
+        with tempfile.TemporaryDirectory(prefix=f"degen_{kind}_") as d:
+            build_degenerate(kind, d)
+            fails = run_parity(spark, d)
+            print(f"== {kind}: {len(fails)} divergences")
+            for f in fails:
+                print(f"  {f}")
+            bad += len(fails)
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

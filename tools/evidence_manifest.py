@@ -23,9 +23,10 @@ maps every entry to the evidence that survives that blind spot:
 
 Every entry ADDITIONALLY carries: a driver-green cross-engine hash
 (CORRECTNESS_r* ledger in queries/catalog.py), the four full-catalog
-degenerate sweeps (tests/test_empty_inputs.py: empty / 1-row / all-NULL
-/ constant), and a PLANS.md physical-plan audit row. Those are table
-stakes, not listed per-row.
+degenerate CROSS-ENGINE PARITY sweeps (tests/test_empty_inputs.py:
+empty / 1-row / all-NULL / constant, both engines compared per shape)
+plus the duplicate-key no-abort sweep, and a PLANS.md physical-plan
+audit row. Those are table stakes, not listed per-row.
 
 Exits 1 if any entry has a shared-formula oracle and no recompute/value
 test — the gap class this manifest exists to keep empty.
@@ -203,7 +204,8 @@ def main() -> int:
         "builder and its DuckDB oracle are emitted from one expression",
         "list). Every entry additionally has a driver-green cross-engine",
         "hash (ledger in `queries/catalog.py`), the four full-catalog",
-        "degenerate sweeps (`tests/test_empty_inputs.py`), and a",
+        "degenerate cross-engine PARITY sweeps plus the duplicate-key",
+        "no-abort sweep (`tests/test_empty_inputs.py`), and a",
         "physical-plan audit row in PLANS.md — not repeated per row.",
         "",
         f"Entries: {len(rows)}.  Kinds: "
