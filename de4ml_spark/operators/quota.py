@@ -158,7 +158,12 @@ walk AS (
 SELECT user_id, day,
        CAST(SUM(acc) AS BIGINT) AS n_accepted,
        CAST(COUNT(*) - SUM(acc) AS BIGINT) AS n_rejected,
-       MAX(total) AS consumed_c
+       -- total at the LAST step, not MAX: with negative values
+       -- (refunds) the accepted running total is non-monotone, so
+       -- MAX(total) overshoots the final consumed budget (round-14
+       -- negative-shard parity finding); identical to MAX on
+       -- non-negative data
+       arg_max(total, rn) AS consumed_c
 FROM walk
 GROUP BY user_id, day
 """

@@ -319,9 +319,16 @@ def anomalous_days_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = daily.crossJoin(F.broadcast(stats)).select(
         "day",
         F.col("td").cast("double").alias("total"),
+        # GREATEST+NULLIF (round-14 one-class parity sweep): n = 1 days
+        # zero the (n-1) factor (ANSI DIVIDE_BY_ZERO on Spark), constant
+        # totals zero the variance (z division by 0.0), and ulp noise
+        # can push the exact-zero variance a hair negative (DuckDB sqrt
+        # RAISES on negatives) — z degrades to NULL on both engines
         F.expr(
             "round((CAST(td AS DOUBLE) - s1 / n)"
-            " / sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 6)"
+            " / NULLIF(sqrt(GREATEST((n * s2 - s1 * s1)"
+            " / NULLIF(CAST(n * (n - 1) AS DOUBLE), 0.0), 0.0)),"
+            " 0.0), 6)"
         ).alias("z"),
     )
     return scored.withColumn("is_anomaly", F.abs(F.col("z")) > 2)
@@ -342,7 +349,9 @@ stats AS (
 scored AS (
   SELECT day, CAST(td AS DOUBLE) AS total,
          ROUND((CAST(td AS DOUBLE) - s1 / n)
-               / sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 6) AS z
+               / NULLIF(sqrt(GREATEST((n * s2 - s1 * s1)
+                 / NULLIF(CAST(n * (n - 1) AS DOUBLE), 0.0), 0.0)),
+                 0.0), 6) AS z
   FROM daily CROSS JOIN stats
 )
 SELECT *, ABS(z) > 2 AS is_anomaly FROM scored

@@ -683,9 +683,14 @@ def _kendall_final(div: str) -> list[str]:
         "n_tot",
         "c_mass",
         "d_mass",
+        # NULLIF (round-14 one-class parity sweep): when either
+        # variable is fully tied (one x bucket / one weekday in the
+        # shard) its tie correction equals n0x2 and the denominator is
+        # 0 — ANSI DIVIDE_BY_ZERO on Spark, NULL here on both engines
+        # (tau-b is undefined under a fully-tied margin)
         f"(2.0 * {_w2d('c_mass - d_mass', div)})"
-        f" / sqrt({_w2d('n0x2 - n1x2', div)}"
-        f" * {_w2d('n0x2 - n2x2', div)}) AS kendall_tau_b",
+        f" / NULLIF(sqrt({_w2d('n0x2 - n1x2', div)}"
+        f" * {_w2d('n0x2 - n2x2', div)}), 0.0) AS kendall_tau_b",
     ]
 
 

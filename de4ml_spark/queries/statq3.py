@@ -93,7 +93,7 @@ def ks_two_sample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ks_sql() -> str:
     final = ",\n       ".join(_KS_FINAL)
     return f"""
-WITH byval AS (
+WITH byval0 AS (
   SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
               AS BIGINT) AS a_n,
@@ -102,6 +102,14 @@ WITH byval AS (
   FROM events
   WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
   GROUP BY 1
+),
+byval AS (
+  -- pair-existence guard (round-14 one-class parity sweep): the Spark
+  -- side reads the shared pair frame, which is EMPTY unless both
+  -- classes have values; no-op when both classes exist
+  SELECT * FROM byval0
+  WHERE (SELECT COALESCE(SUM(a_n), 0) FROM byval0) > 0
+    AND (SELECT COALESCE(SUM(b_n), 0) FROM byval0) > 0
 ),
 cum AS (
   SELECT v_c,
@@ -679,7 +687,12 @@ def _ccf_final(div: str) -> list[str]:
     return [
         "lag",
         "n_l",
-        f"{_w2d(num, div)} / sqrt({_w2d(dx, div)} * {_w2d(dy, div)})"
+        # NULLIF: a lag with one overlapping day (or constant counts)
+        # has zero variance on a side — ANSI DIVIDE_BY_ZERO on Spark;
+        # r is undefined there, NULL on both engines (round-14
+        # small-sample parity sweep)
+        f"{_w2d(num, div)}"
+        f" / NULLIF(sqrt({_w2d(dx, div)} * {_w2d(dy, div)}), 0.0)"
         " AS r_ccf",
     ]
 
@@ -1612,15 +1625,19 @@ _WW_FINAL = [
     "n_a",
     "n_b",
     "n_runs",
+    # NULLIF guards (round-14 one-class parity sweep): with one empty
+    # class the variance is 0 (sigma 0 -> ANSI DIVIDE_BY_ZERO on
+    # Spark), and with N = 1 the N-1 factor is 0 — z degrades to NULL
+    # identically on both engines; z is undefined there anyway
     "(CAST(n_runs AS DOUBLE) - (2.0 * CAST(n_a AS DOUBLE)"
     " * CAST(n_b AS DOUBLE) / (CAST(n_a AS DOUBLE)"
     " + CAST(n_b AS DOUBLE)) + 1.0))"
-    " / sqrt(2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+    " / NULLIF(sqrt(2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
     " * (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
     " - CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))"
-    " / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+    " / NULLIF((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
     " * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
-    " * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))"
+    " * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0), 0.0)), 0.0)"
     " AS z_ww_runs",
 ]
 

@@ -94,7 +94,7 @@ def kuiper_two_sample_value(
 def _kuiper_sql() -> str:
     final = ",\n       ".join(_KUIPER_FINAL)
     return f"""
-WITH byval AS (
+WITH byval0 AS (
   SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
               AS BIGINT) AS a_n,
@@ -103,6 +103,14 @@ WITH byval AS (
   FROM events
   WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
   GROUP BY 1
+),
+byval AS (
+  -- pair-existence guard (round-14 one-class parity sweep): the Spark
+  -- side reads the shared pair frame, which is EMPTY unless both
+  -- classes have values; no-op when both classes exist
+  SELECT * FROM byval0
+  WHERE (SELECT COALESCE(SUM(a_n), 0) FROM byval0) > 0
+    AND (SELECT COALESCE(SUM(b_n), 0) FROM byval0) > 0
 ),
 cum AS (
   SELECT v_c,
@@ -184,7 +192,7 @@ def cvm_two_sample_value(
 def _cvm_sql() -> str:
     final = ",\n       ".join(_cvm_final("//"))
     return f"""
-WITH byval AS (
+WITH byval0 AS (
   SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
               AS BIGINT) AS a_n,
@@ -193,6 +201,14 @@ WITH byval AS (
   FROM events
   WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
   GROUP BY 1
+),
+byval AS (
+  -- pair-existence guard (round-14 one-class parity sweep): the Spark
+  -- side reads the shared pair frame, which is EMPTY unless both
+  -- classes have values; no-op when both classes exist
+  SELECT * FROM byval0
+  WHERE (SELECT COALESCE(SUM(a_n), 0) FROM byval0) > 0
+    AND (SELECT COALESCE(SUM(b_n), 0) FROM byval0) > 0
 ),
 cum AS (
   SELECT v_c, a_n, b_n,
@@ -560,7 +576,7 @@ def energy_distance_value(
 def _energy_sql() -> str:
     final = ",\n       ".join(_energy_final("//"))
     return f"""
-WITH byval AS (
+WITH byval0 AS (
   SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
               AS BIGINT) AS a_n,
@@ -569,6 +585,14 @@ WITH byval AS (
   FROM events
   WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
   GROUP BY 1
+),
+byval AS (
+  -- pair-existence guard (round-14 one-class parity sweep): the Spark
+  -- side reads the shared pair frame, which is EMPTY unless both
+  -- classes have values; no-op when both classes exist
+  SELECT * FROM byval0
+  WHERE (SELECT COALESCE(SUM(a_n), 0) FROM byval0) > 0
+    AND (SELECT COALESCE(SUM(b_n), 0) FROM byval0) > 0
 ),
 cum AS (
   SELECT v_c, a_n, b_n,
@@ -1181,7 +1205,7 @@ REGISTRY["markov_entropy_rate"] = {
 # operators/pairhist.py (two_sample_cums) — every battery entry reads the
 # shared persisted pair frame; only the oracle CTE string remains here.
 _TWO_SAMPLE_HIST_SQL = """
-byval AS (
+byval0 AS (
   SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
               AS BIGINT) AS a_n,
@@ -1190,6 +1214,18 @@ byval AS (
   FROM events
   WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
   GROUP BY 1
+),
+byval AS (
+  -- pair-existence guard (round-14 one-class parity sweep): the Spark
+  -- battery reads the shared pair frame (operators/pairhist.py), where
+  -- the (click, purchase) pair only EXISTS when both sides have
+  -- non-null values — a shard with clicks but no purchases yields an
+  -- empty frame there. Mirror that here so both engines degrade to the
+  -- (already parity-pinned) empty shape; a no-op whenever both classes
+  -- have any value.
+  SELECT * FROM byval0
+  WHERE (SELECT COALESCE(SUM(a_n), 0) FROM byval0) > 0
+    AND (SELECT COALESCE(SUM(b_n), 0) FROM byval0) > 0
 )"""
 
 
@@ -1381,9 +1417,13 @@ def _fp_final(div: str) -> list[str]:
         "n_b",
         "sp2",
         "sq2",
+        # NULLIF: zero placement variance (tiny/constant samples)
+        # zeroes the denominator — ANSI DIVIDE_BY_ZERO on Spark; U is
+        # undefined there, NULL on both engines (round-14 small-sample
+        # parity sweep)
         "CAST(sq2 - sp2 AS DOUBLE)"
-        f" / (2.0 * sqrt({w}"
-        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))"
+        f" / NULLIF(2.0 * sqrt({w}"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 0.0)"
         " AS u_fligner_policello",
     ]
 
@@ -2721,11 +2761,16 @@ def _bm_final(div: str) -> list[str]:
         # numerator carries the within-rank mean offset n_a·n_b·(n_b −
         # n_a), which cancels ONLY for equal sample sizes — dropping it
         # was caught by the pure-Python recompute test
+        # NULLIF guards: n = 1 sides zero the (n-1) factors and
+        # constant samples zero the rank variance — ANSI
+        # DIVIDE_BY_ZERO on Spark; W degrades to NULL on both engines
+        # (round-14 small-sample parity sweep)
         "CAST(n_a * sb2 - n_b * sa2 + n_a * n_b * (n_b - n_a)"
         " AS DOUBLE)"
-        f" / (CAST(n_a + n_b AS DOUBLE) * sqrt({va}"
-        f" / (CAST(n_a AS DOUBLE) - 1.0) + {vb}"
-        " / (CAST(n_b AS DOUBLE) - 1.0))) AS w_brunner_munzel",
+        f" / NULLIF(CAST(n_a + n_b AS DOUBLE) * sqrt({va}"
+        f" / NULLIF(CAST(n_a AS DOUBLE) - 1.0, 0.0) + {vb}"
+        " / NULLIF(CAST(n_b AS DOUBLE) - 1.0, 0.0)), 0.0)"
+        " AS w_brunner_munzel",
     ]
 
 

@@ -1081,9 +1081,13 @@ def _yuen_stats(div: str) -> list[str]:
         "n",
         "h",
         f"CAST(st AS DOUBLE) / CAST(h AS DOUBLE) AS mt",
+        # NULLIF: h = 1 (one untrimmed value in a tiny shard) zeroes
+        # the h-1 factor — ANSI DIVIDE_BY_ZERO on Spark; the Winsorized
+        # variance is undefined there, NULL on both engines (round-14
+        # small-sample parity sweep)
         f"{_w2d(var_num, div)}"
-        " / (CAST(n AS DOUBLE) * CAST(h AS DOUBLE)"
-        " * CAST(h - 1 AS DOUBLE)) AS d",
+        " / NULLIF(CAST(n AS DOUBLE) * CAST(h AS DOUBLE)"
+        " * CAST(h - 1 AS DOUBLE), 0.0) AS d",
     ]
 
 
@@ -1093,10 +1097,13 @@ _YUEN_FINAL = [
     "h_a",
     "h_b",
     "mt_a - mt_b AS trimmed_mean_diff",
-    "(mt_a - mt_b) / SQRT(d_a + d_b) AS yuen_t",
+    # NULLIF guards: zero pooled variance (constant trimmed samples)
+    # and h = 1 sides degrade t/df to NULL identically on both engines
+    "(mt_a - mt_b) / NULLIF(SQRT(d_a + d_b), 0.0) AS yuen_t",
     "((d_a + d_b) * (d_a + d_b))"
-    " / (d_a * d_a / CAST(h_a - 1 AS DOUBLE)"
-    " + d_b * d_b / CAST(h_b - 1 AS DOUBLE)) AS yuen_df",
+    " / NULLIF(d_a * d_a / NULLIF(CAST(h_a - 1 AS DOUBLE), 0.0)"
+    " + d_b * d_b / NULLIF(CAST(h_b - 1 AS DOUBLE), 0.0), 0.0)"
+    " AS yuen_df",
 ]
 
 

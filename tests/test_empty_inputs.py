@@ -99,7 +99,9 @@ def test_single_row_inputs(spark):
 
 
 @pytest.mark.sweep
-@pytest.mark.parametrize("kind", ["empty", "one", "null", "const"])
+@pytest.mark.parametrize(
+    "kind", ["empty", "one", "null", "const", "oneclass", "negative"]
+)
 def test_catalog_degenerate_cross_engine_parity(
     spark, tmp_path_factory, kind
 ):
@@ -127,6 +129,16 @@ def test_catalog_degenerate_cross_engine_parity(
     - const: five copies of one row, DISTINCT primary keys (event_id/
       doc_id/vec_id), zero variance with n > 1 — parity caught the
       max_by/arg_max tie-break divergence in latest_event_per_user.
+
+    - oneclass: a 5-row shard with NO clicks — empties one side of
+      every click-vs-purchase two-sample entry; the first run found 15
+      divergences (pair-existence asymmetry between the shared pair
+      frame and the oracle byval CTEs, plus 3 ANSI aborts), all fixed.
+    - negative: every value negated (refund/chargeback shard), both
+      classes present — caught quota_admission's MAX(total) oracle
+      overshooting the non-monotone running total and 4 small-sample
+      zero-variance ANSI aborts (yuen, brunner_munzel,
+      fligner_policello, ccf_daily_lags), all fixed.
 
     A raise on either engine also fails (the dupconst no-abort sweep
     below covers the out-of-contract duplicate-key shape)."""

@@ -16,7 +16,8 @@ found and fixed 16 divergences), plus a no-abort-only sweep on the
 out-of-contract 'dupconst' duplicate-key shape.
 
 Usage: python tools/degenerate_parity.py [kind ...]   (kinds: empty
-one null const; default all four). Exit 1 on any divergence.
+one null const oneclass negative; default all six). Exit 1 on any
+divergence.
 """
 
 from __future__ import annotations
@@ -48,7 +49,7 @@ def build_degenerate(kind: str, d: str) -> None:
         lim, ev_extra = "LIMIT 0", "LIMIT 0"
     elif kind == "one":
         lim, ev_extra = "LIMIT 1", "LIMIT 1"
-    elif kind == "null":
+    elif kind in ("null", "oneclass", "negative"):
         lim, ev_extra = "LIMIT 5", "LIMIT 5"
     elif kind in ("const", "dupconst"):
         # dupconst: the out-of-contract duplicate-key variant (five
@@ -111,6 +112,32 @@ def build_degenerate(kind: str, d: str) -> None:
             " user_id, event_type, CAST(NULL AS DOUBLE) AS value,"
             " CAST(NULL AS VARCHAR) AS props"
             f" FROM '{SRC}/events.parquet' {ev_extra})"
+            f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+    elif kind == "oneclass":
+        # a shard window with NO clicks: the shape that empties one
+        # side of every click-vs-purchase two-sample entry. The first
+        # parity run here found 15 divergences (pair-existence
+        # asymmetry between the shared pair frame and the oracle byval
+        # CTEs; 3 ANSI aborts) — all fixed.
+        con.execute(
+            "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+            " user_id, event_type, value, props"
+            f" FROM '{SRC}/events.parquet'"
+            " WHERE event_type != 'click' LIMIT 5)"
+            f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+    elif kind == "negative":
+        # refund/chargeback shard: every value negated, both classes
+        # present (LIMIT 20 of the real events covers click AND
+        # purchase) — exercises negative cents through the battery and
+        # the budget recurrences. First run caught quota_admission's
+        # MAX(total) oracle overshooting the non-monotone running total
+        # and 4 small-sample zero-variance ANSI aborts — all fixed.
+        con.execute(
+            "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+            " user_id, event_type, -abs(value) AS value, props"
+            f" FROM '{SRC}/events.parquet' LIMIT 20)"
             f" TO '{d}/events.parquet' (FORMAT PARQUET)"
         )
     elif kind in ("const", "dupconst"):
@@ -210,7 +237,9 @@ def run_parity(spark, d: str, only: set[str] | None = None) -> list[str]:
 def main() -> int:
     from de4ml_spark.session import get_spark
 
-    kinds = sys.argv[1:] or ["empty", "one", "null", "const"]
+    kinds = sys.argv[1:] or [
+        "empty", "one", "null", "const", "oneclass", "negative"
+    ]
     spark = get_spark("degenerate_parity", cpus=8)
     bad = 0
     for kind in kinds:
