@@ -1886,7 +1886,12 @@ def _cochran_final(div: str) -> list[str]:
         "c1",
         "c2",
         "c3",
-        f"2.0 * {_w2d(num, div)} / {_w2d(den, div)} AS cochran_q",
+        # NULLIF: unanimous raters (every doc passes all three rules or
+        # none) zero the denominator — ANSI DIVIDE_BY_ZERO on Spark; Q
+        # is undefined there, NULL on both engines (round-14 empty-text
+        # parity probe)
+        f"2.0 * {_w2d(num, div)}"
+        f" / NULLIF({_w2d(den, div)}, 0.0) AS cochran_q",
     ]
 
 

@@ -1225,9 +1225,12 @@ def simpson_diversity_sources(
             F.expr("CAST(tf AS DECIMAL(38,0)) * (tf - 1)")
         ).alias("rep"),
     )
+    # NULLIF: a one-token source zeroes T-1 — ANSI DIVIDE_BY_ZERO on
+    # Spark; lambda undefined there, NULL on both engines (round-14
+    # empty-text parity probe)
     lam = (
-        f"{_w2d('rep', 'DIV')} / (CAST(t_tokens AS DOUBLE)"
-        " * CAST(t_tokens - 1 AS DOUBLE))"
+        f"{_w2d('rep', 'DIV')} / NULLIF(CAST(t_tokens AS DOUBLE)"
+        " * CAST(t_tokens - 1 AS DOUBLE), 0.0)"
     )
     return agg.selectExpr(
         "source",
@@ -1243,8 +1246,8 @@ def _simpson_sql() -> str:
     )
 
     lam = (
-        f"{_w2d('rep', '//')} / (CAST(t_tokens AS DOUBLE)"
-        " * CAST(t_tokens - 1 AS DOUBLE))"
+        f"{_w2d('rep', '//')} / NULLIF(CAST(t_tokens AS DOUBLE)"
+        " * CAST(t_tokens - 1 AS DOUBLE), 0.0)"
     )
     return f"""
 WITH terms AS (

@@ -100,7 +100,9 @@ def test_single_row_inputs(spark):
 
 @pytest.mark.sweep
 @pytest.mark.parametrize(
-    "kind", ["empty", "one", "null", "const", "oneclass", "negative"]
+    "kind",
+    ["empty", "one", "null", "const", "oneclass", "negative",
+     "emptytext", "unicode"],
 )
 def test_catalog_degenerate_cross_engine_parity(
     spark, tmp_path_factory, kind
@@ -139,6 +141,14 @@ def test_catalog_degenerate_cross_engine_parity(
       overshooting the non-monotone running total and 4 small-sample
       zero-variance ANSI aborts (yuen, brunner_munzel,
       fligner_policello, ccf_daily_lags), all fixed.
+
+    - emptytext: empty / whitespace-only / single-char documents (a
+      scraped corpus routinely produces these) — caught unanimous-rater
+      cochran_q and one-token simpson_lambda ANSI aborts, both fixed.
+
+    - unicode: CJK / accents / emoji / RTL / combining-mark documents
+      — pins UTF-8 parity of the portable md5 hash, length()/split(),
+      and every text entry (clean on first run).
 
     A raise on either engine also fails (the dupconst no-abort sweep
     below covers the out-of-contract duplicate-key shape)."""

@@ -11,13 +11,14 @@ mutual_info_nats). For every catalog entry with an oracle it runs BOTH
 engines on the same degenerate tables and applies the driver-shaped
 compare from tools/verify_oracle.py (row count, columns, type parity,
 order-insensitive values with NaN distinct from NULL). The sweeps in
-tests/test_empty_inputs.py now run THIS check per kind (first run
-found and fixed 16 divergences), plus a no-abort-only sweep on the
-out-of-contract 'dupconst' duplicate-key shape.
+tests/test_empty_inputs.py now run THIS check per kind (the first runs
+of the seven shapes found and fixed 38 silent divergences / ANSI
+aborts in total), plus a no-abort-only sweep on the out-of-contract
+'dupconst' duplicate-key shape.
 
 Usage: python tools/degenerate_parity.py [kind ...]   (kinds: empty
-one null const oneclass negative; default all six). Exit 1 on any
-divergence.
+one null const oneclass negative emptytext unicode; default all
+eight). Exit 1 on any divergence.
 """
 
 from __future__ import annotations
@@ -49,7 +50,9 @@ def build_degenerate(kind: str, d: str) -> None:
         lim, ev_extra = "LIMIT 0", "LIMIT 0"
     elif kind == "one":
         lim, ev_extra = "LIMIT 1", "LIMIT 1"
-    elif kind in ("null", "oneclass", "negative"):
+    elif kind in (
+        "null", "oneclass", "negative", "emptytext", "unicode"
+    ):
         lim, ev_extra = "LIMIT 5", "LIMIT 5"
     elif kind in ("const", "dupconst"):
         # dupconst: the out-of-contract duplicate-key variant (five
@@ -75,6 +78,8 @@ def build_degenerate(kind: str, d: str) -> None:
         else {}
     )
     for t in base:
+        if kind in ("emptytext", "unicode") and t == "documents":
+            continue  # written by the text-shard branches below
         if kind in ("const", "dupconst"):
             con.execute(
                 f"CREATE OR REPLACE VIEW one AS SELECT * FROM"
@@ -104,6 +109,52 @@ def build_degenerate(kind: str, d: str) -> None:
                 f"COPY (SELECT * FROM '{SRC}/{t}.parquet' {lim})"
                 f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
             )
+    if kind == "emptytext":
+        # degenerate TEXT shard: empty / whitespace-only / single-char
+        # documents (a scraped corpus routinely produces these). First
+        # parity run found unanimous-rater cochran_q and one-token
+        # simpson_lambda hitting ANSI DIVIDE_BY_ZERO — both fixed.
+        con.execute(
+            "COPY (SELECT doc_id,"
+            " CASE (ROW_NUMBER() OVER (ORDER BY doc_id)) % 5"
+            " WHEN 0 THEN '' WHEN 1 THEN '   ' WHEN 2 THEN 'a'"
+            " WHEN 3 THEN chr(10) || chr(9) ELSE ' x ' END AS text,"
+            " lang, source,"
+            " CAST(CASE (ROW_NUMBER() OVER (ORDER BY doc_id)) % 5"
+            " WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 1"
+            " WHEN 3 THEN 2 ELSE 3 END AS BIGINT) AS n_chars"
+            f" FROM '{SRC}/documents.parquet' LIMIT 5)"
+            f" TO '{d}/documents.parquet' (FORMAT PARQUET)"
+        )
+    if kind == "unicode":
+        # multibyte shard: CJK, accented latin, emoji, RTL, combining
+        # marks — pins that the portable md5 hash (UTF-8 bytes),
+        # length()/split() (codepoints), and every text entry agree
+        # across engines on non-ASCII input. Clean on first run.
+        texts = [
+            "\u4e2d\u6587\u5206\u8bcd \u6d4b\u8bd5 \u6587\u672c",
+            "caf\u00e9 na\u00efve r\u00e9sum\u00e9 \u00fcber",
+            "\U0001f600 emoji \U0001f680 test",
+            "\u05e9\u05dc\u05d5\u05dd \u05e2\u05d5\u05dc\u05dd rtl",
+            "\u00e9 combining \u00e0 marks",
+        ]
+        con.execute(
+            "COPY (SELECT doc_id,"
+            " CASE (ROW_NUMBER() OVER (ORDER BY doc_id)) % 5"
+            " WHEN 0 THEN ? WHEN 1 THEN ? WHEN 2 THEN ?"
+            " WHEN 3 THEN ? ELSE ? END AS text,"
+            " lang, source, CAST(10 AS BIGINT) AS n_chars"
+            f" FROM '{SRC}/documents.parquet' LIMIT 5)"
+            f" TO '{d}/documents.parquet' (FORMAT PARQUET)",
+            texts,
+        )
+        con.execute(
+            "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+            " user_id, event_type, value, props"
+            f" FROM '{SRC}/events.parquet' LIMIT 20)"
+            f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+        return
     # events ships as INT64 nanos in the real testdata; mirror that so
     # load_table's nanos normalization path is the one exercised
     if kind == "null":
@@ -238,7 +289,8 @@ def main() -> int:
     from de4ml_spark.session import get_spark
 
     kinds = sys.argv[1:] or [
-        "empty", "one", "null", "const", "oneclass", "negative"
+        "empty", "one", "null", "const", "oneclass", "negative",
+        "emptytext", "unicode",
     ]
     spark = get_spark("degenerate_parity", cpus=8)
     bad = 0
