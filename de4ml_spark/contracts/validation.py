@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 REQUIRED = "required"
 BOUNDS = "bounds"
+FINITE = "finite"
 CUSTOM = "custom"
 
 
@@ -52,6 +53,16 @@ class Rule:
                 cond = cond & (c <= F.lit(self.hi))
             # null passes bounds (required-ness is a separate rule)
             return c.isNull() | cond
+        if self.kind == FINITE:
+            # NaN/+-Inf are rejected EXPLICITLY: BOUNDS alone lets NaN
+            # pass a lo-only bound (Spark orders NaN greater than
+            # everything, so NaN >= lo is true). NULL passes —
+            # required-ness is a separate rule. The scan-side twin of
+            # this rule is session.load_table's finite-guard.
+            c = F.col(self.loc)
+            return c.isNull() | (
+                ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+            )
         if self.kind == CUSTOM:
             if self.predicate is None:
                 raise ValueError(f"custom rule {self.loc} needs a predicate Column")
@@ -73,6 +84,7 @@ def rules_from_profile(profile_rows: list[dict]) -> list[Rule]:
             rules.append(
                 Rule(loc=col, kind=BOUNDS, lo=float(row["min"]), hi=float(row["max"]))
             )
+            rules.append(Rule(loc=col, kind=FINITE))
     return rules
 
 

@@ -328,14 +328,27 @@ def parse_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# json_valid + json_type + TRY_CAST mirror Spark's PERMISSIVE
+# from_json (malformed JSON / wrong-typed k -> NULL, never an error):
+# DuckDB's raw ->> RAISES on malformed input, and its VARCHAR->BIGINT
+# cast ROUNDS decimal strings ('1.5' -> 2) where Spark's strict long
+# parse rejects them — both caught by the round-14 badjson parity
+# sweep (a scraped-producer shard must degrade, not kill the job).
 PARSE_PROPS_SQL = """
+WITH parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              AND json_type(props, '$.k') IN ('INTEGER','UBIGINT','BIGINT')
+              THEN TRY_CAST(props->>'k' AS BIGINT) END AS k
+  FROM events
+)
 SELECT
   event_type,
-  COUNT(CAST(props->>'k' AS BIGINT)) AS n_parsed,
-  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
-  MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
-  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
-FROM events
+  COUNT(k) AS n_parsed,
+  MIN(k) AS min_k,
+  MAX(k) AS max_k,
+  CAST(SUM(k) AS BIGINT) AS sum_k
+FROM parsed
 GROUP BY event_type
 """
 

@@ -424,7 +424,7 @@ WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ),
 views AS (
-  SELECT user_id, ts, arg_max(value, event_id) AS view_value
+  SELECT user_id, ts, arg_max([value], event_id)[1] AS view_value
   FROM events WHERE event_type = 'view' GROUP BY user_id, ts
 )
 SELECT c.event_id, c.user_id, c.ts,
@@ -577,8 +577,8 @@ FROM p
 
 PIT_SQL = f"""
 WITH feats AS (
-  SELECT user_id, ts, arg_max(value, event_id) AS feat_value,
-         arg_max(event_type, event_id) AS feat_type
+  SELECT user_id, ts, arg_max([value], event_id)[1] AS feat_value,
+         arg_max([event_type], event_id)[1] AS feat_type
   FROM events GROUP BY user_id, ts
 ),
 probes AS (

@@ -675,11 +675,17 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle nullable-payload convention: DuckDB's arg_max(x, k) SKIPS rows
+# where x is NULL (returning x from a DIFFERENT row than k), while Spark's
+# max_by is row-faithful — so every nullable payload is packed in a
+# one-element list, arg_max([x], k)[1], which DuckDB never skips. Found by
+# the round-14 nonfinite parity sweep (a NULLed value on the latest row
+# made the oracle report an older row's value under the newest ts).
 LATEST_EVENT_SQL = """
 SELECT user_id,
        arg_max(event_id, k) AS last_event_id,
-       arg_max(event_type, k) AS last_type,
-       arg_max(value, k) AS last_value,
+       arg_max([event_type], k)[1] AS last_type,
+       arg_max([value], k)[1] AS last_value,
        MAX(ts) AS last_ts
 FROM (
   SELECT *, CAST(epoch_us(ts) AS HUGEINT)

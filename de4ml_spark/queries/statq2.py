@@ -81,11 +81,15 @@ def _welch_stage1(div: str) -> list[str]:
     return out
 
 
+# NULLIF(..., 0.0) on both denominators: a shard where every value in
+# both classes is identical (round-14 ties parity sweep) has se2 = 0 —
+# Spark ANSI aborts on the raw division; the guard degrades to NULL on
+# both engines (same SQL text), matching the degenerate convention.
 _WELCH_STAGE2 = [
-    "(mean_a - mean_b) / sqrt(se2_a + se2_b) AS t_welch",
+    "(mean_a - mean_b) / NULLIF(sqrt(se2_a + se2_b), 0.0) AS t_welch",
     "((se2_a + se2_b) * (se2_a + se2_b))"
-    " / (se2_a * se2_a / CAST(n_a - 1 AS DOUBLE)"
-    " + se2_b * se2_b / CAST(n_b - 1 AS DOUBLE)) AS df_welch",
+    " / NULLIF(se2_a * se2_a / CAST(n_a - 1 AS DOUBLE)"
+    " + se2_b * se2_b / CAST(n_b - 1 AS DOUBLE), 0.0) AS df_welch",
 ]
 
 

@@ -1403,6 +1403,9 @@ REGISTRY["bartels_rank_daily"] = {
 # sign counts off the position pair join; one IEEE tail.
 # --------------------------------------------------------------------------
 
+# NULLIF: every compared pair tied (round-14 epochs sweep hit this
+# with a 5-day series of equal counts) gives m_pairs = 0 — z undefined,
+# degrade to NULL identically on both engines
 _COX_FINAL = [
     "n_days",
     "s_plus",
@@ -1410,9 +1413,9 @@ _COX_FINAL = [
     "m_pairs",
     "CASE WHEN s_plus >= s_minus"
     " THEN (CAST(s_plus AS DOUBLE) - CAST(m_pairs AS DOUBLE) / 2.0"
-    " - 0.5) / sqrt(CAST(m_pairs AS DOUBLE) / 4.0)"
+    " - 0.5) / NULLIF(sqrt(CAST(m_pairs AS DOUBLE) / 4.0), 0.0)"
     " ELSE (CAST(s_plus AS DOUBLE) - CAST(m_pairs AS DOUBLE) / 2.0"
-    " + 0.5) / sqrt(CAST(m_pairs AS DOUBLE) / 4.0)"
+    " + 0.5) / NULLIF(sqrt(CAST(m_pairs AS DOUBLE) / 4.0), 0.0)"
     " END AS z_cox_stuart",
 ]
 

@@ -1259,8 +1259,10 @@ def _ab_final() -> list[str]:
         "n_a",
         "n_b",
         "CAST(ab_u AS DOUBLE) / 1e6 AS ab_stat",
-        f"(CAST(ab_u AS DOUBLE) / 1e6 - {e_ab}) / sqrt({var})"
-        " AS z_ansari",
+        # NULLIF: all-tied values collapse the hist to one group, var = 0
+        # (round-14 ties sweep) — degrade to NULL on both engines
+        f"(CAST(ab_u AS DOUBLE) / 1e6 - {e_ab})"
+        f" / NULLIF(sqrt({var}), 0.0) AS z_ansari",
     ]
 
 
@@ -1552,9 +1554,12 @@ def _ad_term(m2: str, cn: str, div: str) -> str:
         f" * (CAST(nn AS {b}) * {m2} - CAST({cn} AS {b}) * b2)"
     )
     den = f"CAST(b2 AS {b}) * (2 * nn - b2) - CAST(nn AS {b}) * l"
+    # NULLIF: a value group spanning the WHOLE pooled sample (all-tied
+    # shard, round-14 ties sweep) zeroes den (and num) — NULL the 0/0
+    # term on both engines; SUM skips it, the excluded-group convention.
     return (
         f"CAST(floor(1000000.0 * {_w2d(num, div)}"
-        f" / {_w2d(den, div)} + 0.5) AS BIGINT)"
+        f" / NULLIF({_w2d(den, div)}, 0.0) + 0.5) AS BIGINT)"
     )
 
 
@@ -2877,11 +2882,13 @@ _DUNN_FINAL = [
     "type_b",
     "n_a",
     "n_b",
+    # NULLIF: an all-tied shard makes the tie term cancel the variance
+    # exactly (T = N³−N ⇒ bracket = 0; round-14 ties sweep) — NULL z
     "(CAST(s_a AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE))"
     " - CAST(s_b AS DOUBLE) / (2.0 * CAST(n_b AS DOUBLE)))"
-    " / sqrt((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 12.0"
+    " / NULLIF(sqrt((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 12.0"
     " - CAST(tie_t AS DOUBLE) / (12.0 * (CAST(nn AS DOUBLE) - 1.0)))"
-    " * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    " * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0.0)"
     " AS z_dunn",
 ]
 
@@ -3608,12 +3615,14 @@ def _cohen_final(div: str) -> list[str]:
     vb = _w2d("v_b", div)
     # pooled s² = (Va/(na) + Vb/(nb)) scale algebra: Va = na·Σx²−(Σx)²
     # → Σ(x−x̄)² = Va/na; s²_p = (Va/na + Vb/nb)/(na+nb−2)
+    # NULLIF: both classes all-tied (round-14 ties sweep) gives pooled
+    # s = 0 — d is undefined, degrade to NULL on both engines
     d = (
         "((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)"
         " - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))"
-        f" / sqrt(({va} / CAST(n_a AS DOUBLE)"
+        f" / NULLIF(sqrt(({va} / CAST(n_a AS DOUBLE)"
         f" + {vb} / CAST(n_b AS DOUBLE))"
-        " / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)))"
+        " / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)), 0.0))"
     )
     return [
         "n_a",
@@ -3703,10 +3712,12 @@ _MCC_FINAL = [
     "fp",
     "tn",
     "fn",
+    # NULLIF: an all-tied shard puts every row on one side of the only
+    # threshold (tp = fp = 0; round-14 ties sweep) — MCC undefined, NULL
     "(CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)"
     " - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
-    " / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)"
-    " * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) AS mcc",
+    " / NULLIF(sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)"
+    " * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 0.0) AS mcc",
 ]
 
 

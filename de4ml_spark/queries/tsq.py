@@ -123,12 +123,12 @@ def ohlc_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 OHLC_SQL = """
 SELECT CAST(ts AS DATE) AS day,
        COUNT(*) AS n_events,
-       ROUND(arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000000
-                            + event_id), 2) AS open,
+       ROUND(arg_min([value], CAST(epoch_us(ts) AS HUGEINT) * 1000000000000
+                              + event_id)[1], 2) AS open,
        ROUND(MAX(value), 2) AS high,
        ROUND(MIN(value), 2) AS low,
-       ROUND(arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000000
-                            + event_id), 2) AS close
+       ROUND(arg_max([value], CAST(epoch_us(ts) AS HUGEINT) * 1000000000000
+                              + event_id)[1], 2) AS close
 FROM events
 GROUP BY CAST(ts AS DATE)
 """

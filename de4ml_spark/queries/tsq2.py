@@ -554,9 +554,12 @@ REGISTRY["daily_heavy_hitters"] = {
 
 def trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # BIGINT day index: unix_date is INT, and x*x overflows INT once a
+    # clock-skewed row stretches the span past ~46341 days (round-14
+    # epochs sweep; DuckDB's date_diff is BIGINT so only Spark aborted)
     daily = ev.groupBy(
         "event_type",
-        F.unix_date(F.col("ts").cast("date")).alias("day_num"),
+        F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("day_num"),
     ).agg(
         F.sum(
             (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")

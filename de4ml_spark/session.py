@@ -34,6 +34,52 @@ TABLES = (
     "embeddings",
 )
 
+# Ingest normalization for the one free-form float measure column:
+# ``events.value`` maps NaN / +-Inf -> NULL at load. IEEE specials
+# round-trip through parquet, so at 100 TB some shard WILL carry an
+# upstream 0.0/0.0 or overflow; without the guard every downstream
+# cents cast aborts (DuckDB DECIMAL conversion error, Spark ANSI
+# CAST_OVERFLOW on BIGINT) and NaN-vs-NULL silently diverges between
+# engines. NULL is the established degenerate convention (round 13),
+# and the S11 validation tier already rejects non-finite rows at
+# ingest — this guard is the scan-side belt for data that skipped it.
+# Oracle view layers mirror it with this DuckDB snippet so both
+# engines see the same normalized table (same pattern as the nanos-ts
+# truncation below). The real testdata is verified non-finite-free at
+# every SF, so this is behavior-preserving for the driver gate.
+EVENTS_VALUE_GUARD_DUCKDB = (
+    "CASE WHEN isfinite(value) THEN value END"
+)
+EVENTS_ORACLE_COLS = (
+    "event_id, ts, user_id, event_type, "
+    f"{EVENTS_VALUE_GUARD_DUCKDB} AS value, props"
+)
+
+
+# Whole-vector twin of the events guard, as a row filter: a NULL
+# vector or any non-finite element drops the row (missing, never
+# silently repaired).
+EMBEDDINGS_ORACLE_WHERE = (
+    "embedding IS NOT NULL AND len(list_filter(embedding,"
+    " x -> isnan(x) OR isinf(x))) = 0"
+)
+
+
+def duckdb_view_sql(table: str, parquet_path: str) -> str:
+    """The canonical DuckDB view body for one testdata table — every
+    oracle layer (verify_oracle, degenerate_parity, bench_one,
+    duckdb_baseline, recompute tests) builds its views from this one
+    definition so the events.value / embeddings finite-guards above
+    cannot drift."""
+    if table == "events":
+        return f"SELECT {EVENTS_ORACLE_COLS} FROM '{parquet_path}'"
+    if table == "embeddings":
+        return (
+            f"SELECT * FROM '{parquet_path}'"
+            f" WHERE {EMBEDDINGS_ORACLE_WHERE}"
+        )
+    return f"SELECT * FROM '{parquet_path}'"
+
 
 def get_spark(app_name: str = "de4ml_spark", cpus: int | None = None) -> SparkSession:
     """Build a local session with scale-ready defaults.
@@ -126,6 +172,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    if name == "events":
+        # NaN/+-Inf -> NULL (see EVENTS_VALUE_GUARD_DUCKDB above).
+        # isnan(NULL) is false and NULL != inf is NULL, so NULL rows
+        # fall through the unmatched-WHEN to NULL — unchanged.
+        df = df.withColumn(
+            "value",
+            F.when(
+                ~F.isnan("value")
+                & (F.abs(F.col("value")) != F.lit(float("inf"))),
+                F.col("value"),
+            ),
+        )
+    if name == "embeddings":
+        # Whole-vector finite-guard, as a ROW FILTER: a NULL vector or
+        # ANY non-finite element drops the row (one NaN coordinate
+        # poisons every dot product and would rank the vector
+        # arbitrarily; a partially-corrupt embedding must read as
+        # MISSING, never be silently repaired). A filter — not a
+        # NULL-out — because every consumer of this table needs the
+        # vector; keeping a NULL-vector row would force the same
+        # isNotNull guard into all 17 consumers. The scan-side twin of
+        # S11 validation rejection; JVM-side higher-order function, no
+        # Python. DuckDB mirror in duckdb_view_sql below.
+        df = df.filter(
+            F.col("embedding").isNotNull()
+            & ~F.exists(
+                "embedding",
+                lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+            )
         )
     _TABLE_CACHE[key] = df
     return df

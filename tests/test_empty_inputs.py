@@ -102,7 +102,8 @@ def test_single_row_inputs(spark):
 @pytest.mark.parametrize(
     "kind",
     ["empty", "one", "null", "const", "oneclass", "negative",
-     "emptytext", "unicode"],
+     "emptytext", "unicode", "nonfinite", "ties", "badjson",
+     "epochs", "embnan"],
 )
 def test_catalog_degenerate_cross_engine_parity(
     spark, tmp_path_factory, kind
@@ -149,6 +150,45 @@ def test_catalog_degenerate_cross_engine_parity(
     - unicode: CJK / accents / emoji / RTL / combining-mark documents
       — pins UTF-8 parity of the portable md5 hash, length()/split(),
       and every text entry (clean on first run).
+
+    - nonfinite: NaN / +Inf / -Inf landed in events.value (IEEE
+      specials round-trip through parquet; at 100 TB some shard WILL
+      carry an upstream 0.0/0.0). First run: 129 failures — fixed
+      centrally by the load_table finite-guard (non-finite -> NULL at
+      ingest, mirrored in session.duckdb_view_sql) plus packing every
+      nullable arg_max/arg_min oracle payload as arg_max([x], k)[1]
+      (DuckDB skips NULL args; Spark max_by is row-faithful — the
+      oracle was reporting an older row's value under the newest ts).
+
+    - ties: every value identical across 20 rows, both classes, with
+      distinct keys/timestamps — pins rank/percentile/median
+      interpolation and zero-POOLED-variance denominators the const
+      shape (single class) cannot reach. First run found 6 ANSI
+      aborts (welch t, ansari-bradley z, anderson-darling full-span
+      group, dunn tie-correction cancelling the variance exactly,
+      cohen's d pooled sd, MCC with tp=fp=0), all fixed to NULL
+      parity.
+
+    - badjson: malformed / wrong-typed / empty props JSON (a scraped
+      or schema-evolved producer) — caught DuckDB's ->> raising on
+      malformed input and its VARCHAR cast ROUNDING '1.5' -> 2 where
+      Spark's PERMISSIVE from_json NULLs both; the oracle now guards
+      with json_valid + json_type + TRY_CAST.
+
+    - epochs: timestamps at the 1970 epoch boundary and in 2100 (a
+      zeroed/corrupted producer clock) — caught Spark's INT unix_date
+      day-index overflowing in x*x once the span passes ~46341 days
+      (DuckDB's date_diff is BIGINT), and an all-tied cox-stuart
+      m_pairs = 0 abort; also pins that calendar-spine entries stay
+      bounded when one bad row spans 80 years.
+
+    - embnan: NaN/+-Inf elements inside embedding vectors — first run
+      crashed 4 driver-side kNN literal paths ('NoneType' not
+      iterable) and diverged 4 count/centroid entries; fixed
+      centrally by load_table's whole-vector finite FILTER (a corrupt
+      vector reads as MISSING on both engines — one NaN coordinate
+      poisons every dot product — mirrored in
+      session.duckdb_view_sql), zero per-entry edits.
 
     A raise on either engine also fails (the dupconst no-abort sweep
     below covers the out-of-contract duplicate-key shape)."""

@@ -24,12 +24,13 @@ SF2 = "/root/testdata/sf0.01"
 
 
 def _con(sf_dir: str):
-    from de4ml_spark.session import TABLES
+    from de4ml_spark.session import TABLES, duckdb_view_sql
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE VIEW {t} AS "
+            + duckdb_view_sql(t, f"{sf_dir}/{t}.parquet")
         )
     return con
 

@@ -103,3 +103,55 @@ def test_custom_rule_with_pandas_udf(spark):
     valid, rejects = split_valid(df, rules)
     assert {r["id"] for r in valid.collect()} == {1, 3, 4}
     assert {r["id"] for r in rejects.collect()} == {2}
+
+
+def test_finite_rule_rejects_ieee_specials(spark):
+    """FINITE rule (round 14): NaN/+-Inf are explicit contract
+    violations — BOUNDS alone lets NaN pass a lo-only bound because
+    Spark orders NaN greater than everything. NULL passes (required-
+    ness is a separate rule); the scan-side twin is load_table's
+    finite-guard on events.value."""
+    from de4ml_spark.contracts.validation import Rule, split_valid
+
+    df = spark.createDataFrame(
+        [
+            (1, 5.0),
+            (2, float("nan")),
+            (3, float("inf")),
+            (4, float("-inf")),
+            (5, None),
+        ],
+        "id BIGINT, v DOUBLE",
+    )
+    # lo-only bound: NaN >= 0 is TRUE in Spark — bounds alone misses it
+    bounds_only = [Rule(loc="v", kind="bounds", lo=0.0)]
+    valid, _ = split_valid(df, bounds_only)
+    assert {r["id"] for r in valid.collect()} == {1, 2, 3, 5}
+
+    rules = bounds_only + [Rule(loc="v", kind="finite")]
+    valid, rejects = split_valid(df, rules)
+    assert {r["id"] for r in valid.collect()} == {1, 5}
+    assert {(r["id"], r["_violations"][0]["type"]) for r in rejects.collect()} == {
+        (2, "finite"),
+        (3, "finite"),
+        (4, "bounds"),  # -inf fails the lo bound first; finite also fires
+    }
+
+
+def test_rules_from_profile_emit_finite(spark):
+    """Profile-derived rules include the FINITE guard for numeric
+    columns so a corrupt-float shard is rejected at ingest, not
+    propagated into training data."""
+    from de4ml_spark.contracts.validation import rules_from_profile
+
+    prof = [
+        {
+            "column_name": "v",
+            "null_percentage": 10.0,
+            "is_numeric": True,
+            "min": 1.0,
+            "max": 9.0,
+        }
+    ]
+    kinds = {(r.loc, r.kind) for r in rules_from_profile(prof)}
+    assert ("v", "bounds") in kinds and ("v", "finite") in kinds

@@ -41,11 +41,13 @@ def main() -> None:
     if sql:
         con = duckdb.connect()
         con.execute("SET threads TO 32")
+        from de4ml_spark.session import duckdb_view_sql
+
         for t in TABLES:
             p = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(p):
                 con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                    f"CREATE VIEW {t} AS " + duckdb_view_sql(t, p)
                 )
         dtimes = []
         for i in range(4):

@@ -12,13 +12,15 @@ engines on the same degenerate tables and applies the driver-shaped
 compare from tools/verify_oracle.py (row count, columns, type parity,
 order-insensitive values with NaN distinct from NULL). The sweeps in
 tests/test_empty_inputs.py now run THIS check per kind (the first runs
-of the seven shapes found and fixed 38 silent divergences / ANSI
-aborts in total), plus a no-abort-only sweep on the out-of-contract
-'dupconst' duplicate-key shape.
+of the thirteen shapes found and fixed ~60 silent divergences / ANSI
+aborts in total — see the per-shape notes in build_degenerate and
+tests/test_empty_inputs.py), plus a no-abort-only sweep on the
+out-of-contract 'dupconst' duplicate-key shape.
 
 Usage: python tools/degenerate_parity.py [kind ...]   (kinds: empty
-one null const oneclass negative emptytext unicode; default all
-eight). Exit 1 on any divergence.
+one null const oneclass negative emptytext unicode nonfinite ties
+badjson epochs embnan; default all thirteen). Exit 1 on any
+divergence.
 """
 
 from __future__ import annotations
@@ -39,8 +41,10 @@ def build_degenerate(kind: str, d: str) -> None:
     """Write a degenerate copy of every test table into ``d``:
     'empty' = zero rows, 'one' = LIMIT 1, 'null' = 5 rows with
     value/props all NULL, 'const' = five copies of one row with
-    DISTINCT primary keys (event_id/doc_id/vec_id), 'dupconst' = five
-    copies sharing one key (out-of-contract; no-abort checks only)."""
+    DISTINCT primary keys (event_id/doc_id/vec_id), 'nonfinite' =
+    NaN/+-Inf in events.value, 'ties' = one repeated value across 20
+    rows, 'dupconst' = five copies sharing one key (out-of-contract;
+    no-abort checks only)."""
     con = duckdb.connect()
     base = (
         "region nation customer supplier part orders lineitem "
@@ -51,7 +55,8 @@ def build_degenerate(kind: str, d: str) -> None:
     elif kind == "one":
         lim, ev_extra = "LIMIT 1", "LIMIT 1"
     elif kind in (
-        "null", "oneclass", "negative", "emptytext", "unicode"
+        "null", "oneclass", "negative", "emptytext", "unicode",
+        "nonfinite", "ties", "badjson", "epochs", "embnan",
     ):
         lim, ev_extra = "LIMIT 5", "LIMIT 5"
     elif kind in ("const", "dupconst"):
@@ -80,6 +85,22 @@ def build_degenerate(kind: str, d: str) -> None:
     for t in base:
         if kind in ("emptytext", "unicode") and t == "documents":
             continue  # written by the text-shard branches below
+        if kind == "embnan" and t == "embeddings":
+            # corrupt-vector shard: one NaN element, one +Inf, one
+            # -Inf, two clean (row 5 keeps the original) — the guard
+            # must NULL the whole corrupted vector on both engines,
+            # never repair or rank it.
+            con.execute(
+                "COPY (SELECT vec_id,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY vec_id)) % 5"
+                " WHEN 0 THEN list_concat(['nan'::FLOAT], embedding[2:])"
+                " WHEN 1 THEN list_concat(['inf'::FLOAT], embedding[2:])"
+                " WHEN 2 THEN list_concat(['-inf'::FLOAT], embedding[2:])"
+                " ELSE embedding END AS embedding, label"
+                f" FROM '{SRC}/embeddings.parquet' LIMIT 5)"
+                f" TO '{d}/embeddings.parquet' (FORMAT PARQUET)"
+            )
+            continue
         if kind in ("const", "dupconst"):
             con.execute(
                 f"CREATE OR REPLACE VIEW one AS SELECT * FROM"
@@ -191,6 +212,70 @@ def build_degenerate(kind: str, d: str) -> None:
             f" FROM '{SRC}/events.parquet' LIMIT 20)"
             f" TO '{d}/events.parquet' (FORMAT PARQUET)"
         )
+    elif kind == "nonfinite":
+        # corrupt-float shard: NaN / +Inf / -Inf landed in the value
+        # column (an upstream 0.0/0.0 or overflow written to parquet —
+        # IEEE doubles round-trip through parquet, so at 100 TB some
+        # shard WILL contain them). Both classes present (LIMIT 20
+        # covers click AND purchase); 1 in 4 rows keeps a finite value
+        # so aggregates see a mix.
+        con.execute(
+            "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+            " user_id, event_type,"
+            " CASE (ROW_NUMBER() OVER (ORDER BY event_id)) % 4"
+            " WHEN 0 THEN 'nan'::DOUBLE WHEN 1 THEN 'inf'::DOUBLE"
+            " WHEN 2 THEN '-inf'::DOUBLE ELSE value END AS value, props"
+            f" FROM '{SRC}/events.parquet' LIMIT 20)"
+            f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+    elif kind == "ties":
+        # all-ties shard: distinct keys and timestamps but ONE repeated
+        # value across every row (both classes present) — pins rank /
+        # percentile / median interpolation and tie-break determinism
+        # where the engines' window tie semantics could drift.
+        con.execute(
+            "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+            " user_id, event_type, CAST(7.0 AS DOUBLE) AS value, props"
+            f" FROM '{SRC}/events.parquet' LIMIT 20)"
+            f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+    elif kind == "badjson":
+        # malformed-props shard: scraped/evolved producers routinely
+        # write invalid JSON, wrong-typed fields, floats where the
+        # contract says integer, or empty strings. Spark's from_json
+        # is PERMISSIVE (NULL on malformed); DuckDB's -> operators
+        # RAISE — the parity pin forces the oracle to the same
+        # NULL-degrade semantics (json_valid + TRY_CAST).
+        con.execute(
+            "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+            " user_id, event_type, value,"
+            " CASE (ROW_NUMBER() OVER (ORDER BY event_id)) % 5"
+            " WHEN 0 THEN 'not json at all'"
+            " WHEN 1 THEN '{\"k\": \"abc\"}'"
+            " WHEN 2 THEN '{\"k\": 1.5}'"
+            " WHEN 3 THEN '{\"k\": 7}'"
+            " ELSE '' END AS props"
+            f" FROM '{SRC}/events.parquet' LIMIT 20)"
+            f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+    elif kind == "epochs":
+        # clock-skew shard: timestamps at the 1970 epoch boundary and
+        # decades in the future (a producer with a zeroed or corrupted
+        # clock). Pins cross-engine date math (dow/week/epoch
+        # arithmetic) far outside the 2024 test window and that
+        # calendar-spine entries stay BOUNDED when one bad row spans
+        # 80 years (a gapfill that explodes per-key spines would hang
+        # here long before diverging).
+        con.execute(
+            "COPY (SELECT event_id,"
+            " CASE (ROW_NUMBER() OVER (ORDER BY event_id)) % 5"
+            " WHEN 0 THEN CAST(86400000000000 AS BIGINT)"          # 1970-01-02
+            " WHEN 1 THEN CAST(4102444800000000000 AS BIGINT)"     # 2100-01-01
+            " ELSE CAST(epoch_ns(ts) AS BIGINT) END AS ts,"
+            " user_id, event_type, value, props"
+            f" FROM '{SRC}/events.parquet' LIMIT 20)"
+            f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
     elif kind in ("const", "dupconst"):
         con.execute(
             "COPY (SELECT gs.g AS event_id, CAST(epoch_ns(ts) AS BIGINT)"
@@ -220,14 +305,20 @@ def oracle_con(d: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         if t == "events":
+            from de4ml_spark.session import EVENTS_VALUE_GUARD_DUCKDB
+
             con.execute(
                 f"CREATE VIEW events AS SELECT event_id,"
                 f" make_timestamp(ts // 1000) AS ts, user_id,"
-                f" event_type, value, props FROM '{d}/events.parquet'"
+                f" event_type, {EVENTS_VALUE_GUARD_DUCKDB} AS value,"
+                f" props FROM '{d}/events.parquet'"
             )
         else:
+            from de4ml_spark.session import duckdb_view_sql
+
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
+                f"CREATE VIEW {t} AS "
+                + duckdb_view_sql(t, f"{d}/{t}.parquet")
             )
     return con
 
@@ -290,7 +381,8 @@ def main() -> int:
 
     kinds = sys.argv[1:] or [
         "empty", "one", "null", "const", "oneclass", "negative",
-        "emptytext", "unicode",
+        "emptytext", "unicode", "nonfinite", "ties", "badjson",
+        "epochs", "embnan",
     ]
     spark = get_spark("degenerate_parity", cpus=8)
     bad = 0

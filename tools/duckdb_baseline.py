@@ -37,8 +37,13 @@ def main() -> None:
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    from de4ml_spark.session import duckdb_view_sql
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            + duckdb_view_sql(t, f"{sf_dir}/{t}.parquet")
+        )
 
     for name in names:  # warm-up (buffer cache, plan cache)
         con.sql(oracles[name]).fetchall()

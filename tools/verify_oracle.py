@@ -172,9 +172,12 @@ def main() -> int:
 
     spark = get_spark("verify_oracle", cpus=8)
     con = duckdb.connect()
+    from de4ml_spark.session import duckdb_view_sql
+
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE VIEW {t} AS "
+            + duckdb_view_sql(t, f"{sf_dir}/{t}.parquet")
         )
 
     qs = entrymod.queries()
