@@ -153,7 +153,10 @@ walk AS (
               THEN w.total + e.vc ELSE w.total END,
          CASE WHEN w.total + e.vc <= {quota_cents} THEN 1 ELSE 0 END
   FROM walk w
-  JOIN ev e ON e.user_id = w.user_id AND e.day = w.day AND e.rn = w.rn + 1
+  -- IS NOT DISTINCT FROM: the NULL-user group is ONE key on the Spark
+  -- side (boundary mask); a plain equi-join drops its recursion
+  JOIN ev e ON e.user_id IS NOT DISTINCT FROM w.user_id
+           AND e.day = w.day AND e.rn = w.rn + 1
 )
 SELECT user_id, day,
        CAST(SUM(acc) AS BIGINT) AS n_accepted,

@@ -223,11 +223,15 @@ starts AS (
   UNION ALL
   SELECT e.user_id, e.t, e.rn
   FROM starts s
-  JOIN ev e ON e.user_id = s.user_id AND e.rn > s.rn
+  -- IS NOT DISTINCT FROM: the NULL-user group is ONE key on the Spark
+  -- side (boundary mask); a plain equi-join would silently drop its
+  -- recursion (round-14 nullkeys parity sweep)
+  JOIN ev e ON e.user_id IS NOT DISTINCT FROM s.user_id AND e.rn > s.rn
    AND (e.gap > {gap_us} OR e.t - s.t > {max_len_us})
    AND NOT EXISTS (
      SELECT 1 FROM ev e2
-     WHERE e2.user_id = s.user_id AND e2.rn > s.rn AND e2.rn < e.rn
+     WHERE e2.user_id IS NOT DISTINCT FROM s.user_id
+       AND e2.rn > s.rn AND e2.rn < e.rn
        AND (e2.gap > {gap_us} OR e2.t - s.t > {max_len_us})
    )
 ),
@@ -240,7 +244,7 @@ SELECT b.user_id, b.t AS session_start_us,
        MAX(e.t) AS session_end_us,
        COUNT(*) AS n_events
 FROM bounded b
-JOIN ev e ON e.user_id = b.user_id AND e.rn >= b.rn
+JOIN ev e ON e.user_id IS NOT DISTINCT FROM b.user_id AND e.rn >= b.rn
          AND (b.next_rn IS NULL OR e.rn < b.next_rn)
 GROUP BY b.user_id, b.t
 """

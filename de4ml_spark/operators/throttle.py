@@ -135,12 +135,16 @@ kept AS (
   UNION ALL
   SELECT e.user_id, e.event_type, e.event_id, e.t
   FROM kept k
+  -- IS NOT DISTINCT FROM: NULL keys form ONE group on the Spark side
+  -- (boundary mask); a plain equi-join drops their recursion
   JOIN ev e
-    ON e.user_id = k.user_id AND e.event_type = k.event_type
+    ON e.user_id IS NOT DISTINCT FROM k.user_id
+   AND e.event_type IS NOT DISTINCT FROM k.event_type
    AND e.t >= k.t + {min_gap_us}
    AND NOT EXISTS (
      SELECT 1 FROM ev e2
-     WHERE e2.user_id = k.user_id AND e2.event_type = k.event_type
+     WHERE e2.user_id IS NOT DISTINCT FROM k.user_id
+       AND e2.event_type IS NOT DISTINCT FROM k.event_type
        AND e2.t >= k.t + {min_gap_us}
        AND (e2.t < e.t OR (e2.t = e.t AND e2.event_id < e.event_id))
    )

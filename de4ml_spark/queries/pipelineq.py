@@ -154,13 +154,19 @@ def pattern_match_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# COALESCE(string_agg, ''): a user whose every event_type is NULL has
+# no symbols — Spark's array_join yields '' (md5 of empty) while
+# DuckDB's string_agg returns NULL (round-14 nullkeys parity sweep);
+# both skip NULL symbols inside a mixed sequence identically.
 PATTERN_SQL = f"""
 SELECT user_id,
        COUNT(*) AS n_events,
        CAST(len(regexp_extract_all(
-         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+         COALESCE(string_agg(substr(event_type, 1, 1),
+                             '' ORDER BY ts, event_id), ''),
          '{FUNNEL_PATTERN}')) AS INT) AS n_conversions,
-       md5(string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id))
+       md5(COALESCE(string_agg(substr(event_type, 1, 1),
+                               '' ORDER BY ts, event_id), ''))
          AS seq_md5
 FROM events
 GROUP BY user_id
@@ -736,7 +742,13 @@ def iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same scan joined to the 5-row fence table (broadcast)."""
     from de4ml_spark.profile.battery import grouped_exact_quantiles
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL event_type is out-of-domain for a typed distribution (the
+    # sibling two-sample entries filter it too); without the filter the
+    # Spark left join kept a NULL-type group the oracle's equi-join
+    # dropped (round-14 nullkeys parity sweep)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     q = grouped_exact_quantiles(ev, ["event_type"], "value", [0.25, 0.75])
     fences = q.select(
         "event_type",
@@ -774,7 +786,7 @@ WITH f AS (
          quantile_cont(value, 0.75)
            + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25))
            AS hi
-  FROM events GROUP BY event_type
+  FROM events WHERE event_type IS NOT NULL GROUP BY event_type
 )
 SELECT e.event_type, f.q1_r, f.q3_r,
        COUNT(*) FILTER (WHERE e.value < f.lo OR e.value > f.hi) AS n_outliers,

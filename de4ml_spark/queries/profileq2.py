@@ -843,8 +843,13 @@ REGISTRY["weighted_median_price"] = {
 
 def chi2_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # event_type IS NOT NULL: a NULL outcome level never matches the
+    # grid's equi-join, zeroing its column total and the (O*N-rc)^2/Nrc
+    # denominator (round-14 nullkeys parity sweep) — out-of-domain for
+    # the contingency table, like the user_id filter beside it
     observed = (
         ev.filter(F.col("user_id").isNotNull())
+        .filter(F.col("event_type").isNotNull())
         .groupBy(
             (F.col("user_id") % 2).alias("variant"),
             F.col("event_type").alias("outcome"),
@@ -909,7 +914,7 @@ CHI2_SQL = """
 WITH observed AS (
   SELECT user_id % 2 AS variant, event_type AS outcome,
          CAST(COUNT(*) AS BIGINT) AS o
-  FROM events WHERE user_id IS NOT NULL
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
   GROUP BY 1, 2
 ),
 cells AS (

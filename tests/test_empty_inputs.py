@@ -103,7 +103,7 @@ def test_single_row_inputs(spark):
     "kind",
     ["empty", "one", "null", "const", "oneclass", "negative",
      "emptytext", "unicode", "nonfinite", "ties", "badjson",
-     "epochs", "embnan"],
+     "epochs", "embnan", "nullkeys"],
 )
 def test_catalog_degenerate_cross_engine_parity(
     spark, tmp_path_factory, kind
@@ -189,6 +189,17 @@ def test_catalog_degenerate_cross_engine_parity(
       vector reads as MISSING on both engines — one NaN coordinate
       poisons every dot product — mirrored in
       session.duckdb_view_sql), zero per-entry edits.
+
+    - nullkeys: NULL user_id / event_type on some rows (an anonymous
+      or redacted producer). Both engines group NULL keys together
+      and never join-match them — first run caught the recursive-CTE
+      oracles (throttle, capped sessions, quota) dropping the
+      NULL-key group's recursion through plain equi-joins (fixed with
+      IS NOT DISTINCT FROM), a NULL outcome level zeroing chi2's
+      expected-count denominator, DuckDB string_agg returning NULL
+      where Spark array_join yields '' for an all-NULL-symbol user,
+      and the IQR oracle's inner join dropping the NULL-type group
+      Spark's left join kept.
 
     A raise on either engine also fails (the dupconst no-abort sweep
     below covers the out-of-contract duplicate-key shape)."""

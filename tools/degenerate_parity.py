@@ -19,7 +19,7 @@ out-of-contract 'dupconst' duplicate-key shape.
 
 Usage: python tools/degenerate_parity.py [kind ...]   (kinds: empty
 one null const oneclass negative emptytext unicode nonfinite ties
-badjson epochs embnan; default all thirteen). Exit 1 on any
+badjson epochs embnan nullkeys; default all fourteen). Exit 1 on any
 divergence.
 """
 
@@ -57,6 +57,7 @@ def build_degenerate(kind: str, d: str) -> None:
     elif kind in (
         "null", "oneclass", "negative", "emptytext", "unicode",
         "nonfinite", "ties", "badjson", "epochs", "embnan",
+        "nullkeys",
     ):
         lim, ev_extra = "LIMIT 5", "LIMIT 5"
     elif kind in ("const", "dupconst"):
@@ -276,6 +277,25 @@ def build_degenerate(kind: str, d: str) -> None:
             f" FROM '{SRC}/events.parquet' LIMIT 20)"
             f" TO '{d}/events.parquet' (FORMAT PARQUET)"
         )
+    elif kind == "nullkeys":
+        # NULL grouping/join keys (an anonymous or redacted producer):
+        # some rows lose user_id, some event_type, one both. Both
+        # engines group NULL keys together and never join-match them —
+        # the divergence risk is ORDER-dependent plans (ROW_NUMBER /
+        # LIMIT over a nullable key: Spark sorts NULLs FIRST ascending,
+        # DuckDB LAST).
+        con.execute(
+            "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+            " CASE (ROW_NUMBER() OVER (ORDER BY event_id)) % 5"
+            " WHEN 0 THEN NULL WHEN 2 THEN NULL ELSE user_id END"
+            " AS user_id,"
+            " CASE (ROW_NUMBER() OVER (ORDER BY event_id)) % 5"
+            " WHEN 1 THEN NULL WHEN 2 THEN NULL ELSE event_type END"
+            " AS event_type,"
+            " value, props"
+            f" FROM '{SRC}/events.parquet' LIMIT 20)"
+            f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
     elif kind in ("const", "dupconst"):
         con.execute(
             "COPY (SELECT gs.g AS event_id, CAST(epoch_ns(ts) AS BIGINT)"
@@ -382,7 +402,7 @@ def main() -> int:
     kinds = sys.argv[1:] or [
         "empty", "one", "null", "const", "oneclass", "negative",
         "emptytext", "unicode", "nonfinite", "ties", "badjson",
-        "epochs", "embnan",
+        "epochs", "embnan", "nullkeys",
     ]
     spark = get_spark("degenerate_parity", cpus=8)
     bad = 0
