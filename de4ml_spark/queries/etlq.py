@@ -14,7 +14,14 @@ from de4ml_spark.session import load_table
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    # a NULL-text doc has no payload to decode — filter on both
+    # engines (round-14 nulldocs sweep: the Arrow extract UDF crashed
+    # iterating a None payload)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     return extract_meta(fake_payload(docs))
 
 
@@ -25,6 +32,7 @@ SELECT doc_id,
        CAST((4 + octet_length(encode(text))) % 640 AS INT) AS width,
        CAST((4 + octet_length(encode(text))) % 480 AS INT) AS height
 FROM documents
+WHERE text IS NOT NULL
 """
 
 

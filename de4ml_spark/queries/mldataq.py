@@ -104,7 +104,12 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc so the graded result stays small while still pinning every
     chunk boundary: chunk count, total/ min/max chunk token counts, and an
     md5 over the concatenated chunk texts in chunk order."""
-    docs = load_table(spark, sf_dir, "documents")
+    # a NULL-text doc has no chunks — filter on both engines (round-14
+    # nulldocs parity sweep: Spark chunked NULL into one empty chunk
+    # while the oracle's string_agg dropped the NULL chunk text)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     ch = chunk_rows(docs, chunk_size=64, stride=48)
     return ch.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
@@ -121,7 +126,8 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CHUNK_DOCS_SQL = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
 s AS (
   SELECT doc_id, toks,
          unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS st

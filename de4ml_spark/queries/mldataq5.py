@@ -337,9 +337,13 @@ def _kappa_final(div: str) -> list[str]:
 
 def cohens_kappa_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # CASE ... ELSE 0, not CAST(cond AS BIGINT): a NULL text/n_chars
+    # doc must FAIL the quality rule (0) on both engines — the bare
+    # CAST keeps NULL where the oracle's CASE maps it to 0 (round-14
+    # nulldocs parity sweep caught the whole rater-agreement family)
     flags = docs.selectExpr(
-        "CAST(n_chars >= 300 AS BIGINT) AS ra",
-        "CAST(size(split(text, ' ')) >= 50 AS BIGINT) AS rb",
+        "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra",
+        "CASE WHEN size(split(text, ' ')) >= 50 THEN 1 ELSE 0 END AS rb",
     )
     agg = flags.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tot"),

@@ -248,7 +248,14 @@ def _cdc_stage(spark: SparkSession, sf_dir: str):
     from de4ml_spark.operators.portable_hash import md5_hex_sql, phash_from_hex_sql
     from de4ml_spark.session import spread
 
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    # a NULL-text doc has no chunks — filter on both engines (round-14
+    # nulldocs parity sweep)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        ),
+        "doc_id",
+    )
     toks = tokens("text")
     n = F.size(toks)
     ex = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
@@ -300,7 +307,8 @@ def cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CDC_SQL = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
 b AS (
   SELECT doc_id, toks, len(toks) AS n,
          list_filter(generate_series(1, len(toks)),

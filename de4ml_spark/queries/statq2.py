@@ -1901,10 +1901,14 @@ def _cochran_final(div: str) -> list[str]:
 
 def cochran_q_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # CASE ... ELSE 0, not CAST(cond AS BIGINT): a NULL-field doc must
+    # FAIL each rule (0) on both engines — bare CAST keeps NULL where
+    # the oracle's CASE maps it to 0 (round-14 nulldocs parity sweep)
     flags = docs.selectExpr(
-        "CAST(n_chars >= 300 AS BIGINT) AS f1",
-        "CAST(size(split(text, ' ')) >= 50 AS BIGINT) AS f2",
-        "CAST(n_chars >= 4 * size(split(text, ' ')) AS BIGINT) AS f3",
+        "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS f1",
+        "CASE WHEN size(split(text, ' ')) >= 50 THEN 1 ELSE 0 END AS f2",
+        "CASE WHEN n_chars >= 4 * size(split(text, ' '))"
+        " THEN 1 ELSE 0 END AS f3",
     ).selectExpr("f1", "f2", "f3", "f1 + f2 + f3 AS r")
     agg = flags.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1991,9 +1995,11 @@ def _mcnemar_final(div: str) -> list[str]:
 
 def mcnemar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # CASE ... ELSE 0: NULL-field docs fail each rule on both engines
+    # (round-14 nulldocs parity sweep; see cochran_q_docs above)
     flags = docs.selectExpr(
-        "CAST(n_chars >= 300 AS BIGINT) AS ra",
-        "CAST(size(split(text, ' ')) >= 50 AS BIGINT) AS rb",
+        "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra",
+        "CASE WHEN size(split(text, ' ')) >= 50 THEN 1 ELSE 0 END AS rb",
     )
     agg = flags.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

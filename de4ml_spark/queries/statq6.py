@@ -520,9 +520,11 @@ def krippendorff_alpha_docs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # CASE ... ELSE 0: NULL-field docs fail each rule on both engines
+    # (round-14 nulldocs parity sweep; see cohens_kappa_docs)
     flags = docs.selectExpr(
-        "CAST(n_chars >= 300 AS BIGINT) AS ra",
-        "CAST(size(split(text, ' ')) >= 50 AS BIGINT) AS rb",
+        "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra",
+        "CASE WHEN size(split(text, ' ')) >= 50 THEN 1 ELSE 0 END AS rb",
     )
     agg = flags.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_units"),

@@ -211,7 +211,12 @@ def quality_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from de4ml_spark.operators.text import quality_score
 
-    docs = load_table(spark, sf_dir, "documents")
+    # a NULL-text doc has no quality score to rank — filter on both
+    # engines (round-14 nulldocs sweep: a NULL score orders FIRST on
+    # Spark and LAST on DuckDB, skewing every percent_rank after it)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     w = Window.partitionBy("source").orderBy(F.col("quality").asc())
     return quality_score(docs).select(
         "doc_id",
@@ -221,7 +226,8 @@ def quality_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUALITY_RANK_SQL = r"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
 q AS (
   SELECT d.doc_id, d.source,
          0.4 * LEAST(len(t.toks) / 100.0, 1.0)

@@ -103,7 +103,7 @@ def test_single_row_inputs(spark):
     "kind",
     ["empty", "one", "null", "const", "oneclass", "negative",
      "emptytext", "unicode", "nonfinite", "ties", "badjson",
-     "epochs", "embnan", "nullkeys"],
+     "epochs", "embnan", "nullkeys", "nulldocs"],
 )
 def test_catalog_degenerate_cross_engine_parity(
     spark, tmp_path_factory, kind
@@ -200,6 +200,17 @@ def test_catalog_degenerate_cross_engine_parity(
       where Spark array_join yields '' for an all-NULL-symbol user,
       and the IQR oracle's inner join dropping the NULL-type group
       Spark's left join kept.
+
+    - nulldocs: NULL text/lang/source document fields (a partially-
+      ingested crawl batch; emptytext covered '' — NULL is the other
+      arm). First run: 9 divergences in two classes. The rater-
+      agreement family (kappa, cochran q, mcnemar, gwet AC1,
+      krippendorff) derived flags with Spark CAST(cond AS BIGINT),
+      which keeps NULL where the oracle's CASE..ELSE 0 fails the
+      rule — now CASE on both engines (missing doc fails the quality
+      rule). Chunkers/scorers/payload entries (chunk, cdc_chunk,
+      quality_rank, multimodal) now filter NULL text on both engines
+      (no chunks/score/payload for a missing doc).
 
     A raise on either engine also fails (the dupconst no-abort sweep
     below covers the out-of-contract duplicate-key shape)."""

@@ -19,8 +19,8 @@ out-of-contract 'dupconst' duplicate-key shape.
 
 Usage: python tools/degenerate_parity.py [kind ...]   (kinds: empty
 one null const oneclass negative emptytext unicode nonfinite ties
-badjson epochs embnan nullkeys; default all fourteen). Exit 1 on any
-divergence.
+badjson epochs embnan nullkeys nulldocs; default all fifteen). Exit 1
+on any divergence.
 """
 
 from __future__ import annotations
@@ -57,7 +57,7 @@ def build_degenerate(kind: str, d: str) -> None:
     elif kind in (
         "null", "oneclass", "negative", "emptytext", "unicode",
         "nonfinite", "ties", "badjson", "epochs", "embnan",
-        "nullkeys",
+        "nullkeys", "nulldocs",
     ):
         lim, ev_extra = "LIMIT 5", "LIMIT 5"
     elif kind in ("const", "dupconst"):
@@ -86,6 +86,28 @@ def build_degenerate(kind: str, d: str) -> None:
     for t in base:
         if kind in ("emptytext", "unicode") and t == "documents":
             continue  # written by the text-shard branches below
+        if kind == "nulldocs" and t == "documents":
+            # NULL-field document shard: rows lose text, lang, source,
+            # or (one row) all three — a partially-ingested crawl
+            # batch. The emptytext shape covered '' and whitespace;
+            # NULL is the other arm (string_agg/COUNT/filter
+            # semantics differ between '' and NULL).
+            con.execute(
+                "COPY (SELECT doc_id,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY doc_id)) % 5"
+                " WHEN 0 THEN NULL WHEN 3 THEN NULL ELSE text END"
+                " AS text,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY doc_id)) % 5"
+                " WHEN 1 THEN NULL WHEN 3 THEN NULL ELSE lang END"
+                " AS lang,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY doc_id)) % 5"
+                " WHEN 2 THEN NULL WHEN 3 THEN NULL ELSE source END"
+                " AS source,"
+                " n_chars"
+                f" FROM '{SRC}/documents.parquet' LIMIT 5)"
+                f" TO '{d}/documents.parquet' (FORMAT PARQUET)"
+            )
+            continue
         if kind == "embnan" and t == "embeddings":
             # corrupt-vector shard: one NaN element, one +Inf, one
             # -Inf, two clean (row 5 keeps the original) — the guard
@@ -420,7 +442,7 @@ def main() -> int:
     kinds = sys.argv[1:] or [
         "empty", "one", "null", "const", "oneclass", "negative",
         "emptytext", "unicode", "nonfinite", "ties", "badjson",
-        "epochs", "embnan", "nullkeys",
+        "epochs", "embnan", "nullkeys", "nulldocs",
     ]
     spark = get_spark("degenerate_parity", cpus=8)
     bad = 0
