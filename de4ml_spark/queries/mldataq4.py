@@ -226,8 +226,13 @@ def negative_samples_orders(
     li = load_table(spark, sf_dir, "lineitem")
     parts = load_table(spark, sf_dir, "part")
     np_ = parts.agg(F.count(F.lit(1)).alias("n_parts"))
+    # o_custkey IS NOT NULL: a NULL custkey is not a user — it would
+    # become a phantom sampling row whose seeded hash diverges between
+    # engines (Spark CONCAT(NULL) is NULL, DuckDB CONCAT skips NULLs;
+    # round-14 nulltpch parity sweep)
     top = (
-        orders.groupBy("o_custkey")
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), F.col("o_custkey"))
         .limit(NEG_USERS)
@@ -285,7 +290,7 @@ def _neg_sql() -> str:
 WITH np AS (SELECT COUNT(*) AS n_parts FROM part),
 top AS (
   SELECT o_custkey AS custkey
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
   ORDER BY COUNT(*) DESC, o_custkey
   LIMIT {NEG_USERS}
 ),

@@ -278,7 +278,13 @@ HAVING day_offset <= 7
 # --------------------------------------------------------------------------
 
 def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # o_totalprice IS NOT NULL on both engines: a missing price cannot
+    # be deciled, and a NULL in the NTILE order sorts FIRST on Spark
+    # and LAST on DuckDB, shifting every bucket boundary (round-14
+    # nulltpch parity sweep)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
     return (
         orders.withColumn("decile", F.ntile(10).over(w))
@@ -295,7 +301,7 @@ DECILE_SQL = """
 WITH d AS (
   SELECT o_totalprice,
          NTILE(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 )
 SELECT decile, COUNT(*) AS n_orders,
        MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
@@ -1222,7 +1228,11 @@ def rfm_segments_customers(
             "o_custkey",
             "datediff(hmax, last_day) AS recency_days",
             "freq",
-            "money_c",
+            # COALESCE 0: a customer whose every order price is NULL
+            # has unknown spend — rank it lowest deterministically on
+            # both engines (a NULL in the NTILE order sorts FIRST on
+            # Spark, LAST on DuckDB; round-14 nulltpch parity sweep)
+            "COALESCE(money_c, CAST(0 AS BIGINT)) AS money_c",
         )
     )
     # distributed exact NTILE (operators/rank.py): a bare
@@ -1281,8 +1291,8 @@ per_cust AS (
          datediff('day', MAX(CAST(o_orderdate AS DATE)), h.hmax)
            AS recency_days,
          CAST(COUNT(*) AS BIGINT) AS freq,
-         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-              AS DECIMAL(38,2)) * 100 AS BIGINT) AS money_c
+         COALESCE(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(38,2)) * 100 AS BIGINT), 0) AS money_c
   FROM orders CROSS JOIN horizon h
   GROUP BY o_custkey, h.hmax
 ),
@@ -1329,13 +1339,18 @@ REGISTRY["rfm_segments_customers"] = {
 
 def gini_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # rev_e4 IS NOT NULL: a part whose every lineitem has NULL
+    # price/discount has UNKNOWN revenue — it cannot enter the Lorenz
+    # curve (and a NULL in the rank order sorts FIRST on Spark, LAST
+    # on DuckDB; round-14 nulltpch parity sweep). Standard missing-
+    # data treatment for Gini: exclude, don't impute 0.
     per_part = li.groupBy("l_partkey").agg(
         F.expr(
             "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
             " * (1 - CAST(l_discount AS DECIMAL(18,2))))"
             " AS DECIMAL(38,4)) * 10000 AS BIGINT)"
         ).alias("rev_e4")
-    )
+    ).filter(F.col("rev_e4").isNotNull())
     # distributed rank + known total (operators/rank.py) — replaces
     # the unpartitioned rank window AND the COUNT(*) OVER () pass
     from de4ml_spark.operators.rank import global_rank_and_total
@@ -1380,6 +1395,7 @@ WITH per_part AS (
               * (1 - CAST(l_discount AS DECIMAL(18,2))))
               AS DECIMAL(38,4)) * 10000 AS BIGINT) AS rev_e4
   FROM lineitem GROUP BY 1
+  HAVING rev_e4 IS NOT NULL
 ),
 ranked AS (
   SELECT rev_e4,

@@ -1799,7 +1799,13 @@ _BLOMQVIST_FINAL = [
 def blomqvist_beta_lineitem(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+    # both coordinates NOT NULL: a pair with a missing side cannot be
+    # scored against the medians, and a NULL group in the median's cum
+    # window orders FIRST on Spark and LAST on DuckDB, shifting the
+    # median itself (round-14 nulltpch parity sweep)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
+    ).selectExpr(
         "CAST(l_quantity AS BIGINT) AS q",
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
         " AS p",
@@ -1856,6 +1862,7 @@ WITH li AS (
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
            AS p
   FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 ),
 n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM li),
 med_q AS (

@@ -103,7 +103,7 @@ def test_single_row_inputs(spark):
     "kind",
     ["empty", "one", "null", "const", "oneclass", "negative",
      "emptytext", "unicode", "nonfinite", "ties", "badjson",
-     "epochs", "embnan", "nullkeys", "nulldocs"],
+     "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch"],
 )
 def test_catalog_degenerate_cross_engine_parity(
     spark, tmp_path_factory, kind
@@ -211,6 +211,17 @@ def test_catalog_degenerate_cross_engine_parity(
       rule). Chunkers/scorers/payload entries (chunk, cdc_chunk,
       quality_rank, multimodal) now filter NULL text on both engines
       (no chunks/score/payload for a missing doc).
+
+    - nulltpch: NULL lineitem measures / part key / returnflag /
+      shipdate and NULL orders custkey/totalprice — the relational
+      tier's arm. First run: 5 divergences, four of them the
+      NULL-in-rank-order class (Spark sorts NULLs FIRST ascending,
+      DuckDB LAST): price deciles, RFM money quintiles, the Gini
+      Lorenz rank, and blomqvist's median windows now exclude or
+      COALESCE missing measures identically on both engines; the
+      negative sampler also dropped its phantom NULL-custkey user
+      (Spark CONCAT(NULL) is NULL, DuckDB CONCAT skips NULLs — the
+      seeded hash walk diverged).
 
     A raise on either engine also fails (the dupconst no-abort sweep
     below covers the out-of-contract duplicate-key shape)."""

@@ -19,8 +19,8 @@ out-of-contract 'dupconst' duplicate-key shape.
 
 Usage: python tools/degenerate_parity.py [kind ...]   (kinds: empty
 one null const oneclass negative emptytext unicode nonfinite ties
-badjson epochs embnan nullkeys nulldocs; default all fifteen). Exit 1
-on any divergence.
+badjson epochs embnan nullkeys nulldocs nulltpch; default all
+sixteen). Exit 1 on any divergence.
 """
 
 from __future__ import annotations
@@ -57,7 +57,7 @@ def build_degenerate(kind: str, d: str) -> None:
     elif kind in (
         "null", "oneclass", "negative", "emptytext", "unicode",
         "nonfinite", "ties", "badjson", "epochs", "embnan",
-        "nullkeys", "nulldocs",
+        "nullkeys", "nulldocs", "nulltpch",
     ):
         lim, ev_extra = "LIMIT 5", "LIMIT 5"
     elif kind in ("const", "dupconst"):
@@ -86,6 +86,55 @@ def build_degenerate(kind: str, d: str) -> None:
     for t in base:
         if kind in ("emptytext", "unicode") and t == "documents":
             continue  # written by the text-shard branches below
+        if kind == "nulltpch" and t == "lineitem":
+            # relational-tier NULL shard: rows lose measures
+            # (quantity/price/discount/tax), the part join key, or the
+            # returnflag group key — probes the ~40 TPC-H-shape
+            # entries' agg/join/group NULL semantics. LIMIT 20 keeps
+            # several orders represented.
+            con.execute(
+                "COPY (SELECT l_orderkey,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY l_orderkey,"
+                " l_linenumber)) % 5 WHEN 0 THEN NULL"
+                " ELSE l_partkey END AS l_partkey,"
+                " l_suppkey, l_linenumber,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY l_orderkey,"
+                " l_linenumber)) % 5 WHEN 1 THEN NULL"
+                " ELSE l_quantity END AS l_quantity,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY l_orderkey,"
+                " l_linenumber)) % 5 WHEN 1 THEN NULL"
+                " ELSE l_extendedprice END AS l_extendedprice,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY l_orderkey,"
+                " l_linenumber)) % 5 WHEN 2 THEN NULL"
+                " ELSE l_discount END AS l_discount,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY l_orderkey,"
+                " l_linenumber)) % 5 WHEN 2 THEN NULL"
+                " ELSE l_tax END AS l_tax,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY l_orderkey,"
+                " l_linenumber)) % 5 WHEN 3 THEN NULL"
+                " ELSE l_returnflag END AS l_returnflag,"
+                " l_linestatus,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY l_orderkey,"
+                " l_linenumber)) % 5 WHEN 4 THEN NULL"
+                " ELSE l_shipdate END AS l_shipdate"
+                f" FROM '{SRC}/lineitem.parquet' LIMIT 20)"
+                f" TO '{d}/lineitem.parquet' (FORMAT PARQUET)"
+            )
+            continue
+        if kind == "nulltpch" and t == "orders":
+            con.execute(
+                "COPY (SELECT o_orderkey,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY o_orderkey)) % 5"
+                " WHEN 0 THEN NULL ELSE o_custkey END AS o_custkey,"
+                " o_orderstatus,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY o_orderkey)) % 5"
+                " WHEN 1 THEN NULL ELSE o_totalprice END"
+                " AS o_totalprice,"
+                " o_orderdate, o_orderpriority"
+                f" FROM '{SRC}/orders.parquet' LIMIT 10)"
+                f" TO '{d}/orders.parquet' (FORMAT PARQUET)"
+            )
+            continue
         if kind == "nulldocs" and t == "documents":
             # NULL-field document shard: rows lose text, lang, source,
             # or (one row) all three — a partially-ingested crawl
@@ -442,7 +491,7 @@ def main() -> int:
     kinds = sys.argv[1:] or [
         "empty", "one", "null", "const", "oneclass", "negative",
         "emptytext", "unicode", "nonfinite", "ties", "badjson",
-        "epochs", "embnan", "nullkeys", "nulldocs",
+        "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch",
     ]
     spark = get_spark("degenerate_parity", cpus=8)
     bad = 0
