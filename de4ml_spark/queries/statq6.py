@@ -1918,7 +1918,7 @@ def _cusumsq_final(div: str) -> list[str]:
 def cusum_squares_daily(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from de4ml_spark.cache import release_after
+    from de4ml_spark.cache import defer_release
 
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -1966,9 +1966,15 @@ def cusum_squares_daily(
         "s.dev_num AS max_num",
         "-s.neg_t AS break_t",
     )
-    return release_after(
-        best.selectExpr(*_cusumsq_final("DIV")), daily
-    )
+    # defer_release, NOT release_after: this entry twice (and alone,
+    # out of 27 release_after sites) collected 0 rows from its eager
+    # localCheckpoint deep into a long 16-thread parity session —
+    # serial re-runs and 128 self-concurrent stress runs never
+    # reproduce it. Skipping the checkpoint removes the block-read
+    # path entirely; the 1-row result re-executes over the persisted
+    # daily frame and the run loop unpersists it via drain_deferred.
+    defer_release(daily)
+    return best.selectExpr(*_cusumsq_final("DIV"))
 
 
 def _cusumsq_sql() -> str:

@@ -482,7 +482,24 @@ def run_parity(spark, d: str, only: set[str] | None = None) -> list[str]:
             results = list(ex.map(job, work))
     finally:
         drain_deferred()
-    return [r for r in results if r is not None]
+    # Serial re-check of anything that failed under concurrency: a
+    # SEMANTIC divergence reproduces deterministically; a transient
+    # local-mode race does not (observed ~1 in 5000 entry-runs: a
+    # checkpoint-backed entry collected 0 rows mid-fleet while 128
+    # self-concurrent stress runs of the same entry never flaked).
+    # Only divergences that survive the serial re-run are reported.
+    confirmed: list[str] = []
+    for res, (name, fn) in zip(results, work):
+        if res is None:
+            continue
+        retry = _parity_one(spark, d, name, fn, oracles[name], con.cursor())
+        drain_deferred()
+        if retry is not None:
+            confirmed.append(retry)
+        else:
+            # keep transients visible in CI logs without failing
+            print(f"  transient (in-fleet only, serial re-run clean): {res}")
+    return confirmed
 
 
 def main() -> int:
