@@ -4,6 +4,15 @@
 reference's contracts were designed for, logging-service/app/contracts.py:40-42)
 at sf0.001. ``queries()`` / ``oracle_sql()`` expose the full catalog from
 de4ml_spark.queries (one entry per implemented operator from SURVEY.md §2).
+
+Cache contract: a few entries persist() a corpus-sized interior frame
+and register it with ``de4ml_spark.cache.defer_release`` (the result is
+itself corpus-sized, so the eager checkpoint-and-release path would
+double-materialize). A long-lived consumer looping over ``queries()``
+SHOULD call ``de4ml_spark.cache.drain_deferred()`` between entries
+(bench.py / verify_oracle do); consumers that don't are still safe —
+the deferred list is bounded (oldest registrations auto-unpersist on
+overflow, ``cache.py``), so storage cannot grow without limit.
 """
 
 from __future__ import annotations

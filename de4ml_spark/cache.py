@@ -42,6 +42,15 @@ def release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
 
 _DEFERRED: list[DataFrame] = []
 
+# Upper bound on the deferred list: a driver-contract consumer that
+# only collects DataFrames (never calls drain_deferred) must not
+# accumulate persisted frames without limit across a long session.
+# On overflow the OLDEST registrations are unpersisted — always safe
+# (worst case a not-yet-materialized consumer recomputes), and old
+# entries are overwhelmingly already-consumed by the time 32 newer
+# ones have been registered.
+_DEFERRED_MAX = 32
+
 
 def defer_release(*cached: DataFrame) -> None:
     """Register persisted intermediates for later release when
@@ -52,9 +61,13 @@ def defer_release(*cached: DataFrame) -> None:
     The registered frames stay cached until a run loop that has
     materialized the consuming result calls :func:`drain_deferred`
     (bench.py does this after each query; tools/verify_oracle.py after
-    each entry). Unpersisting is always safe — worst case a
-    not-yet-materialized consumer recomputes the range shuffle."""
+    each entry), or until the bounded list overflows and the oldest
+    registrations are released automatically. Unpersisting is always
+    safe — worst case a not-yet-materialized consumer recomputes the
+    range shuffle."""
     _DEFERRED.extend(cached)
+    while len(_DEFERRED) > _DEFERRED_MAX:
+        _DEFERRED.pop(0).unpersist(blocking=False)
 
 
 def drain_deferred() -> int:

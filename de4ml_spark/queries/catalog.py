@@ -64,78 +64,23 @@ def _registries() -> list[dict]:
 # 50-entry PREFIX of this list per round, so ordering decides which
 # queries get fresh cross-engine evidence each round.
 #
-# Round-14 rotation (VERDICT r13 #1): prefix = the 35 r6-remainder
-# entries + the 15 oldest r7 entries. The round-13 graded prefix (50
-# entries, all green in CORRECTNESS_r13.json: 21 r12 entries + 17
-# r5-remainder + 12 oldest r6) moves to the back of the queue as r13
-# evidence.
+# Round-15 rotation (VERDICT r14 #2): prefix = the 31 r7-remainder
+# entries + the 19 oldest r8 entries. The round-14 graded prefix (50
+# entries, all green in CORRECTNESS_r14.json: 35 r6-remainder + 15
+# oldest r7) moves to the back of the queue as r14 evidence.
 #
 # Evidence-age ledger (latest driver-graded round per entry, updated at
-# round-14 start from CORRECTNESS_r13.json): r6: 35   r7: 46   r8: 44
-# r9: 49   r10: 50   r11: 50   r12: 50   r13: 50   (total 374).
-# After round-14 grading the ledger becomes r7: 31   r8: 44   r9: 49
-# r10: 50   r11: 50   r12: 50   r13: 50   r14: 50.
-# Round-15 prefix plan: the 31 r7-remainder entries, then the 19
-# oldest r8 entries — the blocks below are already in that order, so
-# the only round-15 edit needed is moving this round's graded 50-entry
+# round-15 start from CORRECTNESS_r14.json): r7: 31   r8: 44   r9: 49
+# r10: 50   r11: 50   r12: 50   r13: 50   r14: 50   (total 374).
+# After round-15 grading the ledger becomes r8: 25   r9: 49   r10: 50
+# r11: 50   r12: 50   r13: 50   r14: 50   r15: 50.
+# Round-16 prefix plan: the 25 r8-remainder entries, then the 25
+# oldest r9 entries — the blocks below are already in that order, so
+# the only round-16 edit needed is moving this round's graded 50-entry
 # prefix to the back of the queue (plus any new entries, which always
 # land at the head).
 PRIORITY = [
-    # -- round-14 graded prefix part 1: the 35 r6-remainder entries
-    "q11_important_stock",
-    "q20_potential_promo",
-    "kmv_distinct_users",
-    "countmin_event_types",
-    "kl_drift_event_type",
-    "entropy_by_source",
-    "cusum_alarm_value",
-    "benford_audit_totalprice",
-    "trend_by_event_type",
-    "neyman_allocation_events",
-    "weighted_reservoir_docs",
-    "rolling_corr_view_click",
-    "orders_priority_counts",
-    "orders_rollup",
-    "override_anti_events",
-    "part_type_stats",
-    "price_decile_stats",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q4_late_orders",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "retention_cohorts",
-    "sliding_window_events",
-    "suppliers_per_region",
-    "topk_values_orders",
-    "value_quartiles_by_type",
-    "anomalous_days_events",
-    "chunk_docs",
-    "clean_corpus",
-    "decontaminate_docs",
-    "dedup_cluster_sizes",
-    # -- round-14 graded prefix part 2: the 15 oldest r7 entries
-    #    (prefix boundary after "triangle_count_parts")
-    "nelson_aalen_retention",
-    "q9_product_profit",
-    "rollup_cascade_events",
-    "q16_supplier_cnt",
-    "hll_distinct_users",
-    "m4_downsample_value",
-    "gapfill_interp_user_daily",
-    "chi2_ab_events",
-    "calibration_bins_events",
-    "bloom_decontaminate_docs",
-    "mutual_info_events",
-    "ppjoin_docs",
-    "assoc_rules_parts",
-    "audience_overlap_events",
-    "triangle_count_parts",
-    # -- refresh queue: latest driver evidence round 7 (remainder, 31
-    #    entries -> round-15 prefix part 1)
+    # -- round-15 graded prefix part 1: the 31 r7-remainder entries
     "ltv_triangle_orders",
     "label_centroid_distances",
     "plus4_ctr_bounds",
@@ -167,7 +112,8 @@ PRIORITY = [
     "knn_lsh",
     "knn_rrf_fusion",
     "lang_confusion_docs",
-    # -- refresh queue: latest driver evidence round 8
+    # -- round-15 graded prefix part 2: the 19 oldest r8 entries
+    #    (prefix boundary after "pack_training_sequences")
     "map_at_k_orders",
     "zipf_slope_docs",
     "popularity_hitrate_orders",
@@ -187,6 +133,8 @@ PRIORITY = [
     "lineitem_measure_stats",
     "mix_docs",
     "pack_training_sequences",
+    # -- refresh queue: latest driver evidence round 8 (remainder, 25
+    #    entries -> round-16 prefix part 1)
     "parse_event_props",
     "pii_scrub_docs",
     "profile_drift_events",
@@ -418,8 +366,9 @@ PRIORITY = [
     "ohlc_daily_value",
     "nearest_view_per_click",
     "fk_integrity_orders_lineitem",
-    # -- round-13 graded prefix (moved to back as r13 evidence):
-    #    21 round-12 entries + 17 r5-remainder + 12 oldest r6
+    # -- refresh queue: latest driver evidence round 13 (the
+    #    round-13 graded prefix: 21 r12 entries + 17 r5-remainder +
+    #    12 oldest r6)
     "giant_component_parts",
     "breslow_day_docs",
     "kpss_daily_events",
@@ -470,6 +419,58 @@ PRIORITY = [
     "bm25_search_docs",
     "pagerank_copurchase_parts",
     "q2_min_cost_supplier",
+    # -- round-14 graded prefix (moved to back as r14 evidence):
+    #    the 35 r6-remainder entries + the 15 oldest r7 entries
+    "q11_important_stock",
+    "q20_potential_promo",
+    "kmv_distinct_users",
+    "countmin_event_types",
+    "kl_drift_event_type",
+    "entropy_by_source",
+    "cusum_alarm_value",
+    "benford_audit_totalprice",
+    "trend_by_event_type",
+    "neyman_allocation_events",
+    "weighted_reservoir_docs",
+    "rolling_corr_view_click",
+    "orders_priority_counts",
+    "orders_rollup",
+    "override_anti_events",
+    "part_type_stats",
+    "price_decile_stats",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q4_late_orders",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "retention_cohorts",
+    "sliding_window_events",
+    "suppliers_per_region",
+    "topk_values_orders",
+    "value_quartiles_by_type",
+    "anomalous_days_events",
+    "chunk_docs",
+    "clean_corpus",
+    "decontaminate_docs",
+    "dedup_cluster_sizes",
+    "nelson_aalen_retention",
+    "q9_product_profit",
+    "rollup_cascade_events",
+    "q16_supplier_cnt",
+    "hll_distinct_users",
+    "m4_downsample_value",
+    "gapfill_interp_user_daily",
+    "chi2_ab_events",
+    "calibration_bins_events",
+    "bloom_decontaminate_docs",
+    "mutual_info_events",
+    "ppjoin_docs",
+    "assoc_rules_parts",
+    "audience_overlap_events",
+    "triangle_count_parts",
 ]
 
 
@@ -497,6 +498,35 @@ _PLAN_CACHE_MAX = 512
 _PLAN_CACHE: "OrderedDict[tuple[int, str, str], DataFrame]" = OrderedDict()
 
 
+def _release(df: DataFrame) -> None:
+    """Best-effort storage release for a frame leaving the cache.
+    ``unpersist`` is a no-op on frames that were never persisted, and
+    for checkpoint-backed results it drops the cached blocks now
+    instead of waiting for ContextCleaner GC. Never raises: the frame
+    may belong to an already-stopped session."""
+    try:
+        df.unpersist(blocking=False)
+    except Exception:  # noqa: BLE001 - session may be gone; cache integrity first
+        pass
+
+
+def evict(name: str, sf_dir: str | None = None) -> int:
+    """Drop memoized prepared plans for ``name`` (all sessions; only
+    for ``sf_dir`` if given) and release their cached blocks; returns
+    how many were evicted. The parity sweep calls this before its
+    serial re-check of a diverged entry so the retry rebuilds the plan
+    from scratch instead of re-collecting a possibly-corrupted
+    checkpoint/persisted block (VERDICT r14 #1)."""
+    gone = [
+        k
+        for k in _PLAN_CACHE
+        if k[2] == name and (sf_dir is None or k[1] == sf_dir)
+    ]
+    for k in gone:
+        _release(_PLAN_CACHE.pop(k))
+    return len(gone)
+
+
 def _prepared(name: str, fn: Callable) -> Callable:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         from de4ml_spark.session import _session_token
@@ -507,7 +537,10 @@ def _prepared(name: str, fn: Callable) -> Callable:
             df = fn(spark, sf_dir)
             _PLAN_CACHE[key] = df
             while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
-                _PLAN_CACHE.popitem(last=False)
+                # Release on LRU eviction too: long sweeps cycling many
+                # (session, sf) combinations must not strand persisted
+                # blocks of frames nothing references anymore.
+                _release(_PLAN_CACHE.popitem(last=False)[1])
         else:
             _PLAN_CACHE.move_to_end(key)
         return df

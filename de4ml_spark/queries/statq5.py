@@ -1677,10 +1677,17 @@ def granger_clicks_purchases(
             " AS BIGINT)"
         ).alias("t")
     ).agg(
-        F.sum(F.expr("CAST(event_type = 'click' AS BIGINT)"))
+        # CASE..ELSE 0 (same guard as mahalanobis_anomalous_days): an
+        # all-NULL-typed day must count 0 on both engines, not NULL —
+        # latent here only because the t/t+1 inner join happens to drop
+        # isolated corrupt days, but two ADJACENT corrupt days would
+        # expose it.
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
         .cast("bigint")
         .alias("x"),
-        F.sum(F.expr("CAST(event_type = 'purchase' AS BIGINT)"))
+        F.sum(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        )
         .cast("bigint")
         .alias("y"),
     )
@@ -2211,13 +2218,19 @@ def _weibull_final(div: str) -> list[str]:
     big = _big(div)
     num = f"(CAST(n AS {big}) * sxy - CAST(sx AS {big}) * sy)"
     den = f"(CAST(n AS {big}) * sxx - CAST(sx AS {big}) * sx)"
-    k = f"({_w2d(num, div)} / {_w2d(den, div)})"
+    # NULLIF guards (round-15 nullepochs composed shape): a shard whose
+    # survivors collapse to ONE distinct duration point makes the fit
+    # denominator exactly zero (n·sxx = sx² at n = 1) — Spark ANSI
+    # aborts where DuckDB NULLs the division, so the degenerate-sample
+    # convention (NULL fit) is pinned identically on both engines; the
+    # k = 0 flat fit likewise NULLs ln λ = −b/k instead of aborting.
+    k = f"({_w2d(num, div)} / NULLIF({_w2d(den, div)}, 0.0))"
     return [
         "n AS n_points",
         f"{k} AS weibull_shape",
         # intercept = (Σy − k·Σx)/n (micro units); ln λ = −b/k
         f"-((CAST(sy AS DOUBLE) - {k} * CAST(sx AS DOUBLE))"
-        f" / (CAST(n AS DOUBLE) * 1000000.0)) / {k}"
+        f" / (CAST(n AS DOUBLE) * 1000000.0)) / NULLIF({k}, 0.0)"
         " AS weibull_ln_scale",
     ]
 
@@ -3518,11 +3531,18 @@ def mahalanobis_anomalous_days(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # CASE..ELSE 0, not CAST(bool AS BIGINT): a day whose only rows
+    # carry NULL event_type (round-15 nullepochs composed shape — a
+    # NULL-typed row isolated on its own clock-skewed day) must count
+    # 0, not SUM-of-all-NULL = NULL, matching the oracle's CASE
+    # (a NULL-typed event is not a click).
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.sum(F.expr("CAST(event_type = 'click' AS BIGINT)"))
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
         .cast("bigint")
         .alias("x"),
-        F.sum(F.expr("CAST(event_type = 'purchase' AS BIGINT)"))
+        F.sum(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        )
         .cast("bigint")
         .alias("y"),
     )

@@ -55,6 +55,11 @@ EVENTS_ORACLE_COLS = (
     f"{EVENTS_VALUE_GUARD_DUCKDB} AS value, props"
 )
 
+# ts expression for shards that store events.ts as raw BIGINT nanos
+# (the degenerate-parity builders): truncate to micro timestamps
+# exactly like load_table's nanos-normalization (floor-div 1000).
+EVENTS_TS_FROM_NANOS = "make_timestamp(ts // 1000)"
+
 
 # Whole-vector twin of the events guard, as a row filter: a NULL
 # vector or any non-finite element drops the row (missing, never
@@ -65,14 +70,23 @@ EMBEDDINGS_ORACLE_WHERE = (
 )
 
 
-def duckdb_view_sql(table: str, parquet_path: str) -> str:
+def duckdb_view_sql(
+    table: str, parquet_path: str, *, events_ts: str = "ts"
+) -> str:
     """The canonical DuckDB view body for one testdata table — every
     oracle layer (verify_oracle, degenerate_parity, bench_one,
     duckdb_baseline, recompute tests) builds its views from this one
     definition so the events.value / embeddings finite-guards above
-    cannot drift."""
+    cannot drift. ``events_ts`` overrides the ts expression for shards
+    that store events.ts as raw BIGINT nanos (pass
+    :data:`EVENTS_TS_FROM_NANOS`); every other column, including the
+    value finite-guard, stays the single definition below."""
     if table == "events":
-        return f"SELECT {EVENTS_ORACLE_COLS} FROM '{parquet_path}'"
+        cols = (
+            f"event_id, {events_ts} AS ts, user_id, event_type, "
+            f"{EVENTS_VALUE_GUARD_DUCKDB} AS value, props"
+        )
+        return f"SELECT {cols} FROM '{parquet_path}'"
     if table == "embeddings":
         return (
             f"SELECT * FROM '{parquet_path}'"

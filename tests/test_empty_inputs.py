@@ -103,7 +103,8 @@ def test_single_row_inputs(spark):
     "kind",
     ["empty", "one", "null", "const", "oneclass", "negative",
      "emptytext", "unicode", "nonfinite", "ties", "badjson",
-     "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch"],
+     "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch",
+     "nullepochs", "nonfinone", "mixed"],
 )
 def test_catalog_degenerate_cross_engine_parity(
     spark, tmp_path_factory, kind
@@ -222,6 +223,32 @@ def test_catalog_degenerate_cross_engine_parity(
       negative sampler also dropped its phantom NULL-custkey user
       (Spark CONCAT(NULL) is NULL, DuckDB CONCAT skips NULLs — the
       seeded hash walk diverged).
+
+    Round-15 COMPOSED shapes (corruptions co-occurring in one shard,
+    the realistic 100 TB case — VERDICT r14 #5):
+
+    - nullepochs: NULL user_id/event_type rows INSIDE a clock-skewed
+      shard (one row is both NULL-keyed and at the 1970 boundary) —
+      the NULL-key group semantics and far-calendar date math must
+      hold simultaneously. First run: 2 divergences neither parent
+      shape could reach — weibull's fit denominator hits exactly zero
+      when the surviving users collapse to ONE distinct duration
+      point (Spark ANSI abort vs DuckDB NULL; now NULLIF on both),
+      and mahalanobis' SUM(CAST(event_type='click' AS BIGINT))
+      returns NULL for a day whose only row is NULL-typed — latent in
+      the plain nullkeys shape because NULL-typed rows always shared
+      days with typed rows; the clock skew isolates one on its own
+      day (now CASE..ELSE 0 like the oracle; granger carried the same
+      latent pattern and got the same fix).
+    - nonfinone: a corrupt-float shard that also empties one class
+      (no clicks, NaN/±Inf in the surviving class) — the two-sample
+      battery must reach its empty-side convention AFTER the finite
+      guard, identically on both engines (clean on first run: the
+      guard composes with the oneclass conventions).
+    - mixed: one corruption kind PER TABLE at once (nonfinite events,
+      nulldocs documents, embnan embeddings, nulltpch lineitem/
+      orders) — the realistic case; clean on first run (per-table
+      guards don't interfere across tables).
 
     A raise on either engine also fails (the dupconst no-abort sweep
     below covers the out-of-contract duplicate-key shape)."""
