@@ -104,7 +104,7 @@ def test_single_row_inputs(spark):
     ["empty", "one", "null", "const", "oneclass", "negative",
      "emptytext", "unicode", "nonfinite", "ties", "badjson",
      "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch",
-     "nullepochs", "nonfinone", "mixed"],
+     "nullepochs", "nonfinone", "mixed", "emptyevents", "emptydocs"],
 )
 def test_catalog_degenerate_cross_engine_parity(
     spark, tmp_path_factory, kind
@@ -249,6 +249,18 @@ def test_catalog_degenerate_cross_engine_parity(
       nulldocs documents, embnan embeddings, nulltpch lineitem/
       orders) — the realistic case; clean on first run (per-table
       guards don't interfere across tables).
+
+    Round-15 ASYMMETRIC-EMPTY shapes — one table family empty while
+    the rest stay populated (a fresh landing zone / unavailable
+    upstream; the all-empty shape cannot reach the
+    populated-joins-empty paths):
+
+    - emptyevents: zero-row events, everything else populated.
+    - emptydocs: zero-row documents AND embeddings, relational/event
+      tables populated.
+
+    Both clean on first run — the round-13/14 empty-in/empty-out
+    conventions generalize to one-sided emptiness.
 
     A raise on either engine also fails (the dupconst no-abort sweep
     below covers the out-of-contract duplicate-key shape)."""

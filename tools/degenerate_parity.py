@@ -20,9 +20,11 @@ out-of-contract 'dupconst' duplicate-key shape.
 Usage: python tools/degenerate_parity.py [kind ...]   (kinds: empty
 one null const oneclass negative emptytext unicode nonfinite ties
 badjson epochs embnan nullkeys nulldocs nulltpch nullepochs nonfinone
-mixed; default all nineteen — the last three are round-15 COMPOSED
-shapes: NULL keys x clock skew, nonfinite x one-class, and a
-mixed shard with one corruption kind per table). Exit 1 on any
+mixed emptyevents emptydocs; default all twenty-one — nullepochs /
+nonfinone / mixed are round-15 COMPOSED shapes (NULL keys x clock
+skew, nonfinite x one-class, one corruption kind per table), and
+emptyevents / emptydocs are round-15 ASYMMETRIC-EMPTY shapes (one
+table family empty while the rest stay populated). Exit 1 on any
 divergence.
 """
 
@@ -64,8 +66,15 @@ def build_degenerate(kind: str, d: str) -> None:
         # round-15 composed shapes (VERDICT r14 #5): corruptions that
         # co-occur in one shard, the realistic 100 TB case
         "nullepochs", "nonfinone", "mixed",
+        # round-15 asymmetric-empty shapes: ONE table family empty
+        # while the rest stay populated (a fresh landing zone or an
+        # unavailable upstream — the all-empty shape cannot reach the
+        # populated-joins-empty paths these probe)
+        "emptyevents", "emptydocs",
     ):
         lim, ev_extra = "LIMIT 5", "LIMIT 5"
+        if kind == "emptyevents":
+            ev_extra = "LIMIT 0"
     elif kind in ("const", "dupconst"):
         # dupconst: the out-of-contract duplicate-key variant (five
         # rows sharing one doc_id/vec_id) — used by the no-abort sweep
@@ -90,6 +99,14 @@ def build_degenerate(kind: str, d: str) -> None:
         else {}
     )
     for t in base:
+        if kind == "emptydocs" and t in ("documents", "embeddings"):
+            # asymmetric empty: the corpus tables are empty while the
+            # relational/event tables stay populated
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/{t}.parquet' LIMIT 0)"
+                f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+            continue
         if kind in ("emptytext", "unicode") and t == "documents":
             continue  # written by the text-shard branches below
         if kind in ("nulltpch", "mixed") and t == "lineitem":
@@ -587,7 +604,7 @@ def main() -> int:
         "empty", "one", "null", "const", "oneclass", "negative",
         "emptytext", "unicode", "nonfinite", "ties", "badjson",
         "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch",
-        "nullepochs", "nonfinone", "mixed",
+        "nullepochs", "nonfinone", "mixed", "emptyevents", "emptydocs",
     ]
     spark = get_spark("degenerate_parity", cpus=8)
     bad = 0
