@@ -104,7 +104,8 @@ def test_single_row_inputs(spark):
     ["empty", "one", "null", "const", "oneclass", "negative",
      "emptytext", "unicode", "nonfinite", "ties", "badjson",
      "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch",
-     "nullepochs", "nonfinone", "mixed", "emptyevents", "emptydocs"],
+     "nullepochs", "nonfinone", "mixed", "chaos",
+     "emptyevents", "emptydocs"],
 )
 def test_catalog_degenerate_cross_engine_parity(
     spark, tmp_path_factory, kind
@@ -249,6 +250,11 @@ def test_catalog_degenerate_cross_engine_parity(
       nulldocs documents, embnan embeddings, nulltpch lineitem/
       orders) — the realistic case; clean on first run (per-table
       guards don't interfere across tables).
+    - chaos: `mixed` with the events arm escalated to ALL FOUR
+      event-level corruptions stacked in one table (clock skew, NULL
+      keys, non-finite values, malformed props — different cycle
+      lengths so one row carries several at once). Clean on first
+      run: the per-axis guards compose within a single row.
 
     Round-15 ASYMMETRIC-EMPTY shapes — one table family empty while
     the rest stay populated (a fresh landing zone / unavailable

@@ -20,12 +20,13 @@ out-of-contract 'dupconst' duplicate-key shape.
 Usage: python tools/degenerate_parity.py [kind ...]   (kinds: empty
 one null const oneclass negative emptytext unicode nonfinite ties
 badjson epochs embnan nullkeys nulldocs nulltpch nullepochs nonfinone
-mixed emptyevents emptydocs; default all twenty-one — nullepochs /
-nonfinone / mixed are round-15 COMPOSED shapes (NULL keys x clock
-skew, nonfinite x one-class, one corruption kind per table), and
-emptyevents / emptydocs are round-15 ASYMMETRIC-EMPTY shapes (one
-table family empty while the rest stay populated). Exit 1 on any
-divergence.
+mixed chaos emptyevents emptydocs; default all twenty-two —
+nullepochs / nonfinone / mixed / chaos are round-15 COMPOSED shapes
+(NULL keys x clock skew, nonfinite x one-class, one corruption kind
+per table, and ALL event-level corruptions stacked in one table),
+and emptyevents / emptydocs are round-15 ASYMMETRIC-EMPTY shapes
+(one table family empty while the rest stay populated). Exit 1 on
+any divergence.
 """
 
 from __future__ import annotations
@@ -65,7 +66,7 @@ def build_degenerate(kind: str, d: str) -> None:
         "nullkeys", "nulldocs", "nulltpch",
         # round-15 composed shapes (VERDICT r14 #5): corruptions that
         # co-occur in one shard, the realistic 100 TB case
-        "nullepochs", "nonfinone", "mixed",
+        "nullepochs", "nonfinone", "mixed", "chaos",
         # round-15 asymmetric-empty shapes: ONE table family empty
         # while the rest stay populated (a fresh landing zone or an
         # unavailable upstream — the all-empty shape cannot reach the
@@ -109,7 +110,7 @@ def build_degenerate(kind: str, d: str) -> None:
             continue
         if kind in ("emptytext", "unicode") and t == "documents":
             continue  # written by the text-shard branches below
-        if kind in ("nulltpch", "mixed") and t == "lineitem":
+        if kind in ("nulltpch", "mixed", "chaos") and t == "lineitem":
             # relational-tier NULL shard: rows lose measures
             # (quantity/price/discount/tax), the part join key, or the
             # returnflag group key — probes the ~40 TPC-H-shape
@@ -144,7 +145,7 @@ def build_degenerate(kind: str, d: str) -> None:
                 f" TO '{d}/lineitem.parquet' (FORMAT PARQUET)"
             )
             continue
-        if kind in ("nulltpch", "mixed") and t == "orders":
+        if kind in ("nulltpch", "mixed", "chaos") and t == "orders":
             con.execute(
                 "COPY (SELECT o_orderkey,"
                 " CASE (ROW_NUMBER() OVER (ORDER BY o_orderkey)) % 5"
@@ -158,7 +159,7 @@ def build_degenerate(kind: str, d: str) -> None:
                 f" TO '{d}/orders.parquet' (FORMAT PARQUET)"
             )
             continue
-        if kind in ("nulldocs", "mixed") and t == "documents":
+        if kind in ("nulldocs", "mixed", "chaos") and t == "documents":
             # NULL-field document shard: rows lose text, lang, source,
             # or (one row) all three — a partially-ingested crawl
             # batch. The emptytext shape covered '' and whitespace;
@@ -180,7 +181,7 @@ def build_degenerate(kind: str, d: str) -> None:
                 f" TO '{d}/documents.parquet' (FORMAT PARQUET)"
             )
             continue
-        if kind in ("embnan", "mixed") and t == "embeddings":
+        if kind in ("embnan", "mixed", "chaos") and t == "embeddings":
             # corrupt-vector shard: one NaN element, one +Inf, one
             # -Inf, two clean (row 5 keeps the original) — the guard
             # must NULL the whole corrupted vector on both engines,
@@ -348,6 +349,38 @@ def build_degenerate(kind: str, d: str) -> None:
             " WHEN 1 THEN NULL WHEN 2 THEN NULL ELSE event_type END"
             " AS event_type,"
             " value, props"
+            f" FROM '{SRC}/events.parquet' LIMIT 20)"
+            f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+    elif kind == "chaos":
+        # every event-level corruption stacked in ONE table (the worst
+        # realistic shard): clock-skew timestamps, NULL keys,
+        # non-finite values and malformed props TOGETHER, with
+        # different cycle lengths (5/4/3) so rows carry varied
+        # corruption combinations — one row is simultaneously
+        # 1970-epoch, NULL-keyed, NaN-valued and bad-JSON. The other
+        # tables carry the mixed arms (nulltpch/nulldocs/embnan), so
+        # this is `mixed` with the events arm escalated from one
+        # corruption to all four.
+        con.execute(
+            "COPY (SELECT event_id,"
+            " CASE (ROW_NUMBER() OVER (ORDER BY event_id)) % 5"
+            " WHEN 0 THEN CAST(86400000000000 AS BIGINT)"          # 1970-01-02
+            " WHEN 1 THEN CAST(4102444800000000000 AS BIGINT)"     # 2100-01-01
+            " ELSE CAST(epoch_ns(ts) AS BIGINT) END AS ts,"
+            " CASE (ROW_NUMBER() OVER (ORDER BY event_id)) % 5"
+            " WHEN 0 THEN NULL WHEN 2 THEN NULL ELSE user_id END"
+            " AS user_id,"
+            " CASE (ROW_NUMBER() OVER (ORDER BY event_id)) % 5"
+            " WHEN 1 THEN NULL WHEN 2 THEN NULL ELSE event_type END"
+            " AS event_type,"
+            " CASE (ROW_NUMBER() OVER (ORDER BY event_id)) % 4"
+            " WHEN 0 THEN 'nan'::DOUBLE WHEN 1 THEN 'inf'::DOUBLE"
+            " WHEN 2 THEN '-inf'::DOUBLE ELSE value END AS value,"
+            " CASE (ROW_NUMBER() OVER (ORDER BY event_id)) % 3"
+            " WHEN 0 THEN 'not json at all'"
+            " WHEN 1 THEN '{\"k\": 1.5}'"
+            " ELSE props END AS props"
             f" FROM '{SRC}/events.parquet' LIMIT 20)"
             f" TO '{d}/events.parquet' (FORMAT PARQUET)"
         )
@@ -604,7 +637,8 @@ def main() -> int:
         "empty", "one", "null", "const", "oneclass", "negative",
         "emptytext", "unicode", "nonfinite", "ties", "badjson",
         "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch",
-        "nullepochs", "nonfinone", "mixed", "emptyevents", "emptydocs",
+        "nullepochs", "nonfinone", "mixed", "chaos",
+        "emptyevents", "emptydocs",
     ]
     spark = get_spark("degenerate_parity", cpus=8)
     bad = 0
