@@ -120,6 +120,28 @@ def test_defer_release_bounded():
         cache.drain_deferred()
 
 
+def test_events_oracle_view_single_definition():
+    """ADVICE r14: the parity harness's events view must come from the
+    ONE canonical definition in session.duckdb_view_sql — the nanos-ts
+    variant differs only in the ts expression; the value finite-guard
+    text is identical in both variants."""
+    from de4ml_spark.session import (
+        EVENTS_TS_FROM_NANOS,
+        EVENTS_VALUE_GUARD_DUCKDB,
+        duckdb_view_sql,
+    )
+
+    nanos = duckdb_view_sql(
+        "events", "/x/events.parquet", events_ts=EVENTS_TS_FROM_NANOS
+    )
+    raw = duckdb_view_sql("events", "/x/events.parquet")
+    assert "make_timestamp(ts // 1000) AS ts" in nanos
+    assert EVENTS_VALUE_GUARD_DUCKDB in nanos
+    assert EVENTS_VALUE_GUARD_DUCKDB in raw
+    # identical apart from the ts expression
+    assert nanos.replace(f"{EVENTS_TS_FROM_NANOS} AS ts", "ts AS ts") == raw
+
+
 def _run_parity_scripted(monkeypatch, script):
     """Drive run_parity with a scripted _parity_one.
 
