@@ -64,77 +64,23 @@ def _registries() -> list[dict]:
 # 50-entry PREFIX of this list per round, so ordering decides which
 # queries get fresh cross-engine evidence each round.
 #
-# Round-15 rotation (VERDICT r14 #2): prefix = the 31 r7-remainder
-# entries + the 19 oldest r8 entries. The round-14 graded prefix (50
-# entries, all green in CORRECTNESS_r14.json: 35 r6-remainder + 15
-# oldest r7) moves to the back of the queue as r14 evidence.
+# Round-16 rotation (VERDICT r15 #1): prefix = the 25 r8-remainder
+# entries + the 25 oldest r9 entries. The round-15 graded prefix (50
+# entries, all green in CORRECTNESS_r15.json: 31 r7-remainder + 19
+# oldest r8) moves to the back of the queue as r15 evidence.
 #
 # Evidence-age ledger (latest driver-graded round per entry, updated at
-# round-15 start from CORRECTNESS_r14.json): r7: 31   r8: 44   r9: 49
-# r10: 50   r11: 50   r12: 50   r13: 50   r14: 50   (total 374).
-# After round-15 grading the ledger becomes r8: 25   r9: 49   r10: 50
-# r11: 50   r12: 50   r13: 50   r14: 50   r15: 50.
-# Round-16 prefix plan: the 25 r8-remainder entries, then the 25
-# oldest r9 entries — the blocks below are already in that order, so
-# the only round-16 edit needed is moving this round's graded 50-entry
+# round-16 start from CORRECTNESS_r15.json): r8: 25   r9: 49   r10: 50
+# r11: 50   r12: 50   r13: 50   r14: 50   r15: 50   (total 374).
+# After round-16 grading the ledger becomes r9: 24   r10: 50   r11: 50
+# r12: 50   r13: 50   r14: 50   r15: 50   r16: 50.
+# Round-17 prefix plan: the 24 r9-remainder entries, then the 26
+# oldest r10 entries — the blocks below are already in that order, so
+# the only round-17 edit needed is moving this round's graded 50-entry
 # prefix to the back of the queue (plus any new entries, which always
 # land at the head).
 PRIORITY = [
-    # -- round-15 graded prefix part 1: the 31 r7-remainder entries
-    "ltv_triangle_orders",
-    "label_centroid_distances",
-    "plus4_ctr_bounds",
-    "kaplan_meier_retention",
-    "attribution_credit_events",
-    "jaccard_copurchase_parts",
-    "degree_assortativity_parts",
-    "oof_target_encode_events",
-    "feature_hash_docs",
-    "negative_samples_orders",
-    "mase_seasonal_events",
-    "conformal_bound_events",
-    "changepoint_value_events",
-    "loso_source_influence_docs",
-    "sprt_ctr_deciles",
-    "theil_sen_trend_events",
-    "isotonic_ctr_deciles",
-    "stl_decompose_events",
-    "ccf_view_click_events",
-    "dedup_embedding_blocked",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embedding_dim_stats",
-    "events_cube",
-    "fingerprint_docs",
-    "gapfill_user_daily",
-    "knn_bruteforce",
-    "knn_lsh",
-    "knn_rrf_fusion",
-    "lang_confusion_docs",
-    # -- round-15 graded prefix part 2: the 19 oldest r8 entries
-    #    (prefix boundary after "pack_training_sequences")
-    "map_at_k_orders",
-    "zipf_slope_docs",
-    "popularity_hitrate_orders",
-    "gini_revenue_parts",
-    "embedding_covariance",
-    "grid_density_clusters",
-    "markov_next_event_accuracy",
-    "kruskal_wallis_value",
-    "acf_value_events",
-    "ljung_box_value_events",
-    "seasonal_strength_events",
-    "hits_bipartite_orders",
-    "logrank_retention_cohorts",
-    "fano_burstiness_events",
-    "cluster_purity_embeddings",
-    "lang_id_docs",
-    "lineitem_measure_stats",
-    "mix_docs",
-    "pack_training_sequences",
-    # -- refresh queue: latest driver evidence round 8 (remainder, 25
-    #    entries -> round-16 prefix part 1)
+    # -- round-16 graded prefix part 1: the 25 r8-remainder entries
     "parse_event_props",
     "pii_scrub_docs",
     "profile_drift_events",
@@ -160,7 +106,8 @@ PRIORITY = [
     "asof_click_view",
     "cdc_chunk_docs",
     "cdc_dedup_chunks",
-    # -- refresh queue: latest driver evidence round 9
+    # -- round-16 graded prefix part 2: the 25 oldest r9 entries
+    #    (prefix boundary after "power_law_alpha_parts")
     "quantile_normalize_docs",
     "rfm_segments_customers",
     "pareto_revenue_parts",
@@ -186,6 +133,8 @@ PRIORITY = [
     "permutation_entropy_events",
     "rake_keywords_docs",
     "power_law_alpha_parts",
+    # -- refresh queue: latest driver evidence round 9 (remainder, 24
+    #    entries -> round-17 prefix part 1)
     "hurst_value_events",
     "friedman_daily_value",
     "grubbs_value_events",
@@ -471,6 +420,59 @@ PRIORITY = [
     "assoc_rules_parts",
     "audience_overlap_events",
     "triangle_count_parts",
+    # -- refresh queue: latest driver evidence round 15 (the round-15
+    #    graded prefix: 31 r7-remainder + 19 oldest r8, all green in
+    #    CORRECTNESS_r15.json)
+    "ltv_triangle_orders",
+    "label_centroid_distances",
+    "plus4_ctr_bounds",
+    "kaplan_meier_retention",
+    "attribution_credit_events",
+    "jaccard_copurchase_parts",
+    "degree_assortativity_parts",
+    "oof_target_encode_events",
+    "feature_hash_docs",
+    "negative_samples_orders",
+    "mase_seasonal_events",
+    "conformal_bound_events",
+    "changepoint_value_events",
+    "loso_source_influence_docs",
+    "sprt_ctr_deciles",
+    "theil_sen_trend_events",
+    "isotonic_ctr_deciles",
+    "stl_decompose_events",
+    "ccf_view_click_events",
+    "dedup_embedding_blocked",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_dim_stats",
+    "events_cube",
+    "fingerprint_docs",
+    "gapfill_user_daily",
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_rrf_fusion",
+    "lang_confusion_docs",
+    "map_at_k_orders",
+    "zipf_slope_docs",
+    "popularity_hitrate_orders",
+    "gini_revenue_parts",
+    "embedding_covariance",
+    "grid_density_clusters",
+    "markov_next_event_accuracy",
+    "kruskal_wallis_value",
+    "acf_value_events",
+    "ljung_box_value_events",
+    "seasonal_strength_events",
+    "hits_bipartite_orders",
+    "logrank_retention_cohorts",
+    "fano_burstiness_events",
+    "cluster_purity_embeddings",
+    "lang_id_docs",
+    "lineitem_measure_stats",
+    "mix_docs",
+    "pack_training_sequences",
 ]
 
 

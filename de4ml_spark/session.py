@@ -34,6 +34,66 @@ TABLES = (
     "embeddings",
 )
 
+# Canonical table schemas — the MANIFEST (Spark DDL strings). At 100 TB a
+# table is a directory of files written across schema migrations, and the
+# scan must not trust any single file's footer: ``load_table`` passes this
+# declared schema for directory-shaped tables, which makes Spark's parquet
+# reader (4.x type-widening) null-fill columns MISSING from old files,
+# DROP unknown extra columns, and upcast narrower physical types
+# (INT32 file under a BIGINT manifest) — with no mergeSchema footer-merge
+# job (that distributed merge also hard-fails on int-vs-bigint conflicts,
+# so a manifest is the only scan strategy that survives a widened
+# migration at all). ``events.ts`` is declared BIGINT: the ingest
+# convention is raw int64 nanoseconds (``nanosAsLong`` reads parquet
+# TIMESTAMP(NANOS) the same way); load_table normalizes to micro
+# TIMESTAMP_NTZ after the scan. The DuckDB oracle views mirror the
+# manifest by enumerating exactly these columns (``duckdb_view_sql``),
+# with ``union_by_name`` on multi-file shards performing the same
+# null-fill / drop / widen. Pinned by the schema-drift parity shapes
+# (missingcol / extracol / widened) in tools/degenerate_parity.py.
+TABLE_SCHEMAS = {
+    "region": "r_regionkey INT, r_name STRING",
+    "nation": "n_nationkey INT, n_name STRING, n_regionkey INT",
+    "customer": (
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING"
+    ),
+    "supplier": (
+        "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
+    ),
+    "part": (
+        "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, "
+        "p_size INT, p_retailprice DOUBLE"
+    ),
+    "orders": (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, "
+        "o_orderpriority STRING"
+    ),
+    "lineitem": (
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+        "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, "
+        "l_linestatus STRING, l_shipdate TIMESTAMP_NTZ"
+    ),
+    "events": (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    ),
+    "documents": (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    ),
+    "embeddings": "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+}
+
+
+def table_columns(table: str) -> list[str]:
+    """Canonical column names of one table, derived from the manifest
+    (first token of each top-level DDL field — no nested commas occur
+    in these schemas)."""
+    return [f.strip().split()[0] for f in TABLE_SCHEMAS[table].split(",")]
+
 # Ingest normalization for the one free-form float measure column:
 # ``events.value`` maps NaN / +-Inf -> NULL at load. IEEE specials
 # round-trip through parquet, so at 100 TB some shard WILL carry an
@@ -49,10 +109,6 @@ TABLES = (
 # every SF, so this is behavior-preserving for the driver gate.
 EVENTS_VALUE_GUARD_DUCKDB = (
     "CASE WHEN isfinite(value) THEN value END"
-)
-EVENTS_ORACLE_COLS = (
-    "event_id, ts, user_id, event_type, "
-    f"{EVENTS_VALUE_GUARD_DUCKDB} AS value, props"
 )
 
 # ts expression for shards that store events.ts as raw BIGINT nanos
@@ -80,19 +136,32 @@ def duckdb_view_sql(
     cannot drift. ``events_ts`` overrides the ts expression for shards
     that store events.ts as raw BIGINT nanos (pass
     :data:`EVENTS_TS_FROM_NANOS`); every other column, including the
-    value finite-guard, stays the single definition below."""
+    value finite-guard, stays the single definition below.
+
+    Column lists are ENUMERATED from the TABLE_SCHEMAS manifest (never
+    ``SELECT *``) so an extra unknown column in a drifted shard is
+    dropped exactly like load_table's declared-schema scan. A glob
+    ``parquet_path`` (multi-file shard) reads via
+    ``read_parquet(..., union_by_name=true)``, DuckDB's twin of the
+    manifest scan: missing columns null-fill, narrower physical types
+    widen (needs one canonical-schema file present in the shard)."""
+    src = (
+        f"read_parquet('{parquet_path}', union_by_name=true)"
+        if "*" in parquet_path
+        else f"'{parquet_path}'"
+    )
+    names = table_columns(table)
     if table == "events":
-        cols = (
-            f"event_id, {events_ts} AS ts, user_id, event_type, "
-            f"{EVENTS_VALUE_GUARD_DUCKDB} AS value, props"
-        )
-        return f"SELECT {cols} FROM '{parquet_path}'"
+        overrides = {
+            "ts": f"{events_ts} AS ts",
+            "value": f"{EVENTS_VALUE_GUARD_DUCKDB} AS value",
+        }
+        cols = ", ".join(overrides.get(c, c) for c in names)
+        return f"SELECT {cols} FROM {src}"
+    cols = ", ".join(names)
     if table == "embeddings":
-        return (
-            f"SELECT * FROM '{parquet_path}'"
-            f" WHERE {EMBEDDINGS_ORACLE_WHERE}"
-        )
-    return f"SELECT * FROM '{parquet_path}'"
+        return f"SELECT {cols} FROM {src} WHERE {EMBEDDINGS_ORACLE_WHERE}"
+    return f"SELECT {cols} FROM {src}"
 
 
 def get_spark(app_name: str = "de4ml_spark", cpus: int | None = None) -> SparkSession:
@@ -177,12 +246,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DataFrames are immutable plan handles, and re-creating one repeats file
     listing + parquet schema read (~50-100 ms of driver latency per call) —
     pure overhead when the catalog runs many queries over the same tables.
+
+    A DIRECTORY-shaped table (the production layout: many files written
+    across schema migrations) is scanned with the TABLE_SCHEMAS manifest
+    declared up front — old files missing a column read null-filled,
+    unknown extra columns are dropped, and narrower physical types widen
+    (INT32 file under a BIGINT manifest), all without a mergeSchema
+    footer-merge job. Single-file tables (the local testdata / degenerate
+    shards) keep footer inference so the per-SF ts representations
+    (TIMESTAMP_NTZ at sf0.001, int64 nanos elsewhere) both load.
     """
     key = (_session_token(spark), sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")

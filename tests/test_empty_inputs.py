@@ -105,7 +105,8 @@ def test_single_row_inputs(spark):
      "emptytext", "unicode", "nonfinite", "ties", "badjson",
      "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch",
      "nullepochs", "nonfinone", "mixed", "chaos",
-     "emptyevents", "emptydocs"],
+     "emptyevents", "emptydocs",
+     "missingcol", "extracol", "widened"],
 )
 def test_catalog_degenerate_cross_engine_parity(
     spark, tmp_path_factory, kind
@@ -267,6 +268,32 @@ def test_catalog_degenerate_cross_engine_parity(
 
     Both clean on first run — the round-13/14 empty-in/empty-out
     conventions generalize to one-sided emptiness.
+
+    Round-16 SCHEMA-DRIFT shapes (VERDICT r15 #2) — events and
+    documents become DIRECTORIES mid-migration: one canonical-schema
+    file plus one drifted file. Pins load_table's declared-manifest
+    scan (session.TABLE_SCHEMAS) against the oracle's
+    read_parquet(union_by_name) glob — SURVEY §1.3's additive
+    schema-evolution contract as a parity target:
+
+    - missingcol: the drifted file predates a migration (events
+      without props, documents without source) — old rows must read
+      NULL-FILLED on both engines, never dropped or erroring.
+    - extracol: the drifted file carries an unknown column
+      (ingest_shard / crawl_batch) — both engines must DROP it (the
+      manifest defines the reader contract; Spark's declared schema
+      and the enumerated oracle view both project it away).
+    - widened: the drifted file stores a narrower physical type
+      (user_id / n_chars as INT32 under a BIGINT manifest) — both
+      engines must upcast (Spark 4.x parquet type widening under the
+      declared schema; DuckDB union_by_name promotion). Note
+      mergeSchema would hard-fail here ("Failed to merge incompatible
+      data types int and bigint") — the manifest scan is the only
+      strategy that survives a widened migration.
+
+    All three clean on first run: the manifest scan and the
+    union_by_name oracle view agree, and the null-filled rows reuse
+    the NULL-semantics conventions the nulldocs/null shapes pinned.
 
     A raise on either engine also fails (the dupconst no-abort sweep
     below covers the out-of-contract duplicate-key shape)."""

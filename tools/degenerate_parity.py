@@ -20,17 +20,23 @@ out-of-contract 'dupconst' duplicate-key shape.
 Usage: python tools/degenerate_parity.py [kind ...]   (kinds: empty
 one null const oneclass negative emptytext unicode nonfinite ties
 badjson epochs embnan nullkeys nulldocs nulltpch nullepochs nonfinone
-mixed chaos emptyevents emptydocs; default all twenty-two —
+mixed chaos emptyevents emptydocs missingcol extracol widened;
+default all twenty-five —
 nullepochs / nonfinone / mixed / chaos are round-15 COMPOSED shapes
 (NULL keys x clock skew, nonfinite x one-class, one corruption kind
 per table, and ALL event-level corruptions stacked in one table),
-and emptyevents / emptydocs are round-15 ASYMMETRIC-EMPTY shapes
-(one table family empty while the rest stay populated). Exit 1 on
-any divergence.
+emptyevents / emptydocs are round-15 ASYMMETRIC-EMPTY shapes
+(one table family empty while the rest stay populated), and
+missingcol / extracol / widened are round-16 SCHEMA-DRIFT shapes
+(a table directory mid-migration: a file missing a column, a file
+with an unknown extra column, a file with a narrower physical type
+than the manifest — both engines must null-fill / drop / widen
+identically). Exit 1 on any divergence.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 
@@ -72,6 +78,14 @@ def build_degenerate(kind: str, d: str) -> None:
         # unavailable upstream — the all-empty shape cannot reach the
         # populated-joins-empty paths these probe)
         "emptyevents", "emptydocs",
+        # round-16 schema-drift shapes (VERDICT r15 #2): a table that
+        # is a DIRECTORY of files written across a schema migration —
+        # one canonical-schema file plus one drifted file (missing
+        # column / extra unknown column / narrower physical type).
+        # Pins load_table's declared-manifest scan against the oracle's
+        # union_by_name read: old files null-fill, extras drop,
+        # INT32 widens to the BIGINT manifest, on BOTH engines.
+        "missingcol", "extracol", "widened",
     ):
         lim, ev_extra = "LIMIT 5", "LIMIT 5"
         if kind == "emptyevents":
@@ -110,6 +124,32 @@ def build_degenerate(kind: str, d: str) -> None:
             continue
         if kind in ("emptytext", "unicode") and t == "documents":
             continue  # written by the text-shard branches below
+        if kind in ("missingcol", "extracol", "widened") and t == "documents":
+            # schema-migration DIRECTORY: part-0 carries the canonical
+            # schema, part-1 the drifted one (pre-migration file
+            # missing `source` / unknown extra column / n_chars written
+            # INT32 where the manifest says BIGINT). Both engines must
+            # read the union null-filled / extras-dropped / widened.
+            ddir = f"{d}/documents.parquet"
+            os.makedirs(ddir, exist_ok=True)
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/documents.parquet' LIMIT 3)"
+                f" TO '{ddir}/part-0.parquet' (FORMAT PARQUET)"
+            )
+            drift = {
+                "missingcol": "SELECT doc_id, text, lang, n_chars",
+                "extracol": "SELECT *, CAST(7 AS BIGINT) AS crawl_batch",
+                "widened": (
+                    "SELECT doc_id, text, lang, source,"
+                    " CAST(n_chars AS INTEGER) AS n_chars"
+                ),
+            }[kind]
+            con.execute(
+                f"COPY ({drift} FROM '{SRC}/documents.parquet'"
+                f" LIMIT 2 OFFSET 3)"
+                f" TO '{ddir}/part-1.parquet' (FORMAT PARQUET)"
+            )
+            continue
         if kind in ("nulltpch", "mixed", "chaos") and t == "lineitem":
             # relational-tier NULL shard: rows lose measures
             # (quantity/price/discount/tax), the part join key, or the
@@ -475,6 +515,41 @@ def build_degenerate(kind: str, d: str) -> None:
             " (SELECT unnest(generate_series(1, 5)) AS g) gs)"
             f" TO '{d}/events.parquet' (FORMAT PARQUET)"
         )
+    elif kind in ("missingcol", "extracol", "widened"):
+        # schema-migration DIRECTORY (same layout as the documents arm):
+        # part-0 canonical, part-1 drifted — a pre-migration file
+        # missing `props`, an unknown `ingest_shard` column, or user_id
+        # written INT32 where the manifest says BIGINT. LIMIT 10 + 10
+        # keeps the usual 20-row window (both classes present).
+        edir = f"{d}/events.parquet"
+        os.makedirs(edir, exist_ok=True)
+        con.execute(
+            "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+            " user_id, event_type, value, props"
+            f" FROM '{SRC}/events.parquet' LIMIT 10)"
+            f" TO '{edir}/part-0.parquet' (FORMAT PARQUET)"
+        )
+        drift = {
+            "missingcol": (
+                "SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+                " user_id, event_type, value"
+            ),
+            "extracol": (
+                "SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+                " user_id, event_type, value, props,"
+                " 'shard-b' AS ingest_shard"
+            ),
+            "widened": (
+                "SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+                " CAST(user_id AS INTEGER) AS user_id, event_type,"
+                " value, props"
+            ),
+        }[kind]
+        con.execute(
+            f"COPY ({drift} FROM '{SRC}/events.parquet'"
+            " LIMIT 10 OFFSET 10)"
+            f" TO '{edir}/part-1.parquet' (FORMAT PARQUET)"
+        )
     else:
         con.execute(
             "COPY (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
@@ -500,9 +575,14 @@ def oracle_con(d: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         ts = EVENTS_TS_FROM_NANOS if t == "events" else "ts"
+        path = f"{d}/{t}.parquet"
+        if os.path.isdir(path):
+            # schema-migration directory shard: glob + union_by_name
+            # (duckdb_view_sql renders read_parquet(..., union_by_name))
+            path = f"{path}/*.parquet"
         con.execute(
             f"CREATE VIEW {t} AS "
-            + duckdb_view_sql(t, f"{d}/{t}.parquet", events_ts=ts)
+            + duckdb_view_sql(t, path, events_ts=ts)
         )
     return con
 
@@ -549,6 +629,17 @@ MAX_WORKERS = 16
 # process is reported as a failure — a genuinely nondeterministic
 # cross-engine divergence must not be maskable by retries forever
 # (ADVICE r14).
+#
+# Keyed by entry name ONLY, deliberately shared across all sweep kinds
+# in one pytest process (ADVICE r15): two independent one-off races of
+# the same entry under different shapes therefore hard-fail the gate.
+# That direction of error is the acceptable one — it fails red on a
+# ~1-in-25,000,000 double-coincidence instead of ever masking a real
+# kind-dependent flake, and the live base rate (2 transient firings in
+# ~6,700 entry-runs under deliberate 3x-concurrent stress, round 15)
+# makes a same-process double-hit effectively unobservable. If CI ever
+# reds on a genuine cross-kind double-transient, re-key to
+# (entry, kind); until then the stricter ledger stands.
 _TRANSIENTS: dict[str, int] = {}
 
 
@@ -639,6 +730,7 @@ def main() -> int:
         "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch",
         "nullepochs", "nonfinone", "mixed", "chaos",
         "emptyevents", "emptydocs",
+        "missingcol", "extracol", "widened",
     ]
     spark = get_spark("degenerate_parity", cpus=8)
     bad = 0
