@@ -324,8 +324,20 @@ def main() -> None:
         # (min-of-all is the additive-noise estimator either way) and flag
         # the artifact `contended: true` so a grader can tell box noise
         # from a plan regression without re-measuring.
+        #
+        # Round 16 (VERDICT r15 wrong #1): the 1-min check alone let
+        # BENCH_r15 ship with a DRAINING tail — loadavg [4.66, 7.01,
+        # 7.74]: 1-min already down to 4.66 < 16 but the 5-min average
+        # showed the box had been busy minutes earlier, and the isolated
+        # lane (which runs LAST) caught the residue (cliffs_delta 1.296 s
+        # vs 0.122 s cooled). So the start check also keys on the 5-min
+        # average at a lower threshold (0.125x cpus: a truly quiet box
+        # reads < 1 on 32 cpus; 7.01 trips it).
         ncpu = os.cpu_count() or 1
-        busy_at_start = bool(load_start) and load_start[0] > 0.5 * ncpu
+        busy_at_start = bool(load_start) and (
+            load_start[0] > 0.5 * ncpu
+            or (len(load_start) > 1 and load_start[1] > 0.125 * ncpu)
+        )
         walls = []
         for _ in range(reps):
             t0 = time.time()
@@ -348,7 +360,20 @@ def main() -> None:
                 walls.append(time.time() - t0)
         batch_wall = min(walls)
         spread = max(walls) / max(min(walls), 1e-9)
-        contended = busy_at_start or spread > 2.0
+        # End-of-passes probe (ADVICE r15): external load that begins
+        # MID-RUN and slows every rep uniformly (spread <= 2) was
+        # recorded in loadavg_end but never fed the verdict. Probe right
+        # after the last timed rep and flag on the same 0.5x-cpus bar.
+        # Self-load does not trip this: the timed passes are short
+        # bursts (~2-3 s each) separated by driver-side plan building,
+        # so the 1-min average our own work sustains stays far below
+        # 0.5x cpus (measured ~6-7 on 32 cpus, quiet box) — a reading
+        # above 16 at this instant means someone else is running.
+        load_end_passes = _loadavg()
+        busy_at_end = bool(load_end_passes) and (
+            load_end_passes[0] > 0.5 * ncpu
+        )
+        contended = busy_at_start or spread > 2.0 or busy_at_end
 
         # Optional full-catalog drain (SPARK_GRAFT_BENCH_CATALOG=1): every
         # catalog query submitted concurrently, one rep (includes cold
@@ -390,7 +415,10 @@ def main() -> None:
         # passes, cpu count, rep spread, and the contended verdict. A
         # clean run reads load_start[0] << cpus and spread <= 2.
         "loadavg_start": load_start,
-        "loadavg_end": _loadavg(),
+        # probed immediately after the last timed rep (not at exit), so
+        # it reflects the box state DURING the measurement window and
+        # feeds the contended verdict (ADVICE r15)
+        "loadavg_end": load_end_passes,
         "cpus": ncpu,
         "workload_rep_spread": round(spread, 2),
         "contended": contended,
@@ -435,23 +463,27 @@ def main() -> None:
     if iso_names:
         import subprocess
 
-        code = (
-            "import sys, time, json; sys.path.insert(0, %r); "
-            "from de4ml_spark.session import get_spark; "
-            "from de4ml_spark.queries import catalog; "
-            "spark = get_spark('bench_iso'); qs = catalog.queries(); "
-            "out = {}\n"
-            "for n in %r:\n"
-            "    fn = qs[n]\n"
-            "    fn(spark, '/root/testdata/sf0.01').toArrow()\n"
-            "    ts = []\n"
-            "    for _ in range(7):\n"
-            "        t0 = time.time(); fn(spark, %r).toArrow(); "
-            "ts.append(time.time() - t0)\n"
-            "    out[n] = round(min(ts[1:]), 3)\n"
-            "print(json.dumps(out))"
-        ) % (os.path.dirname(os.path.abspath(__file__)), iso_names, sf_dir)
-        try:
+        def _run_isolated(lane_names: list[str]) -> dict:
+            code = (
+                "import sys, time, json; sys.path.insert(0, %r); "
+                "from de4ml_spark.session import get_spark; "
+                "from de4ml_spark.queries import catalog; "
+                "spark = get_spark('bench_iso'); qs = catalog.queries(); "
+                "out = {}\n"
+                "for n in %r:\n"
+                "    fn = qs[n]\n"
+                "    fn(spark, '/root/testdata/sf0.01').toArrow()\n"
+                "    ts = []\n"
+                "    for _ in range(7):\n"
+                "        t0 = time.time(); fn(spark, %r).toArrow(); "
+                "ts.append(time.time() - t0)\n"
+                "    out[n] = round(min(ts[1:]), 3)\n"
+                "print(json.dumps(out))"
+            ) % (
+                os.path.dirname(os.path.abspath(__file__)),
+                lane_names,
+                sf_dir,
+            )
             res = subprocess.run(
                 [sys.executable, "-c", code],
                 capture_output=True,
@@ -459,7 +491,38 @@ def main() -> None:
                 timeout=540,
                 env=os.environ,
             )
-            iso = json.loads(res.stdout.strip().splitlines()[-1])
+            return json.loads(res.stdout.strip().splitlines()[-1])
+
+        try:
+            iso = _run_isolated(iso_names)
+            # Contaminated-lane re-run (VERDICT r15 #3): the lane runs
+            # LAST, so a draining box tail lands here first — r15's
+            # artifact recorded cliffs_delta 1.296 s isolated where a
+            # cooled box reads 0.122 s. The fleet number for the same
+            # query is already in hand; an isolated reading >3x the
+            # fleet-raw one (and above floor noise) is backwards — the
+            # fresh JVM should never be slower than the contended fleet
+            # — so those entries re-run once in a second fresh JVM and
+            # the min is recorded.
+            suspects = [
+                n
+                for n in iso
+                if n in out["queries"]
+                and iso[n] > 0.1
+                and iso[n] > 3.0 * out["queries"][n]
+            ]
+            if suspects:
+                print(
+                    f"# isolated lane suspect (>3x fleet-raw): {suspects}"
+                    " — re-running in a fresh JVM",
+                    file=sys.stderr,
+                )
+                rerun = _run_isolated(suspects)
+                iso = {
+                    **iso,
+                    **{n: min(iso[n], rerun.get(n, iso[n])) for n in suspects},
+                }
+                out["isolated_reruns"] = sorted(suspects)
             out["isolated_queries"] = iso
             # Make the per-query dict unambiguous (VERDICT r13 #4): for
             # lane entries the in-fleet number is contention-dominated

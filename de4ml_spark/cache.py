@@ -18,6 +18,7 @@ collected, so nothing outlives its consumer.
 from __future__ import annotations
 
 import contextlib
+import threading
 
 from pyspark.sql import DataFrame
 
@@ -51,6 +52,14 @@ _DEFERRED: list[DataFrame] = []
 # ones have been registered.
 _DEFERRED_MAX = 32
 
+# _DEFERRED is mutated from the 16-thread parity/bench fleets; the lock
+# makes the bound exact and the pop/unpersist pairs atomic rather than
+# relying on the GIL's list-op atomicity (ADVICE r15: unlocked
+# interleavings could transiently over-pop or double-release — benign,
+# since unpersist is idempotent and recompute is safe, but the safety
+# argument should be explicit, not incidental).
+_DEFERRED_LOCK = threading.Lock()
+
 
 def defer_release(*cached: DataFrame) -> None:
     """Register persisted intermediates for later release when
@@ -65,19 +74,26 @@ def defer_release(*cached: DataFrame) -> None:
     registrations are released automatically. Unpersisting is always
     safe — worst case a not-yet-materialized consumer recomputes the
     range shuffle."""
-    _DEFERRED.extend(cached)
-    while len(_DEFERRED) > _DEFERRED_MAX:
-        _DEFERRED.pop(0).unpersist(blocking=False)
+    overflow: list[DataFrame] = []
+    with _DEFERRED_LOCK:
+        _DEFERRED.extend(cached)
+        while len(_DEFERRED) > _DEFERRED_MAX:
+            overflow.append(_DEFERRED.pop(0))
+    # unpersist outside the lock: it is a Py4J round-trip and never
+    # needs the list's consistency
+    for df in overflow:
+        df.unpersist(blocking=False)
 
 
 def drain_deferred() -> int:
     """Unpersist every frame registered via :func:`defer_release`;
     returns how many were released."""
-    n = 0
-    while _DEFERRED:
-        _DEFERRED.pop().unpersist(blocking=False)
-        n += 1
-    return n
+    with _DEFERRED_LOCK:
+        drained = _DEFERRED[:]
+        _DEFERRED.clear()
+    for df in drained:
+        df.unpersist(blocking=False)
+    return len(drained)
 
 
 @contextlib.contextmanager

@@ -53,6 +53,17 @@ PROBE = [
     "anf_closeness_parts",
     "contamination_span_docs",
     "delong_auc_variance_events",
+    # round-16 (VERDICT r15 #5): the round-13-15 heavy additions that
+    # joined the headline after the round-9 probe — the triangle-based
+    # Jaccard (wedge counts grow superlinearly in co-purchase density:
+    # the synthesized lineitem keeps the part vocabulary and multiplies
+    # orders, the adversarial direction), the K-register ANF sketch
+    # (state rows = nodes x K, edges x K join per hop), and the
+    # windowed attribution credit split (events-scaled, per-user
+    # bounded windows expected ~linear)
+    "jaccard_copurchase_parts",
+    "hyperanf_parts",
+    "attribution_credit_events",
 ]
 
 BASE = "/root/testdata/sf0.1"
