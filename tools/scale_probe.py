@@ -54,13 +54,14 @@ PROBE = [
     "contamination_span_docs",
     "delong_auc_variance_events",
     # round-16 (VERDICT r15 #5): the round-13-15 heavy additions that
-    # joined the headline after the round-9 probe — the triangle-based
-    # Jaccard (wedge counts grow superlinearly in co-purchase density:
-    # the synthesized lineitem keeps the part vocabulary and multiplies
-    # orders, the adversarial direction), the K-register ANF sketch
-    # (state rows = nodes x K, edges x K join per hop), and the
-    # windowed attribution credit split (events-scaled, per-user
-    # bounded windows expected ~linear)
+    # joined the headline after the round-9 probe. Note the lineitem
+    # synthesis axis for the graph pair: orderkey-offset copies reuse
+    # the SAME part vocabulary, so the DISTINCT co-purchase edge set is
+    # unchanged — the 10x lands on the scan + pre-distinct join volume
+    # (the realistic crawl-dedup shape: 10x raw observations, same
+    # underlying graph), and the map-side-combining distinct must
+    # absorb it. The windowed attribution credit split is
+    # events-scaled (10x users, per-user bounded windows, ~flat).
     "jaccard_copurchase_parts",
     "hyperanf_parts",
     "attribution_credit_events",
@@ -174,6 +175,8 @@ def main() -> None:
     from de4ml_spark.queries import catalog
     from de4ml_spark.session import get_spark
 
+    from de4ml_spark.cache import drain_deferred
+
     names = sys.argv[1:] or PROBE
     spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     synthesize(spark)
@@ -189,6 +192,15 @@ def main() -> None:
         ):
             times = []
             for _ in range(3):
+                # FRESH-PLAN reps (round 16): evict the memoized
+                # prepared plan and drop deferred persists before each
+                # rep, so every rep pays build + full execution. Without
+                # this, entries whose result is eagerly checkpointed
+                # (release_after) compute only on rep 1 — reps 2-3 just
+                # re-read checkpoint blocks and min-of-3 reports a
+                # cache read (~0.03 s at ANY scale), not the operator.
+                catalog.evict(name, sf_dir)
+                drain_deferred()
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
                 times.append(time.time() - t0)
