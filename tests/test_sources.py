@@ -112,3 +112,48 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
         "PushedFilters:"
     )[1].split("]")[0]
     assert "o_orderpriority" not in scan  # column pruning
+
+
+def test_table_schemas_manifest_matches_testdata(spark, sf_dir):
+    """The declared TABLE_SCHEMAS manifest (the schema every
+    directory-shaped scan and every oracle view derives from) must
+    stay in lockstep with the real testdata: same column names in the
+    same order, and same types — except events.ts, where the manifest
+    deliberately declares BIGINT (the raw int64-nanos ingest
+    convention; load_table normalizes after the scan) while sf0.001
+    happens to store micro timestamps."""
+    from pyspark.sql import types as T
+
+    from de4ml_spark.session import TABLES, TABLE_SCHEMAS, table_columns
+
+    for t in TABLES:
+        inferred = spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
+        declared = T.StructType.fromDDL(TABLE_SCHEMAS[t])
+        assert [f.name for f in inferred] == table_columns(t), t
+        for inf_f, dec_f in zip(inferred, declared):
+            if t == "events" and inf_f.name == "ts":
+                assert dec_f.dataType == T.LongType(), "ts manifest is nanos"
+                continue
+            assert inf_f.dataType == dec_f.dataType, (t, inf_f.name)
+
+
+def test_manifest_scan_null_fills_pre_migration_file(spark, sf_dir, tmp_path):
+    """Unit twin of the missingcol parity sweep: a directory holding a
+    canonical file plus a pre-migration file (no `source`) reads
+    null-filled under load_table's declared-manifest scan — same row
+    count, missing column NULL on exactly the old file's rows."""
+    import pyarrow.parquet as pq
+
+    from de4ml_spark.session import load_table
+
+    ddir = tmp_path / "documents.parquet"
+    ddir.mkdir()
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+    pq.write_table(tbl.slice(0, 3), ddir / "part-0.parquet")
+    pq.write_table(
+        tbl.slice(3, 2).drop_columns(["source"]), ddir / "part-1.parquet"
+    )
+    got = load_table(spark, str(tmp_path), "documents")
+    assert got.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert got.count() == 5
+    assert got.filter("source IS NULL").count() == 2
