@@ -106,7 +106,7 @@ def test_single_row_inputs(spark):
      "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch",
      "nullepochs", "nonfinone", "mixed", "chaos",
      "emptyevents", "emptydocs",
-     "missingcol", "extracol", "widened"],
+     "missingcol", "extracol", "widened", "driftmix"],
 )
 def test_catalog_degenerate_cross_engine_parity(
     spark, tmp_path_factory, kind
@@ -291,7 +291,14 @@ def test_catalog_degenerate_cross_engine_parity(
       data types int and bigint") — the manifest scan is the only
       strategy that survives a widened migration.
 
-    All three clean on first run: the manifest scan and the
+    - driftmix: one drift kind PER TABLE in the same shard (a
+      migration rolling through the lake table-by-table): events
+      missing props, documents with an extra column, lineitem with
+      INT32 l_suppkey, orders missing o_orderpriority — the last two
+      reach the relational tier the single shapes don't (NULL
+      o_orderpriority flows through the priority CASE/group paths).
+
+    All four clean on first run: the manifest scan and the
     union_by_name oracle view agree, and the null-filled rows reuse
     the NULL-semantics conventions the nulldocs/null shapes pinned.
 

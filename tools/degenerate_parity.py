@@ -20,8 +20,8 @@ out-of-contract 'dupconst' duplicate-key shape.
 Usage: python tools/degenerate_parity.py [kind ...]   (kinds: empty
 one null const oneclass negative emptytext unicode nonfinite ties
 badjson epochs embnan nullkeys nulldocs nulltpch nullepochs nonfinone
-mixed chaos emptyevents emptydocs missingcol extracol widened;
-default all twenty-five —
+mixed chaos emptyevents emptydocs missingcol extracol widened
+driftmix; default all twenty-six —
 nullepochs / nonfinone / mixed / chaos are round-15 COMPOSED shapes
 (NULL keys x clock skew, nonfinite x one-class, one corruption kind
 per table, and ALL event-level corruptions stacked in one table),
@@ -31,7 +31,10 @@ missingcol / extracol / widened are round-16 SCHEMA-DRIFT shapes
 (a table directory mid-migration: a file missing a column, a file
 with an unknown extra column, a file with a narrower physical type
 than the manifest — both engines must null-fill / drop / widen
-identically). Exit 1 on any divergence.
+identically), and driftmix composes one drift kind PER TABLE
+(events missing props, documents + extra column, lineitem INT32
+l_suppkey, orders missing o_orderpriority). Exit 1 on any
+divergence.
 """
 
 from __future__ import annotations
@@ -86,6 +89,13 @@ def build_degenerate(kind: str, d: str) -> None:
         # union_by_name read: old files null-fill, extras drop,
         # INT32 widens to the BIGINT manifest, on BOTH engines.
         "missingcol", "extracol", "widened",
+        # round-16 COMPOSED drift: one drift kind PER TABLE in the same
+        # shard (a migration rolling through the lake table-by-table) —
+        # events missing props, documents with an extra column,
+        # lineitem with INT32 l_suppkey, orders missing o_orderpriority.
+        # Reaches the relational tier the three single shapes don't
+        # (NULL o_orderpriority exercises priority CASE/group paths).
+        "driftmix",
     ):
         lim, ev_extra = "LIMIT 5", "LIMIT 5"
         if kind == "emptyevents":
@@ -124,7 +134,44 @@ def build_degenerate(kind: str, d: str) -> None:
             continue
         if kind in ("emptytext", "unicode") and t == "documents":
             continue  # written by the text-shard branches below
-        if kind in ("missingcol", "extracol", "widened") and t == "documents":
+        if kind == "driftmix" and t == "lineitem":
+            # widened arm: l_suppkey written INT32 in the drifted file
+            # (BIGINT manifest). LIMIT 12 + 8 keeps the usual 20 rows.
+            ldir = f"{d}/lineitem.parquet"
+            os.makedirs(ldir, exist_ok=True)
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/lineitem.parquet' LIMIT 12)"
+                f" TO '{ldir}/part-0.parquet' (FORMAT PARQUET)"
+            )
+            con.execute(
+                "COPY (SELECT l_orderkey, l_partkey,"
+                " CAST(l_suppkey AS INTEGER) AS l_suppkey, l_linenumber,"
+                " l_quantity, l_extendedprice, l_discount, l_tax,"
+                " l_returnflag, l_linestatus, l_shipdate"
+                f" FROM '{SRC}/lineitem.parquet' LIMIT 8 OFFSET 12)"
+                f" TO '{ldir}/part-1.parquet' (FORMAT PARQUET)"
+            )
+            continue
+        if kind == "driftmix" and t == "orders":
+            # missing-column arm: the drifted file predates the
+            # o_orderpriority migration — old rows read NULL priority
+            # (NULL group keys / CASE arms in the priority entries).
+            odir = f"{d}/orders.parquet"
+            os.makedirs(odir, exist_ok=True)
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/orders.parquet' LIMIT 5)"
+                f" TO '{odir}/part-0.parquet' (FORMAT PARQUET)"
+            )
+            con.execute(
+                "COPY (SELECT o_orderkey, o_custkey, o_orderstatus,"
+                " o_totalprice, o_orderdate"
+                f" FROM '{SRC}/orders.parquet' LIMIT 5 OFFSET 5)"
+                f" TO '{odir}/part-1.parquet' (FORMAT PARQUET)"
+            )
+            continue
+        if kind in (
+            "missingcol", "extracol", "widened", "driftmix"
+        ) and t == "documents":
             # schema-migration DIRECTORY: part-0 carries the canonical
             # schema, part-1 the drifted one (pre-migration file
             # missing `source` / unknown extra column / n_chars written
@@ -139,6 +186,7 @@ def build_degenerate(kind: str, d: str) -> None:
             drift = {
                 "missingcol": "SELECT doc_id, text, lang, n_chars",
                 "extracol": "SELECT *, CAST(7 AS BIGINT) AS crawl_batch",
+                "driftmix": "SELECT *, CAST(7 AS BIGINT) AS crawl_batch",
                 "widened": (
                     "SELECT doc_id, text, lang, source,"
                     " CAST(n_chars AS INTEGER) AS n_chars"
@@ -515,7 +563,7 @@ def build_degenerate(kind: str, d: str) -> None:
             " (SELECT unnest(generate_series(1, 5)) AS g) gs)"
             f" TO '{d}/events.parquet' (FORMAT PARQUET)"
         )
-    elif kind in ("missingcol", "extracol", "widened"):
+    elif kind in ("missingcol", "extracol", "widened", "driftmix"):
         # schema-migration DIRECTORY (same layout as the documents arm):
         # part-0 canonical, part-1 drifted — a pre-migration file
         # missing `props`, an unknown `ingest_shard` column, or user_id
@@ -531,6 +579,10 @@ def build_degenerate(kind: str, d: str) -> None:
         )
         drift = {
             "missingcol": (
+                "SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
+                " user_id, event_type, value"
+            ),
+            "driftmix": (
                 "SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
                 " user_id, event_type, value"
             ),
@@ -730,7 +782,7 @@ def main() -> int:
         "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch",
         "nullepochs", "nonfinone", "mixed", "chaos",
         "emptyevents", "emptydocs",
-        "missingcol", "extracol", "widened",
+        "missingcol", "extracol", "widened", "driftmix",
     ]
     spark = get_spark("degenerate_parity", cpus=8)
     bad = 0
