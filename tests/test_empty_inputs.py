@@ -106,7 +106,7 @@ def test_single_row_inputs(spark):
      "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch",
      "nullepochs", "nonfinone", "mixed", "chaos",
      "emptyevents", "emptydocs",
-     "missingcol", "extracol", "widened", "driftmix"],
+     "missingcol", "extracol", "widened", "driftmix", "driftcorrupt"],
 )
 def test_catalog_degenerate_cross_engine_parity(
     spark, tmp_path_factory, kind
@@ -298,7 +298,13 @@ def test_catalog_degenerate_cross_engine_parity(
       reach the relational tier the single shapes don't (NULL
       o_orderpriority flows through the priority CASE/group paths).
 
-    All four clean on first run: the manifest scan and the
+    - driftcorrupt: the pre-migration events file (no props) is ALSO
+      corrupt — clock-skewed timestamps, NULL keys, and non-finite
+      values with co-prime cycles (the chaos discipline) — pinning
+      that the manifest null-fill composes with every ingest guard
+      inside the same rows.
+
+    All five clean on first run: the manifest scan and the
     union_by_name oracle view agree, and the null-filled rows reuse
     the NULL-semantics conventions the nulldocs/null shapes pinned.
 

@@ -21,7 +21,7 @@ Usage: python tools/degenerate_parity.py [kind ...]   (kinds: empty
 one null const oneclass negative emptytext unicode nonfinite ties
 badjson epochs embnan nullkeys nulldocs nulltpch nullepochs nonfinone
 mixed chaos emptyevents emptydocs missingcol extracol widened
-driftmix; default all twenty-six —
+driftmix driftcorrupt; default all twenty-seven —
 nullepochs / nonfinone / mixed / chaos are round-15 COMPOSED shapes
 (NULL keys x clock skew, nonfinite x one-class, one corruption kind
 per table, and ALL event-level corruptions stacked in one table),
@@ -31,9 +31,11 @@ missingcol / extracol / widened are round-16 SCHEMA-DRIFT shapes
 (a table directory mid-migration: a file missing a column, a file
 with an unknown extra column, a file with a narrower physical type
 than the manifest — both engines must null-fill / drop / widen
-identically), and driftmix composes one drift kind PER TABLE
+identically), driftmix composes one drift kind PER TABLE
 (events missing props, documents + extra column, lineitem INT32
-l_suppkey, orders missing o_orderpriority). Exit 1 on any
+l_suppkey, orders missing o_orderpriority), and driftcorrupt makes
+the pre-migration events file ALSO corrupt (clock skew, NULL keys,
+non-finite values inside the null-filled file). Exit 1 on any
 divergence.
 """
 
@@ -96,6 +98,12 @@ def build_degenerate(kind: str, d: str) -> None:
         # Reaches the relational tier the three single shapes don't
         # (NULL o_orderpriority exercises priority CASE/group paths).
         "driftmix",
+        # round-16 drift x corruption: the PRE-MIGRATION events file is
+        # also corrupt — no props column AND clock-skewed timestamps,
+        # NULL keys, non-finite values (co-prime cycles, like chaos).
+        # Pins that the manifest null-fill composes with every ingest
+        # guard inside the same rows.
+        "driftcorrupt",
     ):
         lim, ev_extra = "LIMIT 5", "LIMIT 5"
         if kind == "emptyevents":
@@ -563,7 +571,9 @@ def build_degenerate(kind: str, d: str) -> None:
             " (SELECT unnest(generate_series(1, 5)) AS g) gs)"
             f" TO '{d}/events.parquet' (FORMAT PARQUET)"
         )
-    elif kind in ("missingcol", "extracol", "widened", "driftmix"):
+    elif kind in (
+        "missingcol", "extracol", "widened", "driftmix", "driftcorrupt"
+    ):
         # schema-migration DIRECTORY (same layout as the documents arm):
         # part-0 canonical, part-1 drifted — a pre-migration file
         # missing `props`, an unknown `ingest_shard` column, or user_id
@@ -585,6 +595,26 @@ def build_degenerate(kind: str, d: str) -> None:
             "driftmix": (
                 "SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
                 " user_id, event_type, value"
+            ),
+            # pre-migration file (no props) that is ALSO corrupt:
+            # clock-skew (%5), NULL keys (%5 offset), non-finite
+            # values (%4) — co-prime with the 10-row window so rows
+            # carry varied combinations (chaos discipline)
+            "driftcorrupt": (
+                "SELECT event_id,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY event_id)) % 5"
+                " WHEN 0 THEN CAST(86400000000000 AS BIGINT)"
+                " WHEN 1 THEN CAST(4102444800000000000 AS BIGINT)"
+                " ELSE CAST(epoch_ns(ts) AS BIGINT) END AS ts,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY event_id)) % 5"
+                " WHEN 0 THEN NULL WHEN 2 THEN NULL ELSE user_id END"
+                " AS user_id,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY event_id)) % 5"
+                " WHEN 1 THEN NULL WHEN 2 THEN NULL ELSE event_type END"
+                " AS event_type,"
+                " CASE (ROW_NUMBER() OVER (ORDER BY event_id)) % 4"
+                " WHEN 0 THEN 'nan'::DOUBLE WHEN 1 THEN 'inf'::DOUBLE"
+                " WHEN 2 THEN '-inf'::DOUBLE ELSE value END AS value"
             ),
             "extracol": (
                 "SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,"
@@ -782,7 +812,7 @@ def main() -> int:
         "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch",
         "nullepochs", "nonfinone", "mixed", "chaos",
         "emptyevents", "emptydocs",
-        "missingcol", "extracol", "widened", "driftmix",
+        "missingcol", "extracol", "widened", "driftmix", "driftcorrupt",
     ]
     spark = get_spark("degenerate_parity", cpus=8)
     bad = 0
