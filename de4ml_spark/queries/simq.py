@@ -737,8 +737,13 @@ def cluster_purity_embeddings(
     by_cl = j.groupBy("cluster", "label").agg(
         F.count(F.lit(1)).alias("n")
     )
+    # NULLS LAST explicitly: a NULL label (pre-migration embeddings
+    # file, driftemb parity shape) must not win the majority tie over a
+    # real label — Spark's ASC default is NULLS FIRST where DuckDB's is
+    # NULLS LAST, the documented ROW_NUMBER-over-nullable-key
+    # divergence class; both engines now share the NULLS LAST text.
     wmaj = Window.partitionBy("cluster").orderBy(
-        F.desc("n"), F.col("label")
+        F.desc("n"), F.col("label").asc_nulls_last()
     )
     per_cluster = (
         by_cl.withColumn("rk", F.row_number().over(wmaj))
@@ -776,7 +781,7 @@ by_cl AS (
 ranked AS (
   SELECT cluster, label, n,
          ROW_NUMBER() OVER (PARTITION BY cluster
-                            ORDER BY n DESC, label) AS rk
+                            ORDER BY n DESC, label NULLS LAST) AS rk
   FROM by_cl
 ),
 per_cluster AS (

@@ -106,7 +106,8 @@ def test_single_row_inputs(spark):
      "epochs", "embnan", "nullkeys", "nulldocs", "nulltpch",
      "nullepochs", "nonfinone", "mixed", "chaos",
      "emptyevents", "emptydocs",
-     "missingcol", "extracol", "widened", "driftmix", "driftcorrupt"],
+     "missingcol", "extracol", "widened", "driftmix", "driftcorrupt",
+     "driftemb"],
 )
 def test_catalog_degenerate_cross_engine_parity(
     spark, tmp_path_factory, kind
@@ -304,9 +305,19 @@ def test_catalog_degenerate_cross_engine_parity(
       that the manifest null-fill composes with every ingest guard
       inside the same rows.
 
-    All five clean on first run: the manifest scan and the
+    - driftemb: the embeddings table as a THREE-file directory
+      (canonical + missing-label + INT32 vec_id). First run found 1
+      divergence no earlier shape reached: cluster_purity's majority
+      tie-break ordered by nullable label — Spark ROW_NUMBER sorts
+      NULLs FIRST ascending where DuckDB sorts them LAST, so a
+      null-filled label WON the majority on one engine only. Fixed
+      with shared explicit NULLS LAST in both texts (a real label
+      outranks NULL in a tie).
+
+    The first five were clean on first run (the manifest scan and the
     union_by_name oracle view agree, and the null-filled rows reuse
-    the NULL-semantics conventions the nulldocs/null shapes pinned.
+    the NULL-semantics conventions the nulldocs/null shapes pinned);
+    driftemb's find above is the round's one engine-paired fix.
 
     A raise on either engine also fails (the dupconst no-abort sweep
     below covers the out-of-contract duplicate-key shape)."""

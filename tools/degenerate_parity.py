@@ -21,7 +21,7 @@ Usage: python tools/degenerate_parity.py [kind ...]   (kinds: empty
 one null const oneclass negative emptytext unicode nonfinite ties
 badjson epochs embnan nullkeys nulldocs nulltpch nullepochs nonfinone
 mixed chaos emptyevents emptydocs missingcol extracol widened
-driftmix driftcorrupt; default all twenty-seven —
+driftmix driftcorrupt driftemb; default all twenty-eight —
 nullepochs / nonfinone / mixed / chaos are round-15 COMPOSED shapes
 (NULL keys x clock skew, nonfinite x one-class, one corruption kind
 per table, and ALL event-level corruptions stacked in one table),
@@ -33,9 +33,12 @@ with an unknown extra column, a file with a narrower physical type
 than the manifest — both engines must null-fill / drop / widen
 identically), driftmix composes one drift kind PER TABLE
 (events missing props, documents + extra column, lineitem INT32
-l_suppkey, orders missing o_orderpriority), and driftcorrupt makes
+l_suppkey, orders missing o_orderpriority), driftcorrupt makes
 the pre-migration events file ALSO corrupt (clock skew, NULL keys,
-non-finite values inside the null-filled file). Exit 1 on any
+non-finite values inside the null-filled file), and driftemb drifts
+the embeddings table (three-file directory: canonical +
+missing-label + INT32 vec_id — found the cluster-purity
+NULLS-FIRST/LAST majority-tie divergence). Exit 1 on any
 divergence.
 """
 
@@ -104,6 +107,11 @@ def build_degenerate(kind: str, d: str) -> None:
         # Pins that the manifest null-fill composes with every ingest
         # guard inside the same rows.
         "driftcorrupt",
+        # round-16 embeddings drift: a THREE-file embeddings directory
+        # (canonical + missing-label + INT32 vec_id) — NULL labels flow
+        # into the centroid/purity/grouping entries, and the multi-file
+        # union has more than one drifted schema at once.
+        "driftemb",
     ):
         lim, ev_extra = "LIMIT 5", "LIMIT 5"
         if kind == "emptyevents":
@@ -175,6 +183,25 @@ def build_degenerate(kind: str, d: str) -> None:
                 " o_totalprice, o_orderdate"
                 f" FROM '{SRC}/orders.parquet' LIMIT 5 OFFSET 5)"
                 f" TO '{odir}/part-1.parquet' (FORMAT PARQUET)"
+            )
+            continue
+        if kind == "driftemb" and t == "embeddings":
+            edir = f"{d}/embeddings.parquet"
+            os.makedirs(edir, exist_ok=True)
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/embeddings.parquet' LIMIT 3)"
+                f" TO '{edir}/part-0.parquet' (FORMAT PARQUET)"
+            )
+            con.execute(
+                "COPY (SELECT vec_id, embedding"
+                f" FROM '{SRC}/embeddings.parquet' LIMIT 1 OFFSET 3)"
+                f" TO '{edir}/part-1.parquet' (FORMAT PARQUET)"
+            )
+            con.execute(
+                "COPY (SELECT CAST(vec_id AS INTEGER) AS vec_id,"
+                " embedding, label"
+                f" FROM '{SRC}/embeddings.parquet' LIMIT 1 OFFSET 4)"
+                f" TO '{edir}/part-2.parquet' (FORMAT PARQUET)"
             )
             continue
         if kind in (
@@ -813,6 +840,7 @@ def main() -> int:
         "nullepochs", "nonfinone", "mixed", "chaos",
         "emptyevents", "emptydocs",
         "missingcol", "extracol", "widened", "driftmix", "driftcorrupt",
+        "driftemb",
     ]
     spark = get_spark("degenerate_parity", cpus=8)
     bad = 0

@@ -203,9 +203,9 @@ def main() -> int:
         "cross-engine hash gate is structurally blind to (when the Spark",
         "builder and its DuckDB oracle are emitted from one expression",
         "list). Every entry additionally has a driver-green cross-engine",
-        "hash (ledger in `queries/catalog.py`), the 27 full-catalog",
+        "hash (ledger in `queries/catalog.py`), the 28 full-catalog",
         "degenerate cross-engine PARITY sweeps (16 single-corruption,",
-        "4 composed, 2 asymmetric-empty, 5 schema-drift shapes) plus",
+        "4 composed, 2 asymmetric-empty, 6 schema-drift shapes) plus",
         "the duplicate-key",
         "no-abort sweep (`tests/test_empty_inputs.py`), and a",
         "physical-plan audit row in PLANS.md — not repeated per row.",
