@@ -471,6 +471,80 @@ def embedding_neardup_blocked(
     )
 
 
+def embedding_neardup_pairs_fast(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact cosine pairs with the SAME values as
+    :func:`embedding_neardup_pairs`, at blocked-BLAS speed (r17, guide
+    §1.2/§4.2: fix the per-task work, then keep the exact semantics).
+
+    Two stages:
+
+    1. **Candidates** from :func:`embedding_neardup_blocked` at
+       ``threshold - 1e-3``. BLAS reassociates the 64-term dot sum, but
+       its result differs from the sequential fold by at most
+       dim · 2⁻⁵² relative to the norm product (≈1.4e-14 — Cauchy-
+       Schwarz bounds Σ|aᵢbᵢ| by ‖a‖‖b‖), and rounding to 6 decimals
+       moves a value by ≤5e-7; a 1e-3 guard band is therefore ~10⁹×
+       wider than the worst case, so the candidate set is a strict
+       superset of the qualifying pairs. No false negatives.
+    2. **Exact rescore** of candidates only: join the two vectors back
+       (broadcast at test scale, shuffled hash at corpus scale) and
+       recompute cos_sim with the UNROLLED left-to-right ``dot_sql`` —
+       bit-identical to the HOF fold the pair-join path evaluates
+       (similarity.py pins that equivalence) — inside a codegen'd
+       BroadcastHashJoin, then apply the real threshold. Any BLAS
+       false positive is dropped here.
+
+    Replaces the interpreted BroadcastNestedLoopJoin all-pairs path for
+    the two oracle-checked exact-cosine entries: the fold evaluated
+    ~2 µs/pair interpreted (2M pairs → ~23 s at sf0.1); candidates ×
+    rescore is ~1 s for the identical result set and values.
+    """
+    from de4ml_spark.operators.similarity import dot_sql, norm_sql
+
+    cand = embedding_neardup_blocked(
+        df, threshold - 1e-3, id_col, vec_col, n_blocks
+    ).select("id_a", "id_b")
+    v = df.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("e"),
+    ).withColumn("nrm", F.expr(norm_sql("e", dim)))
+    return (
+        cand.join(
+            v.select(
+                F.col(id_col).alias("id_a"),
+                F.col("e").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            v.select(
+                F.col(id_col).alias("id_b"),
+                F.col("e").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.expr(dot_sql("ea", "eb", dim))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def simhash_bands(bits: int, n_bands: int = 4) -> list[tuple[int, int]]:
     """(shift, width) per band: ``bits`` split into ``n_bands`` contiguous
     chunks, widths differing by at most 1 (e.g. 59 -> 15/15/15/14)."""

@@ -202,8 +202,14 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r17: blocked-BLAS candidates + exact unrolled-dot rescore —
+    # identical pair set AND cos_sim bits as the old interpreted
+    # all-pairs fold (operators/dedup.py embedding_neardup_pairs_fast
+    # documents the guard-band argument); 22.4 s -> ~1 s at sf0.1.
+    from de4ml_spark.operators.dedup import embedding_neardup_pairs_fast
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.45)
+    return embedding_neardup_pairs_fast(emb, threshold=0.45)
 
 
 DEDUP_EMBEDDING_SQL = """

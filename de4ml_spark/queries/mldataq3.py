@@ -227,7 +227,7 @@ _SPLIT_THR = "40000000"  # 25% test
 
 
 def split_leakage_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from de4ml_spark.operators.dedup import embedding_neardup_pairs
+    from de4ml_spark.operators.dedup import embedding_neardup_pairs_fast
 
     emb = load_table(spark, sf_dir, "embeddings")
     split = F.when(
@@ -240,7 +240,9 @@ def split_leakage_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("test"),
     ).otherwise(F.lit("train"))
     splits = emb.select("vec_id", split.alias("split"))
-    pairs = embedding_neardup_pairs(emb, threshold=0.45)
+    # r17: same exact-values fast path as dedup_embedding_cosine
+    # (blocked-BLAS candidates + unrolled-dot rescore; 23.5 s -> ~1 s)
+    pairs = embedding_neardup_pairs_fast(emb, threshold=0.45)
     return (
         pairs.join(
             splits.withColumnRenamed("vec_id", "id_a").withColumnRenamed(
