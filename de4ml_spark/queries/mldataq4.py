@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de4ml_spark.session import load_table
+from de4ml_spark.session import load_events_finite, load_table
 
 REGISTRY: dict = {}
 
@@ -44,8 +44,8 @@ def oof_target_encode_events(
         phash_spark_sql,
     )
 
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ev = load_events_finite(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
     )
     fold_hash = phash_spark_sql("CONCAT('oof:', CAST(user_id AS STRING))")
     per_fold = (

@@ -35,7 +35,7 @@ from de4ml_spark.operators.portable_hash import (
     wide_to_double_sql as _w2d,
     with_portable_ln,
 )
-from de4ml_spark.session import load_table
+from de4ml_spark.session import load_events_finite, load_table
 
 REGISTRY: dict = {}
 
@@ -75,8 +75,8 @@ def lift_deciles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.operators.rank import with_global_ntile
 
     ev = load_table(spark, sf_dir, "events")
-    scored = ev.filter(
-        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    scored = load_events_finite(spark, sf_dir).filter(
+        F.col("event_type").isNotNull()
     ).selectExpr(
         "event_id",
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c",
@@ -184,9 +184,8 @@ def _woe_iv_final(div: str) -> list[str]:
 def woe_iv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per = (
-        ev.filter(
-            F.col("value").isNotNull()
-            & F.col("event_type").isNotNull()
+        load_events_finite(spark, sf_dir).filter(
+            F.col("event_type").isNotNull()
         )
         .selectExpr(
             "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -590,7 +589,7 @@ def _psi_final(div: str) -> list[str]:
 def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .selectExpr(
             "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
             " DIV 5000 AS bucket",
@@ -805,8 +804,8 @@ def brier_decomposition_events(
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per = (
-        ev.filter(
-            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        load_events_finite(spark, sf_dir).filter(
+            F.col("event_type").isNotNull()
         )
         .selectExpr(
             "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"

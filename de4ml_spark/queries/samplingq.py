@@ -14,7 +14,7 @@ from de4ml_spark.operators.sampling import (
     key_hex_sql,
     mix_sources,
 )
-from de4ml_spark.session import load_table
+from de4ml_spark.session import load_events_finite, load_table
 
 
 def sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,9 +479,7 @@ def poisson_bootstrap_value_mean(
         wide_halfup_div_sql as _whd,
     )
 
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
+    ev = load_events_finite(spark, sf_dir)
     base = ev.selectExpr(
         "event_id",
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c",

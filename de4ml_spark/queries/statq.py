@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from de4ml_spark.session import load_table
+from de4ml_spark.session import load_events_finite, load_table
 
 REGISTRY: dict = {}
 
@@ -690,9 +690,7 @@ CONF_LEVEL_DEN = 10
 def conformal_bound_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.operators.portable_hash import exact_round_div_sql
 
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
+    ev = load_events_finite(spark, sf_dir)
     cents = ev.selectExpr(
         "event_type",
         "event_id",
@@ -1345,7 +1343,7 @@ REGISTRY["markov_next_event_accuracy"] = {
 def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isNotNull())
         .groupBy(
             "event_type",

@@ -33,7 +33,7 @@ from de4ml_spark.operators.portable_hash import (
     wide_halfup_div_sql as _whd,
     wide_to_double_sql as _w2d,
 )
-from de4ml_spark.session import load_table
+from de4ml_spark.session import load_events_finite, load_table
 
 REGISTRY: dict = {}
 
@@ -96,7 +96,7 @@ _WELCH_STAGE2 = [
 def welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isNotNull())
         .groupBy(
             "event_type",
@@ -217,7 +217,7 @@ _ANOVA_FINAL = [
 def anova_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isNotNull())
         .groupBy(
             "event_type",
@@ -464,7 +464,7 @@ def _auc_final(div: str) -> list[str]:
 def auc_roc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hist = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isNotNull())
         .groupBy(
             (F.col("value").cast("decimal(18,2)") * 100)
@@ -701,9 +701,8 @@ def _kendall_final(div: str) -> list[str]:
 def kendall_tau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cells = (
-        ev.filter(
-            F.col("value").isNotNull() & F.col("event_type").isNotNull()
-        )
+        load_events_finite(spark, sf_dir)
+        .filter(F.col("event_type").isNotNull())
         .selectExpr(
             "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
             " DIV 5000 AS x",
@@ -973,7 +972,7 @@ def _ap_final(div: str) -> list[str]:
 def pr_auc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hist = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isNotNull())
         .groupBy(
             (F.col("value").cast("decimal(18,2)") * 100)
@@ -1068,7 +1067,7 @@ def brown_forsythe_value(
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isNotNull())
         .groupBy(
             "event_type",
@@ -1260,7 +1259,7 @@ def runs_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.operators.rank import with_global_rank
 
     ev = load_table(spark, sf_dir, "events")
-    base = ev.filter(F.col("value").isNotNull()).selectExpr(
+    base = load_events_finite(spark, sf_dir).selectExpr(
         "event_id",
         "ts",
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c",
@@ -1535,7 +1534,7 @@ def permutation_entropy_events(
     from de4ml_spark.operators.portable_hash import with_portable_ln
 
     ev = load_table(spark, sf_dir, "events")
-    base = ev.filter(F.col("value").isNotNull()).selectExpr(
+    base = load_events_finite(spark, sf_dir).selectExpr(
         "user_id",
         "ts",
         "event_id",
@@ -1657,9 +1656,8 @@ def friedman_daily_value(
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cell = (
-        ev.filter(
-            F.col("value").isNotNull() & F.col("event_type").isNotNull()
-        )
+        load_events_finite(spark, sf_dir)
+        .filter(F.col("event_type").isNotNull())
         .groupBy(
             F.col("ts").cast("date").alias("day"), "event_type"
         )
@@ -1786,7 +1784,7 @@ def _grubbs_final(div: str) -> list[str]:
 
 def grubbs_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    base = ev.filter(F.col("value").isNotNull()).selectExpr(
+    base = load_events_finite(spark, sf_dir).selectExpr(
         "event_id",
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x",
     )
@@ -2086,7 +2084,7 @@ def _jt_final(div: str) -> list[str]:
 def jonckheere_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isNotNull())
         .groupBy(
             "event_type",
@@ -2317,9 +2315,8 @@ def cochran_armitage_trend(
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per = (
-        ev.filter(
-            F.col("value").isNotNull() & F.col("event_type").isNotNull()
-        )
+        load_events_finite(spark, sf_dir)
+        .filter(F.col("event_type").isNotNull())
         .selectExpr(
             "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
             " DIV 5000 AS s",
@@ -2593,7 +2590,7 @@ def turning_points_value(
     from de4ml_spark.operators.rank import with_global_rank
 
     ev = load_table(spark, sf_dir, "events")
-    base = ev.filter(F.col("value").isNotNull()).selectExpr(
+    base = load_events_finite(spark, sf_dir).selectExpr(
         "ts",
         "event_id",
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v",
@@ -2688,7 +2685,7 @@ def bartlett_value_types(
 
     ev = load_table(spark, sf_dir, "events")
     counts = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isNotNull())
         .groupBy(
             "event_type",
@@ -2881,7 +2878,7 @@ def _jb_tail(div: str) -> list[str]:
 def jarque_bera_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hist = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .groupBy(
             (F.col("value").cast("decimal(18,2)") * 100)
             .cast("bigint")

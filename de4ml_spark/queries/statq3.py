@@ -37,7 +37,7 @@ from de4ml_spark.operators.portable_hash import (
     wide_halfup_div_sql as _whd,
     wide_to_double_sql as _w2d,
 )
-from de4ml_spark.session import load_table
+from de4ml_spark.session import load_events_finite, load_table
 
 REGISTRY: dict = {}
 
@@ -170,7 +170,7 @@ _MOOD_FINAL = [
 def mood_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     base = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isNotNull())
         .selectExpr(
             "event_type",
@@ -1650,7 +1650,7 @@ def ww_runs_two_sample(
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     byval = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isin("click", "purchase"))
         .groupBy(
             (F.col("value").cast("decimal(18,2)") * 100)

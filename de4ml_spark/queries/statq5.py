@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 from de4ml_spark.operators.portable_hash import (
     wide_to_double_sql as _w2d,
 )
-from de4ml_spark.session import load_table
+from de4ml_spark.session import load_events_finite, load_table
 
 REGISTRY: dict = {}
 
@@ -2674,7 +2674,7 @@ def trimmed_mean_value_types(
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hist = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isNotNull())
         .groupBy(
             "event_type",
@@ -2920,7 +2920,7 @@ def dunn_posthoc_value_types(
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hist = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isNotNull())
         .groupBy(
             "event_type",

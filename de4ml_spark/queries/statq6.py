@@ -20,7 +20,7 @@ from de4ml_spark.operators.portable_hash import (
     wide_halfup_div_sql as _whd,
     wide_to_double_sql as _w2d,
 )
-from de4ml_spark.session import load_table
+from de4ml_spark.session import load_events_finite, load_table
 
 REGISTRY: dict = {}
 
@@ -371,7 +371,7 @@ def delong_auc_variance_events(
 
     ev = load_table(spark, sf_dir, "events")
     hist = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isNotNull())
         .groupBy(
             (F.col("value").cast("decimal(18,2)") * 100)
@@ -699,7 +699,7 @@ def qn_scale_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     hist = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .groupBy(
             (F.col("value").cast("decimal(18,2)") * 100)
             .cast("bigint")
@@ -819,8 +819,8 @@ def _cuped_final(div: str) -> list[str]:
 def cuped_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.cache import release_after
 
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ev = load_events_finite(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
     )
     days = ev.agg(
         F.expr(
@@ -952,7 +952,7 @@ def hill_tail_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     hist = (
-        ev.filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        load_events_finite(spark, sf_dir).filter(F.col("value") > 0)
         .groupBy(
             (F.col("value").cast("decimal(18,2)") * 100)
             .cast("bigint")
@@ -1116,7 +1116,7 @@ def yuen_trimmed_ttest_value(
 
     ev = load_table(spark, sf_dir, "events")
     hist = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isin("click", "purchase"))
         .groupBy(
             "event_type",
@@ -1433,7 +1433,7 @@ def median_of_means_value(
     # parallelism, not hash fan-out — map-only, so it splits with the
     # input at scale)
     buckets = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .selectExpr(
             f"{md5_hex_sql('CAST(event_id AS STRING)')} AS __hx",
             "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -2190,7 +2190,7 @@ def wasserstein2_value(
 
     ev = load_table(spark, sf_dir, "events")
     hist = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .filter(F.col("event_type").isin("click", "purchase"))
         .groupBy(
             (F.col("value").cast("decimal(18,2)") * 100)

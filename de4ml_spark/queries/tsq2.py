@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from de4ml_spark.operators.portable_hash import exact_round_div_sql
-from de4ml_spark.session import load_table
+from de4ml_spark.session import load_events_finite, load_table
 from de4ml_spark.operators.portable_hash import wide_to_double_sql as _w2d
 
 REGISTRY: dict[str, dict] = {}
@@ -2129,7 +2129,7 @@ def rolling_median_user_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    base = ev.filter(F.col("value").isNotNull()).selectExpr(
+    base = load_events_finite(spark, sf_dir).selectExpr(
         "user_id",
         "event_id",
         "ts",
@@ -2222,8 +2222,8 @@ def hurst_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.operators.rank import with_grouped_rank
 
     ev = load_table(spark, sf_dir, "events")
-    base = ev.filter(
-        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    base = load_events_finite(spark, sf_dir).filter(
+        F.col("event_type").isNotNull()
     ).selectExpr(
         "event_type",
         "ts",
@@ -2551,7 +2551,7 @@ def gumbel_weekly_maxima(
 
     ev = load_table(spark, sf_dir, "events")
     daily = (
-        ev.filter(F.col("value").isNotNull())
+        load_events_finite(spark, sf_dir)
         .groupBy(F.col("ts").cast("date").alias("day"))
         .agg(
             F.sum(

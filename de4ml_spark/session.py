@@ -303,6 +303,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` restricted to rows whose ``value`` is present AND
+    finite — the FILTER twin of load_table's value guard, for queries
+    that drop NULL values anyway (most of the statistics tier).
+
+    Row- and value-identical to
+    ``load_table(..., "events").filter(value IS NOT NULL)``: the guard
+    maps non-finite to NULL, so guarded-then-NOT-NULL keeps exactly
+    the raw finite rows this filter keeps, and for surviving rows the
+    guard projection is the identity. The difference is PLAN SHAPE
+    (guide §6 / SCALE.md "Open (conditional) scale note", closed in
+    r17): here ``value IS NOT NULL`` is a predicate on the RAW scan
+    column — not on a CASE projection Catalyst cannot see through —
+    so it reaches the parquet reader as a pushed filter and prunes
+    NULL-only row groups at 100 TB. The isnan/inf conjuncts stay
+    engine-side (parquet cannot evaluate them); they cost one codegen
+    compare per row, exactly like the guard projection they replace.
+    """
+    key = (_session_token(spark), sf_dir, "events#finite")
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        df = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    df = df.filter(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs(F.col("value")) != F.lit(float("inf")))
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    _TABLE_CACHE[key] = df
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
