@@ -630,25 +630,35 @@ def ppjoin_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).distinct().persist()
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ranked = toks.join(dfreq, "tok").select(
-        "doc_id",
-        "tok",
-        F.row_number()
-        .over(
-            Window.partitionBy("doc_id").orderBy("df", "tok")
+    # r17 (guide §2.4 — remove exchanges): ONE groupBy(doc_id) builds
+    # each doc's (df, tok)-sorted token array; the df-rank order, the
+    # token count n, the prefix slice AND the verify-stage token sets
+    # all derive from it. Replaces the old row_number + count window
+    # pair (exchange + per-doc sort over the token relation) plus a
+    # THIRD scan of toks for the verify arrays — identical prefix set
+    # (array_sort on struct(df, tok) is the same (df, tok) lexicographic
+    # order the window used; tokens are distinct per doc so list = set).
+    ranked_arr = (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias(
+                "arr"
+            )
         )
-        .alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("doc_id"))
-        .alias("n"),
+        .persist()
     )
     # prefix length n - ceil(t*n) + 1; ceil(7n/10) = (7n + 9) DIV 10
-    prefix = ranked.filter(
-        F.expr(
-            f"rn <= n - (({PPJOIN_T_NUM} * n + {PPJOIN_T_DEN - 1})"
-            f" DIV {PPJOIN_T_DEN}) + 1"
-        )
-    )
+    prefix = ranked_arr.select(
+        "doc_id",
+        F.size("arr").alias("n"),
+        F.explode(
+            F.expr(
+                f"slice(arr, 1, size(arr) - (({PPJOIN_T_NUM} * size(arr)"
+                f" + {PPJOIN_T_DEN - 1}) DIV {PPJOIN_T_DEN}) + 1)"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.tok").alias("tok"), "n")
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
         F.col("tok").alias("tok"),
@@ -678,7 +688,11 @@ def ppjoin_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify: per-doc token SETS as array columns, one hash join per
     # side, JVM array_intersect — no second token explode (the exploded
     # verify joined |cand| x |tokens| rows; this joins |cand| rows).
-    arrs = toks.groupBy("doc_id").agg(F.collect_set("tok").alias("arr"))
+    # Sets project from the shared ranked_arr index (array_intersect is
+    # order-insensitive), not a third scan of toks.
+    arrs = ranked_arr.select(
+        "doc_id", F.expr("transform(arr, x -> x.tok)").alias("arr")
+    )
     inter = (
         cand.join(
             arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")),
@@ -710,7 +724,7 @@ def ppjoin_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("jaccard_r"),
     )
-    return release_after(out, toks)
+    return release_after(out, toks, ranked_arr)
 
 
 PPJOIN_SQL = f"""
