@@ -566,19 +566,29 @@ REGISTRY["session_alert_overlap"] = {
 
 def key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.operators.portable_hash import exact_round_div_sql
+    from de4ml_spark.profile.battery import grouped_exact_quantiles
 
     orders = load_table(spark, sf_dir, "orders")
     freqs = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("freq"))
-    return freqs.agg(
+    base = freqs.agg(
         F.sum("freq").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
         F.max("freq").alias("max_freq"),
         F.expr(
             exact_round_div_sql("MAX(freq)", "SUM(freq)", "DIV")
         ).alias("top1_share"),
-        F.expr(
-            "round(percentile_cont(0.99) WITHIN GROUP (ORDER BY freq), 6)"
-        ).alias("p99_freq"),
+    )
+    # r17 (guide §5): percentile_cont buffered one freq per KEY in a
+    # single aggregation buffer (key-count state — unbounded at corpus
+    # scale); the histogram path aggregates on the freq VALUE domain
+    # (small integers) with identical interpolation arithmetic. Left
+    # join keeps the empty-input row shape (NULL p99, like the old
+    # aggregate).
+    q = grouped_exact_quantiles(
+        freqs.withColumn("__g", F.lit(1)), ["__g"], "freq", [0.99]
+    ).select(F.round(F.col("q99"), 6).alias("p99_freq"))
+    return base.join(F.broadcast(q), F.lit(True), "left").select(
+        "n_rows", "n_keys", "max_freq", "top1_share", "p99_freq"
     )
 
 
