@@ -471,19 +471,35 @@ KCORE_ROUNDS = 4
 def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.cache import release_after
 
-    from de4ml_spark.operators.rank import global_rank_and_total
-
     adj = _directed_adjacency(spark, sf_dir).persist()
     deg0 = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
-    # distributed median pick: range-partitioned rank with offsets
-    # (operators/rank.py) instead of an unpartitioned Window.orderBy
-    # sort of the node-degree frame
-    ranked, nn = global_rank_and_total(
-        deg0, ["deg", "u"], out_col="rn"
+    # r17 (guide §2.4/§5): the median degree comes from the DEGREE
+    # HISTOGRAM, not a range-partitioned global rank of the node
+    # frame — the deg value at rank (nn+1) DIV 2 of the (deg, u)
+    # order is by definition the smallest deg whose cumulative count
+    # reaches that rank (the u tie-break orders rows WITHIN a deg
+    # value, never changing which deg sits at the rank). This deletes
+    # the rank's repartitionByRange shuffle AND the build-time count
+    # action the offset computation ran; the cumulative window runs
+    # over the distinct-degree domain (bounded, ~hundreds of values),
+    # the documented bounded-frame pattern.
+    degh = deg0.groupBy("deg").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("deg").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    med = ranked.filter(
-        F.expr(f"rn = CAST(({int(nn)} + 1) DIV 2 AS BIGINT)")
-    ).select(F.col("deg").alias("med_deg"))
+    cum = degh.select(
+        "deg",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy("deg").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nn"),
+    )
+    med = (
+        cum.filter(F.expr("cum >= (nn + 1) DIV 2"))
+        .agg(F.min("deg").alias("med_deg"))
+    )
     kdf = (
         deg0.agg(F.min("deg").alias("min_deg"))
         .crossJoin(F.broadcast(med))
