@@ -299,20 +299,34 @@ def _edge_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
-    """Each triangle exactly once as (a, b, c) via degree orientation.
+def _oriented_triangles(
+    edges: DataFrame, deg: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Each triangle exactly once, via degree orientation + per-edge
+    neighbour-array intersection. Returns (triangles, neigh) — neigh
+    is PERSISTED (the shared out-neighbour index, read twice); the
+    caller owns its release alongside the edge index.
 
-    Wedges WITHOUT a shuffled self-join: every undirected edge points
-    from its lower-(degree, id) endpoint to the higher one, so one
-    groupBy collects each source's sorted out-neighbour array (outdeg
-    = O(sqrt(m)) after orientation), ordered pairs explode MAP-SIDE
-    from the array, and the closing edge probes a BROADCAST of the
-    edge set (~20 MB at sf0.1; where edges outgrow the broadcast
-    threshold Catalyst falls back to a shuffled hash join of the same
-    shape). The self-join formulation re-shuffled 72M wedge rows —
-    this shape never materializes wedges through an exchange at all,
-    and the orientation is the hub-taming trick that survives
-    power-law degrees at 100 TB.
+    Every undirected edge points from its lower-(degree, id) endpoint
+    to the higher one, so the triangle's three vertices are totally
+    ordered (src → mid → sink) and each triangle materializes exactly
+    once at its (src → mid) edge as the common out-neighbours
+    array_intersect(ns(src), ns(mid)). Corner ordering follows the
+    orientation, not numeric order — every consumer treats (a, b, c)
+    as an unordered corner set (per-node corner counts, least/greatest
+    pair edges), so the enumerated SET is what matters and is
+    unchanged.
+
+    r17 (guide §2.3): this replaces the wedge formulation — map-side
+    explode of ALL ordered out-pairs (Σ outdeg² ≈ 41M rows at sf0.1)
+    probed against a broadcast hash of the edge set — with one explode
+    of the |edges| (src, mid) pairs, one broadcast of the node-sized
+    neighbour index, and a per-edge intersect that touches
+    |ns(src)| + |ns(mid)| elements; only ACTUAL triangles (1.9M)
+    explode out. Measured fresh-plan 19.8 → 3.9 s at sf0.1 on the
+    triangle entry (clustering 17.9 → 4.1, jaccard 15.0 → 4.8);
+    outdeg stays O(sqrt m) after orientation, the hub-taming property
+    that survives power-law degrees at 100 TB.
     """
     from de4ml_spark.session import spread
 
@@ -326,23 +340,26 @@ def _oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
             "CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst",
         )
     )
-    neigh = spread(oriented, "src").groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("ns")
+    neigh = (
+        spread(oriented, "src")
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("ns"))
+        .persist()
     )
-    wedges = neigh.select(
-        F.col("src").alias("a"),
-        F.explode(
-            F.expr(
-                "flatten(transform(ns, (x, i) ->"
-                " transform(slice(ns, i + 2, size(ns)), y ->"
-                " struct(x AS b, y AS c))))"
-            )
-        ).alias("p"),
-    ).select("a", F.col("p.b").alias("b"), F.col("p.c").alias("c"))
-    return wedges.join(
-        F.broadcast(edges),
-        (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
-    ).select("a", "b", "c")
+    tris = (
+        neigh.select(
+            F.col("src").alias("a"), "ns", F.explode("ns").alias("b")
+        )
+        .join(
+            F.broadcast(neigh.selectExpr("src AS b", "ns AS nsb")), "b"
+        )
+        .select(
+            "a",
+            "b",
+            F.explode(F.array_intersect("ns", "nsb")).alias("c"),
+        )
+    )
+    return tris, neigh
 
 
 # --------------------------------------------------------------------------
@@ -368,7 +385,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read the edge set — persist it once as the shared index
     edges = _canonical_edges(spark, sf_dir)
     deg = _edge_degrees(edges)
-    tris = _oriented_triangles(edges, deg)
+    tris, neigh = _oriented_triangles(edges, deg)
     per_node = (
         tris.selectExpr("a AS node")
         .unionAll(tris.selectExpr("b AS node"))
@@ -392,7 +409,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_total AS total_triangles",
         )
     )
-    return release_after(out, edges)
+    return release_after(out, edges, neigh)
 
 
 TRIANGLE_SQL = """
@@ -644,7 +661,7 @@ def jaccard_copurchase_parts(
     deg = _edge_degrees(edges)
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    tris = _oriented_triangles(edges, deg)
+    tris, neigh = _oriented_triangles(edges, deg)
     # each triangle contributes one common-neighbour to each of its
     # three edges (canonicalized u < v)
     tri_edges = (
@@ -673,7 +690,7 @@ def jaccard_copurchase_parts(
     out = scored.orderBy(
         F.desc("jaccard_r"), F.col("u"), F.col("v")
     ).limit(JACCARD_TOPK)
-    return release_after(out, edges)
+    return release_after(out, edges, neigh)
 
 
 def _jaccard_sql() -> str:
@@ -1812,7 +1829,7 @@ def clustering_summary_parts(
 
     edges = _canonical_edges(spark, sf_dir)
     deg = _edge_degrees(edges)
-    tris = _oriented_triangles(edges, deg)
+    tris, neigh = _oriented_triangles(edges, deg)
     per_node = (
         tris.selectExpr("a AS node")
         .unionAll(tris.selectExpr("b AS node"))
@@ -1849,7 +1866,7 @@ def clustering_summary_parts(
     out = agg.crossJoin(F.broadcast(total)).selectExpr(
         *_CLUSTERING_FINAL
     )
-    return release_after(out, edges)
+    return release_after(out, edges, neigh)
 
 
 def _clustering_sql() -> str:
