@@ -488,7 +488,17 @@ KCORE_ROUNDS = 4
 def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de4ml_spark.cache import release_after
 
-    adj = _directed_adjacency(spark, sf_dir).persist()
+    # r17 second pass (guide §2.4/§5): the adjacency persists
+    # REPARTITIONED ON u once, so deg0 and every peel round's degree
+    # aggregate are partition-local (any HashPartitioning(u, N)
+    # satisfies groupBy(u); N tracks defaultParallelism, not a tuned
+    # constant).
+    par = spark.sparkContext.defaultParallelism
+    adj = (
+        _directed_adjacency(spark, sf_dir)
+        .repartition(par, "u")
+        .persist()
+    )
     deg0 = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
     # r17 (guide §2.4/§5): the median degree comes from the DEGREE
     # HISTOGRAM, not a range-partitioned global rank of the node
@@ -523,36 +533,42 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("(min_deg + med_deg) DIV 2 AS k_val")
         .localCheckpoint(eager=True)
     )
-    cur = adj
-    rounds = []
+    # r17 second pass (guide §2.4/§5): each peel round checkpoints the
+    # NODE-sized induced-degree frame, not the edge-sized induced
+    # subgraph. Because the kept-node sets shrink monotonically
+    # (keep_i ⊆ keep_{i-1}: a node must survive round i-1 to have an
+    # induced edge in round i), the round-i induced subgraph equals
+    # adj filtered by keep_i on both endpoints — so each round is the
+    # persisted adjacency + two broadcast semi-joins + a
+    # partition-local count, and the per-round materialization drops
+    # from |edges| rows to |nodes| rows. A node with zero induced
+    # edges vanishes from the degree frame, exactly as it vanished
+    # from the induced edge set before. Where the node set outgrows
+    # the broadcast cap, swap the hint for a shuffled semi-join (plan
+    # note — the khop/triangle escape hatch).
+    degs = [deg0]
     for _ in range(KCORE_ROUNDS):
-        degr = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = (
-            degr.crossJoin(F.broadcast(kdf))
+            degs[-1]
+            .crossJoin(F.broadcast(kdf))
             .filter(F.col("deg") >= F.col("k_val"))
             .select("u")
         )
-        cur = (
-            cur.join(keep, "u")
-            .join(keep.select(F.col("u").alias("v")), "v")
+        degs.append(
+            adj.join(F.broadcast(keep), "u")
+            .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
             .localCheckpoint(eager=True)
         )
-        rounds.append(cur)
     conv = (
-        rounds[-2]
-        .select("u")
-        .distinct()
+        degs[-2]
         .agg(F.count(F.lit(1)).alias("nk_prev"))
-        .crossJoin(
-            rounds[-1]
-            .select("u")
-            .distinct()
-            .agg(F.count(F.lit(1)).alias("nk"))
-        )
+        .crossJoin(degs[-1].agg(F.count(F.lit(1)).alias("nk")))
         .selectExpr("nk_prev = nk AS converged")
     )
-    final_deg = cur.groupBy("u").agg(
-        F.count(F.lit(1)).cast("bigint").alias("core_deg")
+    final_deg = degs[-1].select(
+        "u", F.col("deg").cast("bigint").alias("core_deg")
     )
     out = (
         final_deg.join(
@@ -2138,7 +2154,26 @@ def _anf_states(spark: SparkSession, sf_dir: str):
     aggregate — identical min-K-of-distinct-hashes semilattice merge,
     measured ~4x faster at sf0.1 and the same at the 10x probe. The
     estimate readout (c, mx) follows from the sorted array directly:
-    c = size, mx = last element."""
+    c = size, mx = last element.
+
+    r17 second pass (guide §2.4 — remove exchanges outright): the
+    persisted edge set is repartitioned by v ONCE at build, so the
+    broadcast-hash state join preserves the edges' v-partitioning and
+    the round's groupBy(v) merge runs with NO exchange at all — the
+    round interior is an in-memory scan + broadcast probe +
+    partition-local ObjectHashAggregate pair (plan evidence:
+    plans/r17/anf_round_interior_{before,after}.txt — the per-round
+    `Exchange` above the partial ObjectHashAggregate is gone; the
+    one-time hashpartitioning(v) exchange of plain (u, v) pairs sits
+    inside the persisted relation). The explicit broadcast hint on
+    the node-sized state pins what the planner already chose, so the
+    partition-preserving property cannot silently flip to a shuffle
+    join; where the node count outgrows the broadcast cap, swap it
+    for a shuffled set join keyed on u (plan note, not a semantic
+    change — same escape hatch as the khop/triangle neighbour
+    indexes). Measured fresh-plan sf0.1: hyperanf 16.98 -> 5.48 s,
+    anf_closeness 13.83 -> 6.06 s (sf1: 21.2 -> 11.0 / 22.0 ->
+    13.6)."""
     from de4ml_spark.operators.portable_hash import phash_spark_sql
 
     li = (
@@ -2157,9 +2192,12 @@ def _anf_states(spark: SparkSession, sf_dir: str):
         )
         .distinct()
     )
-    edges_plus = adj.unionAll(
-        nodes.selectExpr("node AS u", "node AS v")
-    ).persist()
+    par = spark.sparkContext.defaultParallelism
+    edges_plus = (
+        adj.unionAll(nodes.selectExpr("node AS u", "node AS v"))
+        .repartition(par, "v")
+        .persist()
+    )
     st = nodes.selectExpr(
         "node",
         f"array({phash_spark_sql('CAST(node AS STRING)', ANF_BITS)})"
@@ -2169,7 +2207,7 @@ def _anf_states(spark: SparkSession, sf_dir: str):
     for _ in range(ANF_H):
         st = (
             edges_plus.alias("e")
-            .join(st.alias("s"), F.col("s.node") == F.col("e.u"))
+            .join(F.broadcast(st.alias("s")), F.col("s.node") == F.col("e.u"))
             .groupBy(F.col("e.v").alias("node"))
             .agg(
                 F.expr(
