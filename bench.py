@@ -517,12 +517,23 @@ def main() -> None:
                     " — re-running in a fresh JVM",
                     file=sys.stderr,
                 )
-                rerun = _run_isolated(suspects)
+                # ADVICE r16: a failed re-run must not discard the
+                # already-computed first isolated pass — fall back to it.
+                try:
+                    rerun = _run_isolated(suspects)
+                except Exception as e2:  # noqa: BLE001 — keep first pass
+                    print(
+                        f"# isolated re-run failed ({e2}); keeping"
+                        " first-pass isolated readings",
+                        file=sys.stderr,
+                    )
+                    rerun = {}
                 iso = {
                     **iso,
                     **{n: min(iso[n], rerun.get(n, iso[n])) for n in suspects},
                 }
-                out["isolated_reruns"] = sorted(suspects)
+                if rerun:
+                    out["isolated_reruns"] = sorted(suspects)
             out["isolated_queries"] = iso
             # Make the per-query dict unambiguous (VERDICT r13 #4): for
             # lane entries the in-fleet number is contention-dominated

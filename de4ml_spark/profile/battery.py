@@ -214,13 +214,30 @@ def grouped_exact_quantiles(
     scalability argument as ``_exact_column_profile``, generalized to
     grouped quantiles. Output: keys + one DOUBLE column per p (named
     ``names`` or ``q<100p>``) + ``n`` (non-null count)."""
-    names = names or [f"q{int(p * 100)}" for p in ps]
     v = F.col(value_col)
     hist = (
         df.filter(v.isNotNull())
         .groupBy(*keys, v.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
+    return grouped_exact_quantiles_from_hist(hist, keys, ps, names)
+
+
+def grouped_exact_quantiles_from_hist(
+    hist: DataFrame,
+    keys: list[str],
+    ps: list[float],
+    names: list[str] | None = None,
+) -> DataFrame:
+    """The cumulative-window + interpolation half of
+    :func:`grouped_exact_quantiles`, taking a PRE-AGGREGATED value
+    histogram (columns: keys + ``__v`` + bigint ``__cnt``) instead of raw
+    rows. Identical arithmetic — the cumulative sums run over the same
+    (value, count) pairs whichever side built them — so a caller that
+    already holds a value histogram (e.g. one reused for a derived-value
+    re-histogram, as mad_price does for |x − median|) skips the raw scan
+    without touching the result."""
+    names = names or [f"q{int(p * 100)}" for p in ps]
     wcum = (
         Window.partitionBy(*keys)
         .orderBy("__v")

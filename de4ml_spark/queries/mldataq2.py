@@ -188,27 +188,43 @@ FROM counts
 def mad_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single row: exact median and MAD of l_extendedprice.
 
-    Scale: two histogram-quantile passes (groupBy value + cumulative
-    window — no raw-row buffering); the scalar median broadcasts into the
-    deviation scan."""
-    from de4ml_spark.profile.battery import grouped_exact_quantiles
+    Scale (r17, guide §2.3 — aggregate before you shuffle): ONE raw scan.
+    The value histogram (distinct price → count) persists once and serves
+    both halves — the median reads it through the cumulative window, and
+    the DEVIATION histogram derives from it by re-keying each distinct
+    price to |price − median| and summing counts (the multiset of
+    deviations is identical row-for-row to scanning lineitem again, since
+    every row with the same price has the same deviation). Arithmetic is
+    unchanged — same histogram pairs, same interpolation — the old second
+    raw scan + crossJoin of |lineitem| rows is just gone."""
+    from de4ml_spark.cache import release_after
+    from de4ml_spark.profile.battery import (
+        grouped_exact_quantiles_from_hist,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
-    med = grouped_exact_quantiles(
-        li.withColumn("__g", F.lit(1)), ["__g"], "l_extendedprice", [0.5]
-    ).select(F.col("q50").alias("med"))
-    dev = (
-        li.select("l_extendedprice")
-        .crossJoin(F.broadcast(med))
-        .select(
-            F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
-            "med",
-        )
+    v = F.col("l_extendedprice")
+    hist = (
+        li.filter(v.isNotNull())
+        .groupBy(F.lit(1).alias("__g"), v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .persist()
     )
-    mad = grouped_exact_quantiles(
-        dev.withColumn("__g", F.lit(1)), ["__g"], "adev", [0.5]
-    ).select(F.col("q50").alias("mad"), F.col("n").alias("n"))
-    return (
+    med = grouped_exact_quantiles_from_hist(hist, ["__g"], [0.5]).select(
+        F.col("q50").alias("med")
+    )
+    devhist = (
+        hist.crossJoin(F.broadcast(med))
+        .groupBy(
+            F.lit(1).alias("__g"),
+            F.abs(F.col("__v") - F.col("med")).alias("__v"),
+        )
+        .agg(F.sum("__cnt").alias("__cnt"))
+    )
+    mad = grouped_exact_quantiles_from_hist(devhist, ["__g"], [0.5]).select(
+        F.col("q50").alias("mad"), F.col("n").alias("n")
+    )
+    out = (
         med.crossJoin(mad)
         .select(
             F.round("med", 6).alias("median_r"),
@@ -216,6 +232,7 @@ def mad_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+    return release_after(out, hist)
 
 
 MAD_SQL = """

@@ -490,6 +490,48 @@ def test_grouped_quantiles_match_numpy(spark):
         assert abs(gq75 - q75) < 1e-12, g
 
 
+def test_grouped_quantiles_from_hist_matches_raw(spark):
+    """The pre-aggregated-histogram entry point == the raw-row path on the
+    same multiset, including counts > 1 and value collisions after a
+    derived-value re-key (the mad_price |x − median| reuse shape)."""
+    from pyspark.sql import functions as F
+
+    from de4ml_spark.profile.battery import (
+        grouped_exact_quantiles,
+        grouped_exact_quantiles_from_hist,
+    )
+
+    rng = random.Random(29)
+    rows = []
+    for g in range(5):
+        for _ in range(rng.randint(3, 120)):
+            # symmetric grid so |v - center| collides distinct values
+            rows.append((g, round(rng.randint(-6, 6) * 0.5, 1)))
+    df = spark.createDataFrame(rows, "g BIGINT, v DOUBLE")
+    raw = grouped_exact_quantiles(df, ["g"], "v", [0.25, 0.5, 0.75])
+    hist = (
+        df.groupBy(F.col("g"), F.col("v").alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    hst = grouped_exact_quantiles_from_hist(hist, ["g"], [0.25, 0.5, 0.75])
+    assert sorted(map(tuple, raw.collect())) == sorted(
+        map(tuple, hst.collect())
+    )
+    # derived-value re-key: |v| merges +x/-x histogram rows; must equal
+    # the raw path over the same derived rows
+    dev_raw = grouped_exact_quantiles(
+        df.select("g", F.abs(F.col("v")).alias("v")), ["g"], "v", [0.5]
+    )
+    dev_hist = (
+        hist.groupBy(F.col("g"), F.abs(F.col("__v")).alias("__v"))
+        .agg(F.sum("__cnt").alias("__cnt"))
+    )
+    dev_hst = grouped_exact_quantiles_from_hist(dev_hist, ["g"], [0.5])
+    assert sorted(map(tuple, dev_raw.collect())) == sorted(
+        map(tuple, dev_hst.collect())
+    )
+
+
 def test_pattern_automaton_matches_regex(spark):
     """The streaming automaton's transition function == regex count on
     random symbol strings (single-batch equivalence; cross-batch is
