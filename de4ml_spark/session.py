@@ -187,6 +187,11 @@ def get_spark(app_name: str = "de4ml_spark", cpus: int | None = None) -> SparkSe
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
+        # No stage-progress carriage returns in captured logs: keeps
+        # `grep -c '^OK'` on tools/verify_oracle.py output equal to the
+        # entry count (VERDICT r16 cosmetic note). Console-only conf —
+        # no effect on any plan or result.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
