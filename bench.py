@@ -422,6 +422,18 @@ def main() -> None:
         "cpus": ncpu,
         "workload_rep_spread": round(spread, 2),
         "contended": contended,
+        # Which clause(s) tripped the verdict (ADVICE r16): lets a
+        # grader tell 5-min residue (busy_at_start via load_start[1])
+        # from live external load (busy_at_end) from plain rep spread.
+        "contended_clauses": [
+            name
+            for name, hit in [
+                ("busy_at_start", busy_at_start),
+                ("rep_spread", spread > 2.0),
+                ("busy_at_end", busy_at_end),
+            ]
+            if hit
+        ],
         "concurrent_workers": len(names),
         "sf": sf,
     }

@@ -88,11 +88,32 @@ TABLE_SCHEMAS = {
 }
 
 
+def _split_top_level_fields(ddl: str) -> list[str]:
+    """Split a DDL column list on TOP-LEVEL commas only: commas nested
+    inside ``DECIMAL(p,s)`` / ``MAP<...>`` / ``STRUCT<...>`` belong to
+    the type, not the field list (ADVICE r16 — the bare ``split(",")``
+    silently yielded wrong names for any such future manifest type)."""
+    fields: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(ddl):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(ddl[start:i])
+            start = i + 1
+    fields.append(ddl[start:])
+    return [f for f in (s.strip() for s in fields) if f]
+
+
 def table_columns(table: str) -> list[str]:
     """Canonical column names of one table, derived from the manifest
-    (first token of each top-level DDL field — no nested commas occur
-    in these schemas)."""
-    return [f.strip().split()[0] for f in TABLE_SCHEMAS[table].split(",")]
+    (first token of each top-level DDL field)."""
+    return [
+        f.split()[0] for f in _split_top_level_fields(TABLE_SCHEMAS[table])
+    ]
 
 # Ingest normalization for the one free-form float measure column:
 # ``events.value`` maps NaN / +-Inf -> NULL at load. IEEE specials
@@ -127,7 +148,11 @@ EMBEDDINGS_ORACLE_WHERE = (
 
 
 def duckdb_view_sql(
-    table: str, parquet_path: str, *, events_ts: str = "ts"
+    table: str,
+    parquet_path: str,
+    *,
+    events_ts: str = "ts",
+    multi_file: bool | None = None,
 ) -> str:
     """The canonical DuckDB view body for one testdata table — every
     oracle layer (verify_oracle, degenerate_parity, bench_one,
@@ -144,10 +169,20 @@ def duckdb_view_sql(
     ``parquet_path`` (multi-file shard) reads via
     ``read_parquet(..., union_by_name=true)``, DuckDB's twin of the
     manifest scan: missing columns null-fill, narrower physical types
-    widen (needs one canonical-schema file present in the shard)."""
+    widen (needs one canonical-schema file present in the shard).
+
+    ``multi_file`` makes the shard shape an explicit caller choice
+    (ADVICE r16 — sniffing the string for ``*`` was an implicit
+    contract). Default ``None`` keeps the established auto-detection
+    (glob present, or a directory path passed without a glob — the
+    latter previously rendered footer-only single-file SQL)."""
+    if multi_file is None:
+        multi_file = "*" in parquet_path or os.path.isdir(parquet_path)
+    if multi_file and "*" not in parquet_path:
+        parquet_path = parquet_path.rstrip("/") + "/*.parquet"
     src = (
         f"read_parquet('{parquet_path}', union_by_name=true)"
-        if "*" in parquet_path
+        if multi_file
         else f"'{parquet_path}'"
     )
     names = table_columns(table)

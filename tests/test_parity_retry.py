@@ -142,6 +142,55 @@ def test_events_oracle_view_single_definition():
     assert nanos.replace(f"{EVENTS_TS_FROM_NANOS} AS ts", "ts AS ts") == raw
 
 
+def test_view_sql_multi_file_explicit_and_auto(tmp_path):
+    """ADVICE r16: the shard shape is an explicit caller choice, with
+    auto-detection covering globs AND bare directory paths (the latter
+    previously rendered footer-only single-file SQL silently)."""
+    from de4ml_spark.session import duckdb_view_sql
+
+    # glob path: auto-detected multi-file (established behavior)
+    glob = duckdb_view_sql("region", "/x/region/*.parquet")
+    assert "read_parquet('/x/region/*.parquet', union_by_name=true)" in glob
+    # bare directory path: auto-detected multi-file, glob appended
+    d = tmp_path / "region"
+    d.mkdir()
+    auto = duckdb_view_sql("region", str(d))
+    assert f"read_parquet('{d}/*.parquet', union_by_name=true)" in auto
+    # explicit override wins over the sniff in both directions
+    forced = duckdb_view_sql("region", "/x/region", multi_file=True)
+    assert "read_parquet('/x/region/*.parquet', union_by_name=true)" in forced
+    single = duckdb_view_sql("region", "/x/region.parquet", multi_file=False)
+    assert "read_parquet" not in single and "'/x/region.parquet'" in single
+
+
+def test_table_columns_depth_aware_split():
+    """ADVICE r16: DDL field split must ignore commas nested inside
+    DECIMAL(p,s) / MAP<...> / STRUCT<...> type parameters."""
+    from de4ml_spark import session
+    from de4ml_spark.session import _split_top_level_fields, table_columns
+
+    ddl = (
+        "a DECIMAL(12,2), b MAP<STRING, INT>, "
+        "c STRUCT<x: INT, y: ARRAY<DOUBLE>>, d STRING"
+    )
+    assert [f.split()[0] for f in _split_top_level_fields(ddl)] == [
+        "a",
+        "b",
+        "c",
+        "d",
+    ]
+    # every real manifest entry still yields its declared names
+    assert table_columns("events") == [
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ]
+    assert all(table_columns(t) for t in session.TABLE_SCHEMAS)
+
+
 def _run_parity_scripted(monkeypatch, script):
     """Drive run_parity with a scripted _parity_one.
 
