@@ -208,6 +208,12 @@ HEADLINE = [
 ]
 
 
+# Workload-rep spread above this ratio flags a contended run (shared by
+# the extra-reps trigger and the contended_clauses attribution — one
+# constant so the two sites cannot drift, ADVICE r17).
+SPREAD_LIMIT = 2.0
+
+
 def _loadavg() -> list[float]:
     try:
         return [round(x, 2) for x in os.getloadavg()]
@@ -346,7 +352,7 @@ def main() -> None:
             walls.append(time.time() - t0)
         extra_reps = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "3"))
         spread = max(walls) / max(min(walls), 1e-9)
-        if busy_at_start or spread > 2.0:
+        if busy_at_start or spread > SPREAD_LIMIT:
             print(
                 f"# contended run detected (load_start={load_start}, "
                 f"rep spread {spread:.1f}x) — running {extra_reps} extra "
@@ -373,7 +379,19 @@ def main() -> None:
         busy_at_end = bool(load_end_passes) and (
             load_end_passes[0] > 0.5 * ncpu
         )
-        contended = busy_at_start or spread > 2.0 or busy_at_end
+        # ADVICE r17: derive the verdict FROM the clause list so the
+        # attribution and the verdict cannot drift apart if a threshold
+        # changes in one place (SPREAD_LIMIT is the shared constant).
+        contended_clauses = [
+            name
+            for name, hit in [
+                ("busy_at_start", busy_at_start),
+                ("rep_spread", spread > SPREAD_LIMIT),
+                ("busy_at_end", busy_at_end),
+            ]
+            if hit
+        ]
+        contended = bool(contended_clauses)
 
         # Optional full-catalog drain (SPARK_GRAFT_BENCH_CATALOG=1): every
         # catalog query submitted concurrently, one rep (includes cold
@@ -425,15 +443,7 @@ def main() -> None:
         # Which clause(s) tripped the verdict (ADVICE r16): lets a
         # grader tell 5-min residue (busy_at_start via load_start[1])
         # from live external load (busy_at_end) from plain rep spread.
-        "contended_clauses": [
-            name
-            for name, hit in [
-                ("busy_at_start", busy_at_start),
-                ("rep_spread", spread > 2.0),
-                ("busy_at_end", busy_at_end),
-            ]
-            if hit
-        ],
+        "contended_clauses": contended_clauses,
         "concurrent_workers": len(names),
         "sf": sf,
     }
@@ -570,9 +580,9 @@ def main() -> None:
     print(json.dumps(out))
     # Truncation-proof headline: the round-7 artifact lost its number
     # because the single full JSON line was head-truncated in the
-    # driver's capture. A second SHORT line (same metric/value, no
-    # per-query map) survives any head truncation; parsers that take
-    # the first valid line still get the full record.
+    # driver's capture. A second SHORT line (same metric/value) survives
+    # any head truncation; parsers that take the first valid line still
+    # get the full record.
     print(
         json.dumps(
             {
@@ -585,6 +595,15 @@ def main() -> None:
                 "sf": sf,
                 "contended": out["contended"],
                 "loadavg_start": out["loadavg_start"],
+                # VERDICT r17 #1 (bench per-query contract): the driver's
+                # comparator parses THIS (last) line, and without the full
+                # per-query map its round-over-round table, geomean and
+                # scaling ratios were all empty (n_common: 0 both rounds).
+                # Carry the full 143-entry sequential-lane map here too —
+                # ~4 KB, additive, same values as the full record above
+                # (isolated-lane entries already hold their fresh-JVM
+                # minimum, the authoritative per-query number).
+                "queries": out["queries"],
                 # carry the fresh-JVM lane on the short line too, so the
                 # >2x floor-vs-plan attribution survives any truncation
                 # of the full record (VERDICT r10 #7)

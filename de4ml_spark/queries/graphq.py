@@ -35,6 +35,58 @@ from de4ml_spark.operators.portable_hash import wide_to_double_sql as _w2d
 
 REGISTRY: dict = {}
 
+
+def _graph_source_mb(sf_dir: str) -> float:
+    """On-disk MB of the co-purchase graph's raw source (lineitem) —
+    a cheap, action-free scale signal for the broadcast gate below."""
+    import os
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.isdir(path):
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
+        )
+    else:
+        total = os.path.getsize(path)
+    return total / 1048576.0
+
+
+def _gated_broadcast(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Size-guarded broadcast hint for the node-sized graph build sides
+    (VERDICT r17 #1 — a bare ``F.broadcast`` overrides
+    autoBroadcastJoinThreshold, so at 100 TB these plans would drive
+    the build side into driver/executor OOM instead of degrading to a
+    shuffled join).
+
+    Every frame this gates (neighbour index, k-core keep sets, khop
+    1-hop sets, ANF state) is a per-node aggregate of the co-purchase
+    graph derived from lineitem, so its materialized size is bounded by
+    a small multiple of the decoded raw source. The gate therefore keys
+    on the source's ON-DISK size — deterministic, known before any job
+    runs, no plan-build-time action (the r17 kcore change deliberately
+    removed one; an estimate that needs a count would reintroduce it).
+    Below the cap (default 512 MB ≈ single-digit-GB decoded worst case,
+    override via SPARK_GRAFT_GRAPH_BC_CAP_MB) the hint pins the
+    broadcast the planner already picks at the test SFs; above it the
+    hint is DROPPED and the planner/AQE choose from real sizes — for
+    khop/kcore/triangles the join degrades to shuffled (the
+    partitioning property those plans rely on is an optimization, not
+    a correctness condition), and for ANF the round re-acquires its
+    groupBy(v) exchange — the documented shuffled fallback. Results
+    are join-strategy-independent; pinned by
+    tests/test_graph_broadcast_guard.py which forces the shuffled path
+    (cap=0 + autoBroadcastJoinThreshold=-1) and asserts row equality.
+    """
+    import os
+
+    cap = float(os.environ.get("SPARK_GRAFT_GRAPH_BC_CAP_MB", "512"))
+    if _graph_source_mb(sf_dir) <= cap:
+        return F.broadcast(df)
+    return df
+
+
 PR_SCALE = 1_000_000
 PR_TELEPORT = 150_000  # (1 - 0.85) * PR_SCALE, exact
 PR_ITERS = 3
@@ -42,18 +94,12 @@ PR_TOPK = 20
 
 
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
+    # r18: the directed edge set comes from the shared halved-probe
+    # build (see _directed_adjacency) — set-identical to the old
+    # full != self-join + distinct (the pre-distinct on
+    # (l_orderkey, l_partkey) cannot change the DISTINCT edge set).
+    edges = _directed_adjacency(spark, sf_dir).selectExpr(
+        "u AS src", "v AS dst"
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # scores keyed by node; deg carried along so each round is one join
@@ -248,9 +294,8 @@ REGISTRY["assoc_rules_parts"] = {
 # --------------------------------------------------------------------------
 
 
-def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct co-purchase edges with u < v, PERSISTED — callers own
-    the release (release_after / unpersist)."""
+def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase edges with u < v, NOT persisted."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -265,28 +310,44 @@ def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("v"),
         )
         .distinct()
-        .persist()
     )
+
+
+def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase edges with u < v, PERSISTED — callers own
+    the release (release_after / unpersist)."""
+    return _undirected_edges(spark, sf_dir).persist()
+
+
+def _both_directions(und: DataFrame) -> DataFrame:
+    """Each undirected u < v edge emitted in both directions, map-side
+    (one Generate node — no second scan of the edge subtree)."""
+    return und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(
+                    F.col("v").alias("u"), F.col("u").alias("v")
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
 
 
 def _directed_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both-direction co-purchase adjacency (each undirected edge twice),
-    NOT persisted."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
+    NOT persisted.
+
+    r18 (guide §2.3 — shuffle fewer bytes): derived from the u < v
+    probe + a map-side both-directions explode, instead of re-running
+    the self-join with ``!=``. {(u, v) : u ≠ v co-purchased} is exactly
+    {u < v} ∪ {u > v}, and the two halves are mirror images, so the
+    join emits HALF the pre-distinct pairs (Σ k(k-1)/2 per order, not
+    Σ k(k-1)) and the dedup exchange carries half the rows; the
+    doubling happens after the distinct as a Generate over the
+    deduped edge set. Set-identical by construction (explode of
+    distinct u < v pairs cannot collide across directions)."""
+    return _both_directions(_undirected_edges(spark, sf_dir))
 
 
 def _edge_degrees(edges: DataFrame) -> DataFrame:
@@ -300,7 +361,7 @@ def _edge_degrees(edges: DataFrame) -> DataFrame:
 
 
 def _oriented_triangles(
-    edges: DataFrame, deg: DataFrame
+    edges: DataFrame, deg: DataFrame, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """Each triangle exactly once, via degree orientation + per-edge
     neighbour-array intersection. Returns (triangles, neigh) — neigh
@@ -351,7 +412,10 @@ def _oriented_triangles(
             F.col("src").alias("a"), "ns", F.explode("ns").alias("b")
         )
         .join(
-            F.broadcast(neigh.selectExpr("src AS b", "ns AS nsb")), "b"
+            _gated_broadcast(
+                neigh.selectExpr("src AS b", "ns AS nsb"), sf_dir
+            ),
+            "b",
         )
         .select(
             "a",
@@ -385,7 +449,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read the edge set — persist it once as the shared index
     edges = _canonical_edges(spark, sf_dir)
     deg = _edge_degrees(edges)
-    tris, neigh = _oriented_triangles(edges, deg)
+    tris, neigh = _oriented_triangles(edges, deg, sf_dir)
     per_node = (
         tris.selectExpr("a AS node")
         .unionAll(tris.selectExpr("b AS node"))
@@ -555,8 +619,13 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u")
         )
         degs.append(
-            adj.join(F.broadcast(keep), "u")
-            .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v")
+            adj.join(_gated_broadcast(keep, sf_dir), "u")
+            .join(
+                _gated_broadcast(
+                    keep.select(F.col("u").alias("v")), sf_dir
+                ),
+                "v",
+            )
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("deg"))
             .localCheckpoint(eager=True)
@@ -677,7 +746,7 @@ def jaccard_copurchase_parts(
     deg = _edge_degrees(edges)
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    tris, neigh = _oriented_triangles(edges, deg)
+    tris, neigh = _oriented_triangles(edges, deg, sf_dir)
     # each triangle contributes one common-neighbour to each of its
     # three edges (canonicalized u < v)
     tri_edges = (
@@ -1054,7 +1123,9 @@ def khop_reach_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 57 s -> 4.3 s steady-state at sf0.1 (both changes together).
     out = (
         adj.join(
-            F.broadcast(sets.selectExpr("u AS v", "nbrs AS nbrs2")),
+            _gated_broadcast(
+                sets.selectExpr("u AS v", "nbrs AS nbrs2"), sf_dir
+            ),
             "v",
         )
         .groupBy("u")
@@ -1845,7 +1916,7 @@ def clustering_summary_parts(
 
     edges = _canonical_edges(spark, sf_dir)
     deg = _edge_degrees(edges)
-    tris, neigh = _oriented_triangles(edges, deg)
+    tris, neigh = _oriented_triangles(edges, deg, sf_dir)
     per_node = (
         tris.selectExpr("a AS node")
         .unionAll(tris.selectExpr("b AS node"))
@@ -1992,16 +2063,9 @@ def giant_component_parts(
         .distinct()
     )
     nodes = li.select(F.col("l_partkey").alias("node")).distinct()
-    a, b = li.alias("a"), li.alias("b")
-    adj = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
+    # r18: halved u<v probe + map-side both-directions explode — see
+    # _directed_adjacency (set-identical, half the dedup exchange).
+    adj = _directed_adjacency(spark, sf_dir)
     # self-loops make "min over in-neighbors AND self" a single
     # aggregate — labels consumed once per round, linear plan growth.
     # r17 (VERDICT r16 #3, guide §2.4): the edge set is materialized
@@ -2182,16 +2246,9 @@ def _anf_states(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     nodes = li.select(F.col("l_partkey").alias("node")).distinct()
-    a, b = li.alias("a"), li.alias("b")
-    adj = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
+    # r18: halved u<v probe + map-side both-directions explode — see
+    # _directed_adjacency (set-identical, half the dedup exchange).
+    adj = _directed_adjacency(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
     edges_plus = (
         adj.unionAll(nodes.selectExpr("node AS u", "node AS v"))
@@ -2207,7 +2264,10 @@ def _anf_states(spark: SparkSession, sf_dir: str):
     for _ in range(ANF_H):
         st = (
             edges_plus.alias("e")
-            .join(F.broadcast(st.alias("s")), F.col("s.node") == F.col("e.u"))
+            .join(
+                _gated_broadcast(st.alias("s"), sf_dir),
+                F.col("s.node") == F.col("e.u"),
+            )
             .groupBy(F.col("e.v").alias("node"))
             .agg(
                 F.expr(
