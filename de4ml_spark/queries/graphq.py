@@ -608,7 +608,8 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from |edges| rows to |nodes| rows. A node with zero induced
     # edges vanishes from the degree frame, exactly as it vanished
     # from the induced edge set before. Where the node set outgrows
-    # the broadcast cap, swap the hint for a shuffled semi-join (plan
+    # the broadcast cap the _gated_broadcast helper DROPS the hint and
+    # the planner degrades to a shuffled semi-join (r18 — was a plan
     # note — the khop/triangle escape hatch).
     degs = [deg0]
     for _ in range(KCORE_ROUNDS):
@@ -1090,7 +1091,8 @@ def khop_reach_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    and collect_set's partial aggregation dedups in place;
     # 4. the node's own 1-hop set joins back by u for the exact
     #    closure union. Where the neighbor-set broadcast outgrows the
-    #    driver, swap step 2 for a shuffled set join (plan note, not a
+    #    driver, _gated_broadcast drops the hint and step 2 degrades
+    #    to a shuffled set join (r18 — was a plan note, not a
     #    semantic change). A dense graph's 2-hop closure is
     #    intrinsically Sum(deg^2) work at any scale — the 100 TB
     #    escape hatch is the propagated-sketch neighborhood function,
@@ -2232,10 +2234,12 @@ def _anf_states(spark: SparkSession, sf_dir: str):
     inside the persisted relation). The explicit broadcast hint on
     the node-sized state pins what the planner already chose, so the
     partition-preserving property cannot silently flip to a shuffle
-    join; where the node count outgrows the broadcast cap, swap it
-    for a shuffled set join keyed on u (plan note, not a semantic
+    join; where the node count outgrows the broadcast cap,
+    _gated_broadcast DROPS the hint and the round degrades to a
+    shuffled join keyed on u (r18 — was a plan note; not a semantic
     change — same escape hatch as the khop/triangle neighbour
-    indexes). Measured fresh-plan sf0.1: hyperanf 16.98 -> 5.48 s,
+    indexes, pinned by tests/test_graph_broadcast_guard.py).
+    Measured fresh-plan sf0.1: hyperanf 16.98 -> 5.48 s,
     anf_closeness 13.83 -> 6.06 s (sf1: 21.2 -> 11.0 / 22.0 ->
     13.6)."""
     from de4ml_spark.operators.portable_hash import phash_spark_sql

@@ -178,8 +178,27 @@ def duckdb_view_sql(
     latter previously rendered footer-only single-file SQL)."""
     if multi_file is None:
         multi_file = "*" in parquet_path or os.path.isdir(parquet_path)
+        if not multi_file and not os.path.exists(parquet_path):
+            # ADVICE r17: a directory that does not exist YET (view SQL
+            # built before the shard is written) would silently fall
+            # back to footer-only single-file SQL — surface it instead
+            # of misrendering quietly. Callers that know the shape
+            # should pass multi_file explicitly.
+            import warnings
+
+            warnings.warn(
+                f"duckdb_view_sql({table!r}): {parquet_path!r} does not"
+                " exist at SQL-construction time; rendering single-file"
+                " SQL. Pass multi_file explicitly if this is a"
+                " not-yet-written directory shard.",
+                stacklevel=2,
+            )
     if multi_file and "*" not in parquet_path:
-        parquet_path = parquet_path.rstrip("/") + "/*.parquet"
+        # '**' matches zero or more directory levels in DuckDB, so a
+        # flat shard reads exactly as before while a nested/partitioned
+        # layout (key=.../part-*.parquet) now also resolves (ADVICE
+        # r17 — the single-level glob matched nothing there).
+        parquet_path = parquet_path.rstrip("/") + "/**/*.parquet"
     src = (
         f"read_parquet('{parquet_path}', union_by_name=true)"
         if multi_file

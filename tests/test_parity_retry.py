@@ -155,10 +155,12 @@ def test_view_sql_multi_file_explicit_and_auto(tmp_path):
     d = tmp_path / "region"
     d.mkdir()
     auto = duckdb_view_sql("region", str(d))
-    assert f"read_parquet('{d}/*.parquet', union_by_name=true)" in auto
+    # '**' glob (ADVICE r17): matches the flat shard exactly like the
+    # old single-level glob AND nested/Hive-partitioned layouts
+    assert f"read_parquet('{d}/**/*.parquet', union_by_name=true)" in auto
     # explicit override wins over the sniff in both directions
     forced = duckdb_view_sql("region", "/x/region", multi_file=True)
-    assert "read_parquet('/x/region/*.parquet', union_by_name=true)" in forced
+    assert "read_parquet('/x/region/**/*.parquet', union_by_name=true)" in forced
     single = duckdb_view_sql("region", "/x/region.parquet", multi_file=False)
     assert "read_parquet" not in single and "'/x/region.parquet'" in single
 

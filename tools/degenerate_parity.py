@@ -728,8 +728,12 @@ def _parity_one(spark, d: str, name, fn, sql, cur) -> str | None:
 
 
 # Fleet width for the per-kind sweep (referenced by run_parity's
-# docstring and the executor below so the two cannot drift).
-MAX_WORKERS = 16
+# docstring and the executor below so the two cannot drift). The sweep
+# is LATENCY-bound, not CPU-bound (measured ~70 CPU-s over an 83 s
+# wall on the chaos shape): per-entry driver work — plan build, py4j
+# round trips, job scheduling on KB shards — dominates, so width is
+# the lever, env-overridable for measurement.
+MAX_WORKERS = int(os.environ.get("SPARK_GRAFT_PARITY_WORKERS", "16"))
 
 # Per-process transient ledger: entry name -> how many times an
 # in-fleet divergence vanished under an independent (fresh-plan)

@@ -5,7 +5,17 @@ Methodology mirrors bench.py's sequential lane: warm-up pass at sf0.01
 (codegen/JIT) + one at the target SF, then N timed reps per query with
 the full-result Arrow fetch; per-query MIN is reported (additive-noise
 estimator). ``no_release()`` keeps operator indexes resident like the
-bench's steady-state serving posture.
+bench's steady-state serving posture WITHIN one entry's reps.
+
+r18 hygiene (VERDICT r17 #9): state is released BETWEEN entries —
+plan-cache eviction + spark.catalog.clearCache() after each entry's
+reps. The r17 run held every entry's persisted frames resident across
+the whole 374-entry drain, and late entries' first calls measured
+eviction-and-recompute pressure from 300+ unrelated resident indexes
+(khop's first_call read 119.7 s vs 15.8 s in a fresh session, same
+code). Warm numbers are unaffected (an entry's own indexes stay
+resident during its reps); first_call rows now measure the entry, not
+the tool's accumulated storage debt.
 
 Usage: python tools/time_catalog.py [out.json] [reps]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
@@ -45,8 +55,8 @@ def main() -> None:
 
     times: dict[str, float] = {}
     plan_build: dict[str, float] = {}
-    with no_release():
-        for name, fn in qs.items():
+    for name, fn in qs.items():
+        with no_release():
             # first target-SF call builds the plan (memoized after)
             t0 = time.time()
             try:
@@ -64,6 +74,11 @@ def main() -> None:
                 ts.append(time.time() - t0)
             times[name] = round(min(ts), 3)
             print(f"# {name}: min {times[name]:.3f}s (first {first:.2f}s)", file=sys.stderr)
+        # inter-entry hygiene (header note): drop this entry's memoized
+        # plan and every persisted block before the next entry's
+        # first-call measurement
+        catalog.evict(name, sf_dir)
+        spark.catalog.clearCache()
     spark.stop()
 
     ranked = dict(sorted(times.items(), key=lambda kv: -kv[1]))
